@@ -1,0 +1,44 @@
+package graft.core
+
+/** Core data model, Spark-first re-expression of the reference's shapes
+  * (see SURVEY.md §1).
+  *
+  *   - `VectorRecord` mirrors the (id, values, metadata) triple the
+  *     reference upserts (`/root/reference/streamlit_app.py:102`).
+  *   - `Chunk` is one split of one document (`streamlit_app.py:34-35`).
+  *   - `IndexMeta` carries the index "schema": name, dimension, metric
+  *     (`streamlit_app.py:37,49` — name=textembedding, dim=384,
+  *     metric=cosine). We store it as table properties; fixtures use
+  *     dim=64, so dimension is data-driven, never hardcoded.
+  */
+final case class Chunk(docId: Long, chunkIndex: Int, text: String)
+
+final case class ChunkMeta(chunk_index: Int, source: String)
+
+final case class VectorRecord(
+    id: String,
+    values: Array[Float],
+    metadata: Map[String, String])
+
+sealed trait Metric { def name: String }
+object Metric {
+  case object Cosine extends Metric { val name = "cosine" }
+  case object Euclidean extends Metric { val name = "euclidean" }
+  case object Dot extends Metric { val name = "dotproduct" }
+  def parse(s: String): Metric = s.toLowerCase match {
+    case "cosine" => Cosine
+    case "euclidean" | "l2" => Euclidean
+    case "dotproduct" | "dot" => Dot
+    case other => throw new IllegalArgumentException(s"unknown metric: $other")
+  }
+}
+
+final case class IndexMeta(name: String, dimension: Int, metric: Metric) {
+  def props: Map[String, String] =
+    Map("dimension" -> dimension.toString, "metric" -> metric.name)
+}
+
+/** Ingestion errors — the reference raises ValueError on empty inputs
+  * (`streamlit_app.py:29-30,98-100,133-134`) and asserts the embedding
+  * width (`:142-143`). */
+final class IngestError(msg: String) extends RuntimeException(msg)

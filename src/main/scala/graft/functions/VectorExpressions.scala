@@ -1,0 +1,218 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.{ColumnShim => ExpressionUtils}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the vector-similarity hot path.
+  *
+  * The reference's index scores with cosine similarity
+  * (`/root/reference/streamlit_app.py:49`, `metric='cosine'`) over
+  * non-pre-normalized float32 vectors (SURVEY.md §2.C note), so cosine
+  * here is true `dot/(|a|*|b|)`. Implemented as codegen'd expressions —
+  * not UDFs — so top-k scoring stays inside whole-stage codegen and the
+  * per-row cost is a tight primitive loop with no boxing.
+  *
+  * All three accept `ARRAY<FLOAT>` or `ARRAY<DOUBLE>` and compute in
+  * double. Null if either input is null; mismatched lengths raise.
+  */
+private[graft] object VecCodegen {
+  def elemGetter(et: DataType, arr: String, i: String): String = et match {
+    case FloatType => s"(double) $arr.getFloat($i)"
+    case DoubleType => s"$arr.getDouble($i)"
+    case other => throw new IllegalStateException(s"unsupported element type $other")
+  }
+
+  def checkArrayArg(e: Expression, side: String): TypeCheckResult = e.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$side argument must be ARRAY<FLOAT> or ARRAY<DOUBLE>, got ${other.sql}")
+  }
+
+  @inline def get(et: DataType, arr: ArrayData, i: Int): Double = et match {
+    case FloatType => arr.getFloat(i).toDouble
+    case _ => arr.getDouble(i)
+  }
+}
+
+/** `dot(a, b)` — inner product in double precision. */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_dot"
+
+  private lazy val leftElem = left.dataType.asInstanceOf[ArrayType].elementType
+  private lazy val rightElem = right.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecCodegen.checkArrayArg(left, "left") match {
+      case TypeCheckResult.TypeCheckSuccess => VecCodegen.checkArrayArg(right, "right")
+      case f => f
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    require(n == y.numElements(), s"$prettyName: length mismatch $n vs ${y.numElements()}")
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += VecCodegen.get(leftElem, x, i) * VecCodegen.get(rightElem, y, i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  throw new IllegalArgumentException("vec_dot: length mismatch");
+         |}
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ${VecCodegen.elemGetter(leftElem, x, i)} * ${VecCodegen.elemGetter(rightElem, y, i)};
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `l2_norm(a)` — Euclidean norm in double precision. */
+case class L2Norm(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_l2_norm"
+
+  private lazy val elem = child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecCodegen.checkArrayArg(child, "input")
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val v = VecCodegen.get(elem, x, i); s += v * v; i += 1 }
+    math.sqrt(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $x.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = ${VecCodegen.elemGetter(elem, x, i)};
+         |  $s += $v * $v;
+         |}
+         |${ev.value} = Math.sqrt($s);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `cosine(a, b) = dot/(|a|*|b|)`; 0.0 when either norm is zero.
+  * Single fused loop: one pass computes dot and both norms. */
+case class CosineSimilarity(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cosine_similarity"
+
+  private lazy val leftElem = left.dataType.asInstanceOf[ArrayType].elementType
+  private lazy val rightElem = right.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecCodegen.checkArrayArg(left, "left") match {
+      case TypeCheckResult.TypeCheckSuccess => VecCodegen.checkArrayArg(right, "right")
+      case f => f
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    require(n == y.numElements(),
+      s"$prettyName: length mismatch $n vs ${y.numElements()}")
+    var dot = 0.0
+    var nx = 0.0
+    var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = VecCodegen.get(leftElem, x, i)
+      val yv = VecCodegen.get(rightElem, y, i)
+      dot += xv * yv; nx += xv * xv; ny += yv * yv
+      i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0 else dot / math.sqrt(nx * ny)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  throw new IllegalArgumentException("cosine_similarity: length mismatch");
+         |}
+         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = ${VecCodegen.elemGetter(leftElem, x, i)};
+         |  double $yv = ${VecCodegen.elemGetter(rightElem, y, i)};
+         |  $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+         |}
+         |${ev.value} = ($nx == 0.0 || $ny == 0.0) ? 0.0 : $dot / Math.sqrt($nx * $ny);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Column-API + SQL surface for the vector expressions. */
+object vectors {
+  def cosine(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      CosineSimilarity(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def dot(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def l2Norm(a: Column): Column =
+    ExpressionUtils.column(L2Norm(ExpressionUtils.expression(a)))
+
+  /** Register `cosine_similarity`, `vec_dot`, `vec_l2_norm` for SQL use. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "cosine_similarity", es => CosineSimilarity(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "vec_dot", es => DotProduct(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "vec_l2_norm", es => L2Norm(es.head), "scala_udf")
+  }
+}
