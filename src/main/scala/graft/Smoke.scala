@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Local smoke runner for the flagship entry — mirrors the driver's t1
+  * check (rows > 0) and prints the result. */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-smoke")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = SparkEntry.entry(spark)
+    val rows = df.collect()
+    println(s"[smoke] entry rows=${rows.length}")
+    rows.foreach(r => println(s"[smoke] $r"))
+    assert(rows.nonEmpty, "entry returned no rows")
+    spark.stop()
+  }
+}

@@ -16,9 +16,23 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+  /** Flagship on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's whole lifecycle end-to-end (SURVEY.md §3.4): ingest
+    * documents -> chunk -> embed -> vector index -> top-k cosine query. */
+  def entry(spark: SparkSession): DataFrame = {
+    import graft.core.HashingEmbedder
+    import graft.operators.{Ingest, VectorIndex}
+    val dir = java.nio.file.Files.createTempDirectory("graft_entry").toString
+    val docs = t(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val embedder = new HashingEmbedder(dimension = 64, seed = 42L)
+    val records = Ingest.pipeline(docs, embedder,
+      Ingest.Config(expectedDim = Some(64)))
+    val idx = VectorIndex.ensure(spark, s"$dir/flagship", 64)
+    idx.upsert(records)
+    val q = embedder.embedOne("spark window join stream batch")
+    idx.query(q, k = 10)
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Scalable contiguous id assignment (SURVEY.md §2.D op D1).
+  *
+  * The reference enumerates chunks `doc-0 .. doc-{n-1}` in order
+  * (`/root/reference/streamlit_app.py:102`). A global
+  * `row_number()` window over an un-partitioned frame would funnel all
+  * rows through one task — wrong at 100 TB. Instead: range-repartition
+  * on the ordering key (so partition p holds keys < partition p+1),
+  * sort within partitions, then a zipWithIndex-style two-pass: count
+  * rows per partition (small job), broadcast the cumulative offsets,
+  * and add `offset(p) + local index` per row. Cost: one extra count
+  * job over already-shuffled data; no single-task bottleneck.
+  */
+object Ids {
+
+  /** Append a 0-based contiguous `idCol` ordered by `orderCols`. */
+  def contiguous(df: DataFrame, orderCols: Seq[Column], idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df
+      .repartitionByRange(orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+    val rdd = sorted.rdd
+    val counts = rdd.mapPartitionsWithIndex { (p, it) =>
+      Iterator.single(p -> it.size.toLong)
+    }.collect().toMap
+    val nParts = rdd.getNumPartitions
+    val offsets = new Array[Long](nParts)
+    var acc = 0L
+    var p = 0
+    while (p < nParts) {
+      offsets(p) = acc
+      acc += counts.getOrElse(p, 0L)
+      p += 1
+    }
+    val bOffsets = spark.sparkContext.broadcast(offsets)
+    val withId = rdd.mapPartitionsWithIndex { (pi, it) =>
+      var i = bOffsets.value(pi)
+      it.map { row => val r = Row.fromSeq(row.toSeq :+ i); i += 1; r }
+    }
+    val schema = StructType(sorted.schema.fields :+ StructField(idCol, LongType, nullable = false))
+    spark.createDataFrame(withId, schema)
+  }
+}

@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.core.{Chunker, Embedder, HashingEmbedder, IngestError}
+import graft.sources.TextExtractor
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's ingestion pipeline, Spark-first (SURVEY.md §3.4):
+  *
+  *   scan -> extract text -> chunk (1->N) -> embed (batched) -> ids ->
+  *   metadata -> dimension check -> vector records
+  *
+  * Reference flow: `/root/reference/streamlit_app.py:129-148`. Each
+  * stage is a narrow transformation — the only shuffles are the
+  * optional range-partition for reference-style global ids; in
+  * `ScopedIds` mode (the 100 TB default) the whole pipeline is
+  * shuffle-free and pipelined in one stage per input split.
+  */
+object Ingest {
+
+  sealed trait IdMode
+  /** `doc-{i}` with a single global enumeration — byte-compatible with
+    * the reference (streamlit_app.py:102), including its id-collision-
+    * across-runs upsert behavior. Costs a range shuffle. */
+  case object ReferenceIds extends IdMode
+  /** `doc-{docId}-{chunkIndex}` — collision-free, shuffle-free; the
+    * sane default at scale (SURVEY.md §2.D D1 note). */
+  case object ScopedIds extends IdMode
+
+  final case class Config(
+      chunkSize: Int = Chunker.DefaultChunkSize,
+      chunkOverlap: Int = Chunker.DefaultChunkOverlap,
+      separator: String = Chunker.DefaultSeparator,
+      embedBatchSize: Int = 32, // mirrors sentence-transformers' default [dep]
+      source: String = "uploaded_pdf", // streamlit_app.py:147
+      idMode: IdMode = ScopedIds,
+      expectedDim: Option[Int] = None)
+
+  /** Read a directory of binary documents (op A1) and extract text (A2/A3).
+    * Output: (doc_id string, text string). */
+  def readBinaryDocs(
+      spark: SparkSession,
+      dir: String,
+      extractor: TextExtractor,
+      glob: String = "*.pdf"): DataFrame = {
+    val extractUdf = udf((b: Array[Byte]) => extractor.extract(b))
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(col("path").as("doc_id"), extractUdf(col("content")).as("text"))
+  }
+
+  /** Chunk + embed + id + metadata + dim-check. Input needs columns
+    * (doc_id, text); output schema:
+    * (id string, values array<float>, metadata struct<chunk_index int,
+    *  source string>, doc_id, chunk_index int, chunk_text string). */
+  def pipeline(
+      docs: DataFrame,
+      embedder: Embedder = new HashingEmbedder(),
+      cfg: Config = Config()): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    // E3 guard: the reference errors on zero chunks (streamlit_app.py:133-134).
+    // `isEmpty` only reads the first partition — cheap relative to a count.
+    if (docs.isEmpty) throw new IngestError("No documents to ingest")
+
+    val size = cfg.chunkSize; val over = cfg.chunkOverlap; val sep = cfg.separator
+    val chunkUdf = udf((text: String) => Chunker.split(text, size, over, sep))
+    val chunked = docs
+      .select(col("doc_id").cast(StringType).as("doc_id"), col("text"))
+      .select(col("doc_id"), posexplode(chunkUdf(col("text"))).as(Seq("chunk_index", "chunk_text")))
+
+    // E1: batched embedding via mapPartitions — one embedder per partition,
+    // batches of embedBatchSize, mirroring model.encode's internal batching.
+    val emb = embedder
+    val batch = cfg.embedBatchSize
+    val expected = cfg.expectedDim
+    val outSchema = StructType(chunked.schema.fields :+
+      StructField("values", ArrayType(FloatType, containsNull = false), nullable = false))
+    val embedded = spark.createDataFrame(
+      chunked.rdd.mapPartitions { it =>
+        it.grouped(batch).flatMap { rows =>
+          val vecs = emb.embed(rows.map(_.getString(2)))
+          rows.lazyZip(vecs).map { (r, v) =>
+            // E2: dimension check, fail-fast in the executor
+            // (ref asserts width==384, streamlit_app.py:142-143)
+            expected.foreach { d =>
+              if (v.length != d)
+                throw new IngestError(s"embedding dim ${v.length} != index dim $d")
+            }
+            Row.fromSeq(r.toSeq :+ v)
+          }
+        }
+      },
+      outSchema)
+
+    // D1 ids + D2 metadata
+    val withId = cfg.idMode match {
+      case ScopedIds =>
+        embedded.withColumn("id",
+          concat(lit("doc-"), col("doc_id"), lit("-"), col("chunk_index")))
+      case ReferenceIds =>
+        Ids.contiguous(embedded, Seq(col("doc_id"), col("chunk_index")), "_seq")
+          .withColumn("id", concat(lit("doc-"), col("_seq")))
+          .drop("_seq")
+    }
+    withId.withColumn("metadata",
+        struct(col("chunk_index"), lit(cfg.source).as("source")))
+      .select($"id", $"values", $"metadata", $"doc_id", $"chunk_index", $"chunk_text")
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import graft.core.{HashingEmbedder, IngestError, Metric}
+import graft.operators.{Ingest, VectorIndex}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** End-to-end reference pipeline (SURVEY.md §3.4, §5 item 4): ingest ->
+  * chunk -> embed -> index -> top-k query; upsert-twice last-write-wins;
+  * delete; dimension rejection. */
+class IngestIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = spark.read
+    .parquet(s"${TestSpark.sf0001}/documents.parquet")
+    .select($"doc_id", $"text", $"source")
+
+  private val embedder = new HashingEmbedder(dimension = 64, seed = 42L)
+
+  test("pipeline produces one embedded record per chunk with scoped ids") {
+    val out = Ingest.pipeline(docs, embedder,
+      Ingest.Config(expectedDim = Some(64))).cache()
+    assert(out.count() == 500) // all sf0.001 docs are < 2000 chars -> 1 chunk each
+    assert(out.select("id").distinct().count() == 500)
+    val r = out.filter($"doc_id" === "7").head()
+    assert(r.getAs[String]("id") == "doc-7-0")
+    assert(r.getSeq[Float](r.fieldIndex("values")).length == 64)
+    assert(r.getAs[org.apache.spark.sql.Row]("metadata").getAs[String]("source") == "uploaded_pdf")
+  }
+
+  test("reference id mode enumerates doc-0..doc-n-1 contiguously") {
+    val out = Ingest.pipeline(docs.limit(20), embedder,
+      Ingest.Config(idMode = Ingest.ReferenceIds))
+    val ids = out.select("id").as[String].collect().toSet
+    assert(ids == (0 until 20).map(i => s"doc-$i").toSet)
+  }
+
+  test("dimension mismatch fails fast (E2)") {
+    intercept[Exception] {
+      Ingest.pipeline(docs.limit(5), embedder,
+        Ingest.Config(expectedDim = Some(384))).count()
+    }
+  }
+
+  test("empty input rejected (E3)") {
+    intercept[IngestError] {
+      Ingest.pipeline(docs.filter($"doc_id" < 0), embedder)
+    }
+  }
+
+  test("index: ensure is idempotent, rejects conflicting meta") {
+    val dir = Files.createTempDirectory("graft_idx_meta").toString
+    VectorIndex.ensure(spark, s"$dir/idx", 64)
+    val again = VectorIndex.ensure(spark, s"$dir/idx", 64)
+    assert(again.meta.dimension == 64 && again.meta.metric == Metric.Cosine)
+    intercept[IllegalArgumentException] {
+      VectorIndex.ensure(spark, s"$dir/idx", 128)
+    }
+    assert(VectorIndex.list(spark, dir) == Seq("idx"))
+  }
+
+  test("end-to-end: ingest, query top-k, upsert-twice, delete") {
+    val dir = Files.createTempDirectory("graft_idx").toString
+    val idx = VectorIndex.ensure(spark, s"$dir/e2e", 64)
+    val records = Ingest.pipeline(docs, embedder, Ingest.Config(expectedDim = Some(64)))
+    idx.upsert(records)
+    val (meta, n) = idx.describe()
+    assert(meta.dimension == 64 && n == 500)
+
+    // top-k: query with doc 3's own vector; doc 3's chunk must be #1 at score ~1
+    val q3 = records.filter($"id" === "doc-3-0").select("values")
+      .as[Array[Float]].head()
+    val top = idx.query(q3, 5).collect()
+    assert(top.length == 5)
+    assert(top.head.getAs[String]("id") == "doc-3-0")
+    assert(math.abs(top.head.getAs[Double]("score") - 1.0) < 1e-6)
+    val scores = top.map(_.getAs[Double]("score")).toSeq
+    assert(scores == scores.sorted.reverse) // monotone non-increasing
+
+    // metadata-filtered query (Q3): restrict to chunk_index = 0 still works
+    val filtered = idx.query(q3, 3, Some(col("metadata.chunk_index") === 0))
+    assert(filtered.count() == 3)
+
+    // upsert same ids with different vectors: last write wins, count unchanged
+    val moved = records.withColumn("values",
+      transform(col("values"), x => x * lit(2.0f)))
+    idx.upsert(moved)
+    assert(idx.scan().count() == 500)
+    val after = idx.fetch(Seq("doc-3-0")).select("values").as[Seq[Float]].head()
+    val before = records.filter($"id" === "doc-3-0")
+      .select("values").as[Seq[Float]].head()
+    assert(after == before.map(_ * 2.0f))
+
+    // delete by id (Q4)
+    idx.delete(Seq("doc-3-0", "doc-4-0"))
+    assert(idx.scan().count() == 498)
+    assert(idx.fetch(Seq("doc-3-0")).isEmpty)
+
+    // wrong-dim upsert rejected
+    intercept[IngestError] {
+      idx.upsert(records.withColumn("values", slice(col("values"), 1, 10)))
+    }
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import graft.functions.vectors
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class VectorFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def manualCos(a: Seq[Double], b: Seq[Double]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x * y }.sum
+    val na = math.sqrt(a.map(x => x * x).sum)
+    val nb = math.sqrt(b.map(x => x * x).sum)
+    if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+  }
+
+  test("cosine matches manual computation on double arrays") {
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, -5.0, 6.0))).toDF("a", "b")
+    val got = df.select(vectors.cosine($"a", $"b")).as[Double].head()
+    assert(math.abs(got - manualCos(Seq(1, 2, 3), Seq(4, -5, 6))) < 1e-12)
+  }
+
+  test("cosine on float arrays from parquet embeddings") {
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val rows = emb.filter($"vec_id" < 2).select($"embedding").as[Seq[Float]].collect()
+    val expected = manualCos(rows(0).map(_.toDouble), rows(1).map(_.toDouble))
+    val got = emb.filter($"vec_id" === 0)
+      .crossJoin(emb.filter($"vec_id" === 1).select($"embedding".as("b")))
+      .select(vectors.cosine($"embedding", $"b")).as[Double].head()
+    assert(math.abs(got - expected) < 1e-9)
+  }
+
+  test("self-cosine is 1, orthogonal is 0, opposite is -1; zero-norm is 0") {
+    val df = Seq(
+      (Seq(1.0, 2.0), Seq(1.0, 2.0), 1.0),
+      (Seq(1.0, 0.0), Seq(0.0, 5.0), 0.0),
+      (Seq(1.0, 2.0), Seq(-1.0, -2.0), -1.0),
+      (Seq(0.0, 0.0), Seq(1.0, 1.0), 0.0)
+    ).toDF("a", "b", "want")
+    df.select(vectors.cosine($"a", $"b").as("got"), $"want").as[(Double, Double)]
+      .collect().foreach { case (got, want) => assert(math.abs(got - want) < 1e-12) }
+  }
+
+  test("null inputs yield null (nullIntolerant)") {
+    val df = Seq((Some(Seq(1.0, 2.0)), Option.empty[Seq[Double]])).toDF("a", "b")
+    assert(df.select(vectors.cosine($"a", $"b")).head().isNullAt(0))
+  }
+
+  test("dot and l2_norm agree with cosine identity") {
+    val df = Seq((Seq(3.0, 4.0), Seq(5.0, 12.0))).toDF("a", "b")
+    val (d, na, nb, c) = df.select(
+      vectors.dot($"a", $"b"), vectors.l2Norm($"a"), vectors.l2Norm($"b"),
+      vectors.cosine($"a", $"b")).as[(Double, Double, Double, Double)].head()
+    assert(math.abs(d / (na * nb) - c) < 1e-12)
+    assert(na == 5.0 && nb == 13.0 && d == 63.0)
+  }
+
+  test("SQL registration works") {
+    vectors.register(spark)
+    val got = spark.sql(
+      "SELECT cosine_similarity(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c").as[Double].head()
+    assert(got == 1.0)
+  }
+
+  test("expression participates in whole-stage codegen") {
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val q = emb.select(vectors.cosine($"embedding", $"embedding").as("s")).filter($"s" > 0.5)
+    // whole-stage-codegen stages print as "*(n)" prefixes
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [cosine_similarity"), s"no codegen in:\n$plan")
+  }
+}
