@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -15,6 +16,21 @@ object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects; with `spark.sql.legacy.parquet.nanosAsLong=true`
+    * (set in Verify/Bench/test sessions) it surfaces as LongType nanos.
+    * Convert to a proper TimestampType (µs, floor — same truncation
+    * DuckDB's epoch_us applies). */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer division — ns epoch values exceed double's 2^53 mantissa
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
 
   /** Flagship on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's whole lifecycle end-to-end (SURVEY.md §3.4): ingest
@@ -53,6 +69,364 @@ object SparkEntry {
           $"sum_disc_price", $"avg_qty", $"count_order")
         .orderBy($"l_returnflag", $"l_linestatus")
     }),
+
+    // §2.G projection/filter — predicate + column pruning pushed to parquet.
+    "q02_filter_project" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
+          $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24)
+        .select($"l_orderkey", $"l_linenumber", $"l_extendedprice", $"l_discount")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
+    // §2.G broadcast equi-join (small dim side) + aggregation.
+    "q03_join_broadcast" -> ((s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+      val customer = t(s, dir, "customer")
+      orders.join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+        .groupBy($"c_mktsegment")
+        .agg(
+          sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy($"c_mktsegment")
+    }),
+
+    // §2.G multi-way join through the star schema (li-ord-cust-nat-reg).
+    "q04_multijoin_region" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+      val nat = broadcast(t(s, dir, "nation"))
+      val reg = broadcast(t(s, dir, "region"))
+      li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(cust, $"o_custkey" === $"c_custkey")
+        .join(nat, $"c_nationkey" === $"n_nationkey")
+        .join(reg, $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name")
+        .agg(
+          sum(($"l_extendedprice".cast("decimal(18,2)") *
+            (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") - $"l_discount".cast("decimal(18,2)")))
+          ).cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy($"r_name")
+    }),
+
+    // §2.G left-semi join (EXISTS).
+    "q05_semi_join" -> ((s, dir) => {
+      import s.implicits._
+      val cust = t(s, dir, "customer")
+      val ord98 = t(s, dir, "orders")
+        .filter($"o_orderdate" >= lit("1998-01-01").cast("timestamp"))
+      cust.join(ord98, cust("c_custkey") === ord98("o_custkey"), "left_semi")
+        .groupBy($"c_mktsegment").agg(count(lit(1)).as("n_customers"))
+        .orderBy($"c_mktsegment")
+    }),
+
+    // §2.G left-anti join (NOT EXISTS) — Q4 delete decomposes into this.
+    "q06_anti_join" -> ((s, dir) => {
+      import s.implicits._
+      val cust = t(s, dir, "customer")
+      val ord98 = t(s, dir, "orders")
+        .filter($"o_orderdate" >= lit("1998-01-01").cast("timestamp"))
+      cust.join(ord98, cust("c_custkey") === ord98("o_custkey"), "left_anti")
+        .groupBy($"c_mktsegment").agg(count(lit(1)).as("n_customers"))
+        .orderBy($"c_mktsegment")
+    }),
+
+    // §2.G window: top-N per group via row_number (D1's primitive).
+    "q07_window_topn" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter($"rn" <= 5)
+        .select($"o_orderpriority", $"rn", $"o_orderkey", $"o_totalprice")
+        .orderBy($"o_orderpriority", $"rn")
+    }),
+
+    // §2.G window: running aggregate with frame (rowsBetween).
+    "q08_window_running" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"l_suppkey")
+        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1996-02-01").cast("timestamp"))
+        .withColumn("run_qty",
+          sum($"l_quantity".cast("decimal(18,2)")).over(w).cast("double"))
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"run_qty")
+        .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber")
+    }),
+
+    // §2.G rollup.
+    "q09_rollup" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    }),
+
+    // §2.G cube.
+    "q10_cube" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .withColumn("o_year", year($"o_orderdate").cast("long"))
+        .cube($"o_orderpriority", $"o_year")
+        .agg(count(lit(1)).as("n"),
+          sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("revenue"))
+        .orderBy($"o_orderpriority".asc_nulls_first, $"o_year".asc_nulls_first)
+    }),
+
+    // §2.G sort/limit — plans as TakeOrderedAndProject (distributed top-k),
+    // the same physical shape as vector top-k (Q1).
+    "q11_topk_orders" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(10)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    }),
+
+    // §2.G set ops: INTERSECT (distinct semantics).
+    "q12_intersect" -> ((s, dir) => {
+      import s.implicits._
+      val ord = t(s, dir, "orders")
+      ord.filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+        .intersect(ord.filter($"o_orderpriority" === "2-HIGH").select($"o_custkey"))
+        .orderBy($"o_custkey")
+    }),
+
+    // §2.G set ops: EXCEPT.
+    "q13_except" -> ((s, dir) => {
+      import s.implicits._
+      val ord = t(s, dir, "orders")
+      ord.filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+        .except(ord.filter($"o_orderpriority" === "2-HIGH").select($"o_custkey"))
+        .orderBy($"o_custkey")
+    }),
+
+    // §2.G distinct aggregation (exact).
+    "q14_distinct_agg" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .agg(countDistinct($"o_custkey").as("n_custs"),
+          count(lit(1)).as("n_orders"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    // §2.G string scalars: upper/length/split/substring.
+    "q15_string_funcs" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "part")
+        .withColumn("brand_u", upper($"p_brand"))
+        .withColumn("first_type_word", split($"p_type", " ")(0))
+        .withColumn("name5", substring($"p_name", 1, 5))
+        .groupBy($"brand_u")
+        .agg(count(lit(1)).as("n"),
+          min($"first_type_word").as("min_type_word"),
+          max(length($"p_name").cast("long")).as("max_name_len"),
+          min($"name5").as("min_name5"))
+        .orderBy($"brand_u")
+    }),
+
+    // §2.G math scalars: sqrt/floor/ceil/abs (IEEE-deterministic only).
+    "q16_math_funcs" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "part")
+        .groupBy($"p_size")
+        .agg(
+          sum(floor(sqrt($"p_retailprice")).cast("long")).as("sum_floor_sqrt"),
+          min(sqrt($"p_retailprice")).as("min_sqrt"),
+          max(ceil($"p_retailprice").cast("long")).as("max_ceil"),
+          count(lit(1)).as("n"))
+        .orderBy($"p_size")
+    }),
+
+    // §2.G date/time extraction.
+    "q17_date_funcs" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .withColumn("y", year($"l_shipdate").cast("long"))
+        .withColumn("m", month($"l_shipdate").cast("long"))
+        .groupBy($"y", $"m")
+        .agg(count(lit(1)).as("n"),
+          sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy($"y", $"m")
+    }),
+
+    // §2.G conditional aggregation (CASE WHEN).
+    "q18_case_when" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .agg(
+          sum(when($"o_totalprice" > 200000, 1L).otherwise(0L)).as("n_big"),
+          sum(when($"o_orderstatus" === "F", 1L).otherwise(0L)).as("n_finished"),
+          count(lit(1)).as("n"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    // §2.G GROUPING SETS (SQL surface).
+    "q19_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+          |FROM gs_lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+    }),
+
+    // §2.G range join: equi key + interval containment (SMJ + post-filter).
+    "q20_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      li.join(ord, $"l_orderkey" === $"o_orderkey" &&
+          $"l_shipdate" >= $"o_orderdate" &&
+          $"l_shipdate" <= $"o_orderdate" + expr("INTERVAL 60 DAYS"))
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    // Q7 text analysis: token counts per language (regexp, codegen'd).
+    "q21_token_stats" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .withColumn("n_tokens", regexp_count($"text", lit("[a-z0-9]+")).cast("long"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tokens").as("total_tokens"),
+          min($"n_chars").as("min_chars"),
+          max($"n_chars").as("max_chars"))
+        .orderBy($"lang")
+    }),
+
+    // Q7 text quality scoring: avg token length buckets (double division of
+    // exact ints — bit-identical across engines).
+    "q22_quality_buckets" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .withColumn("n_tokens", regexp_count($"text", lit("[a-z0-9]+")).cast("long"))
+        .filter($"n_tokens" > 0)
+        .withColumn("bucket",
+          floor($"n_chars".cast("double") / $"n_tokens".cast("double")).cast("long"))
+        .groupBy($"lang", $"bucket")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy($"lang", $"bucket")
+    }),
+
+    // Q7 rollup over document dimensions.
+    "q23_text_rollup" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .rollup($"lang", $"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+        .orderBy($"lang".asc_nulls_first, $"source".asc_nulls_first)
+    }),
+
+    // Q6 exact dedup: hash-groupBy keep-first over a corpus with injected
+    // duplicates (self-union; sf tables have no natural dups).
+    "q24_exact_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val dup = docs.unionByName(docs.withColumn("doc_id", $"doc_id" + 100000))
+      dup.groupBy($"text")
+        .agg(min($"doc_id").as("kept_doc_id"), count(lit(1)).as("n_copies"))
+        .select($"kept_doc_id", $"n_copies")
+        .orderBy($"kept_doc_id")
+    }),
+
+    // §2.G JSON scalars over the events stream table.
+    "q25_json_extract" -> ((s, dir) => {
+      import s.implicits._
+      events(s, dir)
+        .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+          min($"k").as("min_k"), max($"k").as("max_k"))
+        .orderBy($"event_type")
+    }),
+
+    // §2.G streaming-shaped batch: 10-minute tumbling windows (same
+    // window() operator Structured Streaming uses; bucket as epoch-us).
+    "q26_tumbling_window" -> ((s, dir) => {
+      import s.implicits._
+      events(s, dir)
+        .groupBy(window($"ts", "10 minutes"), $"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .select(unix_micros($"window.start").as("bucket_us"), $"event_type", $"n", $"sum_value")
+        .orderBy($"bucket_us", $"event_type")
+    }),
+
+    // §2.G sessionization (gaps-and-islands, 5-minute inactivity gap).
+    "q27_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val cum = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(byUser))
+        .withColumn("new_sess",
+          when($"prev_us".isNull || unix_micros($"ts") - $"prev_us" > 300000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sess_id", sum($"new_sess").over(cum))
+        .groupBy($"user_id")
+        .agg(max($"sess_id").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy($"user_id")
+    }),
+
+    // Q1 top-k cosine similarity over the embeddings table (codegen'd
+    // CosineSimilarity + TakeOrderedAndProject; query side broadcast).
+    "q28_cosine_topk" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val q = broadcast(emb.filter($"vec_id" === 0)
+        .select($"embedding".cast("array<double>").as("qvec")))
+      emb.crossJoin(q)
+        .withColumn("score", graft.functions.vectors.cosine($"embedding", $"qvec"))
+        .orderBy($"score".desc, $"vec_id")
+        .limit(10)
+        .select($"vec_id")
+    }),
+
+    // Q5 similarity join: top-3 neighbors for each of 5 query vectors
+    // (broadcast queries x full scan + per-query top-k window).
+    "q29_knn_join" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val qs = broadcast(emb.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"embedding".cast("array<double>").as("qvec")))
+      val w = Window.partitionBy($"query_id").orderBy($"score".desc, $"vec_id")
+      emb.crossJoin(qs)
+        .filter($"vec_id" =!= $"query_id")
+        .withColumn("score", graft.functions.vectors.cosine($"embedding", $"qvec"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= 3)
+        .select($"query_id", $"rank", $"vec_id".as("neighbor_id"))
+        .orderBy($"query_id", $"rank")
+    }),
+
+    // E2 dimension validation as a query (fixtures are dim=64).
+    "q30_dim_check" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "embeddings")
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n"),
+          sum(when(size($"embedding") === 64, 1L).otherwise(0L)).as("n_dim_ok"))
+        .orderBy($"label")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -68,5 +442,225 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_join_broadcast" ->
+      """SELECT c_mktsegment,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q04_multijoin_region" ->
+      """SELECT r_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name
+        |ORDER BY r_name""".stripMargin,
+
+    "q05_semi_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1998-01-01')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q06_anti_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1998-01-01')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q07_window_topn" ->
+      """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |         ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders) x
+        |WHERE rn <= 5
+        |ORDER BY o_orderpriority, rn""".stripMargin,
+
+    "q08_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_qty
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01'
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "q09_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q10_cube" ->
+      """SELECT o_orderpriority, o_year, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM (SELECT o_orderpriority, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year, o_totalprice FROM orders)
+        |GROUP BY CUBE(o_orderpriority, o_year)
+        |ORDER BY o_orderpriority NULLS FIRST, o_year NULLS FIRST""".stripMargin,
+
+    "q11_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q12_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q13_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q14_distinct_agg" ->
+      """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_custs, COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q15_string_funcs" ->
+      """SELECT UPPER(p_brand) AS brand_u, COUNT(*) AS n,
+        |  MIN(string_split(p_type, ' ')[1]) AS min_type_word,
+        |  MAX(CAST(LENGTH(p_name) AS BIGINT)) AS max_name_len,
+        |  MIN(SUBSTRING(p_name, 1, 5)) AS min_name5
+        |FROM part GROUP BY UPPER(p_brand) ORDER BY brand_u""".stripMargin,
+
+    "q16_math_funcs" ->
+      """SELECT p_size,
+        |  CAST(SUM(CAST(FLOOR(SQRT(p_retailprice)) AS BIGINT)) AS BIGINT) AS sum_floor_sqrt,
+        |  MIN(SQRT(p_retailprice)) AS min_sqrt,
+        |  MAX(CAST(CEIL(p_retailprice) AS BIGINT)) AS max_ceil,
+        |  COUNT(*) AS n
+        |FROM part GROUP BY p_size ORDER BY p_size""".stripMargin,
+
+    "q17_date_funcs" ->
+      """SELECT CAST(YEAR(l_shipdate) AS BIGINT) AS y, CAST(MONTH(l_shipdate) AS BIGINT) AS m,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY 1, 2 ORDER BY y, m""".stripMargin,
+
+    "q18_case_when" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q19_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q20_range_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  AND l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q21_token_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(LENGTH(regexp_extract_all(text, '[a-z0-9]+'))) AS BIGINT) AS total_tokens,
+        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q22_quality_buckets" ->
+      """SELECT lang,
+        |  CAST(FLOOR(CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n_docs
+        |FROM (SELECT lang, n_chars,
+        |        CAST(LENGTH(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_tokens
+        |      FROM documents) d
+        |WHERE n_tokens > 0
+        |GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
+
+    "q23_text_rollup" ->
+      """SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents
+        |GROUP BY ROLLUP(lang, source)
+        |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin,
+
+    "q24_exact_dedup" ->
+      """SELECT MIN(doc_id) AS kept_doc_id, COUNT(*) AS n_copies
+        |FROM (SELECT doc_id, text FROM documents
+        |      UNION ALL SELECT doc_id + 100000, text FROM documents) d
+        |GROUP BY text ORDER BY kept_doc_id""".stripMargin,
+
+    "q25_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q26_tumbling_window" ->
+      """SELECT CAST(epoch_us(ts) // 600000000 * 600000000 AS BIGINT) AS bucket_us,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY bucket_us, event_type""".stripMargin,
+
+    "q27_sessionize" ->
+      """WITH lagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 300000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM lagged),
+        |sess AS (
+        |  SELECT user_id,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM flagged)
+        |SELECT user_id, CAST(MAX(sess_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+        |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q28_cosine_topk" ->
+      """SELECT vec_id FROM (
+        |  SELECT e.vec_id,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |      (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS score
+        |  FROM embeddings e) x
+        |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q29_knn_join" ->
+      """SELECT query_id, rank, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) AS BIGINT) AS rank
+        |  FROM embeddings e, embeddings q
+        |  WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id) x
+        |WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q30_dim_check" ->
+      """SELECT label, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN LENGTH(embedding) = 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_dim_ok
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
   )
 }
