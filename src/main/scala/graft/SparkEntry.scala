@@ -427,7 +427,255 @@ object SparkEntry {
           sum(when(size($"embedding") === 64, 1L).otherwise(0L)).as("n_dim_ok"))
         .orderBy($"label")
     }),
+
+    // Q6 MinHash+LSH near-dedup: inject near-duplicates (appended tokens),
+    // dedup must drop exactly the copies. End-result oracle: the originals.
+    "q31_minhash_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+      val withDups = docs.unionByName(docs
+        .withColumn("doc_id", $"doc_id" + 100000)
+        .withColumn("text", concat($"text", lit(" extra tokens appended here padding"))))
+      graft.operators.Dedup.minhash(withDups, "doc_id", "text",
+          k = 3, numHashes = 128, bands = 64, threshold = 0.5)
+        .select($"doc_id").orderBy($"doc_id")
+    }),
+
+    // Q6 SimHash near-dedup (64-bit, 4x16 bands, hamming<=3).
+    "q32_simhash_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+      val withDups = docs.unionByName(
+        docs.withColumn("doc_id", $"doc_id" + 100000))
+      graft.operators.Dedup.simhash(withDups, "doc_id", "text")
+        .select($"doc_id").orderBy($"doc_id")
+    }),
+
+    // Q6 n-gram Jaccard near-dedup — fully exact inverted-index variant.
+    "q33_ngram_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+      val withDups = docs.unionByName(docs
+        .withColumn("doc_id", $"doc_id" + 100000)
+        .withColumn("text", concat($"text", lit(" extra tokens appended here padding"))))
+      graft.operators.Dedup.ngramJaccard(withDups, "doc_id", "text",
+          k = 3, threshold = 0.5)
+        .select($"doc_id").orderBy($"doc_id")
+    }),
+
+    // Q6 embedding-cosine near-dedup (hyperplane LSH + exact verify;
+    // scaled copies are cosine-identical).
+    "q34_embedding_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+      val withDups = emb.unionByName(emb
+        .withColumn("vec_id", $"vec_id" + 100000)
+        .withColumn("embedding", transform($"embedding", x => x * lit(1.5f))))
+      graft.operators.Dedup.embeddingCosine(withDups, "vec_id", "embedding",
+          threshold = 0.9)
+        .select($"vec_id").orderBy($"vec_id")
+    }),
+
+    // Q7 language identification (stopword/CJK heuristic).
+    "q35_langid" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .withColumn("lang_guess", graft.operators.TextAnalytics.languageId($"text"))
+        .groupBy($"lang_guess").agg(count(lit(1)).as("n_docs"))
+        .orderBy($"lang_guess")
+    }),
+
+    // Q7 quality scoring — exact-int-derived double formula, bucketed.
+    "q36_quality_buckets2" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .withColumn("qbucket",
+          floor(graft.operators.TextAnalytics.qualityScore($"text") * 20.0).cast("long"))
+        .groupBy($"lang", $"qbucket").agg(count(lit(1)).as("n_docs"))
+        .orderBy($"lang", $"qbucket")
+    }),
+
+    // Q7 content fingerprinting — distinct fingerprints == distinct
+    // normalized texts (collision-free at this scale).
+    "q37_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .withColumn("fp", graft.operators.TextAnalytics.fingerprint($"text"))
+        .groupBy($"lang")
+        .agg(countDistinct($"fp").as("n_distinct_fp"), count(lit(1)).as("n_docs"))
+        .orderBy($"lang")
+    }),
+
+    // Q7 BPE-ish token counting.
+    "q38_bpe_tokens" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .withColumn("n_tok", graft.operators.TextAnalytics.tokenCountBpe($"text"))
+        .groupBy($"lang")
+        .agg(sum($"n_tok").as("total_tok"), min($"n_tok").as("min_tok"),
+          max($"n_tok").as("max_tok"))
+        .orderBy($"lang")
+    }),
+
+    // §2.G full outer join with null-side accounting.
+    "q39_outer_join" -> ((s, dir) => {
+      import s.implicits._
+      val cust = t(s, dir, "customer")
+      val ord98 = t(s, dir, "orders")
+        .filter($"o_orderdate" >= lit("1998-01-01").cast("timestamp"))
+      cust.join(ord98, cust("c_custkey") === ord98("o_custkey"), "full_outer")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when($"c_custkey".isNull, 1L).otherwise(0L)).as("n_null_cust"),
+          sum(when($"o_orderkey".isNull, 1L).otherwise(0L)).as("n_null_ord"))
+    }),
+
+    // §2.G scalar subquery: above-global-average, compared exactly in
+    // decimal (avoids fp-division nondeterminism entirely).
+    "q40_scalar_subquery" -> ((s, dir) => {
+      import s.implicits._
+      val ord = t(s, dir, "orders")
+      val glob = ord.agg(
+        sum($"o_totalprice".cast("decimal(18,2)")).as("s"),
+        count(lit(1)).as("n"))
+      ord.crossJoin(broadcast(glob))
+        .filter($"o_totalprice".cast("decimal(18,2)") * $"n" > $"s")
+        .groupBy($"o_orderpriority").agg(count(lit(1)).as("n_above_avg"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    // §2.G percentile (exact interpolated median on integer-valued qty).
+    "q41_median" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(percentile($"l_quantity", lit(0.5)).as("median_qty"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // §2.G array aggregation (order-normalized, string-encoded).
+    "q42_array_agg" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .agg(concat_ws(",", sort_array(collect_set($"o_orderstatus"))).as("statuses"),
+          count(lit(1)).as("n"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    // §2.G pivot (wide conditional aggregation).
+    "q43_pivot" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("F", "O"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // §2.G window misc: lag/lead/rank/dense_rank/first_value/last_value.
+    "q44_window_misc" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders").filter($"o_custkey" < 50)
+        .select($"o_custkey", $"o_orderkey",
+          lag($"o_orderkey", 1).over(w).as("prev_order"),
+          lead($"o_orderkey", 1).over(w).as("next_order"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          first($"o_orderkey").over(wf).as("first_order"),
+          last($"o_orderkey").over(wf).as("last_order"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    }),
+
+    // §2.G ntile quartiles.
+    "q45_ntile" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderpriority").orderBy($"o_totalprice", $"o_orderkey")
+      t(s, dir, "orders")
+        .withColumn("tile", ntile(4).over(w).cast("long"))
+        .groupBy($"o_orderpriority", $"tile")
+        .agg(count(lit(1)).as("n"),
+          sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("revenue"))
+        .orderBy($"o_orderpriority", $"tile")
+    }),
+
+    // Q2 approximate NN via hyperplane LSH (bucket prune + exact rescore).
+    // Approximate => no SQL oracle; recall is asserted in AnnSpec.
+    "q46_ann_lsh" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter($"vec_id" === 0).select($"embedding").as[Array[Float]].head()
+      val indexed = graft.operators.Ann.buildIndex(emb, "embedding")
+      graft.operators.Ann.queryIndex(indexed, "embedding", "vec_id", q, k = 10)
+        .select($"vec_id", $"label")
+    }),
+
+    // C1 chunking pipeline end-to-end (all fixture docs are single-chunk:
+    // <2000 chars, no separator — the oracle encodes exactly that).
+    "q47_chunk_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val chunkUdf = udf((text: String) => graft.core.Chunker.split(text))
+      t(s, dir, "documents")
+        .select($"doc_id", explode(chunkUdf($"text")).as("chunk"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(length($"chunk")).cast("long").as("total_chunk_chars"))
+        .orderBy($"doc_id")
+    }),
+
+    // E1 embedding pipeline shape: every chunk embeds to the index dim.
+    "q48_embed_shape" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+      graft.operators.Ingest.pipeline(docs,
+          new graft.core.HashingEmbedder(dimension = 64, seed = 42L),
+          graft.operators.Ingest.Config(expectedDim = Some(64)))
+        .select($"doc_id".cast("long").as("doc_id"),
+          size($"values").cast("long").as("dim"))
+        .orderBy($"doc_id")
+    }),
+
+    // §2.G HLL sketch (approx_count_distinct) — sketch values are
+    // engine-specific => rows-only check.
+    "q49_approx_distinct" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .agg(approx_count_distinct($"o_custkey").as("approx_custs"),
+          countDistinct($"o_custkey").as("exact_custs"))
+        .orderBy($"o_orderpriority")
+    }),
   )
+
+  private val ngramDedupOracle: String =
+    """WITH base AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text || ' extra tokens appended here padding' FROM documents),
+      |toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
+      |  FROM base),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+      |         ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+      |                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+      |    END AS sh
+      |  FROM toks),
+      |inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM sh),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b, COUNT(*) AS shared
+      |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4),
+      |drops AS (
+      |  SELECT DISTINCT id_b AS doc_id FROM pairs
+      |  WHERE CAST(shared AS DOUBLE) / CAST(n_a + n_b - shared AS DOUBLE) >= 0.5)
+      |SELECT doc_id FROM base WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+      |ORDER BY doc_id""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -662,5 +910,114 @@ object SparkEntry {
       """SELECT label, COUNT(*) AS n,
         |  CAST(SUM(CASE WHEN LENGTH(embedding) = 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_dim_ok
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+
+    // Algorithmic oracle: the same trigram-shingle Jaccard>=0.5 keep-first
+    // dedup, computed independently in SQL. Verifies both the exact n-gram
+    // variant (q33) and MinHash+LSH (q31 — banding at 64x2 catches every
+    // j>=0.5 pair with P_miss ~1e-8, and its verify stage is the same
+    // exact Jaccard). SimHash (q32) is hash-function-specific => rows-only.
+    "q31_minhash_dedup" -> ngramDedupOracle,
+    "q33_ngram_dedup" -> ngramDedupOracle,
+    "q34_embedding_dedup" ->
+      "SELECT vec_id FROM embeddings ORDER BY vec_id",
+
+    // On this corpus only the `en` profile ever scores hits, so the
+    // heuristic reduces to en-stopword presence (verified equivalent).
+    "q35_langid" ->
+      """SELECT lang_guess, COUNT(*) AS n_docs FROM (
+        |  SELECT CASE WHEN regexp_matches(lower(text),
+        |    '\b(the|and|of|to|in|is|it|that|was|for|with|are|this|not|you)\b')
+        |    THEN 'en' ELSE 'und' END AS lang_guess FROM documents) x
+        |GROUP BY lang_guess ORDER BY lang_guess""".stripMargin,
+
+    "q36_quality_buckets2" ->
+      """SELECT lang,
+        |  CAST(FLOOR((
+        |    (CASE WHEN LENGTH(text) > 0 THEN CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS DOUBLE) / CAST(LENGTH(text) AS DOUBLE) ELSE 0.0 END)
+        |    + (CASE WHEN LENGTH(text) > 0 THEN 1.0 - CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / CAST(LENGTH(text) AS DOUBLE) ELSE 0.0 END)
+        |    + (CASE WHEN LENGTH(text) >= 50 AND LENGTH(text) <= 10000 THEN 1.0 ELSE 0.5 END)
+        |    + (CASE WHEN LENGTH(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) > 0
+        |         THEN LEAST(CAST(LENGTH(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|der|die|und|le|la|les|el|los)\b')) AS DOUBLE)
+        |              / CAST(LENGTH(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS DOUBLE) * 10.0, 1.0)
+        |         ELSE 0.0 END)
+        |  ) / 4.0 * 20.0) AS BIGINT) AS qbucket,
+        |  COUNT(*) AS n_docs
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, qbucket""".stripMargin,
+
+    "q37_fingerprint" ->
+      """SELECT lang,
+        |  COUNT(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS n_distinct_fp,
+        |  COUNT(*) AS n_docs
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q38_bpe_tokens" ->
+      """SELECT lang,
+        |  CAST(SUM(LENGTH(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT) AS total_tok,
+        |  CAST(MIN(LENGTH(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT) AS min_tok,
+        |  CAST(MAX(LENGTH(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT) AS max_tok
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q39_outer_join" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_cust,
+        |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_ord
+        |FROM customer FULL OUTER JOIN
+        |  (SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01') o
+        |  ON c_custkey = o_custkey""".stripMargin,
+
+    "q40_scalar_subquery" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_above_avg
+        |FROM orders
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * (SELECT COUNT(*) FROM orders)
+        |      > (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q41_median" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty, COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q42_array_agg" ->
+      """SELECT o_orderpriority,
+        |  array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q43_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
+        |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O"
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q44_window_misc" ->
+      """SELECT o_custkey, o_orderkey,
+        |  LAG(o_orderkey, 1) OVER w AS prev_order,
+        |  LEAD(o_orderkey, 1) OVER w AS next_order,
+        |  CAST(RANK() OVER w AS BIGINT) AS rnk,
+        |  CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+        |  FIRST_VALUE(o_orderkey) OVER wf AS first_order,
+        |  LAST_VALUE(o_orderkey) OVER wf AS last_order
+        |FROM orders WHERE o_custkey < 50
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q45_ntile" ->
+      """SELECT o_orderpriority, tile, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM (SELECT o_orderpriority, o_totalprice,
+        |        CAST(NTILE(4) OVER (PARTITION BY o_orderpriority
+        |          ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS tile
+        |      FROM orders) x
+        |GROUP BY 1, 2 ORDER BY o_orderpriority, tile""".stripMargin,
+
+    "q47_chunk_pipeline" ->
+      """SELECT doc_id, CAST(1 AS BIGINT) AS n_chunks,
+        |  CAST(LENGTH(TRIM(text)) AS BIGINT) AS total_chunk_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q48_embed_shape" ->
+      """SELECT doc_id, CAST(64 AS BIGINT) AS dim
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines (BASELINE north star):
+  * language-ID, quality scoring, token counting, fingerprinting.
+  *
+  * Everything that can be a built-in column expression IS one (codegen,
+  * pushdown-friendly); only language-ID needs a UDF (per-row profile
+  * scoring). All deterministic, no models, no egress.
+  */
+object TextAnalytics {
+
+  // ---------- language identification (n-gram/stopword heuristic) ----------
+
+  /** Tiny built-in stopword profiles (public common-word lists). */
+  private[graft] val profiles: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "in", "is", "it", "that", "was", "for",
+      "with", "are", "this", "not", "you"),
+    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit",
+      "auf", "für", "von", "dem", "den", "zu"),
+    "fr" -> Set("le", "la", "les", "et", "est", "un", "une", "des", "du", "dans",
+      "pour", "que", "qui", "pas", "avec"),
+    "es" -> Set("el", "la", "los", "las", "y", "es", "un", "una", "de", "en",
+      "por", "que", "no", "con", "para"))
+
+  /** Heuristic language id: CJK-ratio shortcut for zh, else best stopword
+    * hit-rate; "und" (undetermined) when nothing scores. */
+  private[graft] def detectLanguage(text: String): String = {
+    if (text == null || text.isEmpty) return "und"
+    var cjk = 0
+    var total = 0
+    text.foreach { c =>
+      if (!c.isWhitespace) {
+        total += 1
+        if (Character.UnicodeScript.of(c) == Character.UnicodeScript.HAN) cjk += 1
+      }
+    }
+    if (total > 0 && cjk.toDouble / total > 0.3) return "zh"
+    val toks = text.toLowerCase.split("[^\\p{L}0-9]+").filter(_.nonEmpty)
+    if (toks.isEmpty) return "und"
+    val best = profiles.view.mapValues(sw => toks.count(sw.contains)).toSeq
+      .sortBy { case (l, hits) => (-hits, l) }.head
+    if (best._2 == 0) "und" else best._1
+  }
+
+  def languageId(text: Column): Column = {
+    val f = udf((t: String) => detectLanguage(t))
+    f(text)
+  }
+
+  // ---------- token counting (pure column expressions) ----------
+
+  /** Whitespace tokens. */
+  def tokenCountWhitespace(text: Column): Column =
+    size(split(trim(text), "\\s+")).cast("long")
+
+  /** BPE-ish pre-tokenizer count: letter runs, digit runs, single
+    * punctuation marks (the GPT-2-style pre-split shape). */
+  def tokenCountBpe(text: Column): Column =
+    regexp_count(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]")).cast("long")
+
+  // ---------- quality scoring (pure column expressions) ----------
+
+  /** Heuristic quality in [0,1]: mean of four exact-int-derived ratios —
+    * alpha coverage, non-punct ratio, length sweet-spot, stopword
+    * presence. Deterministic double math (division of exact ints, fixed
+    * combination order) — oracle-reproducible in any engine. */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val nAlpha = (length(text) - length(regexp_replace(text, "[a-zA-Z]", ""))).cast("double")
+    val nPunct = (length(text) - length(regexp_replace(text, "[.,;:!?]", ""))).cast("double")
+    val nTok = tokenCountBpe(text).cast("double")
+    val nStop = regexp_count(lower(text),
+      lit("\\b(the|and|of|to|in|is|der|die|und|le|la|les|el|los)\\b")).cast("double")
+    val alphaRatio = when(nChars > 0, nAlpha / nChars).otherwise(0.0)
+    val punctOk = when(nChars > 0, lit(1.0) - nPunct / nChars).otherwise(0.0)
+    val lenOk = when(nChars >= 50 && nChars <= 10000, 1.0).otherwise(0.5)
+    val stopOk = when(nTok > 0, least(nStop / nTok * 10.0, lit(1.0))).otherwise(0.0)
+    (alphaRatio + punctOk + lenOk + stopOk) / 4.0
+  }
+
+  // ---------- fingerprinting ----------
+
+  /** Exact content fingerprint: 64-bit hash of whitespace-normalized,
+    * lowercased text (built-in xxhash64 — codegen'd). */
+  def fingerprint(text: Column): Column =
+    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Winnowing fingerprint: min rolling k-gram hash per window of w —
+    * a compact array<long> sketch for near-dup overlap detection
+    * (standard winnowing scheme over character k-grams). */
+  def winnow(text: Column, k: Int = 8, w: Int = 16): Column = {
+    val f = udf((t: String) => winnowImpl(t, k, w))
+    f(text)
+  }
+
+  private[graft] def winnowImpl(text: String, k: Int, w: Int): Array[Long] = {
+    if (text == null) return Array.empty
+    val s = text.toLowerCase.replaceAll("\\s+", " ")
+    if (s.length < k) return if (s.isEmpty) Array.empty else Array(Dedup.splitmix64(s.hashCode.toLong))
+    val grams = new Array[Long](s.length - k + 1)
+    var i = 0
+    while (i + k <= s.length) {
+      var h = 1125899906842597L
+      var j = i
+      while (j < i + k) { h = h * 31 + s.charAt(j); j += 1 }
+      grams(i) = Dedup.splitmix64(h)
+      i += 1
+    }
+    if (grams.length <= w) Array(grams.min)
+    else {
+      val out = scala.collection.mutable.LinkedHashSet[Long]()
+      var start = 0
+      while (start + w <= grams.length) {
+        var m = Long.MaxValue
+        var j = start
+        while (j < start + w) { if (grams(j) < m) m = grams(j); j += 1 }
+        out += m
+        start += 1
+      }
+      out.toArray
+    }
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today and more"), // near dup of 0
+    (3L, "completely different content about spark catalyst optimizer rules and plans"),
+    (4L, "spark catalyst optimizer rules and plans are completely different content about"), // shares all tokens w/ 3
+    (5L, "unrelated text mentioning databases indexes and storage engines instead")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps smallest id per identical text") {
+    val kept = Dedup.exact(corpus, "doc_id", "text").select("doc_id")
+      .as[Long].collect().sorted
+    assert(kept.toSeq == Seq(0L, 2L, 3L, 4L, 5L))
+  }
+
+  test("minhash dedup drops exact and near duplicates, keeps distinct docs") {
+    val kept = Dedup.minhash(corpus, "doc_id", "text",
+      k = 3, numHashes = 128, bands = 64, threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.contains(0L) && !kept.contains(1L) && !kept.contains(2L))
+    assert(kept.contains(3L) && kept.contains(5L))
+  }
+
+  test("ngram jaccard dedup is exact: same verdicts as brute-force jaccard") {
+    val kept = Dedup.ngramJaccard(corpus, "doc_id", "text", k = 3, threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    // brute force reference
+    val rows = corpus.collect().map(r => r.getLong(0) -> r.getString(1))
+    def j(a: String, b: String) = {
+      val sa = Dedup.shingleHashes(a, 3).toSet
+      val sb = Dedup.shingleHashes(b, 3).toSet
+      sa.intersect(sb).size.toDouble / sa.union(sb).size
+    }
+    val expectDrop = rows.flatMap { case (ib, tb) =>
+      rows.collect { case (ia, ta) if ia < ib && j(ta, tb) >= 0.5 => ib }
+    }.toSet
+    assert(kept.toSet == rows.map(_._1).toSet -- expectDrop)
+  }
+
+  test("simhash: identical text => identical hash; near text => small hamming") {
+    val a = Dedup.simhash64("the quick brown fox jumps over the lazy dog repeatedly every single day")
+    val b = Dedup.simhash64("the quick brown fox jumps over the lazy dog repeatedly every single day")
+    assert(a == b)
+    val c = Dedup.simhash64("the quick brown fox jumps over the lazy dog repeatedly every single day extra")
+    assert(java.lang.Long.bitCount(a ^ c) <= 12) // near text stays close
+    val d = Dedup.simhash64("entirely unrelated words about query engines and columnar storage formats")
+    assert(java.lang.Long.bitCount(a ^ d) > 12) // far text diverges
+  }
+
+  test("simhash dedup drops exact copies via banding") {
+    val kept = Dedup.simhash(corpus, "doc_id", "text").select("doc_id")
+      .as[Long].collect().sorted
+    assert(kept.contains(0L) && !kept.contains(1L))
+  }
+
+  test("embedding cosine dedup drops scaled copies only") {
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val withDups = emb.unionByName(emb
+      .withColumn("vec_id", $"vec_id" + 100000)
+      .withColumn("embedding", transform($"embedding", x => x * lit(2.0f))))
+    val kept = Dedup.embeddingCosine(withDups, "vec_id", "embedding", threshold = 0.9)
+      .select("vec_id").as[Long].collect().sorted
+    assert(kept.length == 500 && kept.forall(_ < 100000))
+  }
+
+  test("bucket-skew safety valve: oversized buckets are skipped, not squared") {
+    // 200 identical docs -> bucket of 200 > maxBucketSize=50 -> no pairs,
+    // nothing dropped (graceful degradation instead of OOM at scale)
+    val many = (0 until 200).map(i => (i.toLong, "same text for every single row here yes"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.minhash(many, "doc_id", "text",
+      k = 3, numHashes = 32, bands = 16, threshold = 0.5, maxBucketSize = 50)
+    assert(kept.count() == 200)
+  }
+}

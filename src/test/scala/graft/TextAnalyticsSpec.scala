@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.TextAnalytics
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextAnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("language id on crafted fixtures") {
+    assert(TextAnalytics.detectLanguage(
+      "the cat sat on the mat and it was happy with this") == "en")
+    assert(TextAnalytics.detectLanguage(
+      "der Hund und die Katze sind nicht auf dem Tisch") == "de")
+    assert(TextAnalytics.detectLanguage(
+      "le chat est dans la maison avec les enfants") == "fr")
+    assert(TextAnalytics.detectLanguage(
+      "el perro y la casa son un lugar para los amigos") == "es")
+    assert(TextAnalytics.detectLanguage("这是一个中文句子的测试文本") == "zh")
+    assert(TextAnalytics.detectLanguage("xyzzy plugh quux") == "und")
+    assert(TextAnalytics.detectLanguage("") == "und")
+    assert(TextAnalytics.detectLanguage(null) == "und")
+  }
+
+  test("token counts: whitespace vs bpe-ish") {
+    val df = Seq("hello world, it's 2024!").toDF("text")
+    val (ws, bpe) = df.select(
+      TextAnalytics.tokenCountWhitespace($"text"),
+      TextAnalytics.tokenCountBpe($"text")).as[(Long, Long)].head()
+    assert(ws == 4)
+    // hello | world | , | it | ' | s | 2024 | !
+    assert(bpe == 8)
+  }
+
+  test("quality score in [0,1]; clean prose scores above junk") {
+    val df = Seq(
+      "The quick brown fox jumps over the lazy dog and runs to the forest in the morning light.",
+      "@@@@ #### $$$$ %%%% ^^^^ &&&& **** (((( ))))").toDF("text")
+    val scores = df.select(TextAnalytics.qualityScore($"text")).as[Double].collect()
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+    assert(scores(0) > scores(1))
+  }
+
+  test("fingerprint: whitespace/case-insensitive, content-sensitive") {
+    val df = Seq(
+      ("a", "Hello   World"), ("b", "hello world"), ("c", "hello worlds")
+    ).toDF("id", "text")
+    val fps = df.select($"id", TextAnalytics.fingerprint($"text")).as[(String, Long)]
+      .collect().toMap
+    assert(fps("a") == fps("b"))
+    assert(fps("a") != fps("c"))
+  }
+
+  test("winnowing: shared run of text yields shared fingerprint hashes") {
+    val core = "spark catalyst optimizer turns logical plans into physical plans efficiently"
+    val w1 = TextAnalytics.winnowImpl("intro text before. " + core, 8, 16).toSet
+    val w2 = TextAnalytics.winnowImpl(core + " totally different tail content", 8, 16).toSet
+    assert(w1.intersect(w2).nonEmpty)
+    val w3 = TextAnalytics.winnowImpl("nothing in common with the others at all", 8, 16).toSet
+    assert(w1.intersect(w3).isEmpty)
+  }
+}
