@@ -1,0 +1,103 @@
+package graft
+
+import graft.streaming.StreamOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** SURVEY.md §5 item 6: events replayed as a file stream; streaming
+  * results must equal the same operator run in batch (Structured
+  * Streaming's repeated-batch semantics). */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** events with ts converted from nanos-long to TimestampType. */
+  private def batchEvents: DataFrame =
+    spark.read.parquet(s"${TestSpark.sf0001}/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** The same table as a file-source stream (schema must be explicit). */
+  private def streamEvents: DataFrame = {
+    val dir = Files.createTempDirectory("graft_stream")
+    Files.copy(Paths.get(s"${TestSpark.sf0001}/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private def runToBatch(stream: DataFrame, mode: String, name: String): DataFrame = {
+    val q = stream.writeStream.outputMode(mode)
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("windowed counts: stream == batch") {
+    val streamed = runToBatch(
+      StreamOps.windowedCounts(streamEvents), "complete", "win_out")
+    val batch = StreamOps.windowedCounts(batchEvents)
+    assert(sortedRows(streamed) == sortedRows(batch))
+    assert(streamed.count() > 0)
+  }
+
+  test("sliding windows: stream == batch") {
+    val streamed = runToBatch(
+      StreamOps.windowedCounts(streamEvents, slide = Some("5 minutes")),
+      "complete", "slide_out")
+    val batch = StreamOps.windowedCounts(batchEvents, slide = Some("5 minutes"))
+    assert(sortedRows(streamed) == sortedRows(batch))
+    // sliding windows roughly double tumbling output
+    assert(streamed.count() > StreamOps.windowedCounts(batchEvents).count())
+  }
+
+  test("session windows: stream == batch") {
+    val streamed = runToBatch(
+      StreamOps.sessionCounts(streamEvents), "complete", "sess_out")
+    val batch = StreamOps.sessionCounts(batchEvents)
+    assert(sortedRows(streamed) == sortedRows(batch))
+  }
+
+  test("session windows agree with gaps-and-islands sessionization") {
+    // total sessions per user from session_window == lag/cumsum islands
+    val viaSessionWindow = StreamOps.sessionCounts(batchEvents)
+      .groupBy($"user_id").agg(count(lit(1)).as("n_sessions"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val viaIslands = batchEvents
+      .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(w))
+      .withColumn("new_sess",
+        when($"prev_us".isNull || unix_micros($"ts") - $"prev_us" >= 300000000L, 1L)
+          .otherwise(0L))
+      .groupBy($"user_id").agg(sum($"new_sess").as("n_sessions"))
+    assert(sortedRows(viaSessionWindow) == sortedRows(viaIslands))
+  }
+
+  test("streaming dedup within watermark drops duplicate event ids") {
+    // duplicate the stream source file => every event appears twice
+    val dir = Files.createTempDirectory("graft_stream_dup")
+    Files.copy(Paths.get(s"${TestSpark.sf0001}/events.parquet"),
+      dir.resolve("a.parquet"))
+    Files.copy(Paths.get(s"${TestSpark.sf0001}/events.parquet"),
+      dir.resolve("b.parquet"))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val deduped = runToBatch(
+      StreamOps.dedupWithinWatermark(stream), "append", "dedup_out")
+    val n = spark.read.parquet(s"${TestSpark.sf0001}/events.parquet").count()
+    assert(deduped.count() == n) // not 2n
+  }
+}
