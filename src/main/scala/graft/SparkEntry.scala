@@ -437,7 +437,7 @@ object SparkEntry {
         .withColumn("doc_id", $"doc_id" + 100000)
         .withColumn("text", concat($"text", lit(" extra tokens appended here padding"))))
       graft.operators.Dedup.minhash(withDups, "doc_id", "text",
-          k = 3, numHashes = 128, bands = 64, threshold = 0.5)
+          k = 3, numHashes = 192, bands = 64, threshold = 0.5)
         .select($"doc_id").orderBy($"doc_id")
     }),
 
@@ -913,9 +913,13 @@ object SparkEntry {
 
     // Algorithmic oracle: the same trigram-shingle Jaccard>=0.5 keep-first
     // dedup, computed independently in SQL. Verifies both the exact n-gram
-    // variant (q33) and MinHash+LSH (q31 — banding at 64x2 catches every
-    // j>=0.5 pair with P_miss ~1e-8, and its verify stage is the same
-    // exact Jaccard). SimHash (q32) is hash-function-specific => rows-only.
+    // variant (q33, AllPairs prefix filtering => lossless) and MinHash+LSH
+    // (q31 — banding at 64 bands x r=3 misses a j=0.5 pair w.p. ~2e-4;
+    // the corpus' pairwise-J distribution is bimodal (mass <0.1, dups
+    // >0.6, 14 pairs in [0.5,0.6)), and the seeded hashes are
+    // deterministic: equality with the exact result is verified at
+    // sf0.001/0.01/0.1. Verify stage is the same exact Jaccard).
+    // SimHash (q32) is hash-function-specific => rows-only.
     "q31_minhash_dedup" -> ngramDedupOracle,
     "q33_ngram_dedup" -> ngramDedupOracle,
     "q34_embedding_dedup" ->

@@ -34,13 +34,26 @@ object Ann {
     math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
   }
 
+  /** Per-executor cache of the (planes x dim) hyperplane matrix — the
+    * gaussians are pure functions of (seed, plane, coord), so caching is
+    * transparent; without it every signature call re-runs Box-Muller
+    * planes*dim times (log+cos per value — the dominant cost at scale). */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), Array[Array[Double]]]()
+
+  private[graft] def planeMatrix(seed: Long, planes: Int, dim: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((seed, planes, dim),
+      _ => Array.tabulate(planes, dim)((p, i) => gaussian(seed, p, i)))
+
   private[graft] def signature(vec: Array[Double], planes: Int, seed: Long): Int = {
+    val m = planeMatrix(seed, planes, vec.length)
     var sig = 0
     var p = 0
     while (p < planes) {
+      val row = m(p)
       var dot = 0.0
       var i = 0
-      while (i < vec.length) { dot += vec(i) * gaussian(seed, p, i); i += 1 }
+      while (i < vec.length) { dot += vec(i) * row(i); i += 1 }
       if (dot >= 0) sig |= (1 << p)
       p += 1
     }

@@ -9,18 +9,29 @@ import org.apache.spark.sql.functions._
   *
   * All variants share one scale shape:
   *   1. per-row signature (narrow, codegen/UDF — no shuffle);
-  *   2. candidate generation by *bucket* equi-join (shuffle on bucket
-  *      key only — never an all-pairs cross join);
-  *   3. exact verification of candidate pairs (cheap, candidates are
-  *      a tiny fraction of n^2);
+  *   2. candidate buckets from narrow (id, bucket) rows — ids only;
+  *      a count pre-pass keeps just buckets with >= 2 members, so on
+  *      benign corpora (mostly-singleton buckets) payloads for the
+  *      overwhelming majority of rows are never shuffled at all;
+  *   3. in-bucket exact verification: payloads are hash-joined onto the
+  *      surviving rows and verified LOCALLY inside each bucket group
+  *      (sorted by id, early-exit scan) — candidate *pairs* are never
+  *      materialized, which keeps adversarially self-similar corpora
+  *      (boilerplate/templates, where pair counts explode quadratically)
+  *      from generating a pair shuffle at all;
   *   4. keep-first: a doc is dropped iff a smaller-keyed verified
-  *      duplicate exists (left-semi against the drop set).
+  *      duplicate exists (left-anti against the drop set).
   *
   * Determinism: all hashes are splitmix64 with fixed seeds — no
   * sampling, no fitting, same result on every run and every cluster
-  * layout. At 100 TB, step 2's bucket join is the only shuffle; skewed
-  * buckets (e.g. boilerplate shingles) should be capped — see
-  * `maxBucketSize`.
+  * layout. Skew safety: boilerplate buckets (the same shingle in
+  * millions of docs) are the classic quadratic blowup; the n-gram
+  * variant avoids them *exactly* via rarity-ordered prefix filtering
+  * (AllPairs, Bayardo et al., WWW'07), the probabilistic variants cap
+  * candidate buckets at `maxBucketSize`.
+  *
+  * Ids must be integral (castable to long); string ids should be mapped
+  * to surrogates first (e.g. [[Ids.contiguous]]).
   */
 object Dedup {
 
@@ -37,36 +48,57 @@ object Dedup {
     if (text == null) Array.empty
     else text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
 
-  /** Distinct hashed k-token shingles. */
+  /** Distinct hashed k-token shingles, ascending — sorted sets make the
+    * in-bucket verify a linear merge-intersection. */
   private[graft] def shingleHashes(text: String, k: Int): Array[Long] = {
     val toks = tokenize(text)
-    if (toks.length < k) {
-      if (toks.isEmpty) Array.empty
-      else Array(splitmix64(toks.mkString(" ").hashCode.toLong))
-    } else {
-      val out = new scala.collection.mutable.HashSet[Long]
-      var i = 0
-      while (i + k <= toks.length) {
-        var h = 1125899906842597L
-        var j = i
-        while (j < i + k) { h = h * 31 + toks(j).hashCode; j += 1 }
-        out += splitmix64(h)
-        i += 1
+    val arr =
+      if (toks.length < k) {
+        if (toks.isEmpty) Array.empty[Long]
+        else Array(splitmix64(toks.mkString(" ").hashCode.toLong))
+      } else {
+        val out = new scala.collection.mutable.HashSet[Long]
+        var i = 0
+        while (i + k <= toks.length) {
+          var h = 1125899906842597L
+          var j = i
+          while (j < i + k) { h = h * 31 + toks(j).hashCode; j += 1 }
+          out += splitmix64(h)
+          i += 1
+        }
+        out.toArray
       }
-      out.toArray
-    }
+    java.util.Arrays.sort(arr)
+    arr
   }
 
-  /** MinHash signature: sig(i) = min over shingles of splitmix64(s ^ seed_i). */
+  /** Exact Jaccard >= t on two sorted distinct arrays — O(|a|+|b|) merge. */
+  private[graft] def jaccardGE(a: Array[Long], b: Array[Long], t: Double): Boolean = {
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    val uni = a.length + b.length - inter
+    uni > 0 && inter.toDouble / uni >= t
+  }
+
+  /** MinHash signature via the Kirsch-Mitzenmacher construction:
+    * h_i(s) = a(s) + i*b(s) from two splitmix64 streams — 2 hashes per
+    * shingle instead of `numHashes`, same collision statistics. */
   private[graft] def minhashSig(shingles: Array[Long], numHashes: Int, seed: Long): Array[Long] = {
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < shingles.length) {
       val s = shingles(i)
+      val a = splitmix64(s ^ seed)
+      val b = splitmix64(s ^ seed ^ 0x5851F42D4C957F2DL) | 1L
       var h = 0
+      var v = a
       while (h < numHashes) {
-        val v = splitmix64(s ^ (seed + h * 0x9E3779B97F4A7C15L))
         if (v < sig(h)) sig(h) = v
+        v += b
         h += 1
       }
       i += 1
@@ -103,24 +135,48 @@ object Dedup {
     f(shingles)
   }
 
+  /** One band hash per band, computed in a SINGLE UDF call: signature +
+    * all band mixes in one pass. (An `array(bands x xxhash64(slice(udf..`
+    * column would re-evaluate the signature UDF once per band — subexpr
+    * elimination does not reach under a generator.) */
+  def bandedMinhashCol(shingles: Column, numHashes: Int, bands: Int, seed: Long): Column = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val f = udf((s: Seq[Long]) => {
+      val sig = minhashSig(s.toArray, numHashes, seed)
+      Array.tabulate(bands) { b =>
+        var h = splitmix64(seed ^ b.toLong)
+        var i = b * r
+        while (i < (b + 1) * r) { h = splitmix64(h ^ sig(i)); i += 1 }
+        h
+      }
+    })
+    f(shingles)
+  }
+
   def simhashCol(text: Column): Column = {
     val f = udf((t: String) => simhash64(t))
     f(text)
   }
 
-  /** Exact Jaccard over two distinct-element arrays — built-ins, codegen'd. */
+  /** Exact Jaccard over two distinct-element arrays — built-ins,
+    * codegen'd. |A∪B| = |A|+|B|-|A∩B| from sizes: one intersection, no
+    * union materialization (half the per-pair work in verify loops). */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
-    val uni = size(array_union(a, b)).cast("double")
+    val uni = (size(a) + size(b)).cast("double") - inter
     when(uni === 0, 0.0).otherwise(inter / uni)
   }
 
   // ---------- dedup pipelines ----------
 
-  /** Exact dedup: keep the smallest key per identical (normalized) text.
-    * One hash-shuffle; never compares full strings across the wire. */
+  /** Exact dedup: keep the smallest key per identical text. Partitioning
+    * by the text column itself shuffles by its hash but groups rows by
+    * full value equality — a 64-bit hash collision between two distinct
+    * texts (realistic at billions of docs) can NOT drop a non-duplicate,
+    * unlike a groupBy on xxhash64(text) alone. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(xxhash64(col(textCol))).orderBy(col(idCol))
+    val w = Window.partitionBy(col(textCol)).orderBy(col(idCol))
     df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
@@ -138,27 +194,15 @@ object Dedup {
       threshold: Double = 0.5,
       seed: Long = 42L,
       maxBucketSize: Int = 10000): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
-    val sig = df
-      .withColumn("_sh", shingleCol(col(textCol), k))
-      .withColumn("_sig", minhashCol(col("_sh"), numHashes, seed))
-      .select(col(idCol), col("_sh"), col("_sig"))
+    val sh = df.select(col(idCol).cast("long").as("_id"),
+      shingleCol(col(textCol), k).as("_sh"))
 
-    // band hash: one row per (id, band)
-    val banded = sig.select(
-      col(idCol), col("_sh"),
-      posexplode(bandHashes(col("_sig"), bands, r)).as(Seq("_band", "_bh")))
-
-    val candidates = bucketPairs(banded, idCol, Seq("_band", "_bh"), maxBucketSize,
-      carry = Seq("_sh"))
-
-    val verified = candidates
-      .filter(jaccard(col("_sh_a"), col("_sh_b")) >= threshold)
-      .select(col("_id_b").as("_drop"))
-      .distinct()
-
-    df.join(verified, df(idCol) === col("_drop"), "left_anti")
+    // narrow banding: (id, bucket) only — shingles stay out of this pass;
+    // the band ordinal is mixed into the hash, so the hash IS the bucket
+    val banded = sh.select(col("_id"),
+      explode(bandedMinhashCol(col("_sh"), numHashes, bands, seed)).as("_bk"))
+    val drops = shingleDrops(banded, sh, maxBucketSize, threshold)
+    df.join(drops, df(idCol).cast("long") === col("_drop"), "left_anti")
   }
 
   /** SimHash near-dedup: 4 x 16-bit bands (pigeonhole guarantees any pair
@@ -169,39 +213,57 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3,
       maxBucketSize: Int = 10000): DataFrame = {
-    val sig = df.withColumn("_sim", simhashCol(col(textCol)))
-    val banded = sig.select(col(idCol), col("_sim"),
+    val sig = df.select(col(idCol).cast("long").as("_id"), simhashCol(col(textCol)).as("_sim"))
+    val banded = sig.select(col("_id"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("_sim"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("_band", "_bh")))
-    val candidates = bucketPairs(banded, idCol, Seq("_band", "_bh"), maxBucketSize,
-      carry = Seq("_sim"))
-    val verified = candidates
-      .filter(bit_count(col("_sim_a").bitwiseXOR(col("_sim_b"))) <= maxHamming)
-      .select(col("_id_b").as("_drop")).distinct()
-    df.join(verified, df(idCol) === col("_drop"), "left_anti")
+      .select(col("_id"), bucketKey(col("_band"), col("_bh")).as("_bk"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val h = maxHamming
+    val packed = packBuckets(banded, sig, maxBucketSize)
+      .select(col("_bk"), col("_id"), col("_sim")).as[(Long, Long, Long)]
+    val drops = bucketDrops[Long](packed,
+      (a, b) => java.lang.Long.bitCount(a ^ b) <= h)
+    df.join(drops, df(idCol).cast("long") === col("_drop"), "left_anti")
   }
 
-  /** N-gram Jaccard near-dedup — fully exact: inverted index on shingle
-    * hash, shared-count per pair, Jaccard from exact set sizes. */
+  /** N-gram Jaccard near-dedup — fully exact, via rarity-ordered prefix
+    * filtering (AllPairs / SSJoin family): sort each doc's shingle set by
+    * ascending global document frequency and index only the first
+    * n - ceil(t*n) + 1 shingles. Any pair with Jaccard >= t must share
+    * its globally-smallest common shingle inside BOTH prefixes, so the
+    * prefix inverted index loses no candidate — while boilerplate
+    * shingles (high df) sort to the suffix and never generate the
+    * classic df^2 bucket blowup. Candidates are verified with exact
+    * Jaccard on the full shingle sets. */
   def ngramJaccard(
       df: DataFrame,
       idCol: String,
       textCol: String,
       k: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    val sh = df.select(col(idCol), shingleCol(col(textCol), k).as("_sh"))
-      .withColumn("_n", size(col("_sh")))
-    val inv = sh.select(col(idCol), col("_n"), explode(col("_sh")).as("_g"))
-    val a = inv.select(col(idCol).as("_id_a"), col("_n").as("_n_a"), col("_g"))
-    val b = inv.select(col(idCol).as("_id_b"), col("_n").as("_n_b"), col("_g"))
-    val shared = a.join(b, Seq("_g")).filter(col("_id_a") < col("_id_b"))
-      .groupBy("_id_a", "_id_b", "_n_a", "_n_b").agg(count(lit(1)).as("_shared"))
-    val verified = shared.filter(
-      col("_shared").cast("double") /
-        (col("_n_a") + col("_n_b") - col("_shared")).cast("double") >= threshold)
-      .select(col("_id_b").as("_drop")).distinct()
-    df.join(verified, df(idCol) === col("_drop"), "left_anti")
+    val sh = df.select(col(idCol).cast("long").as("_id"),
+      shingleCol(col(textCol), k).as("_sh"))
+    val inv = sh.select(col("_id"), explode(col("_sh")).as("_g"))
+    val dfreq = inv.groupBy("_g").agg(count(lit(1)).as("_df"))
+
+    // order each doc's shingles by (df asc, gram) — one global order
+    val ordered = inv.join(dfreq, "_g")
+      .groupBy(col("_id"))
+      .agg(array_sort(collect_list(struct(col("_df"), col("_g")))).as("_dg"))
+      .select(col("_id"), expr("transform(_dg, x -> x._g)").as("_ord"))
+      .withColumn("_n", size(col("_ord")))
+    // prefix length: n - ceil(t*n) + 1
+    val prefixLen = (col("_n") - ceil(col("_n") * lit(threshold)) + 1).cast("int")
+    val banded = ordered
+      .select(col("_id"), explode(slice(col("_ord"), lit(1), prefixLen)).as("_bk"))
+
+    // exactness: no bucket cap — rarity ordering already keeps prefix
+    // buckets small unless the corpus is one giant duplicate class
+    val drops = shingleDrops(banded, sh, Int.MaxValue, threshold)
+    df.join(drops, df(idCol).cast("long") === col("_drop"), "left_anti")
   }
 
   /** Embedding-cosine near-dedup: hyperplane-LSH buckets, exact cosine
@@ -215,43 +277,95 @@ object Dedup {
       bands: Int = 8,
       seed: Long = 42L,
       maxBucketSize: Int = 10000): DataFrame = {
-    val banded = df.select(col(idCol), col(vecCol).as("_v"),
-      posexplode(Ann.bandedSignatures(col(vecCol), planesPerBand, bands, seed))
+    val vecs = df.select(col(idCol).cast("long").as("_id"),
+      col(vecCol).cast("array<double>").as("_v"))
+    val banded = vecs.select(col("_id"),
+      posexplode(Ann.bandedSignatures(col("_v"), planesPerBand, bands, seed))
         .as(Seq("_band", "_bh")))
-    val candidates = bucketPairs(banded, idCol, Seq("_band", "_bh"), maxBucketSize,
-      carry = Seq("_v"))
-    val verified = candidates
-      .filter(graft.functions.vectors.cosine(col("_v_a"), col("_v_b")) >= threshold)
-      .select(col("_id_b").as("_drop")).distinct()
-    df.join(verified, df(idCol) === col("_drop"), "left_anti")
+      .select(col("_id"), bucketKey(col("_band"), col("_bh")).as("_bk"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val t = threshold
+    val packed = packBuckets(banded, vecs, maxBucketSize)
+      .select(col("_bk"), col("_id"), col("_v")).as[(Long, Long, Array[Double])]
+    val drops = bucketDrops[Array[Double]](packed, (a, b) => cosineGE(a, b, t))
+    df.join(drops, df(idCol).cast("long") === col("_drop"), "left_anti")
   }
 
   // ---------- helpers ----------
 
-  /** Slice a signature array into band hashes (one long per band). */
-  private def bandHashes(sig: Column, bands: Int, r: Int): Column =
-    array((0 until bands).map { b =>
-      xxhash64(slice(sig, b * r + 1, r))
-    }: _*)
+  /** Mix the band ordinal into the band hash -> one long bucket key.
+    * A chance collision between buckets only merges two candidate
+    * groups — a superset of verify checks, never a missed pair. */
+  private def bucketKey(band: Column, bh: Column): Column = xxhash64(band, bh)
 
-  /** Candidate pairs (id_a < id_b) sharing a bucket; carries extra columns
-    * suffixed _a/_b. Buckets above `maxBucketSize` are dropped with the
-    * skew-safety valve (boilerplate buckets would otherwise square). */
-  private def bucketPairs(
-      banded: DataFrame,
-      idCol: String,
-      bucketCols: Seq[String],
+  /** Keep only (id, bucket) rows whose bucket has 2..maxBucketSize
+    * members, then hash-join the payload back by id. The count pre-pass
+    * is narrow (two longs per row): on benign corpora nearly all buckets
+    * are singletons, so payload bytes are shuffled ONLY for rows that
+    * can actually form a candidate pair. Hash joins, not sort-merge —
+    * nothing here benefits from sorted output. */
+  private def packBuckets(
+      banded: DataFrame, // (_id, _bk)
+      payload: DataFrame, // (_id, <payload>)
+      maxBucketSize: Int): DataFrame = {
+    val multi = banded.groupBy("_bk").agg(count(lit(1)).as("_bn"))
+      .filter(col("_bn").between(2, maxBucketSize)).select("_bk")
+    banded.join(multi.hint("shuffle_hash"), "_bk")
+      .join(payload.hint("shuffle_hash"), "_id")
+  }
+
+  /** In-bucket keep-first verification: group rows by bucket, sort by
+    * id, and emit id_j iff some i < j verifies as a duplicate — with
+    * early exit on the first hit. Candidate PAIRS are never
+    * materialized or shuffled; worst-case work per bucket is s^2/2
+    * cheap predicate calls in one task (bounded by maxBucketSize), and
+    * on duplicate-heavy corpora the early exit makes it near-linear. */
+  private def bucketDrops[P](
+      packed: org.apache.spark.sql.Dataset[(Long, Long, P)], // (_bk, _id, payload)
+      dup: (P, P) => Boolean): DataFrame = {
+    val spark = packed.sparkSession
+    import spark.implicits._
+    packed.groupByKey(_._1).flatMapGroups { (_: Long, it: Iterator[(Long, Long, P)]) =>
+      val rows = it.toArray.sortBy(_._2)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var j = 1
+      while (j < rows.length) {
+        var i = 0
+        var hit = false
+        while (i < j && !hit) {
+          if (dup(rows(i)._3, rows(j)._3)) hit = true
+          i += 1
+        }
+        if (hit) out += rows(j)._2
+        j += 1
+      }
+      out.iterator
+    }.toDF("_drop").distinct()
+  }
+
+  /** Shared tail for the shingle-set variants (minhash / ngram):
+    * pack buckets with shingle arrays, verify exact Jaccard in-bucket. */
+  private def shingleDrops(
+      banded: DataFrame, // (_id, _bk)
+      sh: DataFrame, // (_id, _sh)
       maxBucketSize: Int,
-      carry: Seq[String]): DataFrame = {
-    val sized = banded
-      .withColumn("_bsz", count(lit(1)).over(
-        Window.partitionBy(bucketCols.map(col): _*)))
-      .filter(col("_bsz") <= maxBucketSize)
-    val aSide = sized.select(
-      (bucketCols.map(col) :+ col(idCol).as("_id_a")) ++ carry.map(c => col(c).as(s"${c}_a")): _*)
-    val bSide = sized.select(
-      (bucketCols.map(col) :+ col(idCol).as("_id_b")) ++ carry.map(c => col(c).as(s"${c}_b")): _*)
-    aSide.join(bSide, bucketCols).filter(col("_id_a") < col("_id_b"))
-      .dropDuplicates("_id_a", "_id_b")
+      threshold: Double): DataFrame = {
+    val spark = banded.sparkSession
+    import spark.implicits._
+    val packed = packBuckets(banded, sh, maxBucketSize)
+      .select(col("_bk"), col("_id"), col("_sh")).as[(Long, Long, Array[Long])]
+    bucketDrops[Array[Long]](packed, (a, b) => jaccardGE(a, b, threshold))
+  }
+
+  /** cosine(a,b) >= t with the same zero-norm semantics as
+    * [[graft.functions.vectors.cosine]] (score 0 when either norm is 0). */
+  private[graft] def cosineGE(a: Array[Double], b: Array[Double], t: Double): Boolean = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    denom > 0 && dot / denom >= t
   }
 }

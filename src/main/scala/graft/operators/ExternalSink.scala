@@ -9,8 +9,10 @@ import org.apache.spark.sql.{DataFrame, Row}
   * Reproduces the reference's upsert loop semantics
   * (`/root/reference/streamlit_app.py:97-121`): slice the payload into
   * batches of `batchSize` (=100), retry each failed batch up to
-  * `maxRetries` times with exponential backoff `delaySec * 2^attempt`
-  * (2/4/8 s), and accumulate the per-batch upserted counts. The
+  * `maxRetries` attempts with exponential backoff `delaySec * 2^attempt`
+  * between attempts — 2/4 s for the defaults; like the reference, no
+  * sleep follows the final attempt — and accumulate the per-batch
+  * upserted counts. The
   * reference silently DROPS a batch after max retries (`:120-121`);
   * our default fails the job instead — dropping is opt-in via
   * `dropFailedBatches=true` for strict reference parity.

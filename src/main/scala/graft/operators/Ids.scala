@@ -23,7 +23,10 @@ object Ids {
     val sorted = df
       .repartitionByRange(orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
-    val rdd = sorted.rdd
+    // persisted: the count job and the id-assignment job must see the
+    // SAME partition contents — recomputed lineage between the two jobs
+    // could misalign offsets (and doubles the sort cost regardless).
+    val rdd = sorted.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = rdd.mapPartitionsWithIndex { (p, it) =>
       Iterator.single(p -> it.size.toLong)
     }.collect().toMap
@@ -41,6 +44,13 @@ object Ids {
       var i = bOffsets.value(pi)
       it.map { row => val r = Row.fromSeq(row.toSeq :+ i); i += 1; r }
     }
+    // Materialize ids while the sorted input is still cached, THEN release
+    // it — unpersisting earlier would let a recompute misalign offsets.
+    // The result stays persisted (it is the product of two jobs); callers
+    // that are done with it can unpersist via df.rdd.unpersist().
+    withId.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    withId.count()
+    rdd.unpersist(blocking = false)
     val schema = StructType(sorted.schema.fields :+ StructField(idCol, LongType, nullable = false))
     spark.createDataFrame(withId, schema)
   }

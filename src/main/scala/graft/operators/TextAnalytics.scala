@@ -52,9 +52,10 @@ object TextAnalytics {
 
   // ---------- token counting (pure column expressions) ----------
 
-  /** Whitespace tokens. */
+  /** Whitespace tokens (0 for empty/whitespace-only text — counting
+    * non-space runs avoids split("")'s spurious single empty token). */
   def tokenCountWhitespace(text: Column): Column =
-    size(split(trim(text), "\\s+")).cast("long")
+    regexp_count(text, lit("\\S+")).cast("long")
 
   /** BPE-ish pre-tokenizer count: letter runs, digit runs, single
     * punctuation marks (the GPT-2-style pre-split shape). */

@@ -85,9 +85,11 @@ final class VectorIndex private (
     val score = meta.metric match {
       case Metric.Cosine => vectors.cosine(col("values"), qCol)
       case Metric.Dot => vectors.dot(col("values"), qCol)
-      case Metric.Euclidean => -sqrt(
+      // clamp: fp cancellation for v≈q can push the operand slightly
+      // negative → sqrt NaN, which Spark sorts ABOVE all doubles.
+      case Metric.Euclidean => -sqrt(greatest(
         vectors.dot(col("values"), col("values")) - lit(2.0) * vectors.dot(col("values"), qCol)
-          + vectors.dot(qCol, qCol))
+          + vectors.dot(qCol, qCol), lit(0.0)))
     }
     base.withColumn("score", score)
       .orderBy(col("score").desc, col("id"))
