@@ -129,4 +129,50 @@ object Ann {
       arrays_overlap(col("_buckets"), lit(qBuckets)))
     bruteForceTopK(candidates, vecCol, idCol, q, k)
   }
+
+  // ---------- IVF (inverted-file) index — the clustered-corpus scale path ----------
+
+  /** IVF index: rows partitioned into `k` k-means cells over L2-normalized
+    * vectors (on the unit sphere euclidean order == cosine order, so the
+    * cells are "spherical"); a query probes only the `nProbe` cells whose
+    * centroids are nearest, then exact-rescores inside them — touching
+    * ~nProbe/k of the data. Batch build via MLlib KMeans (seeded). At
+    * cluster scale, persist `data` partitioned by `_cell` so a probe
+    * prunes whole partitions. */
+  final case class IvfIndex(data: DataFrame, centroids: Array[Array[Double]])
+
+  private def normalized(vec: Column): Column = {
+    val n = graft.functions.vectors.l2Norm(vec)
+    when(n === 0.0, vec.cast("array<double>"))
+      .otherwise(transform(vec.cast("array<double>"), x => x / n))
+  }
+
+  def buildIvf(df: DataFrame, vecCol: String, k: Int = 16, seed: Long = 42L): IvfIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = df.withColumn("_nvec", array_to_vector(normalized(col(vecCol))))
+    val model = new KMeans().setK(k).setSeed(seed)
+      .setFeaturesCol("_nvec").setPredictionCol("_cell")
+      .fit(feat)
+    IvfIndex(model.transform(feat).drop("_nvec"),
+      model.clusterCenters.map(_.toArray))
+  }
+
+  def queryIvf(idx: IvfIndex, vecCol: String, idCol: String,
+      q: Array[Float], k: Int, nProbe: Int = 4): DataFrame = {
+    val qd = q.map(_.toDouble)
+    val qn = math.sqrt(qd.map(x => x * x).sum) match {
+      case 0.0 => qd
+      case n => qd.map(_ / n)
+    }
+    val cells = idx.centroids.zipWithIndex
+      .map { case (c, i) =>
+        var d = 0.0; var j = 0
+        while (j < math.min(c.length, qn.length)) { val t = c(j) - qn(j); d += t * t; j += 1 }
+        (i, d)
+      }
+      .sortBy { case (i, d) => (d, i) }
+      .take(nProbe).map(_._1)
+    bruteForceTopK(idx.data.filter(col("_cell").isin(cells: _*)), vecCol, idCol, q, k)
+  }
 }

@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.{AsOfJoin, Multimodal, SkewJoin, VectorStats}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-2 operator additions: as-of join, salted skew join, multimodal
+  * binary plumbing, typed Aggregator, IVF ANN. */
+class OperatorsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("AsOfJoin.backward attaches the latest right row at-or-before each left time") {
+    val left = Seq((1L, 10L, "l1"), (1L, 20L, "l2"), (2L, 5L, "l3"))
+      .toDF("k", "t", "ltag")
+    val right = Seq((1L, 10L, "r@10"), (1L, 15L, "r@15"), (2L, 9L, "r@9"))
+      .toDF("k", "t", "rtag")
+    val out = AsOfJoin.backward(left, right, Seq("k"), "t", "t", Seq("rtag"))
+      .select($"ltag", $"rtag_asof").as[(String, String)].collect().toMap
+    // equal timestamps match (backward, inclusive); later right rows don't
+    assert(out("l1") == "r@10")
+    assert(out("l2") == "r@15")
+    assert(out("l3") == null) // right row at t=9 is after left t=5
+  }
+
+  test("AsOfJoin.backward: right rows with null payload still match (struct carrier)") {
+    val left = Seq((1L, 20L)).toDF("k", "t")
+    val right = Seq((1L, 10L, Option.empty[String]), (1L, 5L, Some("early")))
+      .toDF("k", "t", "p")
+    val out = AsOfJoin.backward(left, right, Seq("k"), "t", "t", Seq("p"))
+      .select($"p_asof").as[Option[String]].head()
+    assert(out.isEmpty) // the t=10 null-payload row wins, not the t=5 one
+  }
+
+  test("SkewJoin.salted equals the plain inner join (incl. duplicate keys)") {
+    val fact = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d")).toDF("k", "fv")
+    val dim = Seq((1L, "x"), (1L, "y"), (2L, "z")).toDF("k", "dv")
+    val plain = fact.join(dim, "k").select("k", "fv", "dv")
+      .collect().map(_.toSeq).sortBy(_.mkString)
+    val salted = SkewJoin.salted(fact, dim, "k", salts = 4).select("k", "fv", "dv")
+      .collect().map(_.toSeq).sortBy(_.mkString)
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("Multimodal.withMeta decodes deterministically through batched mapPartitions") {
+    val df = Seq((1L, "abc"), (2L, ""), (3L, "0123456789" * 40)).toDF("id", "s")
+      .select($"id", $"s".cast("binary").as("blob"))
+    val out = Multimodal.withMeta(df, "blob", batchSize = 2)
+      .select($"id", $"media_meta.n_bytes", $"media_meta.width", $"media_meta.height")
+      .as[(Long, Long, Int, Int)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 3L, 323, 243)))
+    assert(out(1) == ((2L, 0L, 320, 240)))
+    assert(out(2) == ((3L, 400L, 320 + 400 % 320, 240 + 400 % 240)))
+  }
+
+  test("VectorStats.perDimMinMax matches a posexplode aggregation") {
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val agg = VectorStats.perDimMinMax(emb, "label", "embedding", 64)
+    val ref = emb
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(min("v").as("min_val"), max("v").as("max_val"))
+    assert(agg.count() == ref.count())
+    val joined = agg.join(ref.withColumnRenamed("min_val", "rmin")
+        .withColumnRenamed("max_val", "rmax").withColumn("pos", col("pos").cast("long")),
+      Seq("label", "pos"))
+    assert(joined.filter(col("min_val") =!= col("rmin") ||
+      col("max_val") =!= col("rmax")).count() == 0)
+  }
+
+  test("Ann.buildIvf/queryIvf: probing all cells reproduces exact top-k") {
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val q = emb.filter($"vec_id" === 3).select($"embedding").as[Array[Float]].head()
+    val exact = graft.operators.Ann.bruteForceTopK(emb, "embedding", "vec_id", q, 5)
+      .select("vec_id").as[Long].collect().toSet
+    val idx = graft.operators.Ann.buildIvf(emb, "embedding", k = 8)
+    val all = graft.operators.Ann.queryIvf(idx, "embedding", "vec_id", q, 5, nProbe = 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(all == exact)
+    // cells partition the data
+    assert(idx.data.count() == emb.count())
+    assert(idx.centroids.length == 8)
+  }
+}
