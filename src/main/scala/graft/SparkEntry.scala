@@ -764,6 +764,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_overlap"))
         .select(lit(10L).as("k"), ($"n_overlap" >= 8).as("recall_ok"))
     }),
+
+    // C1 chunker as a native Catalyst Generator through the SQL surface
+    // (LATERAL VIEW chunk_text(...)) — same oracle shape as q47.
+    "q58_chunk_sql" -> ((s, dir) => {
+      graft.functions.text.register(s)
+      t(s, dir, "documents").createOrReplaceTempView("docs_csql")
+      s.sql(
+        """SELECT doc_id, COUNT(*) AS n_chunks,
+          |  CAST(SUM(LENGTH(chunk)) AS BIGINT) AS total_chunk_chars
+          |FROM docs_csql LATERAL VIEW chunk_text(text, 2000, 100) c AS chunk
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    }),
   )
 
   private val ngramDedupOracle: String =
@@ -1194,5 +1206,10 @@ object SparkEntry {
       "SELECT CAST(10 AS BIGINT) AS k, TRUE AS recall_ok",
     "q57_ann_ivf" ->
       "SELECT CAST(10 AS BIGINT) AS k, TRUE AS recall_ok",
+
+    "q58_chunk_sql" ->
+      """SELECT doc_id, CAST(1 AS BIGINT) AS n_chunks,
+        |  CAST(LENGTH(TRIM(text)) AS BIGINT) AS total_chunk_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

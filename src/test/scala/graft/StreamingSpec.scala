@@ -82,6 +82,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(sortedRows(viaSessionWindow) == sortedRows(viaIslands))
   }
 
+  test("flatMapGroupsWithState sessionization: stream == batch == islands") {
+    val streamed = runToBatch(
+      StreamOps.statefulSessions(streamEvents).toDF(), "append", "fmgs_out")
+    val batch = StreamOps.statefulSessions(batchEvents).toDF()
+    assert(sortedRows(streamed) == sortedRows(batch))
+    // per-user session counts equal the gaps-and-islands formulation
+    // with the same strict-gap close (gap > 5 min)
+    val viaState = batch.groupBy($"user_id").agg(count(lit(1)).as("n_sessions"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val viaIslands = batchEvents
+      .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(w))
+      .withColumn("new_sess",
+        when($"prev_us".isNull || unix_micros($"ts") - $"prev_us" > 300000000L, 1L)
+          .otherwise(0L))
+      .groupBy($"user_id").agg(sum($"new_sess").as("n_sessions"))
+    assert(sortedRows(viaState) == sortedRows(viaIslands))
+  }
+
   test("streaming dedup within watermark drops duplicate event ids") {
     // duplicate the stream source file => every event appears twice
     val dir = Files.createTempDirectory("graft_stream_dup")
