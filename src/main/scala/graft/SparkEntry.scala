@@ -776,6 +776,24 @@ object SparkEntry {
           |FROM docs_csql LATERAL VIEW chunk_text(text, 2000, 100) c AS chunk
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
     }),
+
+    // C1 multi-chunk path: 10 copies of each doc joined by the
+    // separator exercise the greedy merge + emit loop; the oracle is the
+    // closed form of the splitter on uniform fragments (docs have no
+    // newlines/edge-whitespace; L>=199 whenever multi-chunk => zero
+    // overlap retention): m = floor(2002/(L+2)) fragments per chunk,
+    // k = ceil(10/m) chunks, total chars = 10L + 2*(10-k).
+    "q59_chunk_multi" -> ((s, dir) => {
+      import s.implicits._
+      val chunkUdf = udf((text: String) => graft.core.Chunker.split(text))
+      t(s, dir, "documents")
+        .withColumn("rep", concat_ws("\n\n", array_repeat($"text", 10)))
+        .select($"doc_id", explode(chunkUdf($"rep")).as("chunk"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(length($"chunk")).cast("long").as("total_chunk_chars"))
+        .orderBy($"doc_id")
+    }),
   )
 
   private val ngramDedupOracle: String =
@@ -1211,5 +1229,15 @@ object SparkEntry {
       """SELECT doc_id, CAST(1 AS BIGINT) AS n_chunks,
         |  CAST(LENGTH(TRIM(text)) AS BIGINT) AS total_chunk_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q59_chunk_multi" ->
+      """SELECT doc_id, k AS n_chunks,
+        |  CAST(10 * l + 2 * (10 - k) AS BIGINT) AS total_chunk_chars
+        |FROM (
+        |  SELECT doc_id, l,
+        |    CAST(CASE WHEN m >= 10 THEN 1 ELSE (10 + m - 1) // m END AS BIGINT) AS k
+        |  FROM (SELECT doc_id, LENGTH(text) AS l, 2002 // (LENGTH(text) + 2) AS m
+        |        FROM documents) x) y
+        |ORDER BY doc_id""".stripMargin,
   )
 }
