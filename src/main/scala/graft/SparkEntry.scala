@@ -794,6 +794,31 @@ object SparkEntry {
           sum(length($"chunk")).cast("long").as("total_chunk_chars"))
         .orderBy($"doc_id")
     }),
+
+    // §2.G structured JSON parsing (from_json with schema, not path
+    // extraction) + null-handling scalars (coalesce).
+    "q60_from_json" -> ((s, dir) => {
+      import s.implicits._
+      events(s, dir)
+        .withColumn("parsed", from_json($"props", lit("k INT")))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(coalesce($"parsed.k", lit(0)).cast("long")).as("sum_k"),
+          sum(when($"parsed.k".isNull, 1L).otherwise(0L)).as("n_null"))
+        .orderBy($"event_type")
+    }),
+
+    // §2.G regex extraction scalar (capture group).
+    "q61_regexp_extract" -> ((s, dir) => {
+      import s.implicits._
+      events(s, dir)
+        .withColumn("k_str", regexp_extract($"props", "\"k\": (\\d+)", 1))
+        .groupBy($"event_type")
+        .agg(min($"k_str".cast("long")).as("min_k"),
+          max($"k_str".cast("long")).as("max_k"),
+          count(lit(1)).as("n"))
+        .orderBy($"event_type")
+    }),
   )
 
   private val ngramDedupOracle: String =
@@ -1239,5 +1264,18 @@ object SparkEntry {
         |  FROM (SELECT doc_id, LENGTH(text) AS l, 2002 // (LENGTH(text) + 2) AS m
         |        FROM documents) x) y
         |ORDER BY doc_id""".stripMargin,
+
+    "q60_from_json" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(COALESCE(CAST(json_extract_string(props, '$.k') AS INT), 0)) AS BIGINT) AS sum_k,
+        |  CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q61_regexp_extract" ->
+      """SELECT event_type,
+        |  MIN(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS min_k,
+        |  MAX(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS max_k,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

@@ -147,11 +147,14 @@ object Ann {
       .otherwise(transform(vec.cast("array<double>"), x => x / n))
   }
 
-  def buildIvf(df: DataFrame, vecCol: String, k: Int = 16, seed: Long = 42L): IvfIndex = {
+  def buildIvf(df: DataFrame, vecCol: String, k: Int = 16, seed: Long = 42L,
+      maxIter: Int = 10): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val feat = df.withColumn("_nvec", array_to_vector(normalized(col(vecCol))))
-    val model = new KMeans().setK(k).setSeed(seed)
+    // cell assignment quality saturates quickly and the index only needs
+    // stable cells, not converged centroids — 10 iterations suffices
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("_nvec").setPredictionCol("_cell")
       .fit(feat)
     IvfIndex(model.transform(feat).drop("_nvec"),
