@@ -819,6 +819,72 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy($"event_type")
     }),
+
+    // Q1/Q3/Q4/D4 end-to-end THROUGH the snapshot index: upsert the
+    // embeddings, delete ids < 10, metadata-filtered top-k cosine.
+    // The oracle replays the surviving set declaratively.
+    "q62_vector_index" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.VectorIndex
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q62").toString
+      val emb = t(s, dir, "embeddings")
+      val records = emb.select(
+        $"vec_id".cast("string").as("id"),
+        $"embedding".as("values"),
+        struct(($"vec_id" % 5).cast("int").as("chunk_index"),
+          lit("uploaded_pdf").as("source")).as("metadata"))
+      val idx = VectorIndex.ensure(s, s"$tmp/idx", 64)
+      idx.upsert(records)
+      idx.delete((0 until 10).map(_.toString))
+      val q = emb.filter($"vec_id" === 0).select($"embedding").as[Array[Float]].head()
+      idx.query(q, k = 10, filter = Some($"metadata.chunk_index" === 0))
+        .select($"id".cast("long").as("vec_id"))
+    }),
+
+    // Q5 exact similarity join: all (query, candidate) pairs above a
+    // cosine threshold — broadcast small side, codegen'd cosine filter.
+    "q63_similarity_join" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val qs = broadcast(emb.filter($"vec_id" < 20)
+        .select($"vec_id".as("query_id"), $"embedding".cast("array<double>").as("qvec")))
+      emb.crossJoin(qs)
+        .filter($"vec_id" =!= $"query_id" &&
+          graft.functions.vectors.cosine($"embedding", $"qvec") >= 0.2)
+        .groupBy($"query_id")
+        .agg(count(lit(1)).as("n_similar"), min($"vec_id").as("min_match"))
+        .orderBy($"query_id")
+    }),
+
+    // §2.G RANGE window frames + rank-ratio functions (percent_rank /
+    // cume_dist are exact integer-ratio doubles => engine-identical).
+    "q64_range_frame" -> ((s, dir) => {
+      import s.implicits._
+      val wRange = Window.partitionBy($"o_orderpriority").orderBy($"o_totalprice")
+        .rangeBetween(-1000L, 1000L)
+      val wRank = Window.partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice", $"o_orderkey")
+      t(s, dir, "orders").filter($"o_custkey" < 100)
+        .select($"o_orderkey", $"o_orderpriority",
+          count(lit(1)).over(wRange).as("n_near"),
+          percent_rank().over(wRank).as("pr"),
+          cume_dist().over(wRank).as("cd"))
+        .orderBy($"o_orderkey")
+    }),
+
+    // §2.G higher-order array functions: transform + sequential
+    // aggregate fold (norm^2) — same fold order as DuckDB list_reduce.
+    "q65_array_fold" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "embeddings")
+        .withColumn("norm2", aggregate(
+          transform($"embedding".cast("array<double>"), x => x * x),
+          lit(0.0), (acc, x) => acc + x))
+        .groupBy($"label")
+        .agg(min($"norm2").as("min_norm2"), max($"norm2").as("max_norm2"),
+          count(lit(1)).as("n"))
+        .orderBy($"label")
+    }),
   )
 
   private val ngramDedupOracle: String =
@@ -1277,5 +1343,40 @@ object SparkEntry {
         |  MAX(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS max_k,
         |  COUNT(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q62_vector_index" ->
+      """SELECT e.vec_id FROM embeddings e
+        |WHERE e.vec_id >= 10 AND e.vec_id % 5 = 0
+        |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC,
+        |  CAST(e.vec_id AS VARCHAR)
+        |LIMIT 10""".stripMargin,
+
+    "q63_similarity_join" ->
+      """SELECT q.vec_id AS query_id, COUNT(*) AS n_similar, MIN(e.vec_id) AS min_match
+        |FROM embeddings e, embeddings q
+        |WHERE q.vec_id < 20 AND e.vec_id <> q.vec_id
+        |  AND list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |        CAST(q.embedding AS DOUBLE[])) >= 0.2
+        |GROUP BY q.vec_id ORDER BY query_id""".stripMargin,
+
+    "q64_range_frame" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+        |    RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS n_near,
+        |  PERCENT_RANK() OVER wr AS pr,
+        |  CUME_DIST() OVER wr AS cd
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW wr AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q65_array_fold" ->
+      """SELECT label,
+        |  MIN(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+        |      (a, b) -> a + b)) AS min_norm2,
+        |  MAX(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+        |      (a, b) -> a + b)) AS max_norm2,
+        |  COUNT(*) AS n
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
   )
 }
