@@ -699,7 +699,7 @@ object SparkEntry {
       val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_quantity")
       val ord = t(s, dir, "orders")
         .select($"o_orderkey".as("l_orderkey"), $"o_orderpriority")
-      graft.operators.SkewJoin.salted(li, ord, "l_orderkey", salts = 8)
+      graft.operators.SkewJoin.salted(li, ord, "l_orderkey", salts = 4)
         .groupBy($"o_orderpriority")
         .agg(count(lit(1)).as("n_lines"),
           sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("sum_qty"))
@@ -884,6 +884,23 @@ object SparkEntry {
         .agg(min($"norm2").as("min_norm2"), max($"norm2").as("max_norm2"),
           count(lit(1)).as("n"))
         .orderBy($"label")
+    }),
+
+    // Multimodal frame sampling: opaque "video" blobs -> n equal byte-
+    // range frames; slicing floor-arithmetic means frame bytes sum back
+    // to the blob length exactly — the SQL-checkable invariant.
+    "q66_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", $"lang", $"text".cast("binary").as("blob"))
+        .select($"doc_id", $"lang",
+          posexplode(graft.operators.Multimodal.sampleFrames($"blob", 4))
+            .as(Seq("frame_index", "frame")))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(length($"frame")).cast("long").as("total_frame_bytes"),
+          countDistinct($"doc_id").as("n_docs"))
+        .orderBy($"lang")
     }),
   )
 
@@ -1378,5 +1395,11 @@ object SparkEntry {
         |      (a, b) -> a + b)) AS max_norm2,
         |  COUNT(*) AS n
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+
+    "q66_frame_sample" ->
+      """SELECT lang, 4 * COUNT(*) AS n_frames,
+        |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_frame_bytes,
+        |  COUNT(*) AS n_docs
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

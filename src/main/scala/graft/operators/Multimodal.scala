@@ -42,6 +42,42 @@ object Multimodal {
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false)))
 
+  /** Deterministic stub feature extractor: fold the bytes into `dim`
+    * seeded accumulators (stands in for a CNN/audio embedder — swap the
+    * fold for a real model forward pass; the column contract, width and
+    * batching stay identical). */
+  def features(bin: org.apache.spark.sql.Column, dim: Int = 64, seed: Long = 42L)
+      : org.apache.spark.sql.Column = {
+    val f = org.apache.spark.sql.functions.udf { (b: Array[Byte]) =>
+      val acc = new Array[Float](dim)
+      if (b != null) {
+        var i = 0
+        while (i < b.length) {
+          val h = Dedup.splitmix64(seed ^ (i.toLong << 8) ^ (b(i) & 0xFFL))
+          acc(i % dim) += (h >>> 40).toFloat / (1 << 24).toFloat - 0.5f
+          i += 1
+        }
+      }
+      acc
+    }
+    f(bin)
+  }
+
+  /** Frame sampling stub: treat the blob as an opaque "video" and emit
+    * `n` equally-spaced byte-range "frames" (frame i = bytes
+    * [i*len/n, (i+1)*len/n)). A real sampler decodes keyframes; the
+    * explode shape (one row per (row, frame_index, frame)) and the
+    * downstream schema are what the engine contract fixes. */
+  def sampleFrames(bin: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
+    val f = org.apache.spark.sql.functions.udf { (b: Array[Byte]) =>
+      if (b == null) Array.empty[Array[Byte]]
+      else Array.tabulate(n) { i =>
+        java.util.Arrays.copyOfRange(b, i * b.length / n, (i + 1) * b.length / n)
+      }
+    }
+    f(bin)
+  }
+
   /** Append a `media_meta` struct decoded from `binCol`. Batched
     * mapPartitions: decoder constructed once per partition, inputs
     * grouped into `batchSize` chunks (bounded memory; amortized codec

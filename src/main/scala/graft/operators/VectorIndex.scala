@@ -42,6 +42,17 @@ final class VectorIndex private (
     case None => emptyIndexDf(spark)
   }
 
+  /** Committed snapshot versions, ascending (bounded by the retention
+    * in pruneOldSnapshots). */
+  def snapshots(): Seq[Long] = listSnapshots(spark, path)
+
+  /** Time travel: read the index as of an older committed snapshot. */
+  def scanAt(version: Long): DataFrame = {
+    require(snapshots().contains(version),
+      s"snapshot $version not present (have ${snapshots().mkString(",")})")
+    spark.read.parquet(s"$path/snapshot=$version")
+  }
+
   /** G3 `describe_index` parity: dimension / metric / row count. */
   def describe(): (IndexMeta, Long) = (meta, scan().count())
 
@@ -160,18 +171,21 @@ object VectorIndex {
     IndexMeta(field("name"), field("dimension").toInt, Metric.parse(field("metric")))
   }
 
-  private def currentSnapshot(spark: SparkSession, path: String): Option[Long] = {
+  private def listSnapshots(spark: SparkSession, path: String): Seq[Long] = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
+    if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq
       .filter(_.isDirectory)
       .map(_.getPath.getName)
       .collect { case s if s.startsWith("snapshot=") => s.stripPrefix("snapshot=").toLong }
       // only snapshots with a _SUCCESS marker are committed
       .filter(n => fs.exists(new Path(p, s"snapshot=$n/_SUCCESS")))
-      .sorted.lastOption
+      .sorted
   }
+
+  private def currentSnapshot(spark: SparkSession, path: String): Option[Long] =
+    listSnapshots(spark, path).lastOption
 
   private def pruneOldSnapshots(spark: SparkSession, path: String, keep: Int): Unit = {
     val p = new Path(path)

@@ -69,6 +69,47 @@ class OperatorsSpec extends AnyFunSuite {
       col("max_val") =!= col("rmax")).count() == 0)
   }
 
+  test("Multimodal.sampleFrames: n frames, bytes partition the blob exactly") {
+    val df = Seq((1L, "0123456789abc"), (2L, "xy")).toDF("id", "s")
+      .select($"id", $"s".cast("binary").as("blob"))
+    val frames = df.select($"id",
+        posexplode(Multimodal.sampleFrames($"blob", 4)).as(Seq("idx", "frame")))
+      .select($"id", $"idx", length($"frame").cast("long").as("fl"))
+      .as[(Long, Int, Long)].collect()
+    assert(frames.count(_._1 == 1L) == 4)
+    assert(frames.filter(_._1 == 1L).map(_._3).sum == 13)
+    assert(frames.filter(_._1 == 2L).map(_._3).sum == 2)
+  }
+
+  test("Multimodal.features: deterministic fixed-width vectors") {
+    val df = Seq((1L, "hello"), (2L, "")).toDF("id", "s")
+      .select($"id", $"s".cast("binary").as("blob"))
+    val out = df.select($"id", Multimodal.features($"blob", dim = 16).as("f"))
+      .as[(Long, Array[Float])].collect().toMap
+    assert(out(1L).length == 16 && out(2L).length == 16)
+    val again = df.select($"id", Multimodal.features($"blob", dim = 16).as("f"))
+      .as[(Long, Array[Float])].collect().toMap
+    assert(out(1L).toSeq == again(1L).toSeq)
+    assert(out(2L).forall(_ == 0.0f))
+  }
+
+  test("VectorIndex time travel: scanAt reads older committed snapshots") {
+    val spark2 = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_tt").toString
+    val idx = graft.operators.VectorIndex.ensure(spark2, s"$dir/idx", 2)
+    def rec(id: String, v: Seq[Float]) = Seq((id, v)).toDF("id", "values")
+      .select($"id", $"values".cast("array<float>"),
+        struct(lit(0).as("chunk_index"), lit("t").as("source")).as("metadata"))
+    idx.upsert(rec("a", Seq(1f, 0f)))
+    idx.upsert(rec("a", Seq(0f, 1f))) // overwrite same id -> new snapshot
+    assert(idx.snapshots().size == 2)
+    val v0 = idx.scanAt(idx.snapshots().head)
+      .select($"values").as[Array[Float]].head()
+    val cur = idx.scan().select($"values").as[Array[Float]].head()
+    assert(v0.toSeq == Seq(1f, 0f) && cur.toSeq == Seq(0f, 1f))
+    intercept[IllegalArgumentException](idx.scanAt(99L))
+  }
+
   test("Ann.buildIvf/queryIvf: probing all cells reproduces exact top-k") {
     val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
     val q = emb.filter($"vec_id" === 3).select($"embedding").as[Array[Float]].head()

@@ -101,6 +101,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(sortedRows(viaState) == sortedRows(viaIslands))
   }
 
+  test("stream-stream interval join == batch range join") {
+    // views joined to this user's clicks within the preceding 6 hours
+    // (sf0.001 events are sparse; 10-minute windows have zero matches)
+    def joinIt(views: DataFrame, clicks: DataFrame): DataFrame = {
+      val v = views.select($"user_id", $"ts".as("v_ts"), $"event_id".as("view_event"))
+      val c = clicks.select($"user_id".as("c_user"), $"ts".as("c_ts"),
+        $"event_id".as("click_event"))
+      v.join(c, $"user_id" === $"c_user" &&
+        $"c_ts" >= $"v_ts" - expr("INTERVAL 6 HOURS") && $"c_ts" <= $"v_ts")
+        .select($"user_id", $"view_event", $"click_event")
+    }
+    val sv = streamEvents.filter($"event_type" === "view").withWatermark("ts", "6 hours")
+    val sc = streamEvents.filter($"event_type" === "click").withWatermark("ts", "6 hours")
+    val streamed = runToBatch(joinIt(sv, sc), "append", "ssj_out")
+    val batch = joinIt(batchEvents.filter($"event_type" === "view"),
+      batchEvents.filter($"event_type" === "click"))
+    assert(sortedRows(streamed) == sortedRows(batch))
+    assert(streamed.count() > 0)
+  }
+
   test("streaming dedup within watermark drops duplicate event ids") {
     // duplicate the stream source file => every event appears twice
     val dir = Files.createTempDirectory("graft_stream_dup")
