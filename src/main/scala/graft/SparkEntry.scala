@@ -902,6 +902,28 @@ object SparkEntry {
           countDistinct($"doc_id").as("n_docs"))
         .orderBy($"lang")
     }),
+
+    // §2.G pure theta join (no equi key => nested-loop — legitimate for
+    // tiny x tiny; PlanSpec pins the big joins to hash/merge instead).
+    "q67_theta_join" -> ((s, dir) => {
+      import s.implicits._
+      val n1 = t(s, dir, "nation").select($"n_nationkey".as("k1"), $"n_regionkey".as("r1"))
+      val n2 = t(s, dir, "nation").select($"n_nationkey".as("k2"), $"n_regionkey".as("r2"))
+      n1.join(n2, $"k1" < $"k2" && $"r1" =!= $"r2")
+        .groupBy($"r1")
+        .agg(count(lit(1)).as("n_cross_pairs"), min($"k2").as("min_partner"))
+        .orderBy($"r1")
+    }),
+
+    // §2.G map scalars: construction + element_at.
+    "q68_map_funcs" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "part")
+        .withColumn("m", map(lit("brand"), $"p_brand", lit("type"), $"p_type"))
+        .groupBy(element_at($"m", "brand").as("brand"))
+        .agg(count(lit(1)).as("n"), min(element_at($"m", "type")).as("min_type"))
+        .orderBy($"brand")
+    }),
   )
 
   private val ngramDedupOracle: String =
@@ -1401,5 +1423,17 @@ object SparkEntry {
         |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_frame_bytes,
         |  COUNT(*) AS n_docs
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q67_theta_join" ->
+      """SELECT n1.n_regionkey AS r1, COUNT(*) AS n_cross_pairs,
+        |  MIN(n2.n_nationkey) AS min_partner
+        |FROM nation n1 JOIN nation n2
+        |  ON n1.n_nationkey < n2.n_nationkey AND n1.n_regionkey <> n2.n_regionkey
+        |GROUP BY n1.n_regionkey ORDER BY r1""".stripMargin,
+
+    "q68_map_funcs" ->
+      """SELECT m['brand'][1] AS brand, COUNT(*) AS n, MIN(m['type'][1]) AS min_type
+        |FROM (SELECT MAP {'brand': p_brand, 'type': p_type} AS m FROM part) x
+        |GROUP BY 1 ORDER BY brand""".stripMargin,
   )
 }

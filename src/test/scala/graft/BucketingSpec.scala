@@ -38,4 +38,20 @@ class BucketingSpec extends AnyFunSuite {
         li.join(ord, li("l_orderkey") === ord("o_orderkey")).count())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
+
+  test("partitioned layout prunes partitions at the scan (PartitionFilters)") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    spark.read.parquet(s"${TestSpark.sf0001}/events.parquet")
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val one = spark.read.parquet(dir).filter(col("event_type") === "click")
+    val plan = one.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters"))
+    assert(plan.contains("event_type"), "pruning predicate must be a partition filter")
+    // only the click partition's rows are read
+    val expected = spark.read.parquet(s"${TestSpark.sf0001}/events.parquet")
+      .filter(col("event_type") === "click").count()
+    assert(one.count() == expected)
+  }
 }
