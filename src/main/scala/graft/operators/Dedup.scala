@@ -306,9 +306,17 @@ object Dedup {
     * can actually form a candidate pair. Hash joins, not sort-merge —
     * nothing here benefits from sorted output. */
   private def packBuckets(
-      banded: DataFrame, // (_id, _bk)
+      banded0: DataFrame, // (_id, _bk)
       payload: DataFrame, // (_id, <payload>)
       maxBucketSize: Int): DataFrame = {
+    // The banded frame feeds BOTH the bucket-count pre-pass and the
+    // survivor join; Spark plans no ReusedExchange across them (the
+    // exchanges differ), so without materialization the whole signature/
+    // ordering lineage executes twice. The frame is two longs per row —
+    // cheap to pin. localCheckpoint trades lineage (executor loss => job
+    // retry) for the 2x; swap for persist(DISK_ONLY_2)/reliable
+    // checkpoint where that tradeoff flips.
+    val banded = banded0.localCheckpoint(true)
     val multi = banded.groupBy("_bk").agg(count(lit(1)).as("_bn"))
       .filter(col("_bn").between(2, maxBucketSize)).select("_bk")
     banded.join(multi.hint("shuffle_hash"), "_bk")

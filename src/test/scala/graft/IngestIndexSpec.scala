@@ -19,6 +19,23 @@ class IngestIndexSpec extends AnyFunSuite {
 
   private val embedder = new HashingEmbedder(dimension = 64, seed = 42L)
 
+  test("A1/A2/A3: binaryFile scan + extract trait + OCR fallback branch") {
+    import graft.sources.{FallbackExtractor, OcrExtractor, Utf8TextExtractor}
+    val dir = Files.createTempDirectory("graft_pdfs")
+    Files.write(dir.resolve("a.pdf"), "hello pdf one".getBytes("UTF-8"))
+    Files.write(dir.resolve("b.pdf"), "   ".getBytes("UTF-8")) // whitespace-only -> OCR path
+    Files.write(dir.resolve("skip.txt"), "not a pdf".getBytes("UTF-8")) // glob-filtered
+    object FakeOcr extends OcrExtractor {
+      override def ocr(content: Array[Byte]): String = "ocr-recovered"
+    }
+    val out = Ingest.readBinaryDocs(spark, dir.toString,
+        new FallbackExtractor(Utf8TextExtractor, FakeOcr))
+      .collect().map(r => (r.getString(0).split('/').last, r.getString(1))).toMap
+    assert(out.keySet == Set("a.pdf", "b.pdf")) // *.pdf glob excludes skip.txt
+    assert(out("a.pdf") == "hello pdf one") // text layer wins
+    assert(out("b.pdf") == "ocr-recovered") // empty text layer falls back to OCR
+  }
+
   test("pipeline produces one embedded record per chunk with scoped ids") {
     val out = Ingest.pipeline(docs, embedder,
       Ingest.Config(expectedDim = Some(64))).cache()
