@@ -757,7 +757,7 @@ object SparkEntry {
       // .24-.43), where IVF recall is ~linear in the probed fraction —
       // nProbe=12/16 holds recall>=0.8 at every SF. Clustered real
       // corpora concentrate neighbors in 1-2 cells (nProbe ~ k/8).
-      val idx = graft.operators.Ann.buildIvf(emb, "embedding", k = 16)
+      val idx = graft.operators.Ann.buildIvf(emb, "embedding", k = 16, maxIter = 5)
       val ivf = graft.operators.Ann.queryIvf(idx, "embedding", "vec_id", q, 10, nProbe = 12)
         .select($"vec_id")
       bf.join(ivf, "vec_id")
@@ -923,6 +923,30 @@ object SparkEntry {
         .groupBy(element_at($"m", "brand").as("brand"))
         .agg(count(lit(1)).as("n"), min(element_at($"m", "type")).as("min_type"))
         .orderBy($"brand")
+    }),
+
+    // §2.G statistical aggregates, made engine-deterministic: native
+    // stddev/corr accumulate doubles in partition order (not
+    // reproducible across engines); computing the moment sums EXACTLY in
+    // decimal and applying one closed-form double step at the end is.
+    "q69_stats_agg" -> ((s, dir) => {
+      import s.implicits._
+      val x = $"l_quantity".cast("decimal(18,2)")
+      val y = $"l_discount".cast("decimal(18,2)")
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(y).as("sy"),
+          sum((x * x).cast("decimal(38,4)")).as("sxx"),
+          sum((y * y).cast("decimal(38,4)")).as("syy"),
+          sum((x * y).cast("decimal(38,4)")).as("sxy"))
+        .select($"l_returnflag", $"n",
+          sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double") /
+            ($"n" * ($"n" - 1)).cast("double")).as("stddev_qty"),
+          (($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+            (sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double")) *
+              sqrt(($"n" * $"syy" - $"sy" * $"sy").cast("double")))).as("corr_qty_disc"))
+        .orderBy($"l_returnflag")
     }),
   )
 
@@ -1435,5 +1459,20 @@ object SparkEntry {
       """SELECT m['brand'][1] AS brand, COUNT(*) AS n, MIN(m['type'][1]) AS min_type
         |FROM (SELECT MAP {'brand': p_brand, 'type': p_type} AS m FROM part) x
         |GROUP BY 1 ORDER BY brand""".stripMargin,
+
+    "q69_stats_agg" ->
+      """SELECT l_returnflag, n,
+        |  sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) AS stddev_qty,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qty_disc
+        |FROM (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |    SUM(CAST(l_discount AS DECIMAL(18,2))) AS sy,
+        |    SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxx,
+        |    SUM(CAST(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS syy,
+        |    SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag) m
+        |ORDER BY l_returnflag""".stripMargin,
   )
 }

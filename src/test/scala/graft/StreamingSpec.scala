@@ -121,6 +121,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.count() > 0)
   }
 
+  test("streaming ingestion into the vector index via foreachBatch is upsert-idempotent") {
+    import graft.core.HashingEmbedder
+    import graft.operators.{Ingest, VectorIndex}
+    val src = Files.createTempDirectory("graft_singest")
+    val idx = VectorIndex.ensure(spark,
+      Files.createTempDirectory("graft_sidx").toString + "/idx", 64)
+    val embedder = new HashingEmbedder(dimension = 64, seed = 42L)
+    val docsPath = s"${TestSpark.sf0001}/documents.parquet"
+    val schema = spark.read.parquet(docsPath).schema
+    val stream = spark.readStream.schema(schema).parquet(src.toString)
+      .select($"doc_id", $"text")
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          idx.upsert(Ingest.pipeline(batch, embedder,
+            Ingest.Config(expectedDim = Some(64))))
+      }.start()
+    try {
+      Files.copy(Paths.get(docsPath), src.resolve("b1.parquet"))
+      q.processAllAvailable()
+      assert(idx.scan().count() == 500)
+      // re-deliver the same docs in a later batch: upsert-by-id keeps 500
+      Files.copy(Paths.get(docsPath), src.resolve("b2.parquet"))
+      q.processAllAvailable()
+      assert(idx.scan().count() == 500)
+      assert(idx.snapshots().size >= 2)
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark drops duplicate event ids") {
     // duplicate the stream source file => every event appears twice
     val dir = Files.createTempDirectory("graft_stream_dup")
