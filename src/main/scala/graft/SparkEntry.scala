@@ -948,6 +948,26 @@ object SparkEntry {
               sqrt(($"n" * $"syy" - $"sy" * $"sy").cast("double")))).as("corr_qty_disc"))
         .orderBy($"l_returnflag")
     }),
+
+    // §2.G UNION with distinct semantics (q12/q13 cover the other set ops).
+    "q70_union_distinct" -> ((s, dir) => {
+      import s.implicits._
+      val ord = t(s, dir, "orders")
+      ord.filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+        .union(ord.filter($"o_orderpriority" === "2-HIGH").select($"o_custkey"))
+        .distinct()
+        .orderBy($"o_custkey")
+    }),
+
+    // §2.G date_trunc bucketing (week grain, ISO Monday start both engines).
+    "q71_date_trunc" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy(unix_micros(date_trunc("week", $"o_orderdate")).as("wk_us"))
+        .agg(count(lit(1)).as("n"),
+          sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("revenue"))
+        .orderBy($"wk_us")
+    }),
   )
 
   private val ngramDedupOracle: String =
@@ -1474,5 +1494,17 @@ object SparkEntry {
         |    SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxy
         |  FROM lineitem GROUP BY l_returnflag) m
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q70_union_distinct" ->
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |UNION
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q71_date_trunc" ->
+      """SELECT epoch_us(CAST(date_trunc('week', o_orderdate) AS TIMESTAMP)) AS wk_us,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY 1 ORDER BY wk_us""".stripMargin,
   )
 }
