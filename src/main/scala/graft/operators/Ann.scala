@@ -176,6 +176,6 @@ object Ann {
       }
       .sortBy { case (i, d) => (d, i) }
       .take(nProbe).map(_._1)
-    bruteForceTopK(idx.data.filter(col("_cell").isin(cells: _*)), vecCol, idCol, q, k)
+    bruteForceTopK(idx.data.filter(col("_cell").isin(cells.toIndexedSeq: _*)), vecCol, idCol, q, k)
   }
 }

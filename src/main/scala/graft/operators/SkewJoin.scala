@@ -20,7 +20,7 @@ object SkewJoin {
   def salted(fact: DataFrame, dim: DataFrame, key: String, salts: Int = 8): DataFrame = {
     require(salts > 0, "salts must be positive")
     val saltedFact = fact.withColumn("_salt",
-      pmod(xxhash64(struct(fact.columns.map(col): _*)), lit(salts.toLong)))
+      pmod(xxhash64(struct(fact.columns.toIndexedSeq.map(col): _*)), lit(salts.toLong)))
     val repl = dim.withColumn("_salt", explode(
       sequence(lit(0L), lit(salts.toLong - 1))))
     saltedFact.join(repl, Seq(key, "_salt")).drop("_salt")
