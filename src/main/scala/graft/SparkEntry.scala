@@ -441,14 +441,20 @@ object SparkEntry {
         .select($"doc_id").orderBy($"doc_id")
     }),
 
-    // Q6 SimHash near-dedup (64-bit, 4x16 bands, hamming<=3).
+    // Q6 SimHash near-dedup (64-bit, 4x16 bands, hamming<=3). The kept
+    // set is hash-function-specific (DedupSpec asserts it equals brute-
+    // force all-pairs hamming keep-first); the SQL-derivable contract —
+    // every exact copy is dropped, nothing above the original id range
+    // survives — is what the oracle checks.
     "q32_simhash_dedup" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents").select($"doc_id", $"text")
       val withDups = docs.unionByName(
         docs.withColumn("doc_id", $"doc_id" + 100000))
-      graft.operators.Dedup.simhash(withDups, "doc_id", "text")
-        .select($"doc_id").orderBy($"doc_id")
+      val kept = graft.operators.Dedup.simhash(withDups, "doc_id", "text")
+      val inputN = withDups.agg(count(lit(1)).as("n_input"))
+      inputN.crossJoin(kept.agg(
+        sum(when($"doc_id" >= 100000, 1L).otherwise(0L)).as("n_copies_kept")))
     }),
 
     // Q6 n-gram Jaccard near-dedup — fully exact inverted-index variant.
@@ -1241,6 +1247,9 @@ object SparkEntry {
     // sf0.001/0.01/0.1. Verify stage is the same exact Jaccard).
     // SimHash (q32) is hash-function-specific => rows-only.
     "q31_minhash_dedup" -> ngramDedupOracle,
+    "q32_simhash_dedup" ->
+      """SELECT 2 * COUNT(*) AS n_input, CAST(0 AS BIGINT) AS n_copies_kept
+        |FROM documents""".stripMargin,
     "q33_ngram_dedup" -> ngramDedupOracle,
     "q34_embedding_dedup" ->
       "SELECT vec_id FROM embeddings ORDER BY vec_id",

@@ -63,6 +63,22 @@ class DedupSpec extends AnyFunSuite {
     assert(kept.contains(0L) && !kept.contains(1L))
   }
 
+  test("simhash dedup equals brute-force all-pairs hamming keep-first on the fixture corpus") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .select($"doc_id", $"text")
+    val withDups = docs.unionByName(docs.withColumn("doc_id", $"doc_id" + 100000))
+    val kept = Dedup.simhash(withDups, "doc_id", "text").select("doc_id")
+      .as[Long].collect().toSet
+    // brute force: driver-side all-pairs popcount over the 1000 signatures
+    val sigs = withDups.select($"doc_id",
+        udf((t: String) => Dedup.simhash64(t)).apply($"text").as("sig"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val expected = sigs.zipWithIndex.collect { case ((id, sig), j)
+        if !sigs.take(j).exists { case (_, s2) =>
+          java.lang.Long.bitCount(sig ^ s2) <= 3 } => id }.toSet
+    assert(kept == expected)
+  }
+
   test("embedding cosine dedup drops scaled copies only") {
     val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
       .select($"vec_id", $"embedding")
