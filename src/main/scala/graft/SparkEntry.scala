@@ -608,15 +608,19 @@ object SparkEntry {
         .orderBy($"o_orderpriority", $"tile")
     }),
 
-    // Q2 approximate NN via hyperplane LSH (bucket prune + exact rescore).
-    // Approximate => no SQL oracle; recall is asserted in AnnSpec.
+    // Q2 approximate NN via hyperplane LSH (bucket prune + exact
+    // rescore). The id set is probabilistic (recall asserted in AnnSpec
+    // and contract-checked in q56); the gate checks the query returns
+    // exactly k distinct results despite bucket pruning.
     "q46_ann_lsh" -> ((s, dir) => {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
       val q = emb.filter($"vec_id" === 0).select($"embedding").as[Array[Float]].head()
       val indexed = graft.operators.Ann.buildIndex(emb, "embedding")
       graft.operators.Ann.queryIndex(indexed, "embedding", "vec_id", q, k = 10)
-        .select($"vec_id", $"label")
+        .agg(count(lit(1)).as("n_results"),
+          countDistinct($"vec_id").as("n_distinct"))
+        .select(lit(10L).as("k"), $"n_results", $"n_distinct")
     }),
 
     // C1 chunking pipeline end-to-end (all fixture docs are single-chunk:
@@ -1403,6 +1407,9 @@ object SparkEntry {
 
     // Approximate-index recall contracts: the bound itself is the
     // oracle-checkable claim (both top-k sets are computed in Spark).
+    "q46_ann_lsh" ->
+      """SELECT CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_results,
+        |  CAST(10 AS BIGINT) AS n_distinct""".stripMargin,
     "q56_ann_recall" ->
       "SELECT CAST(10 AS BIGINT) AS k, TRUE AS recall_ok",
     "q57_ann_ivf" ->
