@@ -37,7 +37,33 @@ object AsOfJoin {
       leftTime: String,
       rightTime: String,
       rightPayload: Seq[String],
-      suffix: String = "_asof"): DataFrame = {
+      suffix: String = "_asof"): DataFrame =
+    joinImpl(left, right, keyCols, leftTime, rightTime, rightPayload, suffix,
+      descending = false)
+
+  /** Forward as-of join: the EARLIEST right row with
+    * `rightTime >= leftTime` per key — the same single-shuffle window
+    * plan traversed in descending time order. */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightPayload: Seq[String],
+      suffix: String = "_asof"): DataFrame =
+    joinImpl(left, right, keyCols, leftTime, rightTime, rightPayload, suffix,
+      descending = true)
+
+  private def joinImpl(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightPayload: Seq[String],
+      suffix: String,
+      descending: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     val payloadStruct = struct(rightPayload.map(col): _*)
 
@@ -59,8 +85,13 @@ object AsOfJoin {
       .unionByName(rAligned.select(
         (leftCols ++ Seq("_asof_t", "_asof_side", "_asof_payload")).map(col): _*))
 
+    // Traversal order: time asc for backward (latest right at-or-before),
+    // time desc for forward (earliest right at-or-after). Either way
+    // right rows (side 0) sort before left rows at equal timestamps so
+    // an exactly-equal timestamp matches.
+    val tOrder = if (descending) col("_asof_t").desc else col("_asof_t").asc
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("_asof_t"), col("_asof_side"))
+      .orderBy(tOrder, col("_asof_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val matched = unioned
