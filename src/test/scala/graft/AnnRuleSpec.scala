@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.Ann
+import graft.plans.GraftExtensions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The ANN auto-prune optimizer rule: a declarative
+  * `ORDER BY cosine DESC LIMIT k` over an LSH-indexed table gets a
+  * bucket filter injected at plan time — opt-in, and equal to calling
+  * Ann.queryIndex by hand. */
+class AnnRuleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def topkPlan(indexed: org.apache.spark.sql.DataFrame, q: Array[Float]) =
+    indexed
+      .orderBy(graft.functions.vectors.cosine($"embedding",
+        lit(q.map(_.toDouble))).desc)
+      .limit(10)
+
+  test("opt-in rewrite injects arrays_overlap bucket pruning; off by default") {
+    GraftExtensions.install(spark)
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val q = emb.filter($"vec_id" === 0).select($"embedding").as[Array[Float]].head()
+    val indexed = Ann.buildIndex(emb, "embedding")
+
+    spark.conf.set("spark.graft.ann.autoPrune", "false")
+    val off = topkPlan(indexed, q)
+    assert(!off.queryExecution.optimizedPlan.toString.contains("arrays_overlap"),
+      "rule must not fire without opt-in")
+
+    spark.conf.set("spark.graft.ann.autoPrune", "true")
+    try {
+      val on = topkPlan(indexed, q)
+      assert(on.queryExecution.optimizedPlan.toString.contains("arrays_overlap"),
+        s"rule did not fire:\n${on.queryExecution.optimizedPlan}")
+      // the declarative form now equals the manual queryIndex call
+      val declarative = on.select($"vec_id").as[Long].collect().toSeq
+      val manual = Ann.queryIndex(indexed, "embedding", "vec_id", q, 10)
+        .select($"vec_id").as[Long].collect().toSeq
+      assert(declarative == manual)
+    } finally spark.conf.set("spark.graft.ann.autoPrune", "false")
+  }
+}
