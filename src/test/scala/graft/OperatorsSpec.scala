@@ -69,6 +69,19 @@ class OperatorsSpec extends AnyFunSuite {
       col("max_val") =!= col("rmax")).count() == 0)
   }
 
+  test("Ids.contiguous assigns 0..n-1 in order across many partitions") {
+    val df = spark.range(0, 5000).select(
+        (col("id") * 2654435761L % 9973).as("key"), col("id").as("orig"))
+      .repartition(16)
+    val out = graft.operators.Ids.contiguous(df, Seq(col("key"), col("orig")), "seq")
+      .select($"key", $"orig", $"seq").as[(Long, Long, Long)].collect()
+    assert(out.length == 5000)
+    assert(out.map(_._3).sorted.toSeq == (0L until 5000L))
+    // id order == (key, orig) order
+    val byId = out.sortBy(_._3).map(r => (r._1, r._2))
+    assert(byId.toSeq == out.map(r => (r._1, r._2)).sortBy(identity).toSeq)
+  }
+
   test("Multimodal.sampleFrames: n frames, bytes partition the blob exactly") {
     val df = Seq((1L, "0123456789abc"), (2L, "xy")).toDF("id", "s")
       .select($"id", $"s".cast("binary").as("blob"))
