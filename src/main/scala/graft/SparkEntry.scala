@@ -969,6 +969,21 @@ object SparkEntry {
         .orderBy($"o_custkey")
     }),
 
+    // Iterative graph op: connected components over a 4-node CHAIN per
+    // document (orig -> +100k -> +200k -> +300k) — min labels must
+    // propagate 3 hops, so convergence genuinely iterates; component of
+    // every node is the original doc_id.
+    "q72_connected_components" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "documents").select($"doc_id")
+      val edges = (0 until 3).map(k =>
+          ids.select(($"doc_id" + k * 100000L).as("src"),
+            ($"doc_id" + (k + 1) * 100000L).as("dst")))
+        .reduce(_ unionByName _)
+      graft.operators.Graph.connectedComponents(edges, "src", "dst")
+        .orderBy($"node")
+    }),
+
     // §2.G date_trunc bucketing (week grain, ISO Monday start both engines).
     "q71_date_trunc" -> ((s, dir) => {
       import s.implicits._
@@ -1522,5 +1537,10 @@ object SparkEntry {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders GROUP BY 1 ORDER BY wk_us""".stripMargin,
+
+    "q72_connected_components" ->
+      """SELECT doc_id + k * 100000 AS node, doc_id AS component
+        |FROM documents, generate_series(0, 3) AS t(k)
+        |ORDER BY node""".stripMargin,
   )
 }

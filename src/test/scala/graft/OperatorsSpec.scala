@@ -123,6 +123,31 @@ class OperatorsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](idx.scanAt(99L))
   }
 
+  test("Graph.connectedComponents == driver-side union-find on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val n = 200
+      val edges = Seq.fill(150)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val got = graft.operators.Graph.connectedComponents(
+          edges.toDF("src", "dst"), "src", "dst")
+        .as[(Long, Long)].collect().toMap
+      // union-find reference
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      touched.foreach { node =>
+        // expected component = min node in the union-find class among touched nodes
+        val cls = touched.filter(m => find(m.toInt) == find(node.toInt))
+        assert(got(node) == cls.min, s"trial $trial node $node")
+      }
+    }
+  }
+
   test("Ann.buildIvf/queryIvf: probing all cells reproduces exact top-k") {
     val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
     val q = emb.filter($"vec_id" === 3).select($"embedding").as[Array[Float]].head()
