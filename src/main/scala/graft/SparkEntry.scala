@@ -984,6 +984,38 @@ object SparkEntry {
         .orderBy($"node")
     }),
 
+    // §2.A source breadth: JSON sink+source round-trip inside the gate —
+    // doubles survive exactly (shortest-repr write, exact parse).
+    "q73_json_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q73").toString
+      events(s, dir)
+        .select($"event_id", $"event_type", $"value", unix_micros($"ts").as("ts_us"))
+        .write.mode("overwrite").json(s"$tmp/ev")
+      s.read.json(s"$tmp/ev")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"),
+          min($"ts_us").cast("long").as("min_ts_us"))
+        .orderBy($"event_type")
+    }),
+
+    // §2.A source breadth: CSV sink+source round-trip with explicit schema.
+    "q74_csv_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q74").toString
+      events(s, dir)
+        .select($"event_id", $"user_id", $"event_type", $"value")
+        .write.mode("overwrite").option("header", "true").csv(s"$tmp/ev")
+      s.read.schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
+        .option("header", "true").csv(s"$tmp/ev")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"),
+          countDistinct($"user_id").as("n_users"))
+        .orderBy($"event_type")
+    }),
+
     // §2.G date_trunc bucketing (week grain, ISO Monday start both engines).
     "q71_date_trunc" -> ((s, dir) => {
       import s.implicits._
@@ -1542,5 +1574,17 @@ object SparkEntry {
       """SELECT doc_id + k * 100000 AS node, doc_id AS component
         |FROM documents, generate_series(0, 3) AS t(k)
         |ORDER BY node""".stripMargin,
+
+    "q73_json_roundtrip" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  MIN(epoch_us(ts)) AS min_ts_us
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q74_csv_roundtrip" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }
