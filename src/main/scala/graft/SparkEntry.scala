@@ -984,6 +984,34 @@ object SparkEntry {
         .orderBy($"node")
     }),
 
+    // Q6 transitive cluster dedup: minhash pairs -> connected
+    // components -> keep each component's min. The corpus is a chain
+    // per doc — orig a, c1 = first quarter of tokens replaced (J~0.58),
+    // c2 = first AND second quarters replaced (J(c1,c2)~0.58 but
+    // J(a,c2)~0.31) — with c2's id BETWEEN a's and c1's, so pairwise
+    // keep-first would keep c2 and only the transitive closure drops
+    // it. Oracle: exact trigram-Jaccard graph + recursive-CTE
+    // reachability in DuckDB.
+    "q75_minhash_clusters" -> ((s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "documents")
+        .select($"doc_id",
+          filter(split(lower($"text"), "[^a-z0-9]+"), x => x =!= "").as("tk"))
+        .filter(size($"tk") >= 30)
+      val m = size($"tk")
+      val r = (m / lit(4)).cast("int")
+      def fill(tag: String) = transform(sequence(lit(1), r), i => concat(lit(tag), i))
+      val orig = base.select($"doc_id", array_join($"tk", " ").as("text"))
+      val c1 = base.select(($"doc_id" + 200000).as("doc_id"),
+        array_join(concat(fill("xa"), slice($"tk", r + 1, m - r)), " ").as("text"))
+      val c2 = base.select(($"doc_id" + 100000).as("doc_id"),
+        array_join(concat(fill("xa"), fill("xb"), slice($"tk", lit(2) * r + 1, m - lit(2) * r)), " ")
+          .as("text"))
+      val corpus = orig.unionByName(c1).unionByName(c2)
+      graft.operators.Dedup.minhashClusters(corpus, "doc_id", "text")
+        .select($"doc_id").orderBy($"doc_id")
+    }),
+
     // §2.A source breadth: JSON sink+source round-trip inside the gate —
     // doubles survive exactly (shortest-repr write, exact parse).
     "q73_json_roundtrip" -> ((s, dir) => {
@@ -1574,6 +1602,54 @@ object SparkEntry {
       """SELECT doc_id + k * 100000 AS node, doc_id AS component
         |FROM documents, generate_series(0, 3) AS t(k)
         |ORDER BY node""".stripMargin,
+
+    "q75_minhash_clusters" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |flt AS (
+        |  SELECT doc_id, tk, len(tk) AS m, len(tk) // 4 AS r FROM base WHERE len(tk) >= 30),
+        |corpus AS (
+        |  SELECT doc_id, array_to_string(tk, ' ') AS text FROM flt
+        |  UNION ALL
+        |  SELECT doc_id + 200000, array_to_string(list_concat(
+        |      list_transform(generate_series(1, r), i -> 'xa' || i),
+        |      list_slice(tk, r + 1, m)), ' ')
+        |  FROM flt
+        |  UNION ALL
+        |  SELECT doc_id + 100000, array_to_string(list_concat(list_concat(
+        |      list_transform(generate_series(1, r), i -> 'xa' || i),
+        |      list_transform(generate_series(1, r), i -> 'xb' || i)),
+        |      list_slice(tk, 2 * r + 1, m)), ' ')
+        |  FROM flt),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk2
+        |  FROM corpus),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk2) < 3 THEN [array_to_string(tk2, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(tk2) - 2),
+        |                i -> tk2[i] || ' ' || tk2[i+1] || ' ' || tk2[i+2]))
+        |    END AS sh
+        |  FROM toks),
+        |inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib, a.n AS na, b.n AS nb, COUNT(*) AS c
+        |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4),
+        |edges AS (
+        |  SELECT ia AS s, ib AS d FROM pairs WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5
+        |  UNION ALL
+        |  SELECT ib, ia FROM pairs WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5),
+        |reach(node, lbl) AS (
+        |  SELECT doc_id, doc_id FROM corpus
+        |  UNION
+        |  SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node)
+        |SELECT node AS doc_id FROM (
+        |  SELECT node, MIN(lbl) AS l FROM reach GROUP BY node) x
+        |WHERE l = node ORDER BY doc_id""".stripMargin,
 
     "q73_json_roundtrip" ->
       """SELECT event_type, COUNT(*) AS n,

@@ -194,14 +194,48 @@ object Dedup {
       threshold: Double = 0.5,
       seed: Long = 42L,
       maxBucketSize: Int = 10000): DataFrame = {
+    // checkpointed: the shingle UDF output feeds banding, the payload
+    // join and (via lineage) the final anti-join — pin it once
     val sh = df.select(col(idCol).cast("long").as("_id"),
-      shingleCol(col(textCol), k).as("_sh"))
+      shingleCol(col(textCol), k).as("_sh")).localCheckpoint(true)
 
     // narrow banding: (id, bucket) only — shingles stay out of this pass;
     // the band ordinal is mixed into the hash, so the hash IS the bucket
     val banded = sh.select(col("_id"),
       explode(bandedMinhashCol(col("_sh"), numHashes, bands, seed)).as("_bk"))
     val drops = shingleDrops(banded, sh, maxBucketSize, threshold)
+    df.join(drops, df(idCol).cast("long") === col("_drop"), "left_anti")
+  }
+
+  /** Cluster (transitive) MinHash dedup: verified duplicate PAIRS feed
+    * [[Graph.connectedComponents]]; everything except each component's
+    * minimum id is dropped. Differs from pairwise keep-first exactly on
+    * chains whose middle node carries a larger id than an endpoint
+    * (a=1 ~ b=3 ~ c=2 with no a~c edge: pairwise keeps {1,2}; clusters
+    * keep {1}) — the semantics training-data dedup usually wants. */
+  def minhashClusters(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      numHashes: Int = 192,
+      bands: Int = 64,
+      threshold: Double = 0.5,
+      seed: Long = 42L,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sh = df.select(col(idCol).cast("long").as("_id"),
+      shingleCol(col(textCol), k).as("_sh")).localCheckpoint(true)
+    val banded = sh.select(col("_id"),
+      explode(bandedMinhashCol(col("_sh"), numHashes, bands, seed)).as("_bk"))
+    val packed = packBuckets(banded, sh, maxBucketSize)
+      .select(col("_bk"), col("_id"), col("_sh")).as[(Long, Long, Array[Long])]
+    val t = threshold
+    val edges = bucketVerifiedPairs[Array[Long]](packed, (a, b) => jaccardGE(a, b, t))
+    val drops = Graph.connectedComponents(edges, "_a", "_b")
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as("_drop"))
     df.join(drops, df(idCol).cast("long") === col("_drop"), "left_anti")
   }
 
@@ -245,7 +279,7 @@ object Dedup {
       k: Int = 3,
       threshold: Double = 0.5): DataFrame = {
     val sh = df.select(col(idCol).cast("long").as("_id"),
-      shingleCol(col(textCol), k).as("_sh"))
+      shingleCol(col(textCol), k).as("_sh")).localCheckpoint(true)
     val inv = sh.select(col("_id"), explode(col("_sh")).as("_g"))
     val dfreq = inv.groupBy("_g").agg(count(lit(1)).as("_df"))
 
@@ -350,6 +384,24 @@ object Dedup {
       }
       out.iterator
     }.toDF("_drop").distinct()
+  }
+
+  /** All VERIFIED duplicate pairs (_a < _b, distinct) — like
+    * [[bucketDrops]] but emitting the pairs themselves (no early exit;
+    * cluster dedup needs the full edge set). */
+  private def bucketVerifiedPairs[P](
+      packed: org.apache.spark.sql.Dataset[(Long, Long, P)],
+      dup: (P, P) => Boolean): DataFrame = {
+    val spark = packed.sparkSession
+    import spark.implicits._
+    packed.groupByKey(_._1).flatMapGroups { (_: Long, it: Iterator[(Long, Long, P)]) =>
+      val rows = it.toArray.sortBy(_._2)
+      for {
+        j <- (1 until rows.length).iterator
+        i <- (0 until j).iterator
+        if dup(rows(i)._3, rows(j)._3)
+      } yield (rows(i)._2, rows(j)._2)
+    }.toDF("_a", "_b").distinct()
   }
 
   /** Shared tail for the shingle-set variants (minhash / ngram):

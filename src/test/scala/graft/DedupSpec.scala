@@ -47,6 +47,24 @@ class DedupSpec extends AnyFunSuite {
     assert(kept.toSet == rows.map(_._1).toSet -- expectDrop)
   }
 
+  test("minhashClusters drops transitively where pairwise keep-first cannot") {
+    // chain a(1) ~ b(3) ~ c(2), no a~c edge; the middle node's id (3)
+    // exceeds the chain tail's (2)
+    val w = (1 to 40).map(i => s"w$i")
+    val x = (1 to 10).map(i => s"x$i")
+    val y = (1 to 10).map(i => s"y$i")
+    val a = w.mkString(" ")                                  // w1..w40
+    val b = (x ++ w.drop(10)).mkString(" ")                  // first quarter replaced
+    val c = (x ++ y ++ w.drop(20)).mkString(" ")             // first two quarters replaced
+    val df = Seq((1L, a), (3L, b), (2L, c)).toDF("doc_id", "text")
+    val pairwise = Dedup.minhash(df, "doc_id", "text", numHashes = 192, bands = 64)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val clustered = Dedup.minhashClusters(df, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(pairwise == Seq(1L, 2L)) // c's only duplicate (b=3) has a larger id
+    assert(clustered == Seq(1L))    // transitive closure reaches c through b
+  }
+
   test("simhash: identical text => identical hash; near text => small hamming") {
     val a = Dedup.simhash64("the quick brown fox jumps over the lazy dog repeatedly every single day")
     val b = Dedup.simhash64("the quick brown fox jumps over the lazy dog repeatedly every single day")
