@@ -12,14 +12,14 @@ import org.apache.spark.sql.functions._
   * closure.
   *
   * Algorithm: every node starts labeled with itself; each round every
-  * node takes the min label among itself and its neighbors; stop when a
-  * round changes nothing. Rounds = graph diameter (duplicate clusters
-  * are near-cliques/stars, so 2-4 rounds in practice). Each round is
-  * two hash shuffles (join + min-agg) over the edge list — no
-  * quadratic blowup, works on billions of edges. Lineage is truncated
-  * per round (localCheckpoint) — the standard iterative-Spark pattern;
-  * swap for reliable checkpointing where executor loss must not restart
-  * the job.
+  * node takes the min label among itself, its neighbors, AND its
+  * current label's label (pointer jumping — reach doubles per round, so
+  * rounds = O(log diameter) and a million-node path converges in ~20
+  * rounds, not a million). Each round is three hash shuffles over the
+  * edge/label lists — no quadratic blowup, works on billions of edges.
+  * Lineage is truncated per round (localCheckpoint) — the standard
+  * iterative-Spark pattern; swap for reliable checkpointing where
+  * executor loss must not restart the job.
   */
 object Graph {
 
@@ -48,12 +48,20 @@ object Graph {
         .join(labels.withColumnRenamed("_node", "_dst"), "_dst")
         .groupBy("_src").agg(min("_comp").as("_nmin"))
         .withColumnRenamed("_src", "_node")
-      // one materialized frame carries old AND new labels, so the
-      // convergence probe is a filter over cached blocks, not a re-join
-      val step = labels.withColumnRenamed("_comp", "_old")
+      val merged = labels.withColumnRenamed("_comp", "_old")
         .join(neighborMin, Seq("_node"), "left")
         .select(col("_node"),
-          least(col("_old"), coalesce(col("_nmin"), col("_old"))).as("_comp"),
+          least(col("_old"), coalesce(col("_nmin"), col("_old"))).as("_m"),
+          col("_old"))
+      // pointer jump: follow the label to ITS label (labels are node
+      // ids, so every label has a row) — doubles reach per round
+      val lookup = labels.select(col("_node").as("_c"), col("_comp").as("_cc"))
+      // one materialized frame carries old AND new labels, so the
+      // convergence probe is a filter over cached blocks, not a re-join
+      val step = merged
+        .join(lookup.hint("shuffle_hash"), merged("_m") === col("_c"), "left")
+        .select(col("_node"),
+          least(col("_m"), coalesce(col("_cc"), col("_m"))).as("_comp"),
           col("_old"))
         .localCheckpoint(true)
       converged = step.filter(col("_comp") =!= col("_old")).limit(1).count() == 0

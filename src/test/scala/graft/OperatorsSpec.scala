@@ -148,6 +148,16 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("Graph.connectedComponents handles a path much longer than the round cap") {
+    // 120-node path: plain hash-min needs 120 rounds; pointer jumping
+    // converges within the 50-round cap (O(log n))
+    val edges = (0L until 119L).map(i => (i, i + 1)).toDF("src", "dst")
+    val comp = graft.operators.Graph.connectedComponents(edges, "src", "dst")
+      .as[(Long, Long)].collect()
+    assert(comp.length == 120)
+    assert(comp.forall(_._2 == 0L))
+  }
+
   test("Ann.buildIvf/queryIvf: probing all cells reproduces exact top-k") {
     val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
     val q = emb.filter($"vec_id" === 3).select($"embedding").as[Array[Float]].head()
