@@ -26,10 +26,19 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // Human-readable per-query table (full names), slowest first. These lines
+    // scroll out of the harness's 2000-char output tail; only the compact
+    // JSON line below must survive in it.
+    results.toSeq.sortBy(-_._2).foreach { case (k, v) => println(f"BENCH $k%-28s $v%9.3f s") }
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Compact final JSON: the harness captures only the LAST 2000 chars of
+    // output and json-parses the line — 75 full-name entries (~2950 chars)
+    // do not fit. Keys are shortened to the "qNN" prefix (unambiguous: full
+    // names are printed above) and values rounded to ms.
+    def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
