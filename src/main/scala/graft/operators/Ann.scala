@@ -105,8 +105,23 @@ object Ann {
   def buildIndex(df: DataFrame, vecCol: String,
       planesPerBand: Int = 4, bands: Int = 16, seed: Long = 42L): DataFrame = {
     val f = udf((v: Seq[Double]) => bucketSet(v.toArray, planesPerBand, bands, seed))
-    df.withColumn("_buckets", f(col(vecCol).cast("array<double>")))
+    // Record the build params in the column's metadata: query-side code
+    // (AnnTopKPruneRule) must hash the query vector with the SAME params
+    // or bucket membership is meaningless. Metadata rides the attribute
+    // through projections/filters and survives a parquet round trip
+    // (Spark persists field metadata in the schema footer).
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(ParamPlanes, planesPerBand.toLong)
+      .putLong(ParamBands, bands.toLong)
+      .putLong(ParamSeed, seed)
+      .build()
+    df.withColumn("_buckets", f(col(vecCol).cast("array<double>")).as("_buckets", md))
   }
+
+  /** Metadata keys carrying LSH build params on the `_buckets` column. */
+  val ParamPlanes = "graft.ann.planesPerBand"
+  val ParamBands = "graft.ann.bands"
+  val ParamSeed = "graft.ann.seed"
 
   private[graft] def bucketSet(v: Array[Double], planesPerBand: Int,
       bands: Int, seed: Long): Array[Int] =

@@ -22,6 +22,13 @@ import org.apache.spark.sql.functions._
   * Right payloads ride inside a struct, so a right row whose payload
   * columns are themselves null still matches (null-struct marks "no
   * right row yet", not "null payload").
+  *
+  * Null event times: `rightTime IS NULL` rows are DROPPED before the
+  * union — under ascending traversal Spark sorts nulls first, so such a
+  * row would otherwise sit at the window start and be carried forward as
+  * a spurious "latest at-or-before" match. `leftTime IS NULL` rows are
+  * KEPT but never match (the comparison is unknown under the naive
+  * definition), mirroring a left join's null-key behavior.
   */
 object AsOfJoin {
 
@@ -73,6 +80,7 @@ object AsOfJoin {
       .withColumn("_asof_payload", lit(null).cast(
         right.select(payloadStruct).schema.head.dataType))
     val r = right
+      .filter(col(rightTime).isNotNull) // see scaladoc: null right times never match
       .select((keyCols.map(col) :+ col(rightTime).as("_asof_t")) :+
         payloadStruct.as("_asof_payload"): _*)
       .withColumn("_asof_side", lit(0))
@@ -96,6 +104,11 @@ object AsOfJoin {
 
     val matched = unioned
       .withColumn("_asof_match", last(col("_asof_payload"), ignoreNulls = true).over(w))
+      // null left times never match: under desc traversal (forward mode)
+      // nulls sort LAST — after every right row — so the window value
+      // must be masked, not trusted
+      .withColumn("_asof_match",
+        when(col("_asof_t").isNotNull, col("_asof_match")))
       .filter(col("_asof_side") === 1)
 
     val attached = rightPayload.foldLeft(matched) { (df, p) =>

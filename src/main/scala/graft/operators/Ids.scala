@@ -17,8 +17,26 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object Ids {
 
-  /** Append a 0-based contiguous `idCol` ordered by `orderCols`. */
-  def contiguous(df: DataFrame, orderCols: Seq[Column], idCol: String): DataFrame = {
+  /** Result of [[contiguousWithHandle]]: the id-stamped frame plus the
+    * handle that releases its pinned RDD. The frame's rows come from a
+    * persisted RDD (MEMORY_AND_DISK) — `df.rdd.unpersist()` on the
+    * RETURNED frame would be a no-op (that `.rdd` is a fresh RDD derived
+    * from the plan, not the persisted one), so the real reference is
+    * exposed here. After `unpersist()`, re-computing the frame would
+    * re-run the range shuffle; ids stay correct (offsets are fixed in
+    * the broadcast) but tie-order within equal keys is no longer pinned,
+    * so unpersist only once downstream has consumed or written the ids. */
+  final case class WithIds(df: DataFrame, unpersist: () => Unit)
+
+  /** Append a 0-based contiguous `idCol` ordered by `orderCols`.
+    * Convenience form of [[contiguousWithHandle]] that keeps the
+    * backing RDD pinned until Spark's ContextCleaner collects it. */
+  def contiguous(df: DataFrame, orderCols: Seq[Column], idCol: String): DataFrame =
+    contiguousWithHandle(df, orderCols, idCol).df
+
+  /** As [[contiguous]], but also returns the unpersist handle for the
+    * cached id-stamped RDD. */
+  def contiguousWithHandle(df: DataFrame, orderCols: Seq[Column], idCol: String): WithIds = {
     val spark = df.sparkSession
     val sorted = df
       .repartitionByRange(orderCols: _*)
@@ -46,12 +64,13 @@ object Ids {
     }
     // Materialize ids while the sorted input is still cached, THEN release
     // it — unpersisting earlier would let a recompute misalign offsets.
-    // The result stays persisted (it is the product of two jobs); callers
-    // that are done with it can unpersist via df.rdd.unpersist().
+    // The result stays persisted (it is the product of two jobs); the
+    // returned handle unpersists THIS RDD (the persisted one — see
+    // [[WithIds]] for why `df.rdd.unpersist()` would not).
     withId.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     withId.count()
     rdd.unpersist(blocking = false)
     val schema = StructType(sorted.schema.fields :+ StructField(idCol, LongType, nullable = false))
-    spark.createDataFrame(withId, schema)
+    WithIds(spark.createDataFrame(withId, schema), () => withId.unpersist(blocking = false))
   }
 }

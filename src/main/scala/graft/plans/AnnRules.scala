@@ -53,21 +53,33 @@ object AnnTopKPruneRule extends Rule[LogicalPlan] {
   }
 
   /** If the sort key is cosine(col, literal) and `child` outputs an LSH
-    * `_buckets` column, return the bucket-pruning Filter over child. */
+    * `_buckets` column CARRYING its build params in column metadata
+    * (written by [[Ann.buildIndex]]), return the bucket-pruning Filter
+    * over child. A `_buckets` column without the metadata is NOT treated
+    * as an index: hashing the query vector with guessed params would
+    * filter on mismatched buckets and silently destroy recall. */
   private def rewrite(cos: CosineSimilarity, child: LogicalPlan): Option[Filter] = {
     // already pruned? (idempotence under fixed-point rule execution)
     val alreadyPruned = child.collectFirst {
       case Filter(cond, _) if cond.isInstanceOf[ArraysOverlap] => true
     }.isDefined
     if (alreadyPruned) return None
-    val bucketsAttr = child.output.find(_.name == "_buckets")
+    val bucketsAttr = child.output.find(a =>
+      a.name == "_buckets" &&
+        a.metadata.contains(Ann.ParamPlanes) &&
+        a.metadata.contains(Ann.ParamBands) &&
+        a.metadata.contains(Ann.ParamSeed) &&
+        a.dataType.isInstanceOf[ArrayType])
     val qvec: Option[Array[Double]] = (cos.left, cos.right) match {
       case (_, l: Literal) if l.foldable => literalVec(l)
       case (l: Literal, _) if l.foldable => literalVec(l)
       case _ => None
     }
     for (b <- bucketsAttr; q <- qvec) yield {
-      val qBuckets = Ann.bucketSet(q, planesPerBand = 4, bands = 16, seed = 42L)
+      val qBuckets = Ann.bucketSet(q,
+        planesPerBand = b.metadata.getLong(Ann.ParamPlanes).toInt,
+        bands = b.metadata.getLong(Ann.ParamBands).toInt,
+        seed = b.metadata.getLong(Ann.ParamSeed))
       Filter(
         ArraysOverlap(b,
           Literal.create(qBuckets, ArrayType(IntegerType, containsNull = false))),

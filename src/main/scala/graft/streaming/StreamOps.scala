@@ -63,28 +63,52 @@ object StreamOps {
   // ---------- custom state: flatMapGroupsWithState ----------
 
   final case class UserEvent(user_id: Long, ts_us: Long)
+  /** Input row for the incremental variant: the watermarked `ts` column
+    * must survive projection into the stateful operator's input, or the
+    * analyzer rejects EventTimeTimeout ("no watermark"). */
+  final case class UserEventT(user_id: Long, ts_us: Long, ts: java.sql.Timestamp)
   final case class OpenSession(start_us: Long, end_us: Long, n: Long)
   final case class UserSession(user_id: Long, sess_start_us: Long,
       sess_end_us: Long, n_events: Long)
 
-  /** Custom stateful sessionization on the KeyValueGroupedDataset
-    * surface (`flatMapGroupsWithState` — SURVEY.md §2.G streaming row):
-    * per-user open-session state carried across micro-batches; a
-    * session closes when the inactivity gap exceeds `gapMin`.
+  /** Shared session state machine: fold sorted event times into `open`,
+    * appending every CLOSED session to `out`; returns the still-open
+    * tail (null when no events and no prior state). */
+  private def foldSessions(uid: Long, sorted: Array[Long], prior: OpenSession,
+      gapUs: Long, out: scala.collection.mutable.ArrayBuffer[UserSession]): OpenSession = {
+    var open = prior
+    var i = 0
+    while (i < sorted.length) {
+      val t = sorted(i)
+      if (open == null) open = OpenSession(t, t, 0L)
+      else if (t - open.end_us > gapUs) {
+        out += UserSession(uid, open.start_us, open.end_us, open.n)
+        open = OpenSession(t, t, 0L)
+      }
+      open = OpenSession(open.start_us, t, open.n + 1)
+      i += 1
+    }
+    open
+  }
+
+  /** REPLAY-mode stateful sessionization (`flatMapGroupsWithState`):
+    * per-user open-session state; a session closes when the inactivity
+    * gap exceeds `gapMin`.
     *
-    * Emission policy: closed sessions are emitted when they close, and
-    * the still-open tail session is emitted eagerly at the end of each
-    * batch (state is then cleared). That makes a single-batch replay —
-    * and batch execution, where Spark runs the same function with empty
-    * state — EXACTLY equal to the gaps-and-islands batch sessionization,
-    * which is what the spec asserts. An incremental production variant
-    * would keep the tail in state and flush via EventTimeTimeout
-    * instead; the state-machine body is identical.
+    * Emission policy — the name is the warning: closed sessions are
+    * emitted when they close AND the still-open tail session is emitted
+    * eagerly at the end of every micro-batch (state is then cleared).
+    * A single-batch replay — and batch execution, where Spark runs the
+    * same function with empty state — is therefore EXACTLY equal to the
+    * gaps-and-islands batch sessionization, which is what the spec
+    * asserts. Run INCREMENTALLY it re-emits an evolving tail row per
+    * batch for any user active across batches — use
+    * [[statefulSessions]] for incremental pipelines.
     *
     * State size: O(1) per active user key (one open session), hash-
     * partitioned across executors by user — the standard bounded-state
     * shape at 100 TB event volume. */
-  def statefulSessions(events: DataFrame, gapMin: Int = 5): Dataset[UserSession] = {
+  def statefulSessionsReplay(events: DataFrame, gapMin: Int = 5): Dataset[UserSession] = {
     val spark = events.sparkSession
     import spark.implicits._
     val gapUs = gapMin * 60L * 1000000L
@@ -99,21 +123,57 @@ object StreamOps {
           val sorted = it.map(_.ts_us).toArray
           java.util.Arrays.sort(sorted)
           val out = scala.collection.mutable.ArrayBuffer.empty[UserSession]
-          var open = state.getOption.orNull
-          var i = 0
-          while (i < sorted.length) {
-            val t = sorted(i)
-            if (open == null) open = OpenSession(t, t, 0L)
-            else if (t - open.end_us > gapUs) {
-              out += UserSession(uid, open.start_us, open.end_us, open.n)
-              open = OpenSession(t, t, 0L)
-            }
-            open = OpenSession(open.start_us, t, open.n + 1)
-            i += 1
-          }
+          val open = foldSessions(uid, sorted, state.getOption.orNull, gapUs, out)
           if (open != null) out += UserSession(uid, open.start_us, open.end_us, open.n)
           state.remove()
           out.iterator
+      }
+  }
+
+  /** INCREMENTAL stateful sessionization — the production variant: the
+    * open tail stays in GroupState across micro-batches and is flushed
+    * exactly once, when the event-time watermark passes
+    * `session end + gap` (EventTimeTimeout). Each session is emitted a
+    * single time, closed; no overlapping/evolving rows downstream.
+    *
+    * Batch-mode caveat: timeouts never fire in batch execution, so open
+    * tails are not emitted there — [[statefulSessionsReplay]] is the
+    * batch-equal form the DuckDB oracle checks. */
+  def statefulSessions(events: DataFrame, gapMin: Int = 5,
+      watermarkDelay: String = "10 minutes"): Dataset[UserSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMin * 60L * 1000000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id").cast("long").as("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("ts"))
+      .as[UserEventT]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, UserSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[UserEventT], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // watermark passed tail end + gap: no event can extend it
+            val out = state.getOption
+              .map(o => UserSession(uid, o.start_us, o.end_us, o.n)).iterator
+            state.remove()
+            out
+          } else {
+            val sorted = it.map(_.ts_us).toArray
+            java.util.Arrays.sort(sorted)
+            val out = scala.collection.mutable.ArrayBuffer.empty[UserSession]
+            val open = foldSessions(uid, sorted, state.getOption.orNull, gapUs, out)
+            if (open != null) {
+              state.update(open)
+              // flush when the watermark passes end+gap; timeout must be
+              // strictly later than the current watermark, so clamp for
+              // tails that are already expired as they arrive
+              val endMs = open.end_us / 1000L + gapMin * 60L * 1000L
+              state.setTimeoutTimestamp(math.max(endMs, state.getCurrentWatermarkMs() + 1L))
+            }
+            out.iterator
+          }
       }
   }
 }

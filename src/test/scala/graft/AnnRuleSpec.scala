@@ -42,4 +42,38 @@ class AnnRuleSpec extends AnyFunSuite {
       assert(declarative == manual)
     } finally spark.conf.set("spark.graft.ann.autoPrune", "false")
   }
+
+  test("rule hashes the query with the index's OWN build params (column metadata)") {
+    GraftExtensions.install(spark)
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val q = emb.filter($"vec_id" === 3).select($"embedding").as[Array[Float]].head()
+    // non-default params: a rule that assumed the defaults would probe
+    // wrong buckets and diverge from the manual queryIndex call
+    val indexed = Ann.buildIndex(emb, "embedding", planesPerBand = 6, bands = 8, seed = 7L)
+    spark.conf.set("spark.graft.ann.autoPrune", "true")
+    try {
+      val on = topkPlan(indexed, q)
+      assert(on.queryExecution.optimizedPlan.toString.contains("arrays_overlap"))
+      val declarative = on.select($"vec_id").as[Long].collect().toSeq
+      val manual = Ann.queryIndex(indexed, "embedding", "vec_id", q, 10,
+        planesPerBand = 6, bands = 8, seed = 7L)
+        .select($"vec_id").as[Long].collect().toSeq
+      assert(declarative == manual)
+    } finally spark.conf.set("spark.graft.ann.autoPrune", "false")
+  }
+
+  test("a _buckets column without build-params metadata is NOT treated as an index") {
+    GraftExtensions.install(spark)
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val q = emb.filter($"vec_id" === 0).select($"embedding").as[Array[Float]].head()
+    // same name, same type, but no recorded params: filtering on guessed
+    // buckets would silently destroy recall, so the rule must skip it
+    val impostor = emb.withColumn("_buckets", array(lit(1), lit(2)))
+    spark.conf.set("spark.graft.ann.autoPrune", "true")
+    try {
+      val on = topkPlan(impostor, q)
+      assert(!on.queryExecution.optimizedPlan.toString.contains("arrays_overlap"),
+        "rewrite must not fire on a params-less _buckets column")
+    } finally spark.conf.set("spark.graft.ann.autoPrune", "false")
+  }
 }

@@ -47,4 +47,24 @@ class AsOfJoinPropSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("null event times: right nulls never match, left nulls keep the row unmatched") {
+    val left = Seq((1L, Some(10L), 0L), (1L, None, 1L), (2L, Some(5L), 2L))
+      .toDF("k", "t", "lid")
+    val right = Seq((1L, None, 100L), (1L, Some(4L), 101L), (2L, None, 102L))
+      .toDF("k", "t", "rid")
+    val bw = AsOfJoin.backward(left, right, Seq("k"), "t", "t", Seq("rid"))
+      .select($"lid", $"rid_asof").as[(Long, Option[Long])].collect().toMap
+    // k=1 t=10: only real earlier right row is rid=101 (t=4); the null-time
+    // rid=100 must NOT be carried forward as a spurious "latest"
+    assert(bw(0L).contains(101L))
+    // left null time: row survives, no match
+    assert(bw(1L).isEmpty)
+    // k=2: the only right row has null time -> no match (not rid=102)
+    assert(bw(2L).isEmpty)
+    val fw = AsOfJoin.forward(left, right, Seq("k"), "t", "t", Seq("rid"))
+      .select($"lid", $"rid_asof").as[(Long, Option[Long])].collect().toMap
+    assert(fw(1L).isEmpty, "desc traversal sorts nulls last - must be masked")
+    assert(fw(2L).isEmpty)
+  }
 }

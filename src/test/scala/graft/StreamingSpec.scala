@@ -84,8 +84,8 @@ class StreamingSpec extends AnyFunSuite {
 
   test("flatMapGroupsWithState sessionization: stream == batch == islands") {
     val streamed = runToBatch(
-      StreamOps.statefulSessions(streamEvents).toDF(), "append", "fmgs_out")
-    val batch = StreamOps.statefulSessions(batchEvents).toDF()
+      StreamOps.statefulSessionsReplay(streamEvents).toDF(), "append", "fmgs_out")
+    val batch = StreamOps.statefulSessionsReplay(batchEvents).toDF()
     assert(sortedRows(streamed) == sortedRows(batch))
     // per-user session counts equal the gaps-and-islands formulation
     // with the same strict-gap close (gap > 5 min)
@@ -99,6 +99,48 @@ class StreamingSpec extends AnyFunSuite {
           .otherwise(0L))
       .groupBy($"user_id").agg(sum($"new_sess").as("n_sessions"))
     assert(sortedRows(viaState) == sortedRows(viaIslands))
+  }
+
+  test("incremental statefulSessions: cross-batch session emitted once, tail flushed by timeout") {
+    // Three micro-batches; user 7's first session spans nothing (both
+    // events in batch 1), but it must NOT be re-emitted per batch (the
+    // replay variant would emit an evolving tail every batch).
+    val dir = Files.createTempDirectory("graft_incr_sess")
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts_us", LongType)))
+    def writeBatch(name: String, rows: Seq[(Long, Long)]): Unit = {
+      val tmp = Files.createTempDirectory("graft_incr_tmp")
+      rows.toDF("user_id", "ts_us").repartition(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.copy(part, dir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+    }
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros($"ts_us"))
+    val out = StreamOps.statefulSessions(stream, gapMin = 5).toDF()
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("incr_sess_out").start()
+    try {
+      val S = 1000000L // seconds -> micros
+      writeBatch("b1.parquet", Seq((7L, 0L), (7L, 60 * S)))
+      q.processAllAvailable()
+      assert(spark.table("incr_sess_out").count() == 0,
+        "open tail must stay in state, not be emitted eagerly")
+      // 3600s: gap > 5 min closes session 1 (emitted once, final)
+      writeBatch("b2.parquet", Seq((7L, 3600 * S)))
+      q.processAllAvailable()
+      val afterB2 = spark.table("incr_sess_out").collect()
+      assert(afterB2.map(_.toString).toSeq ==
+        Seq("[7,0,60000000,2]"), s"got ${afterB2.mkString(",")}")
+      // push the watermark (10 min delay) past 3600s + 5 min gap so the
+      // EventTimeTimeout flushes user 7's tail exactly once
+      writeBatch("b3.parquet", Seq((8L, 9999 * S)))
+      q.processAllAvailable()
+      val fin = spark.table("incr_sess_out").collect().map(_.toString).sorted.toSeq
+      assert(fin == Seq("[7,0,60000000,2]", "[7,3600000000,3600000000,1]"),
+        s"got $fin")
+    } finally q.stop()
   }
 
   test("stream-stream interval join == batch range join") {
