@@ -192,6 +192,51 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
     copy(left = l, right = r)
 }
 
+/** `lsh_buckets(v)` — banded hyperplane-LSH bucket ids for a vector
+  * (band id packed into the high bits; see [[graft.operators.Ann]]).
+  * Codegen'd so index builds and plan-injected bucket filters stay
+  * inside whole-stage codegen; identical bits to Ann.bucketSet. */
+case class LshBuckets(child: Expression, planesPerBand: Int, bands: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "lsh_buckets"
+
+  private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecCodegen.checkArrayArg(child, "input")
+
+  override def nullSafeEval(a: Any): Any =
+    LshBucketsUtil.buckets(a.asInstanceOf[ArrayData], isFloat, planesPerBand, bands, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.LshBucketsUtil.buckets(" +
+        s"$x, $isFloat, $planesPerBand, $bands, ${seed}L);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Shared eval for [[LshBuckets]] (interpreted + generated code — the
+  * standalone object gets Java static forwarders, so codegen can call
+  * `graft.functions.LshBucketsUtil.buckets(...)` directly). */
+object LshBucketsUtil {
+  def buckets(arr: ArrayData, isFloat: Boolean,
+      planesPerBand: Int, bands: Int, seed: Long): ArrayData = {
+    val n = arr.numElements()
+    val v = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      v(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      graft.operators.Ann.bucketSet(v, planesPerBand, bands, seed))
+  }
+}
+
 /** Column-API + SQL surface for the vector expressions. */
 object vectors {
   def cosine(a: Column, b: Column): Column =
@@ -204,6 +249,10 @@ object vectors {
 
   def l2Norm(a: Column): Column =
     ExpressionUtils.column(L2Norm(ExpressionUtils.expression(a)))
+
+  def lshBuckets(a: Column, planesPerBand: Int, bands: Int, seed: Long): Column =
+    ExpressionUtils.column(
+      LshBuckets(ExpressionUtils.expression(a), planesPerBand, bands, seed))
 
   /** Register `cosine_similarity`, `vec_dot`, `vec_l2_norm` for SQL use. */
   def register(spark: SparkSession): Unit = {

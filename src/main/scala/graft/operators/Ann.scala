@@ -104,18 +104,24 @@ object Ann {
     * r=4, b=16 lands ~0.85+ recall with moderate pruning. */
   def buildIndex(df: DataFrame, vecCol: String,
       planesPerBand: Int = 4, bands: Int = 16, seed: Long = 42L): DataFrame = {
-    val f = udf((v: Seq[Double]) => bucketSet(v.toArray, planesPerBand, bands, seed))
-    // Record the build params in the column's metadata: query-side code
+    // Record the build params in column metadata: query-side code
     // (AnnTopKPruneRule) must hash the query vector with the SAME params
     // or bucket membership is meaningless. Metadata rides the attribute
     // through projections/filters and survives a parquet round trip
-    // (Spark persists field metadata in the schema footer).
+    // (Spark persists field metadata in the schema footer). It goes on
+    // BOTH columns: `_buckets` (the cheap filter target when the index
+    // is materialized) and the vector column itself — a top-k sort key
+    // always references the vector, so the vector's marker survives the
+    // column pruning that eliminates an unmaterialized `_buckets`
+    // projection on `select(id)`-shaped queries.
     val md = new org.apache.spark.sql.types.MetadataBuilder()
       .putLong(ParamPlanes, planesPerBand.toLong)
       .putLong(ParamBands, bands.toLong)
       .putLong(ParamSeed, seed)
       .build()
-    df.withColumn("_buckets", f(col(vecCol).cast("array<double>")).as("_buckets", md))
+    df.withColumn(vecCol, col(vecCol).as(vecCol, md))
+      .withColumn("_buckets",
+        vectors.lshBuckets(col(vecCol), planesPerBand, bands, seed).as("_buckets", md))
   }
 
   /** Metadata keys carrying LSH build params on the `_buckets` column. */

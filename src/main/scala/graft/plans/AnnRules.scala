@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, LshBuckets}
 import graft.operators.Ann
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
@@ -38,54 +38,96 @@ object AnnTopKPruneRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transform {
-      case limit @ LocalLimit(_, sort @ Sort(
-          Seq(SortOrder(cos @ CosineSimilarity(_, _), Descending, _, _), _*),
-          true, child, _)) =>
-        rewrite(cos, child).map(f => limit.copy(child = sort.copy(child = f)))
-          .getOrElse(limit)
-      case limit @ LocalLimit(_, proj @ Project(_, sort @ Sort(
-          Seq(SortOrder(cos @ CosineSimilarity(_, _), Descending, _, _), _*),
-          true, child, _))) =>
-        rewrite(cos, child).map(f =>
-            limit.copy(child = proj.copy(child = sort.copy(child = f))))
-          .getOrElse(limit)
+      case limit @ LocalLimit(_, inner) =>
+        rewriteBelowLimit(inner).map(nc => limit.copy(child = nc)).getOrElse(limit)
     }
   }
 
-  /** If the sort key is cosine(col, literal) and `child` outputs an LSH
-    * `_buckets` column CARRYING its build params in column metadata
-    * (written by [[Ann.buildIndex]]), return the bucket-pruning Filter
-    * over child. A `_buckets` column without the metadata is NOT treated
-    * as an index: hashing the query vector with guessed params would
+  /** Strip the chain of Projects the optimizer's column pruning inserts
+    * between the limit and the sort (on `select(id)`-shaped top-k
+    * queries `_buckets` is pruned out of every intermediate node, so
+    * matching only `LocalLimit(Sort)` / `LocalLimit(Project(Sort))` and
+    * looking at `sort.child.output` makes the rule a silent no-op on
+    * exactly the realistic query shapes). */
+  private def rewriteBelowLimit(inner: LogicalPlan): Option[LogicalPlan] = inner match {
+    case p: Project => rewriteBelowLimit(p.child).map(nc => p.copy(child = nc))
+    case sort @ Sort(
+        Seq(SortOrder(cos @ CosineSimilarity(_, _), Descending, _, _), _*),
+        true, child, _) =>
+      injectPrune(cos, child).map(nc => sort.copy(child = nc))
+    case _ => None
+  }
+
+  /** If the sort key is cosine(col, literal), prune with the index
+    * whose build params ride in column metadata (written by
+    * [[Ann.buildIndex]]):
+    *
+    *   - MATERIALIZED index (persisted/checkpointed `_buckets`, or an
+    *     unprojected query): some node under the sort still outputs the
+    *     tagged `_buckets` column — wrap THAT node with the
+    *     arrays_overlap Filter. Cheap: stored values, no recompute.
+    *   - UNMATERIALIZED index under a projection: column pruning has
+    *     eliminated the `_buckets` projection entirely, but buildIndex
+    *     also tags the VECTOR column, and the sort key references it —
+    *     so recompute bucket membership from the vector with the
+    *     codegen'd [[LshBuckets]] expression. Exactly the work
+    *     [[Ann.queryIndex]] does on an unmaterialized index.
+    *
+    * A `_buckets`/vector column without the metadata is NOT treated as
+    * an index: hashing the query vector with guessed params would
     * filter on mismatched buckets and silently destroy recall. */
-  private def rewrite(cos: CosineSimilarity, child: LogicalPlan): Option[Filter] = {
-    // already pruned? (idempotence under fixed-point rule execution)
-    val alreadyPruned = child.collectFirst {
-      case Filter(cond, _) if cond.isInstanceOf[ArraysOverlap] => true
-    }.isDefined
-    if (alreadyPruned) return None
-    val bucketsAttr = child.output.find(a =>
-      a.name == "_buckets" &&
-        a.metadata.contains(Ann.ParamPlanes) &&
-        a.metadata.contains(Ann.ParamBands) &&
-        a.metadata.contains(Ann.ParamSeed) &&
-        a.dataType.isInstanceOf[ArrayType])
+  private def injectPrune(cos: CosineSimilarity, subtree: LogicalPlan): Option[LogicalPlan] = {
     val qvec: Option[Array[Double]] = (cos.left, cos.right) match {
       case (_, l: Literal) if l.foldable => literalVec(l)
       case (l: Literal, _) if l.foldable => literalVec(l)
       case _ => None
     }
-    for (b <- bucketsAttr; q <- qvec) yield {
-      val qBuckets = Ann.bucketSet(q,
-        planesPerBand = b.metadata.getLong(Ann.ParamPlanes).toInt,
-        bands = b.metadata.getLong(Ann.ParamBands).toInt,
-        seed = b.metadata.getLong(Ann.ParamSeed))
-      Filter(
-        ArraysOverlap(b,
-          Literal.create(qBuckets, ArrayType(IntegerType, containsNull = false))),
-        child)
+    if (qvec.isEmpty) return None
+    // already pruned? (idempotence under fixed-point rule execution)
+    val alreadyPruned = subtree.collectFirst {
+      case Filter(cond, _) if cond.exists(_.isInstanceOf[ArraysOverlap]) => true
+    }.isDefined
+    if (alreadyPruned) return None
+    var injected = false
+    val result = subtree.transformDown {
+      // topmost node still outputting the tagged index column; the guard
+      // also stops recursion into the injected Filter's child (which
+      // outputs the same attribute)
+      case node if !injected && indexedBuckets(node).isDefined =>
+        injected = true
+        val b = indexedBuckets(node).get
+        Filter(ArraysOverlap(b, queryBuckets(qvec.get, b.metadata)), node)
+    }
+    if (injected) return Some(result)
+    // fallback: tagged vector column in the sort key
+    Seq(cos.left, cos.right).collectFirst {
+      case a: AttributeReference if hasParams(a.metadata) =>
+        val p = a.metadata.getLong(Ann.ParamPlanes).toInt
+        val bands = a.metadata.getLong(Ann.ParamBands).toInt
+        val seed = a.metadata.getLong(Ann.ParamSeed)
+        Filter(
+          ArraysOverlap(LshBuckets(a, p, bands, seed), queryBuckets(qvec.get, a.metadata)),
+          subtree)
     }
   }
+
+  private def hasParams(md: org.apache.spark.sql.types.Metadata): Boolean =
+    md.contains(Ann.ParamPlanes) && md.contains(Ann.ParamBands) && md.contains(Ann.ParamSeed)
+
+  private def queryBuckets(q: Array[Double],
+      md: org.apache.spark.sql.types.Metadata): Literal = {
+    val qBuckets = Ann.bucketSet(q,
+      planesPerBand = md.getLong(Ann.ParamPlanes).toInt,
+      bands = md.getLong(Ann.ParamBands).toInt,
+      seed = md.getLong(Ann.ParamSeed))
+    Literal.create(qBuckets, ArrayType(IntegerType, containsNull = false))
+  }
+
+  private def indexedBuckets(node: LogicalPlan): Option[Attribute] =
+    node.output.find(a =>
+      a.name == "_buckets" &&
+        hasParams(a.metadata) &&
+        a.dataType.isInstanceOf[ArrayType])
 
   private def literalVec(l: Literal): Option[Array[Double]] = l.value match {
     case a: org.apache.spark.sql.catalyst.util.ArrayData =>

@@ -62,6 +62,27 @@ class AnnRuleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.graft.ann.autoPrune", "false")
   }
 
+  test("rule fires under a projection (column pruning strips _buckets below the sort)") {
+    // the shape every real query takes: select(id) over the top-k. Column
+    // pruning removes _buckets from every node between the limit and the
+    // indexed relation, so a rule that only inspects sort.child.output
+    // silently degrades to the exact unpruned top-k (round-3 bug).
+    GraftExtensions.install(spark)
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val q = emb.filter($"vec_id" === 0).select($"embedding").as[Array[Float]].head()
+    val indexed = Ann.buildIndex(emb, "embedding")
+    spark.conf.set("spark.graft.ann.autoPrune", "true")
+    try {
+      val projected = topkPlan(indexed, q).select($"vec_id")
+      assert(projected.queryExecution.optimizedPlan.toString.contains("arrays_overlap"),
+        s"rule did not fire on the projected plan:\n${projected.queryExecution.optimizedPlan}")
+      val declarative = projected.as[Long].collect().toSeq
+      val manual = Ann.queryIndex(indexed, "embedding", "vec_id", q, 10)
+        .select($"vec_id").as[Long].collect().toSeq
+      assert(declarative == manual)
+    } finally spark.conf.set("spark.graft.ann.autoPrune", "false")
+  }
+
   test("a _buckets column without build-params metadata is NOT treated as an index") {
     GraftExtensions.install(spark)
     val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")

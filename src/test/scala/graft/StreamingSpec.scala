@@ -123,22 +123,30 @@ class StreamingSpec extends AnyFunSuite {
       .format("memory").queryName("incr_sess_out").start()
     try {
       val S = 1000000L // seconds -> micros
-      writeBatch("b1.parquet", Seq((7L, 0L), (7L, 60 * S)))
+      // Fixtures start at OFF, not epoch 0: Spark's initial watermark is
+      // 0, and an event AT the watermark is dropped as late — an
+      // epoch-0 first event never reaches the stateful operator. That
+      // boundary is Spark's documented late-data semantics, not a
+      // sessionization property, so the fixture stays strictly above it.
+      val OFF = 1000 * S
+      writeBatch("b1.parquet", Seq((7L, OFF), (7L, OFF + 60 * S)))
       q.processAllAvailable()
       assert(spark.table("incr_sess_out").count() == 0,
         "open tail must stay in state, not be emitted eagerly")
-      // 3600s: gap > 5 min closes session 1 (emitted once, final)
-      writeBatch("b2.parquet", Seq((7L, 3600 * S)))
+      // +3600s: gap > 5 min closes session 1 (emitted once, final)
+      writeBatch("b2.parquet", Seq((7L, OFF + 3600 * S)))
       q.processAllAvailable()
       val afterB2 = spark.table("incr_sess_out").collect()
       assert(afterB2.map(_.toString).toSeq ==
-        Seq("[7,0,60000000,2]"), s"got ${afterB2.mkString(",")}")
-      // push the watermark (10 min delay) past 3600s + 5 min gap so the
-      // EventTimeTimeout flushes user 7's tail exactly once
-      writeBatch("b3.parquet", Seq((8L, 9999 * S)))
+        Seq(s"[7,$OFF,${OFF + 60 * S},2]"), s"got ${afterB2.mkString(",")}")
+      // push the watermark (10 min delay) past OFF+3600s + 5 min gap so
+      // the EventTimeTimeout flushes user 7's tail exactly once
+      writeBatch("b3.parquet", Seq((8L, OFF + 9999 * S)))
       q.processAllAvailable()
       val fin = spark.table("incr_sess_out").collect().map(_.toString).sorted.toSeq
-      assert(fin == Seq("[7,0,60000000,2]", "[7,3600000000,3600000000,1]"),
+      assert(fin == Seq(
+        s"[7,$OFF,${OFF + 60 * S},2]",
+        s"[7,${OFF + 3600 * S},${OFF + 3600 * S},1]"),
         s"got $fin")
     } finally q.stop()
   }
