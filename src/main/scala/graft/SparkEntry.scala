@@ -50,6 +50,20 @@ object SparkEntry {
     idx.query(q, k = 10)
   }
 
+  /** Memoized IVF index per dataset dir (q76): real IVF usage is
+    * build-once/query-many, so the probe query should not pay the KMeans
+    * fit on every call. Cell assignments are pinned (localCheckpoint) so
+    * a probe is filter+rescore over materialized cells. Same build
+    * params as q57 (k=16, maxIter=5, seed default). */
+  private val ivfCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.operators.Ann.IvfIndex]()
+  private def ivfFor(s: SparkSession, dir: String): graft.operators.Ann.IvfIndex =
+    ivfCache.computeIfAbsent(dir, _ => {
+      val idx = graft.operators.Ann.buildIvf(
+        t(s, dir, "embeddings"), "embedding", k = 16, maxIter = 5)
+      idx.copy(data = idx.data.localCheckpoint(true))
+    })
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.G hash aggregation partial+final — TPC-H Q1 shape on lineitem.
@@ -775,6 +789,52 @@ object SparkEntry {
         .select(lit(10L).as("k"), ($"n_overlap" >= 8).as("recall_ok"))
     }),
 
+    // Q2 IVF probe cost in isolation: q57 times KMeans BUILD + probe
+    // (the one-time cost dominates); real usage is build-once/query-many,
+    // so this entry probes a memoized, materialized index — its bench
+    // time is the per-query serving cost. Same recall contract as q57.
+    "q76_ann_ivf_probe" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter($"vec_id" === 0).select($"embedding").as[Array[Float]].head()
+      val bf = graft.operators.Ann.bruteForceTopK(emb, "embedding", "vec_id", q, 10)
+        .select($"vec_id")
+      val ivf = graft.operators.Ann.queryIvf(ivfFor(s, dir), "embedding", "vec_id",
+        q, 10, nProbe = 12).select($"vec_id")
+      bf.join(ivf, "vec_id")
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(10L).as("k"), ($"n_overlap" >= 8).as("recall_ok"))
+    }),
+
+    // Q2 at the 100 TB physical layout: the LSH index EXPLODED to one
+    // row per (bucket, row) and written PARTITIONED BY bucket — a query
+    // reads only its `bands` bucket partitions (partition pruning,
+    // asserted in PlanSpec), instead of scanning everything and
+    // filtering arrays_overlap. Contract: the pruned-layout top-k
+    // equals the column-form queryIndex top-k exactly.
+    "q77_ann_partitioned" -> ((s, dir) => {
+      import s.implicits._
+      val ann = graft.operators.Ann
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter($"vec_id" === 0).select($"embedding").as[Array[Float]].head()
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q77").toString
+      val indexed = ann.buildIndex(emb, "embedding")
+      ann.explodeForLayout(indexed)
+        .write.mode("overwrite").partitionBy("_bucket").parquet(s"$tmp/idx")
+      val qb = ann.bucketSet(q.map(_.toDouble), 4, 16, 42L)
+      val cands = s.read.parquet(s"$tmp/idx")
+        .filter($"_bucket".isin(qb.toIndexedSeq: _*))
+        // a row collides with the query in >=1 of its bands; dedup before rescore
+        .dropDuplicates("vec_id")
+      val viaLayout = ann.bruteForceTopK(cands, "embedding", "vec_id", q, 10)
+        .select($"vec_id")
+      val viaColumn = ann.queryIndex(indexed, "embedding", "vec_id", q, 10)
+        .select($"vec_id")
+      viaLayout.join(viaColumn, "vec_id")
+        .agg(count(lit(1)).as("n_same"))
+        .select(lit(10L).as("k"), ($"n_same" === 10).as("layout_matches"))
+    }),
+
     // C1 chunker as a native Catalyst Generator through the SQL surface
     // (LATERAL VIEW chunk_text(...)) — same oracle shape as q47.
     "q58_chunk_sql" -> ((s, dir) => {
@@ -1007,7 +1067,9 @@ object SparkEntry {
       val c2 = base.select(($"doc_id" + 100000).as("doc_id"),
         array_join(concat(fill("xa"), fill("xb"), slice($"tk", lit(2) * r + 1, m - lit(2) * r)), " ")
           .as("text"))
-      val corpus = orig.unionByName(c1).unionByName(c2)
+      // pinned: the corpus construction (tokenize/slice/concat over every
+      // doc, 3x) otherwise re-executes for the final anti-join's probe side
+      val corpus = orig.unionByName(c1).unionByName(c2).localCheckpoint(true)
       graft.operators.Dedup.minhashClusters(corpus, "doc_id", "text")
         .select($"doc_id").orderBy($"doc_id")
     }),
@@ -1489,6 +1551,10 @@ object SparkEntry {
       "SELECT CAST(10 AS BIGINT) AS k, TRUE AS recall_ok",
     "q57_ann_ivf" ->
       "SELECT CAST(10 AS BIGINT) AS k, TRUE AS recall_ok",
+    "q76_ann_ivf_probe" ->
+      "SELECT CAST(10 AS BIGINT) AS k, TRUE AS recall_ok",
+    "q77_ann_partitioned" ->
+      "SELECT CAST(10 AS BIGINT) AS k, TRUE AS layout_matches",
 
     "q58_chunk_sql" ->
       """SELECT doc_id, CAST(1 AS BIGINT) AS n_chunks,

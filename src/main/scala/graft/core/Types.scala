@@ -33,9 +33,15 @@ object Metric {
   }
 }
 
-final case class IndexMeta(name: String, dimension: Int, metric: Metric) {
+/** @param numBuckets id-hash buckets the index data files are
+  *   partitioned into; an upsert/delete rewrites only touched buckets,
+  *   so this bounds write amplification (size it so index/numBuckets
+  *   is a comfortable rewrite unit — thousands at cluster scale). */
+final case class IndexMeta(name: String, dimension: Int, metric: Metric,
+    numBuckets: Int = 16) {
   def props: Map[String, String] =
-    Map("dimension" -> dimension.toString, "metric" -> metric.name)
+    Map("dimension" -> dimension.toString, "metric" -> metric.name,
+      "numBuckets" -> numBuckets.toString)
 }
 
 /** Ingestion errors — the reference raises ValueError on empty inputs

@@ -21,13 +21,24 @@ import org.apache.hadoop.fs.Path
   *   - query surface: top-k cosine with optional metadata filter,
   *     fetch/delete by id (Pinecone query API `[dep]`).
   *
-  * Storage: `path/snapshot=N/` Parquet dirs; the current snapshot is
-  * max(N) (simplified Iceberg-style snapshotting). Writers never
-  * rewrite the files a concurrent reader is scanning, which also
-  * side-steps Spark's cannot-overwrite-input restriction without a
-  * driver-side checkpoint of the whole index. At cluster scale the
-  * upsert shuffle partitions by `id` — the same layout the next
-  * upsert's window needs.
+  * Storage — manifest snapshots over bucket-partitioned data files
+  * (simplified Iceberg):
+  *
+  *   path/_graft_meta.json              dimension/metric/numBuckets
+  *   path/data/v=N/_bucket=B/part-*    rows written by snapshot N
+  *   path/snapshot=N/manifest          lines "bucket<TAB>relative-file"
+  *
+  * Rows hash into `numBuckets` id-buckets (pmod(xxhash64(id))); an
+  * upsert/delete rewrites ONLY the buckets its ids hash into and the
+  * new manifest references the previous snapshot's files for every
+  * untouched bucket. Write I/O is therefore proportional to the
+  * touched buckets, not the index: a 1 GB batch against a 100 TB index
+  * rewrites ~numBuckets'th of the index worst-case, not all of it
+  * (size `numBuckets` so index/numBuckets is a comfortable task unit —
+  * thousands at cluster scale). Readers scan a committed manifest's
+  * file list; writers never mutate a referenced file, so scans are
+  * snapshot-isolated for free. `version` on each row records the
+  * snapshot that last WROTE the row (untouched rows keep their stamp).
   */
 final class VectorIndex private (
     val spark: SparkSession,
@@ -36,9 +47,12 @@ final class VectorIndex private (
 
   import VectorIndex._
 
+  private def bucketOf(id: Column): Column =
+    pmod(xxhash64(id), lit(meta.numBuckets)).cast("int")
+
   /** Current contents: (id, values, metadata, version). */
   def scan(): DataFrame = currentSnapshot(spark, path) match {
-    case Some(n) => spark.read.parquet(s"$path/snapshot=$n")
+    case Some(n) => readManifestData(n)
     case None => emptyIndexDf(spark)
   }
 
@@ -50,40 +64,45 @@ final class VectorIndex private (
   def scanAt(version: Long): DataFrame = {
     require(snapshots().contains(version),
       s"snapshot $version not present (have ${snapshots().mkString(",")})")
-    spark.read.parquet(s"$path/snapshot=$version")
+    readManifestData(version)
   }
 
   /** G3 `describe_index` parity: dimension / metric / row count. */
   def describe(): (IndexMeta, Long) = (meta, scan().count())
 
   /** D4 upsert: id-keyed, last-write-wins. Records need (id, values,
-    * metadata); rejects wrong-width vectors before any write (E2). */
+    * metadata); rejects wrong-width vectors before any write (E2).
+    * Rewrites only the id-buckets present in the batch. */
   def upsert(records: DataFrame): Unit = {
     val dim = meta.dimension
-    val bad = records.filter(size(col("values")) =!= dim).limit(1).count()
-    if (bad > 0)
-      throw new IngestError(s"upsert: embedding dimension != index dimension $dim")
     val cur = currentSnapshot(spark, path)
     val version = cur.map(_ + 1L).getOrElse(0L)
+    // one materialization feeds the dim check, the touched-bucket scan
+    // and the merge — records may be a whole ingest pipeline
     val incoming = records
       .select(col("id").cast("string"), col("values").cast("array<float>"), col("metadata"))
       .withColumn("version", lit(version))
-    val merged = cur match {
-      case None => incoming.dropDuplicates("id") // within-batch: keep one per id
-      case Some(n) =>
-        val old = spark.read.parquet(s"$path/snapshot=$n")
-        val unioned = old.unionByName(incoming)
-        // last write wins; within a batch ties broken arbitrarily-but-
-        // deterministically by values hash. Shuffle partitions by id —
-        // the natural key layout for the next merge.
-        val w = Window.partitionBy(col("id"))
-          .orderBy(col("version").desc, xxhash64(col("values")).desc)
-        unioned.withColumn("_rn", row_number().over(w))
-          .filter(col("_rn") === 1).drop("_rn")
-          .withColumn("version", lit(version))
+      .withColumn("_bucket", bucketOf(col("id")))
+      .localCheckpoint(true)
+    val bad = incoming.filter(size(col("values")) =!= dim).limit(1).count()
+    if (bad > 0)
+      throw new IngestError(s"upsert: embedding dimension != index dimension $dim")
+    val touched = incoming.select("_bucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val manifest = cur.map(readManifest(spark, path, _)).getOrElse(Map.empty[Int, Seq[String]])
+    val oldFiles = touched.toSeq.sorted.flatMap(manifest.getOrElse(_, Nil))
+    val merged = if (oldFiles.isEmpty) incoming.dropDuplicates("id") else {
+      val old = spark.read.parquet(oldFiles.map(f => s"$path/$f"): _*)
+        .withColumn("_bucket", bucketOf(col("id")))
+      // last write wins; within a batch ties broken arbitrarily-but-
+      // deterministically by values hash
+      val w = Window.partitionBy(col("id"))
+        .orderBy(col("version").desc, xxhash64(col("values")).desc)
+      old.unionByName(incoming)
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn")
     }
-    merged.write.mode(SaveMode.Overwrite).parquet(s"$path/snapshot=$version")
-    pruneOldSnapshots(spark, path, keep = 2)
+    writeSnapshot(version, merged, manifest, touched)
   }
 
   /** Q1/Q3: top-k by metric score with optional metadata pre-filter
@@ -112,14 +131,59 @@ final class VectorIndex private (
   def fetch(ids: Seq[String]): DataFrame =
     scan().filter(col("id").isin(ids: _*))
 
-  /** Q4 delete by id — anti-join rewrite into a new snapshot. */
+  /** Q4 delete by id — rewrites only the buckets the ids hash into. */
   def delete(ids: Seq[String]): Unit = {
-    val version = currentSnapshot(spark, path).map(_ + 1L).getOrElse(0L)
-    val remaining = scan().filter(!col("id").isin(ids: _*))
-      .withColumn("version", lit(version))
-    remaining.write.mode(SaveMode.Overwrite).parquet(s"$path/snapshot=$version")
+    val cur = currentSnapshot(spark, path)
+    val version = cur.map(_ + 1L).getOrElse(0L)
+    import spark.implicits._
+    val touched = ids.toDS().select(bucketOf(col("value")))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val manifest = cur.map(readManifest(spark, path, _)).getOrElse(Map.empty[Int, Seq[String]])
+    val oldFiles = touched.toSeq.sorted.flatMap(manifest.getOrElse(_, Nil))
+    val remaining = if (oldFiles.isEmpty) emptyIndexDf(spark).withColumn("_bucket", lit(0))
+      .limit(0) else {
+      spark.read.parquet(oldFiles.map(f => s"$path/$f"): _*)
+        .filter(!col("id").isin(ids: _*))
+        .withColumn("_bucket", bucketOf(col("id")))
+    }
+    writeSnapshot(version, remaining, manifest, touched)
+  }
+
+  /** Write the touched buckets' merged rows under data/v=N, then commit
+    * a manifest that carries every untouched bucket's existing files
+    * forward by reference — no copy, no rewrite. */
+  private def writeSnapshot(version: Long, merged: DataFrame,
+      oldManifest: Map[Int, Seq[String]], touched: Set[Int]): Unit = {
+    val dataDir = s"data/v=$version"
+    // cluster by bucket so each bucket lands in few files (the window's
+    // id-hash layout would otherwise scatter every bucket across tasks)
+    merged.repartition(col("_bucket"))
+      .write.mode(SaveMode.Overwrite).partitionBy("_bucket")
+      .parquet(s"$path/$dataDir")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val written = fs.listStatus(new Path(path, dataDir)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_bucket="))
+      .map { d =>
+        val b = d.getPath.getName.stripPrefix("_bucket=").toInt
+        b -> fs.listStatus(d.getPath).toSeq
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+          .map(f => s"$dataDir/_bucket=$b/${f.getPath.getName}")
+      }.toMap
+    val manifest = (oldManifest -- touched) ++ written
+    writeManifest(spark, path, version, manifest)
     pruneOldSnapshots(spark, path, keep = 2)
   }
+
+  private def readManifestData(version: Long): DataFrame = {
+    val files = readManifest(spark, path, version).values.flatten.toSeq.sorted
+    if (files.isEmpty) emptyIndexDf(spark)
+    else spark.read.parquet(files.map(f => s"$path/$f"): _*)
+      .select(col("id"), col("values"), col("metadata"), col("version"))
+  }
+
+  /** Test/diagnostic surface: the committed manifest of a snapshot. */
+  private[graft] def manifestAt(version: Long): Map[Int, Seq[String]] =
+    readManifest(spark, path, version)
 }
 
 object VectorIndex {
@@ -127,7 +191,8 @@ object VectorIndex {
   /** G2 create — idempotent like the reference's existence check
     * (streamlit_app.py:46-49). Fails if it exists with different meta. */
   def ensure(spark: SparkSession, path: String, dimension: Int,
-      metric: Metric = Metric.Cosine, name: String = "textembedding"): VectorIndex = {
+      metric: Metric = Metric.Cosine, name: String = "textembedding",
+      numBuckets: Int = 16): VectorIndex = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val metaPath = new Path(path, "_graft_meta.json")
     if (fs.exists(metaPath)) {
@@ -136,11 +201,12 @@ object VectorIndex {
         s"index exists with different meta: $existing")
       new VectorIndex(spark, path, existing)
     } else {
-      val meta = IndexMeta(name, dimension, metric)
+      val meta = IndexMeta(name, dimension, metric, numBuckets)
       fs.mkdirs(new Path(path))
       val out = fs.create(metaPath, true)
       out.write(
-        s"""{"name":"${meta.name}","dimension":${meta.dimension},"metric":"${meta.metric.name}"}"""
+        (s"""{"name":"${meta.name}","dimension":${meta.dimension},""" +
+          s""""metric":"${meta.metric.name}","numBuckets":${meta.numBuckets}}""")
           .getBytes("UTF-8"))
       out.close()
       new VectorIndex(spark, path, meta)
@@ -168,7 +234,46 @@ object VectorIndex {
     // minimal parse of the fixed shape we write
     def field(k: String): String =
       txt.split(s""""$k":""")(1).split("[,}]")(0).trim.stripPrefix("\"").stripSuffix("\"")
-    IndexMeta(field("name"), field("dimension").toInt, Metric.parse(field("metric")))
+    val buckets = if (txt.contains(""""numBuckets":""")) field("numBuckets").toInt else 16
+    IndexMeta(field("name"), field("dimension").toInt, Metric.parse(field("metric")), buckets)
+  }
+
+  // ---------- manifest I/O ----------
+
+  private def manifestPath(path: String, version: Long): Path =
+    new Path(path, s"snapshot=$version/manifest")
+
+  /** Lines of "bucket<TAB>relative-file"; commit = atomic rename of the
+    * finished temp file, so a manifest either exists complete or not at
+    * all (the commit point readers key on). */
+  private def writeManifest(spark: SparkSession, path: String, version: Long,
+      manifest: Map[Int, Seq[String]]): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val finalPath = manifestPath(path, version)
+    fs.mkdirs(finalPath.getParent)
+    val tmp = new Path(finalPath.getParent, s".manifest.tmp")
+    val out = fs.create(tmp, true)
+    val body = manifest.toSeq.sortBy(_._1)
+      .flatMap { case (b, files) => files.sorted.map(f => s"$b\t$f") }
+      .mkString("\n")
+    out.write(body.getBytes("UTF-8"))
+    out.close()
+    if (!fs.rename(tmp, finalPath))
+      throw new IllegalStateException(s"could not commit manifest for snapshot $version")
+  }
+
+  private def readManifest(spark: SparkSession, path: String,
+      version: Long): Map[Int, Seq[String]] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(manifestPath(path, version))
+    val txt = scala.io.Source.fromInputStream(in).mkString
+    in.close()
+    txt.split("\n").toSeq.filter(_.nonEmpty)
+      .map { line =>
+        val Array(b, f) = line.split("\t", 2)
+        (b.toInt, f)
+      }
+      .groupBy(_._1).map { case (b, fs0) => b -> fs0.map(_._2) }
   }
 
   private def listSnapshots(spark: SparkSession, path: String): Seq[Long] = {
@@ -179,21 +284,45 @@ object VectorIndex {
       .filter(_.isDirectory)
       .map(_.getPath.getName)
       .collect { case s if s.startsWith("snapshot=") => s.stripPrefix("snapshot=").toLong }
-      // only snapshots with a _SUCCESS marker are committed
-      .filter(n => fs.exists(new Path(p, s"snapshot=$n/_SUCCESS")))
+      // only snapshots whose manifest committed (rename is the atomic point)
+      .filter(n => fs.exists(manifestPath(path, n)))
       .sorted
   }
 
   private def currentSnapshot(spark: SparkSession, path: String): Option[Long] =
     listSnapshots(spark, path).lastOption
 
+  /** Drop old snapshot manifests, then garbage-collect every data file
+    * no retained manifest references (file-level GC — a data/v=K dir
+    * usually stays partially live because later manifests still point
+    * into its untouched buckets). */
   private def pruneOldSnapshots(spark: SparkSession, path: String, keep: Int): Unit = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val snaps = fs.listStatus(p).toSeq.filter(_.isDirectory)
-      .map(_.getPath).filter(_.getName.startsWith("snapshot="))
-      .sortBy(_.getName.stripPrefix("snapshot=").toLong)
-    snaps.dropRight(keep).foreach(fs.delete(_, true))
+    val snaps = listSnapshots(spark, path)
+    snaps.dropRight(keep).foreach(n => fs.delete(new Path(p, s"snapshot=$n"), true))
+    val retained = listSnapshots(spark, path)
+    val referenced = retained.flatMap(readManifest(spark, path, _).values.flatten).toSet
+    val dataRoot = new Path(p, "data")
+    if (fs.exists(dataRoot)) {
+      val it = fs.listFiles(dataRoot, true)
+      val dead = scala.collection.mutable.ArrayBuffer.empty[Path]
+      while (it.hasNext) {
+        val f = it.next()
+        val rel = f.getPath.toString.stripPrefix(fs.makeQualified(p).toString + "/")
+        if (f.isFile && !referenced.contains(rel)) dead += f.getPath
+      }
+      dead.foreach(fs.delete(_, false))
+      // sweep now-empty version/bucket dirs
+      fs.listStatus(dataRoot).foreach { v =>
+        if (v.isDirectory) {
+          fs.listStatus(v.getPath).foreach { b =>
+            if (b.isDirectory && fs.listStatus(b.getPath).isEmpty) fs.delete(b.getPath, false)
+          }
+          if (fs.listStatus(v.getPath).isEmpty) fs.delete(v.getPath, false)
+        }
+      }
+    }
   }
 
   private def emptyIndexDf(spark: SparkSession): DataFrame = {

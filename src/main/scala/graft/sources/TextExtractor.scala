@@ -27,6 +27,73 @@ object Utf8TextExtractor extends TextExtractor {
     new String(content, StandardCharsets.UTF_8)
 }
 
+/** Text layer of UNCOMPRESSED PDFs — a minimal, dependency-free parser
+  * for the subset of the PDF spec where the text layer is directly
+  * readable: unfiltered content streams, whose `BT..ET` text blocks
+  * show strings via the `Tj`/`TJ`/`'`/`"` operators. Shown strings are
+  * concatenated in stream order, one line per text block.
+  *
+  * Honest scope (ref op A2, streamlit_app.py:60-71): most real-world
+  * PDFs FlateDecode their content streams; those have no parsable text
+  * layer here, so this extractor yields "" for them and
+  * [[FallbackExtractor]] routes to OCR — the same path the reference
+  * takes for scanned pages. Full-fidelity extraction (PDFBox) plugs in
+  * at the [[TextExtractor]] trait; this class makes the uncompressed
+  * case real instead of stubbed, pinned by a golden-bytes fixture spec.
+  */
+object SimplePdfTextExtractor extends TextExtractor {
+  override def extract(content: Array[Byte]): String = {
+    // ISO-8859-1 maps bytes 1:1 to chars, so offsets/regexes are exact
+    val s = new String(content, StandardCharsets.ISO_8859_1)
+    if (!s.startsWith("%PDF"))
+      throw new IllegalArgumentException("not a PDF (missing %PDF header)")
+    // the (?!<<) guard pins group 1 to the innermost << ... >> directly
+    // preceding `stream` — the stream's own dict, not an earlier object's
+    val streamRe = "(?s)<<((?:(?!<<).)*?)>>\\s*stream\r?\n(.*?)endstream".r
+    val out = new StringBuilder
+    for (m <- streamRe.findAllMatchIn(s)) {
+      if (!m.group(1).contains("/Filter")) shownText(m.group(2), out)
+    }
+    out.result()
+  }
+
+  private val blockRe = "(?s)BT(.*?)ET".r
+  private val strRe = """\(((?:[^()\\]|\\.)*)\)""".r
+
+  /** All string literals inside BT..ET blocks (inside a text block,
+    * parenthesized strings are text-show operands), unescaped. */
+  private def shownText(body: String, out: StringBuilder): Unit =
+    for (b <- blockRe.findAllMatchIn(body)) {
+      for (str <- strRe.findAllMatchIn(b.group(1))) out ++= unescape(str.group(1))
+      out += '\n'
+    }
+
+  private def unescape(s: String): String = {
+    val out = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => out += '\n'; i += 2
+          case 'r' => out += '\r'; i += 2
+          case 't' => out += '\t'; i += 2
+          case 'b' => out += '\b'; i += 2
+          case 'f' => out += '\f'; i += 2
+          case d if d >= '0' && d <= '7' => // octal \d, \dd, or \ddd
+            val end = math.min(i + 4, s.length)
+            var j = i + 1
+            while (j < end && s.charAt(j) >= '0' && s.charAt(j) <= '7') j += 1
+            out += Integer.parseInt(s.substring(i + 1, j), 8).toChar
+            i = j
+          case other => out += other; i += 2 // \( \) \\ and any escaped char
+        }
+      } else { out += c; i += 1 }
+    }
+    out.result()
+  }
+}
+
 /** OCR boundary (ref op A3). Real impl = rasterize + Tesseract; the
   * deterministic stub returns "" per page exactly like the reference's
   * per-image error path (streamlit_app.py:84-86). */

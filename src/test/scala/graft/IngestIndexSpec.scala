@@ -78,6 +78,45 @@ class IngestIndexSpec extends AnyFunSuite {
     assert(VectorIndex.list(spark, dir) == Seq("idx"))
   }
 
+  test("upsert rewrites only touched id-buckets; untouched files carried by reference") {
+    val dir = Files.createTempDirectory("graft_idx_buckets").toString
+    val idx = VectorIndex.ensure(spark, s"$dir/b", 4, numBuckets = 8)
+    def recs(ids: Seq[Int], scale: Float) = ids.toDF("n").select(
+      concat(lit("r-"), $"n").as("id"),
+      array(($"n" * scale).cast("float"), lit(1f), lit(2f), lit(3f)).as("values"),
+      struct(lit(0).as("chunk_index"), lit("t").as("source")).as("metadata"))
+    idx.upsert(recs(0 until 200, 1f))
+    val m0 = idx.manifestAt(0L)
+    assert(m0.keySet.size == 8, "200 ids should populate all 8 buckets")
+
+    // small second batch: only the buckets of these 3 ids may be rewritten
+    idx.upsert(recs(Seq(5, 17, 123), 10f))
+    val m1 = idx.manifestAt(1L)
+    val touched = m1.collect { case (b, files) if files != m0(b) => b }.toSet
+    assert(touched.nonEmpty && touched.size <= 3,
+      s"3 ids must touch at most 3 of 8 buckets, rewrote $touched")
+    // untouched buckets reference the snapshot-0 files VERBATIM (same
+    // physical paths — carried forward, not copied or rewritten)
+    (m1.keySet -- touched).foreach { b =>
+      assert(m1(b) == m0(b), s"untouched bucket $b must keep its files")
+      assert(m1(b).forall(_.startsWith("data/v=0/")))
+    }
+    // all new bytes live under v=1, proportional to the touched buckets
+    touched.foreach(b => assert(m1(b).forall(_.startsWith("data/v=1/"))))
+
+    // merged view: updated rows visible, count unchanged, last write wins
+    assert(idx.scan().count() == 200)
+    val got = idx.fetch(Seq("r-17")).select("values").as[Seq[Float]].head()
+    assert(got.head == 170f)
+    // delete also rewrites only its ids' buckets
+    idx.delete(Seq("r-5"))
+    val m2 = idx.manifestAt(2L)
+    val touched2 = m2.collect { case (b, files) if files != m1(b) => b }.toSet
+    assert(touched2.size <= 1 && idx.scan().count() == 199)
+    // time travel still sees the pre-delete snapshot
+    assert(idx.scanAt(1L).count() == 200)
+  }
+
   test("end-to-end: ingest, query top-k, upsert-twice, delete") {
     val dir = Files.createTempDirectory("graft_idx").toString
     val idx = VectorIndex.ensure(spark, s"$dir/e2e", 64)

@@ -52,4 +52,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("bucket-partitioned ANN layout: a query prunes to its bucket partitions") {
+    // the shape that wins at 100 TB (q77): index exploded to one row per
+    // (bucket, row), written partitionBy(_bucket); probing a query's band
+    // buckets must plan as PARTITION pruning (scan reads `bands`
+    // partitions), not a data filter over the whole index
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ann = graft.operators.Ann
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val q = emb.filter($"vec_id" === 0).select($"embedding").as[Array[Float]].head()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_layout").toString
+    ann.explodeForLayout(ann.buildIndex(emb, "embedding"))
+      .write.partitionBy("_bucket").parquet(s"$tmp/idx")
+    val qb = ann.bucketSet(q.map(_.toDouble), 4, 16, 42L)
+    val probe = spark.read.parquet(s"$tmp/idx")
+      .filter($"_bucket".isin(qb.toIndexedSeq: _*))
+    val p = probe.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("PartitionFilters") && p.contains("_bucket"),
+      s"bucket probe must hit partition pruning:\n$p")
+    // and the pruned scan actually touches only the probed partitions
+    val parts = probe.select(input_file_name()).distinct().as[String].collect()
+    val bucketDirs = parts.flatMap(_.split("/").find(_.startsWith("_bucket="))).distinct
+    assert(bucketDirs.length <= qb.length,
+      s"read ${bucketDirs.length} bucket dirs for ${qb.length} probed buckets")
+  }
 }

@@ -11,6 +11,56 @@ class SourcesSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  /** A structurally complete one-page PDF whose content stream is NOT
+    * filtered — the subset where the text layer is directly parsable.
+    * Golden bytes, built inline: catalog -> pages -> page -> contents. */
+  private def goldenPdf(contentStream: String, filtered: Boolean): Array[Byte] = {
+    val filter = if (filtered) "/Filter /FlateDecode " else ""
+    (s"""%PDF-1.4
+       |1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj
+       |2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj
+       |3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]
+       |  /Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >> endobj
+       |4 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj
+       |5 0 obj << ${filter}/Length ${contentStream.length} >>
+       |stream
+       |$contentStream
+       |endstream
+       |endobj
+       |trailer << /Size 6 /Root 1 0 R >>
+       |%%EOF""").stripMargin.getBytes("ISO-8859-1")
+  }
+
+  test("golden-bytes PDF: uncompressed text layer is extracted (A2)") {
+    import graft.sources.SimplePdfTextExtractor
+    val content = "BT /F1 12 Tf 72 712 Td (Hello graft \\(PDF\\)) Tj ET\n" +
+      "BT /F1 12 Tf 72 690 Td [(page ) (one)] TJ ET"
+    val text = SimplePdfTextExtractor.extract(goldenPdf(content, filtered = false))
+    assert(text == "Hello graft (PDF)\npage one\n")
+    // octal + control escapes survive unescaping
+    val esc = SimplePdfTextExtractor.extract(
+      goldenPdf("BT (A\\tB\\101) Tj ET", filtered = false))
+    assert(esc == "A\tBA\n")
+  }
+
+  test("golden-bytes PDF: filtered stream has no parsable text layer -> OCR fallback (A3)") {
+    import graft.sources.{FallbackExtractor, OcrExtractor, SimplePdfTextExtractor}
+    // the documented gap: FlateDecoded content (most real PDFs) cannot be
+    // parsed without a codec -> extractor yields "" and the fallback
+    // routes to OCR, mirroring the reference's scanned-page path
+    val pdf = goldenPdf("BT (invisible) Tj ET", filtered = true)
+    assert(SimplePdfTextExtractor.extract(pdf) == "")
+    object FakeOcr extends OcrExtractor {
+      override def ocr(content: Array[Byte]): String = "ocr-text"
+    }
+    val composite = new FallbackExtractor(SimplePdfTextExtractor, FakeOcr)
+    assert(composite.extract(pdf) == "ocr-text")
+    // non-PDF bytes are an explicit error (ref raises, not silently empty)
+    intercept[IllegalArgumentException] {
+      SimplePdfTextExtractor.extract("plain text".getBytes("UTF-8"))
+    }
+  }
+
   test("PERMISSIVE json keeps corrupt rows in _corrupt_record; FAILFAST throws") {
     val dir = Files.createTempDirectory("graft_json")
     Files.write(dir.resolve("a.json"), java.util.Arrays.asList(
