@@ -83,6 +83,34 @@ class AnnRuleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.graft.ann.autoPrune", "false")
   }
 
+  test("persisted index: params survive the parquet round trip; rule prunes on stored buckets") {
+    // the materialized path: _buckets is a STORED column after a write,
+    // so even under a projection the relation still outputs it and the
+    // rule filters stored values instead of recomputing signatures
+    GraftExtensions.install(spark)
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val q = emb.filter($"vec_id" === 0).select($"embedding").as[Array[Float]].head()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_idx_rt").toString
+    Ann.buildIndex(emb, "embedding", planesPerBand = 6, bands = 8, seed = 7L)
+      .write.parquet(s"$tmp/indexed")
+    val stored = spark.read.parquet(s"$tmp/indexed")
+    assert(stored.schema("_buckets").metadata.contains(Ann.ParamBands),
+      "build params must survive the parquet schema round trip")
+    spark.conf.set("spark.graft.ann.autoPrune", "true")
+    try {
+      val projected = topkPlan(stored, q).select($"vec_id")
+      val plan = projected.queryExecution.optimizedPlan.toString
+      assert(plan.contains("arrays_overlap"), s"rule did not fire:\n$plan")
+      assert(!plan.contains("lsh_buckets"),
+        "stored index must prune on stored buckets, not recompute signatures")
+      val declarative = projected.as[Long].collect().toSeq
+      val manual = Ann.queryIndex(stored, "embedding", "vec_id", q, 10,
+        planesPerBand = 6, bands = 8, seed = 7L)
+        .select($"vec_id").as[Long].collect().toSeq
+      assert(declarative == manual)
+    } finally spark.conf.set("spark.graft.ann.autoPrune", "false")
+  }
+
   test("a _buckets column without build-params metadata is NOT treated as an index") {
     GraftExtensions.install(spark)
     val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
