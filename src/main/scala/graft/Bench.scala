@@ -28,6 +28,11 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // start each query with a clean heap (outside its timing window):
+      // the dedup/graph queries pin localCheckpoint blocks whose cleanup
+      // is driver-GC-triggered, and a collection absorbed mid-query
+      // swung identical queries 60%+ run-to-run
+      System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -846,6 +846,34 @@ object SparkEntry {
         .select(lit(10L).as("k"), ($"n_same" === 10).as("layout_matches"))
     }),
 
+    // Q2 declarative ANN: the OPT-IN Catalyst rule rewrites a plain
+    // `orderBy(cosine).limit(k)` over an LSH-indexed frame into the
+    // bucket-pruned top-k at plan time. Contract: the declarative form
+    // returns exactly what the manual Ann.queryIndex API returns. The
+    // pruned plan is materialized while the flag is on (localCheckpoint)
+    // so the session flag can be restored before returning.
+    "q79_ann_autoprune" -> ((s, dir) => {
+      import s.implicits._
+      val ann = graft.operators.Ann
+      graft.plans.GraftExtensions.install(s)
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter($"vec_id" === 1).select($"embedding").as[Array[Float]].head()
+      val indexed = ann.buildIndex(emb, "embedding")
+      s.conf.set("spark.graft.ann.autoPrune", "true")
+      val declarative = try {
+        indexed
+          .orderBy(graft.functions.vectors.cosine($"embedding",
+            lit(q.map(_.toDouble))).desc, $"vec_id")
+          .limit(10).select($"vec_id")
+          .localCheckpoint(true)
+      } finally s.conf.set("spark.graft.ann.autoPrune", "false")
+      val manual = ann.queryIndex(indexed, "embedding", "vec_id", q, 10)
+        .select($"vec_id")
+      declarative.join(manual, "vec_id")
+        .agg(count(lit(1)).as("n_same"))
+        .select(lit(10L).as("k"), ($"n_same" === 10).as("prune_matches"))
+    }),
+
     // C1 chunker as a native Catalyst Generator through the SQL surface
     // (LATERAL VIEW chunk_text(...)) — same oracle shape as q47.
     "q58_chunk_sql" -> ((s, dir) => {
@@ -1582,6 +1610,8 @@ object SparkEntry {
       "SELECT CAST(10 AS BIGINT) AS k, TRUE AS recall_ok",
     "q77_ann_partitioned" ->
       "SELECT CAST(10 AS BIGINT) AS k, TRUE AS layout_matches",
+    "q79_ann_autoprune" ->
+      "SELECT CAST(10 AS BIGINT) AS k, TRUE AS prune_matches",
 
     "q58_chunk_sql" ->
       """SELECT doc_id, CAST(1 AS BIGINT) AS n_chunks,

@@ -168,6 +168,13 @@ object Ann {
       .otherwise(transform(vec.cast("array<double>"), x => x / n))
   }
 
+  /** Metadata keys carrying the IVF centroids on the `_cell` column
+    * (flattened row-major + dim) so query-side code — the declarative
+    * [[graft.plans.AnnTopKPruneRule]] cell-prune path — can compute a
+    * query's probe cells at PLAN time from the plan alone. */
+  val IvfCentroids = "graft.ann.ivf.centroids"
+  val IvfDim = "graft.ann.ivf.dim"
+
   def buildIvf(df: DataFrame, vecCol: String, k: Int = 16, seed: Long = 42L,
       maxIter: Int = 10): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
@@ -178,18 +185,27 @@ object Ann {
     val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("_nvec").setPredictionCol("_cell")
       .fit(feat)
-    IvfIndex(model.transform(feat).drop("_nvec"),
-      model.clusterCenters.map(_.toArray))
+    val centroids = model.clusterCenters.map(_.toArray)
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putDoubleArray(IvfCentroids, centroids.flatten)
+      .putLong(IvfDim, centroids.headOption.map(_.length.toLong).getOrElse(0L))
+      .build()
+    IvfIndex(model.transform(feat).drop("_nvec")
+      .withColumn("_cell", col("_cell").as("_cell", md)), centroids)
   }
 
-  def queryIvf(idx: IvfIndex, vecCol: String, idCol: String,
-      q: Array[Float], k: Int, nProbe: Int = 4): DataFrame = {
-    val qd = q.map(_.toDouble)
-    val qn = math.sqrt(qd.map(x => x * x).sum) match {
-      case 0.0 => qd
-      case n => qd.map(_ / n)
-    }
-    val cells = idx.centroids.zipWithIndex
+  /** Normalize to the unit sphere (cosine order == euclidean order). */
+  private[graft] def normalizeVec(q: Array[Double]): Array[Double] = {
+    val n = math.sqrt(q.map(x => x * x).sum)
+    if (n == 0.0) q else q.map(_ / n)
+  }
+
+  /** Indexes of the `nProbe` centroids nearest to (normalized) q —
+    * deterministic tie-break by cell id. */
+  private[graft] def nearestCells(centroids: Array[Array[Double]],
+      q: Array[Double], nProbe: Int): Array[Int] = {
+    val qn = normalizeVec(q)
+    centroids.zipWithIndex
       .map { case (c, i) =>
         var d = 0.0; var j = 0
         while (j < math.min(c.length, qn.length)) { val t = c(j) - qn(j); d += t * t; j += 1 }
@@ -197,6 +213,11 @@ object Ann {
       }
       .sortBy { case (i, d) => (d, i) }
       .take(nProbe).map(_._1)
+  }
+
+  def queryIvf(idx: IvfIndex, vecCol: String, idCol: String,
+      q: Array[Float], k: Int, nProbe: Int = 4): DataFrame = {
+    val cells = nearestCells(idx.centroids, q.map(_.toDouble), nProbe)
     bruteForceTopK(idx.data.filter(col("_cell").isin(cells.toIndexedSeq: _*)), vecCol, idCol, q, k)
   }
 }

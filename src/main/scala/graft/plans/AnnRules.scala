@@ -17,7 +17,10 @@ import org.apache.spark.sql.types.{ArrayType, IntegerType}
   * a `Filter(arrays_overlap(_buckets, <query buckets>))` is injected
   * below the sort, so the exact rescore touches only candidate rows.
   * The query vector is a literal, so its band signatures are computed
-  * at PLAN time.
+  * at PLAN time. The same walk prunes IVF indexes: a `_cell` column
+  * tagged with its centroids ([[Ann.buildIvf]]) gets
+  * `Filter(_cell IN <nProbe nearest cells>)` — nProbe read from
+  * `spark.graft.ann.ivf.nProbe` (default 4).
   *
   * The rewrite trades exactness for speed (it is the declarative form
   * of [[Ann.queryIndex]]), so it is OFF unless the session opts in:
@@ -85,21 +88,38 @@ object AnnTopKPruneRule extends Rule[LogicalPlan] {
     if (qvec.isEmpty) return None
     // already pruned? (idempotence under fixed-point rule execution)
     val alreadyPruned = subtree.collectFirst {
-      case Filter(cond, _) if cond.exists(_.isInstanceOf[ArraysOverlap]) => true
+      case Filter(cond, _) if cond.exists {
+        case _: ArraysOverlap => true
+        case In(a: Attribute, _) => a.name == "_cell"
+        case _ => false
+      } => true
     }.isDefined
     if (alreadyPruned) return None
     var injected = false
     val result = subtree.transformDown {
-      // topmost node still outputting the tagged index column; the guard
+      // topmost node still outputting a tagged index column; the guard
       // also stops recursion into the injected Filter's child (which
-      // outputs the same attribute)
+      // outputs the same attribute). LSH buckets and IVF cells share
+      // the walk — whichever tagged column the plan carries wins.
       case node if !injected && indexedBuckets(node).isDefined =>
         injected = true
         val b = indexedBuckets(node).get
         Filter(ArraysOverlap(b, queryBuckets(qvec.get, b.metadata)), node)
+      case node if !injected && ivfCell(node).isDefined =>
+        injected = true
+        val c = ivfCell(node).get
+        val flat = c.metadata.getDoubleArray(Ann.IvfCentroids)
+        val dim = c.metadata.getLong(Ann.IvfDim).toInt
+        val centroids = if (dim == 0) Array.empty[Array[Double]] else flat.grouped(dim).toArray
+        val cells = Ann.nearestCells(centroids, qvec.get, nProbe)
+        Filter(In(c, cells.map(Literal(_)).toIndexedSeq), node)
     }
     if (injected) return Some(result)
-    // fallback: tagged vector column in the sort key
+    // fallback: tagged vector column in the sort key (an unmaterialized
+    // LSH index whose _buckets projection column pruning eliminated —
+    // recompute membership from the vector). No IVF analogue: cell
+    // assignment needs the centroids scan-side at k*dim work per row,
+    // and a real IVF index always materializes its cells.
     Seq(cos.left, cos.right).collectFirst {
       case a: AttributeReference if hasParams(a.metadata) =>
         val p = a.metadata.getLong(Ann.ParamPlanes).toInt
@@ -110,6 +130,18 @@ object AnnTopKPruneRule extends Rule[LogicalPlan] {
           subtree)
     }
   }
+
+  /** Query-time probe width for the IVF cell-prune path (the LSH path
+    * needs no knob — band width is fixed at build). */
+  private def nProbe: Int =
+    SparkSession.getActiveSession
+      .map(_.conf.get("spark.graft.ann.ivf.nProbe", "4").toInt).getOrElse(4)
+
+  private def ivfCell(node: LogicalPlan): Option[Attribute] =
+    node.output.find(a =>
+      a.name == "_cell" &&
+        a.metadata.contains(Ann.IvfCentroids) &&
+        a.metadata.contains(Ann.IvfDim))
 
   private def hasParams(md: org.apache.spark.sql.types.Metadata): Boolean =
     md.contains(Ann.ParamPlanes) && md.contains(Ann.ParamBands) && md.contains(Ann.ParamSeed)

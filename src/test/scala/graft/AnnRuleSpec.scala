@@ -111,6 +111,31 @@ class AnnRuleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.graft.ann.autoPrune", "false")
   }
 
+  test("IVF: declarative cosine top-k over a cell-tagged table probes only nearest cells") {
+    GraftExtensions.install(spark)
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val q = emb.filter($"vec_id" === 0).select($"embedding").as[Array[Float]].head()
+    val idx = graft.operators.Ann.buildIvf(emb, "embedding", k = 16, maxIter = 5)
+    // materialized cells (what a real IVF index always is — ivfFor/q57
+    // checkpoint or persist them); metadata rides the LogicalRDD schema
+    val data = idx.data.localCheckpoint(true)
+    spark.conf.set("spark.graft.ann.autoPrune", "true")
+    spark.conf.set("spark.graft.ann.ivf.nProbe", "12")
+    try {
+      val on = topkPlan(data, q).select($"vec_id")
+      val plan = on.queryExecution.optimizedPlan.toString
+      assert(plan.contains("_cell") && plan.contains(" IN "),
+        s"cell-prune filter did not fire:\n$plan")
+      val declarative = on.as[Long].collect().toSeq
+      val manual = Ann.queryIvf(idx.copy(data = data), "embedding", "vec_id", q, 10, nProbe = 12)
+        .select($"vec_id").as[Long].collect().toSeq
+      assert(declarative == manual)
+    } finally {
+      spark.conf.set("spark.graft.ann.autoPrune", "false")
+      spark.conf.unset("spark.graft.ann.ivf.nProbe")
+    }
+  }
+
   test("a _buckets column without build-params metadata is NOT treated as an index") {
     GraftExtensions.install(spark)
     val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
