@@ -30,6 +30,8 @@ object Graph {
       srcCol: String,
       dstCol: String,
       maxIterations: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
     val e = edges.select(col(srcCol).cast("long").as("_src"),
       col(dstCol).cast("long").as("_dst"))
     // undirected: keep both directions so one join propagates both ways
@@ -56,15 +58,28 @@ object Graph {
       // pointer jump: follow the label to ITS label (labels are node
       // ids, so every label has a row) — doubles reach per round
       val lookup = labels.select(col("_node").as("_c"), col("_comp").as("_cc"))
-      // one materialized frame carries old AND new labels, so the
-      // convergence probe is a filter over cached blocks, not a re-join
+      // convergence probe FUSED into the step job: the accumulator
+      // counts moved labels while the eager checkpoint materializes, so
+      // each round is ONE job, not step-job + probe-job. Task retries /
+      // speculation can only inflate the count, and the test is ==0, so
+      // they can never fake convergence — at worst one extra
+      // (idempotent) round runs.
+      val changed = spark.sparkContext.longAccumulator("cc_changed")
       val step = merged
         .join(lookup.hint("shuffle_hash"), merged("_m") === col("_c"), "left")
         .select(col("_node"),
           least(col("_m"), coalesce(col("_cc"), col("_m"))).as("_comp"),
           col("_old"))
+        .as[(Long, Long, Long)]
+        .mapPartitions { it =>
+          it.map { case r @ (_, comp, old) =>
+            if (comp != old) changed.add(1L)
+            r
+          }
+        }
+        .toDF("_node", "_comp", "_old")
         .localCheckpoint(true)
-      converged = step.filter(col("_comp") =!= col("_old")).limit(1).count() == 0
+      converged = changed.value == 0
       labels = step.select("_node", "_comp")
       iter += 1
     }
