@@ -117,6 +117,36 @@ class IngestIndexSpec extends AnyFunSuite {
     assert(idx.scanAt(1L).count() == 200)
   }
 
+  test("snapshot pruning GCs exactly the unreferenced data files") {
+    val dir = Files.createTempDirectory("graft_idx_gc").toString
+    val root = s"$dir/g"
+    val idx = VectorIndex.ensure(spark, root, 4, numBuckets = 4)
+    def recs(ids: Seq[Int], scale: Float) = ids.toDF("n").select(
+      concat(lit("g-"), $"n").as("id"),
+      array(($"n" * scale).cast("float"), lit(1f), lit(2f), lit(3f)).as("values"),
+      struct(lit(0).as("chunk_index"), lit("t").as("source")).as("metadata"))
+    idx.upsert(recs(0 until 40, 1f))
+    val m0 = idx.manifestAt(0L)
+    idx.upsert(recs(Seq(3), 2f))
+    val m1 = idx.manifestAt(1L)
+    val touched = m1.keySet.find(b => m1(b) != m0(b)).get
+    // third snapshot over the same bucket pushes snapshot 0 out (keep=2)
+    idx.upsert(recs(Seq(3), 3f))
+    assert(idx.snapshots() == Seq(1L, 2L))
+    def exists(rel: String) = Files.exists(java.nio.file.Paths.get(s"$root/$rel"))
+    // v=0 files of UNTOUCHED buckets are still referenced by the retained
+    // manifests -> must survive GC (deleting them would destroy the index)
+    (m0.keySet - touched).foreach(b =>
+      assert(m0(b).forall(exists), s"referenced v0 files of bucket $b were GC'd"))
+    // the rewritten bucket's v=0 file is referenced by NO retained
+    // manifest -> must be gone (otherwise dead files accumulate forever)
+    assert(m0(touched).forall(f => !exists(f)),
+      s"unreferenced v0 files of bucket $touched leaked")
+    // and the merged view is intact across the GC
+    assert(idx.scan().count() == 40)
+    assert(idx.fetch(Seq("g-3")).select("values").as[Seq[Float]].head().head == 9f)
+  }
+
   test("end-to-end: ingest, query top-k, upsert-twice, delete") {
     val dir = Files.createTempDirectory("graft_idx").toString
     val idx = VectorIndex.ensure(spark, s"$dir/e2e", 64)
