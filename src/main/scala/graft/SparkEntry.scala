@@ -58,7 +58,10 @@ object SparkEntry {
   private val ivfCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.operators.Ann.IvfIndex]()
   private def ivfFor(s: SparkSession, dir: String): graft.operators.Ann.IvfIndex =
-    ivfCache.computeIfAbsent(dir, _ => {
+    // keyed by (app, dir): the cached cells are a checkpointed DataFrame
+    // bound to this SparkContext — a later session must rebuild, not
+    // touch a stopped context's blocks
+    ivfCache.computeIfAbsent(s"${s.sparkContext.applicationId}:$dir", _ => {
       val idx = graft.operators.Ann.buildIvf(
         t(s, dir, "embeddings"), "embedding", k = 16, maxIter = 5)
       idx.copy(data = idx.data.localCheckpoint(true))
@@ -76,6 +79,37 @@ object SparkEntry {
           graft.operators.Ann.buildIndex(t(s, dir, "embeddings"), "embedding"))
         .write.mode("overwrite").partitionBy("_bucket").parquet(out)
       out
+    })
+
+  /** Memoized bucketed fact tables per dataset dir (q80): bucketing is
+    * a WRITE-ONCE layout decision (the whole point is paying the shuffle
+    * at load, not per query), so queries read the bucketed tables
+    * without re-creating them. */
+  private val bucketedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def bucketedFor(s: SparkSession, dir: String): (String, String) =
+    // keyed by (app, dir): table names live in this session's in-memory
+    // catalog. A fresh JVM's catalog is empty but the WAREHOUSE DIR from
+    // a previous run persists, and saveAsTable refuses to reuse a
+    // location it does not know about — clear both before writing.
+    bucketedCache.computeIfAbsent(s"${s.sparkContext.applicationId}:$dir", _ => {
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      val li = s"li_bkt_$tag"
+      val ord = s"ord_bkt_$tag"
+      Seq(li, ord).foreach { tbl =>
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), tbl.toLowerCase)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+      }
+      t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+        .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(li)
+      t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(ord)
+      (li, ord)
     })
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1161,6 +1195,20 @@ object SparkEntry {
         .orderBy($"event_type")
     }),
 
+    // Partitioning & shuffle row: the fact/fact join through BUCKETED,
+    // sort-merged tables — the load-time layout that makes a 100 TB
+    // fact/fact join exchange-free (BucketingSpec asserts the no-Exchange
+    // plan; this runs the same layout through the graded gate).
+    "q80_bucketed_join" -> ((s, dir) => {
+      import s.implicits._
+      val (liT, ordT) = bucketedFor(s, dir)
+      s.table(liT).join(s.table(ordT), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy($"o_orderpriority")
+    }),
+
     // §2.G date_trunc bucketing (week grain, ISO Monday start both engines).
     "q71_date_trunc" -> ((s, dir) => {
       import s.implicits._
@@ -1791,5 +1839,11 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         |  MAX(epoch_us(ts)) AS max_ts_us
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q80_bucketed_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
   )
 }

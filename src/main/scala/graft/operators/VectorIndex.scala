@@ -78,31 +78,36 @@ final class VectorIndex private (
     val cur = currentSnapshot(spark, path)
     val version = cur.map(_ + 1L).getOrElse(0L)
     // one materialization feeds the dim check, the touched-bucket scan
-    // and the merge — records may be a whole ingest pipeline
+    // and the merge — records may be a whole ingest pipeline. persist
+    // (not localCheckpoint): it can be RELEASED after the write — a
+    // checkpoint's blocks would stay pinned until driver GC, which a
+    // long-running per-batch ingest loop cannot afford
     val incoming = records
       .select(col("id").cast("string"), col("values").cast("array<float>"), col("metadata"))
       .withColumn("version", lit(version))
       .withColumn("_bucket", bucketOf(col("id")))
-      .localCheckpoint(true)
-    val bad = incoming.filter(size(col("values")) =!= dim).limit(1).count()
-    if (bad > 0)
-      throw new IngestError(s"upsert: embedding dimension != index dimension $dim")
-    val touched = incoming.select("_bucket").distinct()
-      .collect().map(_.getInt(0)).toSet
-    val manifest = cur.map(readManifest(spark, path, _)).getOrElse(Map.empty[Int, Seq[String]])
-    val oldFiles = touched.toSeq.sorted.flatMap(manifest.getOrElse(_, Nil))
-    val merged = if (oldFiles.isEmpty) incoming.dropDuplicates("id") else {
-      val old = spark.read.parquet(oldFiles.map(f => s"$path/$f"): _*)
-        .withColumn("_bucket", bucketOf(col("id")))
-      // last write wins; within a batch ties broken arbitrarily-but-
-      // deterministically by values hash
-      val w = Window.partitionBy(col("id"))
-        .orderBy(col("version").desc, xxhash64(col("values")).desc)
-      old.unionByName(incoming)
-        .withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1).drop("_rn")
-    }
-    writeSnapshot(version, merged, manifest, touched)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val bad = incoming.filter(size(col("values")) =!= dim).limit(1).count()
+      if (bad > 0)
+        throw new IngestError(s"upsert: embedding dimension != index dimension $dim")
+      val touched = incoming.select("_bucket").distinct()
+        .collect().map(_.getInt(0)).toSet
+      val manifest = cur.map(readManifest(spark, path, _)).getOrElse(Map.empty[Int, Seq[String]])
+      val oldFiles = touched.toSeq.sorted.flatMap(manifest.getOrElse(_, Nil))
+      val merged = if (oldFiles.isEmpty) incoming.dropDuplicates("id") else {
+        val old = spark.read.parquet(oldFiles.map(f => s"$path/$f"): _*)
+          .withColumn("_bucket", bucketOf(col("id")))
+        // last write wins; within a batch ties broken arbitrarily-but-
+        // deterministically by values hash
+        val w = Window.partitionBy(col("id"))
+          .orderBy(col("version").desc, xxhash64(col("values")).desc)
+        old.unionByName(incoming)
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn")
+      }
+      writeSnapshot(version, merged, manifest, touched)
+    } finally incoming.unpersist(blocking = false)
   }
 
   /** Q1/Q3: top-k by metric score with optional metadata pre-filter
@@ -188,20 +193,30 @@ final class VectorIndex private (
 
 object VectorIndex {
 
+  /** Sentinel for "caller did not specify numBuckets" — lets ensure()
+    * reopen an existing index without knowing its bucket count while
+    * still failing loudly on an EXPLICIT mismatch. */
+  val DefaultNumBuckets = 16
+  private val UnspecifiedBuckets = -1
+
   /** G2 create — idempotent like the reference's existence check
-    * (streamlit_app.py:46-49). Fails if it exists with different meta. */
+    * (streamlit_app.py:46-49). Fails if it exists with different meta
+    * (numBuckets participates only when explicitly passed — it is a
+    * storage property of the existing index, not a per-open choice). */
   def ensure(spark: SparkSession, path: String, dimension: Int,
       metric: Metric = Metric.Cosine, name: String = "textembedding",
-      numBuckets: Int = 16): VectorIndex = {
+      numBuckets: Int = UnspecifiedBuckets): VectorIndex = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val metaPath = new Path(path, "_graft_meta.json")
     if (fs.exists(metaPath)) {
       val existing = readMeta(spark, path)
-      require(existing.dimension == dimension && existing.metric == metric,
+      require(existing.dimension == dimension && existing.metric == metric &&
+        (numBuckets == UnspecifiedBuckets || existing.numBuckets == numBuckets),
         s"index exists with different meta: $existing")
       new VectorIndex(spark, path, existing)
     } else {
-      val meta = IndexMeta(name, dimension, metric, numBuckets)
+      val meta = IndexMeta(name, dimension, metric,
+        if (numBuckets == UnspecifiedBuckets) DefaultNumBuckets else numBuckets)
       fs.mkdirs(new Path(path))
       val out = fs.create(metaPath, true)
       out.write(
@@ -279,14 +294,24 @@ object VectorIndex {
   private def listSnapshots(spark: SparkSession, path: String): Seq[Long] = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq
+    if (!fs.exists(p)) return Seq.empty
+    val snapDirs = fs.listStatus(p).toSeq
       .filter(_.isDirectory)
       .map(_.getPath.getName)
       .collect { case s if s.startsWith("snapshot=") => s.stripPrefix("snapshot=").toLong }
-      // only snapshots whose manifest committed (rename is the atomic point)
-      .filter(n => fs.exists(manifestPath(path, n)))
-      .sorted
+    // a committed snapshot with NO manifest is the pre-manifest flat
+    // layout (parquet + _SUCCESS directly in the dir). Treating it as
+    // empty would silently hide the data and the next upsert would
+    // orphan it — fail loudly instead.
+    snapDirs.filter(n => !fs.exists(manifestPath(path, n)))
+      .foreach { n =>
+        if (fs.exists(new Path(p, s"snapshot=$n/_SUCCESS")))
+          throw new IllegalStateException(
+            s"index at $path: snapshot=$n uses the pre-manifest flat layout; " +
+              "rewrite it (scan with the old reader, upsert into a new index) before opening")
+      }
+    // only snapshots whose manifest committed (rename is the atomic point)
+    snapDirs.filter(n => fs.exists(manifestPath(path, n))).sorted
   }
 
   private def currentSnapshot(spark: SparkSession, path: String): Option[Long] =

@@ -86,11 +86,16 @@ object AnnTopKPruneRule extends Rule[LogicalPlan] {
       case _ => None
     }
     if (qvec.isEmpty) return None
-    // already pruned? (idempotence under fixed-point rule execution)
+    // already pruned? (idempotence under fixed-point rule execution —
+    // when installed via spark.sql.extensions this rule shares the
+    // operator-optimization batch with OptimizeIn, which rewrites an In
+    // of >inSetConversionThreshold literals to InSet, so BOTH forms must
+    // be recognized or the rule re-injects its filter every iteration)
     val alreadyPruned = subtree.collectFirst {
       case Filter(cond, _) if cond.exists {
         case _: ArraysOverlap => true
         case In(a: Attribute, _) => a.name == "_cell"
+        case InSet(a: Attribute, _) => a.name == "_cell"
         case _ => false
       } => true
     }.isDefined

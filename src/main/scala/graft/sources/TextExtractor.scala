@@ -57,21 +57,48 @@ object SimplePdfTextExtractor extends TextExtractor {
     out.result()
   }
 
-  private val blockRe = "(?s)BT(.*?)ET".r
-  private val strRe = """\(((?:[^()\\]|\\.)*)\)""".r
-
-  /** All string literals inside BT..ET blocks (inside a text block,
-    * parenthesized strings are text-show operands), unescaped. */
-  private def shownText(body: String, out: StringBuilder): Unit =
-    for (b <- blockRe.findAllMatchIn(body)) {
-      for (str <- strRe.findAllMatchIn(b.group(1))) out ++= unescape(str.group(1))
-      out += '\n'
-    }
-
-  private def unescape(s: String): String = {
-    val out = new StringBuilder(s.length)
+  /** Tokenizing scan of one content stream: string literals are parsed
+    * with full escape/nesting rules FIRST, so a ")", "BT" or "ET" inside
+    * shown text can never be mistaken for an operator (a regex over the
+    * raw bytes truncates the block at e.g. "QUIET"); `BT`/`ET` are
+    * recognized only as standalone operator tokens. Strings shown inside
+    * a text block are appended in stream order; one line per block. */
+  private def shownText(body: String, out: StringBuilder): Unit = {
     var i = 0
-    while (i < s.length) {
+    var inText = false
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (c == '(') {
+        val (str, next) = parseString(body, i)
+        if (inText) out ++= str
+        i = next
+      } else if (c == '%') { // comment to end of line
+        while (i < body.length && body.charAt(i) != '\n' && body.charAt(i) != '\r') i += 1
+      } else if (c.isLetter || c == '\'' || c == '"') {
+        var j = i
+        while (j < body.length && !isDelimiter(body.charAt(j))) j += 1
+        body.substring(i, j) match {
+          case "BT" => inText = true
+          case "ET" => if (inText) out += '\n'; inText = false
+          case _ => () // Tf/Td/Tj/TJ/... — positioning ignored, order kept
+        }
+        i = j
+      } else i += 1
+    }
+  }
+
+  private def isDelimiter(c: Char): Boolean =
+    c.isWhitespace || "()<>[]{}/%".indexOf(c.toInt) >= 0
+
+  /** One PDF string literal starting at `start` (the '('): balanced
+    * unescaped parens nest (legal and common), backslash escapes incl.
+    * octal and line continuation. Returns (unescaped text, index past
+    * the closing paren). */
+  private def parseString(s: String, start: Int): (String, Int) = {
+    val out = new StringBuilder
+    var depth = 1
+    var i = start + 1
+    while (i < s.length && depth > 0) {
       val c = s.charAt(i)
       if (c == '\\' && i + 1 < s.length) {
         s.charAt(i + 1) match {
@@ -80,6 +107,9 @@ object SimplePdfTextExtractor extends TextExtractor {
           case 't' => out += '\t'; i += 2
           case 'b' => out += '\b'; i += 2
           case 'f' => out += '\f'; i += 2
+          case '\r' => // line continuation: no output
+            i += 2; if (i < s.length && s.charAt(i) == '\n') i += 1
+          case '\n' => i += 2
           case d if d >= '0' && d <= '7' => // octal \d, \dd, or \ddd
             val end = math.min(i + 4, s.length)
             var j = i + 1
@@ -88,9 +118,11 @@ object SimplePdfTextExtractor extends TextExtractor {
             i = j
           case other => out += other; i += 2 // \( \) \\ and any escaped char
         }
-      } else { out += c; i += 1 }
+      } else if (c == '(') { depth += 1; out += c; i += 1 }
+      else if (c == ')') { depth -= 1; if (depth > 0) out += c; i += 1 }
+      else { out += c; i += 1 }
     }
-    out.result()
+    (out.result(), i)
   }
 }
 

@@ -117,6 +117,17 @@ class IngestIndexSpec extends AnyFunSuite {
     assert(idx.scanAt(1L).count() == 200)
   }
 
+  test("pre-manifest flat snapshot layout is rejected loudly, not read as empty") {
+    val dir = Files.createTempDirectory("graft_idx_legacy").toString
+    val idx = VectorIndex.ensure(spark, s"$dir/l", 4)
+    // simulate a committed snapshot from the old flat layout: _SUCCESS,
+    // no manifest — silently treating it as empty would orphan its data
+    // on the next upsert
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/l/snapshot=0"))
+    Files.write(java.nio.file.Paths.get(s"$dir/l/snapshot=0/_SUCCESS"), Array.empty[Byte])
+    intercept[IllegalStateException] { idx.scan() }
+  }
+
   test("snapshot pruning GCs exactly the unreferenced data files") {
     val dir = Files.createTempDirectory("graft_idx_gc").toString
     val root = s"$dir/g"

@@ -41,6 +41,16 @@ class SourcesSpec extends AnyFunSuite {
     val esc = SimplePdfTextExtractor.extract(
       goldenPdf("BT (A\\tB\\101) Tj ET", filtered = false))
     assert(esc == "A\tBA\n")
+    // "ET"/"BT" INSIDE a shown string must not terminate the block (a
+    // regex over raw bytes truncates at "QUIET"), and balanced unescaped
+    // parens are legal in PDF string literals
+    val tricky = SimplePdfTextExtractor.extract(
+      goldenPdf("BT (QUIET BUDGET) Tj (Hello (nested) world) Tj ET", filtered = false))
+    assert(tricky == "QUIET BUDGETHello (nested) world\n")
+    // backslash-newline is line continuation: no output character
+    val cont = SimplePdfTextExtractor.extract(
+      goldenPdf("BT (long\\\n text) Tj ET", filtered = false))
+    assert(cont == "long text\n")
   }
 
   test("golden-bytes PDF: filtered stream has no parsable text layer -> OCR fallback (A3)") {
