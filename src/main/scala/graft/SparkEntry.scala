@@ -742,6 +742,23 @@ object SparkEntry {
         .orderBy($"view_event")
     }),
 
+    // Forward as-of: the EARLIEST click at-or-after each view — the
+    // same single-shuffle window plan as q50 traversed in descending
+    // time order (DuckDB ASOF with the inequality flipped).
+    "q81_asof_forward" -> ((s, dir) => {
+      import s.implicits._
+      val ev = events(s, dir)
+      val views = ev.filter($"event_type" === "view")
+        .select($"user_id", $"ts", $"event_id")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts", $"event_id", $"value")
+      graft.operators.AsOfJoin.forward(views, clicks, Seq("user_id"),
+          "ts", "ts", Seq("event_id", "value"), suffix = "_click")
+        .select($"event_id".as("view_event"), $"user_id",
+          $"event_id_click".as("click_event"), $"value_click".as("click_value"))
+        .orderBy($"view_event")
+    }),
+
     // Multimodal columns: opaque binary + typed metadata through a
     // batched mapPartitions decode (stubbed codecs; real plumbing).
     "q51_multimodal_meta" -> ((s, dir) => {
@@ -1608,6 +1625,14 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type = 'view') v
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON v.user_id = c.user_id AND v.ts >= c.ts
+        |ORDER BY view_event""".stripMargin,
+
+    "q81_asof_forward" ->
+      """SELECT v.event_id AS view_event, v.user_id AS user_id,
+        |  c.event_id AS click_event, c.value AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON v.user_id = c.user_id AND v.ts <= c.ts
         |ORDER BY view_event""".stripMargin,
 
     "q51_multimodal_meta" ->
