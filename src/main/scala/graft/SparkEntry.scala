@@ -742,6 +742,31 @@ object SparkEntry {
         .orderBy($"view_event")
     }),
 
+    // Count-min sketch heavy hitters: seeded + mergeable (the map-side
+    // combine IS the sketch merge), so estimates are deterministic. The
+    // CMS one-sided error contract — true <= estimate <= true + eps*N —
+    // is checked for the top-5 true-heaviest tokens; the driver-side
+    // part is only the O(1)-size sketch readback.
+    "q82_countmin_heavy" -> ((s, dir) => {
+      import s.implicits._
+      val toks = t(s, dir, "documents")
+        .select(explode(filter(split(lower($"text"), "[^a-z0-9]+"), x => x =!= ""))
+          .as("tok"))
+      val trueTop = toks.groupBy($"tok").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"tok").limit(5).collect()
+      val n = toks.count()
+      val cmsBytes = toks
+        .agg(expr("count_min_sketch(tok, 0.001d, 0.99d, 42)").as("cms"))
+        .head().getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(cmsBytes))
+      val ok = trueTop.forall { r =>
+        val est = cms.estimateCount(r.getString(0))
+        est >= r.getLong(1) && est <= r.getLong(1) + (0.001 * n).toLong
+      }
+      Seq((5L, ok)).toDF("k", "cms_bounds_ok")
+    }),
+
     // Forward as-of: the EARLIEST click at-or-after each view — the
     // same single-shuffle window plan as q50 traversed in descending
     // time order (DuckDB ASOF with the inequality flipped).
@@ -1626,6 +1651,9 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON v.user_id = c.user_id AND v.ts >= c.ts
         |ORDER BY view_event""".stripMargin,
+
+    "q82_countmin_heavy" ->
+      "SELECT CAST(5 AS BIGINT) AS k, TRUE AS cms_bounds_ok",
 
     "q81_asof_forward" ->
       """SELECT v.event_id AS view_event, v.user_id AS user_id,
