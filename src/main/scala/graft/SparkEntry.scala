@@ -742,6 +742,25 @@ object SparkEntry {
         .orderBy($"view_event")
     }),
 
+    // Q2 PQ (product quantization): 1 byte per subspace (64-dim float32
+    // -> 16 bytes, 16x smaller — the compression that keeps a 100 TB
+    // embedding corpus hot), ADC shortlist, exact rescore. Same recall
+    // contract as the other ANN paths.
+    "q83_ann_pq" -> ((s, dir) => {
+      import s.implicits._
+      val ann = graft.operators.Ann
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter($"vec_id" === 0).select($"embedding").as[Array[Float]].head()
+      val model = ann.trainPq(emb, "embedding")
+      val encoded = ann.encodePq(emb, "embedding", model)
+      val bf = ann.bruteForceTopK(emb, "embedding", "vec_id", q, 10).select($"vec_id")
+      val pq = ann.queryPq(encoded, "embedding", "vec_id", model, q, 10, shortlist = 200)
+        .select($"vec_id")
+      bf.join(pq, "vec_id")
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(10L).as("k"), ($"n_overlap" >= 8).as("recall_ok"))
+    }),
+
     // Count-min sketch heavy hitters: seeded + mergeable (the map-side
     // combine IS the sketch merge), so estimates are deterministic. The
     // CMS one-sided error contract — true <= estimate <= true + eps*N —
@@ -1654,6 +1673,8 @@ object SparkEntry {
 
     "q82_countmin_heavy" ->
       "SELECT CAST(5 AS BIGINT) AS k, TRUE AS cms_bounds_ok",
+    "q83_ann_pq" ->
+      "SELECT CAST(10 AS BIGINT) AS k, TRUE AS recall_ok",
 
     "q81_asof_forward" ->
       """SELECT v.event_id AS view_event, v.user_id AS user_id,

@@ -220,4 +220,127 @@ object Ann {
     val cells = nearestCells(idx.centroids, q.map(_.toDouble), nProbe)
     bruteForceTopK(idx.data.filter(col("_cell").isin(cells.toIndexedSeq: _*)), vecCol, idCol, q, k)
   }
+
+  // ---------- PQ (product quantization) — the memory-scale path ----------
+
+  /** Product quantizer: vectors are L2-normalized (unit sphere ⇒ L2
+    * order == cosine order), split into `m` subvectors, and each
+    * subvector replaced by the id of its nearest codebook centroid —
+    * one byte per subspace. A 100 TB float32 corpus becomes
+    * dim*4/m bytes-per-vector smaller (64-dim → 8 bytes = 32×), small
+    * enough to keep hot; queries rank by asymmetric distance (per-
+    * subspace lookup tables computed once per query), take a shortlist,
+    * and exactly rescore it against the full vectors. Training is a
+    * driver-side seeded Lloyd over a bounded sample — deterministic,
+    * no MLlib fit over the full data. */
+  final case class PqModel(m: Int, k: Int, subDim: Int,
+      codebooks: Array[Array[Array[Double]]])
+
+  def trainPq(df: DataFrame, vecCol: String, m: Int = 16, k: Int = 16,
+      seed: Long = 42L, sampleN: Int = 2048, iters: Int = 10): PqModel = {
+    val sample = df.select(normalized(col(vecCol)).as("_nv"))
+      .limit(sampleN).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "trainPq: empty input")
+    val dim = sample.head.length
+    require(dim % m == 0, s"trainPq: dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val codebooks = Array.tabulate(m) { s =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
+      lloyd(sub, k, seed ^ (s.toLong << 17), iters)
+    }
+    PqModel(m, k, subDim, codebooks)
+  }
+
+  /** Seeded Lloyd iterations on a driver-side sample. Deterministic:
+    * splitmix64 picks the initial centroids, ties break to the lowest
+    * centroid id, an emptied cluster keeps its previous centroid. */
+  private def lloyd(points: Array[Array[Double]], k: Int, seed: Long,
+      iters: Int): Array[Array[Double]] = {
+    val n = points.length
+    var cent = Array.tabulate(k)(i =>
+      points(math.floorMod(Dedup.splitmix64(seed + i), n).toInt).clone())
+    val assign = new Array[Int](n)
+    var it = 0
+    while (it < iters) {
+      var p = 0
+      while (p < n) {
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var j = 0
+          val cc = cent(c); val pp = points(p)
+          while (j < pp.length) { val t = pp(j) - cc(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        assign(p) = best
+        p += 1
+      }
+      val sums = Array.fill(k)(new Array[Double](points.head.length))
+      val counts = new Array[Int](k)
+      p = 0
+      while (p < n) {
+        val a = assign(p); counts(a) += 1
+        var j = 0
+        while (j < points(p).length) { sums(a)(j) += points(p)(j); j += 1 }
+        p += 1
+      }
+      cent = Array.tabulate(k)(c =>
+        if (counts(c) == 0) cent(c)
+        else sums(c).map(_ / counts(c)))
+      it += 1
+    }
+    cent
+  }
+
+  private[graft] def pqEncode(v: Array[Double], model: PqModel): Array[Byte] = {
+    val norm = math.sqrt(v.map(x => x * x).sum)
+    val nv = if (norm == 0.0) v else v.map(_ / norm)
+    Array.tabulate(model.m) { s =>
+      val cb = model.codebooks(s)
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        var d = 0.0; var j = 0
+        while (j < model.subDim) {
+          val t = nv(s * model.subDim + j) - cb(c)(j); d += t * t; j += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best.toByte
+    }
+  }
+
+  /** Attach the `_pq` code column (m bytes per row). */
+  def encodePq(df: DataFrame, vecCol: String, model: PqModel): DataFrame = {
+    val f = udf((v: Seq[Double]) => pqEncode(v.toArray, model))
+    df.withColumn("_pq", f(col(vecCol).cast("array<double>")))
+  }
+
+  /** ADC query: per-subspace squared-distance lookup tables for the
+    * (normalized) query are computed ONCE driver-side; each row's
+    * approximate distance is m table lookups over its byte code. The
+    * `shortlist` nearest by ADC are exactly rescored with true cosine. */
+  def queryPq(encoded: DataFrame, vecCol: String, idCol: String,
+      model: PqModel, q: Array[Float], k: Int, shortlist: Int = 500): DataFrame = {
+    val qn = normalizeVec(q.map(_.toDouble))
+    val lut: Array[Array[Double]] = Array.tabulate(model.m) { s =>
+      model.codebooks(s).map { c =>
+        var d = 0.0; var j = 0
+        while (j < model.subDim) { val t = qn(s * model.subDim + j) - c(j); d += t * t; j += 1 }
+        d
+      }
+    }
+    val adc = udf((codes: Array[Byte]) => {
+      var d = 0.0; var s = 0
+      while (s < codes.length) { d += lut(s)(codes(s) & 0xFF); s += 1 }
+      d
+    })
+    val short = encoded.withColumn("_adc", adc(col("_pq")))
+      .orderBy(col("_adc").asc, col(idCol))
+      .limit(shortlist)
+    bruteForceTopK(short, vecCol, idCol, q, k)
+  }
 }

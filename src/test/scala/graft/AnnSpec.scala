@@ -45,6 +45,33 @@ class AnnSpec extends AnyFunSuite {
     indexed.unpersist()
   }
 
+  test("PQ: ADC shortlist + exact rescore holds recall on a 20% shortlist") {
+    val model = Ann.trainPq(emb, "embedding")
+    val encoded = Ann.encodePq(emb, "embedding", model).cache()
+    val recalls = (0L until 10L).map { qid =>
+      val q = queryVec(qid)
+      val exact = Ann.bruteForceTopK(emb, "embedding", "vec_id", q, 10)
+        .select("vec_id").as[Long].collect().toSet
+      val pq = Ann.queryPq(encoded, "embedding", "vec_id", model, q, 10, shortlist = 100)
+        .select("vec_id").as[Long].collect().toSet
+      exact.intersect(pq).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.7, s"mean recall $mean, per-query $recalls")
+    // codes really are m bytes (BINARY column)
+    assert(encoded.select(length($"_pq")).as[Int].head() == model.m)
+    encoded.unpersist()
+  }
+
+  test("PQ encoding is deterministic and scale-invariant (normalized)") {
+    val model = Ann.trainPq(emb, "embedding")
+    val v = queryVec(3L).map(_.toDouble)
+    val a = Ann.pqEncode(v, model)
+    val b = Ann.pqEncode(v.map(_ * 7.5), model)
+    assert(a.toSeq == b.toSeq, "PQ codes must be invariant to vector scale")
+    assert(a.toSeq == Ann.pqEncode(v, model).toSeq)
+  }
+
   test("banded lsh prunes: candidate set smaller than the table, self always found") {
     val indexed = Ann.buildIndex(emb, "embedding").cache()
     val counts = (0L until 10L).map { qid =>
