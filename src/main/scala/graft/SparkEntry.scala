@@ -761,6 +761,32 @@ object SparkEntry {
         .select(lit(10L).as("k"), ($"n_overlap" >= 8).as("recall_ok"))
     }),
 
+    // Q2 IVF-PQ composed (the FAISS-style architecture): probe the
+    // nProbe nearest cells, rank ONLY probed rows by PQ asymmetric
+    // distance, exact-rescore the shortlist. Cells bound the scan, codes
+    // bound the memory — the two prunings compose multiplicatively at
+    // 100 TB. Recall contract is the composition's, slightly looser
+    // than either alone; the near-isotropic fixtures (PQ's hard regime)
+    // need a generous shortlist, where clustered real corpora prune far
+    // harder — verified TRUE at every fixture SF via QCheck.
+    "q84_ann_ivfpq" -> ((s, dir) => {
+      import s.implicits._
+      val ann = graft.operators.Ann
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter($"vec_id" === 0).select($"embedding").as[Array[Float]].head()
+      val ivf = ivfFor(s, dir)
+      val model = ann.trainPq(emb, "embedding")
+      val cells = ann.nearestCells(ivf.centroids, q.map(_.toDouble), 12)
+      val probed = ivf.data.filter($"_cell".isin(cells.toIndexedSeq: _*))
+      val encoded = ann.encodePq(probed, "embedding", model)
+      val bf = ann.bruteForceTopK(emb, "embedding", "vec_id", q, 10).select($"vec_id")
+      val ivfpq = ann.queryPq(encoded, "embedding", "vec_id", model, q, 10, shortlist = 400)
+        .select($"vec_id")
+      bf.join(ivfpq, "vec_id")
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(10L).as("k"), ($"n_overlap" >= 7).as("recall_ok"))
+    }),
+
     // Count-min sketch heavy hitters: seeded + mergeable (the map-side
     // combine IS the sketch merge), so estimates are deterministic. The
     // CMS one-sided error contract — true <= estimate <= true + eps*N —
@@ -1674,6 +1700,8 @@ object SparkEntry {
     "q82_countmin_heavy" ->
       "SELECT CAST(5 AS BIGINT) AS k, TRUE AS cms_bounds_ok",
     "q83_ann_pq" ->
+      "SELECT CAST(10 AS BIGINT) AS k, TRUE AS recall_ok",
+    "q84_ann_ivfpq" ->
       "SELECT CAST(10 AS BIGINT) AS k, TRUE AS recall_ok",
 
     "q81_asof_forward" ->
