@@ -180,7 +180,12 @@ object AnnTopKPruneRule extends Rule[LogicalPlan] {
 
 /** Session extension wiring: vector functions + the ANN prune rule.
   * Usable both at builder time (`spark.sql.extensions`) and on a live
-  * session via [[GraftExtensions.install]]. */
+  * session via [[GraftExtensions.install]].
+  *
+  * Builder caveat: Spark reads `spark.sql.extensions` from the
+  * SPARKCONTEXT's conf at session construction — a builder that reuses
+  * an already-running SparkContext silently drops the setting (static
+  * conf). On a shared/pre-existing context, use [[install]]. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
     ext.injectOptimizerRule(_ => AnnTopKPruneRule)

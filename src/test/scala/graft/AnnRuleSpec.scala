@@ -136,6 +136,48 @@ class AnnRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("idempotence holds after OptimizeIn rewrites the cell filter to InSet") {
+    // when the rule is wired via spark.sql.extensions it shares the
+    // operator-optimization fixed point with OptimizeIn, which rewrites
+    // In(>10 literals) to InSet — an idempotence check that only
+    // recognizes In re-injects the cell filter every iteration until the
+    // batch's max-iterations cap. Simulate that interleaving directly:
+    // fire the rule, convert its filter with OptimizeIn, and assert a
+    // second application is a no-op.
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, In, InSet}
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    GraftExtensions.install(spark)
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val q = emb.filter($"vec_id" === 0).select($"embedding").as[Array[Float]].head()
+    val idx = graft.operators.Ann.buildIvf(emb, "embedding", k = 16, maxIter = 5)
+    val data = idx.data.localCheckpoint(true)
+    spark.conf.set("spark.graft.ann.autoPrune", "true")
+    spark.conf.set("spark.graft.ann.ivf.nProbe", "12") // > InSet threshold (10)
+    try {
+      val pruned = topkPlan(data, q).select($"vec_id").queryExecution.optimizedPlan
+      def cellFilters(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+        p.collect {
+          case f: Filter if f.condition.exists {
+            case In(a: Attribute, _) => a.name == "_cell"
+            case InSet(a: Attribute, _) => a.name == "_cell"
+            case _ => false
+          } => f
+        }
+      assert(cellFilters(pruned).size == 1, s"rule did not fire once:\n$pruned")
+      val asInSet = org.apache.spark.sql.catalyst.optimizer.OptimizeIn(pruned)
+      assert(asInSet.exists {
+        case Filter(cond, _) => cond.exists(_.isInstanceOf[InSet])
+        case _ => false
+      }, s"OptimizeIn should have produced an InSet at nProbe=12:\n$asInSet")
+      val again = graft.plans.AnnTopKPruneRule(asInSet)
+      assert(cellFilters(again).size == 1,
+        s"rule re-injected over the InSet form:\n$again")
+    } finally {
+      spark.conf.set("spark.graft.ann.autoPrune", "false")
+      spark.conf.unset("spark.graft.ann.ivf.nProbe")
+    }
+  }
+
   test("a _buckets column without build-params metadata is NOT treated as an index") {
     GraftExtensions.install(spark)
     val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
