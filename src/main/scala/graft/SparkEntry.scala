@@ -38,7 +38,7 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame = {
     import graft.core.HashingEmbedder
     import graft.operators.{Ingest, VectorIndex}
-    val dir = java.nio.file.Files.createTempDirectory("graft_entry").toString
+    val dir = freshScratch("entry")
     val docs = t(spark, "/root/testdata/sf0.001", "documents")
       .select(col("doc_id"), col("text"))
     val embedder = new HashingEmbedder(dimension = 64, seed = 42L)
@@ -49,6 +49,37 @@ object SparkEntry {
     val q = embedder.embedOne("spark window join stream batch")
     idx.query(q, k = 10)
   }
+
+  /** Scratch directories: every temp dir this object creates is
+    * registered here and recursively deleted on JVM exit, so repeated
+    * bench/verify runs do not accumulate dump dirs on disk. Round-trip
+    * queries additionally MEMOIZE their dir (one per tag per JVM) — the
+    * write inside the query uses mode=overwrite, so reusing the dir
+    * re-times the write without re-creating directories. */
+  private val scratchRegistry =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[java.io.File]())
+  private lazy val scratchHookInstalled: Boolean = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      scratchRegistry.forEach { root =>
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rm)
+          f.delete(): Unit
+        }
+        rm(root)
+      }
+    }))
+    true
+  }
+  private def freshScratch(tag: String): String = {
+    require(scratchHookInstalled)
+    val p = java.nio.file.Files.createTempDirectory(s"graft_$tag")
+    scratchRegistry.add(p.toFile)
+    p.toString
+  }
+  private val scratchCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def scratchDir(tag: String): String =
+    scratchCache.computeIfAbsent(tag, _ => freshScratch(tag))
 
   /** Memoized IVF index per dataset dir (q76): real IVF usage is
     * build-once/query-many, so the probe query should not pay the KMeans
@@ -74,7 +105,7 @@ object SparkEntry {
   private val layoutCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def lshLayoutFor(s: SparkSession, dir: String): String =
     layoutCache.computeIfAbsent(dir, _ => {
-      val out = java.nio.file.Files.createTempDirectory("graft_lsh_layout").toString + "/idx"
+      val out = freshScratch("lsh_layout") + "/idx"
       graft.operators.Ann.explodeForLayout(
           graft.operators.Ann.buildIndex(t(s, dir, "embeddings"), "embedding"))
         .write.mode("overwrite").partitionBy("_bucket").parquet(out)
@@ -1056,7 +1087,7 @@ object SparkEntry {
     "q62_vector_index" -> ((s, dir) => {
       import s.implicits._
       import graft.operators.VectorIndex
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q62").toString
+      val tmp = freshScratch("q62")
       val emb = t(s, dir, "embeddings")
       val records = emb.select(
         $"vec_id".cast("string").as("id"),
@@ -1238,7 +1269,7 @@ object SparkEntry {
     // doubles survive exactly (shortest-repr write, exact parse).
     "q73_json_roundtrip" -> ((s, dir) => {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q73").toString
+      val tmp = scratchDir("q73")
       events(s, dir)
         .select($"event_id", $"event_type", $"value", unix_micros($"ts").as("ts_us"))
         .write.mode("overwrite").json(s"$tmp/ev")
@@ -1253,7 +1284,7 @@ object SparkEntry {
     // §2.A source breadth: CSV sink+source round-trip with explicit schema.
     "q74_csv_roundtrip" -> ((s, dir) => {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q74").toString
+      val tmp = scratchDir("q74")
       events(s, dir)
         .select($"event_id", $"user_id", $"event_type", $"value")
         .write.mode("overwrite").option("header", "true").csv(s"$tmp/ev")
@@ -1270,7 +1301,7 @@ object SparkEntry {
     // #2 — type-faithful, so the same decimal-exact aggregate holds).
     "q78_orc_roundtrip" -> ((s, dir) => {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q78").toString
+      val tmp = scratchDir("q78")
       events(s, dir)
         .select($"event_id", $"user_id", $"event_type", $"value", unix_micros($"ts").as("ts_us"))
         .write.mode("overwrite").orc(s"$tmp/ev")

@@ -238,8 +238,12 @@ object Ann {
 
   def trainPq(df: DataFrame, vecCol: String, m: Int = 16, k: Int = 16,
       seed: Long = 42L, sampleN: Int = 2048, iters: Int = 10): PqModel = {
+    // orderBy before limit => TakeOrderedAndProject: the training sample
+    // is a function of the DATA, not of file/partition layout — a
+    // repartitioned copy of the same vectors trains the same codebooks.
+    // (Array ordering is lexicographic; ties are identical vectors.)
     val sample = df.select(normalized(col(vecCol)).as("_nv"))
-      .limit(sampleN).collect()
+      .orderBy(col("_nv")).limit(sampleN).collect()
       .map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "trainPq: empty input")
     val dim = sample.head.length

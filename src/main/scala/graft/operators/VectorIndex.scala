@@ -25,7 +25,7 @@ import org.apache.hadoop.fs.Path
   * (simplified Iceberg):
   *
   *   path/_graft_meta.json              dimension/metric/numBuckets
-  *   path/data/v=N/_bucket=B/part-*    rows written by snapshot N
+  *   path/data/v=N-<attempt>/_bucket=B/part-*  rows written by one attempt at snapshot N
   *   path/snapshot=N/manifest          lines "bucket<TAB>relative-file"
   *
   * Rows hash into `numBuckets` id-buckets (pmod(xxhash64(id))); an
@@ -95,17 +95,20 @@ final class VectorIndex private (
         .collect().map(_.getInt(0)).toSet
       val manifest = cur.map(readManifest(spark, path, _)).getOrElse(Map.empty[Int, Seq[String]])
       val oldFiles = touched.toSeq.sorted.flatMap(manifest.getOrElse(_, Nil))
-      val merged = if (oldFiles.isEmpty) incoming.dropDuplicates("id") else {
-        val old = spark.read.parquet(oldFiles.map(f => s"$path/$f"): _*)
+      // last write wins; within a batch ties broken arbitrarily-but-
+      // deterministically by values hash. The same window applies whether
+      // or not the touched buckets had prior files, so a batch's winners
+      // never depend on the index's prior layout.
+      val w = Window.partitionBy(col("id"))
+        .orderBy(col("version").desc, xxhash64(col("values")).desc)
+      val base = if (oldFiles.isEmpty) incoming else {
+        spark.read.parquet(oldFiles.map(f => s"$path/$f"): _*)
           .withColumn("_bucket", bucketOf(col("id")))
-        // last write wins; within a batch ties broken arbitrarily-but-
-        // deterministically by values hash
-        val w = Window.partitionBy(col("id"))
-          .orderBy(col("version").desc, xxhash64(col("values")).desc)
-        old.unionByName(incoming)
-          .withColumn("_rn", row_number().over(w))
-          .filter(col("_rn") === 1).drop("_rn")
+          .unionByName(incoming)
       }
+      val merged = base
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn")
       writeSnapshot(version, merged, manifest, touched)
     } finally incoming.unpersist(blocking = false)
   }
@@ -159,7 +162,15 @@ final class VectorIndex private (
     * forward by reference — no copy, no rewrite. */
   private def writeSnapshot(version: Long, merged: DataFrame,
       oldManifest: Map[Int, Seq[String]], touched: Set[Int]): Unit = {
-    val dataDir = s"data/v=$version"
+    // Each write ATTEMPT gets its own directory: a concurrent or retried
+    // writer that computes the same target version can then never
+    // overwrite files an already-committed manifest references (the
+    // manifest rename below is the single commit point; the loser's
+    // orphaned attempt dir is swept by the file-level GC). A plain
+    // data/v=N with SaveMode.Overwrite would regress lost-update to
+    // corruption of committed snapshots.
+    val attempt = java.util.UUID.randomUUID().toString.take(8)
+    val dataDir = s"data/v=$version-$attempt"
     // cluster by bucket so each bucket lands in few files (the window's
     // id-hash layout would otherwise scatter every bucket across tasks)
     merged.repartition(col("_bucket"))

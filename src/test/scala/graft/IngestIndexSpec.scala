@@ -99,10 +99,10 @@ class IngestIndexSpec extends AnyFunSuite {
     // physical paths — carried forward, not copied or rewritten)
     (m1.keySet -- touched).foreach { b =>
       assert(m1(b) == m0(b), s"untouched bucket $b must keep its files")
-      assert(m1(b).forall(_.startsWith("data/v=0/")))
+      assert(m1(b).forall(_.startsWith("data/v=0-")))
     }
     // all new bytes live under v=1, proportional to the touched buckets
-    touched.foreach(b => assert(m1(b).forall(_.startsWith("data/v=1/"))))
+    touched.foreach(b => assert(m1(b).forall(_.startsWith("data/v=1-"))))
 
     // merged view: updated rows visible, count unchanged, last write wins
     assert(idx.scan().count() == 200)
