@@ -1231,7 +1231,10 @@ object SparkEntry {
           ids.select(($"doc_id" + k * 100000L).as("src"),
             ($"doc_id" + (k + 1) * 100000L).as("dst")))
         .reduce(_ unionByName _)
-      graft.operators.Graph.connectedComponents(edges, "src", "dst")
+      // smallGraphLimit=0: this query exists to exercise the DISTRIBUTED
+      // hash-min/pointer-jumping loop in the graded gate (the small-graph
+      // driver path is covered by q75 and OperatorsSpec)
+      graft.operators.Graph.connectedComponents(edges, "src", "dst", smallGraphLimit = 0)
         .orderBy($"node")
     }),
 

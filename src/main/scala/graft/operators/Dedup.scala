@@ -13,12 +13,15 @@ import org.apache.spark.sql.functions._
   *      a count pre-pass keeps just buckets with >= 2 members, so on
   *      benign corpora (mostly-singleton buckets) payloads for the
   *      overwhelming majority of rows are never shuffled at all;
-  *   3. in-bucket exact verification: payloads are hash-joined onto the
-  *      surviving rows and verified LOCALLY inside each bucket group
-  *      (sorted by id, early-exit scan) — candidate *pairs* are never
-  *      materialized, which keeps adversarially self-similar corpora
-  *      (boilerplate/templates, where pair counts explode quadratically)
-  *      from generating a pair shuffle at all;
+  *   3. exact verification. Keep-first variants verify IN-BUCKET:
+  *      payloads are hash-joined onto surviving rows and checked locally
+  *      per bucket group (sorted by id, early-exit scan) — candidate
+  *      *pairs* are never materialized, which keeps adversarially
+  *      self-similar corpora (boilerplate/templates, where pair counts
+  *      explode quadratically) from generating a pair shuffle at all.
+  *      The cluster variant needs every verified pair anyway, so it
+  *      distincts narrow candidate pairs first and verifies each pair
+  *      once (see [[candidatePairs]]);
   *   4. keep-first: a doc is dropped iff a smaller-keyed verified
   *      duplicate exists (left-anti against the drop set).
   *
@@ -223,12 +226,23 @@ object Dedup {
       threshold: Double = 0.5,
       seed: Long = 42L,
       maxBucketSize: Int = 10000): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     val sh = df.select(col(idCol).cast("long").as("_id"),
       shingleCol(col(textCol), k).as("_sh")).localCheckpoint(true)
     val banded = sh.select(col("_id"),
       explode(bandedMinhashCol(col("_sh"), numHashes, bands, seed)).as("_bk"))
+    // Verify IN-BUCKET (like the keep-first variants, minus the early
+    // exit — the full edge set is needed). Measured alternative for the
+    // record: distinct-ing candidate PAIRS first then verifying each
+    // once looks cheaper (a true pair shares ~bands*J^r buckets), but on
+    // template-heavy corpora banding emits far more distinct low-J
+    // candidate pairs than bucket-membership rows (3.8M pairs vs 284k
+    // packed rows at sf0.1), so joining payloads per-pair shuffles ~13x
+    // MORE bytes than packing them per bucket row. Bucket-local verify
+    // re-checks a duplicate pair once per shared band, but those are the
+    // rare rows — the false candidates dominate, and they are checked
+    // once or twice either way.
+    val spark = df.sparkSession
+    import spark.implicits._
     val packed = packBuckets(banded, sh, maxBucketSize)
       .select(col("_bk"), col("_id"), col("_sh")).as[(Long, Long, Array[Long])]
     val t = threshold

@@ -24,19 +24,34 @@ import org.apache.spark.sql.functions._
 object Graph {
 
   /** @param edges two integral columns (src, dst), undirected.
+    * @param smallGraphLimit when the deduped directed edge list has at
+    *        most this many rows, skip the iterative loop and union-find
+    *        on the driver: each distributed round costs several fixed
+    *        shuffle/checkpoint jobs, which dwarfs the actual work on
+    *        small edge sets (a dedup pass over a mostly-unique corpus
+    *        yields thousands of edges, not billions). 2^20 directed
+    *        edges collect to ~16 MB — safely inside any driver. Pass 0
+    *        to force the distributed path.
     * @return (node, component) — component = min node id reachable. */
   def connectedComponents(
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      maxIterations: Int = 50): DataFrame = {
+      maxIterations: Int = 50,
+      smallGraphLimit: Int = 1 << 20): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    // pin the caller's edge pipeline BEFORE the symmetrize union: `e`
+    // appears in both union branches, and Spark plans no ReusedExchange
+    // across them — an unpinned (possibly expensive: dedup verification)
+    // edge lineage would execute twice
     val e = edges.select(col(srcCol).cast("long").as("_src"),
-      col(dstCol).cast("long").as("_dst"))
+      col(dstCol).cast("long").as("_dst")).localCheckpoint(true)
     // undirected: keep both directions so one join propagates both ways
     val sym = e.unionByName(e.select(col("_dst").as("_src"), col("_src").as("_dst")))
       .distinct().localCheckpoint(true)
+
+    if (sym.count() <= smallGraphLimit) return driverComponents(sym)
 
     var labels = sym.select(col("_src").as("_node")).distinct()
       .withColumn("_comp", col("_node"))
@@ -85,5 +100,29 @@ object Graph {
     }
     require(converged, s"connectedComponents did not converge in $maxIterations rounds")
     labels.select(col("_node").as("node"), col("_comp").as("component"))
+  }
+
+  /** Small-graph path: union-find with path compression on the driver.
+    * Same output contract as the distributed loop (component = min
+    * member id), deterministic regardless of edge order. */
+  private def driverComponents(sym: DataFrame): DataFrame = {
+    val spark = sym.sparkSession
+    import spark.implicits._
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrElse(x, x) != x) x = parent(x)
+      // path compression
+      var y = x0
+      while (parent.getOrElse(y, y) != y) { val n = parent(y); parent(y) = x; y = n }
+      x
+    }
+    sym.as[(Long, Long)].collect().foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val out = parent.keys.toArray.sorted.map(n => (n, find(n)))
+    spark.createDataset(out.toIndexedSeq).toDF("node", "component")
   }
 }

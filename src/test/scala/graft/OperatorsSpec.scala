@@ -129,9 +129,16 @@ class OperatorsSpec extends AnyFunSuite {
       val n = 200
       val edges = Seq.fill(150)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
         .filter(e => e._1 != e._2)
-      val got = graft.operators.Graph.connectedComponents(
+      // both paths must agree with the reference: the driver union-find
+      // fast path (default limit) and the distributed loop (limit=0)
+      val gotDriver = graft.operators.Graph.connectedComponents(
           edges.toDF("src", "dst"), "src", "dst")
         .as[(Long, Long)].collect().toMap
+      val gotDist = graft.operators.Graph.connectedComponents(
+          edges.toDF("src", "dst"), "src", "dst", smallGraphLimit = 0)
+        .as[(Long, Long)].collect().toMap
+      assert(gotDriver == gotDist, s"trial $trial: driver vs distributed")
+      val got = gotDriver
       // union-find reference
       val parent = Array.tabulate(n)(identity)
       def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
@@ -152,7 +159,8 @@ class OperatorsSpec extends AnyFunSuite {
     // 120-node path: plain hash-min needs 120 rounds; pointer jumping
     // converges within the 50-round cap (O(log n))
     val edges = (0L until 119L).map(i => (i, i + 1)).toDF("src", "dst")
-    val comp = graft.operators.Graph.connectedComponents(edges, "src", "dst")
+    val comp = graft.operators.Graph
+      .connectedComponents(edges, "src", "dst", smallGraphLimit = 0)
       .as[(Long, Long)].collect()
     assert(comp.length == 120)
     assert(comp.forall(_._2 == 0L))
