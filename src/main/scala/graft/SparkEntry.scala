@@ -818,6 +818,65 @@ object SparkEntry {
         .select(lit(10L).as("k"), ($"n_overlap" >= 7).as("recall_ok"))
     }),
 
+    // Lexical retrieval (hybrid-search keyword half): TF-IDF top-20 over
+    // documents. Scores are exact-integer tf/df/N with one IEEE division
+    // per term and a fixed-order 3-term sum — bit-reproducible in any
+    // engine, so the oracle hashes SCORES, not just ids.
+    "q85_tfidf_topk" -> ((s, dir) => {
+      graft.operators.TextAnalytics.tfidfTopK(
+        t(s, dir, "documents"), "doc_id", "text",
+        Seq("vector", "join", "hash"), k = 20)
+    }),
+
+    // Hybrid retrieval: reciprocal-rank fusion of the lexical top-50
+    // (q85's scorer) with the vector top-50 (cosine vs doc 1's
+    // embedding) — the keyword+vector shape a RAG stack serves. Rank
+    // math only (1/(60+r)), bit-reproducible.
+    "q86_hybrid_rrf" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ta = graft.operators.TextAnalytics
+      val lex = ta.tfidfTopK(t(s, dir, "documents"), "doc_id", "text",
+          Seq("vector", "join", "hash"), k = 50)
+        .withColumn("rank", row_number().over(
+          Window.orderBy($"score".desc, $"doc_id")))
+      val emb = t(s, dir, "embeddings")
+      val q = broadcast(emb.filter($"vec_id" === 1)
+        .select($"embedding".cast("array<double>").as("qvec")))
+      val vec = emb.crossJoin(q)
+        .withColumn("score", graft.functions.vectors.cosine($"embedding", $"qvec"))
+        .orderBy($"score".desc, $"vec_id").limit(50)
+        .withColumn("rank", row_number().over(
+          Window.orderBy($"score".desc, $"vec_id")))
+        .select($"vec_id".as("doc_id"), $"rank")
+      ta.rrfFuse(lex, vec, "doc_id", "rank", c = 60, k = 10)
+    }),
+
+    // Asymmetric (incremental-ingest) dedup: a batch of 2x variants per
+    // corpus doc — a quarter-replaced near-dup (J~0.58, must drop) and a
+    // token-reversed rewrite (trigram J~0, must keep) — deduped AGAINST
+    // the untouched documents corpus. Oracle: exact bipartite trigram
+    // Jaccard in DuckDB.
+    "q87_dedup_against" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val base = docs
+        .select($"doc_id",
+          filter(split(lower($"text"), "[^a-z0-9]+"), x => x =!= "").as("tk"))
+        .filter(size($"tk") >= 30)
+      val m = size($"tk")
+      val r = (m / lit(4)).cast("int")
+      def fill(tag: String) = transform(sequence(lit(1), r), i => concat(lit(tag), i))
+      val nearDup = base.select(($"doc_id" + 500000).as("doc_id"),
+        array_join(concat(fill("xa"), slice($"tk", r + 1, m - r)), " ").as("text"))
+      val fresh = base.select(($"doc_id" + 600000).as("doc_id"),
+        array_join(reverse($"tk"), " ").as("text"))
+      val batch = nearDup.unionByName(fresh).localCheckpoint(true)
+      val corpus = docs.select($"doc_id", $"text")
+      graft.operators.Dedup.minhashAgainst(corpus, batch, "doc_id", "text")
+        .select($"doc_id").orderBy($"doc_id")
+    }),
+
     // Count-min sketch heavy hitters: seeded + mergeable (the map-side
     // combine IS the sketch merge), so estimates are deterministic. The
     // CMS one-sided error contract — true <= estimate <= true + eps*N —
@@ -1737,6 +1796,109 @@ object SparkEntry {
       "SELECT CAST(10 AS BIGINT) AS k, TRUE AS recall_ok",
     "q84_ann_ivfpq" ->
       "SELECT CAST(10 AS BIGINT) AS k, TRUE AS recall_ok",
+
+    "q85_tfidf_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        |       WHERE term IN ('vector','join','hash') GROUP BY 1, 2),
+        |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |per AS (
+        |  SELECT doc_id, term,
+        |    CAST(tf AS DOUBLE) * CAST(n AS DOUBLE) / CAST(df AS DOUBLE) AS s
+        |  FROM tf JOIN dfx USING (term) CROSS JOIN n),
+        |sc AS (
+        |  SELECT doc_id,
+        |    COALESCE(MAX(CASE WHEN term = 'vector' THEN s END), 0) AS s0,
+        |    COALESCE(MAX(CASE WHEN term = 'join' THEN s END), 0) AS s1,
+        |    COALESCE(MAX(CASE WHEN term = 'hash' THEN s END), 0) AS s2
+        |  FROM per GROUP BY 1)
+        |SELECT doc_id, s0 + s1 + s2 AS score FROM sc
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q86_hybrid_rrf" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        |       WHERE term IN ('vector','join','hash') GROUP BY 1, 2),
+        |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |per AS (
+        |  SELECT doc_id, term,
+        |    CAST(tf AS DOUBLE) * CAST(n AS DOUBLE) / CAST(df AS DOUBLE) AS s
+        |  FROM tf JOIN dfx USING (term) CROSS JOIN n),
+        |sc AS (
+        |  SELECT doc_id,
+        |    COALESCE(MAX(CASE WHEN term = 'vector' THEN s END), 0) AS s0,
+        |    COALESCE(MAX(CASE WHEN term = 'join' THEN s END), 0) AS s1,
+        |    COALESCE(MAX(CASE WHEN term = 'hash' THEN s END), 0) AS s2
+        |  FROM per GROUP BY 1),
+        |lex AS (
+        |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+        |  FROM (SELECT doc_id, s0 + s1 + s2 AS score FROM sc
+        |        ORDER BY score DESC, doc_id LIMIT 50)),
+        |vec AS (
+        |  SELECT vec_id AS doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, vec_id) AS r
+        |  FROM (SELECT e.vec_id,
+        |          list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |            (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 1)) AS score
+        |        FROM embeddings e ORDER BY score DESC, vec_id LIMIT 50))
+        |SELECT doc_id,
+        |  COALESCE(CAST(1 AS DOUBLE) / (60 + l.r), 0) +
+        |  COALESCE(CAST(1 AS DOUBLE) / (60 + v.r), 0) AS rrf
+        |FROM lex l FULL OUTER JOIN vec v USING (doc_id)
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q87_dedup_against" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |flt AS (
+        |  SELECT doc_id, tk, len(tk) AS m, len(tk) // 4 AS r FROM base WHERE len(tk) >= 30),
+        |batch AS (
+        |  SELECT doc_id + 500000 AS doc_id, array_to_string(list_concat(
+        |      list_transform(generate_series(1, r), i -> 'xa' || i),
+        |      list_slice(tk, r + 1, m)), ' ') AS text
+        |  FROM flt
+        |  UNION ALL
+        |  SELECT doc_id + 600000, array_to_string(list_reverse(tk), ' ') FROM flt),
+        |btoks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk2
+        |  FROM batch),
+        |bsh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk2) < 3 THEN [array_to_string(tk2, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(tk2) - 2),
+        |                i -> tk2[i] || ' ' || tk2[i+1] || ' ' || tk2[i+2]))
+        |    END AS sh
+        |  FROM btoks),
+        |csh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+        |                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+        |    END AS sh
+        |  FROM base),
+        |binv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM bsh),
+        |cinv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM csh),
+        |pairs AS (
+        |  SELECT b.doc_id AS ib, b.n AS nb, c.doc_id AS ic, c.n AS nc, COUNT(*) AS o
+        |  FROM binv b JOIN cinv c ON b.g = c.g GROUP BY 1, 2, 3, 4),
+        |dropped AS (
+        |  SELECT DISTINCT ib FROM pairs
+        |  WHERE CAST(o AS DOUBLE) / (nb + nc - o) >= 0.5)
+        |SELECT doc_id FROM batch
+        |WHERE doc_id NOT IN (SELECT ib FROM dropped)
+        |ORDER BY doc_id""".stripMargin,
 
     "q81_asof_forward" ->
       """SELECT v.event_id AS view_event, v.user_id AS user_id,

@@ -253,6 +253,63 @@ object Dedup {
     df.join(drops, df(idCol).cast("long") === col("_drop"), "left_anti")
   }
 
+  /** Asymmetric (incremental-ingest) MinHash dedup: drop every BATCH doc
+    * with a verified near-duplicate in the CORPUS — the shape a rolling
+    * training-data pipeline needs (dedup today's crawl against the
+    * already-ingested 100 TB without re-deduping the corpus).
+    *
+    * Scale shape: both sides band into the same bucket space in one
+    * pass; the narrow count pre-pass keeps only buckets holding at
+    * least one row of EACH side (and applies the `maxBucketSize`
+    * valve), so corpus payloads — the overwhelming majority at
+    * corpus >> batch — are never shuffled unless a batch doc landed in
+    * their bucket. Verification is in-bucket with early exit per batch
+    * doc (first corpus hit drops it). Corpus rows are never dropped.
+    *
+    * Ids must be disjoint across the two sides (payloads are re-joined
+    * by id). */
+  def minhashAgainst(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      numHashes: Int = 192,
+      bands: Int = 64,
+      threshold: Double = 0.5,
+      seed: Long = 42L,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    def side(df: DataFrame, s: Int) = df.select(
+      col(idCol).cast("long").as("_id"),
+      shingleCol(col(textCol), k).as("_sh"),
+      lit(s).as("_side"))
+    val sh = side(corpus, 0).unionByName(side(batch, 1)).localCheckpoint(true)
+    val banded = sh.select(col("_id"), col("_side"),
+      explode(bandedMinhashCol(col("_sh"), numHashes, bands, seed)).as("_bk"))
+      .localCheckpoint(true)
+    val mixed = banded.groupBy("_bk")
+      .agg(count(lit(1)).as("_bn"), sum(col("_side")).as("_nbatch"))
+      .filter(col("_nbatch") >= 1 && (col("_bn") - col("_nbatch")) >= 1 &&
+        col("_bn") <= maxBucketSize)
+      .select("_bk")
+    val packed = banded.join(mixed.hint("shuffle_hash"), "_bk")
+      .join(sh.select(col("_id"), col("_sh")).hint("shuffle_hash"), "_id")
+      .select(col("_bk"), col("_id"), col("_side"), col("_sh"))
+      .as[(Long, Long, Int, Array[Long])]
+    val t = threshold
+    val drops = packed.groupByKey(_._1).flatMapGroups {
+      (_: Long, it: Iterator[(Long, Long, Int, Array[Long])]) =>
+        val rows = it.toArray
+        val corp = rows.filter(_._3 == 0)
+        rows.iterator.collect {
+          case (_, id, 1, shB) if corp.exists(c => jaccardGE(c._4, shB, t)) => id
+        }
+    }.toDF("_drop").distinct()
+    batch.join(drops, batch(idCol).cast("long") === col("_drop"), "left_anti")
+  }
+
   /** SimHash near-dedup: 4 x 16-bit bands (pigeonhole guarantees any pair
     * with hamming distance <= 3 shares a band), verified by popcount. */
   def simhash(

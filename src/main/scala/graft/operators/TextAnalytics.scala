@@ -82,6 +82,69 @@ object TextAnalytics {
     (alphaRatio + punctOk + lenOk + stopOk) / 4.0
   }
 
+  // ---------- lexical (keyword) retrieval ----------
+
+  /** TF-IDF keyword scoring over a document table — the lexical half of
+    * hybrid retrieval (the reference's index serves the vector half;
+    * a RAG stack pairs it with keyword search, cf. Pinecone hybrid
+    * queries `[dep]`).
+    *
+    * score(d) = Σ_t tf(d,t) · N/df(t), summed over the query terms in a
+    * FIXED order — every input to the double math is an exact integer
+    * (tf, N, df) and each term contributes one correctly-rounded IEEE
+    * division, so any engine reproduces the scores bit-exactly (the
+    * oracle-determinism contract; a log-damped idf would not be).
+    *
+    * Scale shape: one narrow shuffle on (doc, term) for tf (the isin
+    * filter drops every non-query term BEFORE the aggregation), df and
+    * N broadcast (|terms| rows and 1 row), top-k by orderBy.limit →
+    * TakeOrderedAndProject. No UDFs — all codegen'd built-ins.
+    *
+    * @return (idCol, score) for the `k` highest-scoring docs,
+    *         score-descending, ties broken by id. */
+  def tfidfTopK(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, terms: Seq[String], k: Int): org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty && terms.size <= 8, "1..8 query terms")
+    val toks = df.select(col(idCol),
+      explode(filter(split(lower(col(textCol)), "[^a-z0-9]+"), x => x =!= "")).as("_term"))
+      .filter(col("_term").isin(terms: _*))
+    val tf = toks.groupBy(col(idCol), col("_term")).agg(count(lit(1)).as("_tf"))
+    val dfreq = tf.groupBy(col("_term")).agg(count(lit(1)).as("_df"))
+    val n = df.agg(count(lit(1)).as("_n"))
+    val per = tf.join(broadcast(dfreq), "_term").crossJoin(broadcast(n))
+      .withColumn("_s",
+        col("_tf").cast("double") * col("_n").cast("double") / col("_df").cast("double"))
+    // one column per query term (exact: (doc, term) is unique after the
+    // tf aggregation), summed in the terms' given order
+    val termCols = terms.zipWithIndex.map { case (t, i) =>
+      coalesce(max(when(col("_term") === t, col("_s"))), lit(0.0)).as(s"_s$i")
+    }
+    per.groupBy(col(idCol))
+      .agg(termCols.head, termCols.tail: _*)
+      .withColumn("score",
+        terms.indices.map(i => col(s"_s$i")).reduceLeft(_ + _))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("score"))
+  }
+
+  /** Reciprocal-rank fusion of two ranked id lists (hybrid retrieval:
+    * lexical ∪ vector). rrf(d) = Σ_list 1/(c + rank_list(d)), missing
+    * list ⇒ 0 contribution — rank-only math (integers + one division
+    * per list, fixed order), so scores are engine-reproducible. */
+  def rrfFuse(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame,
+      idCol: String, rankCol: String, c: Int = 60, k: Int = 10): org.apache.spark.sql.DataFrame = {
+    val left = a.select(col(idCol), col(rankCol).as("_ra"))
+    val right = b.select(col(idCol), col(rankCol).as("_rb"))
+    left.join(right, Seq(idCol), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(c) + col("_ra")).cast("double"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("_rb")).cast("double"), lit(0.0)))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("rrf"))
+  }
+
   // ---------- fingerprinting ----------
 
   /** Exact content fingerprint: 64-bit hash of whitespace-normalized,

@@ -108,6 +108,27 @@ class DedupSpec extends AnyFunSuite {
     assert(kept.length == 500 && kept.forall(_ < 100000))
   }
 
+  test("minhashAgainst == brute-force bipartite jaccard; corpus never dropped") {
+    // corpus = the fixture; batch = one exact copy (must drop), one near
+    // copy (must drop), one fresh doc (must keep)
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (101L, "a quick brown fox jumps over the lazy dog near the river bank today"),
+      (102L, "entirely novel sentences with vocabulary shared by no corpus document whatsoever")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.minhashAgainst(corpus, batch, "doc_id", "text",
+        k = 3, numHashes = 128, bands = 64, threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // brute-force reference: batch doc dropped iff exact trigram jaccard
+    // >= 0.5 against ANY corpus doc
+    val corp = corpus.as[(Long, String)].collect()
+    val expected = batch.as[(Long, String)].collect().collect {
+      case (id, t) if !corp.exists { case (_, c) =>
+        Dedup.jaccardGE(Dedup.shingleHashes(c, 3), Dedup.shingleHashes(t, 3), 0.5) } => id
+    }.sorted.toSeq
+    assert(kept == expected && kept.contains(102L) && !kept.contains(100L))
+  }
+
   test("bucket-skew safety valve: oversized buckets are skipped, not squared") {
     // 200 identical docs -> bucket of 200 > maxBucketSize=50 -> no pairs,
     // nothing dropped (graceful degradation instead of OOM at scale)

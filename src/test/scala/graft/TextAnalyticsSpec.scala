@@ -60,4 +60,29 @@ class TextAnalyticsSpec extends AnyFunSuite {
     val w3 = TextAnalytics.winnowImpl("nothing in common with the others at all", 8, 16).toSet
     assert(w1.intersect(w3).isEmpty)
   }
+
+  test("tfidfTopK: hand-computed scores on a 4-doc fixture") {
+    // N=4; df(spark)=2 (docs 0,1), df(join)=1 (doc 0 only)
+    val docs = Seq(
+      (0L, "spark spark join join"), // 2*4/2 + 2*4/1 = 12.0
+      (1L, "spark other words"), //     1*4/2         =  2.0
+      (2L, "words alone"), // no query term -> absent from result
+      (3L, "nothing relevant here")
+    ).toDF("doc_id", "text")
+    val got = TextAnalytics.tfidfTopK(docs, "doc_id", "text", Seq("spark", "join"), k = 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == Seq((0L, 12.0), (1L, 2.0)))
+  }
+
+  test("rrfFuse: fused score sums reciprocal ranks, missing list contributes 0") {
+    val a = Seq((10L, 1), (20L, 2)).toDF("id", "rank")
+    val b = Seq((20L, 1), (30L, 2)).toDF("id", "rank")
+    val got = TextAnalytics.rrfFuse(a, b, "id", "rank", c = 60, k = 10)
+      .as[(Long, Double)].collect().toMap
+    assert(got(20L) == 1.0 / 62 + 1.0 / 61)
+    assert(got(10L) == 1.0 / 61 && got(30L) == 1.0 / 62)
+    // ordering: 20 (both lists) first
+    val first = TextAnalytics.rrfFuse(a, b, "id", "rank").as[(Long, Double)].head()
+    assert(first._1 == 20L)
+  }
 }
