@@ -130,6 +130,42 @@ object StreamOps {
       }
   }
 
+  /** Streaming dedup-on-ingest: every micro-batch is near-deduped
+    * within itself (keep-first MinHash) and then AGAINST everything
+    * already accepted into the corpus at `corpusPath`; survivors are
+    * appended. The rolling-crawl pipeline shape: the corpus is only
+    * ever appended to, each batch pays banding for itself plus the
+    * bucket-matched slice of the corpus ([[graft.operators.Dedup
+    * .minhashAgainst]] never shuffles corpus payloads whose buckets no
+    * batch doc touched), and batches are totally ordered by the
+    * streaming engine so keep-first is deterministic.
+    *
+    * Returns the foreachBatch writer; caller starts it with its own
+    * checkpoint/trigger. Exactly-once: parquet append in foreachBatch
+    * is at-least-once on retry — production would write batchId into
+    * the path and commit atomically (same pattern as VectorIndex
+    * manifests); kept simple here because the spec drives one attempt
+    * per batch. */
+  def dedupedIngest(docs: DataFrame, corpusPath: String,
+      idCol: String = "doc_id", textCol: String = "text")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val withinDeduped = graft.operators.Dedup.minhash(batch, idCol, textCol)
+        val fs = new org.apache.hadoop.fs.Path(corpusPath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val survivors =
+          if (!fs.exists(new org.apache.hadoop.fs.Path(corpusPath))) withinDeduped
+          else {
+            val corpus = spark.read.parquet(corpusPath)
+            graft.operators.Dedup.minhashAgainst(corpus, withinDeduped, idCol, textCol)
+          }
+        survivors.select(col(idCol), col(textCol))
+          .write.mode("append").parquet(corpusPath)
+    }
+  }
+
   /** INCREMENTAL stateful sessionization — the production variant: the
     * open tail stays in GroupState across micro-batches and is flushed
     * exactly once, when the event-time watermark passes

@@ -78,4 +78,36 @@ class PlanSpec extends AnyFunSuite {
     assert(bucketDirs.length <= qb.length,
       s"read ${bucketDirs.length} bucket dirs for ${qb.length} probed buckets")
   }
+
+  test("selective shuffle join injects a runtime bloom filter on the big side") {
+    // the 100 TB semi-join-reduction shape: a selective filter on one
+    // side of a shuffle join should re-appear as a bloom-filter probe
+    // on the OTHER side's scan, so most fact rows die before the
+    // exchange. Thresholds are sized for production data; lower them to
+    // fixture scale to assert the rewrite itself fires.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      import spark.implicits._
+      val li = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
+      val ord = spark.read.parquet(s"${TestSpark.sf0001}/orders.parquet")
+        .filter($"o_orderpriority" === "1-URGENT")
+      val joined = li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority").count()
+      val p = joined.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(p.contains("bloom_filter_agg") || p.contains("might_contain"),
+        s"expected a runtime bloom filter in:\n$p")
+      assert(joined.count() == 1)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }

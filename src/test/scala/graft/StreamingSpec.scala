@@ -200,6 +200,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup-on-ingest: within-batch and against-corpus dups dropped across batches") {
+    val src = Files.createTempDirectory("graft_sdedup_src")
+    val corpus = Files.createTempDirectory("graft_sdedup_corpus").toString + "/corpus"
+    val a = "the quick brown fox jumps over the lazy dog near the quiet river bank at dawn today"
+    val b = "catalyst rewrites logical plans into physical operators using cost based and rule based passes"
+    val c = "vector indexes bucket embeddings by locality sensitive hashes for sublinear similarity search"
+    // one flat FILE per micro-batch (file source batches by new files)
+    def writeBatch(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = Files.createTempDirectory(s"graft_sdedup_$name")
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get
+      Files.copy(part, Paths.get(s"$src/$name.parquet"))
+    }
+    writeBatch("b1", Seq((1L, a), (2L, "a " + a), (3L, b)))
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+      .parquet(src.toString)
+    val q = StreamOps.dedupedIngest(stream, corpus).start()
+    try {
+      q.processAllAvailable()
+      val after1 = spark.read.parquet(corpus).select("doc_id").as[Long].collect().sorted
+      assert(after1.toSeq == Seq(1L, 3L), "within-batch near-dup 2 dropped")
+      // batch 2: near-dup of already-ingested doc 1 + a fresh doc
+      writeBatch("b2", Seq((4L, a + " now"), (5L, c)))
+      q.processAllAvailable()
+      val after2 = spark.read.parquet(corpus).select("doc_id").as[Long].collect().sorted
+      assert(after2.toSeq == Seq(1L, 3L, 5L), "cross-batch dup 4 dropped, fresh 5 kept")
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark drops duplicate event ids") {
     // duplicate the stream source file => every event appears twice
     val dir = Files.createTempDirectory("graft_stream_dup")
