@@ -877,6 +877,52 @@ object SparkEntry {
         .select($"doc_id").orderBy($"doc_id")
     }),
 
+    // §2.G SQL surface: RECURSIVE CTE (Spark 4) — walk the implicit
+    // heap-shaped hierarchy parent(k) = (k-1) div 2 over customer keys
+    // from root 0; each iteration is one join (same shape as the CC
+    // loop, but declared in SQL and planned by Catalyst).
+    "q88_recursive_cte" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer_r88")
+      s.sql("""
+        WITH RECURSIVE tree(k, depth) AS (
+          SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+          UNION ALL
+          SELECT c.c_custkey, t.depth + 1
+          FROM customer_r88 c JOIN tree t ON (c.c_custkey - 1) DIV 2 = t.k
+          WHERE c.c_custkey > 0
+        )
+        SELECT k, depth FROM tree ORDER BY k""")
+    }),
+
+    // §2.G SQL surface: LATERAL correlated subquery — top-2 orders per
+    // customer, the "for each row, run this dependent query" shape
+    // (planned as a window-rewritten DomainJoin, not a per-row loop).
+    "q89_lateral_topk" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer_r89")
+      t(s, dir, "orders").createOrReplaceTempView("orders_r89")
+      s.sql("""
+        SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+        FROM customer_r89 c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders_r89
+                 WHERE o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+        ORDER BY c.c_custkey, l.o_orderkey""")
+    }),
+
+    // §2.G semi-structured: VARIANT ingestion (Spark 4) — parse the
+    // events' JSON props once into an open-schema VARIANT column, then
+    // typed-path extraction feeding an exact integer aggregate.
+    "q90_variant_json" -> ((s, dir) => {
+      import s.implicits._
+      events(s, dir)
+        .withColumn("v", parse_json($"props"))
+        .withColumn("k", expr("variant_get(v, '$.k', 'long')"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), min($"k").as("min_k"),
+          max($"k").as("max_k"), sum($"k").as("sum_k"))
+        .orderBy($"event_type")
+    }),
+
     // Count-min sketch heavy hitters: seeded + mergeable (the map-side
     // combine IS the sketch merge), so estimates are deterministic. The
     // CMS one-sided error contract — true <= estimate <= true + eps*N —
@@ -1899,6 +1945,30 @@ object SparkEntry {
         |SELECT doc_id FROM batch
         |WHERE doc_id NOT IN (SELECT ib FROM dropped)
         |ORDER BY doc_id""".stripMargin,
+
+    "q88_recursive_cte" ->
+      """WITH RECURSIVE tree(k, depth) AS (
+        |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |  UNION ALL
+        |  SELECT c.c_custkey, t.depth + 1
+        |  FROM customer c JOIN tree t ON (c.c_custkey - 1) // 2 = t.k
+        |  WHERE c.c_custkey > 0)
+        |SELECT k, depth FROM tree ORDER BY k""".stripMargin,
+
+    "q89_lateral_topk" ->
+      """SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |         WHERE o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+        |ORDER BY c.c_custkey, l.o_orderkey""".stripMargin,
+
+    "q90_variant_json" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  MIN(CAST(props->>'k' AS BIGINT)) AS min_k,
+        |  MAX(CAST(props->>'k' AS BIGINT)) AS max_k,
+        |  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q81_asof_forward" ->
       """SELECT v.event_id AS view_event, v.user_id AS user_id,

@@ -79,6 +79,14 @@ class PlanSpec extends AnyFunSuite {
       s"read ${bucketDirs.length} bucket dirs for ${qb.length} probed buckets")
   }
 
+  test("per-group top-n plans a WindowGroupLimit below the shuffle") {
+    // rank-filter pushdown: each task keeps only its top-n rows per
+    // group BEFORE the window exchange — without it, a 100 TB top-5-
+    // per-group buffers every group's full row set through the shuffle
+    val p = plan("q07_window_topn")
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$p")
+  }
+
   test("selective shuffle join injects a runtime bloom filter on the big side") {
     // the 100 TB semi-join-reduction shape: a selective filter on one
     // side of a shuffle join should re-appear as a bloom-filter probe
