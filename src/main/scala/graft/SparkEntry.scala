@@ -1405,6 +1405,27 @@ object SparkEntry {
         .orderBy($"event_type")
     }),
 
+    // §2.A source breadth: XML sink+source round-trip (built-in Spark 4
+    // XML source; explicit schema on read, doubles survive shortest-
+    // repr write + exact parse like JSON).
+    "q91_xml_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = scratchDir("q91")
+      events(s, dir)
+        .select($"event_id", $"event_type", $"value", unix_micros($"ts").as("ts_us"))
+        .write.mode("overwrite").format("xml").option("rowTag", "event")
+        .save(s"$tmp/ev")
+      s.read.format("xml").option("rowTag", "event")
+        .schema("event_id LONG, event_type STRING, value DOUBLE, ts_us LONG")
+        .load(s"$tmp/ev")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"),
+          max($"ts_us").cast("long").as("max_ts_us"),
+          min($"event_id").cast("long").as("min_event_id"))
+        .orderBy($"event_type")
+    }),
+
     // §2.A source breadth: ORC sink+source round-trip (columnar format
     // #2 — type-faithful, so the same decimal-exact aggregate holds).
     "q78_orc_roundtrip" -> ((s, dir) => {
@@ -2206,6 +2227,13 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         |  MAX(epoch_us(ts)) AS max_ts_us
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q91_xml_roundtrip" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  MAX(epoch_us(ts)) AS max_ts_us,
+        |  MIN(event_id) AS min_event_id
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q80_bucketed_join" ->

@@ -200,6 +200,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful streaming runs on the RocksDB state store provider") {
+    // at production state sizes the in-memory HDFS-backed store OOMs;
+    // RocksDB spills state to local disk. Same query, same results —
+    // asserted by running the watermarked session-window aggregation
+    // under the RocksDB provider and comparing with batch execution.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val streamed = runToBatch(
+        StreamOps.sessionCounts(streamEvents), "complete", "rocksdb_sess_out")
+      val batch = StreamOps.sessionCounts(batchEvents)
+      assert(sortedRows(streamed) == sortedRows(batch))
+      assert(streamed.count() > 0)
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("streaming dedup-on-ingest: within-batch and against-corpus dups dropped across batches") {
     val src = Files.createTempDirectory("graft_sdedup_src")
     val corpus = Files.createTempDirectory("graft_sdedup_corpus").toString + "/corpus"
