@@ -200,6 +200,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming restart from checkpoint resumes exactly-once (no re-emitted windows)") {
+    // the recovery contract a long-running pipeline leans on: stop the
+    // query, add data, restart with the SAME checkpoint — state and
+    // source offsets resume; nothing from before the restart is
+    // re-emitted. File sink is exactly-once via its own commit log.
+    val src = Files.createTempDirectory("graft_ckpt_src")
+    val ckpt = Files.createTempDirectory("graft_ckpt_state").toString
+    val out = Files.createTempDirectory("graft_ckpt_out").toString + "/out"
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts_us", LongType)))
+    def writeBatch(name: String, rows: Seq[(Long, Long)]): Unit = {
+      val tmp = Files.createTempDirectory("graft_ckpt_tmp")
+      rows.toDF("user_id", "ts_us").repartition(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst.get
+      Files.copy(part, src.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+    }
+    def startQuery() = StreamOps.windowedCounts(
+        spark.readStream.schema(schema).parquet(src.toString)
+          .withColumn("ts", timestamp_micros($"ts_us"))
+          .withColumn("event_type", lit("e")).withColumn("value", lit(1.0)),
+        watermark = "10 minutes")
+      .selectExpr("unix_micros(win_start) AS win_us", "event_type", "n", "sum_value")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt).format("parquet").start(out)
+    val M = 60L * 1000000L
+    writeBatch("b1.parquet", Seq((1L, 0 * M), (1L, 5 * M)))
+    val q1 = startQuery()
+    try {
+      q1.processAllAvailable()
+      // push the watermark past window [0,10): it finalizes and lands in the sink
+      writeBatch("b2.parquet", Seq((1L, 30 * M)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val afterStop = spark.read.parquet(out).collect()
+    assert(afterStop.map(r => (r.getLong(0), r.getLong(2))).toSeq == Seq((0L, 2L)),
+      s"window [0,10) must be final before restart, got ${afterStop.mkString(",")}")
+    // restart with the same checkpoint; finalize the [30,40) window
+    writeBatch("b3.parquet", Seq((1L, 60 * M)))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val fin = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).toSeq
+    assert(fin == Seq((0L, 2L), (30 * M, 1L)),
+      s"resume must emit [30,40) once and never re-emit [0,10): $fin")
+  }
+
   test("stateful streaming runs on the RocksDB state store provider") {
     // at production state sizes the in-memory HDFS-backed store OOMs;
     // RocksDB spills state to local disk. Same query, same results —
