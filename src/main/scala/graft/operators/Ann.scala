@@ -241,9 +241,12 @@ object Ann {
     // orderBy before limit => TakeOrderedAndProject: the training sample
     // is a function of the DATA, not of file/partition layout — a
     // repartitioned copy of the same vectors trains the same codebooks.
-    // (Array ordering is lexicographic; ties are identical vectors.)
+    // Ordering by a HASH of the vector (not the vector itself, which
+    // would take one lexicographic corner of the sphere once the corpus
+    // exceeds sampleN) keeps the sample deterministic AND unbiased;
+    // the vector tie-break makes hash collisions harmless.
     val sample = df.select(normalized(col(vecCol)).as("_nv"))
-      .orderBy(col("_nv")).limit(sampleN).collect()
+      .orderBy(xxhash64(col("_nv")), col("_nv")).limit(sampleN).collect()
       .map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "trainPq: empty input")
     val dim = sample.head.length

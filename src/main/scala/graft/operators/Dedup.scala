@@ -253,21 +253,32 @@ object Dedup {
     df.join(drops, df(idCol).cast("long") === col("_drop"), "left_anti")
   }
 
+  /** Per-doc MinHash signatures, computed ONCE and storable: (_id,
+    * _sh: sorted shingle hashes, _bks: one band-bucket key per band).
+    * [[minhashAgainstPrepared]] consumes this shape for both sides, so
+    * a rolling pipeline persists it at accept time instead of
+    * re-shingling the corpus every batch. */
+  def prepareMinhash(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      numHashes: Int = 192,
+      bands: Int = 64,
+      seed: Long = 42L): DataFrame =
+    df.select(col(idCol).cast("long").as("_id"),
+        shingleCol(col(textCol), k).as("_sh"))
+      .withColumn("_bks", bandedMinhashCol(col("_sh"), numHashes, bands, seed))
+
   /** Asymmetric (incremental-ingest) MinHash dedup: drop every BATCH doc
     * with a verified near-duplicate in the CORPUS — the shape a rolling
     * training-data pipeline needs (dedup today's crawl against the
     * already-ingested 100 TB without re-deduping the corpus).
     *
-    * Scale shape: both sides band into the same bucket space in one
-    * pass; the narrow count pre-pass keeps only buckets holding at
-    * least one row of EACH side (and applies the `maxBucketSize`
-    * valve), so corpus payloads — the overwhelming majority at
-    * corpus >> batch — are never shuffled unless a batch doc landed in
-    * their bucket. Verification is in-bucket with early exit per batch
-    * doc (first corpus hit drops it). Corpus rows are never dropped.
-    *
     * Ids must be disjoint across the two sides (payloads are re-joined
-    * by id). */
+    * by id). Convenience form — computes both sides' signatures; a
+    * repeated-batch pipeline should compute the corpus side once via
+    * [[prepareMinhash]] and call [[minhashAgainstPrepared]]. */
   def minhashAgainst(
       corpus: DataFrame,
       batch: DataFrame,
@@ -279,23 +290,56 @@ object Dedup {
       threshold: Double = 0.5,
       seed: Long = 42L,
       maxBucketSize: Int = 10000): DataFrame = {
-    val spark = batch.sparkSession
+    val kept = minhashAgainstPrepared(
+      prepareMinhash(corpus, idCol, textCol, k, numHashes, bands, seed),
+      prepareMinhash(batch, idCol, textCol, k, numHashes, bands, seed),
+      threshold, maxBucketSize)
+    batch.join(kept, batch(idCol).cast("long") === kept("_id"), "left_semi")
+  }
+
+  /** Core of [[minhashAgainst]] over prepared signatures.
+    *
+    * Scale shape, per batch: the batch's band buckets (a small distinct
+    * set) are BROADCAST against the corpus banding, so corpus rows
+    * never shuffle unless a batch doc landed in their bucket; the
+    * bucket-size valve is applied to the surviving slice (identical
+    * contents to counting the full bucket — a bucket without a batch
+    * row was never eligible); shingle payloads are joined only for ids
+    * inside surviving buckets (corpus payload scan is broadcast-
+    * filtered, not shuffled). Verification is in-bucket with early exit
+    * per batch doc. Residual per-batch cost is one columnar scan of the
+    * corpus signature table — no UDF re-computation, no corpus shuffle;
+    * partitioning that table by bucket (the q77 layout) is the next
+    * increment if even the scan must go.
+    *
+    * @return kept batch ids as a single `_id` column. */
+  def minhashAgainstPrepared(
+      corpusPrep: DataFrame,
+      batchPrep: DataFrame,
+      threshold: Double = 0.5,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val spark = batchPrep.sparkSession
     import spark.implicits._
-    def side(df: DataFrame, s: Int) = df.select(
-      col(idCol).cast("long").as("_id"),
-      shingleCol(col(textCol), k).as("_sh"),
-      lit(s).as("_side"))
-    val sh = side(corpus, 0).unionByName(side(batch, 1)).localCheckpoint(true)
-    val banded = sh.select(col("_id"), col("_side"),
-      explode(bandedMinhashCol(col("_sh"), numHashes, bands, seed)).as("_bk"))
-      .localCheckpoint(true)
-    val mixed = banded.groupBy("_bk")
+    val bp = batchPrep.localCheckpoint(true)
+    val bandedB = bp.select(col("_id"), explode(col("_bks")).as("_bk"))
+      .withColumn("_side", lit(1))
+    val batchBuckets = bandedB.select("_bk").distinct()
+    val bandedC = corpusPrep.select(col("_id"), explode(col("_bks")).as("_bk"))
+      .join(broadcast(batchBuckets), "_bk")
+      .withColumn("_side", lit(0))
+    val both = bandedB.unionByName(bandedC).localCheckpoint(true)
+    val mixed = both.groupBy("_bk")
       .agg(count(lit(1)).as("_bn"), sum(col("_side")).as("_nbatch"))
       .filter(col("_nbatch") >= 1 && (col("_bn") - col("_nbatch")) >= 1 &&
         col("_bn") <= maxBucketSize)
       .select("_bk")
-    val packed = banded.join(mixed.hint("shuffle_hash"), "_bk")
-      .join(sh.select(col("_id"), col("_sh")).hint("shuffle_hash"), "_id")
+    val survivors = both.join(mixed.hint("shuffle_hash"), "_bk")
+    val candIds = survivors.select("_id").distinct()
+    val shSlice = corpusPrep.select(col("_id"), col("_sh"))
+      .unionByName(bp.select(col("_id"), col("_sh")))
+      .join(broadcast(candIds), "_id")
+    val packed = survivors
+      .join(shSlice.hint("shuffle_hash"), "_id")
       .select(col("_bk"), col("_id"), col("_side"), col("_sh"))
       .as[(Long, Long, Int, Array[Long])]
     val t = threshold
@@ -307,7 +351,8 @@ object Dedup {
           case (_, id, 1, shB) if corp.exists(c => jaccardGE(c._4, shB, t)) => id
         }
     }.toDF("_drop").distinct()
-    batch.join(drops, batch(idCol).cast("long") === col("_drop"), "left_anti")
+    bp.select("_id").join(drops, col("_id") === col("_drop"), "left_anti")
+      .select("_id")
   }
 
   /** SimHash near-dedup: 4 x 16-bit bands (pigeonhole guarantees any pair

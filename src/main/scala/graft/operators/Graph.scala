@@ -29,16 +29,18 @@ object Graph {
     *        on the driver: each distributed round costs several fixed
     *        shuffle/checkpoint jobs, which dwarfs the actual work on
     *        small edge sets (a dedup pass over a mostly-unique corpus
-    *        yields thousands of edges, not billions). 2^20 directed
-    *        edges collect to ~16 MB — safely inside any driver. Pass 0
-    *        to force the distributed path.
-    * @return (node, component) — component = min node id reachable. */
+    *        yields thousands of edges, not billions). The default
+    *        (250k directed edges) costs the driver tens of MB of boxed
+    *        tuples + hash-map entries — modest against any real driver
+    *        heap, and graphs above it take the distributed path anyway.
+    *        Pass 0 to force the distributed path (also skips the
+    *        gating count job entirely). */
   def connectedComponents(
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
       maxIterations: Int = 50,
-      smallGraphLimit: Int = 1 << 20): DataFrame = {
+      smallGraphLimit: Int = 250000): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     // pin the caller's edge pipeline BEFORE the symmetrize union: `e`
@@ -51,7 +53,8 @@ object Graph {
     val sym = e.unionByName(e.select(col("_dst").as("_src"), col("_src").as("_dst")))
       .distinct().localCheckpoint(true)
 
-    if (sym.count() <= smallGraphLimit) return driverComponents(sym)
+    if (smallGraphLimit > 0 && sym.count() <= smallGraphLimit)
+      return driverComponents(sym)
 
     var labels = sym.select(col("_src").as("_node")).distinct()
       .withColumn("_comp", col("_node"))

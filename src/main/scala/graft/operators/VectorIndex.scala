@@ -269,23 +269,33 @@ object VectorIndex {
   private def manifestPath(path: String, version: Long): Path =
     new Path(path, s"snapshot=$version/manifest")
 
-  /** Lines of "bucket<TAB>relative-file"; commit = atomic rename of the
-    * finished temp file, so a manifest either exists complete or not at
-    * all (the commit point readers key on). */
+  /** Lines of "bucket<TAB>relative-file"; commit = rename of a finished
+    * PER-ATTEMPT temp file (two racing writers never write the same tmp
+    * path), so a manifest either exists complete or not at all. The
+    * loser of a same-version race is detected by the exists-check +
+    * rename failure and throws instead of replacing the winner. On HDFS
+    * rename-onto-existing fails atomically; on a raw local FS the
+    * exists-check narrows but cannot fully close the window — single
+    * JVM there, where it is exact. */
   private def writeManifest(spark: SparkSession, path: String, version: Long,
       manifest: Map[Int, Seq[String]]): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val finalPath = manifestPath(path, version)
     fs.mkdirs(finalPath.getParent)
-    val tmp = new Path(finalPath.getParent, s".manifest.tmp")
+    val tmp = new Path(finalPath.getParent,
+      s".manifest.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, true)
     val body = manifest.toSeq.sortBy(_._1)
       .flatMap { case (b, files) => files.sorted.map(f => s"$b\t$f") }
       .mkString("\n")
     out.write(body.getBytes("UTF-8"))
     out.close()
-    if (!fs.rename(tmp, finalPath))
-      throw new IllegalStateException(s"could not commit manifest for snapshot $version")
+    val committed = !fs.exists(finalPath) && fs.rename(tmp, finalPath)
+    if (!committed) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"could not commit manifest for snapshot $version (concurrent writer won)")
+    }
   }
 
   private def readManifest(spark: SparkSession, path: String,

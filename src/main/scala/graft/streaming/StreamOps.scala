@@ -133,12 +133,20 @@ object StreamOps {
   /** Streaming dedup-on-ingest: every micro-batch is near-deduped
     * within itself (keep-first MinHash) and then AGAINST everything
     * already accepted into the corpus at `corpusPath`; survivors are
-    * appended. The rolling-crawl pipeline shape: the corpus is only
-    * ever appended to, each batch pays banding for itself plus the
-    * bucket-matched slice of the corpus ([[graft.operators.Dedup
-    * .minhashAgainst]] never shuffles corpus payloads whose buckets no
-    * batch doc touched), and batches are totally ordered by the
-    * streaming engine so keep-first is deterministic.
+    * appended. The rolling-crawl pipeline shape, kept incremental:
+    * each accepted doc's MinHash signatures are persisted ONCE to a
+    * sidecar table (`corpusPath`_sig) at accept time, and later batches
+    * dedup against the sidecar via [[graft.operators.Dedup
+    * .minhashAgainstPrepared]] — per batch the corpus costs one
+    * columnar scan of stored signatures (broadcast-filtered by the
+    * batch's buckets, no re-shingling, no corpus shuffle), so total
+    * work over T batches is O(T·corpusScan + T·batch), not
+    * O(T²·batch) signature recomputation.
+    *
+    * Accepted ids are immutable: a batch row re-using an already-
+    * accepted id is dropped as a duplicate regardless of its text
+    * (re-delivery is therefore idempotent, and the corpus keyspace
+    * stays unique — minhashAgainst requires disjoint ids).
     *
     * Returns the foreachBatch writer; caller starts it with its own
     * checkpoint/trigger. Exactly-once: parquet append in foreachBatch
@@ -149,20 +157,29 @@ object StreamOps {
   def dedupedIngest(docs: DataFrame, corpusPath: String,
       idCol: String = "doc_id", textCol: String = "text")
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val sigPath = corpusPath + "_sig"
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val withinDeduped = graft.operators.Dedup.minhash(batch, idCol, textCol)
+        val D = graft.operators.Dedup
+        val withinDeduped = D.minhash(batch, idCol, textCol)
         val fs = new org.apache.hadoop.fs.Path(corpusPath)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         val survivors =
-          if (!fs.exists(new org.apache.hadoop.fs.Path(corpusPath))) withinDeduped
+          if (!fs.exists(new org.apache.hadoop.fs.Path(sigPath))) withinDeduped
           else {
-            val corpus = spark.read.parquet(corpusPath)
-            graft.operators.Dedup.minhashAgainst(corpus, withinDeduped, idCol, textCol)
+            val corpusSig = spark.read.parquet(sigPath)
+            // accepted ids are immutable -> id re-use is an exact dup
+            val fresh = withinDeduped.join(corpusSig.select(col("_id")),
+              withinDeduped(idCol).cast("long") === col("_id"), "left_anti")
+            val kept = D.minhashAgainstPrepared(corpusSig,
+              D.prepareMinhash(fresh, idCol, textCol))
+            fresh.join(kept, fresh(idCol).cast("long") === kept("_id"), "left_semi")
           }
-        survivors.select(col(idCol), col(textCol))
-          .write.mode("append").parquet(corpusPath)
+        // pin: survivors feed two writes (docs + signature sidecar)
+        val accepted = survivors.select(col(idCol), col(textCol)).localCheckpoint(true)
+        accepted.write.mode("append").parquet(corpusPath)
+        D.prepareMinhash(accepted, idCol, textCol).write.mode("append").parquet(sigPath)
     }
   }
 

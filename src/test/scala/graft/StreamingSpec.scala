@@ -295,6 +295,15 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       val after2 = spark.read.parquet(corpus).select("doc_id").as[Long].collect().sorted
       assert(after2.toSeq == Seq(1L, 3L, 5L), "cross-batch dup 4 dropped, fresh 5 kept")
+      // batch 3: accepted ids are immutable — re-delivering id 3 with
+      // different text is dropped as a duplicate (idempotent re-delivery)
+      writeBatch("b3", Seq((3L, c + " reworded beyond recognition")))
+      q.processAllAvailable()
+      val after3 = spark.read.parquet(corpus).select("doc_id").as[Long].collect().sorted
+      assert(after3.toSeq == Seq(1L, 3L, 5L), "re-used id 3 dropped")
+      // signature sidecar tracks the corpus exactly
+      val sig = spark.read.parquet(corpus + "_sig").select("_id").as[Long].collect().sorted
+      assert(sig.toSeq == Seq(1L, 3L, 5L), "sidecar ids == corpus ids")
     } finally q.stop()
   }
 
