@@ -877,6 +877,47 @@ object SparkEntry {
         .select($"doc_id").orderBy($"doc_id")
     }),
 
+    // §2.G sketches #3 (with HLL q49 and count-min q82): approximate
+    // percentile. percentile_approx(acc=1000) guarantees rank error
+    // <= n/1000; the contract checks the true rank of each approximate
+    // P50/P90/P99 against that bound (+1 for boundary ties), per
+    // event_type. Driver-side work is the O(1) readback.
+    "q92_approx_percentile" -> ((s, dir) => {
+      import s.implicits._
+      val ev = events(s, dir).select($"event_type", $"value").localCheckpoint(true)
+      val acc = 1000
+      val approx = ev.groupBy($"event_type")
+        .agg(expr(s"percentile_approx(value, array(0.5, 0.9, 0.99), $acc)").as("ap"),
+          count(lit(1)).as("n"))
+        .collect()
+      val ok = approx.forall { r =>
+        val et = r.getString(0)
+        val n = r.getLong(2)
+        val tol = n.toDouble / acc + 1
+        r.getSeq[Double](1).zip(Seq(0.5, 0.9, 0.99)).forall { case (v, p) =>
+          val rank = ev.filter($"event_type" === et && $"value" <= v).count()
+          math.abs(rank - p * n) <= tol
+        }
+      }
+      Seq((approx.length.toLong, ok)).toDF("n_groups", "rank_bound_ok")
+    }),
+
+    // §2.G streaming-native operator in BATCH mode: session_window (the
+    // same definition StreamingSpec runs under readStream) — oracle is
+    // the declarative gaps-and-islands rewrite (new session when the
+    // gap >= 5 min, end = last event + gap).
+    "q93_session_window" -> ((s, dir) => {
+      import s.implicits._
+      events(s, dir)
+        .groupBy(session_window($"ts", "5 minutes"), $"user_id")
+        .agg(count(lit(1)).as("n_events"))
+        .select($"user_id",
+          unix_micros($"session_window.start").as("sess_start_us"),
+          unix_micros($"session_window.end").as("sess_end_us"),
+          $"n_events")
+        .orderBy($"user_id", $"sess_start_us")
+    }),
+
     // §2.G SQL surface: RECURSIVE CTE (Spark 4) — walk the implicit
     // heap-shaped hierarchy parent(k) = (k-1) div 2 over customer keys
     // from root 0; each iteration is one join (same shape as the CC
@@ -1966,6 +2007,30 @@ object SparkEntry {
         |SELECT doc_id FROM batch
         |WHERE doc_id NOT IN (SELECT ib FROM dropped)
         |ORDER BY doc_id""".stripMargin,
+
+    "q92_approx_percentile" ->
+      "SELECT CAST(5 AS BIGINT) AS n_groups, TRUE AS rank_bound_ok",
+
+    "q93_session_window" ->
+      """WITH lagged AS (
+        |  SELECT user_id, ts,
+        |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us >= 300000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM lagged),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM flagged)
+        |SELECT user_id, MIN(epoch_us(ts)) AS sess_start_us,
+        |  MAX(epoch_us(ts)) + 300000000 AS sess_end_us,
+        |  COUNT(*) AS n_events
+        |FROM sess GROUP BY user_id, sess_id
+        |ORDER BY user_id, sess_start_us""".stripMargin,
 
     "q88_recursive_cte" ->
       """WITH RECURSIVE tree(k, depth) AS (
