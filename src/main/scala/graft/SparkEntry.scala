@@ -886,20 +886,28 @@ object SparkEntry {
       import s.implicits._
       val ev = events(s, dir).select($"event_type", $"value").localCheckpoint(true)
       val acc = 1000
-      val approx = ev.groupBy($"event_type")
+      // one sketch pass, then ONE rank pass for every (group, percentile)
+      // cell: per-group thresholds broadcast back onto the data — no
+      // driver-side loop of count jobs
+      val approx = broadcast(ev.groupBy($"event_type")
         .agg(expr(s"percentile_approx(value, array(0.5, 0.9, 0.99), $acc)").as("ap"),
           count(lit(1)).as("n"))
+        .select($"event_type", $"ap"(0).as("v50"), $"ap"(1).as("v90"),
+          $"ap"(2).as("v99"), $"n"))
+      val ranks = ev.join(approx, "event_type")
+        .groupBy($"event_type")
+        .agg(sum(when($"value" <= $"v50", 1L).otherwise(0L)).as("r50"),
+          sum(when($"value" <= $"v90", 1L).otherwise(0L)).as("r90"),
+          sum(when($"value" <= $"v99", 1L).otherwise(0L)).as("r99"),
+          first($"n").as("n"))
         .collect()
-      val ok = approx.forall { r =>
-        val et = r.getString(0)
-        val n = r.getLong(2)
+      val ok = ranks.forall { r =>
+        val n = r.getLong(4)
         val tol = n.toDouble / acc + 1
-        r.getSeq[Double](1).zip(Seq(0.5, 0.9, 0.99)).forall { case (v, p) =>
-          val rank = ev.filter($"event_type" === et && $"value" <= v).count()
-          math.abs(rank - p * n) <= tol
-        }
+        Seq((r.getLong(1), 0.5), (r.getLong(2), 0.9), (r.getLong(3), 0.99))
+          .forall { case (rank, p) => math.abs(rank - p * n) <= tol }
       }
-      Seq((approx.length.toLong, ok)).toDF("n_groups", "rank_bound_ok")
+      Seq((ranks.length.toLong, ok)).toDF("n_groups", "rank_bound_ok")
     }),
 
     // §2.G streaming-native operator in BATCH mode: session_window (the

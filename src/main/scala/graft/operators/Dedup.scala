@@ -290,8 +290,12 @@ object Dedup {
       threshold: Double = 0.5,
       seed: Long = 42L,
       maxBucketSize: Int = 10000): DataFrame = {
-    val kept = minhashAgainstPrepared(
-      prepareMinhash(corpus, idCol, textCol, k, numHashes, bands, seed),
+    // pin the corpus prep: minhashAgainstPrepared reads it twice
+    // (banding + payload slice). A stored signature table pays two
+    // SCANS there; this ad-hoc lineage would pay the shingle UDF twice.
+    val cp = prepareMinhash(corpus, idCol, textCol, k, numHashes, bands, seed)
+      .localCheckpoint(true)
+    val kept = minhashAgainstPrepared(cp,
       prepareMinhash(batch, idCol, textCol, k, numHashes, bands, seed),
       threshold, maxBucketSize)
     batch.join(kept, batch(idCol).cast("long") === kept("_id"), "left_semi")
