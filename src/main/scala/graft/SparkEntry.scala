@@ -926,6 +926,37 @@ object SparkEntry {
         .orderBy($"user_id", $"sess_start_us")
     }),
 
+    // Training-data quality gate: Gopher-style rule battery, verdict =
+    // first failing rule (fixed order, exact int/ratio predicates) —
+    // drop-reason distribution over documents.
+    "q94_gopher_filter" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .withColumn("quality_verdict",
+          graft.operators.TextAnalytics.gopherVerdict($"text"))
+        .groupBy($"quality_verdict")
+        .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("min_doc"))
+        .orderBy($"quality_verdict")
+    }),
+
+    // Training-data redaction: emails/URLs injected deterministically,
+    // scrubbed by redactPii; per-lang span counts and byte deltas are
+    // exact ints (patterns restricted to Java-regex ∩ RE2 syntax).
+    "q95_pii_redaction" -> ((s, dir) => {
+      import s.implicits._
+      val ta = graft.operators.TextAnalytics
+      t(s, dir, "documents")
+        .withColumn("t2", concat($"text", lit(" contact "), $"lang",
+          lit("@example.com visit https://example.com/"), $"source"))
+        .select($"lang", ta.piiSpanCount($"t2").as("spans"),
+          (length($"t2") - length(ta.redactPii($"t2"))).cast("long").as("delta"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"spans").cast("long").as("sum_spans"),
+          sum($"delta").cast("long").as("sum_delta"))
+        .orderBy($"lang")
+    }),
+
     // §2.G SQL surface: RECURSIVE CTE (Spark 4) — walk the implicit
     // heap-shaped hierarchy parent(k) = (k-1) div 2 over customer keys
     // from root 0; each iteration is one join (same shape as the CC
@@ -2018,6 +2049,50 @@ object SparkEntry {
 
     "q92_approx_percentile" ->
       "SELECT CAST(5 AS BIGINT) AS n_groups, TRUE AS rank_bound_ok",
+
+    "q94_gopher_filter" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '\S+')) AS words,
+        |    length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS alpha_chars,
+        |    length(text) - length(regexp_replace(text, '[#…]', '', 'g')) AS symbols,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |        x -> regexp_matches(x, '^[A-Za-z]+$'))) AS alpha_words
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN words < 50 THEN 'too_few_words'
+        |      WHEN words > 100000 THEN 'too_many_words'
+        |      WHEN CAST(alpha_chars AS DOUBLE) / CAST(words AS DOUBLE) < 3.0
+        |        OR CAST(alpha_chars AS DOUBLE) / CAST(words AS DOUBLE) > 10.0
+        |        THEN 'word_length'
+        |      WHEN CAST(symbols AS DOUBLE) / CAST(words AS DOUBLE) > 0.1 THEN 'symbol_ratio'
+        |      WHEN CAST(alpha_words AS DOUBLE) / CAST(words AS DOUBLE) < 0.6 THEN 'non_alpha'
+        |      ELSE 'keep'
+        |    END AS quality_verdict
+        |  FROM m)
+        |SELECT quality_verdict, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q95_pii_redaction" ->
+      """WITH aug AS (
+        |  SELECT lang,
+        |    text || ' contact ' || lang || '@example.com visit https://example.com/' || source AS t2
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, t2,
+        |    len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |      + len(regexp_extract_all(t2, 'https?://[A-Za-z0-9./_%+#?&=-]+')) AS spans,
+        |    length(t2) - length(
+        |      regexp_replace(
+        |        regexp_replace(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |        'https?://[A-Za-z0-9./_%+#?&=-]+', '[URL]', 'g')) AS delta
+        |  FROM aug)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(spans) AS BIGINT) AS sum_spans,
+        |  CAST(SUM(delta) AS BIGINT) AS sum_delta
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q93_session_window" ->
       """WITH lagged AS (

@@ -82,6 +82,54 @@ object TextAnalytics {
     (alphaRatio + punctOk + lenOk + stopOk) / 4.0
   }
 
+  // ---------- quality filtering (Gopher-style rule battery) ----------
+
+  /** Rule-based document filter in the Gopher/Dolma style: each rule is
+    * an exact integer/ratio predicate over the text, the verdict is the
+    * FIRST failing rule (fixed order) or "keep". All built-in column
+    * expressions — codegen'd, no UDF, trivially pushable — and every
+    * ratio divides exact ints, so any engine reproduces the verdicts.
+    *
+    * Rules (fixed order): word count in [minWords, maxWords]; mean word
+    * length in [3, 10]; symbol-to-word ratio <= 0.1 (# and … only, the
+    * classic boilerplate markers); alphabetic-word ratio >= 0.6.
+    *
+    * @return input plus `quality_verdict: string`. */
+  def gopherVerdict(text: Column, minWords: Int = 50, maxWords: Int = 100000): Column = {
+    val words = regexp_count(text, lit("\\S+")).cast("long")
+    // alphabetic chars / words = mean word length proxy on exact ints
+    val alphaChars = (length(text) - length(regexp_replace(text, "[A-Za-z]", ""))).cast("long")
+    val symbols = (length(text) - length(regexp_replace(text, "[#…]", ""))).cast("long")
+    // whitespace-split tokens that are fully alphabetic — split+filter
+    // instead of lookaround so RE2-based engines state the same rule
+    val alphaWords = size(filter(split(text, "\\s+"), x => x.rlike("^[A-Za-z]+$"))).cast("long")
+    val meanLen = alphaChars.cast("double") / words.cast("double")
+    when(words < minWords, "too_few_words")
+      .when(words > maxWords, "too_many_words")
+      .when(meanLen < 3.0 || meanLen > 10.0, "word_length")
+      .when(symbols.cast("double") / words.cast("double") > 0.1, "symbol_ratio")
+      .when(alphaWords.cast("double") / words.cast("double") < 0.6, "non_alpha")
+      .otherwise("keep")
+  }
+
+  // ---------- PII-style redaction ----------
+
+  /** Scrub email addresses and bare URLs (the redaction pass every
+    * public training corpus runs). Patterns restricted to syntax shared
+    * by Java regex and RE2 (no backrefs/lookaround) so oracle engines
+    * agree byte-for-byte. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern = "https?://[A-Za-z0-9./_%+#?&=-]+"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailPattern, "[EMAIL]"),
+      UrlPattern, "[URL]")
+
+  /** How many spans [[redactPii]] would scrub. */
+  def piiSpanCount(text: Column): Column =
+    (regexp_count(text, lit(EmailPattern)) + regexp_count(text, lit(UrlPattern)))
+      .cast("long")
+
   // ---------- lexical (keyword) retrieval ----------
 
   /** TF-IDF keyword scoring over a document table — the lexical half of

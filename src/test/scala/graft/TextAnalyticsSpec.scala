@@ -61,6 +61,36 @@ class TextAnalyticsSpec extends AnyFunSuite {
     assert(w1.intersect(w3).isEmpty)
   }
 
+  test("gopherVerdict: each rule fires on its crafted fixture, in order") {
+    val longWords = ("w " * 60).trim // 60 one-char words -> meanLen 1 < 3
+    val fixtures = Seq(
+      ("short doc", "too_few_words"),
+      (("word " * 200000).trim, "too_many_words"),
+      (longWords, "word_length"),
+      // meanLen = 15 alpha chars / 4 words = 3.75 (ok); symbols/words = 1.0
+      (("#### wordy words here ") * 30, "symbol_ratio"),
+      // meanLen = 13/4 = 3.25 (ok); alpha tokens 2/4 = 0.5 < 0.6
+      (("12345 6789 wordylong here ") * 30, "non_alpha"),
+      (("clean prose with ordinary words " * 10).trim, "keep"))
+    val got = fixtures.map(_._1).zipWithIndex.map { case (t, i) => (i, t) }
+      .toDF("id", "text")
+      .withColumn("v", TextAnalytics.gopherVerdict($"text"))
+      .orderBy($"id").select("v").as[String].collect().toSeq
+    assert(got == fixtures.map(_._2), s"got $got")
+  }
+
+  test("redactPii scrubs emails and urls; span count matches") {
+    val df = Seq(
+      ("a", "reach me at jane.doe+x@corp.example.org or https://a.b/c?d=1 thanks"),
+      ("b", "no pii here at all")
+    ).toDF("id", "text")
+    val got = df.select($"id", TextAnalytics.redactPii($"text").as("r"),
+        TextAnalytics.piiSpanCount($"text").as("n"))
+      .as[(String, String, Long)].collect().sortBy(_._1)
+    assert(got(0)._2 == "reach me at [EMAIL] or [URL] thanks" && got(0)._3 == 2L)
+    assert(got(1)._2 == "no pii here at all" && got(1)._3 == 0L)
+  }
+
   test("tfidfTopK: hand-computed scores on a 4-doc fixture") {
     // N=4; df(spark)=2 (docs 0,1), df(join)=1 (doc 0 only)
     val docs = Seq(
