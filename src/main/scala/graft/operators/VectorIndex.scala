@@ -157,6 +157,34 @@ final class VectorIndex private (
     writeSnapshot(version, remaining, manifest, touched)
   }
 
+  /** Re-bucket the index into a different bucket count and return a
+    * handle bound to the new layout (this handle's meta is stale after
+    * the call). A grown index wants more buckets so per-batch upserts
+    * stay proportional to batch size; this is the one inherently
+    * O(index) maintenance rewrite, done as a normal snapshot commit —
+    * readers of older snapshots are untouched, and the next upsert
+    * rewrites only new-layout buckets. */
+  def rebucket(newNumBuckets: Int): VectorIndex = {
+    require(newNumBuckets > 0, "newNumBuckets must be positive")
+    if (newNumBuckets == meta.numBuckets) return this
+    val cur = currentSnapshot(spark, path)
+    val version = cur.map(_ + 1L).getOrElse(0L)
+    val rebucketed = scan().withColumn("_bucket",
+      pmod(xxhash64(col("id")), lit(newNumBuckets)).cast("int"))
+    // every bucket is touched: pass an empty carry-forward manifest so
+    // the committed manifest references exactly the rewritten files
+    writeSnapshot(version, rebucketed, Map.empty, Set.empty)
+    val newMeta = meta.copy(numBuckets = newNumBuckets)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(path, "_graft_meta.json"), true)
+    out.write(
+      (s"""{"name":"${newMeta.name}","dimension":${newMeta.dimension},""" +
+        s""""metric":"${newMeta.metric.name}","numBuckets":${newMeta.numBuckets}}""")
+        .getBytes("UTF-8"))
+    out.close()
+    new VectorIndex(spark, path, newMeta)
+  }
+
   /** Write the touched buckets' merged rows under data/v=N, then commit
     * a manifest that carries every untouched bucket's existing files
     * forward by reference — no copy, no rewrite. */

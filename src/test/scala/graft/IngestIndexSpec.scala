@@ -117,6 +117,34 @@ class IngestIndexSpec extends AnyFunSuite {
     assert(idx.scanAt(1L).count() == 200)
   }
 
+  test("rebucket: contents identical, new layout used by later upserts") {
+    val dir = Files.createTempDirectory("graft_idx_rebucket").toString
+    val idx = VectorIndex.ensure(spark, s"$dir/r", 4, numBuckets = 4)
+    def recs(ids: Seq[Int], scale: Float) = ids.toDF("n").select(
+      concat(lit("rb-"), $"n").as("id"),
+      array(($"n" * scale).cast("float"), lit(1f), lit(2f), lit(3f)).as("values"),
+      struct(lit(0).as("chunk_index"), lit("t").as("source")).as("metadata"))
+    idx.upsert(recs(0 until 100, 1f))
+    val before = idx.scan().select("id", "values").as[(String, Seq[Float])]
+      .collect().sortBy(_._1).toSeq
+    val wide = idx.rebucket(16)
+    assert(wide.meta.numBuckets == 16)
+    val after = wide.scan().select("id", "values").as[(String, Seq[Float])]
+      .collect().sortBy(_._1).toSeq
+    assert(after == before, "rebucket must not change contents")
+    assert(wide.manifestAt(wide.snapshots().last).keySet.size > 4,
+      "data must spread over the new bucket count")
+    // reopen from disk sees the new meta; small upserts touch few buckets
+    val reopened = VectorIndex.open(spark, s"$dir/r")
+    assert(reopened.meta.numBuckets == 16)
+    val m0 = wide.manifestAt(wide.snapshots().last)
+    reopened.upsert(recs(Seq(5), 10f))
+    val m1 = reopened.manifestAt(reopened.snapshots().last)
+    assert(m1.collect { case (b, f) if m0.get(b) != Some(f) => b }.size <= 1,
+      "one id must touch at most one of the 16 buckets")
+    assert(reopened.scan().count() == 100)
+  }
+
   test("pre-manifest flat snapshot layout is rejected loudly, not read as empty") {
     val dir = Files.createTempDirectory("graft_idx_legacy").toString
     val idx = VectorIndex.ensure(spark, s"$dir/l", 4)
