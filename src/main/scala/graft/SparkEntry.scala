@@ -894,18 +894,28 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .select($"event_type", $"ap"(0).as("v50"), $"ap"(1).as("v90"),
           $"ap"(2).as("v99"), $"n"))
+      // tie-robust: percentile_approx guarantees SOME valid rank for the
+      // returned value, so the check is interval-vs-interval — the
+      // value's true rank range [count(<v), count(<=v)] must intersect
+      // [p*n - tol, p*n + tol] (a strict <=-count alone overshoots by
+      // the full tie mass on quantized data)
       val ranks = ev.join(approx, "event_type")
         .groupBy($"event_type")
-        .agg(sum(when($"value" <= $"v50", 1L).otherwise(0L)).as("r50"),
-          sum(when($"value" <= $"v90", 1L).otherwise(0L)).as("r90"),
-          sum(when($"value" <= $"v99", 1L).otherwise(0L)).as("r99"),
+        .agg(sum(when($"value" < $"v50", 1L).otherwise(0L)).as("lo50"),
+          sum(when($"value" <= $"v50", 1L).otherwise(0L)).as("hi50"),
+          sum(when($"value" < $"v90", 1L).otherwise(0L)).as("lo90"),
+          sum(when($"value" <= $"v90", 1L).otherwise(0L)).as("hi90"),
+          sum(when($"value" < $"v99", 1L).otherwise(0L)).as("lo99"),
+          sum(when($"value" <= $"v99", 1L).otherwise(0L)).as("hi99"),
           first($"n").as("n"))
         .collect()
       val ok = ranks.forall { r =>
-        val n = r.getLong(4)
+        val n = r.getLong(7)
         val tol = n.toDouble / acc + 1
-        Seq((r.getLong(1), 0.5), (r.getLong(2), 0.9), (r.getLong(3), 0.99))
-          .forall { case (rank, p) => math.abs(rank - p * n) <= tol }
+        Seq((r.getLong(1), r.getLong(2), 0.5), (r.getLong(3), r.getLong(4), 0.9),
+          (r.getLong(5), r.getLong(6), 0.99)).forall { case (lo, hi, p) =>
+          lo <= p * n + tol && hi >= p * n - tol
+        }
       }
       Seq((ranks.length.toLong, ok)).toDF("n_groups", "rank_bound_ok")
     }),
@@ -2053,10 +2063,10 @@ object SparkEntry {
     "q94_gopher_filter" ->
       """WITH m AS (
         |  SELECT doc_id,
-        |    len(regexp_extract_all(text, '\S+')) AS words,
+        |    len(regexp_extract_all(text, '[^ \t\n\f\r]+')) AS words,
         |    length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS alpha_chars,
         |    length(text) - length(regexp_replace(text, '[#…]', '', 'g')) AS symbols,
-        |    len(list_filter(string_split_regex(text, '\s+'),
+        |    len(list_filter(string_split_regex(text, '[ \t\n\f\r]+'),
         |        x -> regexp_matches(x, '^[A-Za-z]+$'))) AS alpha_words
         |  FROM documents),
         |v AS (

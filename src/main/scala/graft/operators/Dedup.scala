@@ -19,9 +19,9 @@ import org.apache.spark.sql.functions._
   *      *pairs* are never materialized, which keeps adversarially
   *      self-similar corpora (boilerplate/templates, where pair counts
   *      explode quadratically) from generating a pair shuffle at all.
-  *      The cluster variant needs every verified pair anyway, so it
-  *      distincts narrow candidate pairs first and verifies each pair
-  *      once (see [[candidatePairs]]);
+  *      The cluster variant also verifies in-bucket (measured: on
+  *      template corpora distinct candidate pairs far outnumber bucket
+  *      rows, so per-pair payload joins shuffle more, not less);
   *   4. keep-first: a doc is dropped iff a smaller-keyed verified
   *      duplicate exists (left-anti against the drop set).
   *
@@ -295,10 +295,13 @@ object Dedup {
     // SCANS there; this ad-hoc lineage would pay the shingle UDF twice.
     val cp = prepareMinhash(corpus, idCol, textCol, k, numHashes, bands, seed)
       .localCheckpoint(true)
-    val kept = minhashAgainstPrepared(cp,
+    val drops = minhashAgainstPrepared(cp,
       prepareMinhash(batch, idCol, textCol, k, numHashes, bands, seed),
       threshold, maxBucketSize)
-    batch.join(kept, batch(idCol).cast("long") === kept("_id"), "left_semi")
+    // anti-join on the DROP set (not semi on kept): rows whose id casts
+    // to null can never be verified duplicates, so they pass through —
+    // same semantics as every other dedup variant
+    batch.join(drops, batch(idCol).cast("long") === drops("_drop"), "left_anti")
   }
 
   /** Core of [[minhashAgainst]] over prepared signatures.
@@ -316,7 +319,8 @@ object Dedup {
     * partitioning that table by bucket (the q77 layout) is the next
     * increment if even the scan must go.
     *
-    * @return kept batch ids as a single `_id` column. */
+    * @return DROPPED batch ids as a single `_drop` column (callers
+    *         left-anti join it so null-id rows pass through). */
   def minhashAgainstPrepared(
       corpusPrep: DataFrame,
       batchPrep: DataFrame,
@@ -355,8 +359,7 @@ object Dedup {
           case (_, id, 1, shB) if corp.exists(c => jaccardGE(c._4, shB, t)) => id
         }
     }.toDF("_drop").distinct()
-    bp.select("_id").join(drops, col("_id") === col("_drop"), "left_anti")
-      .select("_id")
+    drops
   }
 
   /** SimHash near-dedup: 4 x 16-bit bands (pigeonhole guarantees any pair

@@ -96,13 +96,17 @@ object TextAnalytics {
     *
     * @return input plus `quality_verdict: string`. */
   def gopherVerdict(text: Column, minWords: Int = 50, maxWords: Int = 100000): Column = {
-    val words = regexp_count(text, lit("\\S+")).cast("long")
+    // explicit whitespace class, NOT \s: Java's \s includes \x0B,
+    // RE2's does not — the explicit class means every engine tokenizes
+    // identically
+    val ws = " \\t\\n\\f\\r"
+    val words = regexp_count(text, lit(s"[^$ws]+")).cast("long")
     // alphabetic chars / words = mean word length proxy on exact ints
     val alphaChars = (length(text) - length(regexp_replace(text, "[A-Za-z]", ""))).cast("long")
     val symbols = (length(text) - length(regexp_replace(text, "[#…]", ""))).cast("long")
     // whitespace-split tokens that are fully alphabetic — split+filter
     // instead of lookaround so RE2-based engines state the same rule
-    val alphaWords = size(filter(split(text, "\\s+"), x => x.rlike("^[A-Za-z]+$"))).cast("long")
+    val alphaWords = size(filter(split(text, s"[$ws]+"), x => x.rlike("^[A-Za-z]+$"))).cast("long")
     val meanLen = alphaChars.cast("double") / words.cast("double")
     when(words < minWords, "too_few_words")
       .when(words > maxWords, "too_many_words")

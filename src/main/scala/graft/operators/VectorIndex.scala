@@ -47,8 +47,17 @@ final class VectorIndex private (
 
   import VectorIndex._
 
-  private def bucketOf(id: Column): Column =
-    pmod(xxhash64(id), lit(meta.numBuckets)).cast("int")
+  private def bucketOf(id: Column, numBuckets: Int): Column =
+    pmod(xxhash64(id), lit(numBuckets)).cast("int")
+
+  /** The bucket count of the CURRENT layout: recorded in the latest
+    * committed manifest's header (so a rebucket switches layouts
+    * atomically with its snapshot commit — a crash between the commit
+    * and the meta rewrite, or a stale pre-rebucket handle, can never
+    * mix hash spaces); falls back to the meta default for an empty
+    * index or pre-header manifests. */
+  private def currentNumBuckets(cur: Option[Long]): Int =
+    cur.flatMap(manifestNumBuckets(spark, path, _)).getOrElse(meta.numBuckets)
 
   /** Current contents: (id, values, metadata, version). */
   def scan(): DataFrame = currentSnapshot(spark, path) match {
@@ -82,10 +91,11 @@ final class VectorIndex private (
     // (not localCheckpoint): it can be RELEASED after the write — a
     // checkpoint's blocks would stay pinned until driver GC, which a
     // long-running per-batch ingest loop cannot afford
+    val nb = currentNumBuckets(cur)
     val incoming = records
       .select(col("id").cast("string"), col("values").cast("array<float>"), col("metadata"))
       .withColumn("version", lit(version))
-      .withColumn("_bucket", bucketOf(col("id")))
+      .withColumn("_bucket", bucketOf(col("id"), nb))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val bad = incoming.filter(size(col("values")) =!= dim).limit(1).count()
@@ -103,13 +113,13 @@ final class VectorIndex private (
         .orderBy(col("version").desc, xxhash64(col("values")).desc)
       val base = if (oldFiles.isEmpty) incoming else {
         spark.read.parquet(oldFiles.map(f => s"$path/$f"): _*)
-          .withColumn("_bucket", bucketOf(col("id")))
+          .withColumn("_bucket", bucketOf(col("id"), nb))
           .unionByName(incoming)
       }
       val merged = base
         .withColumn("_rn", row_number().over(w))
         .filter(col("_rn") === 1).drop("_rn")
-      writeSnapshot(version, merged, manifest, touched)
+      writeSnapshot(version, merged, manifest, touched, nb)
     } finally incoming.unpersist(blocking = false)
   }
 
@@ -144,7 +154,8 @@ final class VectorIndex private (
     val cur = currentSnapshot(spark, path)
     val version = cur.map(_ + 1L).getOrElse(0L)
     import spark.implicits._
-    val touched = ids.toDS().select(bucketOf(col("value")))
+    val nb = currentNumBuckets(cur)
+    val touched = ids.toDS().select(bucketOf(col("value"), nb))
       .distinct().collect().map(_.getInt(0)).toSet
     val manifest = cur.map(readManifest(spark, path, _)).getOrElse(Map.empty[Int, Seq[String]])
     val oldFiles = touched.toSeq.sorted.flatMap(manifest.getOrElse(_, Nil))
@@ -152,9 +163,9 @@ final class VectorIndex private (
       .limit(0) else {
       spark.read.parquet(oldFiles.map(f => s"$path/$f"): _*)
         .filter(!col("id").isin(ids: _*))
-        .withColumn("_bucket", bucketOf(col("id")))
+        .withColumn("_bucket", bucketOf(col("id"), nb))
     }
-    writeSnapshot(version, remaining, manifest, touched)
+    writeSnapshot(version, remaining, manifest, touched, nb)
   }
 
   /** Re-bucket the index into a different bucket count and return a
@@ -172,8 +183,12 @@ final class VectorIndex private (
     val rebucketed = scan().withColumn("_bucket",
       pmod(xxhash64(col("id")), lit(newNumBuckets)).cast("int"))
     // every bucket is touched: pass an empty carry-forward manifest so
-    // the committed manifest references exactly the rewritten files
-    writeSnapshot(version, rebucketed, Map.empty, Set.empty)
+    // the committed manifest references exactly the rewritten files.
+    // The manifest header records newNumBuckets, so the layout switch
+    // IS the commit — the meta rewrite below is a convenience record,
+    // and a crash before it (or a stale handle) still resolves the
+    // right hash space from the manifest.
+    writeSnapshot(version, rebucketed, Map.empty, Set.empty, newNumBuckets)
     val newMeta = meta.copy(numBuckets = newNumBuckets)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(new Path(path, "_graft_meta.json"), true)
@@ -189,7 +204,8 @@ final class VectorIndex private (
     * a manifest that carries every untouched bucket's existing files
     * forward by reference — no copy, no rewrite. */
   private def writeSnapshot(version: Long, merged: DataFrame,
-      oldManifest: Map[Int, Seq[String]], touched: Set[Int]): Unit = {
+      oldManifest: Map[Int, Seq[String]], touched: Set[Int],
+      numBuckets: Int): Unit = {
     // Each write ATTEMPT gets its own directory: a concurrent or retried
     // writer that computes the same target version can then never
     // overwrite files an already-committed manifest references (the
@@ -214,7 +230,7 @@ final class VectorIndex private (
           .map(f => s"$dataDir/_bucket=$b/${f.getPath.getName}")
       }.toMap
     val manifest = (oldManifest -- touched) ++ written
-    writeManifest(spark, path, version, manifest)
+    writeManifest(spark, path, version, manifest, numBuckets)
     pruneOldSnapshots(spark, path, keep = 2)
   }
 
@@ -306,15 +322,17 @@ object VectorIndex {
     * exists-check narrows but cannot fully close the window — single
     * JVM there, where it is exact. */
   private def writeManifest(spark: SparkSession, path: String, version: Long,
-      manifest: Map[Int, Seq[String]]): Unit = {
+      manifest: Map[Int, Seq[String]], numBuckets: Int): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val finalPath = manifestPath(path, version)
     fs.mkdirs(finalPath.getParent)
     val tmp = new Path(finalPath.getParent,
       s".manifest.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, true)
-    val body = manifest.toSeq.sortBy(_._1)
-      .flatMap { case (b, files) => files.sorted.map(f => s"$b\t$f") }
+    // header records the hash space this snapshot was written under —
+    // the layout is part of the commit, not of the mutable meta file
+    val body = (s"#numBuckets=$numBuckets" +: manifest.toSeq.sortBy(_._1)
+      .flatMap { case (b, files) => files.sorted.map(f => s"$b\t$f") })
       .mkString("\n")
     out.write(body.getBytes("UTF-8"))
     out.close()
@@ -332,12 +350,24 @@ object VectorIndex {
     val in = fs.open(manifestPath(path, version))
     val txt = scala.io.Source.fromInputStream(in).mkString
     in.close()
-    txt.split("\n").toSeq.filter(_.nonEmpty)
+    txt.split("\n").toSeq.filter(l => l.nonEmpty && !l.startsWith("#"))
       .map { line =>
         val Array(b, f) = line.split("\t", 2)
         (b.toInt, f)
       }
       .groupBy(_._1).map { case (b, fs0) => b -> fs0.map(_._2) }
+  }
+
+  /** The numBuckets header of a committed manifest (absent on manifests
+    * written before the header existed). */
+  private def manifestNumBuckets(spark: SparkSession, path: String,
+      version: Long): Option[Int] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(manifestPath(path, version))
+    val first = new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8")).readLine()
+    in.close()
+    Option(first).filter(_.startsWith("#numBuckets="))
+      .map(_.stripPrefix("#numBuckets=").toInt)
   }
 
   private def listSnapshots(spark: SparkSession, path: String): Seq[Long] = {
@@ -377,6 +407,14 @@ object VectorIndex {
     snaps.dropRight(keep).foreach(n => fs.delete(new Path(p, s"snapshot=$n"), true))
     val retained = listSnapshots(spark, path)
     val referenced = retained.flatMap(readManifest(spark, path, _).values.flatten).toSet
+    // files under data/v=K-* with K beyond the newest COMMITTED snapshot
+    // belong to an in-flight writer's attempt — not garbage yet. (A lost
+    // race's orphans at K <= newest are collected once K is superseded.)
+    val newest = retained.lastOption.getOrElse(-1L)
+    def inFlight(rel: String): Boolean = rel.startsWith("data/v=") && {
+      val v = rel.stripPrefix("data/v=").takeWhile(_.isDigit)
+      v.nonEmpty && v.toLong > newest
+    }
     val dataRoot = new Path(p, "data")
     if (fs.exists(dataRoot)) {
       val it = fs.listFiles(dataRoot, true)
@@ -384,7 +422,7 @@ object VectorIndex {
       while (it.hasNext) {
         val f = it.next()
         val rel = f.getPath.toString.stripPrefix(fs.makeQualified(p).toString + "/")
-        if (f.isFile && !referenced.contains(rel)) dead += f.getPath
+        if (f.isFile && !referenced.contains(rel) && !inFlight(rel)) dead += f.getPath
       }
       dead.foreach(fs.delete(_, false))
       // sweep now-empty version/bucket dirs

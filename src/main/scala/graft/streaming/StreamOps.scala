@@ -162,24 +162,44 @@ object StreamOps {
       (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val D = graft.operators.Dedup
-        val withinDeduped = D.minhash(batch, idCol, textCol)
-        val fs = new org.apache.hadoop.fs.Path(corpusPath)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val survivors =
-          if (!fs.exists(new org.apache.hadoop.fs.Path(sigPath))) withinDeduped
-          else {
-            val corpusSig = spark.read.parquet(sigPath)
+        val hconf = spark.sparkContext.hadoopConfiguration
+        def exists(p: String) =
+          new org.apache.hadoop.fs.Path(p).getFileSystem(hconf)
+            .exists(new org.apache.hadoop.fs.Path(p))
+        val withinDeduped = D.minhash(batch, idCol, textCol).localCheckpoint(true)
+        val (accepted, acceptedSig) =
+          if (!exists(corpusPath)) {
+            (withinDeduped, D.prepareMinhash(withinDeduped, idCol, textCol))
+          } else {
+            // the CORPUS gates the dedup (never the sidecar: a missing or
+            // diverged sidecar must not silently skip dedup). Repair the
+            // sidecar from the corpus when it is absent or out of step —
+            // ids are unique on both sides, so a row-count mismatch is
+            // exactly the crashed-between-appends window.
+            val corpus = spark.read.parquet(corpusPath)
+            val corpusSig = {
+              val fresh0 =
+                if (!exists(sigPath)) None
+                else Some(spark.read.parquet(sigPath)).filter(_.count() == corpus.count())
+              fresh0.getOrElse {
+                val rebuilt = D.prepareMinhash(corpus, idCol, textCol).localCheckpoint(true)
+                rebuilt.write.mode("overwrite").parquet(sigPath)
+                rebuilt
+              }
+            }
             // accepted ids are immutable -> id re-use is an exact dup
             val fresh = withinDeduped.join(corpusSig.select(col("_id")),
               withinDeduped(idCol).cast("long") === col("_id"), "left_anti")
-            val kept = D.minhashAgainstPrepared(corpusSig,
-              D.prepareMinhash(fresh, idCol, textCol))
-            fresh.join(kept, fresh(idCol).cast("long") === kept("_id"), "left_semi")
+            // shingle the fresh rows ONCE: the same prep feeds the dedup
+            // and (for survivors) the sidecar append
+            val prep = D.prepareMinhash(fresh, idCol, textCol).localCheckpoint(true)
+            val drops = D.minhashAgainstPrepared(corpusSig, prep)
+            (fresh.join(drops, fresh(idCol).cast("long") === drops("_drop"), "left_anti"),
+              prep.join(drops, prep("_id") === drops("_drop"), "left_anti"))
           }
-        // pin: survivors feed two writes (docs + signature sidecar)
-        val accepted = survivors.select(col(idCol), col(textCol)).localCheckpoint(true)
-        accepted.write.mode("append").parquet(corpusPath)
-        D.prepareMinhash(accepted, idCol, textCol).write.mode("append").parquet(sigPath)
+        accepted.select(col(idCol), col(textCol))
+          .write.mode("append").parquet(corpusPath)
+        acceptedSig.write.mode("append").parquet(sigPath)
     }
   }
 
