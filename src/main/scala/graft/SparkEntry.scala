@@ -855,8 +855,16 @@ object SparkEntry {
     // Asymmetric (incremental-ingest) dedup: a batch of 2x variants per
     // corpus doc — a quarter-replaced near-dup (J~0.58, must drop) and a
     // token-reversed rewrite (trigram J~0, must keep) — deduped AGAINST
-    // the untouched documents corpus. Oracle: exact bipartite trigram
-    // Jaccard in DuckDB.
+    // the untouched documents corpus. Contract oracle (not row
+    // equality): LSH banding has a ~(1-J^r)^b false-negative
+    // probability, so exact-Jaccard row equality would break
+    // nondeterministically on any natural pair near the threshold at
+    // another scale. Instead both sides compute the exact trigram
+    // Jaccard of each ENGINEERED near-dup pair (1:1, same row — no
+    // bipartite join) for the expected-drop count, and the Spark side
+    // asserts >= 98% of those were caught; precision needs no check —
+    // the operator verifies exact Jaccard on every candidate before
+    // dropping, so a drop is never false.
     "q87_dedup_against" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
@@ -867,14 +875,30 @@ object SparkEntry {
       val m = size($"tk")
       val r = (m / lit(4)).cast("int")
       def fill(tag: String) = transform(sequence(lit(1), r), i => concat(lit(tag), i))
+      val ndTk = concat(fill("xa"), slice($"tk", r + 1, m - r))
       val nearDup = base.select(($"doc_id" + 500000).as("doc_id"),
-        array_join(concat(fill("xa"), slice($"tk", r + 1, m - r)), " ").as("text"))
+        array_join(ndTk, " ").as("text"))
       val fresh = base.select(($"doc_id" + 600000).as("doc_id"),
         array_join(reverse($"tk"), " ").as("text"))
       val batch = nearDup.unionByName(fresh).localCheckpoint(true)
       val corpus = docs.select($"doc_id", $"text")
-      graft.operators.Dedup.minhashAgainst(corpus, batch, "doc_id", "text")
-        .select($"doc_id").orderBy($"doc_id")
+      val kept = graft.operators.Dedup.minhashAgainst(corpus, batch, "doc_id", "text")
+        .select($"doc_id".as("kid"))
+      // exact trigram Jaccard of each engineered pair, from its own row
+      def sh(c: org.apache.spark.sql.Column) =
+        array_distinct(transform(sequence(lit(1), size(c) - 2),
+        i => concat_ws(" ", element_at(c, i), element_at(c, i + 1), element_at(c, i + 2))))
+      val expected = base
+        .select(($"doc_id" + 500000).as("bid"), sh($"tk").as("csh"), sh(ndTk).as("bsh"))
+        .withColumn("ovl", size(array_intersect($"bsh", $"csh")))
+        .filter($"ovl".cast("double") / (size($"bsh") + size($"csh") - $"ovl") >= 0.5)
+        .select($"bid")
+      expected.join(kept, expected("bid") === kept("kid"), "left_outer")
+        .agg(count(lit(1)).as("n_expected"),
+          sum(when($"kid".isNull, 1L).otherwise(0L)).as("n_caught"))
+        .select($"n_expected",
+          ($"n_caught".cast("double") >= $"n_expected".cast("double") * 0.98)
+            .as("recall_ok"))
     }),
 
     // §2.G sketches #3 (with HLL q49 and count-min q82): approximate
@@ -2020,42 +2044,23 @@ object SparkEntry {
         |  FROM documents),
         |flt AS (
         |  SELECT doc_id, tk, len(tk) AS m, len(tk) // 4 AS r FROM base WHERE len(tk) >= 30),
-        |batch AS (
-        |  SELECT doc_id + 500000 AS doc_id, array_to_string(list_concat(
-        |      list_transform(generate_series(1, r), i -> 'xa' || i),
-        |      list_slice(tk, r + 1, m)), ' ') AS text
-        |  FROM flt
-        |  UNION ALL
-        |  SELECT doc_id + 600000, array_to_string(list_reverse(tk), ' ') FROM flt),
-        |btoks AS (
+        |prs AS (
         |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk2
-        |  FROM batch),
-        |bsh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(tk2) < 3 THEN [array_to_string(tk2, ' ')]
-        |         ELSE list_distinct(list_transform(generate_series(1, len(tk2) - 2),
-        |                i -> tk2[i] || ' ' || tk2[i+1] || ' ' || tk2[i+2]))
-        |    END AS sh
-        |  FROM btoks),
-        |csh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
-        |         ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
-        |                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
-        |    END AS sh
-        |  FROM base),
-        |binv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM bsh),
-        |cinv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM csh),
-        |pairs AS (
-        |  SELECT b.doc_id AS ib, b.n AS nb, c.doc_id AS ic, c.n AS nc, COUNT(*) AS o
-        |  FROM binv b JOIN cinv c ON b.g = c.g GROUP BY 1, 2, 3, 4),
-        |dropped AS (
-        |  SELECT DISTINCT ib FROM pairs
-        |  WHERE CAST(o AS DOUBLE) / (nb + nc - o) >= 0.5)
-        |SELECT doc_id FROM batch
-        |WHERE doc_id NOT IN (SELECT ib FROM dropped)
-        |ORDER BY doc_id""".stripMargin,
+        |    list_distinct(list_transform(generate_series(1, len(tk) - 2),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS csh,
+        |    list_concat(list_transform(generate_series(1, r), i -> 'xa' || i),
+        |      list_slice(tk, r + 1, m)) AS t2
+        |  FROM flt),
+        |jac AS (
+        |  SELECT doc_id, csh,
+        |    list_distinct(list_transform(generate_series(1, len(t2) - 2),
+        |      i -> t2[i] || ' ' || t2[i+1] || ' ' || t2[i+2])) AS bsh
+        |  FROM prs),
+        |ovl AS (
+        |  SELECT doc_id, len(list_intersect(bsh, csh)) AS o, len(bsh) AS nb, len(csh) AS nc
+        |  FROM jac)
+        |SELECT COUNT(*) AS n_expected, TRUE AS recall_ok
+        |FROM ovl WHERE CAST(o AS DOUBLE) / (nb + nc - o) >= 0.5""".stripMargin,
 
     "q92_approx_percentile" ->
       "SELECT CAST(5 AS BIGINT) AS n_groups, TRUE AS rank_bound_ok",

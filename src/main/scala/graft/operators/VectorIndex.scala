@@ -191,12 +191,7 @@ final class VectorIndex private (
     writeSnapshot(version, rebucketed, Map.empty, Set.empty, newNumBuckets)
     val newMeta = meta.copy(numBuckets = newNumBuckets)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(new Path(path, "_graft_meta.json"), true)
-    out.write(
-      (s"""{"name":"${newMeta.name}","dimension":${newMeta.dimension},""" +
-        s""""metric":"${newMeta.metric.name}","numBuckets":${newMeta.numBuckets}}""")
-        .getBytes("UTF-8"))
-    out.close()
+    writeMetaFile(fs, path, newMeta)
     new VectorIndex(spark, path, newMeta)
   }
 
@@ -230,7 +225,7 @@ final class VectorIndex private (
           .map(f => s"$dataDir/_bucket=$b/${f.getPath.getName}")
       }.toMap
     val manifest = (oldManifest -- touched) ++ written
-    writeManifest(spark, path, version, manifest, numBuckets)
+    writeManifest(spark, path, version, manifest, meta.copy(numBuckets = numBuckets))
     pruneOldSnapshots(spark, path, keep = 2)
   }
 
@@ -273,12 +268,7 @@ object VectorIndex {
       val meta = IndexMeta(name, dimension, metric,
         if (numBuckets == UnspecifiedBuckets) DefaultNumBuckets else numBuckets)
       fs.mkdirs(new Path(path))
-      val out = fs.create(metaPath, true)
-      out.write(
-        (s"""{"name":"${meta.name}","dimension":${meta.dimension},""" +
-          s""""metric":"${meta.metric.name}","numBuckets":${meta.numBuckets}}""")
-          .getBytes("UTF-8"))
-      out.close()
+      writeMetaFile(fs, path, meta)
       new VectorIndex(spark, path, meta)
     }
   }
@@ -296,16 +286,62 @@ object VectorIndex {
       .map(_.getPath.getName)
   }
 
-  private def readMeta(spark: SparkSession, path: String): IndexMeta = {
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(new Path(path, "_graft_meta.json"))
-    val txt = scala.io.Source.fromInputStream(in).mkString
-    in.close()
-    // minimal parse of the fixed shape we write
+  private def metaJson(meta: IndexMeta): String =
+    s"""{"name":"${meta.name}","dimension":${meta.dimension},""" +
+      s""""metric":"${meta.metric.name}","numBuckets":${meta.numBuckets}}"""
+
+  /** Write `_graft_meta.json` as tmp + rename — the same discipline as
+    * writeManifest — so a crash mid-write can never leave a truncated
+    * meta file (a plain overwriting create() truncates first, and an
+    * interrupted write then makes the whole index unopenable even
+    * though manifests and data are intact). */
+  private def writeMetaFile(fs: org.apache.hadoop.fs.FileSystem, path: String,
+      meta: IndexMeta): Unit = {
+    val target = new Path(path, "_graft_meta.json")
+    val tmp = new Path(path,
+      s"._graft_meta.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    out.write(metaJson(meta).getBytes("UTF-8"))
+    out.close()
+    // rename-over-existing fails on most filesystems: delete, then
+    // rename. The window between the two leaves the meta MISSING (not
+    // truncated), which readMeta repairs from the manifest header.
+    if (fs.exists(target)) fs.delete(target, false)
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(s"could not commit _graft_meta.json at $path")
+    }
+  }
+
+  // minimal parse of the fixed shape metaJson writes
+  private def parseMeta(txt: String): IndexMeta = {
     def field(k: String): String =
       txt.split(s""""$k":""")(1).split("[,}]")(0).trim.stripPrefix("\"").stripSuffix("\"")
     val buckets = if (txt.contains(""""numBuckets":""")) field("numBuckets").toInt else 16
     IndexMeta(field("name"), field("dimension").toInt, Metric.parse(field("metric")), buckets)
+  }
+
+  private def readMeta(spark: SparkSession, path: String): IndexMeta = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val direct = try {
+      val in = fs.open(new Path(path, "_graft_meta.json"))
+      val txt = scala.io.Source.fromInputStream(in).mkString
+      in.close()
+      Some(parseMeta(txt))
+    } catch { case scala.util.control.NonFatal(_) => None }
+    direct.getOrElse {
+      // meta file missing or unreadable: every committed manifest
+      // carries a full copy in its header, so an index with at least
+      // one snapshot stays openable — recover from the newest one and
+      // self-heal the meta file.
+      val recovered = listSnapshots(spark, path).lastOption
+        .flatMap(manifestMeta(spark, path, _))
+        .getOrElse(throw new IllegalStateException(
+          s"index at $path: _graft_meta.json unreadable and no committed " +
+            "manifest carries a meta header to recover from"))
+      writeMetaFile(fs, path, recovered)
+      recovered
+    }
   }
 
   // ---------- manifest I/O ----------
@@ -321,8 +357,8 @@ object VectorIndex {
     * rename-onto-existing fails atomically; on a raw local FS the
     * exists-check narrows but cannot fully close the window — single
     * JVM there, where it is exact. */
-  private def writeManifest(spark: SparkSession, path: String, version: Long,
-      manifest: Map[Int, Seq[String]], numBuckets: Int): Unit = {
+  private[graft] def writeManifest(spark: SparkSession, path: String, version: Long,
+      manifest: Map[Int, Seq[String]], idxMeta: IndexMeta): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val finalPath = manifestPath(path, version)
     fs.mkdirs(finalPath.getParent)
@@ -330,17 +366,27 @@ object VectorIndex {
       s".manifest.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, true)
     // header records the hash space this snapshot was written under —
-    // the layout is part of the commit, not of the mutable meta file
-    val body = (s"#numBuckets=$numBuckets" +: manifest.toSeq.sortBy(_._1)
-      .flatMap { case (b, files) => files.sorted.map(f => s"$b\t$f") })
+    // the layout is part of the commit, not of the mutable meta file.
+    // The full meta copy makes every commit a recovery point for a
+    // lost/corrupt _graft_meta.json (see readMeta).
+    val body = (Seq(s"#numBuckets=${idxMeta.numBuckets}", s"#meta=${metaJson(idxMeta)}") ++
+      manifest.toSeq.sortBy(_._1)
+        .flatMap { case (b, files) => files.sorted.map(f => s"$b\t$f") })
       .mkString("\n")
     out.write(body.getBytes("UTF-8"))
     out.close()
-    val committed = !fs.exists(finalPath) && fs.rename(tmp, finalPath)
+    // Zombie-writer guard: a slow writer whose target version K was
+    // meanwhile committed by others AND pruned (keep=2) would pass a
+    // bare exists-check and commit a manifest referencing data files
+    // the file-level GC already deleted. Reject any commit at or below
+    // the newest committed snapshot, not just ones that still exist.
+    val newest = listSnapshots(spark, path).lastOption.getOrElse(-1L)
+    val committed = version > newest && !fs.exists(finalPath) && fs.rename(tmp, finalPath)
     if (!committed) {
       fs.delete(tmp, false)
       throw new IllegalStateException(
-        s"could not commit manifest for snapshot $version (concurrent writer won)")
+        s"could not commit manifest for snapshot $version " +
+          s"(concurrent writer won; newest committed is $newest)")
     }
   }
 
@@ -368,6 +414,18 @@ object VectorIndex {
     in.close()
     Option(first).filter(_.startsWith("#numBuckets="))
       .map(_.stripPrefix("#numBuckets=").toInt)
+  }
+
+  /** The full-meta header of a committed manifest (absent on manifests
+    * written before the header existed). */
+  private def manifestMeta(spark: SparkSession, path: String,
+      version: Long): Option[IndexMeta] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(manifestPath(path, version))
+    val txt = scala.io.Source.fromInputStream(in).mkString
+    in.close()
+    txt.split("\n").find(_.startsWith("#meta="))
+      .map(l => parseMeta(l.stripPrefix("#meta=")))
   }
 
   private def listSnapshots(spark: SparkSession, path: String): Seq[Long] = {

@@ -172,15 +172,31 @@ object StreamOps {
             (withinDeduped, D.prepareMinhash(withinDeduped, idCol, textCol))
           } else {
             // the CORPUS gates the dedup (never the sidecar: a missing or
-            // diverged sidecar must not silently skip dedup). Repair the
-            // sidecar from the corpus when it is absent or out of step —
-            // ids are unique on both sides, so a row-count mismatch is
-            // exactly the crashed-between-appends window.
-            val corpus = spark.read.parquet(corpusPath)
+            // diverged sidecar must not silently skip dedup). The append
+            // delivery is at-least-once, so integrity is checked on IDS,
+            // not raw row counts: a retried foreachBatch that double-
+            // appended the same rows to both tables keeps raw counts
+            // equal while violating the unique-id invariant.
+            val corpus0 = spark.read.parquet(corpusPath)
+            val corpusIds = corpus0.select(col(idCol)).distinct().count()
+            val corpus =
+              if (corpus0.count() == corpusIds) corpus0
+              else {
+                // heal a double-append: accepted ids are immutable, so
+                // duplicate ids carry identical payloads — keep one.
+                val healed = corpus0.dropDuplicates(idCol).localCheckpoint(true)
+                healed.write.mode("overwrite").parquet(corpusPath)
+                healed
+              }
             val corpusSig = {
               val fresh0 =
                 if (!exists(sigPath)) None
-                else Some(spark.read.parquet(sigPath)).filter(_.count() == corpus.count())
+                else Some(spark.read.parquet(sigPath)).filter { s =>
+                  // fresh iff the sidecar's distinct ids mirror the
+                  // corpus AND it carries no duplicate rows itself
+                  val n = s.count()
+                  n == corpusIds && s.select(col("_id")).distinct().count() == n
+                }
               fresh0.getOrElse {
                 val rebuilt = D.prepareMinhash(corpus, idCol, textCol).localCheckpoint(true)
                 rebuilt.write.mode("overwrite").parquet(sigPath)
@@ -191,9 +207,13 @@ object StreamOps {
             val fresh = withinDeduped.join(corpusSig.select(col("_id")),
               withinDeduped(idCol).cast("long") === col("_id"), "left_anti")
             // shingle the fresh rows ONCE: the same prep feeds the dedup
-            // and (for survivors) the sidecar append
+            // and (for survivors) the sidecar append. Pin the drop set
+            // too: unpinned, it is re-evaluated for each of the two
+            // writes below AND the sidecar append's plan would re-read
+            // sigPath while appending to it — fine under this single
+            // JVM's listing snapshot, fragile on real filesystems.
             val prep = D.prepareMinhash(fresh, idCol, textCol).localCheckpoint(true)
-            val drops = D.minhashAgainstPrepared(corpusSig, prep)
+            val drops = D.minhashAgainstPrepared(corpusSig, prep).localCheckpoint(true)
             (fresh.join(drops, fresh(idCol).cast("long") === drops("_drop"), "left_anti"),
               prep.join(drops, prep("_id") === drops("_drop"), "left_anti"))
           }

@@ -145,6 +145,51 @@ class IngestIndexSpec extends AnyFunSuite {
     assert(reopened.scan().count() == 100)
   }
 
+  test("corrupt/missing meta file: open() recovers from the manifest header and self-heals") {
+    val dir = Files.createTempDirectory("graft_idx_metarec").toString
+    val idx = VectorIndex.ensure(spark, s"$dir/m", 4, numBuckets = 8)
+    idx.upsert((0 until 20).toDF("n").select(
+      concat(lit("m-"), $"n").as("id"),
+      array($"n".cast("float"), lit(1f), lit(2f), lit(3f)).as("values"),
+      struct(lit(0).as("chunk_index"), lit("t").as("source")).as("metadata")))
+    val metaFile = java.nio.file.Paths.get(s"$dir/m/_graft_meta.json")
+    // simulate a crash mid-write: truncated meta
+    Files.write(metaFile, Array.empty[Byte])
+    val reopened = VectorIndex.open(spark, s"$dir/m")
+    assert(reopened.meta.dimension == 4 && reopened.meta.numBuckets == 8)
+    assert(reopened.scan().count() == 20)
+    // the recovery rewrote the meta file, so a raw read parses again
+    assert(new String(Files.readAllBytes(metaFile), "UTF-8").contains("\"dimension\":4"))
+    // missing entirely also recovers
+    Files.delete(metaFile)
+    assert(VectorIndex.open(spark, s"$dir/m").meta.numBuckets == 8)
+  }
+
+  test("zombie-version manifest commit (at or below newest committed) is rejected") {
+    val dir = Files.createTempDirectory("graft_idx_zombie").toString
+    val idx = VectorIndex.ensure(spark, s"$dir/z", 4, numBuckets = 4)
+    def recs(ids: Seq[Int]) = ids.toDF("n").select(
+      concat(lit("z-"), $"n").as("id"),
+      array($"n".cast("float"), lit(1f), lit(2f), lit(3f)).as("values"),
+      struct(lit(0).as("chunk_index"), lit("t").as("source")).as("metadata"))
+    idx.upsert(recs(0 until 10)) // snapshot 0
+    idx.upsert(recs(Seq(1)))     // snapshot 1
+    idx.upsert(recs(Seq(2)))     // snapshot 2
+    idx.upsert(recs(Seq(3)))     // snapshot 3 -> snapshot 0 and 1 pruned (keep=2)
+    assert(idx.snapshots() == Seq(2L, 3L))
+    // a slow writer targeting the PRUNED version 1 passes a bare
+    // exists-check (snapshot=1 is gone) but must still be rejected: its
+    // manifest would reference data files the GC already deleted
+    intercept[IllegalStateException] {
+      VectorIndex.writeManifest(spark, s"$dir/z", 1L, Map.empty, idx.meta)
+    }
+    // and one targeting the CURRENT newest is rejected too
+    intercept[IllegalStateException] {
+      VectorIndex.writeManifest(spark, s"$dir/z", 3L, Map.empty, idx.meta)
+    }
+    assert(idx.snapshots() == Seq(2L, 3L) && idx.scan().count() == 10)
+  }
+
   test("pre-manifest flat snapshot layout is rejected loudly, not read as empty") {
     val dir = Files.createTempDirectory("graft_idx_legacy").toString
     val idx = VectorIndex.ensure(spark, s"$dir/l", 4)

@@ -307,6 +307,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedup-on-ingest heals a double-appended corpus (at-least-once retry)") {
+    val src = Files.createTempDirectory("graft_sheal_src")
+    val corpus = Files.createTempDirectory("graft_sheal_corpus").toString + "/corpus"
+    val a = "the quick brown fox jumps over the lazy dog near the quiet river bank at dawn today"
+    val c = "vector indexes bucket embeddings by locality sensitive hashes for sublinear similarity search"
+    // simulate a retried foreachBatch that appended the same accepted
+    // rows to BOTH corpus and sidecar twice: raw counts stay equal, so
+    // a count-based freshness check would accept the corrupt state
+    val rows = Seq((1L, a)).toDF("doc_id", "text")
+    rows.write.mode("append").parquet(corpus)
+    rows.write.mode("append").parquet(corpus)
+    val sig = graft.operators.Dedup.prepareMinhash(rows, "doc_id", "text")
+    sig.write.mode("append").parquet(corpus + "_sig")
+    sig.write.mode("append").parquet(corpus + "_sig")
+    assert(spark.read.parquet(corpus).count() == 2)
+    val tmp = Files.createTempDirectory("graft_sheal_b1")
+    Seq((2L, a + " again"), (3L, c)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get
+    Files.copy(part, Paths.get(s"$src/b1.parquet"))
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+      .parquet(src.toString)
+    val q = StreamOps.dedupedIngest(stream, corpus).start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.read.parquet(corpus).select("doc_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 3L), "dup rows healed, near-dup 2 dropped, fresh 3 kept")
+      val sigIds = spark.read.parquet(corpus + "_sig").select("_id").as[Long].collect().sorted
+      assert(sigIds.toSeq == Seq(1L, 3L), "sidecar healed to unique ids matching corpus")
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark drops duplicate event ids") {
     // duplicate the stream source file => every event appears twice
     val dir = Files.createTempDirectory("graft_stream_dup")
