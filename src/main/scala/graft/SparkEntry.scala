@@ -991,6 +991,66 @@ object SparkEntry {
         .orderBy($"lang")
     }),
 
+    // Sequence packing for training batches: pack documents' token
+    // counts into 256-token context windows, greedily in doc_id order
+    // within 8 hash shards (the parallel unit — see Packing scaladoc).
+    // Oracle replays the same next-fit recurrence as a recursive CTE.
+    "q96_seq_packing" -> ((s, dir) => {
+      import s.implicits._
+      val items = t(s, dir, "documents").select($"doc_id",
+        pmod($"doc_id", lit(8)).cast("int").as("shard"),
+        regexp_count($"text", lit("[^ \\t\\n\\f\\r]+")).cast("int").as("tok"))
+      graft.operators.Packing.packGreedy(items, "shard", "doc_id", "tok", budget = 256)
+        .orderBy($"shard", $"doc_id")
+    }),
+
+    // Deterministic mixture sampling: each source is kept at its own
+    // target rate via a pure hash predicate (reruns pick the same
+    // rows; no shuffle — see Sampling scaladoc). Rates derive from the
+    // source's trailing digits so the oracle can recompute them.
+    "q97_mixture_sample" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .withColumn("tenths",
+          regexp_extract($"source", "([0-9]+)", 1).cast("int") % 10 + 1)
+      graft.operators.Sampling.mixtureSampleFraction(docs, "doc_id", "tenths", den = 10L)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_kept"), sum($"doc_id").as("id_sum"))
+        .orderBy($"source")
+    }),
+
+    // Repetition-removal filter (Gopher dup-n-gram family): flag docs
+    // whose top word bigram exceeds 10% of the word count — integer
+    // predicate (topn*10 > wc) so both engines compare exactly.
+    "q98_repetition_filter" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.TextAnalytics
+        .repetitionStats(t(s, dir, "documents"), "doc_id", "text")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"_topn" * 10 > $"_wc", 1L).otherwise(0L)).as("n_flagged"))
+        .orderBy($"lang")
+    }),
+
+    // Q2 scalar-quantized ANN (SQ8, the third compression point next to
+    // PQ q83 and IVF-PQ q84): exact per-dim min/max bounds, byte codes,
+    // dequantized-dot shortlist, exact rescore. Recall contract vs
+    // brute force, like the other approximate paths.
+    "q99_ann_sq8" -> ((s, dir) => {
+      import s.implicits._
+      val ann = graft.operators.Ann
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter($"vec_id" === 0).select($"embedding").as[Array[Float]].head()
+      val model = ann.trainSq(emb, "embedding")
+      val encoded = ann.encodeSq(emb, "embedding", model)
+      val bf = ann.bruteForceTopK(emb, "embedding", "vec_id", q, 10).select($"vec_id")
+      val sq = ann.querySq(encoded, "embedding", "vec_id", model, q, 10, shortlist = 200)
+        .select($"vec_id")
+      bf.join(sq, "vec_id")
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(10L).as("k"), ($"n_overlap" >= 8).as("recall_ok"))
+    }),
+
     // §2.G SQL surface: RECURSIVE CTE (Spark 4) — walk the implicit
     // heap-shaped hierarchy parent(k) = (k-1) div 2 over customer keys
     // from root 0; each iteration is one join (same shape as the CC
@@ -2108,6 +2168,55 @@ object SparkEntry {
         |  CAST(SUM(spans) AS BIGINT) AS sum_spans,
         |  CAST(SUM(delta) AS BIGINT) AS sum_delta
         |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q96_seq_packing" ->
+      """WITH RECURSIVE items AS (
+        |  SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+        |    CAST(len(regexp_extract_all(text, '[^ \t\n\f\r]+')) AS INT) AS tok,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |acc AS (
+        |  SELECT shard, rn, doc_id, tok, CAST(tok AS BIGINT) AS fill,
+        |    CAST(0 AS BIGINT) AS pack
+        |  FROM items WHERE rn = 1
+        |  UNION ALL
+        |  SELECT i.shard, i.rn, i.doc_id, i.tok,
+        |    CASE WHEN a.fill + i.tok > 256 THEN CAST(i.tok AS BIGINT)
+        |         ELSE a.fill + i.tok END,
+        |    CASE WHEN a.fill + i.tok > 256 THEN a.pack + 1 ELSE a.pack END
+        |  FROM items i JOIN acc a ON i.shard = a.shard AND i.rn = a.rn + 1)
+        |SELECT shard, doc_id, tok, pack FROM acc ORDER BY shard, doc_id""".stripMargin,
+
+    "q97_mixture_sample" ->
+      """WITH rated AS (
+        |  SELECT doc_id, source,
+        |    CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 10 + 1 AS tenths
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM rated
+        |WHERE ((doc_id * 2654435761) % 4294967296) * 10 < tenths * 4294967296
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q98_repetition_filter" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        |  FROM documents),
+        |base AS (SELECT doc_id, lang, len(t) AS wc FROM tk),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1])) AS g
+        |  FROM tk WHERE len(t) >= 2),
+        |c AS (SELECT doc_id, g, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+        |m AS (SELECT doc_id, MAX(n) AS topn FROM c GROUP BY 1)
+        |SELECT b.lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN COALESCE(m.topn, 0) * 10 > b.wc THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_flagged
+        |FROM base b LEFT JOIN m ON b.doc_id = m.doc_id
+        |GROUP BY b.lang ORDER BY b.lang""".stripMargin,
+
+    "q99_ann_sq8" ->
+      "SELECT CAST(10 AS BIGINT) AS k, TRUE AS recall_ok",
 
     "q93_session_window" ->
       """WITH lagged AS (

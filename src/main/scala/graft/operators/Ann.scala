@@ -350,4 +350,59 @@ object Ann {
       .limit(shortlist)
     bruteForceTopK(short, vecCol, idCol, q, k)
   }
+
+  /** Scalar quantizer (SQ8): each dimension of the L2-normalized
+    * vector mapped linearly to one unsigned byte using per-dimension
+    * [min,max] bounds learned in ONE exact distributed agg pass (min/
+    * max are associative — no sampling, unlike PQ's Lloyd). 4× smaller
+    * than float32 and complementary to PQ: SQ8 keeps full per-
+    * dimension resolution (better on near-isotropic data, PQ's hard
+    * regime) at a lower compression ratio. */
+  final case class SqModel(mins: Array[Double], maxs: Array[Double])
+
+  def trainSq(df: DataFrame, vecCol: String): SqModel = {
+    // dim rows collect to the driver — model-sized, like PQ codebooks
+    val bounds = df.select(posexplode(normalized(col(vecCol))).as(Seq("_d", "_v")))
+      .groupBy(col("_d")).agg(min(col("_v")).as("_mn"), max(col("_v")).as("_mx"))
+      .orderBy(col("_d"))
+      .collect()
+    require(bounds.nonEmpty, "trainSq: empty input")
+    SqModel(bounds.map(_.getDouble(1)), bounds.map(_.getDouble(2)))
+  }
+
+  private[graft] def sqEncode(v: Array[Double], model: SqModel): Array[Byte] = {
+    val norm = math.sqrt(v.map(x => x * x).sum)
+    val nv = if (norm == 0.0) v else v.map(_ / norm)
+    Array.tabulate(nv.length) { i =>
+      val span = model.maxs(i) - model.mins(i)
+      val code = if (span <= 0.0) 0
+        else math.round((nv(i) - model.mins(i)) / span * 255.0).toInt
+      math.max(0, math.min(255, code)).toByte
+    }
+  }
+
+  /** Attach the `_sq` code column (dim bytes per row). */
+  def encodeSq(df: DataFrame, vecCol: String, model: SqModel): DataFrame = {
+    val f = udf((v: Seq[Double]) => sqEncode(v.toArray, model))
+    df.withColumn("_sq", f(col(vecCol).cast("array<double>")))
+  }
+
+  /** Rank by dot(dequantized code, normalized query) — two flops per
+    * dimension, no float vector touched — take a shortlist, exactly
+    * rescore it with true cosine (same shape as queryPq). */
+  def querySq(encoded: DataFrame, vecCol: String, idCol: String,
+      model: SqModel, q: Array[Float], k: Int, shortlist: Int = 200): DataFrame = {
+    val qn = normalizeVec(q.map(_.toDouble))
+    val mins = model.mins
+    val steps = Array.tabulate(mins.length)(i => (model.maxs(i) - mins(i)) / 255.0)
+    val approx = udf((codes: Array[Byte]) => {
+      var s = 0.0; var i = 0
+      while (i < codes.length) { s += (mins(i) + (codes(i) & 0xFF) * steps(i)) * qn(i); i += 1 }
+      s
+    })
+    val short = encoded.withColumn("_sqdot", approx(col("_sq")))
+      .orderBy(col("_sqdot").desc, col(idCol))
+      .limit(shortlist)
+    bruteForceTopK(short, vecCol, idCol, q, k)
+  }
 }

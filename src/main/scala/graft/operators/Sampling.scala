@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data mixture control.
+  *
+  * A 100 TB corpus is rarely trained on as-is: each source (crawl,
+  * books, code, ...) gets a target weight, and the pipeline must
+  * sample every source at its own rate — deterministically, so reruns
+  * and incremental refreshes pick the SAME rows (a `rand()` sample
+  * re-drawn per run would churn the training set and break caching).
+  *
+  * The decision is a pure per-row predicate on a hash of the row id —
+  * no shuffle, no state, trivially parallel at any scale, and
+  * rate-composable (a row kept at 0.5 is a superset member of the
+  * keep-set at 0.25: nested mixtures come free from the monotone
+  * threshold).
+  */
+object Sampling {
+
+  /** Knuth multiplicative hash of a non-negative id into [0, 2^32).
+    * Chosen over xxhash64 because it is reproducible in ANY engine
+    * with 64-bit integer arithmetic (the DuckDB oracle included) —
+    * sufficient mixing for rate control, not for adversarial inputs;
+    * swap in xxhash64 via `keep(hash = ...)` when cross-engine
+    * reproducibility is not needed. */
+  val Modulus: Long = 1L << 32
+  def mixHash(id: Column): Column = pmod(id.cast("long") * lit(2654435761L), lit(Modulus))
+
+  /** Keep predicate: hash(id) < rate * 2^32. `rate` is a per-row
+    * column, so mixture weights can come from a joined config table. */
+  def keep(id: Column, rate: Column, hash: Column => Column = mixHash): Column =
+    hash(id) < (rate.cast("double") * lit(Modulus.toDouble)).cast("long")
+
+  /** Exact-rational keep predicate: hash(id) * den < num * 2^32, all
+    * in integer arithmetic — bit-identical across engines (a double
+    * rate * 2^32 truncates differently between engines at the
+    * boundary; a mixture config is a ratio anyway). */
+  def keepFraction(id: Column, num: Column, den: Long): Column = {
+    require(den > 0, "den must be positive")
+    mixHash(id) * lit(den) < num.cast("long") * lit(Modulus)
+  }
+
+  /** Sample each group at its own rate: rows survive where
+    * keep(idCol, rateCol). Pure narrow transformation — 0 shuffles. */
+  def mixtureSample(df: DataFrame, idCol: String, rateCol: String): DataFrame =
+    df.filter(keep(col(idCol), col(rateCol)))
+
+  /** mixtureSample with exact num/den rates (numCol out of den). */
+  def mixtureSampleFraction(df: DataFrame, idCol: String, numCol: String,
+      den: Long): DataFrame =
+    df.filter(keepFraction(col(idCol), col(numCol), den))
+}

@@ -197,6 +197,38 @@ object TextAnalytics {
       .select(col(idCol), col("rrf"))
   }
 
+  /** Gopher-style repetition signals: per document, the word count and
+    * the occurrence count of its most frequent word n-gram. A document
+    * whose single top bigram covers a large share of its words is
+    * boilerplate/spam (nav bars, keyword stuffing) — the standard
+    * repetition-removal filter of training-data pipelines (Gopher
+    * §A.1.1's dup-n-gram family).
+    *
+    * Returns the input columns plus `_wc` (word count, per-row) and
+    * `_topn` (max n-gram occurrence, 0 when the doc has no n-gram).
+    *
+    * Scale shape: explode → two-level aggregation keyed by doc id
+    * (partial map-side combine applies — each doc's n-grams mostly
+    * colocate in its input split), then one co-keyed join back to the
+    * payload. No UDFs; everything codegen'd. */
+  def repetitionStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, n: Int = 2): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val toks = filter(split(lower(col(textCol)), "[^a-z0-9]+"), x => x =!= "")
+    val grams = transform(sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))
+    val withWc = df.withColumn("_wc", size(toks))
+    val top = withWc
+      .filter(col("_wc") >= n)
+      .select(col(idCol), explode(grams).as("_g"))
+      .groupBy(col(idCol), col("_g")).agg(count(lit(1)).as("_gn"))
+      .groupBy(col(idCol)).agg(max(col("_gn")).as("_topn"))
+    withWc.join(top.withColumnRenamed(idCol, "_rid"),
+        withWc(idCol) === col("_rid"), "left_outer")
+      .drop("_rid")
+      .withColumn("_topn", coalesce(col("_topn"), lit(0L)))
+  }
+
   // ---------- fingerprinting ----------
 
   /** Exact content fingerprint: 64-bit hash of whitespace-normalized,

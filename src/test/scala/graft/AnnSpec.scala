@@ -63,6 +63,49 @@ class AnnSpec extends AnyFunSuite {
     encoded.unpersist()
   }
 
+  test("SQ8: quantization error bounded by half a step; shortlist rescore matches exact") {
+    val model = Ann.trainSq(emb, "embedding")
+    val dim = model.mins.length
+    assert(dim == emb.select(size($"embedding")).as[Int].head())
+    // round-trip error per dimension <= step/2 (+ fp slack)
+    val v = queryVec(5L).map(_.toDouble)
+    val norm = math.sqrt(v.map(x => x * x).sum)
+    val nv = v.map(_ / norm)
+    val codes = Ann.sqEncode(v, model)
+    (0 until dim).foreach { i =>
+      val step = (model.maxs(i) - model.mins(i)) / 255.0
+      val deq = model.mins(i) + (codes(i) & 0xFF) * step
+      assert(math.abs(deq - nv(i)) <= step / 2 + 1e-12,
+        s"dim $i: |$deq - ${nv(i)}| > ${step / 2}")
+    }
+    // scale invariance (normalized before encoding)
+    assert(Ann.sqEncode(v.map(_ * 3.25), model).toSeq == codes.toSeq)
+    // with a full-size shortlist the rescore IS the exact answer
+    val encoded = Ann.encodeSq(emb, "embedding", model).cache()
+    val n = emb.count().toInt
+    val recalls = (0L until 10L).map { qid =>
+      val q = queryVec(qid)
+      val exact = Ann.bruteForceTopK(emb, "embedding", "vec_id", q, 10)
+        .select("vec_id").as[Long].collect().toSet
+      val sq = Ann.querySq(encoded, "embedding", "vec_id", model, q, 10, shortlist = n)
+        .select("vec_id").as[Long].collect().toSet
+      exact.intersect(sq).size.toDouble / exact.size
+    }
+    assert(recalls.forall(_ == 1.0), s"full shortlist must be exact: $recalls")
+    // and a 20% shortlist still holds high recall (tight quantization)
+    val tight = (0L until 10L).map { qid =>
+      val q = queryVec(qid)
+      val exact = Ann.bruteForceTopK(emb, "embedding", "vec_id", q, 10)
+        .select("vec_id").as[Long].collect().toSet
+      val sq = Ann.querySq(encoded, "embedding", "vec_id", model, q, 10, shortlist = n / 5)
+        .select("vec_id").as[Long].collect().toSet
+      exact.intersect(sq).size.toDouble / exact.size
+    }
+    val mean = tight.sum / tight.size
+    assert(mean >= 0.9, s"SQ8 mean recall $mean, per-query $tight")
+    encoded.unpersist()
+  }
+
   test("PQ encoding is deterministic and scale-invariant (normalized)") {
     val model = Ann.trainPq(emb, "embedding")
     val v = queryVec(3L).map(_.toDouble)

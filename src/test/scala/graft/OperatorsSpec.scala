@@ -179,4 +179,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(idx.data.count() == emb.count())
     assert(idx.centroids.length == 8)
   }
+
+  test("Packing.packGreedy: next-fit recurrence, shard resets, oversize items") {
+    val items = Seq(
+      // shard 0: 100+100 fit (pack 0), 80 overflows -> pack 1, 300 oversize -> pack 2, 10 -> pack 3
+      (0, 1L, 100), (0, 2L, 100), (0, 3L, 80), (0, 4L, 300), (0, 5L, 10),
+      // shard 1 restarts at pack 0 even though shard 0 ended mid-pack
+      (1, 1L, 256), (1, 2L, 1)
+    ).toDF("shard", "key", "tok")
+    val got = graft.operators.Packing.packGreedy(items, "shard", "key", "tok", budget = 256)
+      .as[(Int, Long, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      (0, 1L, 100, 0L), (0, 2L, 100, 0L), (0, 3L, 80, 1L), (0, 4L, 300, 2L), (0, 5L, 10, 3L),
+      (1, 1L, 256, 0L), (1, 2L, 1L.toInt, 1L)))
+    // every pack except possibly a shard's last is either <= budget or a
+    // single oversize item — invariant over a larger random-ish input
+    val big = (0 until 500).map(i => (i % 7, i.toLong, 1 + (i * 37) % 400))
+      .toDF("shard", "key", "tok")
+    val packed = graft.operators.Packing.packGreedy(big, "shard", "key", "tok", budget = 512)
+    val fills = packed.groupBy($"shard", $"pack")
+      .agg(sum($"tok").as("fill"), count(lit(1)).as("n"), max($"tok").as("mx"))
+      .as[(Int, Long, Long, Long, Int)].collect()
+    assert(fills.forall { case (_, _, fill, n, mx) => fill <= 512 || (n == 1 && mx > 512) })
+    assert(packed.count() == 500)
+  }
+
+  test("Sampling: deterministic, monotone in rate, and rate-proportional") {
+    val ids = (0L until 2000L).toDF("id").withColumn("half", lit(5))
+      .withColumn("fifth", lit(2))
+    val half = graft.operators.Sampling
+      .mixtureSampleFraction(ids, "id", "half", 10L).select("id").as[Long].collect().toSet
+    val halfAgain = graft.operators.Sampling
+      .mixtureSampleFraction(ids, "id", "half", 10L).select("id").as[Long].collect().toSet
+    assert(half == halfAgain, "sampling must be deterministic across runs")
+    val fifth = graft.operators.Sampling
+      .mixtureSampleFraction(ids, "id", "fifth", 10L).select("id").as[Long].collect().toSet
+    assert(fifth.subsetOf(half), "lower rate keeps a subset (monotone threshold)")
+    assert(math.abs(half.size - 1000) < 100 && math.abs(fifth.size - 400) < 100,
+      s"rates roughly honored: got ${half.size}/2000 at 0.5, ${fifth.size}/2000 at 0.2")
+  }
 }
