@@ -17,6 +17,12 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** q100 fixture: canonically DECOMPOSED sequences (e+U+0301,
+    * u+U+0308, o+U+0303) appended to each doc — NFC must compose them,
+    * so the cross-engine hash only matches if normalization ran. */
+  private val decomposedTail: String =
+    " caf" + "e\u0301" + " u\u0308ber nin" + "o\u0303"
+
   /** events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects; with `spark.sql.legacy.parquet.nanosAsLong=true`
     * (set in Verify/Bench/test sessions) it surfaces as LongType nanos.
@@ -1049,6 +1055,24 @@ object SparkEntry {
       bf.join(sq, "vec_id")
         .agg(count(lit(1)).as("n_overlap"))
         .select(lit(10L).as("k"), ($"n_overlap" >= 8).as("recall_ok"))
+    }),
+
+    // Unicode NFC normalization — the mandatory first stage of a text
+    // pipeline, as a codegen'd Catalyst expression (Spark has no
+    // built-in; a UDF would break whole-stage codegen on the hottest
+    // full-corpus map). The fixture appends DECOMPOSED sequences
+    // (e + combining acute, ...) so the hash only matches if both
+    // engines actually compose them.
+    "q100_nfc_normalize" -> ((s, dir) => {
+      import s.implicits._
+      val tn = graft.functions.textnorm
+      val aug = concat($"text", lit(decomposedTail))
+      t(s, dir, "documents")
+        .filter($"doc_id" < 25)
+        .select($"doc_id", md5(tn.nfc(aug)).as("h_nfc"),
+          length(tn.nfc(aug)).cast("long").as("len_nfc"),
+          length(aug).cast("long").as("len_raw"))
+        .orderBy($"doc_id")
     }),
 
     // §2.G SQL surface: RECURSIVE CTE (Spark 4) — walk the implicit
@@ -2217,6 +2241,13 @@ object SparkEntry {
 
     "q99_ann_sq8" ->
       "SELECT CAST(10 AS BIGINT) AS k, TRUE AS recall_ok",
+
+    "q100_nfc_normalize" ->
+      s"""SELECT doc_id,
+         |  md5(nfc_normalize(text || '$decomposedTail')) AS h_nfc,
+         |  CAST(length(nfc_normalize(text || '$decomposedTail')) AS BIGINT) AS len_nfc,
+         |  CAST(length(text || '$decomposedTail') AS BIGINT) AS len_raw
+         |FROM documents WHERE doc_id < 25 ORDER BY doc_id""".stripMargin,
 
     "q93_session_window" ->
       """WITH lagged AS (

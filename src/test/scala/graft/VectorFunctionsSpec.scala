@@ -70,4 +70,28 @@ class VectorFunctionsSpec extends AnyFunSuite {
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project [cosine_similarity"), s"no codegen in:\n$plan")
   }
+
+  test("unicode_normalize: composes NFC, folds NFKC, null-safe, codegen'd") {
+    import graft.functions.textnorm
+    val decomposed = "caf" + "e\u0301" + " u\u0308ber"     // e+U+0301, u+U+0308
+    val composed = "café über"
+    val df = Seq(Some(decomposed), Some("ab"), None).toDF("s")
+    val out = df.select(textnorm.nfc($"s").as("n")).as[Option[String]].collect().toSeq
+    assert(out == Seq(Some(composed), Some("ab"), None))
+    // NFC is idempotent; NFKC folds compatibility forms (fi-ligature)
+    assert(Seq(composed).toDF("s").select(textnorm.nfc($"s")).as[String].head() == composed)
+    assert(Seq("ﬁsh").toDF("s")
+      .select(textnorm.normalize($"s", "NFKC")).as[String].head() == "fish")
+    // forTraining: NFC + control-char strip + whitespace collapse + trim
+    assert(Seq("  a\u0000b \u0007x\t\tc  " + decomposed + " ").toDF("s")
+      .select(textnorm.forTraining($"s")).as[String].head() == s"ab x c $composed")
+    // stays inside whole-stage codegen (parquet-backed input — a local
+    // relation constant-folds the projection into a LocalTableScan)
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val q = docs.select(textnorm.nfc($"text").as("n"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [unicode_normalize"), s"no codegen in:\n$plan")
+    // invalid form rejected
+    intercept[IllegalArgumentException] { textnorm.normalize($"s", "NFX") }
+  }
 }
