@@ -24,10 +24,19 @@ object Bench {
       "lineitem", "events", "documents", "embeddings").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").count() catch { case _: Throwable => }
     }
-    SparkEntry.queries.foreach { case (_, fn) =>
+    // Optional comma-separated qNN-prefix filter for targeted profiling
+    // (e.g. SPARK_GRAFT_ONLY=q87,q75). Unset = full suite (the driver
+    // contract).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    def selected = only match {
+      case Some(f) => SparkEntry.queries.filter { case (k, _) => f(k.takeWhile(_ != '_')) }
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       // start each query with a clean heap (outside its timing window):
       // the dedup/graph queries pin localCheckpoint blocks whose cleanup
       // is driver-GC-triggered, and a collection absorbed mid-query
