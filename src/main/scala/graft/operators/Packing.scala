@@ -40,9 +40,18 @@ object Packing {
     require(budget > 0, "budget must be positive")
     val spark = items.sparkSession
     import spark.implicits._
+    // A null shard/order/token (failed cast, null text upstream) would
+    // surface as a bare NullPointerException in the tuple encoder below;
+    // fail with a message naming the column instead. raise_error stays
+    // inside codegen — zero cost on the non-null path.
+    def required(c: org.apache.spark.sql.Column, name: String) =
+      when(c.isNull, raise_error(lit(
+        s"packGreedy: null $name (check the $name column / its cast)")))
+        .otherwise(c).as(name)
     val prepared = items
-      .select(col(shardCol).cast("int"), col(orderCol).cast("long"),
-        col(tokenCol).cast("int"))
+      .select(required(col(shardCol).cast("int"), shardCol),
+        required(col(orderCol).cast("long"), orderCol),
+        required(col(tokenCol).cast("int"), tokenCol))
       .as[(Int, Long, Int)]
       // one shard never straddles partitions; a partition may hold
       // several whole shards (hash collisions), handled by the

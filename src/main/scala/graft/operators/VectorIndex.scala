@@ -258,7 +258,13 @@ object VectorIndex {
       numBuckets: Int = UnspecifiedBuckets): VectorIndex = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val metaPath = new Path(path, "_graft_meta.json")
-    if (fs.exists(metaPath)) {
+    // A crash inside writeMetaFile's delete-then-rename window leaves
+    // meta MISSING while committed snapshots remain. Treat "snapshots
+    // exist" as "index exists": recover the meta from the newest
+    // manifest header (readMeta self-heals) and apply the same
+    // mismatch check — a bare exists(metaPath) branch would let
+    // ensure(path, wrongDim) silently rebrand a populated index.
+    if (fs.exists(metaPath) || listSnapshots(spark, path).nonEmpty) {
       val existing = readMeta(spark, path)
       require(existing.dimension == dimension && existing.metric == metric &&
         (numBuckets == UnspecifiedBuckets || existing.numBuckets == numBuckets),

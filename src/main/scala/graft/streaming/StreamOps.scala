@@ -158,14 +158,35 @@ object StreamOps {
       idCol: String = "doc_id", textCol: String = "text")
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val sigPath = corpusPath + "_sig"
+    // Heal-swap sibling dirs (single-writer assumption, like the rest of
+    // the ingest): fixed names so an interrupted swap is recoverable.
+    val healPath = corpusPath + "__heal"
+    val trashPath = corpusPath + "__trash"
+    // Integrity (double-append heal + sidecar freshness) is verified ONCE
+    // per writer lifetime, on the first batch that sees an existing
+    // corpus — NOT per micro-batch: a full-corpus count plus distinct-id
+    // shuffle every batch erodes the documented O(T·corpusScan) budget
+    // as the corpus grows. The retry that can re-introduce duplicates
+    // only happens across a restart, which constructs a fresh writer
+    // (and therefore re-verifies).
+    @volatile var verified = false
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val D = graft.operators.Dedup
         val hconf = spark.sparkContext.hadoopConfiguration
-        def exists(p: String) =
-          new org.apache.hadoop.fs.Path(p).getFileSystem(hconf)
-            .exists(new org.apache.hadoop.fs.Path(p))
+        def hp(p: String) = new org.apache.hadoop.fs.Path(p)
+        def exists(p: String) = hp(p).getFileSystem(hconf).exists(hp(p))
+        if (!verified) {
+          // Finish an interrupted heal swap: the heal dir is complete iff
+          // Spark's _SUCCESS marker exists; the corpus dir is absent only
+          // in the window between the two renames below.
+          val fs = hp(corpusPath).getFileSystem(hconf)
+          if (!exists(corpusPath) && exists(healPath + "/_SUCCESS"))
+            fs.rename(hp(healPath), hp(corpusPath))
+          if (exists(trashPath)) fs.delete(hp(trashPath), true)
+          if (exists(healPath)) fs.delete(hp(healPath), true)
+        }
         val withinDeduped = D.minhash(batch, idCol, textCol).localCheckpoint(true)
         val (accepted, acceptedSig) =
           if (!exists(corpusPath)) {
@@ -177,31 +198,52 @@ object StreamOps {
             // not raw row counts: a retried foreachBatch that double-
             // appended the same rows to both tables keeps raw counts
             // equal while violating the unique-id invariant.
-            val corpus0 = spark.read.parquet(corpusPath)
-            val corpusIds = corpus0.select(col(idCol)).distinct().count()
-            val corpus =
-              if (corpus0.count() == corpusIds) corpus0
-              else {
-                // heal a double-append: accepted ids are immutable, so
-                // duplicate ids carry identical payloads — keep one.
-                val healed = corpus0.dropDuplicates(idCol).localCheckpoint(true)
-                healed.write.mode("overwrite").parquet(corpusPath)
-                healed
-              }
-            val corpusSig = {
+            val corpusSig = if (verified) spark.read.parquet(sigPath) else {
+              val corpus0 = spark.read.parquet(corpusPath)
+              val cIds = corpus0.select(col(idCol).cast("long").as("_cid"))
+                .distinct().localCheckpoint(true)
+              val corpus =
+                if (corpus0.count() == cIds.count()) corpus0
+                else {
+                  // Heal a double-append: accepted ids are immutable, so
+                  // duplicate ids carry identical payloads — keep one.
+                  // The rewrite goes to a SIBLING dir and swaps in via
+                  // two renames (recovered above if interrupted); an
+                  // in-place mode("overwrite") deletes the directory
+                  // before writing, so a crash mid-heal would lose the
+                  // whole accepted corpus.
+                  val healed = corpus0.dropDuplicates(idCol).localCheckpoint(true)
+                  healed.write.mode("overwrite").parquet(healPath)
+                  val fs = hp(corpusPath).getFileSystem(hconf)
+                  if (!fs.rename(hp(corpusPath), hp(trashPath)) ||
+                      !fs.rename(hp(healPath), hp(corpusPath)))
+                    throw new IllegalStateException(s"heal swap failed at $corpusPath")
+                  fs.delete(hp(trashPath), true)
+                  healed
+                }
               val fresh0 =
                 if (!exists(sigPath)) None
                 else Some(spark.read.parquet(sigPath)).filter { s =>
-                  // fresh iff the sidecar's distinct ids mirror the
-                  // corpus AND it carries no duplicate rows itself
-                  val n = s.count()
-                  n == corpusIds && s.select(col("_id")).distinct().count() == n
+                  // fresh iff the sidecar ids equal the corpus ids AS
+                  // SETS and the sidecar carries no duplicate rows —
+                  // matching cardinalities alone can hide divergence,
+                  // which would both skip dedup for corpus ids missing
+                  // from the sidecar and treat sidecar-only ids as
+                  // corpus membership in the id-reuse anti-join
+                  val sDis = s.select(col("_id")).distinct().localCheckpoint(true)
+                  s.count() == sDis.count() &&
+                    sDis.join(cIds, col("_id") === col("_cid"), "left_anti").count() == 0L &&
+                    cIds.join(sDis, col("_cid") === col("_id"), "left_anti").count() == 0L
                 }
-              fresh0.getOrElse {
+              val sig = fresh0.getOrElse {
                 val rebuilt = D.prepareMinhash(corpus, idCol, textCol).localCheckpoint(true)
+                // the sidecar is derived state, rebuildable from the
+                // corpus — a plain overwrite is acceptable here
                 rebuilt.write.mode("overwrite").parquet(sigPath)
                 rebuilt
               }
+              verified = true
+              sig
             }
             // accepted ids are immutable -> id re-use is an exact dup
             val fresh = withinDeduped.join(corpusSig.select(col("_id")),

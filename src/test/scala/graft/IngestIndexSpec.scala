@@ -165,6 +165,27 @@ class IngestIndexSpec extends AnyFunSuite {
     assert(VectorIndex.open(spark, s"$dir/m").meta.numBuckets == 8)
   }
 
+  test("ensure() with meta missing but snapshots intact recovers instead of rebranding") {
+    val dir = Files.createTempDirectory("graft_idx_ensrec").toString
+    val idx = VectorIndex.ensure(spark, s"$dir/e", 4, numBuckets = 8)
+    idx.upsert((0 until 10).toDF("n").select(
+      concat(lit("e-"), $"n").as("id"),
+      array($"n".cast("float"), lit(1f), lit(2f), lit(3f)).as("values"),
+      struct(lit(0).as("chunk_index"), lit("t").as("source")).as("metadata")))
+    // crash inside writeMetaFile's delete-then-rename window: meta gone,
+    // snapshots intact
+    Files.delete(java.nio.file.Paths.get(s"$dir/e/_graft_meta.json"))
+    // a wrong-dimension ensure must FAIL, not write a fresh meta that
+    // rebrands the populated index
+    intercept[IllegalArgumentException] {
+      VectorIndex.ensure(spark, s"$dir/e", 7)
+    }
+    // the matching ensure recovers from the manifest header and self-heals
+    val re = VectorIndex.ensure(spark, s"$dir/e", 4)
+    assert(re.meta.numBuckets == 8 && re.scan().count() == 10)
+    assert(Files.exists(java.nio.file.Paths.get(s"$dir/e/_graft_meta.json")))
+  }
+
   test("zombie-version manifest commit (at or below newest committed) is rejected") {
     val dir = Files.createTempDirectory("graft_idx_zombie").toString
     val idx = VectorIndex.ensure(spark, s"$dir/z", 4, numBuckets = 4)

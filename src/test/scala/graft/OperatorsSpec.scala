@@ -204,6 +204,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(packed.count() == 500)
   }
 
+  test("Packing.packGreedy: null token/shard fails with a named-column error, not an NPE") {
+    val items = Seq((0, 1L, Some(100)), (0, 2L, None)).toDF("shard", "key", "tok")
+    val thrown = intercept[Throwable] {
+      graft.operators.Packing.packGreedy(items, "shard", "key", "tok", budget = 256).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    val msgs = chain(thrown).map(t => Option(t.getMessage).getOrElse(""))
+    assert(msgs.exists(_.contains("packGreedy: null tok")),
+      s"expected a named-column error, got: ${msgs.mkString(" | ")}")
+    assert(!chain(thrown).exists(_.isInstanceOf[NullPointerException]))
+  }
+
   test("Sampling: deterministic, monotone in rate, and rate-proportional") {
     val ids = (0L until 2000L).toDF("id").withColumn("half", lit(5))
       .withColumn("fifth", lit(2))

@@ -340,6 +340,69 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedup-on-ingest rebuilds a sidecar whose id SET diverged at equal cardinality") {
+    val src = Files.createTempDirectory("graft_sset_src")
+    val corpus = Files.createTempDirectory("graft_sset_corpus").toString + "/corpus"
+    val a = "the quick brown fox jumps over the lazy dog near the quiet river bank at dawn today"
+    val c = "vector indexes bucket embeddings by locality sensitive hashes for sublinear similarity search"
+    Seq((1L, a), (3L, c)).toDF("doc_id", "text").write.mode("append").parquet(corpus)
+    // diverged sidecar with the SAME cardinality (2): holds ids {1, 4}
+    // instead of {1, 3} — a count-based freshness check accepts it, and
+    // then (a) corpus doc 3 is never deduped against and (b) batch id 4
+    // is wrongly treated as already-accepted
+    graft.operators.Dedup.prepareMinhash(
+      Seq((1L, a), (4L, "completely unrelated placeholder signature row")).toDF("doc_id", "text"),
+      "doc_id", "text").write.mode("overwrite").parquet(corpus + "_sig")
+    val tmp = Files.createTempDirectory("graft_sset_b1")
+    Seq((4L, "fresh genuinely novel prose about alpine weather patterns and barometric drift"),
+        (5L, c + " again"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get
+    Files.copy(part, Paths.get(s"$src/b1.parquet"))
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+      .parquet(src.toString)
+    val q = StreamOps.dedupedIngest(stream, corpus).start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.read.parquet(corpus).select("doc_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 3L, 4L),
+        "sidecar rebuilt: near-dup of 3 dropped, non-member id 4 kept")
+      val sigIds = spark.read.parquet(corpus + "_sig").select("_id").as[Long].collect().sorted
+      assert(sigIds.toSeq == Seq(1L, 3L, 4L), "sidecar ids == corpus ids after rebuild")
+    } finally q.stop()
+  }
+
+  test("dedup-on-ingest finishes an interrupted heal swap (corpus absent, heal dir complete)") {
+    val src = Files.createTempDirectory("graft_sswap_src")
+    val corpus = Files.createTempDirectory("graft_sswap_corpus").toString + "/corpus"
+    val a = "the quick brown fox jumps over the lazy dog near the quiet river bank at dawn today"
+    val c = "vector indexes bucket embeddings by locality sensitive hashes for sublinear similarity search"
+    // simulate a crash between the heal swap's two renames: the corpus
+    // dir is gone, the completed healed copy (with _SUCCESS) remains
+    val rows = Seq((1L, a)).toDF("doc_id", "text")
+    rows.coalesce(1).write.mode("overwrite").parquet(corpus + "__heal")
+    assert(Files.exists(Paths.get(corpus + "__heal/_SUCCESS")))
+    graft.operators.Dedup.prepareMinhash(rows, "doc_id", "text")
+      .write.mode("overwrite").parquet(corpus + "_sig")
+    val tmp = Files.createTempDirectory("graft_sswap_b1")
+    Seq((2L, a + " again"), (3L, c)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get
+    Files.copy(part, Paths.get(s"$src/b1.parquet"))
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+      .parquet(src.toString)
+    val q = StreamOps.dedupedIngest(stream, corpus).start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.read.parquet(corpus).select("doc_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 3L),
+        "recovered corpus gates dedup: near-dup 2 dropped, fresh 3 kept")
+      assert(!Files.exists(Paths.get(corpus + "__heal")), "heal dir cleaned up")
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark drops duplicate event ids") {
     // duplicate the stream source file => every event appears twice
     val dir = Files.createTempDirectory("graft_stream_dup")
