@@ -27,19 +27,23 @@ object Utf8TextExtractor extends TextExtractor {
     new String(content, StandardCharsets.UTF_8)
 }
 
-/** Text layer of UNCOMPRESSED PDFs — a minimal, dependency-free parser
-  * for the subset of the PDF spec where the text layer is directly
-  * readable: unfiltered content streams, whose `BT..ET` text blocks
-  * show strings via the `Tj`/`TJ`/`'`/`"` operators. Shown strings are
-  * concatenated in stream order, one line per text block.
+/** Text layer parser for unfiltered and FlateDecode'd PDFs — a minimal,
+  * dependency-free parser for the subset of the PDF spec where the text
+  * layer is recoverable: content streams that are either unfiltered or
+  * compressed with `/FlateDecode` (zlib — the overwhelmingly common case
+  * in real-world PDFs, inflated here with the JDK's
+  * `java.util.zip.Inflater`, zero new deps). Each stream's `BT..ET` text
+  * blocks show strings via the `Tj`/`TJ`/`'`/`"` operators; shown
+  * strings are concatenated in stream order, one line per text block.
+  * Pages concatenate with no extra separator, matching the reference
+  * (streamlit_app.py:63).
   *
-  * Honest scope (ref op A2, streamlit_app.py:60-71): most real-world
-  * PDFs FlateDecode their content streams; those have no parsable text
-  * layer here, so this extractor yields "" for them and
-  * [[FallbackExtractor]] routes to OCR — the same path the reference
-  * takes for scanned pages. Full-fidelity extraction (PDFBox) plugs in
-  * at the [[TextExtractor]] trait; this class makes the uncompressed
-  * case real instead of stubbed, pinned by a golden-bytes fixture spec.
+  * Honest scope (ref op A2, streamlit_app.py:60-71): streams with other
+  * or chained filters (DCTDecode images, LZW, predictors) have no
+  * recoverable text layer here, so they contribute "" and
+  * [[FallbackExtractor]] routes whitespace-only documents to OCR — the
+  * same path the reference takes for scanned pages. Full-fidelity
+  * extraction (PDFBox) plugs in at the [[TextExtractor]] trait.
   */
 object SimplePdfTextExtractor extends TextExtractor {
   override def extract(content: Array[Byte]): String = {
@@ -52,9 +56,56 @@ object SimplePdfTextExtractor extends TextExtractor {
     val streamRe = "(?s)<<((?:(?!<<).)*?)>>\\s*stream\r?\n(.*?)endstream".r
     val out = new StringBuilder
     for (m <- streamRe.findAllMatchIn(s)) {
-      if (!m.group(1).contains("/Filter")) shownText(m.group(2), out)
+      val dict = m.group(1)
+      if (!dict.contains("/Filter")) shownText(m.group(2), out)
+      else if (flateOnly(dict)) {
+        // compressed bytes may contain the literal "endstream", which
+        // would truncate the regex capture — a direct /Length slices the
+        // exact payload from the stream start instead; Inflater ignores
+        // any trailing EOL bytes once the zlib stream is finished
+        val raw = directLength(dict) match {
+          case Some(n) if m.start(2) + n <= s.length => s.substring(m.start(2), m.start(2) + n)
+          case _ => m.group(2)
+        }
+        inflate(raw.getBytes(StandardCharsets.ISO_8859_1)) match {
+          case Some(bytes) => shownText(new String(bytes, StandardCharsets.ISO_8859_1), out)
+          case None => () // corrupt deflate data: no recoverable text layer
+        }
+      }
+      // other/chained filters: no recoverable text layer, contribute ""
     }
     out.result()
+  }
+
+  /** True iff the dict's /Filter is exactly FlateDecode — the bare name
+    * or a one-element array. Chained filters (e.g. [/ASCII85Decode
+    * /FlateDecode]) and others are out of scope. */
+  private def flateOnly(dict: String): Boolean =
+    "/Filter\\s*(?:/FlateDecode\\b|\\[\\s*/FlateDecode\\s*\\])".r
+      .findFirstIn(dict).isDefined
+
+  /** A direct integer /Length (not an indirect `N G R` reference). */
+  private def directLength(dict: String): Option[Int] =
+    "/Length\\s+(\\d+)(?!\\s+\\d+\\s+R)".r.findFirstMatchIn(dict)
+      .map(_.group(1).toInt)
+
+  /** zlib-inflate; None on truncated/corrupt data or a preset-dictionary
+    * stream (never used by PDF producers). */
+  private def inflate(data: Array[Byte]): Option[Array[Byte]] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(data)
+      val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 4))
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n > 0) out.write(buf, 0, n)
+        else if (inf.needsInput() || inf.needsDictionary()) return None
+      }
+      Some(out.toByteArray)
+    } catch {
+      case _: java.util.zip.DataFormatException => None
+    } finally inf.end()
   }
 
   /** Tokenizing scan of one content stream: string literals are parsed

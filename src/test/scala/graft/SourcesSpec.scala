@@ -31,6 +31,89 @@ class SourcesSpec extends AnyFunSuite {
        |%%EOF""").stripMargin.getBytes("ISO-8859-1")
   }
 
+  /** zlib-deflate (level -1 = default; 0 = stored blocks, which embed the
+    * input bytes verbatim — used to plant "endstream" inside the payload). */
+  private def deflate(data: String, level: Int = -1): Array[Byte] = {
+    val d = new java.util.zip.Deflater(level)
+    d.setInput(data.getBytes("ISO-8859-1")); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** Multi-page golden PDF with FlateDecode'd content streams, one per
+    * page, `/Length` = exact compressed byte count (a direct int). */
+  private def flatePdf(pageStreams: Seq[Array[Byte]]): Array[Byte] = {
+    val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+    val kids = pageStreams.indices.map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    val pages = pageStreams.zipWithIndex.map { case (bytes, i) =>
+      s"""${3 + 2 * i} 0 obj << /Type /Page /Parent 2 0 R /Contents ${4 + 2 * i} 0 R >> endobj
+         |${4 + 2 * i} 0 obj << /Filter /FlateDecode /Length ${bytes.length} >>
+         |stream
+         |${new String(bytes, iso)}
+         |endstream
+         |endobj""".stripMargin
+    }.mkString("\n")
+    (s"""%PDF-1.4
+       |1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj
+       |2 0 obj << /Type /Pages /Kids [$kids] /Count ${pageStreams.length} >> endobj
+       |$pages
+       |trailer << /Size ${3 + 2 * pageStreams.length} /Root 1 0 R >>
+       |%%EOF""").stripMargin.getBytes("ISO-8859-1")
+  }
+
+  test("golden-bytes PDF: FlateDecode'd content streams are inflated and extracted (A2)") {
+    import graft.sources.SimplePdfTextExtractor
+    // single page, default compression
+    val one = flatePdf(Seq(deflate("BT /F1 12 Tf 72 712 Td (Compressed hello) Tj ET")))
+    assert(SimplePdfTextExtractor.extract(one) == "Compressed hello\n")
+    // multi-page: pages concatenate with no extra separator beyond the
+    // one line per BT..ET block (ref concatenates pages with no
+    // separator, streamlit_app.py:63)
+    val multi = flatePdf(Seq(
+      deflate("BT (page one) Tj ET"),
+      deflate("BT (page two) Tj ET"),
+      deflate("BT (page three) Tj ET")))
+    assert(SimplePdfTextExtractor.extract(multi) == "page one\npage two\npage three\n")
+    // [/FlateDecode] one-element array form of the filter is recognized
+    val arr = new String(flatePdf(Seq(deflate("BT (array form) Tj ET"))), "ISO-8859-1")
+      .replace("/Filter /FlateDecode", "/Filter [/FlateDecode]")
+    assert(SimplePdfTextExtractor.extract(arr.getBytes("ISO-8859-1")) == "array form\n")
+  }
+
+  test("FlateDecode: literal 'endstream' inside compressed payload does not truncate (A2)") {
+    import graft.sources.SimplePdfTextExtractor
+    // level 0 = stored blocks: input bytes appear verbatim in the
+    // compressed payload, so the shown string "...endstream..." plants
+    // the keyword inside the stream body; only /Length-based slicing
+    // (not the regex capture) recovers the full stream
+    val payload = deflate("BT (before endstream after) Tj ET", level = 0)
+    assert(new String(payload, "ISO-8859-1").contains("endstream"))
+    val text = SimplePdfTextExtractor.extract(flatePdf(Seq(payload)))
+    assert(text == "before endstream after\n")
+  }
+
+  test("compressed PDF flows through the full ingest pipeline without routing to OCR") {
+    import graft.sources.{FallbackExtractor, OcrExtractor, SimplePdfTextExtractor}
+    object TrapOcr extends OcrExtractor {
+      override def ocr(content: Array[Byte]): String = "OCR-SHOULD-NOT-RUN"
+    }
+    val dir = Files.createTempDirectory("graft_pdf_ingest")
+    Files.write(dir.resolve("doc.pdf"),
+      flatePdf(Seq(deflate("BT (The quick brown fox jumps over the lazy dog) Tj ET"))))
+    val docs = graft.operators.Ingest.readBinaryDocs(
+      spark, dir.toString, new FallbackExtractor(SimplePdfTextExtractor, TrapOcr))
+    val out = graft.operators.Ingest.pipeline(docs).cache()
+    try {
+      assert(out.count() >= 1)
+      val texts = out.select("chunk_text").as[String].collect()
+      assert(texts.exists(_.contains("quick brown fox")))
+      assert(!texts.exists(_.contains("OCR-SHOULD-NOT-RUN")))
+    } finally out.unpersist()
+  }
+
   test("golden-bytes PDF: uncompressed text layer is extracted (A2)") {
     import graft.sources.SimplePdfTextExtractor
     val content = "BT /F1 12 Tf 72 712 Td (Hello graft \\(PDF\\)) Tj ET\n" +
@@ -53,10 +136,10 @@ class SourcesSpec extends AnyFunSuite {
     assert(cont == "long text\n")
   }
 
-  test("golden-bytes PDF: filtered stream has no parsable text layer -> OCR fallback (A3)") {
+  test("golden-bytes PDF: corrupt/undecodable filtered stream -> OCR fallback (A3)") {
     import graft.sources.{FallbackExtractor, OcrExtractor, SimplePdfTextExtractor}
-    // the documented gap: FlateDecoded content (most real PDFs) cannot be
-    // parsed without a codec -> extractor yields "" and the fallback
+    // a stream CLAIMING /FlateDecode whose body is not valid zlib data
+    // (here: raw uncompressed text) yields no text layer -> the fallback
     // routes to OCR, mirroring the reference's scanned-page path
     val pdf = goldenPdf("BT (invisible) Tj ET", filtered = true)
     assert(SimplePdfTextExtractor.extract(pdf) == "")
