@@ -39,42 +39,116 @@ object Utf8TextExtractor extends TextExtractor {
   * (streamlit_app.py:63).
   *
   * Honest scope (ref op A2, streamlit_app.py:60-71): streams with other
-  * or chained filters (DCTDecode images, LZW, predictors) have no
-  * recoverable text layer here, so they contribute "" and
+  * or chained filters (DCTDecode images, LZW), or any `/DecodeParms`/`/DP`
+  * predictor (flate+predictor xref/object streams, ubiquitous in PDF
+  * 1.5+), have no recoverable text layer here, so they contribute "" and
   * [[FallbackExtractor]] routes whitespace-only documents to OCR — the
-  * same path the reference takes for scanned pages. Full-fidelity
-  * extraction (PDFBox) plugs in at the [[TextExtractor]] trait.
+  * same path the reference takes for scanned pages. Hex show-text
+  * operands (`<48656C6C6F> Tj`) decode as raw Latin-1 bytes; subset-font
+  * CMap/ToUnicode remapping is PDFBox territory and out of scope.
+  * Full-fidelity extraction (PDFBox) plugs in at the [[TextExtractor]]
+  * trait.
   */
 object SimplePdfTextExtractor extends TextExtractor {
   override def extract(content: Array[Byte]): String = {
-    // ISO-8859-1 maps bytes 1:1 to chars, so offsets/regexes are exact
+    // ISO-8859-1 maps bytes 1:1 to chars, so offsets/scans are exact
     val s = new String(content, StandardCharsets.ISO_8859_1)
     if (!s.startsWith("%PDF"))
       throw new IllegalArgumentException("not a PDF (missing %PDF header)")
-    // the (?!<<) guard pins group 1 to the innermost << ... >> directly
-    // preceding `stream` — the stream's own dict, not an earlier object's
-    val streamRe = "(?s)<<((?:(?!<<).)*?)>>\\s*stream\r?\n(.*?)endstream".r
     val out = new StringBuilder
-    for (m <- streamRe.findAllMatchIn(s)) {
-      val dict = m.group(1)
-      if (!dict.contains("/Filter")) shownText(m.group(2), out)
-      else if (flateOnly(dict)) {
-        // compressed bytes may contain the literal "endstream", which
-        // would truncate the regex capture — a direct /Length slices the
-        // exact payload from the stream start instead; Inflater ignores
-        // any trailing EOL bytes once the zlib stream is finished
-        val raw = directLength(dict) match {
-          case Some(n) if m.start(2) + n <= s.length => s.substring(m.start(2), m.start(2) + n)
-          case _ => m.group(2)
+    // Explicit scan (not a regex over the whole doc): a regex dict capture
+    // either breaks on nested sub-dicts (/DecodeParms << ... >>) or
+    // truncates at a literal "endstream" inside compressed payload bytes.
+    // Here each `stream` keyword anchors a backward balanced-dict scan and
+    // a forward payload scan, and the resume position always lands past
+    // the stream actually consumed.
+    var pos = 0
+    var k = s.indexOf("stream", pos)
+    while (k >= 0) {
+      // keyword check: preceded (after optional EOL/space) by the dict's
+      // ">>" — this also rejects the "stream" inside "endstream"
+      var d = k - 1
+      while (d >= 0 && s.charAt(d).isWhitespace) d -= 1
+      if (d >= 1 && s.charAt(d) == '>' && s.charAt(d - 1) == '>') {
+        val dict = balancedDict(s, d)
+        var dataStart = k + 6
+        if (dataStart < s.length && s.charAt(dataStart) == '\r') dataStart += 1
+        if (dataStart < s.length && s.charAt(dataStart) == '\n') dataStart += 1
+        // any predictor (/DecodeParms, abbreviated /DP) means the inflated
+        // bytes are row-filtered binary, never a text layer
+        val hasParms = "/(?:DecodeParms|DP)\\b".r.findFirstIn(dict).isDefined
+        val lenEnd = directLength(dict).collect {
+          case n if dataStart + n.toLong <= s.length => dataStart + n
         }
-        inflate(raw.getBytes(StandardCharsets.ISO_8859_1)) match {
-          case Some(bytes) => shownText(new String(bytes, StandardCharsets.ISO_8859_1), out)
-          case None => () // corrupt deflate data: no recoverable text layer
+        if (!hasParms && !dict.contains("/Filter")) {
+          val end = lenEnd.getOrElse {
+            val e = s.indexOf("endstream", dataStart); if (e < 0) s.length else e
+          }
+          shownText(s.substring(dataStart, end), out)
+          pos = skipEndstream(s, end)
+        } else if (!hasParms && flateOnly(dict)) {
+          lenEnd match {
+            case Some(end) =>
+              // exact payload slice defeats embedded literal "endstream";
+              // Inflater ignores trailing EOL bytes past the zlib stream
+              inflate(s.substring(dataStart, end).getBytes(StandardCharsets.ISO_8859_1))
+                .foreach(b => shownText(new String(b, StandardCharsets.ISO_8859_1), out))
+              pos = skipEndstream(s, end)
+            case None =>
+              // indirect/absent /Length: the first "endstream" may sit
+              // INSIDE the compressed bytes. Try successive candidates —
+              // truncated zlib data inflates to None, the true boundary
+              // inflates cleanly — and resume past the accepted one.
+              var e = s.indexOf("endstream", dataStart)
+              var attempts = 0
+              var done = false
+              while (!done && e >= 0 && attempts < 8) {
+                inflate(s.substring(dataStart, e).getBytes(StandardCharsets.ISO_8859_1)) match {
+                  case Some(b) =>
+                    shownText(new String(b, StandardCharsets.ISO_8859_1), out)
+                    done = true
+                  case None =>
+                    attempts += 1
+                    if (attempts < 8) e = s.indexOf("endstream", e + 9)
+                }
+              }
+              pos =
+                if (done) e + 9
+                else skipEndstream(s, dataStart) // corrupt: no text layer
+          }
+        } else {
+          // other/chained filters or predicator streams: no recoverable
+          // text; skip past the payload (length-guided when possible)
+          pos = skipEndstream(s, lenEnd.getOrElse(dataStart))
         }
-      }
-      // other/chained filters: no recoverable text layer, contribute ""
+      } else pos = k + 6
+      k = s.indexOf("stream", pos)
     }
     out.result()
+  }
+
+  /** Resume index just past the first "endstream" at/after `from`. */
+  private def skipEndstream(s: String, from: Int): Int = {
+    val e = s.indexOf("endstream", from)
+    if (e < 0) s.length else e + 9
+  }
+
+  /** The innermost balanced `<< ... >>` whose closing ">>" ends at
+    * `closeEnd` (index of the second '>'). One nesting level deep or
+    * more — sub-dicts like `/DecodeParms << /Predictor 12 >>` stay part
+    * of the captured stream dict instead of hijacking the capture. */
+  private def balancedDict(s: String, closeEnd: Int): String = {
+    var depth = 1
+    var i = closeEnd - 2
+    while (i > 0 && depth > 0) {
+      if (s.charAt(i) == '<' && s.charAt(i - 1) == '<') {
+        depth -= 1
+        if (depth == 0) return s.substring(i + 1, closeEnd - 1)
+        i -= 2
+      } else if (s.charAt(i) == '>' && s.charAt(i - 1) == '>') { depth += 1; i -= 2 }
+      else i -= 1
+    }
+    "" // unbalanced: treat as no dict (stream skipped by caller's checks)
   }
 
   /** True iff the dict's /Filter is exactly FlateDecode — the bare name
@@ -84,10 +158,13 @@ object SimplePdfTextExtractor extends TextExtractor {
     "/Filter\\s*(?:/FlateDecode\\b|\\[\\s*/FlateDecode\\s*\\])".r
       .findFirstIn(dict).isDefined
 
-  /** A direct integer /Length (not an indirect `N G R` reference). */
+  /** A direct integer /Length (not an indirect `N G R` reference). The
+    * possessive `\d++` is load-bearing: with a greedy `\d+`, "/Length 10
+    * 0 R" backtracks the capture to "1" so the negative lookahead
+    * passes, misreporting an indirect ref as a tiny direct length. */
   private def directLength(dict: String): Option[Int] =
-    "/Length\\s+(\\d+)(?!\\s+\\d+\\s+R)".r.findFirstMatchIn(dict)
-      .map(_.group(1).toInt)
+    "/Length\\s+(\\d++)(?!\\s+\\d+\\s+R)".r.findFirstMatchIn(dict)
+      .flatMap(_.group(1).toIntOption)
 
   /** zlib-inflate; None on truncated/corrupt data or a preset-dictionary
     * stream (never used by PDF producers). */
@@ -123,6 +200,13 @@ object SimplePdfTextExtractor extends TextExtractor {
         val (str, next) = parseString(body, i)
         if (inText) out ++= str
         i = next
+      } else if (c == '<') {
+        if (i + 1 < body.length && body.charAt(i + 1) == '<') i += 2 // dict, not a string
+        else {
+          val (str, next) = parseHexString(body, i)
+          if (inText) out ++= str
+          i = next
+        }
       } else if (c == '%') { // comment to end of line
         while (i < body.length && body.charAt(i) != '\n' && body.charAt(i) != '\r') i += 1
       } else if (c.isLetter || c == '\'' || c == '"') {
@@ -136,6 +220,32 @@ object SimplePdfTextExtractor extends TextExtractor {
         i = j
       } else i += 1
     }
+  }
+
+  /** One PDF hex string starting at `start` (the '<'): pairs of hex
+    * digits are bytes, whitespace is ignored, an odd final digit gets an
+    * implied trailing '0' (PDF 32000-1 §7.3.4.3). Bytes map 1:1 to chars
+    * (ISO-8859-1) — the simple-encoding case; subset-font CMaps are out
+    * of scope (see object scaladoc). Returns (text, index past '>'). */
+  private def parseHexString(s: String, start: Int): (String, Int) = {
+    val out = new StringBuilder
+    var hi = -1 // pending high nibble, -1 = none
+    var i = start + 1
+    var open = true
+    while (i < s.length && open) {
+      val c = s.charAt(i)
+      if (c == '>') open = false
+      else {
+        val d = Character.digit(c, 16)
+        if (d >= 0) {
+          if (hi < 0) hi = d
+          else { out += ((hi << 4) | d).toChar; hi = -1 }
+        } // whitespace (and, leniently, any non-hex byte) is skipped
+      }
+      i += 1
+    }
+    if (hi >= 0) out += (hi << 4).toChar // odd count: implied trailing 0
+    (out.result(), i)
   }
 
   private def isDelimiter(c: Char): Boolean =

@@ -43,25 +43,40 @@ class SourcesSpec extends AnyFunSuite {
     out.toByteArray
   }
 
+  /** Byte-exact PDF assembly: strings are ISO-8859-1 text parts, raw
+    * compressed payloads pass through verbatim (string interpolation +
+    * stripMargin would corrupt payloads containing '\n'+ws+'|' and break
+    * the /Length byte count). */
+  private def pdfBytes(parts: Any*): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    parts.foreach {
+      case str: String => out.write(str.getBytes("ISO-8859-1"))
+      case raw: Array[Byte] => out.write(raw)
+      case other => fail(s"unexpected fixture part: $other")
+    }
+    out.toByteArray
+  }
+
   /** Multi-page golden PDF with FlateDecode'd content streams, one per
-    * page, `/Length` = exact compressed byte count (a direct int). */
-  private def flatePdf(pageStreams: Seq[Array[Byte]]): Array[Byte] = {
-    val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+    * page. `lengthOf` renders each stream's /Length value (default: the
+    * exact byte count as a direct int; override for indirect refs). */
+  private def flatePdf(pageStreams: Seq[Array[Byte]],
+      lengthOf: Array[Byte] => String = b => b.length.toString,
+      extraObjs: Seq[Array[Byte]] => String = _ => ""): Array[Byte] = {
     val kids = pageStreams.indices.map(i => s"${3 + 2 * i} 0 R").mkString(" ")
-    val pages = pageStreams.zipWithIndex.map { case (bytes, i) =>
-      s"""${3 + 2 * i} 0 obj << /Type /Page /Parent 2 0 R /Contents ${4 + 2 * i} 0 R >> endobj
-         |${4 + 2 * i} 0 obj << /Filter /FlateDecode /Length ${bytes.length} >>
-         |stream
-         |${new String(bytes, iso)}
-         |endstream
-         |endobj""".stripMargin
-    }.mkString("\n")
-    (s"""%PDF-1.4
-       |1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj
-       |2 0 obj << /Type /Pages /Kids [$kids] /Count ${pageStreams.length} >> endobj
-       |$pages
-       |trailer << /Size ${3 + 2 * pageStreams.length} /Root 1 0 R >>
-       |%%EOF""").stripMargin.getBytes("ISO-8859-1")
+    val parts = scala.collection.mutable.ArrayBuffer[Any](
+      "%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      s"2 0 obj << /Type /Pages /Kids [$kids] /Count ${pageStreams.length} >> endobj\n")
+    pageStreams.zipWithIndex.foreach { case (bytes, i) =>
+      parts += s"${3 + 2 * i} 0 obj << /Type /Page /Parent 2 0 R /Contents ${4 + 2 * i} 0 R >> endobj\n"
+      parts += s"${4 + 2 * i} 0 obj << /Filter /FlateDecode /Length ${lengthOf(bytes)} >>\nstream\n"
+      parts += bytes
+      parts += "\nendstream\nendobj\n"
+    }
+    parts += extraObjs(pageStreams)
+    parts += s"trailer << /Size ${3 + 2 * pageStreams.length} /Root 1 0 R >>\n%%EOF"
+    pdfBytes(parts.toSeq: _*)
   }
 
   test("golden-bytes PDF: FlateDecode'd content streams are inflated and extracted (A2)") {
@@ -93,6 +108,75 @@ class SourcesSpec extends AnyFunSuite {
     assert(new String(payload, "ISO-8859-1").contains("endstream"))
     val text = SimplePdfTextExtractor.extract(flatePdf(Seq(payload)))
     assert(text == "before endstream after\n")
+  }
+
+  test("indirect /Length N G R: multi-digit object numbers do not misparse as direct (A2)") {
+    import graft.sources.SimplePdfTextExtractor
+    // '/Length 10 0 R' must NOT parse as direct length 1 (greedy-regex
+    // backtracking shrinks (\d+) to '1' so the lookahead passes); with no
+    // usable direct length the extractor scans for the stream boundary
+    def indirectPdf(payload: Array[Byte]): Array[Byte] = flatePdf(Seq(payload),
+      lengthOf = _ => "10 0 R",
+      extraObjs = ps => s"10 0 obj ${ps.head.length} endobj\n")
+    val simple = indirectPdf(deflate("BT (indirect length works) Tj ET"))
+    assert(SimplePdfTextExtractor.extract(simple) == "indirect length works\n")
+    // embedded literal 'endstream' + indirect /Length: the first candidate
+    // boundary is inside the compressed bytes (truncated zlib -> None);
+    // the extractor extends to the next candidate and recovers the text
+    val tricky = deflate("BT (pre endstream post) Tj ET", level = 0)
+    assert(new String(tricky, "ISO-8859-1").contains("endstream"))
+    assert(SimplePdfTextExtractor.extract(indirectPdf(tricky)) == "pre endstream post\n")
+  }
+
+  test("nested /DecodeParms sub-dict: predictor streams contribute no garbage text (A2)") {
+    import graft.sources.SimplePdfTextExtractor
+    // A flate+predictor stream (the xref/object-stream shape in nearly
+    // every PDF 1.5+). A non-nesting-aware dict capture grabs only the
+    // inner << /Predictor ... >> (no /Filter!) and feeds raw zlib bytes
+    // to the text scanner as if unfiltered -> garbage. Must yield "".
+    val payload = deflate("BT (must not appear) Tj ET")
+    val parms = pdfBytes(
+      "%PDF-1.5\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n",
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n",
+      s"4 0 obj << /Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 4 >> /Length ${payload.length} >>\nstream\n",
+      payload,
+      "\nendstream\nendobj\n",
+      "trailer << /Size 5 /Root 1 0 R >>\n%%EOF")
+    assert(SimplePdfTextExtractor.extract(parms) == "")
+    // ...and a predictor stream earlier in the file must not poison a
+    // later plain text stream (the resume position stays stream-aligned)
+    val good = deflate("BT (real text) Tj ET")
+    val mixed = pdfBytes(
+      "%PDF-1.5\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+      s"6 0 obj << /Type /XRef /Filter /FlateDecode /DP << /Predictor 12 /Columns 4 >> /Length ${payload.length} >>\nstream\n",
+      payload,
+      "\nendstream\nendobj\n",
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n",
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n",
+      s"4 0 obj << /Filter /FlateDecode /Length ${good.length} >>\nstream\n",
+      good,
+      "\nendstream\nendobj\n",
+      "trailer << /Size 7 /Root 1 0 R >>\n%%EOF")
+    assert(SimplePdfTextExtractor.extract(mixed) == "real text\n")
+  }
+
+  test("hex-string show-text operands <...> Tj/TJ decode as raw bytes (A2)") {
+    import graft.sources.SimplePdfTextExtractor
+    // <48656C6C6F> = "Hello"; whitespace inside hex is ignored; an odd
+    // final digit gets an implied trailing 0 (<4F4B2> = "OK" + 0x20)
+    val content = "BT <48656C6C6F> Tj ET\n" +
+      "BT [<20> (mix) <21>] TJ ET\n" +
+      "BT <48 65 6C> Tj <4F4B2> Tj ET"
+    val text = SimplePdfTextExtractor.extract(goldenPdf(content, filtered = false))
+    assert(text == "Hello\n mix!\nHelOK \n")
+    // hex strings inside a FlateDecode'd stream take the same path
+    val flate = flatePdf(Seq(deflate("BT <636F6D7072657373656420686578> Tj ET")))
+    assert(SimplePdfTextExtractor.extract(flate) == "compressed hex\n")
+    // a << dict >> operand inside the content stream is not shown text
+    val dict = SimplePdfTextExtractor.extract(
+      goldenPdf("BT /P << /MCID 0 >> BDC (tagged) Tj EMC ET", filtered = false))
+    assert(dict == "tagged\n")
   }
 
   test("compressed PDF flows through the full ingest pipeline without routing to OCR") {
