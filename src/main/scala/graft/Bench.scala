@@ -36,15 +36,42 @@ object Bench {
     selected.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => }
     }
-    val results = selected.map { case (name, fn) =>
-      // start each query with a clean heap (outside its timing window):
-      // the dedup/graph queries pin localCheckpoint blocks whose cleanup
-      // is driver-GC-triggered, and a collection absorbed mid-query
+    // One timed run is NOT a stable estimator here: suite-order debris
+    // (localCheckpoint blocks pinned by earlier dedup/graph queries, GC
+    // absorbed mid-query) produced two consecutive rounds of phantom
+    // 2-6x "regressions" that an isolated rerun did not reproduce (r7
+    // q31 9.7s-vs-1.6s, r8 q33 11.2s-vs-3.3s). Remedy: queries whose
+    // first timed run costs >=0.4s are timed three times and the MEDIAN
+    // is reported — debris only ever inflates a run, and it rarely hits
+    // the same query twice in a row, so the median discards the outlier
+    // while still tracking genuine code regressions (which move all
+    // three runs). Sub-0.4s queries keep a single run: they are below
+    // the regression-grading threshold and tripling them buys nothing.
+    def timeOnce(run: () => Unit): Double = {
+      // clean heap outside the timing window: checkpoint-block cleanup
+      // is driver-GC-triggered and a collection absorbed mid-query
       // swung identical queries 60%+ run-to-run
       System.gc()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { run() } catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
+    }
+    def timeMedian(run: () => Unit): Double = {
+      val t1 = timeOnce(run)
+      if (t1 < 0.4) t1
+      else Seq(t1, timeOnce(run), timeOnce(run)).sorted.apply(1)
+    }
+    val results = selected.flatMap { case (name, fn) =>
+      SparkEntry.benchPhases.get(name) match {
+        // round-trip queries: time sink and source phases separately so
+        // a format regression is attributable (the read phase always
+        // sees data — the warm-up pass above ran the composite)
+        case Some((w, r)) => Seq(
+          s"${name.takeWhile(_ != '_')}w_write" -> timeMedian(() => w(spark, sfDir)),
+          s"${name.takeWhile(_ != '_')}r_read" -> timeMedian(() => { r(spark, sfDir).count(); () }))
+        case None =>
+          Seq(name -> timeMedian(() => { fn(spark, sfDir).count(); () }))
+      }
     }
     // Human-readable per-query table (full names), slowest first. These lines
     // scroll out of the harness's 2000-char output tail; only the compact

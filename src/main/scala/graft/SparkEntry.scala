@@ -149,6 +149,87 @@ object SparkEntry {
       (li, ord)
     })
 
+  /** Round-trip queries decomposed into a WRITE phase (sink) and a READ
+    * phase (source scan + aggregate) over the same memoized scratch dir.
+    * The `queries` entries compose write-then-read (the driver's
+    * correctness gate times the composite); [[Bench]] times the two
+    * phases separately so a format regression is attributable to its
+    * sink or its source rather than lumped into one number. */
+  private def rtJsonWrite(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    events(s, dir)
+      .select($"event_id", $"event_type", $"value", unix_micros($"ts").as("ts_us"))
+      .write.mode("overwrite").json(s"${scratchDir("q73")}/ev")
+  }
+  private def rtJsonRead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.json(s"${scratchDir("q73")}/ev")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"),
+        min($"ts_us").cast("long").as("min_ts_us"))
+      .orderBy($"event_type")
+  }
+  private def rtCsvWrite(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    events(s, dir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+      .write.mode("overwrite").option("header", "true").csv(s"${scratchDir("q74")}/ev")
+  }
+  private def rtCsvRead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
+      .option("header", "true").csv(s"${scratchDir("q74")}/ev")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy($"event_type")
+  }
+  private def rtXmlWrite(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    events(s, dir)
+      .select($"event_id", $"event_type", $"value", unix_micros($"ts").as("ts_us"))
+      .write.mode("overwrite").format("xml").option("rowTag", "event")
+      .save(s"${scratchDir("q91")}/ev")
+  }
+  private def rtXmlRead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.format("xml").option("rowTag", "event")
+      .schema("event_id LONG, event_type STRING, value DOUBLE, ts_us LONG")
+      .load(s"${scratchDir("q91")}/ev")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"),
+        max($"ts_us").cast("long").as("max_ts_us"),
+        min($"event_id").cast("long").as("min_event_id"))
+      .orderBy($"event_type")
+  }
+  private def rtOrcWrite(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    events(s, dir)
+      .select($"event_id", $"user_id", $"event_type", $"value", unix_micros($"ts").as("ts_us"))
+      .write.mode("overwrite").orc(s"${scratchDir("q78")}/ev")
+  }
+  private def rtOrcRead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.orc(s"${scratchDir("q78")}/ev")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"),
+        max($"ts_us").cast("long").as("max_ts_us"))
+      .orderBy($"event_type")
+  }
+
+  /** Bench-only phase split for the round-trip queries: name ->
+    * (write phase, read phase). Keys match `queries` keys. */
+  def benchPhases: Map[String, ((SparkSession, String) => Unit, (SparkSession, String) => DataFrame)] =
+    Map(
+      "q73_json_roundtrip" -> ((rtJsonWrite _, rtJsonRead _)),
+      "q74_csv_roundtrip" -> ((rtCsvWrite _, rtCsvRead _)),
+      "q78_orc_roundtrip" -> ((rtOrcWrite _, rtOrcRead _)),
+      "q91_xml_roundtrip" -> ((rtXmlWrite _, rtXmlRead _)))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.G hash aggregation partial+final — TPC-H Q1 shape on lineitem.
@@ -1080,6 +1161,53 @@ object SparkEntry {
     // full-corpus map). The fixture appends DECOMPOSED sequences
     // (e + combining acute, ...) so the hash only matches if both
     // engines actually compose them.
+    // G2/D4 maintenance lifecycle at gate scale: grow the snapshot index
+    // past a rebucket (4 -> 32 id-buckets, the one O(index) rewrite),
+    // with a CONCURRENT reader pinned to the pre-rebucket snapshot.
+    // Contract row asserts (a) the pinned reader still scans after the
+    // rebucket's snapshot GC (keep=2 retention covers it), (b) content
+    // is identical under the new hash space (count + top-k query), and
+    // (c) file-level GC left no orphan data files — every surviving file
+    // is referenced by a retained manifest.
+    "q101_index_rebucket" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.VectorIndex
+      val tmp = freshScratch("q101")
+      val emb = t(s, dir, "embeddings")
+      def recordsOf(df: DataFrame) = df.select(
+        $"vec_id".cast("string").as("id"),
+        $"embedding".as("values"),
+        struct(($"vec_id" % 5).cast("int").as("chunk_index"),
+          lit("uploaded_pdf").as("source")).as("metadata"))
+      val idx = VectorIndex.ensure(s, s"$tmp/idx", 64, numBuckets = 4)
+      idx.upsert(recordsOf(emb.filter($"vec_id" % 2 === 0)))
+      idx.upsert(recordsOf(emb.filter($"vec_id" % 2 === 1)))
+      val preSnap = idx.snapshots().last
+      val reader = idx.scanAt(preSnap) // pinned concurrent reader
+      val nBefore = reader.count()
+      val q = emb.filter($"vec_id" === 0).select($"embedding").as[Array[Float]].head()
+      val topBefore = idx.query(q, k = 10).select($"id").as[String].collect().toSeq
+      val grown = idx.rebucket(32)
+      val retentionOk = grown.snapshots().contains(preSnap) &&
+        reader.count() == nBefore // pinned file list still fully readable
+      val countStable = grown.scan().count() == nBefore
+      val topAfter = grown.query(q, k = 10).select($"id").as[String].collect().toSeq
+      val referenced = grown.snapshots()
+        .flatMap(v => grown.manifestAt(v).values.flatten).toSet
+      val root = new org.apache.hadoop.fs.Path(s"$tmp/idx")
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val qualRoot = fs.makeQualified(root).toString + "/"
+      val files = fs.listFiles(new org.apache.hadoop.fs.Path(root, "data"), true)
+      var orphans = 0
+      while (files.hasNext) {
+        val f = files.next()
+        if (f.isFile && !referenced.contains(f.getPath.toString.stripPrefix(qualRoot)))
+          orphans += 1
+      }
+      Seq((nBefore, retentionOk, countStable, topBefore == topAfter, orphans == 0))
+        .toDF("n_rows", "retention_ok", "count_stable", "query_same", "gc_ok")
+    }),
+
     "q100_nfc_normalize" -> ((s, dir) => {
       import s.implicits._
       val tn = graft.functions.textnorm
@@ -1590,72 +1718,19 @@ object SparkEntry {
 
     // §2.A source breadth: JSON sink+source round-trip inside the gate —
     // doubles survive exactly (shortest-repr write, exact parse).
-    "q73_json_roundtrip" -> ((s, dir) => {
-      import s.implicits._
-      val tmp = scratchDir("q73")
-      events(s, dir)
-        .select($"event_id", $"event_type", $"value", unix_micros($"ts").as("ts_us"))
-        .write.mode("overwrite").json(s"$tmp/ev")
-      s.read.json(s"$tmp/ev")
-        .groupBy($"event_type")
-        .agg(count(lit(1)).as("n"),
-          sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"),
-          min($"ts_us").cast("long").as("min_ts_us"))
-        .orderBy($"event_type")
-    }),
+    "q73_json_roundtrip" -> ((s, dir) => { rtJsonWrite(s, dir); rtJsonRead(s, dir) }),
 
     // §2.A source breadth: CSV sink+source round-trip with explicit schema.
-    "q74_csv_roundtrip" -> ((s, dir) => {
-      import s.implicits._
-      val tmp = scratchDir("q74")
-      events(s, dir)
-        .select($"event_id", $"user_id", $"event_type", $"value")
-        .write.mode("overwrite").option("header", "true").csv(s"$tmp/ev")
-      s.read.schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
-        .option("header", "true").csv(s"$tmp/ev")
-        .groupBy($"event_type")
-        .agg(count(lit(1)).as("n"),
-          sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"),
-          countDistinct($"user_id").as("n_users"))
-        .orderBy($"event_type")
-    }),
+    "q74_csv_roundtrip" -> ((s, dir) => { rtCsvWrite(s, dir); rtCsvRead(s, dir) }),
 
     // §2.A source breadth: XML sink+source round-trip (built-in Spark 4
     // XML source; explicit schema on read, doubles survive shortest-
     // repr write + exact parse like JSON).
-    "q91_xml_roundtrip" -> ((s, dir) => {
-      import s.implicits._
-      val tmp = scratchDir("q91")
-      events(s, dir)
-        .select($"event_id", $"event_type", $"value", unix_micros($"ts").as("ts_us"))
-        .write.mode("overwrite").format("xml").option("rowTag", "event")
-        .save(s"$tmp/ev")
-      s.read.format("xml").option("rowTag", "event")
-        .schema("event_id LONG, event_type STRING, value DOUBLE, ts_us LONG")
-        .load(s"$tmp/ev")
-        .groupBy($"event_type")
-        .agg(count(lit(1)).as("n"),
-          sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"),
-          max($"ts_us").cast("long").as("max_ts_us"),
-          min($"event_id").cast("long").as("min_event_id"))
-        .orderBy($"event_type")
-    }),
+    "q91_xml_roundtrip" -> ((s, dir) => { rtXmlWrite(s, dir); rtXmlRead(s, dir) }),
 
     // §2.A source breadth: ORC sink+source round-trip (columnar format
     // #2 — type-faithful, so the same decimal-exact aggregate holds).
-    "q78_orc_roundtrip" -> ((s, dir) => {
-      import s.implicits._
-      val tmp = scratchDir("q78")
-      events(s, dir)
-        .select($"event_id", $"user_id", $"event_type", $"value", unix_micros($"ts").as("ts_us"))
-        .write.mode("overwrite").orc(s"$tmp/ev")
-      s.read.orc(s"$tmp/ev")
-        .groupBy($"event_type")
-        .agg(count(lit(1)).as("n"),
-          sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"),
-          max($"ts_us").cast("long").as("max_ts_us"))
-        .orderBy($"event_type")
-    }),
+    "q78_orc_roundtrip" -> ((s, dir) => { rtOrcWrite(s, dir); rtOrcRead(s, dir) }),
 
     // Partitioning & shuffle row: the fact/fact join through BUCKETED,
     // sort-merged tables — the load-time layout that makes a 100 TB
@@ -2258,6 +2333,11 @@ object SparkEntry {
 
     "q99_ann_sq8" ->
       "SELECT CAST(10 AS BIGINT) AS k, TRUE AS recall_ok",
+
+    "q101_index_rebucket" ->
+      """SELECT COUNT(*) AS n_rows, TRUE AS retention_ok, TRUE AS count_stable,
+        |  TRUE AS query_same, TRUE AS gc_ok
+        |FROM embeddings""".stripMargin,
 
     "q100_nfc_normalize" ->
       s"""SELECT doc_id,

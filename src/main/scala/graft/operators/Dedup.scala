@@ -215,7 +215,18 @@ object Dedup {
     * minimum id is dropped. Differs from pairwise keep-first exactly on
     * chains whose middle node carries a larger id than an endpoint
     * (a=1 ~ b=3 ~ c=2 with no a~c edge: pairwise keeps {1,2}; clusters
-    * keep {1}) — the semantics training-data dedup usually wants. */
+    * keep {1}) — the semantics training-data dedup usually wants.
+    *
+    * Knob note — why 192/64 (r=3) and not the pairwise default 128/32
+    * (r=4): transitive clustering needs EVERY true edge (a missed edge
+    * splits a component; there is no second chance via another pair the
+    * way keep-first dedup gets one). Candidate-capture probability at
+    * the J=0.5 threshold is 1-(1-J^r)^bands: r=3 -> 0.9998, r=4 ->
+    * 0.873. Measured (round 9, q75 corpus): 128/32 leaves 399/395/3893
+    * survivors vs 192/64's 377/375/3702 at sf0.001/0.01/0.1 — it
+    * misses ~5% of true edges at every scale while saving only ~1.3s
+    * at sf0.1. The heavier signature is a requirement of the exactness
+    * contract, not a tuning miss. */
   def minhashClusters(
       df: DataFrame,
       idCol: String,

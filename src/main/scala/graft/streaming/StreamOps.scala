@@ -153,7 +153,18 @@ object StreamOps {
     * is at-least-once on retry — production would write batchId into
     * the path and commit atomically (same pattern as VectorIndex
     * manifests); kept simple here because the spec drives one attempt
-    * per batch. */
+    * per batch.
+    *
+    * Durability assumption: the double-append HEAL commits via two
+    * directory renames (corpus -> __trash, __heal -> corpus), which is
+    * crash-safe only where rename is ATOMIC — HDFS and POSIX
+    * filesystems. On object stores (S3A and friends) "rename" is
+    * copy+delete: a crash mid-copy can leave a partially-copied corpus
+    * dir that defeats the `_SUCCESS`-gated recovery below. Deploying
+    * over an object store requires a manifest-pointer commit instead
+    * (write the healed corpus to a NEW dir, then atomically update a
+    * single manifest object naming the live dir — the scheme
+    * [[graft.operators.VectorIndex]] uses for snapshots). */
   def dedupedIngest(docs: DataFrame, corpusPath: String,
       idCol: String = "doc_id", textCol: String = "text")
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {

@@ -178,6 +178,37 @@ class AnnRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF under a projection that strips _cell: rule stays silent, top-k falls back to EXACT") {
+    // Unlike the LSH path (which recomputes buckets from the tagged
+    // vector column when pruning eliminated _buckets), the IVF path has
+    // no recompute fallback by design: cell assignment costs k*dim work
+    // per row scan-side, and a real IVF index always materializes its
+    // cells. This pins the documented failure mode to the SAFE side —
+    // an unmaterialized, projected IVF top-k must run as the exact
+    // unpruned scan (correct, just not accelerated), never probe wrong
+    // or stale cells.
+    GraftExtensions.install(spark)
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val q = emb.filter($"vec_id" === 0).select($"embedding").as[Array[Float]].head()
+    val idx = graft.operators.Ann.buildIvf(emb, "embedding", k = 16, maxIter = 5)
+    // NOT checkpointed/persisted: _cell is a lazy projection, so column
+    // pruning under select(vec_id) eliminates it from the whole subtree
+    spark.conf.set("spark.graft.ann.autoPrune", "true")
+    try {
+      val projected = topkPlan(idx.data, q).select($"vec_id")
+      val plan = projected.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("_cell"),
+        s"_cell should have been pruned out of the projected plan:\n$plan")
+      assert(!plan.contains("arrays_overlap"),
+        s"no LSH filter may appear on an IVF-only table:\n$plan")
+      // exact semantics: equals brute-force over the raw table
+      val declarative = projected.as[Long].collect().toSeq
+      val exact = Ann.bruteForceTopK(emb, "embedding", "vec_id", q, 10)
+        .select($"vec_id").as[Long].collect().toSeq
+      assert(declarative == exact, "projected IVF top-k must be the exact top-k")
+    } finally spark.conf.set("spark.graft.ann.autoPrune", "false")
+  }
+
   test("a _buckets column without build-params metadata is NOT treated as an index") {
     GraftExtensions.install(spark)
     val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")

@@ -403,6 +403,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedup-on-ingest recovers a swap interrupted BETWEEN the two renames (trash present)") {
+    val src = Files.createTempDirectory("graft_strash_src")
+    val corpus = Files.createTempDirectory("graft_strash_corpus").toString + "/corpus"
+    val a = "the quick brown fox jumps over the lazy dog near the quiet river bank at dawn today"
+    val c = "vector indexes bucket embeddings by locality sensitive hashes for sublinear similarity search"
+    // crash window: corpus was renamed to __trash (rename #1 done), the
+    // healed copy was NOT yet renamed into place (rename #2 pending) —
+    // both sibling dirs exist, the corpus dir itself is absent
+    val dupRows = Seq((1L, a), (1L, a)).toDF("doc_id", "text")
+    dupRows.coalesce(1).write.mode("overwrite").parquet(corpus + "__trash")
+    val healed = Seq((1L, a)).toDF("doc_id", "text")
+    healed.coalesce(1).write.mode("overwrite").parquet(corpus + "__heal")
+    assert(Files.exists(Paths.get(corpus + "__heal/_SUCCESS")))
+    graft.operators.Dedup.prepareMinhash(healed, "doc_id", "text")
+      .write.mode("overwrite").parquet(corpus + "_sig")
+    val tmp = Files.createTempDirectory("graft_strash_b1")
+    Seq((2L, a + " again"), (3L, c)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get
+    Files.copy(part, Paths.get(s"$src/b1.parquet"))
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+      .parquet(src.toString)
+    val q = StreamOps.dedupedIngest(stream, corpus).start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.read.parquet(corpus).select("doc_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 3L),
+        "healed corpus swapped in and gates dedup: near-dup 2 dropped, fresh 3 kept")
+      assert(!Files.exists(Paths.get(corpus + "__trash")), "trash dir cleaned up")
+      assert(!Files.exists(Paths.get(corpus + "__heal")), "heal dir cleaned up")
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark drops duplicate event ids") {
     // duplicate the stream source file => every event appears twice
     val dir = Files.createTempDirectory("graft_stream_dup")
