@@ -38,16 +38,23 @@ object Utf8TextExtractor extends TextExtractor {
   * Pages concatenate with no extra separator, matching the reference
   * (streamlit_app.py:63).
   *
+  * Supported stream filters (decoded dep-free, including chains in the
+  * spec's decode order): `/FlateDecode` (zlib), `/ASCIIHexDecode`,
+  * `/ASCII85Decode`, plus their inline-image abbreviations `/Fl`,
+  * `/AHx`, `/A85` — e.g. `[/ASCII85Decode /FlateDecode]` works. Shown
+  * strings carrying a UTF-16BE (or UTF-8) BOM are decoded as such, per
+  * PDF 32000-1 §7.9.2.2.
+  *
   * Honest scope (ref op A2, streamlit_app.py:60-71): streams with other
-  * or chained filters (DCTDecode images, LZW), or any `/DecodeParms`/`/DP`
-  * predictor (flate+predictor xref/object streams, ubiquitous in PDF
-  * 1.5+), have no recoverable text layer here, so they contribute "" and
-  * [[FallbackExtractor]] routes whitespace-only documents to OCR — the
-  * same path the reference takes for scanned pages. Hex show-text
-  * operands (`<48656C6C6F> Tj`) decode as raw Latin-1 bytes; subset-font
-  * CMap/ToUnicode remapping is PDFBox territory and out of scope.
-  * Full-fidelity extraction (PDFBox) plugs in at the [[TextExtractor]]
-  * trait.
+  * filters (DCTDecode images, LZW, CCITT, RunLength), or any
+  * `/DecodeParms`/`/DP` predictor (flate+predictor xref/object streams,
+  * ubiquitous in PDF 1.5+), have no recoverable text layer here, so they
+  * contribute "" and [[FallbackExtractor]] routes whitespace-only
+  * documents to OCR — the same path the reference takes for scanned
+  * pages. Hex show-text operands (`<48656C6C6F> Tj`) decode as raw
+  * Latin-1 bytes unless BOM-tagged; subset-font CMap/ToUnicode
+  * remapping is PDFBox territory and out of scope. Full-fidelity
+  * extraction (PDFBox) plugs in at the [[TextExtractor]] trait.
   */
 object SimplePdfTextExtractor extends TextExtractor {
   override def extract(content: Array[Byte]): String = {
@@ -80,44 +87,66 @@ object SimplePdfTextExtractor extends TextExtractor {
         val lenEnd = directLength(dict).collect {
           case n if dataStart + n.toLong <= s.length => dataStart + n
         }
-        if (!hasParms && !dict.contains("/Filter")) {
+        val filters = filterNames(dict)
+        if (!hasParms && filters.isEmpty) {
           val end = lenEnd.getOrElse {
             val e = s.indexOf("endstream", dataStart); if (e < 0) s.length else e
           }
           shownText(s.substring(dataStart, end), out)
           pos = skipEndstream(s, end)
-        } else if (!hasParms && flateOnly(dict)) {
+        } else if (!hasParms && filters.exists(_.forall(Decoders.contains))) {
+          val chain = filters.get
           lenEnd match {
             case Some(end) =>
               // exact payload slice defeats embedded literal "endstream";
-              // Inflater ignores trailing EOL bytes past the zlib stream
-              inflate(s.substring(dataStart, end).getBytes(StandardCharsets.ISO_8859_1))
-                .foreach(b => shownText(new String(b, StandardCharsets.ISO_8859_1), out))
+              // each decoder ignores trailing bytes past its own EOD
+              decodeChain(s.substring(dataStart, end), chain)
+                .foreach(t => shownText(t, out))
               pos = skipEndstream(s, end)
             case None =>
-              // indirect/absent /Length: the first "endstream" may sit
-              // INSIDE the compressed bytes. Try successive candidates —
-              // truncated zlib data inflates to None, the true boundary
-              // inflates cleanly — and resume past the accepted one.
-              var e = s.indexOf("endstream", dataStart)
-              var attempts = 0
-              var done = false
-              while (!done && e >= 0 && attempts < 8) {
-                inflate(s.substring(dataStart, e).getBytes(StandardCharsets.ISO_8859_1)) match {
-                  case Some(b) =>
-                    shownText(new String(b, StandardCharsets.ISO_8859_1), out)
-                    done = true
-                  case None =>
-                    attempts += 1
-                    if (attempts < 8) e = s.indexOf("endstream", e + 9)
-                }
+              chain.head match {
+                case "ASCIIHexDecode" | "AHx" =>
+                  // hex data cannot contain the letters of "endstream";
+                  // the EOD '>' (or the first endstream) bounds the data
+                  val eod = s.indexOf('>', dataStart)
+                  val end = if (eod < 0) s.length else eod + 1
+                  decodeChain(s.substring(dataStart, end), chain)
+                    .foreach(t => shownText(t, out))
+                  pos = skipEndstream(s, end)
+                case "ASCII85Decode" | "A85" =>
+                  // base-85 data CAN spell "endstream", but its '~>' EOD
+                  // marker cannot appear in valid data — bound by it
+                  val eod = s.indexOf("~>", dataStart)
+                  val end = if (eod < 0) s.length else eod + 2
+                  decodeChain(s.substring(dataStart, end), chain)
+                    .foreach(t => shownText(t, out))
+                  pos = skipEndstream(s, end)
+                case _ =>
+                  // flate first with indirect/absent /Length: the first
+                  // "endstream" may sit INSIDE the compressed bytes. Try
+                  // successive candidates — truncated zlib data decodes
+                  // to None, the true boundary decodes cleanly — and
+                  // resume past the accepted one.
+                  var e = s.indexOf("endstream", dataStart)
+                  var attempts = 0
+                  var done = false
+                  while (!done && e >= 0 && attempts < 8) {
+                    decodeChain(s.substring(dataStart, e), chain) match {
+                      case Some(t) =>
+                        shownText(t, out)
+                        done = true
+                      case None =>
+                        attempts += 1
+                        if (attempts < 8) e = s.indexOf("endstream", e + 9)
+                    }
+                  }
+                  pos =
+                    if (done) e + 9
+                    else skipEndstream(s, dataStart) // corrupt: no text layer
               }
-              pos =
-                if (done) e + 9
-                else skipEndstream(s, dataStart) // corrupt: no text layer
           }
         } else {
-          // other/chained filters or predicator streams: no recoverable
+          // unsupported filters or predictor streams: no recoverable
           // text; skip past the payload (length-guided when possible)
           pos = skipEndstream(s, lenEnd.getOrElse(dataStart))
         }
@@ -151,12 +180,101 @@ object SimplePdfTextExtractor extends TextExtractor {
     "" // unbalanced: treat as no dict (stream skipped by caller's checks)
   }
 
-  /** True iff the dict's /Filter is exactly FlateDecode — the bare name
-    * or a one-element array. Chained filters (e.g. [/ASCII85Decode
-    * /FlateDecode]) and others are out of scope. */
-  private def flateOnly(dict: String): Boolean =
-    "/Filter\\s*(?:/FlateDecode\\b|\\[\\s*/FlateDecode\\s*\\])".r
-      .findFirstIn(dict).isDefined
+  /** The dict's /Filter names in DECODE order (PDF 32000-1 §7.4.1: an
+    * array lists filters in the order they must be applied to decode).
+    * None = no /Filter entry (unfiltered stream). An indirect /Filter
+    * reference (`N G R`) parses as an empty list, which the caller's
+    * supported-set check rejects — never misread as unfiltered. */
+  private def filterNames(dict: String): Option[Seq[String]] =
+    "/Filter\\s*(/\\w+|\\[[^\\]]*\\]|\\d+\\s+\\d+\\s+R)".r.findFirstMatchIn(dict)
+      .map { m =>
+        val v = m.group(1)
+        if (v.startsWith("/") || v.startsWith("["))
+          "/(\\w+)".r.findAllMatchIn(v).map(_.group(1)).toSeq
+        else Seq("__indirect__") // unsupported: resolved refs need an xref walk
+      }
+
+  /** Filters decodable here, by spec name and inline-image abbreviation. */
+  private val Decoders: Set[String] =
+    Set("FlateDecode", "Fl", "ASCIIHexDecode", "AHx", "ASCII85Decode", "A85")
+
+  /** Apply the filter chain in decode order; None as soon as any stage
+    * hits truncated/corrupt data. Returns the decoded content stream as
+    * ISO-8859-1 chars (1:1 bytes). */
+  private def decodeChain(raw: String, chain: Seq[String]): Option[String] =
+    chain.foldLeft(Option(raw.getBytes(StandardCharsets.ISO_8859_1))) { (acc, f) =>
+      acc.flatMap { bytes =>
+        f match {
+          case "FlateDecode" | "Fl" => inflate(bytes)
+          case "ASCIIHexDecode" | "AHx" => asciiHexDecode(bytes)
+          case "ASCII85Decode" | "A85" => ascii85Decode(bytes)
+          case _ => None
+        }
+      }
+    }.map(new String(_, StandardCharsets.ISO_8859_1))
+
+  /** ASCIIHexDecode (§7.4.2): hex pairs, whitespace ignored, '>' is EOD
+    * (odd final digit gets an implied 0). Any other byte is corrupt. */
+  private def asciiHexDecode(data: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 1)
+    var hi = -1
+    var i = 0
+    while (i < data.length) {
+      val c = data(i).toChar
+      if (c == '>') {
+        if (hi >= 0) out.write(hi << 4)
+        return Some(out.toByteArray)
+      }
+      val d = Character.digit(c, 16)
+      if (d >= 0) {
+        if (hi < 0) hi = d else { out.write((hi << 4) | d); hi = -1 }
+      } else if (!c.isWhitespace) return None
+      i += 1
+    }
+    // EOD marker missing: accept what decoded (spec tolerates it on EOF)
+    if (hi >= 0) out.write(hi << 4)
+    Some(out.toByteArray)
+  }
+
+  /** ASCII85Decode (§7.4.3): 5 chars in '!'..'u' encode 4 bytes base 85;
+    * 'z' is four zero bytes (group boundary only); a final partial group
+    * of n chars yields n-1 bytes (pad with 'u'); '~>' is EOD. */
+  private def ascii85Decode(data: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 4 / 5 + 4)
+    val grp = new Array[Int](5)
+    var n = 0
+    def flush(count: Int): Boolean = { // count = chars in the group (2-5)
+      if (count == 1) return false // a 1-char final group is invalid
+      var v = 0L
+      var i = 0
+      while (i < 5) { v = v * 85 + (if (i < count) grp(i) else 84); i += 1 }
+      if (v > 0xFFFFFFFFL) return false // group overflows 32 bits
+      var shift = 24
+      var emitted = 0
+      while (emitted < count - 1) {
+        out.write(((v >> shift) & 0xFF).toInt); shift -= 8; emitted += 1
+      }
+      true
+    }
+    var i = 0
+    while (i < data.length) {
+      val c = data(i).toChar
+      if (c == '~') { // EOD '~>' — tolerate a missing '>' at EOF
+        if (n > 0 && !flush(n)) return None
+        return Some(out.toByteArray)
+      } else if (c == 'z') {
+        if (n != 0) return None // 'z' inside a group is corrupt
+        out.write(0); out.write(0); out.write(0); out.write(0)
+      } else if (c >= '!' && c <= 'u') {
+        grp(n) = c - '!'
+        n += 1
+        if (n == 5) { if (!flush(5)) return None; n = 0 }
+      } else if (!c.isWhitespace) return None
+      i += 1
+    }
+    if (n > 0 && !flush(n)) return None
+    Some(out.toByteArray)
+  }
 
   /** A direct integer /Length (not an indirect `N G R` reference). The
     * possessive `\d++` is load-bearing: with a greedy `\d+`, "/Length 10
@@ -198,13 +316,13 @@ object SimplePdfTextExtractor extends TextExtractor {
       val c = body.charAt(i)
       if (c == '(') {
         val (str, next) = parseString(body, i)
-        if (inText) out ++= str
+        if (inText) out ++= decodeTextString(str)
         i = next
       } else if (c == '<') {
         if (i + 1 < body.length && body.charAt(i + 1) == '<') i += 2 // dict, not a string
         else {
           val (str, next) = parseHexString(body, i)
-          if (inText) out ++= str
+          if (inText) out ++= decodeTextString(str)
           i = next
         }
       } else if (c == '%') { // comment to end of line
@@ -247,6 +365,20 @@ object SimplePdfTextExtractor extends TextExtractor {
     if (hi >= 0) out += (hi << 4).toChar // odd count: implied trailing 0
     (out.result(), i)
   }
+
+  /** PDF text strings are PDFDocEncoding (≈Latin-1 here) unless tagged
+    * with a UTF-16BE or UTF-8 BOM (PDF 32000-1 §7.9.2.2) — the standard
+    * vehicle for non-Latin show text. The parsed chars map 1:1 to the
+    * original bytes, so re-decode through the tagged charset. */
+  private def decodeTextString(raw: String): String =
+    if (raw.length >= 2 && raw.charAt(0) == 0xFE.toChar && raw.charAt(1) == 0xFF.toChar)
+      new String(raw.getBytes(StandardCharsets.ISO_8859_1), 2, raw.length - 2,
+        StandardCharsets.UTF_16BE)
+    else if (raw.length >= 3 && raw.charAt(0) == 0xEF.toChar &&
+        raw.charAt(1) == 0xBB.toChar && raw.charAt(2) == 0xBF.toChar)
+      new String(raw.getBytes(StandardCharsets.ISO_8859_1), 3, raw.length - 3,
+        StandardCharsets.UTF_8)
+    else raw
 
   private def isDelimiter(c: Char): Boolean =
     c.isWhitespace || "()<>[]{}/%".indexOf(c.toInt) >= 0

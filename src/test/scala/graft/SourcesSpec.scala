@@ -179,6 +179,96 @@ class SourcesSpec extends AnyFunSuite {
     assert(dict == "tagged\n")
   }
 
+  /** Test-only ASCII85 encoder (inverse of the extractor's decoder). */
+  private def a85(data: Array[Byte]): String = {
+    val sb = new StringBuilder
+    data.grouped(4).foreach { g =>
+      var v = 0L
+      g.foreach(b => v = (v << 8) | (b & 0xFF))
+      v <<= 8 * (4 - g.length)
+      val cs = new Array[Char](5)
+      var rem = v
+      (4 to 0 by -1).foreach { i => cs(i) = ('!' + (rem % 85).toInt).toChar; rem /= 85 }
+      if (g.length == 4 && v == 0) sb += 'z' else sb ++= cs.take(g.length + 1)
+    }
+    sb ++= "~>"
+    sb.result()
+  }
+
+  /** One-page PDF whose content stream carries an arbitrary /Filter
+    * value and pre-encoded payload; /Length is indirect so boundary
+    * detection exercises each filter's EOD logic. */
+  private def filteredPdf(filterVal: String, payload: Array[Byte]): Array[Byte] = pdfBytes(
+    "%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+    "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n",
+    "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n",
+    s"4 0 obj << /Filter $filterVal /Length 10 0 R >>\nstream\n",
+    payload,
+    "\nendstream\nendobj\n",
+    s"10 0 obj ${payload.length} endobj\n",
+    "trailer << /Size 11 /Root 1 0 R >>\n%%EOF")
+
+  test("ASCIIHexDecode and ASCII85Decode streams extract, incl. abbreviations (A2)") {
+    import graft.sources.SimplePdfTextExtractor
+    val content = "BT (ascii filter text) Tj ET"
+    val hex = content.getBytes("ISO-8859-1").map(b => f"$b%02X").mkString(" ") + ">"
+    assert(SimplePdfTextExtractor.extract(
+      filteredPdf("/ASCIIHexDecode", hex.getBytes("ISO-8859-1"))) == "ascii filter text\n")
+    assert(SimplePdfTextExtractor.extract(
+      filteredPdf("/AHx", hex.getBytes("ISO-8859-1"))) == "ascii filter text\n")
+    val b85 = a85(content.getBytes("ISO-8859-1"))
+    assert(SimplePdfTextExtractor.extract(
+      filteredPdf("/ASCII85Decode", b85.getBytes("ISO-8859-1"))) == "ascii filter text\n")
+    assert(SimplePdfTextExtractor.extract(
+      filteredPdf("/A85", b85.getBytes("ISO-8859-1"))) == "ascii filter text\n")
+    // 'z' shorthand for an all-zero group: four NUL bytes at a 4-byte
+    // boundary encode as one 'z' (the token scanner skips NULs, so only
+    // the shown string survives in the output)
+    val zsrc = "\u0000\u0000\u0000\u0000BT (z ok) Tj ET"
+    val zpay = a85(zsrc.getBytes("ISO-8859-1"))
+    assert(zpay.startsWith("z"), "fixture must actually exercise the 'z' shorthand")
+    assert(SimplePdfTextExtractor.extract(
+      filteredPdf("/A85", zpay.getBytes("ISO-8859-1"))) == "z ok\n")
+  }
+
+  test("chained filters decode in spec order: [/ASCII85Decode /FlateDecode] (A2)") {
+    import graft.sources.SimplePdfTextExtractor
+    // encoder applies Flate then ASCII85; decoder must run ASCII85 first,
+    // then inflate (the /Filter array lists DECODE order)
+    val content = "BT (chained filters work) Tj ET"
+    val enc = a85(deflate(content))
+    assert(SimplePdfTextExtractor.extract(
+      filteredPdf("[/ASCII85Decode /FlateDecode]", enc.getBytes("ISO-8859-1")))
+      == "chained filters work\n")
+    val encHex = (deflate(content).map(b => f"$b%02X").mkString + ">")
+    assert(SimplePdfTextExtractor.extract(
+      filteredPdf("[/AHx /Fl]", encHex.getBytes("ISO-8859-1")))
+      == "chained filters work\n")
+    // unsupported filter anywhere in the chain: no text, no garbage
+    assert(SimplePdfTextExtractor.extract(
+      filteredPdf("[/LZWDecode /FlateDecode]", enc.getBytes("ISO-8859-1"))) == "")
+    // indirect /Filter reference: unsupported (needs xref walk), not
+    // misread as unfiltered raw text
+    assert(SimplePdfTextExtractor.extract(
+      filteredPdf("11 0 R", content.getBytes("ISO-8859-1"))) == "")
+  }
+
+  test("BOM-tagged show strings decode as UTF-16BE / UTF-8 (A2)") {
+    import graft.sources.SimplePdfTextExtractor
+    // <FEFF...> hex string: UTF-16BE "Hí" (0048 00ED)
+    val utf16 = SimplePdfTextExtractor.extract(
+      goldenPdf("BT <FEFF004800ED> Tj ET", filtered = false))
+    assert(utf16 == "Hí\n")
+    // literal string with UTF-8 BOM bytes (EF BB BF) + "héllo" in UTF-8
+    val lit = "BT (ï»¿hÃ©llo) Tj ET"
+    val utf8 = SimplePdfTextExtractor.extract(goldenPdf(lit, filtered = false))
+    assert(utf8 == "héllo\n")
+    // no BOM: bytes stay Latin-1 (PDFDocEncoding approximation)
+    val plain = SimplePdfTextExtractor.extract(
+      goldenPdf("BT <48E9> Tj ET", filtered = false))
+    assert(plain == "Hé\n")
+  }
+
   test("compressed PDF flows through the full ingest pipeline without routing to OCR") {
     import graft.sources.{FallbackExtractor, OcrExtractor, SimplePdfTextExtractor}
     object TrapOcr extends OcrExtractor {
