@@ -39,17 +39,21 @@ object Utf8TextExtractor extends TextExtractor {
   * (streamlit_app.py:63).
   *
   * Supported stream filters (decoded dep-free, including chains in the
-  * spec's decode order): `/FlateDecode` (zlib), `/ASCIIHexDecode`,
+  * spec's decode order): `/FlateDecode` (zlib), `/LZWDecode` (honoring
+  * `/EarlyChange`), `/RunLengthDecode`, `/ASCIIHexDecode`,
   * `/ASCII85Decode`, plus their inline-image abbreviations `/Fl`,
-  * `/AHx`, `/A85` — e.g. `[/ASCII85Decode /FlateDecode]` works. Shown
-  * strings carrying a UTF-16BE (or UTF-8) BOM are decoded as such, per
-  * PDF 32000-1 §7.9.2.2.
+  * `/LZW`, `/RL`, `/AHx`, `/A85` — e.g. `[/ASCII85Decode /FlateDecode]`
+  * works. An indirect `/Length N G R` is resolved by locating the
+  * `N G obj` integer in the file (no xref walk needed for the direct-int
+  * case every real producer emits). Shown strings carrying a UTF-16BE
+  * (or UTF-8) BOM are decoded as such, per PDF 32000-1 §7.9.2.2.
   *
   * Honest scope (ref op A2, streamlit_app.py:60-71): streams with other
-  * filters (DCTDecode images, LZW, CCITT, RunLength), or any
-  * `/DecodeParms`/`/DP` predictor (flate+predictor xref/object streams,
-  * ubiquitous in PDF 1.5+), have no recoverable text layer here, so they
-  * contribute "" and [[FallbackExtractor]] routes whitespace-only
+  * filters (DCTDecode images, CCITT, JBIG2, JPX), or a `/DecodeParms`/
+  * `/DP` `/Predictor` ≥ 2 (flate+predictor xref/object streams,
+  * ubiquitous in PDF 1.5+ — the decoded bytes are PNG-row-filtered
+  * binary, never a text layer), have no recoverable text layer here, so
+  * they contribute "" and [[FallbackExtractor]] routes whitespace-only
   * documents to OCR — the same path the reference takes for scanned
   * pages. Hex show-text operands (`<48656C6C6F> Tj`) decode as raw
   * Latin-1 bytes unless BOM-tagged; subset-font CMap/ToUnicode
@@ -81,10 +85,21 @@ object SimplePdfTextExtractor extends TextExtractor {
         var dataStart = k + 6
         if (dataStart < s.length && s.charAt(dataStart) == '\r') dataStart += 1
         if (dataStart < s.length && s.charAt(dataStart) == '\n') dataStart += 1
-        // any predictor (/DecodeParms, abbreviated /DP) means the inflated
-        // bytes are row-filtered binary, never a text layer
-        val hasParms = "/(?:DecodeParms|DP)\\b".r.findFirstIn(dict).isDefined
-        val lenEnd = directLength(dict).collect {
+        // a /Predictor >= 2 means the decoded bytes are PNG/TIFF
+        // row-filtered binary, never a text layer; an indirect
+        // /DecodeParms ref can't be inspected, so reject conservatively.
+        // /Predictor 1 (none) and /EarlyChange are benign.
+        val hasParms =
+          "/Predictor\\s+(\\d++)".r.findFirstMatchIn(dict)
+            .flatMap(_.group(1).toIntOption).exists(_ >= 2) ||
+          // the lookahead spans the whitespace too: with `\s*(?![<\[])`
+          // outside it, the engine backtracks \s* to zero and "passes"
+          // the lookahead on the space itself
+          "/(?:DecodeParms|DP)\\b(?!\\s*[<\\[])".r.findFirstIn(dict).isDefined
+        val earlyChange =
+          "/EarlyChange\\s+(\\d++)".r.findFirstMatchIn(dict)
+            .flatMap(_.group(1).toIntOption).getOrElse(1)
+        val lenEnd = directLength(dict).orElse(indirectLength(dict, s)).collect {
           case n if dataStart + n.toLong <= s.length => dataStart + n
         }
         val filters = filterNames(dict)
@@ -100,7 +115,7 @@ object SimplePdfTextExtractor extends TextExtractor {
             case Some(end) =>
               // exact payload slice defeats embedded literal "endstream";
               // each decoder ignores trailing bytes past its own EOD
-              decodeChain(s.substring(dataStart, end), chain)
+              decodeChain(s.substring(dataStart, end), chain, earlyChange)
                 .foreach(t => shownText(t, out))
               pos = skipEndstream(s, end)
             case None =>
@@ -110,7 +125,7 @@ object SimplePdfTextExtractor extends TextExtractor {
                   // the EOD '>' (or the first endstream) bounds the data
                   val eod = s.indexOf('>', dataStart)
                   val end = if (eod < 0) s.length else eod + 1
-                  decodeChain(s.substring(dataStart, end), chain)
+                  decodeChain(s.substring(dataStart, end), chain, earlyChange)
                     .foreach(t => shownText(t, out))
                   pos = skipEndstream(s, end)
                 case "ASCII85Decode" | "A85" =>
@@ -118,7 +133,7 @@ object SimplePdfTextExtractor extends TextExtractor {
                   // marker cannot appear in valid data — bound by it
                   val eod = s.indexOf("~>", dataStart)
                   val end = if (eod < 0) s.length else eod + 2
-                  decodeChain(s.substring(dataStart, end), chain)
+                  decodeChain(s.substring(dataStart, end), chain, earlyChange)
                     .foreach(t => shownText(t, out))
                   pos = skipEndstream(s, end)
                 case _ =>
@@ -131,7 +146,7 @@ object SimplePdfTextExtractor extends TextExtractor {
                   var attempts = 0
                   var done = false
                   while (!done && e >= 0 && attempts < 8) {
-                    decodeChain(s.substring(dataStart, e), chain) match {
+                    decodeChain(s.substring(dataStart, e), chain, earlyChange) match {
                       case Some(t) =>
                         shownText(t, out)
                         done = true
@@ -196,22 +211,90 @@ object SimplePdfTextExtractor extends TextExtractor {
 
   /** Filters decodable here, by spec name and inline-image abbreviation. */
   private val Decoders: Set[String] =
-    Set("FlateDecode", "Fl", "ASCIIHexDecode", "AHx", "ASCII85Decode", "A85")
+    Set("FlateDecode", "Fl", "LZWDecode", "LZW", "RunLengthDecode", "RL",
+      "ASCIIHexDecode", "AHx", "ASCII85Decode", "A85")
 
   /** Apply the filter chain in decode order; None as soon as any stage
     * hits truncated/corrupt data. Returns the decoded content stream as
     * ISO-8859-1 chars (1:1 bytes). */
-  private def decodeChain(raw: String, chain: Seq[String]): Option[String] =
+  private def decodeChain(raw: String, chain: Seq[String],
+      earlyChange: Int): Option[String] =
     chain.foldLeft(Option(raw.getBytes(StandardCharsets.ISO_8859_1))) { (acc, f) =>
       acc.flatMap { bytes =>
         f match {
           case "FlateDecode" | "Fl" => inflate(bytes)
+          case "LZWDecode" | "LZW" => lzwDecode(bytes, earlyChange)
+          case "RunLengthDecode" | "RL" => runLengthDecode(bytes)
           case "ASCIIHexDecode" | "AHx" => asciiHexDecode(bytes)
           case "ASCII85Decode" | "A85" => ascii85Decode(bytes)
           case _ => None
         }
       }
     }.map(new String(_, StandardCharsets.ISO_8859_1))
+
+  /** LZWDecode (§7.4.4): TIFF-style LZW. 9-bit codes growing to 12;
+    * code 256 clears the table, 257 is EOD; with `/EarlyChange 1` (the
+    * default) the code width bumps one entry early. Strict: data that
+    * ends without EOD or contains an out-of-range code decodes to None,
+    * which keeps the endstream candidate-extension boundary scan sound
+    * (a truncated slice never "accidentally" decodes). */
+  private def lzwDecode(data: Array[Byte], earlyChange: Int): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 3))
+    val table = new Array[Array[Byte]](4096)
+    var b = 0
+    while (b < 256) { table(b) = Array(b.toByte); b += 1 }
+    var next = 258
+    var width = 9
+    var prev: Array[Byte] = null
+    var acc = 0
+    var nbits = 0
+    var i = 0
+    while (i < data.length) {
+      acc = (acc << 8) | (data(i) & 0xFF)
+      nbits += 8
+      i += 1
+      while (nbits >= width) {
+        val code = (acc >>> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if (code == 256) { next = 258; width = 9; prev = null }
+        else if (code == 257) return Some(out.toByteArray)
+        else {
+          val entry: Array[Byte] =
+            if (code < next && table(code) != null) table(code)
+            else if (code == next && prev != null) prev :+ prev(0) // KwKwK
+            else return None // out-of-range code: corrupt/truncated
+          out.write(entry, 0, entry.length)
+          if (prev != null && next < 4096) { table(next) = prev :+ entry(0); next += 1 }
+          prev = entry
+          if (width < 12 && next + earlyChange >= (1 << width)) width += 1
+        }
+      }
+    }
+    None // ran out of data without EOD
+  }
+
+  /** RunLengthDecode (§7.4.5): length byte L ∈ [0,127] copies the next
+    * L+1 bytes, L ∈ [129,255] repeats the next byte 257−L times, 128 is
+    * EOD. Strict on EOD for the same boundary-scan reason as LZW. */
+  private def runLengthDecode(data: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 2))
+    var i = 0
+    while (i < data.length) {
+      val l = data(i) & 0xFF
+      if (l == 128) return Some(out.toByteArray)
+      else if (l < 128) {
+        if (i + 2 + l > data.length) return None // literal run truncated
+        out.write(data, i + 1, l + 1)
+        i += l + 2
+      } else {
+        if (i + 1 >= data.length) return None // repeat byte missing
+        var n = 257 - l
+        while (n > 0) { out.write(data(i + 1)); n -= 1 }
+        i += 2
+      }
+    }
+    None // ran out of data without EOD
+  }
 
   /** ASCIIHexDecode (§7.4.2): hex pairs, whitespace ignored, '>' is EOD
     * (odd final digit gets an implied 0). Any other byte is corrupt. */
@@ -283,6 +366,17 @@ object SimplePdfTextExtractor extends TextExtractor {
   private def directLength(dict: String): Option[Int] =
     "/Length\\s+(\\d++)(?!\\s+\\d+\\s+R)".r.findFirstMatchIn(dict)
       .flatMap(_.group(1).toIntOption)
+
+  /** Resolve an indirect `/Length N G R` by locating `N G obj <int>` in
+    * the document — every real producer stores the deferred length as a
+    * bare integer object, so a full xref walk is unnecessary. None when
+    * the object is absent/non-integer (the caller then falls back to
+    * EOD/boundary scanning). */
+  private def indirectLength(dict: String, doc: String): Option[Int] =
+    "/Length\\s+(\\d+)\\s+(\\d+)\\s+R".r.findFirstMatchIn(dict).flatMap { m =>
+      ("(?<![0-9])" + m.group(1) + "\\s+" + m.group(2) + "\\s+obj\\b\\s*(\\d++)").r
+        .findFirstMatchIn(doc).flatMap(_.group(1).toIntOption)
+    }
 
   /** zlib-inflate; None on truncated/corrupt data or a preset-dictionary
     * stream (never used by PDF producers). */

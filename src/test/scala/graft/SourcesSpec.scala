@@ -113,19 +113,38 @@ class SourcesSpec extends AnyFunSuite {
   test("indirect /Length N G R: multi-digit object numbers do not misparse as direct (A2)") {
     import graft.sources.SimplePdfTextExtractor
     // '/Length 10 0 R' must NOT parse as direct length 1 (greedy-regex
-    // backtracking shrinks (\d+) to '1' so the lookahead passes); with no
-    // usable direct length the extractor scans for the stream boundary
+    // backtracking shrinks (\d+) to '1' so the lookahead passes); the ref
+    // resolves through the '10 0 obj <int>' object to an exact slice
     def indirectPdf(payload: Array[Byte]): Array[Byte] = flatePdf(Seq(payload),
       lengthOf = _ => "10 0 R",
       extraObjs = ps => s"10 0 obj ${ps.head.length} endobj\n")
     val simple = indirectPdf(deflate("BT (indirect length works) Tj ET"))
     assert(SimplePdfTextExtractor.extract(simple) == "indirect length works\n")
-    // embedded literal 'endstream' + indirect /Length: the first candidate
-    // boundary is inside the compressed bytes (truncated zlib -> None);
-    // the extractor extends to the next candidate and recovers the text
+    // embedded literal 'endstream' + resolvable indirect /Length: the
+    // resolved exact slice never even sees the embedded keyword
     val tricky = deflate("BT (pre endstream post) Tj ET", level = 0)
     assert(new String(tricky, "ISO-8859-1").contains("endstream"))
     assert(SimplePdfTextExtractor.extract(indirectPdf(tricky)) == "pre endstream post\n")
+    // UNRESOLVABLE indirect /Length (no such object) + embedded
+    // 'endstream': the first candidate boundary is inside the compressed
+    // bytes (truncated zlib -> None); the extractor extends to the next
+    // candidate and recovers the text
+    val unresolvable = flatePdf(Seq(tricky), lengthOf = _ => "99 0 R")
+    assert(SimplePdfTextExtractor.extract(unresolvable) == "pre endstream post\n")
+  }
+
+  test("indirect /Length on an UNFILTERED stream: exact slice recovers text past an embedded 'endstream' (A2)") {
+    import graft.sources.SimplePdfTextExtractor
+    // For raw (unfiltered) payloads there is no decode-failure signal to
+    // detect a truncated boundary, so only a resolved /Length can carry
+    // the scan past a literal 'endstream' inside the shown text
+    val content = "BT (before endstream after) Tj ET"
+    val resolved = filteredPdf("", content.getBytes("ISO-8859-1"))
+    assert(SimplePdfTextExtractor.extract(resolved) == "before endstream after\n")
+    // unresolvable: the scan must stop at the first 'endstream' (the
+    // safe truncation) rather than swallowing the rest of the file
+    val lost = filteredPdf("", content.getBytes("ISO-8859-1"), resolvable = false)
+    assert(SimplePdfTextExtractor.extract(lost) == "before ")
   }
 
   test("nested /DecodeParms sub-dict: predictor streams contribute no garbage text (A2)") {
@@ -196,31 +215,51 @@ class SourcesSpec extends AnyFunSuite {
   }
 
   /** One-page PDF whose content stream carries an arbitrary /Filter
-    * value and pre-encoded payload; /Length is indirect so boundary
-    * detection exercises each filter's EOD logic. */
-  private def filteredPdf(filterVal: String, payload: Array[Byte]): Array[Byte] = pdfBytes(
-    "%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
-    "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n",
-    "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n",
-    s"4 0 obj << /Filter $filterVal /Length 10 0 R >>\nstream\n",
-    payload,
-    "\nendstream\nendobj\n",
-    s"10 0 obj ${payload.length} endobj\n",
-    "trailer << /Size 11 /Root 1 0 R >>\n%%EOF")
+    * value and pre-encoded payload. /Length is always the indirect ref
+    * `10 0 R`: with `resolvable = true` the `10 0 obj` integer exists
+    * (exercising indirect-length resolution → exact payload slice);
+    * with `false` it does not, so boundary detection exercises each
+    * filter's EOD logic. `filterVal = ""` omits the /Filter key
+    * (unfiltered stream). `extraDict` splices additional entries
+    * (e.g. a /DecodeParms sub-dict) into the stream dict. */
+  private def filteredPdf(filterVal: String, payload: Array[Byte],
+      resolvable: Boolean = true, extraDict: String = ""): Array[Byte] = {
+    val filterEntry = if (filterVal.isEmpty) "" else s"/Filter $filterVal "
+    pdfBytes(
+      "%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n",
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n",
+      s"4 0 obj << $filterEntry$extraDict/Length 10 0 R >>\nstream\n",
+      payload,
+      "\nendstream\nendobj\n",
+      if (resolvable) s"10 0 obj ${payload.length} endobj\n" else "",
+      "trailer << /Size 11 /Root 1 0 R >>\n%%EOF")
+  }
 
   test("ASCIIHexDecode and ASCII85Decode streams extract, incl. abbreviations (A2)") {
     import graft.sources.SimplePdfTextExtractor
     val content = "BT (ascii filter text) Tj ET"
     val hex = content.getBytes("ISO-8859-1").map(b => f"$b%02X").mkString(" ") + ">"
-    assert(SimplePdfTextExtractor.extract(
-      filteredPdf("/ASCIIHexDecode", hex.getBytes("ISO-8859-1"))) == "ascii filter text\n")
-    assert(SimplePdfTextExtractor.extract(
-      filteredPdf("/AHx", hex.getBytes("ISO-8859-1"))) == "ascii filter text\n")
+    // resolvable /Length -> exact slice; unresolvable -> the '>' EOD
+    // marker bounds the data (hex cannot spell 'endstream')
+    for (res <- Seq(true, false)) {
+      assert(SimplePdfTextExtractor.extract(
+        filteredPdf("/ASCIIHexDecode", hex.getBytes("ISO-8859-1"), resolvable = res))
+        == "ascii filter text\n")
+      assert(SimplePdfTextExtractor.extract(
+        filteredPdf("/AHx", hex.getBytes("ISO-8859-1"), resolvable = res))
+        == "ascii filter text\n")
+    }
     val b85 = a85(content.getBytes("ISO-8859-1"))
-    assert(SimplePdfTextExtractor.extract(
-      filteredPdf("/ASCII85Decode", b85.getBytes("ISO-8859-1"))) == "ascii filter text\n")
-    assert(SimplePdfTextExtractor.extract(
-      filteredPdf("/A85", b85.getBytes("ISO-8859-1"))) == "ascii filter text\n")
+    // unresolvable -> the '~>' EOD marker bounds the data
+    for (res <- Seq(true, false)) {
+      assert(SimplePdfTextExtractor.extract(
+        filteredPdf("/ASCII85Decode", b85.getBytes("ISO-8859-1"), resolvable = res))
+        == "ascii filter text\n")
+      assert(SimplePdfTextExtractor.extract(
+        filteredPdf("/A85", b85.getBytes("ISO-8859-1"), resolvable = res))
+        == "ascii filter text\n")
+    }
     // 'z' shorthand for an all-zero group: four NUL bytes at a 4-byte
     // boundary encode as one 'z' (the token scanner skips NULs, so only
     // the shown string survives in the output)
@@ -228,7 +267,7 @@ class SourcesSpec extends AnyFunSuite {
     val zpay = a85(zsrc.getBytes("ISO-8859-1"))
     assert(zpay.startsWith("z"), "fixture must actually exercise the 'z' shorthand")
     assert(SimplePdfTextExtractor.extract(
-      filteredPdf("/A85", zpay.getBytes("ISO-8859-1"))) == "z ok\n")
+      filteredPdf("/A85", zpay.getBytes("ISO-8859-1"), resolvable = false)) == "z ok\n")
   }
 
   test("chained filters decode in spec order: [/ASCII85Decode /FlateDecode] (A2)") {
@@ -246,11 +285,104 @@ class SourcesSpec extends AnyFunSuite {
       == "chained filters work\n")
     // unsupported filter anywhere in the chain: no text, no garbage
     assert(SimplePdfTextExtractor.extract(
-      filteredPdf("[/LZWDecode /FlateDecode]", enc.getBytes("ISO-8859-1"))) == "")
+      filteredPdf("[/DCTDecode /FlateDecode]", enc.getBytes("ISO-8859-1"))) == "")
     // indirect /Filter reference: unsupported (needs xref walk), not
     // misread as unfiltered raw text
     assert(SimplePdfTextExtractor.extract(
       filteredPdf("11 0 R", content.getBytes("ISO-8859-1"))) == "")
+  }
+
+  /** Test-only PDF LZW encoder (§7.4.4 inverse): 9→12-bit codes
+    * MSB-first, Clear (256) first, EOD (257) last; the code width bumps
+    * when `next + earlyChange - 1` fills the current width — one entry
+    * ahead of the decoder, whose table lags the encoder's by one. */
+  private def lzwEncode(data: Array[Byte], earlyChange: Int = 1): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var acc = 0L
+    var nbits = 0
+    var width = 9
+    def emit(code: Int): Unit = {
+      acc = (acc << width) | code; nbits += width
+      while (nbits >= 8) { out.write(((acc >> (nbits - 8)) & 0xFF).toInt); nbits -= 8 }
+    }
+    val dict = scala.collection.mutable.HashMap.empty[Seq[Byte], Int]
+    var next = 258
+    emit(256) // Clear
+    var w = Vector.empty[Byte]
+    def codeOf(seq: Seq[Byte]): Int = if (seq.length == 1) seq.head & 0xFF else dict(seq)
+    data.foreach { byt =>
+      val wk = w :+ byt
+      if (wk.length == 1 || dict.contains(wk)) w = wk
+      else {
+        emit(codeOf(w))
+        if (next < 4096) {
+          dict(wk) = next; next += 1
+          if (width < 12 && next + earlyChange - 1 >= (1 << width)) width += 1
+        }
+        w = Vector(byt)
+      }
+    }
+    if (w.nonEmpty) emit(codeOf(w))
+    emit(257) // EOD
+    if (nbits > 0) out.write(((acc << (8 - nbits)) & 0xFF).toInt)
+    out.toByteArray
+  }
+
+  test("LZWDecode streams extract, incl. /EarlyChange 0 and code-width growth (A2)") {
+    import graft.sources.SimplePdfTextExtractor
+    // enough distinct digrams to push the code table past 511 entries,
+    // so the 9->10 bit width bump (and its EarlyChange timing) is
+    // actually exercised — a width mismatch derails every later code
+    val texts = (0 until 150).map(i => s"lzw token ${i * 37 % 997} #$i")
+    val content = texts.map(t => s"BT ($t) Tj ET").mkString("\n")
+    val expected = texts.map(_ + "\n").mkString
+    val enc1 = lzwEncode(content.getBytes("ISO-8859-1"))
+    assert(enc1.length > 512 * 10 / 8, "fixture must grow past 9-bit codes")
+    assert(SimplePdfTextExtractor.extract(filteredPdf("/LZWDecode", enc1)) == expected)
+    assert(SimplePdfTextExtractor.extract(filteredPdf("/LZW", enc1)) == expected)
+    // /EarlyChange 0 shifts every width bump by one entry; the decoder
+    // must honor the parm (and a benign parm dict must not be rejected)
+    val enc0 = lzwEncode(content.getBytes("ISO-8859-1"), earlyChange = 0)
+    assert(SimplePdfTextExtractor.extract(filteredPdf("/LZWDecode", enc0,
+      extraDict = "/DecodeParms << /EarlyChange 0 >> ")) == expected)
+    // ...and the wrong EarlyChange timing must fail closed ("" not garbage)
+    assert(SimplePdfTextExtractor.extract(filteredPdf("/LZWDecode", enc0)) == "")
+    // unresolvable /Length: strict-EOD decode keeps the endstream
+    // candidate-extension scan sound for LZW payloads too
+    assert(SimplePdfTextExtractor.extract(
+      filteredPdf("/LZWDecode", enc1, resolvable = false)) == expected)
+    // chain: ASCII85 text-armored LZW decodes in spec order
+    val chained = a85(enc1).getBytes("ISO-8859-1")
+    assert(SimplePdfTextExtractor.extract(
+      filteredPdf("[/ASCII85Decode /LZWDecode]", chained)) == expected)
+  }
+
+  test("RunLengthDecode streams extract; literal and repeat runs both decode (A2)") {
+    import graft.sources.SimplePdfTextExtractor
+    def lit(s: String): Array[Byte] =
+      (s.length - 1).toByte +: s.getBytes("ISO-8859-1")
+    // hand-assembled RL payload: literal run + 20-byte repeat run ('A'
+    // x20 encodes as two bytes) + literal run + EOD (128)
+    val payload = lit("BT (ab") ++ Array((257 - 20).toByte, 'A'.toByte) ++
+      lit(") Tj ET") ++ Array(128.toByte)
+    val expected = "ab" + ("A" * 20) + "\n"
+    assert(SimplePdfTextExtractor.extract(filteredPdf("/RunLengthDecode", payload)) == expected)
+    assert(SimplePdfTextExtractor.extract(filteredPdf("/RL", payload)) == expected)
+    // truncated RL data (missing EOD) fails closed
+    assert(SimplePdfTextExtractor.extract(
+      filteredPdf("/RunLengthDecode", payload.dropRight(1))) == "")
+  }
+
+  test("benign /DecodeParms (/Predictor 1) is not rejected; /Predictor 2+ still is (A2)") {
+    import graft.sources.SimplePdfTextExtractor
+    val payload = deflate("BT (predictor one is none) Tj ET")
+    assert(SimplePdfTextExtractor.extract(filteredPdf("/FlateDecode", payload,
+      extraDict = "/DecodeParms << /Predictor 1 >> ")) == "predictor one is none\n")
+    assert(SimplePdfTextExtractor.extract(filteredPdf("/FlateDecode", payload,
+      extraDict = "/DecodeParms << /Predictor 12 /Columns 4 >> ")) == "")
+    // an indirect /DecodeParms ref cannot be inspected: fail closed
+    assert(SimplePdfTextExtractor.extract(filteredPdf("/FlateDecode", payload,
+      extraDict = "/DecodeParms 12 0 R ")) == "")
   }
 
   test("BOM-tagged show strings decode as UTF-16BE / UTF-8 (A2)") {
