@@ -1208,6 +1208,52 @@ object SparkEntry {
         .toDF("n_rows", "retention_ok", "count_stable", "query_same", "gc_ok")
     }),
 
+    // REAL image decode at the gate: render a solid-fill PNG per doc
+    // with closed-form dims/color from doc_id, full-decode it back
+    // through javax.imageio (withImageStats), and let the oracle
+    // recompute the expectation arithmetically — a genuine codec
+    // roundtrip under the hash gate (PNG is lossless, so the decoded
+    // channel means are exactly the fill color).
+    "q102_image_decode" -> ((s, dir) => {
+      import s.implicits._
+      val mk = udf { (id: Long) =>
+        graft.operators.Multimodal.syntheticPng(
+          (48 + id % 32).toInt, (32 + id % 16).toInt,
+          (id * 7 % 256).toInt, (id * 13 % 256).toInt, (id * 31 % 256).toInt)
+      }
+      val bin = t(s, dir, "documents").select($"doc_id").withColumn("blob", mk($"doc_id"))
+      graft.operators.Multimodal.withImageStats(bin, "blob")
+        .select($"doc_id",
+          $"image_stats.format".as("format"),
+          $"image_stats.width".as("width"),
+          $"image_stats.height".as("height"),
+          $"image_stats.avg_r".as("avg_r"),
+          $"image_stats.avg_g".as("avg_g"),
+          $"image_stats.avg_b".as("avg_b"))
+        .orderBy($"doc_id")
+    }),
+
+    // REAL WAV/PCM audio parse at the gate: synthesize PCM16 WAV bytes
+    // per doc (rate/channels/frames closed-form in doc_id), parse them
+    // back with the dep-free RIFF chunk walker; oracle recomputes
+    // arithmetically.
+    "q103_audio_decode" -> ((s, dir) => {
+      import s.implicits._
+      val mk = udf { (id: Long) =>
+        graft.operators.Multimodal.syntheticWav(
+          8000, (1 + id % 2).toInt, (400 + id % 256).toInt, seed = id)
+      }
+      val bin = t(s, dir, "documents").select($"doc_id").withColumn("blob", mk($"doc_id"))
+      graft.operators.Multimodal.withAudioMeta(bin, "blob")
+        .select($"doc_id",
+          $"audio_meta.format".as("format"),
+          $"audio_meta.sample_rate".as("sample_rate"),
+          $"audio_meta.channels".as("channels"),
+          $"audio_meta.bits".as("bits"),
+          $"audio_meta.n_frames".as("n_frames"))
+        .orderBy($"doc_id")
+    }),
+
     "q100_nfc_normalize" -> ((s, dir) => {
       import s.implicits._
       val tn = graft.functions.textnorm
@@ -2338,6 +2384,23 @@ object SparkEntry {
       """SELECT COUNT(*) AS n_rows, TRUE AS retention_ok, TRUE AS count_stable,
         |  TRUE AS query_same, TRUE AS gc_ok
         |FROM embeddings""".stripMargin,
+
+    "q102_image_decode" ->
+      """SELECT doc_id, 'png' AS format,
+        |  CAST(48 + doc_id % 32 AS INT) AS width,
+        |  CAST(32 + doc_id % 16 AS INT) AS height,
+        |  CAST(doc_id * 7 % 256 AS INT) AS avg_r,
+        |  CAST(doc_id * 13 % 256 AS INT) AS avg_g,
+        |  CAST(doc_id * 31 % 256 AS INT) AS avg_b
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q103_audio_decode" ->
+      """SELECT doc_id, 'wav' AS format,
+        |  CAST(8000 AS INT) AS sample_rate,
+        |  CAST(1 + doc_id % 2 AS INT) AS channels,
+        |  CAST(16 AS INT) AS bits,
+        |  CAST(400 + doc_id % 256 AS BIGINT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q100_nfc_normalize" ->
       s"""SELECT doc_id,

@@ -5,14 +5,20 @@ import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.types._
 
 /** Multimodal (image/audio/video) columns as opaque binary + typed
-  * metadata (BASELINE north star). The zero-egress container ships no
-  * codecs, so the decode step is a pluggable trait with a deterministic
-  * stub — the Spark-side contract is the real deliverable: binary
-  * columns flow through a BATCHED `mapPartitions` (the JVM analogue of
-  * `mapInPandas`' Arrow-batch shape: decoder init once per partition,
-  * rows processed in bounded batches, output schema typed), and the
-  * result is an ordinary column, so partitioning/pushdown/codegen
-  * around it are untouched.
+  * metadata (BASELINE north star). Binary columns flow through a
+  * BATCHED `mapPartitions` (the JVM analogue of `mapInPandas`' Arrow-
+  * batch shape: decoder init once per partition, rows processed in
+  * bounded batches, output schema typed), and the result is an ordinary
+  * column, so partitioning/pushdown/codegen around it are untouched.
+  *
+  * Codec reality in this zero-egress container: **image decode is REAL**
+  * (the JDK ships `javax.imageio` — PNG/JPEG/BMP/GIF/WBMP, headless-
+  * safe, see [[ImageIoDecoder]]/[[withImageStats]]), **WAV/PCM audio
+  * parsing is REAL** (dep-free RIFF chunk walk, [[wavHeader]]/
+  * [[withAudioMeta]]). Video keyframe decode has no JDK codec, so frame
+  * sampling stays a documented byte-range stub ([[sampleFrames]]), as
+  * does the generic [[StubDecoder]] kept for format-agnostic plumbing
+  * tests.
   */
 object Multimodal {
 
@@ -34,6 +40,41 @@ object Multimodal {
         val n = if (b == null) 0L else b.length.toLong
         MediaMeta("stub", n, (320 + n % 320).toInt, (240 + n % 240).toInt)
       }
+  }
+
+  /** Real image metadata via the JDK's `javax.imageio`: format + dims
+    * come from the stream header (no full pixel decode — a reader
+    * parses IHDR/SOF/etc. only), so this is cheap enough for a
+    * 100 TB metadata sweep. Undecodable blobs yield
+    * ("unknown", n, 0, 0) rather than failing the batch (the ref
+    * swallows per-page decode errors, streamlit_app.py:84-86). */
+  final class ImageIoDecoder extends MediaDecoder {
+    override def decodeBatch(batch: Seq[Array[Byte]]): Seq[MediaMeta] =
+      batch.map { b =>
+        if (b == null) MediaMeta("unknown", 0L, 0, 0)
+        else imageHeader(b) match {
+          case Some((fmt, w, h)) => MediaMeta(fmt, b.length.toLong, w, h)
+          case None => MediaMeta("unknown", b.length.toLong, 0, 0)
+        }
+      }
+  }
+
+  /** (format, width, height) from the image header. Returns None for
+    * bytes no registered ImageIO reader recognizes. */
+  def imageHeader(bytes: Array[Byte]): Option[(String, Int, Int)] = {
+    javax.imageio.ImageIO.setUseCache(false) // no tmp-file spooling on executors
+    val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          Some((r.getFormatName.toLowerCase, r.getWidth(0), r.getHeight(0)))
+        } finally r.dispose()
+      }
+    } catch { case _: Exception => None } finally if (iis != null) iis.close()
   }
 
   private val metaType = StructType(Seq(
@@ -76,6 +117,161 @@ object Multimodal {
       }
     }
     f(bin)
+  }
+
+  private val imageStatsType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("avg_r", IntegerType, nullable = false),
+    StructField("avg_g", IntegerType, nullable = false),
+    StructField("avg_b", IntegerType, nullable = false)))
+
+  /** Append an `image_stats` struct — REAL full-pixel decode through
+    * `javax.imageio` (format, dims, per-channel mean in [0,255]) — via
+    * the same batched-mapPartitions shape as [[withMeta]]. Undecodable
+    * or null blobs yield a null struct. Means are floor(sum/pixels),
+    * exact for solid fills (the oracle-checkable case). */
+  def withImageStats(df: DataFrame, binCol: String, batchSize: Int = 64): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("image_stats", imageStatsType, nullable = true))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = RowEncoder.encoderFor(schema)
+    df.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val stats =
+            if (r.isNullAt(binIdx)) null
+            else decodeImageStats(r.getAs[Array[Byte]](binIdx)).map { s =>
+              Row(s._1, s._2, s._3, s._4, s._5, s._6)
+            }.orNull
+          Row.fromSeq(r.toSeq :+ stats)
+        }
+      }
+    }(enc)
+  }
+
+  /** Full decode + channel means; None when no reader takes the bytes. */
+  private def decodeImageStats(bytes: Array[Byte])
+      : Option[(String, Int, Int, Int, Int, Int)] =
+    try {
+      imageHeader(bytes).flatMap { case (fmt, _, _) =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var i = 0
+          while (i < px.length) {
+            val p = px(i)
+            sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+            i += 1
+          }
+          val n = px.length.toLong
+          Some((fmt, w, h, (sr / n).toInt, (sg / n).toInt, (sb / n).toInt))
+        }
+      }
+    } catch { case _: Exception => None }
+
+  /** Deterministic solid-fill PNG — the closed-form test/oracle vehicle:
+    * PNG is lossless, so decode must return exactly (w, h, r, g, b). */
+  def syntheticPng(width: Int, height: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = ((r & 0xFF) << 16) | ((g & 0xFF) << 8) | (b & 0xFF)
+    img.setRGB(0, 0, width, height, Array.fill(width * height)(rgb), 0, width)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Typed audio metadata (the WAV analogue of [[MediaMeta]]). */
+  final case class AudioMeta(
+      format: String, sampleRate: Int, channels: Int,
+      bitsPerSample: Int, nFrames: Long)
+
+  private val audioMetaType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("bits", IntegerType, nullable = false),
+    StructField("n_frames", LongType, nullable = false)))
+
+  /** REAL dep-free WAV (RIFF) parse: walks the chunk list for `fmt ` +
+    * `data`, honoring chunk sizes and word alignment — extra chunks
+    * (LIST/INFO/fact) are skipped, not tripped over. PCM and IEEE-float
+    * formats accepted. None on anything that is not a complete WAV. */
+  def wavHeader(bytes: Array[Byte]): Option[AudioMeta] = {
+    def le16(o: Int) = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+    def le32(o: Int) = (bytes(o) & 0xFFL) | ((bytes(o + 1) & 0xFFL) << 8) |
+      ((bytes(o + 2) & 0xFFL) << 16) | ((bytes(o + 3) & 0xFFL) << 24)
+    def tag(o: Int) = new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var fmt: Option[(Int, Int, Int, Int)] = None // (audioFormat, channels, rate, bits)
+    var dataBytes = -1L
+    var o = 12
+    while (o + 8 <= bytes.length && (fmt.isEmpty || dataBytes < 0)) {
+      val id = tag(o)
+      val sz = le32(o + 4)
+      if (id == "fmt " && o + 8 + 16 <= bytes.length)
+        fmt = Some((le16(o + 8), le16(o + 10), le32(o + 12).toInt, le16(o + 22)))
+      else if (id == "data")
+        dataBytes = math.min(sz, bytes.length.toLong - (o + 8)) // tolerate truncation claims
+      if (sz > Int.MaxValue - 16) o = bytes.length // absurd chunk size: stop the walk
+      else o += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+    }
+    fmt.collect {
+      case (af, ch, rate, bits)
+          if (af == 1 || af == 3) && ch > 0 && bits > 0 && (bits % 8 == 0) &&
+            rate > 0 && dataBytes >= 0 =>
+        AudioMeta("wav", rate, ch, bits, dataBytes / (ch.toLong * (bits / 8)))
+    }
+  }
+
+  /** Deterministic PCM16 WAV (hash-derived samples) — closed-form
+    * header fields for the oracle; sample VALUES only matter for being
+    * reproducible. */
+  def syntheticWav(sampleRate: Int, channels: Int, nFrames: Int, seed: Long): Array[Byte] = {
+    val dataBytes = nFrames * channels * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2).putShort((channels * 2).toShort).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    var i = 0
+    while (i < nFrames * channels) {
+      bb.putShort((Dedup.splitmix64(seed ^ i.toLong) >>> 48).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Append an `audio_meta` struct parsed from `binCol` (null struct
+    * for non-WAV bytes) — batched mapPartitions, same contract as
+    * [[withMeta]]. */
+  def withAudioMeta(df: DataFrame, binCol: String, batchSize: Int = 64): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("audio_meta", audioMetaType, nullable = true))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = RowEncoder.encoderFor(schema)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val meta =
+            if (r.isNullAt(binIdx)) null
+            else wavHeader(r.getAs[Array[Byte]](binIdx)).map { m =>
+              Row(m.format, m.sampleRate, m.channels, m.bitsPerSample, m.nFrames)
+            }.orNull
+          Row.fromSeq(r.toSeq :+ meta)
+        }
+      }
+    }(enc)
   }
 
   /** Append a `media_meta` struct decoded from `binCol`. Batched

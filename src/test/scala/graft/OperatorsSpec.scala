@@ -94,6 +94,76 @@ class OperatorsSpec extends AnyFunSuite {
     assert(frames.filter(_._1 == 2L).map(_._3).sum == 2)
   }
 
+  test("Multimodal: REAL image decode via javax.imageio — header, stats, pipeline") {
+    // header-only path: format + dims, no full decode
+    val png = Multimodal.syntheticPng(37, 23, 200, 100, 50)
+    assert(Multimodal.imageHeader(png).contains(("png", 37, 23)))
+    // other JDK writers roundtrip too (bmp/gif lossless for solid fills)
+    val img = new java.awt.image.BufferedImage(9, 7,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 9, 7, Array.fill(63)(0x102030), 0, 9)
+    for (fmt <- Seq("bmp", "gif", "jpg")) {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, out)
+      val hdr = Multimodal.imageHeader(out.toByteArray)
+      assert(hdr.map(h => (h._2, h._3)).contains((9, 7)), s"$fmt dims")
+    }
+    // garbage bytes: None, not a throw
+    assert(Multimodal.imageHeader("not an image at all".getBytes).isEmpty)
+    // full-decode stats through the batched mapPartitions pipeline:
+    // solid fills decode to exactly the fill color (PNG is lossless)
+    val df = Seq(
+        (1L, Multimodal.syntheticPng(48, 32, 10, 20, 30)),
+        (2L, Multimodal.syntheticPng(64, 40, 250, 0, 128)),
+        (3L, "garbage".getBytes),
+        (4L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "blob")
+    val stats = Multimodal.withImageStats(df, "blob", batchSize = 2)
+      .select($"id", $"image_stats").collect()
+      .map(r => r.getLong(0) -> Option(r.getStruct(1))).toMap
+    assert(stats(1L).map(s => (s.getString(0), s.getInt(1), s.getInt(2),
+      s.getInt(3), s.getInt(4), s.getInt(5))).contains(("png", 48, 32, 10, 20, 30)))
+    assert(stats(2L).map(s => (s.getInt(3), s.getInt(4), s.getInt(5)))
+      .contains((250, 0, 128)))
+    assert(stats(3L).isEmpty && stats(4L).isEmpty) // undecodable -> null struct
+  }
+
+  test("Multimodal: REAL WAV parse — RIFF chunk walk, extra chunks, malformed input") {
+    val wav = Multimodal.syntheticWav(8000, 2, 441, seed = 7L)
+    assert(Multimodal.wavHeader(wav).contains(
+      Multimodal.AudioMeta("wav", 8000, 2, 16, 441L)))
+    // an extra LIST chunk between fmt and data must be skipped, and an
+    // odd-sized chunk is word-aligned (+1 pad byte)
+    val base = Multimodal.syntheticWav(44100, 1, 10, seed = 1L)
+    val listBody = "INFOx".getBytes("US-ASCII") // odd size 5 -> padded
+    val bb = java.nio.ByteBuffer
+      .allocate(base.length + 8 + listBody.length + 1)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(base, 0, 36) // RIFF..WAVE + fmt chunk
+    bb.put("LIST".getBytes("US-ASCII")).putInt(listBody.length).put(listBody).put(0.toByte)
+    bb.put(base, 36, base.length - 36) // data chunk
+    assert(Multimodal.wavHeader(bb.array()).contains(
+      Multimodal.AudioMeta("wav", 44100, 1, 16, 10L)))
+    // malformed inputs: None, never a throw
+    assert(Multimodal.wavHeader("RIFFnope".getBytes).isEmpty)
+    assert(Multimodal.wavHeader(Array.fill[Byte](100)(0x55)).isEmpty)
+    assert(Multimodal.wavHeader(wav.take(30)).isEmpty) // truncated before data
+    // data chunk claiming more bytes than exist: frame count clamps to
+    // the bytes actually present
+    val lying = wav.clone()
+    lying(42) = 0x7F.toByte; lying(43) = 0x7F.toByte // data size field
+    val clamped = Multimodal.wavHeader(lying)
+    assert(clamped.exists(_.nFrames == 441L))
+    // pipeline: audio_meta struct, null for non-WAV
+    val df = Seq((1L, wav), (2L, "nope".getBytes)).toDF("id", "blob")
+    val metas = Multimodal.withAudioMeta(df, "blob")
+      .select($"id", $"audio_meta").collect()
+      .map(r => r.getLong(0) -> Option(r.getStruct(1))).toMap
+    assert(metas(1L).map(s => (s.getInt(1), s.getInt(2), s.getLong(4)))
+      .contains((8000, 2, 441L)))
+    assert(metas(2L).isEmpty)
+  }
+
   test("Multimodal.features: deterministic fixed-width vectors") {
     val df = Seq((1L, "hello"), (2L, "")).toDF("id", "s")
       .select($"id", $"s".cast("binary").as("blob"))
