@@ -1233,6 +1233,29 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // REAL image resize at the gate: synth PNG -> Graphics2D bilinear
+    // resize (solid fills stay exactly solid) -> full decode of the
+    // RESIZED bytes; oracle recomputes target dims + preserved color
+    // arithmetically. Two real codec passes + one raster op per row.
+    "q104_image_resize" -> ((s, dir) => {
+      import s.implicits._
+      val mk = udf { (id: Long) =>
+        graft.operators.Multimodal.syntheticPng(
+          (48 + id % 32).toInt, (32 + id % 16).toInt,
+          (id * 7 % 256).toInt, (id * 13 % 256).toInt, (id * 31 % 256).toInt)
+      }
+      val bin = t(s, dir, "documents").select($"doc_id").withColumn("blob", mk($"doc_id"))
+      val resized = graft.operators.Multimodal.withResized(bin, "blob", "small", 24, 16)
+      graft.operators.Multimodal.withImageStats(resized, "small")
+        .select($"doc_id",
+          $"image_stats.width".as("width"),
+          $"image_stats.height".as("height"),
+          $"image_stats.avg_r".as("avg_r"),
+          $"image_stats.avg_g".as("avg_g"),
+          $"image_stats.avg_b".as("avg_b"))
+        .orderBy($"doc_id")
+    }),
+
     // REAL WAV/PCM audio parse at the gate: synthesize PCM16 WAV bytes
     // per doc (rate/channels/frames closed-form in doc_id), parse them
     // back with the dep-free RIFF chunk walker; oracle recomputes
@@ -2389,6 +2412,14 @@ object SparkEntry {
       """SELECT doc_id, 'png' AS format,
         |  CAST(48 + doc_id % 32 AS INT) AS width,
         |  CAST(32 + doc_id % 16 AS INT) AS height,
+        |  CAST(doc_id * 7 % 256 AS INT) AS avg_r,
+        |  CAST(doc_id * 13 % 256 AS INT) AS avg_g,
+        |  CAST(doc_id * 31 % 256 AS INT) AS avg_b
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q104_image_resize" ->
+      """SELECT doc_id,
+        |  CAST(24 AS INT) AS width, CAST(16 AS INT) AS height,
         |  CAST(doc_id * 7 % 256 AS INT) AS avg_r,
         |  CAST(doc_id * 13 % 256 AS INT) AS avg_g,
         |  CAST(doc_id * 31 % 256 AS INT) AS avg_b

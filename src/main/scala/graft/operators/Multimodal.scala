@@ -188,6 +188,104 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** REAL image resize (JDK `Graphics2D`, bilinear) re-encoded as PNG.
+    * None when the input is undecodable. Solid fills stay exactly solid
+    * under any interpolation — the oracle-checkable invariant. */
+  def resizeImage(bytes: Array[Byte], width: Int, height: Int): Option[Array[Byte]] =
+    try {
+      val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (src == null || width <= 0 || height <= 0) None
+      else {
+        val dst = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(src, 0, 0, width, height, null)
+        } finally g.dispose()
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, "png", out)
+        Some(out.toByteArray)
+      }
+    } catch { case _: Exception => None }
+
+  /** Append `outCol` = `binCol` resized to width x height (PNG bytes;
+    * null for undecodable inputs). Batched mapPartitions, same contract
+    * as [[withMeta]]. */
+  def withResized(df: DataFrame, binCol: String, outCol: String,
+      width: Int, height: Int, batchSize: Int = 64): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType, nullable = true))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = RowEncoder.encoderFor(schema)
+    df.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val resized =
+            if (r.isNullAt(binIdx)) null
+            else resizeImage(r.getAs[Array[Byte]](binIdx), width, height).orNull
+          Row.fromSeq(r.toSeq :+ resized)
+        }
+      }
+    }(enc)
+  }
+
+  /** Perceptual difference-hash (dHash) over REAL decoded pixels: the
+    * image is block-averaged to a 9x8 luminance grid (deterministic
+    * integer arithmetic — no resampler variance), and bit (x, y) is set
+    * when grid(x+1, y) > grid(x, y). Near-duplicate images land within
+    * a few bits of Hamming distance, so the existing near-dup machinery
+    * (band the 64-bit hash, verify in-bucket — `Dedup.simhash` shape)
+    * applies to image columns unchanged. None for undecodable bytes. */
+  def dHash(bytes: Array[Byte]): Option[Long] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        val (gw, gh) = (9, 8)
+        val grid = Array.ofDim[Long](gw, gh) // luminance sums then means
+        val cnt = Array.ofDim[Long](gw, gh)
+        var y = 0
+        while (y < h) {
+          val gy = math.min(y * gh / h, gh - 1)
+          var x = 0
+          while (x < w) {
+            val gx = math.min(x * gw / w, gw - 1)
+            val p = px(y * w + x)
+            // integer BT.601-ish luma: (77R + 150G + 29B) >> 8
+            val luma = (77 * ((p >> 16) & 0xFF) + 150 * ((p >> 8) & 0xFF) +
+              29 * (p & 0xFF)) >> 8
+            grid(gx)(gy) += luma
+            cnt(gx)(gy) += 1
+            x += 1
+          }
+          y += 1
+        }
+        var bits = 0L
+        var i = 0
+        while (i < 64) {
+          val (gx, gy) = (i % 8, i / 8)
+          val a = if (cnt(gx)(gy) == 0) 0L else grid(gx)(gy) / cnt(gx)(gy)
+          val b = if (cnt(gx + 1)(gy) == 0) 0L else grid(gx + 1)(gy) / cnt(gx + 1)(gy)
+          if (b > a) bits |= (1L << i)
+          i += 1
+        }
+        Some(bits)
+      }
+    } catch { case _: Exception => None }
+
+  /** `dHash` as a column (nullable long) for image near-dup pipelines. */
+  def dHashCol(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val f = org.apache.spark.sql.functions.udf { (b: Array[Byte]) =>
+      if (b == null) None else dHash(b)
+    }
+    f(bin)
+  }
+
   /** Typed audio metadata (the WAV analogue of [[MediaMeta]]). */
   final case class AudioMeta(
       format: String, sampleRate: Int, channels: Int,

@@ -128,6 +128,50 @@ class OperatorsSpec extends AnyFunSuite {
     assert(stats(3L).isEmpty && stats(4L).isEmpty) // undecodable -> null struct
   }
 
+  test("Multimodal: REAL resize + perceptual dHash over decoded pixels") {
+    // resize: dims change, solid color survives bilinear exactly
+    val big = Multimodal.syntheticPng(100, 60, 40, 80, 120)
+    val small = Multimodal.resizeImage(big, 25, 15).get
+    assert(Multimodal.imageHeader(small).contains(("png", 25, 15)))
+    val df = Seq((1L, big), (2L, "junk".getBytes)).toDF("id", "blob")
+    val out = Multimodal.withImageStats(
+        Multimodal.withResized(df, "blob", "small", 25, 15), "small")
+      .select($"id", $"image_stats").collect()
+      .map(r => r.getLong(0) -> Option(r.getStruct(1))).toMap
+    assert(out(1L).map(s => (s.getInt(1), s.getInt(2), s.getInt(3), s.getInt(4),
+      s.getInt(5))).contains((25, 15, 40, 80, 120)))
+    assert(out(2L).isEmpty) // undecodable -> null resized -> null stats
+    // dHash: a structured image, a near-copy, and an unrelated image.
+    // Deterministic block-average grid => identical images hash equal,
+    // small perturbations move few bits, different structure moves many.
+    def noisy(seed: Long, flip: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val v = (graft.operators.Dedup.splitmix64(seed ^ (x / 8 * 31 + y / 8).toLong)
+          >>> 56).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      for (i <- 0 until flip) // perturb a few pixels
+        img.setRGB(i % 64, (i * 7) % 64, 0xFFFFFF)
+      val o = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", o)
+      o.toByteArray
+    }
+    val a = Multimodal.dHash(noisy(1L, 0)).get
+    val aCopy = Multimodal.dHash(noisy(1L, 0)).get
+    val aNear = Multimodal.dHash(noisy(1L, 12)).get
+    val other = Multimodal.dHash(noisy(99L, 0)).get
+    assert(a == aCopy)
+    assert(java.lang.Long.bitCount(a ^ aNear) <= 8, "near-copy should be close")
+    assert(java.lang.Long.bitCount(a ^ other) >= 12, "unrelated should be far")
+    assert(Multimodal.dHash("nope".getBytes).isEmpty)
+    // column form: nullable long through a DataFrame
+    val hashed = df.select($"id", Multimodal.dHashCol($"blob").as("h")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(hashed(1L).isDefined && hashed(2L).isEmpty)
+  }
+
   test("Multimodal: REAL WAV parse — RIFF chunk walk, extra chunks, malformed input") {
     val wav = Multimodal.syntheticWav(8000, 2, 441, seed = 7L)
     assert(Multimodal.wavHeader(wav).contains(
