@@ -382,6 +382,39 @@ object Dedup {
       maxHamming: Int = 3,
       maxBucketSize: Int = 10000): DataFrame = {
     val sig = df.select(col(idCol).cast("long").as("_id"), simhashCol(col(textCol)).as("_sim"))
+    hamming64Dedup(df, idCol, sig, maxHamming, maxBucketSize)
+  }
+
+  /** Perceptual near-dedup for IMAGE binary columns: the 64-bit dHash
+    * over REAL decoded pixels ([[Multimodal.dHash]]) takes simhash's
+    * place, and the identical band/pigeonhole/popcount machinery runs
+    * unchanged — images within `maxHamming` bits collapse onto the
+    * smallest id. Undecodable blobs hash to null, are never duplicates
+    * of anything, and always survive. Same 100-TB shape as simhash:
+    * banded (id, bucket) pre-pass, popcount verify only inside >=2
+    * member buckets, `maxBucketSize` skew valve. */
+  def imageNearDup(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val sig = df.select(col(idCol).cast("long").as("_id"),
+      Multimodal.dHashCol(col(binCol)).as("_sim"))
+      .filter(col("_sim").isNotNull)
+    hamming64Dedup(df, idCol, sig, maxHamming, maxBucketSize)
+  }
+
+  /** Shared core of [[simhash]]/[[imageNearDup]]: band a 64-bit
+    * signature into 4 x 16-bit buckets (pigeonhole: any pair with
+    * hamming distance <= 3 shares a band), verify by popcount, drop
+    * in-bucket later ids. `sig` = (_id, _sim) with non-null _sim. */
+  private def hamming64Dedup(
+      df: DataFrame,
+      idCol: String,
+      sig: DataFrame,
+      maxHamming: Int,
+      maxBucketSize: Int): DataFrame = {
     val banded = sig.select(col("_id"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("_sim"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))

@@ -97,6 +97,33 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == expected)
   }
 
+  test("imageNearDup: perceptual near-copies collapse, distinct and undecodable survive") {
+    import graft.operators.Multimodal
+    def blocky(seed: Long, flip: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val v = (Dedup.splitmix64(seed ^ (x / 8 * 31 + y / 8).toLong) >>> 56).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      for (i <- 0 until flip) img.setRGB(i % 64, (i * 7) % 64, 0xFFFFFF)
+      val o = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", o)
+      o.toByteArray
+    }
+    val imgs = Seq(
+      (0L, blocky(1L, 0)),
+      (1L, blocky(1L, 0)), // byte-identical re-render of 0
+      (2L, blocky(1L, 12)), // perturbed near-copy of 0
+      (3L, blocky(99L, 0)), // unrelated
+      (4L, "not an image".getBytes)) // undecodable: must survive
+      .toDF("img_id", "blob")
+    val kept = Dedup.imageNearDup(imgs, "img_id", "blob", maxHamming = 8)
+      .select("img_id").as[Long].collect().sorted
+    assert(kept.contains(0L) && !kept.contains(1L) && !kept.contains(2L))
+    assert(kept.contains(3L) && kept.contains(4L))
+  }
+
   test("embedding cosine dedup drops scaled copies only") {
     val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
       .select($"vec_id", $"embedding")
