@@ -1233,6 +1233,25 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Incremental exact dedup against a corpus with a Bloom prefilter:
+    // batch = genuinely-new docs UNION planted copies of corpus texts
+    // (ids shifted +1000); the Bloom filter routes misses straight
+    // through and only hits take the exact verify join — the oracle is
+    // the plain NOT EXISTS anti-join, so the gate proves fpp false
+    // positives can never leak a duplicate nor drop a new doc.
+    "q105_dedup_bloom" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter($"doc_id" < 250).select($"doc_id", $"text")
+      val fresh = docs.filter($"doc_id" >= 250).select($"doc_id", $"text")
+      val planted = docs.filter($"doc_id" < 50)
+        .select(($"doc_id" + 1000).as("doc_id"), $"text")
+      val batch = fresh.unionAll(planted)
+      graft.operators.Dedup.exactAgainstBloom(corpus, batch, "text")
+        .select($"doc_id")
+        .orderBy($"doc_id")
+    }),
+
     // REAL image resize at the gate: synth PNG -> Graphics2D bilinear
     // resize (solid fills stay exactly solid) -> full decode of the
     // RESIZED bytes; oracle recomputes target dims + preserved color
@@ -2416,6 +2435,16 @@ object SparkEntry {
         |  CAST(doc_id * 13 % 256 AS INT) AS avg_g,
         |  CAST(doc_id * 31 % 256 AS INT) AS avg_b
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q105_dedup_bloom" ->
+      """WITH corpus AS (SELECT text FROM documents WHERE doc_id < 250),
+        |batch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+        |  UNION ALL
+        |  SELECT doc_id + 1000 AS doc_id, text FROM documents WHERE doc_id < 50)
+        |SELECT b.doc_id FROM batch b
+        |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = b.text)
+        |ORDER BY doc_id""".stripMargin,
 
     "q104_image_resize" ->
       """SELECT doc_id,

@@ -183,6 +183,43 @@ object Dedup {
     df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** Incremental EXACT dedup of a batch against a stored corpus with a
+    * Bloom prefilter — the 100-TB shape for "is this document already in
+    * the training set?": the corpus is scanned ONCE to build a Bloom
+    * filter over content hashes (reusable across batches, like the
+    * minhash signature sidecar), then
+    *   - batch rows whose hash MISSES the filter are provably new
+    *     (Bloom has no false negatives) and skip the corpus join
+    *     entirely — at steady state that is almost the whole batch;
+    *   - only Bloom HITS (true dups + ~fpp false positives) take the
+    *     exact left-anti verify join against the corpus, on the FULL
+    *     text (collision-safe, same reasoning as [[exact]]).
+    * Result is therefore EXACT regardless of fpp: the filter only sizes
+    * the verify join (|hits| instead of |batch|), trading broadcast
+    * memory (~1.2 GB per billion corpus docs at 1% fpp) against join
+    * width. Batch-internal duplicates are NOT collapsed — that is
+    * [[exact]]'s job on the batch itself.
+    * `expectedItems <= 0` counts the corpus (one extra job; pass the
+    * known count at scale). */
+  def exactAgainstBloom(
+      corpus: DataFrame,
+      batch: DataFrame,
+      textCol: String,
+      expectedItems: Long = 0L,
+      fpp: Double = 0.01): DataFrame = {
+    val spark = corpus.sparkSession
+    val n = if (expectedItems > 0) expectedItems else math.max(1L, corpus.count())
+    val bf = corpus.select(xxhash64(col(textCol)).as("_h")).stat.bloomFilter("_h", n, fpp)
+    val bcast = spark.sparkContext.broadcast(bf)
+    val mightContain = udf { (h: Long) => bcast.value.mightContainLong(h) }
+    val withHit = batch.withColumn("_bloom_hit", mightContain(xxhash64(col(textCol))))
+    val freshByMiss = withHit.filter(!col("_bloom_hit")).drop("_bloom_hit")
+    val verified = withHit.filter(col("_bloom_hit")).drop("_bloom_hit")
+      .join(corpus.select(col(textCol)).distinct(), Seq(textCol), "left_anti")
+      .select(freshByMiss.columns.map(col): _*) // align column order for union
+    freshByMiss.unionAll(verified)
+  }
+
   /** MinHash + LSH banding near-dedup.
     * numHashes = bands * rowsPerBand. A pair becomes a candidate iff some
     * band of their signatures matches exactly; candidates are verified

@@ -97,6 +97,33 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == expected)
   }
 
+  test("exactAgainstBloom == plain anti-join, even with a tiny high-fpp filter") {
+    val corpus = Seq((0L, "alpha doc"), (1L, "beta doc"), (2L, "gamma doc"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha doc"), // dup of corpus 0 -> dropped
+      (11L, "delta doc"), // new
+      (12L, "beta doc"),  // dup of corpus 1 -> dropped
+      (13L, "epsilon doc"), // new
+      (14L, "delta doc")  // batch-internal dup of 11: NOT collapsed (documented)
+    ).toDF("doc_id", "text")
+    val expected = batch.join(corpus.select("text"), Seq("text"), "left_anti")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val kept = Dedup.exactAgainstBloom(corpus, batch, "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == expected && kept == Seq(11L, 13L, 14L))
+    // a deliberately undersized filter (expectedItems=1, fpp=0.5) floods
+    // the verify path with false positives; the result must not change —
+    // the Bloom filter only ROUTES rows, the anti-join decides
+    val keptNoisy = Dedup.exactAgainstBloom(corpus, batch, "text",
+        expectedItems = 1L, fpp = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(keptNoisy == expected)
+    // schema/column order preserved for downstream unions
+    assert(Dedup.exactAgainstBloom(corpus, batch, "text").columns.toSeq
+      == Seq("doc_id", "text"))
+  }
+
   test("imageNearDup: perceptual near-copies collapse, distinct and undecodable survive") {
     import graft.operators.Multimodal
     def blocky(seed: Long, flip: Int): Array[Byte] = {
