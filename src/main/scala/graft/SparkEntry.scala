@@ -1233,6 +1233,24 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // REAL PCM DSP at the gate: ramp-waveform WAVs (sample i =
+    // ((i mod 512) - 256) * 64, closed-form in SQL), decoded back and
+    // reduced to integer-exact energy/peak/zero-crossing stats; the
+    // oracle recomputes them elementwise over generate_series.
+    "q106_audio_stats" -> ((s, dir) => {
+      import s.implicits._
+      val mk = udf { (id: Long) =>
+        graft.operators.Multimodal.rampWav(8000, 1, (400 + id % 256).toInt)
+      }
+      val bin = t(s, dir, "documents").select($"doc_id").withColumn("blob", mk($"doc_id"))
+      graft.operators.Multimodal.withAudioStats(bin, "blob")
+        .select($"doc_id",
+          $"audio_stats.sum_sq".as("sum_sq"),
+          $"audio_stats.peak".as("peak"),
+          $"audio_stats.zero_crossings".as("zero_crossings"))
+        .orderBy($"doc_id")
+    }),
+
     // Incremental exact dedup against a corpus with a Bloom prefilter:
     // batch = genuinely-new docs UNION planted copies of corpus texts
     // (ids shifted +1000); the Bloom filter routes misses straight
@@ -2435,6 +2453,22 @@ object SparkEntry {
         |  CAST(doc_id * 13 % 256 AS INT) AS avg_g,
         |  CAST(doc_id * 31 % 256 AS INT) AS avg_b
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q106_audio_stats" ->
+      """SELECT doc_id,
+        |  CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+        |  CAST(MAX(ABS(v)) AS INT) AS peak,
+        |  CAST(SUM(CASE WHEN prev_v IS NOT NULL
+        |                AND (prev_v < 0) <> (v < 0) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS zero_crossings
+        |FROM (
+        |  SELECT d.doc_id, s.i, ((s.i % 512) - 256) * 64 AS v,
+        |    LAG(((s.i % 512) - 256) * 64)
+        |      OVER (PARTITION BY d.doc_id ORDER BY s.i) AS prev_v
+        |  FROM documents d
+        |  CROSS JOIN generate_series(0, 654) AS s(i)
+        |  WHERE s.i < 400 + d.doc_id % 256)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q105_dedup_bloom" ->
       """WITH corpus AS (SELECT text FROM documents WHERE doc_id < 250),

@@ -350,6 +350,98 @@ object Multimodal {
     bb.array()
   }
 
+  /** REAL PCM16 DSP over the decoded sample stream: energy (sum of
+    * squared samples), peak amplitude, and zero-crossing count (a sign
+    * flip between consecutive samples of the interleaved stream). All
+    * integer arithmetic — exact, engine-independent, oracle-checkable.
+    * None for non-WAV or non-16-bit payloads. */
+  def pcmStats(bytes: Array[Byte]): Option[(Long, Int, Long)] =
+    wavHeader(bytes).filter(_.bitsPerSample == 16).flatMap { m =>
+      // locate the data chunk again (wavHeader validated the layout)
+      def tag(o: Int) = new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      def le32(o: Int) = (bytes(o) & 0xFFL) | ((bytes(o + 1) & 0xFFL) << 8) |
+        ((bytes(o + 2) & 0xFFL) << 16) | ((bytes(o + 3) & 0xFFL) << 24)
+      var o = 12
+      var dataOff = -1
+      var dataLen = 0L
+      while (o + 8 <= bytes.length && dataOff < 0) {
+        val sz = le32(o + 4)
+        if (tag(o) == "data") {
+          dataOff = o + 8
+          dataLen = math.min(sz, bytes.length.toLong - dataOff)
+        }
+        if (sz > Int.MaxValue - 16) o = bytes.length
+        else o += 8 + sz.toInt + (sz.toInt & 1)
+      }
+      if (dataOff < 0) None
+      else {
+        val nSamples = (dataLen / 2).toInt
+        var (sumSq, peak, crossings) = (0L, 0, 0L)
+        var prevNeg = false
+        var first = true
+        var i = 0
+        while (i < nSamples) {
+          val off = dataOff + 2 * i
+          val v = ((bytes(off) & 0xFF) | (bytes(off + 1) << 8)).toShort.toInt
+          sumSq += v.toLong * v
+          val a = math.abs(v)
+          if (a > peak) peak = a
+          val neg = v < 0
+          if (!first && neg != prevNeg) crossings += 1
+          prevNeg = neg
+          first = false
+          i += 1
+        }
+        Some((sumSq, peak, crossings))
+      }
+    }
+
+  private val audioStatsType = StructType(Seq(
+    StructField("sum_sq", LongType, nullable = false),
+    StructField("peak", IntegerType, nullable = false),
+    StructField("zero_crossings", LongType, nullable = false)))
+
+  /** Append an `audio_stats` struct ([[pcmStats]]; null for non-PCM16
+    * blobs) — batched mapPartitions, same contract as [[withMeta]]. */
+  def withAudioStats(df: DataFrame, binCol: String, batchSize: Int = 64): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("audio_stats", audioStatsType, nullable = true))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = RowEncoder.encoderFor(schema)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val stats =
+            if (r.isNullAt(binIdx)) null
+            else pcmStats(r.getAs[Array[Byte]](binIdx))
+              .map { case (s, p, z) => Row(s, p, z) }.orNull
+          Row.fromSeq(r.toSeq :+ stats)
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic PCM16 ramp WAV: sample i (interleaved stream order)
+    * has value ((i mod 512) - 256) * 64 — closed-form in SQL, so energy
+    * / peak / crossings have an arithmetic oracle. */
+  def rampWav(sampleRate: Int, channels: Int, nFrames: Int): Array[Byte] = {
+    val dataBytes = nFrames * channels * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2).putShort((channels * 2).toShort).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    var i = 0
+    while (i < nFrames * channels) {
+      bb.putShort((((i % 512) - 256) * 64).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
   /** Append an `audio_meta` struct parsed from `binCol` (null struct
     * for non-WAV bytes) — batched mapPartitions, same contract as
     * [[withMeta]]. */

@@ -208,6 +208,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(metas(2L).isEmpty)
   }
 
+  test("Multimodal.pcmStats: integer-exact energy/peak/zero-crossings over real PCM") {
+    // hand-built WAV with known samples: 100, -200, 300, 0, -5
+    val samples = Seq[Short](100, -200, 300, 0, -5)
+    val bb = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples.length * 2)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(samples.length * 2)
+    samples.foreach(bb.putShort)
+    val wav = bb.array()
+    // sumSq = 100^2+200^2+300^2+0+5^2 = 140025; peak = 300;
+    // crossings: 100->-200, -200->300, 0->-5 (0 counts as non-negative)
+    assert(Multimodal.pcmStats(wav).contains((140025L, 300, 3L)))
+    // ramp generator parses back with consistent closed-form stats
+    val ramp = Multimodal.rampWav(8000, 1, 512) // one full period
+    val (sumSq, peak, cross) = Multimodal.pcmStats(ramp).get
+    val ref = (0 until 512).map(i => ((i % 512) - 256) * 64)
+    assert(sumSq == ref.map(v => v.toLong * v).sum)
+    assert(peak == ref.map(math.abs).max)
+    assert(cross == ref.sliding(2).count(p => (p(0) < 0) != (p(1) < 0)))
+    // non-PCM16 and garbage -> None
+    assert(Multimodal.pcmStats("junk".getBytes).isEmpty)
+    // pipeline: audio_stats struct, null for undecodable
+    val df = Seq((1L, wav), (2L, "nope".getBytes)).toDF("id", "blob")
+    val stats = Multimodal.withAudioStats(df, "blob")
+      .select($"id", $"audio_stats").collect()
+      .map(r => r.getLong(0) -> Option(r.getStruct(1))).toMap
+    assert(stats(1L).map(s => (s.getLong(0), s.getInt(1), s.getLong(2)))
+      .contains((140025L, 300, 3L)))
+    assert(stats(2L).isEmpty)
+  }
+
   test("Multimodal.features: deterministic fixed-width vectors") {
     val df = Seq((1L, "hello"), (2L, "")).toDF("id", "s")
       .select($"id", $"s".cast("binary").as("blob"))
