@@ -1233,6 +1233,50 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Hamming-space top-k over 64-bit signatures (the serving-side
+    // complement of dHash/simhash): codegen'd bit_count(xor), ordered
+    // (dist, id) -> TakeOrderedAndProject. Signatures are arithmetic
+    // (doc_id * Knuth) xor (doc_id << 13) so the oracle computes the
+    // identical 64-bit values.
+    "q107_hamming_topk" -> ((s, dir) => {
+      import s.implicits._
+      val qsig = (3L * 2654435761L) ^ (3L << 13)
+      val sigs = t(s, dir, "documents").select($"doc_id",
+        ($"doc_id" * lit(2654435761L)).bitwiseXOR(shiftleft($"doc_id", 13)).as("sig"))
+      graft.operators.Ann.hammingTopK(sigs, "sig", "doc_id", qsig, k = 10)
+        .select($"doc_id", $"_dist".as("dist"))
+    }),
+
+    // Radius search with the SOUND pigeonhole prune: 25 balanced bands
+    // for maxDist 24, any true match shares >= 1 exact band; survivors
+    // verified by popcount. Oracle is the prune-free WHERE bit_count.
+    "q108_hamming_radius" -> ((s, dir) => {
+      import s.implicits._
+      val qsig = (3L * 2654435761L) ^ (3L << 13)
+      val sigs = t(s, dir, "documents").select($"doc_id",
+        ($"doc_id" * lit(2654435761L)).bitwiseXOR(shiftleft($"doc_id", 13)).as("sig"))
+      graft.operators.Ann.hammingWithin(sigs, "sig", qsig, maxDist = 24)
+        .select($"doc_id", $"_dist".as("dist"))
+        .orderBy($"doc_id")
+    }),
+
+    // Hamming similarity JOIN with planted near-groups: docs in the
+    // same id-quartet share a base signature and differ only in the low
+    // 2 bits (pairwise dist <= 2), so maxDist 7 recovers exactly the
+    // within-group pairs (plus any arithmetic coincidence — the oracle
+    // is the full brute-force pair filter either way). 8-bit bands =>
+    // banded equijoin, never a cartesian (PlanSpec-pinned shape).
+    "q109_hamming_join" -> ((s, dir) => {
+      import s.implicits._
+      val base = expr("doc_id div 4") * lit(2654435761L)
+      val sigs = t(s, dir, "documents").select($"doc_id",
+        base.bitwiseXOR(shiftleft(expr("doc_id div 4"), 13))
+          .bitwiseXOR($"doc_id" % 4).as("sig"))
+      graft.operators.Ann.hammingJoin(sigs, "sig", "doc_id", maxDist = 7)
+        .select($"doc_id".as("a_id"), $"doc_id_b".as("b_id"), $"_dist".as("dist"))
+        .orderBy($"a_id", $"b_id")
+    }),
+
     // REAL PCM DSP at the gate: ramp-waveform WAVs (sample i =
     // ((i mod 512) - 256) * 64, closed-form in SQL), decoded back and
     // reduced to integer-exact energy/peak/zero-crossing stats; the
@@ -2453,6 +2497,36 @@ object SparkEntry {
         |  CAST(doc_id * 13 % 256 AS INT) AS avg_g,
         |  CAST(doc_id * 31 % 256 AS INT) AS avg_b
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q109_hamming_join" ->
+      """WITH sigs AS (
+        |  SELECT doc_id,
+        |    xor(xor((doc_id // 4) * 2654435761, (doc_id // 4) << 13),
+        |        doc_id % 4) AS sig
+        |  FROM documents)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS dist
+        |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 7
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "q107_hamming_topk" ->
+      """WITH sigs AS (
+        |  SELECT doc_id, xor(doc_id * 2654435761, doc_id << 13) AS sig
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(bit_count(xor(sig, xor(3 * 2654435761, 3 << 13))) AS INT) AS dist
+        |FROM sigs ORDER BY dist, doc_id LIMIT 10""".stripMargin,
+
+    "q108_hamming_radius" ->
+      """WITH sigs AS (
+        |  SELECT doc_id, xor(doc_id * 2654435761, doc_id << 13) AS sig
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(bit_count(xor(sig, xor(3 * 2654435761, 3 << 13))) AS INT) AS dist
+        |FROM sigs
+        |WHERE bit_count(xor(sig, xor(3 * 2654435761, 3 << 13))) <= 24
+        |ORDER BY doc_id""".stripMargin,
 
     "q106_audio_stats" ->
       """SELECT doc_id,

@@ -405,4 +405,81 @@ object Ann {
       .limit(shortlist)
     bruteForceTopK(short, vecCol, idCol, q, k)
   }
+
+  /** Hamming-space top-k over a 64-bit signature column (dHash,
+    * simhash, or any binarized embedding): distance is the codegen'd
+    * `bit_count(sig XOR query)` — no UDF — and (dist, id) ordering +
+    * LIMIT plans as TakeOrderedAndProject, so the scan is one pass with
+    * per-partition heaps, never a global sort. */
+  def hammingTopK(df: DataFrame, sigCol: String, idCol: String,
+      query: Long, k: Int): DataFrame =
+    df.withColumn("_dist",
+        bit_count(col(sigCol).bitwiseXOR(lit(query))).cast("int"))
+      .orderBy(col("_dist"), col(idCol))
+      .limit(k)
+
+  /** Hamming similarity JOIN: all pairs (a, b) with a.id < b.id and
+    * bit_count(a.sig XOR b.sig) <= maxDist — the all-pairs shape of
+    * image/simhash near-dup at corpus scale. Same sound pigeonhole as
+    * [[hammingWithin]], but as an EQUIJOIN: both sides explode into
+    * (band, bandValue) keys, matching pairs shuffle-join on the exact
+    * band value (never a cartesian), distinct-dedupe (a pair can share
+    * several bands), then popcount-verify. Costs shrink with wider
+    * bands, so small maxDist is the economical regime (8-bit bands at
+    * maxDist 7); for loose radii prefer [[hammingWithin]] per query.
+    * Returns (idCol, idCol_b, _dist). */
+  def hammingJoin(df: DataFrame, sigCol: String, idCol: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64, s"maxDist $maxDist out of range")
+    val nb = maxDist + 1
+    val banded = df.select(col(idCol).as("_hid"), col(sigCol).as("_hsig"))
+      .select(col("_hid"), col("_hsig"),
+        posexplode(array((0 until nb).map { i =>
+          val off = i * 64 / nb
+          val width = (i + 1) * 64 / nb - off
+          val mask = if (width == 64) -1L else (1L << width) - 1
+          shiftrightunsigned(col("_hsig"), off).bitwiseAND(lit(mask))
+        }: _*)).as(Seq("_band", "_bv")))
+    val l = banded.select(col("_band"), col("_bv"),
+      col("_hid").as(idCol), col("_hsig").as("_siga"))
+    val r = banded.select(col("_band"), col("_bv"),
+      col("_hid").as(s"${idCol}_b"), col("_hsig").as("_sigb"))
+    l.join(r, Seq("_band", "_bv"))
+      .filter(col(idCol) < col(s"${idCol}_b"))
+      .select(col(idCol), col(s"${idCol}_b"), col("_siga"), col("_sigb"))
+      .distinct() // a close pair can share several bands
+      .withColumn("_dist",
+        bit_count(col("_siga").bitwiseXOR(col("_sigb"))).cast("int"))
+      .filter(col("_dist") <= maxDist)
+      .drop("_siga", "_sigb")
+  }
+
+  /** All rows within Hamming distance `maxDist` of `query`, with a
+    * SOUND pigeonhole prune: the 64 bits split into `maxDist + 1`
+    * bands, and any signature within `maxDist` must match the query
+    * EXACTLY on at least one band (fewer diffs than bands). The band-
+    * equality disjunction is a pure column predicate — at scale, store
+    * band values as columns and the disjunction becomes partition/
+    * bucket pruning; here it already skips the popcount on ~all
+    * non-candidates. Survivors are verified with exact bit_count. */
+  def hammingWithin(df: DataFrame, sigCol: String, query: Long,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64, s"maxDist $maxDist out of range")
+    val nb = maxDist + 1
+    // balanced split: band i covers bits [i*64/nb, (i+1)*64/nb) — every
+    // band is non-empty for nb <= 64, which the pigeonhole NEEDS (an
+    // empty band would "match" nothing and break the candidate
+    // guarantee a ceil-width split has for large maxDist)
+    val bandEq = (0 until nb).map { i =>
+      val off = i * 64 / nb
+      val width = (i + 1) * 64 / nb - off
+      val mask = if (width == 64) -1L else (1L << width) - 1
+      shiftrightunsigned(col(sigCol), off).bitwiseAND(lit(mask)) ===
+        lit((query >>> off) & mask)
+    }.reduce(_ || _)
+    df.filter(bandEq)
+      .withColumn("_dist",
+        bit_count(col(sigCol).bitwiseXOR(lit(query))).cast("int"))
+      .filter(col("_dist") <= maxDist)
+  }
 }

@@ -14,6 +14,63 @@ class AnnSpec extends AnyFunSuite {
   private def queryVec(id: Long): Array[Float] =
     emb.filter($"vec_id" === id).select($"embedding").as[Array[Float]].head()
 
+  test("hammingTopK: TakeOrderedAndProject plan, matches brute-force order") {
+    val sigs = spark.range(0, 2000).select($"id",
+      udf((i: Long) => graft.operators.Dedup.splitmix64(i)).apply($"id").as("sig"))
+      .cache()
+    try {
+      val q = graft.operators.Dedup.splitmix64(7L)
+      val topk = Ann.hammingTopK(sigs, "sig", "id", q, k = 15)
+      assert(topk.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+        "top-k must plan as per-partition heaps, not a global sort")
+      val got = topk.select($"id", $"_dist").as[(Long, Int)].collect().toSeq
+      val brute = sigs.as[(Long, Long)].collect()
+        .map { case (id, s) => (id, java.lang.Long.bitCount(s ^ q)) }
+        .sortBy(t => (t._2, t._1)).take(15).toSeq
+      assert(got == brute)
+      assert(got.head._1 == 7L && got.head._2 == 0) // self at distance 0
+    } finally sigs.unpersist()
+  }
+
+  test("hammingWithin: pigeonhole prune is sound — equals the unpruned filter") {
+    val sigs = spark.range(0, 4000).select($"id",
+      udf((i: Long) => graft.operators.Dedup.splitmix64(i / 7)).apply($"id").as("sig"))
+      .cache() // i/7 plants groups of identical sigs -> dist-0 clusters
+    try {
+      val q = graft.operators.Dedup.splitmix64(100L)
+      for (d <- Seq(0, 3, 24, 31)) { // uneven 64/nb band widths included
+        val pruned = Ann.hammingWithin(sigs, "sig", q, d)
+          .select($"id").as[Long].collect().sorted.toSeq
+        val plain = sigs.as[(Long, Long)].collect()
+          .collect { case (id, s) if java.lang.Long.bitCount(s ^ q) <= d => id }
+          .sorted.toSeq
+        assert(pruned == plain, s"maxDist=$d")
+        if (d >= 0) assert(plain.contains(700L)) // 700/7 = 100 -> dist 0
+      }
+    } finally sigs.unpersist()
+  }
+
+  test("hammingJoin: banded equijoin equals brute-force pairs, no cartesian") {
+    // quartets share a base sig, differing in the low 2 bits
+    val sigs = spark.range(0, 800).select($"id",
+      udf((i: Long) => graft.operators.Dedup.splitmix64(i / 4) ^ (i % 4))
+        .apply($"id").as("sig")).cache()
+    try {
+      val joined = Ann.hammingJoin(sigs, "sig", "id", maxDist = 7)
+      assert(!joined.queryExecution.executedPlan.toString.contains("Cartesian"),
+        "hammingJoin must stay an equijoin")
+      val got = joined.select($"id", $"id_b", $"_dist").as[(Long, Long, Int)]
+        .collect().sortBy(t => (t._1, t._2)).toSeq
+      val all = sigs.as[(Long, Long)].collect()
+      val brute = (for {
+        (a, sa) <- all; (b, sb) <- all if a < b
+        d = java.lang.Long.bitCount(sa ^ sb) if d <= 7
+      } yield (a, b, d)).sortBy(t => (t._1, t._2)).toSeq
+      assert(got == brute)
+      assert(got.size >= 200 * 6) // every quartet contributes its 6 pairs
+    } finally sigs.unpersist()
+  }
+
   test("brute-force top-k: self is rank 1, scores monotone") {
     val top = Ann.bruteForceTopK(emb, "embedding", "vec_id", queryVec(7), 10).collect()
     assert(top.head.getAs[Long]("vec_id") == 7L)
