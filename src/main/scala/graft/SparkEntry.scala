@@ -1260,6 +1260,23 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Binary-hash ANN over embeddings: 64-hyperplane sign signature
+    // (8 bytes/vector), Hamming shortlist, exact cosine rescore —
+    // recall@10 contract vs brute force, q99-style.
+    "q110_ann_binary" -> ((s, dir) => {
+      import s.implicits._
+      val ann = graft.operators.Ann
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter($"vec_id" === 0).select($"embedding").as[Array[Float]].head()
+      val encoded = ann.encodeBinary(emb, "embedding")
+      val bf = ann.bruteForceTopK(emb, "embedding", "vec_id", q, 10).select($"vec_id")
+      val bin = ann.queryBinary(encoded, "embedding", "vec_id", q, 10, shortlist = 200)
+        .select($"vec_id")
+      bf.join(bin, "vec_id")
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(10L).as("k"), ($"n_overlap" >= 7).as("recall_ok"))
+    }),
+
     // Hamming similarity JOIN with planted near-groups: docs in the
     // same id-quartet share a base signature and differ only in the low
     // 2 bits (pairwise dist <= 2), so maxDist 7 recovers exactly the
@@ -2497,6 +2514,9 @@ object SparkEntry {
         |  CAST(doc_id * 13 % 256 AS INT) AS avg_g,
         |  CAST(doc_id * 31 % 256 AS INT) AS avg_b
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q110_ann_binary" ->
+      "SELECT CAST(10 AS BIGINT) AS k, TRUE AS recall_ok",
 
     "q109_hamming_join" ->
       """WITH sigs AS (

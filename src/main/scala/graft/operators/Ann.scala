@@ -406,6 +406,47 @@ object Ann {
     bruteForceTopK(short, vecCol, idCol, q, k)
   }
 
+  /** 64-bit hyperplane binarization: bit p = sign of <vec, plane_p>
+    * (random-hyperplane LSH, so hamming/64 estimates the angle). 8
+    * bytes per vector in place of dim floats — the memory regime a
+    * multi-billion-vector corpus needs — with exact rescoring of the
+    * Hamming shortlist recovering cosine precision. */
+  private[graft] def bitSignature64(vec: Array[Double], seed: Long): Long = {
+    val m = planeMatrix(seed, 64, vec.length)
+    var sig = 0L
+    var p = 0
+    while (p < 64) {
+      val row = m(p)
+      var dot = 0.0
+      var i = 0
+      while (i < vec.length) { dot += vec(i) * row(i); i += 1 }
+      if (dot >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  /** Attach the `_bsig` 64-bit binary signature column (precompute once,
+    * like encodeSq/encodePq — the stored index is 8 bytes/vector). */
+  def encodeBinary(df: DataFrame, vecCol: String, seed: Long = 42L): DataFrame = {
+    val f = udf((v: Seq[Double]) => bitSignature64(v.toArray, seed))
+    df.withColumn("_bsig", f(col(vecCol).cast("array<double>")))
+  }
+
+  /** Binary-hash ANN: Hamming shortlist over `_bsig` (codegen popcount
+    * ordering -> TakeOrderedAndProject), exact cosine rescore of the
+    * shortlist — same two-phase shape as querySq/queryPq with a 32x
+    * smaller index payload. */
+  def queryBinary(encoded: DataFrame, vecCol: String, idCol: String,
+      q: Array[Float], k: Int, shortlist: Int = 200, seed: Long = 42L): DataFrame = {
+    val qsig = bitSignature64(q.map(_.toDouble), seed)
+    val short = encoded
+      .withColumn("_hd", bit_count(col("_bsig").bitwiseXOR(lit(qsig))).cast("int"))
+      .orderBy(col("_hd"), col(idCol))
+      .limit(shortlist)
+    bruteForceTopK(short, vecCol, idCol, q, k)
+  }
+
   /** Hamming-space top-k over a 64-bit signature column (dHash,
     * simhash, or any binarized embedding): distance is the codegen'd
     * `bit_count(sig XOR query)` — no UDF — and (dist, id) ordering +
