@@ -1260,6 +1260,36 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Webdataset-style tar-shard ingest roundtrip: PNG members written
+    // into 4 USTAR shards (driver-side fixture build, bounded at gate
+    // scale), read back one-row-per-member via binaryFile + the
+    // dep-free tar walk, decoded with the real codec; dims/colors are
+    // closed-form in the member's doc_id.
+    "q111_tar_shards" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = freshScratch("q111")
+      val ids = t(s, dir, "documents").select($"doc_id").as[Long].collect().sorted
+      ids.grouped(math.max(1, (ids.length + 3) / 4)).zipWithIndex.foreach {
+        case (slice, i) =>
+          val entries = slice.toSeq.map { id =>
+            (s"$id.png", graft.operators.Multimodal.syntheticPng(
+              (48 + id % 32).toInt, (32 + id % 16).toInt,
+              (id * 7 % 256).toInt, (id * 13 % 256).toInt, (id * 31 % 256).toInt))
+          }
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(tmp, f"shard-$i%05d.tar"),
+            graft.sources.Tar.archive(entries))
+      }
+      val members = graft.operators.Ingest.readTarMembers(s, tmp)
+      graft.operators.Multimodal.withImageStats(members, "content")
+        .select(
+          regexp_extract($"member", "(\\d+)\\.png", 1).cast("long").as("doc_id"),
+          $"image_stats.width".as("width"),
+          $"image_stats.height".as("height"),
+          $"image_stats.avg_r".as("avg_r"))
+        .orderBy($"doc_id")
+    }),
+
     // Binary-hash ANN over embeddings: 64-hyperplane sign signature
     // (8 bytes/vector), Hamming shortlist, exact cosine rescore —
     // recall@10 contract vs brute force, q99-style.
@@ -2517,6 +2547,13 @@ object SparkEntry {
 
     "q110_ann_binary" ->
       "SELECT CAST(10 AS BIGINT) AS k, TRUE AS recall_ok",
+
+    "q111_tar_shards" ->
+      """SELECT doc_id,
+        |  CAST(48 + doc_id % 32 AS INT) AS width,
+        |  CAST(32 + doc_id % 16 AS INT) AS height,
+        |  CAST(doc_id * 7 % 256 AS INT) AS avg_r
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q109_hamming_join" ->
       """WITH sigs AS (

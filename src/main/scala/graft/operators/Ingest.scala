@@ -51,6 +51,31 @@ object Ingest {
       .select(col("path").as("doc_id"), extractUdf(col("content")).as("text"))
   }
 
+  /** Read webdataset-style tar shards (op A1 at corpus scale): one row
+    * per regular-file member. Shard-sized archives are the intended
+    * unit — `binaryFile` loads a shard per task and the members stream
+    * out of one sequential buffer, which is exactly why multimodal
+    * corpora ship as tar shards instead of billions of tiny files.
+    * Output: (shard string, member string, content binary). */
+  def readTarMembers(spark: SparkSession, dir: String,
+      glob: String = "*.tar"): DataFrame = {
+    val raw = spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob).load(dir)
+      .select(col("path"), col("content"))
+    val schema = StructType(Seq(
+      StructField("shard", StringType, nullable = false),
+      StructField("member", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    raw.mapPartitions { it =>
+      it.flatMap { r =>
+        val path = r.getString(0)
+        graft.sources.Tar.members(r.getAs[Array[Byte]](1))
+          .map { case (name, bytes) => Row(path, name, bytes) }
+      }
+    }(enc)
+  }
+
   /** Chunk + embed + id + metadata + dim-check. Input needs columns
     * (doc_id, text); output schema:
     * (id string, values array<float>, metadata struct<chunk_index int,

@@ -460,6 +460,57 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("Tar: USTAR roundtrip, padding, skipped non-file entries, truncation") {
+    import graft.sources.Tar
+    // sizes straddling block boundaries: 0, 1, 511, 512, 513 bytes
+    val entries = Seq(0, 1, 511, 512, 513).map { n =>
+      (s"m$n.bin", Array.tabulate[Byte](n)(i => ((i * 7 + n) & 0xFF).toByte))
+    }
+    val tarred = Tar.archive(entries)
+    assert(tarred.length % 512 == 0)
+    val back = Tar.members(tarred).toSeq
+    assert(back.map(_._1) == entries.map(_._1))
+    back.zip(entries).foreach { case ((_, got), (_, want)) =>
+      assert(java.util.Arrays.equals(got, want))
+    }
+    // a directory entry (typeflag '5') between files is skipped, members
+    // after it still parse (the walk advances by header+payload, not luck)
+    val withDir = {
+      val a = Tar.archive(Seq(("keep1.txt", "first".getBytes)))
+        .dropRight(1024) // strip end-of-archive
+      val dirHdr = Tar.archive(Seq(("adir/", Array.empty[Byte]))).dropRight(1024)
+      dirHdr(156) = '5' // typeflag: directory
+      // fix checksum after the typeflag edit
+      java.util.Arrays.fill(dirHdr, 148, 156, ' '.toByte)
+      var sum = 0L; dirHdr.take(512).foreach(b => sum += (b & 0xFF))
+      val cs = java.lang.Long.toOctalString(sum)
+      System.arraycopy((("0" * (6 - cs.length)) + cs).getBytes, 0, dirHdr, 148, 6)
+      dirHdr(154) = 0; dirHdr(155) = ' '
+      val b = Tar.archive(Seq(("keep2.txt", "second".getBytes)))
+      a ++ dirHdr ++ b
+    }
+    assert(Tar.members(withDir).map(_._1).toSeq == Seq("keep1.txt", "keep2.txt"))
+    // truncated archive yields its complete members, no throw
+    val truncated = tarred.take(512 + 512 + 512 + 256) // cuts inside m511's data
+    val partial = Tar.members(truncated).toSeq
+    assert(partial.map(_._1) == Seq("m0.bin", "m1.bin"))
+    // readTarMembers: one row per member across shards, bytes intact
+    val dir = Files.createTempDirectory("graft_tar")
+    Files.write(dir.resolve("s0.tar"), Tar.archive(Seq(
+      ("a.png", graft.operators.Multimodal.syntheticPng(10, 8, 1, 2, 3)))))
+    Files.write(dir.resolve("s1.tar"), Tar.archive(Seq(
+      ("b.png", graft.operators.Multimodal.syntheticPng(12, 6, 9, 8, 7)),
+      ("c.txt", "not an image".getBytes))))
+    val rows = graft.operators.Ingest.readTarMembers(spark, dir.toString)
+    assert(rows.count() == 3)
+    val decoded = graft.operators.Multimodal.withImageStats(rows, "content")
+      .select($"member", $"image_stats").collect()
+      .map(r => r.getString(0) -> Option(r.getStruct(1))).toMap
+    assert(decoded("a.png").map(s => (s.getInt(1), s.getInt(2))).contains((10, 8)))
+    assert(decoded("b.png").map(s => (s.getInt(1), s.getInt(2))).contains((12, 6)))
+    assert(decoded("c.txt").isEmpty)
+  }
+
   test("PERMISSIVE json keeps corrupt rows in _corrupt_record; FAILFAST throws") {
     val dir = Files.createTempDirectory("graft_json")
     Files.write(dir.resolve("a.json"), java.util.Arrays.asList(
