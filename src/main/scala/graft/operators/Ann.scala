@@ -495,6 +495,36 @@ object Ann {
       .drop("_siga", "_sigb")
   }
 
+  /** Cross-dataset variant of [[hammingJoin]]: all (left, right) pairs
+    * within `maxDist`, banded-equijoin pruned the same way (no a < b
+    * filter — sides are distinct datasets). Returns (idColL, idColR,
+    * _dist); id columns must be differently named. The query-batch-vs-
+    * corpus shape (streaming image dedup-on-ingest uses it). */
+  def hammingJoinBetween(left: DataFrame, leftSig: String, leftId: String,
+      right: DataFrame, rightSig: String, rightId: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64, s"maxDist $maxDist out of range")
+    require(leftId != rightId, "id columns must be differently named")
+    val nb = maxDist + 1
+    def banded(df: DataFrame, sigCol: String, idCol: String, sigOut: String) =
+      df.select(col(idCol), col(sigCol).as(sigOut),
+        posexplode(array((0 until nb).map { i =>
+          val off = i * 64 / nb
+          val width = (i + 1) * 64 / nb - off
+          val mask = if (width == 64) -1L else (1L << width) - 1
+          shiftrightunsigned(col(sigCol), off).bitwiseAND(lit(mask))
+        }: _*)).as(Seq("_band", "_bv")))
+    val l = banded(left, leftSig, leftId, "_siga")
+    val r = banded(right, rightSig, rightId, "_sigb")
+    l.join(r, Seq("_band", "_bv"))
+      .select(col(leftId), col(rightId), col("_siga"), col("_sigb"))
+      .distinct()
+      .withColumn("_dist",
+        bit_count(col("_siga").bitwiseXOR(col("_sigb"))).cast("int"))
+      .filter(col("_dist") <= maxDist)
+      .drop("_siga", "_sigb")
+  }
+
   /** All rows within Hamming distance `maxDist` of `query`, with a
     * SOUND pigeonhole prune: the 64 bits split into `maxDist + 1`
     * bands, and any signature within `maxDist` must match the query

@@ -276,6 +276,64 @@ object StreamOps {
     }
   }
 
+  /** Streaming IMAGE dedup-on-ingest: every micro-batch of (id, blob)
+    * rows is perceptually near-deduped within itself (keep-first dHash,
+    * [[graft.operators.Ann.hammingJoin]]) and then AGAINST the already-
+    * accepted corpus; survivors append. Structurally simpler than
+    * [[dedupedIngest]] on purpose: the 64-bit dHash is derivable from
+    * the blob, so it is stored AS A COLUMN of the corpus table itself —
+    * one append per batch, no sidecar to diverge from, no heal-swap
+    * machinery. Per batch the corpus costs one column-pruned parquet
+    * scan of (id, sig) — 16 bytes/row, the blobs are never read — and
+    * the match is the banded Hamming EQUIJOIN, never a cartesian.
+    *
+    * Semantics mirror the text variant: accepted ids are immutable (a
+    * batch row re-using an accepted id drops regardless of content, so
+    * re-delivery is idempotent); undecodable blobs (null dHash) are
+    * never anyone's duplicate and always accept. Exactly-once caveat is
+    * dedupedIngest's too: parquet append in foreachBatch is
+    * at-least-once across retries; production stamps batchId into the
+    * path and commits atomically. */
+  def imageDedupedIngest(docs: DataFrame, corpusPath: String,
+      idCol: String = "img_id", binCol: String = "blob", maxDist: Int = 8)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val A = graft.operators.Ann
+        val M = graft.operators.Multimodal
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val cp = new org.apache.hadoop.fs.Path(corpusPath)
+        val corpusExists = cp.getFileSystem(hconf).exists(cp)
+        val sigged = batch
+          .withColumn("_sig", M.dHashCol(col(binCol)))
+          .localCheckpoint(true) // pin: reused for self-join + corpus match + write
+        val hashed = sigged.filter(col("_sig").isNotNull)
+        // keep-first within the batch (same orientation as bucketDrops)
+        val selfDrops = A.hammingJoin(
+            hashed.select(col(idCol), col("_sig")), "_sig", idCol, maxDist)
+          .select(col(s"${idCol}_b").as("_drop")).distinct()
+        val selfKept = sigged
+          .join(selfDrops, sigged(idCol) === col("_drop"), "left_anti")
+        val accepted =
+          if (!corpusExists) selfKept
+          else {
+            val corpus = spark.read.parquet(corpusPath)
+              .select(col(idCol).as("_cid"), col("_sig").as("_csig"))
+            // id immutability: re-delivered accepted ids drop outright
+            val newIds = selfKept.join(corpus,
+              selfKept(idCol) === col("_cid"), "left_anti")
+            val dupDrops = A.hammingJoinBetween(
+                corpus.filter(col("_csig").isNotNull), "_csig", "_cid",
+                newIds.filter(col("_sig").isNotNull).select(col(idCol), col("_sig")),
+                "_sig", idCol, maxDist)
+              .select(col(idCol).as("_drop")).distinct()
+            newIds.join(dupDrops, newIds(idCol) === col("_drop"), "left_anti")
+          }
+        accepted.write.mode("append").parquet(corpusPath)
+    }
+  }
+
   /** INCREMENTAL stateful sessionization — the production variant: the
     * open tail stays in GroupState across micro-batches and is flushed
     * exactly once, when the event-time watermark passes

@@ -100,6 +100,17 @@ class AnnSpec extends AnyFunSuite {
       } yield (a, b, d)).sortBy(t => (t._1, t._2)).toSeq
       assert(got == brute)
       assert(got.size >= 200 * 6) // every quartet contributes its 6 pairs
+      // cross-dataset variant: left half vs right half, same brute truth
+      val l = sigs.filter($"id" < 400)
+      val r = sigs.filter($"id" >= 400)
+        .withColumnRenamed("id", "rid").withColumnRenamed("sig", "rsig")
+      val crossGot = Ann.hammingJoinBetween(l, "sig", "id", r, "rsig", "rid", 7)
+        .select($"id", $"rid").as[(Long, Long)].collect().sorted.toSeq
+      val crossBrute = (for {
+        (a, sa) <- all if a < 400; (b, sb) <- all if b >= 400
+        if java.lang.Long.bitCount(sa ^ sb) <= 7
+      } yield (a, b)).sorted.toSeq
+      assert(crossGot == crossBrute)
     } finally sigs.unpersist()
   }
 

@@ -307,6 +307,62 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming IMAGE dedup-on-ingest: dHash near-dups dropped, undecodable accepted") {
+    import graft.operators.{Dedup, Multimodal}
+    val src = Files.createTempDirectory("graft_simg_src")
+    val corpus = Files.createTempDirectory("graft_simg_corpus").toString + "/imgcorpus"
+    def blocky(seed: Long, flip: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val v = (Dedup.splitmix64(seed ^ (x / 8 * 31 + y / 8).toLong) >>> 56).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      for (i <- 0 until flip) img.setRGB(i % 64, (i * 7) % 64, 0xFFFFFF)
+      val o = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", o)
+      o.toByteArray
+    }
+    def writeBatch(name: String, rows: Seq[(Long, Array[Byte])]): Unit = {
+      val tmp = Files.createTempDirectory(s"graft_simg_$name")
+      rows.toDF("img_id", "blob").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get
+      Files.copy(part, Paths.get(s"$src/$name.parquet"))
+    }
+    // batch 1: A, near-copy of A (within-batch drop), unrelated B
+    writeBatch("b1", Seq((1L, blocky(1L, 0)), (2L, blocky(1L, 12)), (3L, blocky(50L, 0))))
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("img_id", LongType), StructField("blob", BinaryType))))
+      .parquet(src.toString)
+    val q = StreamOps.imageDedupedIngest(stream, corpus).start()
+    try {
+      q.processAllAvailable()
+      val after1 = spark.read.parquet(corpus).select("img_id").as[Long].collect().sorted
+      assert(after1.toSeq == Seq(1L, 3L), "within-batch perceptual dup 2 dropped")
+      // batch 2: near-copy of accepted A (drop), fresh C, undecodable D (accept)
+      writeBatch("b2", Seq((4L, blocky(1L, 10)), (5L, blocky(99L, 0)),
+        (6L, "not an image".getBytes)))
+      q.processAllAvailable()
+      val after2 = spark.read.parquet(corpus).select("img_id").as[Long].collect().sorted
+      assert(after2.toSeq == Seq(1L, 3L, 5L, 6L),
+        "cross-batch dup 4 dropped; fresh 5 and undecodable 6 accepted")
+      // batch 3: re-delivered accepted id drops regardless of content
+      writeBatch("b3", Seq((3L, blocky(777L, 0))))
+      q.processAllAvailable()
+      val after3 = spark.read.parquet(corpus).select("img_id").as[Long].collect().sorted
+      assert(after3.toSeq == Seq(1L, 3L, 5L, 6L), "re-used id 3 dropped")
+      // the signature column IS the sidecar: stored sigs match recomputed
+      val stored = spark.read.parquet(corpus)
+        .select($"img_id", $"_sig", Multimodal.dHashCol($"blob").as("_re"))
+        .collect()
+      stored.foreach { r =>
+        assert(r.isNullAt(1) == r.isNullAt(2) &&
+          (r.isNullAt(1) || r.getLong(1) == r.getLong(2)),
+          s"stored sig diverged for id ${r.getLong(0)}")
+      }
+    } finally q.stop()
+  }
+
   test("dedup-on-ingest heals a double-appended corpus (at-least-once retry)") {
     val src = Files.createTempDirectory("graft_sheal_src")
     val corpus = Files.createTempDirectory("graft_sheal_corpus").toString + "/corpus"
