@@ -1290,6 +1290,38 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Webdataset SAMPLE pairing: shards carry (id.png, id.txt) member
+    // pairs; the zero-shuffle adjacency fold groups them into one row
+    // per sample, the png part decodes with the real codec, the txt
+    // part is the caption — dims and caption length closed-form.
+    "q112_tar_samples" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = freshScratch("q112")
+      val ids = t(s, dir, "documents").select($"doc_id").as[Long].collect().sorted
+      ids.grouped(math.max(1, (ids.length + 3) / 4)).zipWithIndex.foreach {
+        case (slice, i) =>
+          val entries = slice.toSeq.flatMap { id =>
+            Seq(
+              (f"$id%06d.png", graft.operators.Multimodal.syntheticPng(
+                (48 + id % 32).toInt, (32 + id % 16).toInt,
+                (id * 7 % 256).toInt, (id * 13 % 256).toInt, (id * 31 % 256).toInt)),
+              (f"$id%06d.txt", s"caption for document $id".getBytes("UTF-8")))
+          }
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(tmp, f"shard-$i%05d.tar"),
+            graft.sources.Tar.archive(entries))
+      }
+      val samples = graft.operators.Ingest.pairTarMembers(
+        graft.operators.Ingest.readTarMembers(s, tmp))
+      graft.operators.Multimodal.withImageStats(
+          samples.withColumn("img", element_at($"parts", "png")), "img")
+        .select($"key".cast("long").as("doc_id"),
+          $"image_stats.width".as("width"),
+          $"image_stats.height".as("height"),
+          decode(element_at($"parts", "txt"), "UTF-8").as("caption"))
+        .orderBy($"doc_id")
+    }),
+
     // Binary-hash ANN over embeddings: 64-hyperplane sign signature
     // (8 bytes/vector), Hamming shortlist, exact cosine rescore —
     // recall@10 contract vs brute force, q99-style.
@@ -2547,6 +2579,13 @@ object SparkEntry {
 
     "q110_ann_binary" ->
       "SELECT CAST(10 AS BIGINT) AS k, TRUE AS recall_ok",
+
+    "q112_tar_samples" ->
+      """SELECT doc_id,
+        |  CAST(48 + doc_id % 32 AS INT) AS width,
+        |  CAST(32 + doc_id % 16 AS INT) AS height,
+        |  'caption for document ' || doc_id AS caption
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q111_tar_shards" ->
       """SELECT doc_id,

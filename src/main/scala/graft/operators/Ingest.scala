@@ -76,6 +76,54 @@ object Ingest {
     }(enc)
   }
 
+  /** Group tar members into webdataset SAMPLES: key = member name up
+    * to the first '.', extension maps to the member bytes — so
+    * `0001.png` + `0001.txt` become one row (shard, key "0001",
+    * parts {png -> bytes, txt -> bytes}). Webdataset guarantees a
+    * sample's members are CONTIGUOUS in the shard, so this is a
+    * per-partition adjacency fold over [[readTarMembers]] output —
+    * ZERO shuffle at any corpus size (the groupBy formulation would
+    * shuffle every byte of every image). Input must be readTarMembers-
+    * shaped (shard, member, content) in archive order. */
+  def pairTarMembers(members: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("shard", StringType, nullable = false),
+      StructField("key", StringType, nullable = false),
+      StructField("parts",
+        MapType(StringType, BinaryType, valueContainsNull = false), nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val si = members.schema.fieldIndex("shard")
+    val mi = members.schema.fieldIndex("member")
+    val ci = members.schema.fieldIndex("content")
+    members.mapPartitions { it =>
+      new Iterator[Row] {
+        private var pending: Row = null // first member of the next sample
+        private def keyOf(name: String) = {
+          val dot = name.indexOf('.')
+          if (dot < 0) (name, "") else (name.substring(0, dot), name.substring(dot + 1))
+        }
+        override def hasNext: Boolean = pending != null || it.hasNext
+        override def next(): Row = {
+          val first = if (pending != null) { val p = pending; pending = null; p }
+            else it.next()
+          val shard = first.getString(si)
+          val (key, ext0) = keyOf(first.getString(mi))
+          val parts = scala.collection.mutable.LinkedHashMap[String, Array[Byte]](
+            ext0 -> first.getAs[Array[Byte]](ci))
+          var done = false
+          while (!done && it.hasNext) {
+            val r = it.next()
+            val (k, e) = keyOf(r.getString(mi))
+            if (r.getString(si) == shard && k == key)
+              parts(e) = r.getAs[Array[Byte]](ci)
+            else { pending = r; done = true }
+          }
+          Row(shard, key, parts.toMap)
+        }
+      }
+    }(enc)
+  }
+
   /** Chunk + embed + id + metadata + dim-check. Input needs columns
     * (doc_id, text); output schema:
     * (id string, values array<float>, metadata struct<chunk_index int,

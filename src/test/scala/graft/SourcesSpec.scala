@@ -511,6 +511,29 @@ class SourcesSpec extends AnyFunSuite {
     assert(decoded("c.txt").isEmpty)
   }
 
+  test("Tar: webdataset sample pairing is a zero-shuffle adjacency fold") {
+    import graft.sources.Tar
+    import graft.operators.Ingest
+    val dir = Files.createTempDirectory("graft_wds")
+    // contiguous members per sample (webdataset layout); 'b' lacks a
+    // txt part, 'c' has no extension, 'd.seg.png' has a dotted ext
+    Files.write(dir.resolve("s.tar"), Tar.archive(Seq(
+      ("a.png", "PNGA".getBytes), ("a.txt", "capA".getBytes),
+      ("b.png", "PNGB".getBytes),
+      ("c", "RAW".getBytes),
+      ("d.seg.png", "SEG".getBytes), ("d.txt", "capD".getBytes))))
+    val samples = Ingest.pairTarMembers(Ingest.readTarMembers(spark, dir.toString))
+    assert(!samples.queryExecution.executedPlan.toString.contains("Exchange"),
+      "pairing must not shuffle")
+    val rows = samples.select($"key", $"parts").collect()
+      .map(r => r.getString(0) -> r.getMap[String, Array[Byte]](1)).toMap
+    assert(rows.keySet == Set("a", "b", "c", "d"))
+    assert(new String(rows("a")("png")) == "PNGA" && new String(rows("a")("txt")) == "capA")
+    assert(rows("b").keySet == Set("png"))
+    assert(new String(rows("c")("")) == "RAW") // extension-less member
+    assert(new String(rows("d")("seg.png")) == "SEG" && rows("d").size == 2)
+  }
+
   test("PERMISSIVE json keeps corrupt rows in _corrupt_record; FAILFAST throws") {
     val dir = Files.createTempDirectory("graft_json")
     Files.write(dir.resolve("a.json"), java.util.Arrays.asList(
