@@ -1290,6 +1290,23 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // REAL byte-level BPE at the gate: merges learned on a bounded
+    // hash-ordered sample (driver-side, PQ-style), broadcast model
+    // encodes the corpus; contract row asserts corpus-wide lossless
+    // roundtrip (byte-level guarantee) and that tokenization actually
+    // compresses (tokens < UTF-8 bytes).
+    "q113_bpe_tokenize" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val model = graft.operators.Bpe.trainOnSample(docs, "text", vocabSize = 512)
+      val roundtrip = udf { (t: String) => model.decode(model.encode(t)) == t }
+      docs.select($"text",
+          graft.operators.Bpe.tokenCountCol($"text", model).as("ntok"))
+        .agg(count(lit(1)).as("n_docs"),
+          (min(roundtrip($"text").cast("int")) === 1).as("roundtrip_ok"),
+          (sum($"ntok") < sum(octet_length($"text"))).as("compresses"))
+    }),
+
     // Webdataset SAMPLE pairing: shards carry (id.png, id.txt) member
     // pairs; the zero-shuffle adjacency fold groups them into one row
     // per sample, the png part decodes with the real codec, the txt
@@ -2579,6 +2596,10 @@ object SparkEntry {
 
     "q110_ann_binary" ->
       "SELECT CAST(10 AS BIGINT) AS k, TRUE AS recall_ok",
+
+    "q113_bpe_tokenize" ->
+      """SELECT COUNT(*) AS n_docs, TRUE AS roundtrip_ok, TRUE AS compresses
+        |FROM documents""".stripMargin,
 
     "q112_tar_samples" ->
       """SELECT doc_id,
