@@ -1290,6 +1290,35 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // CCNet-shaped LM quality scoring at the gate: byte-trigram model
+    // trained on the corpus (wordcount shape + TakeOrdered top-K),
+    // then every doc is scored against its deterministically
+    // char-shuffled twin — a trained LM must separate real text from
+    // shuffled text on average, or the signal is noise.
+    "q114_lm_quality" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val model = graft.operators.NgramLm.train(docs, "text")
+      val shuffle = udf { (t: String, id: Long) =>
+        val a = t.toCharArray
+        var i = a.length - 1
+        var st = id
+        while (i > 0) {
+          st = graft.operators.Dedup.splitmix64(st)
+          val j = ((st >>> 1) % (i + 1)).toInt
+          val tmp = a(i); a(i) = a(j); a(j) = tmp
+          i -= 1
+        }
+        new String(a)
+      }
+      docs.select(
+          graft.operators.NgramLm.bitsPerByteCol($"text", model).as("real"),
+          graft.operators.NgramLm.bitsPerByteCol(shuffle($"text", $"doc_id"), model)
+            .as("shuf"))
+        .agg(count(lit(1)).as("n_docs"),
+          (avg($"real") < avg($"shuf")).as("lm_separates"))
+    }),
+
     // REAL byte-level BPE at the gate: merges learned on a bounded
     // hash-ordered sample (driver-side, PQ-style), broadcast model
     // encodes the corpus; contract row asserts corpus-wide lossless
@@ -2600,6 +2629,9 @@ object SparkEntry {
     "q113_bpe_tokenize" ->
       """SELECT COUNT(*) AS n_docs, TRUE AS roundtrip_ok, TRUE AS compresses
         |FROM documents""".stripMargin,
+
+    "q114_lm_quality" ->
+      "SELECT COUNT(*) AS n_docs, TRUE AS lm_separates FROM documents",
 
     "q112_tar_samples" ->
       """SELECT doc_id,

@@ -5,6 +5,30 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class TextAnalyticsSpec extends AnyFunSuite {
+
+  test("NgramLm: trained trigram model separates corpus-like text from gibberish") {
+    import graft.operators.NgramLm
+    val sp = TestSpark.spark
+    import sp.implicits._
+    val docs = sp.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val model = NgramLm.train(docs, "text")
+    val sample = docs.select($"text").as[String].head()
+    val real = model.bitsPerByte(sample)
+    val gibberish = model.bitsPerByte("qxzj wvkq zzxw jqvx kqzz xwjq vxkq")
+    assert(real < gibberish, s"real=$real gibberish=$gibberish")
+    // shuffled version of the SAME bytes scores worse than the original
+    val shuffled = new String(sample.toCharArray.reverse)
+    assert(real < model.bitsPerByte(shuffled))
+    // short-text fallback: uniform 8 bits/byte
+    assert(model.bitsPerByte("ab") == 8.0)
+    // scoring column runs distributed and is finite everywhere
+    val scores = docs.select(NgramLm.bitsPerByteCol($"text", model).as("s"))
+      .as[Double].collect()
+    assert(scores.forall(s => s > 0 && s < 8.5))
+    // training is deterministic (tie-break on key)
+    val model2 = NgramLm.train(docs, "text")
+    assert(model.bitsPerByte(sample) == model2.bitsPerByte(sample))
+  }
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
