@@ -172,6 +172,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hashed(1L).isDefined && hashed(2L).isEmpty)
   }
 
+  test("Multimodal.gridFeatures: real pooled-pixel vectors feed the embedding operators") {
+    // solid fill: every cell is exactly the normalized fill color
+    val solid = Multimodal.syntheticPng(32, 32, 255, 0, 128)
+    val f = Multimodal.gridFeatures(solid, grid = 2).get
+    assert(f.length == 12)
+    (0 until 4).foreach { c =>
+      assert(f(3 * c) == 1.0f && f(3 * c + 1) == 0.0f)
+      assert(math.abs(f(3 * c + 2) - 128 / 255.0f) < 1e-6)
+    }
+    // a left-red/right-blue image separates in the grid layout
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16)
+      img.setRGB(x, y, if (x < 8) 0xFF0000 else 0x0000FF)
+    val o = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", o)
+    val g = Multimodal.gridFeatures(o.toByteArray, grid = 2).get
+    assert(g(0) == 1.0f && g(2) == 0.0f) // top-left cell: red
+    assert(g(3) == 0.0f && g(5) == 1.0f) // top-right cell: blue
+    assert(Multimodal.gridFeatures("junk".getBytes).isEmpty)
+    // column form composes with cosine ANN: identical images at
+    // cosine 1, the red/blue image measurably apart from solid red
+    val df = Seq((1L, solid), (2L, solid), (3L, o.toByteArray)).toDF("id", "blob")
+    val feats = df.select($"id", Multimodal.gridFeaturesCol($"blob", 2).as("f"))
+    val top = graft.operators.Ann.bruteForceTopK(
+      feats, "f", "id", Multimodal.gridFeatures(solid, 2).get, 3)
+    val ranked = top.select($"id", $"score").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(ranked.take(2).map(_._1).toSet == Set(1L, 2L))
+    assert(math.abs(ranked(0)._2 - 1.0) < 1e-6 && ranked(2)._2 < 0.999)
+  }
+
   test("Multimodal: REAL WAV parse — RIFF chunk walk, extra chunks, malformed input") {
     val wav = Multimodal.syntheticWav(8000, 2, 441, seed = 7L)
     assert(Multimodal.wavHeader(wav).contains(
