@@ -47,6 +47,11 @@ object Utf8TextExtractor extends TextExtractor {
   * `N G obj` integer in the file (no xref walk needed for the direct-int
   * case every real producer emits). Shown strings carrying a UTF-16BE
   * (or UTF-8) BOM are decoded as such, per PDF 32000-1 §7.9.2.2.
+  * Streams are processed in PAGE-TREE order (Catalog -> Pages -> Kids
+  * -> Contents, including /Contents arrays) so incrementally-updated /
+  * object-reordered files concatenate pages in page order like the
+  * reference; an unwalkable tree (ObjStm-compressed page dicts, broken
+  * refs, cycles) falls back to the byte-order scan.
   *
   * Honest scope (ref op A2, streamlit_app.py:60-71): streams with other
   * filters (DCTDecode images, CCITT, JBIG2, JPX), or a `/DecodeParms`/
@@ -67,15 +72,44 @@ object SimplePdfTextExtractor extends TextExtractor {
     if (!s.startsWith("%PDF"))
       throw new IllegalArgumentException("not a PDF (missing %PDF header)")
     val out = new StringBuilder
-    // Explicit scan (not a regex over the whole doc): a regex dict capture
-    // either breaks on nested sub-dicts (/DecodeParms << ... >>) or
-    // truncates at a literal "endstream" inside compressed payload bytes.
-    // Here each `stream` keyword anchors a backward balanced-dict scan and
-    // a forward payload scan, and the resume position always lands past
-    // the stream actually consumed.
+    // PAGE-TREE order first (the reference concatenates pages in page
+    // order, streamlit_app.py:63): walk Catalog -> Pages -> Kids ->
+    // Contents and process exactly those streams, in that order —
+    // byte order diverges from page order in incrementally-updated or
+    // object-reordered files. Any unresolvable link (object streams,
+    // broken refs, cycles) falls back to the byte-order scan below.
+    pageContentStreamOffsets(s) match {
+      case Some(offsets) =>
+        offsets.foreach(k => processStream(s, k, out))
+        return out.result()
+      case None => ()
+    }
+    byteOrderScan(s, out)
+    out.result()
+  }
+
+  /** Fallback: every stream in byte order. Explicit scan (not a regex
+    * over the whole doc): a regex dict capture either breaks on nested
+    * sub-dicts (/DecodeParms << ... >>) or truncates at a literal
+    * "endstream" inside compressed payload bytes. Each `stream` keyword
+    * anchors a backward balanced-dict scan and a forward payload scan,
+    * and the resume position always lands past the stream consumed. */
+  private def byteOrderScan(s: String, out: StringBuilder): Unit = {
     var pos = 0
     var k = s.indexOf("stream", pos)
     while (k >= 0) {
+      pos = processStream(s, k, out)
+      k = s.indexOf("stream", pos)
+    }
+  }
+
+  /** Handle ONE `stream` keyword occurrence at `k`: if it heads a real
+    * stream (a `>>`-terminated dict precedes it), decode and extract
+    * shown text per the dict; returns the resume index past whatever
+    * was consumed (k + 6 for a non-stream hit). */
+  private def processStream(s: String, k: Int, out: StringBuilder): Int = {
+    var pos = k + 6
+    locally {
       // keyword check: preceded (after optional EOL/space) by the dict's
       // ">>" — this also rejects the "stream" inside "endstream"
       var d = k - 1
@@ -166,9 +200,74 @@ object SimplePdfTextExtractor extends TextExtractor {
           pos = skipEndstream(s, lenEnd.getOrElse(dataStart))
         }
       } else pos = k + 6
-      k = s.indexOf("stream", pos)
     }
-    out.result()
+    pos
+  }
+
+  /** The `stream` keyword offsets of the document's page content
+    * streams, in PAGE-TREE order — or None when the tree cannot be
+    * walked (compressed object streams, broken refs, cycles, no
+    * catalog), in which case the caller's byte-order scan takes over.
+    * Pages with multiple /Contents refs contribute each stream in
+    * array order (the PDF semantic: one logical content stream). */
+  private def pageContentStreamOffsets(s: String): Option[Seq[Int]] = {
+    val ref = "(\\d+)\\s+(\\d+)\\s+R".r
+    def objStart(n: String, g: String): Option[Int] =
+      ("(?<![0-9])" + n + "\\s+" + g + "\\s+obj\\b").r.findFirstMatchIn(s).map(_.end)
+    // the object's dict/prelude only — stop at the first `stream` so a
+    // payload's bytes can't be mistaken for dict entries
+    def objPrelude(at: Int): String = {
+      val endObj = s.indexOf("endobj", at)
+      val streamKw = s.indexOf("stream", at)
+      val end = Seq(endObj, streamKw).filter(_ >= 0) match {
+        case Nil => math.min(s.length, at + 2048)
+        case es => es.min
+      }
+      s.substring(at, end)
+    }
+    val catalog = "/Type\\s*/Catalog".r.findFirstMatchIn(s).map(_.start).flatMap { c =>
+      // the catalog's /Pages ref sits in the same object dict; search a
+      // bounded window around the match
+      val win = s.substring(math.max(0, c - 512), math.min(s.length, c + 512))
+      "/Pages\\s+(\\d+)\\s+(\\d+)\\s+R".r.findFirstMatchIn(win).map(m => (m.group(1), m.group(2)))
+    }
+    catalog.flatMap { root =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val visited = scala.collection.mutable.Set.empty[(String, String)]
+      def walk(n: String, g: String): Boolean = { // false = unresolvable
+        if (!visited.add((n, g))) return false // cycle
+        objStart(n, g) match {
+          case None => false // missing object (e.g. inside an ObjStm)
+          case Some(at) =>
+            val body = objPrelude(at)
+            if ("/Type\\s*/Pages\\b".r.findFirstIn(body).isDefined) {
+              val kids = "/Kids\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(body).map(_.group(1))
+              kids match {
+                case None => false
+                case Some(list) =>
+                  ref.findAllMatchIn(list).forall(m => walk(m.group(1), m.group(2)))
+              }
+            } else if ("/Type\\s*/Page\\b".r.findFirstIn(body).isDefined) {
+              "/Contents\\s*(\\d+\\s+\\d+\\s+R|\\[[^\\]]*\\])".r.findFirstMatchIn(body) match {
+                case None => true // empty page: legal, contributes nothing
+                case Some(m) =>
+                  ref.findAllMatchIn(m.group(1)).forall { r =>
+                    objStart(r.group(1), r.group(2)).flatMap { cAt =>
+                      val kw = s.indexOf("stream", cAt)
+                      // the keyword must belong to THIS object
+                      val endObj = s.indexOf("endobj", cAt)
+                      if (kw >= 0 && (endObj < 0 || kw < endObj)) Some(kw) else None
+                    } match {
+                      case Some(kw) => out += kw; true
+                      case None => false
+                    }
+                  }
+              }
+            } else false // unexpected node type
+        }
+      }
+      if (walk(root._1, root._2) && out.nonEmpty) Some(out.toSeq) else None
+    }
   }
 
   /** Resume index just past the first "endstream" at/after `from`. */

@@ -460,6 +460,62 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("PDF page-tree order wins over byte order; broken trees fall back (A2)") {
+    import graft.sources.SimplePdfTextExtractor
+    val pg1 = deflate("BT (page one) Tj ET")
+    val pg2 = deflate("BT (page two) Tj ET")
+    // page TWO's content object is written FIRST in the file: the
+    // byte-order scan would emit "page two" first, the Kids walk must
+    // restore page order (ref concatenates pages in page order)
+    val outOfOrder = pdfBytes(
+      "%PDF-1.4\n",
+      s"6 0 obj << /Filter /FlateDecode /Length ${pg2.length} >>\nstream\n", pg2,
+      "\nendstream\nendobj\n",
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+      "2 0 obj << /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >> endobj\n",
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n",
+      "5 0 obj << /Type /Page /Parent 2 0 R /Contents 6 0 R >> endobj\n",
+      s"4 0 obj << /Filter /FlateDecode /Length ${pg1.length} >>\nstream\n", pg1,
+      "\nendstream\nendobj\n",
+      "trailer << /Size 7 /Root 1 0 R >>\n%%EOF")
+    assert(SimplePdfTextExtractor.extract(outOfOrder) == "page one\npage two\n")
+    // a /Contents ARRAY contributes each stream in array order
+    val contentsArray = pdfBytes(
+      "%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n",
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents [6 0 R 4 0 R] >> endobj\n",
+      s"4 0 obj << /Filter /FlateDecode /Length ${pg2.length} >>\nstream\n", pg2,
+      "\nendstream\nendobj\n",
+      s"6 0 obj << /Filter /FlateDecode /Length ${pg1.length} >>\nstream\n", pg1,
+      "\nendstream\nendobj\n",
+      "trailer << /Size 7 /Root 1 0 R >>\n%%EOF")
+    assert(SimplePdfTextExtractor.extract(contentsArray) == "page one\npage two\n")
+    // NO catalog: fall back to the byte-order scan, text still extracted
+    val noCatalog = pdfBytes(
+      "%PDF-1.4\n",
+      s"4 0 obj << /Filter /FlateDecode /Length ${pg1.length} >>\nstream\n", pg1,
+      "\nendstream\nendobj\n%%EOF")
+    assert(SimplePdfTextExtractor.extract(noCatalog) == "page one\n")
+    // CYCLIC Kids: the walk bails, the byte-order fallback still works
+    val cyclic = pdfBytes(
+      "%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+      "2 0 obj << /Type /Pages /Kids [2 0 R] /Count 1 >> endobj\n",
+      s"4 0 obj << /Filter /FlateDecode /Length ${pg1.length} >>\nstream\n", pg1,
+      "\nendstream\nendobj\n",
+      "trailer << /Size 5 /Root 1 0 R >>\n%%EOF")
+    assert(SimplePdfTextExtractor.extract(cyclic) == "page one\n")
+    // a DANGLING /Contents ref (object absent, e.g. in an ObjStm):
+    // fall back rather than silently dropping the page
+    val dangling = pdfBytes(
+      "%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n",
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 9 0 R >> endobj\n",
+      s"4 0 obj << /Filter /FlateDecode /Length ${pg1.length} >>\nstream\n", pg1,
+      "\nendstream\nendobj\n",
+      "trailer << /Size 5 /Root 1 0 R >>\n%%EOF")
+    assert(SimplePdfTextExtractor.extract(dangling) == "page one\n")
+  }
+
   test("Tar: USTAR roundtrip, padding, skipped non-file entries, truncation") {
     import graft.sources.Tar
     // sizes straddling block boundaries: 0, 1, 511, 512, 513 bytes
