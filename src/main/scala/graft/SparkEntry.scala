@@ -1290,6 +1290,26 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Persisted Hamming index at the gate: quartet signatures written
+    // partitioned by (band, bucket); the radius-3 probe reads exactly
+    // 4 of the 4 x 16 directories (partition pruning IS the probe) and
+    // must recover exactly the query's quartet — oracle is the
+    // prune-free brute-force filter.
+    "q115_hamming_index" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = freshScratch("q115") + "/hidx"
+      val sigs = t(s, dir, "documents").select($"doc_id",
+        expr("doc_id div 4").multiply(lit(2654435761L))
+          .bitwiseXOR(shiftleft(expr("doc_id div 4"), 13))
+          .bitwiseXOR($"doc_id" % 4).as("sig"))
+      graft.operators.Ann.writeHammingIndex(sigs, "sig", "doc_id", tmp,
+        maxDist = 3, buckets = 16)
+      val qsig = (10L * 2654435761L) ^ (10L << 13) ^ 0L // doc 40's signature
+      graft.operators.Ann.queryHammingIndex(s, tmp, qsig, maxDist = 3, buckets = 16)
+        .select($"_hid".as("doc_id"), $"_dist".as("dist"))
+        .orderBy($"doc_id")
+    }),
+
     // CCNet-shaped LM quality scoring at the gate: byte-trigram model
     // trained on the corpus (wordcount shape + TakeOrdered top-K),
     // then every doc is scored against its deterministically
@@ -2632,6 +2652,18 @@ object SparkEntry {
 
     "q114_lm_quality" ->
       "SELECT COUNT(*) AS n_docs, TRUE AS lm_separates FROM documents",
+
+    "q115_hamming_index" ->
+      """WITH sigs AS (
+        |  SELECT doc_id,
+        |    xor(xor((doc_id // 4) * 2654435761, (doc_id // 4) << 13),
+        |        doc_id % 4) AS sig
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(bit_count(xor(sig, xor(10 * 2654435761, 10 << 13))) AS INT) AS dist
+        |FROM sigs
+        |WHERE bit_count(xor(sig, xor(10 * 2654435761, 10 << 13))) <= 3
+        |ORDER BY doc_id""".stripMargin,
 
     "q112_tar_samples" ->
       """SELECT doc_id,

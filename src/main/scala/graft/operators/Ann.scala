@@ -447,6 +447,60 @@ object Ann {
     bruteForceTopK(short, vecCol, idCol, q, k)
   }
 
+  /** Persist a partition-pruned Hamming index: each row explodes into
+    * `maxDist + 1` band rows and lands in the directory for
+    * (band, bandValue % buckets) — so a radius query reads exactly
+    * `maxDist + 1` directories (one probed bucket per band) out of
+    * `(maxDist+1) * buckets`, and the probe IS partition pruning, the
+    * same layout discipline as the LSH bucket index. Sound: a true
+    * match equals the query on >= 1 full band value (pigeonhole),
+    * which implies the same bucket; stored signatures exact-verify. */
+  def writeHammingIndex(df: DataFrame, sigCol: String, idCol: String,
+      path: String, maxDist: Int, buckets: Int = 64): Unit = {
+    require(maxDist >= 0 && maxDist < 64, s"maxDist $maxDist out of range")
+    val nb = maxDist + 1
+    df.select(col(idCol).as("_hid"), col(sigCol).as("_hsig"))
+      .select(col("_hid"), col("_hsig"),
+        posexplode(array((0 until nb).map { i =>
+          val off = i * 64 / nb
+          val width = (i + 1) * 64 / nb - off
+          val mask = if (width == 64) -1L else (1L << width) - 1
+          shiftrightunsigned(col("_hsig"), off).bitwiseAND(lit(mask))
+        }: _*)).as(Seq("_band", "_bv")))
+      .withColumn("_bkt", pmod(col("_bv"), lit(buckets.toLong)).cast("int"))
+      .write.mode("overwrite").partitionBy("_band", "_bkt").parquet(path)
+  }
+
+  /** Radius query over a [[writeHammingIndex]] layout: literal
+    * (band, bucket) equality filters prune the scan to `maxDist + 1`
+    * directories, candidates dedupe on (id, sig), popcount verifies.
+    * `maxDist`/`buckets` must match the written layout. */
+  def queryHammingIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      query: Long, maxDist: Int, buckets: Int = 64): DataFrame = {
+    val nb = maxDist + 1
+    val bandVals = (0 until nb).map { i =>
+      val off = i * 64 / nb
+      val width = (i + 1) * 64 / nb - off
+      val mask = if (width == 64) -1L else (1L << width) - 1
+      (query >>> off) & mask
+    }
+    // partition probe must stay PURE over partition columns — folding
+    // the _bv data column into the disjunction would make the whole OR
+    // unprunable and scan every directory
+    val partProbe = bandVals.zipWithIndex.map { case (bv, i) =>
+      col("_band") === i && col("_bkt") === (bv % buckets).toInt
+    }.reduce(_ || _)
+    val dataProbe = bandVals.zipWithIndex.map { case (bv, i) =>
+      col("_band") === i && col("_bv") === bv // drop modulo collisions
+    }.reduce(_ || _)
+    spark.read.parquet(path)
+      .filter(partProbe && dataProbe)
+      .select(col("_hid"), col("_hsig")).distinct() // a match can share bands
+      .withColumn("_dist",
+        bit_count(col("_hsig").bitwiseXOR(lit(query))).cast("int"))
+      .filter(col("_dist") <= maxDist)
+  }
+
   /** Hamming-space top-k over a 64-bit signature column (dHash,
     * simhash, or any binarized embedding): distance is the codegen'd
     * `bit_count(sig XOR query)` — no UDF — and (dist, id) ordering +

@@ -114,6 +114,28 @@ class AnnSpec extends AnyFunSuite {
     } finally sigs.unpersist()
   }
 
+  test("persisted Hamming index: partition-pruned probe equals hammingWithin") {
+    val sigs = spark.range(0, 800).select($"id",
+      udf((i: Long) => graft.operators.Dedup.splitmix64(i / 4) ^ (i % 4))
+        .apply($"id").as("sig")).cache()
+    try {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_hidx").toString + "/idx"
+      Ann.writeHammingIndex(sigs, "sig", "id", tmp, maxDist = 3, buckets = 16)
+      val q = graft.operators.Dedup.splitmix64(25L) // quartet ids 100..103
+      val res = Ann.queryHammingIndex(spark, tmp, q, maxDist = 3, buckets = 16)
+      // the probe must reach the scan as a PARTITION filter (pruning),
+      // not just a data filter over a full scan
+      val plan = res.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*_band".r.findFirstIn(plan).isDefined,
+        s"band probe did not prune partitions:\n$plan")
+      val got = res.select($"_hid").as[Long].collect().sorted.toSeq
+      val want = Ann.hammingWithin(sigs, "sig", q, 3)
+        .select($"id").as[Long].collect().sorted.toSeq
+      assert(got == want)
+      assert(got.containsSlice(Seq(100L, 101L, 102L, 103L)))
+    } finally sigs.unpersist()
+  }
+
   test("brute-force top-k: self is rank 1, scores monotone") {
     val top = Ann.bruteForceTopK(emb, "embedding", "vec_id", queryVec(7), 10).collect()
     assert(top.head.getAs[Long]("vec_id") == 7L)
