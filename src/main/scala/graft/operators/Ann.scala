@@ -487,8 +487,12 @@ object Ann {
     // partition probe must stay PURE over partition columns — folding
     // the _bv data column into the disjunction would make the whole OR
     // unprunable and scan every directory
+    // floorMod matches the writer's SQL pmod: with maxDist=0 the single
+    // band is the whole signature (mask -1), so a negative signature would
+    // give a negative Scala `%` here but a non-negative pmod bucket on disk
     val partProbe = bandVals.zipWithIndex.map { case (bv, i) =>
-      col("_band") === i && col("_bkt") === (bv % buckets).toInt
+      col("_band") === i &&
+        col("_bkt") === java.lang.Math.floorMod(bv, buckets.toLong).toInt
     }.reduce(_ || _)
     val dataProbe = bandVals.zipWithIndex.map { case (bv, i) =>
       col("_band") === i && col("_bv") === bv // drop modulo collisions

@@ -212,7 +212,12 @@ object Dedup {
     val bf = corpus.select(xxhash64(col(textCol)).as("_h")).stat.bloomFilter("_h", n, fpp)
     val bcast = spark.sparkContext.broadcast(bf)
     val mightContain = udf { (h: Long) => bcast.value.mightContainLong(h) }
-    val withHit = batch.withColumn("_bloom_hit", mightContain(xxhash64(col(textCol))))
+    // null text: xxhash64(null) is null and the primitive-Long UDF is skipped,
+    // yielding a null hit flag that would fail BOTH branch filters — coalesce to
+    // false so null-text rows take the fresh branch, matching the NOT-EXISTS
+    // oracle (whose anti-join null keys never match and are kept).
+    val withHit = batch.withColumn("_bloom_hit",
+      coalesce(mightContain(xxhash64(col(textCol))), lit(false)))
     val freshByMiss = withHit.filter(!col("_bloom_hit")).drop("_bloom_hit")
     val verified = withHit.filter(col("_bloom_hit")).drop("_bloom_hit")
       .join(corpus.select(col(textCol)).distinct(), Seq(textCol), "left_anti")

@@ -50,19 +50,33 @@ object Utf8TextExtractor extends TextExtractor {
   * Streams are processed in PAGE-TREE order (Catalog -> Pages -> Kids
   * -> Contents, including /Contents arrays) so incrementally-updated /
   * object-reordered files concatenate pages in page order like the
-  * reference; an unwalkable tree (ObjStm-compressed page dicts, broken
-  * refs, cycles) falls back to the byte-order scan.
+  * reference; an unwalkable tree (broken refs, cycles) falls back to
+  * the byte-order scan. Page-tree dicts compressed into PDF 1.5+
+  * object streams (`/Type /ObjStm`) are resolved: each ObjStm is
+  * decoded (its header's N pairs locate the contained objects,
+  * §7.5.7) and the walker reads tree nodes from it — content streams
+  * themselves can never be ObjStm-contained (§7.5.7 forbids streams
+  * inside object streams), so their offsets stay raw-document. Where
+  * the same object has several bodies (incremental updates), the LAST
+  * occurrence in byte order wins — later update bodies supersede
+  * earlier ones; the xref that would disambiguate is not walked.
+  *
+  * Subset-font hex show-text (`<0041> Tj` with a /ToUnicode CMap) is
+  * decoded through the document's merged ToUnicode map
+  * (`beginbfchar`/`beginbfrange`, §9.10.3): a hex string whose 2-byte
+  * codes are ALL mapped yields the mapped unicode, anything else
+  * falls back to raw Latin-1 bytes (or BOM-tagged decode). Merging
+  * across fonts (instead of tracking the active Tf font) is the
+  * minimal-fidelity trade: codes that collide across subset fonts are
+  * dropped from the map and fall back raw.
   *
   * Honest scope (ref op A2, streamlit_app.py:60-71): streams with other
   * filters (DCTDecode images, CCITT, JBIG2, JPX), or a `/DecodeParms`/
-  * `/DP` `/Predictor` ≥ 2 (flate+predictor xref/object streams,
-  * ubiquitous in PDF 1.5+ — the decoded bytes are PNG-row-filtered
-  * binary, never a text layer), have no recoverable text layer here, so
-  * they contribute "" and [[FallbackExtractor]] routes whitespace-only
-  * documents to OCR — the same path the reference takes for scanned
-  * pages. Hex show-text operands (`<48656C6C6F> Tj`) decode as raw
-  * Latin-1 bytes unless BOM-tagged; subset-font CMap/ToUnicode
-  * remapping is PDFBox territory and out of scope. Full-fidelity
+  * `/DP` `/Predictor` ≥ 2 (flate+predictor xref streams — the decoded
+  * bytes are PNG-row-filtered binary, never a text layer), have no
+  * recoverable text layer here, so they contribute "" and
+  * [[FallbackExtractor]] routes whitespace-only documents to OCR — the
+  * same path the reference takes for scanned pages. Full-fidelity
   * extraction (PDFBox) plugs in at the [[TextExtractor]] trait.
   */
 object SimplePdfTextExtractor extends TextExtractor {
@@ -72,19 +86,20 @@ object SimplePdfTextExtractor extends TextExtractor {
     if (!s.startsWith("%PDF"))
       throw new IllegalArgumentException("not a PDF (missing %PDF header)")
     val out = new StringBuilder
+    val cmap = toUnicodeMap(s)
     // PAGE-TREE order first (the reference concatenates pages in page
     // order, streamlit_app.py:63): walk Catalog -> Pages -> Kids ->
     // Contents and process exactly those streams, in that order —
     // byte order diverges from page order in incrementally-updated or
-    // object-reordered files. Any unresolvable link (object streams,
-    // broken refs, cycles) falls back to the byte-order scan below.
+    // object-reordered files. Any unresolvable link (broken refs,
+    // cycles) falls back to the byte-order scan below.
     pageContentStreamOffsets(s) match {
       case Some(offsets) =>
-        offsets.foreach(k => processStream(s, k, out))
+        offsets.foreach(k => processStream(s, k, out, cmap))
         return out.result()
       case None => ()
     }
-    byteOrderScan(s, out)
+    byteOrderScan(s, out, cmap)
     out.result()
   }
 
@@ -94,11 +109,12 @@ object SimplePdfTextExtractor extends TextExtractor {
     * "endstream" inside compressed payload bytes. Each `stream` keyword
     * anchors a backward balanced-dict scan and a forward payload scan,
     * and the resume position always lands past the stream consumed. */
-  private def byteOrderScan(s: String, out: StringBuilder): Unit = {
+  private def byteOrderScan(s: String, out: StringBuilder,
+      cmap: Map[Int, String]): Unit = {
     var pos = 0
     var k = s.indexOf("stream", pos)
     while (k >= 0) {
-      pos = processStream(s, k, out)
+      pos = processStream(s, k, out, cmap)
       k = s.indexOf("stream", pos)
     }
   }
@@ -107,7 +123,8 @@ object SimplePdfTextExtractor extends TextExtractor {
     * stream (a `>>`-terminated dict precedes it), decode and extract
     * shown text per the dict; returns the resume index past whatever
     * was consumed (k + 6 for a non-stream hit). */
-  private def processStream(s: String, k: Int, out: StringBuilder): Int = {
+  private def processStream(s: String, k: Int, out: StringBuilder,
+      cmap: Map[Int, String]): Int = {
     var pos = k + 6
     locally {
       // keyword check: preceded (after optional EOL/space) by the dict's
@@ -141,7 +158,7 @@ object SimplePdfTextExtractor extends TextExtractor {
           val end = lenEnd.getOrElse {
             val e = s.indexOf("endstream", dataStart); if (e < 0) s.length else e
           }
-          shownText(s.substring(dataStart, end), out)
+          shownText(s.substring(dataStart, end), out, cmap)
           pos = skipEndstream(s, end)
         } else if (!hasParms && filters.exists(_.forall(Decoders.contains))) {
           val chain = filters.get
@@ -150,7 +167,7 @@ object SimplePdfTextExtractor extends TextExtractor {
               // exact payload slice defeats embedded literal "endstream";
               // each decoder ignores trailing bytes past its own EOD
               decodeChain(s.substring(dataStart, end), chain, earlyChange)
-                .foreach(t => shownText(t, out))
+                .foreach(t => shownText(t, out, cmap))
               pos = skipEndstream(s, end)
             case None =>
               chain.head match {
@@ -160,7 +177,7 @@ object SimplePdfTextExtractor extends TextExtractor {
                   val eod = s.indexOf('>', dataStart)
                   val end = if (eod < 0) s.length else eod + 1
                   decodeChain(s.substring(dataStart, end), chain, earlyChange)
-                    .foreach(t => shownText(t, out))
+                    .foreach(t => shownText(t, out, cmap))
                   pos = skipEndstream(s, end)
                 case "ASCII85Decode" | "A85" =>
                   // base-85 data CAN spell "endstream", but its '~>' EOD
@@ -168,7 +185,7 @@ object SimplePdfTextExtractor extends TextExtractor {
                   val eod = s.indexOf("~>", dataStart)
                   val end = if (eod < 0) s.length else eod + 2
                   decodeChain(s.substring(dataStart, end), chain, earlyChange)
-                    .foreach(t => shownText(t, out))
+                    .foreach(t => shownText(t, out, cmap))
                   pos = skipEndstream(s, end)
                 case _ =>
                   // flate first with indirect/absent /Length: the first
@@ -182,7 +199,7 @@ object SimplePdfTextExtractor extends TextExtractor {
                   while (!done && e >= 0 && attempts < 8) {
                     decodeChain(s.substring(dataStart, e), chain, earlyChange) match {
                       case Some(t) =>
-                        shownText(t, out)
+                        shownText(t, out, cmap)
                         done = true
                       case None =>
                         attempts += 1
@@ -204,16 +221,30 @@ object SimplePdfTextExtractor extends TextExtractor {
     pos
   }
 
+  /** Offset just past the LAST `N G obj` header for the object: in an
+    * incrementally-updated PDF the superseded generation of an object
+    * appears EARLIER in byte order (update bodies append), so the last
+    * textual match is the live object — the xref table that would
+    * disambiguate authoritatively is not walked. */
+  private def lastObjStart(s: String, n: String, g: String): Option[Int] = {
+    var res = -1
+    ("(?<![0-9])" + n + "\\s+" + g + "\\s+obj\\b").r.findAllMatchIn(s)
+      .foreach(m => res = m.end)
+    if (res < 0) None else Some(res)
+  }
+
   /** The `stream` keyword offsets of the document's page content
     * streams, in PAGE-TREE order — or None when the tree cannot be
-    * walked (compressed object streams, broken refs, cycles, no
-    * catalog), in which case the caller's byte-order scan takes over.
-    * Pages with multiple /Contents refs contribute each stream in
-    * array order (the PDF semantic: one logical content stream). */
+    * walked (broken refs, cycles, no catalog), in which case the
+    * caller's byte-order scan takes over. Tree dicts compressed into
+    * `/Type /ObjStm` object streams resolve from [[parseObjectStreams]];
+    * content streams cannot be ObjStm-contained (§7.5.7), so their
+    * offsets always point into the raw document. Pages with multiple
+    * /Contents refs contribute each stream in array order (the PDF
+    * semantic: one logical content stream). */
   private def pageContentStreamOffsets(s: String): Option[Seq[Int]] = {
     val ref = "(\\d+)\\s+(\\d+)\\s+R".r
-    def objStart(n: String, g: String): Option[Int] =
-      ("(?<![0-9])" + n + "\\s+" + g + "\\s+obj\\b").r.findFirstMatchIn(s).map(_.end)
+    val stmObjs = parseObjectStreams(s)
     // the object's dict/prelude only — stop at the first `stream` so a
     // payload's bytes can't be mistaken for dict entries
     def objPrelude(at: Int): String = {
@@ -225,21 +256,41 @@ object SimplePdfTextExtractor extends TextExtractor {
       }
       s.substring(at, end)
     }
-    val catalog = "/Type\\s*/Catalog".r.findFirstMatchIn(s).map(_.start).flatMap { c =>
-      // the catalog's /Pages ref sits in the same object dict; search a
-      // bounded window around the match
-      val win = s.substring(math.max(0, c - 512), math.min(s.length, c + 512))
-      "/Pages\\s+(\\d+)\\s+(\\d+)\\s+R".r.findFirstMatchIn(win).map(m => (m.group(1), m.group(2)))
+    // direct (uncompressed) bodies win over ObjStm copies: an
+    // incremental update supersedes an ObjStm-contained object by
+    // appending the new body as a direct object. ObjStm objects always
+    // have generation 0 (§7.5.7).
+    def objBody(n: String, g: String): Option[String] =
+      lastObjStart(s, n, g).map(objPrelude)
+        .orElse(if (g == "0") stmObjs.get(n) else None)
+    val pagesRef = "/Pages\\s+(\\d+)\\s+(\\d+)\\s+R".r
+    val catalog = {
+      // last direct catalog wins (incremental updates append); the
+      // /Pages ref sits in the same object dict — bounded window
+      var lastAt = -1
+      "/Type\\s*/Catalog".r.findAllMatchIn(s).foreach(m => lastAt = m.start)
+      val direct =
+        if (lastAt < 0) None
+        else {
+          val win = s.substring(math.max(0, lastAt - 512), math.min(s.length, lastAt + 512))
+          pagesRef.findFirstMatchIn(win).map(m => (m.group(1), m.group(2)))
+        }
+      direct.orElse { // the catalog itself may be ObjStm-compressed
+        stmObjs.valuesIterator.foldLeft(Option.empty[(String, String)]) { (acc, body) =>
+          if ("/Type\\s*/Catalog".r.findFirstIn(body).isDefined)
+            pagesRef.findFirstMatchIn(body).map(m => (m.group(1), m.group(2))).orElse(acc)
+          else acc
+        }
+      }
     }
     catalog.flatMap { root =>
       val out = scala.collection.mutable.ArrayBuffer.empty[Int]
       val visited = scala.collection.mutable.Set.empty[(String, String)]
       def walk(n: String, g: String): Boolean = { // false = unresolvable
         if (!visited.add((n, g))) return false // cycle
-        objStart(n, g) match {
-          case None => false // missing object (e.g. inside an ObjStm)
-          case Some(at) =>
-            val body = objPrelude(at)
+        objBody(n, g) match {
+          case None => false // missing object
+          case Some(body) =>
             if ("/Type\\s*/Pages\\b".r.findFirstIn(body).isDefined) {
               val kids = "/Kids\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(body).map(_.group(1))
               kids match {
@@ -252,7 +303,7 @@ object SimplePdfTextExtractor extends TextExtractor {
                 case None => true // empty page: legal, contributes nothing
                 case Some(m) =>
                   ref.findAllMatchIn(m.group(1)).forall { r =>
-                    objStart(r.group(1), r.group(2)).flatMap { cAt =>
+                    lastObjStart(s, r.group(1), r.group(2)).flatMap { cAt =>
                       val kw = s.indexOf("stream", cAt)
                       // the keyword must belong to THIS object
                       val endObj = s.indexOf("endobj", cAt)
@@ -268,6 +319,146 @@ object SimplePdfTextExtractor extends TextExtractor {
       }
       if (walk(root._1, root._2) && out.nonEmpty) Some(out.toSeq) else None
     }
+  }
+
+  /** Decode the stream of the object whose `N G obj` header ends at
+    * `at`: (stream dict, decoded bytes as ISO-8859-1 chars). None when
+    * no stream precedes `endobj`, the filter chain is unsupported, a
+    * /Predictor >= 2 is set, or the data is corrupt. */
+  private def streamObjectAt(s: String, at: Int): Option[(String, String)] = {
+    val kw = s.indexOf("stream", at)
+    val endObj = s.indexOf("endobj", at)
+    if (kw < 0 || (endObj >= 0 && endObj < kw)) return None
+    var d = kw - 1
+    while (d >= 0 && s.charAt(d).isWhitespace) d -= 1
+    if (d < 1 || s.charAt(d) != '>' || s.charAt(d - 1) != '>') return None
+    val dict = balancedDict(s, d)
+    var dataStart = kw + 6
+    if (dataStart < s.length && s.charAt(dataStart) == '\r') dataStart += 1
+    if (dataStart < s.length && s.charAt(dataStart) == '\n') dataStart += 1
+    if ("/Predictor\\s+(\\d++)".r.findFirstMatchIn(dict)
+        .flatMap(_.group(1).toIntOption).exists(_ >= 2)) return None
+    val end = directLength(dict).orElse(indirectLength(dict, s))
+      .map(dataStart + _).filter(_ <= s.length)
+      .getOrElse {
+        val e = s.indexOf("endstream", dataStart); if (e < 0) s.length else e
+      }
+    val raw = s.substring(dataStart, end)
+    filterNames(dict) match {
+      case None => Some((dict, raw))
+      case Some(chain) if chain.forall(Decoders.contains) =>
+        decodeChain(raw, chain, 1).map((dict, _))
+      case _ => None
+    }
+  }
+
+  /** All `/Type /ObjStm` object streams (PDF 1.5+, §7.5.7), decoded and
+    * split into contained objects: objNum -> body text. The stream's
+    * first /First chars hold N (objNum, relative offset) integer pairs;
+    * each body runs to the next offset (or stream end). Duplicate
+    * object numbers: the LAST ObjStm in byte order wins, matching
+    * [[lastObjStart]]'s incremental-update discipline. Iteration order
+    * of the result follows first insertion (LinkedHashMap). */
+  private def parseObjectStreams(s: String):
+      scala.collection.Map[String, String] = {
+    if (!s.contains("/ObjStm")) return Map.empty
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    "/Type\\s*/ObjStm\\b".r.findAllMatchIn(s).foreach { m =>
+      streamObjectAt(s, m.end).foreach { case (dict, content) =>
+        // the match must really be this stream's dict entry, not bytes
+        // inside some unrelated payload
+        if ("/Type\\s*/ObjStm\\b".r.findFirstIn(dict).isDefined) {
+          for {
+            n <- "/N\\s+(\\d+)".r.findFirstMatchIn(dict).flatMap(_.group(1).toIntOption)
+            first <- "/First\\s+(\\d+)".r.findFirstMatchIn(dict).flatMap(_.group(1).toIntOption)
+            if first <= content.length
+          } {
+            val pairs = "\\d+".r.findAllIn(content.substring(0, first))
+              .toSeq.take(2 * n).grouped(2)
+              .collect { case Seq(objNum, off) => (objNum, off.toInt) }.toSeq
+            pairs.zipWithIndex.foreach { case ((objNum, off), i) =>
+              val start = first + off
+              val end =
+                if (i + 1 < pairs.length) first + pairs(i + 1)._2 else content.length
+              if (start >= 0 && start <= end && end <= content.length)
+                out(objNum) = content.substring(start, end)
+            }
+          }
+        }
+      }
+    }
+    out
+  }
+
+  /** Merged ToUnicode CMap across the document's fonts: 2-byte
+    * show-text code -> unicode string, from every /ToUnicode stream's
+    * `beginbfchar`/`beginbfrange` sections (§9.10.3). Merging across
+    * fonts (instead of tracking the active Tf font) is the minimal-
+    * fidelity trade documented in the object scaladoc; codes mapped
+    * differently by different fonts are dropped so they fall back to
+    * raw bytes rather than decoding as the wrong font's text. */
+  private def toUnicodeMap(s: String): Map[Int, String] = {
+    if (!s.contains("/ToUnicode")) return Map.empty
+    val refs = "/ToUnicode\\s+(\\d+)\\s+(\\d+)\\s+R".r.findAllMatchIn(s)
+      .map(m => (m.group(1), m.group(2))).toSeq.distinct
+    val out = scala.collection.mutable.HashMap.empty[Int, String]
+    val collided = scala.collection.mutable.HashSet.empty[Int]
+    refs.foreach { case (n, g) =>
+      lastObjStart(s, n, g).flatMap(streamObjectAt(s, _)).foreach { case (_, cm) =>
+        parseCmap(cm).foreach { case (code, str) =>
+          out.get(code) match {
+            case Some(prev) if prev != str => collided += code
+            case _ => out(code) = str
+          }
+        }
+      }
+    }
+    out.filterNot { case (code, _) => collided(code) }.toMap
+  }
+
+  /** bfchar/bfrange entries of one ToUnicode CMap stream. Range dsts
+    * come in both forms: a base hex whose last UTF-16 unit increments
+    * across the range, or an explicit `[ <dst> ... ]` array. */
+  private def parseCmap(cm: String): Seq[(Int, String)] = {
+    val hex = "<([0-9A-Fa-f]+)>"
+    def hexStr(h: String): String = {
+      val padded = if (h.length % 2 == 0) h else h + "0"
+      val bytes = new Array[Byte](padded.length / 2)
+      var i = 0
+      while (i < bytes.length) {
+        bytes(i) = Integer.parseInt(padded.substring(2 * i, 2 * i + 2), 16).toByte
+        i += 1
+      }
+      new String(bytes, StandardCharsets.UTF_16BE)
+    }
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+    ("beginbfchar([\\s\\S]*?)endbfchar").r.findAllMatchIn(cm).foreach { sec =>
+      (hex + "\\s*" + hex).r.findAllMatchIn(sec.group(1)).foreach { p =>
+        buf += Integer.parseInt(p.group(1), 16) -> hexStr(p.group(2))
+      }
+    }
+    ("beginbfrange([\\s\\S]*?)endbfrange").r.findAllMatchIn(cm).foreach { sec =>
+      (hex + "\\s*" + hex + "\\s*(?:" + hex + "|\\[([\\s\\S]*?)\\])").r
+        .findAllMatchIn(sec.group(1)).foreach { r =>
+          val lo = Integer.parseInt(r.group(1), 16)
+          val hi = Integer.parseInt(r.group(2), 16)
+          if (hi >= lo && hi - lo <= 0xFFFF) {
+            if (r.group(3) != null) {
+              val base = hexStr(r.group(3))
+              if (base.nonEmpty) (0 to hi - lo).foreach { k =>
+                val chars = base.toCharArray
+                chars(chars.length - 1) = (chars(chars.length - 1) + k).toChar
+                buf += (lo + k) -> new String(chars)
+              }
+            } else {
+              hex.r.findAllMatchIn(r.group(4)).zipWithIndex.foreach { case (mm, k) =>
+                if (lo + k <= hi) buf += (lo + k) -> hexStr(mm.group(1))
+              }
+            }
+          }
+        }
+    }
+    buf.toSeq
   }
 
   /** Resume index just past the first "endstream" at/after `from`. */
@@ -473,8 +664,12 @@ object SimplePdfTextExtractor extends TextExtractor {
     * EOD/boundary scanning). */
   private def indirectLength(dict: String, doc: String): Option[Int] =
     "/Length\\s+(\\d+)\\s+(\\d+)\\s+R".r.findFirstMatchIn(dict).flatMap { m =>
+      // LAST match: an incrementally-updated PDF's superseded length
+      // object appears earlier in byte order (see [[lastObjStart]])
+      var res = Option.empty[Int]
       ("(?<![0-9])" + m.group(1) + "\\s+" + m.group(2) + "\\s+obj\\b\\s*(\\d++)").r
-        .findFirstMatchIn(doc).flatMap(_.group(1).toIntOption)
+        .findAllMatchIn(doc).foreach(mm => res = mm.group(1).toIntOption)
+      res
     }
 
   /** zlib-inflate; None on truncated/corrupt data or a preset-dictionary
@@ -502,7 +697,8 @@ object SimplePdfTextExtractor extends TextExtractor {
     * raw bytes truncates the block at e.g. "QUIET"); `BT`/`ET` are
     * recognized only as standalone operator tokens. Strings shown inside
     * a text block are appended in stream order; one line per block. */
-  private def shownText(body: String, out: StringBuilder): Unit = {
+  private def shownText(body: String, out: StringBuilder,
+      cmap: Map[Int, String]): Unit = {
     var i = 0
     var inText = false
     while (i < body.length) {
@@ -515,7 +711,7 @@ object SimplePdfTextExtractor extends TextExtractor {
         if (i + 1 < body.length && body.charAt(i + 1) == '<') i += 2 // dict, not a string
         else {
           val (str, next) = parseHexString(body, i)
-          if (inText) out ++= decodeTextString(str)
+          if (inText) out ++= decodeHexText(str, cmap)
           i = next
         }
       } else if (c == '%') { // comment to end of line
@@ -536,8 +732,8 @@ object SimplePdfTextExtractor extends TextExtractor {
   /** One PDF hex string starting at `start` (the '<'): pairs of hex
     * digits are bytes, whitespace is ignored, an odd final digit gets an
     * implied trailing '0' (PDF 32000-1 §7.3.4.3). Bytes map 1:1 to chars
-    * (ISO-8859-1) — the simple-encoding case; subset-font CMaps are out
-    * of scope (see object scaladoc). Returns (text, index past '>'). */
+    * (ISO-8859-1); [[decodeHexText]] then applies the document's
+    * ToUnicode CMaps. Returns (text, index past '>'). */
   private def parseHexString(s: String, start: Int): (String, Int) = {
     val out = new StringBuilder
     var hi = -1 // pending high nibble, -1 = none
@@ -557,6 +753,28 @@ object SimplePdfTextExtractor extends TextExtractor {
     }
     if (hi >= 0) out += (hi << 4).toChar // odd count: implied trailing 0
     (out.result(), i)
+  }
+
+  /** Hex show-text: when the document carries ToUnicode CMaps and ALL
+    * of the string's 2-byte codes are mapped, decode through the map
+    * (the subset-font / Identity-H case); otherwise fall back to
+    * [[decodeTextString]] (BOM-tagged or raw Latin-1 bytes). The
+    * all-or-nothing rule keeps a simple-encoding hex string — whose
+    * byte pairs would only coincidentally hit CMap codes — from
+    * decoding as mojibake: partial hits fall back whole. */
+  private def decodeHexText(raw: String, cmap: Map[Int, String]): String = {
+    if (cmap.nonEmpty && raw.nonEmpty && raw.length % 2 == 0) {
+      val codes = new Array[Int](raw.length / 2)
+      var i = 0
+      var allMapped = true
+      while (i < codes.length && allMapped) {
+        codes(i) = (raw.charAt(2 * i) << 8) | raw.charAt(2 * i + 1)
+        allMapped = cmap.contains(codes(i))
+        i += 1
+      }
+      if (allMapped) return codes.iterator.map(cmap).mkString
+    }
+    decodeTextString(raw)
   }
 
   /** PDF text strings are PDFDocEncoding (≈Latin-1 here) unless tagged

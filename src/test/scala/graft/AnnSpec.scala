@@ -136,6 +136,19 @@ class AnnSpec extends AnyFunSuite {
     } finally sigs.unpersist()
   }
 
+  test("persisted Hamming index: maxDist=0 with a negative signature still matches") {
+    // with maxDist=0 the single band is the FULL 64-bit signature; a negative
+    // value must bucket identically on the write (SQL pmod) and query
+    // (floorMod) sides or the probe targets a nonexistent partition
+    val negSig = -0x123456789abcdefL
+    val sigs = Seq((1L, negSig), (2L, 42L), (3L, negSig ^ 1L)).toDF("id", "sig")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hidx0").toString + "/idx"
+    Ann.writeHammingIndex(sigs, "sig", "id", tmp, maxDist = 0, buckets = 16)
+    val got = Ann.queryHammingIndex(spark, tmp, negSig, maxDist = 0, buckets = 16)
+      .select($"_hid").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L)) // exact match only; id 3 is at distance 1
+  }
+
   test("brute-force top-k: self is rank 1, scores monotone") {
     val top = Ann.bruteForceTopK(emb, "embedding", "vec_id", queryVec(7), 10).collect()
     assert(top.head.getAs[Long]("vec_id") == 7L)

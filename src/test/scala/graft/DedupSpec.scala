@@ -124,6 +124,18 @@ class DedupSpec extends AnyFunSuite {
       == Seq("doc_id", "text"))
   }
 
+  test("exactAgainstBloom keeps null-text batch rows, like the NOT-EXISTS oracle") {
+    val corpus = Seq((0L, "alpha doc"), (1L, "beta doc")).toDF("doc_id", "text")
+    val batch = Seq((10L, Some("alpha doc")), (11L, None), (12L, Some("new doc")),
+      (13L, None)).toDF("doc_id", "text")
+    // oracle: anti-join null keys never match, so null-text rows are kept
+    val expected = batch.join(corpus.select("text"), Seq("text"), "left_anti")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val kept = Dedup.exactAgainstBloom(corpus, batch, "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == expected && kept == Seq(11L, 12L, 13L))
+  }
+
   test("imageNearDup: perceptual near-copies collapse, distinct and undecodable survive") {
     import graft.operators.Multimodal
     def blocky(seed: Long, flip: Int): Array[Byte] = {

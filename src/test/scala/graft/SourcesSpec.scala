@@ -516,6 +516,134 @@ class SourcesSpec extends AnyFunSuite {
     assert(SimplePdfTextExtractor.extract(dangling) == "page one\n")
   }
 
+  /** Deflated `/Type /ObjStm` payload: (stream bytes, N, First). */
+  private def objStmPayload(objs: Seq[(Int, String)]): (Array[Byte], Int, Int) = {
+    var off = 0
+    val offsets = objs.map { case (_, body) => val o = off; off += body.length; o }
+    val header = objs.zip(offsets).map { case ((n, _), o) => s"$n $o" }.mkString(" ") + "\n"
+    (deflate(header + objs.map(_._2).mkString), objs.length, header.length)
+  }
+
+  test("PDF 1.5 ObjStm: page tree compressed in an object stream still walks in tree order (A2)") {
+    import graft.sources.SimplePdfTextExtractor
+    val pg1 = deflate("BT (page one) Tj ET")
+    val pg2 = deflate("BT (page two) Tj ET")
+    // the ENTIRE page tree (catalog, pages, both page dicts) lives in a
+    // FlateDecode'd object stream; only the content streams are direct
+    // objects — the modern (PDF 1.5+) layout the round-9 walker bailed
+    // on. Content objects are written pg2-first so byte order diverges
+    // from page order: only a real ObjStm-resolved tree walk yields
+    // "page one" first.
+    val (stm, n, first) = objStmPayload(Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>",
+      3 -> "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+      5 -> "<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>"))
+    val pdf = pdfBytes(
+      "%PDF-1.5\n",
+      s"6 0 obj << /Filter /FlateDecode /Length ${pg2.length} >>\nstream\n", pg2,
+      "\nendstream\nendobj\n",
+      s"4 0 obj << /Filter /FlateDecode /Length ${pg1.length} >>\nstream\n", pg1,
+      "\nendstream\nendobj\n",
+      s"7 0 obj << /Type /ObjStm /N $n /First $first /Filter /FlateDecode" +
+        s" /Length ${stm.length} >>\nstream\n", stm,
+      "\nendstream\nendobj\n",
+      "trailer << /Size 8 /Root 1 0 R >>\n%%EOF")
+    assert(SimplePdfTextExtractor.extract(pdf) == "page one\npage two\n")
+    // hybrid: Page dicts in the ObjStm, catalog + pages direct
+    val (stm2, n2, first2) = objStmPayload(Seq(
+      3 -> "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+      5 -> "<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>"))
+    val hybrid = pdfBytes(
+      "%PDF-1.5\n",
+      s"6 0 obj << /Filter /FlateDecode /Length ${pg2.length} >>\nstream\n", pg2,
+      "\nendstream\nendobj\n",
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+      "2 0 obj << /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >> endobj\n",
+      s"4 0 obj << /Filter /FlateDecode /Length ${pg1.length} >>\nstream\n", pg1,
+      "\nendstream\nendobj\n",
+      s"7 0 obj << /Type /ObjStm /N $n2 /First $first2 /Filter /FlateDecode" +
+        s" /Length ${stm2.length} >>\nstream\n", stm2,
+      "\nendstream\nendobj\n",
+      "trailer << /Size 8 /Root 1 0 R >>\n%%EOF")
+    assert(SimplePdfTextExtractor.extract(hybrid) == "page one\npage two\n")
+  }
+
+  test("PDF ToUnicode CMap: subset-font hex show-text decodes to real text (A2)") {
+    import graft.sources.SimplePdfTextExtractor
+    // bfchar singles, an array-form bfrange (repeated 'l'), a multi-char
+    // dst (ffl ligature), and an increment-form bfrange (A, B, C)
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+        |begincmap
+        |4 beginbfchar
+        |<0001> <0048>
+        |<0002> <0065>
+        |<0005> <006F>
+        |<0006> <00660066006C>
+        |endbfchar
+        |2 beginbfrange
+        |<0003> <0004> [<006C> <006C>]
+        |<0100> <0102> <0041>
+        |endbfrange
+        |endcmap
+        |end""".stripMargin
+    val content = deflate(
+      "BT <000100020003000400050006> Tj ET BT <010001010102> Tj ET")
+    val pdf = pdfBytes(
+      "%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n",
+      "3 0 obj << /Type /Page /Parent 2 0 R " +
+        "/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >> endobj\n",
+      "4 0 obj << /Type /Font /Subtype /Type0 /ToUnicode 7 0 R >> endobj\n",
+      s"5 0 obj << /Filter /FlateDecode /Length ${content.length} >>\nstream\n", content,
+      "\nendstream\nendobj\n",
+      s"7 0 obj << /Length ${cmap.length} >>\nstream\n", cmap,
+      "\nendstream\nendobj\n",
+      "trailer << /Size 8 /Root 1 0 R >>\n%%EOF")
+    assert(SimplePdfTextExtractor.extract(pdf) == "Helloffl\nABC\n")
+    // all-or-nothing: a hex string with ANY unmapped 2-byte code falls
+    // back whole to raw bytes — no partial CMap mojibake
+    val mixed = deflate("BT <00010009> Tj ET")
+    val pdf2 = pdfBytes(
+      "%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n",
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 5 0 R >> endobj\n",
+      "4 0 obj << /Type /Font /Subtype /Type0 /ToUnicode 7 0 R >> endobj\n",
+      s"5 0 obj << /Filter /FlateDecode /Length ${mixed.length} >>\nstream\n", mixed,
+      "\nendstream\nendobj\n",
+      s"7 0 obj << /Length ${cmap.length} >>\nstream\n", cmap,
+      "\nendstream\nendobj\n",
+      "trailer << /Size 8 /Root 1 0 R >>\n%%EOF")
+    assert(SimplePdfTextExtractor.extract(pdf2) == "\u0000\u0001\u0000\t\n")
+    // no ToUnicode in the doc: hex strings keep decoding as raw bytes
+    val plainHex = flatePdf(Seq(deflate("BT <686578207374696C6C20776F726B73> Tj ET")))
+    assert(SimplePdfTextExtractor.extract(plainHex) == "hex still works\n")
+  }
+
+  test("PDF incremental update: the LAST body of an object wins (A2)") {
+    import graft.sources.SimplePdfTextExtractor
+    val stale = deflate("BT (stale draft text) Tj ET")
+    val live = deflate("BT (live updated text) Tj ET")
+    // the superseded generation of object 4 appears EARLIER in byte
+    // order (incremental updates append); without an xref walk the last
+    // textual match must win, for the /Contents target and for the
+    // indirect /Length object alike
+    val pdf = pdfBytes(
+      "%PDF-1.4\n",
+      "9 0 obj 5 endobj\n", // stale /Length value for object 4
+      s"4 0 obj << /Filter /FlateDecode /Length ${stale.length} >>\nstream\n", stale,
+      "\nendstream\nendobj\n",
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n",
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n",
+      s"9 0 obj ${live.length} endobj\n", // live /Length value
+      s"4 0 obj << /Filter /FlateDecode /Length 9 0 R >>\nstream\n", live,
+      "\nendstream\nendobj\n",
+      "trailer << /Size 10 /Root 1 0 R >>\n%%EOF")
+    assert(SimplePdfTextExtractor.extract(pdf) == "live updated text\n")
+  }
+
   test("Tar: USTAR roundtrip, padding, skipped non-file entries, truncation") {
     import graft.sources.Tar
     // sizes straddling block boundaries: 0, 1, 511, 512, 513 bytes
@@ -588,6 +716,40 @@ class SourcesSpec extends AnyFunSuite {
     assert(rows("b").keySet == Set("png"))
     assert(new String(rows("c")("")) == "RAW") // extension-less member
     assert(new String(rows("d")("seg.png")) == "SEG" && rows("d").size == 2)
+  }
+
+  test("Tar: GNU 'L' and PAX 'x' long names override the next member's name") {
+    import graft.sources.Tar
+    // >100-char name roundtrips through the writer's GNU 'L' prefix member
+    val longName = ("deep/dir/" * 12) + "sample-0000001.png" // 126 chars
+    assert(longName.length > 100)
+    val tarred = Tar.archive(Seq(
+      (longName, "LONG".getBytes), ("short.txt", "S".getBytes)))
+    val back = Tar.members(tarred).toSeq
+    assert(back.map(_._1) == Seq(longName, "short.txt"))
+    assert(new String(back.head._2) == "LONG")
+    // PAX 'x' extended header: path record overrides the following member
+    val paxName = "pax/override/" + ("x" * 110) + ".bin"
+    val record = s"path=$paxName\n"
+    // len counts the whole record including the length field and space
+    val paxData = {
+      var len = record.length + 3 // 2-digit guess + space; recompute below
+      len = s"$len $record".length
+      s"$len $record".getBytes("UTF-8")
+    }
+    val paxArchive = {
+      val hdr = Tar.archive(Seq(("PaxHeader/x", paxData))).dropRight(1024)
+      hdr(156) = 'x'
+      java.util.Arrays.fill(hdr, 148, 156, ' '.toByte)
+      var sum = 0L; hdr.take(512).foreach(b => sum += (b & 0xFF))
+      val cs = java.lang.Long.toOctalString(sum)
+      System.arraycopy((("0" * (6 - cs.length)) + cs).getBytes, 0, hdr, 148, 6)
+      hdr(154) = 0; hdr(155) = ' '
+      hdr ++ Tar.archive(Seq(("placeholder.bin", "PAXED".getBytes)))
+    }
+    val paxBack = Tar.members(paxArchive).toSeq
+    assert(paxBack.map(_._1) == Seq(paxName))
+    assert(new String(paxBack.head._2) == "PAXED")
   }
 
   test("PERMISSIVE json keeps corrupt rows in _corrupt_record; FAILFAST throws") {
