@@ -54,40 +54,92 @@ object Bpe {
     /** Encode UTF-8 bytes: repeatedly merge the present pair with the
       * LOWEST merge id (training order) until none applies — the
       * standard BPE encode, byte-exact with how the merges were
-      * learned. */
+      * learned.
+      *
+      * O(n log n) in the input length: a doubly-linked list over the
+      * token sequence plus a lazy-deletion min-heap of candidate pairs
+      * keyed (rank, position) — equal ranks merge left-to-right, the
+      * same order as a full left-to-right sweep, so results are
+      * identical to the textbook rescan loop while a multi-MB document
+      * no longer costs O(n · merges). Stale heap entries (a side
+      * already consumed, or the pair changed under it) are detected on
+      * pop: the stored rank uniquely identifies the pair it was pushed
+      * for, so `rankOf(current pair) == stored rank` is an exact
+      * liveness check. */
     def encode(text: String): Array[Int] = {
       val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       if (bytes.isEmpty) return Array.empty
-      var seq = new Array[Int](bytes.length)
+      val n0 = bytes.length
+      val ids = new Array[Int](n0)
+      val nxt = new Array[Int](n0)
       var i = 0
-      while (i < bytes.length) { seq(i) = bytes(i) & 0xFF; i += 1 }
-      var n = seq.length
-      var done = false
-      while (!done && n > 1) {
-        // find the lowest-rank adjacent pair
-        var best = Int.MaxValue
-        var j = 0
-        while (j < n - 1) {
-          val r = rankOf(seq(j), seq(j + 1))
-          if (r < best) best = r
-          j += 1
-        }
-        if (best == Int.MaxValue) done = true
-        else {
-          // merge ALL occurrences of that pair left-to-right
-          val (pa, pb) = merges(best - 256)._1
-          var w = 0
-          var rd = 0
-          while (rd < n) {
-            if (rd < n - 1 && seq(rd) == pa && seq(rd + 1) == pb) {
-              seq(w) = best; rd += 2
-            } else { seq(w) = seq(rd); rd += 1 }
-            w += 1
-          }
-          n = w
+      while (i < n0) { ids(i) = bytes(i) & 0xFF; nxt(i) = i + 1; i += 1 }
+      nxt(n0 - 1) = -1
+      val prv = new Array[Int](n0)
+      i = 0
+      while (i < n0) { prv(i) = i - 1; i += 1 }
+      // min-heap of (rank << 32 | pos) — rank and pos are both
+      // non-negative ints, so the packed long orders by rank, then pos
+      var heap = new Array[Long](math.max(16, n0))
+      var heapN = 0
+      def push(v: Long): Unit = {
+        if (heapN == heap.length) heap = java.util.Arrays.copyOf(heap, heap.length * 2)
+        var c = heapN; heap(c) = v; heapN += 1
+        while (c > 0 && heap((c - 1) >> 1) > heap(c)) {
+          val p = (c - 1) >> 1
+          val t = heap(p); heap(p) = heap(c); heap(c) = t
+          c = p
         }
       }
-      java.util.Arrays.copyOf(seq, n)
+      def pop(): Long = {
+        val top = heap(0)
+        heapN -= 1
+        heap(0) = heap(heapN)
+        var c = 0
+        var done = false
+        while (!done) {
+          val l = 2 * c + 1
+          val r = l + 1
+          var m = c
+          if (l < heapN && heap(l) < heap(m)) m = l
+          if (r < heapN && heap(r) < heap(m)) m = r
+          if (m == c) done = true
+          else { val t = heap(m); heap(m) = heap(c); heap(c) = t; c = m }
+        }
+        top
+      }
+      def offer(pos: Int): Unit = {
+        val q = nxt(pos)
+        if (q >= 0) {
+          val r = rankOf(ids(pos), ids(q))
+          if (r != Int.MaxValue) push(r.toLong << 32 | pos)
+        }
+      }
+      i = 0
+      while (i < n0 - 1) { offer(i); i += 1 }
+      var count = n0
+      while (heapN > 0) {
+        val top = pop()
+        val rank = (top >>> 32).toInt
+        val p = (top & 0xFFFFFFFFL).toInt
+        val q = if (ids(p) >= 0) nxt(p) else -1
+        // exact staleness check: the pair this entry was pushed for
+        // still sits at p iff its rank (unique per pair) still matches
+        if (q >= 0 && ids(q) >= 0 && rankOf(ids(p), ids(q)) == rank) {
+          ids(p) = rank // merged id == rank by construction
+          ids(q) = -1 // consumed
+          nxt(p) = nxt(q)
+          if (nxt(q) >= 0) prv(nxt(q)) = p
+          count -= 1
+          if (prv(p) >= 0) offer(prv(p))
+          offer(p)
+        }
+      }
+      val out = new Array[Int](count)
+      var w = 0
+      var at = 0 // node 0 is never a merge's right side, so it survives
+      while (at >= 0) { out(w) = ids(at); w += 1; at = nxt(at) }
+      out
     }
 
     /** Lossless inverse: concatenate token byte sequences. */
@@ -154,11 +206,15 @@ object Bpe {
 
   /** Train on a bounded, hash-ordered sample of `textCol` (driver-side,
     * like PQ codebook fitting — vocab learning needs a sample, not the
-    * corpus; `sampleDocs` caps driver memory). */
+    * corpus; `sampleDocs` caps driver memory). The value column joins
+    * the orderBy as a tie-break (same discipline as [[Ann.trainPq]]):
+    * duplicate texts — common in a dedup-bench corpus — share a hash,
+    * and without the tie-break sample membership at the limit boundary
+    * would depend on partitioning. */
   def trainOnSample(df: DataFrame, textCol: String, vocabSize: Int,
       sampleDocs: Int = 256): Model = {
-    val sample = df.select(col(textCol).cast("string"))
-      .orderBy(xxhash64(col(textCol)))
+    val sample = df.select(col(textCol).cast("string").as("_t"))
+      .orderBy(xxhash64(col("_t")), col("_t"))
       .limit(sampleDocs)
       .collect().map(_.getString(0))
     train(sample.toSeq, vocabSize)

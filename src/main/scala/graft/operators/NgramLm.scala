@@ -61,19 +61,29 @@ object NgramLm {
 
   /** Train on `textCol`: distributed trigram counting (map-side
     * partial agg), top-K trigrams kept (TakeOrderedAndProject — the
-    * broadcast-size knob), EXACT dense context table. */
+    * broadcast-size knob), EXACT dense context table.
+    *
+    * ONE corpus scan: the exploded trigrams are grouped once and the
+    * grouped counts pinned (<= 2^24 rows regardless of corpus size);
+    * both the top-K pass and the context table (re-aggregating
+    * `k >>> 8` over the grouped counts — exact, since ctx count =
+    * sum of its trigram counts) read that materialized result instead
+    * of re-exploding the corpus. */
   def train(df: DataFrame, textCol: String, topK: Int = 200000,
       alpha: Double = 0.5): Model = {
-    val keys = df.select(explode(keysUdf(col(textCol))).as("k"))
-    val top = keys.groupBy("k").agg(count(lit(1)).as("c"))
+    val grouped = df.select(explode(keysUdf(col(textCol))).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val top = grouped
       .orderBy(desc("c"), asc("k")) // deterministic under count ties
       .limit(topK)
       .collect()
     val counts = new java.util.HashMap[Integer, java.lang.Long](top.length * 2)
     top.foreach(r => counts.put(Integer.valueOf(r.getInt(0)),
       java.lang.Long.valueOf(r.getLong(1))))
-    val ctx = keys.groupBy(shiftrightunsigned(col("k"), 8).cast("int").as("ctx"))
-      .agg(count(lit(1)).as("c"))
+    val ctx = grouped
+      .groupBy(shiftrightunsigned(col("k"), 8).cast("int").as("ctx"))
+      .agg(sum(col("c")).as("c"))
       .collect() // exact, <= 65536 rows
     val ctxCounts = new Array[Long](65536)
     ctx.foreach(r => ctxCounts(r.getInt(0)) = r.getLong(1))

@@ -43,6 +43,65 @@ class BpeSpec extends AnyFunSuite {
     assert(tokens.sum >= 0 && model.decode(tokens) == "héllo")
   }
 
+  test("heap encode matches the textbook rescan loop and handles a 1 MB document fast") {
+    val corpus = Seq("the quick brown fox jumps over the lazy dog",
+      "pack my box with five dozen liquor jugs",
+      "sphinx of black quartz judge my vow")
+    val model = Bpe.train(corpus, vocabSize = 600)
+    // reference implementation: the O(n · merges) full-rescan loop the
+    // heap encode replaced — results must be identical token-for-token
+    def rescanEncode(text: String): Array[Int] = {
+      val bytes = text.getBytes("UTF-8")
+      if (bytes.isEmpty) return Array.empty
+      val rank = model.merges.map { case (p, id) => p -> id }.toMap
+      var seq = bytes.map(_ & 0xFF)
+      var done = false
+      while (!done && seq.length > 1) {
+        val best = seq.indices.dropRight(1)
+          .map(j => rank.getOrElse((seq(j), seq(j + 1)), Int.MaxValue)).min
+        if (best == Int.MaxValue) done = true
+        else {
+          val (pa, pb) = model.merges(best - 256)._1
+          val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+          var rd = 0
+          while (rd < seq.length) {
+            if (rd < seq.length - 1 && seq(rd) == pa && seq(rd + 1) == pb) {
+              out += best; rd += 2
+            } else { out += seq(rd); rd += 1 }
+          }
+          seq = out.toArray
+        }
+      }
+      seq
+    }
+    for (t <- Seq("", "a", "aa", "the quick brown fox", "zzzz unseen zzzz",
+        corpus.mkString(" "), "héllo wörld 中文", "aaaaaaaaaaaaaaaa")) {
+      assert(model.encode(t).toSeq == rescanEncode(t).toSeq, s"diverged on: $t")
+      assert(model.decode(model.encode(t)) == t)
+    }
+    // the whole point of the heap: a document-sized input encodes in
+    // O(n log n), not O(n · merges) — 1 MB well under a second
+    val big = new StringBuilder
+    while (big.length < (1 << 20)) big ++= corpus(big.length % 3) += ' '
+    val doc = big.toString
+    val t0 = System.nanoTime()
+    val toks = model.encode(doc)
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(model.decode(toks) == doc)
+    assert(elapsedMs < 1000.0, s"1 MB encode took ${elapsedMs}ms")
+  }
+
+  test("trainOnSample is stable under duplicated texts and repartitioning") {
+    // duplicate texts share an xxhash64; the value tie-break keeps the
+    // sample (and thus the learned merges) independent of partitioning
+    val texts = (0 until 40).flatMap(i => Seq.fill(5)(s"duplicated document number $i"))
+    val df1 = texts.toDF("text")
+    val df2 = texts.reverse.toDF("text").repartition(7)
+    val m1 = Bpe.trainOnSample(df1, "text", vocabSize = 300, sampleDocs = 100)
+    val m2 = Bpe.trainOnSample(df2, "text", vocabSize = 300, sampleDocs = 100)
+    assert(m1.merges.toSeq == m2.merges.toSeq)
+  }
+
   test("encodeCol/tokenCountCol run distributed and compress real text") {
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
     val model = Bpe.trainOnSample(docs, "text", vocabSize = 512, sampleDocs = 64)

@@ -29,6 +29,30 @@ class TextAnalyticsSpec extends AnyFunSuite {
     val model2 = NgramLm.train(docs, "text")
     assert(model.bitsPerByte(sample) == model2.bitsPerByte(sample))
   }
+
+  test("NgramLm: single-pass context table is exact vs brute force") {
+    import graft.operators.NgramLm
+    val sp = TestSpark.spark
+    import sp.implicits._
+    // the context table is now re-aggregated from the grouped trigram
+    // counts (one corpus scan) — must equal per-context totals computed
+    // directly from the raw bytes
+    val texts = Seq("abcabcabc", "the cat sat", "aaaa", "xy")
+    val model = NgramLm.train(texts.toDF("text"), "text", topK = 1000)
+    val brute = new Array[Long](65536)
+    texts.foreach { t =>
+      val b = t.getBytes("UTF-8")
+      var i = 2
+      while (i < b.length) {
+        brute(((b(i - 2) & 0xFF) << 8) | (b(i - 1) & 0xFF)) += 1
+        i += 1
+      }
+    }
+    assert(model.ctxCounts.toSeq == brute.toSeq)
+    // with topK covering everything, trigram counts are exact too
+    val abc = (((('a'.toInt << 8) | 'b'.toInt) << 8) | 'c'.toInt)
+    assert(model.counts.get(Integer.valueOf(abc)).longValue() == 3L)
+  }
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
