@@ -455,9 +455,11 @@ object Ann {
     * same layout discipline as the LSH bucket index. Sound: a true
     * match equals the query on >= 1 full band value (pigeonhole),
     * which implies the same bucket; stored signatures exact-verify. */
-  def writeHammingIndex(df: DataFrame, sigCol: String, idCol: String,
-      path: String, maxDist: Int, buckets: Int = 64): Unit = {
-    require(maxDist >= 0 && maxDist < 64, s"maxDist $maxDist out of range")
+  /** (_hid, _hsig, _band, _bv) band rows over the `maxDist + 1`
+    * balanced bands — the shared explode behind the persisted Hamming
+    * index writers and probes. */
+  private def hammingBandRows(df: DataFrame, sigCol: String, idCol: String,
+      maxDist: Int): DataFrame = {
     val nb = maxDist + 1
     df.select(col(idCol).as("_hid"), col(sigCol).as("_hsig"))
       .select(col("_hid"), col("_hsig"),
@@ -467,8 +469,98 @@ object Ann {
           val mask = if (width == 64) -1L else (1L << width) - 1
           shiftrightunsigned(col("_hsig"), off).bitwiseAND(lit(mask))
         }: _*)).as(Seq("_band", "_bv")))
+  }
+
+  def writeHammingIndex(df: DataFrame, sigCol: String, idCol: String,
+      path: String, maxDist: Int, buckets: Int = 64): Unit = {
+    require(maxDist >= 0 && maxDist < 64, s"maxDist $maxDist out of range")
+    hammingBandRows(df, sigCol, idCol, maxDist)
       .withColumn("_bkt", pmod(col("_bv"), lit(buckets.toLong)).cast("int"))
       .write.mode("overwrite").partitionBy("_band", "_bkt").parquet(path)
+  }
+
+  /** Append band rows to a [[writeHammingIndex]]-layout index, plus one
+    * ID row per input row under the RESERVED BAND -1, bucketed by
+    * xxhash64(id). Radius/batch probes only ever touch bands
+    * 0..maxDist, so id rows never pollute a signature match; id-
+    * existence probes ([[probeHammingIndexIds]]) read only the band -1
+    * buckets a batch hashes to. Null signatures contribute an id row
+    * only — an undecodable blob is nobody's near-duplicate, but its id
+    * is still taken. The incremental-maintenance form streaming
+    * dedup-on-ingest appends per accepted micro-batch. */
+  def appendHammingIndexWithIds(df: DataFrame, sigCol: String, idCol: String,
+      path: String, maxDist: Int, buckets: Int = 64): Unit = {
+    require(maxDist >= 0 && maxDist < 64, s"maxDist $maxDist out of range")
+    val bands = hammingBandRows(df.filter(col(sigCol).isNotNull), sigCol, idCol, maxDist)
+      .withColumn("_bkt", pmod(col("_bv"), lit(buckets.toLong)).cast("int"))
+    val idRows = df.select(col(idCol).as("_hid"), col(sigCol).cast("long").as("_hsig"))
+      .withColumn("_band", lit(-1))
+      .withColumn("_bv", lit(0L))
+      .withColumn("_bkt", pmod(xxhash64(col("_hid")), lit(buckets.toLong)).cast("int"))
+    bands.select("_hid", "_hsig", "_bv", "_band", "_bkt")
+      .unionByName(idRows.select("_hid", "_hsig", "_bv", "_band", "_bkt"))
+      .write.mode("append").partitionBy("_band", "_bkt").parquet(path)
+  }
+
+  /** Batch-vs-index Hamming match over a persisted index: all
+    * (batch id, index id) pairs within `maxDist`. The batch's distinct
+    * (band, bucket) keys are collected to the driver — bounded by
+    * (maxDist+1) * buckets literals regardless of batch size — and
+    * become a PARTITION-COLUMN-ONLY disjunction, so the scan statically
+    * prunes to exactly the directories the batch hashes into (per-batch
+    * I/O is O(probed directories), never an index scan). Candidates
+    * equijoin on the full band value and popcount-verify. Returns
+    * (idCol, _hid, _dist); `maxDist`/`buckets` must match the written
+    * layout. */
+  def probeHammingIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, sigCol: String, idCol: String,
+      maxDist: Int, buckets: Int = 64): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64, s"maxDist $maxDist out of range")
+    val banded = hammingBandRows(batch.filter(col(sigCol).isNotNull),
+        sigCol, idCol, maxDist)
+      .withColumn("_bkt", pmod(col("_bv"), lit(buckets.toLong)).cast("int"))
+      .select(col("_hid").as(idCol), col("_hsig").as("_qsig"),
+        col("_band"), col("_bv"), col("_bkt"))
+      .localCheckpoint(true) // reused: key collect + candidate join
+    val keys = banded.select(col("_band"), col("_bkt")).distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    // partition probe stays PURE over partition columns (same
+    // discipline as queryHammingIndex) so pruning actually fires;
+    // an empty batch reads zero partitions via the false predicate
+    val probe =
+      if (keys.isEmpty) lit(false)
+      else keys.map { case (b, k) =>
+        col("_band") === b && col("_bkt") === k
+      }.reduce(_ || _)
+    spark.read.parquet(path).filter(probe)
+      .join(banded, Seq("_band", "_bkt", "_bv"))
+      .select(col(idCol), col("_hid"), col("_qsig"), col("_hsig"))
+      .distinct() // a close pair can share several bands
+      .withColumn("_dist",
+        bit_count(col("_qsig").bitwiseXOR(col("_hsig"))).cast("int"))
+      .filter(col("_dist") <= maxDist)
+      .select(col(idCol), col("_hid"), col("_dist"))
+  }
+
+  /** Id-existence probe over the reserved band -1 rows of an
+    * [[appendHammingIndexWithIds]] index: which of `ids`' values are
+    * already taken. Reads only the id buckets the batch hashes to
+    * (literal partition predicate, like [[probeHammingIndex]]).
+    * Returns the matching ids as a single `idCol` column. */
+  def probeHammingIndexIds(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame, idCol: String,
+      buckets: Int = 64): DataFrame = {
+    val hashed = ids.select(col(idCol))
+      .withColumn("_bkt", pmod(xxhash64(col(idCol)), lit(buckets.toLong)).cast("int"))
+      .localCheckpoint(true)
+    val keys = hashed.select(col("_bkt")).distinct().collect().map(_.getInt(0))
+    val probe =
+      if (keys.isEmpty) lit(false)
+      else col("_band") === -1 && col("_bkt").isin(keys.map(Integer.valueOf): _*)
+    spark.read.parquet(path).filter(probe)
+      .select(col("_hid").as(idCol), col("_bkt"))
+      .join(hashed, Seq(idCol, "_bkt"))
+      .select(col(idCol)).distinct()
   }
 
   /** Radius query over a [[writeHammingIndex]] layout: literal

@@ -334,6 +334,72 @@ object StreamOps {
     }
   }
 
+  /** [[imageDedupedIngest]] with a persisted partition-pruned Hamming
+    * index ([[graft.operators.Ann.appendHammingIndexWithIds]]) instead
+    * of a per-batch corpus scan: the corpus-signature match becomes a
+    * probe that statically prunes to the (band, bucket) directories the
+    * batch hashes into, and the id-immutability check probes the
+    * reserved id band the same way — per-batch I/O is O(probed
+    * directories), independent of corpus size, where the unindexed
+    * variant re-scans the 16-byte (id, sig) projection of the whole
+    * corpus every batch. Accept/drop semantics are IDENTICAL (the spec
+    * asserts set equality against [[imageDedupedIngest]]).
+    *
+    * The index is maintained incrementally: each batch appends its
+    * accepted rows' band + id rows. A corpus without an index (first
+    * run after adopting this variant) bootstraps the index from the
+    * corpus once. At-least-once caveat as before — the corpus append,
+    * then the index append, are separate jobs; production stamps
+    * batchId into both paths and commits atomically. */
+  def imageDedupedIngestIndexed(docs: DataFrame, corpusPath: String,
+      indexPath: String, idCol: String = "img_id", binCol: String = "blob",
+      maxDist: Int = 8, buckets: Int = 64)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val A = graft.operators.Ann
+        val M = graft.operators.Multimodal
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val cp = new org.apache.hadoop.fs.Path(corpusPath)
+        val ip = new org.apache.hadoop.fs.Path(indexPath)
+        val corpusExists = cp.getFileSystem(hconf).exists(cp)
+        if (corpusExists && !ip.getFileSystem(hconf).exists(ip)) {
+          // bootstrap/heal: one corpus scan, then never again
+          A.appendHammingIndexWithIds(
+            spark.read.parquet(corpusPath).select(col(idCol), col("_sig")),
+            "_sig", idCol, indexPath, maxDist, buckets)
+        }
+        val sigged = batch
+          .withColumn("_sig", M.dHashCol(col(binCol)))
+          .localCheckpoint(true) // pin: reused for self-join + probes + write
+        val hashed = sigged.filter(col("_sig").isNotNull)
+        // keep-first within the batch (same orientation as bucketDrops)
+        val selfDrops = A.hammingJoin(
+            hashed.select(col(idCol), col("_sig")), "_sig", idCol, maxDist)
+          .select(col(s"${idCol}_b").as("_drop")).distinct()
+        val selfKept = sigged
+          .join(selfDrops, sigged(idCol) === col("_drop"), "left_anti")
+        val accepted =
+          if (!corpusExists) selfKept
+          else {
+            // id immutability: re-delivered accepted ids drop outright
+            val existing = A.probeHammingIndexIds(spark, indexPath,
+              selfKept.select(col(idCol)), idCol, buckets)
+            val newIds = selfKept.join(existing, Seq(idCol), "left_anti")
+            val dupDrops = A.probeHammingIndex(spark, indexPath,
+                newIds.select(col(idCol), col("_sig")), "_sig", idCol,
+                maxDist, buckets)
+              .select(col(idCol)).distinct()
+            newIds.join(dupDrops, Seq(idCol), "left_anti")
+          }
+        val pinned = accepted.localCheckpoint(true) // two writes read it
+        pinned.write.mode("append").parquet(corpusPath)
+        A.appendHammingIndexWithIds(pinned.select(col(idCol), col("_sig")),
+          "_sig", idCol, indexPath, maxDist, buckets)
+    }
+  }
+
   /** INCREMENTAL stateful sessionization — the production variant: the
     * open tail stays in GroupState across micro-batches and is flushed
     * exactly once, when the event-time watermark passes

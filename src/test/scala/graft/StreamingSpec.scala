@@ -363,6 +363,100 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming IMAGE dedup via persisted Hamming index: same accept/drop sets, pruned probes") {
+    import graft.operators.{Ann, Dedup, Multimodal}
+    val src = Files.createTempDirectory("graft_simgidx_src")
+    val corpus = Files.createTempDirectory("graft_simgidx_corpus").toString + "/imgcorpus"
+    val index = corpus + "_hidx"
+    def blocky(seed: Long, flip: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val v = (Dedup.splitmix64(seed ^ (x / 8 * 31 + y / 8).toLong) >>> 56).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      for (i <- 0 until flip) img.setRGB(i % 64, (i * 7) % 64, 0xFFFFFF)
+      val o = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", o)
+      o.toByteArray
+    }
+    def writeBatch(name: String, rows: Seq[(Long, Array[Byte])]): Unit = {
+      val tmp = Files.createTempDirectory(s"graft_simgidx_$name")
+      rows.toDF("img_id", "blob").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get
+      Files.copy(part, Paths.get(s"$src/$name.parquet"))
+    }
+    // the same three batches as the corpus-scan variant's test — the
+    // indexed op must produce the IDENTICAL accept/drop sets
+    writeBatch("b1", Seq((1L, blocky(1L, 0)), (2L, blocky(1L, 12)), (3L, blocky(50L, 0))))
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("img_id", LongType), StructField("blob", BinaryType))))
+      .parquet(src.toString)
+    val q = StreamOps.imageDedupedIngestIndexed(stream, corpus, index).start()
+    try {
+      q.processAllAvailable()
+      val after1 = spark.read.parquet(corpus).select("img_id").as[Long].collect().sorted
+      assert(after1.toSeq == Seq(1L, 3L), "within-batch perceptual dup 2 dropped")
+      writeBatch("b2", Seq((4L, blocky(1L, 10)), (5L, blocky(99L, 0)),
+        (6L, "not an image".getBytes)))
+      q.processAllAvailable()
+      val after2 = spark.read.parquet(corpus).select("img_id").as[Long].collect().sorted
+      assert(after2.toSeq == Seq(1L, 3L, 5L, 6L),
+        "cross-batch dup 4 dropped; fresh 5 and undecodable 6 accepted")
+      writeBatch("b3", Seq((3L, blocky(777L, 0))))
+      q.processAllAvailable()
+      val after3 = spark.read.parquet(corpus).select("img_id").as[Long].collect().sorted
+      assert(after3.toSeq == Seq(1L, 3L, 5L, 6L), "re-used id 3 dropped")
+    } finally q.stop()
+    // the signature probe must reach the index scan as a PARTITION
+    // filter (static pruning), and find the accepted near-neighbour
+    val probeBatch = Seq((100L, blocky(1L, 10))).toDF("img_id", "blob")
+      .select($"img_id", Multimodal.dHashCol($"blob").as("_sig"))
+    val matches = Ann.probeHammingIndex(spark, index, probeBatch, "_sig", "img_id",
+      maxDist = 8)
+    val plan = matches.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*_band".r.findFirstIn(plan).isDefined,
+      s"probe did not prune partitions:\n$plan")
+    assert(matches.select($"_hid").as[Long].collect().toSet == Set(1L))
+    // id probe prunes the same way and sees exactly the accepted ids
+    val idProbe = Ann.probeHammingIndexIds(spark, index,
+      Seq(1L, 6L, 999L).toDF("img_id"), "img_id")
+    assert("PartitionFilters: \\[[^\\]]*_band".r
+      .findFirstIn(idProbe.queryExecution.executedPlan.toString).isDefined)
+    assert(idProbe.as[Long].collect().sorted.toSeq == Seq(1L, 6L),
+      "undecodable id 6 present via its id row; unknown 999 absent")
+    // BOOTSTRAP: an existing corpus without an index (built by the
+    // corpus-scan variant) gets one on first batch, then behaves the same
+    val src2 = Files.createTempDirectory("graft_simgidx_src2")
+    val corpus2 = Files.createTempDirectory("graft_simgidx_c2").toString + "/imgcorpus"
+    val index2 = corpus2 + "_hidx"
+    def writeBatch2(name: String, rows: Seq[(Long, Array[Byte])]): Unit = {
+      val tmp = Files.createTempDirectory(s"graft_simgidx2_$name")
+      rows.toDF("img_id", "blob").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get
+      Files.copy(part, Paths.get(s"$src2/$name.parquet"))
+    }
+    // corpus2 seeded by the UNINDEXED op
+    writeBatch2("b1", Seq((1L, blocky(1L, 0)), (3L, blocky(50L, 0))))
+    val stream2a = spark.readStream
+      .schema(StructType(Seq(StructField("img_id", LongType), StructField("blob", BinaryType))))
+      .parquet(src2.toString)
+    val qa = StreamOps.imageDedupedIngest(stream2a, corpus2).start()
+    try qa.processAllAvailable() finally qa.stop()
+    assert(!new java.io.File(index2).exists())
+    // switch to the indexed op: batch 2 must bootstrap the index and
+    // still drop the near-copy of accepted id 1
+    writeBatch2("b2", Seq((4L, blocky(1L, 10)), (5L, blocky(99L, 0))))
+    val stream2b = spark.readStream
+      .schema(StructType(Seq(StructField("img_id", LongType), StructField("blob", BinaryType))))
+      .parquet(src2.toString)
+    val qb = StreamOps.imageDedupedIngestIndexed(stream2b, corpus2, index2).start()
+    try qb.processAllAvailable() finally qb.stop()
+    val after2b = spark.read.parquet(corpus2).select("img_id").as[Long].collect().sorted
+    assert(after2b.toSeq == Seq(1L, 3L, 5L), "bootstrap: dup 4 dropped, fresh 5 kept")
+    assert(new java.io.File(index2).exists(), "index bootstrapped from corpus")
+  }
+
   test("dedup-on-ingest heals a double-appended corpus (at-least-once retry)") {
     val src = Files.createTempDirectory("graft_sheal_src")
     val corpus = Files.createTempDirectory("graft_sheal_corpus").toString + "/corpus"
