@@ -1310,6 +1310,60 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // ANN recall in the CLUSTERED regime: the synthetic embeddings are
+    // near-isotropic (top-10 at cosine .24-.43, LSH/IVF's HARD regime
+    // — q56/q57 gate that); real corpora concentrate neighbors in
+    // tight clusters, the regime these operators are designed for.
+    // 32 real vectors become planted cluster centers, each with 16
+    // members at cosine ~0.99 (deterministic hash noise); over 8
+    // member queries, IVF at nProbe=2 (k/16 — neighbors live in 1-2
+    // cells here, vs 12/16 needed on isotropic data) and banded LSH
+    // must both hold recall@10 against brute force.
+    "q116_ann_clustered" -> ((s, dir) => {
+      import s.implicits._
+      val A = graft.operators.Ann
+      val perturb = udf { (v: Seq[Float], center: Long, copy: Int) =>
+        val out = new Array[Float](v.length)
+        var i = 0
+        while (i < v.length) {
+          val h = graft.operators.Dedup.splitmix64(
+            center * 1315423911L + copy * 2654435761L + i)
+          // uniform in [-0.05, 0.05): small against unit-norm signal,
+          // so members stay at cosine ~0.99 of their center
+          out(i) = v(i) +
+            (((h >>> 11).toDouble / (1L << 53).toDouble - 0.5) * 0.1).toFloat
+          i += 1
+        }
+        out
+      }
+      val members = t(s, dir, "embeddings").filter($"vec_id" < 32)
+        .select($"vec_id".as("_c"), $"embedding",
+          explode(sequence(lit(0), lit(15))).as("_copy"))
+        .select(($"_c" * 1000 + $"_copy").cast("long").as("vec_id"),
+          perturb($"embedding", $"_c", $"_copy").as("embedding"))
+        .localCheckpoint(true) // pin: probed 3x per query below
+      val ivfIdx = A.buildIvf(members, "embedding", k = 32, maxIter = 5)
+      val lshIdx = A.buildIndex(members, "embedding")
+      // 8 member queries (copy 0 of centers 0..7); collects are k-sized
+      val queryVecs = members.filter($"vec_id" % 1000 === 0 && $"vec_id" < 8000)
+        .select($"vec_id", $"embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+      var ivfOverlap = 0L
+      var lshOverlap = 0L
+      queryVecs.foreach { case (_, qv) =>
+        val bf = A.bruteForceTopK(members, "embedding", "vec_id", qv, 10)
+          .select($"vec_id").as[Long].collect().toSet
+        val ivf = A.queryIvf(ivfIdx, "embedding", "vec_id", qv, 10, nProbe = 2)
+          .select($"vec_id").as[Long].collect().toSet
+        val lsh = A.queryIndex(lshIdx, "embedding", "vec_id", qv, 10)
+          .select($"vec_id").as[Long].collect().toSet
+        ivfOverlap += bf.intersect(ivf).size
+        lshOverlap += bf.intersect(lsh).size
+      }
+      Seq((10L, ivfOverlap >= 72L, lshOverlap >= 56L))
+        .toDF("k", "ivf_recall_ok", "lsh_recall_ok")
+    }),
+
     // CCNet-shaped LM quality scoring at the gate: byte-trigram model
     // trained on the corpus (wordcount shape + TakeOrdered top-K),
     // then every doc is scored against its deterministically
@@ -2664,6 +2718,9 @@ object SparkEntry {
         |FROM sigs
         |WHERE bit_count(xor(sig, xor(10 * 2654435761, 10 << 13))) <= 3
         |ORDER BY doc_id""".stripMargin,
+
+    "q116_ann_clustered" ->
+      "SELECT CAST(10 AS BIGINT) AS k, TRUE AS ivf_recall_ok, TRUE AS lsh_recall_ok",
 
     "q112_tar_samples" ->
       """SELECT doc_id,
