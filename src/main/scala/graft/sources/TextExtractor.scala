@@ -86,14 +86,18 @@ object SimplePdfTextExtractor extends TextExtractor {
     if (!s.startsWith("%PDF"))
       throw new IllegalArgumentException("not a PDF (missing %PDF header)")
     val out = new StringBuilder
-    val cmap = toUnicodeMap(s)
+    // ObjStms decoded ONCE per document: both the ToUnicode collection
+    // (font dicts are commonly ObjStm-compressed) and the page-tree
+    // walk read from the same parse
+    val stmObjs = parseObjectStreams(s)
+    val cmap = toUnicodeMap(s, stmObjs)
     // PAGE-TREE order first (the reference concatenates pages in page
     // order, streamlit_app.py:63): walk Catalog -> Pages -> Kids ->
     // Contents and process exactly those streams, in that order —
     // byte order diverges from page order in incrementally-updated or
     // object-reordered files. Any unresolvable link (broken refs,
     // cycles) falls back to the byte-order scan below.
-    pageContentStreamOffsets(s) match {
+    pageContentStreamOffsets(s, stmObjs) match {
       case Some(offsets) =>
         offsets.foreach(k => processStream(s, k, out, cmap))
         return out.result()
@@ -242,9 +246,9 @@ object SimplePdfTextExtractor extends TextExtractor {
     * offsets always point into the raw document. Pages with multiple
     * /Contents refs contribute each stream in array order (the PDF
     * semantic: one logical content stream). */
-  private def pageContentStreamOffsets(s: String): Option[Seq[Int]] = {
+  private def pageContentStreamOffsets(s: String,
+      stmObjs: scala.collection.Map[String, String]): Option[Seq[Int]] = {
     val ref = "(\\d+)\\s+(\\d+)\\s+R".r
-    val stmObjs = parseObjectStreams(s)
     // the object's dict/prelude only — stop at the first `stream` so a
     // payload's bytes can't be mistaken for dict entries
     def objPrelude(at: Int): String = {
@@ -397,10 +401,17 @@ object SimplePdfTextExtractor extends TextExtractor {
     * fidelity trade documented in the object scaladoc; codes mapped
     * differently by different fonts are dropped so they fall back to
     * raw bytes rather than decoding as the wrong font's text. */
-  private def toUnicodeMap(s: String): Map[Int, String] = {
-    if (!s.contains("/ToUnicode")) return Map.empty
-    val refs = "/ToUnicode\\s+(\\d+)\\s+(\\d+)\\s+R".r.findAllMatchIn(s)
-      .map(m => (m.group(1), m.group(2))).toSeq.distinct
+  private def toUnicodeMap(s: String,
+      stmObjs: scala.collection.Map[String, String]): Map[Int, String] = {
+    if (!s.contains("/ToUnicode") && stmObjs.isEmpty) return Map.empty
+    val refRe = "/ToUnicode\\s+(\\d+)\\s+(\\d+)\\s+R".r
+    // font dicts routinely live inside object streams — scan their
+    // decoded bodies for refs too (the CMap streams themselves cannot
+    // be ObjStm-contained, so resolution stays raw-document)
+    val refs = (refRe.findAllMatchIn(s).map(m => (m.group(1), m.group(2))) ++
+        stmObjs.valuesIterator.flatMap(body =>
+          refRe.findAllMatchIn(body).map(m => (m.group(1), m.group(2))))
+      ).toSeq.distinct
     val out = scala.collection.mutable.HashMap.empty[Int, String]
     val collided = scala.collection.mutable.HashSet.empty[Int]
     refs.foreach { case (n, g) =>

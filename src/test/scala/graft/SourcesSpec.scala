@@ -619,6 +619,25 @@ class SourcesSpec extends AnyFunSuite {
     // no ToUnicode in the doc: hex strings keep decoding as raw bytes
     val plainHex = flatePdf(Seq(deflate("BT <686578207374696C6C20776F726B73> Tj ET")))
     assert(SimplePdfTextExtractor.extract(plainHex) == "hex still works\n")
+    // the /ToUnicode ref inside an ObjStm-compressed font dict is
+    // still collected (PDF 1.5+ files compress font dicts too)
+    val (stm, n, first) = objStmPayload(Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      3 -> ("<< /Type /Page /Parent 2 0 R " +
+        "/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >>"),
+      4 -> "<< /Type /Font /Subtype /Type0 /ToUnicode 7 0 R >>"))
+    val pdf3 = pdfBytes(
+      "%PDF-1.5\n",
+      s"5 0 obj << /Filter /FlateDecode /Length ${content.length} >>\nstream\n", content,
+      "\nendstream\nendobj\n",
+      s"7 0 obj << /Length ${cmap.length} >>\nstream\n", cmap,
+      "\nendstream\nendobj\n",
+      s"8 0 obj << /Type /ObjStm /N $n /First $first /Filter /FlateDecode" +
+        s" /Length ${stm.length} >>\nstream\n", stm,
+      "\nendstream\nendobj\n",
+      "trailer << /Size 9 /Root 1 0 R >>\n%%EOF")
+    assert(SimplePdfTextExtractor.extract(pdf3) == "Helloffl\nABC\n")
   }
 
   test("PDF incremental update: the LAST body of an object wins (A2)") {
