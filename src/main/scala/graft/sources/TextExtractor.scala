@@ -62,9 +62,11 @@ object Utf8TextExtractor extends TextExtractor {
   * earlier ones; the xref that would disambiguate is not walked.
   *
   * Subset-font hex show-text (`<0041> Tj` with a /ToUnicode CMap) is
-  * decoded through the document's merged ToUnicode map
-  * (`beginbfchar`/`beginbfrange`, §9.10.3): a hex string whose 2-byte
-  * codes are ALL mapped yields the mapped unicode, anything else
+  * decoded through the document's merged ToUnicode maps
+  * (`beginbfchar`/`beginbfrange`, §9.10.3), at the code width each
+  * entry's own src hex declares — 2-byte (CID/Identity-H) tried
+  * first, then 1-byte (simple fonts): a hex string whose codes are
+  * ALL mapped at one width yields the mapped unicode, anything else
   * falls back to raw Latin-1 bytes (or BOM-tagged decode). Merging
   * across fonts (instead of tracking the active Tf font) is the
   * minimal-fidelity trade: codes that collide across subset fonts are
@@ -114,7 +116,7 @@ object SimplePdfTextExtractor extends TextExtractor {
     * anchors a backward balanced-dict scan and a forward payload scan,
     * and the resume position always lands past the stream consumed. */
   private def byteOrderScan(s: String, out: StringBuilder,
-      cmap: Map[Int, String]): Unit = {
+      cmap: Cmaps): Unit = {
     var pos = 0
     var k = s.indexOf("stream", pos)
     while (k >= 0) {
@@ -128,7 +130,7 @@ object SimplePdfTextExtractor extends TextExtractor {
     * shown text per the dict; returns the resume index past whatever
     * was consumed (k + 6 for a non-stream hit). */
   private def processStream(s: String, k: Int, out: StringBuilder,
-      cmap: Map[Int, String]): Int = {
+      cmap: Cmaps): Int = {
     var pos = k + 6
     locally {
       // keyword check: preceded (after optional EOL/space) by the dict's
@@ -394,16 +396,26 @@ object SimplePdfTextExtractor extends TextExtractor {
     out
   }
 
-  /** Merged ToUnicode CMap across the document's fonts: 2-byte
-    * show-text code -> unicode string, from every /ToUnicode stream's
-    * `beginbfchar`/`beginbfrange` sections (§9.10.3). Merging across
-    * fonts (instead of tracking the active Tf font) is the minimal-
-    * fidelity trade documented in the object scaladoc; codes mapped
-    * differently by different fonts are dropped so they fall back to
-    * raw bytes rather than decoding as the wrong font's text. */
+  /** Merged ToUnicode maps keyed by code WIDTH: simple fonts declare
+    * 1-byte srcs (`<41>`), CID/Identity-H fonts 2-byte (`<0041>`) —
+    * the width is read off each entry's own src hex length, so no
+    * codespacerange parse is needed. */
+  private final case class Cmaps(one: Map[Int, String], two: Map[Int, String]) {
+    def isEmpty: Boolean = one.isEmpty && two.isEmpty
+  }
+  private val EmptyCmaps = Cmaps(Map.empty, Map.empty)
+
+  /** Merged ToUnicode CMaps across the document's fonts: show-text
+    * code -> unicode string, from every /ToUnicode stream's
+    * `beginbfchar`/`beginbfrange` sections (§9.10.3), split by code
+    * width. Merging across fonts (instead of tracking the active Tf
+    * font) is the minimal-fidelity trade documented in the object
+    * scaladoc; codes mapped differently by different fonts are dropped
+    * so they fall back to raw bytes rather than decoding as the wrong
+    * font's text. */
   private def toUnicodeMap(s: String,
-      stmObjs: scala.collection.Map[String, String]): Map[Int, String] = {
-    if (!s.contains("/ToUnicode") && stmObjs.isEmpty) return Map.empty
+      stmObjs: scala.collection.Map[String, String]): Cmaps = {
+    if (!s.contains("/ToUnicode") && stmObjs.isEmpty) return EmptyCmaps
     val refRe = "/ToUnicode\\s+(\\d+)\\s+(\\d+)\\s+R".r
     // font dicts routinely live inside object streams — scan their
     // decoded bodies for refs too (the CMap streams themselves cannot
@@ -412,25 +424,30 @@ object SimplePdfTextExtractor extends TextExtractor {
         stmObjs.valuesIterator.flatMap(body =>
           refRe.findAllMatchIn(body).map(m => (m.group(1), m.group(2))))
       ).toSeq.distinct
-    val out = scala.collection.mutable.HashMap.empty[Int, String]
-    val collided = scala.collection.mutable.HashSet.empty[Int]
+    val out = Array.fill(2)(scala.collection.mutable.HashMap.empty[Int, String])
+    val collided = Array.fill(2)(scala.collection.mutable.HashSet.empty[Int])
     refs.foreach { case (n, g) =>
       lastObjStart(s, n, g).flatMap(streamObjectAt(s, _)).foreach { case (_, cm) =>
-        parseCmap(cm).foreach { case (code, str) =>
-          out.get(code) match {
-            case Some(prev) if prev != str => collided += code
-            case _ => out(code) = str
+        parseCmap(cm).foreach { case (width, code, str) =>
+          val i = width - 1
+          out(i).get(code) match {
+            case Some(prev) if prev != str => collided(i) += code
+            case _ => out(i)(code) = str
           }
         }
       }
     }
-    out.filterNot { case (code, _) => collided(code) }.toMap
+    def clean(i: Int): Map[Int, String] =
+      out(i).filterNot { case (code, _) => collided(i)(code) }.toMap
+    Cmaps(clean(0), clean(1))
   }
 
-  /** bfchar/bfrange entries of one ToUnicode CMap stream. Range dsts
-    * come in both forms: a base hex whose last UTF-16 unit increments
-    * across the range, or an explicit `[ <dst> ... ]` array. */
-  private def parseCmap(cm: String): Seq[(Int, String)] = {
+  /** (srcWidth, code, unicode) bfchar/bfrange entries of one ToUnicode
+    * CMap stream; widths other than 1 or 2 bytes are skipped. Range
+    * dsts come in both forms: a base hex whose last UTF-16 unit
+    * increments across the range, or an explicit `[ <dst> ... ]`
+    * array. */
+  private def parseCmap(cm: String): Seq[(Int, Int, String)] = {
     val hex = "<([0-9A-Fa-f]+)>"
     def hexStr(h: String): String = {
       val padded = if (h.length % 2 == 0) h else h + "0"
@@ -442,10 +459,13 @@ object SimplePdfTextExtractor extends TextExtractor {
       }
       new String(bytes, StandardCharsets.UTF_16BE)
     }
-    val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+    def widthOf(h: String): Int =
+      if (h.length == 2) 1 else if (h.length == 4) 2 else 0
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
     ("beginbfchar([\\s\\S]*?)endbfchar").r.findAllMatchIn(cm).foreach { sec =>
       (hex + "\\s*" + hex).r.findAllMatchIn(sec.group(1)).foreach { p =>
-        buf += Integer.parseInt(p.group(1), 16) -> hexStr(p.group(2))
+        val w = widthOf(p.group(1))
+        if (w > 0) buf += ((w, Integer.parseInt(p.group(1), 16), hexStr(p.group(2))))
       }
     }
     ("beginbfrange([\\s\\S]*?)endbfrange").r.findAllMatchIn(cm).foreach { sec =>
@@ -453,17 +473,18 @@ object SimplePdfTextExtractor extends TextExtractor {
         .findAllMatchIn(sec.group(1)).foreach { r =>
           val lo = Integer.parseInt(r.group(1), 16)
           val hi = Integer.parseInt(r.group(2), 16)
-          if (hi >= lo && hi - lo <= 0xFFFF) {
+          val w = widthOf(r.group(1))
+          if (w > 0 && hi >= lo && hi - lo <= 0xFFFF) {
             if (r.group(3) != null) {
               val base = hexStr(r.group(3))
               if (base.nonEmpty) (0 to hi - lo).foreach { k =>
                 val chars = base.toCharArray
                 chars(chars.length - 1) = (chars(chars.length - 1) + k).toChar
-                buf += (lo + k) -> new String(chars)
+                buf += ((w, lo + k, new String(chars)))
               }
             } else {
               hex.r.findAllMatchIn(r.group(4)).zipWithIndex.foreach { case (mm, k) =>
-                if (lo + k <= hi) buf += (lo + k) -> hexStr(mm.group(1))
+                if (lo + k <= hi) buf += ((w, lo + k, hexStr(mm.group(1))))
               }
             }
           }
@@ -709,7 +730,7 @@ object SimplePdfTextExtractor extends TextExtractor {
     * recognized only as standalone operator tokens. Strings shown inside
     * a text block are appended in stream order; one line per block. */
   private def shownText(body: String, out: StringBuilder,
-      cmap: Map[Int, String]): Unit = {
+      cmap: Cmaps): Unit = {
     var i = 0
     var inText = false
     while (i < body.length) {
@@ -767,23 +788,35 @@ object SimplePdfTextExtractor extends TextExtractor {
   }
 
   /** Hex show-text: when the document carries ToUnicode CMaps and ALL
-    * of the string's 2-byte codes are mapped, decode through the map
-    * (the subset-font / Identity-H case); otherwise fall back to
+    * of the string's codes are mapped at one width, decode through the
+    * map — 2-byte grouping first (the CID/Identity-H case), then
+    * 1-byte (simple fonts); otherwise fall back to
     * [[decodeTextString]] (BOM-tagged or raw Latin-1 bytes). The
     * all-or-nothing rule keeps a simple-encoding hex string — whose
     * byte pairs would only coincidentally hit CMap codes — from
     * decoding as mojibake: partial hits fall back whole. */
-  private def decodeHexText(raw: String, cmap: Map[Int, String]): String = {
-    if (cmap.nonEmpty && raw.nonEmpty && raw.length % 2 == 0) {
-      val codes = new Array[Int](raw.length / 2)
-      var i = 0
-      var allMapped = true
-      while (i < codes.length && allMapped) {
-        codes(i) = (raw.charAt(2 * i) << 8) | raw.charAt(2 * i + 1)
-        allMapped = cmap.contains(codes(i))
-        i += 1
+  private def decodeHexText(raw: String, cmaps: Cmaps): String = {
+    if (raw.nonEmpty && !cmaps.isEmpty) {
+      if (cmaps.two.nonEmpty && raw.length % 2 == 0) {
+        val codes = new Array[Int](raw.length / 2)
+        var i = 0
+        var allMapped = true
+        while (i < codes.length && allMapped) {
+          codes(i) = (raw.charAt(2 * i) << 8) | raw.charAt(2 * i + 1)
+          allMapped = cmaps.two.contains(codes(i))
+          i += 1
+        }
+        if (allMapped) return codes.iterator.map(cmaps.two).mkString
       }
-      if (allMapped) return codes.iterator.map(cmap).mkString
+      if (cmaps.one.nonEmpty) {
+        var i = 0
+        var allMapped = true
+        while (i < raw.length && allMapped) {
+          allMapped = cmaps.one.contains(raw.charAt(i).toInt)
+          i += 1
+        }
+        if (allMapped) return raw.iterator.map(c => cmaps.one(c.toInt)).mkString
+      }
     }
     decodeTextString(raw)
   }

@@ -619,6 +619,28 @@ class SourcesSpec extends AnyFunSuite {
     // no ToUnicode in the doc: hex strings keep decoding as raw bytes
     val plainHex = flatePdf(Seq(deflate("BT <686578207374696C6C20776F726B73> Tj ET")))
     assert(SimplePdfTextExtractor.extract(plainHex) == "hex still works\n")
+    // 1-BYTE codes (simple fonts declare <41>-style srcs): width comes
+    // from the CMap's own src hex length; the odd-length hex string
+    // can't group as 2-byte and must decode through the 1-byte map
+    val cmap1 =
+      """1 beginbfchar
+        |<2A> <0021>
+        |endbfchar
+        |1 beginbfrange
+        |<41> <43> <0057>
+        |endbfrange""".stripMargin
+    val oneByte = deflate("BT <414243> Tj <2A> Tj ET")
+    val pdf1b = pdfBytes(
+      "%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n",
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 5 0 R >> endobj\n",
+      "4 0 obj << /Type /Font /Subtype /TrueType /ToUnicode 7 0 R >> endobj\n",
+      s"5 0 obj << /Filter /FlateDecode /Length ${oneByte.length} >>\nstream\n", oneByte,
+      "\nendstream\nendobj\n",
+      s"7 0 obj << /Length ${cmap1.length} >>\nstream\n", cmap1,
+      "\nendstream\nendobj\n",
+      "trailer << /Size 8 /Root 1 0 R >>\n%%EOF")
+    assert(SimplePdfTextExtractor.extract(pdf1b) == "WXY!\n")
     // the /ToUnicode ref inside an ObjStm-compressed font dict is
     // still collected (PDF 1.5+ files compress font dicts too)
     val (stm, n, first) = objStmPayload(Seq(
