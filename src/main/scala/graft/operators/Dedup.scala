@@ -221,7 +221,7 @@ object Dedup {
     val freshByMiss = withHit.filter(!col("_bloom_hit")).drop("_bloom_hit")
     val verified = withHit.filter(col("_bloom_hit")).drop("_bloom_hit")
       .join(corpus.select(col(textCol)).distinct(), Seq(textCol), "left_anti")
-      .select(freshByMiss.columns.map(col): _*) // align column order for union
+      .select(freshByMiss.columns.toIndexedSeq.map(col): _*) // align column order for union
     freshByMiss.unionAll(verified)
   }
 
