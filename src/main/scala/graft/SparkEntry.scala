@@ -1351,14 +1351,20 @@ object SparkEntry {
       var ivfOverlap = 0L
       var lshOverlap = 0L
       queryVecs.foreach { case (_, qv) =>
-        val bf = A.bruteForceTopK(members, "embedding", "vec_id", qv, 10)
-          .select($"vec_id").as[Long].collect().toSet
-        val ivf = A.queryIvf(ivfIdx, "embedding", "vec_id", qv, 10, nProbe = 2)
-          .select($"vec_id").as[Long].collect().toSet
-        val lsh = A.queryIndex(lshIdx, "embedding", "vec_id", qv, 10)
-          .select($"vec_id").as[Long].collect().toSet
-        ivfOverlap += bf.intersect(ivf).size
-        lshOverlap += bf.intersect(lsh).size
+        // one job per query: the three top-k plans union behind a
+        // method tag and collect together (30 rows), instead of three
+        // driver round trips each
+        val tagged = A.bruteForceTopK(members, "embedding", "vec_id", qv, 10)
+          .select(lit("bf").as("m"), $"vec_id")
+          .unionAll(A.queryIvf(ivfIdx, "embedding", "vec_id", qv, 10, nProbe = 2)
+            .select(lit("ivf").as("m"), $"vec_id"))
+          .unionAll(A.queryIndex(lshIdx, "embedding", "vec_id", qv, 10)
+            .select(lit("lsh").as("m"), $"vec_id"))
+          .as[(String, Long)].collect()
+        val byMethod = tagged.groupBy(_._1).map { case (m, rs) => m -> rs.map(_._2).toSet }
+        val bf = byMethod.getOrElse("bf", Set.empty)
+        ivfOverlap += bf.intersect(byMethod.getOrElse("ivf", Set.empty)).size
+        lshOverlap += bf.intersect(byMethod.getOrElse("lsh", Set.empty)).size
       }
       Seq((10L, ivfOverlap >= 72L, lshOverlap >= 56L))
         .toDF("k", "ivf_recall_ok", "lsh_recall_ok")
