@@ -502,6 +502,54 @@ object Ann {
       .write.mode("append").partitionBy("_band", "_bkt").parquet(path)
   }
 
+  /** Compact a [[writeHammingIndex]] / [[appendHammingIndexWithIds]]
+    * layout IN PLACE: every (band, bucket) directory holding more than
+    * `minFiles` parquet part-files is rewritten into one file, rows
+    * preserved exactly. Streaming dedup-on-ingest appends one small
+    * file per touched directory per micro-batch, so without occasional
+    * compaction a probe that is O(directories) in theory degrades to
+    * O(batches) in file opens — the classic streaming small-file
+    * problem. One Spark job covers all flagged directories (basePath
+    * read keeps the partition columns; repartition on them yields one
+    * output file per directory). The swap MOVES the new file in before
+    * deleting the old ones: a crash mid-swap leaves duplicate rows,
+    * which every probe/query distincts away — missing rows can never
+    * occur. Run between batches (not concurrent with an ingest
+    * appending to the same directories). Returns the number of
+    * directories compacted. */
+  def compactHammingIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, minFiles: Int = 8): Int = {
+    import org.apache.hadoop.fs.Path
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(path)
+    val fs = root.getFileSystem(hconf)
+    if (!fs.exists(root)) return 0
+    def dataFiles(dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(dir).toSeq.filter { f =>
+        val n = f.getPath.getName
+        f.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+    val flagged = fs.globStatus(new Path(root, "_band=*/_bkt=*")).toSeq
+      .map(_.getPath).filter(d => dataFiles(d).size > minFiles)
+    if (flagged.isEmpty) return 0
+    val tmp = new Path(root, "_compact_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true) // stale from a prior crash
+    spark.read.option("basePath", path)
+      .parquet(flagged.map(_.toString): _*)
+      .repartition(flagged.size, col("_band"), col("_bkt"))
+      .write.partitionBy("_band", "_bkt").parquet(tmp.toString)
+    flagged.foreach { dir =>
+      val olds = dataFiles(dir)
+      val newDir = new Path(new Path(tmp, dir.getParent.getName), dir.getName)
+      dataFiles(newDir).foreach { f =>
+        fs.rename(f.getPath, new Path(dir, "compact-" + f.getPath.getName))
+      }
+      olds.foreach(f => fs.delete(f.getPath, false))
+    }
+    fs.delete(tmp, true)
+    flagged.size
+  }
+
   /** Batch-vs-index Hamming match over a persisted index: all
     * (batch id, index id) pairs within `maxDist`. The batch's distinct
     * (band, bucket) keys are collected to the driver — bounded by

@@ -62,7 +62,11 @@ object Tar {
         try new String(data, off, sp - off, StandardCharsets.US_ASCII).toInt
         catch { case _: NumberFormatException => return None }
       if (len <= 0 || off + len > data.length) return None
-      // record body is "key=value\n" between the space and the trailing \n
+      // record body is "key=value\n" between the space and the trailing \n;
+      // a record too short to hold even that (e.g. bytes "2 ") would give
+      // a negative body length — malformed content ends iteration, never
+      // throws (ADVICE r10)
+      if (off + len - sp - 2 < 0) return None
       val body = new String(data, sp + 1, off + len - sp - 2, StandardCharsets.UTF_8)
       val eq = body.indexOf('=')
       if (eq > 0 && body.substring(0, eq) == "path") return Some(body.substring(eq + 1))

@@ -61,16 +61,22 @@ object Utf8TextExtractor extends TextExtractor {
   * occurrence in byte order wins — later update bodies supersede
   * earlier ones; the xref that would disambiguate is not walked.
   *
-  * Subset-font hex show-text (`<0041> Tj` with a /ToUnicode CMap) is
-  * decoded through the document's merged ToUnicode maps
-  * (`beginbfchar`/`beginbfrange`, §9.10.3), at the code width each
+  * Subset-font show-text decode is Tf-SCOPED: the page's /Resources
+  * font dict (inline or indirect, inheritable from ancestor Pages
+  * nodes, §7.7.3.4) is resolved to per-font decoders, the BT..ET scan
+  * tracks the active font through `Tf` operands, and each shown
+  * string decodes through THAT font's /ToUnicode CMap
+  * (`beginbfchar`/`beginbfrange`, §9.10.3) at the code width each
   * entry's own src hex declares — 2-byte (CID/Identity-H) tried
-  * first, then 1-byte (simple fonts): a hex string whose codes are
-  * ALL mapped at one width yields the mapped unicode, anything else
-  * falls back to raw Latin-1 bytes (or BOM-tagged decode). Merging
-  * across fonts (instead of tracking the active Tf font) is the
-  * minimal-fidelity trade: codes that collide across subset fonts are
-  * dropped from the map and fall back raw.
+  * first, then 1-byte (simple fonts), all-or-nothing per string —
+  * so two subset fonts mapping the same code differently (the norm:
+  * every subset starts at code 1) decode correctly per font. Simple
+  * fonts with a custom `/Encoding /Differences` array decode per
+  * byte through an AGL-subset glyph-name table (plus the
+  * uniXXXX/uXXXX conventions); unmapped codes keep their Latin-1
+  * baseline. Show text with NO resolvable active font falls back to
+  * the merged-document CMaps (codes colliding across fonts dropped
+  * to raw), then raw Latin-1 bytes (or BOM-tagged decode).
   *
   * Honest scope (ref op A2, streamlit_app.py:60-71): streams with other
   * filters (DCTDecode images, CCITT, JBIG2, JPX), or a `/DecodeParms`/
@@ -88,24 +94,25 @@ object SimplePdfTextExtractor extends TextExtractor {
     if (!s.startsWith("%PDF"))
       throw new IllegalArgumentException("not a PDF (missing %PDF header)")
     val out = new StringBuilder
-    // ObjStms decoded ONCE per document: both the ToUnicode collection
-    // (font dicts are commonly ObjStm-compressed) and the page-tree
-    // walk read from the same parse
-    val stmObjs = parseObjectStreams(s)
-    val cmap = toUnicodeMap(s, stmObjs)
+    // one parse context per document: object-header index, decoded
+    // ObjStms, font cache — the ToUnicode collection, the page-tree
+    // walk, and font resolution all read from the same pass
+    val doc = new Doc(s)
+    val cmap = toUnicodeMap(doc)
     // PAGE-TREE order first (the reference concatenates pages in page
     // order, streamlit_app.py:63): walk Catalog -> Pages -> Kids ->
     // Contents and process exactly those streams, in that order —
     // byte order diverges from page order in incrementally-updated or
     // object-reordered files. Any unresolvable link (broken refs,
-    // cycles) falls back to the byte-order scan below.
-    pageContentStreamOffsets(s, stmObjs) match {
-      case Some(offsets) =>
-        offsets.foreach(k => processStream(s, k, out, cmap))
+    // cycles) falls back to the byte-order scan below. Each page
+    // carries its resolved /Resources font map for Tf-scoped decode.
+    pageContentStreamOffsets(doc) match {
+      case Some(pages) =>
+        pages.foreach { case (k, fonts) => processStream(doc, k, out, cmap, fonts) }
         return out.result()
       case None => ()
     }
-    byteOrderScan(s, out, cmap)
+    byteOrderScan(doc, out, cmap)
     out.result()
   }
 
@@ -114,13 +121,17 @@ object SimplePdfTextExtractor extends TextExtractor {
     * sub-dicts (/DecodeParms << ... >>) or truncates at a literal
     * "endstream" inside compressed payload bytes. Each `stream` keyword
     * anchors a backward balanced-dict scan and a forward payload scan,
-    * and the resume position always lands past the stream consumed. */
-  private def byteOrderScan(s: String, out: StringBuilder,
+    * and the resume position always lands past the stream consumed.
+    * Tf names resolve through the document-global font map (no page
+    * context exists on this path). */
+  private def byteOrderScan(doc: Doc, out: StringBuilder,
       cmap: Cmaps): Unit = {
+    val s = doc.s
+    val fonts = doc.globalFonts
     var pos = 0
     var k = s.indexOf("stream", pos)
     while (k >= 0) {
-      pos = processStream(s, k, out, cmap)
+      pos = processStream(doc, k, out, cmap, fonts)
       k = s.indexOf("stream", pos)
     }
   }
@@ -129,8 +140,9 @@ object SimplePdfTextExtractor extends TextExtractor {
     * stream (a `>>`-terminated dict precedes it), decode and extract
     * shown text per the dict; returns the resume index past whatever
     * was consumed (k + 6 for a non-stream hit). */
-  private def processStream(s: String, k: Int, out: StringBuilder,
-      cmap: Cmaps): Int = {
+  private def processStream(doc: Doc, k: Int, out: StringBuilder,
+      cmap: Cmaps, fonts: Map[String, FontDec]): Int = {
+    val s = doc.s
     var pos = k + 6
     locally {
       // keyword check: preceded (after optional EOL/space) by the dict's
@@ -156,7 +168,7 @@ object SimplePdfTextExtractor extends TextExtractor {
         val earlyChange =
           "/EarlyChange\\s+(\\d++)".r.findFirstMatchIn(dict)
             .flatMap(_.group(1).toIntOption).getOrElse(1)
-        val lenEnd = directLength(dict).orElse(indirectLength(dict, s)).collect {
+        val lenEnd = directLength(dict).orElse(indirectLength(dict, doc)).collect {
           case n if dataStart + n.toLong <= s.length => dataStart + n
         }
         val filters = filterNames(dict)
@@ -164,7 +176,7 @@ object SimplePdfTextExtractor extends TextExtractor {
           val end = lenEnd.getOrElse {
             val e = s.indexOf("endstream", dataStart); if (e < 0) s.length else e
           }
-          shownText(s.substring(dataStart, end), out, cmap)
+          shownText(s.substring(dataStart, end), out, cmap, fonts)
           pos = skipEndstream(s, end)
         } else if (!hasParms && filters.exists(_.forall(Decoders.contains))) {
           val chain = filters.get
@@ -173,7 +185,7 @@ object SimplePdfTextExtractor extends TextExtractor {
               // exact payload slice defeats embedded literal "endstream";
               // each decoder ignores trailing bytes past its own EOD
               decodeChain(s.substring(dataStart, end), chain, earlyChange)
-                .foreach(t => shownText(t, out, cmap))
+                .foreach(t => shownText(t, out, cmap, fonts))
               pos = skipEndstream(s, end)
             case None =>
               chain.head match {
@@ -183,7 +195,7 @@ object SimplePdfTextExtractor extends TextExtractor {
                   val eod = s.indexOf('>', dataStart)
                   val end = if (eod < 0) s.length else eod + 1
                   decodeChain(s.substring(dataStart, end), chain, earlyChange)
-                    .foreach(t => shownText(t, out, cmap))
+                    .foreach(t => shownText(t, out, cmap, fonts))
                   pos = skipEndstream(s, end)
                 case "ASCII85Decode" | "A85" =>
                   // base-85 data CAN spell "endstream", but its '~>' EOD
@@ -191,7 +203,7 @@ object SimplePdfTextExtractor extends TextExtractor {
                   val eod = s.indexOf("~>", dataStart)
                   val end = if (eod < 0) s.length else eod + 2
                   decodeChain(s.substring(dataStart, end), chain, earlyChange)
-                    .foreach(t => shownText(t, out, cmap))
+                    .foreach(t => shownText(t, out, cmap, fonts))
                   pos = skipEndstream(s, end)
                 case _ =>
                   // flate first with indirect/absent /Length: the first
@@ -205,7 +217,7 @@ object SimplePdfTextExtractor extends TextExtractor {
                   while (!done && e >= 0 && attempts < 8) {
                     decodeChain(s.substring(dataStart, e), chain, earlyChange) match {
                       case Some(t) =>
-                        shownText(t, out, cmap)
+                        shownText(t, out, cmap, fonts)
                         done = true
                       case None =>
                         attempts += 1
@@ -227,32 +239,42 @@ object SimplePdfTextExtractor extends TextExtractor {
     pos
   }
 
-  /** Offset just past the LAST `N G obj` header for the object: in an
-    * incrementally-updated PDF the superseded generation of an object
-    * appears EARLIER in byte order (update bodies append), so the last
-    * textual match is the live object — the xref table that would
-    * disambiguate authoritatively is not walked. */
-  private def lastObjStart(s: String, n: String, g: String): Option[Int] = {
-    var res = -1
-    ("(?<![0-9])" + n + "\\s+" + g + "\\s+obj\\b").r.findAllMatchIn(s)
-      .foreach(m => res = m.end)
-    if (res < 0) None else Some(res)
-  }
+  private val ObjHeaderRe = "(?<![0-9])(\\d+)\\s+(\\d+)\\s+obj\\b".r
 
-  /** The `stream` keyword offsets of the document's page content
-    * streams, in PAGE-TREE order — or None when the tree cannot be
-    * walked (broken refs, cycles, no catalog), in which case the
-    * caller's byte-order scan takes over. Tree dicts compressed into
-    * `/Type /ObjStm` object streams resolve from [[parseObjectStreams]];
-    * content streams cannot be ObjStm-contained (§7.5.7), so their
-    * offsets always point into the raw document. Pages with multiple
-    * /Contents refs contribute each stream in array order (the PDF
-    * semantic: one logical content stream). */
-  private def pageContentStreamOffsets(s: String,
-      stmObjs: scala.collection.Map[String, String]): Option[Seq[Int]] = {
-    val ref = "(\\d+)\\s+(\\d+)\\s+R".r
-    // the object's dict/prelude only — stop at the first `stream` so a
-    // payload's bytes can't be mistaken for dict entries
+  /** Per-document parse context, built once per [[extract]] call: the
+    * raw chars, a one-pass object-header index, the decoded ObjStm
+    * objects, and a font-resolution cache. The index replaces the
+    * per-lookup `findAllMatchIn` scans that made the page-tree walk
+    * O(objects x document size) in regex work (ADVICE r10). */
+  private final class Doc(val s: String) {
+    /** (objNum, gen) -> offset just past the LAST matching `N G obj`
+      * header in byte order: in an incrementally-updated PDF the
+      * superseded body of an object appears EARLIER (update bodies
+      * append), so the last match is the live object — the xref table
+      * that would disambiguate authoritatively is not walked.
+      * Generation is part of the key, so a freed-then-reused object
+      * number resolves to the body whose generation matches the
+      * request, not whichever header happens to come last. */
+    val idx: scala.collection.mutable.HashMap[(Long, Long), Int] = {
+      val m = scala.collection.mutable.HashMap.empty[(Long, Long), Int]
+      ObjHeaderRe.findAllMatchIn(s).foreach { mm =>
+        for (n <- mm.group(1).toLongOption; g <- mm.group(2).toLongOption)
+          m((n, g)) = mm.end
+      }
+      m
+    }
+
+    /** Decoded `/Type /ObjStm` objects: objNum -> body text. Reads only
+      * `s` and `idx`, both initialized above (declaration order). */
+    val stm: scala.collection.Map[String, String] = parseObjectStreams(this)
+
+    def lastObjStart(n: String, g: String): Option[Int] =
+      for {
+        nl <- n.toLongOption; gl <- g.toLongOption; at <- idx.get((nl, gl))
+      } yield at
+
+    /** The object's dict/prelude only — stop at the first `stream` so a
+      * payload's bytes can't be mistaken for dict entries. */
     def objPrelude(at: Int): String = {
       val endObj = s.indexOf("endobj", at)
       val streamKw = s.indexOf("stream", at)
@@ -262,13 +284,40 @@ object SimplePdfTextExtractor extends TextExtractor {
       }
       s.substring(at, end)
     }
-    // direct (uncompressed) bodies win over ObjStm copies: an
-    // incremental update supersedes an ObjStm-contained object by
-    // appending the new body as a direct object. ObjStm objects always
-    // have generation 0 (§7.5.7).
+
+    /** Direct (uncompressed) bodies win over ObjStm copies: an
+      * incremental update supersedes an ObjStm-contained object by
+      * appending the new body as a direct object. ObjStm objects always
+      * have generation 0 (§7.5.7). */
     def objBody(n: String, g: String): Option[String] =
-      lastObjStart(s, n, g).map(objPrelude)
-        .orElse(if (g == "0") stmObjs.get(n) else None)
+      lastObjStart(n, g).map(objPrelude)
+        .orElse(if (g == "0") stm.get(n) else None)
+
+    /** One resolved [[FontDec]] per referenced font object. */
+    val fontCache = scala.collection.mutable.HashMap.empty[(String, String), Option[FontDec]]
+
+    /** Font-resource name -> decoder across the whole document — the
+      * byte-order fallback's Tf resolution, where no per-page
+      * /Resources context exists. */
+    lazy val globalFonts: Map[String, FontDec] = buildGlobalFonts(this)
+  }
+
+  /** The `stream` keyword offsets of the document's page content
+    * streams, in PAGE-TREE order, each paired with its page's resolved
+    * /Resources font map (for Tf-scoped decode) — or None when the
+    * tree cannot be walked (broken refs, cycles, no catalog), in which
+    * case the caller's byte-order scan takes over. Tree dicts
+    * compressed into `/Type /ObjStm` object streams resolve from
+    * [[parseObjectStreams]]; content streams cannot be ObjStm-contained
+    * (§7.5.7), so their offsets always point into the raw document.
+    * Pages with multiple /Contents refs contribute each stream in
+    * array order (the PDF semantic: one logical content stream).
+    * /Resources is inheritable (§7.7.3.4): a page without its own dict
+    * uses the nearest ancestor Pages node's. */
+  private def pageContentStreamOffsets(doc: Doc)
+      : Option[Seq[(Int, Map[String, FontDec])]] = {
+    val s = doc.s
+    val ref = "(\\d+)\\s+(\\d+)\\s+R".r
     val pagesRef = "/Pages\\s+(\\d+)\\s+(\\d+)\\s+R".r
     val catalog = {
       // last direct catalog wins (incremental updates append); the
@@ -282,7 +331,7 @@ object SimplePdfTextExtractor extends TextExtractor {
           pagesRef.findFirstMatchIn(win).map(m => (m.group(1), m.group(2)))
         }
       direct.orElse { // the catalog itself may be ObjStm-compressed
-        stmObjs.valuesIterator.foldLeft(Option.empty[(String, String)]) { (acc, body) =>
+        doc.stm.valuesIterator.foldLeft(Option.empty[(String, String)]) { (acc, body) =>
           if ("/Type\\s*/Catalog".r.findFirstIn(body).isDefined)
             pagesRef.findFirstMatchIn(body).map(m => (m.group(1), m.group(2))).orElse(acc)
           else acc
@@ -290,32 +339,35 @@ object SimplePdfTextExtractor extends TextExtractor {
       }
     }
     catalog.flatMap { root =>
-      val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Map[String, FontDec])]
       val visited = scala.collection.mutable.Set.empty[(String, String)]
-      def walk(n: String, g: String): Boolean = { // false = unresolvable
+      // false = unresolvable; inhRes = nearest ancestor /Resources body
+      def walk(n: String, g: String, inhRes: Option[String]): Boolean = {
         if (!visited.add((n, g))) return false // cycle
-        objBody(n, g) match {
+        doc.objBody(n, g) match {
           case None => false // missing object
           case Some(body) =>
+            val res = dictOrRefValue(body, "Resources", doc).orElse(inhRes)
             if ("/Type\\s*/Pages\\b".r.findFirstIn(body).isDefined) {
               val kids = "/Kids\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(body).map(_.group(1))
               kids match {
                 case None => false
                 case Some(list) =>
-                  ref.findAllMatchIn(list).forall(m => walk(m.group(1), m.group(2)))
+                  ref.findAllMatchIn(list).forall(m => walk(m.group(1), m.group(2), res))
               }
             } else if ("/Type\\s*/Page\\b".r.findFirstIn(body).isDefined) {
+              lazy val fonts = res.map(fontMap(_, doc)).getOrElse(Map.empty[String, FontDec])
               "/Contents\\s*(\\d+\\s+\\d+\\s+R|\\[[^\\]]*\\])".r.findFirstMatchIn(body) match {
                 case None => true // empty page: legal, contributes nothing
                 case Some(m) =>
                   ref.findAllMatchIn(m.group(1)).forall { r =>
-                    lastObjStart(s, r.group(1), r.group(2)).flatMap { cAt =>
+                    doc.lastObjStart(r.group(1), r.group(2)).flatMap { cAt =>
                       val kw = s.indexOf("stream", cAt)
                       // the keyword must belong to THIS object
                       val endObj = s.indexOf("endobj", cAt)
                       if (kw >= 0 && (endObj < 0 || kw < endObj)) Some(kw) else None
                     } match {
-                      case Some(kw) => out += kw; true
+                      case Some(kw) => out += ((kw, fonts)); true
                       case None => false
                     }
                   }
@@ -323,7 +375,7 @@ object SimplePdfTextExtractor extends TextExtractor {
             } else false // unexpected node type
         }
       }
-      if (walk(root._1, root._2) && out.nonEmpty) Some(out.toSeq) else None
+      if (walk(root._1, root._2, None) && out.nonEmpty) Some(out.toSeq) else None
     }
   }
 
@@ -331,7 +383,8 @@ object SimplePdfTextExtractor extends TextExtractor {
     * `at`: (stream dict, decoded bytes as ISO-8859-1 chars). None when
     * no stream precedes `endobj`, the filter chain is unsupported, a
     * /Predictor >= 2 is set, or the data is corrupt. */
-  private def streamObjectAt(s: String, at: Int): Option[(String, String)] = {
+  private def streamObjectAt(doc: Doc, at: Int): Option[(String, String)] = {
+    val s = doc.s
     val kw = s.indexOf("stream", at)
     val endObj = s.indexOf("endobj", at)
     if (kw < 0 || (endObj >= 0 && endObj < kw)) return None
@@ -344,7 +397,7 @@ object SimplePdfTextExtractor extends TextExtractor {
     if (dataStart < s.length && s.charAt(dataStart) == '\n') dataStart += 1
     if ("/Predictor\\s+(\\d++)".r.findFirstMatchIn(dict)
         .flatMap(_.group(1).toIntOption).exists(_ >= 2)) return None
-    val end = directLength(dict).orElse(indirectLength(dict, s))
+    val end = directLength(dict).orElse(indirectLength(dict, doc))
       .map(dataStart + _).filter(_ <= s.length)
       .getOrElse {
         val e = s.indexOf("endstream", dataStart); if (e < 0) s.length else e
@@ -365,12 +418,13 @@ object SimplePdfTextExtractor extends TextExtractor {
     * object numbers: the LAST ObjStm in byte order wins, matching
     * [[lastObjStart]]'s incremental-update discipline. Iteration order
     * of the result follows first insertion (LinkedHashMap). */
-  private def parseObjectStreams(s: String):
+  private def parseObjectStreams(doc: Doc):
       scala.collection.Map[String, String] = {
+    val s = doc.s
     if (!s.contains("/ObjStm")) return Map.empty
     val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
     "/Type\\s*/ObjStm\\b".r.findAllMatchIn(s).foreach { m =>
-      streamObjectAt(s, m.end).foreach { case (dict, content) =>
+      streamObjectAt(doc, m.end).foreach { case (dict, content) =>
         // the match must really be this stream's dict entry, not bytes
         // inside some unrelated payload
         if ("/Type\\s*/ObjStm\\b".r.findFirstIn(dict).isDefined) {
@@ -379,9 +433,15 @@ object SimplePdfTextExtractor extends TextExtractor {
             first <- "/First\\s+(\\d+)".r.findFirstMatchIn(dict).flatMap(_.group(1).toIntOption)
             if first <= content.length
           } {
+            // toIntOption (not toInt): a corrupt/adversarial header
+            // integer past Int range drops its pair instead of throwing
+            // through extract() (ADVICE r10)
             val pairs = "\\d+".r.findAllIn(content.substring(0, first))
-              .toSeq.take(2 * n).grouped(2)
-              .collect { case Seq(objNum, off) => (objNum, off.toInt) }.toSeq
+              .toSeq.take(2 * n).grouped(2).toSeq
+              .flatMap {
+                case Seq(objNum, off) => off.toIntOption.map((objNum, _))
+                case _ => None
+              }
             pairs.zipWithIndex.foreach { case ((objNum, off), i) =>
               val start = first + off
               val end =
@@ -405,30 +465,248 @@ object SimplePdfTextExtractor extends TextExtractor {
   }
   private val EmptyCmaps = Cmaps(Map.empty, Map.empty)
 
+  /** One font's decode state, resolved from its font dict: its OWN
+    * ToUnicode CMap split by declared code width (`one`/`two`), and a
+    * simple-font `/Encoding /Differences` code -> unicode map (glyph
+    * names resolved through the AGL subset [[Agl]]). Tf-scoped decode
+    * prefers the CMap (all-or-nothing per string), then Differences
+    * (per-byte, unmapped codes keep their Latin-1 baseline), then raw. */
+  private final case class FontDec(one: Map[Int, String], two: Map[Int, String],
+      diffs: Map[Int, String]) {
+    def hasCmap: Boolean = one.nonEmpty || two.nonEmpty
+    def isEmpty: Boolean = !hasCmap && diffs.isEmpty
+  }
+
+  /** Glyph-name -> unicode for the names that cover the overwhelming
+    * majority of real `/Differences` arrays: the Adobe Glyph List
+    * subset for ASCII + Latin-1 (names listed in codepoint order, "."
+    * = no standard name at that position) plus the WinAnsi/standard-
+    * encoding punctuation, ligature, and accent names beyond Latin-1.
+    * `uniXXXX` / `uXXXX[XX]` conventions are handled in
+    * [[glyphToUnicode]], not here. */
+  private val Agl: Map[String, String] = {
+    val m = scala.collection.mutable.HashMap.empty[String, String]
+    def seq(startCode: Int, names: String): Unit =
+      names.split(' ').zipWithIndex.foreach { case (nm, i) =>
+        if (nm != ".") m(nm) = (startCode + i).toChar.toString
+      }
+    seq(0x20, "space exclam quotedbl numbersign dollar percent ampersand " +
+      "quotesingle parenleft parenright asterisk plus comma hyphen period slash " +
+      "zero one two three four five six seven eight nine " +
+      "colon semicolon less equal greater question at")
+    (0x41 to 0x5A).foreach(c => m(c.toChar.toString) = c.toChar.toString)
+    seq(0x5B, "bracketleft backslash bracketright asciicircum underscore grave")
+    (0x61 to 0x7A).foreach(c => m(c.toChar.toString) = c.toChar.toString)
+    seq(0x7B, "braceleft bar braceright asciitilde")
+    seq(0xA1, "exclamdown cent sterling currency yen brokenbar section dieresis " +
+      "copyright ordfeminine guillemotleft logicalnot . registered macron " +
+      "degree plusminus twosuperior threesuperior acute mu paragraph " +
+      "periodcentered cedilla onesuperior ordmasculine guillemotright " +
+      "onequarter onehalf threequarters questiondown " +
+      "Agrave Aacute Acircumflex Atilde Adieresis Aring AE Ccedilla " +
+      "Egrave Eacute Ecircumflex Edieresis Igrave Iacute Icircumflex Idieresis " +
+      "Eth Ntilde Ograve Oacute Ocircumflex Otilde Odieresis multiply " +
+      "Oslash Ugrave Uacute Ucircumflex Udieresis Yacute Thorn germandbls " +
+      "agrave aacute acircumflex atilde adieresis aring ae ccedilla " +
+      "egrave eacute ecircumflex edieresis igrave iacute icircumflex idieresis " +
+      "eth ntilde ograve oacute ocircumflex otilde odieresis divide " +
+      "oslash ugrave uacute ucircumflex udieresis yacute thorn ydieresis")
+    Seq("quoteleft" -> 0x2018, "quoteright" -> 0x2019, "quotedblleft" -> 0x201C,
+      "quotedblright" -> 0x201D, "quotesinglbase" -> 0x201A,
+      "quotedblbase" -> 0x201E, "endash" -> 0x2013, "emdash" -> 0x2014,
+      "bullet" -> 0x2022, "dagger" -> 0x2020, "daggerdbl" -> 0x2021,
+      "ellipsis" -> 0x2026, "perthousand" -> 0x2030, "guilsinglleft" -> 0x2039,
+      "guilsinglright" -> 0x203A, "trademark" -> 0x2122, "Euro" -> 0x20AC,
+      "florin" -> 0x0192, "fraction" -> 0x2044, "circumflex" -> 0x02C6,
+      "tilde" -> 0x02DC, "Scaron" -> 0x0160, "scaron" -> 0x0161,
+      "Zcaron" -> 0x017D, "zcaron" -> 0x017E, "OE" -> 0x0152, "oe" -> 0x0153,
+      "Ydieresis" -> 0x0178, "dotlessi" -> 0x0131, "fi" -> 0xFB01,
+      "fl" -> 0xFB02, "minus" -> 0x2212, "breve" -> 0x02D8, "caron" -> 0x02C7,
+      "dotaccent" -> 0x02D9, "hungarumlaut" -> 0x02DD, "ogonek" -> 0x02DB,
+      "ring" -> 0x02DA).foreach { case (k, v) => m(k) = v.toChar.toString }
+    m.toMap
+  }
+
+  /** AGL-subset lookup plus the `uniXXXX` (one or more UTF-16 units)
+    * and `uXXXX`-`uXXXXXX` (one code point) glyph-name conventions. */
+  private def glyphToUnicode(name: String): Option[String] = {
+    def isHex(c: Char): Boolean = Character.digit(c, 16) >= 0
+    Agl.get(name).orElse {
+      if (name.length >= 7 && name.startsWith("uni") &&
+          (name.length - 3) % 4 == 0 && name.drop(3).forall(isHex))
+        Some(name.drop(3).grouped(4).map(h => Integer.parseInt(h, 16).toChar).mkString)
+      else if (name.length >= 5 && name.length <= 7 && name.charAt(0) == 'u' &&
+          name.drop(1).forall(isHex)) {
+        val cp = Integer.parseInt(name.drop(1), 16)
+        if (Character.isValidCodePoint(cp)) Some(new String(Character.toChars(cp)))
+        else None
+      } else None
+    }
+  }
+
+  /** The balanced `<< ... >>` dict whose opening "<<" begins at `open`
+    * in `t`; inner content without the outer delimiters, "" when
+    * unbalanced. Forward twin of [[balancedDict]], for values whose
+    * START is known (inline /Resources, /Font, /Encoding dicts). */
+  private def balancedDictForward(t: String, open: Int): String = {
+    var depth = 0
+    var i = open
+    while (i + 1 < t.length) {
+      if (t.charAt(i) == '<' && t.charAt(i + 1) == '<') { depth += 1; i += 2 }
+      else if (t.charAt(i) == '>' && t.charAt(i + 1) == '>') {
+        depth -= 1; i += 2
+        if (depth == 0) return t.substring(open + 2, i - 2)
+      } else i += 1
+    }
+    ""
+  }
+
+  /** Resolve `/key`'s value in `body` when it is an inline `<< ... >>`
+    * dict (returns the dict's content) or an `N G R` reference (returns
+    * the referenced object's body, direct or ObjStm). None for absent
+    * keys and other value types (e.g. a bare name like
+    * `/Encoding /WinAnsiEncoding`). */
+  private def dictOrRefValue(body: String, key: String, doc: Doc): Option[String] =
+    ("/" + key + "\\b").r.findFirstMatchIn(body).flatMap { m =>
+      var i = m.end
+      while (i < body.length && body.charAt(i).isWhitespace) i += 1
+      if (i + 1 < body.length && body.charAt(i) == '<' && body.charAt(i + 1) == '<')
+        Some(balancedDictForward(body, i))
+      else
+        "\\A(\\d+)\\s+(\\d+)\\s+R".r
+          .findFirstMatchIn(body.substring(i, math.min(body.length, i + 32)))
+          .flatMap(r => doc.objBody(r.group(1), r.group(2)))
+    }
+
+  /** The `/Font` resource dict of one /Resources body as
+    * name -> resolved decoder; names whose font object is missing or
+    * carries no decode state (no ToUnicode, no Differences) are absent,
+    * so their show text falls back to the merged-document maps. */
+  private def fontMap(resBody: String, doc: Doc): Map[String, FontDec] =
+    dictOrRefValue(resBody, "Font", doc).map { fd =>
+      "/([^\\s/\\[\\]<>()]+)\\s+(\\d+)\\s+(\\d+)\\s+R".r.findAllMatchIn(fd)
+        .flatMap(m => fontFor(m.group(2), m.group(3), doc).map(m.group(1) -> _))
+        .toMap
+    }.getOrElse(Map.empty)
+
+  /** Resolve one font object to its decode state, cached per document.
+    * None when the object is absent, is not a font dict, or has nothing
+    * to decode with. */
+  private def fontFor(n: String, g: String, doc: Doc): Option[FontDec] =
+    doc.fontCache.getOrElseUpdate((n, g),
+      doc.objBody(n, g)
+        .filter(b => "/Type\\s*/Font\\b".r.findFirstIn(b).isDefined)
+        .map(parseFontDict(_, doc)).filterNot(_.isEmpty))
+
+  /** One font dict's decode state: its /ToUnicode CMap (resolved and
+    * parsed at each entry's declared width) and its
+    * `/Encoding /Differences` map (inline dict or indirect encoding
+    * object — `streamlit_app.py:62-63`'s PyMuPDF handles these
+    * natively; custom-encoded simple fonts are ubiquitous in pre-2010
+    * and form-generated PDFs and otherwise emit mojibake). */
+  private def parseFontDict(body: String, doc: Doc): FontDec = {
+    val (one, two) =
+      "/ToUnicode\\s+(\\d+)\\s+(\\d+)\\s+R".r.findFirstMatchIn(body) match {
+        case Some(m) =>
+          val entries = doc.lastObjStart(m.group(1), m.group(2))
+            .flatMap(streamObjectAt(doc, _))
+            .map { case (_, cm) => parseCmapSafe(cm) }
+            .getOrElse(Seq.empty)
+          val o = Map.newBuilder[Int, String]
+          val t = Map.newBuilder[Int, String]
+          entries.foreach { case (w, code, str) =>
+            if (w == 1) o += (code -> str) else t += (code -> str)
+          }
+          (o.result(), t.result())
+        case None => (Map.empty[Int, String], Map.empty[Int, String])
+      }
+    val diffs = dictOrRefValue(body, "Encoding", doc)
+      .map(parseDifferences).getOrElse(Map.empty)
+    FontDec(one, two, diffs)
+  }
+
+  /** `/Differences [ code /name /name ... code /name ... ]` of one
+    * encoding dict: each integer resets the code counter, each name
+    * takes the next code (§9.6.6.3). Names outside the AGL subset and
+    * the uniXXXX/uXXXX conventions still consume their code but map
+    * nothing — those codes keep their Latin-1 baseline at decode. */
+  private def parseDifferences(enc: String): Map[Int, String] =
+    "/Differences\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(enc).map { m =>
+      val b = Map.newBuilder[Int, String]
+      var code = -1
+      "(\\d+)|/([^\\s/\\[\\]<>()]+)".r.findAllMatchIn(m.group(1)).foreach { t =>
+        if (t.group(1) != null) code = t.group(1).toIntOption.getOrElse(-1)
+        else if (code >= 0 && code <= 255) {
+          glyphToUnicode(t.group(2)).foreach(u => b += (code -> u))
+          code += 1
+        }
+      }
+      b.result()
+    }.getOrElse(Map.empty)
+
+  /** Font-resource name -> decoder across the WHOLE document (raw +
+    * ObjStm bodies) — the byte-order fallback's Tf resolution, where
+    * no per-page /Resources context exists. A name bound to DIFFERENT
+    * font objects by different resource dicts is dropped (its show
+    * text falls back to the merged-document maps), never guessed. */
+  private def buildGlobalFonts(doc: Doc): Map[String, FontDec] = {
+    val bound = scala.collection.mutable.HashMap.empty[String, (String, String)]
+    val dropped = scala.collection.mutable.HashSet.empty[String]
+    def scan(body: String): Unit =
+      "/Font\\b".r.findAllMatchIn(body).foreach { m =>
+        var i = m.end
+        while (i < body.length && body.charAt(i).isWhitespace) i += 1
+        val fd =
+          if (i + 1 < body.length && body.charAt(i) == '<' && body.charAt(i + 1) == '<')
+            Some(balancedDictForward(body, i))
+          else
+            "\\A(\\d+)\\s+(\\d+)\\s+R".r
+              .findFirstMatchIn(body.substring(i, math.min(body.length, i + 32)))
+              .flatMap(r => doc.objBody(r.group(1), r.group(2)))
+        fd.foreach { d =>
+          "/([^\\s/\\[\\]<>()]+)\\s+(\\d+)\\s+(\\d+)\\s+R".r.findAllMatchIn(d)
+            .foreach { e =>
+              val name = e.group(1)
+              val tgt = (e.group(2), e.group(3))
+              bound.get(name) match {
+                case Some(prev) if prev != tgt => dropped += name
+                case _ => bound(name) = tgt
+              }
+            }
+        }
+      }
+    scan(doc.s)
+    doc.stm.valuesIterator.foreach(scan)
+    bound.iterator.filterNot { case (nm, _) => dropped(nm) }
+      .flatMap { case (nm, (on, og)) => fontFor(on, og, doc).map(nm -> _) }
+      .toMap
+  }
+
   /** Merged ToUnicode CMaps across the document's fonts: show-text
     * code -> unicode string, from every /ToUnicode stream's
     * `beginbfchar`/`beginbfrange` sections (§9.10.3), split by code
-    * width. Merging across fonts (instead of tracking the active Tf
-    * font) is the minimal-fidelity trade documented in the object
-    * scaladoc; codes mapped differently by different fonts are dropped
-    * so they fall back to raw bytes rather than decoding as the wrong
-    * font's text. */
-  private def toUnicodeMap(s: String,
-      stmObjs: scala.collection.Map[String, String]): Cmaps = {
-    if (!s.contains("/ToUnicode") && stmObjs.isEmpty) return EmptyCmaps
+    * width. This is the FALLBACK map for show text whose active font
+    * could not be resolved (no Tf seen, or the Tf name is not in the
+    * page's /Resources); Tf-scoped decode uses the per-font maps from
+    * [[fontFor]]. Codes mapped differently by different fonts are
+    * dropped from the merged map so they fall back to raw bytes rather
+    * than decoding as the wrong font's text. */
+  private def toUnicodeMap(doc: Doc): Cmaps = {
+    val s = doc.s
+    if (!s.contains("/ToUnicode") && doc.stm.isEmpty) return EmptyCmaps
     val refRe = "/ToUnicode\\s+(\\d+)\\s+(\\d+)\\s+R".r
     // font dicts routinely live inside object streams — scan their
     // decoded bodies for refs too (the CMap streams themselves cannot
     // be ObjStm-contained, so resolution stays raw-document)
     val refs = (refRe.findAllMatchIn(s).map(m => (m.group(1), m.group(2))) ++
-        stmObjs.valuesIterator.flatMap(body =>
+        doc.stm.valuesIterator.flatMap(body =>
           refRe.findAllMatchIn(body).map(m => (m.group(1), m.group(2))))
       ).toSeq.distinct
     val out = Array.fill(2)(scala.collection.mutable.HashMap.empty[Int, String])
     val collided = Array.fill(2)(scala.collection.mutable.HashSet.empty[Int])
     refs.foreach { case (n, g) =>
-      lastObjStart(s, n, g).flatMap(streamObjectAt(s, _)).foreach { case (_, cm) =>
-        parseCmap(cm).foreach { case (width, code, str) =>
+      doc.lastObjStart(n, g).flatMap(streamObjectAt(doc, _)).foreach { case (_, cm) =>
+        parseCmapSafe(cm).foreach { case (width, code, str) =>
           val i = width - 1
           out(i).get(code) match {
             case Some(prev) if prev != str => collided(i) += code
@@ -441,6 +719,12 @@ object SimplePdfTextExtractor extends TextExtractor {
       out(i).filterNot { case (code, _) => collided(i)(code) }.toMap
     Cmaps(clean(0), clean(1))
   }
+
+  /** [[parseCmap]] with a per-stream catch: one corrupt CMap yields no
+    * entries instead of failing the whole extract (ADVICE r10). */
+  private def parseCmapSafe(cm: String): Seq[(Int, Int, String)] =
+    try parseCmap(cm)
+    catch { case scala.util.control.NonFatal(_) => Seq.empty }
 
   /** (srcWidth, code, unicode) bfchar/bfrange entries of one ToUnicode
     * CMap stream; widths other than 1 or 2 bytes are skipped. Range
@@ -471,20 +755,27 @@ object SimplePdfTextExtractor extends TextExtractor {
     ("beginbfrange([\\s\\S]*?)endbfrange").r.findAllMatchIn(cm).foreach { sec =>
       (hex + "\\s*" + hex + "\\s*(?:" + hex + "|\\[([\\s\\S]*?)\\])").r
         .findAllMatchIn(sec.group(1)).foreach { r =>
-          val lo = Integer.parseInt(r.group(1), 16)
-          val hi = Integer.parseInt(r.group(2), 16)
+          // width FIRST, parse after (ADVICE r10): a src code of 8+ hex
+          // digits (3/4-byte codespaces are legal; corrupt CMaps occur
+          // in crawled PDFs) must skip the entry, not throw
+          // NumberFormatException through extract() — widthOf caps the
+          // parsed hex at 4 digits, so parseInt can never overflow
           val w = widthOf(r.group(1))
-          if (w > 0 && hi >= lo && hi - lo <= 0xFFFF) {
-            if (r.group(3) != null) {
-              val base = hexStr(r.group(3))
-              if (base.nonEmpty) (0 to hi - lo).foreach { k =>
-                val chars = base.toCharArray
-                chars(chars.length - 1) = (chars(chars.length - 1) + k).toChar
-                buf += ((w, lo + k, new String(chars)))
-              }
-            } else {
-              hex.r.findAllMatchIn(r.group(4)).zipWithIndex.foreach { case (mm, k) =>
-                if (lo + k <= hi) buf += ((w, lo + k, hexStr(mm.group(1))))
+          if (w > 0 && widthOf(r.group(2)) == w) {
+            val lo = Integer.parseInt(r.group(1), 16)
+            val hi = Integer.parseInt(r.group(2), 16)
+            if (hi >= lo && hi - lo <= 0xFFFF) {
+              if (r.group(3) != null) {
+                val base = hexStr(r.group(3))
+                if (base.nonEmpty) (0 to hi - lo).foreach { k =>
+                  val chars = base.toCharArray
+                  chars(chars.length - 1) = (chars(chars.length - 1) + k).toChar
+                  buf += ((w, lo + k, new String(chars)))
+                }
+              } else {
+                hex.r.findAllMatchIn(r.group(4)).zipWithIndex.foreach { case (mm, k) =>
+                  if (lo + k <= hi) buf += ((w, lo + k, hexStr(mm.group(1))))
+                }
               }
             }
           }
@@ -693,15 +984,16 @@ object SimplePdfTextExtractor extends TextExtractor {
     * the document — every real producer stores the deferred length as a
     * bare integer object, so a full xref walk is unnecessary. None when
     * the object is absent/non-integer (the caller then falls back to
-    * EOD/boundary scanning). */
-  private def indirectLength(dict: String, doc: String): Option[Int] =
+    * EOD/boundary scanning). Resolution is an O(1) lookup in the
+    * document's last-header index (incremental-update discipline as
+    * everywhere: the LAST body wins). */
+  private def indirectLength(dict: String, doc: Doc): Option[Int] =
     "/Length\\s+(\\d+)\\s+(\\d+)\\s+R".r.findFirstMatchIn(dict).flatMap { m =>
-      // LAST match: an incrementally-updated PDF's superseded length
-      // object appears earlier in byte order (see [[lastObjStart]])
-      var res = Option.empty[Int]
-      ("(?<![0-9])" + m.group(1) + "\\s+" + m.group(2) + "\\s+obj\\b\\s*(\\d++)").r
-        .findAllMatchIn(doc).foreach(mm => res = mm.group(1).toIntOption)
-      res
+      doc.lastObjStart(m.group(1), m.group(2)).flatMap { at =>
+        "\\A\\s*(\\d++)".r
+          .findFirstMatchIn(doc.s.substring(at, math.min(doc.s.length, at + 24)))
+          .flatMap(_.group(1).toIntOption)
+      }
     }
 
   /** zlib-inflate; None on truncated/corrupt data or a preset-dictionary
@@ -728,38 +1020,114 @@ object SimplePdfTextExtractor extends TextExtractor {
     * shown text can never be mistaken for an operator (a regex over the
     * raw bytes truncates the block at e.g. "QUIET"); `BT`/`ET` are
     * recognized only as standalone operator tokens. Strings shown inside
-    * a text block are appended in stream order; one line per block. */
+    * a text block are appended in stream order; one line per block.
+    * The ACTIVE FONT is tracked through `Tf` operands (`/F1 12 Tf`):
+    * each shown string decodes through that font's own CMap /
+    * Differences map; a Tf name with no resolved font (or no Tf seen
+    * yet) falls back to the merged-document maps. */
   private def shownText(body: String, out: StringBuilder,
-      cmap: Cmaps): Unit = {
+      cmap: Cmaps, fonts: Map[String, FontDec]): Unit = {
     var i = 0
     var inText = false
+    var lastName: String = null // most recent /Name token (Tf operand)
+    var activeFont: FontDec = null
     while (i < body.length) {
       val c = body.charAt(i)
       if (c == '(') {
         val (str, next) = parseString(body, i)
-        if (inText) out ++= decodeTextString(str)
+        if (inText) out ++= decodeLiteralText(str, activeFont)
         i = next
       } else if (c == '<') {
         if (i + 1 < body.length && body.charAt(i + 1) == '<') i += 2 // dict, not a string
         else {
           val (str, next) = parseHexString(body, i)
-          if (inText) out ++= decodeHexText(str, cmap)
+          if (inText) out ++= decodeHexText(str, activeFont, cmap)
           i = next
         }
       } else if (c == '%') { // comment to end of line
         while (i < body.length && body.charAt(i) != '\n' && body.charAt(i) != '\r') i += 1
+      } else if (c == '/') { // name token: remember it for Tf
+        var j = i + 1
+        while (j < body.length && !isDelimiter(body.charAt(j))) j += 1
+        lastName = body.substring(i + 1, j)
+        i = j
       } else if (c.isLetter || c == '\'' || c == '"') {
         var j = i
         while (j < body.length && !isDelimiter(body.charAt(j))) j += 1
         body.substring(i, j) match {
           case "BT" => inText = true
           case "ET" => if (inText) out += '\n'; inText = false
-          case _ => () // Tf/Td/Tj/TJ/... — positioning ignored, order kept
+          case "Tf" =>
+            activeFont =
+              if (lastName == null) null else fonts.getOrElse(lastName, null)
+          case _ => () // Td/Tj/TJ/... — positioning ignored, order kept
         }
         i = j
       } else i += 1
     }
   }
+
+  /** BOM-tagged string (UTF-16BE FE FF or UTF-8 EF BB BF prefix)? Such
+    * strings carry their own encoding and bypass font maps. */
+  private def hasBom(raw: String): Boolean =
+    (raw.length >= 2 && raw.charAt(0) == 0xFE.toChar && raw.charAt(1) == 0xFF.toChar) ||
+      (raw.length >= 3 && raw.charAt(0) == 0xEF.toChar &&
+        raw.charAt(1) == 0xBB.toChar && raw.charAt(2) == 0xBF.toChar)
+
+  /** All-or-nothing decode of a shown string's codes through
+    * (two, one) code -> unicode maps: 2-byte grouping tried first (the
+    * CID/Identity-H case), then 1-byte (simple fonts); None unless ALL
+    * codes map at one width. The all-or-nothing rule keeps a
+    * simple-encoding string — whose byte pairs would only
+    * coincidentally hit CMap codes — from decoding as mojibake:
+    * partial hits fall back whole. */
+  private def decodeAllMapped(raw: String, two: Map[Int, String],
+      one: Map[Int, String]): Option[String] = {
+    if (raw.isEmpty) return None
+    if (two.nonEmpty && raw.length % 2 == 0) {
+      val codes = new Array[Int](raw.length / 2)
+      var i = 0
+      var allMapped = true
+      while (i < codes.length && allMapped) {
+        codes(i) = (raw.charAt(2 * i) << 8) | raw.charAt(2 * i + 1)
+        allMapped = two.contains(codes(i))
+        i += 1
+      }
+      if (allMapped) return Some(codes.iterator.map(two).mkString)
+    }
+    if (one.nonEmpty) {
+      var i = 0
+      var allMapped = true
+      while (i < raw.length && allMapped) {
+        allMapped = one.contains(raw.charAt(i).toInt)
+        i += 1
+      }
+      if (allMapped) return Some(raw.iterator.map(c => one(c.toInt)).mkString)
+    }
+    None
+  }
+
+  /** Per-byte `/Differences` decode: remapped codes take their glyph's
+    * unicode, unmapped codes keep the Latin-1 baseline (a Differences
+    * array only overrides part of the base encoding, §9.6.6.3);
+    * BOM-tagged strings bypass the map. Falls through to
+    * [[decodeTextString]] when the font has no Differences. */
+  private def applyDiffsOrRaw(raw: String, font: FontDec): String =
+    if (font.diffs.nonEmpty && !hasBom(raw))
+      raw.iterator.map(c => font.diffs.getOrElse(c.toInt, c.toString)).mkString
+    else decodeTextString(raw)
+
+  /** Literal show-string decode under the active font: the font's own
+    * CMap first (all-or-nothing — simple fonts with ToUnicode show
+    * literal strings whose byte codes the CMap maps), then its
+    * Differences map, then the BOM/raw baseline. NO merged-document
+    * fallback here: literal strings in un-tracked fonts keep the
+    * historical raw decode (hex strings are the subset-font vehicle). */
+  private def decodeLiteralText(str: String, font: FontDec): String =
+    if (font == null) decodeTextString(str)
+    else if (font.hasCmap && !hasBom(str))
+      decodeAllMapped(str, font.two, font.one).getOrElse(applyDiffsOrRaw(str, font))
+    else applyDiffsOrRaw(str, font)
 
   /** One PDF hex string starting at `start` (the '<'): pairs of hex
     * digits are bytes, whitespace is ignored, an odd final digit gets an
@@ -787,39 +1155,21 @@ object SimplePdfTextExtractor extends TextExtractor {
     (out.result(), i)
   }
 
-  /** Hex show-text: when the document carries ToUnicode CMaps and ALL
-    * of the string's codes are mapped at one width, decode through the
-    * map — 2-byte grouping first (the CID/Identity-H case), then
-    * 1-byte (simple fonts); otherwise fall back to
-    * [[decodeTextString]] (BOM-tagged or raw Latin-1 bytes). The
-    * all-or-nothing rule keeps a simple-encoding hex string — whose
-    * byte pairs would only coincidentally hit CMap codes — from
-    * decoding as mojibake: partial hits fall back whole. */
-  private def decodeHexText(raw: String, cmaps: Cmaps): String = {
-    if (raw.nonEmpty && !cmaps.isEmpty) {
-      if (cmaps.two.nonEmpty && raw.length % 2 == 0) {
-        val codes = new Array[Int](raw.length / 2)
-        var i = 0
-        var allMapped = true
-        while (i < codes.length && allMapped) {
-          codes(i) = (raw.charAt(2 * i) << 8) | raw.charAt(2 * i + 1)
-          allMapped = cmaps.two.contains(codes(i))
-          i += 1
-        }
-        if (allMapped) return codes.iterator.map(cmaps.two).mkString
-      }
-      if (cmaps.one.nonEmpty) {
-        var i = 0
-        var allMapped = true
-        while (i < raw.length && allMapped) {
-          allMapped = cmaps.one.contains(raw.charAt(i).toInt)
-          i += 1
-        }
-        if (allMapped) return raw.iterator.map(c => cmaps.one(c.toInt)).mkString
-      }
-    }
-    decodeTextString(raw)
-  }
+  /** Hex show-text decode: the ACTIVE FONT's own CMap first
+    * (all-or-nothing via [[decodeAllMapped]]), then its Differences
+    * map; when no font is active (or the font carries no decode
+    * state), the merged-document CMaps — the historical fallback —
+    * then BOM-tagged / raw Latin-1 bytes. A font that HAS a CMap never
+    * cross-decodes through another font's merged entries: its misses
+    * fall back to Differences/raw, which is what kills the cross-font
+    * collision problem (two subset fonts mapping code 1 differently is
+    * the norm, not the edge). */
+  private def decodeHexText(raw: String, font: FontDec, cmaps: Cmaps): String =
+    if (font == null)
+      decodeAllMapped(raw, cmaps.two, cmaps.one).getOrElse(decodeTextString(raw))
+    else if (font.hasCmap)
+      decodeAllMapped(raw, font.two, font.one).getOrElse(applyDiffsOrRaw(raw, font))
+    else applyDiffsOrRaw(raw, font)
 
   /** PDF text strings are PDFDocEncoding (≈Latin-1 here) unless tagged
     * with a UTF-16BE or UTF-8 BOM (PDF 32000-1 §7.9.2.2) — the standard

@@ -348,9 +348,19 @@ object StreamOps {
     * The index is maintained incrementally: each batch appends its
     * accepted rows' band + id rows. A corpus without an index (first
     * run after adopting this variant) bootstraps the index from the
-    * corpus once. At-least-once caveat as before — the corpus append,
-    * then the index append, are separate jobs; production stamps
-    * batchId into both paths and commits atomically. */
+    * corpus once. The corpus append and the index append are separate
+    * jobs, so a crash between them would leave the index permanently
+    * missing those rows' bands (later near-duplicates would slip in,
+    * and a batch retry would re-append the rows) — every batch
+    * therefore starts by RECONCILING: when the corpus row count and
+    * the index's reserved-id-band row count diverge (they are 1:1 by
+    * construction), the index is rebuilt from the corpus before any
+    * probe (ADVICE r10). The id-band count is a partition-pruned scan
+    * of the band=-1 directories and the corpus count reads parquet
+    * footers only, so the check is O(#files), not O(rows) — bounded by
+    * [[graft.operators.Ann.compactHammingIndex]]-style housekeeping,
+    * not corpus size. At-least-once caveat otherwise as before;
+    * production stamps batchId into both paths and commits atomically. */
   def imageDedupedIngestIndexed(docs: DataFrame, corpusPath: String,
       indexPath: String, idCol: String = "img_id", binCol: String = "blob",
       maxDist: Int = 8, buckets: Int = 64)
@@ -364,11 +374,28 @@ object StreamOps {
         val cp = new org.apache.hadoop.fs.Path(corpusPath)
         val ip = new org.apache.hadoop.fs.Path(indexPath)
         val corpusExists = cp.getFileSystem(hconf).exists(cp)
-        if (corpusExists && !ip.getFileSystem(hconf).exists(ip)) {
-          // bootstrap/heal: one corpus scan, then never again
-          A.appendHammingIndexWithIds(
-            spark.read.parquet(corpusPath).select(col(idCol), col("_sig")),
-            "_sig", idCol, indexPath, maxDist, buckets)
+        if (corpusExists) {
+          val ifs = ip.getFileSystem(hconf)
+          val rebuild =
+            if (!ifs.exists(ip)) true // bootstrap: first run with an index
+            else {
+              // reconcile: a crash between the corpus append and the
+              // index append leaves the index short; the reserved id
+              // band holds exactly one row per corpus row, so count
+              // divergence detects it (and a same-batch retry then
+              // dedupes against the healed index instead of
+              // re-appending)
+              val corpusN = spark.read.parquet(corpusPath).count()
+              val idN = spark.read.parquet(indexPath)
+                .filter(col("_band") === -1).count()
+              corpusN != idN
+            }
+          if (rebuild) {
+            if (ifs.exists(ip)) ifs.delete(ip, true)
+            A.appendHammingIndexWithIds(
+              spark.read.parquet(corpusPath).select(col(idCol), col("_sig")),
+              "_sig", idCol, indexPath, maxDist, buckets)
+          }
         }
         val sigged = batch
           .withColumn("_sig", M.dHashCol(col(binCol)))

@@ -685,6 +685,149 @@ class SourcesSpec extends AnyFunSuite {
     assert(SimplePdfTextExtractor.extract(pdf) == "live updated text\n")
   }
 
+  test("PDF /Encoding /Differences: custom-encoded simple fonts decode via glyph names (A2)") {
+    import graft.sources.SimplePdfTextExtractor
+    // codes 128-131 remapped via an INLINE /Encoding dict; unmapped
+    // codes keep their Latin-1 baseline; /uni20AC exercises the AGL
+    // uniXXXX convention. Literal and hex show-strings take the same map.
+    val content = deflate(
+      "BT /F1 12 Tf (caf\u0080 \u0081 \u0082\u0083) Tj ET BT <63616680> Tj ET")
+    def diffPdf(fontObj: String, extra: String = ""): Array[Byte] = pdfBytes(
+      "%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n",
+      "3 0 obj << /Type /Page /Parent 2 0 R " +
+        "/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >> endobj\n",
+      fontObj,
+      s"5 0 obj << /Filter /FlateDecode /Length ${content.length} >>\nstream\n", content,
+      "\nendstream\nendobj\n",
+      extra,
+      "trailer << /Size 9 /Root 1 0 R >>\n%%EOF")
+    val inline = diffPdf(
+      "4 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Custom /Encoding " +
+        "<< /Differences [ 128 /eacute /bullet /uni20AC 131 /oe ] >> >> endobj\n")
+    assert(SimplePdfTextExtractor.extract(inline) ==
+      "café • €œ\ncafé\n")
+    // /Encoding as an INDIRECT ref to an encoding dict object
+    val indirect = diffPdf(
+      "4 0 obj << /Type /Font /Subtype /Type1 /Encoding 6 0 R >> endobj\n",
+      "6 0 obj << /Type /Encoding /Differences " +
+        "[ 128 /eacute /bullet /uni20AC 131 /oe ] >> endobj\n")
+    assert(SimplePdfTextExtractor.extract(indirect) ==
+      "café • €œ\ncafé\n")
+    // /Resources INHERITED from the Pages node (§7.7.3.4), font dict
+    // ObjStm-compressed: the modern compact layout
+    val (stm, n, first) = objStmPayload(Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> ("<< /Type /Pages /Kids [3 0 R] /Count 1 " +
+        "/Resources << /Font << /F1 4 0 R >> >> >>"),
+      3 -> "<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>",
+      4 -> ("<< /Type /Font /Subtype /Type1 /Encoding " +
+        "<< /Differences [ 128 /eacute /bullet /uni20AC 131 /oe ] >> >>")))
+    val inherited = pdfBytes(
+      "%PDF-1.5\n",
+      s"5 0 obj << /Filter /FlateDecode /Length ${content.length} >>\nstream\n", content,
+      "\nendstream\nendobj\n",
+      s"8 0 obj << /Type /ObjStm /N $n /First $first /Filter /FlateDecode" +
+        s" /Length ${stm.length} >>\nstream\n", stm,
+      "\nendstream\nendobj\n",
+      "trailer << /Size 9 /Root 1 0 R >>\n%%EOF")
+    assert(SimplePdfTextExtractor.extract(inherited) ==
+      "café • €œ\ncafé\n")
+  }
+
+  test("PDF Tf-scoped ToUnicode: colliding codes decode correctly per font (A2)") {
+    import graft.sources.SimplePdfTextExtractor
+    // two subset fonts both map code <0001>, differently — the NORM in
+    // multi-font PDFs (every subset starts at code 1). The first string
+    // shows before any Tf: merged-map fallback drops the colliding code
+    // to raw bytes; the Tf-scoped strings decode per their own font.
+    def cmapFor(dst: String): String =
+      s"1 beginbfchar\n<0001> <$dst>\nendbfchar"
+    val cmapA = cmapFor("0041") // -> A
+    val cmapB = cmapFor("0042") // -> B
+    val content = deflate(
+      "BT <0001> Tj /F1 12 Tf <0001> Tj /F2 12 Tf <0001> Tj /F1 12 Tf <0001> Tj ET")
+    val pdf = pdfBytes(
+      "%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n",
+      "3 0 obj << /Type /Page /Parent 2 0 R " +
+        "/Resources << /Font << /F1 4 0 R /F2 8 0 R >> >> /Contents 5 0 R >> endobj\n",
+      "4 0 obj << /Type /Font /Subtype /Type0 /ToUnicode 7 0 R >> endobj\n",
+      "8 0 obj << /Type /Font /Subtype /Type0 /ToUnicode 9 0 R >> endobj\n",
+      s"5 0 obj << /Filter /FlateDecode /Length ${content.length} >>\nstream\n", content,
+      "\nendstream\nendobj\n",
+      s"7 0 obj << /Length ${cmapA.length} >>\nstream\n", cmapA,
+      "\nendstream\nendobj\n",
+      s"9 0 obj << /Length ${cmapB.length} >>\nstream\n", cmapB,
+      "\nendstream\nendobj\n",
+      "trailer << /Size 10 /Root 1 0 R >>\n%%EOF")
+    // pre-Tf: raw U+0000 U+0001 (collision-dropped); then A, B, A
+    assert(SimplePdfTextExtractor.extract(pdf) == "\u0000\u0001ABA\n")
+  }
+
+  test("PDF freed-then-reused object number: generation picks the right body (A2)") {
+    import graft.sources.SimplePdfTextExtractor
+    val genZero = deflate("BT (generation zero) Tj ET")
+    val genOne = deflate("BT (generation one) Tj ET")
+    // object number 5 exists at generation 0 AND (freed-then-reused,
+    // rare but legal) generation 1, the gen-1 body LAST in byte order;
+    // the /Contents 5 0 R ref must resolve the gen-0 body — last-match
+    // resolution is keyed by (objNum, gen), not objNum alone
+    val pdf = pdfBytes(
+      "%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n",
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 5 0 R >> endobj\n",
+      s"5 0 obj << /Filter /FlateDecode /Length ${genZero.length} >>\nstream\n", genZero,
+      "\nendstream\nendobj\n",
+      s"5 1 obj << /Filter /FlateDecode /Length ${genOne.length} >>\nstream\n", genOne,
+      "\nendstream\nendobj\n",
+      "trailer << /Size 6 /Root 1 0 R >>\n%%EOF")
+    assert(SimplePdfTextExtractor.extract(pdf) == "generation zero\n")
+  }
+
+  test("PDF corrupt CMap / ObjStm header integers: skip, never throw (A2)") {
+    import graft.sources.SimplePdfTextExtractor
+    // bfrange src codes of 8 hex digits (>= <80000000>): 3/4-byte
+    // codespaces are legal and corrupt CMaps occur in crawled PDFs —
+    // the entry must be SKIPPED (width guard), not blow up extract()
+    // with NumberFormatException; valid entries in the same CMap decode
+    val cmap =
+      """1 beginbfchar
+        |<0001> <0048>
+        |endbfchar
+        |2 beginbfrange
+        |<80000000> <80000001> <0041>
+        |<0002> <0003> <0069>
+        |endbfrange""".stripMargin
+    val content = deflate("BT <000100020003> Tj ET")
+    val pdf = pdfBytes(
+      "%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n",
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 5 0 R >> endobj\n",
+      "4 0 obj << /Type /Font /Subtype /Type0 /ToUnicode 7 0 R >> endobj\n",
+      s"5 0 obj << /Filter /FlateDecode /Length ${content.length} >>\nstream\n", content,
+      "\nendstream\nendobj\n",
+      s"7 0 obj << /Length ${cmap.length} >>\nstream\n", cmap,
+      "\nendstream\nendobj\n",
+      "trailer << /Size 8 /Root 1 0 R >>\n%%EOF")
+    assert(SimplePdfTextExtractor.extract(pdf) == "Hij\n")
+    // an ObjStm whose header carries an offset integer past Int range
+    // drops that pair (toIntOption) instead of crashing extraction
+    val pg = deflate("BT (survives bad objstm) Tj ET")
+    val bad = deflate("3 99999999999999999999\n<< /Type /Page >>")
+    val pdf2 = pdfBytes(
+      "%PDF-1.5\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n",
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 5 0 R >> endobj\n",
+      s"5 0 obj << /Filter /FlateDecode /Length ${pg.length} >>\nstream\n", pg,
+      "\nendstream\nendobj\n",
+      s"8 0 obj << /Type /ObjStm /N 1 /First 23 /Filter /FlateDecode" +
+        s" /Length ${bad.length} >>\nstream\n", bad,
+      "\nendstream\nendobj\n",
+      "trailer << /Size 9 /Root 1 0 R >>\n%%EOF")
+    assert(SimplePdfTextExtractor.extract(pdf2) == "survives bad objstm\n")
+  }
+
   test("Tar: USTAR roundtrip, padding, skipped non-file entries, truncation") {
     import graft.sources.Tar
     // sizes straddling block boundaries: 0, 1, 511, 512, 513 bytes
@@ -791,6 +934,22 @@ class SourcesSpec extends AnyFunSuite {
     val paxBack = Tar.members(paxArchive).toSeq
     assert(paxBack.map(_._1) == Seq(paxName))
     assert(new String(paxBack.head._2) == "PAXED")
+    // MALFORMED pax record whose declared length leaves a negative body
+    // (bytes "2 "): the record is ignored cleanly — no
+    // StringIndexOutOfBoundsException, following members still parse
+    val badPax = {
+      val hdr = Tar.archive(Seq(("PaxHeader/bad", "2 ".getBytes("US-ASCII")))).dropRight(1024)
+      hdr(156) = 'x'
+      java.util.Arrays.fill(hdr, 148, 156, ' '.toByte)
+      var sum = 0L; hdr.take(512).foreach(b => sum += (b & 0xFF))
+      val cs = java.lang.Long.toOctalString(sum)
+      System.arraycopy((("0" * (6 - cs.length)) + cs).getBytes, 0, hdr, 148, 6)
+      hdr(154) = 0; hdr(155) = ' '
+      hdr ++ Tar.archive(Seq(("after-bad-pax.bin", "OK".getBytes)))
+    }
+    val badBack = Tar.members(badPax).toSeq
+    assert(badBack.map(_._1) == Seq("after-bad-pax.bin"))
+    assert(new String(badBack.head._2) == "OK")
   }
 
   test("PERMISSIVE json keeps corrupt rows in _corrupt_record; FAILFAST throws") {

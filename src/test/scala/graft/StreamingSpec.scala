@@ -457,6 +457,95 @@ class StreamingSpec extends AnyFunSuite {
     assert(new java.io.File(index2).exists(), "index bootstrapped from corpus")
   }
 
+  test("Hamming index compaction: small files merge, rows and probes unchanged") {
+    import graft.operators.Ann
+    import scala.jdk.CollectionConverters._
+    val path = Files.createTempDirectory("graft_hidx_compact").toString + "/hidx"
+    // six micro-batch-style appends: small-int signatures put every
+    // high band's value at 0, so those (band, bucket=0) directories
+    // accumulate one parquet file PER APPEND — the exact streaming
+    // small-file shape compaction exists for
+    (0 until 6).foreach { b =>
+      val rows = Seq((b * 10L, b.toLong), (b * 10L + 1L, b.toLong + 100L))
+      Ann.appendHammingIndexWithIds(rows.toDF("img_id", "_sig"),
+        "_sig", "img_id", path, maxDist = 8)
+    }
+    def partFiles(): Seq[java.nio.file.Path] =
+      java.nio.file.Files.walk(Paths.get(path)).iterator.asScala.filter { p =>
+        val n = p.getFileName.toString
+        java.nio.file.Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")
+      }.toSeq
+    def indexRows(): Seq[(Long, Long, Long, Int, Int)] =
+      spark.read.parquet(path)
+        .select($"_hid", $"_hsig", $"_bv", $"_band", $"_bkt")
+        .as[(Long, Long, Long, Int, Int)].collect().sorted.toSeq
+    def probeRows(): Seq[(Long, Long, Int)] =
+      Ann.probeHammingIndex(spark, path,
+          Seq((1000L, 0L), (1001L, 103L)).toDF("img_id", "_sig"),
+          "_sig", "img_id", maxDist = 8)
+        .as[(Long, Long, Int)].collect().sorted.toSeq
+    val (filesBefore, rowsBefore, probeBefore) = (partFiles().size, indexRows(), probeRows())
+    assert(filesBefore > 20, s"fixture must actually fragment (got $filesBefore files)")
+    val compacted = Ann.compactHammingIndex(spark, path, minFiles = 1)
+    assert(compacted > 0, "multi-file directories must be detected")
+    assert(partFiles().size < filesBefore,
+      s"file count must drop (was $filesBefore, now ${partFiles().size})")
+    assert(indexRows() == rowsBefore, "compaction must preserve rows exactly")
+    assert(probeRows() == probeBefore, "probe results must be byte-identical")
+    // idempotent: a second pass at the same threshold finds single-file
+    // directories only
+    assert(Ann.compactHammingIndex(spark, path, minFiles = 1) == 0)
+  }
+
+  test("indexed image dedup heals an index that missed a corpus append (crash between jobs)") {
+    import graft.operators.{Dedup, Multimodal}
+    val src = Files.createTempDirectory("graft_simgheal_src")
+    val corpus = Files.createTempDirectory("graft_simgheal_corpus").toString + "/imgcorpus"
+    val index = corpus + "_hidx"
+    def blocky(seed: Long, flip: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val v = (Dedup.splitmix64(seed ^ (x / 8 * 31 + y / 8).toLong) >>> 56).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      for (i <- 0 until flip) img.setRGB(i % 64, (i * 7) % 64, 0xFFFFFF)
+      val o = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", o)
+      o.toByteArray
+    }
+    def writeBatch(name: String, rows: Seq[(Long, Array[Byte])]): Unit = {
+      val tmp = Files.createTempDirectory(s"graft_simgheal_$name")
+      rows.toDF("img_id", "blob").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get
+      Files.copy(part, Paths.get(s"$src/$name.parquet"))
+    }
+    writeBatch("b1", Seq((1L, blocky(1L, 0))))
+    val mkStream = () => spark.readStream
+      .schema(StructType(Seq(StructField("img_id", LongType), StructField("blob", BinaryType))))
+      .parquet(src.toString)
+    val q1 = StreamOps.imageDedupedIngestIndexed(mkStream(), corpus, index).start()
+    try q1.processAllAvailable() finally q1.stop()
+    // simulate the crash window the ADVICE flagged: a corpus append that
+    // completed whose index append did not — row 7 exists in the corpus
+    // only, so its signature bands are missing from the index
+    Seq((7L, blocky(500L, 0))).toDF("img_id", "blob")
+      .select($"img_id", $"blob", Multimodal.dHashCol($"blob").as("_sig"))
+      .write.mode("append").parquet(corpus)
+    // next run: batch starts by reconciling corpus count (2) vs the
+    // index's id-band count (1) -> index rebuilt -> the near-copy of
+    // orphaned row 7 is DROPPED and 7's id is immutable again
+    writeBatch("b2", Seq((8L, blocky(500L, 10)), (9L, blocky(900L, 0))))
+    val q2 = StreamOps.imageDedupedIngestIndexed(mkStream(), corpus, index).start()
+    try q2.processAllAvailable() finally q2.stop()
+    val ids = spark.read.parquet(corpus).select("img_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 7L, 9L),
+      "near-dup 8 of the orphaned corpus row must drop after the heal")
+    val idBandN = spark.read.parquet(index).filter($"_band" === -1)
+      .select("_hid").distinct().count()
+    assert(idBandN == 3L, "healed index covers every corpus row's id")
+  }
+
   test("dedup-on-ingest heals a double-appended corpus (at-least-once retry)") {
     val src = Files.createTempDirectory("graft_sheal_src")
     val corpus = Files.createTempDirectory("graft_sheal_corpus").toString + "/corpus"
