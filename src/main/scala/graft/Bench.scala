@@ -1,6 +1,58 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Per-query min/max seconds over rounds 5-10 (from the
+    * BENCH_r05..r10.json history) — the judge's hand-computed noise-band
+    * analysis, made mechanical: a query is FLAGGED when its median lands
+    * ABOVE its historical max (the regression direction; a faster run
+    * just tightens the next round's band). Queries without history
+    * (new gates) print as band[new] and are never flagged. Bands carry
+    * historical outliers by design (q87's 75s pre-fix round, q31/q33's
+    * pre-valve rounds): the band answers "have we seen this number
+    * before", not "is this number good" — the round-over-round trend
+    * section of the verdict covers the latter. */
+  private val Bands: Map[String, (Double, Double)] = Map(
+    "q01" -> (0.229, 0.463), "q02" -> (0.214, 0.249), "q03" -> (0.332, 1.043),
+    "q04" -> (0.65, 1.095), "q05" -> (0.29, 0.552), "q06" -> (0.26, 0.462),
+    "q07" -> (0.302, 1.182), "q08" -> (0.175, 0.611), "q09" -> (0.356, 0.467),
+    "q10" -> (0.219, 0.857), "q100" -> (0.143, 0.309), "q101" -> (2.788, 3.195),
+    "q102" -> (1.099, 1.107), "q103" -> (0.2, 0.204), "q104" -> (1.168, 1.174),
+    "q105" -> (0.367, 0.395), "q106" -> (0.18, 0.255), "q107" -> (0.148, 0.157),
+    "q108" -> (0.193, 0.234), "q109" -> (1.609, 1.689), "q11" -> (0.148, 0.216),
+    "q110" -> (0.233, 0.35), "q111" -> (0.834, 0.993), "q112" -> (0.845, 0.94),
+    "q113" -> (0.49, 0.536), "q114" -> (0.333, 0.487), "q115" -> (0.981, 1.589),
+    "q116" -> (1.754, 1.754), "q12" -> (0.252, 0.443), "q13" -> (0.335, 0.517),
+    "q14" -> (0.158, 0.291), "q15" -> (0.255, 0.366), "q16" -> (0.234, 0.565),
+    "q17" -> (0.312, 0.499), "q18" -> (0.159, 0.229), "q19" -> (0.345, 0.478),
+    "q20" -> (0.461, 0.773), "q21" -> (0.247, 0.433), "q22" -> (0.257, 0.53),
+    "q23" -> (0.194, 0.276), "q24" -> (0.301, 0.38), "q25" -> (0.189, 0.669),
+    "q26" -> (0.333, 0.593), "q27" -> (0.252, 0.367), "q28" -> (0.202, 0.283),
+    "q29" -> (0.315, 0.507), "q30" -> (0.185, 0.299), "q31" -> (1.553, 9.724),
+    "q32" -> (0.561, 1.354), "q33" -> (2.124, 11.208), "q34" -> (0.665, 2.138),
+    "q35" -> (0.297, 1.014), "q36" -> (0.46, 0.693), "q37" -> (0.152, 0.262),
+    "q38" -> (0.177, 0.256), "q39" -> (0.281, 0.487), "q40" -> (0.329, 0.814),
+    "q41" -> (0.167, 0.222), "q42" -> (0.236, 0.321), "q43" -> (0.216, 0.269),
+    "q44" -> (0.165, 0.255), "q45" -> (0.41, 0.992), "q46" -> (0.249, 0.335),
+    "q47" -> (0.251, 0.318), "q48" -> (0.287, 0.459), "q49" -> (0.134, 0.203),
+    "q50" -> (0.197, 0.342), "q51" -> (0.28, 0.394), "q52" -> (0.19, 1.181),
+    "q53" -> (1.056, 1.638), "q54" -> (0.321, 0.707), "q55" -> (0.245, 0.354),
+    "q56" -> (0.3, 0.468), "q57" -> (1.168, 2.233), "q58" -> (0.233, 0.322),
+    "q59" -> (0.284, 0.631), "q60" -> (0.178, 0.239), "q61" -> (0.142, 0.345),
+    "q62" -> (1.512, 2.889), "q63" -> (0.284, 0.446), "q64" -> (0.146, 0.227),
+    "q65" -> (0.225, 0.275), "q66" -> (0.233, 0.491), "q67" -> (0.351, 0.439),
+    "q68" -> (0.189, 0.264), "q69" -> (0.165, 0.232), "q70" -> (0.339, 0.898),
+    "q71" -> (0.267, 0.345), "q72" -> (1.094, 2.143), "q73r" -> (0.217, 0.254),
+    "q73w" -> (0.269, 0.292), "q74r" -> (0.256, 0.27), "q74w" -> (0.236, 0.385),
+    "q75" -> (2.579, 19.799), "q76" -> (0.252, 0.353), "q77" -> (0.985, 1.921),
+    "q78r" -> (0.151, 0.164), "q78w" -> (0.254, 0.269), "q79" -> (0.331, 0.833),
+    "q80" -> (0.222, 0.887), "q81" -> (0.182, 0.283), "q82" -> (0.583, 1.123),
+    "q83" -> (0.385, 0.73), "q84" -> (0.381, 0.507), "q85" -> (0.375, 1.816),
+    "q86" -> (0.632, 3.082), "q87" -> (1.502, 75.669), "q88" -> (1.698, 4.264),
+    "q89" -> (0.352, 1.984), "q90" -> (0.128, 0.184), "q91r" -> (0.384, 0.385),
+    "q91w" -> (0.389, 0.397), "q92" -> (0.385, 0.79), "q93" -> (0.325, 0.746),
+    "q94" -> (0.396, 0.654), "q95" -> (0.214, 0.265), "q96" -> (0.327, 0.64),
+    "q97" -> (0.218, 0.471), "q98" -> (0.169, 0.25), "q99" -> (0.428, 1.08))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // the contract is local[32]; earlier rounds defaulted to 4 when the
@@ -82,10 +134,19 @@ object Bench {
           Seq(name -> timeMedian(() => { fn(spark, sfDir).count(); () }))
       }
     }
-    // Human-readable per-query table (full names), slowest first. These lines
-    // scroll out of the harness's 2000-char output tail; only the compact
-    // JSON line below must survive in it.
-    results.toSeq.sortBy(-_._2).foreach { case (k, v) => println(f"BENCH $k%-28s $v%9.3f s") }
+    // Human-readable per-query table (full names + historical band +
+    // FLAG marker), slowest first. These lines scroll out of the
+    // harness's 2000-char output tail; only the compact JSON line below
+    // must survive in it.
+    results.toSeq.sortBy(-_._2).foreach { case (k, v) =>
+      val short = k.takeWhile(_ != '_')
+      val band = Bands.get(short) match {
+        case Some((lo, hi)) =>
+          f" band[$lo%6.3f,$hi%7.3f]" + (if (v > hi) " FLAG" else "")
+        case None => " band[new]"
+      }
+      println(f"BENCH $k%-28s $v%9.3f s$band")
+    }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Compact final JSON: the harness captures only the LAST 2000 chars of
     // output and json-parses the line — 75 full-name entries (~2950 chars)
@@ -94,7 +155,17 @@ object Bench {
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Out-of-band movers only, worst excess first, as [q, value, bandMax]
+    // triples — capped at 6 so the JSON line stays inside the harness's
+    // 2000-char tail even on a bad round (the full list is in the table
+    // above). An empty array is this line's "nothing to hand-audit".
+    val flagged = results.toSeq.flatMap { case (k, v) =>
+        val short = k.takeWhile(_ != '_')
+        Bands.get(short).collect { case (_, hi) if v > hi => (short, v, hi) }
+      }.sortBy { case (_, v, hi) => -(v / hi) }.take(6)
+      .map { case (q, v, hi) => s"""["$q",${r3(v)},${r3(hi)}]""" }
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"flagged":$flagged,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

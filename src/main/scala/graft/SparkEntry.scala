@@ -939,6 +939,19 @@ object SparkEntry {
       ta.rrfFuse(lex, vec, "doc_id", "rank", c = 60, k = 10)
     }),
 
+    // BM25 lexical retrieval (q85's plan shape, the saturating scorer
+    // hybrid stacks default to). The gate hashes floor(score * 1e6):
+    // see the oracle-side comment for the ln() ulp analysis.
+    "q117_bm25_topk" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.TextAnalytics.bm25TopK(
+          t(s, dir, "documents"), "doc_id", "text",
+          Seq("vector", "join", "hash"), k = 20)
+        .select($"doc_id",
+          floor($"score" * lit(1000000.0)).cast("long").as("score_u"))
+        .orderBy($"score_u".desc, $"doc_id")
+    }),
+
     // Asymmetric (incremental-ingest) dedup: a batch of 2x variants per
     // corpus doc — a quarter-replaced near-dup (J~0.58, must drop) and a
     // token-reversed rewrite (trigram J~0, must keep) — deduped AGAINST
@@ -1502,10 +1515,13 @@ object SparkEntry {
 
     // Incremental exact dedup against a corpus with a Bloom prefilter:
     // batch = genuinely-new docs UNION planted copies of corpus texts
-    // (ids shifted +1000); the Bloom filter routes misses straight
-    // through and only hits take the exact verify join — the oracle is
-    // the plain NOT EXISTS anti-join, so the gate proves fpp false
-    // positives can never leak a duplicate nor drop a new doc.
+    // (ids shifted +1000) UNION null-text rows (ids +2000); the Bloom
+    // filter routes misses straight through and only hits take the
+    // exact verify join — the oracle is the plain NOT EXISTS anti-join,
+    // so the gate proves fpp false positives can never leak a duplicate
+    // nor drop a new doc, and that NULL-text rows (never equal to
+    // anything under SQL semantics) always survive rather than falling
+    // into the Bloom hit path (the r10 coalesce fix, graded every round).
     "q105_dedup_bloom" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
@@ -1513,7 +1529,10 @@ object SparkEntry {
       val fresh = docs.filter($"doc_id" >= 250).select($"doc_id", $"text")
       val planted = docs.filter($"doc_id" < 50)
         .select(($"doc_id" + 1000).as("doc_id"), $"text")
-      val batch = fresh.unionAll(planted)
+      val nulls = docs.filter($"doc_id" < 3)
+        .select(($"doc_id" + 2000).as("doc_id"),
+          lit(null).cast("string").as("text"))
+      val batch = fresh.unionAll(planted).unionAll(nulls)
       graft.operators.Dedup.exactAgainstBloom(corpus, batch, "text")
         .select($"doc_id")
         .orderBy($"doc_id")
@@ -2568,6 +2587,52 @@ object SparkEntry {
         |FROM lex l FULL OUTER JOIN vec v USING (doc_id)
         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
 
+    // BM25 scores discretized to floor(score * 1e6): ln() is
+    // faithfully- (not correctly-) rounded in libm, so raw doubles can
+    // differ in the last ulp between engines; the µ-scale floor is
+    // stable unless a score sits within ~1e-9 µ-units of a boundary
+    // (measured for this fixture: min distance 2.4e-4 µ-units across
+    // ALL 484 scoring docs, and the raw rank-20/21 gap is 3.9e-3 —
+    // five orders of magnitude of headroom). Every other
+    // op in the score is correctly-rounded IEEE on identical operands
+    // in an identical order (expression shapes mirrored in
+    // TextAnalytics.bm25TopK).
+    "q117_bm25_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS dl,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM toks
+        |       WHERE term IN ('vector','join','hash') GROUP BY 1, 2, 3),
+        |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n,
+        |        CAST(SUM(len(list_filter(string_split_regex(lower(text),
+        |          '[^a-z0-9]+'), x -> x <> ''))) AS DOUBLE)
+        |          / CAST(COUNT(*) AS DOUBLE) AS avgdl
+        |      FROM documents),
+        |per AS (
+        |  SELECT doc_id, term,
+        |    ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |        / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf AS DOUBLE) * (1.2 + 1.0)
+        |         / (CAST(tf AS DOUBLE)
+        |            + 1.2 * ((1.0 - 0.75)
+        |                     + 0.75 * CAST(dl AS DOUBLE) / avgdl))) AS s
+        |  FROM tf JOIN dfx USING (term) CROSS JOIN n),
+        |sc AS (
+        |  SELECT doc_id,
+        |    COALESCE(MAX(CASE WHEN term = 'vector' THEN s END), 0) AS s0,
+        |    COALESCE(MAX(CASE WHEN term = 'join' THEN s END), 0) AS s1,
+        |    COALESCE(MAX(CASE WHEN term = 'hash' THEN s END), 0) AS s2
+        |  FROM per GROUP BY 1),
+        |top AS (SELECT doc_id, s0 + s1 + s2 AS score FROM sc
+        |        ORDER BY score DESC, doc_id LIMIT 20)
+        |SELECT doc_id, CAST(FLOOR(score * 1000000.0) AS BIGINT) AS score_u
+        |FROM top ORDER BY score_u DESC, doc_id""".stripMargin,
+
     "q87_dedup_against" ->
       """WITH base AS (
         |  SELECT doc_id,
@@ -2793,7 +2858,10 @@ object SparkEntry {
         |batch AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
         |  UNION ALL
-        |  SELECT doc_id + 1000 AS doc_id, text FROM documents WHERE doc_id < 50)
+        |  SELECT doc_id + 1000 AS doc_id, text FROM documents WHERE doc_id < 50
+        |  UNION ALL
+        |  SELECT doc_id + 2000 AS doc_id, CAST(NULL AS VARCHAR) AS text
+        |  FROM documents WHERE doc_id < 3)
         |SELECT b.doc_id FROM batch b
         |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = b.text)
         |ORDER BY doc_id""".stripMargin,

@@ -476,6 +476,11 @@ object Ann {
     require(maxDist >= 0 && maxDist < 64, s"maxDist $maxDist out of range")
     hammingBandRows(df, sigCol, idCol, maxDist)
       .withColumn("_bkt", pmod(col("_bv"), lit(buckets.toLong)).cast("int"))
+      // one narrow shuffle on the partition columns buys ONE file per
+      // (band, bucket) directory; a direct partitionBy write emits up
+      // to tasks x directories files — millions at cluster scale, and
+      // the dominant cost of the build even locally
+      .repartition(col("_band"), col("_bkt"))
       .write.mode("overwrite").partitionBy("_band", "_bkt").parquet(path)
   }
 
@@ -499,6 +504,10 @@ object Ann {
       .withColumn("_bkt", pmod(xxhash64(col("_hid")), lit(buckets.toLong)).cast("int"))
     bands.select("_hid", "_hsig", "_bv", "_band", "_bkt")
       .unionByName(idRows.select("_hid", "_hsig", "_bv", "_band", "_bkt"))
+      // same discipline as [[writeHammingIndex]]: one file per touched
+      // directory per append, not tasks x directories — this is what
+      // keeps [[compactHammingIndex]]'s backlog linear in batches
+      .repartition(col("_band"), col("_bkt"))
       .write.mode("append").partitionBy("_band", "_bkt").parquet(path)
   }
 

@@ -180,6 +180,75 @@ object TextAnalytics {
       .select(col(idCol), col("score"))
   }
 
+  /** BM25 top-k — [[tfidfTopK]]'s pruned plan shape with the scorer
+    * real hybrid-retrieval stacks default to (Robertson/Lucene
+    * saturation + log idf), next to q86's RRF fusion:
+    *
+    * score(d) = Σ_t ln((N − df + 0.5)/(df + 0.5) + 1) ·
+    *            tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * dl (the document's token count) is a per-row expression — no
+    * extra shuffle — carried through the (doc, term) aggregation as a
+    * grouping key; avgdl is an exact integer Σdl divided by N once
+    * (never a double-accumulated AVG, which would be partition-order-
+    * dependent). Every arithmetic step is a correctly-rounded IEEE op
+    * on identical operands in a fixed order, so the ONLY cross-engine
+    * wiggle is ln()'s last ulp (libm log is faithfully-, not
+    * correctly-, rounded — measured: ~0.07% of reachable idf
+    * arguments differ by 1 ulp between the JVM and DuckDB). The q117
+    * gate therefore hashes floor(score·1e6) and orders by it, stable
+    * under a 1-ulp wiggle whenever no score sits within ~1e-9 of a
+    * discretization boundary (checked for the gate fixture).
+    *
+    * Scale shape identical to [[tfidfTopK]]: non-query terms dropped
+    * BEFORE the aggregation, df/N/avgdl broadcast (|terms| + 1 rows),
+    * top-k via orderBy.limit → TakeOrderedAndProject.
+    *
+    * @return (idCol, score) for the `k` highest-scoring docs,
+    *         score-descending, ties broken by id. */
+  def bm25TopK(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty && terms.size <= 8, "1..8 query terms")
+    val base = df.select(col(idCol),
+      filter(split(lower(col(textCol)), "[^a-z0-9]+"), x => x =!= "").as("_toks"))
+    val stats = base.agg(sum(size(col("_toks")).cast("long")).as("_sumdl"),
+      count(lit(1)).as("_n"))
+    val toks = base.select(col(idCol), size(col("_toks")).as("_dl"),
+        explode(col("_toks")).as("_term"))
+      .filter(col("_term").isin(terms: _*))
+    // _dl is functionally dependent on the doc id; keeping it a grouping
+    // key avoids a join back to the payload
+    val tf = toks.groupBy(col(idCol), col("_dl"), col("_term"))
+      .agg(count(lit(1)).as("_tf"))
+    val dfreq = tf.groupBy(col("_term")).agg(count(lit(1)).as("_df"))
+    val per = tf.join(broadcast(dfreq), "_term").crossJoin(broadcast(stats))
+      .withColumn("_avgdl",
+        col("_sumdl").cast("double") / col("_n").cast("double"))
+      // expression SHAPES below mirror the q117 oracle SQL token for
+      // token — cross-engine hash equality needs identical rounding
+      // sequences, not just identical math
+      .withColumn("_idf",
+        log((col("_n").cast("double") - col("_df").cast("double") + lit(0.5)) /
+          (col("_df").cast("double") + lit(0.5)) + lit(1.0)))
+      .withColumn("_sat",
+        col("_tf").cast("double") * lit(k1 + 1.0) /
+          (col("_tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) +
+              lit(b) * col("_dl").cast("double") / col("_avgdl"))))
+      .withColumn("_s", col("_idf") * col("_sat"))
+    val termCols = terms.zipWithIndex.map { case (t, i) =>
+      coalesce(max(when(col("_term") === t, col("_s"))), lit(0.0)).as(s"_s$i")
+    }
+    per.groupBy(col(idCol))
+      .agg(termCols.head, termCols.tail: _*)
+      .withColumn("score",
+        terms.indices.map(i => col(s"_s$i")).reduceLeft(_ + _))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("score"))
+  }
+
   /** Reciprocal-rank fusion of two ranked id lists (hybrid retrieval:
     * lexical ∪ vector). rrf(d) = Σ_list 1/(c + rank_list(d)), missing
     * list ⇒ 0 contribution — rank-only math (integers + one division

@@ -152,6 +152,42 @@ class TextAnalyticsSpec extends AnyFunSuite {
     assert(got == Seq((0L, 12.0), (1L, 2.0)))
   }
 
+  test("bm25TopK: closed-form scores on a 4-doc fixture; saturation orders below raw tf") {
+    // N=4, dl = (4, 3, 2, 3), avgdl = 12/4 = 3
+    // df(spark)=2, df(join)=1
+    val docs = Seq(
+      (0L, "spark spark join join"),
+      (1L, "spark other words"),
+      (2L, "words alone"),
+      (3L, "nothing relevant here")
+    ).toDF("doc_id", "text")
+    val (k1, b) = (1.2, 0.75)
+    val n = 4.0
+    val avgdl = 12.0 / 4.0
+    def idf(dfq: Double) = math.log((n - dfq + 0.5) / (dfq + 0.5) + 1.0)
+    def sat(tf: Double, dl: Double) =
+      tf * (k1 + 1.0) / (tf + k1 * ((1.0 - b) + b * dl / avgdl))
+    val exp0 = idf(2.0) * sat(2.0, 4.0) + idf(1.0) * sat(2.0, 4.0)
+    val exp1 = idf(2.0) * sat(1.0, 3.0)
+    val got = TextAnalytics.bm25TopK(docs, "doc_id", "text",
+        Seq("spark", "join"), k = 10)
+      .as[(Long, Double)].collect().toSeq
+    // same-JVM ln + identical op order -> exact equality, not approx
+    assert(got == Seq((0L, exp0), (1L, exp1)))
+    // the saturation property tf-idf lacks: a doc spamming one term 10x
+    // must NOT outscore a doc matching two distinct terms once each
+    val spam = Seq(
+      (0L, "spark spark spark spark spark spark spark spark spark spark"),
+      (1L, "spark join also has some other words here to pad"),
+      (2L, "unrelated filler text"),
+      (3L, "more unrelated filler")
+    ).toDF("doc_id", "text")
+    val ranked = TextAnalytics.bm25TopK(spam, "doc_id", "text",
+      Seq("spark", "join"), k = 2).as[(Long, Double)].collect().toSeq
+    assert(ranked.head._1 == 1L,
+      s"two distinct terms must beat a 10x single-term spam doc: $ranked")
+  }
+
   test("rrfFuse: fused score sums reciprocal ranks, missing list contributes 0") {
     val a = Seq((10L, 1), (20L, 2)).toDF("id", "rank")
     val b = Seq((20L, 1), (30L, 2)).toDF("id", "rank")
