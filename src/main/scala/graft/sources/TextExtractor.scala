@@ -527,6 +527,22 @@ object SimplePdfTextExtractor extends TextExtractor {
     m.toMap
   }
 
+  /** WinAnsiEncoding's 0x80-0x9F block (CP1252, PDF 32000-1 Annex D.2)
+    * — the only range where WinAnsi diverges from Latin-1 (0xA0-0xFF
+    * coincide, so the Latin-1 baseline already covers them). Applied as
+    * the base layer when a font declares `/Encoding /WinAnsiEncoding`
+    * (or `/BaseEncoding /WinAnsiEncoding` in its encoding dict);
+    * /Differences entries override it. Undefined codes (81 8D 8F 90 9D)
+    * keep the raw byte. */
+  private val WinAnsiHigh: Map[Int, String] = Map(
+    0x80 -> "€", 0x82 -> "‚", 0x83 -> "ƒ", 0x84 -> "„",
+    0x85 -> "…", 0x86 -> "†", 0x87 -> "‡", 0x88 -> "ˆ",
+    0x89 -> "‰", 0x8A -> "Š", 0x8B -> "‹", 0x8C -> "Œ",
+    0x8E -> "Ž", 0x91 -> "‘", 0x92 -> "’", 0x93 -> "“",
+    0x94 -> "”", 0x95 -> "•", 0x96 -> "–", 0x97 -> "—",
+    0x98 -> "˜", 0x99 -> "™", 0x9A -> "š", 0x9B -> "›",
+    0x9C -> "œ", 0x9E -> "ž", 0x9F -> "Ÿ")
+
   /** AGL-subset lookup plus the `uniXXXX` (one or more UTF-16 units)
     * and `uXXXX`-`uXXXXXX` (one code point) glyph-name conventions. */
   private def glyphToUnicode(name: String): Option[String] = {
@@ -620,8 +636,15 @@ object SimplePdfTextExtractor extends TextExtractor {
           (o.result(), t.result())
         case None => (Map.empty[Int, String], Map.empty[Int, String])
       }
-    val diffs = dictOrRefValue(body, "Encoding", doc)
-      .map(parseDifferences).getOrElse(Map.empty)
+    val encBody = dictOrRefValue(body, "Encoding", doc)
+    // WinAnsi base layer first, /Differences overrides on top (§9.6.6.3:
+    // Differences modify the base encoding, they do not replace it)
+    val winAnsi =
+      "/Encoding\\s*/WinAnsiEncoding\\b".r.findFirstIn(body).isDefined ||
+        encBody.exists(e =>
+          "/BaseEncoding\\s*/WinAnsiEncoding\\b".r.findFirstIn(e).isDefined)
+    val base = if (winAnsi) WinAnsiHigh else Map.empty[Int, String]
+    val diffs = base ++ encBody.map(parseDifferences).getOrElse(Map.empty)
     FontDec(one, two, diffs)
   }
 

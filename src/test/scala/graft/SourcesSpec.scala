@@ -733,6 +733,30 @@ class SourcesSpec extends AnyFunSuite {
       "trailer << /Size 9 /Root 1 0 R >>\n%%EOF")
     assert(SimplePdfTextExtractor.extract(inherited) ==
       "café • €œ\ncafé\n")
+    // /Encoding /WinAnsiEncoding as a bare NAME: the CP1252 0x80-0x9F
+    // block (curly quotes, dashes, Euro — where WinAnsi diverges from
+    // Latin-1) decodes through the base table; octal escapes in the
+    // content keep the fixture source ASCII
+    val winContent = deflate("BT /F1 12 Tf (\\223quoted\\224 \\227 \\200) Tj ET")
+    def winPdf(fontObj: String): Array[Byte] = pdfBytes(
+      "%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n",
+      "3 0 obj << /Type /Page /Parent 2 0 R " +
+        "/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >> endobj\n",
+      fontObj,
+      s"5 0 obj << /Filter /FlateDecode /Length ${winContent.length} >>\nstream\n",
+      winContent,
+      "\nendstream\nendobj\n",
+      "trailer << /Size 6 /Root 1 0 R >>\n%%EOF")
+    val bare = winPdf("4 0 obj << /Type /Font /Subtype /TrueType " +
+      "/Encoding /WinAnsiEncoding >> endobj\n")
+    assert(SimplePdfTextExtractor.extract(bare) == "“quoted” — €\n")
+    // /BaseEncoding /WinAnsiEncoding + /Differences override: the
+    // Differences entry wins where both define a code, the base fills
+    // the rest
+    val overridden = winPdf("4 0 obj << /Type /Font /Subtype /TrueType /Encoding " +
+      "<< /BaseEncoding /WinAnsiEncoding /Differences [ 128 /eacute ] >> >> endobj\n")
+    assert(SimplePdfTextExtractor.extract(overridden) == "“quoted” — é\n")
   }
 
   test("PDF Tf-scoped ToUnicode: colliding codes decode correctly per font (A2)") {
