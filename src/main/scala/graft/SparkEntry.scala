@@ -939,6 +939,21 @@ object SparkEntry {
       ta.rrfFuse(lex, vec, "doc_id", "rank", c = 60, k = 10)
     }),
 
+    // Benchmark decontamination: the eval set is every 83rd document
+    // (a direct subset of train, so those rows and their near-dup
+    // family members are contaminated by construction); train docs
+    // sharing ANY 8-gram with it drop. Oracle = the plain EXISTS over
+    // the n-gram intersection.
+    "q118_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val ev = docs.filter($"doc_id" % 83 === 0).select($"text")
+      graft.operators.TextAnalytics.decontaminate(
+          docs, "doc_id", "text", ev, "text", n = 8)
+        .select($"doc_id")
+        .orderBy($"doc_id")
+    }),
+
     // BM25 lexical retrieval (q85's plan shape, the saturating scorer
     // hybrid stacks default to). The gate hashes floor(score * 1e6):
     // see the oracle-side comment for the ln() ulp analysis.
@@ -2632,6 +2647,23 @@ object SparkEntry {
         |        ORDER BY score DESC, doc_id LIMIT 20)
         |SELECT doc_id, CAST(FLOOR(score * 1000000.0) AS BIGINT) AS score_u
         |FROM top ORDER BY score_u DESC, doc_id""".stripMargin,
+
+    "q118_decontaminate" ->
+      """WITH tt AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '') AS tk
+        |  FROM documents),
+        |tg AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(tk) - 7),
+        |    i -> array_to_string(tk[i:i+7], ' ')))) AS g
+        |  FROM tt),
+        |eg AS (SELECT DISTINCT g FROM tg WHERE doc_id % 83 = 0),
+        |bad AS (SELECT DISTINCT tg.doc_id FROM tg JOIN eg USING (g))
+        |SELECT d.doc_id FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM bad b WHERE b.doc_id = d.doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q87_dedup_against" ->
       """WITH base AS (

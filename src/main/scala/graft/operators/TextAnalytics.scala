@@ -266,6 +266,42 @@ object TextAnalytics {
       .select(col(idCol), col("rrf"))
   }
 
+  /** Benchmark DECONTAMINATION: drop training documents that share any
+    * word n-gram with a held-out evaluation set — the GPT-3/Pile-style
+    * 13-gram decontamination every serious pretraining pipeline runs
+    * before training (n configurable; 13 is the literature default,
+    * smaller n is stricter). A document shorter than n tokens has no
+    * n-gram and always survives.
+    *
+    * Scale shape: the eval side is SMALL by definition (benchmarks are
+    * thousands of docs, training corpora billions), so its distinct
+    * n-grams BROADCAST; the train side explodes to per-doc distinct
+    * n-grams (array_distinct before explode keeps the blow-up at
+    * unique-grams, not positions), left-semi joins the broadcast to
+    * find contaminated ids, and the payload anti-joins that id set —
+    * training text shuffles NOTHING, and the only wide op is the
+    * id-distinct. No UDFs; everything codegen'd. */
+  def decontaminate(train: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, eval: org.apache.spark.sql.DataFrame,
+      evalTextCol: String, n: Int = 13): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    def grams(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val toks = filter(split(lower(c), "[^a-z0-9]+"), x => x =!= "")
+      // guard: sequence(1, k) is DESCENDING for k < 1, so short/empty
+      // docs must short-circuit to an empty array, not a bogus series
+      when(size(toks) >= n,
+        array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val evalGrams = eval.select(explode(grams(col(evalTextCol))).as("_g")).distinct()
+    val contaminated = train
+      .select(col(idCol), explode(grams(col(textCol))).as("_g"))
+      .join(broadcast(evalGrams), Seq("_g"), "left_semi")
+      .select(col(idCol)).distinct()
+    train.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Gopher-style repetition signals: per document, the word count and
     * the occurrence count of its most frequent word n-gram. A document
     * whose single top bigram covers a large share of its words is

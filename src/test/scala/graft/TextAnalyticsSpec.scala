@@ -188,6 +188,30 @@ class TextAnalyticsSpec extends AnyFunSuite {
       s"two distinct terms must beat a 10x single-term spam doc: $ranked")
   }
 
+  test("decontaminate: docs sharing an n-gram with eval drop; short docs survive") {
+    val train = Seq(
+      (0L, "the quick brown fox jumps over the dog"), // shares "quick brown fox"
+      (1L, "completely unrelated training text here"),
+      (2L, "quick brown"), // contains eval WORDS but no full trigram (2 tokens)
+      (3L, "brown fox quick") // same words, different order -> no shared trigram
+    ).toDF("doc_id", "text")
+    val ev = Seq("benchmark asks about the quick brown fox story")
+      .toDF("text")
+    val kept = TextAnalytics.decontaminate(train, "doc_id", "text", ev, "text", n = 3)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 2L, 3L))
+    // n larger than every doc: nothing can match, everything survives
+    val all = TextAnalytics.decontaminate(train, "doc_id", "text", ev, "text", n = 50)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(all == Seq(0L, 1L, 2L, 3L))
+    // the train side must not shuffle its payload: the only exchanges
+    // feed the contaminated-id distinct and the final anti-join's id set
+    val plan = TextAnalytics.decontaminate(train, "doc_id", "text", ev, "text", n = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"eval grams must broadcast:\n$plan")
+  }
+
   test("rrfFuse: fused score sums reciprocal ranks, missing list contributes 0") {
     val a = Seq((10L, 1), (20L, 2)).toDF("id", "rank")
     val b = Seq((20L, 1), (30L, 2)).toDF("id", "rank")
