@@ -939,6 +939,28 @@ object SparkEntry {
       ta.rrfFuse(lex, vec, "doc_id", "rank", c = 60, k = 10)
     }),
 
+    // SemDeDup-style semantic dedup: nearest-centroid cells (centroids
+    // = embeddings 1..8, so the oracle can replay assignment in SQL),
+    // in-cell exact-cosine keep-first. Planted exact copies (+100000)
+    // are co-celled with their originals BY CONSTRUCTION (identical
+    // vector -> identical argmax within either engine), so the result
+    // is robust to cross-engine cosine ulp wiggle in the assignment:
+    // only engineered pairs reach the 0.9 threshold, and they are
+    // never split.
+    "q119_semantic_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.filter($"vec_id" <= 8).orderBy($"vec_id")
+        .select($"embedding".cast("array<double>"))
+        .as[Seq[Double]].collect().map(_.toArray).toSeq
+      val withDups = emb.unionByName(
+        emb.withColumn("vec_id", $"vec_id" + 100000))
+      graft.operators.Dedup.semanticDedup(withDups, "vec_id", "embedding",
+          cents, threshold = 0.9)
+        .select($"vec_id")
+        .orderBy($"vec_id")
+    }),
+
     // Benchmark decontamination: the eval set is every 83rd document
     // (a direct subset of train, so those rows and their near-dup
     // family members are contaminated by construction); train docs
@@ -2647,6 +2669,28 @@ object SparkEntry {
         |        ORDER BY score DESC, doc_id LIMIT 20)
         |SELECT doc_id, CAST(FLOOR(score * 1000000.0) AS BIGINT) AS score_u
         |FROM top ORDER BY score_u DESC, doc_id""".stripMargin,
+
+    "q119_semantic_dedup" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+        |          FROM embeddings WHERE vec_id <= 8),
+        |assigned AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT b.vec_id, b.v, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+        |        ORDER BY list_cosine_similarity(b.v, c.cv) DESC, c.cid) AS rn
+        |    FROM base b CROSS JOIN cents c) WHERE rn = 1),
+        |bad AS (
+        |  SELECT DISTINCT hi.vec_id FROM assigned lo JOIN assigned hi
+        |    ON lo.cid = hi.cid AND lo.vec_id < hi.vec_id
+        |   AND list_cosine_similarity(lo.v, hi.v) >= 0.9)
+        |SELECT b.vec_id FROM base b
+        |WHERE NOT EXISTS (SELECT 1 FROM bad WHERE bad.vec_id = b.vec_id)
+        |ORDER BY vec_id""".stripMargin,
 
     "q118_decontaminate" ->
       """WITH tt AS (

@@ -535,6 +535,49 @@ object Dedup {
     df.join(drops, df(idCol).cast("long") === col("_drop"), "left_anti")
   }
 
+  /** SemDeDup-style SEMANTIC dedup (cluster-then-dedup, the published
+    * pretraining-corpus recipe): assign every vector to its nearest
+    * centroid by cosine (ties -> lowest centroid index), then WITHIN
+    * each cell drop rows having a lower-id neighbor at cosine >=
+    * `threshold`. All-pairs over a corpus is impossible at 100 TB;
+    * cells bound comparisons to O(Σ|cell|²), and the one loss is
+    * cross-cell near-duplicates — the documented trade (DedupSpec
+    * asserts a cosine≈1 pair split across cells survives).
+    *
+    * Scale shape: centroids ship as plan literals (k vectors,
+    * model-sized — the caller picks them: k-means via [[Ann.buildIvf]],
+    * or any fixed set); assignment is a per-row codegen'd expression,
+    * NO shuffle; the in-cell pass reuses the same
+    * packBuckets/bucketDrops core as every other dedup — singleton
+    * cells shuffle only (id, cell) longs, payloads move only for
+    * multi-member cells, `maxCellSize` is the usual skew valve. */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[Array[Double]],
+      threshold: Double = 0.9,
+      maxCellSize: Int = 100000): DataFrame = {
+    require(centroids.nonEmpty, "at least one centroid")
+    val v = col(vecCol).cast("array<double>")
+    val cos = centroids.map(c =>
+      graft.functions.vectors.cosine(v, typedLit(c.toSeq)))
+    // argmax with first-wins tie-break: array_position returns the
+    // FIRST index holding the max
+    val cell = array_position(array(cos: _*), array_max(array(cos: _*)))
+    val vecs = df.select(col(idCol).cast("long").as("_id"), v.as("_v"),
+      cell.as("_cell"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val t = threshold
+    val packed = packBuckets(
+        vecs.select(col("_id"), col("_cell").as("_bk")),
+        vecs.select(col("_id"), col("_v")), maxCellSize)
+      .select(col("_bk"), col("_id"), col("_v")).as[(Long, Long, Array[Double])]
+    val drops = bucketDrops[Array[Double]](packed, (a, b) => cosineGE(a, b, t))
+    df.join(drops, df(idCol).cast("long") === col("_drop"), "left_anti")
+  }
+
   // ---------- helpers ----------
 
   /** Mix the band ordinal into the band hash -> one long bucket key.

@@ -195,6 +195,29 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == expected && kept.contains(102L) && !kept.contains(100L))
   }
 
+  test("semanticDedup: in-cell near-dups collapse; cross-cell near-dups survive (the trade)") {
+    val centroids = Seq(Array(1.0, 0.0), Array(0.0, 1.0))
+    val rows = Seq(
+      (1L, Seq(1.0f, 0.01f)),   // cell 1
+      (2L, Seq(1.0f, 0.011f)),  // cell 1, cos(1,2)~1   -> drops (keep-first)
+      (3L, Seq(0.01f, 1.0f)),   // cell 2, unique there -> survives
+      (4L, Seq(0.72f, 0.70f)),  // cell 1 (barely)
+      (5L, Seq(0.70f, 0.72f))   // cell 2; cos(4,5)~0.999 but SPLIT cells
+    ).toDF("vec_id", "embedding")
+    val kept = Dedup.semanticDedup(rows, "vec_id", "embedding", centroids,
+        threshold = 0.9)
+      .select($"vec_id").as[Long].collect().sorted.toSeq
+    // 2 drops against 1; the near-identical 4/5 pair straddles the cell
+    // boundary and BOTH survive — cross-cell loss is the documented
+    // SemDeDup trade, asserted here so it stays a decision, not a bug
+    assert(kept == Seq(1L, 3L, 4L, 5L))
+    // sanity: all-pairs exact dedup (one cell) WOULD drop 5
+    val oneCell = Dedup.semanticDedup(rows, "vec_id", "embedding",
+        Seq(Array(1.0, 0.0)), threshold = 0.9)
+      .select($"vec_id").as[Long].collect().sorted.toSeq
+    assert(oneCell == Seq(1L, 3L, 4L))
+  }
+
   test("bucket-skew safety valve: oversized buckets are skipped, not squared") {
     // 200 identical docs -> bucket of 200 > maxBucketSize=50 -> no pairs,
     // nothing dropped (graceful degradation instead of OOM at scale)
