@@ -285,8 +285,13 @@ object TextAnalytics {
       textCol: String, eval: org.apache.spark.sql.DataFrame,
       evalTextCol: String, n: Int = 13): org.apache.spark.sql.DataFrame = {
     require(n >= 1, "n must be >= 1")
-    def grams(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-      val toks = filter(split(lower(c), "[^a-z0-9]+"), x => x =!= "")
+    // tokenization is MATERIALIZED as a column before the gram lambda:
+    // higher-order functions run interpreted (no whole-stage codegen,
+    // no subexpression elimination), so an inline `toks` referenced by
+    // the n element_at's + size would re-tokenize the full text once
+    // per reference per position — measured 20s-vs-sub-second at sf0.1
+    val grams: org.apache.spark.sql.Column = {
+      val toks = col("_toks")
       // guard: sequence(1, k) is DESCENDING for k < 1, so short/empty
       // docs must short-circuit to an empty array, not a bogus series
       when(size(toks) >= n,
@@ -294,9 +299,14 @@ object TextAnalytics {
           i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))))
         .otherwise(array().cast("array<string>"))
     }
-    val evalGrams = eval.select(explode(grams(col(evalTextCol))).as("_g")).distinct()
+    def tokenize(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      filter(split(lower(c), "[^a-z0-9]+"), x => x =!= "")
+    val evalGrams = eval
+      .select(tokenize(col(evalTextCol)).as("_toks"))
+      .select(explode(grams).as("_g")).distinct()
     val contaminated = train
-      .select(col(idCol), explode(grams(col(textCol))).as("_g"))
+      .select(col(idCol), tokenize(col(textCol)).as("_toks"))
+      .select(col(idCol), explode(grams).as("_g"))
       .join(broadcast(evalGrams), Seq("_g"), "left_semi")
       .select(col(idCol)).distinct()
     train.join(contaminated, Seq(idCol), "left_anti")
@@ -320,11 +330,18 @@ object TextAnalytics {
       textCol: String, n: Int = 2): org.apache.spark.sql.DataFrame = {
     require(n >= 1, "n must be >= 1")
     val toks = filter(split(lower(col(textCol)), "[^a-z0-9]+"), x => x =!= "")
-    val grams = transform(sequence(lit(1), size(toks) - (n - 1)),
-      i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))
+    // the gram lambda reads the MATERIALIZED `_tk` column, never the
+    // tokenize expression inline: higher-order functions run
+    // interpreted (no codegen CSE), so inlining re-tokenizes the full
+    // text once per element_at per position — the 20x blow-up measured
+    // on [[decontaminate]] before the same fix
+    val tk = col("_tk")
+    val grams = transform(sequence(lit(1), size(tk) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(o => element_at(tk, i + o)): _*))
     val withWc = df.withColumn("_wc", size(toks))
     val top = withWc
       .filter(col("_wc") >= n)
+      .select(col(idCol), toks.as("_tk"))
       .select(col(idCol), explode(grams).as("_g"))
       .groupBy(col(idCol), col("_g")).agg(count(lit(1)).as("_gn"))
       .groupBy(col(idCol)).agg(max(col("_gn")).as("_topn"))

@@ -186,6 +186,14 @@ class TextAnalyticsSpec extends AnyFunSuite {
       Seq("spark", "join"), k = 2).as[(Long, Double)].collect().toSeq
     assert(ranked.head._1 == 1L,
       s"two distinct terms must beat a 10x single-term spam doc: $ranked")
+    // plan shape: the top-k must run as TakeOrderedAndProject (scan +
+    // per-partition heaps), never a global sort, and df/N/avgdl join in
+    // as broadcasts
+    val plan = TextAnalytics.bm25TopK(docs, "doc_id", "text",
+      Seq("spark", "join"), k = 10).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k not heap-planned:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"df/stats must broadcast:\n$plan")
   }
 
   test("decontaminate: docs sharing an n-gram with eval drop; short docs survive") {
