@@ -192,6 +192,58 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
     copy(left = l, right = r)
 }
 
+/** `l2_normalize(a)` — the vector scaled to unit L2 norm, as
+  * ARRAY<DOUBLE>; a zero vector passes through (cast) unchanged. One
+  * fused per-row pass. This expression exists because the
+  * higher-order-function formulation — `transform(v, x => x / l2Norm(v))`
+  * — re-evaluates the norm expression once PER ELEMENT (HOF lambdas run
+  * interpreted, outside whole-stage codegen and its subexpression
+  * elimination), turning normalization O(dim²) per row. Element math is
+  * `element / sqrt(Σx²)` exactly like the HOF form, so results are
+  * bit-identical to the plan it replaces. */
+case class L2Normalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_l2_normalize"
+
+  private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecCodegen.checkArrayArg(child, "input")
+
+  override def nullSafeEval(a: Any): Any =
+    L2NormalizeUtil.normalize(a.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.L2NormalizeUtil.normalize($x, $isFloat);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Shared eval for [[L2Normalize]] (interpreted + generated code — the
+  * standalone object gets Java static forwarders). */
+object L2NormalizeUtil {
+  def normalize(arr: ArrayData, isFloat: Boolean): ArrayData = {
+    val n = arr.numElements()
+    val v = new Array[Double](n)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      v(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      s += v(i) * v(i)
+      i += 1
+    }
+    if (s != 0.0) {
+      val norm = math.sqrt(s)
+      i = 0
+      while (i < n) { v(i) = v(i) / norm; i += 1 }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(v)
+  }
+}
+
 /** `lsh_buckets(v)` — banded hyperplane-LSH bucket ids for a vector
   * (band id packed into the high bits; see [[graft.operators.Ann]]).
   * Codegen'd so index builds and plan-injected bucket filters stay
@@ -250,6 +302,9 @@ object vectors {
   def l2Norm(a: Column): Column =
     ExpressionUtils.column(L2Norm(ExpressionUtils.expression(a)))
 
+  def l2Normalize(a: Column): Column =
+    ExpressionUtils.column(L2Normalize(ExpressionUtils.expression(a)))
+
   def lshBuckets(a: Column, planesPerBand: Int, bands: Int, seed: Long): Column =
     ExpressionUtils.column(
       LshBuckets(ExpressionUtils.expression(a), planesPerBand, bands, seed))
@@ -263,5 +318,7 @@ object vectors {
       "vec_dot", es => DotProduct(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "vec_l2_norm", es => L2Norm(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "vec_l2_normalize", es => L2Normalize(es.head), "scala_udf")
   }
 }

@@ -162,11 +162,12 @@ object Ann {
     * prunes whole partitions. */
   final case class IvfIndex(data: DataFrame, centroids: Array[Array[Double]])
 
-  private def normalized(vec: Column): Column = {
-    val n = graft.functions.vectors.l2Norm(vec)
-    when(n === 0.0, vec.cast("array<double>"))
-      .otherwise(transform(vec.cast("array<double>"), x => x / n))
-  }
+  // codegen'd single-pass normalize: the HOF form (`transform(v, x =>
+  // x / l2Norm(v))`) re-evaluated the norm per ELEMENT — O(dim²)/row —
+  // because lambdas run interpreted with no subexpression elimination.
+  // Bit-identical output (same element / sqrt(Σx²) division).
+  private def normalized(vec: Column): Column =
+    graft.functions.vectors.l2Normalize(vec)
 
   /** Metadata keys carrying the IVF centroids on the `_cell` column
     * (flattened row-major + dim) so query-side code — the declarative
