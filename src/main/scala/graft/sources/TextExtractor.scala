@@ -543,6 +543,20 @@ object SimplePdfTextExtractor extends TextExtractor {
     0x98 -> "˜", 0x99 -> "™", 0x9A -> "š", 0x9B -> "›",
     0x9C -> "œ", 0x9E -> "ž", 0x9F -> "Ÿ")
 
+  /** MacRomanEncoding's high range (0x80-0xFF) — unlike WinAnsi, Mac
+    * Roman diverges from Latin-1 across the WHOLE high range (0x80 is
+    * Adieresis, not a control char), so Mac-authored PDFs with
+    * `/Encoding /MacRomanEncoding` decode as mojibake without it.
+    * Built from the JDK's own x-MacRoman charset (jdk.charsets module)
+    * rather than a hand-typed 128-entry table; a runtime stripped of
+    * that module degrades to the Latin-1 baseline instead of failing. */
+  private lazy val MacRomanHigh: Map[Int, String] =
+    if (!java.nio.charset.Charset.isSupported("x-MacRoman")) Map.empty
+    else {
+      val cs = java.nio.charset.Charset.forName("x-MacRoman")
+      (0x80 to 0xFF).map(b => b -> new String(Array(b.toByte), cs)).toMap
+    }
+
   /** AGL-subset lookup plus the `uniXXXX` (one or more UTF-16 units)
     * and `uXXXX`-`uXXXXXX` (one code point) glyph-name conventions. */
   private def glyphToUnicode(name: String): Option[String] = {
@@ -637,13 +651,17 @@ object SimplePdfTextExtractor extends TextExtractor {
         case None => (Map.empty[Int, String], Map.empty[Int, String])
       }
     val encBody = dictOrRefValue(body, "Encoding", doc)
-    // WinAnsi base layer first, /Differences overrides on top (§9.6.6.3:
-    // Differences modify the base encoding, they do not replace it)
-    val winAnsi =
-      "/Encoding\\s*/WinAnsiEncoding\\b".r.findFirstIn(body).isDefined ||
+    // named base-encoding layer first, /Differences overrides on top
+    // (§9.6.6.3: Differences modify the base encoding, they do not
+    // replace it)
+    def named(enc: String): Boolean =
+      ("/Encoding\\s*/" + enc + "\\b").r.findFirstIn(body).isDefined ||
         encBody.exists(e =>
-          "/BaseEncoding\\s*/WinAnsiEncoding\\b".r.findFirstIn(e).isDefined)
-    val base = if (winAnsi) WinAnsiHigh else Map.empty[Int, String]
+          ("/BaseEncoding\\s*/" + enc + "\\b").r.findFirstIn(e).isDefined)
+    val base =
+      if (named("WinAnsiEncoding")) WinAnsiHigh
+      else if (named("MacRomanEncoding")) MacRomanHigh
+      else Map.empty[Int, String]
     val diffs = base ++ encBody.map(parseDifferences).getOrElse(Map.empty)
     FontDec(one, two, diffs)
   }

@@ -757,6 +757,21 @@ class SourcesSpec extends AnyFunSuite {
     val overridden = winPdf("4 0 obj << /Type /Font /Subtype /TrueType /Encoding " +
       "<< /BaseEncoding /WinAnsiEncoding /Differences [ 128 /eacute ] >> >> endobj\n")
     assert(SimplePdfTextExtractor.extract(overridden) == "“quoted” — é\n")
+    // /MacRomanEncoding: Mac Roman diverges from Latin-1 across the
+    // whole high range — same bytes, entirely different glyphs
+    // (D2/D3 curly quotes, D1 emdash, 80 Adieresis)
+    val macContent = deflate("BT /F1 12 Tf (\\322mac\\323 \\321 \\200) Tj ET")
+    val macPdf = pdfBytes(
+      "%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n",
+      "3 0 obj << /Type /Page /Parent 2 0 R " +
+        "/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >> endobj\n",
+      "4 0 obj << /Type /Font /Subtype /Type1 /Encoding /MacRomanEncoding >> endobj\n",
+      s"5 0 obj << /Filter /FlateDecode /Length ${macContent.length} >>\nstream\n",
+      macContent,
+      "\nendstream\nendobj\n",
+      "trailer << /Size 6 /Root 1 0 R >>\n%%EOF")
+    assert(SimplePdfTextExtractor.extract(macPdf) == "“mac” — Ä\n")
   }
 
   test("PDF Tf-scoped ToUnicode: colliding codes decode correctly per font (A2)") {
