@@ -108,7 +108,15 @@ object SimplePdfTextExtractor extends TextExtractor {
     // carries its resolved /Resources font map for Tf-scoped decode.
     pageContentStreamOffsets(doc) match {
       case Some(pages) =>
-        pages.foreach { case (k, fonts) => processStream(doc, k, out, cmap, fonts) }
+        pages.foreach { case (ks, fonts) =>
+          // a /Contents ARRAY is ONE logical content stream (§7.8.2:
+          // the division falls on a token boundary) — decode each
+          // piece, join with a newline, scan ONCE, so Tf/BT state
+          // legally set in piece A still governs piece B (producers
+          // like LibreOffice split mid-text-object)
+          val bodies = ks.flatMap(k => decodeStream(doc, k)._1)
+          if (bodies.nonEmpty) shownText(bodies.mkString("\n"), out, cmap, fonts)
+        }
         return out.result()
       case None => ()
     }
@@ -123,7 +131,8 @@ object SimplePdfTextExtractor extends TextExtractor {
     * anchors a backward balanced-dict scan and a forward payload scan,
     * and the resume position always lands past the stream consumed.
     * Tf names resolve through the document-global font map (no page
-    * context exists on this path). */
+    * context exists on this path); text state resets per stream —
+    * unrelated streams must not leak BT/Tf state into each other. */
   private def byteOrderScan(doc: Doc, out: StringBuilder,
       cmap: Cmaps): Unit = {
     val s = doc.s
@@ -131,19 +140,22 @@ object SimplePdfTextExtractor extends TextExtractor {
     var pos = 0
     var k = s.indexOf("stream", pos)
     while (k >= 0) {
-      pos = processStream(doc, k, out, cmap, fonts)
+      val (body, next) = decodeStream(doc, k)
+      body.foreach(b => shownText(b, out, cmap, fonts))
+      pos = next
       k = s.indexOf("stream", pos)
     }
   }
 
   /** Handle ONE `stream` keyword occurrence at `k`: if it heads a real
-    * stream (a `>>`-terminated dict precedes it), decode and extract
-    * shown text per the dict; returns the resume index past whatever
-    * was consumed (k + 6 for a non-stream hit). */
-  private def processStream(doc: Doc, k: Int, out: StringBuilder,
-      cmap: Cmaps, fonts: Map[String, FontDec]): Int = {
+    * stream (a `>>`-terminated dict precedes it), decode it per the
+    * dict; returns (decoded body chars when a text layer is
+    * recoverable, resume index past whatever was consumed — k + 6 for
+    * a non-stream hit). */
+  private def decodeStream(doc: Doc, k: Int): (Option[String], Int) = {
     val s = doc.s
     var pos = k + 6
+    var body: Option[String] = None
     locally {
       // keyword check: preceded (after optional EOL/space) by the dict's
       // ">>" — this also rejects the "stream" inside "endstream"
@@ -176,7 +188,7 @@ object SimplePdfTextExtractor extends TextExtractor {
           val end = lenEnd.getOrElse {
             val e = s.indexOf("endstream", dataStart); if (e < 0) s.length else e
           }
-          shownText(s.substring(dataStart, end), out, cmap, fonts)
+          body = Some(s.substring(dataStart, end))
           pos = skipEndstream(s, end)
         } else if (!hasParms && filters.exists(_.forall(Decoders.contains))) {
           val chain = filters.get
@@ -184,8 +196,7 @@ object SimplePdfTextExtractor extends TextExtractor {
             case Some(end) =>
               // exact payload slice defeats embedded literal "endstream";
               // each decoder ignores trailing bytes past its own EOD
-              decodeChain(s.substring(dataStart, end), chain, earlyChange)
-                .foreach(t => shownText(t, out, cmap, fonts))
+              body = decodeChain(s.substring(dataStart, end), chain, earlyChange)
               pos = skipEndstream(s, end)
             case None =>
               chain.head match {
@@ -194,16 +205,14 @@ object SimplePdfTextExtractor extends TextExtractor {
                   // the EOD '>' (or the first endstream) bounds the data
                   val eod = s.indexOf('>', dataStart)
                   val end = if (eod < 0) s.length else eod + 1
-                  decodeChain(s.substring(dataStart, end), chain, earlyChange)
-                    .foreach(t => shownText(t, out, cmap, fonts))
+                  body = decodeChain(s.substring(dataStart, end), chain, earlyChange)
                   pos = skipEndstream(s, end)
                 case "ASCII85Decode" | "A85" =>
                   // base-85 data CAN spell "endstream", but its '~>' EOD
                   // marker cannot appear in valid data — bound by it
                   val eod = s.indexOf("~>", dataStart)
                   val end = if (eod < 0) s.length else eod + 2
-                  decodeChain(s.substring(dataStart, end), chain, earlyChange)
-                    .foreach(t => shownText(t, out, cmap, fonts))
+                  body = decodeChain(s.substring(dataStart, end), chain, earlyChange)
                   pos = skipEndstream(s, end)
                 case _ =>
                   // flate first with indirect/absent /Length: the first
@@ -213,19 +222,16 @@ object SimplePdfTextExtractor extends TextExtractor {
                   // resume past the accepted one.
                   var e = s.indexOf("endstream", dataStart)
                   var attempts = 0
-                  var done = false
-                  while (!done && e >= 0 && attempts < 8) {
+                  while (body.isEmpty && e >= 0 && attempts < 8) {
                     decodeChain(s.substring(dataStart, e), chain, earlyChange) match {
-                      case Some(t) =>
-                        shownText(t, out, cmap, fonts)
-                        done = true
+                      case some @ Some(_) => body = some
                       case None =>
                         attempts += 1
                         if (attempts < 8) e = s.indexOf("endstream", e + 9)
                     }
                   }
                   pos =
-                    if (done) e + 9
+                    if (body.isDefined) e + 9
                     else skipEndstream(s, dataStart) // corrupt: no text layer
               }
           }
@@ -236,7 +242,7 @@ object SimplePdfTextExtractor extends TextExtractor {
         }
       } else pos = k + 6
     }
-    pos
+    (body, pos)
   }
 
   private val ObjHeaderRe = "(?<![0-9])(\\d+)\\s+(\\d+)\\s+obj\\b".r
@@ -302,20 +308,19 @@ object SimplePdfTextExtractor extends TextExtractor {
     lazy val globalFonts: Map[String, FontDec] = buildGlobalFonts(this)
   }
 
-  /** The `stream` keyword offsets of the document's page content
-    * streams, in PAGE-TREE order, each paired with its page's resolved
-    * /Resources font map (for Tf-scoped decode) — or None when the
-    * tree cannot be walked (broken refs, cycles, no catalog), in which
-    * case the caller's byte-order scan takes over. Tree dicts
+  /** ONE entry per page, in PAGE-TREE order: the page's content-stream
+    * `stream` keyword offsets (a /Contents array contributes each ref
+    * in array order — the pieces of one logical stream, §7.8.2) plus
+    * its resolved /Resources font map (for Tf-scoped decode) — or None
+    * when the tree cannot be walked (broken refs, cycles, no catalog),
+    * in which case the caller's byte-order scan takes over. Tree dicts
     * compressed into `/Type /ObjStm` object streams resolve from
     * [[parseObjectStreams]]; content streams cannot be ObjStm-contained
     * (§7.5.7), so their offsets always point into the raw document.
-    * Pages with multiple /Contents refs contribute each stream in
-    * array order (the PDF semantic: one logical content stream).
     * /Resources is inheritable (§7.7.3.4): a page without its own dict
     * uses the nearest ancestor Pages node's. */
   private def pageContentStreamOffsets(doc: Doc)
-      : Option[Seq[(Int, Map[String, FontDec])]] = {
+      : Option[Seq[(Seq[Int], Map[String, FontDec])]] = {
     val s = doc.s
     val ref = "(\\d+)\\s+(\\d+)\\s+R".r
     val pagesRef = "/Pages\\s+(\\d+)\\s+(\\d+)\\s+R".r
@@ -339,7 +344,7 @@ object SimplePdfTextExtractor extends TextExtractor {
       }
     }
     catalog.flatMap { root =>
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Map[String, FontDec])]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Seq[Int], Map[String, FontDec])]
       val visited = scala.collection.mutable.Set.empty[(String, String)]
       // false = unresolvable; inhRes = nearest ancestor /Resources body
       def walk(n: String, g: String, inhRes: Option[String]): Boolean = {
@@ -356,21 +361,25 @@ object SimplePdfTextExtractor extends TextExtractor {
                   ref.findAllMatchIn(list).forall(m => walk(m.group(1), m.group(2), res))
               }
             } else if ("/Type\\s*/Page\\b".r.findFirstIn(body).isDefined) {
-              lazy val fonts = res.map(fontMap(_, doc)).getOrElse(Map.empty[String, FontDec])
               "/Contents\\s*(\\d+\\s+\\d+\\s+R|\\[[^\\]]*\\])".r.findFirstMatchIn(body) match {
                 case None => true // empty page: legal, contributes nothing
                 case Some(m) =>
-                  ref.findAllMatchIn(m.group(1)).forall { r =>
+                  val ks = scala.collection.mutable.ArrayBuffer.empty[Int]
+                  val ok = ref.findAllMatchIn(m.group(1)).forall { r =>
                     doc.lastObjStart(r.group(1), r.group(2)).flatMap { cAt =>
                       val kw = s.indexOf("stream", cAt)
                       // the keyword must belong to THIS object
                       val endObj = s.indexOf("endobj", cAt)
                       if (kw >= 0 && (endObj < 0 || kw < endObj)) Some(kw) else None
                     } match {
-                      case Some(kw) => out += ((kw, fonts)); true
+                      case Some(kw) => ks += kw; true
                       case None => false
                     }
                   }
+                  if (ok && ks.nonEmpty)
+                    out += ((ks.toSeq,
+                      res.map(fontMap(_, doc)).getOrElse(Map.empty[String, FontDec])))
+                  ok
               }
             } else false // unexpected node type
         }

@@ -774,6 +774,29 @@ class SourcesSpec extends AnyFunSuite {
     assert(SimplePdfTextExtractor.extract(macPdf) == "“mac” — Ä\n")
   }
 
+  test("PDF /Contents array split mid-text-object: Tf/BT state spans the pieces (A2)") {
+    import graft.sources.SimplePdfTextExtractor
+    // a /Contents ARRAY is one logical content stream (§7.8.2) and
+    // producers split anywhere on a token boundary — here piece A opens
+    // the text object and selects the font, piece B shows the string;
+    // per-stream scanning would lose both the BT and the active font
+    val pieceA = deflate("BT /F1 12 Tf")
+    val pieceB = deflate("(caf\\200) Tj ET")
+    val pdf = pdfBytes(
+      "%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n",
+      "3 0 obj << /Type /Page /Parent 2 0 R " +
+        "/Resources << /Font << /F1 4 0 R >> >> /Contents [5 0 R 6 0 R] >> endobj\n",
+      "4 0 obj << /Type /Font /Subtype /Type1 /Encoding " +
+        "<< /Differences [ 128 /eacute ] >> >> endobj\n",
+      s"5 0 obj << /Filter /FlateDecode /Length ${pieceA.length} >>\nstream\n", pieceA,
+      "\nendstream\nendobj\n",
+      s"6 0 obj << /Filter /FlateDecode /Length ${pieceB.length} >>\nstream\n", pieceB,
+      "\nendstream\nendobj\n",
+      "trailer << /Size 7 /Root 1 0 R >>\n%%EOF")
+    assert(SimplePdfTextExtractor.extract(pdf) == "café\n")
+  }
+
   test("PDF Tf-scoped ToUnicode: colliding codes decode correctly per font (A2)") {
     import graft.sources.SimplePdfTextExtractor
     // two subset fonts both map code <0001>, differently — the NORM in
