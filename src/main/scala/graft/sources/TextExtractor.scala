@@ -79,10 +79,12 @@ object Utf8TextExtractor extends TextExtractor {
   * to raw), then raw Latin-1 bytes (or BOM-tagged decode).
   *
   * Honest scope (ref op A2, streamlit_app.py:60-71): streams with other
-  * filters (DCTDecode images, CCITT, JBIG2, JPX), or a `/DecodeParms`/
+  * filters (DCTDecode images, CCITT, JBIG2, JPX), a `/DecodeParms`/
   * `/DP` `/Predictor` ≥ 2 (flate+predictor xref streams — the decoded
-  * bytes are PNG-row-filtered binary, never a text layer), have no
-  * recoverable text layer here, so they contribute "" and
+  * bytes are PNG-row-filtered binary, never a text layer), and
+  * ENCRYPTED documents (`/Encrypt` — RC4/AES stream payloads decode as
+  * corrupt data) have no recoverable text layer here, so they
+  * contribute "" and
   * [[FallbackExtractor]] routes whitespace-only documents to OCR — the
   * same path the reference takes for scanned pages. Full-fidelity
   * extraction (PDFBox) plugs in at the [[TextExtractor]] trait.
