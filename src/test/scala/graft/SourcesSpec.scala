@@ -1014,6 +1014,34 @@ class SourcesSpec extends AnyFunSuite {
     assert(new String(badBack.head._2) == "OK")
   }
 
+  test("PDF literal/hex show-strings: escape round-trip recovers arbitrary bytes (property)") {
+    import graft.sources.SimplePdfTextExtractor
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // the string parsers eat untrusted crawled bytes; round-trip every
+    // byte value through a spec-conforming escaping writer (octal
+    // escapes for controls, \\ \( \) for specials, raw Latin-1
+    // otherwise) and through hex encoding with interleaved whitespace
+    def samples[T](gen: Gen[T], n: Int): Seq[T] =
+      (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(0xBEEFL + i)))
+    val byteStr = Gen.listOf(Gen.choose(0, 255)).map(_.map(_.toChar).mkString)
+    samples(byteStr, 60).foreach { raw0 =>
+      val raw = "x" + raw0 // never BOM-tagged -> Latin-1 identity decode
+      val lit = raw.flatMap {
+        case '\\' => "\\\\"
+        case '(' => "\\("
+        case ')' => "\\)"
+        case c if c < ' ' => f"\\${c.toInt}%03o"
+        case c => c.toString
+      }
+      val hex = raw.map(c => f"${c.toInt}%02X").mkString(" ")
+      val pdf = goldenPdf(s"BT ($lit) Tj <$hex> Tj ET", filtered = false)
+      val got = SimplePdfTextExtractor.extract(pdf)
+      assert(got == raw + raw + "\n",
+        s"round-trip diverged for ${raw.map(_.toInt).mkString(",")}")
+    }
+  }
+
   test("PERMISSIVE json keeps corrupt rows in _corrupt_record; FAILFAST throws") {
     val dir = Files.createTempDirectory("graft_json")
     Files.write(dir.resolve("a.json"), java.util.Arrays.asList(
