@@ -200,7 +200,12 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
   * interpreted, outside whole-stage codegen and its subexpression
   * elimination), turning normalization O(dim²) per row. Element math is
   * `element / sqrt(Σx²)` exactly like the HOF form, so results are
-  * bit-identical to the plan it replaces. */
+  * bit-identical to the plan it replaces. An input array containing a
+  * null ELEMENT yields a null result row (a null element has no
+  * defined norm contribution; silently reading the slot as 0.0 would
+  * change results) — only reachable when the input's element type is
+  * nullable, so the fast path is untouched for containsNull=false
+  * inputs. */
 case class L2Normalize(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -209,15 +214,24 @@ case class L2Normalize(child: Expression) extends UnaryExpression {
   private lazy val isFloat =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  private lazy val elementsNullable =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+
+  override def nullable: Boolean = child.nullable || elementsNullable
+
   override def checkInputDataTypes(): TypeCheckResult =
     VecCodegen.checkArrayArg(child, "input")
 
   override def nullSafeEval(a: Any): Any =
-    L2NormalizeUtil.normalize(a.asInstanceOf[ArrayData], isFloat)
+    L2NormalizeUtil.normalize(a.asInstanceOf[ArrayData], isFloat, elementsNullable)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, x =>
-      s"${ev.value} = graft.functions.L2NormalizeUtil.normalize($x, $isFloat);")
+    nullSafeCodeGen(ctx, ev, x => {
+      val call =
+        s"${ev.value} = graft.functions.L2NormalizeUtil.normalize($x, $isFloat, $elementsNullable);"
+      if (elementsNullable) s"$call\nif (${ev.value} == null) { ${ev.isNull} = true; }"
+      else call
+    })
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -225,12 +239,14 @@ case class L2Normalize(child: Expression) extends UnaryExpression {
 /** Shared eval for [[L2Normalize]] (interpreted + generated code — the
   * standalone object gets Java static forwarders). */
 object L2NormalizeUtil {
-  def normalize(arr: ArrayData, isFloat: Boolean): ArrayData = {
+  /** Null when `checkNulls` and any element is null (→ null result row). */
+  def normalize(arr: ArrayData, isFloat: Boolean, checkNulls: Boolean): ArrayData = {
     val n = arr.numElements()
     val v = new Array[Double](n)
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && arr.isNullAt(i)) return null
       v(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
       s += v(i) * v(i)
       i += 1

@@ -551,10 +551,16 @@ object Ann {
     flagged.foreach { dir =>
       val olds = dataFiles(dir)
       val newDir = new Path(new Path(tmp, dir.getParent.getName), dir.getName)
-      dataFiles(newDir).foreach { f =>
-        fs.rename(f.getPath, new Path(dir, "compact-" + f.getPath.getName))
-      }
-      olds.foreach(f => fs.delete(f.getPath, false))
+      // A flagged directory whose part files all hold zero rows writes no
+      // tmp output at all — treat the missing directory as "nothing to
+      // move" and KEEP the old files (deleting them without a landed
+      // replacement could drop rows if the emptiness read was wrong).
+      val moved =
+        if (fs.exists(newDir)) dataFiles(newDir).map { f =>
+          fs.rename(f.getPath, new Path(dir, "compact-" + f.getPath.getName))
+        }.size
+        else 0
+      if (moved > 0) olds.foreach(f => fs.delete(f.getPath, false))
     }
     fs.delete(tmp, true)
     flagged.size

@@ -544,14 +544,62 @@ object Dedup {
     * cross-cell near-duplicates — the documented trade (DedupSpec
     * asserts a cosine≈1 pair split across cells survives).
     *
-    * Scale shape: centroids ship as plan literals (k vectors,
-    * model-sized — the caller picks them: k-means via [[Ann.buildIvf]],
-    * or any fixed set); assignment is a per-row codegen'd expression,
-    * NO shuffle; the in-cell pass reuses the same
-    * packBuckets/bucketDrops core as every other dedup — singleton
-    * cells shuffle only (id, cell) longs, payloads move only for
-    * multi-member cells, `maxCellSize` is the usual skew valve. */
+    * Scale shape: assignment is per-row with NO shuffle on either
+    * path; the in-cell pass reuses the same packBuckets/bucketDrops
+    * core as every other dedup — singleton cells shuffle only
+    * (id, cell) longs, payloads move only for multi-member cells,
+    * `maxCellSize` is the usual skew valve. Two assignment carriers:
+    *
+    *  - k <= `maxLiteralK`: centroids ship as plan literals and the
+    *    argmax is a codegen'd column expression (whole-stage-fused,
+    *    oracle-replayable in SQL engines).
+    *  - k >  `maxLiteralK`: [[semanticDedupBroadcast]] — at the
+    *    SemDeDup-paper regime (k ~ 5*10^4 clusters, 384-dim) the
+    *    literal carrier is ~150 MB of plan literals plus a k-child
+    *    codegen expression, which kills the driver/codegen long before
+    *    the executors; the centroid MATRIX instead ships once per
+    *    executor as a broadcast and a mapPartitions argmax reuses the
+    *    bit-identical scalar cosine (DedupSpec asserts row equality
+    *    across the two paths at k=4096). */
   def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[Array[Double]],
+      threshold: Double = 0.9,
+      maxCellSize: Int = 100000,
+      maxLiteralK: Int = 1024): DataFrame = {
+    require(centroids.nonEmpty, "at least one centroid")
+    if (centroids.size > maxLiteralK)
+      return semanticDedupBroadcast(df, idCol, vecCol, centroids, threshold, maxCellSize)
+    val v = col(vecCol).cast("array<double>")
+    val cos = centroids.map(c =>
+      graft.functions.vectors.cosine(v, typedLit(c.toSeq)))
+    // argmax with first-wins tie-break: array_position returns the
+    // FIRST index holding the max. The k-element cosine array is
+    // materialized ONCE as its own projection; referencing it from
+    // array_position AND array_max below does not re-inline it
+    // (CollapseProject keeps multiply-referenced non-trivial aliases),
+    // where building `array(cos*)` inside each consumer would compute
+    // every centroid cosine twice per row.
+    val withCos = df.withColumn("_cos", array(cos: _*))
+    val vecs = withCos.select(col(idCol).cast("long").as("_id"), v.as("_v"),
+      array_position(col("_cos"), array_max(col("_cos"))).as("_cell"))
+    inCellDrops(df, idCol, vecs, threshold, maxCellSize)
+  }
+
+  /** [[semanticDedup]]'s large-k assignment carrier: the centroid
+    * matrix ships ONCE per executor via `SparkContext.broadcast`
+    * (torrent, O(k*dim) bytes total, zero plan literals) and a
+    * `mapPartitions` computes the argmax with [[cosineScalar]] — the
+    * same fused dot/norm loop, in the same operation order, as the
+    * `CosineSimilarity` codegen the literal path evaluates, so cell
+    * assignments (including first-wins ties under SQL's
+    * NaN-largest / -0.0 == 0.0 comparison, mirrored by [[sparkGt]])
+    * are bit-identical to the literal path. Null vectors assign a
+    * null cell, exactly as a null input propagates through the
+    * literal path's expressions. */
+  def semanticDedupBroadcast(
       df: DataFrame,
       idCol: String,
       vecCol: String,
@@ -559,14 +607,28 @@ object Dedup {
       threshold: Double = 0.9,
       maxCellSize: Int = 100000): DataFrame = {
     require(centroids.nonEmpty, "at least one centroid")
-    val v = col(vecCol).cast("array<double>")
-    val cos = centroids.map(c =>
-      graft.functions.vectors.cosine(v, typedLit(c.toSeq)))
-    // argmax with first-wins tie-break: array_position returns the
-    // FIRST index holding the max
-    val cell = array_position(array(cos: _*), array_max(array(cos: _*)))
-    val vecs = df.select(col(idCol).cast("long").as("_id"), v.as("_v"),
-      cell.as("_cell"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids.toArray)
+    val vecs = df.select(col(idCol).cast("long").as("_id"),
+        col(vecCol).cast("array<double>").as("_v"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cents = bc.value
+        it.map { case (id, v) =>
+          val cell: java.lang.Long =
+            if (v == null) null else nearestCentroid(v, cents)
+          (id, v, cell)
+        }
+      }
+      .toDF("_id", "_v", "_cell")
+    inCellDrops(df, idCol, vecs, threshold, maxCellSize)
+  }
+
+  /** Shared in-cell keep-first pass for both [[semanticDedup]]
+    * carriers: `vecs` is (_id, _v, _cell). */
+  private def inCellDrops(df: DataFrame, idCol: String, vecs: DataFrame,
+      threshold: Double, maxCellSize: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val t = threshold
@@ -576,6 +638,46 @@ object Dedup {
       .select(col("_bk"), col("_id"), col("_v")).as[(Long, Long, Array[Double])]
     val drops = bucketDrops[Array[Double]](packed, (a, b) => cosineGE(a, b, t))
     df.join(drops, df(idCol).cast("long") === col("_drop"), "left_anti")
+  }
+
+  /** 1-based argmax-cosine centroid index, first-wins on ties —
+    * `array_position(cosArray, array_max(cosArray))` as a scalar. */
+  private[graft] def nearestCentroid(v: Array[Double],
+      cents: Array[Array[Double]]): Long = {
+    var best = cosineScalar(v, cents(0))
+    var idx = 0
+    var i = 1
+    while (i < cents.length) {
+      val c = cosineScalar(v, cents(i))
+      if (sparkGt(c, best)) { best = c; idx = i }
+      i += 1
+    }
+    idx + 1L
+  }
+
+  /** SQL comparison semantics for doubles (what array_max/array_position
+    * use): NaN is largest and equals itself; -0.0 equals 0.0. */
+  private def sparkGt(a: Double, b: Double): Boolean =
+    if (a > b) true
+    else if (a < b || a == b) false
+    else java.lang.Double.compare(a, b) > 0 // only NaN operands reach here
+
+  /** Scalar twin of the `CosineSimilarity` expression's eval — the
+    * SAME fused loop (dot += x*y; nx += x*x; ny += y*y) in the same
+    * order, then dot/sqrt(nx*ny), 0.0 on a zero norm — so results are
+    * bit-identical to the expression the literal path evaluates. */
+  private[graft] def cosineScalar(x: Array[Double], y: Array[Double]): Double = {
+    require(x.length == y.length,
+      s"cosine_similarity: length mismatch ${x.length} vs ${y.length}")
+    var dot = 0.0
+    var nx = 0.0
+    var ny = 0.0
+    var i = 0
+    while (i < x.length) {
+      dot += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i)
+      i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0 else dot / math.sqrt(nx * ny)
   }
 
   // ---------- helpers ----------

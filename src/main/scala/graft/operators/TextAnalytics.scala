@@ -156,7 +156,7 @@ object TextAnalytics {
     *         score-descending, ties broken by id. */
   def tfidfTopK(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, terms: Seq[String], k: Int): org.apache.spark.sql.DataFrame = {
-    require(terms.nonEmpty && terms.size <= 8, "1..8 query terms")
+    validateTerms(terms)
     val toks = df.select(col(idCol),
       explode(filter(split(lower(col(textCol)), "[^a-z0-9]+"), x => x =!= "")).as("_term"))
       .filter(col("_term").isin(terms: _*))
@@ -166,19 +166,48 @@ object TextAnalytics {
     val per = tf.join(broadcast(dfreq), "_term").crossJoin(broadcast(n))
       .withColumn("_s",
         col("_tf").cast("double") * col("_n").cast("double") / col("_df").cast("double"))
-    // one column per query term (exact: (doc, term) is unique after the
-    // tf aggregation), summed in the terms' given order
-    val termCols = terms.zipWithIndex.map { case (t, i) =>
-      coalesce(max(when(col("_term") === t, col("_s"))), lit(0.0)).as(s"_s$i")
-    }
-    per.groupBy(col(idCol))
-      .agg(termCols.head, termCols.tail: _*)
-      .withColumn("score",
-        terms.indices.map(i => col(s"_s$i")).reduceLeft(_ + _))
+    foldTermScores(per, idCol, terms)
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
       .select(col(idCol), col("score"))
   }
+
+  /** Terms contract shared by [[tfidfTopK]]/[[bm25TopK]]: non-empty,
+    * no duplicates (a duplicated term would double-count its score),
+    * lowercase (tokens are lowercased before the isin filter, so an
+    * uppercase term would silently contribute 0). */
+  private def validateTerms(terms: Seq[String]): Unit = {
+    require(terms.nonEmpty, "at least one query term")
+    require(terms.distinct.size == terms.size,
+      s"duplicate query terms: ${terms.diff(terms.distinct).distinct.mkString(", ")}")
+    val upper = terms.filterNot(t => t == t.toLowerCase)
+    require(upper.isEmpty,
+      s"query terms must be lowercase (tokens are lowercased before matching): ${upper.mkString(", ")}")
+  }
+
+  /** Per-doc score from per-(doc, term) `_s` rows, summed in the
+    * QUERY's term order regardless of shuffle arrival order: each row
+    * is tagged with its term's 1-based position in `terms`, the
+    * per-doc (position, s) structs are `array_sort`ed (position is
+    * unique per doc — (doc, term) is unique after the tf aggregation
+    * and `terms` is distinct — so the sort is total and never consults
+    * `_s`), and a left fold adds them. This replaces the previous
+    * one-column-per-term formulation, which guaranteed the same fixed
+    * order but capped queries at 8 terms; the fold's summation
+    * SEQUENCE is identical (absent terms contributed +0.0 at their
+    * slot before, and x + 0.0 == x for the non-negative scores both
+    * scorers produce, as is the 0.0 fold seed), so scores are
+    * bit-identical to the per-column plan for any term count. The fold
+    * lambda runs interpreted but touches only its accumulator and
+    * element — O(|matched terms|) per doc, no re-evaluated outer
+    * expressions (the materialized-token lesson). */
+  private def foldTermScores(per: org.apache.spark.sql.DataFrame, idCol: String,
+      terms: Seq[String]): org.apache.spark.sql.DataFrame =
+    per.withColumn("_ti", array_position(typedLit(terms), col("_term")))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("_ti"), col("_s")))).as("_ss"))
+      .withColumn("score",
+        aggregate(col("_ss"), lit(0.0), (acc, x) => acc + x.getField("_s")))
 
   /** BM25 top-k — [[tfidfTopK]]'s pruned plan shape with the scorer
     * real hybrid-retrieval stacks default to (Robertson/Lucene
@@ -209,7 +238,7 @@ object TextAnalytics {
   def bm25TopK(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, terms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
-    require(terms.nonEmpty && terms.size <= 8, "1..8 query terms")
+    validateTerms(terms)
     val base = df.select(col(idCol),
       filter(split(lower(col(textCol)), "[^a-z0-9]+"), x => x =!= "").as("_toks"))
     val stats = base.agg(sum(size(col("_toks")).cast("long")).as("_sumdl"),
@@ -237,13 +266,7 @@ object TextAnalytics {
             lit(k1) * (lit(1.0 - b) +
               lit(b) * col("_dl").cast("double") / col("_avgdl"))))
       .withColumn("_s", col("_idf") * col("_sat"))
-    val termCols = terms.zipWithIndex.map { case (t, i) =>
-      coalesce(max(when(col("_term") === t, col("_s"))), lit(0.0)).as(s"_s$i")
-    }
-    per.groupBy(col(idCol))
-      .agg(termCols.head, termCols.tail: _*)
-      .withColumn("score",
-        terms.indices.map(i => col(s"_s$i")).reduceLeft(_ + _))
+    foldTermScores(per, idCol, terms)
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
       .select(col(idCol), col("score"))

@@ -560,12 +560,21 @@ object SimplePdfTextExtractor extends TextExtractor {
     * `/Encoding /MacRomanEncoding` decode as mojibake without it.
     * Built from the JDK's own x-MacRoman charset (jdk.charsets module)
     * rather than a hand-typed 128-entry table; a runtime stripped of
-    * that module degrades to the Latin-1 baseline instead of failing. */
+    * that module degrades to the Latin-1 baseline instead of failing.
+    *
+    * The JDK charset implements post-1998 Mac OS Roman, which diverges
+    * from PDF 32000-1 Annex D MacRomanEncoding in two slots: 0xDB is
+    * `currency` (U+00A4) in Annex D but EURO SIGN in Mac OS Roman 8.5+,
+    * and 0xF0 (Apple logo, U+F8FF) is undefined in Annex D. Those are
+    * overlaid/removed so spec-conforming Mac-encoded PDFs decode per
+    * Annex D; an undefined 0xF0 keeps the raw byte like any other
+    * unmapped code. */
   private lazy val MacRomanHigh: Map[Int, String] =
     if (!java.nio.charset.Charset.isSupported("x-MacRoman")) Map.empty
     else {
       val cs = java.nio.charset.Charset.forName("x-MacRoman")
-      (0x80 to 0xFF).map(b => b -> new String(Array(b.toByte), cs)).toMap
+      (0x80 to 0xFF).map(b => b -> new String(Array(b.toByte), cs)).toMap -
+        0xF0 + (0xDB -> "¤")
     }
 
   /** AGL-subset lookup plus the `uniXXXX` (one or more UTF-16 units)

@@ -218,6 +218,59 @@ class DedupSpec extends AnyFunSuite {
     assert(oneCell == Seq(1L, 3L, 4L))
   }
 
+  test("semanticDedup large-k broadcast carrier: bit-identical to the literal path at k=4096, no plan literals") {
+    import org.apache.spark.sql.functions.{array, array_max, array_position, typedLit}
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val rnd = new scala.util.Random(7)
+    val cents = Seq.fill(4096)(Array.fill(64)(rnd.nextDouble() * 2.0 - 1.0))
+    // assignment equality, the load-bearing claim: the scalar argmax
+    // (same fused cosine loop, same SQL compare semantics) must pick the
+    // IDENTICAL cell as the literal expression for every row — asserted
+    // at the SemDeDup-regime-shaped k where the literal carrier is
+    // already a 262k-literal plan
+    val cos = cents.map(c => graft.functions.vectors.cosine($"v", typedLit(c.toSeq)))
+    val literalCells = emb.withColumn("_cos", array(cos: _*))
+      .select($"vec_id", array_position($"_cos", array_max($"_cos")).as("cell"))
+      .as[(Long, Long)].collect().toMap
+    val centArr = cents.toArray
+    val scalarCells = emb.as[(Long, Array[Double])].collect()
+      .map { case (id, v) => id -> Dedup.nearestCentroid(v, centArr) }.toMap
+    assert(literalCells == scalarCells,
+      "broadcast-path argmax must be bit-identical to the literal expression")
+    // operator-level equality on a fixture with real in-cell duplicates
+    // (each vector doubled => its copy must drop on both paths)
+    val doubled = emb.unionByName(
+      emb.select(($"vec_id" + 100000L).as("vec_id"), $"v"))
+    val viaLiteral = Dedup.semanticDedup(doubled, "vec_id", "v", cents,
+        threshold = 0.95, maxLiteralK = 4096)
+      .select($"vec_id").as[Long].collect().sorted.toSeq
+    val viaBroadcast = Dedup.semanticDedupBroadcast(doubled, "vec_id", "v", cents,
+        threshold = 0.95)
+      .select($"vec_id").as[Long].collect().sorted.toSeq
+    assert(viaLiteral == viaBroadcast)
+    // a copy always shares its original's (deterministic) cell and sees
+    // it as a lower-id cos=1 neighbor, so no copy can survive
+    assert(viaBroadcast.nonEmpty && viaBroadcast.forall(_ < 100000L))
+    // the broadcast carrier must ship ZERO per-centroid plan literals —
+    // probed with a distinctive element value that the literal plan
+    // necessarily embeds
+    val marker = 0.987654321
+    val marked = Seq(Array.fill(64)(marker), Array.fill(64)(-marker))
+    val litPlan = Dedup.semanticDedup(emb, "vec_id", "v", marked,
+      threshold = 0.95).queryExecution.analyzed.toString
+    val bcPlan = Dedup.semanticDedupBroadcast(emb, "vec_id", "v", marked,
+      threshold = 0.95).queryExecution.analyzed.toString
+    assert(litPlan.contains(marker.toString), "sanity: literal plan embeds centroids")
+    assert(!bcPlan.contains(marker.toString),
+      "broadcast plan must not embed centroid values")
+    // auto-dispatch: above maxLiteralK the public entry point takes the
+    // broadcast carrier
+    val autoPlan = Dedup.semanticDedup(emb, "vec_id", "v", marked,
+      threshold = 0.95, maxLiteralK = 1).queryExecution.analyzed.toString
+    assert(!autoPlan.contains(marker.toString))
+  }
+
   test("bucket-skew safety valve: oversized buckets are skipped, not squared") {
     // 200 identical docs -> bucket of 200 > maxBucketSize=50 -> no pairs,
     // nothing dropped (graceful degradation instead of OOM at scale)

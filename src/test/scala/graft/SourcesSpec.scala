@@ -772,6 +772,22 @@ class SourcesSpec extends AnyFunSuite {
       "\nendstream\nendobj\n",
       "trailer << /Size 6 /Root 1 0 R >>\n%%EOF")
     assert(SimplePdfTextExtractor.extract(macPdf) == "“mac” — Ä\n")
+    // PDF 32000-1 Annex D divergences from the JDK's post-1998 Mac OS
+    // Roman table: 0xDB is `currency` (U+00A4), NOT the euro the JDK
+    // charset yields, and 0xF0 (Apple logo in Mac OS Roman) is
+    // UNDEFINED in Annex D — it keeps the raw byte (Latin-1 baseline)
+    val annexContent = deflate("BT /F1 12 Tf (\\333 \\360) Tj ET")
+    val annexPdf = pdfBytes(
+      "%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n",
+      "3 0 obj << /Type /Page /Parent 2 0 R " +
+        "/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >> endobj\n",
+      "4 0 obj << /Type /Font /Subtype /Type1 /Encoding /MacRomanEncoding >> endobj\n",
+      s"5 0 obj << /Filter /FlateDecode /Length ${annexContent.length} >>\nstream\n",
+      annexContent,
+      "\nendstream\nendobj\n",
+      "trailer << /Size 6 /Root 1 0 R >>\n%%EOF")
+    assert(SimplePdfTextExtractor.extract(annexPdf) == "¤ ð\n")
   }
 
   test("PDF /Contents array split mid-text-object: Tf/BT state spans the pieces (A2)") {

@@ -497,6 +497,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(Ann.compactHammingIndex(spark, path, minFiles = 1) == 0)
   }
 
+  test("Hamming index compaction: a directory of zero-row files neither aborts nor loses data") {
+    import graft.operators.Ann
+    import scala.jdk.CollectionConverters._
+    val path = Files.createTempDirectory("graft_hidx_zero").toString + "/hidx"
+    (0 until 4).foreach { b =>
+      val rows = Seq((b * 10L, b.toLong), (b * 10L + 1L, b.toLong + 100L))
+      Ann.appendHammingIndexWithIds(rows.toDF("img_id", "_sig"),
+        "_sig", "img_id", path, maxDist = 8)
+    }
+    // fabricate a flagged directory whose part files all hold ZERO rows
+    // (a shape real streams can produce via empty micro-batch appends):
+    // the compaction job emits no tmp output for it, which used to
+    // FileNotFoundException out of the swap loop mid-compaction
+    val leaf = java.nio.file.Files.walk(Paths.get(path)).iterator.asScala
+      .find { p =>
+        val n = p.getFileName.toString
+        java.nio.file.Files.isRegularFile(p) && n.endsWith(".parquet") && !n.startsWith(".")
+      }.get
+    val emptyDir = Files.createTempDirectory("graft_hidx_emptyleaf").toString
+    spark.read.parquet(leaf.toString).limit(0).coalesce(1)
+      .write.mode("overwrite").parquet(emptyDir)
+    val emptyLeaf = java.nio.file.Files.walk(Paths.get(emptyDir)).iterator.asScala
+      .find(p => java.nio.file.Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet")).get
+    val fakeDir = Paths.get(path, "_band=63", "_bkt=0")
+    java.nio.file.Files.createDirectories(fakeDir)
+    (0 until 4).foreach { i =>
+      java.nio.file.Files.copy(emptyLeaf, fakeDir.resolve(s"part-zero-$i.parquet"))
+    }
+    def rows(): Seq[(Long, Long)] =
+      spark.read.parquet(path).select($"_hid", $"_bv")
+        .as[(Long, Long)].collect().sorted.toSeq
+    val before = rows()
+    // must complete the WHOLE loop (real dirs compacted), keep the
+    // zero-row dir's files (no landed replacement => no deletes), and
+    // preserve every row
+    val compacted = Ann.compactHammingIndex(spark, path, minFiles = 1)
+    assert(compacted > 0)
+    assert(java.nio.file.Files.list(fakeDir).iterator.asScala.size == 4,
+      "zero-row directory files must be kept, not deleted without a replacement")
+    assert(rows() == before, "compaction with a zero-row directory must preserve rows")
+  }
+
   test("indexed image dedup heals an index that missed a corpus append (crash between jobs)") {
     import graft.operators.{Dedup, Multimodal}
     val src = Files.createTempDirectory("graft_simgheal_src")

@@ -196,6 +196,48 @@ class TextAnalyticsSpec extends AnyFunSuite {
       s"df/stats must broadcast:\n$plan")
   }
 
+  test("tfidf/bm25 terms contract: duplicates and uppercase rejected; 32 terms work") {
+    val docs = Seq((0L, "a b"), (1L, "b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextAnalytics.tfidfTopK(docs, "doc_id", "text", Seq("a", "a"), k = 5)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalytics.bm25TopK(docs, "doc_id", "text", Seq("Spark"), k = 5)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalytics.tfidfTopK(docs, "doc_id", "text", Nil, k = 5)
+    }
+    // the old one-column-per-term formulation capped queries at 8 terms;
+    // the fold lifts that — 32 distinct terms, scores checked against a
+    // driver-side reference that sums per-term tf*N/df in the QUERY's
+    // term order over present terms only (exactly the fold's sequence,
+    // so equality is exact, not approximate)
+    val terms = (0 until 32).map(i => f"term$i%02d")
+    val fixture = Seq(
+      (0L, (0 until 32).map(i => f"term$i%02d").mkString(" ")), // every term once
+      (1L, "term00 term00 term05 term31 filler"),
+      (2L, "term31 other words entirely"),
+      (3L, "no query words at all")
+    ).toDF("doc_id", "text")
+    val toks: Map[Long, Seq[String]] = Map(
+      0L -> (0 until 32).map(i => f"term$i%02d"),
+      1L -> Seq("term00", "term00", "term05", "term31"),
+      2L -> Seq("term31"))
+    val n = 4.0
+    def dfreq(t: String) = toks.values.count(_.contains(t)).toDouble
+    def expScore(id: Long) = terms.foldLeft(0.0) { (acc, t) =>
+      val tf = toks(id).count(_ == t).toDouble
+      if (tf == 0.0) acc else acc + tf * n / dfreq(t)
+    }
+    val got = TextAnalytics.tfidfTopK(fixture, "doc_id", "text", terms, k = 10)
+      .as[(Long, Double)].collect().toMap
+    assert(got == Map(0L -> expScore(0L), 1L -> expScore(1L), 2L -> expScore(2L)))
+    // bm25 at 32 terms runs and ranks the all-term doc first
+    val bm = TextAnalytics.bm25TopK(fixture, "doc_id", "text", terms, k = 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(bm.head._1 == 0L && bm.size == 3)
+  }
+
   test("decontaminate: docs sharing an n-gram with eval drop; short docs survive") {
     val train = Seq(
       (0L, "the quick brown fox jumps over the dog"), // shares "quick brown fox"

@@ -71,6 +71,32 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project [cosine_similarity"), s"no codegen in:\n$plan")
   }
 
+  test("l2_normalize: unit norm, zero-vector passthrough, null element => null row") {
+    // plain arrays normalize; a zero vector passes through
+    val df = Seq(Seq(3.0, 4.0), Seq(0.0, 0.0)).toDF("v")
+    val out = df.select(vectors.l2Normalize($"v").as("n")).as[Seq[Double]].collect().toSeq
+    assert(out == Seq(Seq(0.6, 0.8), Seq(0.0, 0.0)))
+    // a null ELEMENT must yield a null result row (the pre-expression
+    // HOF plan propagated element nulls; reading the slot as 0.0 would
+    // silently change results) — exercised both interpreted and codegen
+    val nullable = Seq(
+      (1L, Some(Seq(Option(3.0), Option(4.0)))),
+      (2L, Some(Seq(Option(1.0), None))),
+      (3L, Option.empty[Seq[Option[Double]]])
+    ).toDF("id", "v")
+    val got = nullable.select($"id", vectors.l2Normalize($"v").as("n"))
+      .as[(Long, Option[Seq[Double]])].collect().toMap
+    assert(got(1L) == Some(Seq(0.6, 0.8)))
+    assert(got(2L).isEmpty, "null element must produce a null row, not garbage")
+    assert(got(3L).isEmpty, "null array stays null (nullIntolerant)")
+    // non-nullable-element inputs keep the fast path AND codegen
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val q = emb.select(vectors.l2Normalize($"embedding").as("n"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [vec_l2_normalize"), s"no codegen in:\n$plan")
+    assert(q.count() == emb.count())
+  }
+
   test("unicode_normalize: composes NFC, folds NFKC, null-safe, codegen'd") {
     import graft.functions.textnorm
     val decomposed = "caf" + "e\u0301" + " u\u0308ber"     // e+U+0301, u+U+0308
