@@ -369,8 +369,9 @@ object Dedup {
     * filtered, not shuffled). Verification is in-bucket with early exit
     * per batch doc. Residual per-batch cost is one columnar scan of the
     * corpus signature table — no UDF re-computation, no corpus shuffle;
-    * partitioning that table by bucket (the q77 layout) is the next
-    * increment if even the scan must go.
+    * when even that scan must go, [[MinhashIndex]] persists the same
+    * signatures bucket-partitioned and [[MinhashIndex.drops]] probes
+    * only the directories the batch hashes into.
     *
     * @return DROPPED batch ids as a single `_drop` column (callers
     *         left-anti join it so null-id rows pass through). */
@@ -379,32 +380,62 @@ object Dedup {
       batchPrep: DataFrame,
       threshold: Double = 0.5,
       maxBucketSize: Int = 10000): DataFrame = {
-    val spark = batchPrep.sparkSession
-    import spark.implicits._
     val bp = batchPrep.localCheckpoint(true)
     val bandedB = bp.select(col("_id"), explode(col("_bks")).as("_bk"))
       .withColumn("_side", lit(1))
     val batchBuckets = bandedB.select("_bk").distinct()
     val bandedC = corpusPrep.select(col("_id"), explode(col("_bks")).as("_bk"))
       .join(broadcast(batchBuckets), "_bk")
-      .withColumn("_side", lit(0))
-    val both = bandedB.unionByName(bandedC).localCheckpoint(true)
+    againstCore(bandedB, bandedC, candIds =>
+      corpusPrep.select(col("_id"), col("_sh"))
+        .unionByName(bp.select(col("_id"), col("_sh")))
+        .join(broadcast(candIds.select("_id").distinct()), "_id"),
+      threshold, maxBucketSize)
+  }
+
+  /** Mixed-bucket + skew-valve + in-bucket-verify core shared by the
+    * two corpus-signature carriers — the prepared TABLE
+    * ([[minhashAgainstPrepared]]: corpus banding broadcast-filtered
+    * from a full sidecar scan) and the persisted partition-pruned INDEX
+    * ([[MinhashIndex.drops]]: corpus banding read from exactly the
+    * bucket directories the batch hashes into). Both carriers restrict
+    * the corpus side to the batch's buckets BEFORE this core, so the
+    * bucket census, valve, payload slice and verification are
+    * literally the same plan — which is what makes the indexed
+    * streaming ingest's accept/drop sets provably identical to the
+    * sidecar variant's.
+    *
+    * @param bandedB  batch band rows (_id, _bk, _side=1)
+    * @param bandedC  corpus band rows (_id, _bk), already restricted to
+    *                 the batch's bucket set
+    * @param payloads candidate (_id, _side) rows -> (_id, _sh) shingle
+    *                 payloads covering at least those ids (the hook
+    *                 where the index carrier prunes its payload read)
+    * @return dropped batch ids as a single `_drop` column */
+  private[operators] def againstCore(
+      bandedB: DataFrame,
+      bandedC: DataFrame,
+      payloads: DataFrame => DataFrame,
+      threshold: Double,
+      maxBucketSize: Int): DataFrame = {
+    val spark = bandedB.sparkSession
+    import spark.implicits._
+    val both = bandedB.unionByName(bandedC.withColumn("_side", lit(0)))
+      .localCheckpoint(true)
     val mixed = both.groupBy("_bk")
       .agg(count(lit(1)).as("_bn"), sum(col("_side")).as("_nbatch"))
       .filter(col("_nbatch") >= 1 && (col("_bn") - col("_nbatch")) >= 1 &&
         col("_bn") <= maxBucketSize)
       .select("_bk")
     val survivors = both.join(mixed.hint("shuffle_hash"), "_bk")
-    val candIds = survivors.select("_id").distinct()
-    val shSlice = corpusPrep.select(col("_id"), col("_sh"))
-      .unionByName(bp.select(col("_id"), col("_sh")))
-      .join(broadcast(candIds), "_id")
+    val candIds = survivors.select("_id", "_side").distinct()
+    val shSlice = payloads(candIds)
     val packed = survivors
       .join(shSlice.hint("shuffle_hash"), "_id")
       .select(col("_bk"), col("_id"), col("_side"), col("_sh"))
       .as[(Long, Long, Int, Array[Long])]
     val t = threshold
-    val drops = packed.groupByKey(_._1).flatMapGroups {
+    packed.groupByKey(_._1).flatMapGroups {
       (_: Long, it: Iterator[(Long, Long, Int, Array[Long])]) =>
         val rows = it.toArray
         val corp = rows.filter(_._3 == 0)
@@ -412,7 +443,6 @@ object Dedup {
           case (_, id, 1, shB) if corp.exists(c => jaccardGE(c._4, shB, t)) => id
         }
     }.toDF("_drop").distinct()
-    drops
   }
 
   /** SimHash near-dedup: 4 x 16-bit bands (pigeonhole guarantees any pair

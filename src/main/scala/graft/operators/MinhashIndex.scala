@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted, bucket-partitioned MinHash signature index — the text
+  * twin of [[Ann]]'s Hamming index (`Ann.appendHammingIndexWithIds`):
+  * the structure that lets streaming dedup-on-ingest
+  * ([[graft.streaming.StreamOps.dedupedIngestIndexed]]) replace its
+  * per-batch O(corpus) signature-sidecar scan with reads of exactly
+  * the directories the batch hashes into.
+  *
+  * Layout under `path`, partitioned by (`_band`, `_bkt`):
+  *
+  *  - BAND rows (`_band=0`): one (doc `_id`, band-bucket key `_bk`) row
+  *    per band of [[Dedup.prepareMinhash]]'s `_bks` (the band ordinal
+  *    is already mixed into `_bk`, so a single band partition value
+  *    suffices — unlike the Hamming layout, whose band VALUES need the
+  *    ordinal to disambiguate). `_bkt = pmod(_bk, buckets)`.
+  *  - PAYLOAD rows (reserved `_band=-1`): one (doc `_id`, sorted
+  *    shingle hashes `_sh`) row per doc, `_bkt = pmod(xxhash64(_id),
+  *    buckets)` — the verification payloads AND the id-existence
+  *    census (exactly one payload row per corpus doc, which is what
+  *    the ingest's crash reconciliation counts).
+  *
+  * Probes collect only distinct partition-key VALUES to the driver
+  * (bounded by `buckets`, never by batch or corpus size) and push them
+  * as partition-column-only predicates, so scans statically prune to
+  * the touched directories; exact keys then equijoin away modulo
+  * collisions. Per-probe I/O is O(probed directories), independent of
+  * corpus size.
+  *
+  * Same small-file discipline as the Hamming index: each append lands
+  * one file per touched directory, and [[compact]] (the shared
+  * `Ann.compactHammingIndex` rewrite — the layouts are
+  * interchangeable for maintenance) folds the per-batch backlog. The
+  * ref's stack keeps signatures in a serving store
+  * (`streamlit_app.py:96-104`, Pinecone upsert); this is the
+  * lake-native equivalent a 100 TB corpus needs.
+  */
+object MinhashIndex {
+
+  /** Append a prepared signature batch ([[Dedup.prepareMinhash]]
+    * shape: `_id` long, `_sh` array<long>, `_bks` array<long>) to the
+    * index at `path`, creating it if absent. One narrow shuffle on the
+    * partition columns buys ONE file per touched directory per append
+    * (not tasks x directories — what keeps [[compact]]'s backlog
+    * linear in batches). Docs whose `_bks` is null (null text) land a
+    * payload row only, matching [[Dedup.minhashAgainstPrepared]]'s
+    * explode semantics. */
+  def append(prep: DataFrame, path: String, buckets: Int = 64): Unit = {
+    require(buckets > 0, s"buckets $buckets must be positive")
+    val bandRows = prep.select(col("_id"), explode(col("_bks")).as("_bk"))
+      .withColumn("_sh", lit(null).cast("array<long>"))
+      .withColumn("_band", lit(0))
+      .withColumn("_bkt", pmod(col("_bk"), lit(buckets.toLong)).cast("int"))
+    val payloadRows = prep.select(col("_id"), col("_sh"))
+      .withColumn("_bk", lit(null).cast("long"))
+      .withColumn("_band", lit(-1))
+      .withColumn("_bkt", pmod(xxhash64(col("_id")), lit(buckets.toLong)).cast("int"))
+    bandRows.select("_id", "_bk", "_sh", "_band", "_bkt")
+      .unionByName(payloadRows.select("_id", "_bk", "_sh", "_band", "_bkt"))
+      .repartition(col("_band"), col("_bkt"))
+      .write.mode("append").partitionBy("_band", "_bkt").parquet(path)
+  }
+
+  /** Which of `ids`' values are already indexed — the id-immutability
+    * probe. `ids` must be a single LONG `_id` column (the hash must
+    * match the one [[append]] bucketed payload rows by, and xxhash64
+    * is type-sensitive). Reads only the `_band=-1` bucket directories
+    * the probe ids hash to. */
+  def probeIds(spark: SparkSession, path: String, ids: DataFrame,
+      buckets: Int = 64): DataFrame = {
+    val hashed = ids.select(col("_id")).filter(col("_id").isNotNull)
+      .withColumn("_bkt", pmod(xxhash64(col("_id")), lit(buckets.toLong)).cast("int"))
+      .localCheckpoint(true) // reused: key collect + membership join
+    val keys = hashed.select(col("_bkt")).distinct().collect().map(_.getInt(0))
+    // partition probe stays PURE over partition columns so pruning
+    // actually fires; an empty batch reads zero partitions
+    val probe =
+      if (keys.isEmpty) lit(false)
+      else col("_band") === -1 && col("_bkt").isin(keys.map(Integer.valueOf): _*)
+    spark.read.parquet(path).filter(probe)
+      .select(col("_id"), col("_bkt"))
+      .join(hashed, Seq("_id", "_bkt"))
+      .select(col("_id")).distinct()
+  }
+
+  /** Batch-vs-index near-duplicate drops: every batch doc with a
+    * verified (exact-Jaccard >= `threshold`) near-duplicate in the
+    * index, as a single `_drop` column — [[Dedup
+    * .minhashAgainstPrepared]]'s contract over the persisted layout.
+    * The batch's distinct band buckets pick the `_band=0` directories
+    * to read (partition-pruned; exact `_bk` equijoin drops modulo
+    * collisions) and the surviving candidates' corpus ids pick the
+    * `_band=-1` payload directories the same way; everything after
+    * that — bucket census, `maxBucketSize` valve, in-bucket verify —
+    * is [[Dedup.againstCore]], the SAME core the sidecar carrier runs,
+    * so accept/drop sets are identical by construction.
+    * `buckets` must match the written layout. */
+  def drops(spark: SparkSession, path: String, batchPrep: DataFrame,
+      threshold: Double = 0.5, maxBucketSize: Int = 10000,
+      buckets: Int = 64): DataFrame = {
+    val bp = batchPrep.localCheckpoint(true)
+    val bandedB = bp.select(col("_id"), explode(col("_bks")).as("_bk"))
+      .withColumn("_side", lit(1))
+    val batchBuckets = bandedB.select("_bk").distinct().localCheckpoint(true)
+    val keys = batchBuckets
+      .select(pmod(col("_bk"), lit(buckets.toLong)).cast("int").as("_bkt"))
+      .distinct().collect().map(_.getInt(0))
+    val probe =
+      if (keys.isEmpty) lit(false)
+      else col("_band") === 0 && col("_bkt").isin(keys.map(Integer.valueOf): _*)
+    val bandedC = spark.read.parquet(path).filter(probe)
+      .select(col("_id"), col("_bk"))
+      .join(broadcast(batchBuckets), "_bk") // exact keys: drop modulo collisions
+    Dedup.againstCore(bandedB, bandedC, candIds => {
+      val pinned = candIds.localCheckpoint(true) // key collect + slice joins
+      val corpIds = pinned.filter(col("_side") === 0).select("_id")
+      val payloadKeys = corpIds
+        .select(pmod(xxhash64(col("_id")), lit(buckets.toLong)).cast("int").as("_bkt"))
+        .distinct().collect().map(_.getInt(0))
+      val payloadProbe =
+        if (payloadKeys.isEmpty) lit(false)
+        else col("_band") === -1 &&
+          col("_bkt").isin(payloadKeys.map(Integer.valueOf): _*)
+      spark.read.parquet(path).filter(payloadProbe)
+        .select(col("_id"), col("_sh"))
+        .join(broadcast(corpIds), "_id")
+        .unionByName(bp.select(col("_id"), col("_sh"))
+          .join(broadcast(pinned.filter(col("_side") === 1).select("_id")), "_id"))
+    }, threshold, maxBucketSize)
+  }
+
+  /** One payload row exists per indexed doc, so this is the index's
+    * doc census — partition-pruned to the `buckets` many `_band=-1`
+    * directories and answered from parquet footers (O(#files), not
+    * O(rows)). The ingest reconciles it against the corpus row count
+    * every batch. */
+  def payloadCount(spark: SparkSession, path: String): Long =
+    spark.read.parquet(path).filter(col("_band") === -1).count()
+
+  /** In-place small-file compaction — the (`_band`, `_bkt`) layout is
+    * maintenance-compatible with the Hamming index's, so this IS
+    * [[Ann.compactHammingIndex]] (move-then-delete; a crash leaves
+    * duplicate rows, which every probe distincts away). Run between
+    * batches. */
+  def compact(spark: SparkSession, path: String, minFiles: Int = 8): Int =
+    Ann.compactHammingIndex(spark, path, minFiles)
+}

@@ -165,14 +165,53 @@ object StreamOps {
     * (write the healed corpus to a NEW dir, then atomically update a
     * single manifest object naming the live dir — the scheme
     * [[graft.operators.VectorIndex]] uses for snapshots). */
+  /** Finish an interrupted [[healSwap]]: the heal dir is complete iff
+    * Spark's `_SUCCESS` marker exists; the corpus dir is absent only in
+    * the window between the swap's two renames. Sibling dirs have fixed
+    * names (single-writer assumption, like the rest of the ingest), so
+    * recovery needs no journal. Called once per writer lifetime, before
+    * the corpus is first read. */
+  private def recoverHealSwap(spark: org.apache.spark.sql.SparkSession,
+      corpusPath: String): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def hp(p: String) = new org.apache.hadoop.fs.Path(p)
+    val fs = hp(corpusPath).getFileSystem(hconf)
+    def exists(p: String) = fs.exists(hp(p))
+    val healPath = corpusPath + "__heal"
+    val trashPath = corpusPath + "__trash"
+    if (!exists(corpusPath) && exists(healPath + "/_SUCCESS"))
+      fs.rename(hp(healPath), hp(corpusPath))
+    if (exists(trashPath)) fs.delete(hp(trashPath), true)
+    if (exists(healPath)) fs.delete(hp(healPath), true)
+  }
+
+  /** Heal a double-appended corpus: accepted ids are immutable, so
+    * duplicate ids carry identical payloads — keep one. The rewrite
+    * goes to a SIBLING dir and swaps in via two renames (recovered by
+    * [[recoverHealSwap]] if interrupted); an in-place
+    * `mode("overwrite")` deletes the directory before writing, so a
+    * crash mid-heal would lose the whole accepted corpus. Returns the
+    * healed, pinned corpus. Rename-atomicity caveat as documented on
+    * [[dedupedIngest]]. */
+  private def healSwap(corpus0: DataFrame, corpusPath: String,
+      idCol: String): DataFrame = {
+    val spark = corpus0.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def hp(p: String) = new org.apache.hadoop.fs.Path(p)
+    val healed = corpus0.dropDuplicates(idCol).localCheckpoint(true)
+    healed.write.mode("overwrite").parquet(corpusPath + "__heal")
+    val fs = hp(corpusPath).getFileSystem(hconf)
+    if (!fs.rename(hp(corpusPath), hp(corpusPath + "__trash")) ||
+        !fs.rename(hp(corpusPath + "__heal"), hp(corpusPath)))
+      throw new IllegalStateException(s"heal swap failed at $corpusPath")
+    fs.delete(hp(corpusPath + "__trash"), true)
+    healed
+  }
+
   def dedupedIngest(docs: DataFrame, corpusPath: String,
       idCol: String = "doc_id", textCol: String = "text")
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val sigPath = corpusPath + "_sig"
-    // Heal-swap sibling dirs (single-writer assumption, like the rest of
-    // the ingest): fixed names so an interrupted swap is recoverable.
-    val healPath = corpusPath + "__heal"
-    val trashPath = corpusPath + "__trash"
     // Integrity (double-append heal + sidecar freshness) is verified ONCE
     // per writer lifetime, on the first batch that sees an existing
     // corpus — NOT per micro-batch: a full-corpus count plus distinct-id
@@ -188,16 +227,7 @@ object StreamOps {
         val hconf = spark.sparkContext.hadoopConfiguration
         def hp(p: String) = new org.apache.hadoop.fs.Path(p)
         def exists(p: String) = hp(p).getFileSystem(hconf).exists(hp(p))
-        if (!verified) {
-          // Finish an interrupted heal swap: the heal dir is complete iff
-          // Spark's _SUCCESS marker exists; the corpus dir is absent only
-          // in the window between the two renames below.
-          val fs = hp(corpusPath).getFileSystem(hconf)
-          if (!exists(corpusPath) && exists(healPath + "/_SUCCESS"))
-            fs.rename(hp(healPath), hp(corpusPath))
-          if (exists(trashPath)) fs.delete(hp(trashPath), true)
-          if (exists(healPath)) fs.delete(hp(healPath), true)
-        }
+        if (!verified) recoverHealSwap(spark, corpusPath)
         val withinDeduped = D.minhash(batch, idCol, textCol).localCheckpoint(true)
         val (accepted, acceptedSig) =
           if (!exists(corpusPath)) {
@@ -215,23 +245,7 @@ object StreamOps {
                 .distinct().localCheckpoint(true)
               val corpus =
                 if (corpus0.count() == cIds.count()) corpus0
-                else {
-                  // Heal a double-append: accepted ids are immutable, so
-                  // duplicate ids carry identical payloads — keep one.
-                  // The rewrite goes to a SIBLING dir and swaps in via
-                  // two renames (recovered above if interrupted); an
-                  // in-place mode("overwrite") deletes the directory
-                  // before writing, so a crash mid-heal would lose the
-                  // whole accepted corpus.
-                  val healed = corpus0.dropDuplicates(idCol).localCheckpoint(true)
-                  healed.write.mode("overwrite").parquet(healPath)
-                  val fs = hp(corpusPath).getFileSystem(hconf)
-                  if (!fs.rename(hp(corpusPath), hp(trashPath)) ||
-                      !fs.rename(hp(healPath), hp(corpusPath)))
-                    throw new IllegalStateException(s"heal swap failed at $corpusPath")
-                  fs.delete(hp(trashPath), true)
-                  healed
-                }
+                else healSwap(corpus0, corpusPath, idCol)
               val fresh0 =
                 if (!exists(sigPath)) None
                 else Some(spark.read.parquet(sigPath)).filter { s =>
@@ -274,6 +288,142 @@ object StreamOps {
           .write.mode("append").parquet(corpusPath)
         acceptedSig.write.mode("append").parquet(sigPath)
     }
+  }
+
+  /** [[dedupedIngest]] with the signature sidecar replaced by the
+    * persisted bucket-partitioned [[graft.operators.MinhashIndex]] —
+    * the text twin of [[imageDedupedIngestIndexed]]: the per-batch
+    * corpus cost drops from one full sidecar scan (O(corpus), the last
+    * per-batch cost that grew with corpus size) to partition-pruned
+    * reads of exactly the band-bucket and id-bucket directories the
+    * batch hashes into — O(probed directories), independent of corpus
+    * size. Accept/drop semantics are IDENTICAL to [[dedupedIngest]]
+    * (StreamingSpec asserts set equality across multi-batch runs):
+    * same within-batch keep-first minhash, same id-immutability, and
+    * the cross-batch verification is literally [[graft.operators.Dedup
+    * .againstCore]] — the same census/valve/verify plan the sidecar
+    * carrier runs, fed from pruned reads instead of a scan.
+    *
+    * Crash windows, mirroring the image-indexed variant plus the text
+    * variant's heal:
+    *
+    *  - corpus append and index append are separate jobs; a crash
+    *    between them leaves the index short. Every batch RECONCILES
+    *    the corpus row count (parquet footers) against the index's
+    *    payload-row census (1:1 by construction, partition-pruned to
+    *    the `_band=-1` directories) and rebuilds the index from the
+    *    corpus on divergence — O(#files) checks, bounded by
+    *    [[graft.operators.MinhashIndex.compact]] housekeeping, not
+    *    corpus size.
+    *  - an at-least-once retry that lands BOTH appends twice keeps the
+    *    counts equal while double-appending rows, so a fresh writer's
+    *    first batch (the only place a retry can manifest — a retry
+    *    implies a restart) additionally checks id-uniqueness and heals
+    *    via the same sibling-dir swap as [[dedupedIngest]]
+    *    ([[healSwap]], recovery on open), then rebuilds the index.
+    *
+    * Object-store rename caveat as documented on [[dedupedIngest]]. */
+  def dedupedIngestIndexed(docs: DataFrame, corpusPath: String,
+      indexPath: String, idCol: String = "doc_id", textCol: String = "text",
+      buckets: Int = 64)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    @volatile var verified = false
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val D = graft.operators.Dedup
+        val MI = graft.operators.MinhashIndex
+        val hconf = spark.sparkContext.hadoopConfiguration
+        def hp(p: String) = new org.apache.hadoop.fs.Path(p)
+        def exists(p: String) = hp(p).getFileSystem(hconf).exists(hp(p))
+        if (!verified) recoverHealSwap(spark, corpusPath)
+        val corpusExists = exists(corpusPath)
+        if (corpusExists) {
+          var corpus = spark.read.parquet(corpusPath)
+          var corpusN = corpus.count()
+          if (!verified) {
+            val distinctN = corpus.select(col(idCol)).distinct().count()
+            if (corpusN != distinctN) {
+              corpus = healSwap(corpus, corpusPath, idCol)
+              corpusN = distinctN
+            }
+          }
+          val rebuild = !exists(indexPath) ||
+            MI.payloadCount(spark, indexPath) != corpusN
+          if (rebuild) {
+            val ifs = hp(indexPath).getFileSystem(hconf)
+            if (ifs.exists(hp(indexPath))) ifs.delete(hp(indexPath), true)
+            MI.append(D.prepareMinhash(corpus, idCol, textCol), indexPath, buckets)
+          }
+        }
+        verified = true
+        val withinDeduped = D.minhash(batch, idCol, textCol).localCheckpoint(true)
+        val (accepted, acceptedPrep) =
+          if (!corpusExists) {
+            (withinDeduped, D.prepareMinhash(withinDeduped, idCol, textCol))
+          } else {
+            // accepted ids are immutable -> id re-use is an exact dup;
+            // the probe reads only the id buckets the batch hashes to
+            val taken = MI.probeIds(spark, indexPath,
+              withinDeduped.select(col(idCol).cast("long").as("_id")), buckets)
+            val fresh = withinDeduped.join(taken,
+              withinDeduped(idCol).cast("long") === taken("_id"), "left_anti")
+            // shingle the fresh rows ONCE; pin prep + drops, each feeds
+            // two consumers (same discipline as the sidecar variant)
+            val prep = D.prepareMinhash(fresh, idCol, textCol).localCheckpoint(true)
+            val drops = MI.drops(spark, indexPath, prep, buckets = buckets)
+              .localCheckpoint(true)
+            (fresh.join(drops, fresh(idCol).cast("long") === drops("_drop"), "left_anti"),
+              prep.join(drops, prep("_id") === drops("_drop"), "left_anti"))
+          }
+        val pinned = accepted.select(col(idCol), col(textCol)).localCheckpoint(true)
+        pinned.write.mode("append").parquet(corpusPath)
+        MI.append(acceptedPrep, indexPath, buckets)
+    }
+  }
+
+  /** Compact a streaming-ingest corpus directory in place: parquet
+    * append lands one small file per micro-batch, so — exactly as the
+    * Hamming/MinHash indexes before their compaction — corpus reads
+    * degrade from O(data) to O(batches) file opens without occasional
+    * folding. When more than `minFiles` data files have accumulated,
+    * rewrites them into ceil(bytes / targetFileBytes) files sized for
+    * scan-friendly parquet. The swap MOVES the new files in before
+    * deleting the old ones, so a crash mid-swap leaves DUPLICATE rows,
+    * never missing ones — the same failure class as an at-least-once
+    * double-append, healed by the ingest's id-uniqueness check on its
+    * next writer open ([[healSwap]]). Run between batches (not
+    * concurrent with an appending ingest — single-writer, like the
+    * ingest itself). Returns true if a rewrite happened. */
+  def compactCorpus(spark: org.apache.spark.sql.SparkSession,
+      corpusPath: String, minFiles: Int = 8,
+      targetFileBytes: Long = 128L * 1024 * 1024): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(corpusPath)
+    val fs = root.getFileSystem(hconf)
+    if (!fs.exists(root)) return false
+    val olds = fs.listStatus(root).toSeq.filter { f =>
+      val n = f.getPath.getName
+      f.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (olds.size <= minFiles) return false
+    val nOut = math.max(1L,
+      (olds.map(_.getLen).sum + targetFileBytes - 1) / targetFileBytes).toInt
+    // tmp is a SIBLING of the corpus dir so corpus readers never see it
+    val tmp = new Path(root.getParent, root.getName + "__compact_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true) // stale from a prior crash
+    // read exactly the snapshot of old files listed above (not the
+    // directory, whose listing could change under a buggy caller)
+    spark.read.parquet(olds.map(_.getPath.toString): _*)
+      .repartition(nOut)
+      .write.parquet(tmp.toString)
+    fs.listStatus(tmp).toSeq
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+      .foreach(f => fs.rename(f.getPath, new Path(root, "compact-" + f.getPath.getName)))
+    olds.foreach(f => fs.delete(f.getPath, false))
+    fs.delete(tmp, true)
+    true
   }
 
   /** Streaming IMAGE dedup-on-ingest: every micro-batch of (id, blob)

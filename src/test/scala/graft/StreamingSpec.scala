@@ -719,6 +719,154 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming TEXT dedup via persisted MinHash index: accept sets equal the sidecar variant, probes prune") {
+    import graft.operators.{Dedup, MinhashIndex}
+    val srcI = Files.createTempDirectory("graft_stidx_srcI")
+    val srcS = Files.createTempDirectory("graft_stidx_srcS")
+    val corpusI = Files.createTempDirectory("graft_stidx_cI").toString + "/corpus"
+    val corpusS = Files.createTempDirectory("graft_stidx_cS").toString + "/corpus"
+    val index = corpusI + "_midx"
+    val a = "the quick brown fox jumps over the lazy dog near the quiet river bank at dawn today"
+    val b = "catalyst rewrites logical plans into physical operators using cost based and rule based passes"
+    val c = "vector indexes bucket embeddings by locality sensitive hashes for sublinear similarity search"
+    val d = "structured streaming treats a stream as an unbounded table processed by repeated incremental batch queries"
+    def writeBatch(src: java.nio.file.Path, name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = Files.createTempDirectory(s"graft_stidx_$name")
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get
+      Files.copy(part, Paths.get(s"$src/$name.parquet"))
+    }
+    def mkStream(src: java.nio.file.Path) = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+      .parquet(src.toString)
+    // within-batch dup 2; cross-batch dup 4; null-text 6 always accepts;
+    // re-used id 3 drops; 7 near-dups accepted 3; 8 fresh
+    val batches = Seq(
+      ("b1", Seq((1L, a), (2L, "a " + a), (3L, b))),
+      ("b2", Seq((4L, a + " now"), (5L, c), (6L, null: String))),
+      ("b3", Seq((3L, c + " reworded beyond recognition"), (7L, "b " + b), (8L, d))))
+    for ((name, rows) <- batches) {
+      writeBatch(srcI, name, rows); writeBatch(srcS, name, rows)
+      val qi = StreamOps.dedupedIngestIndexed(mkStream(srcI), corpusI, index).start()
+      try qi.processAllAvailable() finally qi.stop()
+      val qs = StreamOps.dedupedIngest(mkStream(srcS), corpusS).start()
+      try qs.processAllAvailable() finally qs.stop()
+      val idsI = spark.read.parquet(corpusI).select("doc_id").as[Long].collect().sorted.toSeq
+      val idsS = spark.read.parquet(corpusS).select("doc_id").as[Long].collect().sorted.toSeq
+      assert(idsI == idsS, s"after $name: indexed=$idsI sidecar=$idsS must be identical")
+    }
+    val finalIds = spark.read.parquet(corpusI).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(finalIds == Seq(1L, 3L, 5L, 6L, 8L))
+    // one payload row per corpus row (the reconciliation census)
+    assert(MinhashIndex.payloadCount(spark, index) == 5L)
+    // the band probe must reach the index scans as PARTITION filters
+    // (static pruning) and find the accepted near-neighbour of doc 1
+    val prep = Dedup.prepareMinhash(
+      Seq((100L, a + " probe")).toDF("doc_id", "text"), "doc_id", "text")
+    val dr = MinhashIndex.drops(spark, index, prep)
+    val plan = dr.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*_band".r.findFirstIn(plan).isDefined,
+      s"band probe did not prune partitions:\n$plan")
+    assert(dr.select($"_drop").as[Long].collect().toSeq == Seq(100L))
+    // id probe prunes the same way and sees exactly the accepted ids
+    val idProbe = MinhashIndex.probeIds(spark, index,
+      Seq(1L, 6L, 999L).toDF("_id"))
+    assert("PartitionFilters: \\[[^\\]]*_band".r
+      .findFirstIn(idProbe.queryExecution.executedPlan.toString).isDefined)
+    assert(idProbe.as[Long].collect().sorted.toSeq == Seq(1L, 6L),
+      "null-text id 6 present via its payload row; unknown 999 absent")
+  }
+
+  test("indexed text dedup bootstraps from a sidecar corpus and heals a missed index append") {
+    import graft.operators.{Dedup, MinhashIndex}
+    val src = Files.createTempDirectory("graft_stheal_src")
+    val corpus = Files.createTempDirectory("graft_stheal_corpus").toString + "/corpus"
+    val index = corpus + "_midx"
+    val a = "the quick brown fox jumps over the lazy dog near the quiet river bank at dawn today"
+    val b = "catalyst rewrites logical plans into physical operators using cost based and rule based passes"
+    val c = "vector indexes bucket embeddings by locality sensitive hashes for sublinear similarity search"
+    val d = "structured streaming treats a stream as an unbounded table processed by repeated incremental batch queries"
+    def writeBatch(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = Files.createTempDirectory(s"graft_stheal_$name")
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get
+      Files.copy(part, Paths.get(s"$src/$name.parquet"))
+    }
+    def mkStream() = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+      .parquet(src.toString)
+    // corpus seeded by the UNINDEXED op — no index exists yet
+    writeBatch("b1", Seq((1L, a), (3L, b)))
+    val q1 = StreamOps.dedupedIngest(mkStream(), corpus).start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(!new java.io.File(index).exists())
+    // switch to the indexed op: bootstrap the index from the corpus,
+    // still drop the near-copy of accepted doc 1
+    writeBatch("b2", Seq((4L, a + " now"), (5L, c)))
+    val q2 = StreamOps.dedupedIngestIndexed(mkStream(), corpus, index).start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 3L, 5L), "bootstrap: dup 4 dropped, fresh 5 kept")
+    assert(new java.io.File(index).exists(), "index bootstrapped from corpus")
+    // crash window: a corpus append that completed whose index append
+    // did not — doc 7 exists in the corpus only
+    Seq((7L, d)).toDF("doc_id", "text").write.mode("append").parquet(corpus)
+    // next batch reconciles corpus count (4) vs payload census (3),
+    // rebuilds, and the near-copy of orphaned doc 7 is DROPPED while
+    // 7's id is immutable again
+    writeBatch("b3", Seq((8L, d + " now"), (9L, "entirely fresh words about nothing else at all here")))
+    val q3 = StreamOps.dedupedIngestIndexed(mkStream(), corpus, index).start()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 3L, 5L, 7L, 9L),
+      "near-dup 8 of the orphaned corpus row must drop after the heal")
+    assert(MinhashIndex.payloadCount(spark, index) == 5L,
+      "healed index covers every corpus row")
+  }
+
+  test("corpus compaction: files fold, rows and subsequent dedup unchanged") {
+    val src = Files.createTempDirectory("graft_scomp_src")
+    val corpus = Files.createTempDirectory("graft_scomp_corpus").toString + "/corpus"
+    val index = corpus + "_midx"
+    val a = "the quick brown fox jumps over the lazy dog near the quiet river bank at dawn today"
+    def writeBatch(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = Files.createTempDirectory(s"graft_scomp_$name")
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get
+      Files.copy(part, Paths.get(s"$src/$name.parquet"))
+    }
+    def mkStream() = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+      .parquet(src.toString)
+    def corpusFiles(): Seq[String] =
+      Files.list(Paths.get(corpus)).toArray.map(_.toString).toSeq
+        .filter(p => p.endsWith(".parquet"))
+    // four 1-row batches -> four corpus part files
+    for ((name, i) <- Seq("b1", "b2", "b3", "b4").zipWithIndex) {
+      writeBatch(name, Seq((i.toLong + 1L,
+        s"completely distinct document number $i about topic ${"xyz" * (i + 1)} and more")))
+      val q = StreamOps.dedupedIngestIndexed(mkStream(), corpus, index).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val before = spark.read.parquet(corpus).collect().map(_.toString).sorted.toSeq
+    val nBefore = corpusFiles().size
+    assert(nBefore >= 4, s"expected one file per batch, saw $nBefore")
+    assert(StreamOps.compactCorpus(spark, corpus, minFiles = 2), "compaction ran")
+    assert(corpusFiles().size < nBefore, "file count dropped")
+    assert(spark.read.parquet(corpus).collect().map(_.toString).sorted.toSeq == before,
+      "rows preserved exactly")
+    assert(!StreamOps.compactCorpus(spark, corpus, minFiles = 2),
+      "already compact: no rewrite")
+    // row counts unchanged => reconcile sees no divergence, and the
+    // compacted corpus still gates dedup: near-dup of doc 1 drops
+    writeBatch("b5", Seq((50L, "a " + a), (51L, a)))
+    val q5 = StreamOps.dedupedIngestIndexed(mkStream(), corpus, index).start()
+    try q5.processAllAvailable() finally q5.stop()
+    val ids = spark.read.parquet(corpus).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L, 4L, 50L),
+      "within-batch dup 51 dropped; 50 fresh vs compacted corpus")
+  }
+
   test("streaming dedup within watermark drops duplicate event ids") {
     // duplicate the stream source file => every event appears twice
     val dir = Files.createTempDirectory("graft_stream_dup")
