@@ -976,6 +976,68 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // FUZZY decontamination (q118's near-duplicate complement): train
+    // docs near-duplicating an eval doc drop via minhashAgainst with
+    // eval as the corpus side. Contract oracle, q87-style: the
+    // engineered pairs' TRUE trigram Jaccard decides expectation
+    // (exact in both engines); recall over expected drops >= 98%.
+    // Expected set = exact twins (eval texts are an every-83rd subset
+    // of train, J=1 whenever the doc has a trigram) + engineered
+    // quarter-rewrites of eval docs whose true Jaccard still >= 0.5.
+    "q120_decontaminate_fuzzy" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val base = docs
+        .select($"doc_id",
+          filter(split(lower($"text"), "[^a-z0-9]+"), x => x =!= "").as("tk"))
+      val eval83 = docs.filter($"doc_id" % 83 === 0).select($"text")
+      val b83 = base.filter($"doc_id" % 83 === 0 && size($"tk") >= 30)
+      val m = size($"tk")
+      val r = (m / lit(4)).cast("int")
+      def fill(tag: String) = transform(sequence(lit(1), r), i => concat(lit(tag), i))
+      val ndTk = concat(fill("xa"), slice($"tk", r + 1, m - r))
+      val nearDup = b83.select(($"doc_id" + 500000).as("doc_id"),
+        array_join(ndTk, " ").as("text"))
+      val fresh = base.filter(size($"tk") >= 30)
+        .select(($"doc_id" + 600000).as("doc_id"),
+          array_join(reverse($"tk"), " ").as("text"))
+      val train = docs.select($"doc_id", $"text")
+        .unionByName(nearDup).unionByName(fresh).localCheckpoint(true)
+      val kept = graft.operators.TextAnalytics
+        .decontaminateFuzzy(train, "doc_id", "text", eval83, "text")
+        .select($"doc_id".as("kid"))
+      // same exact-trigram-Jaccard UDF rationale as q87: bit-identical
+      // to the DuckDB oracle, ~100x cheaper than the Catalyst spelling
+      val pairGE = udf((ct: Seq[String], bt: Seq[String]) => {
+        def tri(ts: Seq[String]): java.util.HashSet[String] = {
+          val out = new java.util.HashSet[String]()
+          val n = ts.length
+          var i = 0
+          while (i + 3 <= n) { out.add(ts(i) + " " + ts(i + 1) + " " + ts(i + 2)); i += 1 }
+          out
+        }
+        val a = tri(ct); val b = tri(bt)
+        var inter = 0
+        val it = a.iterator()
+        while (it.hasNext) if (b.contains(it.next())) inter += 1
+        val uni = a.size + b.size - inter
+        uni > 0 && inter.toDouble / uni >= 0.5
+      })
+      val expNd = b83
+        .select(($"doc_id" + 500000).as("bid"), $"tk", ndTk.as("ntk"))
+        .filter(pairGE($"tk", $"ntk"))
+        .select($"bid")
+      val expExact = base.filter($"doc_id" % 83 === 0 && size($"tk") >= 3)
+        .select($"doc_id".as("bid"))
+      val expected = expExact.unionByName(expNd)
+      expected.join(kept, expected("bid") === kept("kid"), "left_outer")
+        .agg(count(lit(1)).as("n_expected"),
+          sum(when($"kid".isNull, 1L).otherwise(0L)).as("n_caught"))
+        .select($"n_expected",
+          ($"n_caught".cast("double") >= $"n_expected".cast("double") * 0.98)
+            .as("recall_ok"))
+    }),
+
     // BM25 lexical retrieval (q85's plan shape, the saturating scorer
     // hybrid stacks default to). The gate hashes floor(score * 1e6):
     // see the oracle-side comment for the ln() ulp analysis.
@@ -2708,6 +2770,37 @@ object SparkEntry {
         |SELECT d.doc_id FROM documents d
         |WHERE NOT EXISTS (SELECT 1 FROM bad b WHERE b.doc_id = d.doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "q120_decontaminate_fuzzy" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |ex AS (
+        |  SELECT count(*) AS n_exact FROM base WHERE doc_id % 83 = 0 AND len(tk) >= 3),
+        |flt AS (
+        |  SELECT doc_id, tk, len(tk) AS m, len(tk) // 4 AS r FROM base
+        |  WHERE doc_id % 83 = 0 AND len(tk) >= 30),
+        |prs AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(tk) - 2),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS csh,
+        |    list_concat(list_transform(generate_series(1, r), i -> 'xa' || i),
+        |      list_slice(tk, r + 1, m)) AS t2
+        |  FROM flt),
+        |jac AS (
+        |  SELECT doc_id, csh,
+        |    list_distinct(list_transform(generate_series(1, len(t2) - 2),
+        |      i -> t2[i] || ' ' || t2[i+1] || ' ' || t2[i+2])) AS bsh
+        |  FROM prs),
+        |ovl AS (
+        |  SELECT doc_id, len(list_intersect(bsh, csh)) AS o, len(bsh) AS nb, len(csh) AS nc
+        |  FROM jac),
+        |nd AS (
+        |  SELECT count(*) AS n_nd FROM ovl
+        |  WHERE CAST(o AS DOUBLE) / (nb + nc - o) >= 0.5)
+        |SELECT CAST((SELECT n_exact FROM ex) + (SELECT n_nd FROM nd) AS BIGINT) AS n_expected,
+        |  TRUE AS recall_ok""".stripMargin,
 
     "q87_dedup_against" ->
       """WITH base AS (

@@ -306,8 +306,11 @@ object TextAnalytics {
     * id-distinct. No UDFs; everything codegen'd. */
   def decontaminate(train: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, eval: org.apache.spark.sql.DataFrame,
-      evalTextCol: String, n: Int = 13): org.apache.spark.sql.DataFrame = {
+      evalTextCol: String, n: Int = 13,
+      hashGrams: Boolean = true): org.apache.spark.sql.DataFrame = {
     require(n >= 1, "n must be >= 1")
+    def carrier(g: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      if (hashGrams) xxhash64(g) else g
     // tokenization is MATERIALIZED as a column before the gram lambda:
     // higher-order functions run interpreted (no whole-stage codegen,
     // no subexpression elimination), so an inline `toks` referenced by
@@ -326,13 +329,50 @@ object TextAnalytics {
       filter(split(lower(c), "[^a-z0-9]+"), x => x =!= "")
     val evalGrams = eval
       .select(tokenize(col(evalTextCol)).as("_toks"))
-      .select(explode(grams).as("_g")).distinct()
+      .select(explode(grams).as("_g0"))
+      .select(carrier(col("_g0")).as("_g")).distinct()
     val contaminated = train
       .select(col(idCol), tokenize(col(textCol)).as("_toks"))
-      .select(col(idCol), explode(grams).as("_g"))
+      .select(col(idCol), explode(grams).as("_g0"))
+      .select(col(idCol), carrier(col("_g0")).as("_g"))
       .join(broadcast(evalGrams), Seq("_g"), "left_semi")
       .select(col(idCol)).distinct()
     train.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /** FUZZY benchmark decontamination: drop training documents that
+    * NEAR-duplicate any eval document (MinHash/LSH candidates, exact
+    * trigram-Jaccard verify at `threshold`) — the complement of
+    * [[decontaminate]]'s exact n-gram hits. Real pipelines run both:
+    * contaminated docs are routinely light paraphrases or
+    * whitespace/markup variants of benchmark items that share no
+    * verbatim 13-gram (GPT-3 appendix C removed such overlaps too).
+    *
+    * Wrapper over [[Dedup.minhashAgainst]] with the EVAL set as the
+    * corpus side, so the asymmetric batch-vs-corpus shape points the
+    * right way: eval signatures are the small broadcast-side census,
+    * and training text joins payloads only for rows that land in a
+    * mixed bucket — the train corpus never shuffles wholesale.
+    *
+    * Id plumbing: the two sides of minhashAgainst need disjoint id
+    * spaces, so train ids (cast to long — must fit in 62 bits; a
+    * null-casting id never drops, as in every dedup variant) map to
+    * the EVEN longs and eval rows get synthetic ODD ids — no
+    * assumption about either side's key range, and eval needs no id
+    * column at all. Returns the surviving train rows unchanged. */
+  def decontaminateFuzzy(train: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, eval: org.apache.spark.sql.DataFrame,
+      evalTextCol: String, threshold: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    val evalK = eval
+      .select(col(evalTextCol).as("_ftext"))
+      .withColumn("_fid", monotonically_increasing_id() * 2 + 1)
+      .localCheckpoint(true) // eval is small by definition; pin its ids
+    val trainK = train
+      .withColumn("_fid", col(idCol).cast("long") * 2)
+      .withColumn("_ftext", col(textCol))
+    graft.operators.Dedup
+      .minhashAgainst(evalK, trainK, "_fid", "_ftext", threshold = threshold)
+      .drop("_fid", "_ftext")
   }
 
   /** Gopher-style repetition signals: per document, the word count and

@@ -262,6 +262,38 @@ class TextAnalyticsSpec extends AnyFunSuite {
       s"eval grams must broadcast:\n$plan")
   }
 
+  test("decontaminate: hashed gram carrier matches the string carrier on the gate fixture") {
+    // the q118 gate shape: documents vs the every-83rd-doc eval subset
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val ev = docs.filter($"doc_id" % 83 === 0).select($"text")
+    val hashed = TextAnalytics.decontaminate(docs, "doc_id", "text", ev, "text", n = 8)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    val strings = TextAnalytics.decontaminate(docs, "doc_id", "text", ev, "text",
+        n = 8, hashGrams = false)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(hashed == strings, "the two carriers must keep identical doc sets")
+    assert(hashed.nonEmpty && hashed.size < docs.count(),
+      "fixture exercises both kept and dropped docs")
+  }
+
+  test("decontaminateFuzzy: near-dups of eval docs drop, rewordings and fresh docs survive") {
+    val evalText = "the quick brown fox jumps over the lazy dog near the quiet river bank at dawn today"
+    val train = Seq(
+      (0L, evalText), // exact twin -> drop
+      (1L, "a " + evalText), // near-dup (high trigram overlap) -> drop
+      (2L, "completely unrelated training text about catalyst plans and physical operators here"),
+      (3L, evalText.split(" ").reverse.mkString(" ")), // same words reversed: no shared trigrams
+      (4L, null: String) // null text is nobody's duplicate
+    ).toDF("doc_id", "text")
+    val ev = Seq(evalText).toDF("text")
+    val kept = TextAnalytics.decontaminateFuzzy(train, "doc_id", "text", ev, "text")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 3L, 4L))
+    // train rows come back unchanged (columns intact, no helper cols)
+    val cols = TextAnalytics.decontaminateFuzzy(train, "doc_id", "text", ev, "text").columns.toSeq
+    assert(cols == Seq("doc_id", "text"))
+  }
+
   test("rrfFuse: fused score sums reciprocal ranks, missing list contributes 0") {
     val a = Seq((10L, 1), (20L, 2)).toDF("id", "rank")
     val b = Seq((20L, 1), (30L, 2)).toDF("id", "rank")
