@@ -1,0 +1,150 @@
+package graft.sources
+
+/** PDF standard security handler primitives (PDF 32000-1 §7.6.2-7.6.3),
+  * dep-free: MD5 via `java.security.MessageDigest`, AES-CBC via the
+  * JDK's `javax.crypto`, RC4 hand-rolled (12 lines; also sidesteps any
+  * JCE provider/policy variance for the legacy cipher).
+  *
+  * Scope ([[SimplePdfTextExtractor]]'s encrypted-document support):
+  * EMPTY-USER-PASSWORD documents — the owner-locked/"protected" PDFs
+  * crawled corpora are full of, which every viewer opens without
+  * prompting — under revisions R2/R3/R4 with RC4-40..128 (/V1, /V2,
+  * /V4+/V2) or AES-128-CBC (/V4+/AESV2) stream encryption. The
+  * reference opens these transparently via PyMuPDF
+  * (`/root/reference/streamlit_app.py:62`). Non-empty user passwords
+  * fail [[verifyEmptyUser]] and the document keeps its no-text-layer
+  * fallback route; AES-256 (R5/R6) and non-Standard handlers are out
+  * of scope.
+  *
+  * The algorithm-3/4/5 WRITER halves ([[computeO]]/[[computeU]]/
+  * [[encryptAes]]) exist so golden encrypted fixtures can be built
+  * in-repo (SourcesSpec) — they are the same math the verifier runs.
+  */
+private[graft] object PdfCrypt {
+
+  /** §7.6.3.3 the 32-byte password padding string. */
+  private[graft] val Pad: Array[Byte] = Array(
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+    0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+
+  private def md5(parts: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  /** RC4/ARCFOUR keystream cipher (encrypt == decrypt). */
+  private[graft] def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val s = Array.tabulate(256)(identity)
+    var j = 0
+    var i = 0
+    while (i < 256) {
+      j = (j + s(i) + (key(i % key.length) & 0xFF)) & 0xFF
+      val t = s(i); s(i) = s(j); s(j) = t
+      i += 1
+    }
+    val out = new Array[Byte](data.length)
+    i = 0; j = 0
+    var n = 0
+    while (n < data.length) {
+      i = (i + 1) & 0xFF
+      j = (j + s(i)) & 0xFF
+      val t = s(i); s(i) = s(j); s(j) = t
+      out(n) = (data(n) ^ s((s(i) + s(j)) & 0xFF)).toByte
+      n += 1
+    }
+    out
+  }
+
+  private def le32(v: Int): Array[Byte] =
+    Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+
+  /** Algorithm 2: the file encryption key for the EMPTY user password.
+    * `keyLen` in bytes (5 for 40-bit R2, up to 16). */
+  private[graft] def fileKey(o: Array[Byte], p: Int, id0: Array[Byte],
+      r: Int, keyLen: Int, encryptMetadata: Boolean): Array[Byte] = {
+    val extra =
+      if (r >= 4 && !encryptMetadata) le32(-1) else Array.emptyByteArray
+    var key = md5(Pad, o.take(32), le32(p), id0, extra).take(keyLen)
+    if (r >= 3) for (_ <- 0 until 50) key = md5(key).take(keyLen)
+    key
+  }
+
+  /** Algorithm 4 (R2) / 5 (R>=3): the /U entry proving the empty user
+    * password against `key`. For R>=3 only the first 16 bytes are
+    * defined; the writer half pads with zeros. */
+  private[graft] def computeU(key: Array[Byte], id0: Array[Byte],
+      r: Int): Array[Byte] =
+    if (r == 2) rc4(key, Pad)
+    else {
+      var x = rc4(key, md5(Pad, id0))
+      for (i <- 1 to 19) x = rc4(key.map(b => (b ^ i).toByte), x)
+      x ++ new Array[Byte](16)
+    }
+
+  /** Does the document's /U entry verify the empty user password? */
+  private[graft] def verifyEmptyUser(key: Array[Byte], u: Array[Byte],
+      id0: Array[Byte], r: Int): Boolean = {
+    val expect = computeU(key, id0, r)
+    val n = if (r == 2) 32 else 16 // R>=3: trailing 16 bytes arbitrary
+    u.length >= n && java.util.Arrays.equals(expect.take(n), u.take(n))
+  }
+
+  /** Algorithm 3 (writer half): the /O entry for (`ownerPwd`, empty
+    * user password). */
+  private[graft] def computeO(ownerPwd: Array[Byte], r: Int,
+      keyLen: Int): Array[Byte] = {
+    val padded = (ownerPwd ++ Pad).take(32)
+    var h = md5(padded)
+    if (r >= 3) for (_ <- 0 until 50) h = md5(h)
+    val okey = h.take(keyLen)
+    var o = rc4(okey, Pad) // RC4 of the padded (empty) USER password
+    if (r >= 3) for (i <- 1 to 19) o = rc4(okey.map(b => (b ^ i).toByte), o)
+    o
+  }
+
+  /** Algorithm 1: per-object key — MD5(fileKey || objNum LE24 ||
+    * gen LE16 || "sAlT" when AES), truncated to min(len+5, 16). */
+  private[graft] def objectKey(fileKey: Array[Byte], objNum: Long,
+      gen: Long, aes: Boolean): Array[Byte] = {
+    val ext = Array(objNum.toByte, (objNum >> 8).toByte, (objNum >> 16).toByte,
+      gen.toByte, (gen >> 8).toByte)
+    val salt =
+      if (aes) Array(0x73.toByte, 0x41.toByte, 0x6C.toByte, 0x54.toByte)
+      else Array.emptyByteArray
+    md5(fileKey, ext, salt).take(math.min(fileKey.length + 5, 16))
+  }
+
+  /** AES-128-CBC stream decryption (/AESV2): the stored payload's
+    * first 16 bytes are the IV; PKCS#5 padding stripped when
+    * well-formed (kept when not — lenient, like real readers). None
+    * when the payload is structurally impossible (short / non-block
+    * length) or the JCE rejects it. */
+  private[graft] def decryptAes(objKey: Array[Byte],
+      data: Array[Byte]): Option[Array[Byte]] = {
+    if (data.length < 32 || (data.length - 16) % 16 != 0) return None
+    try {
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(javax.crypto.Cipher.DECRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(objKey, "AES"),
+        new javax.crypto.spec.IvParameterSpec(data, 0, 16))
+      val plain = c.doFinal(data, 16, data.length - 16)
+      val pad = plain(plain.length - 1) & 0xFF
+      if (pad >= 1 && pad <= 16 && pad <= plain.length)
+        Some(java.util.Arrays.copyOf(plain, plain.length - pad))
+      else Some(plain)
+    } catch { case _: java.security.GeneralSecurityException => None }
+  }
+
+  /** AES-128-CBC encryption (fixture/writer half): IV prepended, PKCS#5
+    * padded — the inverse of [[decryptAes]]. */
+  private[graft] def encryptAes(objKey: Array[Byte], iv: Array[Byte],
+      plain: Array[Byte]): Array[Byte] = {
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+    c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(objKey, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    iv ++ c.doFinal(plain)
+  }
+}

@@ -78,12 +78,24 @@ object Utf8TextExtractor extends TextExtractor {
   * the merged-document CMaps (codes colliding across fonts dropped
   * to raw), then raw Latin-1 bytes (or BOM-tagged decode).
   *
+  * ENCRYPTED documents (standard security handler, §7.6.3): documents
+  * whose EMPTY user password verifies — the owner-locked/"protected"
+  * PDFs every viewer opens without prompting, which crawled corpora
+  * are full of; the reference opens them transparently via PyMuPDF
+  * (streamlit_app.py:62) — decrypt before filter decoding: RC4-40..128
+  * (/V1, /V2, /V4 + /CFM /V2) and AES-128-CBC (/V4 + /CFM /AESV2),
+  * per-object keys from the stream's owning header, all JDK crypto
+  * ([[PdfCrypt]]). Strings inside content streams need no separate
+  * pass (stream decryption covers them); ToUnicode CMaps and ObjStm
+  * payloads decrypt the same way.
+  *
   * Honest scope (ref op A2, streamlit_app.py:60-71): streams with other
   * filters (DCTDecode images, CCITT, JBIG2, JPX), a `/DecodeParms`/
   * `/DP` `/Predictor` ≥ 2 (flate+predictor xref streams — the decoded
   * bytes are PNG-row-filtered binary, never a text layer), and
-  * ENCRYPTED documents (`/Encrypt` — RC4/AES stream payloads decode as
-  * corrupt data) have no recoverable text layer here, so they
+  * encrypted documents OUTSIDE the supported envelope (non-empty user
+  * passwords, AES-256 R5/R6, non-/Standard handlers — their payloads
+  * stay corrupt data) have no recoverable text layer here, so they
   * contribute "" and
   * [[FallbackExtractor]] routes whitespace-only documents to OCR — the
   * same path the reference takes for scanned pages. Full-fidelity
@@ -185,12 +197,24 @@ object SimplePdfTextExtractor extends TextExtractor {
         val lenEnd = directLength(dict).orElse(indirectLength(dict, doc)).collect {
           case n if dataStart + n.toLong <= s.length => dataStart + n
         }
+        // stream payloads in an encrypted doc decrypt (per-object key
+        // from the OWNING header) before filter decoding — except XRef
+        // streams, which are never encrypted (§7.5.8.2). A failed
+        // decrypt falls back to the stored bytes, which downstream
+        // decoding rejects to no-text, the pre-encryption behavior.
+        val enc = doc.crypt.filter(_ =>
+          "/Type\\s*/XRef\\b".r.findFirstIn(dict).isEmpty)
+        def payload(end: Int): String = {
+          val raw = s.substring(dataStart, end)
+          enc.flatMap(cx => doc.ownerOf(k)
+            .flatMap { case (n, g) => cx.decrypt(raw, n, g) }).getOrElse(raw)
+        }
         val filters = filterNames(dict)
         if (!hasParms && filters.isEmpty) {
           val end = lenEnd.getOrElse {
             val e = s.indexOf("endstream", dataStart); if (e < 0) s.length else e
           }
-          body = Some(s.substring(dataStart, end))
+          body = Some(payload(end))
           pos = skipEndstream(s, end)
         } else if (!hasParms && filters.exists(_.forall(Decoders.contains))) {
           val chain = filters.get
@@ -198,7 +222,7 @@ object SimplePdfTextExtractor extends TextExtractor {
             case Some(end) =>
               // exact payload slice defeats embedded literal "endstream";
               // each decoder ignores trailing bytes past its own EOD
-              body = decodeChain(s.substring(dataStart, end), chain, earlyChange)
+              body = decodeChain(payload(end), chain, earlyChange)
               pos = skipEndstream(s, end)
             case None =>
               chain.head match {
@@ -207,25 +231,27 @@ object SimplePdfTextExtractor extends TextExtractor {
                   // the EOD '>' (or the first endstream) bounds the data
                   val eod = s.indexOf('>', dataStart)
                   val end = if (eod < 0) s.length else eod + 1
-                  body = decodeChain(s.substring(dataStart, end), chain, earlyChange)
+                  body = decodeChain(payload(end), chain, earlyChange)
                   pos = skipEndstream(s, end)
                 case "ASCII85Decode" | "A85" =>
                   // base-85 data CAN spell "endstream", but its '~>' EOD
                   // marker cannot appear in valid data — bound by it
                   val eod = s.indexOf("~>", dataStart)
                   val end = if (eod < 0) s.length else eod + 2
-                  body = decodeChain(s.substring(dataStart, end), chain, earlyChange)
+                  body = decodeChain(payload(end), chain, earlyChange)
                   pos = skipEndstream(s, end)
                 case _ =>
                   // flate first with indirect/absent /Length: the first
                   // "endstream" may sit INSIDE the compressed bytes. Try
                   // successive candidates — truncated zlib data decodes
-                  // to None, the true boundary decodes cleanly — and
-                  // resume past the accepted one.
+                  // to None, the true boundary decodes cleanly (for an
+                  // encrypted doc each candidate slice decrypts first —
+                  // a wrong boundary decrypts to garbage zlib, which
+                  // also rejects) — and resume past the accepted one.
                   var e = s.indexOf("endstream", dataStart)
                   var attempts = 0
                   while (body.isEmpty && e >= 0 && attempts < 8) {
-                    decodeChain(s.substring(dataStart, e), chain, earlyChange) match {
+                    decodeChain(payload(e), chain, earlyChange) match {
                       case some @ Some(_) => body = some
                       case None =>
                         attempts += 1
@@ -308,6 +334,140 @@ object SimplePdfTextExtractor extends TextExtractor {
       * byte-order fallback's Tf resolution, where no per-page
       * /Resources context exists. */
     lazy val globalFonts: Map[String, FontDec] = buildGlobalFonts(this)
+
+    /** Object headers sorted by offset, for [[ownerOf]]. */
+    private lazy val headersByOffset: Array[(Int, Long, Long)] =
+      idx.iterator.map { case ((n, g), off) => (off, n, g) }.toArray.sortBy(_._1)
+
+    /** The object OWNING byte offset `at`: the header with the greatest
+      * start <= at — what per-object decryption keys are derived from.
+      * A spurious "N G obj" inside some binary payload would misnumber
+      * the following stream (same ambiguity [[idx]] already accepts);
+      * the wrong key then decrypts to garbage, which downstream filter
+      * decoding rejects to no-text — never a crash. */
+    def ownerOf(at: Int): Option[(Long, Long)] = {
+      val arr = headersByOffset
+      var lo = 0; var hi = arr.length - 1; var res = -1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (arr(mid)._1 <= at) { res = mid; lo = mid + 1 } else hi = mid - 1
+      }
+      if (res < 0) None else Some((arr(res)._2, arr(res)._3))
+    }
+
+    /** Stream-decryption context — Some iff the doc carries a
+      * supported /Encrypt dict AND the empty user password verifies.
+      * MUST NOT read [[stm]]: ObjStm payloads are themselves encrypted,
+      * so decoding them needs this field first (the spec guarantees the
+      * Encrypt dict is never ObjStm-contained, so direct-object
+      * resolution suffices). */
+    lazy val crypt: Option[StreamCrypt] = parseEncryption(this)
+  }
+
+  /** Per-document stream decryption (PDF 32000-1 §7.6): the verified
+    * file key plus the stream crypt method. Decrypt-then-defilter: the
+    * file stores Encrypt(filter-encoded bytes). */
+  private[sources] final case class StreamCrypt(fileKey: Array[Byte], aes: Boolean) {
+    def decrypt(raw: String, objNum: Long, gen: Long): Option[String] = {
+      val data = raw.getBytes(StandardCharsets.ISO_8859_1)
+      val okey = PdfCrypt.objectKey(fileKey, objNum, gen, aes)
+      val plain =
+        if (aes) PdfCrypt.decryptAes(okey, data)
+        else Some(PdfCrypt.rc4(okey, data))
+      plain.map(new String(_, StandardCharsets.ISO_8859_1))
+    }
+  }
+
+  /** Parse the trailer's /Encrypt dict and verify the EMPTY user
+    * password (PdfCrypt's scope note). Returns None — leaving every
+    * stream to decode as the (garbage) stored bytes, i.e. no text
+    * layer, the pre-existing behavior — when the doc is unencrypted,
+    * the handler/version is unsupported (non-/Standard, V5/AES-256),
+    * streams are exempt (/StmF /Identity), or the user password is
+    * non-empty. */
+  private def parseEncryption(doc: Doc): Option[StreamCrypt] = {
+    val s = doc.s
+    // last /Encrypt wins (incremental updates append trailers)
+    var encRef: Option[(String, String)] = None
+    "/Encrypt\\s+(\\d+)\\s+(\\d+)\\s+R".r.findAllMatchIn(s)
+      .foreach(m => encRef = Some((m.group(1), m.group(2))))
+    val dict = encRef.flatMap { case (n, g) =>
+      doc.lastObjStart(n, g).map(doc.objPrelude) // never via stm (see crypt)
+    }.orElse {
+      // direct-dict form in the trailer
+      var at = -1
+      "/Encrypt\\s*<<".r.findAllMatchIn(s).foreach(m => at = m.end - 2)
+      if (at < 0) None else Some(balancedDictForward(s, at))
+    }
+    dict.filter(d => "/Filter\\s*/Standard\\b".r.findFirstIn(d).isDefined)
+      .flatMap { d =>
+        def num(key: String): Option[Long] =
+          ("/" + key + "\\s+(-?\\d+)").r.findFirstMatchIn(d)
+            .flatMap(_.group(1).toLongOption)
+        def str(key: String): Option[Array[Byte]] =
+          ("/" + key + "\\s*([(<])").r.findFirstMatchIn(d).map { m =>
+            val at = m.end - 1
+            val parsed =
+              if (d.charAt(at) == '(') parseString(d, at)._1
+              else parseHexString(d, at)._1
+            parsed.getBytes(StandardCharsets.ISO_8859_1)
+          }
+        val v = num("V").getOrElse(0L).toInt
+        val r = num("R").getOrElse(0L).toInt
+        // P is a signed 32-bit int, but writers emit it unsigned too
+        val p = num("P").map(x => (x & 0xFFFFFFFFL).toInt).getOrElse(-1)
+        val bits = num("Length").getOrElse(40L).toInt
+        val encMeta =
+          !"/EncryptMetadata\\s+false".r.findFirstIn(d).isDefined
+        val carrier: Option[(Int, Boolean)] = v match {
+          case 1 => Some((5, false))
+          case 2 => Some((math.max(5, math.min(16, bits / 8)), false))
+          case 4 =>
+            // /StmF names the stream crypt filter; default Identity =
+            // streams NOT encrypted (only strings would be)
+            val stmF = "/StmF\\s*/(\\w+)".r.findFirstMatchIn(d)
+              .map(_.group(1)).getOrElse("Identity")
+            if (stmF == "Identity") None
+            else ("/" + stmF + "\\s*<<").r.findFirstMatchIn(d).flatMap { m =>
+              val cf = balancedDictForward(d, m.end - 2)
+              val cfm = "/CFM\\s*/(\\w+)".r.findFirstMatchIn(cf).map(_.group(1))
+              // CF /Length is bytes per spec, bits from sloppy writers
+              val cfLen = "/Length\\s+(\\d+)".r.findFirstMatchIn(cf)
+                .flatMap(_.group(1).toIntOption)
+                .map(l => if (l >= 40) l / 8 else l)
+              cfm.collect {
+                case "AESV2" => (16, true)
+                case "V2" => (cfLen.getOrElse(math.max(5, math.min(16, bits / 8))), false)
+              }
+            }
+          case _ => None // V5/AES-256 and exotic versions: out of scope
+        }
+        for {
+          (keyLen, aes) <- carrier
+          o <- str("O") if o.length >= 32
+          u <- str("U") if r >= 2 && r <= 4
+          id0 = trailerId0(doc)
+          key = PdfCrypt.fileKey(o, p, id0, r, keyLen, encMeta)
+          if PdfCrypt.verifyEmptyUser(key, u, id0, r)
+        } yield StreamCrypt(key, aes)
+      }
+  }
+
+  /** First element of the trailer /ID array (hex or literal string);
+    * empty when absent (lenient — the spec requires /ID on encrypted
+    * docs, but key derivation with an empty ID still round-trips for
+    * writers that omit it). Last occurrence wins, matching trailer
+    * precedence; ID[0] is the immutable original-document half. */
+  private def trailerId0(doc: Doc): Array[Byte] = {
+    val s = doc.s
+    var at = -1
+    "/ID\\s*\\[\\s*".r.findAllMatchIn(s).foreach(m => at = m.end)
+    if (at < 0 || at >= s.length) Array.emptyByteArray
+    else s.charAt(at) match {
+      case '<' => parseHexString(s, at)._1.getBytes(StandardCharsets.ISO_8859_1)
+      case '(' => parseString(s, at)._1.getBytes(StandardCharsets.ISO_8859_1)
+      case _ => Array.emptyByteArray
+    }
   }
 
   /** ONE entry per page, in PAGE-TREE order: the page's content-stream
@@ -413,7 +573,11 @@ object SimplePdfTextExtractor extends TextExtractor {
       .getOrElse {
         val e = s.indexOf("endstream", dataStart); if (e < 0) s.length else e
       }
-    val raw = s.substring(dataStart, end)
+    val stored = s.substring(dataStart, end)
+    // ObjStm payloads are encrypted like any other stream (the objects
+    // INSIDE then carry no further string encryption, §7.5.7)
+    val raw = doc.crypt.flatMap(cx => doc.ownerOf(kw)
+      .flatMap { case (n, g) => cx.decrypt(stored, n, g) }).getOrElse(stored)
     filterNames(dict) match {
       case None => Some((dict, raw))
       case Some(chain) if chain.forall(Decoders.contains) =>

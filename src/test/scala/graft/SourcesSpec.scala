@@ -1030,6 +1030,75 @@ class SourcesSpec extends AnyFunSuite {
     assert(new String(badBack.head._2) == "OK")
   }
 
+  /** Golden ENCRYPTED one-page PDF (standard security handler, empty
+    * user password, owner password "owner-secret"), built with
+    * PdfCrypt's writer halves — the same math the verifier runs, so a
+    * sign/endianness slip would cancel out; the REAL assertion is that
+    * decrypt-then-defilter recovers the planted text through the full
+    * extractor. Modes: "rc4-40" (V1/R2, unfiltered), "rc4-128" (V2/R3,
+    * unfiltered), "aes" (V4/R4 /AESV2, FlateDecode'd — exercises
+    * decrypt-then-inflate). corruptU simulates a NON-empty user
+    * password: /U stops verifying, so no decryption is attempted. */
+  private def encryptedPdf(mode: String, corruptU: Boolean = false): Array[Byte] = {
+    import graft.sources.PdfCrypt
+    val content = "BT /F1 12 Tf 72 712 Td (Sealed text layer) Tj ET"
+    val id0: Array[Byte] = (1 to 16).map(_.toByte).toArray
+    val (v, r, keyLen, aes) = mode match {
+      case "rc4-40" => (1, 2, 5, false)
+      case "rc4-128" => (2, 3, 16, false)
+      case "aes" => (4, 4, 16, true)
+    }
+    val p = -44
+    val o = PdfCrypt.computeO("owner-secret".getBytes("ISO-8859-1"), r, keyLen)
+    val key = PdfCrypt.fileKey(o, p, id0, r, keyLen, encryptMetadata = true)
+    val u0 = PdfCrypt.computeU(key, id0, r)
+    val u = if (corruptU) u0.map(b => (b ^ 0x5A).toByte) else u0
+    val okey = PdfCrypt.objectKey(key, 5, 0, aes)
+    val encContent =
+      if (aes) PdfCrypt.encryptAes(okey,
+        Array.tabulate(16)(i => (i * 7 + 3).toByte), deflate(content))
+      else PdfCrypt.rc4(okey, content.getBytes("ISO-8859-1"))
+    def hex(b: Array[Byte]) = b.map(x => f"${x & 0xFF}%02X").mkString
+    val cf =
+      if (aes) "/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >> " +
+        "/StmF /StdCF /StrF /StdCF "
+      else ""
+    val filter = if (aes) "/Filter /FlateDecode " else ""
+    pdfBytes(
+      "%PDF-1.6\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 5 0 R >> endobj\n" +
+      "4 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n" +
+      s"5 0 obj << $filter/Length ${encContent.length} >>\nstream\n",
+      encContent,
+      "\nendstream\nendobj\n" +
+      s"6 0 obj << /Filter /Standard /V $v /R $r /Length ${keyLen * 8} $cf" +
+      s"/O <${hex(o)}> /U <${hex(u)}> /P $p >> endobj\n" +
+      s"trailer << /Size 7 /Root 1 0 R /Encrypt 6 0 R " +
+      s"/ID [<${hex(id0)}> <${hex(id0)}>] >>\n%%EOF")
+  }
+
+  test("ENCRYPTED PDFs with an empty user password decrypt: RC4-40, RC4-128, AES-128 (A2)") {
+    import graft.sources.SimplePdfTextExtractor
+    assert(SimplePdfTextExtractor.extract(encryptedPdf("rc4-40")) == "Sealed text layer\n")
+    assert(SimplePdfTextExtractor.extract(encryptedPdf("rc4-128")) == "Sealed text layer\n")
+    assert(SimplePdfTextExtractor.extract(encryptedPdf("aes")) == "Sealed text layer\n")
+  }
+
+  test("ENCRYPTED PDF with a non-empty user password skips cleanly to the OCR route (A3)") {
+    import graft.sources.{FallbackExtractor, NoopOcrExtractor, SimplePdfTextExtractor, Utf8TextExtractor}
+    // corrupted /U == wrong (non-empty) user password: no key verifies,
+    // the flate payload stays ciphertext, inflate rejects it -> no text
+    val locked = encryptedPdf("aes", corruptU = true)
+    assert(SimplePdfTextExtractor.extract(locked) == "")
+    // and the fallback router sends it down the same path as scanned
+    // docs (Noop OCR -> ""), never throwing
+    val routed = new FallbackExtractor(SimplePdfTextExtractor, NoopOcrExtractor)
+      .extract(locked)
+    assert(routed == "")
+  }
+
   test("PDF literal/hex show-strings: escape round-trip recovers arbitrary bytes (property)") {
     import graft.sources.SimplePdfTextExtractor
     import org.scalacheck.Gen
