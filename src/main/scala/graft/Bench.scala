@@ -10,7 +10,19 @@ object Bench {
     * historical outliers by design (q87's 75s pre-fix round, q31/q33's
     * pre-valve rounds): the band answers "have we seen this number
     * before", not "is this number good" — the round-over-round trend
-    * section of the verdict covers the latter. */
+    * section of the verdict covers the latter.
+    *
+    * r12 RE-BASE of the heavy dedup family: the 2-6x suite-vs-isolated
+    * inflation (r11 q31 6.99s suite vs 1.6-1.8s isolated fresh-JVM
+    * median-of-3 across 3 JVMs; q33 3.91 vs 2.3-2.8; q75 in line) was
+    * pinned to accumulated localCheckpoint blocks from earlier suite
+    * queries and FIXED by the per-run unpersist in timeOnce, so the
+    * pre-fix outlier maxima (q31 9.7, q33 11.2, q75 19.8, q87 75.7)
+    * are re-based to post-fix headroom (~2x observed) — a real
+    * regression must flag now instead of hiding under debris ceilings.
+    * q84's max rises 0.507 -> 0.75: the memoized IVF cells became a
+    * FILE-backed parquet index (block-backed caching cannot coexist
+    * with the unpersist), and q84 re-reads those files per run. */
   private val Bands: Map[String, (Double, Double)] = Map(
     "q01" -> (0.229, 0.463), "q02" -> (0.214, 0.249), "q03" -> (0.332, 1.043),
     "q04" -> (0.65, 1.095), "q05" -> (0.29, 0.552), "q06" -> (0.26, 0.462),
@@ -27,8 +39,8 @@ object Bench {
     "q20" -> (0.461, 0.773), "q21" -> (0.247, 0.433), "q22" -> (0.257, 0.53),
     "q23" -> (0.194, 0.276), "q24" -> (0.301, 0.38), "q25" -> (0.189, 0.669),
     "q26" -> (0.333, 0.593), "q27" -> (0.252, 0.367), "q28" -> (0.202, 0.283),
-    "q29" -> (0.315, 0.507), "q30" -> (0.185, 0.299), "q31" -> (1.553, 9.724),
-    "q32" -> (0.561, 1.354), "q33" -> (2.124, 11.208), "q34" -> (0.665, 2.138),
+    "q29" -> (0.315, 0.507), "q30" -> (0.185, 0.299), "q31" -> (1.553, 3.5),
+    "q32" -> (0.561, 1.354), "q33" -> (2.124, 5.0), "q34" -> (0.665, 2.138),
     "q35" -> (0.297, 1.014), "q36" -> (0.46, 0.693), "q37" -> (0.152, 0.262),
     "q38" -> (0.177, 0.256), "q39" -> (0.281, 0.487), "q40" -> (0.329, 0.814),
     "q41" -> (0.167, 0.222), "q42" -> (0.236, 0.321), "q43" -> (0.216, 0.269),
@@ -43,11 +55,11 @@ object Bench {
     "q68" -> (0.189, 0.264), "q69" -> (0.165, 0.232), "q70" -> (0.339, 0.898),
     "q71" -> (0.267, 0.345), "q72" -> (1.094, 2.143), "q73r" -> (0.217, 0.254),
     "q73w" -> (0.269, 0.292), "q74r" -> (0.256, 0.27), "q74w" -> (0.236, 0.385),
-    "q75" -> (2.579, 19.799), "q76" -> (0.252, 0.353), "q77" -> (0.985, 1.921),
+    "q75" -> (2.579, 6.0), "q76" -> (0.252, 0.353), "q77" -> (0.985, 1.921),
     "q78r" -> (0.151, 0.164), "q78w" -> (0.254, 0.269), "q79" -> (0.331, 0.833),
     "q80" -> (0.222, 0.887), "q81" -> (0.182, 0.283), "q82" -> (0.583, 1.123),
-    "q83" -> (0.385, 0.73), "q84" -> (0.381, 0.507), "q85" -> (0.375, 1.816),
-    "q86" -> (0.632, 3.082), "q87" -> (1.502, 75.669), "q88" -> (1.698, 4.264),
+    "q83" -> (0.385, 0.73), "q84" -> (0.381, 0.75), "q85" -> (0.375, 1.816),
+    "q86" -> (0.632, 3.082), "q87" -> (1.502, 5.0), "q88" -> (1.698, 4.264),
     "q89" -> (0.352, 1.984), "q90" -> (0.128, 0.184), "q91r" -> (0.384, 0.385),
     "q91w" -> (0.389, 0.397), "q92" -> (0.385, 0.79), "q93" -> (0.325, 0.746),
     "q94" -> (0.396, 0.654), "q95" -> (0.214, 0.265), "q96" -> (0.327, 0.64),
@@ -100,9 +112,20 @@ object Bench {
     // three runs). Sub-0.4s queries keep a single run: they are below
     // the regression-grading threshold and tripling them buys nothing.
     def timeOnce(run: () => Unit): Double = {
-      // clean heap outside the timing window: checkpoint-block cleanup
-      // is driver-GC-triggered and a collection absorbed mid-query
-      // swung identical queries 60%+ run-to-run
+      // drop suite-order debris outside the timing window: every
+      // localCheckpoint from earlier queries (and earlier runs of THIS
+      // query — each run rebuilds its own) stays pinned in the block
+      // manager until driver GC collects the RDD handle, and ~120
+      // queries of accumulated blocks inflated the heavy dedup family
+      // 2-4x in-suite vs isolated fresh-JVM runs (r11 q31: 6.99s suite
+      // vs 1.6-1.8s isolated, median-of-3 across 3 JVMs). Explicit
+      // unpersist is safe here: every timed run re-invokes the query
+      // function, which re-checkpoints what it needs.
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = false))
+      // then clean heap: checkpoint-block cleanup is driver-GC-
+      // triggered and a collection absorbed mid-query swung identical
+      // queries 60%+ run-to-run
       System.gc()
       val t0 = System.nanoTime()
       try { run() } catch { case _: Throwable => return -1.0 }

@@ -89,19 +89,25 @@ object SparkEntry {
 
   /** Memoized IVF index per dataset dir (q76): real IVF usage is
     * build-once/query-many, so the probe query should not pay the KMeans
-    * fit on every call. Cell assignments are pinned (localCheckpoint) so
-    * a probe is filter+rescore over materialized cells. Same build
-    * params as q57 (k=16, maxIter=5, seed default). */
+    * fit on every call. Cell assignments materialize ONCE to scratch
+    * parquet and probes re-read the files — a FILE-backed index (the
+    * q77 discipline), not pinned checkpoint blocks: Bench drops all
+    * persistent RDD blocks between timed runs to kill suite-order
+    * debris, which would strand a block-backed cache entry whose
+    * blocks are gone. Same build params as q57 (k=16, maxIter=5, seed
+    * default). */
   private val ivfCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.operators.Ann.IvfIndex]()
   private def ivfFor(s: SparkSession, dir: String): graft.operators.Ann.IvfIndex =
-    // keyed by (app, dir): the cached cells are a checkpointed DataFrame
-    // bound to this SparkContext — a later session must rebuild, not
-    // touch a stopped context's blocks
+    // keyed by (app, dir): the cached DataFrame is bound to this
+    // SparkSession — a later session must rebuild, not reuse a stopped
+    // context's plan
     ivfCache.computeIfAbsent(s"${s.sparkContext.applicationId}:$dir", _ => {
       val idx = graft.operators.Ann.buildIvf(
         t(s, dir, "embeddings"), "embedding", k = 16, maxIter = 5)
-      idx.copy(data = idx.data.localCheckpoint(true))
+      val out = freshScratch("ivf_cells") + "/cells"
+      idx.data.write.mode("overwrite").parquet(out)
+      idx.copy(data = s.read.parquet(out))
     })
 
   /** Memoized bucket-partitioned LSH layout per dataset dir (q77): the

@@ -647,9 +647,9 @@ object SimplePdfTextExtractor extends TextExtractor {
     * prefers the CMap (all-or-nothing per string), then Differences
     * (per-byte, unmapped codes keep their Latin-1 baseline), then raw. */
   private final case class FontDec(one: Map[Int, String], two: Map[Int, String],
-      diffs: Map[Int, String]) {
+      diffs: Map[Int, String], utf16: Boolean = false) {
     def hasCmap: Boolean = one.nonEmpty || two.nonEmpty
-    def isEmpty: Boolean = !hasCmap && diffs.isEmpty
+    def isEmpty: Boolean = !hasCmap && diffs.isEmpty && !utf16
   }
 
   /** Glyph-name -> unicode for the names that cover the overwhelming
@@ -847,7 +847,16 @@ object SimplePdfTextExtractor extends TextExtractor {
       else if (named("MacRomanEncoding")) MacRomanHigh
       else Map.empty[Int, String]
     val diffs = base ++ encBody.map(parseDifferences).getOrElse(Map.empty)
-    FontDec(one, two, diffs)
+    // Predefined Unicode CMap encodings (§9.7.5.2, Adobe's Uni* family:
+    // UniJIS-UCS2-H, UniGB-UTF16-V, ...): the SOURCE codes of these
+    // CMaps are UCS-2/UTF-16BE code units, so show-string bytes decode
+    // as UTF-16BE directly — the common CJK-producer shape that carries
+    // no embedded ToUnicode. Non-Unicode predefined CMaps (90ms-RKSJ,
+    // GBK-EUC, ...) map bytes to CIDs and stay out of scope: CID ->
+    // Unicode needs the Adobe registry tables this offline env lacks.
+    val utf16 = "/Encoding\\s*/Uni[A-Za-z]+-(?:UCS2|UTF16)(?:-HW)?-[HV]\\b"
+      .r.findFirstIn(body).isDefined
+    FontDec(one, two, diffs, utf16)
   }
 
   /** `/Differences [ code /name /name ... code /name ... ]` of one
@@ -1351,7 +1360,9 @@ object SimplePdfTextExtractor extends TextExtractor {
   private def decodeLiteralText(str: String, font: FontDec): String =
     if (font == null) decodeTextString(str)
     else if (font.hasCmap && !hasBom(str))
-      decodeAllMapped(str, font.two, font.one).getOrElse(applyDiffsOrRaw(str, font))
+      decodeAllMapped(str, font.two, font.one)
+        .getOrElse(if (font.utf16) utf16Text(str) else applyDiffsOrRaw(str, font))
+    else if (font.utf16) utf16Text(str)
     else applyDiffsOrRaw(str, font)
 
   /** One PDF hex string starting at `start` (the '<'): pairs of hex
@@ -1393,8 +1404,20 @@ object SimplePdfTextExtractor extends TextExtractor {
     if (font == null)
       decodeAllMapped(raw, cmaps.two, cmaps.one).getOrElse(decodeTextString(raw))
     else if (font.hasCmap)
-      decodeAllMapped(raw, font.two, font.one).getOrElse(applyDiffsOrRaw(raw, font))
+      decodeAllMapped(raw, font.two, font.one)
+        .getOrElse(if (font.utf16) utf16Text(raw) else applyDiffsOrRaw(raw, font))
+    else if (font.utf16) utf16Text(raw)
     else applyDiffsOrRaw(raw, font)
+
+  /** Show-string bytes under a predefined Unicode CMap encoding
+    * (`/Encoding /UniJIS-UCS2-H` family): the codes ARE UTF-16BE
+    * units. A BOM-tagged string keeps the §7.9.2.2 decode (which also
+    * strips the BOM); surrogate pairs (the UTF16 variants) fall out of
+    * the charset decode naturally. */
+  private def utf16Text(raw: String): String =
+    if (hasBom(raw)) decodeTextString(raw)
+    else new String(raw.getBytes(StandardCharsets.ISO_8859_1),
+      StandardCharsets.UTF_16BE)
 
   /** PDF text strings are PDFDocEncoding (≈Latin-1 here) unless tagged
     * with a UTF-16BE or UTF-8 BOM (PDF 32000-1 §7.9.2.2) — the standard

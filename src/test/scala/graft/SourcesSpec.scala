@@ -1079,6 +1079,36 @@ class SourcesSpec extends AnyFunSuite {
       s"/ID [<${hex(id0)}> <${hex(id0)}>] >>\n%%EOF")
   }
 
+  test("predefined Unicode CMap encodings (/UniJIS-UCS2-H family) decode show text as UTF-16BE (A2)") {
+    import graft.sources.SimplePdfTextExtractor
+    // こんにちは as UTF-16BE hex + a surrogate pair (U+1F600, UTF16
+    // variant) — no embedded ToUnicode anywhere, the CJK-producer shape
+    def pdf(enc: String, hexText: String): Array[Byte] = {
+      val content = s"BT /F1 12 Tf <$hexText> Tj ET"
+      (s"""%PDF-1.6
+         |1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj
+         |2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj
+         |3 0 obj << /Type /Page /Parent 2 0 R
+         |  /Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >> endobj
+         |4 0 obj << /Type /Font /Subtype /Type0 /BaseFont /Gothic
+         |  /Encoding /$enc /DescendantFonts [6 0 R] >> endobj
+         |5 0 obj << /Length ${content.length} >>
+         |stream
+         |$content
+         |endstream
+         |endobj
+         |trailer << /Size 7 /Root 1 0 R >>
+         |%%EOF""").stripMargin.getBytes("ISO-8859-1")
+    }
+    assert(SimplePdfTextExtractor.extract(pdf("UniJIS-UCS2-H", "30533093306B3061306F"))
+      == "こんにちは\n")
+    assert(SimplePdfTextExtractor.extract(pdf("UniGB-UCS2-V", "4F60597D"))
+      == "你好\n")
+    // UTF16 variant carries surrogate pairs
+    assert(SimplePdfTextExtractor.extract(pdf("UniJIS-UTF16-H", "D83DDE00"))
+      == "😀\n")
+  }
+
   test("ENCRYPTED PDFs with an empty user password decrypt: RC4-40, RC4-128, AES-128 (A2)") {
     import graft.sources.SimplePdfTextExtractor
     assert(SimplePdfTextExtractor.extract(encryptedPdf("rc4-40")) == "Sealed text layer\n")
