@@ -393,6 +393,41 @@ object Dedup {
       threshold, maxBucketSize)
   }
 
+  /** [[minhashAgainstPrepared]] with the BROADCAST direction reversed
+    * for a SMALL corpus and a HUGE batch — fuzzy decontamination's
+    * shape (corpus = an eval suite of thousands of docs, batch = the
+    * training corpus of billions): the CORPUS's bucket set broadcasts
+    * and pre-filters the batch banding, so batch rows landing in no
+    * corpus bucket never shuffle, and the batch side is never
+    * pinned/materialized (its shingles recompute for the payload
+    * slice — recomputing beats checkpointing 100 TB; callers pass an
+    * UNPINNED batchPrep). The forward variant would broadcast the
+    * batch's bucket set — billions of keys — and localCheckpoint the
+    * whole batch.
+    *
+    * Drop set is IDENTICAL to [[minhashAgainstPrepared]]'s: the census
+    * restricted to corpus-intersecting buckets keeps exactly the rows
+    * of every mixed bucket (a bucket without a corpus row can never be
+    * mixed), so [[againstCore]] sees the same qualifying buckets, the
+    * same `maxBucketSize` counts, and the same payload candidates. */
+  def minhashAgainstPreparedSmallCorpus(
+      corpusPrep: DataFrame,
+      batchPrep: DataFrame,
+      threshold: Double = 0.5,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val cp = corpusPrep.localCheckpoint(true) // small side; read 3x below
+    val corpusBuckets = cp.select(explode(col("_bks")).as("_bk")).distinct()
+    val bandedB = batchPrep.select(col("_id"), explode(col("_bks")).as("_bk"))
+      .join(broadcast(corpusBuckets), "_bk")
+      .withColumn("_side", lit(1))
+    val bandedC = cp.select(col("_id"), explode(col("_bks")).as("_bk"))
+    againstCore(bandedB, bandedC, candIds =>
+      cp.select(col("_id"), col("_sh"))
+        .unionByName(batchPrep.select(col("_id"), col("_sh")))
+        .join(broadcast(candIds.select("_id").distinct()), "_id"),
+      threshold, maxBucketSize)
+  }
+
   /** Mixed-bucket + skew-valve + in-bucket-verify core shared by the
     * two corpus-signature carriers — the prepared TABLE
     * ([[minhashAgainstPrepared]]: corpus banding broadcast-filtered

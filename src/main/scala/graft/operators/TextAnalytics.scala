@@ -348,30 +348,36 @@ object TextAnalytics {
     * whitespace/markup variants of benchmark items that share no
     * verbatim 13-gram (GPT-3 appendix C removed such overlaps too).
     *
-    * Wrapper over [[Dedup.minhashAgainst]] with the EVAL set as the
-    * corpus side, so the asymmetric batch-vs-corpus shape points the
-    * right way: eval signatures are the small broadcast-side census,
-    * and training text joins payloads only for rows that land in a
-    * mixed bucket — the train corpus never shuffles wholesale.
+    * Built on [[Dedup.minhashAgainstPreparedSmallCorpus]] with the
+    * EVAL set as the corpus side: eval's bucket set is the small
+    * BROADCAST census that pre-filters training banding, so train rows
+    * landing in no eval bucket never shuffle, training text joins
+    * payloads only for rows inside a mixed bucket, and the train side
+    * is never pinned/materialized — the orientation that holds when
+    * train is 100 TB and eval is a benchmark suite.
     *
-    * Id plumbing: the two sides of minhashAgainst need disjoint id
-    * spaces, so train ids (cast to long — must fit in 62 bits; a
-    * null-casting id never drops, as in every dedup variant) map to
-    * the EVEN longs and eval rows get synthetic ODD ids — no
-    * assumption about either side's key range, and eval needs no id
-    * column at all. Returns the surviving train rows unchanged. */
+    * Id plumbing: the two sides need disjoint id spaces, so train ids
+    * (cast to long — must fit in 62 bits; a null-casting id never
+    * drops, as in every dedup variant) map to the EVEN longs and eval
+    * rows get synthetic ODD ids — no assumption about either side's
+    * key range, and eval needs no id column at all. Returns the
+    * surviving train rows unchanged. */
   def decontaminateFuzzy(train: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, eval: org.apache.spark.sql.DataFrame,
       evalTextCol: String, threshold: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    val D = graft.operators.Dedup
     val evalK = eval
       .select(col(evalTextCol).as("_ftext"))
       .withColumn("_fid", monotonically_increasing_id() * 2 + 1)
-      .localCheckpoint(true) // eval is small by definition; pin its ids
     val trainK = train
       .withColumn("_fid", col(idCol).cast("long") * 2)
       .withColumn("_ftext", col(textCol))
-    graft.operators.Dedup
-      .minhashAgainst(evalK, trainK, "_fid", "_ftext", threshold = threshold)
+    val drops = D.minhashAgainstPreparedSmallCorpus(
+      D.prepareMinhash(evalK, "_fid", "_ftext"),
+      D.prepareMinhash(trainK, "_fid", "_ftext"),
+      threshold = threshold)
+    // anti-join on the DROP set so null-id rows pass through
+    trainK.join(drops, trainK("_fid") === drops("_drop"), "left_anti")
       .drop("_fid", "_ftext")
   }
 

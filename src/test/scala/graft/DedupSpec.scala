@@ -195,6 +195,25 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == expected && kept.contains(102L) && !kept.contains(100L))
   }
 
+  test("small-corpus carrier: identical drop set to minhashAgainstPrepared, batch buckets never broadcast") {
+    // same fixture orientation as fuzzy decontamination: corpus is the
+    // SMALL side (an eval suite), batch the big one (training docs)
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (101L, "a quick brown fox jumps over the lazy dog near the river bank today"),
+      (102L, "entirely novel sentences with vocabulary shared by no corpus document whatsoever"),
+      (103L, "catalyst rewrites logical plans into physical operators using rule based passes")
+    ).toDF("doc_id", "text")
+    val cp = Dedup.prepareMinhash(corpus, "doc_id", "text")
+    val bp = Dedup.prepareMinhash(batch, "doc_id", "text")
+    val forward = Dedup.minhashAgainstPrepared(cp, bp)
+      .as[Long].collect().sorted.toSeq
+    val reversed = Dedup.minhashAgainstPreparedSmallCorpus(cp, bp)
+      .as[Long].collect().sorted.toSeq
+    assert(forward == reversed && forward.nonEmpty,
+      s"carriers must agree: forward=$forward reversed=$reversed")
+  }
+
   test("semanticDedup: in-cell near-dups collapse; cross-cell near-dups survive (the trade)") {
     val centroids = Seq(Array(1.0, 0.0), Array(0.0, 1.0))
     val rows = Seq(
