@@ -9,12 +9,13 @@ package graft.sources
   * EMPTY-USER-PASSWORD documents — the owner-locked/"protected" PDFs
   * crawled corpora are full of, which every viewer opens without
   * prompting — under revisions R2/R3/R4 with RC4-40..128 (/V1, /V2,
-  * /V4+/V2) or AES-128-CBC (/V4+/AESV2) stream encryption. The
+  * /V4+/V2) or AES-128-CBC (/V4+/AESV2) stream encryption, AND V5
+  * AES-256 (R5 legacy Adobe single-SHA-256, R6 ISO 32000-2 with the
+  * algorithm-2.B iterated hash) — what Acrobat X+ writes. The
   * reference opens these transparently via PyMuPDF
   * (`/root/reference/streamlit_app.py:62`). Non-empty user passwords
-  * fail [[verifyEmptyUser]] and the document keeps its no-text-layer
-  * fallback route; AES-256 (R5/R6) and non-Standard handlers are out
-  * of scope.
+  * fail verification and the document keeps its no-text-layer
+  * fallback route; non-Standard handlers are out of scope.
   *
   * The algorithm-3/4/5 WRITER halves ([[computeO]]/[[computeU]]/
   * [[encryptAes]]) exist so golden encrypted fixtures can be built
@@ -114,6 +115,78 @@ private[graft] object PdfCrypt {
       if (aes) Array(0x73.toByte, 0x41.toByte, 0x6C.toByte, 0x54.toByte)
       else Array.emptyByteArray
     md5(fileKey, ext, salt).take(math.min(fileKey.length + 5, 16))
+  }
+
+  // ---------- AES-256 (V5: R5 legacy Adobe / R6 ISO 32000-2) ----------
+
+  private def sha(bits: Int, parts: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance(s"SHA-$bits")
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  private def aesCbc(key: Array[Byte], iv: Array[Byte], data: Array[Byte],
+      encrypt: Boolean): Array[Byte] = {
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(
+      if (encrypt) javax.crypto.Cipher.ENCRYPT_MODE
+      else javax.crypto.Cipher.DECRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    c.doFinal(data)
+  }
+
+  /** Algorithm 2.B (ISO 32000-2 §7.6.4.3.4, R6): the iterated
+    * SHA-256/384/512 + AES-CBC password hash. `udata` is empty for the
+    * user-password route (it carries /U only on the owner route). */
+  private[graft] def hash2B(pwd: Array[Byte], salt: Array[Byte],
+      udata: Array[Byte]): Array[Byte] = {
+    var k = sha(256, pwd, salt, udata)
+    var e = Array.emptyByteArray
+    var i = 0
+    while (i < 64 || (e(e.length - 1) & 0xFF) > i - 32) {
+      val block = pwd ++ k ++ udata
+      val k1 = new Array[Byte](block.length * 64)
+      var j = 0
+      while (j < 64) { System.arraycopy(block, 0, k1, j * block.length, block.length); j += 1 }
+      e = aesCbc(k.take(16), k.slice(16, 32), k1, encrypt = true)
+      val mod = e.take(16).map(_ & 0xFF).sum % 3
+      k = sha(if (mod == 0) 256 else if (mod == 1) 384 else 512, e)
+      i += 1
+    }
+    k.take(32)
+  }
+
+  /** Algorithm 2.A, empty-user-password half: verify /U's hash and
+    * unwrap the 32-byte file key from /UE. `u` = hash(32) ||
+    * validationSalt(8) || keySalt(8); R5 hashes with one SHA-256, R6
+    * with [[hash2B]]. None when the password is non-empty (hash
+    * mismatch) or the entries are malformed. */
+  private[graft] def fileKeyV5(u: Array[Byte], ue: Array[Byte],
+      r: Int): Option[Array[Byte]] = {
+    if (u.length < 48 || ue.length < 32) return None
+    val hashPart = u.take(32)
+    val vsalt = u.slice(32, 40)
+    val ksalt = u.slice(40, 48)
+    val computed =
+      if (r == 5) sha(256, vsalt) else hash2B(Array.emptyByteArray, vsalt, Array.emptyByteArray)
+    if (!java.util.Arrays.equals(computed, hashPart)) return None
+    val intermediate =
+      if (r == 5) sha(256, ksalt) else hash2B(Array.emptyByteArray, ksalt, Array.emptyByteArray)
+    try Some(aesCbc(intermediate, new Array[Byte](16), ue.take(32), encrypt = false))
+    catch { case _: java.security.GeneralSecurityException => None }
+  }
+
+  /** Writer half of V5 (fixtures): the /U and /UE entries proving
+    * `fileKey` under the empty user password. */
+  private[graft] def computeUV5(fileKey: Array[Byte], vsalt: Array[Byte],
+      ksalt: Array[Byte], r: Int): (Array[Byte], Array[Byte]) = {
+    val hash =
+      if (r == 5) sha(256, vsalt) else hash2B(Array.emptyByteArray, vsalt, Array.emptyByteArray)
+    val intermediate =
+      if (r == 5) sha(256, ksalt) else hash2B(Array.emptyByteArray, ksalt, Array.emptyByteArray)
+    val ue = aesCbc(intermediate, new Array[Byte](16), fileKey, encrypt = true)
+    (hash ++ vsalt ++ ksalt, ue)
   }
 
   /** AES-128-CBC stream decryption (/AESV2): the stored payload's

@@ -83,19 +83,21 @@ object Utf8TextExtractor extends TextExtractor {
   * PDFs every viewer opens without prompting, which crawled corpora
   * are full of; the reference opens them transparently via PyMuPDF
   * (streamlit_app.py:62) — decrypt before filter decoding: RC4-40..128
-  * (/V1, /V2, /V4 + /CFM /V2) and AES-128-CBC (/V4 + /CFM /AESV2),
-  * per-object keys from the stream's owning header, all JDK crypto
-  * ([[PdfCrypt]]). Strings inside content streams need no separate
-  * pass (stream decryption covers them); ToUnicode CMaps and ObjStm
-  * payloads decrypt the same way.
+  * (/V1, /V2, /V4 + /CFM /V2), AES-128-CBC (/V4 + /CFM /AESV2) with
+  * per-object keys from the stream's owning header, and AES-256
+  * (/V5 + /CFM /AESV3, R5 and R6 — Acrobat X+ output; file key
+  * unwrapped from /UE via the SHA-2 algorithm-2.A/2.B hashes), all
+  * JDK crypto ([[PdfCrypt]]). Strings inside content streams need no
+  * separate pass (stream decryption covers them); ToUnicode CMaps and
+  * ObjStm payloads decrypt the same way.
   *
   * Honest scope (ref op A2, streamlit_app.py:60-71): streams with other
   * filters (DCTDecode images, CCITT, JBIG2, JPX), a `/DecodeParms`/
   * `/DP` `/Predictor` ≥ 2 (flate+predictor xref streams — the decoded
   * bytes are PNG-row-filtered binary, never a text layer), and
   * encrypted documents OUTSIDE the supported envelope (non-empty user
-  * passwords, AES-256 R5/R6, non-/Standard handlers — their payloads
-  * stay corrupt data) have no recoverable text layer here, so they
+  * passwords, non-/Standard handlers — their payloads stay corrupt
+  * data) have no recoverable text layer here, so they
   * contribute "" and
   * [[FallbackExtractor]] routes whitespace-only documents to OCR — the
   * same path the reference takes for scanned pages. Full-fidelity
@@ -366,14 +368,20 @@ object SimplePdfTextExtractor extends TextExtractor {
 
   /** Per-document stream decryption (PDF 32000-1 §7.6): the verified
     * file key plus the stream crypt method. Decrypt-then-defilter: the
-    * file stores Encrypt(filter-encoded bytes). */
-  private[sources] final case class StreamCrypt(fileKey: Array[Byte], aes: Boolean) {
+    * file stores Encrypt(filter-encoded bytes). V5/AES-256 (`v5`) uses
+    * the FILE key directly — per-object key derivation is a V<5
+    * construct. */
+  private[sources] final case class StreamCrypt(fileKey: Array[Byte],
+      aes: Boolean, v5: Boolean = false) {
     def decrypt(raw: String, objNum: Long, gen: Long): Option[String] = {
       val data = raw.getBytes(StandardCharsets.ISO_8859_1)
-      val okey = PdfCrypt.objectKey(fileKey, objNum, gen, aes)
       val plain =
-        if (aes) PdfCrypt.decryptAes(okey, data)
-        else Some(PdfCrypt.rc4(okey, data))
+        if (v5) PdfCrypt.decryptAes(fileKey, data)
+        else {
+          val okey = PdfCrypt.objectKey(fileKey, objNum, gen, aes)
+          if (aes) PdfCrypt.decryptAes(okey, data)
+          else Some(PdfCrypt.rc4(okey, data))
+        }
       plain.map(new String(_, StandardCharsets.ISO_8859_1))
     }
   }
@@ -382,9 +390,9 @@ object SimplePdfTextExtractor extends TextExtractor {
     * password (PdfCrypt's scope note). Returns None — leaving every
     * stream to decode as the (garbage) stored bytes, i.e. no text
     * layer, the pre-existing behavior — when the doc is unencrypted,
-    * the handler/version is unsupported (non-/Standard, V5/AES-256),
-    * streams are exempt (/StmF /Identity), or the user password is
-    * non-empty. */
+    * the handler/version is unsupported (non-/Standard, versions
+    * beyond V5), streams are exempt (/StmF /Identity), or the user
+    * password is non-empty. */
   private def parseEncryption(doc: Doc): Option[StreamCrypt] = {
     val s = doc.s
     // last /Encrypt wins (incremental updates append trailers)
@@ -419,37 +427,53 @@ object SimplePdfTextExtractor extends TextExtractor {
         val bits = num("Length").getOrElse(40L).toInt
         val encMeta =
           !"/EncryptMetadata\\s+false".r.findFirstIn(d).isDefined
-        val carrier: Option[(Int, Boolean)] = v match {
-          case 1 => Some((5, false))
-          case 2 => Some((math.max(5, math.min(16, bits / 8)), false))
-          case 4 =>
-            // /StmF names the stream crypt filter; default Identity =
-            // streams NOT encrypted (only strings would be)
-            val stmF = "/StmF\\s*/(\\w+)".r.findFirstMatchIn(d)
-              .map(_.group(1)).getOrElse("Identity")
-            if (stmF == "Identity") None
-            else ("/" + stmF + "\\s*<<").r.findFirstMatchIn(d).flatMap { m =>
-              val cf = balancedDictForward(d, m.end - 2)
-              val cfm = "/CFM\\s*/(\\w+)".r.findFirstMatchIn(cf).map(_.group(1))
-              // CF /Length is bytes per spec, bits from sloppy writers
-              val cfLen = "/Length\\s+(\\d+)".r.findFirstMatchIn(cf)
-                .flatMap(_.group(1).toIntOption)
-                .map(l => if (l >= 40) l / 8 else l)
-              cfm.collect {
-                case "AESV2" => (16, true)
-                case "V2" => (cfLen.getOrElse(math.max(5, math.min(16, bits / 8))), false)
+        // /StmF names the stream crypt filter (V4/V5); default Identity
+        // = streams NOT encrypted (only strings would be)
+        def stmF = "/StmF\\s*/(\\w+)".r.findFirstMatchIn(d)
+          .map(_.group(1)).getOrElse("Identity")
+        def cfDict = ("/" + stmF + "\\s*<<").r.findFirstMatchIn(d)
+          .map(m => balancedDictForward(d, m.end - 2))
+        if (v == 5) {
+          // AES-256: R5 (legacy Adobe) / R6 (ISO 32000-2); the file key
+          // unwraps from /UE after the /U hash proves the empty user
+          // password — no /O//ID//P in the derivation, no per-object keys
+          if (stmF == "Identity" ||
+              !cfDict.exists(cf => "/CFM\\s*/AESV3\\b".r.findFirstIn(cf).isDefined))
+            None
+          else for {
+            u <- str("U")
+            ue <- str("UE")
+            if r == 5 || r == 6
+            key <- PdfCrypt.fileKeyV5(u, ue, r)
+          } yield StreamCrypt(key, aes = true, v5 = true)
+        } else {
+          val carrier: Option[(Int, Boolean)] = v match {
+            case 1 => Some((5, false))
+            case 2 => Some((math.max(5, math.min(16, bits / 8)), false))
+            case 4 =>
+              if (stmF == "Identity") None
+              else cfDict.flatMap { cf =>
+                val cfm = "/CFM\\s*/(\\w+)".r.findFirstMatchIn(cf).map(_.group(1))
+                // CF /Length is bytes per spec, bits from sloppy writers
+                val cfLen = "/Length\\s+(\\d+)".r.findFirstMatchIn(cf)
+                  .flatMap(_.group(1).toIntOption)
+                  .map(l => if (l >= 40) l / 8 else l)
+                cfm.collect {
+                  case "AESV2" => (16, true)
+                  case "V2" => (cfLen.getOrElse(math.max(5, math.min(16, bits / 8))), false)
+                }
               }
-            }
-          case _ => None // V5/AES-256 and exotic versions: out of scope
+            case _ => None // exotic versions: out of scope
+          }
+          for {
+            (keyLen, aes) <- carrier
+            o <- str("O") if o.length >= 32
+            u <- str("U") if r >= 2 && r <= 4
+            id0 = trailerId0(doc)
+            key = PdfCrypt.fileKey(o, p, id0, r, keyLen, encMeta)
+            if PdfCrypt.verifyEmptyUser(key, u, id0, r)
+          } yield StreamCrypt(key, aes)
         }
-        for {
-          (keyLen, aes) <- carrier
-          o <- str("O") if o.length >= 32
-          u <- str("U") if r >= 2 && r <= 4
-          id0 = trailerId0(doc)
-          key = PdfCrypt.fileKey(o, p, id0, r, keyLen, encMeta)
-          if PdfCrypt.verifyEmptyUser(key, u, id0, r)
-        } yield StreamCrypt(key, aes)
       }
   }
 

@@ -1037,46 +1037,77 @@ class SourcesSpec extends AnyFunSuite {
     * decrypt-then-defilter recovers the planted text through the full
     * extractor. Modes: "rc4-40" (V1/R2, unfiltered), "rc4-128" (V2/R3,
     * unfiltered), "aes" (V4/R4 /AESV2, FlateDecode'd — exercises
-    * decrypt-then-inflate). corruptU simulates a NON-empty user
-    * password: /U stops verifying, so no decryption is attempted. */
+    * decrypt-then-inflate), "aes256r5"/"aes256r6" (V5 /AESV3,
+    * FlateDecode'd — R5's single-SHA-256 and R6's algorithm-2.B
+    * iterated hash, file key unwrapped from /UE). corruptU simulates a
+    * NON-empty user password: /U stops verifying, so no decryption is
+    * attempted. */
   private def encryptedPdf(mode: String, corruptU: Boolean = false): Array[Byte] = {
     import graft.sources.PdfCrypt
     val content = "BT /F1 12 Tf 72 712 Td (Sealed text layer) Tj ET"
     val id0: Array[Byte] = (1 to 16).map(_.toByte).toArray
-    val (v, r, keyLen, aes) = mode match {
-      case "rc4-40" => (1, 2, 5, false)
-      case "rc4-128" => (2, 3, 16, false)
-      case "aes" => (4, 4, 16, true)
-    }
-    val p = -44
-    val o = PdfCrypt.computeO("owner-secret".getBytes("ISO-8859-1"), r, keyLen)
-    val key = PdfCrypt.fileKey(o, p, id0, r, keyLen, encryptMetadata = true)
-    val u0 = PdfCrypt.computeU(key, id0, r)
-    val u = if (corruptU) u0.map(b => (b ^ 0x5A).toByte) else u0
-    val okey = PdfCrypt.objectKey(key, 5, 0, aes)
-    val encContent =
-      if (aes) PdfCrypt.encryptAes(okey,
-        Array.tabulate(16)(i => (i * 7 + 3).toByte), deflate(content))
-      else PdfCrypt.rc4(okey, content.getBytes("ISO-8859-1"))
     def hex(b: Array[Byte]) = b.map(x => f"${x & 0xFF}%02X").mkString
-    val cf =
-      if (aes) "/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >> " +
-        "/StmF /StdCF /StrF /StdCF "
-      else ""
-    val filter = if (aes) "/Filter /FlateDecode " else ""
-    pdfBytes(
+    val p = -44
+    val head =
       "%PDF-1.6\n" +
       "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
       "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
       "3 0 obj << /Type /Page /Parent 2 0 R /Contents 5 0 R >> endobj\n" +
-      "4 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n" +
-      s"5 0 obj << $filter/Length ${encContent.length} >>\nstream\n",
-      encContent,
-      "\nendstream\nendobj\n" +
-      s"6 0 obj << /Filter /Standard /V $v /R $r /Length ${keyLen * 8} $cf" +
-      s"/O <${hex(o)}> /U <${hex(u)}> /P $p >> endobj\n" +
+      "4 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n"
+    def trailerPart =
       s"trailer << /Size 7 /Root 1 0 R /Encrypt 6 0 R " +
-      s"/ID [<${hex(id0)}> <${hex(id0)}>] >>\n%%EOF")
+      s"/ID [<${hex(id0)}> <${hex(id0)}>] >>\n%%EOF"
+    if (mode.startsWith("aes256")) {
+      val r = if (mode == "aes256r5") 5 else 6
+      val fileKey = Array.tabulate[Byte](32)(i => ((i * 89 + 17) & 0xFF).toByte)
+      val vsalt = Array.tabulate[Byte](8)(i => (i + 1).toByte)
+      val ksalt = Array.tabulate[Byte](8)(i => (i + 101).toByte)
+      val (u0, ue) = PdfCrypt.computeUV5(fileKey, vsalt, ksalt, r)
+      val u = if (corruptU) u0.map(b => (b ^ 0x5A).toByte) else u0
+      // /O//OE are the owner route — not consulted for the empty USER
+      // password; structurally-valid filler
+      val o = Array.fill[Byte](48)(0x11)
+      val oe = Array.fill[Byte](32)(0x22)
+      val encContent = PdfCrypt.encryptAes(fileKey,
+        Array.tabulate(16)(i => (i * 11 + 5).toByte), deflate(content))
+      pdfBytes(
+        head +
+        s"5 0 obj << /Filter /FlateDecode /Length ${encContent.length} >>\nstream\n",
+        encContent,
+        "\nendstream\nendobj\n" +
+        s"6 0 obj << /Filter /Standard /V 5 /R $r /Length 256 " +
+        "/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32 >> >> " +
+        "/StmF /StdCF /StrF /StdCF " +
+        s"/O <${hex(o)}> /U <${hex(u)}> /OE <${hex(oe)}> /UE <${hex(ue)}> " +
+        s"/P $p >> endobj\n" + trailerPart)
+    } else {
+      val (v, r, keyLen, aes) = mode match {
+        case "rc4-40" => (1, 2, 5, false)
+        case "rc4-128" => (2, 3, 16, false)
+        case "aes" => (4, 4, 16, true)
+      }
+      val o = PdfCrypt.computeO("owner-secret".getBytes("ISO-8859-1"), r, keyLen)
+      val key = PdfCrypt.fileKey(o, p, id0, r, keyLen, encryptMetadata = true)
+      val u0 = PdfCrypt.computeU(key, id0, r)
+      val u = if (corruptU) u0.map(b => (b ^ 0x5A).toByte) else u0
+      val okey = PdfCrypt.objectKey(key, 5, 0, aes)
+      val encContent =
+        if (aes) PdfCrypt.encryptAes(okey,
+          Array.tabulate(16)(i => (i * 7 + 3).toByte), deflate(content))
+        else PdfCrypt.rc4(okey, content.getBytes("ISO-8859-1"))
+      val cf =
+        if (aes) "/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >> " +
+          "/StmF /StdCF /StrF /StdCF "
+        else ""
+      val filter = if (aes) "/Filter /FlateDecode " else ""
+      pdfBytes(
+        head +
+        s"5 0 obj << $filter/Length ${encContent.length} >>\nstream\n",
+        encContent,
+        "\nendstream\nendobj\n" +
+        s"6 0 obj << /Filter /Standard /V $v /R $r /Length ${keyLen * 8} $cf" +
+        s"/O <${hex(o)}> /U <${hex(u)}> /P $p >> endobj\n" + trailerPart)
+    }
   }
 
   test("predefined Unicode CMap encodings (/UniJIS-UCS2-H family) decode show text as UTF-16BE (A2)") {
@@ -1114,6 +1145,14 @@ class SourcesSpec extends AnyFunSuite {
     assert(SimplePdfTextExtractor.extract(encryptedPdf("rc4-40")) == "Sealed text layer\n")
     assert(SimplePdfTextExtractor.extract(encryptedPdf("rc4-128")) == "Sealed text layer\n")
     assert(SimplePdfTextExtractor.extract(encryptedPdf("aes")) == "Sealed text layer\n")
+  }
+
+  test("ENCRYPTED AES-256 PDFs (V5, R5 legacy and R6 ISO) decrypt via the /UE-unwrapped file key (A2)") {
+    import graft.sources.SimplePdfTextExtractor
+    assert(SimplePdfTextExtractor.extract(encryptedPdf("aes256r5")) == "Sealed text layer\n")
+    assert(SimplePdfTextExtractor.extract(encryptedPdf("aes256r6")) == "Sealed text layer\n")
+    // wrong (non-empty) user password: the 2.A hash stops matching
+    assert(SimplePdfTextExtractor.extract(encryptedPdf("aes256r6", corruptU = true)) == "")
   }
 
   test("ENCRYPTED PDF with a non-empty user password skips cleanly to the OCR route (A3)") {
