@@ -1110,6 +1110,31 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("Type3 font with /Encoding /Differences decodes via glyph names like any simple font (A2)") {
+    import graft.sources.SimplePdfTextExtractor
+    // Type3 glyphs are content streams; the TEXT mapping still rides
+    // the /Encoding /Differences array (§9.6.5), so codes 1..3 with
+    // AGL names must decode — no Subtype gate may block it
+    val content = "BT /F1 12 Tf <010203> Tj ET"
+    val pdf = (s"""%PDF-1.4
+       |1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj
+       |2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj
+       |3 0 obj << /Type /Page /Parent 2 0 R
+       |  /Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >> endobj
+       |4 0 obj << /Type /Font /Subtype /Type3 /FontBBox [0 0 10 10]
+       |  /FontMatrix [0.001 0 0 0.001 0 0] /CharProcs 7 0 R
+       |  /Encoding << /Type /Encoding /Differences [1 /y /e /s] >>
+       |  /FirstChar 1 /LastChar 3 /Widths [10 10 10] >> endobj
+       |5 0 obj << /Length ${content.length} >>
+       |stream
+       |$content
+       |endstream
+       |endobj
+       |trailer << /Size 8 /Root 1 0 R >>
+       |%%EOF""").stripMargin.getBytes("ISO-8859-1")
+    assert(SimplePdfTextExtractor.extract(pdf) == "yes\n")
+  }
+
   test("predefined Unicode CMap encodings (/UniJIS-UCS2-H family) decode show text as UTF-16BE (A2)") {
     import graft.sources.SimplePdfTextExtractor
     // こんにちは as UTF-16BE hex + a surrogate pair (U+1F600, UTF16

@@ -865,6 +865,22 @@ class StreamingSpec extends AnyFunSuite {
     val ids = spark.read.parquet(corpus).select("doc_id").as[Long].collect().sorted.toSeq
     assert(ids == Seq(1L, 2L, 3L, 4L, 50L),
       "within-batch dup 51 dropped; 50 fresh vs compacted corpus")
+    // the MinHash index's (_band,_bkt) layout shares the Hamming
+    // compaction: folding its per-batch files must leave probes and a
+    // further ingest unchanged (payload census survives -> no rebuild)
+    import graft.operators.MinhashIndex
+    val censusBefore = MinhashIndex.payloadCount(spark, index)
+    assert(MinhashIndex.compact(spark, index, minFiles = 1) > 0,
+      "index directories compacted")
+    assert(MinhashIndex.payloadCount(spark, index) == censusBefore,
+      "payload census unchanged by compaction")
+    writeBatch("b6", Seq((60L, a + " appended words"), (61L,
+      "genuinely new content that resembles nothing accepted so far in any way")))
+    val q6 = StreamOps.dedupedIngestIndexed(mkStream(), corpus, index).start()
+    try q6.processAllAvailable() finally q6.stop()
+    val ids6 = spark.read.parquet(corpus).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids6 == Seq(1L, 2L, 3L, 4L, 50L, 61L),
+      "near-dup 60 of accepted 50 dropped via the compacted index; fresh 61 kept")
   }
 
   test("streaming dedup within watermark drops duplicate event ids") {
