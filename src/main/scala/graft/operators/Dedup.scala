@@ -663,7 +663,17 @@ object Dedup {
     * NaN-largest / -0.0 == 0.0 comparison, mirrored by [[sparkGt]])
     * are bit-identical to the literal path. Null vectors assign a
     * null cell, exactly as a null input propagates through the
-    * literal path's expressions. */
+    * literal path's expressions; null-casting ids are excluded BEFORE
+    * the typed decode (a primitive-Long decode would throw where the
+    * literal path lets them flow) — they can neither drop nor cause
+    * drops on either carrier, and the final anti-join passes them
+    * through, so the exclusion is invisible in the output.
+    *
+    * The centroid broadcast stays alive as long as the returned plan
+    * does (it is evaluated lazily, possibly more than once); it is
+    * reclaimed by Spark's ContextCleaner once the result is
+    * dereferenced — a driver looping over MANY datasets should collect
+    * each result before building the next. */
   def semanticDedupBroadcast(
       df: DataFrame,
       idCol: String,
@@ -677,6 +687,7 @@ object Dedup {
     val bc = spark.sparkContext.broadcast(centroids.toArray)
     val vecs = df.select(col(idCol).cast("long").as("_id"),
         col(vecCol).cast("array<double>").as("_v"))
+      .filter(col("_id").isNotNull)
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
         val cents = bc.value

@@ -114,6 +114,12 @@ object MinhashIndex {
     val bandedC = spark.read.parquet(path).filter(probe)
       .select(col("_id"), col("_bk"))
       .join(broadcast(batchBuckets), "_bk") // exact keys: drop modulo collisions
+      // a compact() crash or an at-least-once double append leaves
+      // duplicate index rows; without this they would inflate the
+      // bucket census and could valve out (silently skip) a real
+      // near-dup bucket — the distinct runs on the already-pruned,
+      // batch-bucket-restricted slice, never the index
+      .distinct()
     Dedup.againstCore(bandedB, bandedC, candIds => {
       val pinned = candIds.localCheckpoint(true) // key collect + slice joins
       val corpIds = pinned.filter(col("_side") === 0).select("_id")
@@ -127,6 +133,7 @@ object MinhashIndex {
       spark.read.parquet(path).filter(payloadProbe)
         .select(col("_id"), col("_sh"))
         .join(broadcast(corpIds), "_id")
+        .dropDuplicates("_id") // crash-duplicated payload rows are identical
         .unionByName(bp.select(col("_id"), col("_sh"))
           .join(broadcast(pinned.filter(col("_side") === 1).select("_id")), "_id"))
     }, threshold, maxBucketSize)

@@ -878,7 +878,9 @@ object SimplePdfTextExtractor extends TextExtractor {
     // no embedded ToUnicode. Non-Unicode predefined CMaps (90ms-RKSJ,
     // GBK-EUC, ...) map bytes to CIDs and stay out of scope: CID ->
     // Unicode needs the Adobe registry tables this offline env lacks.
-    val utf16 = "/Encoding\\s*/Uni[A-Za-z]+-(?:UCS2|UTF16)(?:-HW)?-[HV]\\b"
+    // name stem allows digits: UniJIS2004-UTF16-H / UniJISX0213-...
+    // are current Adobe-Japan1 producer output
+    val utf16 = "/Encoding\\s*/Uni[A-Za-z0-9]+-(?:UCS2|UTF16)(?:-HW)?-[HV]\\b"
       .r.findFirstIn(body).isDefined
     FontDec(one, two, diffs, utf16)
   }

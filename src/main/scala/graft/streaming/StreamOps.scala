@@ -181,8 +181,14 @@ object StreamOps {
     val trashPath = corpusPath + "__trash"
     if (!exists(corpusPath) && exists(healPath + "/_SUCCESS"))
       fs.rename(hp(healPath), hp(corpusPath))
-    if (exists(trashPath)) fs.delete(hp(trashPath), true)
-    if (exists(healPath)) fs.delete(hp(healPath), true)
+    // drop the spare dirs ONLY once a live corpus exists again: if the
+    // rename above failed (FileSystem.rename signals most failures by
+    // returning false), trash + heal are the only remaining copies of
+    // the accepted corpus — leave them for the next recovery attempt
+    if (exists(corpusPath)) {
+      if (exists(trashPath)) fs.delete(hp(trashPath), true)
+      if (exists(healPath)) fs.delete(hp(healPath), true)
+    }
   }
 
   /** Heal a double-appended corpus: accepted ids are immutable, so
@@ -418,12 +424,22 @@ object StreamOps {
     spark.read.parquet(olds.map(_.getPath.toString): _*)
       .repartition(nOut)
       .write.parquet(tmp.toString)
-    fs.listStatus(tmp).toSeq
+    val moves = fs.listStatus(tmp).toSeq
       .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
-      .foreach(f => fs.rename(f.getPath, new Path(root, "compact-" + f.getPath.getName)))
-    olds.foreach(f => fs.delete(f.getPath, false))
-    fs.delete(tmp, true)
-    true
+      .map(f => fs.rename(f.getPath, new Path(root, "compact-" + f.getPath.getName)))
+    // delete the originals ONLY when every replacement landed — same
+    // discipline as Ann.compactHammingIndex: a failed/empty move must
+    // never orphan rows. A partial move leaves rows present twice
+    // (old + compact file), the duplicate-not-loss failure class the
+    // id-uniqueness heal already covers.
+    if (moves.nonEmpty && moves.forall(identity)) {
+      olds.foreach(f => fs.delete(f.getPath, false))
+      fs.delete(tmp, true)
+      true
+    } else {
+      fs.delete(tmp, true) // unmoved files: originals still hold the rows
+      false
+    }
   }
 
   /** Streaming IMAGE dedup-on-ingest: every micro-batch of (id, blob)

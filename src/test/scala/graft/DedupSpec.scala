@@ -290,6 +290,21 @@ class DedupSpec extends AnyFunSuite {
     assert(!autoPlan.contains(marker.toString))
   }
 
+  test("semanticDedupBroadcast: null-casting ids flow through instead of crashing the typed decode") {
+    val rows = Seq(
+      ("10", Array(1.0, 0.0)),
+      ("11", Array(1.0, 0.0000001)), // in-cell near-dup of 10 -> drops
+      (null: String, Array(0.9, 0.1)) // null id: passes through, both carriers
+    ).toDF("doc_id", "v")
+    val cents = Seq(Array(1.0, 0.0), Array(0.0, 1.0))
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select($"doc_id").as[String].collect().map(String.valueOf).sorted.toSeq
+    val viaLiteral = ids(Dedup.semanticDedup(rows, "doc_id", "v", cents, threshold = 0.99))
+    val viaBroadcast = ids(Dedup.semanticDedupBroadcast(rows, "doc_id", "v", cents,
+      threshold = 0.99))
+    assert(viaLiteral == viaBroadcast && viaBroadcast == Seq("10", "null"))
+  }
+
   test("bucket-skew safety valve: oversized buckets are skipped, not squared") {
     // 200 identical docs -> bucket of 200 > maxBucketSize=50 -> no pairs,
     // nothing dropped (graceful degradation instead of OOM at scale)

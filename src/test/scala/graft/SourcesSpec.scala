@@ -1163,6 +1163,9 @@ class SourcesSpec extends AnyFunSuite {
     // UTF16 variant carries surrogate pairs
     assert(SimplePdfTextExtractor.extract(pdf("UniJIS-UTF16-H", "D83DDE00"))
       == "😀\n")
+    // digit-bearing stems are current Adobe-Japan1 producer output
+    assert(SimplePdfTextExtractor.extract(pdf("UniJIS2004-UTF16-H", "30533093306B3061306F"))
+      == "こんにちは\n")
   }
 
   test("ENCRYPTED PDFs with an empty user password decrypt: RC4-40, RC4-128, AES-128 (A2)") {

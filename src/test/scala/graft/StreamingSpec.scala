@@ -777,6 +777,24 @@ class StreamingSpec extends AnyFunSuite {
       "null-text id 6 present via its payload row; unknown 999 absent")
   }
 
+  test("MinhashIndex.drops tolerates crash-duplicated index rows (census not inflated)") {
+    import graft.operators.{Dedup, MinhashIndex}
+    val a = "the quick brown fox jumps over the lazy dog near the quiet river bank at dawn today"
+    val b = "catalyst rewrites logical plans into physical operators using cost based and rule based passes"
+    val dir = Files.createTempDirectory("graft_midx_dup").toString + "/midx"
+    val prep = Dedup.prepareMinhash(Seq((1L, a), (2L, b)).toDF("doc_id", "text"),
+      "doc_id", "text")
+    MinhashIndex.append(prep, dir)
+    MinhashIndex.append(prep, dir) // double append == compact-crash duplicates
+    val batchPrep = Dedup.prepareMinhash(
+      Seq((100L, "a " + a)).toDF("doc_id", "text"), "doc_id", "text")
+    // maxBucketSize = 2: an inflated census (1 batch + 2 corpus copies)
+    // would read 3 > 2 and silently valve the real near-dup bucket out
+    val drops = MinhashIndex.drops(spark, dir, batchPrep, maxBucketSize = 2)
+    assert(drops.select($"_drop").as[Long].collect().toSeq == Seq(100L),
+      "near-dup must still be caught against a row-duplicated index")
+  }
+
   test("indexed text dedup bootstraps from a sidecar corpus and heals a missed index append") {
     import graft.operators.{Dedup, MinhashIndex}
     val src = Files.createTempDirectory("graft_stheal_src")
