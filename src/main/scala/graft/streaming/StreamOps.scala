@@ -328,10 +328,20 @@ object StreamOps {
     *    via the same sibling-dir swap as [[dedupedIngest]]
     *    ([[healSwap]], recovery on open), then rebuilds the index.
     *
+    * Housekeeping is SELF-BOUNDING: when `autoCompactMinFiles > 0`
+    * (default), each batch starts by folding any corpus/index
+    * directory that accumulated more than that many files
+    * ([[compactCorpus]] / [[graft.operators.MinhashIndex.compact]]) —
+    * safe here because foreachBatch is the single writer and no append
+    * is in flight at batch start; a sub-threshold check is one
+    * directory listing, so idle batches pay O(#directories). Without
+    * it the one-file-per-batch appends degrade probes to O(batches)
+    * file opens unless the caller remembers to compact.
+    *
     * Object-store rename caveat as documented on [[dedupedIngest]]. */
   def dedupedIngestIndexed(docs: DataFrame, corpusPath: String,
       indexPath: String, idCol: String = "doc_id", textCol: String = "text",
-      buckets: Int = 64)
+      buckets: Int = 64, autoCompactMinFiles: Int = 32)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     @volatile var verified = false
     docs.writeStream.outputMode("append").foreachBatch {
@@ -343,6 +353,10 @@ object StreamOps {
         def hp(p: String) = new org.apache.hadoop.fs.Path(p)
         def exists(p: String) = hp(p).getFileSystem(hconf).exists(hp(p))
         if (!verified) recoverHealSwap(spark, corpusPath)
+        if (autoCompactMinFiles > 0) {
+          MI.compact(spark, indexPath, autoCompactMinFiles)
+          compactCorpus(spark, corpusPath, autoCompactMinFiles)
+        }
         val corpusExists = exists(corpusPath)
         if (corpusExists) {
           var corpus = spark.read.parquet(corpusPath)
@@ -392,9 +406,13 @@ object StreamOps {
     * append lands one small file per micro-batch, so — exactly as the
     * Hamming/MinHash indexes before their compaction — corpus reads
     * degrade from O(data) to O(batches) file opens without occasional
-    * folding. When more than `minFiles` data files have accumulated,
-    * rewrites them into ceil(bytes / targetFileBytes) files sized for
-    * scan-friendly parquet. The swap MOVES the new files in before
+    * folding. SIZE-TIERED: only files SMALLER than `targetFileBytes`
+    * participate (when more than `minFiles` of them accumulate);
+    * already-compacted target-sized files are never rewritten, so each
+    * compaction's rewrite volume is bounded by the small-file tail —
+    * amortized cost per batch <= targetFileBytes / minFiles, CONSTANT
+    * in corpus size (a whole-directory rewrite would pay O(corpus)
+    * every minFiles batches). The swap MOVES the new files in before
     * deleting the old ones, so a crash mid-swap leaves DUPLICATE rows,
     * never missing ones — the same failure class as an at-least-once
     * double-append, healed by the ingest's id-uniqueness check on its
@@ -411,7 +429,8 @@ object StreamOps {
     if (!fs.exists(root)) return false
     val olds = fs.listStatus(root).toSeq.filter { f =>
       val n = f.getPath.getName
-      f.isFile && !n.startsWith("_") && !n.startsWith(".")
+      f.isFile && !n.startsWith("_") && !n.startsWith(".") &&
+        f.getLen < targetFileBytes // size tier: leave compacted files be
     }
     if (olds.size <= minFiles) return false
     val nOut = math.max(1L,
@@ -529,7 +548,7 @@ object StreamOps {
     * production stamps batchId into both paths and commits atomically. */
   def imageDedupedIngestIndexed(docs: DataFrame, corpusPath: String,
       indexPath: String, idCol: String = "img_id", binCol: String = "blob",
-      maxDist: Int = 8, buckets: Int = 64)
+      maxDist: Int = 8, buckets: Int = 64, autoCompactMinFiles: Int = 32)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, _: Long) =>
@@ -537,6 +556,12 @@ object StreamOps {
         val A = graft.operators.Ann
         val M = graft.operators.Multimodal
         val hconf = spark.sparkContext.hadoopConfiguration
+        // self-bounding housekeeping, as documented on
+        // [[dedupedIngestIndexed]]: single writer, no append in flight
+        if (autoCompactMinFiles > 0) {
+          A.compactHammingIndex(spark, indexPath, autoCompactMinFiles)
+          compactCorpus(spark, corpusPath, autoCompactMinFiles)
+        }
         val cp = new org.apache.hadoop.fs.Path(corpusPath)
         val ip = new org.apache.hadoop.fs.Path(indexPath)
         val corpusExists = cp.getFileSystem(hconf).exists(cp)

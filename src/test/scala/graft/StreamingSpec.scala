@@ -901,6 +901,35 @@ class StreamingSpec extends AnyFunSuite {
       "near-dup 60 of accepted 50 dropped via the compacted index; fresh 61 kept")
   }
 
+  test("auto-compaction: indexed text ingest bounds its own corpus file count across batches") {
+    val src = Files.createTempDirectory("graft_sauto_src")
+    val corpus = Files.createTempDirectory("graft_sauto_corpus").toString + "/corpus"
+    val index = corpus + "_midx"
+    def writeBatch(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = Files.createTempDirectory(s"graft_sauto_$name")
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get
+      Files.copy(part, Paths.get(s"$src/$name.parquet"))
+    }
+    def mkStream() = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+      .parquet(src.toString)
+    def corpusFileCount(): Int =
+      Files.list(Paths.get(corpus)).toArray.map(_.toString).count(_.endsWith(".parquet"))
+    for (i <- 1 to 6) {
+      writeBatch(s"b$i", Seq((i.toLong,
+        s"unique document number $i discussing subject ${"zq" * i} and only that")))
+      val q = StreamOps.dedupedIngestIndexed(mkStream(), corpus, index,
+        autoCompactMinFiles = 2).start()
+      try q.processAllAvailable() finally q.stop()
+      // batch-start folding keeps the tail at <= minFiles, so after the
+      // append the count never exceeds minFiles + 1
+      assert(corpusFileCount() <= 3, s"after batch $i: ${corpusFileCount()} files")
+    }
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().sorted.toSeq
+      == (1L to 6L), "every distinct doc accepted through the compactions")
+  }
+
   test("streaming dedup within watermark drops duplicate event ids") {
     // duplicate the stream source file => every event appears twice
     val dir = Files.createTempDirectory("graft_stream_dup")
