@@ -2029,6 +2029,33 @@ object SparkEntry {
         .select($"id".cast("long").as("vec_id"))
     }),
 
+    // Q1 at SERVING scale: q62's exact lifecycle driven through the
+    // APPROXIMATE query path (stored binary-signature shortlist +
+    // partition-pruned exact rescore). With shortlist >= index size
+    // the contract is exact equality to the brute-force oracle — this
+    // gate proves the signature/prune/rescore plumbing loses nothing
+    // (incl. the metadata filter at rescore and deleted rows staying
+    // gone); recall at PRUNED shortlists and legacy-file tolerance are
+    // spec-gated (IngestIndexSpec).
+    "q121_index_query_approx" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.VectorIndex
+      val tmp = freshScratch("q121")
+      val emb = t(s, dir, "embeddings")
+      val records = emb.select(
+        $"vec_id".cast("string").as("id"),
+        $"embedding".as("values"),
+        struct(($"vec_id" % 5).cast("int").as("chunk_index"),
+          lit("uploaded_pdf").as("source")).as("metadata"))
+      val idx = VectorIndex.ensure(s, s"$tmp/idx", 64)
+      idx.upsert(records)
+      idx.delete((0 until 10).map(_.toString))
+      val q = emb.filter($"vec_id" === 0).select($"embedding").as[Array[Float]].head()
+      idx.queryApprox(q, k = 10, shortlist = 1 << 20,
+          filter = Some($"metadata.chunk_index" === 0))
+        .select($"id".cast("long").as("vec_id"))
+    }),
+
     // Q5 exact similarity join: all (query, candidate) pairs above a
     // cosine threshold — broadcast small side, codegen'd cosine filter.
     "q63_similarity_join" -> ((s, dir) => {
@@ -3197,6 +3224,14 @@ object SparkEntry {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q62_vector_index" ->
+      """SELECT e.vec_id FROM embeddings e
+        |WHERE e.vec_id >= 10 AND e.vec_id % 5 = 0
+        |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC,
+        |  CAST(e.vec_id AS VARCHAR)
+        |LIMIT 10""".stripMargin,
+
+    "q121_index_query_approx" ->
       """SELECT e.vec_id FROM embeddings e
         |WHERE e.vec_id >= 10 AND e.vec_id % 5 = 0
         |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),

@@ -111,8 +111,12 @@ final class VectorIndex private (
       // never depend on the index's prior layout.
       val w = Window.partitionBy(col("id"))
         .orderBy(col("version").desc, xxhash64(col("values")).desc)
+      // canonical-column select: stored files may carry the derived
+      // _bsig column (or not, for legacy files) — it is recomputed at
+      // write, never merged
       val base = if (oldFiles.isEmpty) incoming else {
         spark.read.parquet(oldFiles.map(f => s"$path/$f"): _*)
+          .select(col("id"), col("values"), col("metadata"), col("version"))
           .withColumn("_bucket", bucketOf(col("id"), nb))
           .unionByName(incoming)
       }
@@ -129,8 +133,16 @@ final class VectorIndex private (
     * no global sort. */
   def query(q: Array[Float], k: Int, filter: Option[Column] = None): DataFrame = {
     val base = filter.foldLeft(scan())((df, f) => df.filter(f))
+    base.withColumn("score", scoreCol(q))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+      .select(col("id"), col("score"), col("metadata"))
+  }
+
+  /** The metric's score expression for query vector `q`. */
+  private def scoreCol(q: Array[Float]): Column = {
     val qCol = lit(q.map(_.toDouble))
-    val score = meta.metric match {
+    meta.metric match {
       case Metric.Cosine => vectors.cosine(col("values"), qCol)
       case Metric.Dot => vectors.dot(col("values"), qCol)
       // clamp: fp cancellation for v≈q can push the operand slightly
@@ -139,10 +151,70 @@ final class VectorIndex private (
         vectors.dot(col("values"), col("values")) - lit(2.0) * vectors.dot(col("values"), qCol)
           + vectors.dot(qCol, qCol), lit(0.0)))
     }
-    base.withColumn("score", score)
-      .orderBy(col("score").desc, col("id"))
-      .limit(k)
-      .select(col("id"), col("score"), col("metadata"))
+  }
+
+  /** Q1 at SERVING scale: binary-signature shortlist + exact rescore —
+    * [[query]]'s answer shape without its O(index) vector scan. Every
+    * snapshot rewrite stores each row's 64-bit hyperplane signature
+    * ([[Ann.encodeBinary]], 8 bytes/row), so the shortlist pass reads
+    * only (id, _bsig) — column-pruned, ~2-5% of the vector bytes at
+    * dim 384 — ranks by codegen'd popcount (TakeOrderedAndProject,
+    * per-partition heaps), and the exact rescore reads full rows ONLY
+    * from the manifest files of the buckets the shortlisted ids hash
+    * into (the same static-prune discipline as every other probe).
+    *
+    * Legacy tolerance: rows in files written before signatures existed
+    * surface a null `_bsig` and are ALWAYS exact-rescored, so results
+    * never silently depend on backfill progress (an index with no
+    * signatures at all degrades to the exact [[query]]); a rebucket is
+    * the natural full backfill.
+    *
+    * Approximation contract, like every shortlist ANN ([[Ann
+    * .queryBinary]] is this plan over a plain table): recall < 1 is
+    * possible; `shortlist` >= index size recovers [[query]] exactly.
+    * `filter` applies at RESCORE (the signature pass cannot see
+    * metadata), so a highly selective filter can underfill k — raise
+    * `shortlist` accordingly, the standard filtered-ANN trade. */
+  def queryApprox(q: Array[Float], k: Int, shortlist: Int = 400,
+      filter: Option[Column] = None): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    currentSnapshot(spark, path) match {
+      case None => query(q, k, filter) // empty index: exact path's empty result
+      case Some(n) =>
+        val manifest = readManifest(spark, path, n)
+        val files = manifest.values.flatten.toSeq.sorted
+        if (files.isEmpty) return query(q, k, filter)
+        val nb = currentNumBuckets(Some(n))
+        // mergeSchema: the sampled file may predate the _bsig column
+        val sigs = spark.read.option("mergeSchema", "true")
+          .parquet(files.map(f => s"$path/$f"): _*)
+        if (!sigs.columns.contains("_bsig")) return query(q, k, filter)
+        val qsig = Ann.bitSignature64(q.map(_.toDouble), SigSeed)
+        val ranked = sigs
+          .filter(col("_bsig").isNotNull)
+          .withColumn("_hd", bit_count(col("_bsig").bitwiseXOR(lit(qsig))).cast("int"))
+          .orderBy(col("_hd"), col("id"))
+          .limit(shortlist)
+          .select(col("id"))
+        val legacy = sigs.filter(col("_bsig").isNull).select(col("id"))
+        val candIds = ranked.unionByName(legacy).distinct()
+          .localCheckpoint(true) // bucket-key collect + rescore join
+        val buckets = candIds
+          .select(pmod(xxhash64(col("id")), lit(nb)).cast("int").as("_b"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        val bFiles = manifest.collect { case (b, fs) if buckets(b) => fs }
+          .flatten.toSeq.sorted
+        val rows =
+          if (bFiles.isEmpty) emptyIndexDf(spark)
+          else spark.read.parquet(bFiles.map(f => s"$path/$f"): _*)
+            .select(col("id"), col("values"), col("metadata"))
+        val rescored = rows.join(broadcast(candIds), "id")
+        filter.foldLeft(rescored)((df, f) => df.filter(f))
+          .withColumn("score", scoreCol(q))
+          .orderBy(col("score").desc, col("id"))
+          .limit(k)
+          .select(col("id"), col("score"), col("metadata"))
+    }
   }
 
   /** Q4 fetch by id. */
@@ -162,6 +234,7 @@ final class VectorIndex private (
     val remaining = if (oldFiles.isEmpty) emptyIndexDf(spark).withColumn("_bucket", lit(0))
       .limit(0) else {
       spark.read.parquet(oldFiles.map(f => s"$path/$f"): _*)
+        .select(col("id"), col("values"), col("metadata"), col("version"))
         .filter(!col("id").isin(ids: _*))
         .withColumn("_bucket", bucketOf(col("id"), nb))
     }
@@ -210,9 +283,14 @@ final class VectorIndex private (
     // corruption of committed snapshots.
     val attempt = java.util.UUID.randomUUID().toString.take(8)
     val dataDir = s"data/v=$version-$attempt"
+    // every rewritten row also stores its 64-bit hyperplane signature
+    // (8 bytes/row) — what [[queryApprox]]'s shortlist pass reads
+    // instead of the vectors; legacy files without the column stay
+    // valid (their rows surface null and are always exact-rescored)
+    val withSig = Ann.encodeBinary(merged, "values", SigSeed)
     // cluster by bucket so each bucket lands in few files (the window's
     // id-hash layout would otherwise scatter every bucket across tasks)
-    merged.repartition(col("_bucket"))
+    withSig.repartition(col("_bucket"))
       .write.mode(SaveMode.Overwrite).partitionBy("_bucket")
       .parquet(s"$path/$dataDir")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -242,6 +320,10 @@ final class VectorIndex private (
 }
 
 object VectorIndex {
+
+  /** Seed of the stored `_bsig` hyperplane signatures — fixed so every
+    * snapshot (and the query side) hashes the same planes. */
+  private[operators] val SigSeed = 42L
 
   /** Sentinel for "caller did not specify numBuckets" — lets ensure()
     * reopen an existing index without knowing its bucket count while

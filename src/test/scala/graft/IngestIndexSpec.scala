@@ -117,6 +117,64 @@ class IngestIndexSpec extends AnyFunSuite {
     assert(idx.scanAt(1L).count() == 200)
   }
 
+  test("queryApprox: full shortlist == exact query; pruned shortlist holds recall; legacy files always rescore") {
+    val dir = Files.createTempDirectory("graft_idx_approx").toString
+    val idx = VectorIndex.ensure(spark, s"$dir/a", 16, numBuckets = 8)
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 300).map(n => n -> Array.fill(16)(rnd.nextFloat() * 2f - 1f))
+    val recs = vecs.map { case (n, v) =>
+      (s"a-$n", v.toSeq, (n % 7, "t"))
+    }.toDF("id", "values", "m").select($"id",
+      $"values".cast("array<float>").as("values"),
+      struct($"m._1".as("chunk_index"), $"m._2".as("source")).as("metadata"))
+    idx.upsert(recs)
+    val q = vecs(42)._2
+    val exact = idx.query(q, 10).select("id").as[String].collect().toSeq
+    // shortlist >= index size recovers the exact answer EXACTLY
+    val full = idx.queryApprox(q, 10, shortlist = 1000).select("id").as[String].collect().toSeq
+    assert(full == exact, s"full-shortlist approx must equal exact: $full vs $exact")
+    // pruned shortlist: the signature phase holds recall on the top-10
+    val approx = idx.queryApprox(q, 10, shortlist = 60).select("id").as[String].collect().toSet
+    assert(approx.intersect(exact.toSet).size >= 7,
+      s"recall@10 too low: ${approx.intersect(exact.toSet).size}/10")
+    // the self-match always survives any shortlist (hamming distance 0)
+    assert(idx.queryApprox(q, 1, shortlist = 1).select("id").as[String].head() == "a-42")
+    // metadata filter applies at rescore
+    val filtered = idx.queryApprox(q, 5, shortlist = 300,
+      filter = Some($"metadata.chunk_index" === 0))
+    assert(filtered.select("metadata.chunk_index").as[Int].collect().forall(_ == 0))
+    // LEGACY file: strip _bsig from one committed file in place (same
+    // path, manifest untouched) — its rows must surface null signatures
+    // and still be exact-rescored, so a top hit inside it cannot be lost
+    val manifest = idx.manifestAt(idx.snapshots().last)
+    val victimRel = manifest.values.flatten.toSeq.sorted.head
+    val victimPath = s"$dir/a/$victimRel"
+    val victimRows = spark.read.parquet(victimPath)
+      .select("id", "values", "metadata", "version").cache()
+    val victimIds = victimRows.select("id").as[String].collect().toSet
+    assert(victimRows.count() > 0)
+    val tmp = Files.createTempDirectory("graft_idx_legacy").toString
+    victimRows.coalesce(1).write.mode("overwrite").parquet(tmp)
+    victimRows.unpersist()
+    val part = Files.list(java.nio.file.Paths.get(tmp)).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).head
+    Files.copy(java.nio.file.Paths.get(part), java.nio.file.Paths.get(victimPath),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // drop the local-FS checksum sidecar the overwrite invalidated
+    val victim = java.nio.file.Paths.get(victimPath)
+    Files.deleteIfExists(victim.resolveSibling("." + victim.getFileName + ".crc"))
+    // query FOR a vector stored in the legacy file: even a 1-row
+    // shortlist cannot lose it (legacy rows bypass the signature phase)
+    val legacyTarget = victimIds.head.stripPrefix("a-").toInt
+    val got = idx.queryApprox(vecs(legacyTarget)._2, 1, shortlist = 1)
+      .select("id").as[String].head()
+    assert(got == s"a-$legacyTarget", "legacy-file row must be exact-rescored")
+    // and the full-shortlist equality still holds across mixed schemas
+    val mixedFull = idx.queryApprox(q, 10, shortlist = 1000)
+      .select("id").as[String].collect().toSeq
+    assert(mixedFull == exact)
+  }
+
   test("rebucket: contents identical, new layout used by later upserts") {
     val dir = Files.createTempDirectory("graft_idx_rebucket").toString
     val idx = VectorIndex.ensure(spark, s"$dir/r", 4, numBuckets = 4)
