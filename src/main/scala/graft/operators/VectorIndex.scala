@@ -183,38 +183,53 @@ final class VectorIndex private (
       case Some(n) =>
         val manifest = readManifest(spark, path, n)
         val files = manifest.values.flatten.toSeq.sorted
-        if (files.isEmpty) return query(q, k, filter)
-        val nb = currentNumBuckets(Some(n))
-        // mergeSchema: the sampled file may predate the _bsig column
-        val sigs = spark.read.option("mergeSchema", "true")
-          .parquet(files.map(f => s"$path/$f"): _*)
-        if (!sigs.columns.contains("_bsig")) return query(q, k, filter)
-        val qsig = Ann.bitSignature64(q.map(_.toDouble), SigSeed)
-        val ranked = sigs
-          .filter(col("_bsig").isNotNull)
-          .withColumn("_hd", bit_count(col("_bsig").bitwiseXOR(lit(qsig))).cast("int"))
-          .orderBy(col("_hd"), col("id"))
-          .limit(shortlist)
-          .select(col("id"))
-        val legacy = sigs.filter(col("_bsig").isNull).select(col("id"))
-        val candIds = ranked.unionByName(legacy).distinct()
-          .localCheckpoint(true) // bucket-key collect + rescore join
-        val buckets = candIds
-          .select(pmod(xxhash64(col("id")), lit(nb)).cast("int").as("_b"))
-          .distinct().collect().map(_.getInt(0)).toSet
-        val bFiles = manifest.collect { case (b, fs) if buckets(b) => fs }
-          .flatten.toSeq.sorted
-        val rows =
-          if (bFiles.isEmpty) emptyIndexDf(spark)
-          else spark.read.parquet(bFiles.map(f => s"$path/$f"): _*)
-            .select(col("id"), col("values"), col("metadata"))
-        val rescored = rows.join(broadcast(candIds), "id")
-        filter.foldLeft(rescored)((df, f) => df.filter(f))
-          .withColumn("score", scoreCol(q))
-          .orderBy(col("score").desc, col("id"))
-          .limit(k)
-          .select(col("id"), col("score"), col("metadata"))
+        approxPhases(files, q, shortlist) match {
+          case None => query(q, k, filter) // no signatures anywhere: exact
+          case Some((ranked, legacy)) =>
+            val nb = currentNumBuckets(Some(n))
+            val candIds = ranked.unionByName(legacy).distinct()
+              .localCheckpoint(true) // bucket-key collect + rescore join
+            val buckets = candIds
+              .select(pmod(xxhash64(col("id")), lit(nb)).cast("int").as("_b"))
+              .distinct().collect().map(_.getInt(0)).toSet
+            val bFiles = manifest.collect { case (b, fs) if buckets(b) => fs }
+              .flatten.toSeq.sorted
+            val rows =
+              if (bFiles.isEmpty) emptyIndexDf(spark)
+              else spark.read.parquet(bFiles.map(f => s"$path/$f"): _*)
+                .select(col("id"), col("values"), col("metadata"))
+            val rescored = rows.join(broadcast(candIds), "id")
+            filter.foldLeft(rescored)((df, f) => df.filter(f))
+              .withColumn("score", scoreCol(q))
+              .orderBy(col("score").desc, col("id"))
+              .limit(k)
+              .select(col("id"), col("score"), col("metadata"))
+        }
     }
+  }
+
+  /** [[queryApprox]]'s signature phase over a resolved manifest file
+    * list: (ranked shortlist ids, legacy null-signature ids), or None
+    * when the files are empty or store no signature column at all.
+    * `private[graft]` so plan-shape specs can assert the phase's
+    * physical plan (TakeOrderedAndProject + (id, _bsig)-pruned scan) —
+    * invisible from queryApprox's result, whose checkpoint has already
+    * executed it. */
+  private[graft] def approxPhases(files: Seq[String], q: Array[Float],
+      shortlist: Int): Option[(DataFrame, DataFrame)] = {
+    if (files.isEmpty) return None
+    // mergeSchema: the sampled file may predate the _bsig column
+    val sigs = spark.read.option("mergeSchema", "true")
+      .parquet(files.map(f => s"$path/$f"): _*)
+    if (!sigs.columns.contains("_bsig")) return None
+    val qsig = Ann.bitSignature64(q.map(_.toDouble), SigSeed)
+    val ranked = sigs
+      .filter(col("_bsig").isNotNull)
+      .withColumn("_hd", bit_count(col("_bsig").bitwiseXOR(lit(qsig))).cast("int"))
+      .orderBy(col("_hd"), col("id"))
+      .limit(shortlist)
+      .select(col("id"))
+    Some((ranked, sigs.filter(col("_bsig").isNull).select(col("id"))))
   }
 
   /** Q4 fetch by id. */

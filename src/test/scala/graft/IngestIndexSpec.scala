@@ -139,6 +139,18 @@ class IngestIndexSpec extends AnyFunSuite {
       s"recall@10 too low: ${approx.intersect(exact.toSet).size}/10")
     // the self-match always survives any shortlist (hamming distance 0)
     assert(idx.queryApprox(q, 1, shortlist = 1).select("id").as[String].head() == "a-42")
+    // the I/O claims, mechanically (on the signature PHASE's own plan —
+    // queryApprox's checkpoint has already executed it by result time):
+    // TakeOrderedAndProject (per-partition heaps) and a scan pruned to
+    // (id, _bsig) — the vectors must not appear in its ReadSchema
+    val sigFiles = idx.manifestAt(idx.snapshots().last).values.flatten.toSeq.sorted
+    val Some((ranked, _)) = idx.approxPhases(sigFiles, q, shortlist = 60)
+    val plan = ranked.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-k heap plan:\n$plan")
+    val sigScans = "ReadSchema: struct<[^>]*".r.findAllIn(plan).toSeq
+      .filter(_.contains("_bsig"))
+    assert(sigScans.nonEmpty && sigScans.exists(!_.contains("values")),
+      s"shortlist scan must be pruned to (id,_bsig):\n$plan")
     // metadata filter applies at rescore
     val filtered = idx.queryApprox(q, 5, shortlist = 300,
       filter = Some($"metadata.chunk_index" === 0))
