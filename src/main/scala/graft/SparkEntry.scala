@@ -2056,6 +2056,31 @@ object SparkEntry {
         .select($"id".cast("long").as("vec_id"))
     }),
 
+    // queryApprox's APPROXIMATION graded (q121 grades its exactness
+    // plumbing at a full shortlist): recall@10 of the pruned-shortlist
+    // serving query against the index's own exact query — q110's
+    // contract (same 64-bit signatures, same shortlist/overlap bar)
+    // driven through the snapshot index's stored-signature path.
+    "q122_index_approx_recall" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.VectorIndex
+      val tmp = freshScratch("q122")
+      val emb = t(s, dir, "embeddings")
+      val records = emb.select(
+        $"vec_id".cast("string").as("id"),
+        $"embedding".as("values"),
+        struct(($"vec_id" % 5).cast("int").as("chunk_index"),
+          lit("uploaded_pdf").as("source")).as("metadata"))
+      val idx = VectorIndex.ensure(s, s"$tmp/idx", 64)
+      idx.upsert(records)
+      val q = emb.filter($"vec_id" === 0).select($"embedding").as[Array[Float]].head()
+      val exact = idx.query(q, 10).select($"id")
+      val approx = idx.queryApprox(q, 10, shortlist = 200).select($"id")
+      exact.join(approx, "id")
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(10L).as("k"), ($"n_overlap" >= 7).as("recall_ok"))
+    }),
+
     // Q5 exact similarity join: all (query, candidate) pairs above a
     // cosine threshold — broadcast small side, codegen'd cosine filter.
     "q63_similarity_join" -> ((s, dir) => {
@@ -3230,6 +3255,9 @@ object SparkEntry {
         |  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC,
         |  CAST(e.vec_id AS VARCHAR)
         |LIMIT 10""".stripMargin,
+
+    "q122_index_approx_recall" ->
+      "SELECT CAST(10 AS BIGINT) AS k, TRUE AS recall_ok",
 
     "q121_index_query_approx" ->
       """SELECT e.vec_id FROM embeddings e
