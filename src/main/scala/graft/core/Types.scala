@@ -38,10 +38,10 @@ object Metric {
   *   so this bounds write amplification (size it so index/numBuckets
   *   is a comfortable rewrite unit — thousands at cluster scale). */
 final case class IndexMeta(name: String, dimension: Int, metric: Metric,
-    numBuckets: Int = 16) {
+    numBuckets: Int = 16, sigCellBits: Int = 0) {
   def props: Map[String, String] =
     Map("dimension" -> dimension.toString, "metric" -> metric.name,
-      "numBuckets" -> numBuckets.toString)
+      "numBuckets" -> numBuckets.toString, "sigCellBits" -> sigCellBits.toString)
 }
 
 /** Ingestion errors — the reference raises ValueError on empty inputs

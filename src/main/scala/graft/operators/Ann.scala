@@ -548,6 +548,7 @@ object Ann {
       .parquet(flagged.map(_.toString): _*)
       .repartition(flagged.size, col("_band"), col("_bkt"))
       .write.partitionBy("_band", "_bkt").parquet(tmp.toString)
+    var compacted = 0
     flagged.foreach { dir =>
       val olds = dataFiles(dir)
       val newDir = new Path(new Path(tmp, dir.getParent.getName), dir.getName)
@@ -555,15 +556,23 @@ object Ann {
       // tmp output at all — treat the missing directory as "nothing to
       // move" and KEEP the old files (deleting them without a landed
       // replacement could drop rows if the emptiness read was wrong).
-      val moved =
+      val moves =
         if (fs.exists(newDir)) dataFiles(newDir).map { f =>
           fs.rename(f.getPath, new Path(dir, "compact-" + f.getPath.getName))
-        }.size
-        else 0
-      if (moved > 0) olds.foreach(f => fs.delete(f.getPath, false))
+        }
+        else Seq.empty[Boolean]
+      // Delete the originals ONLY when every replacement landed — rename
+      // returns false (not throws) on dest-exists / object-store races,
+      // and a partial move must leave duplicate rows (old + compact file,
+      // which every probe distincts away), never missing rows. Unmoved
+      // replacements die with tmp below; the originals still hold them.
+      if (moves.nonEmpty && moves.forall(identity)) {
+        olds.foreach(f => fs.delete(f.getPath, false))
+        compacted += 1
+      }
     }
     fs.delete(tmp, true)
-    flagged.size
+    compacted
   }
 
   /** Batch-vs-index Hamming match over a persisted index: all

@@ -395,17 +395,52 @@ object SimplePdfTextExtractor extends TextExtractor {
     * password is non-empty. */
   private def parseEncryption(doc: Doc): Option[StreamCrypt] = {
     val s = doc.s
-    // last /Encrypt wins (incremental updates append trailers)
-    var encRef: Option[(String, String)] = None
-    "/Encrypt\\s+(\\d+)\\s+(\\d+)\\s+R".r.findAllMatchIn(s)
-      .foreach(m => encRef = Some((m.group(1), m.group(2))))
+    // /Encrypt lives in a trailer dictionary (classic xref) or in the
+    // xref STREAM object's dict at the startxref offset (§7.5.8). Scan
+    // those anchored regions only — a compressed stream payload can
+    // contain the bytes `/Encrypt N G R` by accident, and with a whole-
+    // file last-match-wins scan a late-file accident would override the
+    // true pointer (verification then fails and a supported encrypted
+    // document silently degrades to no text layer). Last anchored match
+    // wins (incremental updates append trailers); the whole-file scan
+    // survives only as a fallback for files with mangled trailers.
+    val encRe = "/Encrypt\\s+(\\d+)\\s+(\\d+)\\s+R".r
+    def lastEncIn(regions: Seq[String]): Option[(String, String)] = {
+      var ref: Option[(String, String)] = None
+      regions.foreach(t => encRe.findAllMatchIn(t)
+        .foreach(m => ref = Some((m.group(1), m.group(2)))))
+      ref
+    }
+    val trailerDicts = "trailer".r.findAllMatchIn(s).toSeq.flatMap { m =>
+      val at = s.indexOf("<<", m.end)
+      // the dict opens within a few bytes of the keyword; a distant `<<`
+      // means this `trailer` occurrence was stream-payload noise
+      if (at < 0 || at - m.end > 64) None
+      else Some(balancedDictForward(s, at))
+    }
+    val xrefStreamDicts = "startxref\\s+(\\d+)".r.findAllMatchIn(s).toSeq
+      .flatMap(_.group(1).toIntOption).flatMap { off =>
+        // at the offset sits `N G obj << ... >>` for an xref stream;
+        // classic xref tables (keyword `xref`) are covered above, so
+        // only accept a dict opening right after a nearby obj header
+        val at = if (off < 0 || off >= s.length) -1 else s.indexOf("<<", off)
+        if (at < 0 || at - off > 256) None
+        else Some(balancedDictForward(s, at))
+      }
+    val encRef = lastEncIn(trailerDicts).orElse(lastEncIn(xrefStreamDicts))
+      .orElse(lastEncIn(Seq(s)))
     val dict = encRef.flatMap { case (n, g) =>
       doc.lastObjStart(n, g).map(doc.objPrelude) // never via stm (see crypt)
     }.orElse {
-      // direct-dict form in the trailer
-      var at = -1
-      "/Encrypt\\s*<<".r.findAllMatchIn(s).foreach(m => at = m.end - 2)
-      if (at < 0) None else Some(balancedDictForward(s, at))
+      // direct-dict form in the trailer — same anchoring discipline
+      def direct(regions: Seq[String]): Option[String] = {
+        var d: Option[String] = None
+        regions.foreach(t => "/Encrypt\\s*<<".r.findAllMatchIn(t)
+          .foreach(m => d = Some(balancedDictForward(t, m.end - 2))))
+        d
+      }
+      direct(trailerDicts).orElse(direct(xrefStreamDicts))
+        .orElse(direct(Seq(s)))
     }
     dict.filter(d => "/Filter\\s*/Standard\\b".r.findFirstIn(d).isDefined)
       .flatMap { d =>

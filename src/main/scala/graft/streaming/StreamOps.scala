@@ -192,7 +192,11 @@ object StreamOps {
   }
 
   /** Heal a double-appended corpus: accepted ids are immutable, so
-    * duplicate ids carry identical payloads — keep one. The rewrite
+    * duplicate ids carry identical payloads — keep one. NULL-id rows
+    * are exempt: every dedup anti-join deliberately accepts them (null
+    * never equals), so a corpus can legitimately hold several — they
+    * pass through unchanged (`dropDuplicates` would collapse them all
+    * into one, silently dropping accepted documents). The rewrite
     * goes to a SIBLING dir and swaps in via two renames (recovered by
     * [[recoverHealSwap]] if interrupted); an in-place
     * `mode("overwrite")` deletes the directory before writing, so a
@@ -204,7 +208,9 @@ object StreamOps {
     val spark = corpus0.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     def hp(p: String) = new org.apache.hadoop.fs.Path(p)
-    val healed = corpus0.dropDuplicates(idCol).localCheckpoint(true)
+    val healed = corpus0.filter(col(idCol).isNotNull).dropDuplicates(idCol)
+      .unionByName(corpus0.filter(col(idCol).isNull))
+      .localCheckpoint(true)
     healed.write.mode("overwrite").parquet(corpusPath + "__heal")
     val fs = hp(corpusPath).getFileSystem(hconf)
     if (!fs.rename(hp(corpusPath), hp(corpusPath + "__trash")) ||
@@ -247,10 +253,17 @@ object StreamOps {
             // equal while violating the unique-id invariant.
             val corpusSig = if (verified) spark.read.parquet(sigPath) else {
               val corpus0 = spark.read.parquet(corpusPath)
-              val cIds = corpus0.select(col(idCol).cast("long").as("_cid"))
+              // the id-uniqueness invariant holds for NON-NULL ids only:
+              // null-id docs are deliberately accepted by every dedup
+              // anti-join, so several can legitimately coexist — counting
+              // them into the census would misread them as a double-
+              // append and the heal would collapse accepted documents
+              val cIds = corpus0.where(col(idCol).isNotNull)
+                .select(col(idCol).cast("long").as("_cid"))
                 .distinct().localCheckpoint(true)
+              val cNullN = corpus0.where(col(idCol).isNull).count()
               val corpus =
-                if (corpus0.count() == cIds.count()) corpus0
+                if (corpus0.count() - cNullN == cIds.count()) corpus0
                 else healSwap(corpus0, corpusPath, idCol)
               val fresh0 =
                 if (!exists(sigPath)) None
@@ -260,9 +273,15 @@ object StreamOps {
                   // matching cardinalities alone can hide divergence,
                   // which would both skip dedup for corpus ids missing
                   // from the sidecar and treat sidecar-only ids as
-                  // corpus membership in the id-reuse anti-join
-                  val sDis = s.select(col("_id")).distinct().localCheckpoint(true)
-                  s.count() == sDis.count() &&
+                  // corpus membership in the id-reuse anti-join.
+                  // Null-id rows can't be set-compared (null never
+                  // equals), so they are checked by COUNT — 1:1 with
+                  // the corpus's null-id rows by construction.
+                  val sNonNull = s.where(col("_id").isNotNull)
+                  val sDis = sNonNull.select(col("_id")).distinct()
+                    .localCheckpoint(true)
+                  sNonNull.count() == sDis.count() &&
+                    s.where(col("_id").isNull).count() == cNullN &&
                     sDis.join(cIds, col("_id") === col("_cid"), "left_anti").count() == 0L &&
                     cIds.join(sDis, col("_cid") === col("_id"), "left_anti").count() == 0L
                 }
@@ -362,10 +381,18 @@ object StreamOps {
           var corpus = spark.read.parquet(corpusPath)
           var corpusN = corpus.count()
           if (!verified) {
-            val distinctN = corpus.select(col(idCol)).distinct().count()
-            if (corpusN != distinctN) {
+            // uniqueness census over NON-NULL ids only: null-id docs are
+            // deliberately accepted by every dedup anti-join, so several
+            // can legitimately coexist — counting them here would misread
+            // them as a double-append, and the heal would both drop
+            // accepted documents and desync the payload census below
+            // (forcing a spurious index rebuild)
+            val nonNull = corpus.where(col(idCol).isNotNull)
+            val nonNullN = nonNull.count()
+            val distinctN = nonNull.select(col(idCol)).distinct().count()
+            if (nonNullN != distinctN) {
               corpus = healSwap(corpus, corpusPath, idCol)
-              corpusN = distinctN
+              corpusN = corpus.count()
             }
           }
           val rebuild = !exists(indexPath) ||
