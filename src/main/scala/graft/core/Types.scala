@@ -36,7 +36,15 @@ object Metric {
 /** @param numBuckets id-hash buckets the index data files are
   *   partitioned into; an upsert/delete rewrites only touched buckets,
   *   so this bounds write amplification (size it so index/numBuckets
-  *   is a comfortable rewrite unit — thousands at cluster scale). */
+  *   is a comfortable rewrite unit — thousands at cluster scale).
+  * @param sigCellBits signature-prefix cell layout of the data files:
+  *   each rewritten row lands under `_cell=` = the top `sigCellBits`
+  *   bits of its stored 64-bit hyperplane signature, so a serving
+  *   query's shortlist pass prunes its (id,_bsig) scan to the files of
+  *   the query cell's expanding Hamming neighborhoods instead of the
+  *   whole index (VectorIndex.queryApprox). 0 = no cell layout (legacy
+  *   indexes); fixed at creation like dimension — every file's path
+  *   cell must mean the same bits. */
 final case class IndexMeta(name: String, dimension: Int, metric: Metric,
     numBuckets: Int = 16, sigCellBits: Int = 0) {
   def props: Map[String, String] =

@@ -103,8 +103,9 @@ final class VectorIndex private (
         throw new IngestError(s"upsert: embedding dimension != index dimension $dim")
       val touched = incoming.select("_bucket").distinct()
         .collect().map(_.getInt(0)).toSet
-      val manifest = cur.map(readManifest(spark, path, _)).getOrElse(Map.empty[Int, Seq[String]])
-      val oldFiles = touched.toSeq.sorted.flatMap(manifest.getOrElse(_, Nil))
+      val manifest = cur.map(readManifest(spark, path, _))
+        .getOrElse(Map.empty[Int, Seq[ManifestFile]])
+      val oldFiles = touched.toSeq.sorted.flatMap(manifest.getOrElse(_, Nil)).map(_.file)
       // last write wins; within a batch ties broken arbitrarily-but-
       // deterministically by values hash. The same window applies whether
       // or not the touched buckets had prior files, so a batch's winners
@@ -156,12 +157,17 @@ final class VectorIndex private (
   /** Q1 at SERVING scale: binary-signature shortlist + exact rescore —
     * [[query]]'s answer shape without its O(index) vector scan. Every
     * snapshot rewrite stores each row's 64-bit hyperplane signature
-    * ([[Ann.encodeBinary]], 8 bytes/row), so the shortlist pass reads
-    * only (id, _bsig) — column-pruned, ~2-5% of the vector bytes at
-    * dim 384 — ranks by codegen'd popcount (TakeOrderedAndProject,
-    * per-partition heaps), and the exact rescore reads full rows ONLY
-    * from the manifest files of the buckets the shortlisted ids hash
-    * into (the same static-prune discipline as every other probe).
+    * ([[Ann.encodeBinary]], 8 bytes/row) AND lays files out by the
+    * signature's top `sigCellBits` bits (`_cell=` under each id-bucket),
+    * so the shortlist pass is pruned twice: to the (id, _bsig) columns
+    * (~2-5% of the vector bytes at dim 384) and to the FILES of the
+    * query cell's expanding Hamming rings — sized by the manifest's
+    * per-file row counts to cover `shortlist * ProbeOversample`
+    * candidates — instead of every row in the index. It ranks by
+    * codegen'd popcount (TakeOrderedAndProject, per-partition heaps),
+    * and the exact rescore reads full rows ONLY from the manifest files
+    * of the buckets the shortlisted ids hash into (the same
+    * static-prune discipline as every other probe).
     *
     * Legacy tolerance: rows in files written before signatures existed
     * surface a null `_bsig` and are ALWAYS exact-rescored, so results
@@ -179,49 +185,95 @@ final class VectorIndex private (
       filter: Option[Column] = None): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
     currentSnapshot(spark, path) match {
-      case None => query(q, k, filter) // empty index: exact path's empty result
+      case None =>
+        lastApproxMode = "exact-empty"
+        query(q, k, filter) // empty index: exact path's empty result
       case Some(n) =>
         val manifest = readManifest(spark, path, n)
-        val files = manifest.values.flatten.toSeq.sorted
+        val all = manifest.values.flatten.toSeq
+        // cell-pruned probe: read only the files of the query cell's
+        // expanding Hamming neighborhoods (plus every no-cell file),
+        // sized by the manifest's per-file row counts — NOT the whole
+        // index's (id,_bsig) pairs. The bits come from the committed
+        // manifest's meta header (the layout is part of the commit).
+        val bits = manifestMeta(spark, path, n).map(_.sigCellBits)
+          .getOrElse(meta.sigCellBits)
+        val qsig = Ann.bitSignature64(q.map(_.toDouble), SigSeed)
+        val files = selectProbeFiles(all, bits, qsig, shortlist.toLong * ProbeOversample)
+        lastProbeFiles = files.size
+        lastManifestFiles = all.size
         approxPhases(files, q, shortlist) match {
-          case None => query(q, k, filter) // no signatures anywhere: exact
-          case Some((ranked, legacy)) =>
-            val nb = currentNumBuckets(Some(n))
-            val candIds = ranked.unionByName(legacy).distinct()
-              .localCheckpoint(true) // bucket-key collect + rescore join
-            val buckets = candIds
-              .select(pmod(xxhash64(col("id")), lit(nb)).cast("int").as("_b"))
-              .distinct().collect().map(_.getInt(0)).toSet
-            val bFiles = manifest.collect { case (b, fs) if buckets(b) => fs }
-              .flatten.toSeq.sorted
-            val rows =
-              if (bFiles.isEmpty) emptyIndexDf(spark)
-              else spark.read.parquet(bFiles.map(f => s"$path/$f"): _*)
-                .select(col("id"), col("values"), col("metadata"))
-            val rescored = rows.join(broadcast(candIds), "id")
-            filter.foldLeft(rescored)((df, f) => df.filter(f))
-              .withColumn("score", scoreCol(q))
-              .orderBy(col("score").desc, col("id"))
-              .limit(k)
-              .select(col("id"), col("score"), col("metadata"))
+          case None =>
+            lastApproxMode = "exact-nosig"
+            query(q, k, filter) // no signatures anywhere: exact
+          case Some(phase) =>
+            try {
+              // legacy rows bypass the signature phase and ALL join the
+              // rescore — correct, but a mostly-legacy index would push
+              // nearly every id through the driver-side broadcast. When
+              // legacy alone reaches the shortlist the approximation
+              // saves nothing over the exact scan: fall back to query(),
+              // whose single pass is strictly cheaper than shortlist +
+              // unbounded rescore (ADVICE r12; keeps the broadcast
+              // ~shortlist-sized by construction).
+              val legacyCount = phase.legacy.limit(shortlist).count()
+              if (legacyCount >= shortlist) {
+                lastApproxMode = "exact-legacy-dominated"
+                return query(q, k, filter)
+              }
+              lastApproxMode =
+                if (files.size < all.size) "approx-pruned" else "approx-full"
+              val nb = currentNumBuckets(Some(n))
+              val candIds = phase.ranked.unionByName(phase.legacy).distinct()
+                .localCheckpoint(true) // bucket-key collect + rescore join
+              val buckets = candIds
+                .select(pmod(xxhash64(col("id")), lit(nb)).cast("int").as("_b"))
+                .distinct().collect().map(_.getInt(0)).toSet
+              val bFiles = manifest.collect { case (b, fs) if buckets(b) => fs }
+                .flatten.map(_.file).toSeq.sorted
+              val rows =
+                if (bFiles.isEmpty) emptyIndexDf(spark)
+                else spark.read.parquet(bFiles.map(f => s"$path/$f"): _*)
+                  .select(col("id"), col("values"), col("metadata"))
+              val rescored = rows.join(broadcast(candIds), "id")
+              filter.foldLeft(rescored)((df, f) => df.filter(f))
+                .withColumn("score", scoreCol(q))
+                .orderBy(col("score").desc, col("id"))
+                .limit(k)
+                .select(col("id"), col("score"), col("metadata"))
+            } finally phase.sigs.unpersist(blocking = false)
         }
     }
   }
 
-  /** [[queryApprox]]'s signature phase over a resolved manifest file
-    * list: (ranked shortlist ids, legacy null-signature ids), or None
-    * when the files are empty or store no signature column at all.
+  /** Which path the last [[queryApprox]] took ("exact-empty",
+    * "exact-nosig", "exact-legacy-dominated", "approx-pruned",
+    * "approx-full") and how many manifest files its signature phase
+    * read vs the manifest total — diagnostics for specs and operators
+    * (a serving deployment wants to SEE that pruning engages). */
+  private[graft] var lastApproxMode: String = ""
+  private[graft] var lastProbeFiles: Int = 0
+  private[graft] var lastManifestFiles: Int = 0
+
+  /** [[queryApprox]]'s signature phase over a probe file list: the
+    * ranked shortlist ids, the legacy null-signature ids, and the
+    * PERSISTED narrow (id,_bsig) projection both are computed from —
+    * one scan of the probed files feeds shortlist ranking, legacy
+    * census and the candidate union (the caller unpersists). None when
+    * the files are empty or store no signature column at all.
     * `private[graft]` so plan-shape specs can assert the phase's
     * physical plan (TakeOrderedAndProject + (id, _bsig)-pruned scan) —
     * invisible from queryApprox's result, whose checkpoint has already
     * executed it. */
   private[graft] def approxPhases(files: Seq[String], q: Array[Float],
-      shortlist: Int): Option[(DataFrame, DataFrame)] = {
+      shortlist: Int): Option[SigPhase] = {
     if (files.isEmpty) return None
     // mergeSchema: the sampled file may predate the _bsig column
-    val sigs = spark.read.option("mergeSchema", "true")
+    val raw = spark.read.option("mergeSchema", "true")
       .parquet(files.map(f => s"$path/$f"): _*)
-    if (!sigs.columns.contains("_bsig")) return None
+    if (!raw.columns.contains("_bsig")) return None
+    val sigs = raw.select(col("id"), col("_bsig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qsig = Ann.bitSignature64(q.map(_.toDouble), SigSeed)
     val ranked = sigs
       .filter(col("_bsig").isNotNull)
@@ -229,7 +281,58 @@ final class VectorIndex private (
       .orderBy(col("_hd"), col("id"))
       .limit(shortlist)
       .select(col("id"))
-    Some((ranked, sigs.filter(col("_bsig").isNull).select(col("id"))))
+    Some(SigPhase(ranked, sigs.filter(col("_bsig").isNull).select(col("id")), sigs))
+  }
+
+  /** Rows [[queryApprox]] must always exact-rescore because their file
+    * predates the `_bsig` column (or stores a null signature) — the
+    * operator-facing gauge for "how much of this index still needs
+    * [[backfillSignatures]]". Column-pruned maintenance scan (8 B/row),
+    * not a serving-path cost. */
+  def legacyRows(): Long = currentSnapshot(spark, path) match {
+    case None => 0L
+    case Some(n) =>
+      val files = readManifest(spark, path, n).values.flatten.map(_.file).toSeq.sorted
+      if (files.isEmpty) 0L
+      else {
+        val df = spark.read.option("mergeSchema", "true")
+          .parquet(files.map(f => s"$path/$f"): _*)
+        if (!df.columns.contains("_bsig")) df.count()
+        else df.filter(col("_bsig").isNull).count()
+      }
+  }
+
+  /** Targeted `_bsig` backfill: rewrite ONLY the buckets that still
+    * contain legacy (null-signature) rows; every other bucket's files
+    * are carried forward by reference, so the write cost tracks the
+    * legacy fraction, not the index. Returns the number of buckets
+    * rewritten (0 = nothing to do, no snapshot committed). A rebucket
+    * remains the natural FULL backfill. */
+  def backfillSignatures(): Int = currentSnapshot(spark, path) match {
+    case None => 0
+    case Some(n) =>
+      val manifest = readManifest(spark, path, n)
+      val files = manifest.values.flatten.map(_.file).toSeq.sorted
+      if (files.isEmpty) return 0
+      val probe = spark.read.option("mergeSchema", "true")
+        .parquet(files.map(f => s"$path/$f"): _*)
+      val legacyFiles: Set[String] =
+        if (!probe.columns.contains("_bsig")) files.toSet
+        else probe.select(input_file_name().as("f"), col("_bsig"))
+          .filter(col("_bsig").isNull)
+          .select("f").distinct()
+          .collect().map(_.getString(0)).toSet // bounded by the file count
+      if (legacyFiles.isEmpty) return 0
+      val touched = manifest.collect {
+        case (b, fs0) if fs0.exists(mf => legacyFiles.exists(_.endsWith(mf.file))) => b
+      }.toSet
+      val nb = currentNumBuckets(Some(n))
+      val oldFiles = touched.toSeq.sorted.flatMap(manifest.getOrElse(_, Nil)).map(_.file)
+      val rows = spark.read.parquet(oldFiles.map(f => s"$path/$f"): _*)
+        .select(col("id"), col("values"), col("metadata"), col("version"))
+        .withColumn("_bucket", bucketOf(col("id"), nb))
+      writeSnapshot(n + 1, rows, manifest, touched, nb)
+      touched.size
   }
 
   /** Q4 fetch by id. */
@@ -244,8 +347,9 @@ final class VectorIndex private (
     val nb = currentNumBuckets(cur)
     val touched = ids.toDS().select(bucketOf(col("value"), nb))
       .distinct().collect().map(_.getInt(0)).toSet
-    val manifest = cur.map(readManifest(spark, path, _)).getOrElse(Map.empty[Int, Seq[String]])
-    val oldFiles = touched.toSeq.sorted.flatMap(manifest.getOrElse(_, Nil))
+    val manifest = cur.map(readManifest(spark, path, _))
+      .getOrElse(Map.empty[Int, Seq[ManifestFile]])
+    val oldFiles = touched.toSeq.sorted.flatMap(manifest.getOrElse(_, Nil)).map(_.file)
     val remaining = if (oldFiles.isEmpty) emptyIndexDf(spark).withColumn("_bucket", lit(0))
       .limit(0) else {
       spark.read.parquet(oldFiles.map(f => s"$path/$f"): _*)
@@ -287,7 +391,7 @@ final class VectorIndex private (
     * a manifest that carries every untouched bucket's existing files
     * forward by reference — no copy, no rewrite. */
   private def writeSnapshot(version: Long, merged: DataFrame,
-      oldManifest: Map[Int, Seq[String]], touched: Set[Int],
+      oldManifest: Map[Int, Seq[ManifestFile]], touched: Set[Int],
       numBuckets: Int): Unit = {
     // Each write ATTEMPT gets its own directory: a concurrent or retried
     // writer that computes the same target version can then never
@@ -303,27 +407,60 @@ final class VectorIndex private (
     // instead of the vectors; legacy files without the column stay
     // valid (their rows surface null and are always exact-rescored)
     val withSig = Ann.encodeBinary(merged, "values", SigSeed)
+    // signature-prefix cell as a SECOND layout key inside each bucket:
+    // queryApprox's shortlist pass then reads only the files of the
+    // query cell's Hamming neighborhood instead of every (id,_bsig)
+    // pair in the index. shiftrightunsigned keeps the top bits as a
+    // small non-negative dir name; a null signature (no layout cell)
+    // lands in the hive default partition, which probes always read.
+    val bits = meta.sigCellBits
+    val laidOut =
+      if (bits <= 0) withSig
+      else withSig.withColumn("_cell",
+        shiftrightunsigned(col("_bsig"), 64 - bits).cast("int"))
     // cluster by bucket so each bucket lands in few files (the window's
     // id-hash layout would otherwise scatter every bucket across tasks)
-    withSig.repartition(col("_bucket"))
-      .write.mode(SaveMode.Overwrite).partitionBy("_bucket")
+    laidOut.repartition(col("_bucket"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy((if (bits <= 0) Seq("_bucket") else Seq("_bucket", "_cell")): _*)
       .parquet(s"$path/$dataDir")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // list data files per bucket (one extra `_cell=` level when the cell
+    // layout is on) and record each file's row count from its parquet
+    // footer — driver metadata I/O proportional to the files this
+    // attempt wrote, never to the index
+    def dataFiles(dir: Path): Seq[Path] = fs.listStatus(dir).toSeq.flatMap {
+      case d if d.isDirectory => dataFiles(d.getPath)
+      case f if f.isFile && !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith(".") => Seq(f.getPath)
+      case _ => Nil
+    }
+    val qualified = fs.makeQualified(new Path(path)).toString + "/"
     val written = fs.listStatus(new Path(path, dataDir)).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("_bucket="))
       .map { d =>
         val b = d.getPath.getName.stripPrefix("_bucket=").toInt
-        b -> fs.listStatus(d.getPath).toSeq
-          .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
-          .map(f => s"$dataDir/_bucket=$b/${f.getPath.getName}")
+        b -> dataFiles(d.getPath).map { p =>
+          ManifestFile(p.toString.stripPrefix(qualified), parquetRowCount(p))
+        }
       }.toMap
     val manifest = (oldManifest -- touched) ++ written
     writeManifest(spark, path, version, manifest, meta.copy(numBuckets = numBuckets))
     pruneOldSnapshots(spark, path, keep = 2)
   }
 
+  /** Row count from a parquet footer; None if unreadable (the file stays
+    * valid — its cell is just never pruned). */
+  private def parquetRowCount(p: Path): Option[Long] =
+    try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(p, spark.sparkContext.hadoopConfiguration)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try Some(r.getRecordCount) finally r.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   private def readManifestData(version: Long): DataFrame = {
-    val files = readManifest(spark, path, version).values.flatten.toSeq.sorted
+    val files = readManifest(spark, path, version).values.flatten.toSeq.map(_.file).sorted
     if (files.isEmpty) emptyIndexDf(spark)
     else spark.read.parquet(files.map(f => s"$path/$f"): _*)
       .select(col("id"), col("values"), col("metadata"), col("version"))
@@ -331,6 +468,10 @@ final class VectorIndex private (
 
   /** Test/diagnostic surface: the committed manifest of a snapshot. */
   private[graft] def manifestAt(version: Long): Map[Int, Seq[String]] =
+    readManifest(spark, path, version).map { case (b, fs0) => b -> fs0.map(_.file) }
+
+  /** Test/diagnostic surface: manifest entries incl. row counts. */
+  private[graft] def manifestEntriesAt(version: Long): Map[Int, Seq[ManifestFile]] =
     readManifest(spark, path, version)
 }
 
@@ -340,19 +481,72 @@ object VectorIndex {
     * snapshot (and the query side) hashes the same planes. */
   private[operators] val SigSeed = 42L
 
+  /** [[VectorIndex.approxPhases]]'s result: shortlist ranking + legacy
+    * census, both over ONE persisted (id,_bsig) scan (`sigs` — the
+    * caller unpersists when the candidate set is materialized). */
+  private[graft] final case class SigPhase(
+      ranked: DataFrame, legacy: DataFrame, sigs: DataFrame)
+
+  /** Cell ring expansion stops once the probed files cover this many
+    * times the requested shortlist (known row counts only): a 6-bit
+    * prefix carries limited signal per bit, so probing exactly
+    * `shortlist` rows would cost recall — oversampling the candidate
+    * pool keeps the pruned shortlist's recall at the full-scan bar
+    * while still reading a small fraction of a large index. */
+  private[graft] val ProbeOversample = 8L
+
+  /** Probe-file selection for [[VectorIndex.queryApprox]]: all no-cell
+    * files (legacy layout, null-signature partition, unknown counts)
+    * plus the files of the query cell's expanding Hamming rings, until
+    * the rings' known row counts reach `target` (or every ring is
+    * included — which is how `shortlist >= index` degrades to the
+    * full scan and keeps the exactness contract). Pure, so specs can
+    * drive it with synthetic manifests. */
+  private[graft] def selectProbeFiles(all: Seq[ManifestFile], bits: Int,
+      qsig: Long, target: Long): Seq[String] = {
+    if (bits <= 0) return all.map(_.file).sorted
+    val (celled, always) = all.partition(f => f.cell.isDefined && f.rows.isDefined)
+    if (celled.isEmpty) return all.map(_.file).sorted
+    val qcell = (qsig >>> (64 - bits)).toInt
+    val byRing = celled.groupBy(f => Integer.bitCount(f.cell.get ^ qcell))
+    val rings = byRing.keys.toSeq.sorted
+    val picked = Seq.newBuilder[ManifestFile]
+    var cum = 0L
+    var i = 0
+    while (i < rings.length && cum < target) {
+      val ring = byRing(rings(i))
+      picked ++= ring
+      cum += ring.iterator.flatMap(_.rows).sum
+      i += 1
+    }
+    (always ++ picked.result()).map(_.file).sorted
+  }
+
   /** Sentinel for "caller did not specify numBuckets" — lets ensure()
     * reopen an existing index without knowing its bucket count while
     * still failing loudly on an EXPLICIT mismatch. */
   val DefaultNumBuckets = 16
   private val UnspecifiedBuckets = -1
 
+  /** Default signature-prefix cell bits for NEW indexes: 64 cells per
+    * bucket — enough pruning units that a serving query's signature
+    * scan reads a small neighborhood of a large index, few enough that
+    * files stay comfortably sized at scale. */
+  val DefaultSigCellBits = 6
+  private val UnspecifiedCellBits = -1
+
   /** G2 create — idempotent like the reference's existence check
     * (streamlit_app.py:46-49). Fails if it exists with different meta
-    * (numBuckets participates only when explicitly passed — it is a
-    * storage property of the existing index, not a per-open choice). */
+    * (numBuckets/sigCellBits participate only when explicitly passed —
+    * they are storage properties of the existing index, not per-open
+    * choices). */
   def ensure(spark: SparkSession, path: String, dimension: Int,
       metric: Metric = Metric.Cosine, name: String = "textembedding",
-      numBuckets: Int = UnspecifiedBuckets): VectorIndex = {
+      numBuckets: Int = UnspecifiedBuckets,
+      sigCellBits: Int = UnspecifiedCellBits): VectorIndex = {
+    require(sigCellBits == UnspecifiedCellBits ||
+      (sigCellBits >= 0 && sigCellBits <= 16),
+      s"sigCellBits $sigCellBits out of range [0,16]")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val metaPath = new Path(path, "_graft_meta.json")
     // A crash inside writeMetaFile's delete-then-rename window leaves
@@ -364,12 +558,14 @@ object VectorIndex {
     if (fs.exists(metaPath) || listSnapshots(spark, path).nonEmpty) {
       val existing = readMeta(spark, path)
       require(existing.dimension == dimension && existing.metric == metric &&
-        (numBuckets == UnspecifiedBuckets || existing.numBuckets == numBuckets),
+        (numBuckets == UnspecifiedBuckets || existing.numBuckets == numBuckets) &&
+        (sigCellBits == UnspecifiedCellBits || existing.sigCellBits == sigCellBits),
         s"index exists with different meta: $existing")
       new VectorIndex(spark, path, existing)
     } else {
       val meta = IndexMeta(name, dimension, metric,
-        if (numBuckets == UnspecifiedBuckets) DefaultNumBuckets else numBuckets)
+        if (numBuckets == UnspecifiedBuckets) DefaultNumBuckets else numBuckets,
+        if (sigCellBits == UnspecifiedCellBits) DefaultSigCellBits else sigCellBits)
       fs.mkdirs(new Path(path))
       writeMetaFile(fs, path, meta)
       new VectorIndex(spark, path, meta)
@@ -391,7 +587,8 @@ object VectorIndex {
 
   private def metaJson(meta: IndexMeta): String =
     s"""{"name":"${meta.name}","dimension":${meta.dimension},""" +
-      s""""metric":"${meta.metric.name}","numBuckets":${meta.numBuckets}}"""
+      s""""metric":"${meta.metric.name}","numBuckets":${meta.numBuckets},""" +
+      s""""sigCellBits":${meta.sigCellBits}}"""
 
   /** Write `_graft_meta.json` as tmp + rename — the same discipline as
     * writeManifest — so a crash mid-write can never leave a truncated
@@ -416,12 +613,16 @@ object VectorIndex {
     }
   }
 
-  // minimal parse of the fixed shape metaJson writes
+  // minimal parse of the fixed shape metaJson writes; absent keys take
+  // the value the layout had before the key existed (old manifests /
+  // meta files round-trip unchanged)
   private def parseMeta(txt: String): IndexMeta = {
     def field(k: String): String =
       txt.split(s""""$k":""")(1).split("[,}]")(0).trim.stripPrefix("\"").stripSuffix("\"")
     val buckets = if (txt.contains(""""numBuckets":""")) field("numBuckets").toInt else 16
-    IndexMeta(field("name"), field("dimension").toInt, Metric.parse(field("metric")), buckets)
+    val cellBits = if (txt.contains(""""sigCellBits":""")) field("sigCellBits").toInt else 0
+    IndexMeta(field("name"), field("dimension").toInt, Metric.parse(field("metric")),
+      buckets, cellBits)
   }
 
   private def readMeta(spark: SparkSession, path: String): IndexMeta = {
@@ -449,6 +650,19 @@ object VectorIndex {
 
   // ---------- manifest I/O ----------
 
+  /** One committed data file: relative path + its row count (None for
+    * files first committed before counts were recorded — their cells
+    * are never pruned, see [[selectProbeFiles]]). The signature-prefix
+    * cell is not stored separately: it is the `_cell=` component of the
+    * file's path (a LAYOUT key, like `_bucket=`). */
+  private[graft] final case class ManifestFile(file: String, rows: Option[Long]) {
+    /** The file's signature-prefix cell, parsed from its partition path;
+      * None for pre-cell files and the null-signature default partition
+      * (both are always probed). */
+    def cell: Option[Int] = CellRe.findFirstMatchIn(file).map(_.group(1).toInt)
+  }
+  private val CellRe = "_cell=(\\d+)".r
+
   private def manifestPath(path: String, version: Long): Path =
     new Path(path, s"snapshot=$version/manifest")
 
@@ -461,7 +675,7 @@ object VectorIndex {
     * exists-check narrows but cannot fully close the window — single
     * JVM there, where it is exact. */
   private[graft] def writeManifest(spark: SparkSession, path: String, version: Long,
-      manifest: Map[Int, Seq[String]], idxMeta: IndexMeta): Unit = {
+      manifest: Map[Int, Seq[ManifestFile]], idxMeta: IndexMeta): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val finalPath = manifestPath(path, version)
     fs.mkdirs(finalPath.getParent)
@@ -471,10 +685,14 @@ object VectorIndex {
     // header records the hash space this snapshot was written under —
     // the layout is part of the commit, not of the mutable meta file.
     // The full meta copy makes every commit a recovery point for a
-    // lost/corrupt _graft_meta.json (see readMeta).
+    // lost/corrupt _graft_meta.json (see readMeta). Each file line
+    // optionally carries the file's row count as a third field —
+    // carried-forward files keep theirs, so a probe can size cell
+    // neighborhoods without touching any footer.
     val body = (Seq(s"#numBuckets=${idxMeta.numBuckets}", s"#meta=${metaJson(idxMeta)}") ++
       manifest.toSeq.sortBy(_._1)
-        .flatMap { case (b, files) => files.sorted.map(f => s"$b\t$f") })
+        .flatMap { case (b, files) => files.sortBy(_.file).map(mf =>
+          s"$b\t${mf.file}" + mf.rows.map(r => s"\t$r").getOrElse("")) })
       .mkString("\n")
     out.write(body.getBytes("UTF-8"))
     out.close()
@@ -494,15 +712,16 @@ object VectorIndex {
   }
 
   private def readManifest(spark: SparkSession, path: String,
-      version: Long): Map[Int, Seq[String]] = {
+      version: Long): Map[Int, Seq[ManifestFile]] = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(manifestPath(path, version))
     val txt = scala.io.Source.fromInputStream(in).mkString
     in.close()
     txt.split("\n").toSeq.filter(l => l.nonEmpty && !l.startsWith("#"))
       .map { line =>
-        val Array(b, f) = line.split("\t", 2)
-        (b.toInt, f)
+        val parts = line.split("\t")
+        (parts(0).toInt, ManifestFile(parts(1),
+          if (parts.length > 2) Some(parts(2).toLong) else None))
       }
       .groupBy(_._1).map { case (b, fs0) => b -> fs0.map(_._2) }
   }
@@ -567,7 +786,8 @@ object VectorIndex {
     val snaps = listSnapshots(spark, path)
     snaps.dropRight(keep).foreach(n => fs.delete(new Path(p, s"snapshot=$n"), true))
     val retained = listSnapshots(spark, path)
-    val referenced = retained.flatMap(readManifest(spark, path, _).values.flatten).toSet
+    val referenced = retained
+      .flatMap(readManifest(spark, path, _).values.flatten.map(_.file)).toSet
     // files under data/v=K-* with K beyond the newest COMMITTED snapshot
     // belong to an in-flight writer's attempt — not garbage yet. (A lost
     // race's orphans at K <= newest are collected once K is superseded.)

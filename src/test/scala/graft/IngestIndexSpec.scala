@@ -144,13 +144,32 @@ class IngestIndexSpec extends AnyFunSuite {
     // TakeOrderedAndProject (per-partition heaps) and a scan pruned to
     // (id, _bsig) — the vectors must not appear in its ReadSchema
     val sigFiles = idx.manifestAt(idx.snapshots().last).values.flatten.toSeq.sorted
-    val Some((ranked, _)) = idx.approxPhases(sigFiles, q, shortlist = 60)
-    val plan = ranked.queryExecution.executedPlan.toString
-    assert(plan.contains("TakeOrderedAndProject"), s"no top-k heap plan:\n$plan")
-    val sigScans = "ReadSchema: struct<[^>]*".r.findAllIn(plan).toSeq
-      .filter(_.contains("_bsig"))
-    assert(sigScans.nonEmpty && sigScans.exists(!_.contains("values")),
-      s"shortlist scan must be pruned to (id,_bsig):\n$plan")
+    val Some(phase) = idx.approxPhases(sigFiles, q, shortlist = 60)
+    try {
+      val rankedPlan = phase.ranked.queryExecution.executedPlan.toString
+      assert(rankedPlan.contains("TakeOrderedAndProject"),
+        s"no top-k heap plan:\n$rankedPlan")
+      val scanPlan = phase.sigs.queryExecution.executedPlan.toString
+      val sigScans = "ReadSchema: struct<[^>]*".r.findAllIn(scanPlan).toSeq
+        .filter(_.contains("_bsig"))
+      assert(sigScans.nonEmpty && sigScans.exists(!_.contains("values")),
+        s"shortlist scan must be pruned to (id,_bsig):\n$scanPlan")
+    } finally phase.sigs.unpersist(blocking = false)
+    // CELL PRUNING, mechanically: a small shortlist must make the
+    // signature phase read a STRICT SUBSET of the manifest's files
+    // (the files of the query cell's Hamming rings plus any no-cell
+    // files), while a shortlist >= index size must read every file
+    // (the exactness contract's degenerate full scan)
+    idx.queryApprox(q, 10, shortlist = 12)
+    assert(idx.lastApproxMode == "approx-pruned", s"mode=${idx.lastApproxMode}")
+    assert(idx.lastProbeFiles < idx.lastManifestFiles,
+      s"pruned shortlist must probe fewer files: " +
+        s"${idx.lastProbeFiles}/${idx.lastManifestFiles}")
+    idx.queryApprox(q, 10, shortlist = 1000)
+    assert(idx.lastApproxMode == "approx-full" &&
+      idx.lastProbeFiles == idx.lastManifestFiles,
+      s"full shortlist must probe every file: " +
+        s"${idx.lastProbeFiles}/${idx.lastManifestFiles} mode=${idx.lastApproxMode}")
     // metadata filter applies at rescore
     val filtered = idx.queryApprox(q, 5, shortlist = 300,
       filter = Some($"metadata.chunk_index" === 0))
@@ -185,6 +204,32 @@ class IngestIndexSpec extends AnyFunSuite {
     val mixedFull = idx.queryApprox(q, 10, shortlist = 1000)
       .select("id").as[String].collect().toSeq
     assert(mixedFull == exact)
+    // TARGETED BACKFILL: the legacy gauge sees the stripped file's rows;
+    // backfillSignatures rewrites ONLY the buckets holding them (every
+    // other bucket's files carried forward by reference), after which
+    // the gauge reads zero and queryApprox answers are unchanged
+    val legacyBefore = idx.legacyRows()
+    assert(legacyBefore == victimIds.size.toLong,
+      s"legacy gauge must count the stripped file's rows: $legacyBefore")
+    val preManifest = idx.manifestAt(idx.snapshots().last)
+    val rewritten = idx.backfillSignatures()
+    assert(rewritten >= 1, "backfill must rewrite at least the victim bucket")
+    val postManifest = idx.manifestAt(idx.snapshots().last)
+    val changed = postManifest.collect {
+      case (b, fs) if preManifest.get(b) != Some(fs) => b
+    }.toSet
+    assert(changed.size == rewritten,
+      s"only rewritten buckets may change: $changed vs $rewritten")
+    (postManifest.keySet -- changed).foreach { b =>
+      assert(postManifest(b) == preManifest(b),
+        s"untouched bucket $b must keep its files by reference")
+    }
+    assert(idx.legacyRows() == 0L, "no legacy rows after backfill")
+    assert(idx.backfillSignatures() == 0, "second backfill is a no-op")
+    assert(idx.queryApprox(q, 10, shortlist = 1000)
+      .select("id").as[String].collect().toSeq == exact,
+      "backfill must not change query answers")
+    assert(idx.scan().count() == 300, "backfill must not change contents")
   }
 
   test("rebucket: contents identical, new layout used by later upserts") {
