@@ -483,6 +483,10 @@ object Ann {
       // the dominant cost of the build even locally
       .repartition(col("_band"), col("_bkt"))
       .write.mode("overwrite").partitionBy("_band", "_bkt").parquet(path)
+    // a full rewrite DEFINES the layout: record it for probes to
+    // resolve/validate against, replacing any previous index's record
+    LayoutMeta.overwrite(df.sparkSession, path,
+      Map("maxDist" -> maxDist, "buckets" -> buckets))
   }
 
   /** Append band rows to a [[writeHammingIndex]]-layout index, plus one
@@ -493,16 +497,27 @@ object Ann {
     * buckets a batch hashes to. Null signatures contribute an id row
     * only — an undecodable blob is nobody's near-duplicate, but its id
     * is still taken. The incremental-maintenance form streaming
-    * dedup-on-ingest appends per accepted micro-batch. */
+    * dedup-on-ingest appends per accepted micro-batch.
+    *
+    * `maxDist`/`buckets` default to [[LayoutMeta.Unspecified]]: the
+    * written index's `_META` record wins (falling back to 8/64 on
+    * first creation), and an explicitly passed value that CONFLICTS
+    * with the record throws instead of silently corrupting the
+    * layout. */
   def appendHammingIndexWithIds(df: DataFrame, sigCol: String, idCol: String,
-      path: String, maxDist: Int, buckets: Int = 64): Unit = {
-    require(maxDist >= 0 && maxDist < 64, s"maxDist $maxDist out of range")
-    val bands = hammingBandRows(df.filter(col(sigCol).isNotNull), sigCol, idCol, maxDist)
-      .withColumn("_bkt", pmod(col("_bv"), lit(buckets.toLong)).cast("int"))
+      path: String, maxDist: Int = LayoutMeta.Unspecified,
+      buckets: Int = LayoutMeta.Unspecified): Unit = {
+    val p = LayoutMeta.resolve(df.sparkSession, path,
+      Map("maxDist" -> maxDist, "buckets" -> buckets),
+      Map("maxDist" -> 8, "buckets" -> 64))
+    val md = p("maxDist"); val bk = p("buckets")
+    require(md >= 0 && md < 64, s"maxDist $md out of range")
+    val bands = hammingBandRows(df.filter(col(sigCol).isNotNull), sigCol, idCol, md)
+      .withColumn("_bkt", pmod(col("_bv"), lit(bk.toLong)).cast("int"))
     val idRows = df.select(col(idCol).as("_hid"), col(sigCol).cast("long").as("_hsig"))
       .withColumn("_band", lit(-1))
       .withColumn("_bv", lit(0L))
-      .withColumn("_bkt", pmod(xxhash64(col("_hid")), lit(buckets.toLong)).cast("int"))
+      .withColumn("_bkt", pmod(xxhash64(col("_hid")), lit(bk.toLong)).cast("int"))
     bands.select("_hid", "_hsig", "_bv", "_band", "_bkt")
       .unionByName(idRows.select("_hid", "_hsig", "_bv", "_band", "_bkt"))
       // same discipline as [[writeHammingIndex]]: one file per touched
@@ -510,6 +525,9 @@ object Ann {
       // keeps [[compactHammingIndex]]'s backlog linear in batches
       .repartition(col("_band"), col("_bkt"))
       .write.mode("append").partitionBy("_band", "_bkt").parquet(path)
+    // record the layout AFTER data lands (a crash here leaves a
+    // pre-META index, which probes tolerate exactly as before)
+    LayoutMeta.commit(df.sparkSession, path, p)
   }
 
   /** Compact a [[writeHammingIndex]] / [[appendHammingIndexWithIds]]
@@ -583,15 +601,21 @@ object Ann {
     * prunes to exactly the directories the batch hashes into (per-batch
     * I/O is O(probed directories), never an index scan). Candidates
     * equijoin on the full band value and popcount-verify. Returns
-    * (idCol, _hid, _dist); `maxDist`/`buckets` must match the written
-    * layout. */
+    * (idCol, _hid, _dist); `maxDist`/`buckets` resolve from the written
+    * layout's `_META` (explicit conflicting values throw — a mismatched
+    * probe would prune the wrong directories and silently miss). */
   def probeHammingIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       batch: DataFrame, sigCol: String, idCol: String,
-      maxDist: Int, buckets: Int = 64): DataFrame = {
-    require(maxDist >= 0 && maxDist < 64, s"maxDist $maxDist out of range")
+      maxDist: Int = LayoutMeta.Unspecified,
+      buckets: Int = LayoutMeta.Unspecified): DataFrame = {
+    val p = LayoutMeta.resolve(spark, path,
+      Map("maxDist" -> maxDist, "buckets" -> buckets),
+      Map("maxDist" -> 8, "buckets" -> 64))
+    val md = p("maxDist"); val bk = p("buckets")
+    require(md >= 0 && md < 64, s"maxDist $md out of range")
     val banded = hammingBandRows(batch.filter(col(sigCol).isNotNull),
-        sigCol, idCol, maxDist)
-      .withColumn("_bkt", pmod(col("_bv"), lit(buckets.toLong)).cast("int"))
+        sigCol, idCol, md)
+      .withColumn("_bkt", pmod(col("_bv"), lit(bk.toLong)).cast("int"))
       .select(col("_hid").as(idCol), col("_hsig").as("_qsig"),
         col("_band"), col("_bv"), col("_bkt"))
       .localCheckpoint(true) // reused: key collect + candidate join
@@ -611,7 +635,7 @@ object Ann {
       .distinct() // a close pair can share several bands
       .withColumn("_dist",
         bit_count(col("_qsig").bitwiseXOR(col("_hsig"))).cast("int"))
-      .filter(col("_dist") <= maxDist)
+      .filter(col("_dist") <= md)
       .select(col(idCol), col("_hid"), col("_dist"))
   }
 
@@ -619,12 +643,15 @@ object Ann {
     * [[appendHammingIndexWithIds]] index: which of `ids`' values are
     * already taken. Reads only the id buckets the batch hashes to
     * (literal partition predicate, like [[probeHammingIndex]]).
-    * Returns the matching ids as a single `idCol` column. */
+    * Returns the matching ids as a single `idCol` column. `buckets`
+    * resolves from / validates against the index `_META`. */
   def probeHammingIndexIds(spark: org.apache.spark.sql.SparkSession,
       path: String, ids: DataFrame, idCol: String,
-      buckets: Int = 64): DataFrame = {
+      buckets: Int = LayoutMeta.Unspecified): DataFrame = {
+    val bk = LayoutMeta.resolve(spark, path,
+      Map("buckets" -> buckets), Map("buckets" -> 64))("buckets")
     val hashed = ids.select(col(idCol))
-      .withColumn("_bkt", pmod(xxhash64(col(idCol)), lit(buckets.toLong)).cast("int"))
+      .withColumn("_bkt", pmod(xxhash64(col(idCol)), lit(bk.toLong)).cast("int"))
       .localCheckpoint(true)
     val keys = hashed.select(col("_bkt")).distinct().collect().map(_.getInt(0))
     val probe =
@@ -639,10 +666,17 @@ object Ann {
   /** Radius query over a [[writeHammingIndex]] layout: literal
     * (band, bucket) equality filters prune the scan to `maxDist + 1`
     * directories, candidates dedupe on (id, sig), popcount verifies.
-    * `maxDist`/`buckets` must match the written layout. */
+    * `maxDist`/`buckets` resolve from / validate against the written
+    * layout's `_META`. */
   def queryHammingIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-      query: Long, maxDist: Int, buckets: Int = 64): DataFrame = {
-    val nb = maxDist + 1
+      query: Long, maxDist: Int = LayoutMeta.Unspecified,
+      buckets: Int = LayoutMeta.Unspecified): DataFrame = {
+    val p = LayoutMeta.resolve(spark, path,
+      Map("maxDist" -> maxDist, "buckets" -> buckets),
+      Map("maxDist" -> 8, "buckets" -> 64))
+    val md = p("maxDist"); val bk = p("buckets")
+    require(md >= 0 && md < 64, s"maxDist $md out of range")
+    val nb = md + 1
     val bandVals = (0 until nb).map { i =>
       val off = i * 64 / nb
       val width = (i + 1) * 64 / nb - off
@@ -657,7 +691,7 @@ object Ann {
     // give a negative Scala `%` here but a non-negative pmod bucket on disk
     val partProbe = bandVals.zipWithIndex.map { case (bv, i) =>
       col("_band") === i &&
-        col("_bkt") === java.lang.Math.floorMod(bv, buckets.toLong).toInt
+        col("_bkt") === java.lang.Math.floorMod(bv, bk.toLong).toInt
     }.reduce(_ || _)
     val dataProbe = bandVals.zipWithIndex.map { case (bv, i) =>
       col("_band") === i && col("_bv") === bv // drop modulo collisions
@@ -667,7 +701,7 @@ object Ann {
       .select(col("_hid"), col("_hsig")).distinct() // a match can share bands
       .withColumn("_dist",
         bit_count(col("_hsig").bitwiseXOR(lit(query))).cast("int"))
-      .filter(col("_dist") <= maxDist)
+      .filter(col("_dist") <= md)
   }
 
   /** Hamming-space top-k over a 64-bit signature column (dHash,

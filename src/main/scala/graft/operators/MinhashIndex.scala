@@ -47,21 +47,38 @@ object MinhashIndex {
     * (not tasks x directories — what keeps [[compact]]'s backlog
     * linear in batches). Docs whose `_bks` is null (null text) land a
     * payload row only, matching [[Dedup.minhashAgainstPrepared]]'s
-    * explode semantics. */
-  def append(prep: DataFrame, path: String, buckets: Int = 64): Unit = {
-    require(buckets > 0, s"buckets $buckets must be positive")
+    * explode semantics.
+    *
+    * `buckets` defaults to [[LayoutMeta.Unspecified]]: the index's
+    * `_META` record wins (64 on first creation); an explicitly passed
+    * value that conflicts with the record throws. */
+  def append(prep: DataFrame, path: String,
+      buckets: Int = LayoutMeta.Unspecified): Unit = {
+    val bk = resolveBuckets(prep.sparkSession, path, buckets)
     val bandRows = prep.select(col("_id"), explode(col("_bks")).as("_bk"))
       .withColumn("_sh", lit(null).cast("array<long>"))
       .withColumn("_band", lit(0))
-      .withColumn("_bkt", pmod(col("_bk"), lit(buckets.toLong)).cast("int"))
+      .withColumn("_bkt", pmod(col("_bk"), lit(bk.toLong)).cast("int"))
     val payloadRows = prep.select(col("_id"), col("_sh"))
       .withColumn("_bk", lit(null).cast("long"))
       .withColumn("_band", lit(-1))
-      .withColumn("_bkt", pmod(xxhash64(col("_id")), lit(buckets.toLong)).cast("int"))
+      .withColumn("_bkt", pmod(xxhash64(col("_id")), lit(bk.toLong)).cast("int"))
     bandRows.select("_id", "_bk", "_sh", "_band", "_bkt")
       .unionByName(payloadRows.select("_id", "_bk", "_sh", "_band", "_bkt"))
       .repartition(col("_band"), col("_bkt"))
       .write.mode("append").partitionBy("_band", "_bkt").parquet(path)
+    // record the layout AFTER data lands (a crash here leaves a
+    // pre-META index, which probes tolerate exactly as before)
+    LayoutMeta.commit(prep.sparkSession, path, Map("buckets" -> bk))
+  }
+
+  /** The one layout parameter, resolved from / validated against the
+    * index's `_META` ([[LayoutMeta.resolve]] semantics). */
+  private def resolveBuckets(spark: SparkSession, path: String, buckets: Int): Int = {
+    val bk = LayoutMeta.resolve(spark, path,
+      Map("buckets" -> buckets), Map("buckets" -> 64))("buckets")
+    require(bk > 0, s"buckets $bk must be positive")
+    bk
   }
 
   /** Which of `ids`' values are already indexed — the id-immutability
@@ -70,9 +87,10 @@ object MinhashIndex {
     * is type-sensitive). Reads only the `_band=-1` bucket directories
     * the probe ids hash to. */
   def probeIds(spark: SparkSession, path: String, ids: DataFrame,
-      buckets: Int = 64): DataFrame = {
+      buckets: Int = LayoutMeta.Unspecified): DataFrame = {
+    val bk = resolveBuckets(spark, path, buckets)
     val hashed = ids.select(col("_id")).filter(col("_id").isNotNull)
-      .withColumn("_bkt", pmod(xxhash64(col("_id")), lit(buckets.toLong)).cast("int"))
+      .withColumn("_bkt", pmod(xxhash64(col("_id")), lit(bk.toLong)).cast("int"))
       .localCheckpoint(true) // reused: key collect + membership join
     val keys = hashed.select(col("_bkt")).distinct().collect().map(_.getInt(0))
     // partition probe stays PURE over partition columns so pruning
@@ -97,16 +115,17 @@ object MinhashIndex {
     * that — bucket census, `maxBucketSize` valve, in-bucket verify —
     * is [[Dedup.againstCore]], the SAME core the sidecar carrier runs,
     * so accept/drop sets are identical by construction.
-    * `buckets` must match the written layout. */
+    * `buckets` resolves from / validates against the index `_META`. */
   def drops(spark: SparkSession, path: String, batchPrep: DataFrame,
       threshold: Double = 0.5, maxBucketSize: Int = 10000,
-      buckets: Int = 64): DataFrame = {
+      buckets: Int = LayoutMeta.Unspecified): DataFrame = {
+    val bk = resolveBuckets(spark, path, buckets)
     val bp = batchPrep.localCheckpoint(true)
     val bandedB = bp.select(col("_id"), explode(col("_bks")).as("_bk"))
       .withColumn("_side", lit(1))
     val batchBuckets = bandedB.select("_bk").distinct().localCheckpoint(true)
     val keys = batchBuckets
-      .select(pmod(col("_bk"), lit(buckets.toLong)).cast("int").as("_bkt"))
+      .select(pmod(col("_bk"), lit(bk.toLong)).cast("int").as("_bkt"))
       .distinct().collect().map(_.getInt(0))
     val probe =
       if (keys.isEmpty) lit(false)
@@ -124,7 +143,7 @@ object MinhashIndex {
       val pinned = candIds.localCheckpoint(true) // key collect + slice joins
       val corpIds = pinned.filter(col("_side") === 0).select("_id")
       val payloadKeys = corpIds
-        .select(pmod(xxhash64(col("_id")), lit(buckets.toLong)).cast("int").as("_bkt"))
+        .select(pmod(xxhash64(col("_id")), lit(bk.toLong)).cast("int").as("_bkt"))
         .distinct().collect().map(_.getInt(0))
       val payloadProbe =
         if (payloadKeys.isEmpty) lit(false)

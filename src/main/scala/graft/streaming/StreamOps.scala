@@ -360,7 +360,8 @@ object StreamOps {
     * Object-store rename caveat as documented on [[dedupedIngest]]. */
   def dedupedIngestIndexed(docs: DataFrame, corpusPath: String,
       indexPath: String, idCol: String = "doc_id", textCol: String = "text",
-      buckets: Int = 64, autoCompactMinFiles: Int = 32)
+      buckets: Int = graft.operators.LayoutMeta.Unspecified,
+      autoCompactMinFiles: Int = 32)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     @volatile var verified = false
     docs.writeStream.outputMode("append").foreachBatch {
@@ -575,7 +576,9 @@ object StreamOps {
     * production stamps batchId into both paths and commits atomically. */
   def imageDedupedIngestIndexed(docs: DataFrame, corpusPath: String,
       indexPath: String, idCol: String = "img_id", binCol: String = "blob",
-      maxDist: Int = 8, buckets: Int = 64, autoCompactMinFiles: Int = 32)
+      maxDist: Int = graft.operators.LayoutMeta.Unspecified,
+      buckets: Int = graft.operators.LayoutMeta.Unspecified,
+      autoCompactMinFiles: Int = 32)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, _: Long) =>
@@ -583,6 +586,13 @@ object StreamOps {
         val A = graft.operators.Ann
         val M = graft.operators.Multimodal
         val hconf = spark.sparkContext.hadoopConfiguration
+        // the layout params feed the in-batch hammingJoin too, so
+        // resolve them here against the index _META (fail-fast on an
+        // explicit conflict) instead of letting each probe re-resolve
+        val lp = graft.operators.LayoutMeta.resolve(spark, indexPath,
+          Map("maxDist" -> maxDist, "buckets" -> buckets),
+          Map("maxDist" -> 8, "buckets" -> 64))
+        val md = lp("maxDist"); val bk = lp("buckets")
         // self-bounding housekeeping, as documented on
         // [[dedupedIngestIndexed]]: single writer, no append in flight
         if (autoCompactMinFiles > 0) {
@@ -612,7 +622,7 @@ object StreamOps {
             if (ifs.exists(ip)) ifs.delete(ip, true)
             A.appendHammingIndexWithIds(
               spark.read.parquet(corpusPath).select(col(idCol), col("_sig")),
-              "_sig", idCol, indexPath, maxDist, buckets)
+              "_sig", idCol, indexPath, md, bk)
           }
         }
         val sigged = batch
@@ -621,7 +631,7 @@ object StreamOps {
         val hashed = sigged.filter(col("_sig").isNotNull)
         // keep-first within the batch (same orientation as bucketDrops)
         val selfDrops = A.hammingJoin(
-            hashed.select(col(idCol), col("_sig")), "_sig", idCol, maxDist)
+            hashed.select(col(idCol), col("_sig")), "_sig", idCol, md)
           .select(col(s"${idCol}_b").as("_drop")).distinct()
         val selfKept = sigged
           .join(selfDrops, sigged(idCol) === col("_drop"), "left_anti")
@@ -630,18 +640,18 @@ object StreamOps {
           else {
             // id immutability: re-delivered accepted ids drop outright
             val existing = A.probeHammingIndexIds(spark, indexPath,
-              selfKept.select(col(idCol)), idCol, buckets)
+              selfKept.select(col(idCol)), idCol, bk)
             val newIds = selfKept.join(existing, Seq(idCol), "left_anti")
             val dupDrops = A.probeHammingIndex(spark, indexPath,
                 newIds.select(col(idCol), col("_sig")), "_sig", idCol,
-                maxDist, buckets)
+                md, bk)
               .select(col(idCol)).distinct()
             newIds.join(dupDrops, Seq(idCol), "left_anti")
           }
         val pinned = accepted.localCheckpoint(true) // two writes read it
         pinned.write.mode("append").parquet(corpusPath)
         A.appendHammingIndexWithIds(pinned.select(col(idCol), col("_sig")),
-          "_sig", idCol, indexPath, maxDist, buckets)
+          "_sig", idCol, indexPath, md, bk)
     }
   }
 

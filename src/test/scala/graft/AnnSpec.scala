@@ -136,6 +136,66 @@ class AnnSpec extends AnyFunSuite {
     } finally sigs.unpersist()
   }
 
+  test("index _META: probes resolve layout params; an explicit mismatch throws") {
+    val sigs = spark.range(0, 200).select($"id",
+      udf((i: Long) => graft.operators.Dedup.splitmix64(i / 4) ^ (i % 4))
+        .apply($"id").as("sig"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hmeta").toString + "/idx"
+    // NON-default layout: a probe that fell back to the defaults (8/64)
+    // would prune the wrong directories and silently under-report
+    Ann.writeHammingIndex(sigs, "sig", "id", tmp, maxDist = 3, buckets = 16)
+    val q = graft.operators.Dedup.splitmix64(25L)
+    val want = Ann.queryHammingIndex(spark, tmp, q, maxDist = 3, buckets = 16)
+      .select($"_hid").as[Long].collect().sorted.toSeq
+    assert(want.nonEmpty)
+    // args omitted entirely: the written _META supplies maxDist/buckets
+    val auto = Ann.queryHammingIndex(spark, tmp, q)
+      .select($"_hid").as[Long].collect().sorted.toSeq
+    assert(auto == want, "unspecified params must resolve from _META")
+    // explicitly WRONG params fail fast instead of silently missing
+    val e = intercept[IllegalArgumentException] {
+      Ann.queryHammingIndex(spark, tmp, q, maxDist = 3, buckets = 64)
+    }
+    assert(e.getMessage.contains("layout mismatch"))
+    intercept[IllegalArgumentException] {
+      Ann.probeHammingIndex(spark, tmp,
+        sigs.limit(5).toDF("qid", "sig"), "sig", "qid", maxDist = 7)
+    }
+    // append-with-ids side: same contract (resolution + fail-fast)
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft_hmeta2").toString + "/idx"
+    Ann.appendHammingIndexWithIds(sigs.limit(50).toDF("id", "sig"),
+      "sig", "id", tmp2, maxDist = 2, buckets = 8)
+    intercept[IllegalArgumentException] {
+      Ann.appendHammingIndexWithIds(sigs.toDF("id", "sig"),
+        "sig", "id", tmp2, maxDist = 4, buckets = 8)
+    }
+    intercept[IllegalArgumentException] {
+      Ann.probeHammingIndexIds(spark, tmp2,
+        sigs.limit(5).select($"id"), "id", buckets = 64)
+    }
+    // unspecified append continues the recorded layout; probes agree
+    Ann.appendHammingIndexWithIds(
+      sigs.filter($"id" >= 50 && $"id" < 60).toDF("id", "sig"), "sig", "id", tmp2)
+    val ids = Ann.probeHammingIndexIds(spark, tmp2,
+        spark.range(45, 55).select($"id"), "id")
+      .as[Long].collect().sorted.toSeq
+    assert(ids == (45L until 55L).toSeq,
+      s"META-resolved probe must see both appends' ids: $ids")
+    // MinHash twin: wrong-buckets probe throws, unspecified resolves
+    val docs = Seq((1L, "aaa bbb ccc ddd"), (2L, "eee fff ggg hhh"))
+      .toDF("doc_id", "text")
+    val prep = graft.operators.Dedup.prepareMinhash(docs, "doc_id", "text")
+    val tmp3 = java.nio.file.Files.createTempDirectory("graft_mmeta").toString + "/idx"
+    graft.operators.MinhashIndex.append(prep, tmp3, buckets = 8)
+    intercept[IllegalArgumentException] {
+      graft.operators.MinhashIndex.probeIds(spark, tmp3,
+        Seq(1L).toDF("_id"), buckets = 64)
+    }
+    val taken = graft.operators.MinhashIndex.probeIds(spark, tmp3,
+      Seq(1L, 3L).toDF("_id")).as[Long].collect().toSeq
+    assert(taken == Seq(1L))
+  }
+
   test("persisted Hamming index: maxDist=0 with a negative signature still matches") {
     // with maxDist=0 the single band is the FULL 64-bit signature; a negative
     // value must bucket identically on the write (SQL pmod) and query
