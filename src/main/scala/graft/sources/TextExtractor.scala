@@ -422,9 +422,12 @@ object SimplePdfTextExtractor extends TextExtractor {
       .flatMap(_.group(1).toIntOption).flatMap { off =>
         // at the offset sits `N G obj << ... >>` for an xref stream;
         // classic xref tables (keyword `xref`) are covered above, so
-        // only accept a dict opening right after a nearby obj header
+        // only accept a dict opening right after a nearby obj header —
+        // nothing but the header (and whitespace) may sit between the
+        // offset and the `<<`, or the "offset" is stream-payload noise
         val at = if (off < 0 || off >= s.length) -1 else s.indexOf("<<", off)
         if (at < 0 || at - off > 256) None
+        else if (!"\\s*\\d+\\s+\\d+\\s+obj\\s*".r.matches(s.substring(off, at))) None
         else Some(balancedDictForward(s, at))
       }
     val encRef = lastEncIn(trailerDicts).orElse(lastEncIn(xrefStreamDicts))

@@ -153,7 +153,14 @@ object StreamOps {
     * is at-least-once on retry — production would write batchId into
     * the path and commit atomically (same pattern as VectorIndex
     * manifests); kept simple here because the spec drives one attempt
-    * per batch.
+    * per batch. Residual window: the restart-time heal detects a
+    * double-append through the NON-NULL id-uniqueness invariant, so a
+    * retry whose batch held null-id docs re-appends those rows
+    * undetected (the census deliberately exempts null ids — several
+    * can legitimately coexist — and equally-doubled null counts keep
+    * the sidecar freshness check passing). Callers that cannot accept
+    * duplicate null-id documents should synthesize ids at ingest so
+    * the uniqueness invariant covers every row.
     *
     * Durability assumption: the double-append HEAL commits via two
     * directory renames (corpus -> __trash, __heal -> corpus), which is

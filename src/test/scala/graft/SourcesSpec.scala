@@ -1183,6 +1183,30 @@ class SourcesSpec extends AnyFunSuite {
     assert(SimplePdfTextExtractor.extract(encryptedPdf("aes256r6", corruptU = true)) == "")
   }
 
+  test("stream-payload /Encrypt decoy after the real trailer cannot override the pointer (A2)") {
+    import graft.sources.SimplePdfTextExtractor
+    // incremental-update-style bytes appended AFTER the real trailer,
+    // whose stream payload happens to contain `/Encrypt 9 0 R`: with a
+    // whole-file last-match-wins scan the decoy would override the true
+    // trailer pointer (object 9 does not exist, so decryption would
+    // silently degrade to no text layer); the anchored scan must keep
+    // resolving the trailer dict's /Encrypt 6 0 R
+    val base = encryptedPdf("rc4-40")
+    val decoyBody = "xQ91 zz /Encrypt 9 0 R qT trailing payload noise bytes"
+    val decoy = s"\n7 0 obj << /Length ${decoyBody.length} >>\nstream\n" +
+      decoyBody + "\nendstream\nendobj\n"
+    assert(SimplePdfTextExtractor.extract(base ++ decoy.getBytes("ISO-8859-1"))
+      == "Sealed text layer\n")
+    // a decoy `startxref` whose offset lands on payload bytes with a
+    // nearby `<<` but NO object header is equally inert (the anchored
+    // xref-stream region requires `N G obj` right at the offset)
+    val noise = "garbage << /Encrypt 9 0 R >> tail"
+    val withNoise = base ++ s"\n8 0 obj << /Length ${noise.length} >>\nstream\n$noise\nendstream\nendobj\n".getBytes("ISO-8859-1")
+    val off = new String(withNoise, "ISO-8859-1").indexOf("garbage <<")
+    val decoyXref = withNoise ++ s"\nstartxref\n$off\n%%EOF".getBytes("ISO-8859-1")
+    assert(SimplePdfTextExtractor.extract(decoyXref) == "Sealed text layer\n")
+  }
+
   test("ENCRYPTED PDF with a non-empty user password skips cleanly to the OCR route (A3)") {
     import graft.sources.{FallbackExtractor, NoopOcrExtractor, SimplePdfTextExtractor, Utf8TextExtractor}
     // corrupted /U == wrong (non-empty) user password: no key verifies,

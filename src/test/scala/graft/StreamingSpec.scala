@@ -540,6 +540,107 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows() == before, "compaction with a zero-row directory must preserve rows")
   }
 
+  test("Hamming index compaction: failed move-in renames keep the originals (no row loss)") {
+    import graft.operators.Ann
+    import scala.jdk.CollectionConverters._
+    val path = Files.createTempDirectory("graft_hidx_renfail").toString + "/hidx"
+    (0 until 4).foreach { b =>
+      val rows = Seq((b * 10L, b.toLong), (b * 10L + 1L, b.toLong + 100L))
+      Ann.appendHammingIndexWithIds(rows.toDF("img_id", "_sig"),
+        "_sig", "img_id", path, maxDist = 8)
+    }
+    def files(): Set[String] =
+      java.nio.file.Files.walk(Paths.get(path)).iterator.asScala.filter { p =>
+        val n = p.getFileName.toString
+        java.nio.file.Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")
+      }.map(_.toString).toSet
+    def rows(): Seq[(Long, Long, Long, Int, Int)] =
+      spark.read.parquet(path)
+        .select($"_hid", $"_hsig", $"_bv", $"_band", $"_bkt")
+        .as[(Long, Long, Long, Int, Int)].collect().sorted.toSeq
+    val (filesBefore, rowsBefore) = (files(), rows())
+    // run the compaction through a filesystem that fails every move-in
+    // rename (the object-store dest-exists/race shape): the guard must
+    // then KEEP the original files — deleting them anyway would lose
+    // every flagged directory's rows
+    spark.sparkContext.hadoopConfiguration.set(
+      s"fs.${CompactRenameBlockingFs.Scheme}.impl",
+      classOf[CompactRenameBlockingFs].getName)
+    val compacted = Ann.compactHammingIndex(spark,
+      s"${CompactRenameBlockingFs.Scheme}:$path", minFiles = 1)
+    assert(compacted == 0, "no directory may count as compacted when no move landed")
+    assert(files() == filesBefore,
+      "failed renames must leave the original files exactly in place")
+    assert(rows() == rowsBefore, "rows must survive a fully-failed swap")
+    // the same backlog then compacts fine on a working filesystem
+    assert(Ann.compactHammingIndex(spark, path, minFiles = 1) > 0)
+    assert(rows() == rowsBefore)
+  }
+
+  test("heal preserves several legitimate null-id docs and keeps the census in sync") {
+    val src = Files.createTempDirectory("graft_snullheal_src")
+    val corpus = Files.createTempDirectory("graft_snullheal_corpus").toString + "/corpus"
+    val a = "the quick brown fox jumps over the lazy dog near the quiet river bank at dawn today"
+    val c = "vector indexes bucket embeddings by locality sensitive hashes for sublinear similarity search"
+    // corpus state an at-least-once retry leaves behind: doc 1 double-
+    // appended, PLUS two legitimate null-id docs (every dedup anti-join
+    // deliberately accepts null ids, so several can coexist)
+    val dup = Seq((Option(1L), a)).toDF("doc_id", "text")
+    dup.write.mode("append").parquet(corpus)
+    dup.write.mode("append").parquet(corpus)
+    val nulls = Seq((None: Option[Long], "first untitled scratch note about mountain weather"),
+        (None: Option[Long], "second untitled scratch note regarding tidal measurements"))
+      .toDF("doc_id", "text")
+    nulls.write.mode("append").parquet(corpus)
+    val sig = graft.operators.Dedup.prepareMinhash(dup, "doc_id", "text")
+    sig.write.mode("append").parquet(corpus + "_sig")
+    sig.write.mode("append").parquet(corpus + "_sig")
+    graft.operators.Dedup.prepareMinhash(nulls, "doc_id", "text")
+      .write.mode("append").parquet(corpus + "_sig")
+    val tmp = Files.createTempDirectory("graft_snullheal_b1")
+    Seq((5L, c)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get
+    Files.copy(part, Paths.get(s"$src/b1.parquet"))
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+      .parquet(src.toString)
+    val q = StreamOps.dedupedIngest(stream, corpus).start()
+    try q.processAllAvailable() finally q.stop()
+    // the heal collapsed the duplicate id but EVERY null-id doc survived
+    val after = spark.read.parquet(corpus)
+    assert(after.where($"doc_id".isNotNull).select("doc_id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 5L))
+    assert(after.where($"doc_id".isNull).select("text").as[String]
+      .collect().sorted.toSeq == Seq(
+        "first untitled scratch note about mountain weather",
+        "second untitled scratch note regarding tidal measurements"),
+      "heal must not collapse or drop accepted null-id docs")
+    // sidecar census in sync: one sig row per corpus row incl. nulls
+    val sigAfter = spark.read.parquet(corpus + "_sig")
+    assert(sigAfter.where($"_id".isNull).count() == 2)
+    assert(sigAfter.where($"_id".isNotNull).select("_id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 5L))
+    // a RESTART (fresh writer => fresh verification) over the now-clean
+    // state must neither heal nor rebuild: corpus and sidecar files stay
+    // byte-identical in place
+    import scala.jdk.CollectionConverters._
+    def listing(p: String): Set[String] =
+      java.nio.file.Files.walk(Paths.get(p)).iterator.asScala
+        .filter(java.nio.file.Files.isRegularFile(_)).map(_.toString).toSet
+    val (cBefore, sBefore) = (listing(corpus), listing(corpus + "_sig"))
+    val tmp2 = Files.createTempDirectory("graft_snullheal_b2")
+    Seq((6L, "entirely fresh prose concerning barometric drift across alpine passes"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp2.toString)
+    val part2 = Files.list(tmp2).filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get
+    Files.copy(part2, Paths.get(s"$src/b2.parquet"))
+    val q2 = StreamOps.dedupedIngest(stream, corpus).start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(cBefore.subsetOf(listing(corpus)) && sBefore.subsetOf(listing(corpus + "_sig")),
+      "a clean restart with null-id docs present must append, never rewrite")
+    assert(spark.read.parquet(corpus).where($"doc_id".isNull).count() == 2)
+  }
+
   test("indexed image dedup heals an index that missed a corpus append (crash between jobs)") {
     import graft.operators.{Dedup, Multimodal}
     val src = Files.createTempDirectory("graft_simgheal_src")
@@ -949,3 +1050,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(deduped.count() == n) // not 2n
   }
 }
+
+/** Local filesystem whose move-in renames (`compact-*` destinations)
+  * always FAIL — the object-store dest-exists/race shape
+  * `Ann.compactHammingIndex` must survive by keeping the original
+  * files. Registered per-test via `fs.<scheme>.impl`. */
+class CompactRenameBlockingFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = CompactRenameBlockingFs.Scheme
+  override def getUri: java.net.URI =
+    java.net.URI.create(s"${CompactRenameBlockingFs.Scheme}:///")
+  override def rename(src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Boolean =
+    if (dst.getName.startsWith("compact-")) false else super.rename(src, dst)
+}
+object CompactRenameBlockingFs { val Scheme = "blockcompact" }
