@@ -26,7 +26,16 @@ object Bench {
     * q101's max rises 3.195 -> 3.7: every snapshot rewrite now also
     * stores the per-row binary signature queryApprox reads, and
     * rebucket — the one deliberate whole-index rewrite — pays it for
-    * every row (measured +0.25s at sf0.1; the designated backfill). */
+    * every row (measured +0.25s at sf0.1; the designated backfill).
+    *
+    * r14: q121/q122 (added r12, no judge-era history) get bands from
+    * the r12-r14 observed range (isolated 1.9-2.7 this round). The r14
+    * cell-layout work initially blew the index lifecycle gates up 18x
+    * (q62 37.7s, q101 67.6s in-suite: 64 cell dirs x buckets of
+    * micro-files per snapshot write + SEQUENTIAL driver footer reads);
+    * fixed by the cellMinRows file-count valve + per-file-parallel
+    * footer reads — re-measured in-band (q62 2.0, q101 3.67, q121
+    * 2.64, q122 1.92 isolated) with the cell layout ON. */
   private val Bands: Map[String, (Double, Double)] = Map(
     "q01" -> (0.229, 0.463), "q02" -> (0.214, 0.249), "q03" -> (0.332, 1.043),
     "q04" -> (0.65, 1.095), "q05" -> (0.29, 0.552), "q06" -> (0.26, 0.462),
@@ -36,6 +45,7 @@ object Bench {
     "q105" -> (0.367, 0.395), "q106" -> (0.18, 0.255), "q107" -> (0.148, 0.157),
     "q108" -> (0.193, 0.234), "q109" -> (1.609, 1.689), "q11" -> (0.148, 0.216),
     "q110" -> (0.233, 0.35), "q111" -> (0.834, 0.993), "q112" -> (0.845, 0.94),
+    "q121" -> (1.583, 3.0), "q122" -> (1.583, 3.0),
     "q113" -> (0.49, 0.536), "q114" -> (0.333, 0.487), "q115" -> (0.981, 1.589),
     "q116" -> (1.754, 1.754), "q12" -> (0.252, 0.443), "q13" -> (0.335, 0.517),
     "q14" -> (0.158, 0.291), "q15" -> (0.255, 0.366), "q16" -> (0.234, 0.565),

@@ -44,12 +44,21 @@ object Metric {
   *   the query cell's expanding Hamming neighborhoods instead of the
   *   whole index (VectorIndex.queryApprox). 0 = no cell layout (legacy
   *   indexes); fixed at creation like dimension — every file's path
-  *   cell must mean the same bits. */
+  *   cell must mean the same bits.
+  * @param cellMinRows a cell only gets its own `_cell=` directory in a
+  *   snapshot write when it holds at least this many rows there;
+  *   smaller cells land in the bucket's default partition, which
+  *   probes always read. This is what keeps the cell layout from
+  *   exploding a SMALL index into per-cell micro-files (measured 18x
+  *   on the sf0.1 lifecycle gates) while converging to full per-cell
+  *   pruning exactly where pruning pays — the large-index regime whose
+  *   cells are file-sized anyway. */
 final case class IndexMeta(name: String, dimension: Int, metric: Metric,
-    numBuckets: Int = 16, sigCellBits: Int = 0) {
+    numBuckets: Int = 16, sigCellBits: Int = 0, cellMinRows: Int = 1024) {
   def props: Map[String, String] =
     Map("dimension" -> dimension.toString, "metric" -> metric.name,
-      "numBuckets" -> numBuckets.toString, "sigCellBits" -> sigCellBits.toString)
+      "numBuckets" -> numBuckets.toString, "sigCellBits" -> sigCellBits.toString,
+      "cellMinRows" -> cellMinRows.toString)
 }
 
 /** Ingestion errors — the reference raises ValueError on empty inputs

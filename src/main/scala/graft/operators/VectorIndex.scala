@@ -413,15 +413,28 @@ final class VectorIndex private (
     // pair in the index. shiftrightunsigned keeps the top bits as a
     // small non-negative dir name; a null signature (no layout cell)
     // lands in the hive default partition, which probes always read.
+    // Cluster by bucket FIRST so each bucket lands in few files (the
+    // window's id-hash layout would otherwise scatter every bucket
+    // across tasks).
     val bits = meta.sigCellBits
+    val clustered = withSig.repartition(col("_bucket"))
     val laidOut =
-      if (bits <= 0) withSig
-      else withSig.withColumn("_cell",
-        shiftrightunsigned(col("_bsig"), 64 - bits).cast("int"))
-    // cluster by bucket so each bucket lands in few files (the window's
-    // id-hash layout would otherwise scatter every bucket across tasks)
-    laidOut.repartition(col("_bucket"))
-      .write.mode(SaveMode.Overwrite)
+      if (bits <= 0) clustered
+      else {
+        // a cell gets its own directory ONLY when it is file-sized in
+        // this write (>= cellMinRows); smaller cells fall into the
+        // bucket's default partition, which probes always read. A small
+        // index therefore keeps the plain bucket layout's file count
+        // (measured 18x blowup at sf0.1 without this valve) while a
+        // large one converges to full per-cell pruning — exactly where
+        // pruning pays. The window adds NO shuffle: hashing by _bucket
+        // already co-locates every (_bucket, cell) group.
+        val cell = shiftrightunsigned(col("_bsig"), 64 - bits).cast("int")
+        val w = Window.partitionBy(col("_bucket"), cell)
+        clustered.withColumn("_cell",
+          when(count(lit(1)).over(w) >= meta.cellMinRows, cell))
+      }
+    laidOut.write.mode(SaveMode.Overwrite)
       .partitionBy((if (bits <= 0) Seq("_bucket") else Seq("_bucket", "_cell")): _*)
       .parquet(s"$path/$dataDir")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -436,14 +449,21 @@ final class VectorIndex private (
       case _ => Nil
     }
     val qualified = fs.makeQualified(new Path(path)).toString + "/"
-    val written = fs.listStatus(new Path(path, dataDir)).toSeq
+    val bucketDirs = fs.listStatus(new Path(path, dataDir)).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("_bucket="))
-      .map { d =>
-        val b = d.getPath.getName.stripPrefix("_bucket=").toInt
-        b -> dataFiles(d.getPath).map { p =>
-          ManifestFile(p.toString.stripPrefix(qualified), parquetRowCount(p))
-        }
-      }.toMap
+      .map(d => d.getPath.getName.stripPrefix("_bucket=").toInt -> d.getPath)
+    // footer reads fan out over a bounded pool — sequential per-file
+    // metadata I/O would serialize object-store round-trips on the
+    // driver for every file this attempt wrote
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val bucketPaths: Seq[(Int, Path)] =
+      bucketDirs.flatMap { case (b, dir) => dataFiles(dir).map(b -> _) }
+    val counted = Await.result(
+      Future.traverse(bucketPaths) { case (b, p) =>
+        Future((b, ManifestFile(p.toString.stripPrefix(qualified), parquetRowCount(p))))
+      }, scala.concurrent.duration.Duration.Inf)
+    val written = counted.groupBy(_._1).map { case (b, fs0) => b -> fs0.map(_._2) }
     val manifest = (oldManifest -- touched) ++ written
     writeManifest(spark, path, version, manifest, meta.copy(numBuckets = numBuckets))
     pruneOldSnapshots(spark, path, keep = 2)
@@ -535,6 +555,11 @@ object VectorIndex {
   val DefaultSigCellBits = 6
   private val UnspecifiedCellBits = -1
 
+  /** Default per-write row threshold for a cell to earn its own
+    * directory (IndexMeta.cellMinRows). */
+  val DefaultCellMinRows = 1024
+  private val UnspecifiedCellMinRows = -1
+
   /** G2 create — idempotent like the reference's existence check
     * (streamlit_app.py:46-49). Fails if it exists with different meta
     * (numBuckets/sigCellBits participate only when explicitly passed —
@@ -543,10 +568,13 @@ object VectorIndex {
   def ensure(spark: SparkSession, path: String, dimension: Int,
       metric: Metric = Metric.Cosine, name: String = "textembedding",
       numBuckets: Int = UnspecifiedBuckets,
-      sigCellBits: Int = UnspecifiedCellBits): VectorIndex = {
+      sigCellBits: Int = UnspecifiedCellBits,
+      cellMinRows: Int = UnspecifiedCellMinRows): VectorIndex = {
     require(sigCellBits == UnspecifiedCellBits ||
       (sigCellBits >= 0 && sigCellBits <= 16),
       s"sigCellBits $sigCellBits out of range [0,16]")
+    require(cellMinRows == UnspecifiedCellMinRows || cellMinRows >= 1,
+      s"cellMinRows $cellMinRows must be >= 1")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val metaPath = new Path(path, "_graft_meta.json")
     // A crash inside writeMetaFile's delete-then-rename window leaves
@@ -559,13 +587,15 @@ object VectorIndex {
       val existing = readMeta(spark, path)
       require(existing.dimension == dimension && existing.metric == metric &&
         (numBuckets == UnspecifiedBuckets || existing.numBuckets == numBuckets) &&
-        (sigCellBits == UnspecifiedCellBits || existing.sigCellBits == sigCellBits),
+        (sigCellBits == UnspecifiedCellBits || existing.sigCellBits == sigCellBits) &&
+        (cellMinRows == UnspecifiedCellMinRows || existing.cellMinRows == cellMinRows),
         s"index exists with different meta: $existing")
       new VectorIndex(spark, path, existing)
     } else {
       val meta = IndexMeta(name, dimension, metric,
         if (numBuckets == UnspecifiedBuckets) DefaultNumBuckets else numBuckets,
-        if (sigCellBits == UnspecifiedCellBits) DefaultSigCellBits else sigCellBits)
+        if (sigCellBits == UnspecifiedCellBits) DefaultSigCellBits else sigCellBits,
+        if (cellMinRows == UnspecifiedCellMinRows) DefaultCellMinRows else cellMinRows)
       fs.mkdirs(new Path(path))
       writeMetaFile(fs, path, meta)
       new VectorIndex(spark, path, meta)
@@ -588,7 +618,7 @@ object VectorIndex {
   private def metaJson(meta: IndexMeta): String =
     s"""{"name":"${meta.name}","dimension":${meta.dimension},""" +
       s""""metric":"${meta.metric.name}","numBuckets":${meta.numBuckets},""" +
-      s""""sigCellBits":${meta.sigCellBits}}"""
+      s""""sigCellBits":${meta.sigCellBits},"cellMinRows":${meta.cellMinRows}}"""
 
   /** Write `_graft_meta.json` as tmp + rename — the same discipline as
     * writeManifest — so a crash mid-write can never leave a truncated
@@ -621,8 +651,9 @@ object VectorIndex {
       txt.split(s""""$k":""")(1).split("[,}]")(0).trim.stripPrefix("\"").stripSuffix("\"")
     val buckets = if (txt.contains(""""numBuckets":""")) field("numBuckets").toInt else 16
     val cellBits = if (txt.contains(""""sigCellBits":""")) field("sigCellBits").toInt else 0
+    val minRows = if (txt.contains(""""cellMinRows":""")) field("cellMinRows").toInt else 1024
     IndexMeta(field("name"), field("dimension").toInt, Metric.parse(field("metric")),
-      buckets, cellBits)
+      buckets, cellBits, minRows)
   }
 
   private def readMeta(spark: SparkSession, path: String): IndexMeta = {

@@ -119,7 +119,12 @@ class IngestIndexSpec extends AnyFunSuite {
 
   test("queryApprox: full shortlist == exact query; pruned shortlist holds recall; legacy files always rescore") {
     val dir = Files.createTempDirectory("graft_idx_approx").toString
-    val idx = VectorIndex.ensure(spark, s"$dir/a", 16, numBuckets = 8)
+    // cellMinRows=1: at 300 rows every cell is tiny, and the default
+    // threshold (a small-index file-count valve) would fold them all
+    // into the always-probed default partition — this spec wants the
+    // cell machinery itself exercised
+    val idx = VectorIndex.ensure(spark, s"$dir/a", 16, numBuckets = 8,
+      cellMinRows = 1)
     val rnd = new scala.util.Random(11)
     val vecs = (0 until 300).map(n => n -> Array.fill(16)(rnd.nextFloat() * 2f - 1f))
     val recs = vecs.map { case (n, v) =>
