@@ -173,4 +173,43 @@ object MinhashIndex {
     * batches. */
   def compact(spark: SparkSession, path: String, minFiles: Int = 8): Int =
     Ann.compactHammingIndex(spark, path, minFiles)
+
+  /** GROW (or shrink) the index's bucket count — the explicit growth
+    * path for an index whose per-directory row counts outgrew the
+    * count fixed at first append. ONE O(index) partition-column
+    * rewrite (the same deliberate whole-index discipline as
+    * VectorIndex.rebucket): every row keeps its band/key/payload and
+    * only `_bkt` is recomputed, so probe results are IDENTICAL before
+    * and after — only the directory fan-out changes. The rewrite lands
+    * in a sibling dir and swaps in via two renames; `_META` is written
+    * into the sibling BEFORE the swap, so the live index always
+    * carries the record matching its layout. Run between batches
+    * (single writer, like [[compact]]); a crash mid-swap leaves the
+    * index absent, which the indexed ingest already treats as
+    * "rebuild from corpus" — the index is derived state, so the
+    * recovery story needs no extra machinery. */
+  def rebucket(spark: SparkSession, path: String, newBuckets: Int): Unit = {
+    require(newBuckets > 0, s"newBuckets $newBuckets must be positive")
+    val cur = LayoutMeta.resolve(spark, path, Map.empty, Map("buckets" -> 64))("buckets")
+    if (cur == newBuckets) return
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def hp(p: String) = new org.apache.hadoop.fs.Path(p)
+    val fs = hp(path).getFileSystem(hconf)
+    val tmpPath = path + "__rebucket"
+    val trashPath = path + "__trash"
+    if (fs.exists(hp(tmpPath))) fs.delete(hp(tmpPath), true) // stale attempt
+    if (fs.exists(hp(trashPath))) fs.delete(hp(trashPath), true)
+    spark.read.parquet(path)
+      .select(col("_id"), col("_bk"), col("_sh"), col("_band"))
+      .withColumn("_bkt",
+        when(col("_band") === -1, pmod(xxhash64(col("_id")), lit(newBuckets.toLong)))
+          .otherwise(pmod(col("_bk"), lit(newBuckets.toLong))).cast("int"))
+      // one file per directory, same discipline as append/compact
+      .repartition(col("_band"), col("_bkt"))
+      .write.partitionBy("_band", "_bkt").parquet(tmpPath)
+    LayoutMeta.overwrite(spark, tmpPath, Map("buckets" -> newBuckets))
+    if (!fs.rename(hp(path), hp(trashPath)) || !fs.rename(hp(tmpPath), hp(path)))
+      throw new IllegalStateException(s"rebucket swap failed at $path")
+    fs.delete(hp(trashPath), true)
+  }
 }

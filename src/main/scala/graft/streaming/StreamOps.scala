@@ -149,18 +149,19 @@ object StreamOps {
     * stays unique — minhashAgainst requires disjoint ids).
     *
     * Returns the foreachBatch writer; caller starts it with its own
-    * checkpoint/trigger. Exactly-once: parquet append in foreachBatch
-    * is at-least-once on retry — production would write batchId into
-    * the path and commit atomically (same pattern as VectorIndex
-    * manifests); kept simple here because the spec drives one attempt
-    * per batch. Residual window: the restart-time heal detects a
-    * double-append through the NON-NULL id-uniqueness invariant, so a
-    * retry whose batch held null-id docs re-appends those rows
-    * undetected (the census deliberately exempts null ids — several
-    * can legitimately coexist — and equally-doubled null counts keep
-    * the sidecar freshness check passing). Callers that cannot accept
-    * duplicate null-id documents should synthesize ids at ingest so
-    * the uniqueness invariant covers every row.
+    * checkpoint/trigger. Exactly-once: each batch commits a
+    * (queryId, batchId) LEDGER as its last step ([[commitBatchLedger]]),
+    * so a restart that re-delivers a FULLY-committed batch is a
+    * detected no-op — no double-append, no heal. The remaining
+    * at-least-once window is a crash BETWEEN the sink writes and the
+    * ledger commit: that replay re-appends, and the restart-time heal
+    * recovers it through the NON-NULL id-uniqueness invariant.
+    * Residual window inside that window: a replayed batch's null-id
+    * docs re-append undetected (the census deliberately exempts null
+    * ids — several can legitimately coexist — and equally-doubled null
+    * counts keep the sidecar freshness check passing). Callers that
+    * cannot accept duplicate null-id documents should synthesize ids
+    * at ingest so the uniqueness invariant covers every row.
     *
     * Durability assumption: the double-append HEAL commits via two
     * directory renames (corpus -> __trash, __heal -> corpus), which is
@@ -172,6 +173,57 @@ object StreamOps {
     * (write the healed corpus to a NEW dir, then atomically update a
     * single manifest object naming the live dir — the scheme
     * [[graft.operators.VectorIndex]] uses for snapshots). */
+  /** Local-property key Structured Streaming sets on the micro-batch
+    * execution thread; the query id is stable across restarts of the
+    * SAME checkpoint (it lives in the checkpoint metadata), which is
+    * exactly the scope a batch-id ledger must be keyed by. */
+  private val QueryIdProp = "sql.streaming.queryId"
+
+  /** True iff `batchId` was already committed by THIS streaming query
+    * (same checkpoint-scoped query id) — the replayed micro-batch a
+    * restart re-delivers after a crash between the sink writes and the
+    * checkpoint commit. Keying the ledger by query id makes a FRESH
+    * checkpoint over an existing corpus safe: its batch ids restart at
+    * 0, but its new query id never matches, so nothing is skipped.
+    * The (appId, version) idempotent-writer pattern of transactional
+    * lake sinks. */
+  private def committedReplay(spark: org.apache.spark.sql.SparkSession,
+      corpusPath: String, batchId: Long): Boolean = {
+    val qid = Option(spark.sparkContext.getLocalProperty(QueryIdProp)).getOrElse("")
+    if (qid.isEmpty) return false
+    val p = new org.apache.hadoop.fs.Path(corpusPath + "__batch")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return false
+    val in = fs.open(p)
+    val txt =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    txt.split("\t") match {
+      case Array(q, b) => q == qid && b.toLongOption.exists(batchId <= _)
+      case _ => false
+    }
+  }
+
+  /** Record `batchId` as committed for this query — called as the LAST
+    * step of a micro-batch, after every sink write landed, so a crash
+    * anywhere earlier replays the batch (at-least-once, healed as
+    * before) and a crash after it makes the replay a detected no-op.
+    * tmp + rename, same commit discipline as the heal swap. */
+  private def commitBatchLedger(spark: org.apache.spark.sql.SparkSession,
+      corpusPath: String, batchId: Long): Unit = {
+    val qid = Option(spark.sparkContext.getLocalProperty(QueryIdProp)).getOrElse("")
+    if (qid.isEmpty) return
+    val p = new org.apache.hadoop.fs.Path(corpusPath + "__batch")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(corpusPath + "__batch.tmp")
+    val out = fs.create(tmp, true)
+    out.write(s"$qid\t$batchId".getBytes("UTF-8"))
+    out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new IllegalStateException(s"batch-ledger commit failed at $p")
+  }
+
   /** Finish an interrupted [[healSwap]]: the heal dir is complete iff
     * Spark's `_SUCCESS` marker exists; the corpus dir is absent only in
     * the window between the swap's two renames. Sibling dirs have fixed
@@ -240,8 +292,9 @@ object StreamOps {
     // (and therefore re-verifies).
     @volatile var verified = false
     docs.writeStream.outputMode("append").foreachBatch {
-      (batch: DataFrame, _: Long) =>
+      (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        def runIngestBatch(): Unit = {
         val D = graft.operators.Dedup
         val hconf = spark.sparkContext.hadoopConfiguration
         def hp(p: String) = new org.apache.hadoop.fs.Path(p)
@@ -319,6 +372,13 @@ object StreamOps {
         accepted.select(col(idCol), col(textCol))
           .write.mode("append").parquet(corpusPath)
         acceptedSig.write.mode("append").parquet(sigPath)
+        }
+        // a fully-committed batch re-delivered after a restart is a
+        // NO-OP (ledger keyed by checkpoint-scoped query id): no
+        // double-append happens at all, so no heal is ever needed for
+        // this replay class
+        if (committedReplay(spark, corpusPath, batchId)) ()
+        else { runIngestBatch(); commitBatchLedger(spark, corpusPath, batchId) }
     }
   }
 
@@ -372,8 +432,9 @@ object StreamOps {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     @volatile var verified = false
     docs.writeStream.outputMode("append").foreachBatch {
-      (batch: DataFrame, _: Long) =>
+      (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        def runIngestBatch(): Unit = {
         val D = graft.operators.Dedup
         val MI = graft.operators.MinhashIndex
         val hconf = spark.sparkContext.hadoopConfiguration
@@ -434,6 +495,10 @@ object StreamOps {
         val pinned = accepted.select(col(idCol), col(textCol)).localCheckpoint(true)
         pinned.write.mode("append").parquet(corpusPath)
         MI.append(acceptedPrep, indexPath, buckets)
+        }
+        // replayed fully-committed batch => no-op (see dedupedIngest)
+        if (committedReplay(spark, corpusPath, batchId)) ()
+        else { runIngestBatch(); commitBatchLedger(spark, corpusPath, batchId) }
     }
   }
 
@@ -518,8 +583,9 @@ object StreamOps {
       idCol: String = "img_id", binCol: String = "blob", maxDist: Int = 8)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     docs.writeStream.outputMode("append").foreachBatch {
-      (batch: DataFrame, _: Long) =>
+      (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        def runIngestBatch(): Unit = {
         val A = graft.operators.Ann
         val M = graft.operators.Multimodal
         val hconf = spark.sparkContext.hadoopConfiguration
@@ -551,6 +617,10 @@ object StreamOps {
             newIds.join(dupDrops, newIds(idCol) === col("_drop"), "left_anti")
           }
         accepted.write.mode("append").parquet(corpusPath)
+        }
+        // replayed fully-committed batch => no-op (see dedupedIngest)
+        if (committedReplay(spark, corpusPath, batchId)) ()
+        else { runIngestBatch(); commitBatchLedger(spark, corpusPath, batchId) }
     }
   }
 
@@ -588,8 +658,9 @@ object StreamOps {
       autoCompactMinFiles: Int = 32)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     docs.writeStream.outputMode("append").foreachBatch {
-      (batch: DataFrame, _: Long) =>
+      (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        def runIngestBatch(): Unit = {
         val A = graft.operators.Ann
         val M = graft.operators.Multimodal
         val hconf = spark.sparkContext.hadoopConfiguration
@@ -659,6 +730,10 @@ object StreamOps {
         pinned.write.mode("append").parquet(corpusPath)
         A.appendHammingIndexWithIds(pinned.select(col(idCol), col("_sig")),
           "_sig", idCol, indexPath, md, bk)
+        }
+        // replayed fully-committed batch => no-op (see dedupedIngest)
+        if (committedReplay(spark, corpusPath, batchId)) ()
+        else { runIngestBatch(); commitBatchLedger(spark, corpusPath, batchId) }
     }
   }
 

@@ -1084,7 +1084,9 @@ class SourcesSpec extends AnyFunSuite {
       val (v, r, keyLen, aes) = mode match {
         case "rc4-40" => (1, 2, 5, false)
         case "rc4-128" => (2, 3, 16, false)
-        case "aes" => (4, 4, 16, true)
+        // "aesv2-rc4": dict DECLARES /AESV2 but the payload was RC4'd —
+        // a writer-bug mismatch the reader must degrade on, not throw
+        case "aes" | "aesv2-rc4" => (4, 4, 16, true)
       }
       val o = PdfCrypt.computeO("owner-secret".getBytes("ISO-8859-1"), r, keyLen)
       val key = PdfCrypt.fileKey(o, p, id0, r, keyLen, encryptMetadata = true)
@@ -1092,7 +1094,9 @@ class SourcesSpec extends AnyFunSuite {
       val u = if (corruptU) u0.map(b => (b ^ 0x5A).toByte) else u0
       val okey = PdfCrypt.objectKey(key, 5, 0, aes)
       val encContent =
-        if (aes) PdfCrypt.encryptAes(okey,
+        if (mode == "aesv2-rc4")
+          PdfCrypt.rc4(PdfCrypt.objectKey(key, 5, 0, false), deflate(content))
+        else if (aes) PdfCrypt.encryptAes(okey,
           Array.tabulate(16)(i => (i * 7 + 3).toByte), deflate(content))
         else PdfCrypt.rc4(okey, content.getBytes("ISO-8859-1"))
       val cf =
@@ -1181,6 +1185,43 @@ class SourcesSpec extends AnyFunSuite {
     assert(SimplePdfTextExtractor.extract(encryptedPdf("aes256r6")) == "Sealed text layer\n")
     // wrong (non-empty) user password: the 2.A hash stops matching
     assert(SimplePdfTextExtractor.extract(encryptedPdf("aes256r6", corruptU = true)) == "")
+  }
+
+  test("adversarial encrypted fixtures degrade to no text, never throw (A2)") {
+    import graft.sources.SimplePdfTextExtractor
+    def mangle(pdf: Array[Byte], re: String, replacement: String): Array[Byte] = {
+      val s = new String(pdf, "ISO-8859-1")
+      val out = re.r.replaceAllIn(s, replacement)
+      assert(out != s, s"fixture surgery '$re' must hit")
+      out.getBytes("ISO-8859-1")
+    }
+    // 1. truncated /UE: too short to unwrap a 32-byte file key —
+    //    fileKeyV5 must reject, extraction degrades to no text
+    val truncUe = mangle(encryptedPdf("aes256r6"),
+      "/UE <[0-9A-Fa-f]+>", "/UE <00112233445566778899>")
+    assert(SimplePdfTextExtractor.extract(truncUe) == "")
+    // 2. R6 wrong VALIDATION salt: /U = hash(32) || vsalt(8) || ksalt(8);
+    //    flipping a vsalt nibble (hex chars 64..79) breaks the 2.B hash
+    //    equation without touching the stored hash
+    val r6 = encryptedPdf("aes256r6")
+    val s6 = new String(r6, "ISO-8859-1")
+    val uHex = "/U <([0-9A-Fa-f]+)>".r.findFirstMatchIn(s6).get.group(1)
+    assert(uHex.length == 96)
+    val flipped = uHex.substring(0, 64) +
+      (if (uHex.charAt(64) == '0') '1' else '0') + uHex.substring(65)
+    val badSalt = mangle(r6, java.util.regex.Pattern.quote(s"/U <$uHex>"),
+      java.util.regex.Matcher.quoteReplacement(s"/U <$flipped>"))
+    assert(SimplePdfTextExtractor.extract(badSalt) == "")
+    // 3. dict declares /AESV2 but the payload bytes were RC4'd (writer
+    //    bug): AES decrypt yields garbage or rejects; inflate then
+    //    fails — no text, no exception
+    assert(SimplePdfTextExtractor.extract(encryptedPdf("aesv2-rc4")) == "")
+    // 4. the same corruptions must also ride the OCR-fallback route
+    //    without throwing (the ingest path's contract)
+    import graft.sources.{FallbackExtractor, NoopOcrExtractor}
+    val routed = new FallbackExtractor(SimplePdfTextExtractor, NoopOcrExtractor)
+    assert(routed.extract(truncUe) == "" && routed.extract(badSalt) == "" &&
+      routed.extract(encryptedPdf("aesv2-rc4")) == "")
   }
 
   test("stream-payload /Encrypt decoy after the real trailer cannot override the pointer (A2)") {

@@ -641,6 +641,66 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(corpus).where($"doc_id".isNull).count() == 2)
   }
 
+  test("batch-id ledger: a replayed fully-committed micro-batch is a no-op (no re-append, no heal)") {
+    import scala.jdk.CollectionConverters._
+    val src = Files.createTempDirectory("graft_ledger_src")
+    val ckpt = Files.createTempDirectory("graft_ledger_ckpt").toString
+    val corpus = Files.createTempDirectory("graft_ledger_corpus").toString + "/corpus"
+    val a = "the quick brown fox jumps over the lazy dog near the quiet river bank at dawn today"
+    val c = "vector indexes bucket embeddings by locality sensitive hashes for sublinear similarity search"
+    val tmp = Files.createTempDirectory("graft_ledger_b1")
+    Seq((1L, a), (2L, c)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get
+    Files.copy(part, Paths.get(s"$src/b1.parquet"))
+    def stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+      .parquet(src.toString)
+    val q = StreamOps.dedupedIngest(stream, corpus)
+      .option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    def listing(p: String): Map[String, Long] =
+      java.nio.file.Files.walk(Paths.get(p)).iterator.asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(f => f.toString -> java.nio.file.Files.getLastModifiedTime(f).toMillis)
+        .toMap
+    assert(spark.read.parquet(corpus).count() == 2)
+    val (cBefore, sBefore) = (listing(corpus), listing(corpus + "_sig"))
+    // simulate the crash window: the sink writes landed (and the batch
+    // ledger committed) but the CHECKPOINT commit for the batch did
+    // not — dropping the newest commits/ entry makes the restarted
+    // query re-deliver the same micro-batch with the same batchId
+    val commits = Paths.get(ckpt, "commits")
+    val newest = Files.list(commits).iterator.asScala
+      .filter(p => p.getFileName.toString.forall(_.isDigit)).toSeq
+      .maxBy(_.getFileName.toString.toLong)
+    Files.delete(newest)
+    // drop the local-FS checksum sidecar too, or the restarted query's
+    // re-commit rename fails on the stale .crc
+    Files.deleteIfExists(newest.resolveSibling("." + newest.getFileName + ".crc"))
+    val q2 = StreamOps.dedupedIngest(stream, corpus)
+      .option("checkpointLocation", ckpt).start()
+    try q2.processAllAvailable() finally q2.stop()
+    // the replay must be a detected NO-OP: corpus and sidecar files
+    // unchanged in place (no re-append, no heal rewrite), counts flat
+    assert(listing(corpus) == cBefore,
+      "replayed committed batch must not append or rewrite the corpus")
+    assert(listing(corpus + "_sig") == sBefore,
+      "replayed committed batch must not touch the sidecar")
+    assert(spark.read.parquet(corpus).count() == 2)
+    // and a genuinely NEW batch still flows through the same query
+    val tmp2 = Files.createTempDirectory("graft_ledger_b2")
+    Seq((3L, "entirely fresh prose concerning barometric drift across alpine passes"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp2.toString)
+    val part2 = Files.list(tmp2).filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get
+    Files.copy(part2, Paths.get(s"$src/b2.parquet"))
+    val q3 = StreamOps.dedupedIngest(stream, corpus)
+      .option("checkpointLocation", ckpt).start()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 3L))
+  }
+
   test("indexed image dedup heals an index that missed a corpus append (crash between jobs)") {
     import graft.operators.{Dedup, Multimodal}
     val src = Files.createTempDirectory("graft_simgheal_src")
@@ -876,6 +936,49 @@ class StreamingSpec extends AnyFunSuite {
       .findFirstIn(idProbe.queryExecution.executedPlan.toString).isDefined)
     assert(idProbe.as[Long].collect().sorted.toSeq == Seq(1L, 6L),
       "null-text id 6 present via its payload row; unknown 999 absent")
+  }
+
+  test("MinhashIndex rebucket: probes and payload census identical across the rewrite") {
+    import graft.operators.{Dedup, MinhashIndex}
+    val path = Files.createTempDirectory("graft_mi_rebucket").toString + "/idx"
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the quiet river bank at dawn today"),
+      (2L, "vector indexes bucket embeddings by locality sensitive hashes for sublinear similarity search"),
+      (3L, "completely different prose about alpine barometric drift and seasonal wind patterns"))
+      .toDF("doc_id", "text")
+    MinhashIndex.append(Dedup.prepareMinhash(docs, "doc_id", "text"), path, buckets = 8)
+    // a batch holding a near-dup of doc 1 and a fresh doc
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the quiet river bank at dawn"),
+      (11L, "novel content regarding tidal measurement instrumentation calibration"))
+      .toDF("doc_id", "text")
+    val prep = Dedup.prepareMinhash(batch, "doc_id", "text")
+    def dropsNow(): Seq[Long] = MinhashIndex.drops(spark, path, prep)
+      .select("_drop").as[Long].collect().sorted.toSeq
+    def takenNow(): Seq[Long] = MinhashIndex.probeIds(spark, path,
+      Seq(1L, 2L, 3L, 99L).toDF("_id")).as[Long].collect().sorted.toSeq
+    val (dropsBefore, takenBefore, censusBefore) =
+      (dropsNow(), takenNow(), MinhashIndex.payloadCount(spark, path))
+    assert(dropsBefore == Seq(10L) && takenBefore == Seq(1L, 2L, 3L))
+    MinhashIndex.rebucket(spark, path, 32)
+    // probes resolve the NEW layout from _META and answer identically
+    assert(dropsNow() == dropsBefore, "drop set must survive the rebucket")
+    assert(takenNow() == takenBefore, "id census must survive the rebucket")
+    assert(MinhashIndex.payloadCount(spark, path) == censusBefore,
+      "reconciliation census must be unaffected")
+    // the old bucket count is now an explicit mismatch
+    intercept[IllegalArgumentException] {
+      MinhashIndex.probeIds(spark, path, Seq(1L).toDF("_id"), buckets = 8)
+    }
+    // appends continue against the new layout; probes see both eras
+    MinhashIndex.append(Dedup.prepareMinhash(
+      Seq((4L, "yet more unrelated text about harbor logistics throughput")).toDF("doc_id", "text"),
+      "doc_id", "text"), path)
+    assert(MinhashIndex.probeIds(spark, path, Seq(1L, 4L).toDF("_id"))
+      .as[Long].collect().sorted.toSeq == Seq(1L, 4L))
+    // no-op shortcut: same count leaves the index untouched
+    MinhashIndex.rebucket(spark, path, 32)
+    assert(MinhashIndex.payloadCount(spark, path) == censusBefore + 1)
   }
 
   test("MinhashIndex.drops tolerates crash-duplicated index rows (census not inflated)") {
