@@ -2081,6 +2081,45 @@ object SparkEntry {
         .select(lit(10L).as("k"), ($"n_overlap" >= 7).as("recall_ok"))
     }),
 
+    // queryApprox's CELL PRUNING graded end-to-end (q121 grades its
+    // exactness at a full shortlist, q122 the signature approximation;
+    // this gate grades the r14 file-level prune): the index is built
+    // with cellMinRows=2 so the signature-prefix cells actually earn
+    // directories at fixture SFs, then (a) a small shortlist must make
+    // the signature pass read a STRICT SUBSET of the manifest's files
+    // while still ranking the self-match first (ring 0 holds the query
+    // cell), and (b) the q122 recall bar must hold over the same
+    // cell-laid-out files.
+    "q123_cell_pruned_approx" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.VectorIndex
+      val tmp = freshScratch("q123")
+      val emb = t(s, dir, "embeddings")
+      val records = emb.select(
+        $"vec_id".cast("string").as("id"),
+        $"embedding".as("values"),
+        struct(($"vec_id" % 5).cast("int").as("chunk_index"),
+          lit("uploaded_pdf").as("source")).as("metadata"))
+      // 16 cells over 2 buckets: cell files stay >= file-sized at the
+      // fixture row counts (500-2000 embeddings) while still giving the
+      // prune ~32 units to skip — the same bits-vs-rows sizing a real
+      // deployment does (64 cells wants >= ~64k rows per bucket)
+      val idx = VectorIndex.ensure(s, s"$tmp/idx", 64, numBuckets = 2,
+        sigCellBits = 4, cellMinRows = 2)
+      idx.upsert(records)
+      val q = emb.filter($"vec_id" === 0).select($"embedding").as[Array[Float]].head()
+      val selfHit = idx.queryApprox(q, 1, shortlist = 16)
+        .select($"id").as[String].head()
+      val prunedOk = idx.lastApproxMode == "approx-pruned" &&
+        idx.lastProbeFiles < idx.lastManifestFiles
+      val exact = idx.query(q, 10).select($"id")
+      val approx = idx.queryApprox(q, 10, shortlist = 200).select($"id")
+      exact.join(approx, "id")
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(10L).as("k"), ($"n_overlap" >= 7).as("recall_ok"),
+          lit(prunedOk).as("pruned_ok"), lit(selfHit == "0").as("self_ok"))
+    }),
+
     // Q5 exact similarity join: all (query, candidate) pairs above a
     // cosine threshold — broadcast small side, codegen'd cosine filter.
     "q63_similarity_join" -> ((s, dir) => {
@@ -3258,6 +3297,10 @@ object SparkEntry {
 
     "q122_index_approx_recall" ->
       "SELECT CAST(10 AS BIGINT) AS k, TRUE AS recall_ok",
+
+    "q123_cell_pruned_approx" ->
+      ("SELECT CAST(10 AS BIGINT) AS k, TRUE AS recall_ok, " +
+        "TRUE AS pruned_ok, TRUE AS self_ok"),
 
     "q121_index_query_approx" ->
       """SELECT e.vec_id FROM embeddings e
