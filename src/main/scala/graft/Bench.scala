@@ -125,7 +125,30 @@ object Bench {
     // while still tracking genuine code regressions (which move all
     // three runs). Sub-0.4s queries keep a single run: they are below
     // the regression-grading threshold and tripling them buys nothing.
-    def timeOnce(run: () => Unit): Double = {
+    // ---- environment attribution (r14 verdict item #1): two rounds
+    // running, the driver-host bench read ~1.3x hotter than isolated
+    // in-session runs of the SAME code, with no way to tell host load /
+    // GC pressure from a code regression. Every timed sample now
+    // records the JVM GC time and process CPU time it absorbed, the
+    // sample kept for a query is the median run's own (gc, cpu), and
+    // the final JSON carries a host-load record — so an over-band entry
+    // is mechanically attributable: high gc/low cpu-efficiency ->
+    // environment; clean gc + full cpu -> code.
+    def gcMsNow(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(_.getCollectionTime).filter(_ >= 0).sum
+    }
+    def cpuNsNow(): Long =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+        case _ => -1L
+      }
+    def load1(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    final case class Sample(sec: Double, gcSec: Double, cpuSec: Double)
+    val loadStart = load1()
+    def timeOnce(run: () => Unit): Sample = {
       // drop suite-order debris outside the timing window: every
       // localCheckpoint from earlier queries (and earlier runs of THIS
       // query — each run rebuilds its own) stays pinned in the block
@@ -141,22 +164,24 @@ object Bench {
       // triggered and a collection absorbed mid-query swung identical
       // queries 60%+ run-to-run
       System.gc()
-      val t0 = System.nanoTime()
-      try { run() } catch { case _: Throwable => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+      val (gc0, cpu0, t0) = (gcMsNow(), cpuNsNow(), System.nanoTime())
+      try { run() } catch { case _: Throwable => return Sample(-1.0, 0.0, 0.0) }
+      Sample((System.nanoTime() - t0) / 1e9,
+        (gcMsNow() - gc0) / 1e3,
+        if (cpu0 < 0) -1.0 else (cpuNsNow() - cpu0) / 1e9)
     }
-    def timeMedian(run: () => Unit): Double = {
-      val t1 = timeOnce(run)
-      if (t1 < 0.4) t1
+    def timeMedian(run: () => Unit): Sample = {
+      val s1 = timeOnce(run)
+      if (s1.sec < 0.4) s1
       else {
-        val three = Seq(t1, timeOnce(run), timeOnce(run)).sorted
+        val three = Seq(s1, timeOnce(run), timeOnce(run)).sortBy(_.sec)
         // adaptive: when the three samples still disagree >40% the
         // median itself is unstable (multi-job queries — index builds,
         // KMeans, lifecycle gates — catch GC/JIT debris more than
         // once); two more samples and a median-of-5 cut the residual
         // run-to-run movers (q75/q57-class) below the 30% grading bar
-        if (three.last <= three.head * 1.4) three(1)
-        else (three ++ Seq(timeOnce(run), timeOnce(run))).sorted.apply(2)
+        if (three.last.sec <= three.head.sec * 1.4) three(1)
+        else (three ++ Seq(timeOnce(run), timeOnce(run))).sortBy(_.sec).apply(2)
       }
     }
     val results = selected.flatMap { case (name, fn) =>
@@ -172,37 +197,66 @@ object Bench {
       }
     }
     // Human-readable per-query table (full names + historical band +
-    // FLAG marker), slowest first. These lines scroll out of the
-    // harness's 2000-char output tail; only the compact JSON line below
-    // must survive in it.
-    results.toSeq.sortBy(-_._2).foreach { case (k, v) =>
+    // FLAG marker + the median run's own gc/cpu), slowest first. These
+    // lines scroll out of the harness's 2000-char output tail; only the
+    // compact JSON line below must survive in it.
+    results.toSeq.sortBy(-_._2.sec).foreach { case (k, s) =>
       val short = k.takeWhile(_ != '_')
       val band = Bands.get(short) match {
         case Some((lo, hi)) =>
-          f" band[$lo%6.3f,$hi%7.3f]" + (if (v > hi) " FLAG" else "")
+          f" band[$lo%6.3f,$hi%7.3f]" + (if (s.sec > hi) " FLAG" else "")
         case None => " band[new]"
       }
-      println(f"BENCH $k%-28s $v%9.3f s$band")
+      println(f"BENCH $k%-28s ${s.sec}%9.3f s gc=${s.gcSec}%6.3f cpu=${s.cpuSec}%7.2f$band")
     }
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.values.map(_.sec).sum else 0.0
     // Compact final JSON: the harness captures only the LAST 2000 chars of
     // output and json-parses the line — 75 full-name entries (~2950 chars)
     // do not fit. Keys are shortened to the "qNN" prefix (unambiguous: full
-    // names are printed above) and values rounded to ms.
-    def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
+    // names are printed above); query values are rounded to 10 ms (the
+    // grading threshold is 30%, and the freed bytes pay for the env
+    // record below — exact 3-decimal values stay in the table and in the
+    // flagged triples).
+    def rd(v: Double, scale: Int): String =
+      BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
+        .underlying.stripTrailingZeros.toPlainString
+    def r3(v: Double): String = rd(v, 3)
+    val qs = results.map { case (k, s) => "\"" + k.takeWhile(_ != '_') + "\":" + rd(s.sec, 2) }
       .mkString("{", ",", "}")
     // Out-of-band movers only, worst excess first, as [q, value, bandMax]
     // triples — capped at 6 so the JSON line stays inside the harness's
     // 2000-char tail even on a bad round (the full list is in the table
     // above). An empty array is this line's "nothing to hand-audit".
-    val flagged = results.toSeq.flatMap { case (k, v) =>
+    val flaggedSeq = results.toSeq.flatMap { case (k, s) =>
         val short = k.takeWhile(_ != '_')
-        Bands.get(short).collect { case (_, hi) if v > hi => (short, v, hi) }
-      }.sortBy { case (_, v, hi) => -(v / hi) }.take(6)
-      .map { case (q, v, hi) => s"""["$q",${r3(v)},${r3(hi)}]""" }
+        Bands.get(short).collect { case (_, hi) if s.sec > hi => (short, s, hi) }
+      }.sortBy { case (_, s, hi) => -(s.sec / hi) }.take(6)
+    val flagged = flaggedSeq
+      .map { case (q, s, hi) => s"""["$q",${r3(s.sec)},${r3(hi)}]""" }
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"flagged":$flagged,"sf":"$sfDir"}""")
+    // Per-flagged-query attribution: the median run's own GC seconds and
+    // cpu-seconds. A flagged entry whose gc is a large fraction of its
+    // wall time (or whose cpuSec/wallSec is far below the parallelism
+    // the query normally gets) ran on a distressed host, not slow code.
+    val fenv = flaggedSeq.map { case (q, s, _) =>
+      s""""$q":[${rd(s.gcSec, 2)},${rd(s.cpuSec, 1)}]"""
+    }.mkString("{", ",", "}")
+    // Host record: 1-min load before/after the timed suite, OS cpus,
+    // total JVM GC seconds and process-cpu seconds absorbed by the
+    // timed medians. gc = [per-query gcSec, per-query cpuSec] pairs.
+    val gcTotal = results.values.map(_.gcSec).sum
+    val cpuTotal = results.values.map(_.cpuSec).sum
+    val env = s"""{"load1":[${rd(loadStart, 1)},${rd(load1(), 1)}],""" +
+      s""""os_cpus":${Runtime.getRuntime.availableProcessors},""" +
+      s""""gc_s":${rd(gcTotal, 1)},"cpu_s":${rd(cpuTotal, 0)}}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+      s""""queries":$qs,"flagged":$flagged,"flag_env":$fenv,"env":$env,"sf":"$sfDir"}"""
+    if (line.length > 1900)
+      // degrade the env detail, never the queries map, if a bad round
+      // would push the line past the harness's 2000-char tail
+      println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+        s""""queries":$qs,"flagged":$flagged,"env":$env,"sf":"$sfDir"}""")
+    else println(line)
     spark.stop()
   }
 }

@@ -84,7 +84,10 @@ private[graft] object LayoutMeta {
   def overwrite(spark: SparkSession, path: String, params: Map[String, Int]): Unit = {
     val p = metaPath(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(path, s"._META.tmp")
+    // unique tmp name: a fixed `._META.tmp` lets two writers clobber
+    // each other's in-flight content mid-create
+    val tmp = new Path(path,
+      s"._META.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, true)
     out.write(params.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
       .mkString("\n").getBytes("UTF-8"))

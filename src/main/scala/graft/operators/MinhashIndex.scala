@@ -73,8 +73,13 @@ object MinhashIndex {
   }
 
   /** The one layout parameter, resolved from / validated against the
-    * index's `_META` ([[LayoutMeta.resolve]] semantics). */
+    * index's `_META` ([[LayoutMeta.resolve]] semantics). Every entry
+    * point resolves through here, so this is also where an interrupted
+    * [[rebucket]] swap gets finished before any directory is read — a
+    * partially-promoted index must never be probed (one journal
+    * exists-check when nothing is pending). */
   private def resolveBuckets(spark: SparkSession, path: String, buckets: Int): Int = {
+    AtomicSwap.recover(spark.sparkContext.hadoopConfiguration, path)
     val bk = LayoutMeta.resolve(spark, path,
       Map("buckets" -> buckets), Map("buckets" -> 64))("buckets")
     require(bk > 0, s"buckets $bk must be positive")
@@ -163,8 +168,10 @@ object MinhashIndex {
     * directories and answered from parquet footers (O(#files), not
     * O(rows)). The ingest reconciles it against the corpus row count
     * every batch. */
-  def payloadCount(spark: SparkSession, path: String): Long =
+  def payloadCount(spark: SparkSession, path: String): Long = {
+    AtomicSwap.recover(spark.sparkContext.hadoopConfiguration, path)
     spark.read.parquet(path).filter(col("_band") === -1).count()
+  }
 
   /** In-place small-file compaction — the (`_band`, `_bkt`) layout is
     * maintenance-compatible with the Hamming index's, so this IS
@@ -181,24 +188,27 @@ object MinhashIndex {
     * VectorIndex.rebucket): every row keeps its band/key/payload and
     * only `_bkt` is recomputed, so probe results are IDENTICAL before
     * and after — only the directory fan-out changes. The rewrite lands
-    * in a sibling dir and swaps in via two renames; `_META` is written
-    * into the sibling BEFORE the swap, so the live index always
-    * carries the record matching its layout. Run between batches
-    * (single writer, like [[compact]]); a crash mid-swap leaves the
-    * index absent, which the indexed ingest already treats as
-    * "rebuild from corpus" — the index is derived state, so the
-    * recovery story needs no extra machinery. */
+    * in a sibling dir and swaps in via [[AtomicSwap]]'s journaled
+    * pointer-commit (object-store-safe: no atomic-directory-rename
+    * assumption); `_META` is written into the sibling BEFORE the swap,
+    * so the live index always carries the record matching its layout.
+    * Run between batches (single writer, like [[compact]]); a crash
+    * mid-swap is finished by [[AtomicSwap.recover]], which every probe
+    * and append runs first ([[resolveBuckets]]) — the staged dir stays
+    * authoritative until the promote lands, so no interleaving loses
+    * rows. */
   def rebucket(spark: SparkSession, path: String, newBuckets: Int): Unit = {
     require(newBuckets > 0, s"newBuckets $newBuckets must be positive")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    AtomicSwap.recover(hconf, path)
     val cur = LayoutMeta.resolve(spark, path, Map.empty, Map("buckets" -> 64))("buckets")
     if (cur == newBuckets) return
-    val hconf = spark.sparkContext.hadoopConfiguration
     def hp(p: String) = new org.apache.hadoop.fs.Path(p)
     val fs = hp(path).getFileSystem(hconf)
     val tmpPath = path + "__rebucket"
     val trashPath = path + "__trash"
     if (fs.exists(hp(tmpPath))) fs.delete(hp(tmpPath), true) // stale attempt
-    if (fs.exists(hp(trashPath))) fs.delete(hp(trashPath), true)
+    if (fs.exists(hp(trashPath))) fs.delete(hp(trashPath), true) // pre-journal debris
     spark.read.parquet(path)
       .select(col("_id"), col("_bk"), col("_sh"), col("_band"))
       .withColumn("_bkt",
@@ -208,8 +218,6 @@ object MinhashIndex {
       .repartition(col("_band"), col("_bkt"))
       .write.partitionBy("_band", "_bkt").parquet(tmpPath)
     LayoutMeta.overwrite(spark, tmpPath, Map("buckets" -> newBuckets))
-    if (!fs.rename(hp(path), hp(trashPath)) || !fs.rename(hp(tmpPath), hp(path)))
-      throw new IllegalStateException(s"rebucket swap failed at $path")
-    fs.delete(hp(trashPath), true)
+    AtomicSwap.swapIn(hconf, path, tmpPath)
   }
 }

@@ -98,19 +98,29 @@ final class VectorIndex private (
       .withColumn("_bucket", bucketOf(col("id"), nb))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val bad = incoming.filter(size(col("values")) =!= dim).limit(1).count()
-      if (bad > 0)
+      // ONE probe job answers both pre-write questions — the E2 dim
+      // rejection (before any write) and the touched-bucket set (two
+      // separate jobs here cost a fixed per-job overhead that dominates
+      // small ingest batches; measured 0.3s/upsert at sf0.1)
+      val probe = incoming.groupBy(col("_bucket"))
+        .agg(max(when(size(col("values")) =!= dim, 1).otherwise(0)).as("_bad"))
+        .collect()
+      if (probe.exists(_.getInt(1) > 0))
         throw new IngestError(s"upsert: embedding dimension != index dimension $dim")
-      val touched = incoming.select("_bucket").distinct()
-        .collect().map(_.getInt(0)).toSet
+      val touched = probe.map(_.getInt(0)).toSet
       val manifest = cur.map(readManifest(spark, path, _))
         .getOrElse(Map.empty[Int, Seq[ManifestFile]])
       val oldFiles = touched.toSeq.sorted.flatMap(manifest.getOrElse(_, Nil)).map(_.file)
       // last write wins; within a batch ties broken arbitrarily-but-
       // deterministically by values hash. The same window applies whether
       // or not the touched buckets had prior files, so a batch's winners
-      // never depend on the index's prior layout.
-      val w = Window.partitionBy(col("id"))
+      // never depend on the index's prior layout. Partitioning the
+      // window by (_bucket, id) instead of bare id groups identically
+      // (id determines its bucket) but lets the window reuse the
+      // _bucket clustering the write needs anyway — ONE shuffle feeds
+      // merge + layout + write instead of two back-to-back exchanges
+      // of full vector rows.
+      val w = Window.partitionBy(col("_bucket"), col("id"))
         .orderBy(col("version").desc, xxhash64(col("values")).desc)
       // canonical-column select: stored files may carry the derived
       // _bsig column (or not, for legacy files) — it is recomputed at
@@ -122,9 +132,10 @@ final class VectorIndex private (
           .unionByName(incoming)
       }
       val merged = base
+        .repartition(col("_bucket"))
         .withColumn("_rn", row_number().over(w))
         .filter(col("_rn") === 1).drop("_rn")
-      writeSnapshot(version, merged, manifest, touched, nb)
+      writeSnapshot(version, merged, manifest, touched, nb, preClustered = true)
     } finally incoming.unpersist(blocking = false)
   }
 
@@ -392,7 +403,7 @@ final class VectorIndex private (
     * forward by reference — no copy, no rewrite. */
   private def writeSnapshot(version: Long, merged: DataFrame,
       oldManifest: Map[Int, Seq[ManifestFile]], touched: Set[Int],
-      numBuckets: Int): Unit = {
+      numBuckets: Int, preClustered: Boolean = false): Unit = {
     // Each write ATTEMPT gets its own directory: a concurrent or retried
     // writer that computes the same target version can then never
     // overwrite files an already-committed manifest references (the
@@ -417,7 +428,11 @@ final class VectorIndex private (
     // window's id-hash layout would otherwise scatter every bucket
     // across tasks).
     val bits = meta.sigCellBits
-    val clustered = withSig.repartition(col("_bucket"))
+    // callers that already shuffled by _bucket (upsert's merge window)
+    // skip the redundant exchange — Spark does not elide an explicit
+    // repartition even when the child is already hash(_bucket)
+    val clustered =
+      if (preClustered) withSig else withSig.repartition(col("_bucket"))
     val laidOut =
       if (bits <= 0) clustered
       else {
@@ -452,21 +467,60 @@ final class VectorIndex private (
     val bucketDirs = fs.listStatus(new Path(path, dataDir)).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("_bucket="))
       .map(d => d.getPath.getName.stripPrefix("_bucket=").toInt -> d.getPath)
-    // footer reads fan out over a bounded pool — sequential per-file
-    // metadata I/O would serialize object-store round-trips on the
-    // driver for every file this attempt wrote
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    implicit val ec: ExecutionContext = ExecutionContext.global
+    // footer reads fan out over a DEDICATED bounded pool with a commit
+    // deadline — sequential per-file metadata I/O would serialize
+    // object-store round-trips on the driver, and an unbounded await on
+    // the shared global pool would let ONE hung filesystem read wedge
+    // the snapshot commit forever (and starve unrelated driver work).
+    // A read that misses the deadline commits as rows=None: the file is
+    // then simply never cell-pruned (selectProbeFiles already treats
+    // unknown counts as always-probe), so a slow store costs pruning
+    // efficiency, never the commit.
     val bucketPaths: Seq[(Int, Path)] =
       bucketDirs.flatMap { case (b, dir) => dataFiles(dir).map(b -> _) }
-    val counted = Await.result(
-      Future.traverse(bucketPaths) { case (b, p) =>
-        Future((b, ManifestFile(p.toString.stripPrefix(qualified), parquetRowCount(p))))
-      }, scala.concurrent.duration.Duration.Inf)
+    val counted = countFootersBounded(bucketPaths, qualified)
     val written = counted.groupBy(_._1).map { case (b, fs0) => b -> fs0.map(_._2) }
     val manifest = (oldManifest -- touched) ++ written
     writeManifest(spark, path, version, manifest, meta.copy(numBuckets = numBuckets))
     pruneOldSnapshots(spark, path, keep = 2)
+  }
+
+  /** Fan the footer reads of one write attempt over a fresh bounded
+    * daemon pool and collect them under a single deadline
+    * (`spark.graft.index.footerTimeoutMs`, default 30s). Futures still
+    * pending at the deadline resolve to rows=None — the commit NEVER
+    * blocks on a hung read. The pool is per-call and daemon-threaded:
+    * shutdownNow() cannot unstick a read blocked in native I/O, but an
+    * abandoned thread then holds no commit hostage and dies with the
+    * JVM. */
+  private def countFootersBounded(bucketPaths: Seq[(Int, Path)],
+      qualified: String): Seq[(Int, ManifestFile)] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    if (bucketPaths.isEmpty) return Nil
+    val timeoutMs = spark.conf.getOption("spark.graft.index.footerTimeoutMs")
+      .map(_.toLong).getOrElse(30000L)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, bucketPaths.size),
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-footer-read")
+        t.setDaemon(true)
+        t
+      })
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val futures = bucketPaths.map { case (b, p) =>
+        (b, p, Future(parquetRowCount(p)))
+      }
+      val deadline = System.nanoTime() + timeoutMs * 1000000L
+      futures.map { case (b, p, f) =>
+        val leftMs = math.max(0L, (deadline - System.nanoTime()) / 1000000L)
+        val rows =
+          try Await.result(f,
+            scala.concurrent.duration.Duration(leftMs, "ms"))
+          catch { case _: java.util.concurrent.TimeoutException => None }
+        (b, ManifestFile(p.toString.stripPrefix(qualified), rows))
+      }
+    } finally pool.shutdownNow()
   }
 
   /** Row count from a parquet footer; None if unreadable (the file stays
@@ -815,7 +869,15 @@ object VectorIndex {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val snaps = listSnapshots(spark, path)
-    snaps.dropRight(keep).foreach(n => fs.delete(new Path(p, s"snapshot=$n"), true))
+    val dropped = snaps.dropRight(keep)
+    dropped.foreach(n => fs.delete(new Path(p, s"snapshot=$n"), true))
+    // Nothing became unreferenced unless a manifest was just dropped:
+    // while every old snapshot is retained, a rewritten bucket's
+    // previous files are still referenced by the older manifest, so the
+    // recursive data walk below would find nothing — skip it. (The only
+    // thing delayed is sweeping a lost same-version race's orphaned
+    // attempt files, which the next real drop collects.)
+    if (dropped.isEmpty) return
     val retained = listSnapshots(spark, path)
     val referenced = retained
       .flatMap(readManifest(spark, path, _).values.flatten.map(_.file)).toSet
@@ -837,15 +899,20 @@ object VectorIndex {
         if (f.isFile && !referenced.contains(rel) && !inFlight(rel)) dead += f.getPath
       }
       dead.foreach(fs.delete(_, false))
-      // sweep now-empty version/bucket dirs
-      fs.listStatus(dataRoot).foreach { v =>
-        if (v.isDirectory) {
-          fs.listStatus(v.getPath).foreach { b =>
-            if (b.isDirectory && fs.listStatus(b.getPath).isEmpty) fs.delete(b.getPath, false)
-          }
-          if (fs.listStatus(v.getPath).isEmpty) fs.delete(v.getPath, false)
+      // sweep now-empty dirs, but ONLY the lineages that just lost a
+      // file — a full per-version per-bucket listStatus loop costs one
+      // round-trip per directory and scales with the index, not with
+      // this prune's work
+      val parents = dead.map(_.getParent).distinct
+      def sweepUp(dir: Path): Unit = {
+        var d = dir
+        while (d != null && d.getName != "data" && !d.getName.startsWith("snapshot=") &&
+          fs.exists(d) && fs.listStatus(d).isEmpty) {
+          fs.delete(d, false)
+          d = d.getParent
         }
       }
+      parents.foreach(sweepUp)
     }
   }
 

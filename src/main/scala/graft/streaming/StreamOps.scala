@@ -163,16 +163,13 @@ object StreamOps {
     * cannot accept duplicate null-id documents should synthesize ids
     * at ingest so the uniqueness invariant covers every row.
     *
-    * Durability assumption: the double-append HEAL commits via two
-    * directory renames (corpus -> __trash, __heal -> corpus), which is
-    * crash-safe only where rename is ATOMIC — HDFS and POSIX
-    * filesystems. On object stores (S3A and friends) "rename" is
-    * copy+delete: a crash mid-copy can leave a partially-copied corpus
-    * dir that defeats the `_SUCCESS`-gated recovery below. Deploying
-    * over an object store requires a manifest-pointer commit instead
-    * (write the healed corpus to a NEW dir, then atomically update a
-    * single manifest object naming the live dir — the scheme
-    * [[graft.operators.VectorIndex]] uses for snapshots). */
+    * Durability: the double-append HEAL commits via [[graft.operators
+    * .AtomicSwap]] — a single-object journal names the staged heal dir
+    * before the live dir is touched (the pointer-commit scheme of
+    * [[graft.operators.VectorIndex]]'s manifest, applied to whole-dir
+    * replacement), so the swap is crash-safe on object stores too,
+    * where "rename" is per-object copy+delete and a bare two-rename
+    * swap could lose the corpus mid-copy. */
   /** Local-property key Structured Streaming sets on the micro-batch
     * execution thread; the query id is stable across restarts of the
     * SAME checkpoint (it lives in the checkpoint metadata), which is
@@ -224,15 +221,17 @@ object StreamOps {
       throw new IllegalStateException(s"batch-ledger commit failed at $p")
   }
 
-  /** Finish an interrupted [[healSwap]]: the heal dir is complete iff
-    * Spark's `_SUCCESS` marker exists; the corpus dir is absent only in
-    * the window between the swap's two renames. Sibling dirs have fixed
-    * names (single-writer assumption, like the rest of the ingest), so
-    * recovery needs no journal. Called once per writer lifetime, before
-    * the corpus is first read. */
+  /** Finish an interrupted [[healSwap]]: the journaled
+    * [[graft.operators.AtomicSwap]] protocol first (object-store-safe —
+    * the journal object names the staged heal dir and survives any
+    * crash inside the promote), then the LEGACY two-rename states a
+    * pre-journal build could have crashed in (heal dir complete +
+    * corpus missing). Called once per writer lifetime, before the
+    * corpus is first read. */
   private def recoverHealSwap(spark: org.apache.spark.sql.SparkSession,
       corpusPath: String): Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration
+    graft.operators.AtomicSwap.recover(hconf, corpusPath)
     def hp(p: String) = new org.apache.hadoop.fs.Path(p)
     val fs = hp(corpusPath).getFileSystem(hconf)
     def exists(p: String) = fs.exists(hp(p))
@@ -256,26 +255,22 @@ object StreamOps {
     * never equals), so a corpus can legitimately hold several — they
     * pass through unchanged (`dropDuplicates` would collapse them all
     * into one, silently dropping accepted documents). The rewrite
-    * goes to a SIBLING dir and swaps in via two renames (recovered by
+    * goes to a SIBLING dir and swaps in via [[graft.operators
+    * .AtomicSwap]]'s journaled pointer-commit (object-store-safe:
+    * correct even where "rename" is copy+delete; recovered by
     * [[recoverHealSwap]] if interrupted); an in-place
     * `mode("overwrite")` deletes the directory before writing, so a
     * crash mid-heal would lose the whole accepted corpus. Returns the
-    * healed, pinned corpus. Rename-atomicity caveat as documented on
-    * [[dedupedIngest]]. */
+    * healed, pinned corpus. */
   private def healSwap(corpus0: DataFrame, corpusPath: String,
       idCol: String): DataFrame = {
     val spark = corpus0.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
-    def hp(p: String) = new org.apache.hadoop.fs.Path(p)
     val healed = corpus0.filter(col(idCol).isNotNull).dropDuplicates(idCol)
       .unionByName(corpus0.filter(col(idCol).isNull))
       .localCheckpoint(true)
     healed.write.mode("overwrite").parquet(corpusPath + "__heal")
-    val fs = hp(corpusPath).getFileSystem(hconf)
-    if (!fs.rename(hp(corpusPath), hp(corpusPath + "__trash")) ||
-        !fs.rename(hp(corpusPath + "__heal"), hp(corpusPath)))
-      throw new IllegalStateException(s"heal swap failed at $corpusPath")
-    fs.delete(hp(corpusPath + "__trash"), true)
+    graft.operators.AtomicSwap.swapIn(hconf, corpusPath, corpusPath + "__heal")
     healed
   }
 

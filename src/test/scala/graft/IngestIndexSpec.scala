@@ -372,6 +372,45 @@ class IngestIndexSpec extends AnyFunSuite {
     assert(idx.fetch(Seq("g-3")).select("values").as[Seq[Float]].head().head == 9f)
   }
 
+  test("a hung footer read cannot hang the snapshot commit (rows=None fallback)") {
+    // filesystem that wedges ONLY the dedicated footer-read pool's
+    // open() calls (thread-name targeted), uninterruptibly — the
+    // blocked-in-native-I/O shape shutdownNow() cannot unstick. Data
+    // writes, executor scans and manifest I/O pass through untouched.
+    val dir = Files.createTempDirectory("graft_idx_hungfooter").toString
+    spark.sparkContext.hadoopConfiguration.set(
+      s"fs.${FooterBlockingFs.Scheme}.impl", classOf[FooterBlockingFs].getName)
+    spark.conf.set("spark.graft.index.footerTimeoutMs", "1500")
+    try {
+      val idx = VectorIndex.ensure(spark, s"${FooterBlockingFs.Scheme}:$dir/h",
+        4, numBuckets = 4, cellMinRows = 1)
+      val recs = (0 until 50).toDF("n").select(
+        concat(lit("h-"), $"n").as("id"),
+        array($"n".cast("float"), lit(1f), lit(2f), lit(3f)).as("values"),
+        struct(lit(0).as("chunk_index"), lit("t").as("source")).as("metadata"))
+      val t0 = System.nanoTime()
+      idx.upsert(recs)
+      val elapsedS = (System.nanoTime() - t0) / 1e9
+      assert(elapsedS < 30.0,
+        s"commit must not wait out the hung reads (took ${elapsedS}s)")
+      assert(FooterBlockingFs.blockedOpens.get() > 0,
+        "harness must actually have wedged at least one footer read")
+      // every file committed with rows=None: counts missing, file valid
+      val entries = idx.manifestEntriesAt(idx.snapshots().last).values.flatten
+      assert(entries.nonEmpty && entries.forall(_.rows.isEmpty),
+        s"timed-out footers must commit as rows=None: ${entries.toSeq}")
+      // the index stays fully readable and servable — unknown counts
+      // only cost pruning (selectProbeFiles always probes such files)
+      assert(idx.scan().count() == 50)
+      val q = Array(7f, 1f, 2f, 3f)
+      assert(idx.query(q, 3).count() == 3)
+      assert(idx.queryApprox(q, 3, shortlist = 10).count() == 3)
+    } finally {
+      spark.conf.unset("spark.graft.index.footerTimeoutMs")
+      spark.sparkContext.hadoopConfiguration.unset(s"fs.${FooterBlockingFs.Scheme}.impl")
+    }
+  }
+
   test("end-to-end: ingest, query top-k, upsert-twice, delete") {
     val dir = Files.createTempDirectory("graft_idx").toString
     val idx = VectorIndex.ensure(spark, s"$dir/e2e", 64)
@@ -414,4 +453,31 @@ class IngestIndexSpec extends AnyFunSuite {
       idx.upsert(records.withColumn("values", slice(col("values"), 1, 10)))
     }
   }
+}
+
+/** Local filesystem that wedges opens issued by VectorIndex's
+  * dedicated footer-read pool (thread-name targeted) UNINTERRUPTIBLY
+  * for 60s — the blocked-in-native-I/O shape that `shutdownNow()`
+  * cannot unstick. All other I/O (spark writes, executor scans,
+  * manifest reads) passes through untouched. */
+class FooterBlockingFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = FooterBlockingFs.Scheme
+  override def getUri: java.net.URI =
+    java.net.URI.create(s"${FooterBlockingFs.Scheme}:///")
+  override def open(f: org.apache.hadoop.fs.Path,
+      bufferSize: Int): org.apache.hadoop.fs.FSDataInputStream = {
+    if (Thread.currentThread().getName.startsWith("graft-footer-read")) {
+      FooterBlockingFs.blockedOpens.incrementAndGet()
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (System.nanoTime() < deadline) {
+        try Thread.sleep(1000)
+        catch { case _: InterruptedException => () } // uninterruptible on purpose
+      }
+    }
+    super.open(f, bufferSize)
+  }
+}
+object FooterBlockingFs {
+  val Scheme = "blockfooter"
+  val blockedOpens = new java.util.concurrent.atomic.AtomicInteger(0)
 }

@@ -577,6 +577,141 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows() == rowsBefore)
   }
 
+  test("AtomicSwap: every crash state recovers without row loss (incl. mid-copy partial live)") {
+    import graft.operators.AtomicSwap
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def rows(p: String): Seq[(Long, String)] =
+      spark.read.parquet(p).as[(Long, String)].collect().sorted.toSeq
+    def mkState(tag: String): (String, String, Seq[(Long, String)]) = {
+      val root = Files.createTempDirectory(s"graft_aswap_$tag").toString
+      val live = s"$root/corpus"
+      val staged = s"$root/corpus__heal"
+      Seq((1L, "old row one"), (1L, "old row one"), (2L, "old row two"))
+        .toDF("doc_id", "text").write.parquet(live)
+      val healed = Seq((1L, "old row one"), (2L, "old row two"))
+      healed.toDF("doc_id", "text").write.parquet(staged)
+      (live, staged, healed)
+    }
+    // happy path: swapIn replaces live, sweeps staged + journal
+    val (l1, s1, healed1) = mkState("ok")
+    AtomicSwap.swapIn(hconf, l1, s1)
+    assert(rows(l1) == healed1)
+    assert(!Files.exists(Paths.get(s1)) &&
+      !Files.exists(Paths.get(l1 + "__swapjournal")))
+    // crash after the journal commit, before the live delete
+    val (l2, s2, healed2) = mkState("j")
+    Files.write(Paths.get(l2 + "__swapjournal"), "corpus__heal".getBytes("UTF-8"))
+    AtomicSwap.recover(hconf, l2)
+    assert(rows(l2) == healed2, "journal + complete staged: staged must win")
+    assert(!Files.exists(Paths.get(s2)))
+    // the OBJECT-STORE crash shape: live is a partial mid-copy remnant
+    // (some files gone, no _SUCCESS trust possible) — exactly the state
+    // the old exists(live) check misread as a complete corpus
+    val (l3, s3, healed3) = mkState("partial")
+    import scala.jdk.CollectionConverters._
+    val dataFiles = Files.list(Paths.get(l3)).iterator.asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    dataFiles.drop(1).foreach(Files.delete(_)) // partial delete/copy remnant
+    Files.write(Paths.get(l3 + "__swapjournal"), "corpus__heal".getBytes("UTF-8"))
+    AtomicSwap.recover(hconf, l3)
+    assert(rows(l3) == healed3, "partial live must be replaced by staged, not trusted")
+    assert(!Files.exists(Paths.get(s3)))
+    // staged INCOMPLETE (no _SUCCESS) -> the promote already finished or
+    // the journal is debris: live is authoritative, leftovers swept
+    val (l4, s4, _) = mkState("done")
+    val liveRows = rows(l4)
+    Files.delete(Paths.get(s"$s4/_SUCCESS"))
+    Files.write(Paths.get(l4 + "__swapjournal"), "corpus__heal".getBytes("UTF-8"))
+    AtomicSwap.recover(hconf, l4)
+    assert(rows(l4) == liveRows, "incomplete staged must never replace live")
+    assert(!Files.exists(Paths.get(s4)) &&
+      !Files.exists(Paths.get(l4 + "__swapjournal")))
+    // recover with no journal is a no-op
+    AtomicSwap.recover(hconf, l4)
+    assert(rows(l4) == liveRows)
+  }
+
+  test("AtomicSwap: promote lands by copy where the directory rename is refused (object-store shape)") {
+    import graft.operators.AtomicSwap
+    val root = Files.createTempDirectory("graft_aswap_norename").toString + "/d"
+    Files.createDirectories(Paths.get(root))
+    val live = s"$root/corpus"
+    val staged = s"$root/corpus__heal"
+    Seq((1L, "old")).toDF("doc_id", "text").write.parquet(live)
+    Seq((1L, "old"), (2L, "new")).toDF("doc_id", "text").write.parquet(staged)
+    spark.sparkContext.hadoopConfiguration.set(
+      s"fs.${DirRenameBlockingFs.Scheme}.impl", classOf[DirRenameBlockingFs].getName)
+    try {
+      DirRenameBlockingFs.failDstName.set("corpus")
+      AtomicSwap.swapIn(spark.sparkContext.hadoopConfiguration,
+        s"${DirRenameBlockingFs.Scheme}:$live", s"${DirRenameBlockingFs.Scheme}:$staged")
+      assert(spark.read.parquet(live).as[(Long, String)].collect().sorted.toSeq ==
+        Seq((1L, "old"), (2L, "new")), "copy-path promote must preserve every row")
+      assert(!Files.exists(Paths.get(staged)) &&
+        !Files.exists(Paths.get(live + "__swapjournal")))
+    } finally {
+      DirRenameBlockingFs.failDstName.set("")
+      spark.sparkContext.hadoopConfiguration.unset(s"fs.${DirRenameBlockingFs.Scheme}.impl")
+    }
+  }
+
+  test("interrupted heal swap (journal committed, corpus partially gone) recovers on ingest restart") {
+    val src = Files.createTempDirectory("graft_healrec_src")
+    val root = Files.createTempDirectory("graft_healrec")
+    val corpus = s"$root/corpus"
+    val a = "the quick brown fox jumps over the lazy dog near the quiet river bank at dawn today"
+    val c = "vector indexes bucket embeddings by locality sensitive hashes for sublinear similarity search"
+    // crash state mid-heal-swap: journal committed, staged heal complete,
+    // live corpus already deleted (the most destructive interleaving)
+    Seq((1L, a), (2L, c)).toDF("doc_id", "text").write.parquet(corpus + "__heal")
+    Files.write(Paths.get(corpus + "__swapjournal"), "corpus__heal".getBytes("UTF-8"))
+    // next writer lifetime: one fresh batch through dedupedIngest — its
+    // open-time recovery must land the healed corpus BEFORE dedup runs,
+    // so the batch's near-duplicate of doc 1 is dropped against it
+    val b = "the quick brown fox jumps over the lazy dog near the quiet river bank at dawn now"
+    val tmp = Files.createTempDirectory("graft_healrec_b1")
+    Seq((7L, b)).toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get
+    Files.copy(part, Paths.get(s"$src/b1.parquet"))
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+      .parquet(src.toString)
+    val q = StreamOps.dedupedIngest(stream, corpus).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L), "recovered corpus must hold the healed rows and drop the near-dup batch doc")
+    assert(!Files.exists(Paths.get(corpus + "__swapjournal")) &&
+      !Files.exists(Paths.get(corpus + "__heal")))
+  }
+
+  test("interrupted MinhashIndex rebucket swap is finished before any probe") {
+    import graft.operators.{Dedup, LayoutMeta, MinhashIndex}
+    val root = Files.createTempDirectory("graft_mhrebrec").toString
+    val path = s"$root/mh"
+    val docs = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (11L, "one two three four five six seven eight nine ten eleven twelve"),
+      (12L, "red orange yellow green blue indigo violet cyan magenta teal maroon navy"))
+      .toDF("doc_id", "text")
+    val prep = Dedup.prepareMinhash(docs, "doc_id", "text").localCheckpoint(true)
+    MinhashIndex.append(prep, path) // live layout: default 64 buckets
+    // staged NEW layout (8 buckets) lands as a complete sibling, then the
+    // writer dies right after the journal commit — before any promote
+    MinhashIndex.append(prep, path + "__rebucket", buckets = 8)
+    Files.write(Paths.get(path + "__swapjournal"), "mh__rebucket".getBytes("UTF-8"))
+    // first probe of the next maintenance cycle must finish the swap,
+    // then answer from the NEW layout — identical membership
+    val got = MinhashIndex.probeIds(spark, path,
+        Seq(10L, 11L, 99L).toDF("_id"))
+      .as[Long].collect().sorted.toSeq
+    assert(got == Seq(10L, 11L), s"probe after recovery: $got")
+    assert(LayoutMeta.read(spark, path).get("buckets") == 8,
+      "the promoted index must carry the staged layout's _META")
+    assert(!Files.exists(Paths.get(path + "__swapjournal")) &&
+      !Files.exists(Paths.get(path + "__rebucket")))
+    assert(MinhashIndex.payloadCount(spark, path) == 3L)
+  }
+
   test("heal preserves several legitimate null-id docs and keeps the census in sync") {
     val src = Files.createTempDirectory("graft_snullheal_src")
     val corpus = Files.createTempDirectory("graft_snullheal_corpus").toString + "/corpus"
@@ -1167,3 +1302,25 @@ class CompactRenameBlockingFs extends org.apache.hadoop.fs.RawLocalFileSystem {
     if (dst.getName.startsWith("compact-")) false else super.rename(src, dst)
 }
 object CompactRenameBlockingFs { val Scheme = "blockcompact" }
+
+/** Local filesystem that refuses the PROMOTE rename of an AtomicSwap
+  * (directory renames onto the configured destination name) while
+  * letting every other rename — including the single-file journal
+  * commit and Spark's committer renames — pass. The selective
+  * object-store shape: small-object PUTs are atomic, directory
+  * "rename" is not honored. */
+class DirRenameBlockingFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = DirRenameBlockingFs.Scheme
+  override def getUri: java.net.URI =
+    java.net.URI.create(s"${DirRenameBlockingFs.Scheme}:///")
+  override def rename(src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Boolean = {
+    val isDir = try getFileStatus(src).isDirectory catch { case _: Exception => false }
+    if (isDir && dst.getName == DirRenameBlockingFs.failDstName.get()) false
+    else super.rename(src, dst)
+  }
+}
+object DirRenameBlockingFs {
+  val Scheme = "blockdirrename"
+  val failDstName = new java.util.concurrent.atomic.AtomicReference[String]("")
+}
