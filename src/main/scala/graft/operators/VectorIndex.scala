@@ -142,9 +142,14 @@ final class VectorIndex private (
   /** Q1/Q3: top-k by metric score with optional metadata pre-filter
     * (filter applies BEFORE scoring; Catalyst pushes it into the scan).
     * `orderBy.limit` plans as TakeOrderedAndProject — distributed top-k,
-    * no global sort. */
-  def query(q: Array[Float], k: Int, filter: Option[Column] = None): DataFrame = {
-    val base = filter.foldLeft(scan())((df, f) => df.filter(f))
+    * no global sort. `asOf` serves the query from an older retained
+    * snapshot ([[scanAt]]) — the serving-rollback surface: a bad upsert
+    * can be queried around instantly while the fix lands, because every
+    * retained manifest IS a complete, immutable file list. */
+  def query(q: Array[Float], k: Int, filter: Option[Column] = None,
+      asOf: Option[Long] = None): DataFrame = {
+    val base0 = asOf.map(scanAt).getOrElse(scan())
+    val base = filter.foldLeft(base0)((df, f) => df.filter(f))
     base.withColumn("score", scoreCol(q))
       .orderBy(col("score").desc, col("id"))
       .limit(k)
@@ -190,15 +195,49 @@ final class VectorIndex private (
     * .queryBinary]] is this plan over a plain table): recall < 1 is
     * possible; `shortlist` >= index size recovers [[query]] exactly.
     * `filter` applies at RESCORE (the signature pass cannot see
-    * metadata), so a highly selective filter can underfill k — raise
-    * `shortlist` accordingly, the standard filtered-ANN trade. */
+    * metadata), so a highly selective filter can underfill k; instead
+    * of silently returning fewer rows, an underfilled filtered attempt
+    * ESCALATES — the shortlist doubles and the probe re-runs, up to
+    * `maxEscalations` times ([[lastEscalations]] reports how many
+    * fired). Each check is one k-bounded count of an attempt's top-k;
+    * a filter too selective to ever fill k stops after the bounded
+    * retries with the true underfilled answer. `asOf` serves from an
+    * older retained snapshot, same contract as [[query]]'s. */
   def queryApprox(q: Array[Float], k: Int, shortlist: Int = 400,
-      filter: Option[Column] = None): DataFrame = {
+      filter: Option[Column] = None, asOf: Option[Long] = None,
+      maxEscalations: Int = 3): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
-    currentSnapshot(spark, path) match {
+    lastEscalations = 0
+    var sl = shortlist
+    var res = approxOnce(q, k, sl, filter, asOf)
+    if (filter.isDefined) {
+      var tries = 0
+      // only an APPROX attempt can underfill recoverably: the exact-*
+      // fallbacks already scanned everything the filter allows
+      while (tries < maxEscalations && lastApproxMode.startsWith("approx") &&
+          res.count() < k) {
+        sl *= 2
+        tries += 1
+        lastEscalations = tries
+        res = approxOnce(q, k, sl, filter, asOf)
+      }
+    }
+    res
+  }
+
+  private def approxOnce(q: Array[Float], k: Int, shortlist: Int,
+      filter: Option[Column], asOf: Option[Long]): DataFrame = {
+    val snap = asOf match {
+      case Some(v) =>
+        require(snapshots().contains(v),
+          s"snapshot $v not present (have ${snapshots().mkString(",")})")
+        Some(v)
+      case None => currentSnapshot(spark, path)
+    }
+    snap match {
       case None =>
         lastApproxMode = "exact-empty"
-        query(q, k, filter) // empty index: exact path's empty result
+        query(q, k, filter, asOf) // empty index: exact path's empty result
       case Some(n) =>
         val manifest = readManifest(spark, path, n)
         val all = manifest.values.flatten.toSeq
@@ -216,7 +255,7 @@ final class VectorIndex private (
         approxPhases(files, q, shortlist) match {
           case None =>
             lastApproxMode = "exact-nosig"
-            query(q, k, filter) // no signatures anywhere: exact
+            query(q, k, filter, asOf) // no signatures anywhere: exact
           case Some(phase) =>
             try {
               // legacy rows bypass the signature phase and ALL join the
@@ -230,7 +269,7 @@ final class VectorIndex private (
               val legacyCount = phase.legacy.limit(shortlist).count()
               if (legacyCount >= shortlist) {
                 lastApproxMode = "exact-legacy-dominated"
-                return query(q, k, filter)
+                return query(q, k, filter, asOf)
               }
               lastApproxMode =
                 if (files.size < all.size) "approx-pruned" else "approx-full"
@@ -265,6 +304,9 @@ final class VectorIndex private (
   private[graft] var lastApproxMode: String = ""
   private[graft] var lastProbeFiles: Int = 0
   private[graft] var lastManifestFiles: Int = 0
+  /** How many shortlist doublings the last filtered [[queryApprox]]
+    * needed to fill k (0 = first attempt sufficed). */
+  private[graft] var lastEscalations: Int = 0
 
   /** [[queryApprox]]'s signature phase over a probe file list: the
     * ranked shortlist ids, the legacy null-signature ids, and the

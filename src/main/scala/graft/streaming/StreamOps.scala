@@ -159,9 +159,10 @@ object StreamOps {
     * Residual window inside that window: a replayed batch's null-id
     * docs re-append undetected (the census deliberately exempts null
     * ids — several can legitimately coexist — and equally-doubled null
-    * counts keep the sidecar freshness check passing). Callers that
-    * cannot accept duplicate null-id documents should synthesize ids
-    * at ingest so the uniqueness invariant covers every row.
+    * counts keep the sidecar freshness check passing). `ensureIds =
+    * true` closes it: null ids are synthesized from the content hash
+    * at batch entry ([[synthIds]]), so the uniqueness invariant covers
+    * every row and the replay class collapses in the heal.
     *
     * Durability: the double-append HEAL commits via [[graft.operators
     * .AtomicSwap]] — a single-object journal names the staged heal dir
@@ -274,8 +275,26 @@ object StreamOps {
     healed
   }
 
+  /** Synthesize a deterministic id for null-id rows from their content
+    * hash (xxhash64 of the content column) — the opt-in (`ensureIds`)
+    * that closes the documented at-least-once residual: with no null
+    * ids left, the heal's id-uniqueness invariant covers EVERY row, so
+    * a replayed batch's re-appends are always collapsed. Content-hash
+    * identity is the contract: two null-id rows with byte-identical
+    * content become ONE row (they are the same document), and
+    * re-delivering a null-id doc later is dropped as id reuse. A
+    * synthesized id colliding with a real 64-bit id is the standard
+    * hash-identity residual (~2^-64 per pair), same as every
+    * content-addressed store. */
+  private def synthIds(batch: DataFrame, ensureIds: Boolean,
+      idCol: String, contentCol: String): DataFrame =
+    if (!ensureIds) batch
+    else batch.withColumn(idCol,
+      coalesce(col(idCol).cast("long"), xxhash64(col(contentCol))))
+
   def dedupedIngest(docs: DataFrame, corpusPath: String,
-      idCol: String = "doc_id", textCol: String = "text")
+      idCol: String = "doc_id", textCol: String = "text",
+      ensureIds: Boolean = false)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val sigPath = corpusPath + "_sig"
     // Integrity (double-append heal + sidecar freshness) is verified ONCE
@@ -287,8 +306,9 @@ object StreamOps {
     // (and therefore re-verifies).
     @volatile var verified = false
     docs.writeStream.outputMode("append").foreachBatch {
-      (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
+      (batch0: DataFrame, batchId: Long) =>
+        val spark = batch0.sparkSession
+        val batch = synthIds(batch0, ensureIds, idCol, textCol)
         def runIngestBatch(): Unit = {
         val D = graft.operators.Dedup
         val hconf = spark.sparkContext.hadoopConfiguration
@@ -423,12 +443,13 @@ object StreamOps {
   def dedupedIngestIndexed(docs: DataFrame, corpusPath: String,
       indexPath: String, idCol: String = "doc_id", textCol: String = "text",
       buckets: Int = graft.operators.LayoutMeta.Unspecified,
-      autoCompactMinFiles: Int = 32)
+      autoCompactMinFiles: Int = 32, ensureIds: Boolean = false)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     @volatile var verified = false
     docs.writeStream.outputMode("append").foreachBatch {
-      (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
+      (batch0: DataFrame, batchId: Long) =>
+        val spark = batch0.sparkSession
+        val batch = synthIds(batch0, ensureIds, idCol, textCol)
         def runIngestBatch(): Unit = {
         val D = graft.operators.Dedup
         val MI = graft.operators.MinhashIndex
@@ -575,11 +596,13 @@ object StreamOps {
     * at-least-once across retries; production stamps batchId into the
     * path and commits atomically. */
   def imageDedupedIngest(docs: DataFrame, corpusPath: String,
-      idCol: String = "img_id", binCol: String = "blob", maxDist: Int = 8)
+      idCol: String = "img_id", binCol: String = "blob", maxDist: Int = 8,
+      ensureIds: Boolean = false)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     docs.writeStream.outputMode("append").foreachBatch {
-      (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
+      (batch0: DataFrame, batchId: Long) =>
+        val spark = batch0.sparkSession
+        val batch = synthIds(batch0, ensureIds, idCol, binCol)
         def runIngestBatch(): Unit = {
         val A = graft.operators.Ann
         val M = graft.operators.Multimodal
@@ -650,11 +673,12 @@ object StreamOps {
       indexPath: String, idCol: String = "img_id", binCol: String = "blob",
       maxDist: Int = graft.operators.LayoutMeta.Unspecified,
       buckets: Int = graft.operators.LayoutMeta.Unspecified,
-      autoCompactMinFiles: Int = 32)
+      autoCompactMinFiles: Int = 32, ensureIds: Boolean = false)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     docs.writeStream.outputMode("append").foreachBatch {
-      (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
+      (batch0: DataFrame, batchId: Long) =>
+        val spark = batch0.sparkSession
+        val batch = synthIds(batch0, ensureIds, idCol, binCol)
         def runIngestBatch(): Unit = {
         val A = graft.operators.Ann
         val M = graft.operators.Multimodal

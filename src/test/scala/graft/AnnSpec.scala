@@ -50,6 +50,65 @@ class AnnSpec extends AnyFunSuite {
     } finally sigs.unpersist()
   }
 
+  test("cell-pruned serving query holds recall@10 >= 0.9 on planted clusters (adversarial for prefix cells)") {
+    import graft.operators.VectorIndex
+    // the adversarial regime for signature-PREFIX pruning: each query's
+    // true neighbors are 15 near-copies at cosine ~0.99 of a planted
+    // center, so they concentrate in very few cells — if the ring
+    // expansion mis-sized or mis-ordered its neighborhoods, whole
+    // clusters would vanish from the shortlist at once (q116's fixture
+    // shape, driven through the snapshot index's pruned path)
+    val perturb = udf { (v: Seq[Float], center: Long, copy: Int) =>
+      val out = new Array[Float](v.length)
+      var i = 0
+      while (i < v.length) {
+        val h = graft.operators.Dedup.splitmix64(
+          center * 1315423911L + copy * 2654435761L + i)
+        out(i) = v(i) +
+          (((h >>> 11).toDouble / (1L << 53).toDouble - 0.5) * 0.1).toFloat
+        i += 1
+      }
+      out
+    }
+    val members = emb.filter($"vec_id" < 32)
+      .select($"vec_id".as("_c"), $"embedding",
+        explode(sequence(lit(0), lit(15))).as("_copy"))
+      .select(($"_c" * 1000 + $"_copy").cast("long").as("vec_id"),
+        perturb($"embedding", $"_c", $"_copy").as("embedding"))
+      .localCheckpoint(true)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cellclust").toString
+    val dim = members.select(size($"embedding")).as[Int].head()
+    // cells engaged at fixture scale: 4 prefix bits, cellMinRows=2
+    // (the q123 sizing), over 512 clustered rows
+    val idx = VectorIndex.ensure(spark, s"$dir/c", dim, numBuckets = 2,
+      sigCellBits = 4, cellMinRows = 2)
+    idx.upsert(members.select(
+      $"vec_id".cast("string").as("id"),
+      $"embedding".cast("array<float>").as("values"),
+      struct(lit(0).as("chunk_index"), lit("t").as("source")).as("metadata")))
+    // 8 member queries (copy 0 of centers 0..7); recall vs the exact
+    // query over the same index, pruning REQUIRED to engage each time
+    val queryVecs = members.filter($"vec_id" % 1000 === 0 && $"vec_id" < 8000)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect().sortBy(_._1)
+    var overlap = 0
+    queryVecs.foreach { case (qid, qv) =>
+      val exact = idx.query(qv, 10).select($"id").as[String].collect().toSet
+      // shortlist 32: the 8x oversample targets 256 of the 512 rows,
+      // so ring expansion must actually STOP early (64 would target the
+      // whole index and degrade to approx-full by the exactness contract)
+      val approx = idx.queryApprox(qv, 10, shortlist = 32)
+        .select($"id").as[String].collect().toSeq
+      assert(idx.lastApproxMode == "approx-pruned",
+        s"pruning must engage for query $qid: ${idx.lastApproxMode}")
+      assert(idx.lastProbeFiles < idx.lastManifestFiles,
+        s"query $qid probed ${idx.lastProbeFiles}/${idx.lastManifestFiles}")
+      assert(approx.head == qid.toString, s"self must be rank 1 for $qid")
+      overlap += approx.count(exact)
+    }
+    assert(overlap >= 72, // recall@10 >= 0.9 over 8 queries
+      s"clustered recall through the pruned path too low: $overlap/80")
+  }
+
   test("binary-hash ANN: self found at rank 1, recall vs brute force holds") {
     val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet").cache()
     try {

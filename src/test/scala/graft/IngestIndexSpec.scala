@@ -237,6 +237,80 @@ class IngestIndexSpec extends AnyFunSuite {
     assert(idx.scan().count() == 300, "backfill must not change contents")
   }
 
+  test("filtered queryApprox escalates an underfilled shortlist instead of silently returning < k") {
+    val dir = Files.createTempDirectory("graft_idx_escal").toString
+    val idx = VectorIndex.ensure(spark, s"$dir/e", 16, numBuckets = 8,
+      cellMinRows = 1)
+    val rnd = new scala.util.Random(23)
+    val vecs = (0 until 300).map(n => n -> Array.fill(16)(rnd.nextFloat() * 2f - 1f))
+    val recs = vecs.map { case (n, v) => (s"e-$n", v.toSeq, (n % 7, "t")) }
+      .toDF("id", "values", "m").select($"id",
+        $"values".cast("array<float>").as("values"),
+        struct($"m._1".as("chunk_index"), $"m._2".as("source")).as("metadata"))
+    idx.upsert(recs)
+    val q = vecs(42)._2
+    val f = Some($"metadata.chunk_index" === 3) // ~43 of 300 rows qualify
+    // the silent-underfill shape, frozen: a 10-row shortlist keeps ~1-2
+    // qualifying rows, and with escalation disabled that is what comes back
+    val under = idx.queryApprox(q, 10, shortlist = 10, filter = f,
+      maxEscalations = 0).count()
+    assert(under < 10, s"fixture must actually underfill at shortlist=10: got $under")
+    // escalation: same starting shortlist, bounded doublings -> k rows
+    val filled = idx.queryApprox(q, 10, shortlist = 10, filter = f)
+    val rows = filled.collect()
+    assert(rows.length == 10, s"escalated filtered query must fill k: ${rows.length}")
+    assert(idx.lastEscalations >= 1,
+      s"the probe count must show the escalation fired: ${idx.lastEscalations}")
+    assert(rows.forall(_.getAs[org.apache.spark.sql.Row]("metadata").getInt(0) == 3))
+    // a filter nothing satisfies stops after the bounded retries with
+    // the (true) empty answer instead of looping
+    assert(idx.queryApprox(q, 5, shortlist = 10,
+      filter = Some($"metadata.chunk_index" === 99)).count() == 0)
+    assert(idx.lastEscalations == 3, "bounded retries must exhaust, then stop")
+    // an unfiltered query never escalates
+    idx.queryApprox(q, 10, shortlist = 10)
+    assert(idx.lastEscalations == 0)
+  }
+
+  test("time travel: query/queryApprox serve an older retained snapshot (asOf)") {
+    val dir = Files.createTempDirectory("graft_idx_asof").toString
+    val idx = VectorIndex.ensure(spark, s"$dir/t", 4, numBuckets = 4,
+      cellMinRows = 1)
+    def recs(scale: Float) = (0 until 60).toDF("n").select(
+      concat(lit("t-"), $"n").as("id"),
+      array(($"n" * scale).cast("float"), lit(1f), lit(2f), lit(3f)).as("values"),
+      struct(lit(0).as("chunk_index"), lit("t").as("source")).as("metadata"))
+    idx.upsert(recs(1f))  // snapshot 0
+    val pre = idx.snapshots().last
+    idx.upsert(recs(-1f)) // snapshot 1: every vector moved
+    val q = Array(10f, 1f, 2f, 3f)
+    val atPre = idx.query(q, 5, asOf = Some(pre)).select("id", "score")
+      .as[(String, Double)].collect().toSeq
+    val atHead = idx.query(q, 5).select("id", "score")
+      .as[(String, Double)].collect().toSeq
+    assert(atPre != atHead, "moved vectors must change the head answer")
+    // the historical answer equals an exact top-k computed from the
+    // pinned snapshot's own scan — asOf reads history, not head
+    val manual = idx.scanAt(pre)
+      .withColumn("score", graft.functions.vectors.cosine($"values",
+        lit(q.map(_.toDouble))))
+      .orderBy($"score".desc, $"id").limit(5)
+      .select("id", "score").as[(String, Double)].collect().toSeq
+    assert(atPre == manual)
+    // approx at full shortlist degrades to the same historical answer,
+    // and its exact fallbacks honor asOf too
+    val approxPre = idx.queryApprox(q, 5, shortlist = 1000, asOf = Some(pre))
+      .select("id", "score").as[(String, Double)].collect().toSeq
+    assert(approxPre == atPre)
+    // a pruned (not yet retained-out) snapshot is validated loudly
+    intercept[IllegalArgumentException] {
+      idx.query(q, 5, asOf = Some(99L)).count()
+    }
+    intercept[IllegalArgumentException] {
+      idx.queryApprox(q, 5, asOf = Some(99L)).count()
+    }
+  }
+
   test("rebucket: contents identical, new layout used by later upserts") {
     val dir = Files.createTempDirectory("graft_idx_rebucket").toString
     val idx = VectorIndex.ensure(spark, s"$dir/r", 4, numBuckets = 4)

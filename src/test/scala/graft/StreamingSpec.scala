@@ -712,6 +712,68 @@ class StreamingSpec extends AnyFunSuite {
     assert(MinhashIndex.payloadCount(spark, path) == 3L)
   }
 
+  test("ensureIds: null-id docs get content-hash ids, and the replay residual closes (zero duplicates)") {
+    import scala.jdk.CollectionConverters._
+    val src = Files.createTempDirectory("graft_ensureids_src")
+    val corpus = Files.createTempDirectory("graft_ensureids").toString + "/corpus"
+    val n1 = "first untitled scratch note about mountain weather patterns near the northern ridge"
+    val n2 = "second untitled scratch note regarding tidal measurements along the eastern shore"
+    val a = "the quick brown fox jumps over the lazy dog near the quiet river bank at dawn today"
+    val tmp = Files.createTempDirectory("graft_ensureids_b1")
+    Seq((Option(1L), a), (None: Option[Long], n1), (None: Option[Long], n2))
+      .toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get
+    Files.copy(part, Paths.get(s"$src/b1.parquet"))
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+      .parquet(src.toString)
+    val q = StreamOps.dedupedIngest(stream, corpus, ensureIds = true).start()
+    try q.processAllAvailable() finally q.stop()
+    val c1 = spark.read.parquet(corpus)
+    assert(c1.count() == 3 && c1.where($"doc_id".isNull).count() == 0,
+      "every accepted row must carry a (possibly synthesized) id")
+    val synthIds = c1.where($"text".isin(n1, n2)).select("doc_id").as[Long]
+      .collect().toSet
+    assert(synthIds.size == 2, "distinct contents must synthesize distinct ids")
+    // the at-least-once replay state the old null-id residual leaked
+    // through: corpus AND sidecar double-appended (crash between the
+    // sink writes and the ledger commit, batch re-delivered). With
+    // synthesized ids the heal's id-uniqueness invariant now covers the
+    // former null-id rows too — the restart collapses them.
+    def dataFiles(p: String): Seq[java.nio.file.Path] =
+      Files.list(Paths.get(p)).iterator.asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    dataFiles(corpus).foreach(f =>
+      Files.copy(f, f.resolveSibling("replay-" + f.getFileName)))
+    dataFiles(corpus + "_sig").foreach(f =>
+      Files.copy(f, f.resolveSibling("replay-" + f.getFileName)))
+    assert(spark.read.parquet(corpus).count() == 6) // the damage is real
+    // fresh writer lifetime (restart): first batch verifies + heals
+    val b = "entirely fresh prose concerning barometric drift across alpine passes this season"
+    val tmp2 = Files.createTempDirectory("graft_ensureids_b2")
+    Seq((Option(9L), b)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(tmp2.toString)
+    val part2 = Files.list(tmp2).filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get
+    Files.copy(part2, Paths.get(s"$src/b2.parquet"))
+    val q2 = StreamOps.dedupedIngest(stream, corpus, ensureIds = true).start()
+    try q2.processAllAvailable() finally q2.stop()
+    val c2 = spark.read.parquet(corpus)
+    assert(c2.count() == 4, s"zero duplicates after heal: ${c2.count()}")
+    assert(c2.select("doc_id").distinct().count() == 4)
+    assert(c2.where($"doc_id".isNull).count() == 0)
+    // re-delivering one of the formerly-null docs later is id reuse ->
+    // dropped (content-hash identity is stable across batches)
+    val tmp3 = Files.createTempDirectory("graft_ensureids_b3")
+    Seq((None: Option[Long], n1)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(tmp3.toString)
+    val part3 = Files.list(tmp3).filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get
+    Files.copy(part3, Paths.get(s"$src/b3.parquet"))
+    val q3 = StreamOps.dedupedIngest(stream, corpus, ensureIds = true).start()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(spark.read.parquet(corpus).count() == 4,
+      "same-content null-id redelivery must be dropped as id reuse")
+  }
+
   test("heal preserves several legitimate null-id docs and keeps the census in sync") {
     val src = Files.createTempDirectory("graft_snullheal_src")
     val corpus = Files.createTempDirectory("graft_snullheal_corpus").toString + "/corpus"
