@@ -13,6 +13,12 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // testdata parquet stamps ts as timestamp[us] WITHOUT
+      // isAdjustedToUTC, which Spark 4 infers as TIMESTAMP_NTZ by
+      // default; read it as session-TZ (UTC) TIMESTAMP so time
+      // functions (unix_micros, windowing) keep their types and the
+      // wall-clock values match DuckDB's naive read of the same file
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
