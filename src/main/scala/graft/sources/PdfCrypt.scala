@@ -6,16 +6,19 @@ package graft.sources
   * JCE provider/policy variance for the legacy cipher).
   *
   * Scope ([[SimplePdfTextExtractor]]'s encrypted-document support):
-  * EMPTY-USER-PASSWORD documents — the owner-locked/"protected" PDFs
+  * documents whose USER password the caller can supply — including
+  * the empty password, i.e. the owner-locked/"protected" PDFs
   * crawled corpora are full of, which every viewer opens without
   * prompting — under revisions R2/R3/R4 with RC4-40..128 (/V1, /V2,
   * /V4+/V2) or AES-128-CBC (/V4+/AESV2) stream encryption, AND V5
   * AES-256 (R5 legacy Adobe single-SHA-256, R6 ISO 32000-2 with the
   * algorithm-2.B iterated hash) — what Acrobat X+ writes. The
   * reference opens these transparently via PyMuPDF
-  * (`/root/reference/streamlit_app.py:62`). Non-empty user passwords
-  * fail verification and the document keeps its no-text-layer
-  * fallback route; non-Standard handlers are out of scope.
+  * (`/root/reference/streamlit_app.py:62`). A wrong (or missing)
+  * user password fails verification and the document keeps its
+  * no-text-layer fallback route — never a throw; owner-password
+  * authentication (algorithm 7's /O route) and non-Standard
+  * handlers are out of scope.
   *
   * The algorithm-3/4/5 WRITER halves ([[computeO]]/[[computeU]]/
   * [[encryptAes]]) exist so golden encrypted fixtures can be built
@@ -61,20 +64,31 @@ private[graft] object PdfCrypt {
   private def le32(v: Int): Array[Byte] =
     Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
 
-  /** Algorithm 2: the file encryption key for the EMPTY user password.
-    * `keyLen` in bytes (5 for 40-bit R2, up to 16). */
-  private[graft] def fileKey(o: Array[Byte], p: Int, id0: Array[Byte],
-      r: Int, keyLen: Int, encryptMetadata: Boolean): Array[Byte] = {
+  /** §7.6.3.3 step (a): the user password padded/truncated to exactly
+    * 32 bytes with [[Pad]] — the empty password is Pad itself. */
+  private[graft] def padPwd(pwd: Array[Byte]): Array[Byte] =
+    (pwd ++ Pad).take(32)
+
+  /** Algorithm 2: the file encryption key for user password `pwd`
+    * (empty array = the empty user password). `keyLen` in bytes (5 for
+    * 40-bit R2, up to 16). */
+  private[graft] def fileKey(pwd: Array[Byte], o: Array[Byte], p: Int,
+      id0: Array[Byte], r: Int, keyLen: Int,
+      encryptMetadata: Boolean): Array[Byte] = {
     val extra =
       if (r >= 4 && !encryptMetadata) le32(-1) else Array.emptyByteArray
-    var key = md5(Pad, o.take(32), le32(p), id0, extra).take(keyLen)
+    var key = md5(padPwd(pwd), o.take(32), le32(p), id0, extra).take(keyLen)
     if (r >= 3) for (_ <- 0 until 50) key = md5(key).take(keyLen)
     key
   }
 
-  /** Algorithm 4 (R2) / 5 (R>=3): the /U entry proving the empty user
-    * password against `key`. For R>=3 only the first 16 bytes are
-    * defined; the writer half pads with zeros. */
+  /** Algorithm 4 (R2) / 5 (R>=3): the /U entry proving the user
+    * password against `key`. The password itself never appears here —
+    * /U always encrypts the FIXED padding string (R2) or MD5(Pad, id0)
+    * (R>=3); the password enters only through `key` (algorithm 2), so
+    * this entry verifies whichever password derived the key. For R>=3
+    * only the first 16 bytes are defined; the writer half pads with
+    * zeros. */
   private[graft] def computeU(key: Array[Byte], id0: Array[Byte],
       r: Int): Array[Byte] =
     if (r == 2) rc4(key, Pad)
@@ -84,23 +98,25 @@ private[graft] object PdfCrypt {
       x ++ new Array[Byte](16)
     }
 
-  /** Does the document's /U entry verify the empty user password? */
-  private[graft] def verifyEmptyUser(key: Array[Byte], u: Array[Byte],
+  /** Algorithm 6: does the document's /U entry verify the user
+    * password that derived `key`? */
+  private[graft] def verifyUser(key: Array[Byte], u: Array[Byte],
       id0: Array[Byte], r: Int): Boolean = {
     val expect = computeU(key, id0, r)
     val n = if (r == 2) 32 else 16 // R>=3: trailing 16 bytes arbitrary
     u.length >= n && java.util.Arrays.equals(expect.take(n), u.take(n))
   }
 
-  /** Algorithm 3 (writer half): the /O entry for (`ownerPwd`, empty
-    * user password). */
-  private[graft] def computeO(ownerPwd: Array[Byte], r: Int,
-      keyLen: Int): Array[Byte] = {
-    val padded = (ownerPwd ++ Pad).take(32)
+  /** Algorithm 3 (writer half): the /O entry for (`ownerPwd`,
+    * `userPwd`) — RC4 of the padded USER password under the
+    * owner-password key. */
+  private[graft] def computeO(ownerPwd: Array[Byte], r: Int, keyLen: Int,
+      userPwd: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
+    val padded = padPwd(ownerPwd)
     var h = md5(padded)
     if (r >= 3) for (_ <- 0 until 50) h = md5(h)
     val okey = h.take(keyLen)
-    var o = rc4(okey, Pad) // RC4 of the padded (empty) USER password
+    var o = rc4(okey, padPwd(userPwd))
     if (r >= 3) for (i <- 1 to 19) o = rc4(okey.map(b => (b ^ i).toByte), o)
     o
   }
@@ -157,34 +173,43 @@ private[graft] object PdfCrypt {
     k.take(32)
   }
 
-  /** Algorithm 2.A, empty-user-password half: verify /U's hash and
-    * unwrap the 32-byte file key from /UE. `u` = hash(32) ||
-    * validationSalt(8) || keySalt(8); R5 hashes with one SHA-256, R6
-    * with [[hash2B]]. None when the password is non-empty (hash
-    * mismatch) or the entries are malformed. */
-  private[graft] def fileKeyV5(u: Array[Byte], ue: Array[Byte],
-      r: Int): Option[Array[Byte]] = {
+  /** V5 user-password bytes: UTF-8, truncated to 127 bytes (ISO
+    * 32000-2 §7.6.4.3.2; full SASLprep normalization out of scope —
+    * ASCII passwords, the overwhelming case, are unaffected). */
+  private[graft] def v5Pwd(pwd: Array[Byte]): Array[Byte] = pwd.take(127)
+
+  /** Algorithm 2.A, user-password half: verify /U's hash against
+    * `pwd` (empty array = the empty user password) and unwrap the
+    * 32-byte file key from /UE. `u` = hash(32) || validationSalt(8) ||
+    * keySalt(8); R5 hashes with one SHA-256, R6 with [[hash2B]]. None
+    * when the password is wrong (hash mismatch) or the entries are
+    * malformed. */
+  private[graft] def fileKeyV5(pwd: Array[Byte], u: Array[Byte],
+      ue: Array[Byte], r: Int): Option[Array[Byte]] = {
     if (u.length < 48 || ue.length < 32) return None
+    val pw = v5Pwd(pwd)
     val hashPart = u.take(32)
     val vsalt = u.slice(32, 40)
     val ksalt = u.slice(40, 48)
     val computed =
-      if (r == 5) sha(256, vsalt) else hash2B(Array.emptyByteArray, vsalt, Array.emptyByteArray)
+      if (r == 5) sha(256, pw, vsalt) else hash2B(pw, vsalt, Array.emptyByteArray)
     if (!java.util.Arrays.equals(computed, hashPart)) return None
     val intermediate =
-      if (r == 5) sha(256, ksalt) else hash2B(Array.emptyByteArray, ksalt, Array.emptyByteArray)
+      if (r == 5) sha(256, pw, ksalt) else hash2B(pw, ksalt, Array.emptyByteArray)
     try Some(aesCbc(intermediate, new Array[Byte](16), ue.take(32), encrypt = false))
     catch { case _: java.security.GeneralSecurityException => None }
   }
 
   /** Writer half of V5 (fixtures): the /U and /UE entries proving
-    * `fileKey` under the empty user password. */
+    * `fileKey` under user password `pwd` (empty = empty password). */
   private[graft] def computeUV5(fileKey: Array[Byte], vsalt: Array[Byte],
-      ksalt: Array[Byte], r: Int): (Array[Byte], Array[Byte]) = {
+      ksalt: Array[Byte], r: Int,
+      pwd: Array[Byte] = Array.emptyByteArray): (Array[Byte], Array[Byte]) = {
+    val pw = v5Pwd(pwd)
     val hash =
-      if (r == 5) sha(256, vsalt) else hash2B(Array.emptyByteArray, vsalt, Array.emptyByteArray)
+      if (r == 5) sha(256, pw, vsalt) else hash2B(pw, vsalt, Array.emptyByteArray)
     val intermediate =
-      if (r == 5) sha(256, ksalt) else hash2B(Array.emptyByteArray, ksalt, Array.emptyByteArray)
+      if (r == 5) sha(256, pw, ksalt) else hash2B(pw, ksalt, Array.emptyByteArray)
     val ue = aesCbc(intermediate, new Array[Byte](16), fileKey, encrypt = true)
     (hash ++ vsalt ++ ksalt, ue)
   }

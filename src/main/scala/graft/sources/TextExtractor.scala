@@ -27,6 +27,16 @@ object Utf8TextExtractor extends TextExtractor {
     new String(content, StandardCharsets.UTF_8)
 }
 
+/** [[SimplePdfTextExtractor]] with a caller-supplied user password for
+  * encrypted documents (see [[SimplePdfTextExtractor.withPassword]]).
+  * A small serializable case class so it ships cleanly inside the
+  * ingest UDF's closure like the password-less object does. */
+final case class PasswordPdfTextExtractor(password: String)
+    extends TextExtractor {
+  override def extract(content: Array[Byte]): String =
+    SimplePdfTextExtractor.extract(content, Some(password))
+}
+
 /** Text layer parser for unfiltered and FlateDecode'd PDFs — a minimal,
   * dependency-free parser for the subset of the PDF spec where the text
   * layer is recoverable: content streams that are either unfiltered or
@@ -79,10 +89,12 @@ object Utf8TextExtractor extends TextExtractor {
   * to raw), then raw Latin-1 bytes (or BOM-tagged decode).
   *
   * ENCRYPTED documents (standard security handler, §7.6.3): documents
-  * whose EMPTY user password verifies — the owner-locked/"protected"
-  * PDFs every viewer opens without prompting, which crawled corpora
-  * are full of; the reference opens them transparently via PyMuPDF
-  * (streamlit_app.py:62) — decrypt before filter decoding: RC4-40..128
+  * whose USER password verifies — the empty password by default (the
+  * owner-locked/"protected" PDFs every viewer opens without prompting,
+  * which crawled corpora are full of; the reference opens them
+  * transparently via PyMuPDF, streamlit_app.py:62), or a
+  * caller-supplied password via [[withPassword]] — decrypt before
+  * filter decoding: RC4-40..128
   * (/V1, /V2, /V4 + /CFM /V2), AES-128-CBC (/V4 + /CFM /AESV2) with
   * per-object keys from the stream's owning header, and AES-256
   * (/V5 + /CFM /AESV3, R5 and R6 — Acrobat X+ output; file key
@@ -95,16 +107,30 @@ object Utf8TextExtractor extends TextExtractor {
   * filters (DCTDecode images, CCITT, JBIG2, JPX), a `/DecodeParms`/
   * `/DP` `/Predictor` ≥ 2 (flate+predictor xref streams — the decoded
   * bytes are PNG-row-filtered binary, never a text layer), and
-  * encrypted documents OUTSIDE the supported envelope (non-empty user
-  * passwords, non-/Standard handlers — their payloads stay corrupt
-  * data) have no recoverable text layer here, so they
+  * encrypted documents OUTSIDE the supported envelope (a user
+  * password the caller did not supply, non-/Standard handlers — their
+  * payloads stay corrupt data) have no recoverable text layer here, so they
   * contribute "" and
   * [[FallbackExtractor]] routes whitespace-only documents to OCR — the
   * same path the reference takes for scanned pages. Full-fidelity
   * extraction (PDFBox) plugs in at the [[TextExtractor]] trait.
   */
 object SimplePdfTextExtractor extends TextExtractor {
-  override def extract(content: Array[Byte]): String = {
+  override def extract(content: Array[Byte]): String =
+    extract(content, None)
+
+  /** Same extractor with a caller-supplied USER password for encrypted
+    * documents (the reference flow accepts arbitrary PDFs; viewers
+    * prompt — a batch pipeline passes the known password per corpus).
+    * The password is tried first, then the empty password (so a
+    * password given for an unprotected/owner-locked document is
+    * harmless); a wrong password degrades to the no-text route like
+    * every other out-of-envelope document — never a throw. */
+  def withPassword(password: String): TextExtractor =
+    new PasswordPdfTextExtractor(password)
+
+  private[sources] def extract(content: Array[Byte],
+      password: Option[String]): String = {
     // ISO-8859-1 maps bytes 1:1 to chars, so offsets/scans are exact
     val s = new String(content, StandardCharsets.ISO_8859_1)
     if (!s.startsWith("%PDF"))
@@ -113,7 +139,7 @@ object SimplePdfTextExtractor extends TextExtractor {
     // one parse context per document: object-header index, decoded
     // ObjStms, font cache — the ToUnicode collection, the page-tree
     // walk, and font resolution all read from the same pass
-    val doc = new Doc(s)
+    val doc = new Doc(s, password)
     val cmap = toUnicodeMap(doc)
     // PAGE-TREE order first (the reference concatenates pages in page
     // order, streamlit_app.py:63): walk Catalog -> Pages -> Kids ->
@@ -282,7 +308,8 @@ object SimplePdfTextExtractor extends TextExtractor {
     * objects, and a font-resolution cache. The index replaces the
     * per-lookup `findAllMatchIn` scans that made the page-tree walk
     * O(objects x document size) in regex work (ADVICE r10). */
-  private final class Doc(val s: String) {
+  private final class Doc(val s: String,
+      val password: Option[String] = None) {
     /** (objNum, gen) -> offset just past the LAST matching `N G obj`
       * header in byte order: in an incrementally-updated PDF the
       * superseded body of an object appears EARLIER (update bodies
@@ -386,13 +413,15 @@ object SimplePdfTextExtractor extends TextExtractor {
     }
   }
 
-  /** Parse the trailer's /Encrypt dict and verify the EMPTY user
-    * password (PdfCrypt's scope note). Returns None — leaving every
-    * stream to decode as the (garbage) stored bytes, i.e. no text
-    * layer, the pre-existing behavior — when the doc is unencrypted,
-    * the handler/version is unsupported (non-/Standard, versions
-    * beyond V5), streams are exempt (/StmF /Identity), or the user
-    * password is non-empty. */
+  /** Parse the trailer's /Encrypt dict and verify the user password:
+    * the caller-supplied one first when present, then the empty
+    * password (PdfCrypt's scope note) — so a password given for an
+    * unprotected or merely owner-locked document never breaks it.
+    * Returns None — leaving every stream to decode as the (garbage)
+    * stored bytes, i.e. no text layer, the pre-existing behavior —
+    * when the doc is unencrypted, the handler/version is unsupported
+    * (non-/Standard, versions beyond V5), streams are exempt
+    * (/StmF /Identity), or no candidate password verifies. */
   private def parseEncryption(doc: Doc): Option[StreamCrypt] = {
     val s = doc.s
     // /Encrypt lives in a trailer dictionary (classic xref) or in the
@@ -471,9 +500,14 @@ object SimplePdfTextExtractor extends TextExtractor {
           .map(_.group(1)).getOrElse("Identity")
         def cfDict = ("/" + stmF + "\\s*<<").r.findFirstMatchIn(d)
           .map(m => balancedDictForward(d, m.end - 2))
+        // candidate USER passwords, tried in order: the caller's (V5
+        // wants UTF-8 bytes, V<5 the Latin-1/PDFDocEncoding bytes the
+        // padding algorithm consumes), then the empty password
+        def pwdCandidates(cs: java.nio.charset.Charset): Seq[Array[Byte]] =
+          doc.password.map(_.getBytes(cs)).toSeq :+ Array.emptyByteArray
         if (v == 5) {
           // AES-256: R5 (legacy Adobe) / R6 (ISO 32000-2); the file key
-          // unwraps from /UE after the /U hash proves the empty user
+          // unwraps from /UE after the /U hash proves the user
           // password — no /O//ID//P in the derivation, no per-object keys
           if (stmF == "Identity" ||
               !cfDict.exists(cf => "/CFM\\s*/AESV3\\b".r.findFirstIn(cf).isDefined))
@@ -482,7 +516,9 @@ object SimplePdfTextExtractor extends TextExtractor {
             u <- str("U")
             ue <- str("UE")
             if r == 5 || r == 6
-            key <- PdfCrypt.fileKeyV5(u, ue, r)
+            key <- pwdCandidates(StandardCharsets.UTF_8).iterator
+              .flatMap(pw => PdfCrypt.fileKeyV5(pw, u, ue, r))
+              .nextOption()
           } yield StreamCrypt(key, aes = true, v5 = true)
         } else {
           val carrier: Option[(Int, Boolean)] = v match {
@@ -508,8 +544,9 @@ object SimplePdfTextExtractor extends TextExtractor {
             o <- str("O") if o.length >= 32
             u <- str("U") if r >= 2 && r <= 4
             id0 = trailerId0(doc)
-            key = PdfCrypt.fileKey(o, p, id0, r, keyLen, encMeta)
-            if PdfCrypt.verifyEmptyUser(key, u, id0, r)
+            key <- pwdCandidates(StandardCharsets.ISO_8859_1).iterator
+              .map(pw => PdfCrypt.fileKey(pw, o, p, id0, r, keyLen, encMeta))
+              .find(k => PdfCrypt.verifyUser(k, u, id0, r))
           } yield StreamCrypt(key, aes)
         }
       }

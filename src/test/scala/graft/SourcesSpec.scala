@@ -1041,8 +1041,12 @@ class SourcesSpec extends AnyFunSuite {
     * FlateDecode'd — R5's single-SHA-256 and R6's algorithm-2.B
     * iterated hash, file key unwrapped from /UE). corruptU simulates a
     * NON-empty user password: /U stops verifying, so no decryption is
-    * attempted. */
-  private def encryptedPdf(mode: String, corruptU: Boolean = false): Array[Byte] = {
+    * attempted. `userPwd` writes the document under a REAL (non-empty)
+    * user password — /O, the file key, and the V5 /U//UE hashes all
+    * derive from it, so only a caller supplying that password opens
+    * the document. */
+  private def encryptedPdf(mode: String, corruptU: Boolean = false,
+      userPwd: Option[String] = None): Array[Byte] = {
     import graft.sources.PdfCrypt
     val content = "BT /F1 12 Tf 72 712 Td (Sealed text layer) Tj ET"
     val id0: Array[Byte] = (1 to 16).map(_.toByte).toArray
@@ -1062,7 +1066,8 @@ class SourcesSpec extends AnyFunSuite {
       val fileKey = Array.tabulate[Byte](32)(i => ((i * 89 + 17) & 0xFF).toByte)
       val vsalt = Array.tabulate[Byte](8)(i => (i + 1).toByte)
       val ksalt = Array.tabulate[Byte](8)(i => (i + 101).toByte)
-      val (u0, ue) = PdfCrypt.computeUV5(fileKey, vsalt, ksalt, r)
+      val (u0, ue) = PdfCrypt.computeUV5(fileKey, vsalt, ksalt, r,
+        userPwd.map(_.getBytes("UTF-8")).getOrElse(Array.emptyByteArray))
       val u = if (corruptU) u0.map(b => (b ^ 0x5A).toByte) else u0
       // /O//OE are the owner route — not consulted for the empty USER
       // password; structurally-valid filler
@@ -1088,8 +1093,9 @@ class SourcesSpec extends AnyFunSuite {
         // a writer-bug mismatch the reader must degrade on, not throw
         case "aes" | "aesv2-rc4" => (4, 4, 16, true)
       }
-      val o = PdfCrypt.computeO("owner-secret".getBytes("ISO-8859-1"), r, keyLen)
-      val key = PdfCrypt.fileKey(o, p, id0, r, keyLen, encryptMetadata = true)
+      val pw = userPwd.map(_.getBytes("ISO-8859-1")).getOrElse(Array.emptyByteArray)
+      val o = PdfCrypt.computeO("owner-secret".getBytes("ISO-8859-1"), r, keyLen, pw)
+      val key = PdfCrypt.fileKey(pw, o, p, id0, r, keyLen, encryptMetadata = true)
       val u0 = PdfCrypt.computeU(key, id0, r)
       val u = if (corruptU) u0.map(b => (b ^ 0x5A).toByte) else u0
       val okey = PdfCrypt.objectKey(key, 5, 0, aes)
@@ -1185,6 +1191,30 @@ class SourcesSpec extends AnyFunSuite {
     assert(SimplePdfTextExtractor.extract(encryptedPdf("aes256r6")) == "Sealed text layer\n")
     // wrong (non-empty) user password: the 2.A hash stops matching
     assert(SimplePdfTextExtractor.extract(encryptedPdf("aes256r6", corruptU = true)) == "")
+  }
+
+  test("ENCRYPTED PDFs with a REAL user password decrypt when the caller supplies it: RC4-128 + AES-256 R6 (A2)") {
+    import graft.sources.SimplePdfTextExtractor
+    val withPw = SimplePdfTextExtractor.withPassword("hunter2")
+    for (mode <- Seq("rc4-128", "aes256r6")) {
+      val locked = encryptedPdf(mode, userPwd = Some("hunter2"))
+      // no password: /U verification fails for the empty candidate ->
+      // the no-text route, the pre-existing degrade — never a throw
+      assert(SimplePdfTextExtractor.extract(locked) == "", mode)
+      // WRONG password: both candidates (wrong, empty) fail -> no text
+      assert(SimplePdfTextExtractor.withPassword("wrong-password")
+        .extract(locked) == "", mode)
+      // right password: algorithm 2 (V<5) / 2.A-2.B (V5) verify and
+      // the full decrypt-then-defilter pipeline recovers the text
+      assert(withPw.extract(locked) == "Sealed text layer\n", mode)
+    }
+    // a password supplied for an EMPTY-password document is harmless:
+    // the wrong candidate fails, the empty fallback opens it (viewer
+    // semantics — prompting never breaks unprotected docs)
+    assert(withPw.extract(encryptedPdf("aes")) == "Sealed text layer\n")
+    // ...and for a plain unencrypted document it is simply unused
+    assert(withPw.extract(goldenPdf("BT (Plain text) Tj ET",
+      filtered = false)) == "Plain text\n")
   }
 
   test("adversarial encrypted fixtures degrade to no text, never throw (A2)") {
