@@ -2120,6 +2120,35 @@ object SparkEntry {
           lit(prunedOk).as("pruned_ok"), lit(selfHit == "0").as("self_ok"))
     }),
 
+    // Q2/Q4 TIME TRAVEL (serving rollback): the index is built over ALL
+    // embeddings and that snapshot PINNED; then the head is mutated —
+    // a second upsert NEGATES every vector, so every row moves and the
+    // head ranking inverts. query(asOf = pinned) must answer from
+    // HISTORY: the oracle recomputes the same top-10 straight from the
+    // original parquet table, which only matches if asOf reads the
+    // retained pre-mutation manifest — any head read fails on every
+    // row. (One mutation after the pin, by design: retention keeps 2
+    // snapshots, the rollback window this surface serves.)
+    "q124_index_time_travel" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.VectorIndex
+      val tmp = freshScratch("q124")
+      val emb = t(s, dir, "embeddings")
+      def records(df: DataFrame) = df.select(
+        $"vec_id".cast("string").as("id"),
+        $"embedding".cast("array<float>").as("values"),
+        struct(($"vec_id" % 5).cast("int").as("chunk_index"),
+          lit("uploaded_pdf").as("source")).as("metadata"))
+      val idx = VectorIndex.ensure(s, s"$tmp/idx", 64)
+      idx.upsert(records(emb))
+      val pre = idx.snapshots().last
+      idx.upsert(records(emb.withColumn("embedding",
+        transform($"embedding", x => -x))))
+      val q = emb.filter($"vec_id" === 0).select($"embedding").as[Array[Float]].head()
+      idx.query(q, k = 10, asOf = Some(pre))
+        .select($"id".cast("long").as("vec_id"))
+    }),
+
     // Q5 exact similarity join: all (query, candidate) pairs above a
     // cosine threshold — broadcast small side, codegen'd cosine filter.
     "q63_similarity_join" -> ((s, dir) => {
@@ -3301,6 +3330,13 @@ object SparkEntry {
     "q123_cell_pruned_approx" ->
       ("SELECT CAST(10 AS BIGINT) AS k, TRUE AS recall_ok, " +
         "TRUE AS pruned_ok, TRUE AS self_ok"),
+
+    "q124_index_time_travel" ->
+      """SELECT e.vec_id FROM embeddings e
+        |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC,
+        |  CAST(e.vec_id AS VARCHAR)
+        |LIMIT 10""".stripMargin,
 
     "q121_index_query_approx" ->
       """SELECT e.vec_id FROM embeddings e
