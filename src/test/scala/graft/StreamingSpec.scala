@@ -14,22 +14,35 @@ class StreamingSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  /** events with ts converted from nanos-long to TimestampType. */
-  private def batchEvents: DataFrame =
+  /** Older testdata stamped ts TIMESTAMP(NANOS) (surfacing as
+    * LongType nanos under nanosAsLong); the regenerated data stamps
+    * timestamp[us] (TimestampType under the session's
+    * inferTimestampNTZ=false). Detect once, normalize either shape to
+    * TimestampType. */
+  private lazy val tsIsLong: Boolean =
     spark.read.parquet(s"${TestSpark.sf0001}/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .schema("ts").dataType == LongType
+
+  private def normTs(df: DataFrame): DataFrame =
+    if (tsIsLong) df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+
+  private def eventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", if (tsIsLong) LongType else TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** events with ts normalized to TimestampType. */
+  private def batchEvents: DataFrame =
+    normTs(spark.read.parquet(s"${TestSpark.sf0001}/events.parquet"))
 
   /** The same table as a file-source stream (schema must be explicit). */
   private def streamEvents: DataFrame = {
     val dir = Files.createTempDirectory("graft_stream")
     Files.copy(Paths.get(s"${TestSpark.sf0001}/events.parquet"),
       dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    spark.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normTs(spark.readStream.schema(eventsSchema).parquet(dir.toString))
   }
 
   private def runToBatch(stream: DataFrame, mode: String, name: String): DataFrame = {
@@ -1338,12 +1351,7 @@ class StreamingSpec extends AnyFunSuite {
       dir.resolve("a.parquet"))
     Files.copy(Paths.get(s"${TestSpark.sf0001}/events.parquet"),
       dir.resolve("b.parquet"))
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val stream = spark.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = normTs(spark.readStream.schema(eventsSchema).parquet(dir.toString))
     val deduped = runToBatch(
       StreamOps.dedupWithinWatermark(stream), "append", "dedup_out")
     val n = spark.read.parquet(s"${TestSpark.sf0001}/events.parquet").count()
