@@ -14,10 +14,13 @@ package graft.sources
   * AES-256 (R5 legacy Adobe single-SHA-256, R6 ISO 32000-2 with the
   * algorithm-2.B iterated hash) — what Acrobat X+ writes. The
   * reference opens these transparently via PyMuPDF
-  * (`/root/reference/streamlit_app.py:62`). A wrong (or missing)
-  * user password fails verification and the document keeps its
-  * no-text-layer fallback route — never a throw; owner-password
-  * authentication (algorithm 7's /O route) and non-Standard
+  * (`/root/reference/streamlit_app.py:62`). A supplied password is
+  * authenticated viewer-style: as the USER password first
+  * (algorithm 2/6, or 2.A for V5), then as the OWNER password
+  * (algorithm 7 peels /O back to the padded user password for V<5;
+  * the 2.A owner half unwraps /OE for V5). A wrong (or missing)
+  * password fails verification and the document keeps its
+  * no-text-layer fallback route — never a throw; non-Standard
   * handlers are out of scope.
   *
   * The algorithm-3/4/5 WRITER halves ([[computeO]]/[[computeU]]/
@@ -121,6 +124,26 @@ private[graft] object PdfCrypt {
     o
   }
 
+  /** Algorithm 7: authenticate the OWNER password — recover the
+    * padded USER password by peeling /O's RC4 layers under the
+    * owner-password key, then run algorithms 2+6 with it. Some(key)
+    * iff `ownerPwd` is the document's owner password. (The recovered
+    * 32 bytes ARE the padded user password, and [[padPwd]] is a
+    * fixpoint on 32-byte inputs, so [[fileKey]] consumes it as-is.) */
+  private[graft] def fileKeyFromOwner(ownerPwd: Array[Byte],
+      o: Array[Byte], u: Array[Byte], p: Int, id0: Array[Byte], r: Int,
+      keyLen: Int, encryptMetadata: Boolean): Option[Array[Byte]] = {
+    var h = md5(padPwd(ownerPwd))
+    if (r >= 3) for (_ <- 0 until 50) h = md5(h)
+    val okey = h.take(keyLen)
+    var userPad = o.take(32)
+    if (r == 2) userPad = rc4(okey, userPad)
+    else for (i <- 19 to 0 by -1)
+      userPad = rc4(okey.map(b => (b ^ i).toByte), userPad)
+    val key = fileKey(userPad, o, p, id0, r, keyLen, encryptMetadata)
+    if (verifyUser(key, u, id0, r)) Some(key) else None
+  }
+
   /** Algorithm 1: per-object key — MD5(fileKey || objNum LE24 ||
     * gen LE16 || "sAlT" when AES), truncated to min(len+5, 16). */
   private[graft] def objectKey(fileKey: Array[Byte], objNum: Long,
@@ -198,6 +221,44 @@ private[graft] object PdfCrypt {
       if (r == 5) sha(256, pw, ksalt) else hash2B(pw, ksalt, Array.emptyByteArray)
     try Some(aesCbc(intermediate, new Array[Byte](16), ue.take(32), encrypt = false))
     catch { case _: java.security.GeneralSecurityException => None }
+  }
+
+  /** Algorithm 2.A, owner-password half: /O = hash(32) ||
+    * validationSalt(8) || keySalt(8) hashed over (ownerPwd, salt,
+    * U[0..48]) — the owner route carries the full 48-byte /U as
+    * `udata` — and the file key unwraps from /OE. */
+  private[graft] def fileKeyV5Owner(ownerPwd: Array[Byte],
+      o: Array[Byte], u: Array[Byte], oe: Array[Byte],
+      r: Int): Option[Array[Byte]] = {
+    if (o.length < 48 || u.length < 48 || oe.length < 32) return None
+    val pw = v5Pwd(ownerPwd)
+    val u48 = u.take(48)
+    val hashPart = o.take(32)
+    val vsalt = o.slice(32, 40)
+    val ksalt = o.slice(40, 48)
+    val computed =
+      if (r == 5) sha(256, pw, vsalt, u48) else hash2B(pw, vsalt, u48)
+    if (!java.util.Arrays.equals(computed, hashPart)) return None
+    val intermediate =
+      if (r == 5) sha(256, pw, ksalt, u48) else hash2B(pw, ksalt, u48)
+    try Some(aesCbc(intermediate, new Array[Byte](16), oe.take(32), encrypt = false))
+    catch { case _: java.security.GeneralSecurityException => None }
+  }
+
+  /** Writer half of the V5 owner route (fixtures): the /O and /OE
+    * entries proving `fileKey` under `ownerPwd`, bound to an existing
+    * /U. */
+  private[graft] def computeOV5(fileKey: Array[Byte], vsalt: Array[Byte],
+      ksalt: Array[Byte], r: Int, ownerPwd: Array[Byte],
+      u: Array[Byte]): (Array[Byte], Array[Byte]) = {
+    val pw = v5Pwd(ownerPwd)
+    val u48 = u.take(48)
+    val hash =
+      if (r == 5) sha(256, pw, vsalt, u48) else hash2B(pw, vsalt, u48)
+    val intermediate =
+      if (r == 5) sha(256, pw, ksalt, u48) else hash2B(pw, ksalt, u48)
+    val oe = aesCbc(intermediate, new Array[Byte](16), fileKey, encrypt = true)
+    (hash ++ vsalt ++ ksalt, oe)
   }
 
   /** Writer half of V5 (fixtures): the /U and /UE entries proving

@@ -119,13 +119,15 @@ object SimplePdfTextExtractor extends TextExtractor {
   override def extract(content: Array[Byte]): String =
     extract(content, None)
 
-  /** Same extractor with a caller-supplied USER password for encrypted
+  /** Same extractor with a caller-supplied password for encrypted
     * documents (the reference flow accepts arbitrary PDFs; viewers
     * prompt — a batch pipeline passes the known password per corpus).
-    * The password is tried first, then the empty password (so a
-    * password given for an unprotected/owner-locked document is
-    * harmless); a wrong password degrades to the no-text route like
-    * every other out-of-envelope document — never a throw. */
+    * Authenticated viewer-style: as the USER password first, then the
+    * empty password (so a password given for an unprotected or merely
+    * owner-locked document is harmless), then as the OWNER password
+    * (algorithm 7 / the 2.A owner half); a wrong password degrades to
+    * the no-text route like every other out-of-envelope document —
+    * never a throw. */
   def withPassword(password: String): TextExtractor =
     new PasswordPdfTextExtractor(password)
 
@@ -508,7 +510,10 @@ object SimplePdfTextExtractor extends TextExtractor {
         if (v == 5) {
           // AES-256: R5 (legacy Adobe) / R6 (ISO 32000-2); the file key
           // unwraps from /UE after the /U hash proves the user
-          // password — no /O//ID//P in the derivation, no per-object keys
+          // password (no /O//ID//P in the derivation, no per-object
+          // keys) — or, viewer-style, from /OE when the supplied
+          // password turns out to be the OWNER password (2.A owner
+          // half, /U as udata)
           if (stmF == "Identity" ||
               !cfDict.exists(cf => "/CFM\\s*/AESV3\\b".r.findFirstIn(cf).isDefined))
             None
@@ -519,6 +524,12 @@ object SimplePdfTextExtractor extends TextExtractor {
             key <- pwdCandidates(StandardCharsets.UTF_8).iterator
               .flatMap(pw => PdfCrypt.fileKeyV5(pw, u, ue, r))
               .nextOption()
+              .orElse(for {
+                pw <- doc.password.map(_.getBytes(StandardCharsets.UTF_8))
+                o <- str("O")
+                oe <- str("OE")
+                k <- PdfCrypt.fileKeyV5Owner(pw, o, u, oe, r)
+              } yield k)
           } yield StreamCrypt(key, aes = true, v5 = true)
         } else {
           val carrier: Option[(Int, Boolean)] = v match {
@@ -547,6 +558,11 @@ object SimplePdfTextExtractor extends TextExtractor {
             key <- pwdCandidates(StandardCharsets.ISO_8859_1).iterator
               .map(pw => PdfCrypt.fileKey(pw, o, p, id0, r, keyLen, encMeta))
               .find(k => PdfCrypt.verifyUser(k, u, id0, r))
+              // viewer-style: a supplied password that fails the user
+              // route is tried as the OWNER password (algorithm 7)
+              .orElse(doc.password.map(_.getBytes(StandardCharsets.ISO_8859_1))
+                .flatMap(pw => PdfCrypt.fileKeyFromOwner(
+                  pw, o, u, p, id0, r, keyLen, encMeta)))
           } yield StreamCrypt(key, aes)
         }
       }

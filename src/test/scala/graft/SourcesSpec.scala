@@ -1069,10 +1069,11 @@ class SourcesSpec extends AnyFunSuite {
       val (u0, ue) = PdfCrypt.computeUV5(fileKey, vsalt, ksalt, r,
         userPwd.map(_.getBytes("UTF-8")).getOrElse(Array.emptyByteArray))
       val u = if (corruptU) u0.map(b => (b ^ 0x5A).toByte) else u0
-      // /O//OE are the owner route — not consulted for the empty USER
-      // password; structurally-valid filler
-      val o = Array.fill[Byte](48)(0x11)
-      val oe = Array.fill[Byte](32)(0x22)
+      // real owner route: /O//OE bound to /U under "owner-secret"
+      val (o, oe) = PdfCrypt.computeOV5(fileKey,
+        Array.tabulate[Byte](8)(i => (i + 51).toByte),
+        Array.tabulate[Byte](8)(i => (i + 151).toByte), r,
+        "owner-secret".getBytes("UTF-8"), u0)
       val encContent = PdfCrypt.encryptAes(fileKey,
         Array.tabulate(16)(i => (i * 11 + 5).toByte), deflate(content))
       pdfBytes(
@@ -1215,6 +1216,25 @@ class SourcesSpec extends AnyFunSuite {
     // ...and for a plain unencrypted document it is simply unused
     assert(withPw.extract(goldenPdf("BT (Plain text) Tj ET",
       filtered = false)) == "Plain text\n")
+  }
+
+  test("OWNER password opens user-locked documents: algorithm 7 (V<5) + the 2.A owner half (V5) (A2)") {
+    import graft.sources.SimplePdfTextExtractor
+    val asOwner = SimplePdfTextExtractor.withPassword("owner-secret")
+    // every mode, locked under user password "hunter2" the caller does
+    // NOT know: the owner password must open it viewer-style — user
+    // route fails, algorithm 7 peels /O back to the padded user
+    // password (V<5) / the 2.A owner half unwraps /OE (V5)
+    for (mode <- Seq("rc4-40", "rc4-128", "aes", "aes256r5", "aes256r6")) {
+      val locked = encryptedPdf(mode, userPwd = Some("hunter2"))
+      assert(SimplePdfTextExtractor.extract(locked) == "", mode)
+      assert(asOwner.extract(locked) == "Sealed text layer\n", mode)
+    }
+    // a wrong owner password fails both routes -> no-text degrade
+    assert(SimplePdfTextExtractor.withPassword("not-the-owner")
+      .extract(encryptedPdf("rc4-128", userPwd = Some("hunter2"))) == "")
+    assert(SimplePdfTextExtractor.withPassword("not-the-owner")
+      .extract(encryptedPdf("aes256r6", userPwd = Some("hunter2"))) == "")
   }
 
   test("adversarial encrypted fixtures degrade to no text, never throw (A2)") {
