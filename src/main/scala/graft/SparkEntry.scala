@@ -2149,6 +2149,43 @@ object SparkEntry {
         .select($"id".cast("long").as("vec_id"))
     }),
 
+    // Q3 filtered-ANN shortlist ESCALATION graded end-to-end: a
+    // metadata filter keeping ~1/5 of rows over a deliberately small
+    // shortlist (12) underfills k=10 on the first attempt — the r14
+    // documented silent-underfill trade — so the escalation loop must
+    // double the shortlist (bounded retries) until the rescore fills
+    // k. The gate asserts the approx path stayed engaged, at least one
+    // doubling fired, exactly k rows of the filtered metadata came
+    // back, and (frozen shape) escalation disabled really does
+    // underfill at the same shortlist.
+    "q125_filtered_escalation" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.VectorIndex
+      val tmp = freshScratch("q125")
+      val emb = t(s, dir, "embeddings")
+      val records = emb.select(
+        $"vec_id".cast("string").as("id"),
+        $"embedding".as("values"),
+        struct(($"vec_id" % 5).cast("int").as("chunk_index"),
+          lit("uploaded_pdf").as("source")).as("metadata"))
+      val idx = VectorIndex.ensure(s, s"$tmp/idx", 64)
+      idx.upsert(records)
+      val q = emb.filter($"vec_id" === 0).select($"embedding").as[Array[Float]].head()
+      val f = Some($"metadata.chunk_index" === 3)
+      val under = idx.queryApprox(q, 10, shortlist = 12, filter = f,
+        maxEscalations = 0).count()
+      val rows = idx.queryApprox(q, 10, shortlist = 12, filter = f).collect()
+      val escalated = idx.lastEscalations >= 1 &&
+        idx.lastApproxMode.startsWith("approx")
+      val filterOk = rows.forall(
+        _.getAs[org.apache.spark.sql.Row]("metadata").getInt(0) == 3)
+      s.range(1).select(lit(10L).as("k"),
+        lit(under < 10).as("underfill_frozen"),
+        lit(rows.length == 10).as("filled_ok"),
+        lit(escalated).as("escalated_ok"),
+        lit(filterOk).as("filter_ok"))
+    }),
+
     // Q5 exact similarity join: all (query, candidate) pairs above a
     // cosine threshold — broadcast small side, codegen'd cosine filter.
     "q63_similarity_join" -> ((s, dir) => {
@@ -3337,6 +3374,10 @@ object SparkEntry {
         |  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC,
         |  CAST(e.vec_id AS VARCHAR)
         |LIMIT 10""".stripMargin,
+
+    "q125_filtered_escalation" ->
+      ("SELECT CAST(10 AS BIGINT) AS k, TRUE AS underfill_frozen, " +
+        "TRUE AS filled_ok, TRUE AS escalated_ok, TRUE AS filter_ok"),
 
     "q121_index_query_approx" ->
       """SELECT e.vec_id FROM embeddings e

@@ -388,9 +388,11 @@ final class VectorIndex private (
       touched.size
   }
 
-  /** Q4 fetch by id. */
-  def fetch(ids: Seq[String]): DataFrame =
-    scan().filter(col("id").isin(ids: _*))
+  /** Q4 fetch by id; `asOf` reads an older retained snapshot (same
+    * contract as [[query]]'s — what was this vector before the bad
+    * upsert?). */
+  def fetch(ids: Seq[String], asOf: Option[Long] = None): DataFrame =
+    asOf.map(scanAt).getOrElse(scan()).filter(col("id").isin(ids: _*))
 
   /** Q4 delete by id — rewrites only the buckets the ids hash into. */
   def delete(ids: Seq[String]): Unit = {

@@ -302,6 +302,14 @@ class IngestIndexSpec extends AnyFunSuite {
     val approxPre = idx.queryApprox(q, 5, shortlist = 1000, asOf = Some(pre))
       .select("id", "score").as[(String, Double)].collect().toSeq
     assert(approxPre == atPre)
+    // fetch honors asOf the same way: the pre-upsert vector, not the
+    // moved one
+    val fPre = idx.fetch(Seq("t-7"), asOf = Some(pre))
+      .select($"values").as[Array[Float]].head()
+    val fHead = idx.fetch(Seq("t-7"))
+      .select($"values").as[Array[Float]].head()
+    assert(fPre(0) == 7f && fHead(0) == -7f,
+      s"fetch(asOf) must read history: ${fPre(0)} vs ${fHead(0)}")
     // a pruned (not yet retained-out) snapshot is validated loudly
     intercept[IllegalArgumentException] {
       idx.query(q, 5, asOf = Some(99L)).count()
