@@ -525,8 +525,16 @@ final class VectorIndex private (
     val counted = countFootersBounded(bucketPaths, qualified)
     val written = counted.groupBy(_._1).map { case (b, fs0) => b -> fs0.map(_._2) }
     val manifest = (oldManifest -- touched) ++ written
+    // retention = the asOf rollback window (plus the concurrent-reader
+    // guarantee): every retained manifest stays queryable via
+    // query/queryApprox/fetch(asOf). Minimum 2 — a pinned reader must
+    // always survive the commit that supersedes its snapshot. Validated
+    // BEFORE the manifest commit so a bad setting fails the write, not
+    // the cleanup after a publish.
+    val keep = spark.conf.get("spark.graft.index.retainSnapshots", "2").toInt
+    require(keep >= 2, s"spark.graft.index.retainSnapshots must be >= 2, got $keep")
     writeManifest(spark, path, version, manifest, meta.copy(numBuckets = numBuckets))
-    pruneOldSnapshots(spark, path, keep = 2)
+    pruneOldSnapshots(spark, path, keep)
   }
 
   /** Fan the footer reads of one write attempt over a fresh bounded

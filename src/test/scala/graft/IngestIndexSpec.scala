@@ -319,6 +319,34 @@ class IngestIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("configurable retention widens the asOf rollback window (and validates its floor)") {
+    val dir = Files.createTempDirectory("graft_idx_retain").toString
+    val idx = VectorIndex.ensure(spark, s"$dir/w", 4, numBuckets = 2,
+      cellMinRows = 1)
+    def recs(scale: Float) = (0 until 20).toDF("n").select(
+      concat(lit("w-"), $"n").as("id"),
+      array(($"n" * scale).cast("float"), lit(1f), lit(2f), lit(3f)).as("values"),
+      struct(lit(0).as("chunk_index"), lit("t").as("source")).as("metadata"))
+    spark.conf.set("spark.graft.index.retainSnapshots", "4")
+    try {
+      (1 to 5).foreach(i => idx.upsert(recs(i.toFloat)))
+      val snaps = idx.snapshots()
+      assert(snaps.size == 4, s"retention 4 must keep 4 snapshots: $snaps")
+      // the oldest retained snapshot serves asOf — a 3-writes-deep
+      // rollback the default window (2) could not answer
+      val old = idx.query(Array(10f, 1f, 2f, 3f), 1, asOf = Some(snaps.head))
+        .select($"score").as[Double].head()
+      assert(idx.scanAt(snaps.head).count() == 20)
+      assert(!old.isNaN)
+      // the floor is validated loudly: keep=1 would break pinned readers
+      spark.conf.set("spark.graft.index.retainSnapshots", "1")
+      intercept[IllegalArgumentException] { idx.upsert(recs(9f)) }
+    } finally spark.conf.unset("spark.graft.index.retainSnapshots")
+    // back at the default, the window shrinks again on the next commit
+    idx.upsert(recs(6f))
+    assert(idx.snapshots().size == 2)
+  }
+
   test("rebucket: contents identical, new layout used by later upserts") {
     val dir = Files.createTempDirectory("graft_idx_rebucket").toString
     val idx = VectorIndex.ensure(spark, s"$dir/r", 4, numBuckets = 4)
