@@ -47,9 +47,11 @@ object Bench {
     "q110" -> (0.233, 0.35), "q111" -> (0.834, 0.993), "q112" -> (0.845, 0.94),
     "q121" -> (1.583, 3.0), "q122" -> (1.583, 3.0),
     // r15: q123 (added r14) from its observed 1.9-3.2 range; q124/q125
-    // (added r15: one index build + one/two serving queries — q122's
-    // cost shape) from their first measurements, q122's headroom ratio
-    "q123" -> (1.9, 3.4), "q124" -> (1.38, 2.8), "q125" -> (1.4, 2.9),
+    // (added r15) from their first in-suite measurements (q124 1.38
+    // both runs; q125 3.12 — an index build + up to FIVE probe
+    // attempts: the frozen underfill plus the escalation ladder),
+    // q122's ~1.75x headroom ratio
+    "q123" -> (1.9, 3.4), "q124" -> (1.38, 2.8), "q125" -> (3.1, 5.4),
     "q113" -> (0.49, 0.536), "q114" -> (0.333, 0.487), "q115" -> (0.981, 1.589),
     "q116" -> (1.754, 1.754), "q12" -> (0.252, 0.443), "q13" -> (0.335, 0.517),
     "q14" -> (0.158, 0.291), "q15" -> (0.255, 0.366), "q16" -> (0.234, 0.565),
