@@ -302,6 +302,11 @@ class IngestIndexSpec extends AnyFunSuite {
     val approxPre = idx.queryApprox(q, 5, shortlist = 1000, asOf = Some(pre))
       .select("id", "score").as[(String, Double)].collect().toSeq
     assert(approxPre == atPre)
+    // the historical query keeps the head query's distributed top-k
+    // plan (per-partition heaps, no global sort) — asOf only swaps the
+    // manifest's file list, never the plan shape
+    assert(idx.query(q, 5, asOf = Some(pre)).queryExecution.executedPlan
+      .toString.contains("TakeOrderedAndProject"))
     // fetch honors asOf the same way: the pre-upsert vector, not the
     // moved one
     val fPre = idx.fetch(Seq("t-7"), asOf = Some(pre))
