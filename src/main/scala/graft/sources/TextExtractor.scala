@@ -762,9 +762,10 @@ object SimplePdfTextExtractor extends TextExtractor {
     * prefers the CMap (all-or-nothing per string), then Differences
     * (per-byte, unmapped codes keep their Latin-1 baseline), then raw. */
   private final case class FontDec(one: Map[Int, String], two: Map[Int, String],
-      diffs: Map[Int, String], utf16: Boolean = false) {
+      diffs: Map[Int, String],
+      charset: Option[java.nio.charset.Charset] = None) {
     def hasCmap: Boolean = one.nonEmpty || two.nonEmpty
-    def isEmpty: Boolean = !hasCmap && diffs.isEmpty && !utf16
+    def isEmpty: Boolean = !hasCmap && diffs.isEmpty && charset.isEmpty
   }
 
   /** Glyph-name -> unicode for the names that cover the overwhelming
@@ -962,19 +963,59 @@ object SimplePdfTextExtractor extends TextExtractor {
       else if (named("MacRomanEncoding")) MacRomanHigh
       else Map.empty[Int, String]
     val diffs = base ++ encBody.map(parseDifferences).getOrElse(Map.empty)
-    // Predefined Unicode CMap encodings (§9.7.5.2, Adobe's Uni* family:
-    // UniJIS-UCS2-H, UniGB-UTF16-V, ...): the SOURCE codes of these
-    // CMaps are UCS-2/UTF-16BE code units, so show-string bytes decode
-    // as UTF-16BE directly — the common CJK-producer shape that carries
-    // no embedded ToUnicode. Non-Unicode predefined CMaps (90ms-RKSJ,
-    // GBK-EUC, ...) map bytes to CIDs and stay out of scope: CID ->
-    // Unicode needs the Adobe registry tables this offline env lacks.
-    // name stem allows digits: UniJIS2004-UTF16-H / UniJISX0213-...
-    // are current Adobe-Japan1 producer output
-    val utf16 = "/Encoding\\s*/Uni[A-Za-z0-9]+-(?:UCS2|UTF16)(?:-HW)?-[HV]\\b"
-      .r.findFirstIn(body).isDefined
-    FontDec(one, two, diffs, utf16)
+    // Predefined CMap encodings (§9.7.5.2): the Uni* family's SOURCE
+    // codes are UCS-2/UTF-16BE units (decode directly); the national-
+    // encoding families' (90ms-RKSJ, GBK-EUC, B5pc, KSC-EUC, ...)
+    // source codes ARE Shift-JIS/EUC/Big5/UHC bytes, which the JDK
+    // ships charsets for — decoding the source bytes with the national
+    // charset skips the src -> CID -> Unicode indirection those CMaps
+    // exist for, which is text-identical on the national repertoire
+    // (that round trip is what the CMap encodes; the full Adobe CID
+    // registry tables this offline env lacks only matter for
+    // vertical-form/gaiji leaf cases, which degrade per-char to
+    // replacement, never fail the document). See
+    // [[predefinedCmapCharset]].
+    FontDec(one, two, diffs, predefinedCmapCharset(body))
   }
+
+  /** `/Encoding /<predefined-CMap-name>` -> the JDK charset whose
+    * bytes the CMap's source codes are (§9.7.5.2): UTF-16BE for the
+    * Uni* families (name stem allows digits — UniJIS2004-UTF16-H /
+    * UniJISX0213-... are current Adobe-Japan1 producer output),
+    * national encodings for the Adobe-Japan1/GB1/CNS1/Korea1 legacy
+    * families. None for Identity-H/V (codes are raw CIDs — no text
+    * mapping exists without registry tables) and anything unknown. */
+  private def predefinedCmapCharset(
+      body: String): Option[java.nio.charset.Charset] =
+    "/Encoding\\s*/([A-Za-z0-9-]+)".r.findFirstMatchIn(body)
+      .map(_.group(1)).flatMap { full =>
+        val n = full.stripSuffix("-H").stripSuffix("-V").stripSuffix("-HW")
+        val cs =
+          if (n.startsWith("Uni") && (n.endsWith("UCS2") || n.endsWith("UTF16")))
+            Some("UTF-16BE")
+          else n match {
+            // Adobe-Japan1: Microsoft producers write 90ms* (CP932);
+            // the Mac/extended stems are plain Shift-JIS
+            case "90ms-RKSJ" | "90msp-RKSJ" => Some("windows-31j")
+            case "90pv-RKSJ" | "83pv-RKSJ" | "Add-RKSJ" | "Ext-RKSJ" =>
+              Some("Shift_JIS")
+            case "EUC" => Some("EUC-JP")
+            // Adobe-GB1
+            case "GB-EUC" | "GBpc-EUC" => Some("GB2312")
+            case "GBK-EUC" | "GBKp-EUC" => Some("GBK")
+            case "GBK2K" => Some("GB18030")
+            // Adobe-CNS1
+            case "B5pc" | "ETen-B5" | "ETenms-B5" => Some("Big5")
+            case "HKscs-B5" => Some("Big5-HKSCS")
+            // Adobe-Korea1
+            case "KSC-EUC" | "KSCpc-EUC" => Some("EUC-KR")
+            case "KSCms-UHC" | "KSCms-UHC-HW" => Some("MS949")
+            case _ => None
+          }
+        cs.flatMap(c =>
+          try Some(java.nio.charset.Charset.forName(c))
+          catch { case _: Exception => None })
+      }
 
   /** `/Differences [ code /name /name ... code /name ... ]` of one
     * encoding dict: each integer resets the code counter, each name
@@ -1478,9 +1519,10 @@ object SimplePdfTextExtractor extends TextExtractor {
     if (font == null) decodeTextString(str)
     else if (font.hasCmap && !hasBom(str))
       decodeAllMapped(str, font.two, font.one)
-        .getOrElse(if (font.utf16) utf16Text(str) else applyDiffsOrRaw(str, font))
-    else if (font.utf16) utf16Text(str)
-    else applyDiffsOrRaw(str, font)
+        .getOrElse(font.charset.map(charsetText(str, _))
+          .getOrElse(applyDiffsOrRaw(str, font)))
+    else font.charset.map(charsetText(str, _))
+      .getOrElse(applyDiffsOrRaw(str, font))
 
   /** One PDF hex string starting at `start` (the '<'): pairs of hex
     * digits are bytes, whitespace is ignored, an odd final digit gets an
@@ -1522,19 +1564,21 @@ object SimplePdfTextExtractor extends TextExtractor {
       decodeAllMapped(raw, cmaps.two, cmaps.one).getOrElse(decodeTextString(raw))
     else if (font.hasCmap)
       decodeAllMapped(raw, font.two, font.one)
-        .getOrElse(if (font.utf16) utf16Text(raw) else applyDiffsOrRaw(raw, font))
-    else if (font.utf16) utf16Text(raw)
-    else applyDiffsOrRaw(raw, font)
+        .getOrElse(font.charset.map(charsetText(raw, _))
+          .getOrElse(applyDiffsOrRaw(raw, font)))
+    else font.charset.map(charsetText(raw, _))
+      .getOrElse(applyDiffsOrRaw(raw, font))
 
-  /** Show-string bytes under a predefined Unicode CMap encoding
-    * (`/Encoding /UniJIS-UCS2-H` family): the codes ARE UTF-16BE
-    * units. A BOM-tagged string keeps the §7.9.2.2 decode (which also
-    * strips the BOM); surrogate pairs (the UTF16 variants) fall out of
-    * the charset decode naturally. */
-  private def utf16Text(raw: String): String =
+  /** Show-string bytes under a predefined CMap encoding: the codes ARE
+    * code units of `cs` — UTF-16BE for the Uni* families, the national
+    * charset for the legacy CJK families ([[predefinedCmapCharset]]).
+    * A BOM-tagged string keeps the §7.9.2.2 decode (which also strips
+    * the BOM); surrogate pairs / multi-byte sequences fall out of the
+    * charset decode naturally, and malformed sequences degrade
+    * per-char to the replacement character — never a throw. */
+  private def charsetText(raw: String, cs: java.nio.charset.Charset): String =
     if (hasBom(raw)) decodeTextString(raw)
-    else new String(raw.getBytes(StandardCharsets.ISO_8859_1),
-      StandardCharsets.UTF_16BE)
+    else new String(raw.getBytes(StandardCharsets.ISO_8859_1), cs)
 
   /** PDF text strings are PDFDocEncoding (≈Latin-1 here) unless tagged
     * with a UTF-16BE or UTF-8 BOM (PDF 32000-1 §7.9.2.2) — the standard

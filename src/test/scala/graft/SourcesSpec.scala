@@ -1179,6 +1179,49 @@ class SourcesSpec extends AnyFunSuite {
       == "こんにちは\n")
   }
 
+  test("NATIONAL-encoding predefined CMaps decode via the JDK charsets (90ms-RKSJ / GBK-EUC / ETen-B5 / KSCms-UHC) (A2)") {
+    import graft.sources.SimplePdfTextExtractor
+    // same fixture shape as the Uni* test, but the show-string bytes
+    // are the NATIONAL encoding's — the legacy CJK-producer shape
+    // (pre-Acrobat-5 era and plenty of current cheap generators).
+    // Source bytes decoded with the JDK charset skip src->CID->Unicode,
+    // which is text-identical on the national repertoire.
+    def pdf(enc: String, bytes: Array[Byte]): Array[Byte] = {
+      val hexText = bytes.map(b => f"${b & 0xFF}%02X").mkString
+      val content = s"BT /F1 12 Tf <$hexText> Tj ET"
+      (s"""%PDF-1.4
+         |1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj
+         |2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj
+         |3 0 obj << /Type /Page /Parent 2 0 R
+         |  /Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >> endobj
+         |4 0 obj << /Type /Font /Subtype /Type0 /BaseFont /CJK
+         |  /Encoding /$enc /DescendantFonts [6 0 R] >> endobj
+         |5 0 obj << /Length ${content.length} >>
+         |stream
+         |$content
+         |endstream
+         |endobj
+         |trailer << /Size 7 /Root 1 0 R >>
+         |%%EOF""").stripMargin.getBytes("ISO-8859-1")
+    }
+    assert(SimplePdfTextExtractor.extract(
+      pdf("90ms-RKSJ-H", "こんにちは".getBytes("windows-31j"))) == "こんにちは\n")
+    assert(SimplePdfTextExtractor.extract(
+      pdf("GBK-EUC-H", "你好世界".getBytes("GBK"))) == "你好世界\n")
+    assert(SimplePdfTextExtractor.extract(
+      pdf("ETen-B5-V", "你好".getBytes("Big5"))) == "你好\n")
+    assert(SimplePdfTextExtractor.extract(
+      pdf("KSCms-UHC-H", "안녕하세요".getBytes("MS949"))) == "안녕하세요\n")
+    // mixed single/double-byte runs ride the charset's own state machine
+    assert(SimplePdfTextExtractor.extract(
+      pdf("90ms-RKSJ-H", "abcこんにちはxyz".getBytes("windows-31j"))) == "abcこんにちはxyz\n")
+    // Identity-H stays out: raw CIDs carry no text mapping — the codes
+    // keep the raw fallback (garbage in, garbage out, never a throw)
+    val idH = SimplePdfTextExtractor.extract(
+      pdf("Identity-H", Array(0x01.toByte, 0x02.toByte)))
+    assert(idH != null) // no throw is the contract
+  }
+
   test("ENCRYPTED PDFs with an empty user password decrypt: RC4-40, RC4-128, AES-128 (A2)") {
     import graft.sources.SimplePdfTextExtractor
     assert(SimplePdfTextExtractor.extract(encryptedPdf("rc4-40")) == "Sealed text layer\n")
