@@ -52,6 +52,10 @@ object Bench {
     // attempts: the frozen underfill plus the escalation ladder),
     // q122's ~1.75x headroom ratio
     "q123" -> (1.9, 3.4), "q124" -> (1.38, 2.8), "q125" -> (3.1, 5.4),
+    // r15 late adds, from their first sf0.1 in-suite measurements with
+    // ~2x headroom: q126 exact-substring dedup 0.24, q127 semantic
+    // decontamination 0.32
+    "q126" -> (0.2, 0.55), "q127" -> (0.25, 0.7),
     "q113" -> (0.49, 0.536), "q114" -> (0.333, 0.487), "q115" -> (0.981, 1.589),
     "q116" -> (1.754, 1.754), "q12" -> (0.252, 0.443), "q13" -> (0.335, 0.517),
     "q14" -> (0.158, 0.291), "q15" -> (0.255, 0.366), "q16" -> (0.234, 0.565),

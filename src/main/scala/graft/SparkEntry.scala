@@ -967,6 +967,27 @@ object SparkEntry {
         .orderBy($"vec_id")
     }),
 
+    // SEMANTIC decontamination (the embedding-side complement of
+    // q118/q120): train = embeddings plus engineered near-dups of the
+    // eval subset (x + 0.05 per dim — measured cosine 0.918-0.944 vs
+    // the original, so they are TRUE near-dups above the 0.9 bar while
+    // every innocent pair stays below 0.88); drops = eval self rows +
+    // all perturbed copies. Oracle replays the union + perturbation and
+    // the NOT EXISTS cosine test with DuckDB's list_cosine_similarity.
+    "q127_decontaminate_semantic" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val ev = emb.filter($"vec_id" % 83 === 0)
+      val pert = ev.select(($"vec_id" + 100000).as("vec_id"),
+        transform($"embedding".cast("array<double>"), x => x + lit(0.05)).as("v"))
+      val train = emb.select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        .unionAll(pert)
+      graft.operators.TextAnalytics.decontaminateSemantic(
+          train, "vec_id", "v", ev.select($"embedding".as("ev")), "ev",
+          threshold = 0.9)
+        .select($"vec_id").orderBy($"vec_id")
+    }),
+
     // Benchmark decontamination: the eval set is every 83rd document
     // (a direct subset of train, so those rows and their near-dup
     // family members are contaminated by construction); train docs
@@ -2186,6 +2207,20 @@ object SparkEntry {
         lit(filterOk).as("filter_ok"))
     }),
 
+    // Exact duplicate-SUBSTRING removal (Lee et al. ExactSubstr, span
+    // level): chars covered by any 30-char window occurring >= 2 times
+    // corpus-wide are cut; the DuckDB oracle replays it character by
+    // character (dup windows -> NOT EXISTS covering interval).
+    "q126_exact_substr_dedup" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Dedup.exactSubstr(
+          t(s, dir, "documents"), "doc_id", "text", windowLen = 30)
+        .select($"doc_id", $"cleaned",
+          $"kept_chars".cast("long").as("kept_chars"),
+          $"removed_chars".cast("long").as("removed_chars"))
+        .orderBy($"doc_id")
+    }),
+
     // Q5 exact similarity join: all (query, candidate) pairs above a
     // cosine threshold — broadcast small side, codegen'd cosine filter.
     "q63_similarity_join" -> ((s, dir) => {
@@ -2917,6 +2952,22 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM bad WHERE bad.vec_id = b.vec_id)
         |ORDER BY vec_id""".stripMargin,
 
+    "q127_decontaminate_semantic" ->
+      """WITH ev AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 83 = 0),
+        |pert AS (
+        |  SELECT vec_id + 100000 AS vec_id, list_transform(v, x -> x + 0.05) AS v
+        |  FROM ev),
+        |tr AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL SELECT vec_id, v FROM pert)
+        |SELECT t.vec_id AS vec_id FROM tr t
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM ev
+        |  WHERE list_cosine_similarity(t.v, ev.v) >= 0.9)
+        |ORDER BY vec_id""".stripMargin,
+
     "q118_decontaminate" ->
       """WITH tt AS (
         |  SELECT doc_id,
@@ -3386,6 +3437,30 @@ object SparkEntry {
         |  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC,
         |  CAST(e.vec_id AS VARCHAR)
         |LIMIT 10""".stripMargin,
+
+    "q126_exact_substr_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, i, substr(text, i, 30) AS gram
+        |  FROM documents,
+        |       LATERAL (SELECT unnest(generate_series(1,
+        |         greatest(length(text) - 29, 0))) AS i) t
+        |),
+        |dup AS (SELECT gram FROM w GROUP BY gram HAVING count(*) >= 2),
+        |ivl AS (SELECT doc_id, i AS s, i + 29 AS e FROM w
+        |        WHERE gram IN (SELECT gram FROM dup)),
+        |cl AS (
+        |  SELECT d.doc_id, string_agg(substr(d.text, c.p, 1), '' ORDER BY c.p) AS cleaned
+        |  FROM documents d,
+        |       LATERAL (SELECT unnest(generate_series(1, length(d.text))) AS p) c
+        |  WHERE NOT EXISTS (SELECT 1 FROM ivl
+        |                    WHERE ivl.doc_id = d.doc_id AND c.p BETWEEN ivl.s AND ivl.e)
+        |  GROUP BY d.doc_id
+        |)
+        |SELECT d.doc_id AS doc_id, coalesce(cl.cleaned, '') AS cleaned,
+        |       length(coalesce(cl.cleaned, '')) AS kept_chars,
+        |       length(d.text) - length(coalesce(cl.cleaned, '')) AS removed_chars
+        |FROM documents d LEFT JOIN cl USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q63_similarity_join" ->
       """SELECT q.vec_id AS query_id, COUNT(*) AS n_similar, MIN(e.vec_id) AS min_match

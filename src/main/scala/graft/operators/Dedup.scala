@@ -756,6 +756,118 @@ object Dedup {
     if (nx == 0.0 || ny == 0.0) 0.0 else dot / math.sqrt(nx * ny)
   }
 
+  /** Exact duplicate-SUBSTRING removal — the span-level complement of the
+    * doc-level dedup family (ExactSubstr in Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL'22, re-shaped for
+    * Spark; the reference's index stores whole chunks, so repeated
+    * boilerplate INSIDE otherwise-distinct documents is the one
+    * duplication mode nothing above touches).
+    *
+    * Semantics (character-level, deterministic): every character covered
+    * by at least one length-`windowLen` window whose exact text occurs
+    * >= `minCount` times corpus-wide (all documents, all positions,
+    * overlapping occurrences included — so an in-document repeat counts)
+    * is cut from its document; surviving characters concatenate in
+    * order. Returns (idCol, cleaned, kept_chars, removed_chars), one row
+    * per input row; docs shorter than the window pass through untouched.
+    *
+    * Plan shape (three narrow shuffles, none carrying document text):
+    *   1. COUNT pass: one 8-byte xxhash64 per window position is
+    *      group-counted (map-side partial agg) — the honest lower bound
+    *      for exact global multiplicity; gram STRINGS never shuffle here.
+    *   2. VERIFY pass: only windows whose hash-count passed re-shuffle
+    *      their actual `windowLen`-char gram and are re-counted on the
+    *      string itself, so a 64-bit collision between two distinct
+    *      singleton grams (realistic at trillions of windows) can NOT
+    *      cut non-duplicated text — same reasoning as [[exact]].
+    *   3. CUT pass: duplicated window positions group per doc (ints
+    *      only), sorted, interval-merged and sliced out by higher-order
+    *      aggregate folds — native expressions, no UDF, one linear pass
+    *      per document.
+    *
+    * Scale valve `anchorStride` (content-defined sampling, the CDC
+    * idea): with stride s > 1 only ANCHORED positions — those whose
+    * 8-byte prefix hashes to 0 mod s — emit windows, cutting passes 1-2
+    * to ~1/s of the corpus. Anchors are content-defined, so both copies
+    * of a duplicated region select the SAME interior positions
+    * regardless of byte alignment (a fixed stride would miss copies
+    * aligned differently mod s); a duplicated span only escapes if it
+    * contains no anchor at all, P ~ (1-1/s)^(span_len - windowLen).
+    * Covered spans still cut exactly (verification is still on full
+    * gram strings); the stride only controls which positions are
+    * EXAMINED. Default 1 = every position, exact. */
+  def exactSubstr(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowLen: Int = 50,
+      minCount: Int = 2,
+      anchorStride: Int = 1): DataFrame = {
+    require(windowLen >= 2, s"windowLen must be >= 2, got $windowLen")
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    require(anchorStride >= 1, s"anchorStride must be >= 1, got $anchorStride")
+    val L = windowLen
+    val base = df.select(col(idCol).as("_id"), col(textCol).as("_text"))
+
+    // One window per character position (1-based, matching substr). A
+    // text shorter than the window emits none; sequence() is guarded
+    // because sequence(1, 0) DESCENDS instead of returning empty.
+    val positions = when(length(col("_text")) >= L,
+      sequence(lit(1), length(col("_text")) - (L - 1)))
+      .otherwise(array().cast("array<int>"))
+    val anchored =
+      if (anchorStride == 1) explode(positions).as("_p")
+      else explode(filter(positions, p =>
+        pmod(xxhash64(col("_text").substr(p, lit(8))), lit(anchorStride)) === 0)).as("_p")
+    val wins = base
+      .select(col("_id"), col("_text"), anchored)
+      .select(col("_id"), col("_p"), col("_text").substr(col("_p"), lit(L)).as("_g"))
+      .withColumn("_h", xxhash64(col("_g")))
+
+    // Pass 1: count on the 8-byte hash only (column pruning drops _g).
+    val dupHashes = wins.groupBy("_h").agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= minCount).select("_h")
+    // Pass 2: exact-string verification of hash candidates only.
+    val cand = wins.join(dupHashes, Seq("_h")).select("_id", "_p", "_g")
+    val verified = cand.groupBy("_g").agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= minCount).select("_g")
+    val dupWins = cand.join(verified, Seq("_g")).select("_id", "_p")
+
+    // Pass 3: per-doc sorted positions -> merged [s, e] intervals -> cut.
+    val spans = dupWins.groupBy("_id")
+      .agg(sort_array(collect_list(col("_p"))).as("_ps"))
+    val merged = aggregate(
+      col("_ps"),
+      array().cast("array<struct<s:int,e:int>>"),
+      (acc, p) => {
+        val last = element_at(acc, -1)
+        when(size(acc) > 0 && p <= last.getField("e") + 1,
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(struct(last.getField("s").as("s"), (p + (L - 1)).as("e")))))
+          .otherwise(concat(acc, array(struct(p.as("s"), (p + (L - 1)).as("e")))))
+      })
+    // Fold the gaps between merged intervals into the surviving string.
+    val cut = aggregate(
+      col("_merged"),
+      struct(lit(0).as("e"), lit("").as("acc")),
+      (st, iv) => struct(
+        iv.getField("e").as("e"),
+        concat(st.getField("acc"),
+          col("_text").substr(st.getField("e") + 1,
+            iv.getField("s") - st.getField("e") - 1)).as("acc")),
+      st => concat(st.getField("acc"),
+        col("_text").substr(st.getField("e") + 1,
+          length(col("_text")) - st.getField("e"))))
+
+    base.join(spans, Seq("_id"), "left")
+      .withColumn("_merged", merged)
+      .withColumn("cleaned",
+        when(col("_ps").isNull, col("_text")).otherwise(cut))
+      .select(col("_id").as(idCol), col("cleaned"),
+        length(col("cleaned")).as("kept_chars"),
+        (length(col("_text")) - length(col("cleaned"))).as("removed_chars"))
+  }
+
   // ---------- helpers ----------
 
   /** Mix the band ordinal into the band hash -> one long bucket key.

@@ -381,6 +381,60 @@ object TextAnalytics {
       .drop("_fid", "_ftext")
   }
 
+  /** SEMANTIC benchmark decontamination: drop training rows whose
+    * EMBEDDING is within cosine `threshold` of ANY eval embedding — the
+    * third member of the decontamination family. [[decontaminate]]
+    * catches verbatim n-gram overlap and [[decontaminateFuzzy]] lexical
+    * near-duplicates; a translated or heavily paraphrased benchmark item
+    * shares neither 13-grams nor trigram shingles, but its embedding
+    * stays close — this is the standard third pass over embedded corpora.
+    *
+    * Orientation as in the siblings: eval is a benchmark suite (10^3-10^5
+    * rows) so its vectors COLLECT and BROADCAST as one dense matrix; the
+    * 100-TB train side is scanned partition-locally against it (the
+    * SemDeDup broadcast-carrier shape, [[Dedup.semanticDedupBroadcast]])
+    * — ZERO train-side shuffle beyond the final anti-join on ids, no plan
+    * literals, early-exit on the first hit. Per-row cost is O(|eval|*d)
+    * exact brute force; for eval sets beyond that, pre-filter with the
+    * 64-bit binary signature Hamming shortlist ([[Ann.encodeBinary]]) and
+    * rescore only shortlist hits — same trade as queryApprox.
+    *
+    * The verdict per row is a >=-threshold BOOLEAN on SQL double
+    * semantics ([[Dedup.cosineGE]]) — engine-comparable, like q119. Rows
+    * with a null id, null vector, or a dimension mismatched to a given
+    * eval vector never drop (contamination must be provable), mirroring
+    * every dedup variant's null policy. */
+  def decontaminateSemantic(train: org.apache.spark.sql.DataFrame, idCol: String,
+      vecCol: String, eval: org.apache.spark.sql.DataFrame,
+      evalVecCol: String, threshold: Double = 0.9): org.apache.spark.sql.DataFrame = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    val evalVecs: Array[Array[Double]] = eval
+      .select(col(evalVecCol).cast("array<double>"))
+      .as[Array[Double]].collect().filter(_ != null)
+    if (evalVecs.isEmpty) return train
+    val bc = spark.sparkContext.broadcast(evalVecs)
+    val t = threshold
+    val contaminated = train
+      .select(col(idCol).cast("long").as("_id"),
+        col(vecCol).cast("array<double>").as("_v"))
+      .filter(col("_id").isNotNull && col("_v").isNotNull)
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val ev = bc.value
+        it.flatMap { case (id, v) =>
+          var hit = false
+          var i = 0
+          while (i < ev.length && !hit) {
+            if (ev(i).length == v.length && Dedup.cosineGE(v, ev(i), t)) hit = true
+            i += 1
+          }
+          if (hit) Iterator.single(id) else Iterator.empty
+        }
+      }.toDF("_drop")
+    train.join(contaminated, train(idCol).cast("long") === col("_drop"), "left_anti")
+  }
+
   /** Gopher-style repetition signals: per document, the word count and
     * the occurrence count of its most frequent word n-gram. A document
     * whose single top bigram covers a large share of its words is

@@ -305,6 +305,81 @@ class DedupSpec extends AnyFunSuite {
     assert(viaLiteral == viaBroadcast && viaBroadcast == Seq("10", "null"))
   }
 
+  // Brute-force reference for exactSubstr: count every length-L window
+  // (all docs, all positions, overlaps included), mark characters covered
+  // by any window occurring >= minCount times, keep the rest in order.
+  private def substrRef(docs: Seq[(Long, String)], l: Int,
+      minCount: Int = 2): Map[Long, String] = {
+    val counts = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    for ((_, t) <- docs; i <- 0 to t.length - l) counts(t.substring(i, i + l)) += 1
+    docs.map { case (id, t) =>
+      val covered = Array.fill(t.length)(false)
+      for (i <- 0 to t.length - l; if counts(t.substring(i, i + l)) >= minCount;
+           j <- i until i + l) covered(j) = true
+      id -> t.zipWithIndex.collect { case (c, j) if !covered(j) => c }.mkString
+    }.toMap
+  }
+
+  test("exactSubstr cuts exactly the brute-force duplicated spans") {
+    val boiler = "SUBSCRIBE TO OUR NEWSLETTER FOR MORE GREAT CONTENT EVERY WEEK"
+    val docs = Seq(
+      (0L, s"alpha bravo charlie delta echo $boiler foxtrot golf hotel india"),
+      (1L, s"juliet kilo lima mike november $boiler oscar papa quebec romeo"),
+      (2L, "sierra tango uniform victor whiskey xray yankee zulu one two three four"),
+      (3L, "repeat block repeat block repeat block repeat block repeat block xyz"),
+      (4L, "tiny") // shorter than the window: untouched
+    )
+    val l = 20
+    val expect = substrRef(docs, l)
+    // sanity on the fixture itself: boilerplate cut, unique text kept,
+    // in-doc self-repeat (doc 3) cut without a second document
+    assert(!expect(0L).contains("NEWSLETTER") && expect(0L).contains("alpha bravo"))
+    assert(expect(3L).length < docs(3)._2.length)
+    assert(expect(2L) == docs(2)._2 && expect(4L) == "tiny")
+    val got = Dedup.exactSubstr(docs.toDF("doc_id", "text"), "doc_id", "text",
+        windowLen = l)
+      .select($"doc_id", $"cleaned", $"kept_chars", $"removed_chars")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    for ((id, t) <- docs) {
+      val (cleaned, kept, removed) = got(id)
+      assert(cleaned == expect(id), s"doc $id")
+      assert(kept == expect(id).length && removed == t.length - expect(id).length)
+    }
+  }
+
+  test("exactSubstr: minCount raises the duplication bar") {
+    val span = "this exact sentence appears in several documents verbatim"
+    val docs = (0L to 3L).map(i => (i, s"doc$i unique prefix $i $span unique suffix $i"))
+    val twice = Seq((10L, s"only here once $span and nowhere else but doc eleven"),
+      (11L, s"second copy lives here $span inside this one document"))
+    val all = (docs ++ twice).toDF("doc_id", "text")
+    // minCount=6 > 6 occurrences is false (span occurs 6 times) -> cut;
+    // minCount=7 -> kept everywhere
+    val at6 = Dedup.exactSubstr(all, "doc_id", "text", windowLen = 30, minCount = 6)
+      .filter($"removed_chars" > 0).count()
+    val at7 = Dedup.exactSubstr(all, "doc_id", "text", windowLen = 30, minCount = 7)
+      .agg(sum($"removed_chars")).as[Long].head()
+    assert(at6 == 6 && at7 == 0L)
+  }
+
+  test("exactSubstr anchorStride: content-defined anchors catch a long dup at ANY alignment") {
+    // the same long span pasted at different offsets (different alignment
+    // mod stride) in two otherwise-unique docs: content-defined anchoring
+    // selects the same interior positions in both copies, so the span is
+    // still found; fixed-stride sampling could not guarantee that.
+    val span = (1 to 40).map(i => s"boiler$i").mkString(" ") // ~360 chars
+    val docs = Seq(
+      (0L, "x " * 7 + span + " unique tail zero"),   // offset 14
+      (1L, "yyy " + span + " unique tail one"),      // offset 4
+      (2L, "entirely unrelated text with no duplicated spans present whatsoever"))
+    val out = Dedup.exactSubstr(docs.toDF("doc_id", "text"), "doc_id", "text",
+        windowLen = 30, anchorStride = 4)
+      .select($"doc_id", $"removed_chars").as[(Long, Int)].collect().toMap
+    assert(out(0L) > 250 && out(1L) > 250, s"long dup must be cut: $out")
+    assert(out(2L) == 0)
+  }
+
   test("bucket-skew safety valve: oversized buckets are skipped, not squared") {
     // 200 identical docs -> bucket of 200 > maxBucketSize=50 -> no pairs,
     // nothing dropped (graceful degradation instead of OOM at scale)

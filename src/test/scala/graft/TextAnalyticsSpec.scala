@@ -294,6 +294,26 @@ class TextAnalyticsSpec extends AnyFunSuite {
     assert(cols == Seq("doc_id", "text"))
   }
 
+  test("decontaminateSemantic: embedding near-dups of eval drop; orthogonal, null and mismatched rows survive") {
+    val ev = Seq(Tuple1(Array(1.0, 0.0, 0.0)), Tuple1(Array(0.0, 1.0, 0.0)))
+      .toDF("ev")
+    val train = Seq(
+      (java.lang.Long.valueOf(1L), Array(1.0, 0.0, 0.0)),         // exact copy of eval 0 -> drop
+      (java.lang.Long.valueOf(2L), Array(0.98, 0.1, 0.05)),       // near eval 0 (cos ~0.99) -> drop
+      (java.lang.Long.valueOf(3L), Array(0.0, 0.0, 1.0)),         // orthogonal -> keep
+      (java.lang.Long.valueOf(4L), null: Array[Double]),          // null vector -> keep
+      (java.lang.Long.valueOf(5L), Array(1.0, 0.0)),              // dim mismatch -> keep
+      (null: java.lang.Long, Array(1.0, 0.0, 0.0))                // null id -> keep
+    ).toDF("id", "v")
+    val kept = TextAnalytics.decontaminateSemantic(train, "id", "v", ev, "ev",
+        threshold = 0.9)
+      .select($"id").collect().map(r => Option(r.get(0)).map(_.toString).orNull)
+    assert(kept.toSet == Set("3", "4", "5", null))
+    // empty eval: everything survives
+    assert(TextAnalytics.decontaminateSemantic(train, "id", "v",
+      ev.limit(0), "ev", threshold = 0.9).count() == 6)
+  }
+
   test("rrfFuse: fused score sums reciprocal ranks, missing list contributes 0") {
     val a = Seq((10L, 1), (20L, 2)).toDF("id", "rank")
     val b = Seq((20L, 1), (30L, 2)).toDF("id", "rank")
