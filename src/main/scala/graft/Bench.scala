@@ -56,6 +56,9 @@ object Bench {
     // ~2x headroom: q126 exact-substring dedup 0.24, q127 semantic
     // decontamination 0.32
     "q126" -> (0.2, 0.55), "q127" -> (0.25, 0.7),
+    // q128 SQL-catalog serving reads (build amortized out of the
+    // median): 0.70 isolated first measurement
+    "q128" -> (0.6, 1.5),
     "q113" -> (0.49, 0.536), "q114" -> (0.333, 0.487), "q115" -> (0.981, 1.589),
     "q116" -> (1.754, 1.754), "q12" -> (0.252, 0.443), "q13" -> (0.335, 0.517),
     "q14" -> (0.158, 0.291), "q15" -> (0.255, 0.366), "q16" -> (0.234, 0.565),

@@ -2141,6 +2141,43 @@ object SparkEntry {
           lit(prunedOk).as("pruned_ok"), lit(selfHit == "0").as("self_ok"))
     }),
 
+    // The index as a real Spark TableCatalog (graft.catalog.GraftCatalog):
+    // plain SQL over the current snapshot (with a metadata filter) plus
+    // NATIVE `VERSION AS OF` time travel to the retained pre-mutation
+    // snapshot. Built once per process into a stable scratch root (the
+    // catalog instance is cached by name; retention keeps exactly the
+    // two snapshots the query reads), so bench reruns time the SQL
+    // serving reads, not the build. Oracle recomputes both row sets
+    // from the embeddings table.
+    "q128_sql_catalog" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.VectorIndex
+      val root = scratchDir("q128cat")
+      val emb = t(s, dir, "embeddings")
+      if (VectorIndex.list(s, root).isEmpty) {
+        def records(df: DataFrame, metaOff: Int) = df.select(
+          $"vec_id".cast("string").as("id"),
+          $"embedding".cast("array<float>").as("values"),
+          struct(($"vec_id" % 5 + metaOff).cast("int").as("chunk_index"),
+            lit("uploaded_pdf").as("source")).as("metadata"))
+        val idx = VectorIndex.ensure(s, s"$root/vidx", 64)
+        idx.upsert(records(emb.filter($"vec_id" < 250), 0))     // v0
+        s.conf.set("spark.sql.catalog.graftsql",
+          classOf[graft.catalog.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graftsql.root", root)
+        // v1 = head, written through the SQL surface: INSERT INTO is the
+        // id-keyed upsert (version column is commit-stamped, 0L ignored)
+        records(emb.filter($"vec_id" >= 200), 1000)
+          .createOrReplaceTempView("q128_batch")
+        s.sql("INSERT INTO graftsql.vidx " +
+          "SELECT id, values, metadata, CAST(0 AS BIGINT) FROM q128_batch")
+      }
+      s.sql("SELECT 'v0' AS snap, id FROM graftsql.vidx VERSION AS OF 0")
+        .unionAll(s.sql(
+          "SELECT 'hd' AS snap, id FROM graftsql.vidx WHERE metadata.chunk_index >= 1000"))
+        .orderBy($"snap", $"id")
+    }),
+
     // Q2/Q4 TIME TRAVEL (serving rollback): the index is built over ALL
     // embeddings and that snapshot PINNED; then the head is mutated —
     // a second upsert NEGATES every vector, so every row moves and the
@@ -3418,6 +3455,15 @@ object SparkEntry {
     "q123_cell_pruned_approx" ->
       ("SELECT CAST(10 AS BIGINT) AS k, TRUE AS recall_ok, " +
         "TRUE AS pruned_ok, TRUE AS self_ok"),
+
+    "q128_sql_catalog" ->
+      """SELECT * FROM (
+        |  SELECT 'v0' AS snap, CAST(vec_id AS VARCHAR) AS id
+        |  FROM embeddings WHERE vec_id < 250
+        |  UNION ALL
+        |  SELECT 'hd' AS snap, CAST(vec_id AS VARCHAR) AS id
+        |  FROM embeddings WHERE vec_id >= 200
+        |) ORDER BY snap, id""".stripMargin,
 
     "q124_index_time_travel" ->
       """SELECT e.vec_id FROM embeddings e

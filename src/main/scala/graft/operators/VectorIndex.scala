@@ -69,6 +69,17 @@ final class VectorIndex private (
     * in pruneOldSnapshots). */
   def snapshots(): Seq[Long] = listSnapshots(spark, path)
 
+  /** Newest snapshot committed at or before `micros` since epoch —
+    * `TIMESTAMP AS OF` resolution for the SQL catalog. Manifest files
+    * are written once (tmp + rename) and never touched again, so their
+    * modification time IS the commit time. */
+  def snapshotAsOfTimestamp(micros: Long): Option[Long] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    snapshots().filter { v =>
+      fs.getFileStatus(manifestPath(path, v)).getModificationTime * 1000L <= micros
+    }.lastOption
+  }
+
   /** Time travel: read the index as of an older committed snapshot. */
   def scanAt(version: Long): DataFrame = {
     require(snapshots().contains(version),

@@ -1,0 +1,132 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.catalog.GraftCatalog
+import graft.operators.VectorIndex
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The snapshot vector index as a real Spark TableCatalog: plain SQL
+  * reads, native `VERSION AS OF` / `TIMESTAMP AS OF` time travel over
+  * retained snapshots, column pruning into the manifest parquet scan,
+  * and a read-only mutation surface. */
+class CatalogSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def records(rows: (String, Seq[Float], Int)*) =
+    rows.toDF("id", "values", "ci")
+      .select($"id", $"values",
+        struct($"ci".as("chunk_index"), lit("uploaded_pdf").as("source")).as("metadata"))
+
+  private lazy val root: String = {
+    val dir = Files.createTempDirectory("graft_catalog").toString
+    val idx = VectorIndex.ensure(spark, s"$dir/idx1", 2)
+    idx.upsert(records(("a", Seq(1f, 0f), 0), ("b", Seq(0f, 1f), 1)))   // v0
+    idx.upsert(records(("b", Seq(0.5f, 0.5f), 2), ("c", Seq(1f, 1f), 3))) // v1
+    spark.conf.set("spark.sql.catalog.gtest", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gtest.root", dir)
+    dir
+  }
+
+  test("SQL reads the current snapshot; listTables sees the index") {
+    root
+    val rows = spark.sql(
+      "SELECT id, metadata.chunk_index AS ci FROM gtest.idx1 ORDER BY id")
+      .as[(String, Int)].collect().toSeq
+    assert(rows == Seq(("a", 0), ("b", 2), ("c", 3)))
+    val names = spark.sql("SHOW TABLES IN gtest").select("tableName")
+      .as[String].collect().toSeq
+    assert(names == Seq("idx1"))
+  }
+
+  test("VERSION AS OF reads the retained pre-upsert snapshot; a pruned version fails loudly") {
+    root
+    val v0 = spark.sql(
+      "SELECT id, values FROM gtest.idx1 VERSION AS OF 0 ORDER BY id")
+      .as[(String, Seq[Float])].collect().toSeq
+    assert(v0 == Seq(("a", Seq(1f, 0f)), ("b", Seq(0f, 1f))))
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM gtest.idx1 VERSION AS OF 99").collect()
+    }
+    assert(e.getMessage.contains("99"))
+  }
+
+  test("TIMESTAMP AS OF resolves to the newest snapshot committed by then") {
+    root
+    // far future -> head; before any commit -> loud failure
+    val n = spark.sql(
+      "SELECT count(*) AS n FROM gtest.idx1 TIMESTAMP AS OF '2100-01-01 00:00:00'")
+      .as[Long].head()
+    assert(n == 3L)
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT * FROM gtest.idx1 TIMESTAMP AS OF '1999-01-01 00:00:00'").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("no snapshot"))
+  }
+
+  test("column pruning reaches the scan; count(*) works through the empty projection") {
+    root
+    val df = spark.sql("SELECT id FROM gtest.idx1 WHERE id = 'a'")
+    assert(df.as[String].collect().toSeq == Seq("a"))
+    // the V1 relation's produced schema is just the required column
+    val scanLine = df.queryExecution.executedPlan.toString()
+      .linesIterator.find(_.contains("Scan")).getOrElse("")
+    assert(scanLine.contains("[id"), s"expected id-only scan, got: $scanLine")
+    assert(!scanLine.contains("values"), s"values must be pruned: $scanLine")
+    assert(spark.sql("SELECT count(*) FROM gtest.idx1").as[Long].head() == 3L)
+  }
+
+  test("INSERT INTO is the id-keyed upsert; OVERWRITE and DDL refuse") {
+    root
+    // new id appends, existing id overwrites (last-write-wins), and the
+    // supplied version value is ignored — the commit stamps its own
+    spark.sql(
+      """INSERT INTO gtest.idx1 VALUES
+        |  ('d', array(CAST(0.25 AS FLOAT), CAST(0.75 AS FLOAT)),
+        |   named_struct('chunk_index', 7, 'source', 'sql'), 999),
+        |  ('a', array(CAST(0.9 AS FLOAT), CAST(0.1 AS FLOAT)),
+        |   named_struct('chunk_index', 8, 'source', 'sql'), 999)""".stripMargin)
+    val rows = spark.sql(
+      "SELECT id, metadata.chunk_index AS ci, version FROM gtest.idx1 ORDER BY id")
+      .as[(String, Int, Long)].collect().toSeq
+    assert(rows.map(r => (r._1, r._2)) == Seq(("a", 8), ("b", 2), ("c", 3), ("d", 7)))
+    assert(rows.forall(_._3 != 999L), s"version must be commit-stamped: $rows")
+    // the SQL write went through the real commit: a new snapshot exists
+    // and VERSION AS OF still serves the pre-INSERT head
+    val preInsert = rows.map(_._3).min
+    val atPrev = spark.sql(
+      s"SELECT id FROM gtest.idx1 VERSION AS OF ${rows.map(_._3).max - 1} ORDER BY id")
+      .as[String].collect().toSeq
+    assert(atPrev == Seq("a", "b", "c"))
+    assert(preInsert >= 0L)
+    def chain(e: Throwable): String =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => String.valueOf(t.getMessage)).mkString("|")
+    // the analyzer refuses before our guard: no TRUNCATE capability
+    val over = intercept[Exception] {
+      spark.sql("INSERT OVERWRITE gtest.idx1 SELECT * FROM gtest.idx1")
+    }
+    assert(chain(over).toLowerCase.contains("truncate"))
+    val drop = intercept[Exception] { spark.sql("DROP TABLE gtest.idx1") }
+    assert(chain(drop).nonEmpty)
+    // wrong-width vectors reject through SQL exactly like the API (E2)
+    val bad = intercept[Exception] {
+      spark.sql(
+        """INSERT INTO gtest.idx1 VALUES
+          |  ('e', array(CAST(1.0 AS FLOAT)),
+          |   named_struct('chunk_index', 1, 'source', 'sql'), 0)""".stripMargin)
+    }
+    assert(chain(bad).toLowerCase.contains("dimension"))
+  }
+
+  test("missing table raises a catalog-level not-found error") {
+    root
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM gtest.nope").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("nope"))
+  }
+}
