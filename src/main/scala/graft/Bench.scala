@@ -52,10 +52,16 @@ object Bench {
     // attempts: the frozen underfill plus the escalation ladder),
     // q122's ~1.75x headroom ratio
     "q123" -> (1.9, 3.4), "q124" -> (1.38, 2.8), "q125" -> (3.1, 5.4),
-    // r15 late adds, from their first sf0.1 in-suite measurements with
-    // ~2x headroom: q126 exact-substring dedup 0.24, q127 semantic
-    // decontamination 0.32
-    "q126" -> (0.2, 0.55), "q127" -> (0.25, 0.7),
+    // r15 late adds, ~2x headroom over first sf0.1 measurements. q126's
+    // first number (0.24) was a measurement ILLUSION: count() over the
+    // original left-join tail let Catalyst eliminate the join (spans has
+    // provably-unique keys), so the bench never executed the window
+    // pipeline at all. The Bloom corpus split makes count() honest
+    // (the prefilter's cardinality depends on the spans side), and the
+    // real cost — after fixing the one-core window fan-out (repartition
+    // to parallelism) and persisting spans across its three consumers
+    // (18s -> 0.7s at sf0.1) — is 0.71 isolated.
+    "q126" -> (0.6, 1.6), "q127" -> (0.25, 0.7),
     // q128 SQL-catalog serving reads (build amortized out of the
     // median): 0.70 isolated first measurement
     "q128" -> (0.6, 1.5),

@@ -771,7 +771,8 @@ object Dedup {
     * order. Returns (idCol, cleaned, kept_chars, removed_chars), one row
     * per input row; docs shorter than the window pass through untouched.
     *
-    * Plan shape (three narrow shuffles, none carrying document text):
+    * Plan shape (shuffle volume bounded by DUPLICATION volume, never by
+    * corpus size):
     *   1. COUNT pass: one 8-byte xxhash64 per window position is
     *      group-counted (map-side partial agg) — the honest lower bound
     *      for exact global multiplicity; gram STRINGS never shuffle here.
@@ -783,7 +784,12 @@ object Dedup {
     *   3. CUT pass: duplicated window positions group per doc (ints
     *      only), sorted, interval-merged and sliced out by higher-order
     *      aggregate folds — native expressions, no UDF, one linear pass
-    *      per document.
+    *      per document. A Bloom filter over span-bearing ids splits the
+    *      corpus first, so only docs that might have a span join their
+    *      text in (an outer join's preserved side can't take a runtime
+    *      filter — without this the whole corpus' text would shuffle);
+    *      misses pass through untouched, and exactness never depends on
+    *      the fpp (a false positive joins to nothing).
     *
     * Scale valve `anchorStride` (content-defined sampling, the CDC
     * idea): with stride s > 1 only ANCHORED positions — those whose
@@ -802,12 +808,24 @@ object Dedup {
       textCol: String,
       windowLen: Int = 50,
       minCount: Int = 2,
-      anchorStride: Int = 1): DataFrame = {
+      anchorStride: Int = 1,
+      bloomFpp: Double = 0.01,
+      expectedSpanDocs: Long = 0L): DataFrame = {
     require(windowLen >= 2, s"windowLen must be >= 2, got $windowLen")
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
     require(anchorStride >= 1, s"anchorStride must be >= 1, got $anchorStride")
     val L = windowLen
-    val base = df.select(col(idCol).as("_id"), col(textCol).as("_text"))
+    // The window fan-out multiplies per-row work by ~text length, so the
+    // stage must run at cluster parallelism. A small corpus in one
+    // parquet split would otherwise explode + partial-aggregate 100% of
+    // the windows ON ONE CORE (measured 2.5s vs 0.3s at sf0.1); at real
+    // scale the scan already yields thousands of splits and this is a
+    // no-op.
+    val baseRaw = df.select(col(idCol).as("_id"), col(textCol).as("_text"))
+    val para = df.sparkSession.sparkContext.defaultParallelism
+    val base =
+      if (baseRaw.rdd.getNumPartitions < para) baseRaw.repartition(para)
+      else baseRaw
 
     // One window per character position (1-based, matching substr). A
     // text shorter than the window emits none; sequence() is guarded
@@ -834,8 +852,14 @@ object Dedup {
     val dupWins = cand.join(verified, Seq("_g")).select("_id", "_p")
 
     // Pass 3: per-doc sorted positions -> merged [s, e] intervals -> cut.
+    // Persisted: three consumers (size count, Bloom build, the cut join)
+    // would otherwise each re-execute the whole 3-pass DAG; spans is
+    // narrow (one (id, int-positions) row per span-BEARING doc — bounded
+    // by duplication volume) and spills to disk if a pathological corpus
+    // makes it big.
     val spans = dupWins.groupBy("_id")
       .agg(sort_array(collect_list(col("_p"))).as("_ps"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val merged = aggregate(
       col("_ps"),
       array().cast("array<struct<s:int,e:int>>"),
@@ -859,13 +883,45 @@ object Dedup {
         col("_text").substr(st.getField("e") + 1,
           length(col("_text")) - st.getField("e"))))
 
-    base.join(spans, Seq("_id"), "left")
+    // A plain LEFT join base⋈spans would shuffle EVERY document's text:
+    // the preserved side of an outer join cannot take a runtime filter,
+    // so at 100 TB the whole corpus moves even when duplication is rare.
+    // Same remedy as [[exactAgainstBloom]]: a Bloom filter over the
+    // span-bearing ids (built from the narrow spans side) splits the
+    // corpus — definite misses pass through UNTOUCHED with zero shuffle
+    // (Bloom has no false negatives), and only might-have-span rows
+    // (true hits + ~fpp) join, so text shuffle volume is bounded by
+    // duplication volume, not corpus size. A false positive left-joins
+    // to nothing and passes through — exactness never depends on fpp.
+    // `expectedSpanDocs <= 0` counts the spans side (one narrow extra
+    // job; pass a hint at scale).
+    val spark = df.sparkSession
+    val spansN =
+      if (expectedSpanDocs > 0) expectedSpanDocs
+      else math.max(1L, spans.count())
+    // sentinel row: BloomFilter.readFrom NPEs on a zero-row aggregate (a
+    // corpus with no duplicated span at all); one reserved hash value
+    // costs one harmless possible false positive
+    val bf = spans.select(xxhash64(col("_id")).as("_ih"))
+      .unionAll(spark.range(1).select(lit(Long.MinValue).as("_ih")))
+      .stat.bloomFilter("_ih", spansN + 1, bloomFpp)
+    val bcast = spark.sparkContext.broadcast(bf)
+    val mightHaveSpan = udf { (h: Long) => bcast.value.mightContainLong(h) }
+    val flagged = base.withColumn("_sb",
+      coalesce(mightHaveSpan(xxhash64(col("_id"))), lit(false)))
+    val outCols = Seq(col("_id").as(idCol), col("cleaned"),
+      length(col("cleaned")).as("kept_chars"),
+      (length(col("_text")) - length(col("cleaned"))).as("removed_chars"))
+    val cutRows = flagged.filter(col("_sb")).drop("_sb")
+      .join(spans, Seq("_id"), "left")
       .withColumn("_merged", merged)
       .withColumn("cleaned",
         when(col("_ps").isNull, col("_text")).otherwise(cut))
-      .select(col("_id").as(idCol), col("cleaned"),
-        length(col("cleaned")).as("kept_chars"),
-        (length(col("_text")) - length(col("cleaned"))).as("removed_chars"))
+      .select(outCols: _*)
+    val untouched = flagged.filter(!col("_sb")).drop("_sb")
+      .withColumn("cleaned", col("_text"))
+      .select(outCols: _*)
+    cutRows.unionAll(untouched)
   }
 
   // ---------- helpers ----------

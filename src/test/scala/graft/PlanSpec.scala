@@ -118,4 +118,28 @@ class PlanSpec extends AnyFunSuite {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("exactSubstr shuffle hygiene: count pass ships hashes only; corpus text joins behind the span Bloom") {
+    val p = plan("q126_exact_substr_dedup")
+    // formatted mode prints each operator's Input columns: every Exchange
+    // partitioned on the window hash must carry (_h, count) — never the
+    // gram string or the document text
+    val blocks = p.split("\\n\\n")
+    val hashExchanges = p.linesIterator.zipWithIndex.toSeq
+      .filter { case (l, _) => l.contains("Arguments: hashpartitioning(_h") }
+    assert(hashExchanges.nonEmpty, s"expected a count-pass exchange on _h in:\n$p")
+    // per-operator detail lines: "Input [n]: [cols...]" directly precede
+    // the Arguments line of the same node in formatted explain
+    val lines = p.linesIterator.toIndexedSeq
+    hashExchanges.foreach { case (_, i) =>
+      val input = lines.take(i).reverse.find(_.startsWith("Input")).getOrElse("")
+      assert(!input.contains("_g") && !input.contains("_text"),
+        s"count-pass exchange must ship hashes only, got: $input")
+    }
+    // the cut join sits behind the span Bloom prefilter (UDF filter on
+    // the corpus side), so untouched docs never shuffle their text
+    assert(p.contains("UDF") || p.contains("mightHaveSpan"),
+      "expected the span-Bloom prefilter on the corpus scan")
+    assert(blocks.nonEmpty)
+  }
 }
