@@ -62,6 +62,9 @@ object Bench {
     // to parallelism) and persisting spans across its three consumers
     // (18s -> 0.7s at sf0.1) — is 0.71 isolated.
     "q126" -> (0.6, 1.6), "q127" -> (0.25, 0.7),
+    // q129 triangle count: 1.2M-edge co-order graph, 41M wedges closed
+    // via broadcast adjacency intersection; 3.48 isolated
+    "q129" -> (2.8, 7.0),
     // q128 SQL-catalog serving reads (build amortized out of the
     // median): 0.70 isolated first measurement
     "q128" -> (0.6, 1.5),

@@ -2380,6 +2380,19 @@ object SparkEntry {
     // document (orig -> +100k -> +200k -> +300k) — min labels must
     // propagate 3 hops, so convergence genuinely iterates; component of
     // every node is the original doc_id.
+    // Exact global TRIANGLE COUNT (degree orientation, one count per
+    // triangle) over the co-order part graph: parts sharing an order
+    // are adjacent. Integer-exact, so DuckDB replays the whole thing —
+    // canonicalized edges and a three-way closure join.
+    "q129_triangle_count" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
+      val edges = li.as("x").join(li.as("y"), "l_orderkey")
+        .filter($"x.l_partkey" < $"y.l_partkey")
+        .select($"x.l_partkey".as("src"), $"y.l_partkey".as("dst"))
+      graft.operators.Graph.triangleCount(edges, "src", "dst")
+    }),
+
     "q72_connected_components" -> ((s, dir) => {
       import s.implicits._
       val ids = t(s, dir, "documents").select($"doc_id")
@@ -3584,6 +3597,17 @@ object SparkEntry {
       """SELECT doc_id + k * 100000 AS node, doc_id AS component
         |FROM documents, generate_series(0, 3) AS t(k)
         |ORDER BY node""".stripMargin,
+
+    "q129_triangle_count" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS u,
+        |                  greatest(x.l_partkey, y.l_partkey) AS v
+        |  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+        |  WHERE x.l_partkey < y.l_partkey
+        |)
+        |SELECT (SELECT count(*) FROM pairs) AS n_edges,
+        |       (SELECT count(*) FROM pairs a JOIN pairs b ON b.u = a.v
+        |          JOIN pairs c ON c.u = a.u AND c.v = b.v) AS n_triangles""".stripMargin,
 
     "q75_minhash_clusters" ->
       """WITH RECURSIVE base AS (

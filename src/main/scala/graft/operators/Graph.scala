@@ -105,6 +105,89 @@ object Graph {
     labels.select(col("_node").as("node"), col("_comp").as("component"))
   }
 
+  /** Exact GLOBAL triangle count over an undirected edge list — the
+    * second graph primitive duplicate-cluster analysis wants (a
+    * near-clique's triangle density separates true duplicate families
+    * from chains of borderline pairs that [[connectedComponents]] glues
+    * together).
+    *
+    * Shape: degree ORIENTATION (Suri & Vassilvitskii, WWW'11 — "the
+    * curse of the last reducer"). Each undirected edge orients from its
+    * (degree, id)-smaller endpoint to the larger; every triangle then
+    * has exactly one node with both out-edges, so counting wedge
+    * closures counts each triangle ONCE. The payoff is skew-proof wedge
+    * generation: out-degree under this orientation is O(sqrt(m)), so a
+    * degree-d hub generates O(m) wedges total instead of d^2 — on a
+    * co-occurrence graph where one boilerplate node touches millions,
+    * d^2 is the difference between a job that finishes and one that
+    * doesn't.
+    *
+    * Wedges outnumber edges by orders of magnitude (sum outdeg² vs m;
+    * measured 41M wedges over 1.2M edges on the co-order gate graph),
+    * so materializing them is the cost to avoid. When the oriented
+    * adjacency fits an executor (`broadcastCloseLimit` edges, default
+    * 20M ≈ a few hundred MB of packed longs) the per-pivot sorted
+    * out-neighbor lists BROADCAST and each edge closes its triangles by
+    * one merge-intersection — the wedge stream never exists as rows and
+    * nothing shuffles after the adjacency agg. Above the limit, the
+    * wedge self-join + shuffle closure join is the honest distributed
+    * path (narrow (long, long) rows only). Self-loops drop, parallel
+    * edges collapse (distinct), null-casting ids drop. Returns one row:
+    * (n_edges = deduped undirected edges, n_triangles) —
+    * integer-exact, so a SQL engine replays it verbatim. */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String,
+      broadcastCloseLimit: Long = 20000000L): DataFrame = {
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("_u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("_v"))
+      .filter(col("_u").isNotNull && col("_v").isNotNull && col("_u") =!= col("_v"))
+      .distinct()
+      .localCheckpoint(true) // reused by degrees + orientation + closure
+    val deg = canon.select(explode(array(col("_u"), col("_v"))).as("_n"))
+      .groupBy("_n").agg(count(lit(1)).as("_d"))
+    val withDeg = canon
+      .join(deg.select(col("_n").as("_u"), col("_d").as("_du")), Seq("_u"))
+      .join(deg.select(col("_n").as("_v"), col("_d").as("_dv")), Seq("_v"))
+    val fwd = struct(col("_du"), col("_u")) < struct(col("_dv"), col("_v"))
+    val oriented = withDeg.select(
+        when(fwd, col("_u")).otherwise(col("_v")).as("_s"),
+        when(fwd, col("_v")).otherwise(col("_u")).as("_t"),
+        when(fwd, col("_dv")).otherwise(col("_du")).as("_dt"))
+      .localCheckpoint(true) // both wedge sides + the closure probe
+    val nEdges = canon.count() // needed for the output row anyway
+    val nTriangles =
+      if (nEdges <= broadcastCloseLimit) {
+        // SMALL/MID regime: per-pivot out-neighbor lists broadcast (total
+        // size O(m) longs), each edge (s,t) closes |N+(s) ∩ N+(t)|
+        // triangles via one merge-intersection of two sorted arrays —
+        // the 41M-row wedge stream is never materialized, no row ever
+        // shuffles after the adjacency agg
+        val adj = oriented.groupBy(col("_s"))
+          .agg(sort_array(collect_list(col("_t"))).as("_nb"))
+        val aS = broadcast(adj.select(col("_s"), col("_nb").as("_nbs")))
+        val aT = broadcast(adj.select(col("_s").as("_t"), col("_nb").as("_nbt")))
+        oriented.select(col("_s"), col("_t"))
+          .join(aS, Seq("_s"), "inner")
+          .join(aT, Seq("_t"), "inner")
+          .select(size(array_intersect(col("_nbs"), col("_nbt"))).cast("long").as("_c"))
+          .agg(coalesce(sum(col("_c")), lit(0L)).as("n_triangles"))
+      } else {
+        // LARGE regime: wedges at the pivot, emitted in orientation
+        // order so the closing edge (if adjacent) is exactly the
+        // oriented one; closure is a plain shuffle join — the honest
+        // distributed path when the edge set cannot broadcast
+        val wedges = oriented
+          .select(col("_s"), col("_t").as("_b"), col("_dt").as("_db"))
+          .join(oriented.select(col("_s"), col("_t").as("_c"), col("_dt").as("_dc")),
+            Seq("_s"))
+          .filter(struct(col("_db"), col("_b")) < struct(col("_dc"), col("_c")))
+          .select(col("_b").as("_s"), col("_c").as("_t"))
+        wedges.join(oriented.select(col("_s"), col("_t")), Seq("_s", "_t"))
+          .agg(count(lit(1)).as("n_triangles"))
+      }
+    nTriangles.select(lit(nEdges).as("n_edges"), col("n_triangles"))
+  }
+
   /** Small-graph path: union-find with path compression on the driver.
     * Same output contract as the distributed loop (component = min
     * member id), deterministic regardless of edge order. */

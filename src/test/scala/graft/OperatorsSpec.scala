@@ -345,6 +345,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(comp.forall(_._2 == 0L))
   }
 
+  test("Graph.triangleCount: closed forms and brute force agree") {
+    def count(edges: Seq[(Long, Long)]): (Long, Long) =
+      graft.operators.Graph.triangleCount(edges.toDF("src", "dst"), "src", "dst")
+        .as[(Long, Long)].head()
+    // K4: C(4,3)=4 triangles, 6 edges; dup/reversed/self edges collapse
+    val k4 = for (a <- 0L to 3L; b <- 0L to 3L; if a != b) yield (a, b)
+    assert(count(k4 ++ Seq((2L, 2L), (1L, 0L))) == ((6L, 4L)))
+    // path and star: zero triangles
+    assert(count((0L until 9L).map(i => (i, i + 1)))._2 == 0L)
+    assert(count((1L to 50L).map(i => (0L, i)))._2 == 0L)
+    // hub + rim (wheel W8): rim closes 8 triangles through the hub —
+    // the skewed-degree shape the orientation exists for
+    val wheel = (1L to 8L).map(i => (0L, i)) ++
+      (1L to 8L).map(i => (i, if (i == 8L) 1L else i + 1))
+    assert(count(wheel) == ((16L, 8L)))
+    // random graph vs brute force
+    val rnd = new scala.util.Random(7)
+    val re = Seq.fill(300)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter { case (a, b) => a != b }
+    val adj = re.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    val nodes = adj.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+    val brute = (for {
+      i <- nodes; j <- nodes if j > i && adj((i, j))
+      k <- nodes if k > j && adj((i, k)) && adj((j, k))
+    } yield 1).size.toLong
+    assert(count(re)._2 == brute)
+    // both closure modes agree: broadcast adjacency-intersection
+    // (default) vs the distributed wedge-join path (limit 0)
+    val viaWedges = graft.operators.Graph.triangleCount(
+      re.toDF("src", "dst"), "src", "dst", broadcastCloseLimit = 0L)
+      .as[(Long, Long)].head()
+    assert(viaWedges._2 == brute && viaWedges._1 == count(re)._1)
+  }
+
   test("Ann.buildIvf/queryIvf: probing all cells reproduces exact top-k") {
     val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
     val q = emb.filter($"vec_id" === 3).select($"embedding").as[Array[Float]].head()
