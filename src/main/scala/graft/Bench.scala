@@ -36,70 +36,65 @@ object Bench {
     * fixed by the cellMinRows file-count valve + per-file-parallel
     * footer reads — re-measured in-band (q62 2.0, q101 3.67, q121
     * 2.64, q122 1.92 isolated) with the cell layout ON. */
+  // ---- r15 FULL RE-BASE (noop-sink action) ----
+  // The timed action changed from count() to a noop-sink write (see
+  // `force` below): count() let Catalyst skip projections, sorts and
+  // even whole joins, so several queries (scalar batteries, image
+  // decode/resize, chunkers — anything whose tail is projection-only)
+  // were benched below their true serving cost (q01 0.23 -> 0.99,
+  // q98 0.17 -> 0.89, q104 1.17 -> 2.2, q102 1.18 -> 1.99). Old bands
+  // are NOT comparable; these come from two consecutive full noop runs
+  // in one session (totals 83.8 / 84.9 s, zero pairwise-unstable
+  // queries, gc 0-0.1 s, second run under load1 6.8 — robust):
+  // lo = 0.7 x min(run1, run2), hi = 1.35 x max + 0.15 (absolute floor
+  // so sub-second queries keep noise headroom the old razor-thin bands
+  // lacked, e.g. q104's 0.006-wide band that flagged on mild load).
   private val Bands: Map[String, (Double, Double)] = Map(
-    "q01" -> (0.229, 0.463), "q02" -> (0.214, 0.249), "q03" -> (0.332, 1.043),
-    "q04" -> (0.65, 1.095), "q05" -> (0.29, 0.552), "q06" -> (0.26, 0.462),
-    "q07" -> (0.302, 1.182), "q08" -> (0.175, 0.611), "q09" -> (0.356, 0.467),
-    "q10" -> (0.219, 0.857), "q100" -> (0.143, 0.309), "q101" -> (2.788, 3.7),
-    "q102" -> (1.099, 1.107), "q103" -> (0.2, 0.204), "q104" -> (1.168, 1.174),
-    "q105" -> (0.367, 0.395), "q106" -> (0.18, 0.255), "q107" -> (0.148, 0.157),
-    "q108" -> (0.193, 0.234), "q109" -> (1.609, 1.689), "q11" -> (0.148, 0.216),
-    "q110" -> (0.233, 0.35), "q111" -> (0.834, 0.993), "q112" -> (0.845, 0.94),
-    "q121" -> (1.583, 3.0), "q122" -> (1.583, 3.0),
-    // r15: q123 (added r14) from its observed 1.9-3.2 range; q124/q125
-    // (added r15) from their first in-suite measurements (q124 1.38
-    // both runs; q125 3.12 — an index build + up to FIVE probe
-    // attempts: the frozen underfill plus the escalation ladder),
-    // q122's ~1.75x headroom ratio
-    "q123" -> (1.9, 3.4), "q124" -> (1.38, 2.8), "q125" -> (3.1, 5.4),
-    // r15 late adds, ~2x headroom over first sf0.1 measurements. q126's
-    // first number (0.24) was a measurement ILLUSION: count() over the
-    // original left-join tail let Catalyst eliminate the join (spans has
-    // provably-unique keys), so the bench never executed the window
-    // pipeline at all. The Bloom corpus split makes count() honest
-    // (the prefilter's cardinality depends on the spans side), and the
-    // real cost — after fixing the one-core window fan-out (repartition
-    // to parallelism) and persisting spans across its three consumers
-    // (18s -> 0.7s at sf0.1) — is 0.71 isolated.
-    "q126" -> (0.6, 1.6), "q127" -> (0.25, 0.7),
-    // q129 triangle count: 1.2M-edge co-order graph, 41M wedges closed
-    // via broadcast adjacency intersection; 3.48 isolated
-    "q129" -> (2.8, 7.0),
-    // q128 SQL-catalog serving reads (build amortized out of the
-    // median): 0.70 isolated first measurement
-    "q128" -> (0.6, 1.5),
-    "q113" -> (0.49, 0.536), "q114" -> (0.333, 0.487), "q115" -> (0.981, 1.589),
-    "q116" -> (1.754, 1.754), "q12" -> (0.252, 0.443), "q13" -> (0.335, 0.517),
-    "q14" -> (0.158, 0.291), "q15" -> (0.255, 0.366), "q16" -> (0.234, 0.565),
-    "q17" -> (0.312, 0.499), "q18" -> (0.159, 0.229), "q19" -> (0.345, 0.478),
-    "q20" -> (0.461, 0.773), "q21" -> (0.247, 0.433), "q22" -> (0.257, 0.53),
-    "q23" -> (0.194, 0.276), "q24" -> (0.301, 0.38), "q25" -> (0.189, 0.669),
-    "q26" -> (0.333, 0.593), "q27" -> (0.252, 0.367), "q28" -> (0.202, 0.283),
-    "q29" -> (0.315, 0.507), "q30" -> (0.185, 0.299), "q31" -> (1.553, 3.5),
-    "q32" -> (0.561, 1.354), "q33" -> (2.124, 5.0), "q34" -> (0.665, 2.138),
-    "q35" -> (0.297, 1.014), "q36" -> (0.46, 0.693), "q37" -> (0.152, 0.262),
-    "q38" -> (0.177, 0.256), "q39" -> (0.281, 0.487), "q40" -> (0.329, 0.814),
-    "q41" -> (0.167, 0.222), "q42" -> (0.236, 0.321), "q43" -> (0.216, 0.269),
-    "q44" -> (0.165, 0.255), "q45" -> (0.41, 0.992), "q46" -> (0.249, 0.335),
-    "q47" -> (0.251, 0.318), "q48" -> (0.287, 0.459), "q49" -> (0.134, 0.203),
-    "q50" -> (0.197, 0.342), "q51" -> (0.28, 0.394), "q52" -> (0.19, 1.181),
-    "q53" -> (1.056, 1.638), "q54" -> (0.321, 0.707), "q55" -> (0.245, 0.354),
-    "q56" -> (0.3, 0.468), "q57" -> (1.168, 2.233), "q58" -> (0.233, 0.322),
-    "q59" -> (0.284, 0.631), "q60" -> (0.178, 0.239), "q61" -> (0.142, 0.345),
-    "q62" -> (1.512, 2.889), "q63" -> (0.284, 0.446), "q64" -> (0.146, 0.227),
-    "q65" -> (0.225, 0.275), "q66" -> (0.233, 0.491), "q67" -> (0.351, 0.439),
-    "q68" -> (0.189, 0.264), "q69" -> (0.165, 0.232), "q70" -> (0.339, 0.898),
-    "q71" -> (0.267, 0.345), "q72" -> (1.094, 2.143), "q73r" -> (0.217, 0.254),
-    "q73w" -> (0.269, 0.292), "q74r" -> (0.256, 0.27), "q74w" -> (0.236, 0.385),
-    "q75" -> (2.579, 6.0), "q76" -> (0.252, 0.353), "q77" -> (0.985, 1.921),
-    "q78r" -> (0.151, 0.164), "q78w" -> (0.254, 0.269), "q79" -> (0.331, 0.833),
-    "q80" -> (0.222, 0.887), "q81" -> (0.182, 0.283), "q82" -> (0.583, 1.123),
-    "q83" -> (0.385, 0.73), "q84" -> (0.381, 0.75), "q85" -> (0.375, 1.816),
-    "q86" -> (0.632, 3.082), "q87" -> (1.502, 5.0), "q88" -> (1.698, 4.264),
-    "q89" -> (0.352, 1.984), "q90" -> (0.128, 0.184), "q91r" -> (0.384, 0.385),
-    "q91w" -> (0.389, 0.397), "q92" -> (0.385, 0.79), "q93" -> (0.325, 0.746),
-    "q94" -> (0.396, 0.654), "q95" -> (0.214, 0.265), "q96" -> (0.327, 0.64),
-    "q97" -> (0.218, 0.471), "q98" -> (0.169, 0.25), "q99" -> (0.428, 1.08))
+    "q01" -> (0.567, 1.486), "q02" -> (0.217, 0.596), "q03" -> (0.217, 0.582),
+    "q04" -> (0.819, 1.743), "q05" -> (0.224, 0.622), "q06" -> (0.217, 0.622),
+    "q07" -> (0.252, 0.636), "q08" -> (0.238, 0.609), "q09" -> (0.525, 1.217),
+    "q10" -> (0.322, 0.893), "q100" -> (0.105, 0.353), "q101" -> (2.135, 4.443),
+    "q102" -> (1.351, 2.837), "q103" -> (0.175, 0.501), "q104" -> (1.603, 3.309),
+    "q105" -> (0.294, 0.731), "q106" -> (0.147, 0.515), "q107" -> (0.084, 0.353),
+    "q108" -> (0.133, 0.433), "q109" -> (0.896, 2.026), "q11" -> (0.098, 0.353),
+    "q110" -> (0.217, 0.582), "q111" -> (0.665, 1.527), "q112" -> (0.672, 1.5),
+    "q113" -> (0.63, 1.379), "q114" -> (0.322, 0.825), "q115" -> (0.637, 1.392),
+    "q116" -> (0.637, 1.46), "q117" -> (0.301, 0.811), "q118" -> (0.511, 1.419),
+    "q119" -> (0.392, 0.947), "q12" -> (0.238, 0.663), "q120" -> (1.197, 2.513),
+    "q121" -> (1.232, 2.783), "q122" -> (0.805, 2.107), "q123" -> (1.309, 2.89),
+    "q124" -> (0.98, 2.081), "q125" -> (2.114, 4.862), "q126" -> (0.518, 1.163),
+    "q127" -> (0.252, 0.677), "q128" -> (0.357, 0.839), "q129" -> (2.226, 4.592),
+    "q13" -> (0.231, 0.596), "q14" -> (0.168, 0.501), "q15" -> (0.217, 0.596),
+    "q16" -> (0.175, 0.501), "q17" -> (0.287, 0.717), "q18" -> (0.161, 0.461),
+    "q19" -> (0.21, 0.636), "q20" -> (0.322, 0.771), "q21" -> (0.217, 0.622),
+    "q22" -> (0.238, 0.636), "q23" -> (0.154, 0.461), "q24" -> (0.238, 0.649),
+    "q25" -> (0.217, 0.69), "q26" -> (0.21, 0.663), "q27" -> (0.21, 0.622),
+    "q28" -> (0.119, 0.38), "q29" -> (0.168, 0.596), "q30" -> (0.14, 0.447),
+    "q31" -> (0.826, 1.824), "q32" -> (0.385, 0.933), "q33" -> (1.288, 2.823),
+    "q34" -> (0.483, 1.23), "q35" -> (0.21, 0.582), "q36" -> (0.357, 0.893),
+    "q37" -> (0.161, 0.555), "q38" -> (0.231, 0.596), "q39" -> (0.21, 0.582),
+    "q40" -> (0.196, 0.596), "q41" -> (0.189, 0.541), "q42" -> (0.189, 0.541),
+    "q43" -> (0.245, 0.649), "q44" -> (0.189, 0.541), "q45" -> (0.511, 1.27),
+    "q46" -> (0.161, 0.461), "q47" -> (0.189, 0.528), "q48" -> (0.252, 0.636),
+    "q49" -> (0.329, 0.825), "q50" -> (0.224, 0.636), "q51" -> (0.224, 0.596),
+    "q52" -> (0.224, 0.596), "q53" -> (0.798, 1.865), "q54" -> (0.392, 0.947),
+    "q55" -> (0.154, 0.501), "q56" -> (0.189, 0.541), "q57" -> (0.497, 1.176),
+    "q58" -> (0.175, 0.515), "q59" -> (0.231, 0.663), "q60" -> (0.259, 0.69),
+    "q61" -> (0.203, 0.596), "q62" -> (0.882, 1.946), "q63" -> (0.224, 0.636),
+    "q64" -> (0.259, 0.663), "q65" -> (0.175, 0.488), "q66" -> (0.133, 0.596),
+    "q67" -> (0.21, 0.569), "q68" -> (0.203, 0.596), "q69" -> (0.553, 1.244),
+    "q70" -> (0.259, 0.663), "q71" -> (0.231, 0.622), "q72" -> (0.707, 1.54),
+    "q73r" -> (0.21, 0.677), "q73w" -> (0.196, 0.528), "q74r" -> (0.196, 0.69),
+    "q74w" -> (0.168, 0.515), "q75" -> (1.939, 4.133), "q76" -> (0.175, 0.501),
+    "q77" -> (0.462, 1.068), "q78r" -> (0.175, 0.501), "q78w" -> (0.161, 0.474),
+    "q79" -> (0.21, 0.582), "q80" -> (0.161, 0.501), "q81" -> (0.224, 0.609),
+    "q82" -> (0.385, 0.906), "q83" -> (0.245, 0.622), "q84" -> (0.259, 0.663),
+    "q85" -> (0.238, 0.69), "q86" -> (0.385, 0.906), "q87" -> (1.869, 4.092),
+    "q88" -> (1.078, 2.499), "q89" -> (0.287, 0.744), "q90" -> (0.231, 0.596),
+    "q91r" -> (0.357, 0.866), "q91w" -> (0.245, 0.622), "q92" -> (0.21, 0.569),
+    "q93" -> (0.301, 0.744), "q94" -> (0.28, 0.704), "q95" -> (0.434, 1.014),
+    "q96" -> (0.203, 0.636), "q97" -> (0.168, 0.474), "q98" -> (0.623, 1.432),
+    "q99" -> (0.217, 0.596))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -126,6 +121,17 @@ object Bench {
       "lineitem", "events", "documents", "embeddings").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").count() catch { case _: Throwable => }
     }
+    // The timed action: a NOOP-sink write, not count(). count() lets
+    // Catalyst SKIP work a user's query would pay — projections that
+    // feed no aggregate aren't evaluated, sorts below the count
+    // aggregate are eliminated, and a unique-keyed outer join is
+    // removed outright (discovered via q126, whose whole pipeline
+    // benched at 0.24s without ever running: the left join against a
+    // provably-unique aggregate was eliminated under count). The noop
+    // sink consumes every row of the final plan — projections, sorts
+    // and joins all execute — which is what serving the result costs.
+    def force(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     // Optional comma-separated qNN-prefix filter for targeted profiling
     // (e.g. SPARK_GRAFT_ONLY=q87,q75). Unset = full suite (the driver
     // contract).
@@ -136,7 +142,7 @@ object Bench {
       case None => SparkEntry.queries
     }
     selected.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => }
+      try force(fn(spark, sfDir)) catch { case _: Throwable => }
     }
     // One timed run is NOT a stable estimator here: suite-order debris
     // (localCheckpoint blocks pinned by earlier dedup/graph queries, GC
@@ -215,9 +221,9 @@ object Bench {
         // sees data — the warm-up pass above ran the composite)
         case Some((w, r)) => Seq(
           s"${name.takeWhile(_ != '_')}w_write" -> timeMedian(() => w(spark, sfDir)),
-          s"${name.takeWhile(_ != '_')}r_read" -> timeMedian(() => { r(spark, sfDir).count(); () }))
+          s"${name.takeWhile(_ != '_')}r_read" -> timeMedian(() => force(r(spark, sfDir))))
         case None =>
-          Seq(name -> timeMedian(() => { fn(spark, sfDir).count(); () }))
+          Seq(name -> timeMedian(() => force(fn(spark, sfDir))))
       }
     }
     // Human-readable per-query table (full names + historical band +
