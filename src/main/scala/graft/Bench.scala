@@ -64,6 +64,9 @@ object Bench {
     "q121" -> (1.232, 2.783), "q122" -> (0.805, 2.107), "q123" -> (1.309, 2.89),
     "q124" -> (0.98, 2.081), "q125" -> (2.114, 4.862), "q126" -> (0.518, 1.163),
     "q127" -> (0.252, 0.677), "q128" -> (0.357, 0.839), "q129" -> (2.226, 4.592),
+    // q130 added after the re-base runs; same formula on its first
+    // isolated noop measurement (1.25)
+    "q130" -> (0.875, 1.838),
     "q13" -> (0.231, 0.596), "q14" -> (0.168, 0.501), "q15" -> (0.217, 0.596),
     "q16" -> (0.175, 0.501), "q17" -> (0.287, 0.717), "q18" -> (0.161, 0.461),
     "q19" -> (0.21, 0.636), "q20" -> (0.322, 0.771), "q21" -> (0.217, 0.622),

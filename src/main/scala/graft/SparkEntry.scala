@@ -2258,6 +2258,24 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // INCREMENTAL duplicate-substring removal (the crawl-ingest shape):
+    // every third document is the "batch", the rest the stored corpus
+    // whose precomputed window-hash sidecar decides corpus hits; the
+    // oracle counts windows over corpus ∪ batch (= the whole table) and
+    // cuts batch docs only.
+    "q130_exact_substr_against" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val side = graft.operators.Dedup.prepareSubstrCounts(
+        docs.filter($"doc_id" % 3 =!= 0), "text", windowLen = 30)
+      graft.operators.Dedup.exactSubstrAgainst(
+          side, docs.filter($"doc_id" % 3 === 0), "doc_id", "text", windowLen = 30)
+        .select($"doc_id", $"cleaned",
+          $"kept_chars".cast("long").as("kept_chars"),
+          $"removed_chars".cast("long").as("removed_chars"))
+        .orderBy($"doc_id")
+    }),
+
     // Q5 exact similarity join: all (query, candidate) pairs above a
     // cosine threshold — broadcast small side, codegen'd cosine filter.
     "q63_similarity_join" -> ((s, dir) => {
@@ -3519,6 +3537,32 @@ object SparkEntry {
         |       length(coalesce(cl.cleaned, '')) AS kept_chars,
         |       length(d.text) - length(coalesce(cl.cleaned, '')) AS removed_chars
         |FROM documents d LEFT JOIN cl USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q130_exact_substr_against" ->
+      """WITH w AS (
+        |  SELECT doc_id, i, substr(text, i, 30) AS gram
+        |  FROM documents,
+        |       LATERAL (SELECT unnest(generate_series(1,
+        |         greatest(length(text) - 29, 0))) AS i) t
+        |),
+        |cnt AS (SELECT gram, count(*) AS c FROM w GROUP BY gram),
+        |dup AS (SELECT gram FROM cnt WHERE c >= 2),
+        |ivl AS (SELECT doc_id, i AS s, i + 29 AS e FROM w
+        |        WHERE doc_id % 3 = 0 AND gram IN (SELECT gram FROM dup)),
+        |batch AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
+        |cl AS (
+        |  SELECT d.doc_id, string_agg(substr(d.text, c.p, 1), '' ORDER BY c.p) AS cleaned
+        |  FROM batch d,
+        |       LATERAL (SELECT unnest(generate_series(1, length(d.text))) AS p) c
+        |  WHERE NOT EXISTS (SELECT 1 FROM ivl
+        |                    WHERE ivl.doc_id = d.doc_id AND c.p BETWEEN ivl.s AND ivl.e)
+        |  GROUP BY d.doc_id
+        |)
+        |SELECT d.doc_id AS doc_id, coalesce(cl.cleaned, '') AS cleaned,
+        |       length(coalesce(cl.cleaned, '')) AS kept_chars,
+        |       length(d.text) - length(coalesce(cl.cleaned, '')) AS removed_chars
+        |FROM batch d LEFT JOIN cl USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     "q63_similarity_join" ->

@@ -827,19 +827,7 @@ object Dedup {
       if (baseRaw.rdd.getNumPartitions < para) baseRaw.repartition(para)
       else baseRaw
 
-    // One window per character position (1-based, matching substr). A
-    // text shorter than the window emits none; sequence() is guarded
-    // because sequence(1, 0) DESCENDS instead of returning empty.
-    val positions = when(length(col("_text")) >= L,
-      sequence(lit(1), length(col("_text")) - (L - 1)))
-      .otherwise(array().cast("array<int>"))
-    val anchored =
-      if (anchorStride == 1) explode(positions).as("_p")
-      else explode(filter(positions, p =>
-        pmod(xxhash64(col("_text").substr(p, lit(8))), lit(anchorStride)) === 0)).as("_p")
-    val wins = base
-      .select(col("_id"), col("_text"), anchored)
-      .select(col("_id"), col("_p"), col("_text").substr(col("_p"), lit(L)).as("_g"))
+    val wins = substrWindows(base, L, anchorStride)
       .withColumn("_h", xxhash64(col("_g")))
 
     // Pass 1: count on the 8-byte hash only (column pruning drops _g).
@@ -850,8 +838,34 @@ object Dedup {
     val verified = cand.groupBy("_g").agg(count(lit(1)).as("_c"))
       .filter(col("_c") >= minCount).select("_g")
     val dupWins = cand.join(verified, Seq("_g")).select("_id", "_p")
+    cutSpans(base, dupWins, idCol, L, bloomFpp, expectedSpanDocs)
+  }
 
-    // Pass 3: per-doc sorted positions -> merged [s, e] intervals -> cut.
+  /** One window per character position (1-based, matching substr):
+    * (_id, _p, _g) from a (_id, _text) frame. A text shorter than the
+    * window emits none; sequence() is guarded because sequence(1, 0)
+    * DESCENDS instead of returning empty. `anchorStride > 1` keeps only
+    * content-defined anchor positions (see [[exactSubstr]]). */
+  private def substrWindows(base: DataFrame, L: Int, anchorStride: Int): DataFrame = {
+    val positions = when(length(col("_text")) >= L,
+      sequence(lit(1), length(col("_text")) - (L - 1)))
+      .otherwise(array().cast("array<int>"))
+    val anchored =
+      if (anchorStride == 1) explode(positions).as("_p")
+      else explode(filter(positions, p =>
+        pmod(xxhash64(col("_text").substr(p, lit(8))), lit(anchorStride)) === 0)).as("_p")
+    base
+      .select(col("_id"), col("_text"), anchored)
+      .select(col("_id"), col("_p"), col("_text").substr(col("_p"), lit(L)).as("_g"))
+  }
+
+  /** Shared cut tail for [[exactSubstr]] / [[exactSubstrAgainst]]:
+    * duplicated window positions (_id, _p) -> per-doc merged intervals
+    * -> surviving text, with the span-id Bloom split that keeps
+    * untouched docs out of the text join. */
+  private def cutSpans(base: DataFrame, dupWins: DataFrame, idCol: String,
+      L: Int, bloomFpp: Double, expectedSpanDocs: Long): DataFrame = {
+    // Per-doc sorted positions -> merged [s, e] intervals -> cut.
     // Persisted: three consumers (size count, Bloom build, the cut join)
     // would otherwise each re-execute the whole 3-pass DAG; spans is
     // narrow (one (id, int-positions) row per span-BEARING doc — bounded
@@ -895,7 +909,7 @@ object Dedup {
     // to nothing and passes through — exactness never depends on fpp.
     // `expectedSpanDocs <= 0` counts the spans side (one narrow extra
     // job; pass a hint at scale).
-    val spark = df.sparkSession
+    val spark = base.sparkSession
     val spansN =
       if (expectedSpanDocs > 0) expectedSpanDocs
       else math.max(1L, spans.count())
@@ -922,6 +936,77 @@ object Dedup {
       .withColumn("cleaned", col("_text"))
       .select(outCols: _*)
     cutRows.unionAll(untouched)
+  }
+
+  /** The window-hash count SIDECAR for [[exactSubstrAgainst]]: one
+    * (h1, h2, count) row per DISTINCT window of the corpus, where
+    * (h1, h2) is a 128-bit double-hash of the gram (two xxhash64 seeds
+    * via a salt prefix). Computed once per corpus — store it next to
+    * the corpus like [[prepareMinhash]]'s signature sidecar and reuse
+    * across every ingest batch; size is O(distinct windows), text never
+    * leaves the corpus scan. */
+  def prepareSubstrCounts(corpus: DataFrame, textCol: String,
+      windowLen: Int = 50, anchorStride: Int = 1): DataFrame = {
+    require(windowLen >= 2, s"windowLen must be >= 2, got $windowLen")
+    substrWindows(
+        corpus.select(lit(0L).as("_id"), col(textCol).as("_text")),
+        windowLen, anchorStride)
+      .select(xxhash64(col("_g")).as("_h1"),
+        xxhash64(lit("graft-substr-salt"), col("_g")).as("_h2"))
+      .groupBy("_h1", "_h2").agg(count(lit(1)).as("_c"))
+  }
+
+  /** Incremental duplicate-substring removal of an ingest BATCH against
+    * an already-stored corpus — the rolling-crawl shape: spans the
+    * corpus has already seen (or that repeat within the batch) cut from
+    * batch documents; the corpus is never modified or rescanned beyond
+    * its precomputed [[prepareSubstrCounts]] sidecar.
+    *
+    * A batch window is duplicated iff its corpus-sidecar count plus its
+    * in-batch count reaches `minCount` (default 2: one prior corpus
+    * occurrence suffices, and batch-internal repeats cut exactly like
+    * [[exactSubstr]]). Matching is on the 128-bit double-hash — the
+    * corpus' gram strings are not stored, so there is no string-verify
+    * pass here; at 10^12 windows the 128-bit collision probability is
+    * ~1e-14, documented as the trade for a sidecar that is counts-only.
+    *
+    * Orientation: the batch is small (a crawl batch), the sidecar is
+    * O(corpus distinct windows) — the batch's DISTINCT hash pairs
+    * BROADCAST as the semi-filter on the sidecar scan, so only sidecar
+    * rows the batch actually touches shuffle into the join
+    * ([[minhashAgainst]]'s census orientation); the batch never pins. */
+  def exactSubstrAgainst(
+      corpusCounts: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowLen: Int = 50,
+      minCount: Int = 2,
+      anchorStride: Int = 1,
+      bloomFpp: Double = 0.01,
+      expectedSpanDocs: Long = 0L): DataFrame = {
+    require(windowLen >= 2, s"windowLen must be >= 2, got $windowLen")
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    val L = windowLen
+    val baseRaw = batch.select(col(idCol).as("_id"), col(textCol).as("_text"))
+    val para = batch.sparkSession.sparkContext.defaultParallelism
+    val base =
+      if (baseRaw.rdd.getNumPartitions < para) baseRaw.repartition(para)
+      else baseRaw
+    val wins = substrWindows(base, L, anchorStride)
+      .select(col("_id"), col("_p"),
+        xxhash64(col("_g")).as("_h1"),
+        xxhash64(lit("graft-substr-salt"), col("_g")).as("_h2"))
+    val batchCounts = wins.groupBy("_h1", "_h2").agg(count(lit(1)).as("_bc"))
+    val corpusHits = corpusCounts
+      .select(col("_h1"), col("_h2"), col("_c").cast("long").as("_cc"))
+      .join(broadcast(batchCounts.select("_h1", "_h2")), Seq("_h1", "_h2"), "left_semi")
+    val dupPairs = batchCounts
+      .join(corpusHits, Seq("_h1", "_h2"), "left")
+      .filter(col("_bc") + coalesce(col("_cc"), lit(0L)) >= minCount)
+      .select("_h1", "_h2")
+    val dupWins = wins.join(dupPairs, Seq("_h1", "_h2")).select("_id", "_p")
+    cutSpans(base, dupWins, idCol, L, bloomFpp, expectedSpanDocs)
   }
 
   // ---------- helpers ----------

@@ -380,6 +380,37 @@ class DedupSpec extends AnyFunSuite {
     assert(out(2L) == 0)
   }
 
+  test("exactSubstrAgainst == exactSubstr over the union, restricted to batch ids") {
+    // combined (corpus + batch) window counts decide the cut either way,
+    // so running exactSubstr on the union and keeping batch rows is an
+    // oracle-by-composition for the incremental sidecar path
+    val boiler = "COPYRIGHT NOTICE ALL RIGHTS RESERVED WORLDWIDE FOREVER"
+    val corpus = Seq(
+      (100L, s"stored document one with $boiler stamped in the middle part"),
+      (101L, "stored document two is entirely free of shared content today"))
+    val batch = Seq(
+      (1L, s"fresh crawl doc carrying $boiler plus its own novel words"), // corpus hit
+      (2L, "totally novel crawl document with nothing repeated anywhere"),
+      (3L, "loop segment loop segment loop segment loop segment ending")) // in-batch repeat
+    val l = 20
+    val side = Dedup.prepareSubstrCounts(corpus.toDF("doc_id", "text"), "text",
+      windowLen = l)
+    val got = Dedup.exactSubstrAgainst(side, batch.toDF("doc_id", "text"),
+        "doc_id", "text", windowLen = l)
+      .select($"doc_id", $"cleaned").as[(Long, String)].collect().toMap
+    val viaUnion = Dedup.exactSubstr((corpus ++ batch).toDF("doc_id", "text"),
+        "doc_id", "text", windowLen = l)
+      .filter($"doc_id" < 100)
+      .select($"doc_id", $"cleaned").as[(Long, String)].collect().toMap
+    assert(got == viaUnion)
+    // the fixture exercises all three cases
+    assert(!got(1L).contains("COPYRIGHT") && got(1L).contains("novel words"))
+    assert(got(2L) == batch(1)._2)
+    assert(got(3L).length < batch(2)._2.length)
+    // corpus rows never appear in the output
+    assert(!got.contains(100L) && got.size == 3)
+  }
+
   test("bucket-skew safety valve: oversized buckets are skipped, not squared") {
     // 200 identical docs -> bucket of 200 > maxBucketSize=50 -> no pairs,
     // nothing dropped (graceful degradation instead of OOM at scale)
