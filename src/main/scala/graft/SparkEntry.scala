@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2276,6 +2276,78 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // WARC crawl-shard ingest (the Common Crawl container): documents
+    // become HTTP response records across four shards — half gzip'd
+    // per-record (the CC seekable layout), half plain — interleaved
+    // with request + warcinfo records the type filter must drop; the
+    // HTTP envelope peels off and the payload round-trips exactly.
+    "q131_warc_shards" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = freshScratch("q131")
+      val docs = t(s, dir, "documents").select($"doc_id", $"lang")
+        .as[(Long, String)].collect().sortBy(_._1)
+      docs.grouped(math.max(1, (docs.length + 3) / 4)).zipWithIndex.foreach {
+        case (slice, i) =>
+          val gz = i % 2 == 0
+          val info = (Seq(
+            "WARC-Type" -> "warcinfo",
+            "Content-Type" -> "application/warc-fields"),
+            s"software: graft-test\r\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val recs = info +: slice.toSeq.flatMap { case (id, lang) =>
+            val uri = s"http://example.com/doc/$id"
+            val req = (Seq(
+              "WARC-Type" -> "request",
+              "WARC-Target-URI" -> uri,
+              "Content-Type" -> "application/http; msgtype=request"),
+              s"GET /doc/$id HTTP/1.1\r\nHost: example.com\r\n\r\n"
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            val resp = graft.sources.Warc.httpResponseRecord(uri,
+              s"payload for document $id lang $lang"
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+              payloadType = "text/plain")
+            Seq(req, resp)
+          }
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(tmp,
+              f"shard-$i%05d.warc" + (if (gz) ".gz" else "")),
+            graft.sources.Warc.archive(recs, gzipPerRecord = gz))
+      }
+      val bodyUdf = udf((b: Array[Byte]) => new String(
+        graft.sources.Warc.httpBody(b), java.nio.charset.StandardCharsets.UTF_8))
+      graft.operators.Ingest.readWarcRecords(s, tmp)
+        .filter($"warc_type" === "response")
+        .select(
+          regexp_extract($"target_uri", "(\\d+)$", 1).cast("long").as("doc_id"),
+          $"target_uri", $"content_type",
+          bodyUdf($"content").as("body"))
+        .withColumn("body_len", length($"body").cast("int"))
+        .orderBy($"doc_id")
+    }),
+
+    // HTML -> text extraction (the WET step): documents.text embeds in
+    // a closed-form page (title/h1/escaped paragraph/inline-tag footer,
+    // plus script/style/comment/doctype/quoted-'>' decoys that must all
+    // drop) and the extractor must give back exactly the title, h1,
+    // whitespace-collapsed body, and footer lines the oracle rebuilds
+    // from the original columns.
+    "q132_html_to_text" -> ((s, dir) => {
+      import s.implicits._
+      def esc(c: Column): Column = regexp_replace(
+        regexp_replace(regexp_replace(c, "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+      val toText = udf((h: String) => graft.sources.Html.toText(h))
+      val docs = t(s, dir, "documents")
+      val html = concat(
+        lit("<!DOCTYPE html><html><head><title>Doc "), $"doc_id",
+        lit("</title><style>body { color: #333; }</style>"),
+        lit("<script>if (1 < 2 && x > 0) { alert('</div>'); }</script>"),
+        lit("</head><body><!-- synthetic page --><h1>Doc "), $"doc_id",
+        lit("</h1><p class=\"lead\" data-x=\"a>b\">"), esc($"text"),
+        lit("</p><div><span>lang: </span><b>"), $"lang",
+        lit("</b> &amp; <i>source:</i> "), $"source",
+        lit("</div></body></html>"))
+      docs.select($"doc_id", toText(html).as("text")).orderBy($"doc_id")
+    }),
+
     // Q5 exact similarity join: all (query, candidate) pairs above a
     // cosine threshold — broadcast small side, codegen'd cosine filter.
     "q63_similarity_join" -> ((s, dir) => {
@@ -3564,6 +3636,26 @@ object SparkEntry {
         |       length(d.text) - length(coalesce(cl.cleaned, '')) AS removed_chars
         |FROM batch d LEFT JOIN cl USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "q131_warc_shards" ->
+      """SELECT doc_id,
+        |  'http://example.com/doc/' || doc_id AS target_uri,
+        |  'application/http; msgtype=response' AS content_type,
+        |  'payload for document ' || doc_id || ' lang ' || lang AS body,
+        |  CAST(length('payload for document ' || doc_id || ' lang ' || lang)
+        |    AS INT) AS body_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q132_html_to_text" ->
+      """WITH e AS (
+        |  SELECT doc_id, lang, source,
+        |    trim(regexp_replace(text, '[ \t\r\n]+', ' ', 'g')) AS body
+        |  FROM documents)
+        |SELECT doc_id,
+        |  'Doc ' || doc_id || chr(10) || 'Doc ' || doc_id ||
+        |  CASE WHEN body = '' THEN '' ELSE chr(10) || body END ||
+        |  chr(10) || 'lang: ' || lang || ' & source: ' || source AS text
+        |FROM e ORDER BY doc_id""".stripMargin,
 
     "q63_similarity_join" ->
       """SELECT q.vec_id AS query_id, COUNT(*) AS n_similar, MIN(e.vec_id) AS min_match

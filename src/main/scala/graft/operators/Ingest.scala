@@ -76,6 +76,37 @@ object Ingest {
     }(enc)
   }
 
+  /** Read WARC crawl shards (op A1 at web-corpus scale): one row per
+    * record, gzip'd (whole-file or Common-Crawl per-record member) or
+    * plain. The same shard-per-task sequential-read shape as
+    * [[readTarMembers]]; header fields surface as columns so a
+    * `warc_type = 'response'` filter prunes request/metadata records
+    * before any payload work. Output: (shard string, warc_type,
+    * target_uri, record_id, content_type string, content binary). */
+  def readWarcRecords(spark: SparkSession, dir: String,
+      glob: String = "*.warc*"): DataFrame = {
+    val raw = spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob).load(dir)
+      .select(col("path"), col("content"))
+    val schema = StructType(Seq(
+      StructField("shard", StringType, nullable = false),
+      StructField("warc_type", StringType, nullable = false),
+      StructField("target_uri", StringType, nullable = false),
+      StructField("record_id", StringType, nullable = false),
+      StructField("content_type", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    raw.mapPartitions { it =>
+      it.flatMap { r =>
+        val path = r.getString(0)
+        graft.sources.Warc.records(r.getAs[Array[Byte]](1)).map { rec =>
+          Row(path, rec.warcType, rec.targetUri, rec.recordId,
+            rec.contentType, rec.block)
+        }
+      }
+    }(enc)
+  }
+
   /** Group tar members into webdataset SAMPLES: key = member name up
     * to the first '.', extension maps to the member bytes — so
     * `0001.png` + `0001.txt` become one row (shard, key "0001",

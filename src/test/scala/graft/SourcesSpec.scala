@@ -1402,6 +1402,153 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  // ---- WARC container (sources/Warc.scala) ----
+
+  private def warcFixture(gz: Boolean): Array[Byte] = {
+    import graft.sources.Warc
+    val info = (Seq("WARC-Type" -> "warcinfo",
+      "Content-Type" -> "application/warc-fields"),
+      "software: test\r\n".getBytes("UTF-8"))
+    val req = (Seq("WARC-Type" -> "request",
+      "WARC-Target-URI" -> "http://x/1",
+      "Content-Type" -> "application/http; msgtype=request"),
+      "GET /1 HTTP/1.1\r\n\r\n".getBytes("UTF-8"))
+    val resp1 = Warc.httpResponseRecord("http://x/1", "hello world".getBytes("UTF-8"))
+    val resp2 = Warc.httpResponseRecord("http://x/2",
+      "second épayload".getBytes("UTF-8"))
+    Warc.archive(Seq(info, req, resp1, resp2), gzipPerRecord = gz)
+  }
+
+  test("WARC roundtrip: plain and per-record-gzip shards parse identically") {
+    import graft.sources.Warc
+    for (gz <- Seq(false, true)) {
+      val recs = Warc.records(warcFixture(gz)).toSeq
+      assert(recs.map(_.warcType) == Seq("warcinfo", "request", "response", "response"))
+      assert(recs(2).targetUri == "http://x/1")
+      assert(recs.forall(_.recordId.nonEmpty)) // defaulted deterministically
+      assert(recs.forall(_.date.nonEmpty))
+      assert(new String(Warc.httpBody(recs(2).block), "UTF-8") == "hello world")
+      assert(new String(Warc.httpBody(recs(3).block), "UTF-8") == "second épayload")
+      // httpBody peels only RESPONSE envelopes ("HTTP/..."); a request
+      // block ("GET ...") passes through whole
+      assert(new String(Warc.httpBody(recs(1).block), "UTF-8") ==
+        "GET /1 HTTP/1.1\r\n\r\n")
+    }
+  }
+
+  test("WARC truncation: a cut shard yields its complete prefix, never throws") {
+    import graft.sources.Warc
+    val full = warcFixture(gz = false)
+    val fullRecs = Warc.records(full).toSeq
+    // cut mid-way through the last record's block
+    val cut = java.util.Arrays.copyOfRange(full, 0, full.length - 8)
+    val recs = Warc.records(cut).toSeq
+    assert(recs.length == fullRecs.length - 1)
+    assert(recs.map(_.targetUri) == fullRecs.dropRight(1).map(_.targetUri))
+    // gzip variant: truncated tail member inflates to a prefix; parse
+    // still ends cleanly with the complete records
+    val gzFull = warcFixture(gz = true)
+    // cut into the last member's DEFLATE data (10 bytes would only lose
+    // the 8-byte trailer after full inflation)
+    val gzCut = java.util.Arrays.copyOfRange(gzFull, 0, gzFull.length - 80)
+    val gzRecs = Warc.records(gzCut).toSeq
+    assert(gzRecs.length < fullRecs.length && gzRecs.nonEmpty)
+    assert(gzRecs.map(_.warcType) == fullRecs.take(gzRecs.length).map(_.warcType))
+  }
+
+  test("WARC header names are case-insensitive; garbage between records stops cleanly") {
+    import graft.sources.Warc
+    val body = "abc".getBytes("UTF-8")
+    val manual = ("WARC/1.1\r\nwarc-type: RESPONSE\r\nWARC-TARGET-URI: http://y\r\n" +
+      s"content-length: ${body.length}\r\n\r\n").getBytes("UTF-8") ++ body ++
+      "\r\n\r\nnot a warc version line".getBytes("UTF-8")
+    val recs = Warc.records(manual).toSeq
+    assert(recs.length == 1)
+    assert(recs.head.warcType == "RESPONSE") // value case preserved
+    assert(recs.head.targetUri == "http://y")
+    assert(new String(recs.head.block, "UTF-8") == "abc")
+  }
+
+  test("httpBody: non-HTTP blocks pass through; headers-without-end is bare payload") {
+    import graft.sources.Warc
+    val bare = "just bytes".getBytes("UTF-8")
+    assert(Warc.httpBody(bare).sameElements(bare))
+    val unterminated = "HTTP/1.1 200 OK\r\nContent-Type: text/plain".getBytes("UTF-8")
+    assert(Warc.httpBody(unterminated).sameElements(unterminated))
+  }
+
+  // ---- HTML -> text (sources/Html.scala) ----
+
+  test("Html.toText: tags strip, block tags break lines, inline tags do not") {
+    import graft.sources.Html
+    assert(Html.toText("<p>one</p><p>two</p>") == "one\ntwo")
+    assert(Html.toText("a<b>bold</b>c <i>i</i>") == "aboldc i")
+    assert(Html.toText("<ul><li>x</li><li>y</li></ul>") == "x\ny")
+    assert(Html.toText("<br/>line1<br>line2") == "line1\nline2")
+  }
+
+  test("Html.toText: script/style drop with content, incl. close-tag decoys inside") {
+    import graft.sources.Html
+    assert(Html.toText(
+      "<script>if (a < b) { s = '</div>'; }</script>after") == "after")
+    assert(Html.toText("<style>p { color: red }</style>text") == "text")
+    // unterminated script drops the rest (documented)
+    assert(Html.toText("before<script>var x = 1;") == "before")
+    // a SELF-CLOSED or CLOSING script tag is not a content-skipping open
+    assert(Html.toText("a</script>b") == "ab")
+  }
+
+  test("Html.toText: comments, doctype, quoted '>' in attributes, literal '<'") {
+    import graft.sources.Html
+    assert(Html.toText("<!DOCTYPE html>x<!-- note -->y") == "xy")
+    assert(Html.toText("a<!-- unterminated") == "a")
+    assert(Html.toText("""<p data-x="a>b">inside</p>""") == "inside")
+    assert(Html.toText("3 < 5 and 7 <	9") == "3 < 5 and 7 < 9")
+    // a tag that never closes truncates there
+    assert(Html.toText("keep<div class=") == "keep")
+  }
+
+  test("Html.toText: entity decode — named, numeric, malformed-literal, nbsp") {
+    import graft.sources.Html
+    assert(Html.toText("&lt;tag&gt; &amp; &quot;q&quot; &apos;a&apos;") ==
+      "<tag> & \"q\" 'a'")
+    assert(Html.toText("&#65;&#x42;&#x63;") == "ABc")
+    assert(Html.toText("a&nbsp;b") == "a b")
+    assert(Html.toText("AT&T &unknown; &#xZZ; &#999999999;") ==
+      "AT&T &unknown; &#xZZ; &#999999999;")
+    // escaped markup does NOT become markup
+    assert(Html.toText("&lt;script&gt;alert(1)&lt;/script&gt;") ==
+      "<script>alert(1)</script>")
+  }
+
+  test("Html.toText: whitespace collapses in text; only block tags break lines") {
+    import graft.sources.Html
+    assert(Html.toText("a\n\n  b\tc") == "a b c")
+    assert(Html.toText("  <p>  padded   text  </p>  ") == "padded text")
+    assert(Html.toText("") == "")
+    assert(Html.toText(null) == "")
+    assert(Html.toText("<div></div><p>   </p>") == "") // empty lines drop
+  }
+
+  test("WARC + HTML end-to-end: response payloads extract through Ingest.readWarcRecords") {
+    import graft.sources.{Html, Warc}
+    val dir = Files.createTempDirectory("graft_warc")
+    val pages = Seq(
+      ("http://s/a", "<html><head><title>A</title></head><body><p>alpha &amp; beta</p></body></html>"),
+      ("http://s/b", "<html><body><h1>B</h1><p>gamma</p></body></html>"))
+    val recs = pages.map { case (u, h) =>
+      Warc.httpResponseRecord(u, h.getBytes("UTF-8"))
+    }
+    Files.write(dir.resolve("s-0.warc.gz"), Warc.archive(recs, gzipPerRecord = true))
+    val got = graft.operators.Ingest.readWarcRecords(spark, dir.toString)
+      .filter($"warc_type" === "response")
+      .collect()
+      .map(r => (r.getAs[String]("target_uri"),
+        Html.toText(new String(Warc.httpBody(r.getAs[Array[Byte]]("content")), "UTF-8"))))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(("http://s/a", "A\nalpha & beta"), ("http://s/b", "B\ngamma")))
+  }
+
   test("CSV short/bad rows: PERMISSIVE pads with nulls, no rows lost") {
     val dir = Files.createTempDirectory("graft_csv")
     // short rows are padded, bad cells are nulled — rows are never
