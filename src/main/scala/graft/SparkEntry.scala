@@ -2348,6 +2348,25 @@ object SparkEntry {
       docs.select($"doc_id", toText(html).as("text")).orderBy($"doc_id")
     }),
 
+    // PageRank on the part<->supplier supply graph (exact fixed-point
+    // integers, units of 1e-12): the DuckDB oracle unrolls the same
+    // four rounds and must land on bit-identical ranks — a double-typed
+    // PageRank could never hash-match across engines. Bipartite ids
+    // (part*2 even, supplier*2+1 odd) keep the node spaces disjoint;
+    // both directions exist so no node dangles (the dangling term is
+    // spec-covered closed-form).
+    "q133_pagerank" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = t(s, dir, "lineitem")
+        .select(($"l_partkey" * 2).cast("long").as("s"),
+          ($"l_suppkey" * 2 + 1).cast("long").as("t"))
+        .distinct()
+      val edges = pairs.unionByName(pairs.select($"t".as("s"), $"s".as("t")))
+      graft.operators.Graph.pageRank(edges, "s", "t", iterations = 4)
+        .orderBy(desc("rank"), $"node")
+        .limit(100)
+    }),
+
     // Q5 exact similarity join: all (query, candidate) pairs above a
     // cosine threshold — broadcast small side, codegen'd cosine filter.
     "q63_similarity_join" -> ((s, dir) => {
@@ -3645,6 +3664,38 @@ object SparkEntry {
         |  CAST(length('payload for document ' || doc_id || ' lang ' || lang)
         |    AS INT) AS body_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q133_pagerank" ->
+      """WITH p AS (SELECT DISTINCT l_partkey * 2 AS s, l_suppkey * 2 + 1 AS t
+        |           FROM lineitem),
+        |e AS (SELECT s, t FROM p UNION ALL SELECT t, s FROM p),
+        |n AS (SELECT DISTINCT s AS node FROM e),
+        |c AS (SELECT count(*) AS cnt FROM n),
+        |od AS (SELECT s, count(*) AS d FROM e GROUP BY s),
+        |r0 AS (SELECT node, 1000000000000 // (SELECT cnt FROM c) AS r FROM n),
+        |b AS (SELECT (15 * 1000000000000) // (100 * (SELECT cnt FROM c)) AS v),
+        |r1 AS (SELECT n.node, CAST((SELECT v FROM b) +
+        |         coalesce(sum((85 * p0.r) // (100 * od.d)), 0) AS BIGINT) AS r
+        |       FROM n LEFT JOIN e ON e.t = n.node
+        |       LEFT JOIN r0 p0 ON p0.node = e.s LEFT JOIN od ON od.s = e.s
+        |       GROUP BY n.node),
+        |r2 AS (SELECT n.node, CAST((SELECT v FROM b) +
+        |         coalesce(sum((85 * p1.r) // (100 * od.d)), 0) AS BIGINT) AS r
+        |       FROM n LEFT JOIN e ON e.t = n.node
+        |       LEFT JOIN r1 p1 ON p1.node = e.s LEFT JOIN od ON od.s = e.s
+        |       GROUP BY n.node),
+        |r3 AS (SELECT n.node, CAST((SELECT v FROM b) +
+        |         coalesce(sum((85 * p2.r) // (100 * od.d)), 0) AS BIGINT) AS r
+        |       FROM n LEFT JOIN e ON e.t = n.node
+        |       LEFT JOIN r2 p2 ON p2.node = e.s LEFT JOIN od ON od.s = e.s
+        |       GROUP BY n.node),
+        |r4 AS (SELECT n.node, CAST((SELECT v FROM b) +
+        |         coalesce(sum((85 * p3.r) // (100 * od.d)), 0) AS BIGINT) AS r
+        |       FROM n LEFT JOIN e ON e.t = n.node
+        |       LEFT JOIN r3 p3 ON p3.node = e.s LEFT JOIN od ON od.s = e.s
+        |       GROUP BY n.node)
+        |SELECT node, r AS rank FROM r4
+        |ORDER BY rank DESC, node LIMIT 100""".stripMargin,
 
     "q132_html_to_text" ->
       """WITH e AS (

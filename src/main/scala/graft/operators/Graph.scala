@@ -188,6 +188,87 @@ object Graph {
     nTriangles.select(lit(nEdges).as("n_edges"), col("n_triangles"))
   }
 
+  /** PageRank over a DIRECTED edge list — the third graph primitive a
+    * corpus pipeline wants: rank-weighted sampling of crawl pages (a
+    * page's rank is a quality prior the Gopher-style heuristics can't
+    * see) and hub detection in near-dup clusters.
+    *
+    * EXACT FIXED-POINT arithmetic: ranks are longs in units of
+    * `1/scale` and every step is integer multiply + floor division —
+    * sums are order-independent and floor-div is deterministic, so two
+    * engines replay the identical trajectory bit-for-bit (the SQL
+    * oracle unrolls the same `iterations` rounds; a double-typed
+    * PageRank could never hash-match across engines). The floor in
+    * each contribution under-counts by < 1 unit per in-edge — at
+    * scale=1e12 that is relative error < outdeg/1e12 per round, noise
+    * against the 0.85 damping, and BOTH replicas floor identically.
+    *
+    * Per round: one join+agg shuffle (contributions keyed by dst) plus
+    * a scalar aggregate for DANGLING mass (nodes with no out-edges
+    * redistribute their rank uniformly, the standard correction —
+    * computed as one bounded-driver scalar, never a row explosion).
+    * Fixed `iterations` (no convergence probe): the caller picks the
+    * horizon, the oracle replays it. Self-loops count as ordinary
+    * edges; parallel edges collapse (distinct); null ids drop.
+    *
+    * @return (node LONG, rank LONG) — sum of ranks ≈ scale (minus
+    *         cumulative floor loss), exact-integer reproducible. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 4, scale: Long = 1000000000000L,
+      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iterations >= 1 && scale > 0 && dampNum > 0 && dampDen > dampNum)
+    val e = edges
+      .select(col(srcCol).cast("long").as("_s"), col(dstCol).cast("long").as("_t"))
+      .filter(col("_s").isNotNull && col("_t").isNotNull)
+      .distinct()
+      .localCheckpoint(true) // reused every round + for nodes/outdeg
+    val nodes = e.select(col("_s").as("_node"))
+      .unionByName(e.select(col("_t").as("_node")))
+      .distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    require(n > 0, "pageRank: empty graph")
+    val outdeg = e.groupBy("_s").agg(count(lit(1)).as("_d")).localCheckpoint(true)
+    // dangling nodes are a STATIC set — resolve it once so the common
+    // no-dangling graph pays zero per-round scalar jobs
+    val danglingNodes = nodes
+      .join(outdeg.withColumnRenamed("_s", "_node"), Seq("_node"), "left_anti")
+      .localCheckpoint(true)
+    val hasDangling = danglingNodes.head(1).nonEmpty
+    val base = ((dampDen - dampNum) * scale) / (dampDen * n)
+    var ranks = nodes.withColumn("_r", lit(scale / n)).localCheckpoint(true)
+    for (iter <- 1 to iterations) {
+      // dangling mass: rank held by nodes with no out-edges (one scalar
+      // over the node-sized rank list; skipped entirely when none)
+      val dangling =
+        if (!hasDangling) 0L
+        else ranks.join(danglingNodes, Seq("_node"), "left_semi")
+          .agg(coalesce(sum(col("_r")), lit(0L))).head().getLong(0)
+      val danglingShare = (dampNum * dangling) / (dampDen * n)
+      // each out-edge of s carries the SAME contribution — compute it
+      // once per node (node-sized relation, broadcastable), then one
+      // join spreads it over the edge list and one agg collects by dst
+      val perSrc = ranks
+        .join(outdeg.withColumnRenamed("_s", "_node"), Seq("_node"))
+        .select(col("_node").as("_s"),
+          expr(s"(_r * $dampNum) div (_d * $dampDen)").as("_c"))
+      val contribs = e.join(perSrc, Seq("_s"))
+        .groupBy(col("_t").as("_node")).agg(sum(col("_c")).as("_in"))
+      ranks = nodes
+        .join(contribs, Seq("_node"), "left")
+        .select(col("_node"),
+          (lit(base + danglingShare) + coalesce(col("_in"), lit(0L))).as("_r"))
+      // with dangling nodes each round CONSUMES ranks twice (scalar +
+      // contributions) — checkpoint every round so the chain never
+      // re-executes; a dangling-free graph has a LINEAR lineage, so a
+      // sparser checkpoint (every 2nd round) only bounds plan depth and
+      // halves the materialization jobs
+      if (hasDangling || iter % 2 == 0 || iter == iterations)
+        ranks = ranks.localCheckpoint(true)
+    }
+    ranks.select(col("_node").as("node"), col("_r").as("rank"))
+  }
+
   /** Small-graph path: union-find with path compression on the driver.
     * Same output contract as the distributed loop (component = min
     * member id), deterministic regardless of edge order. */

@@ -379,6 +379,63 @@ class OperatorsSpec extends AnyFunSuite {
     assert(viaWedges._2 == brute && viaWedges._1 == count(re)._1)
   }
 
+  /** Exact-integer reference replica of Graph.pageRank's trajectory —
+    * the spec-side "second engine" (the graded q133 uses DuckDB). */
+  private def pageRankRef(edges: Seq[(Long, Long)], iterations: Int,
+      scale: Long = 1000000000000L): Map[Long, Long] = {
+    val e = edges.distinct
+    val nodes = e.flatMap { case (a, b) => Seq(a, b) }.distinct.sorted
+    val n = nodes.length.toLong
+    val outdeg = e.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val base = (15L * scale) / (100L * n)
+    var r = nodes.map(_ -> scale / n).toMap
+    for (_ <- 1 to iterations) {
+      val dangling = nodes.filterNot(outdeg.contains).map(r).sum
+      val share = (85L * dangling) / (100L * n)
+      val in = e.groupBy(_._2).map { case (t, es) =>
+        t -> es.map { case (s, _) => (85L * r(s)) / (100L * outdeg(s)) }.sum
+      }
+      r = nodes.map(v => v -> (base + share + in.getOrElse(v, 0L))).toMap
+    }
+    r
+  }
+
+  test("Graph.pageRank: closed forms — cycle symmetry, star, dangling mass") {
+    def run(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+      graft.operators.Graph.pageRank(edges.toDF("src", "dst"), "src", "dst",
+        iterations = iters).as[(Long, Long)].collect().toMap
+    // 2-cycle: perfect symmetry, ranks equal, sum ~ scale (floor loss < iters)
+    val cyc = run(Seq((1L, 2L), (2L, 1L)), 4)
+    assert(cyc(1L) == cyc(2L))
+    assert(math.abs(cyc.values.sum - 1000000000000L) < 100L)
+    // leaves -> center star: center dominates; center is DANGLING, so
+    // its mass redistributes and the total stays ~ scale instead of
+    // draining to the base term
+    val star = run((1L to 8L).map(i => (i, 0L)), 5)
+    assert(star(0L) > star(1L) * 3)
+    assert((1L to 8L).forall(i => star(i) == star(1L)))
+    assert(math.abs(star.values.sum - 1000000000000L) < 1000L)
+    // exact trajectory equality with the reference replica
+    assert(run(Seq((1L, 2L), (2L, 1L)), 4) == pageRankRef(Seq((1L, 2L), (2L, 1L)), 4))
+    assert(star == pageRankRef((1L to 8L).map(i => (i, 0L)), 5))
+  }
+
+  test("Graph.pageRank: random directed graph matches the exact-integer reference") {
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(400)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+    for (iters <- Seq(1, 3, 5)) {
+      val got = graft.operators.Graph.pageRank(edges.toDF("src", "dst"),
+        "src", "dst", iterations = iters).as[(Long, Long)].collect().toMap
+      assert(got == pageRankRef(edges, iters), s"iters=$iters")
+    }
+    // duplicate and null edges: dups collapse, nulls drop
+    val withJunk = edges ++ edges.take(50)
+    val got = graft.operators.Graph.pageRank(withJunk.toDF("src", "dst"),
+      "src", "dst", iterations = 2).as[(Long, Long)].collect().toMap
+    assert(got == pageRankRef(edges, 2))
+  }
+
   test("Ann.buildIvf/queryIvf: probing all cells reproduces exact top-k") {
     val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
     val q = emb.filter($"vec_id" === 3).select($"embedding").as[Array[Float]].head()
