@@ -2367,6 +2367,22 @@ object SparkEntry {
         .limit(100)
     }),
 
+    // Batch kNN join (offline serving): ten queries answered by ONE
+    // corpus scan — broadcast queries, WindowGroupLimit per-query top-k
+    // (spec-asserted) — vs DuckDB's per-query brute-force replay. The
+    // ANN variant (signature candidate pass + rescore) is spec-gated
+    // for full-shortlist exactness and pruned recall.
+    "q134_knn_join" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      graft.operators.Ann.knnJoin(queries, "qid", "qv",
+          emb, "vec_id", "embedding", k = 5)
+        .select($"query_id", $"rank", $"id")
+        .orderBy($"query_id", $"rank")
+    }),
+
     // Q5 exact similarity join: all (query, candidate) pairs above a
     // cosine threshold — broadcast small side, codegen'd cosine filter.
     "q63_similarity_join" -> ((s, dir) => {
@@ -3664,6 +3680,19 @@ object SparkEntry {
         |  CAST(length('payload for document ' || doc_id || ' lang ' || lang)
         |    AS INT) AS body_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q134_knn_join" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |s AS (SELECT q.query_id, e.vec_id AS id,
+        |        list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS score
+        |      FROM embeddings e, q),
+        |r AS (SELECT query_id, id,
+        |        row_number() OVER (PARTITION BY query_id
+        |                           ORDER BY score DESC, id) AS rank
+        |      FROM s)
+        |SELECT query_id, CAST(rank AS INT) AS rank, id
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q133_pagerank" ->
       """WITH p AS (SELECT DISTINCT l_partkey * 2 AS s, l_suppkey * 2 + 1 AS t

@@ -448,6 +448,78 @@ object Ann {
     bruteForceTopK(short, vecCol, idCol, q, k)
   }
 
+  /** BATCH kNN join — serve N queries in ONE job instead of N driver
+    * round-trips: the corpus scans once, every query rides along as a
+    * broadcast, and the per-query top-k is a `row_number <= k` filter
+    * that Spark 4 plans as WindowGroupLimit (each input partition keeps
+    * only its local top-k per query BEFORE the exchange, so the shuffle
+    * carries partitions x queries x k narrow rows, never the scored
+    * cross product). This is the offline-serving shape: embedding a
+    * nightly query log against a billion-vector corpus is one scan, not
+    * a billion-row loop of TakeOrderedAndProject jobs.
+    *
+    * Exact: every (query, corpus) cosine is computed — the right
+    * baseline when the query batch is small or recall must be 1.0.
+    * Output: (query_id, rank 1..k, id, score), rank ordered by
+    * (score desc, id) — deterministic under ties. */
+  def knnJoin(queries: DataFrame, qIdCol: String, qVecCol: String,
+      corpus: DataFrame, cIdCol: String, cVecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(qIdCol).cast("long").as("_qid"),
+      col(qVecCol).cast("array<double>").as("_qv")))
+    val scored = corpus
+      .select(col(cIdCol).cast("long").as("_cid"), col(cVecCol).as("_cv"))
+      .crossJoin(q) // broadcast nested loop: one corpus scan serves all queries
+      .select(col("_qid"), col("_cid"),
+        graft.functions.vectors.cosine(col("_cv"), col("_qv")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_qid")).orderBy(col("score").desc, col("_cid"))
+    scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
+      .select(col("_qid").as("query_id"), col("_rn").cast("int").as("rank"),
+        col("_cid").as("id"), col("score"))
+  }
+
+  /** [[knnJoin]] at ANN scale: the per-query candidate pass runs over
+    * the 8-byte `_bsig` column ([[encodeBinary]]) — popcount against
+    * each broadcast query signature, per-query Hamming shortlist via
+    * the same WindowGroupLimit shape — and only the shortlisted
+    * (query, id) pairs (a `queries x shortlist`-bounded set, broadcast
+    * back) read full vectors for the exact cosine rescore. Per query
+    * the corpus contributes 8 bytes/row to the candidate pass instead
+    * of dim floats; nothing edge-sized ever shuffles.
+    *
+    * Approximation contract matches [[queryBinary]]: recall < 1
+    * possible; `shortlist` >= corpus size recovers [[knnJoin]]
+    * exactly. */
+  def knnJoinBinary(queries: DataFrame, qIdCol: String, qVecCol: String,
+      encoded: DataFrame, cIdCol: String, cVecCol: String, k: Int,
+      shortlist: Int = 200, seed: Long = 42L): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val sigUdf = udf((v: Seq[Double]) => bitSignature64(v.toArray, seed))
+    val q = broadcast(queries.select(col(qIdCol).cast("long").as("_qid"),
+      col(qVecCol).cast("array<double>").as("_qv"))
+      .withColumn("_qsig", sigUdf(col("_qv"))))
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_qid")).orderBy(col("_hd"), col("_cid"))
+    val pairs = encoded
+      .select(col(cIdCol).cast("long").as("_cid"), col("_bsig"))
+      .crossJoin(broadcast(q.select(col("_qid"), col("_qsig"))))
+      .select(col("_qid"), col("_cid"),
+        bit_count(col("_bsig").bitwiseXOR(col("_qsig"))).cast("int").as("_hd"))
+      .withColumn("_rn", row_number().over(wS)).filter(col("_rn") <= shortlist)
+      .select(col("_qid"), col("_cid"))
+    val full = encoded
+      .select(col(cIdCol).cast("long").as("_cid"), col(cVecCol).as("_cv"))
+      .join(broadcast(pairs), Seq("_cid")) // full vectors only for candidates
+      .join(broadcast(q.select(col("_qid"), col("_qv"))), Seq("_qid"))
+      .select(col("_qid"), col("_cid"),
+        graft.functions.vectors.cosine(col("_cv"), col("_qv")).as("score"))
+    val wK = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_qid")).orderBy(col("score").desc, col("_cid"))
+    full.withColumn("_rn", row_number().over(wK)).filter(col("_rn") <= k)
+      .select(col("_qid").as("query_id"), col("_rn").cast("int").as("rank"),
+        col("_cid").as("id"), col("score"))
+  }
+
   /** Persist a partition-pruned Hamming index: each row explodes into
     * `maxDist + 1` band rows and lands in the directory for
     * (band, bandValue % buckets) — so a radius query reads exactly

@@ -141,6 +141,52 @@ class AnnSpec extends AnyFunSuite {
     } finally emb.unpersist()
   }
 
+  test("knnJoin: batch result equals per-query bruteForceTopK; WindowGroupLimit plan") {
+    val queries = emb.filter($"vec_id" < 6)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val batch = Ann.knnJoin(queries, "qid", "qv", emb, "vec_id", "embedding", k = 7)
+    val got = batch.select($"query_id", $"rank", $"id")
+      .as[(Long, Int, Long)].collect().sorted.toSeq
+    val want = (0L until 6L).flatMap { qid =>
+      Ann.bruteForceTopK(emb, "embedding", "vec_id", queryVec(qid), 7)
+        .select($"vec_id").as[Long].collect().toSeq.zipWithIndex
+        .map { case (id, i) => (qid, i + 1, id) }
+    }.sorted
+    assert(got == want)
+    // the per-query top-k filter plans as WindowGroupLimit: partial
+    // top-k runs BEFORE the exchange, so the shuffle never carries the
+    // scored cross product
+    val phys = batch.queryExecution.executedPlan.toString
+    assert(phys.contains("WindowGroupLimit"), phys.take(2000))
+  }
+
+  test("knnJoinBinary: full shortlist recovers knnJoin exactly; pruned holds recall") {
+    val queries = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val encoded = Ann.encodeBinary(emb, "embedding").cache()
+    try {
+      val n = emb.count().toInt
+      val exact = Ann.knnJoin(queries, "qid", "qv", emb, "vec_id", "embedding", k = 10)
+        .select($"query_id", $"rank", $"id").as[(Long, Int, Long)].collect().sorted.toSeq
+      val full = Ann.knnJoinBinary(queries, "qid", "qv", encoded, "vec_id",
+          "embedding", k = 10, shortlist = n)
+        .select($"query_id", $"rank", $"id").as[(Long, Int, Long)].collect().sorted.toSeq
+      assert(full == exact, "shortlist >= corpus must recover the exact join")
+      // pruned shortlist (25%): recall@10 and self-at-rank-1 hold
+      val pruned = Ann.knnJoinBinary(queries, "qid", "qv", encoded, "vec_id",
+          "embedding", k = 10, shortlist = n / 4)
+        .select($"query_id", $"rank", $"id").as[(Long, Int, Long)].collect()
+        .groupBy(_._1).map { case (q, rs) => q -> rs.sortBy(_._2).map(_._3).toSeq }
+      val exactSets = exact.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._3).toSet }
+      val recalls = pruned.map { case (q, ids) =>
+        assert(ids.head == q, s"query $q: self must be rank 1")
+        ids.count(exactSets(q)) / 10.0
+      }
+      assert(recalls.sum / recalls.size >= 0.6,
+        s"mean recall@10 too low: ${recalls.mkString(",")}")
+    } finally encoded.unpersist()
+  }
+
   test("hammingJoin: banded equijoin equals brute-force pairs, no cartesian") {
     // quartets share a base sig, differing in the low 2 bits
     val sigs = spark.range(0, 800).select($"id",
