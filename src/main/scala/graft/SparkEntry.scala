@@ -2367,6 +2367,49 @@ object SparkEntry {
         .limit(100)
     }),
 
+    // Stratified exact-count sample: exactly 20 docs per (lang, source)
+    // stratum by deterministic hash order — the fixed-size eval-set /
+    // review-batch cut; DuckDB replays the same Knuth-hash ranking
+    // row for row (pos included, so the intra-stratum order is graded
+    // too, not just membership).
+    "q135_stratified_sample" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Sampling.stratifiedTopN(
+          t(s, dir, "documents"), Seq("lang", "source"), "doc_id", n = 20)
+        .select($"lang", $"source", $"pos", $"doc_id")
+        .orderBy($"lang", $"source", $"pos")
+    }),
+
+    // Incremental distinct counting via persisted Datasketches HLL
+    // sketches (the crawl-rollup shape: per-batch sketches are stored
+    // once and the corpus-wide distinct is a sketch MERGE, never a
+    // recount of old batches): two disjoint halves sketch
+    // independently, one half round-trips through parquet as the
+    // stored sidecar, hll_union_agg merges, and the estimate must land
+    // within 5% of the exact distinct (q49's contract-row pattern —
+    // the estimate itself is impl-specific, the bound is the contract).
+    "q136_hll_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val a = docs.filter($"doc_id" % 2 === 0).groupBy($"lang")
+        .agg(expr("hll_sketch_agg(text)").as("sk"))
+      val b = docs.filter($"doc_id" % 2 === 1).groupBy($"lang")
+        .agg(expr("hll_sketch_agg(text)").as("sk"))
+      val tmp = freshScratch("q136")
+      a.write.parquet(tmp + "/a") // the persisted per-batch sidecar
+      val merged = s.read.parquet(tmp + "/a").select($"lang", $"sk")
+        .unionByName(b)
+        .groupBy($"lang").agg(expr("hll_union_agg(sk)").as("sk"))
+        .select($"lang", expr("hll_sketch_estimate(sk)").as("est"))
+      val exact = docs.groupBy($"lang")
+        .agg(countDistinct($"text").as("exact_texts"))
+      merged.join(exact, "lang")
+        .select($"lang", $"exact_texts",
+          ($"est" >= $"exact_texts" * 0.95 && $"est" <= $"exact_texts" * 1.05)
+            .as("approx_ok"))
+        .orderBy($"lang")
+    }),
+
     // Batch kNN join (offline serving): ten queries answered by ONE
     // corpus scan — broadcast queries, WindowGroupLimit per-query top-k
     // (spec-asserted) — vs DuckDB's per-query brute-force replay. The
@@ -3680,6 +3723,19 @@ object SparkEntry {
         |  CAST(length('payload for document ' || doc_id || ' lang ' || lang)
         |    AS INT) AS body_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q136_hll_incremental" ->
+      """SELECT lang, COUNT(DISTINCT text) AS exact_texts, TRUE AS approx_ok
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q135_stratified_sample" ->
+      """WITH r AS (
+        |  SELECT lang, source, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY lang, source
+        |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS INT) AS pos
+        |  FROM documents)
+        |SELECT lang, source, pos, doc_id FROM r
+        |WHERE pos <= 20 ORDER BY lang, source, pos""".stripMargin,
 
     "q134_knn_join" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

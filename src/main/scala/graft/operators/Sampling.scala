@@ -51,4 +51,32 @@ object Sampling {
   def mixtureSampleFraction(df: DataFrame, idCol: String, numCol: String,
       den: Long): DataFrame =
     df.filter(keepFraction(col(idCol), col(numCol), den))
+
+  /** Stratified EXACT-COUNT sample: the `n` rows with the smallest
+    * (mixHash(id), id) per stratum — a deterministic per-group
+    * reservoir. Where [[mixtureSample]] fixes a RATE (count varies with
+    * stratum size), this fixes a COUNT (eval sets, per-language probe
+    * suites, per-source human-review batches want exactly n docs each,
+    * however skewed the corpus).
+    *
+    * Plan: `row_number <= n` over (hash, id) — Spark 4's
+    * WindowGroupLimit keeps each partition's local top-n per stratum
+    * BEFORE the exchange, so the shuffle carries partitions x strata
+    * x n rows, never the corpus. Deterministic and engine-reproducible
+    * (the Knuth hash replays in any 64-bit SQL engine), so reruns and
+    * the DuckDB oracle pick the SAME rows. A stratum with fewer than
+    * `n` rows keeps them all. `pos` (1..n, hash order) is exposed so
+    * downstream splits ("first 10 for dev, rest for test") stay stable.
+    *
+    * Strata can be multiple columns; ids must be non-negative and
+    * unique per row (the usual doc-id contract; collisions would make
+    * the tie-break `id` order arbitrary between engines). */
+  def stratifiedTopN(df: DataFrame, strataCols: Seq[String], idCol: String,
+      n: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCols.map(col): _*)
+      .orderBy(mixHash(col(idCol)), col(idCol))
+    df.withColumn("pos", row_number().over(w)).filter(col("pos") <= n)
+  }
 }

@@ -501,4 +501,59 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(half.size - 1000) < 100 && math.abs(fifth.size - 400) < 100,
       s"rates roughly honored: got ${half.size}/2000 at 0.5, ${fifth.size}/2000 at 0.2")
   }
+
+  test("HLL sketches: merge-of-halves equals sketch-of-whole; parquet round-trip stable") {
+    val ids = (0L until 5000L).toDF("id")
+      .withColumn("g", (col("id") % 4).cast("int"))
+      .withColumn("v", concat(lit("val-"), col("id") % 1300))
+    val whole = ids.groupBy($"g")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(v))").as("est"))
+      .as[(Int, Long)].collect().toMap
+    val halves = Seq(ids.filter($"id" % 2 === 0), ids.filter($"id" % 2 === 1))
+      .map(_.groupBy($"g").agg(expr("hll_sketch_agg(v)").as("sk")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_hll").toString
+    halves.head.write.parquet(dir + "/a") // sketches survive storage
+    val merged = spark.read.parquet(dir + "/a").unionByName(halves(1))
+      .groupBy($"g").agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .as[(Int, Long)].collect().toMap
+    // HLL union is exact over the register lattice: merging per-batch
+    // sketches gives the SAME estimate as sketching everything at once
+    assert(merged == whole)
+    // and the estimate obeys the accuracy contract vs true distincts
+    val exact = ids.groupBy($"g").agg(countDistinct($"v").as("d"))
+      .as[(Int, Long)].collect().toMap
+    exact.foreach { case (g, d) =>
+      assert(math.abs(merged(g) - d) <= d * 0.05, s"g=$g est=${merged(g)} exact=$d")
+    }
+  }
+
+  test("Sampling.stratifiedTopN: exact counts, hash-order membership, WindowGroupLimit") {
+    // three strata of very different sizes, incl. one under n
+    val rows = ((0L until 900L).map(i => (i, "big")) ++
+      (1000L until 1100L).map(i => (i, "mid")) ++
+      (2000L until 2005L).map(i => (i, "tiny"))).toDF("id", "stratum")
+    val got = graft.operators.Sampling
+      .stratifiedTopN(rows, Seq("stratum"), "id", n = 25)
+    val byStratum = got.select($"stratum", $"pos", $"id")
+      .as[(String, Int, Long)].collect().groupBy(_._1)
+      .map { case (k, v) => k -> v.sortBy(_._2).map(_._3).toSeq }
+    assert(byStratum("big").size == 25 && byStratum("mid").size == 25)
+    assert(byStratum("tiny").size == 5, "undersized stratum keeps all rows")
+    // membership + order = the n smallest by (knuth hash, id) — the
+    // same ranking any engine replays
+    def rank(ids: Seq[Long], n: Int): Seq[Long] =
+      ids.sortBy(i => (((i * 2654435761L) % 4294967296L + 4294967296L) % 4294967296L, i)).take(n)
+    assert(byStratum("big") == rank(0L until 900L, 25))
+    assert(byStratum("mid") == rank(1000L until 1100L, 25))
+    assert(byStratum("tiny") == rank(2000L until 2005L, 25))
+    // deterministic across partitionings
+    val re = graft.operators.Sampling
+      .stratifiedTopN(rows.repartition(13), Seq("stratum"), "id", n = 25)
+      .select($"stratum", $"pos", $"id").as[(String, Int, Long)].collect().toSet
+    assert(re == got.select($"stratum", $"pos", $"id")
+      .as[(String, Int, Long)].collect().toSet)
+    // partial top-n runs below the exchange
+    val phys = got.queryExecution.executedPlan.toString
+    assert(phys.contains("WindowGroupLimit"), phys.take(2000))
+  }
 }
