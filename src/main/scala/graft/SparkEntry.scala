@@ -2367,6 +2367,25 @@ object SparkEntry {
         .limit(100)
     }),
 
+    // URL canonicalization (the crawl-frontier key): messy closed-form
+    // URLs — uppercase scheme/host, default port, dot segments, decoy
+    // escapes, fragment — normalize to a canonical form the oracle
+    // states directly from the source columns, plus the per-host
+    // politeness key and a host rollup.
+    "q137_url_normalize" -> ((s, dir) => {
+      import s.implicits._
+      val norm = udf((u: String) => graft.sources.Url.normalize(u))
+      val host = udf((u: String) => graft.sources.Url.host(u))
+      val messy = concat(
+        lit("HTTP://Site-"), $"lang", lit(".Example.COM:80/a/./b/../pages/%64oc/"),
+        $"doc_id", lit("?id="), $"doc_id", lit("&x=%41#sec"))
+      t(s, dir, "documents")
+        .select($"doc_id", norm(messy).as("url"), host(messy).as("host"))
+        .withColumn("host_docs", count(lit(1))
+          .over(Window.partitionBy($"host")))
+        .orderBy($"doc_id")
+    }),
+
     // Stratified exact-count sample: exactly 20 docs per (lang, source)
     // stratum by deterministic hash order — the fixed-size eval-set /
     // review-batch cut; DuckDB replays the same Knuth-hash ranking
@@ -3723,6 +3742,17 @@ object SparkEntry {
         |  CAST(length('payload for document ' || doc_id || ' lang ' || lang)
         |    AS INT) AS body_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q137_url_normalize" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'http://site-' || lower(lang) || '.example.com/a/pages/doc/'
+        |      || doc_id || '?id=' || doc_id || '&x=A' AS url,
+        |    'site-' || lower(lang) || '.example.com' AS host
+        |  FROM documents)
+        |SELECT doc_id, url, host,
+        |  count(*) OVER (PARTITION BY host) AS host_docs
+        |FROM u ORDER BY doc_id""".stripMargin,
 
     "q136_hll_incremental" ->
       """SELECT lang, COUNT(DISTINCT text) AS exact_texts, TRUE AS approx_ok

@@ -84,10 +84,16 @@ object Ingest {
     * before any payload work. Output: (shard string, warc_type,
     * target_uri, record_id, content_type string, content binary). */
   def readWarcRecords(spark: SparkSession, dir: String,
-      glob: String = "*.warc*"): DataFrame = {
-    val raw = spark.read.format("binaryFile")
-      .option("pathGlobFilter", glob).load(dir)
-      .select(col("path"), col("content"))
+      glob: String = "*.warc*"): DataFrame =
+    warcRecords(spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob).load(dir))
+
+  /** Explode a (path, content)-shaped shard DataFrame into WARC record
+    * rows — factored out of [[readWarcRecords]] so the SAME transform
+    * runs on a STREAMING `binaryFile` source (a crawl drop-directory
+    * ingested as shards land, feeding dedup-on-ingest). */
+  def warcRecords(shards: DataFrame): DataFrame = {
+    val raw = shards.select(col("path"), col("content"))
     val schema = StructType(Seq(
       StructField("shard", StringType, nullable = false),
       StructField("warc_type", StringType, nullable = false),

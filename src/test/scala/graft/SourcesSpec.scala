@@ -1549,6 +1549,53 @@ class SourcesSpec extends AnyFunSuite {
     assert(got == Seq(("http://s/a", "A\nalpha & beta"), ("http://s/b", "B\ngamma")))
   }
 
+  // ---- URL canonicalization (sources/Url.scala) ----
+
+  test("Url.normalize: case, default ports, fragments, dot segments, escapes") {
+    import graft.sources.Url
+    assert(Url.normalize("HTTP://ExAmple.COM:80/a/../b#frag") == "http://example.com/b")
+    assert(Url.normalize("https://h.io:443/x") == "https://h.io/x")
+    assert(Url.normalize("https://h.io:8443/x") == "https://h.io:8443/x")
+    assert(Url.normalize("http://h.io") == "http://h.io/")
+    assert(Url.normalize("http://h.io/a/./b/./c") == "http://h.io/a/b/c")
+    assert(Url.normalize("http://h.io/a/b/../../c/d/..") == "http://h.io/c/")
+    // leading .. cannot climb above root
+    assert(Url.normalize("http://h.io/../a") == "http://h.io/a")
+    // unreserved escapes decode; reserved keep with UPPER hex
+    assert(Url.normalize("http://h.io/%64oc%2fs") == "http://h.io/doc%2Fs")
+    assert(Url.normalize("http://h.io/p?a=%41&b=%2f") == "http://h.io/p?a=A&b=%2F")
+    // empty query's dangling '?' drops; query order preserved
+    assert(Url.normalize("http://h.io/p?") == "http://h.io/p")
+    assert(Url.normalize("http://h.io/p?b=2&a=1") == "http://h.io/p?b=2&a=1")
+  }
+
+  test("Url.normalize: junk passes through; IPv6/userinfo/weird ports survive") {
+    import graft.sources.Url
+    assert(Url.normalize("not a url") == "not a url")
+    assert(Url.normalize("  mailto:x@y.z  ") == "mailto:x@y.z")
+    assert(Url.normalize("://nohost") == "://nohost")
+    assert(Url.normalize(null) == "")
+    assert(Url.normalize("http://user:p@H.IO/x") == "http://user:p@h.io/x")
+    assert(Url.normalize("http://[2001:DB8::1]:80/x") == "http://[2001:db8::1]/x")
+    assert(Url.normalize("http://h.io:notaport/x") == "http://h.io:notaport/x")
+    assert(Url.host("HTTP://User@Sub.Ex.COM:8080/p?q") == "sub.ex.com")
+    assert(Url.host("http://[2001:DB8::1]/x") == "[2001:db8::1]")
+    assert(Url.host("garbage") == "")
+  }
+
+  test("Url.normalize is idempotent and keys URL-dedup correctly") {
+    import graft.sources.Url
+    val variants = Seq(
+      "HTTP://Example.com:80/a/b/../c",
+      "http://example.com/a/./c",
+      "http://example.com/a/c#section",
+      "http://example.com/a/%63")
+    val keys = variants.map(Url.normalize).distinct
+    assert(keys == Seq("http://example.com/a/c"), keys.toString)
+    val all = variants ++ Seq("http://h.io/p?a=%41", "not a url")
+    assert(all.map(Url.normalize).map(Url.normalize) == all.map(Url.normalize))
+  }
+
   test("CSV short/bad rows: PERMISSIVE pads with nulls, no rows lost") {
     val dir = Files.createTempDirectory("graft_csv")
     // short rows are padded, bad cells are nulled — rows are never

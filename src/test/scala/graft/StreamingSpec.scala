@@ -320,6 +320,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming WARC ingest: shards stream through warcRecords -> Html -> dedupedIngest") {
+    import graft.sources.{Html, Warc}
+    val src = Files.createTempDirectory("graft_swarc_src")
+    val corpus = Files.createTempDirectory("graft_swarc_corpus").toString + "/webcorpus"
+    val a = "the quick brown fox jumps over the lazy dog near the quiet river bank at dawn today"
+    val b = "catalyst rewrites logical plans into physical operators using cost based and rule based passes"
+    val c = "vector indexes bucket embeddings by locality sensitive hashes for sublinear similarity search"
+    def page(body: String) =
+      s"<html><head><title>t</title><script>var x=1;</script></head><body><p>$body</p></body></html>"
+    def shard(name: String, pages: Seq[(Long, String)], gz: Boolean): Unit = {
+      val recs = pages.map { case (id, body) =>
+        Warc.httpResponseRecord(s"http://ex.com/p/$id", page(body).getBytes("UTF-8"))
+      }
+      Files.write(Paths.get(s"$src/$name"), Warc.archive(recs, gzipPerRecord = gz))
+    }
+    // batch 1: a page, its near-dup (one extra word), an unrelated page
+    shard("s1.warc.gz", Seq((1L, a), (2L, "a " + a), (3L, b)), gz = true)
+    // the streaming binaryFile source wants its (fixed) schema stated
+    val binSchema = StructType(Seq(
+      StructField("path", StringType), StructField("modificationTime", TimestampType),
+      StructField("length", LongType), StructField("content", BinaryType)))
+    val stream = graft.operators.Ingest.warcRecords(
+      spark.readStream.format("binaryFile").schema(binSchema).load(src.toString))
+    val textOf = udf((block: Array[Byte]) =>
+      Html.toText(new String(Warc.httpBody(block), "UTF-8")))
+    val docs = stream.filter($"warc_type" === "response")
+      .select(regexp_extract($"target_uri", "(\\d+)$", 1).cast("long").as("doc_id"),
+        textOf($"content").as("text"))
+    val q = StreamOps.dedupedIngest(docs, corpus).start()
+    try {
+      q.processAllAvailable()
+      val after1 = spark.read.parquet(corpus).select("doc_id").as[Long].collect().sorted
+      assert(after1.toSeq == Seq(1L, 3L), "near-dup page 2 dropped within the batch")
+      // the stored text is the EXTRACTED text (title + body line), not markup
+      val stored = spark.read.parquet(corpus).filter($"doc_id" === 1L)
+        .select("text").as[String].head()
+      assert(stored == s"t\n$a", stored)
+      // batch 2 (PLAIN warc this time): cross-batch near-dup + fresh page
+      shard("s2.warc", Seq((4L, a + " now"), (5L, c)), gz = false)
+      q.processAllAvailable()
+      val after2 = spark.read.parquet(corpus).select("doc_id").as[Long].collect().sorted
+      assert(after2.toSeq == Seq(1L, 3L, 5L), "cross-batch dup 4 dropped, fresh 5 kept")
+    } finally q.stop()
+  }
+
   test("streaming IMAGE dedup-on-ingest: dHash near-dups dropped, undecodable accepted") {
     import graft.operators.{Dedup, Multimodal}
     val src = Files.createTempDirectory("graft_simg_src")
