@@ -2386,6 +2386,56 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // robots.txt admission (RFC 9309): longest-match + allow-tie +
+    // wildcard rules evaluated per doc path; the oracle restates the
+    // policy's net effect (allow /pages/doc/ overrides disallow
+    // /pages/, the longer wildcard disallow retakes ids starting '1',
+    // unknown agents fall to the * deny-all group).
+    "q138_robots" -> ((s, dir) => {
+      import s.implicits._
+      val robots = "User-agent: graftbot\nDisallow: /pages/\n" +
+        "Allow: /pages/doc/\nDisallow: /pages/doc/1*\n\n" +
+        "User-agent: *\nDisallow: /\n"
+      val ok = udf((path: String, agent: String) =>
+        graft.sources.Robots.allowed(robots, agent, path))
+      t(s, dir, "documents")
+        .select($"doc_id", concat(lit("/pages/doc/"), $"doc_id").as("path"))
+        .withColumn("graftbot_ok", ok($"path", lit("graftbot")))
+        .withColumn("other_ok", ok($"path", lit("otherbot")))
+        .orderBy($"doc_id")
+    }),
+
+    // Magic-byte content routing: every doc becomes a blob of a kind
+    // chosen by doc_id (REAL generator output — png/wav/tar/warc
+    // containers, gzip, pdf/html/text bytes) and the sniffer must
+    // recover exactly the kind the construction chose.
+    "q139_magic_sniff" -> ((s, dir) => {
+      import s.implicits._
+      val blob = udf { (id: Long) =>
+        (id % 8) match {
+          case 0 => graft.operators.Multimodal.syntheticPng(
+            8, 8, (id % 256).toInt, 0, 0)
+          case 1 => graft.operators.Multimodal.syntheticWav(8000, 1, 16, id)
+          case 2 => graft.sources.Tar.archive(
+            Seq((s"$id.txt", s"member $id".getBytes("UTF-8"))))
+          case 3 => graft.sources.Warc.archive(Seq(
+            graft.sources.Warc.httpResponseRecord(
+              s"http://x/$id", s"b$id".getBytes("UTF-8"))))
+          case 4 =>
+            val o = new java.io.ByteArrayOutputStream()
+            val g = new java.util.zip.GZIPOutputStream(o)
+            g.write(s"text $id".getBytes("UTF-8")); g.close(); o.toByteArray
+          case 5 => s"%PDF-1.4\n1 0 obj\n<< /N $id >>\nendobj".getBytes("UTF-8")
+          case 6 => s"<html><body>doc $id</body></html>".getBytes("UTF-8")
+          case _ => s"plain text document $id".getBytes("UTF-8")
+        }
+      }
+      val kind = udf((b: Array[Byte]) => graft.sources.Magic.sniff(b))
+      t(s, dir, "documents")
+        .select($"doc_id", kind(blob($"doc_id")).as("kind"))
+        .orderBy($"doc_id")
+    }),
+
     // Stratified exact-count sample: exactly 20 docs per (lang, source)
     // stratum by deterministic hash order — the fixed-size eval-set /
     // review-batch cut; DuckDB replays the same Knuth-hash ranking
@@ -3741,6 +3791,19 @@ object SparkEntry {
         |  'payload for document ' || doc_id || ' lang ' || lang AS body,
         |  CAST(length('payload for document ' || doc_id || ' lang ' || lang)
         |    AS INT) AS body_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q139_magic_sniff" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 8 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+        |    WHEN 2 THEN 'tar' WHEN 3 THEN 'warc' WHEN 4 THEN 'gzip'
+        |    WHEN 5 THEN 'pdf' WHEN 6 THEN 'html' ELSE 'text' END AS kind
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q138_robots" ->
+      """SELECT doc_id, '/pages/doc/' || doc_id AS path,
+        |  CAST(doc_id AS VARCHAR) NOT LIKE '1%' AS graftbot_ok,
+        |  FALSE AS other_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q137_url_normalize" ->

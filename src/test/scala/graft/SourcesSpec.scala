@@ -1549,6 +1549,87 @@ class SourcesSpec extends AnyFunSuite {
     assert(got == Seq(("http://s/a", "A\nalpha & beta"), ("http://s/b", "B\ngamma")))
   }
 
+  // ---- magic-byte sniffing (sources/Magic.scala) ----
+
+  test("Magic.sniff: real generator outputs classify correctly") {
+    import graft.sources.{Magic, Tar, Warc}
+    import graft.operators.Multimodal
+    assert(Magic.sniff(Multimodal.syntheticPng(8, 8, 1, 2, 3)) == "png")
+    assert(Magic.sniff(Multimodal.syntheticWav(8000, 1, 16, 7L)) == "wav")
+    assert(Magic.sniff(Tar.archive(Seq(("a.txt", "hi".getBytes("UTF-8"))))) == "tar")
+    assert(Magic.sniff(Warc.archive(Seq(
+      Warc.httpResponseRecord("http://x/1", "b".getBytes("UTF-8"))))) == "warc")
+    val gz = { val o = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(o)
+      g.write("text".getBytes("UTF-8")); g.close(); o.toByteArray }
+    assert(Magic.sniff(gz) == "gzip")
+    assert(Magic.sniff("%PDF-1.4\n1 0 obj".getBytes("UTF-8")) == "pdf")
+    assert(Magic.sniff("  \n<!DOCTYPE HTML><html>".getBytes("UTF-8")) == "html")
+    assert(Magic.sniff("<HtMl><body>x</body>".getBytes("UTF-8")) == "html")
+    assert(Magic.sniff("<?xml version=\"1.0\"?><r/>".getBytes("UTF-8")) == "xml")
+    assert(Magic.sniff("plain utf-8 text with ümlauts".getBytes("UTF-8")) == "text")
+  }
+
+  test("Magic.sniff: edge shapes — empty, NUL text, invalid UTF-8, truncation probe") {
+    import graft.sources.Magic
+    assert(Magic.sniff(Array.emptyByteArray) == "empty")
+    assert(Magic.sniff(null) == "empty")
+    assert(Magic.sniff("has\u0000nul".getBytes("UTF-8")) == "binary")
+    assert(Magic.sniff(Array[Byte](0xFF.toByte, 0xFE.toByte, 0x00, 0x41)) == "binary")
+    // >8 KB text cut mid-multibyte at the probe boundary is still text
+    val big = ("ä" * 5000).getBytes("UTF-8") // 10000 bytes, probe cuts at 8192
+    assert(Magic.sniff(big) == "text")
+    // RIFF but not WAVE
+    val riff = "RIFF\u0004\u0000\u0000\u0000AVI LIST".getBytes("ISO-8859-1")
+    assert(Magic.sniff(riff) == "riff")
+    assert(Magic.sniff("GIF89a\u0001\u0000".getBytes("ISO-8859-1")) == "gif")
+    assert(Magic.sniff(Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte)) == "jpeg")
+  }
+
+  // ---- robots.txt (sources/Robots.scala) ----
+
+  test("Robots: longest-match precedence, allow-tie, wildcards, end anchor") {
+    import graft.sources.Robots.allowed
+    val txt =
+      """User-agent: graftbot
+        |Disallow: /private/
+        |Allow: /private/ok/
+        |Disallow: /tmp*.bak
+        |Allow: /exact$
+        |Disallow: /exact
+        |
+        |User-agent: *
+        |Disallow: /
+        |""".stripMargin
+    assert(allowed(txt, "graftbot", "/public/x"))
+    assert(!allowed(txt, "graftbot", "/private/x"))
+    assert(allowed(txt, "graftbot", "/private/ok/x"), "longer allow beats disallow")
+    assert(!allowed(txt, "graftbot", "/tmp/deep/file.bak"), "* spans segments")
+    assert(allowed(txt, "graftbot", "/tmp/file.bak2") == false, "prefix after * matches")
+    assert(allowed(txt, "graftbot", "/exact"), "$-anchored allow, tie length+1 wins")
+    assert(!allowed(txt, "graftbot", "/exact/sub"), "anchor does not match longer path")
+    // unknown agent falls to the * group
+    assert(!allowed(txt, "otherbot", "/public/x"))
+    // most specific agent token wins: graftbot beats graft
+    val two = "User-agent: graft\nDisallow: /a\nUser-agent: graftbot\nDisallow: /b\n"
+    assert(allowed(two, "graftbot/1.0", "/a") && !allowed(two, "graftbot/1.0", "/b"))
+  }
+
+  test("Robots: comments, case, empty-disallow idiom, missing file, agent runs") {
+    import graft.sources.Robots.allowed
+    assert(allowed("", "anybot", "/anything"), "no robots.txt = allowed")
+    assert(allowed(null, "anybot", "/x"))
+    assert(allowed("User-agent: *\nDisallow:\n", "b", "/x"), "empty disallow allows all")
+    val cased = "USER-AGENT: GraftBot # our crawler\nDISALLOW: /x # keep out\n"
+    assert(!allowed(cased, "graftbot", "/x") && allowed(cased, "graftbot", "/y"))
+    // consecutive user-agent lines share a group; a blank line alone
+    // does not end the group
+    val shared = "User-agent: a\nUser-agent: b\n\nDisallow: /x\n"
+    assert(!allowed(shared, "a", "/x") && !allowed(shared, "b", "/x"))
+    // rules before any user-agent line are ignored, not crashed on
+    assert(allowed("Disallow: /x\n", "a", "/x"))
+  }
+
   // ---- URL canonicalization (sources/Url.scala) ----
 
   test("Url.normalize: case, default ports, fragments, dot segments, escapes") {
