@@ -2405,6 +2405,69 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Exact edit-distance scalar battery (fuzzy matching primitive for
+    // title/entity reconciliation): per-doc levenshtein of the text
+    // head against a probe phrase, rolled up per (lang, distance).
+    // Levenshtein is integer-exact — both engines implement the same
+    // unit-cost recurrence, so the whole distribution hash-matches.
+    "q140_edit_distance" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"lang",
+          levenshtein(lower(substring($"text", 1, 15)),
+            lit("the quick brown")).as("dist"))
+        .groupBy($"lang", $"dist").agg(count(lit(1)).as("n"))
+        .orderBy($"lang", $"dist")
+    }),
+
+    // Extended window-function battery: nth_value, IGNORE NULLS
+    // first/last over a running frame, lag with a default — the
+    // analytics-surface corners q07/q08/q44/q45/q64 leave uncovered.
+    "q141_window_extras" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderpriority").orderBy($"o_orderkey")
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders").filter($"o_custkey" < 200)
+        .withColumn("v", when($"o_orderkey" % 3 === 0, $"o_totalprice"))
+        .select($"o_orderkey", $"o_orderpriority",
+          nth_value($"o_totalprice", 2).over(wRun).as("second_price"),
+          first($"v", ignoreNulls = true).over(wRun).as("first_v"),
+          last($"v", ignoreNulls = true).over(wRun).as("last_v"),
+          lag($"o_totalprice", 2, -1).over(w).cast("double").as("lag2"))
+        .orderBy($"o_orderkey")
+    }),
+
+    // Learned quality classifier (the fastText-style gate every public
+    // corpus pipeline trains when hand rules run out): MLlib pipeline
+    // RegexTokenizer -> HashingTF(1024) -> LogisticRegression on
+    // closed-form weak labels (odd docs get boilerplate symbols
+    // appended), trained on the doc_id%4<2 half, scored on the rest.
+    // The construction is separable, so held-out accuracy >= 0.95 is a
+    // hard contract, not a hope; counts pin the split exactly.
+    "q142_quality_classifier" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.ml.feature.{HashingTF, RegexTokenizer}
+      import org.apache.spark.ml.classification.LogisticRegression
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+        .withColumn("label", ($"doc_id" % 2 === 1).cast("double"))
+        .withColumn("txt", when($"label" === 1.0,
+          concat($"text", lit(" ### @@@ ## $$ ###"))).otherwise($"text"))
+      val tok = new RegexTokenizer().setInputCol("txt").setOutputCol("tok")
+        .setPattern("\\s+")
+      val tf = new HashingTF().setInputCol("tok").setOutputCol("features")
+        .setNumFeatures(1024)
+      def prep(df: DataFrame): DataFrame = tf.transform(tok.transform(df))
+      val train = docs.filter($"doc_id" % 4 < 2)
+      val test = docs.filter($"doc_id" % 4 >= 2)
+      val model = new LogisticRegression().setMaxIter(20).setRegParam(0.01)
+        .fit(prep(train))
+      val pred = model.transform(prep(test))
+      val nTrain = train.count()
+      val nTest = test.count()
+      val acc = pred.filter($"prediction" === $"label").count().toDouble / nTest
+      Seq((nTrain, nTest, acc >= 0.95)).toDF("n_train", "n_test", "acc_ok")
+    }),
+
     // Magic-byte content routing: every doc becomes a blob of a kind
     // chosen by doc_id (REAL generator output — png/wav/tar/warc
     // containers, gzip, pdf/html/text bytes) and the sniffer must
@@ -3792,6 +3855,37 @@ object SparkEntry {
         |  CAST(length('payload for document ' || doc_id || ' lang ' || lang)
         |    AS INT) AS body_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q142_quality_classifier" ->
+      """SELECT CAST(sum(CASE WHEN doc_id % 4 < 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_train,
+        |  CAST(sum(CASE WHEN doc_id % 4 >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_test,
+        |  TRUE AS acc_ok
+        |FROM documents""".stripMargin,
+
+    "q140_edit_distance" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    CAST(levenshtein(lower(substr(text, 1, 15)), 'the quick brown')
+        |      AS INT) AS dist
+        |  FROM documents)
+        |SELECT lang, dist, count(*) AS n
+        |FROM d GROUP BY lang, dist ORDER BY lang, dist""".stripMargin,
+
+    "q141_window_extras" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  nth_value(o_totalprice, 2) OVER w AS second_price,
+        |  first_value(v IGNORE NULLS) OVER w AS first_v,
+        |  last_value(v IGNORE NULLS) OVER w AS last_v,
+        |  CAST(lag(o_totalprice, 2, -1) OVER
+        |    (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS DOUBLE) AS lag2
+        |FROM (SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |        CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice END AS v
+        |      FROM orders WHERE o_custkey < 200)
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q139_magic_sniff" ->
       """SELECT doc_id,

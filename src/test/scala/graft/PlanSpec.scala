@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Physical-plan shape assertions — the 100 TB questions ("is the
@@ -77,6 +78,36 @@ class PlanSpec extends AnyFunSuite {
     val bucketDirs = parts.flatMap(_.split("/").find(_.startsWith("_bucket="))).distinct
     assert(bucketDirs.length <= qb.length,
       s"read ${bucketDirs.length} bucket dirs for ${qb.length} probed buckets")
+  }
+
+  test("parquet aggregate pushdown: min/max/count answer from footer statistics") {
+    // a 100 TB "SELECT min(x), max(x), count(*)" should read row-group
+    // STATS, not data pages — Spark's parquet aggregate pushdown does
+    // exactly that when enabled and the query is stats-answerable
+    // (integer column: float/double min/max are excluded by design, NaN
+    // ordering makes footer stats unreliable for them)
+    val keys = Seq(
+      // the pushdown lives in the DSv2 scan; parquet defaults to V1
+      "spark.sql.sources.useV1SourceList" -> "",
+      "spark.sql.parquet.aggregatePushdown" -> "true")
+    val olds = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
+        .agg(min("l_orderkey"), max("l_orderkey"), count(lit(1)))
+      val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(p.contains("PushedAggregation: [MIN(l_orderkey), MAX(l_orderkey), COUNT(*)]"),
+        p.take(2000))
+      val row = df.head()
+      // and the pushed plan answers exactly what the V1 scan computes
+      spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+      val plain = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
+        .agg(min("l_orderkey"), max("l_orderkey"), count(lit(1))).head()
+      assert(row == plain)
+    } finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("per-group top-n plans a WindowGroupLimit below the shuffle") {

@@ -184,6 +184,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.count() > 0)
   }
 
+  test("stream-stream LEFT OUTER interval join: matches == batch; null rows emit below watermark") {
+    // left-outer stream-stream joins are the semantics trap: a
+    // null-extended row can only emit once the WATERMARK proves no
+    // match can still arrive, so views newer than (max ts - delay)
+    // legitimately never surface their null row in a bounded run —
+    // the comparison must respect that, not paper over it
+    def joinIt(views: DataFrame, clicks: DataFrame): DataFrame = {
+      val v = views.select($"user_id", $"ts".as("v_ts"), $"event_id".as("view_event"))
+      val c = clicks.select($"user_id".as("c_user"), $"ts".as("c_ts"),
+        $"event_id".as("click_event"))
+      v.join(c, $"user_id" === $"c_user" &&
+        $"c_ts" >= $"v_ts" - expr("INTERVAL 6 HOURS") && $"c_ts" <= $"v_ts",
+        "left_outer")
+        .select($"user_id", $"v_ts", $"view_event", $"click_event")
+    }
+    val sv = streamEvents.filter($"event_type" === "view").withWatermark("ts", "1 hour")
+    val sc = streamEvents.filter($"event_type" === "click").withWatermark("ts", "1 hour")
+    val streamed = runToBatch(joinIt(sv, sc), "append", "ssloj_out")
+    val batch = joinIt(batchEvents.filter($"event_type" === "view"),
+      batchEvents.filter($"event_type" === "click"))
+    // inner part: exactly the batch matches (no loss, no duplication)
+    assert(sortedRows(streamed.filter($"click_event".isNotNull)) ==
+      sortedRows(batch.filter($"click_event".isNotNull)))
+    // outer part: every batch null-row old enough for the final
+    // watermark emitted, and nothing else
+    import java.sql.Timestamp
+    val maxTs = batchEvents.agg(max($"ts")).head().getTimestamp(0).getTime
+    val horizon = new Timestamp(maxTs - 7L * 3600 * 1000) // 6h window + 1h delay
+    val gotNull = sortedRows(streamed.filter($"click_event".isNull))
+    val wantNull = sortedRows(batch.filter($"click_event".isNull && $"v_ts" < horizon))
+    val lateNull = sortedRows(batch.filter($"click_event".isNull))
+    assert(gotNull.toSet.subsetOf(lateNull.toSet),
+      "streamed null rows must be genuine batch null rows")
+    assert(wantNull.toSet.subsetOf(gotNull.toSet),
+      "every sufficiently-old unmatched view must emit its null row")
+    assert(gotNull.nonEmpty && streamed.filter($"click_event".isNotNull).count() > 0,
+      "fixture must exercise both match and null paths")
+  }
+
   test("streaming ingestion into the vector index via foreachBatch is upsert-idempotent") {
     import graft.core.HashingEmbedder
     import graft.operators.{Ingest, VectorIndex}
