@@ -83,6 +83,9 @@ object Bench {
     // q140-q142 first isolated noop measurements (0.203/0.244/1.149)
     "q140" -> (0.142, 0.424), "q141" -> (0.171, 0.479),
     "q142" -> (0.804, 1.701),
+    // q143 first isolated noop measurement after the broadcast-alive
+    // optimization (4.362; pre-optimization 7.759)
+    "q143" -> (3.053, 6.039),
     "q13" -> (0.231, 0.596), "q14" -> (0.168, 0.501), "q15" -> (0.217, 0.596),
     "q16" -> (0.175, 0.501), "q17" -> (0.287, 0.717), "q18" -> (0.161, 0.461),
     "q19" -> (0.21, 0.636), "q20" -> (0.322, 0.771), "q21" -> (0.217, 0.622),

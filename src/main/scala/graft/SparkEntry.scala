@@ -2693,6 +2693,22 @@ object SparkEntry {
       graft.operators.Graph.triangleCount(edges, "src", "dst")
     }),
 
+    // k-core peel on the co-order part graph: k=80 cascades for ~5
+    // rounds at sf0.01 (real partial peel — 1857 of 2000 parts survive)
+    // and the DuckDB oracle unrolls the same 8 bounded rounds; degrees
+    // are recomputed within the final subgraph on both sides, so the
+    // whole (node, core_deg) relation hash-matches.
+    "q143_kcore" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
+      val edges = li.as("x").join(li.as("y"), "l_orderkey")
+        .filter($"x.l_partkey" < $"y.l_partkey")
+        .select($"x.l_partkey".as("src"), $"y.l_partkey".as("dst"))
+      val (core, _) = graft.operators.Graph.kCore(edges, "src", "dst",
+        k = 80, maxRounds = 8)
+      core.orderBy($"node")
+    }),
+
     "q72_connected_components" -> ((s, dir) => {
       import s.implicits._
       val ids = t(s, dir, "documents").select($"doc_id")
@@ -3855,6 +3871,42 @@ object SparkEntry {
         |  CAST(length('payload for document ' || doc_id || ' lang ' || lang)
         |    AS INT) AS body_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q143_kcore" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+        |          FROM li a JOIN li b
+        |            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |          GROUP BY 1, 2),
+        |e AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+        |a0 AS (SELECT DISTINCT u AS node FROM e),
+        |a1 AS (SELECT e.u AS node FROM e
+        |       JOIN a0 x ON e.u = x.node JOIN a0 y ON e.v = y.node
+        |       GROUP BY e.u HAVING count(*) >= 80),
+        |a2 AS (SELECT e.u AS node FROM e
+        |       JOIN a1 x ON e.u = x.node JOIN a1 y ON e.v = y.node
+        |       GROUP BY e.u HAVING count(*) >= 80),
+        |a3 AS (SELECT e.u AS node FROM e
+        |       JOIN a2 x ON e.u = x.node JOIN a2 y ON e.v = y.node
+        |       GROUP BY e.u HAVING count(*) >= 80),
+        |a4 AS (SELECT e.u AS node FROM e
+        |       JOIN a3 x ON e.u = x.node JOIN a3 y ON e.v = y.node
+        |       GROUP BY e.u HAVING count(*) >= 80),
+        |a5 AS (SELECT e.u AS node FROM e
+        |       JOIN a4 x ON e.u = x.node JOIN a4 y ON e.v = y.node
+        |       GROUP BY e.u HAVING count(*) >= 80),
+        |a6 AS (SELECT e.u AS node FROM e
+        |       JOIN a5 x ON e.u = x.node JOIN a5 y ON e.v = y.node
+        |       GROUP BY e.u HAVING count(*) >= 80),
+        |a7 AS (SELECT e.u AS node FROM e
+        |       JOIN a6 x ON e.u = x.node JOIN a6 y ON e.v = y.node
+        |       GROUP BY e.u HAVING count(*) >= 80),
+        |a8 AS (SELECT e.u AS node FROM e
+        |       JOIN a7 x ON e.u = x.node JOIN a7 y ON e.v = y.node
+        |       GROUP BY e.u HAVING count(*) >= 80)
+        |SELECT e.u AS node, count(*) AS core_deg
+        |FROM e JOIN a8 x ON e.u = x.node JOIN a8 y ON e.v = y.node
+        |GROUP BY e.u ORDER BY node""".stripMargin,
 
     "q142_quality_classifier" ->
       """SELECT CAST(sum(CASE WHEN doc_id % 4 < 2 THEN 1 ELSE 0 END) AS BIGINT)

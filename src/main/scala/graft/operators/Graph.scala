@@ -269,6 +269,78 @@ object Graph {
     ranks.select(col("_node").as("node"), col("_r").as("rank"))
   }
 
+  /** k-CORE peel over an undirected edge list — the graph-density
+    * primitive duplicate-family and community analysis want (the k-core
+    * is the maximal subgraph where every node keeps >= k neighbors;
+    * boilerplate-driven near-dup clusters are high-core, chains of
+    * borderline pairs are not).
+    *
+    * Iterative peel: each round drops every node whose degree WITHIN
+    * the surviving subgraph is < k, until a fixpoint (or `maxRounds`).
+    * Bounded-round semantics are EXACT and engine-replayable: "the
+    * subgraph after R peel rounds" is deterministic whether or not the
+    * fixpoint was reached, so a SQL oracle unrolls the same R rounds
+    * and hash-matches; when the peel converges within R (the returned
+    * `converged` tells the caller), the result IS the true k-core.
+    *
+    * Per round: the edge list (narrow longs, checkpointed once) joins
+    * the surviving-node set on both endpoints and aggregates degrees —
+    * two hash joins + one partial agg, nothing edge-quadratic; rounds
+    * needed in practice are small (peeling cascades are shallow on
+    * heavy graphs — measured 5 at the gate's k). Self-loops drop,
+    * parallel/reversed edges collapse.
+    *
+    * @return ((node LONG, core_deg LONG) DataFrame — degrees
+    *         recomputed within the final subgraph — , converged). */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxRounds: Int = 50): (DataFrame, Boolean) = {
+    require(k >= 1 && maxRounds >= 1)
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("_u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("_v"))
+      .filter(col("_u").isNotNull && col("_v").isNotNull && col("_u") =!= col("_v"))
+      .distinct()
+    val sym = canon
+      .unionByName(canon.select(col("_v").as("_u"), col("_u").as("_v")))
+      .localCheckpoint(true) // probed twice per round, every round
+    var alive = sym.select(col("_u").as("_node")).distinct().localCheckpoint(true)
+    var nAlive = alive.count()
+    // a checkpointed node set reports the DEFAULT size estimate, so the
+    // planner would never auto-broadcast it — but nAlive is known
+    // exactly, and while it fits an executor the semi joins should be
+    // broadcasts (the edge list then never shuffles inside a round,
+    // only the per-node degree agg does)
+    val broadcastLimit = 1000000L
+    def aliveSide(renameTo: String) = {
+      val a = alive.withColumnRenamed("_node", renameTo)
+      if (nAlive <= broadcastLimit) broadcast(a) else a
+    }
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val next = sym
+        .join(aliveSide("_u"), Seq("_u"), "left_semi")
+        .join(aliveSide("_v"), Seq("_v"), "left_semi")
+        .groupBy(col("_u").as("_node")).agg(count(lit(1)).as("_d"))
+        .filter(col("_d") >= k)
+        .select(col("_node"))
+        .localCheckpoint(true)
+      val nNext = next.count()
+      converged = nNext == nAlive
+      alive = next
+      nAlive = nNext
+      round += 1
+      if (nAlive == 0) converged = true // empty set is trivially stable
+    }
+    // final degrees recomputed WITHIN the surviving subgraph (matches
+    // what an R-round oracle replay states)
+    val out = sym
+      .join(aliveSide("_u"), Seq("_u"), "left_semi")
+      .join(aliveSide("_v"), Seq("_v"), "left_semi")
+      .groupBy(col("_u").as("node")).agg(count(lit(1)).as("core_deg"))
+    (out, converged)
+  }
+
   /** Small-graph path: union-find with path compression on the driver.
     * Same output contract as the distributed loop (component = min
     * member id), deterministic regardless of edge order. */

@@ -436,6 +436,54 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == pageRankRef(edges, 2))
   }
 
+  test("Graph.kCore: closed forms, cascade peeling, bounded-round semantics") {
+    def run(edges: Seq[(Long, Long)], k: Int, maxRounds: Int = 50) = {
+      val (df, conv) = graft.operators.Graph.kCore(
+        edges.toDF("src", "dst"), "src", "dst", k, maxRounds)
+      (df.as[(Long, Long)].collect().toMap, conv)
+    }
+    // K5: 4-core is everything (deg 4), 5-core empty
+    val k5 = for (a <- 0L to 4L; b <- 0L to 4L; if a < b) yield (a, b)
+    val (c4, conv4) = run(k5, 4)
+    assert(conv4 && c4 == (0L to 4L).map(_ -> 4L).toMap)
+    val (c5, conv5) = run(k5, 5)
+    assert(conv5 && c5.isEmpty)
+    // triangle with a 3-node tail: the 2-core is exactly the triangle,
+    // reached by CASCADE (tail peels one node per round)
+    val triTail = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val (core2, convT) = run(triTail, 2)
+    assert(convT && core2 == Map(0L -> 2L, 1L -> 2L, 2L -> 2L))
+    // bounded rounds: after ONE round only node 5 (deg 1) is gone and 4
+    // became degree-1 but survives the snapshot — deterministic
+    // not-yet-converged state, exactly what an R-round oracle states
+    val (partial, convP) = run(triTail, 2, maxRounds = 1)
+    assert(!convP && partial.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    assert(partial(3L) == 2L && partial(4L) == 1L, s"got $partial")
+    // random graph vs reference peel
+    val rnd = new scala.util.Random(13)
+    val re = Seq.fill(500)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+    def ref(k: Int): Map[Long, Long] = {
+      val adj = collection.mutable.Map.empty[Long, collection.mutable.Set[Long]]
+      re.foreach { case (a, b) =>
+        adj.getOrElseUpdate(a, collection.mutable.Set.empty) += b
+        adj.getOrElseUpdate(b, collection.mutable.Set.empty) += a
+      }
+      var alive = adj.keySet.toSet
+      var changed = true
+      while (changed) {
+        val drop = alive.filter(n => adj(n).count(alive) < k)
+        changed = drop.nonEmpty
+        alive --= drop
+      }
+      alive.map(n => n -> adj(n).count(alive).toLong).toMap
+    }
+    for (k <- Seq(2, 5, 8)) {
+      val (got, conv) = run(re, k)
+      assert(conv && got == ref(k), s"k=$k")
+    }
+  }
+
   test("Ann.buildIvf/queryIvf: probing all cells reproduces exact top-k") {
     val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
     val q = emb.filter($"vec_id" === 3).select($"embedding").as[Array[Float]].head()
