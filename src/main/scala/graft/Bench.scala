@@ -86,6 +86,8 @@ object Bench {
     // q143 first isolated noop measurement after the broadcast-alive
     // optimization (4.362; pre-optimization 7.759)
     "q143" -> (3.053, 6.039),
+    // q144 first isolated noop measurement (0.401)
+    "q144" -> (0.281, 0.691),
     "q13" -> (0.231, 0.596), "q14" -> (0.168, 0.501), "q15" -> (0.217, 0.596),
     "q16" -> (0.175, 0.501), "q17" -> (0.287, 0.717), "q18" -> (0.161, 0.461),
     "q19" -> (0.21, 0.636), "q20" -> (0.322, 0.771), "q21" -> (0.217, 0.622),

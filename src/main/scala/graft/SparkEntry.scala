@@ -2693,6 +2693,27 @@ object SparkEntry {
       graft.operators.Graph.triangleCount(edges, "src", "dst")
     }),
 
+    // Webdataset EXPORT round trip: documents pack into size-budgeted
+    // tar shards (the training-loader layout) and re-ingest through
+    // readTarMembers byte-identically; the oracle is the original
+    // table.
+    "q144_tar_export" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = freshScratch("q144") + "/shards"
+      val docs = t(s, dir, "documents")
+        .select(concat($"doc_id", lit(".txt")).as("member"),
+          encode($"text", "UTF-8").as("content"))
+        .repartitionByRange(4, $"member").sortWithinPartitions($"member")
+      graft.operators.Ingest.writeTarShards(docs, "member", "content", tmp,
+        maxShardBytes = 256 * 1024)
+      graft.operators.Ingest.readTarMembers(s, tmp)
+        .select(
+          regexp_extract($"member", "(\\d+)\\.txt", 1).cast("long").as("doc_id"),
+          decode($"content", "UTF-8").as("text"))
+        .withColumn("n_chars", length($"text").cast("long"))
+        .orderBy($"doc_id")
+    }),
+
     // k-core peel on the co-order part graph: k=80 cascades for ~5
     // rounds at sf0.01 (real partial peel — 1857 of 2000 parts survive)
     // and the DuckDB oracle unrolls the same 8 bounded rounds; degrees
@@ -3870,6 +3891,10 @@ object SparkEntry {
         |  'payload for document ' || doc_id || ' lang ' || lang AS body,
         |  CAST(length('payload for document ' || doc_id || ' lang ' || lang)
         |    AS INT) AS body_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q144_tar_export" ->
+      """SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q143_kcore" ->

@@ -113,6 +113,64 @@ object Ingest {
     }(enc)
   }
 
+  /** The EXPORT half of the webdataset story ([[readTarMembers]] is
+    * the ingest half): pack (member, content) rows into shard-sized
+    * tar files — the layout training loaders actually consume, chosen
+    * so a worker reads one large sequential file instead of millions
+    * of small ones. Each Spark partition rolls its rows greedily into
+    * shards of <= `maxShardBytes` member payload (one member never
+    * splits; an oversize member gets its own shard), writes
+    * `part-<partition>-<seq>.tar` via the filesystem API, and reports
+    * one summary row per shard. Deterministic GIVEN a deterministic
+    * partitioning+order — callers wanting byte-stable output should
+    * `repartitionByRange(...).sortWithinPartitions(...)` first (the
+    * gate does). Summary: (shard, members LONG, bytes LONG). */
+  def writeTarShards(df: DataFrame, memberCol: String, contentCol: String,
+      dir: String, maxShardBytes: Long = 1L << 30): DataFrame = {
+    require(maxShardBytes > 0, "maxShardBytes must be positive")
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField("shard", StringType, nullable = false),
+      StructField("members", LongType, nullable = false),
+      StructField("bytes", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val out = df.select(col(memberCol).cast("string"), col(contentCol))
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        // a fresh Configuration on the executor: the shard dir's URI
+        // scheme picks the filesystem (Hadoop's Configuration is not
+        // serializable, and Spark's serializable wrapper is
+        // private[spark]); session-level fs tuning does not reach
+        // here — acceptable for a bulk sequential writer
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(new org.apache.hadoop.conf.Configuration())
+        fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+        var seq = 0
+        val buf = scala.collection.mutable.ArrayBuffer[(String, Array[Byte])]()
+        var bufBytes = 0L
+        val summaries = scala.collection.mutable.ArrayBuffer[Row]()
+        def flush(): Unit = if (buf.nonEmpty) {
+          val name = f"part-$pid%05d-$seq%05d.tar"
+          val p = new org.apache.hadoop.fs.Path(dir, name)
+          val os = fs.create(p, false)
+          try os.write(graft.sources.Tar.archive(buf.toSeq)) finally os.close()
+          summaries += Row(name, buf.length.toLong, bufBytes)
+          buf.clear(); bufBytes = 0L; seq += 1
+        }
+        it.foreach { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          if (bufBytes + bytes.length > maxShardBytes) flush()
+          buf += ((r.getString(0), bytes))
+          bufBytes += bytes.length
+        }
+        flush()
+        summaries.iterator
+      }(enc)
+    // the write is the mapPartitions' side effect — materialize it once
+    // and hand back the stable summary
+    out.localCheckpoint(true)
+  }
+
   /** Group tar members into webdataset SAMPLES: key = member name up
     * to the first '.', extension maps to the member bytes — so
     * `0001.png` + `0001.txt` become one row (shard, key "0001",

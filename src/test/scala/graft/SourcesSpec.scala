@@ -1549,6 +1549,39 @@ class SourcesSpec extends AnyFunSuite {
     assert(got == Seq(("http://s/a", "A\nalpha & beta"), ("http://s/b", "B\ngamma")))
   }
 
+  // ---- webdataset export (Ingest.writeTarShards) ----
+
+  test("writeTarShards: size-budgeted shards round-trip through readTarMembers") {
+    import graft.operators.Ingest
+    val dir = Files.createTempDirectory("graft_tarout").toString + "/shards"
+    val rows = (0 until 40).map(i => (f"doc-$i%03d.txt",
+      (s"payload $i " * (i % 5 + 1)).getBytes("UTF-8")))
+    val df = rows.toDF("member", "content").repartition(3)
+    val summary = Ingest.writeTarShards(df, "member", "content", dir,
+      maxShardBytes = 200)
+    val sums = summary.as[(String, Long, Long)].collect()
+    assert(sums.map(_._2).sum == 40, "every member lands in some shard")
+    // size budget honored except single-oversize-member shards
+    sums.foreach { case (name, members, bytes) =>
+      assert(bytes <= 200 || members == 1, s"$name: $members members, $bytes bytes")
+    }
+    // round trip: every member back, bytes identical
+    val back = Ingest.readTarMembers(spark, dir)
+      .select($"member", $"content").collect()
+      .map(r => r.getString(0) -> new String(r.getAs[Array[Byte]](1), "UTF-8"))
+      .toMap
+    assert(back.size == 40)
+    rows.foreach { case (m, b) => assert(back(m) == new String(b, "UTF-8"), m) }
+    // an oversize member (> budget) still writes, alone in its shard
+    val dir2 = Files.createTempDirectory("graft_tarout2").toString + "/shards"
+    val big = Seq(("big.bin", Array.fill[Byte](500)(7)), ("small.bin", Array[Byte](1)))
+    Ingest.writeTarShards(big.toDF("member", "content").coalesce(1),
+      "member", "content", dir2, maxShardBytes = 200)
+    val back2 = Ingest.readTarMembers(spark, dir2).select($"member").as[String]
+      .collect().sorted
+    assert(back2.toSeq == Seq("big.bin", "small.bin"))
+  }
+
   // ---- magic-byte sniffing (sources/Magic.scala) ----
 
   test("Magic.sniff: real generator outputs classify correctly") {
