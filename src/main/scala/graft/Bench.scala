@@ -88,6 +88,8 @@ object Bench {
     "q143" -> (3.053, 6.039),
     // q144 first isolated noop measurement (0.401)
     "q144" -> (0.281, 0.691),
+    // q145 first isolated noop measurement (0.702)
+    "q145" -> (0.491, 1.098),
     "q13" -> (0.231, 0.596), "q14" -> (0.168, 0.501), "q15" -> (0.217, 0.596),
     "q16" -> (0.175, 0.501), "q17" -> (0.287, 0.717), "q18" -> (0.161, 0.461),
     "q19" -> (0.21, 0.636), "q20" -> (0.322, 0.771), "q21" -> (0.217, 0.622),

@@ -2693,6 +2693,27 @@ object SparkEntry {
       graft.operators.Graph.triangleCount(edges, "src", "dst")
     }),
 
+    // Compression-ratio quality signal (CCNet-shape): a doc's deflate
+    // ratio must drop sharply when the doc is replaced by its own
+    // first 40 chars repeated 10x — page-scale templating is exactly
+    // what the ratio detects and n-gram rules miss. Contract rows
+    // (ratio ORDERING + sane range), counts pinned exactly; raw
+    // compressed sizes are never compared across engines.
+    "q145_compression_ratio" -> ((s, dir) => {
+      import s.implicits._
+      val T = graft.operators.TextAnalytics
+      val docs = t(s, dir, "documents").filter(length($"text") >= 200)
+      val rep = concat((1 to 10).map(_ => substring($"text", 1, 40)): _*)
+      val scored = docs.select($"doc_id",
+        T.compressionRatio($"text").as("r_orig"),
+        T.compressionRatio(rep).as("r_rep"))
+      val n = scored.count()
+      val lower = scored.filter($"r_rep" < $"r_orig" - 0.05).count()
+      val inRange = scored.filter($"r_orig" > 0.2 && $"r_orig" <= 1.1).count()
+      Seq((n, lower >= math.ceil(n * 0.95).toLong, inRange == n))
+        .toDF("n_docs", "repetition_detected_ok", "range_ok")
+    }),
+
     // Webdataset EXPORT round trip: documents pack into size-budgeted
     // tar shards (the training-loader layout) and re-ingest through
     // readTarMembers byte-identically; the oracle is the original
@@ -3892,6 +3913,11 @@ object SparkEntry {
         |  CAST(length('payload for document ' || doc_id || ' lang ' || lang)
         |    AS INT) AS body_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q145_compression_ratio" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  TRUE AS repetition_detected_ok, TRUE AS range_ok
+        |FROM documents WHERE length(text) >= 200""".stripMargin,
 
     "q144_tar_export" ->
       """SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars

@@ -116,6 +116,42 @@ object TextAnalytics {
       .otherwise("keep")
   }
 
+  // ---------- compression-ratio quality signal ----------
+
+  /** DEFLATE compressed size of the UTF-8 text (JDK Deflater, fixed
+    * level, no dictionary) — the compression-ratio filter CCNet-style
+    * pipelines run: highly repetitive or templated documents compress
+    * far below natural prose, and `compressed/raw` is a cheap,
+    * model-free repetition signal orthogonal to the n-gram stats
+    * ([[repetitionStats]]-class rules catch local loops; deflate
+    * catches page-scale templating). Deterministic for a fixed JDK
+    * deflate implementation — graded through CONTRACT rows (the ratio
+    * ORDERING between a doc and its self-repeated variant), never by
+    * comparing raw compressed bytes across engines. */
+  def deflateSize(text: Column): Column = {
+    val f = udf { (s: String) =>
+      if (s == null) 0L
+      else {
+        val d = new java.util.zip.Deflater(6, false)
+        d.setInput(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        d.finish()
+        val buf = new Array[Byte](8192)
+        var total = 0L
+        while (!d.finished()) total += d.deflate(buf)
+        d.end()
+        total
+      }
+    }
+    f(text)
+  }
+
+  /** compressed/raw byte ratio in [0, ~1.1]; null/empty text -> 1.0
+    * (no evidence of repetition). */
+  def compressionRatio(text: Column): Column =
+    when(length(text).isNull || length(text) === 0, lit(1.0))
+      .otherwise(deflateSize(text).cast("double") /
+        octet_length(text).cast("double"))
+
   // ---------- PII-style redaction ----------
 
   /** Scrub email addresses and bare URLs (the redaction pass every

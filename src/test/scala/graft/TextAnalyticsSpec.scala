@@ -325,4 +325,22 @@ class TextAnalyticsSpec extends AnyFunSuite {
     val first = TextAnalytics.rrfFuse(a, b, "id", "rank").as[(Long, Double)].head()
     assert(first._1 == 20L)
   }
+
+  test("compressionRatio: repetition compresses, prose does not; edges safe") {
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog while seventeen jackdaws " +
+        "inspect quartz obelisks beside the frozen harbor at midnight"),
+      (2L, "spam spam spam " * 50),
+      (3L, ""),
+      (4L, null.asInstanceOf[String])).toDF("id", "text")
+    val got = rows.select($"id", TextAnalytics.compressionRatio($"text").as("r"))
+      .as[(Long, Double)].collect().toMap
+    assert(got(2L) < got(1L) - 0.2, s"repetition must compress far better: $got")
+    assert(got(1L) > 0.3 && got(1L) <= 1.1)
+    assert(got(3L) == 1.0 && got(4L) == 1.0, "empty/null -> neutral 1.0")
+    // deterministic across evaluations
+    val again = rows.select($"id", TextAnalytics.compressionRatio($"text").as("r"))
+      .as[(Long, Double)].collect().toMap
+    assert(again == got)
+  }
 }
