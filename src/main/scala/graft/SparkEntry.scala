@@ -2735,6 +2735,45 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Ordered funnel view -> click -> purchase with a 7-day
+    // first-touch conversion window: K chained min-windows share ONE
+    // user-keyed exchange (spec-asserted), and every comparison is
+    // epoch-microsecond long arithmetic so the DuckDB oracle replays
+    // the identical chain.
+    "q146_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val ev = events(s, dir).select($"user_id", $"event_type",
+        unix_micros($"ts").as("tsu"))
+      graft.operators.Events.funnel(ev, "user_id", "event_type", "tsu",
+          Seq("view", "click", "purchase"), spanMicros = 7L * 86400000000L)
+        .orderBy($"step_idx")
+    }),
+
+    // Weekly cohort retention: cohort = Monday week of first signup,
+    // active_users = distinct cohort users with any event in
+    // cohort week + offset. Log reduces to user-level relations
+    // before any join; nothing is O(events^2).
+    "q147_retention" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Events.retention(events(s, dir), "user_id",
+          "event_type", "ts", "signup")
+        .select(date_format($"cohort_week", "yyyy-MM-dd").as("cohort_week"),
+          $"week_offset", $"active_users")
+        .orderBy($"cohort_week", $"week_offset")
+    }),
+
+    // Daily resample + forward fill per user: gap-free bucket spine
+    // from sequence(), per-bucket MAX (bit-identical across engines,
+    // unlike a floating sum), last(ignoreNulls) fill, was_gap flags.
+    "q148_resample_ffill" -> ((s, dir) => {
+      import s.implicits._
+      val ev = events(s, dir).select($"user_id",
+        unix_micros($"ts").as("tsu"), $"value")
+      graft.operators.Events.resampleFfill(ev, "user_id", "tsu", "value",
+          stepMicros = 86400000000L)
+        .orderBy($"user_id", $"bucket")
+    }),
+
     // k-core peel on the co-order part graph: k=80 cascades for ~5
     // rounds at sf0.01 (real partial peel — 1857 of 2000 parts survive)
     // and the DuckDB oracle unrolls the same 8 bounded rounds; degrees
@@ -3913,6 +3952,59 @@ object SparkEntry {
         |  CAST(length('payload for document ' || doc_id || ' lang ' || lang)
         |    AS INT) AS body_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q146_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+        |w1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN tsu END)
+        |         OVER (PARTITION BY user_id) AS t1 FROM e),
+        |w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND tsu > t1
+        |           AND tsu <= t1 + 604800000000 THEN tsu END)
+        |         OVER (PARTITION BY user_id) AS t2 FROM w1),
+        |w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND tsu > t2
+        |           AND tsu <= t1 + 604800000000 THEN tsu END)
+        |         OVER (PARTITION BY user_id) AS t3 FROM w2),
+        |u AS (SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3
+        |      FROM w3 GROUP BY 1),
+        |c AS (SELECT count(t1) AS c1, count(t2) AS c2, count(t3) AS c3 FROM u)
+        |SELECT 1 AS step_idx, 'view' AS step, c1 AS users FROM c
+        |UNION ALL SELECT 2, 'click', c2 FROM c
+        |UNION ALL SELECT 3, 'purchase', c3 FROM c
+        |ORDER BY step_idx""".stripMargin,
+
+    "q147_retention" ->
+      """WITH cohorts AS (
+        |  SELECT user_id,
+        |    CAST(min(date_trunc('week', ts)) AS DATE) AS cohort_week
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |activity AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        |  FROM events)
+        |SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+        |  CAST(date_diff('day', cohort_week, wk) // 7 AS INT) AS week_offset,
+        |  count(DISTINCT c.user_id) AS active_users
+        |FROM cohorts c JOIN activity a USING (user_id)
+        |WHERE date_diff('day', cohort_week, wk) >= 0
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q148_resample_ffill" ->
+      """WITH e AS (SELECT user_id,
+        |    (epoch_us(ts) // 86400000000) * 86400000000 AS bucket, value
+        |  FROM events),
+        |b AS (SELECT user_id, bucket, count(*) AS n_obs, max(value) AS v
+        |      FROM e GROUP BY 1, 2),
+        |r AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+        |      FROM b GROUP BY 1),
+        |spine AS (SELECT user_id,
+        |    unnest(generate_series(lo, hi, 86400000000)) AS bucket FROM r),
+        |j AS (SELECT s.user_id, s.bucket, b.n_obs, b.v
+        |      FROM spine s LEFT JOIN b
+        |        ON s.user_id = b.user_id AND s.bucket = b.bucket)
+        |SELECT user_id, bucket, coalesce(n_obs, 0) AS n_obs,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS v_filled,
+        |  v IS NULL AS was_gap
+        |FROM j ORDER BY user_id, bucket""".stripMargin,
 
     "q145_compression_ratio" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
