@@ -2774,6 +2774,36 @@ object SparkEntry {
         .orderBy($"user_id", $"bucket")
     }),
 
+    // One-pass exact column profile of the documents table: row count,
+    // nulls, distinct cardinality, native-type min/max per column from
+    // ONE df.agg (the N-distinct Expand is the documented exact-mode
+    // trade; profileApprox is the no-Expand 100 TB default, spec-gated).
+    "q149_data_profile" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.DataProfile.profile(t(s, dir, "documents"),
+          Seq("doc_id", "lang", "n_chars", "source", "text"))
+        .orderBy($"col_name")
+    }),
+
+    // Exact edit-distance self-join (d<=2) over 24-char document keys
+    // plus one planted single-edit variant per doc: candidates from the
+    // rarity-ordered q-gram prefix index + degenerate length buckets,
+    // banded-levenshtein verify — never cartesian (spec-asserted).
+    // DuckDB replays with a literal pairwise levenshtein.
+    "q150_edit_distance_join" -> ((s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "documents").filter($"doc_id" % 4 === 0)
+        .select($"doc_id".as("id"), expr("substring(text, 1, 24)").as("str"),
+          expr("CAST(doc_id % 20 AS INT)").as("p"))
+      val corpus = base.select($"id", $"str")
+        .unionByName(base.select(($"id" + 100000L).as("id"),
+          concat(expr("substring(str, 1, p + 1)"), lit("~"),
+            expr("substring(str, p + 3, 24)")).as("str")))
+      graft.operators.StringJoin.editDistanceJoin(corpus, "id", "str",
+          maxDist = 2)
+        .orderBy($"a_id", $"b_id")
+    }),
+
     // k-core peel on the co-order part graph: k=80 cascades for ~5
     // rounds at sf0.01 (real partial peel — 1857 of 2000 parts survive)
     // and the DuckDB oracle unrolls the same 8 bounded rounds; degrees
@@ -3952,6 +3982,42 @@ object SparkEntry {
         |  CAST(length('payload for document ' || doc_id || ' lang ' || lang)
         |    AS INT) AS body_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q149_data_profile" ->
+      """WITH a AS (SELECT count(*) AS n,
+        |  count(doc_id) AS nn0, count(DISTINCT doc_id) AS nd0,
+        |    CAST(min(doc_id) AS VARCHAR) AS mn0, CAST(max(doc_id) AS VARCHAR) AS mx0,
+        |  count(lang) AS nn1, count(DISTINCT lang) AS nd1,
+        |    min(lang) AS mn1, max(lang) AS mx1,
+        |  count(n_chars) AS nn2, count(DISTINCT n_chars) AS nd2,
+        |    CAST(min(n_chars) AS VARCHAR) AS mn2, CAST(max(n_chars) AS VARCHAR) AS mx2,
+        |  count(source) AS nn3, count(DISTINCT source) AS nd3,
+        |    min(source) AS mn3, max(source) AS mx3,
+        |  count(text) AS nn4, count(DISTINCT text) AS nd4,
+        |    min(text) AS mn4, max(text) AS mx4
+        |  FROM documents)
+        |SELECT 'doc_id' AS col_name, n AS n_rows, n - nn0 AS n_nulls,
+        |  nd0 AS n_distinct, mn0 AS min_val, mx0 AS max_val FROM a
+        |UNION ALL SELECT 'lang', n, n - nn1, nd1, mn1, mx1 FROM a
+        |UNION ALL SELECT 'n_chars', n, n - nn2, nd2, mn2, mx2 FROM a
+        |UNION ALL SELECT 'source', n, n - nn3, nd3, mn3, mx3 FROM a
+        |UNION ALL SELECT 'text', n, n - nn4, nd4, mn4, mx4 FROM a
+        |ORDER BY col_name""".stripMargin,
+
+    "q150_edit_distance_join" ->
+      """WITH b AS (SELECT doc_id AS id, substring(text, 1, 24) AS str,
+        |             CAST(doc_id % 20 AS INT) AS p
+        |           FROM documents WHERE doc_id % 4 = 0),
+        |c AS (SELECT id, str FROM b
+        |      UNION ALL
+        |      SELECT id + 100000, substring(str, 1, p + 1) || '~' ||
+        |        substring(str, p + 3, 24) FROM b)
+        |SELECT x.id AS a_id, y.id AS b_id,
+        |  CAST(levenshtein(x.str, y.str) AS INT) AS dist
+        |FROM c x JOIN c y
+        |  ON x.id < y.id AND abs(length(x.str) - length(y.str)) <= 2
+        |WHERE levenshtein(x.str, y.str) <= 2
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "q146_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),

@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.DataProfile
+import org.scalatest.funsuite.AnyFunSuite
+
+class DataProfileSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val fixture = Seq(
+    (Some(1L), Some("b"), Some(2.5)),
+    (Some(2L), Some("a"), None),
+    (Some(2L), None, Some(-1.0)),
+    (None, Some("a"), Some(7.25)))
+    .toDF("k", "s", "v")
+
+  test("exact profile: counts, nulls, distincts, native-type min/max") {
+    val out = DataProfile.profile(fixture, Seq("k", "s", "v"))
+      .orderBy($"col_name")
+      .as[(String, Long, Long, Long, String, String)].collect().toSeq
+    assert(out == Seq(
+      ("k", 4L, 1L, 2L, "1", "2"),
+      ("s", 4L, 1L, 2L, "a", "b"),
+      ("v", 4L, 1L, 3L, "-1.0", "7.25")))
+  }
+
+  test("min/max order on the native type, not the string rendering") {
+    // string-cast ordering would put "10" < "9"
+    val df = Seq(9L, 10L, 2L).toDF("n")
+    val row = DataProfile.profile(df, Seq("n")).collect().head
+    assert(row.getAs[String]("min_val") == "2")
+    assert(row.getAs[String]("max_val") == "10")
+  }
+
+  test("approx profile: same shape, n_distinct within rsd, NO Expand in plan") {
+    val df = spark.range(0, 5000).selectExpr("id", "id % 37 AS m")
+    val out = DataProfile.profileApprox(df, Seq("id", "m"), rsd = 0.05)
+    val rows = out.collect().map(r =>
+      r.getAs[String]("col_name") -> r.getAs[Long]("n_distinct")).toMap
+    assert(math.abs(rows("m") - 37L) <= 4)
+    assert(math.abs(rows("id") - 5000L) <= 500)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"),
+      s"approx profile must not multiply rows via Expand:\n$plan")
+    // the exact mode is the one that pays Expand (documented trade)
+    val exactPlan = DataProfile.profile(df, Seq("id", "m"))
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand"))
+  }
+}
