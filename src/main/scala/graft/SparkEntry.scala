@@ -2785,6 +2785,35 @@ object SparkEntry {
         .orderBy($"col_name")
     }),
 
+    // Incremental profile: two disjoint batches sketch independently,
+    // sidecars persist to parquet, and the MERGE (counts sum, typed
+    // min/max fold, HLL union — no batch rescanned) must reproduce the
+    // whole-table profile: counts/nulls/min/max exactly (oracle-
+    // replayed), distinct within 5% of exact (contract boolean, the
+    // q136 pattern).
+    "q151_incremental_profile" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.DataProfile
+      val docs = t(s, dir, "documents")
+      val cols = Seq("doc_id", "lang", "n_chars", "source", "text")
+      val tmp = freshScratch("q151")
+      DataProfile.profileSketch(docs.filter($"doc_id" % 2 === 0), cols)
+        .write.parquet(tmp + "/b0")
+      DataProfile.profileSketch(docs.filter($"doc_id" % 2 === 1), cols)
+        .write.parquet(tmp + "/b1")
+      val merged = DataProfile.mergeProfileSketches(
+        s.read.parquet(tmp + "/b0", tmp + "/b1"))
+      val exact = DataProfile.profile(docs, cols)
+        .select($"col_name", $"n_distinct".as("exact_nd"))
+      merged.join(exact, "col_name")
+        .select($"col_name", $"n_rows", $"n_nulls",
+          (abs($"n_distinct" - $"exact_nd").cast("double") <=
+            greatest(lit(1.0), $"exact_nd".cast("double") * 0.05))
+            .as("distinct_ok"),
+          $"min_num", $"max_num", $"min_str", $"max_str")
+        .orderBy($"col_name")
+    }),
+
     // Exact edit-distance self-join (d<=2) over 24-char document keys
     // plus one planted single-edit variant per doc: candidates from the
     // rarity-ordered q-gram prefix index + degenerate length buckets,
@@ -4002,6 +4031,24 @@ object SparkEntry {
         |UNION ALL SELECT 'n_chars', n, n - nn2, nd2, mn2, mx2 FROM a
         |UNION ALL SELECT 'source', n, n - nn3, nd3, mn3, mx3 FROM a
         |UNION ALL SELECT 'text', n, n - nn4, nd4, mn4, mx4 FROM a
+        |ORDER BY col_name""".stripMargin,
+
+    "q151_incremental_profile" ->
+      """SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+        |  count(*) - count(doc_id) AS n_nulls, TRUE AS distinct_ok,
+        |  CAST(min(doc_id) AS DOUBLE) AS min_num,
+        |  CAST(max(doc_id) AS DOUBLE) AS max_num,
+        |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        |FROM documents
+        |UNION ALL SELECT 'lang', count(*), count(*) - count(lang), TRUE,
+        |  NULL, NULL, min(lang), max(lang) FROM documents
+        |UNION ALL SELECT 'n_chars', count(*), count(*) - count(n_chars), TRUE,
+        |  CAST(min(n_chars) AS DOUBLE), CAST(max(n_chars) AS DOUBLE),
+        |  NULL, NULL FROM documents
+        |UNION ALL SELECT 'source', count(*), count(*) - count(source), TRUE,
+        |  NULL, NULL, min(source), max(source) FROM documents
+        |UNION ALL SELECT 'text', count(*), count(*) - count(text), TRUE,
+        |  NULL, NULL, min(text), max(text) FROM documents
         |ORDER BY col_name""".stripMargin,
 
     "q150_edit_distance_join" ->

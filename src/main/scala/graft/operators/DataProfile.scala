@@ -45,6 +45,64 @@ object DataProfile {
       rsd: Double = 0.05): DataFrame =
     profileWith(df, cols, c => approx_count_distinct(col(c), rsd))
 
+  /** Mergeable per-batch profile SIDECAR: one row per column with all
+    * aggregate state either trivially mergeable (counts, typed
+    * min/max) or a Datasketches HLL sketch (distinct). Persist the
+    * rows per ingest batch; [[mergeProfileSketches]] of all batches
+    * equals a whole-table [[profileApprox]] WITHOUT rescanning old
+    * data — the incremental-profile shape for an append-only 100 TB
+    * corpus (the q136 HLL-rollup pattern, generalized to the full
+    * profile).
+    *
+    * min/max are kept NATIVE-typed per class — numeric columns in
+    * `min_num`/`max_num` (doubles; long columns are exact to 2^53),
+    * everything else in `min_str`/`max_str` — because a min merged on
+    * the string rendering would order "10" < "9". The type class is
+    * decided from the SCHEMA at plan time, never per row. HLL sketches
+    * are built over the value's STRING rendering for every type, so
+    * sketches of the same column stay union-compatible across batches
+    * whatever the writer's column type evolution did (rendering is
+    * injective per type, so distinct counts are preserved). */
+  def profileSketch(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    import org.apache.spark.sql.types._
+    def numeric(c: String) = df.schema(c).dataType.isInstanceOf[NumericType]
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(
+        count(col(c)).as(s"nn_$i"),
+        hll_sketch_agg(col(c).cast("string")).as(s"sk_$i"),
+        (if (numeric(c)) min(col(c)).cast("double") else lit(null).cast("double"))
+          .as(s"mnn_$i"),
+        (if (numeric(c)) max(col(c)).cast("double") else lit(null).cast("double"))
+          .as(s"mxn_$i"),
+        (if (numeric(c)) lit(null).cast("string") else min(col(c)).cast("string"))
+          .as(s"mns_$i"),
+        (if (numeric(c)) lit(null).cast("string") else max(col(c)).cast("string"))
+          .as(s"mxs_$i"))
+    }
+    val row = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stackArgs = cols.zipWithIndex.map { case (c, i) =>
+      s"'$c', nn_$i, sk_$i, mnn_$i, mxn_$i, mns_$i, mxs_$i"
+    }.mkString(", ")
+    row.selectExpr("n_rows",
+        s"stack(${cols.size}, $stackArgs) AS " +
+          "(col_name, n_nonnull, sketch, min_num, max_num, min_str, max_str)")
+      .select(col("col_name"), col("n_rows"), col("n_nonnull"), col("sketch"),
+        col("min_num"), col("max_num"), col("min_str"), col("max_str"))
+  }
+
+  /** Union per-batch [[profileSketch]] rows into the whole-corpus
+    * profile: counts sum, typed min/max fold, HLL sketches union —
+    * no old batch is ever rescanned. Output shape matches
+    * [[profileApprox]] plus the typed min/max split. */
+  def mergeProfileSketches(sketches: DataFrame): DataFrame =
+    sketches.groupBy(col("col_name"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        (sum(col("n_rows")) - sum(col("n_nonnull"))).as("n_nulls"),
+        expr("hll_sketch_estimate(hll_union_agg(sketch))").as("n_distinct"),
+        min(col("min_num")).as("min_num"), max(col("max_num")).as("max_num"),
+        min(col("min_str")).as("min_str"), max(col("max_str")).as("max_str"))
+
   private def profileWith(df: DataFrame, cols: Seq[String],
       distinct: String => org.apache.spark.sql.Column): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")

@@ -32,6 +32,37 @@ class DataProfileSpec extends AnyFunSuite {
     assert(row.getAs[String]("max_val") == "10")
   }
 
+  test("profile sketches: disjoint halves round-trip parquet and merge to the whole") {
+    val dir = java.nio.file.Files.createTempDirectory("profile_sk").toString
+    val df = spark.range(0, 4000)
+      .selectExpr("id AS k", "CAST(id % 7 AS STRING) AS s",
+        "CAST(CASE WHEN id % 5 = 0 THEN NULL ELSE id % 211 END AS DOUBLE) AS v")
+    val a = df.filter($"k" < 1500)   // uneven halves
+    val b = df.filter($"k" >= 1500)
+    val cols = Seq("k", "s", "v")
+    // per-batch sidecars persist; merging NEVER rescans the batches
+    DataProfile.profileSketch(a, cols).write.parquet(dir + "/b0")
+    DataProfile.profileSketch(b, cols).write.parquet(dir + "/b1")
+    val merged = DataProfile.mergeProfileSketches(spark.read.parquet(dir + "/b*"))
+      .collect().map(r => r.getAs[String]("col_name") -> r).toMap
+
+    assert(cols.forall(c => merged(c).getAs[Long]("n_rows") == 4000L))
+    assert(merged("k").getAs[Long]("n_nulls") == 0L)
+    assert(merged("v").getAs[Long]("n_nulls") == 800L)
+    // typed min/max fold natively: numeric columns never string-order
+    assert(merged("k").getAs[Double]("min_num") == 0.0)
+    assert(merged("k").getAs[Double]("max_num") == 3999.0)
+    assert(merged("v").getAs[Double]("max_num") == 210.0)
+    assert(merged("s").getAs[String]("min_str") == "0")
+    assert(merged("s").getAs[String]("max_str") == "6")
+    // HLL union across batches lands within 5% of exact distinct
+    def within(est: Long, exact: Long) =
+      math.abs(est - exact) <= math.max(1.0, exact * 0.05)
+    assert(within(merged("k").getAs[Long]("n_distinct"), 4000L))
+    assert(within(merged("s").getAs[Long]("n_distinct"), 7L))
+    assert(within(merged("v").getAs[Long]("n_distinct"), 211L))
+  }
+
   test("approx profile: same shape, n_distinct within rsd, NO Expand in plan") {
     val df = spark.range(0, 5000).selectExpr("id", "id % 37 AS m")
     val out = DataProfile.profileApprox(df, Seq("id", "m"), rsd = 0.05)
