@@ -2785,6 +2785,32 @@ object SparkEntry {
         .orderBy($"col_name")
     }),
 
+    // SCD Type-2 history from the event log: one row per (user,
+    // change point) with [valid_from, valid_to) and is_current; no-op
+    // re-observations mint no version (null-safe <=>). Two ordered
+    // windows + the filter share ONE user-keyed exchange
+    // (spec-asserted); all interval bounds are epoch-micros longs.
+    "q152_scd2_intervals" -> ((s, dir) => {
+      import s.implicits._
+      val ev = events(s, dir).select($"user_id", $"event_id",
+        $"event_type", unix_micros($"ts").as("tsu"))
+      graft.operators.Scd.intervals(ev, Seq("user_id"), "tsu", "event_id",
+          Seq("event_type"))
+        .orderBy($"user_id", $"valid_from", $"event_type")
+    }),
+
+    // Event-type transition matrix ("user journeys"): lag bigrams per
+    // user with a synthetic _START_ state and event-id tiebreak; only
+    // the |types|^2 count grid crosses the second shuffle.
+    "q153_transitions" -> ((s, dir) => {
+      import s.implicits._
+      val ev = events(s, dir).select($"user_id", $"event_id",
+        $"event_type", unix_micros($"ts").as("tsu"))
+      graft.operators.Events.transitions(ev, "user_id", "event_type",
+          "tsu", "event_id")
+        .orderBy($"src", $"dst")
+    }),
+
     // Incremental profile: two disjoint batches sketch independently,
     // sidecars persist to parquet, and the MERGE (counts sum, typed
     // min/max fold, HLL union — no batch rescanned) must reproduce the
@@ -4032,6 +4058,30 @@ object SparkEntry {
         |UNION ALL SELECT 'source', n, n - nn3, nd3, mn3, mx3 FROM a
         |UNION ALL SELECT 'text', n, n - nn4, nd4, mn4, mx4 FROM a
         |ORDER BY col_name""".stripMargin,
+
+    "q152_scd2_intervals" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu
+        |           FROM events),
+        |c AS (SELECT *, lag(event_type) OVER
+        |        (PARTITION BY user_id ORDER BY tsu, event_id) AS prev FROM e),
+        |ch AS (SELECT user_id, event_id, event_type, tsu FROM c
+        |       WHERE prev IS NULL OR event_type IS DISTINCT FROM prev),
+        |v AS (SELECT user_id, event_type, tsu AS valid_from,
+        |        lead(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id)
+        |          AS valid_to
+        |      FROM ch)
+        |SELECT user_id, event_type, valid_from, valid_to,
+        |  valid_to IS NULL AS is_current
+        |FROM v ORDER BY user_id, valid_from, event_type""".stripMargin,
+
+    "q153_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu
+        |           FROM events),
+        |b AS (SELECT coalesce(lag(event_type) OVER
+        |        (PARTITION BY user_id ORDER BY tsu, event_id), '_START_') AS src,
+        |        event_type AS dst FROM e)
+        |SELECT src, dst, count(*) AS n FROM b
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q151_incremental_profile" ->
       """SELECT 'doc_id' AS col_name, count(*) AS n_rows,

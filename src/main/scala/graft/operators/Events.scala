@@ -119,6 +119,26 @@ object Events {
       .agg(countDistinct(col(userCol)).as("active_users"))
   }
 
+  /** Event-type TRANSITION MATRIX (the "user journey" aggregate):
+    * count (previous type -> type) bigrams over each user's
+    * time-ordered stream; a user's first event transitions from the
+    * synthetic `_START_` state. `tieCol` makes equal-timestamp order
+    * deterministic (the event-id contract).
+    *
+    * Plan shape: one lag window over a user-keyed exchange, then a
+    * (src, dst)-keyed partial+final count — the only data crossing the
+    * second shuffle is the |types|² count grid. Per-user window state
+    * is one row. */
+  def transitions(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    events
+      .withColumn("src", coalesce(lag(col(typeCol), 1).over(w), lit("_START_")))
+      .groupBy(col("src"), col(typeCol).as("dst"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Calendar resample + forward fill: bucket each row to
     * `floor(tsMicros / stepMicros) * stepMicros`, aggregate per
     * (key, bucket) — `n_obs` (count) and `v` (MAX of `valueCol`:

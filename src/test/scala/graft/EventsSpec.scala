@@ -110,6 +110,18 @@ class EventsSpec extends AnyFunSuite {
       (2L, 10L, 1L, 1.0, false)))
   }
 
+  test("transitions: time-ordered bigrams per user, synthetic start state") {
+    val ev = Seq(
+      (1L, "A", 10L, 1L), (1L, "B", 20L, 2L), (1L, "B", 30L, 3L),
+      // u2: equal timestamps — the event-id tiebreak orders A before B
+      (2L, "A", 10L, 4L), (2L, "B", 10L, 5L))
+      .toDF("user_id", "etype", "tsu", "eid")
+    val out = Events.transitions(ev, "user_id", "etype", "tsu", "eid")
+      .as[(String, String, Long)].collect().toSet
+    assert(out == Set(
+      ("_START_", "A", 2L), ("A", "B", 2L), ("B", "B", 1L)))
+  }
+
   test("resampleFfill spine never starts with a gap (lo is observed)") {
     val df = Seq((9L, 100L, 3.5)).toDF("k", "tsu", "value")
     val out = Events.resampleFfill(df, "k", "tsu", "value", 7L)
