@@ -101,6 +101,9 @@ object Bench {
     "q152" -> (0.557, 1.225), "q153" -> (0.348, 0.821),
     // q154 first isolated noop measurement (0.803)
     "q154" -> (0.562, 1.234),
+    // q155 first isolated noop measurement (2.675; the deterministic
+    // single-task ntile over 600k rows is the documented gate cost)
+    "q155" -> (1.873, 3.761),
     "q13" -> (0.231, 0.596), "q14" -> (0.168, 0.501), "q15" -> (0.217, 0.596),
     "q16" -> (0.175, 0.501), "q17" -> (0.287, 0.717), "q18" -> (0.161, 0.461),
     "q19" -> (0.21, 0.636), "q20" -> (0.322, 0.771), "q21" -> (0.217, 0.622),

@@ -2785,6 +2785,34 @@ object SparkEntry {
         .orderBy($"col_name")
     }),
 
+    // Z-order layout vs linear sort, skip accounting fully replayed:
+    // lineitem keys land on a 256x256 grid, both layouts bucket into
+    // 64 "files" via deterministic ntile, and the manifest (per-file
+    // min/max box) counts the files a 32x32 corner query must read.
+    // The z-curve puts the corner in ~1 file where the linear sort
+    // needs every x-qualifying file (each spans all of y). The oracle
+    // replays the bit interleave, the ntile, and the pruning
+    // arithmetic — the full layout hash-matches, not a summary.
+    "q155_zorder_skipping" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Layout
+      val src = t(s, dir, "lineitem").select(
+        ($"l_partkey" % 256).cast("long").as("x"),
+        ($"l_suppkey" % 256).cast("long").as("y"),
+        ($"l_orderkey" * 10 + $"l_linenumber").cast("long").as("tie"))
+      val ranges = Seq(("x", 0L, 31L), ("y", 0L, 31L))
+      val zb = Layout.zorderBucketsExact(src, "x", "y", "tie", 64, bits = 8)
+      val zCand = Layout.candidateFiles(
+        Layout.bucketStats(zb, "_file", Seq("x", "y")), ranges).count()
+      val lb = src.withColumn("_file", ntile(64).over(
+        org.apache.spark.sql.expressions.Window.orderBy($"x", $"tie")))
+      val lCand = Layout.candidateFiles(
+        Layout.bucketStats(lb, "_file", Seq("x", "y")), ranges).count()
+      Seq(("linear", 64, lCand), ("zorder", 64, zCand))
+        .toDF("layout", "n_files", "files_box")
+        .orderBy($"layout")
+    }),
+
     // PCA-reduced ANN on the planted-cluster fixture (q116's corpus):
     // fit 384 -> 32 axes (distributed d x d covariance, driver eigen),
     // index/search in the reduced space, and brute-force top-10 there
@@ -4113,6 +4141,26 @@ object SparkEntry {
     "q154_pca_ann" ->
       """SELECT 10 AS k, 384 AS dim_full, 32 AS dim_reduced,
         |  TRUE AS recall_ok""".stripMargin,
+
+    "q155_zorder_skipping" ->
+      s"""WITH src AS (SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y,
+        |    l_orderkey * 10 + l_linenumber AS tie FROM lineitem),
+        |z AS (SELECT x, y, ${graft.operators.Layout.zValueSql("x", "y", 8)}
+        |        AS zv, tie FROM src),
+        |zb AS (SELECT x, y, ntile(64) OVER (ORDER BY zv, tie) AS f FROM z),
+        |zs AS (SELECT f, min(x) AS xmin, max(x) AS xmax,
+        |         min(y) AS ymin, max(y) AS ymax FROM zb GROUP BY f),
+        |zc AS (SELECT count(*) AS c FROM zs
+        |       WHERE xmax >= 0 AND xmin <= 31 AND ymax >= 0 AND ymin <= 31),
+        |lb AS (SELECT x, y, ntile(64) OVER (ORDER BY x, tie) AS f FROM src),
+        |ls AS (SELECT f, min(x) AS xmin, max(x) AS xmax,
+        |         min(y) AS ymin, max(y) AS ymax FROM lb GROUP BY f),
+        |lc AS (SELECT count(*) AS c FROM ls
+        |       WHERE xmax >= 0 AND xmin <= 31 AND ymax >= 0 AND ymin <= 31)
+        |SELECT 'linear' AS layout, 64 AS n_files,
+        |  (SELECT c FROM lc) AS files_box
+        |UNION ALL SELECT 'zorder', 64, (SELECT c FROM zc)
+        |ORDER BY layout""".stripMargin,
 
     "q152_scd2_intervals" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu
