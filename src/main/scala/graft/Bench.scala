@@ -104,6 +104,9 @@ object Bench {
     // q155 first isolated noop measurement (2.675; the deterministic
     // single-task ntile over 600k rows is the documented gate cost)
     "q155" -> (1.873, 3.761),
+    // q156 first isolated noop measurement (2.723, after the
+    // one-staging-job write cut it from 7.3)
+    "q156" -> (1.906, 3.826),
     "q13" -> (0.231, 0.596), "q14" -> (0.168, 0.501), "q15" -> (0.217, 0.596),
     "q16" -> (0.175, 0.501), "q17" -> (0.287, 0.717), "q18" -> (0.161, 0.461),
     "q19" -> (0.21, 0.636), "q20" -> (0.322, 0.771), "q21" -> (0.217, 0.622),

@@ -2785,6 +2785,31 @@ object SparkEntry {
         .orderBy($"col_name")
     }),
 
+    // INCREMENTAL SCD2: the same event log folded in as three
+    // time-sliced batches through the bucket-swap store — per batch
+    // only touched key-buckets rewrite (spec-asserted), replays drop
+    // idempotently — and the maintained store must equal the one-shot
+    // rebuild: the oracle is the SAME SQL as q152.
+    "q156_scd2_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val ev = events(s, dir).select($"user_id", $"event_id",
+        $"event_type", unix_micros($"ts").as("tsu"))
+        .localCheckpoint(true) // sliced three times below
+      val store = freshScratch("q156") + "/versions"
+      // day-10 / day-20 cuts (epoch micros of 2024-01-11 / 2024-01-21)
+      val c1 = 1704931200000000L
+      val c2 = 1705795200000000L
+      Seq(ev.filter($"tsu" < c1),
+          ev.filter($"tsu" >= c1 && $"tsu" < c2),
+          ev.filter($"tsu" >= c2))
+        .foreach(b => graft.operators.Scd.applyBatch(b, store,
+          Seq("user_id"), "tsu", "event_id", Seq("event_type")))
+      graft.operators.Scd.readVersions(s, store)
+        .select($"user_id", $"event_type", $"valid_from", $"valid_to",
+          $"is_current")
+        .orderBy($"user_id", $"valid_from", $"event_type")
+    }),
+
     // Z-order layout vs linear sort, skip accounting fully replayed:
     // lineitem keys land on a 256x256 grid, both layouts bucket into
     // 64 "files" via deterministic ntile, and the manifest (per-file
@@ -4161,6 +4186,23 @@ object SparkEntry {
         |  (SELECT c FROM lc) AS files_box
         |UNION ALL SELECT 'zorder', 64, (SELECT c FROM zc)
         |ORDER BY layout""".stripMargin,
+
+    // identical history whether rebuilt in one shot (q152) or folded
+    // in incrementally (q156) — one SQL, two engines' worth of paths
+    "q156_scd2_incremental" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu
+        |           FROM events),
+        |c AS (SELECT *, lag(event_type) OVER
+        |        (PARTITION BY user_id ORDER BY tsu, event_id) AS prev FROM e),
+        |ch AS (SELECT user_id, event_id, event_type, tsu FROM c
+        |       WHERE prev IS NULL OR event_type IS DISTINCT FROM prev),
+        |v AS (SELECT user_id, event_type, tsu AS valid_from,
+        |        lead(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id)
+        |          AS valid_to
+        |      FROM ch)
+        |SELECT user_id, event_type, valid_from, valid_to,
+        |  valid_to IS NULL AS is_current
+        |FROM v ORDER BY user_id, valid_from, event_type""".stripMargin,
 
     "q152_scd2_intervals" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu

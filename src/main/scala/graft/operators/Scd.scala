@@ -33,7 +33,8 @@ object Scd {
     * version) with `valid_from` (inclusive), `valid_to` (exclusive,
     * null while current), `is_current`. */
   def intervals(df: DataFrame, keyCols: Seq[String], tsCol: String,
-      tieCol: String, attrCols: Seq[String]): DataFrame = {
+      tieCol: String, attrCols: Seq[String],
+      keepTie: Boolean = false): DataFrame = {
     require(keyCols.nonEmpty && attrCols.nonEmpty,
       "need at least one key and one attribute column")
     val byKey = Window.partitionBy(keyCols.map(col): _*)
@@ -44,11 +45,142 @@ object Scd {
       // first observation (lag null struct) always opens a version;
       // <=> makes per-attribute nulls compare stably
       .filter(col("_prev").isNull || !(attrs <=> col("_prev")))
+    // keepTie carries the OPENING observation's tie value, which the
+    // incremental maintainer needs to seed the next batch's ordering
+    val tieOut = if (keepTie) Seq(col(tieCol).as("open_tie")) else Seq.empty
     changed
       .withColumn("valid_from", col(tsCol))
       .withColumn("valid_to", lead(col(tsCol), 1).over(byKey))
       .withColumn("is_current", col("valid_to").isNull)
       .select(keyCols.map(col) ++ attrCols.map(col) ++
-        Seq(col("valid_from"), col("valid_to"), col("is_current")): _*)
+        Seq(col("valid_from"), col("valid_to"), col("is_current")) ++
+        tieOut: _*)
+  }
+
+  // ---------- incremental maintenance (the streaming half) ----------
+  //
+  // A dimension's change log is append-only, so its SCD2 table can be
+  // maintained per micro-batch without ever rescanning history: closed
+  // versions are immutable, and only each affected key's OPEN version
+  // can change. applyBatch therefore touches O(affected buckets) of
+  // the store per batch, never O(history) — the same incremental
+  // discipline as the streaming dedup ingests.
+  //
+  // Ordering contract: per key, observations arrive in strictly
+  // increasing (ts, tie) order ACROSS batches (any order within one).
+  // Under that contract, a batch row at or before its key's open
+  // version's (valid_from, open_tie) must already have been applied —
+  // so such rows are DROPPED, which makes both full-batch replays and
+  // mid-apply crash retries idempotent (a bucket already swapped simply
+  // drops the batch again). Genuinely late data is indistinguishable
+  // from a replay and needs the full-history rebuild ([[intervals]]
+  // over the complete log); exactly-once delivery belongs to the
+  // caller's batch-id ledger (the StreamOps pattern).
+
+  private def bucketOf(keyCols: Seq[String], n: Int) =
+    pmod(hash(keyCols.map(col): _*), lit(n))
+
+  private def bucketDir(store: String, b: Int) = s"$store/bucket_$b"
+
+  /** All versions currently in the store (empty-schema-safe only after
+    * the first [[applyBatch]]). */
+  def readVersions(spark: org.apache.spark.sql.SparkSession,
+      store: String, nBuckets: Int = 8): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val existing = (0 until nBuckets).map(bucketDir(store, _)).filter { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(conf).exists(path)
+    }
+    require(existing.nonEmpty, s"no SCD store at $store")
+    spark.read.parquet(existing: _*)
+  }
+
+  /** Fold one in-order batch of observations into the versioned store.
+    * Cost: reads + rewrites only the key-hash buckets the batch
+    * touches; each bucket swap is journal-committed ([[AtomicSwap]]),
+    * so a crash between buckets retries idempotently. */
+  def applyBatch(batch: DataFrame, store: String, keyCols: Seq[String],
+      tsCol: String, tieCol: String, attrCols: Seq[String],
+      nBuckets: Int = 8): Unit = {
+    require(nBuckets >= 1, "nBuckets must be >= 1")
+    val spark = batch.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    // heal any swap a previous crash left half-done
+    (0 until nBuckets).foreach { i =>
+      AtomicSwap.recover(conf, bucketDir(store, i))
+    }
+    val b = batch
+      .select(keyCols.map(col) ++
+        Seq(col(tsCol).as("_ts"), col(tieCol).as("_tie")) ++
+        attrCols.map(col): _*)
+      .withColumn("_bucket", bucketOf(keyCols, nBuckets))
+    val affected = b.select(col("_bucket")).distinct()
+      .collect().map(_.getInt(0)).sorted // bounded by nBuckets
+    if (affected.isEmpty) return
+
+    val existingDirs = affected.map(bucketDir(store, _)).filter { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(conf).exists(path)
+    }
+    val existing: Option[DataFrame] =
+      if (existingDirs.isEmpty) None
+      else Some(spark.read.parquet(existingDirs: _*))
+
+    val open = existing.map(_.filter(col("is_current")))
+    val keyJoin = keyCols // join on the key columns by name
+    // drop already-applied rows: at or before the open version's order
+    val fresh = open match {
+      case None => b
+      case Some(o) =>
+        val oKeyed = o.select(keyCols.map(col) ++
+          Seq(col("valid_from").as("_ovf"), col("open_tie").as("_otie")): _*)
+        b.join(oKeyed, keyJoin, "left")
+          .filter(col("_ovf").isNull ||
+            col("_ts") > col("_ovf") ||
+            (col("_ts") === col("_ovf") && col("_tie") > col("_otie")))
+          .drop("_ovf", "_otie")
+    }
+    // the open version re-enters as the seed observation so the batch's
+    // first change closes it (and a re-observed equal value is a no-op)
+    val pseudo = open.map(_.select(keyCols.map(col) ++
+      Seq(col("valid_from").as("_ts"), col("open_tie").as("_tie")) ++
+      attrCols.map(col): _*).withColumn("_bucket", bucketOf(keyCols, nBuckets)))
+    val obs = pseudo.map(_.unionByName(fresh)).getOrElse(fresh)
+    val recomputed = intervals(obs, keyCols, "_ts", "_tie", attrCols,
+        keepTie = true)
+      .withColumn("_bucket", bucketOf(keyCols, nBuckets))
+    val closed = existing.map(_.filter(!col("is_current"))
+      .withColumn("_bucket", bucketOf(keyCols, nBuckets)))
+    val out = closed.map(_.unionByName(recomputed)).getOrElse(recomputed)
+
+    // ONE partitioned staging job for every affected bucket (a write
+    // per bucket was Jx the job-launch overhead), then per-bucket
+    // rename + journal swap; we are the commit authority, so the
+    // per-dir _SUCCESS marker is written after the job succeeded
+    import org.apache.hadoop.fs.Path
+    val stagedRoot = new Path(
+      s"$store/__stage_${java.util.UUID.randomUUID().toString.take(8)}")
+    val fs = stagedRoot.getFileSystem(conf)
+    out.write.mode("overwrite").partitionBy("_bucket")
+      .parquet(stagedRoot.toString)
+    try {
+      affected.foreach { i =>
+        val part = new Path(stagedRoot, s"_bucket=$i")
+        if (fs.exists(part)) { // empty output for a bucket = no change
+          val staged = new Path(bucketDir(store, i) + "__staged")
+          if (fs.exists(staged)) fs.delete(staged, true)
+          require(fs.rename(part, staged), s"staging rename failed: $part")
+          fs.create(new Path(staged, "_SUCCESS")).close()
+          val live = new Path(bucketDir(store, i))
+          if (fs.exists(live))
+            AtomicSwap.swapIn(conf, live.toString, staged.toString)
+          else {
+            fs.mkdirs(live.getParent)
+            require(fs.rename(staged, live),
+              s"failed to promote first-write bucket $staged -> $live")
+          }
+        }
+      }
+    } finally fs.delete(stagedRoot, true)
   }
 }

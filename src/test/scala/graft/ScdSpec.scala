@@ -58,6 +58,94 @@ class ScdSpec extends AnyFunSuite {
       (2L, "z", 10L, None, true)))
   }
 
+  test("applyBatch folds in-order batches into the same history as a full rebuild") {
+    val store = java.nio.file.Files.createTempDirectory("scd_store").toString + "/v"
+    val batches = Seq(
+      log((1L, 10L, 1L, "free"), (2L, 11L, 2L, "free")),
+      log((1L, 20L, 3L, "pro"), (1L, 25L, 4L, "pro"),   // 25 is a no-op
+        (3L, 21L, 5L, "trial")),                          // new key mid-stream
+      log((2L, 30L, 6L, "pro"), (1L, 31L, 7L, "free")))
+    batches.foreach(b =>
+      Scd.applyBatch(b, store, Seq("k"), "ts", "eid", Seq("tier")))
+    val incr = Scd.readVersions(spark, store)
+      .select($"k", $"tier", $"valid_from", $"valid_to", $"is_current")
+      .orderBy($"k", $"valid_from").collect().toSeq
+    val full = Scd.intervals(
+        batches.reduce(_ unionByName _), Seq("k"), "ts", "eid", Seq("tier"))
+      .orderBy($"k", $"valid_from").collect().toSeq
+    assert(incr == full)
+  }
+
+  test("applyBatch replay and crash-retry are idempotent no-ops") {
+    val store = java.nio.file.Files.createTempDirectory("scd_replay").toString + "/v"
+    val b1 = log((1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"))
+    val b2 = log((1L, 30L, 3L, "c"), (2L, 30L, 4L, "x"))
+    Scd.applyBatch(b1, store, Seq("k"), "ts", "eid", Seq("tier"))
+    Scd.applyBatch(b2, store, Seq("k"), "ts", "eid", Seq("tier"))
+    val before = Scd.readVersions(spark, store)
+      .orderBy($"k", $"valid_from").collect().toSeq
+    // a fully-replayed batch (crash after swap, retry from the source)
+    // drops every row as already-applied — history unchanged
+    Scd.applyBatch(b2, store, Seq("k"), "ts", "eid", Seq("tier"))
+    Scd.applyBatch(b1, store, Seq("k"), "ts", "eid", Seq("tier"))
+    val after = Scd.readVersions(spark, store)
+      .orderBy($"k", $"valid_from").collect().toSeq
+    assert(after == before)
+  }
+
+  test("applyBatch rewrites only the buckets the batch touches") {
+    val store = java.nio.file.Files.createTempDirectory("scd_buckets").toString + "/v"
+    // seed many keys across buckets
+    val seed = log((1L to 32L).map(k => (k, 10L, k, "a")): _*)
+    Scd.applyBatch(seed, store, Seq("k"), "ts", "eid", Seq("tier"), nBuckets = 8)
+    def mtimes(): Map[String, Long] = {
+      val root = new java.io.File(store)
+      root.listFiles().filter(_.getName.startsWith("bucket_"))
+        .map(d => d.getName ->
+          d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(_.lastModified()).max).toMap
+    }
+    val before = mtimes()
+    Thread.sleep(1100)
+    // one key -> one bucket touched
+    Scd.applyBatch(log((1L, 20L, 100L, "b")), store,
+      Seq("k"), "ts", "eid", Seq("tier"), nBuckets = 8)
+    val after = mtimes()
+    val changed = after.keySet.filter(k => after(k) != before.getOrElse(k, -1L))
+    assert(changed.size == 1, s"expected 1 rewritten bucket, got $changed")
+  }
+
+  test("streamed change log maintains the SCD2 store via foreachBatch") {
+    import java.nio.file.Files
+    val src = Files.createTempDirectory("scd_stream_src")
+    val store = Files.createTempDirectory("scd_stream").toString + "/v"
+    val all = log(
+      (1L, 10L, 1L, "free"), (2L, 10L, 2L, "free"),
+      (1L, 20L, 3L, "pro"), (2L, 25L, 4L, "free"), // no-op for 2
+      (1L, 30L, 5L, "free"), (3L, 30L, 6L, "trial"))
+    // two in-order file drops
+    val schema = all.schema
+    all.filter($"eid" <= 2).write.parquet(src.resolve("b1.parquet").toString)
+    val stream = spark.readStream.schema(schema)
+      .parquet(src.toString + "/*.parquet")
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          Scd.applyBatch(batch, store, Seq("k"), "ts", "eid", Seq("tier"))
+      }.start()
+    try {
+      q.processAllAvailable()
+      all.filter($"eid" > 2).write.parquet(src.resolve("b2.parquet").toString)
+      q.processAllAvailable()
+      val streamed = Scd.readVersions(spark, store)
+        .select($"k", $"tier", $"valid_from", $"valid_to", $"is_current")
+        .orderBy($"k", $"valid_from").collect().toSeq
+      val batch = Scd.intervals(all, Seq("k"), "ts", "eid", Seq("tier"))
+        .orderBy($"k", $"valid_from").collect().toSeq
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("both windows and the filter share one key-hash exchange") {
     val df = Scd.intervals(log((1L, 10L, 1L, "a"), (1L, 20L, 2L, "b")),
       Seq("k"), "ts", "eid", Seq("tier"))
