@@ -2785,6 +2785,28 @@ object SparkEntry {
         .orderBy($"col_name")
     }),
 
+    // Time-weighted average per user: DECIMAL(18,2) x micros products
+    // summed exactly (a double sum is order-dependent across engines);
+    // only the final ratio divides doubles. Last observation per key
+    // carries no duration and is excluded.
+    "q157_twap" -> ((s, dir) => {
+      import s.implicits._
+      val ev = events(s, dir).select($"user_id", $"event_id", $"value",
+        unix_micros($"ts").as("tsu"))
+      graft.operators.Events.twap(ev, "user_id", "tsu", "event_id", "value")
+        .orderBy($"user_id")
+    }),
+
+    // Exact equi-depth deciles of the event value column (ntile over
+    // the (value, event_id) total order — the gate/fixture form; the
+    // approx_percentile edge path is the spec-gated scale form).
+    "q158_equidepth_bins" -> ((s, dir) => {
+      import s.implicits._
+      val ev = events(s, dir).select($"value", $"event_id")
+      graft.operators.DataProfile.equiDepthBins(ev, "value", "event_id", 10)
+        .orderBy($"bin")
+    }),
+
     // INCREMENTAL SCD2: the same event log folded in as three
     // time-sliced batches through the bucket-swap store — per batch
     // only touched key-buckets rewrite (spec-asserted), replays drop
@@ -4186,6 +4208,30 @@ object SparkEntry {
         |  (SELECT c FROM lc) AS files_box
         |UNION ALL SELECT 'zorder', 64, (SELECT c FROM zc)
         |ORDER BY layout""".stripMargin,
+
+    "q157_twap" ->
+      """WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS tsu
+        |           FROM events),
+        |w AS (SELECT user_id, value,
+        |        (lead(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id)
+        |          - tsu) // 1000 AS wt
+        |      FROM e),
+        |f AS (SELECT user_id,
+        |        sum(CAST(value AS DECIMAL(9,2)) * CAST(wt AS DECIMAL(18,0)))
+        |          AS wv,
+        |        sum(wt) AS tw
+        |      FROM w WHERE wt IS NOT NULL GROUP BY 1)
+        |SELECT user_id, CAST(wv AS DOUBLE) / CAST(tw AS DOUBLE) AS twap,
+        |  CAST(tw AS BIGINT) AS span_millis
+        |FROM f ORDER BY user_id""".stripMargin,
+
+    "q158_equidepth_bins" ->
+      """WITH b AS (SELECT value, event_id,
+        |    ntile(10) OVER (ORDER BY value, event_id) AS bin
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT CAST(bin AS INT) AS bin, count(*) AS n,
+        |  min(value) AS lo, max(value) AS hi
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
 
     // identical history whether rebuilt in one shot (q152) or folded
     // in incrementally (q156) — one SQL, two engines' worth of paths

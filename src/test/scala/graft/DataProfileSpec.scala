@@ -63,6 +63,24 @@ class DataProfileSpec extends AnyFunSuite {
     assert(within(merged("v").getAs[Long]("n_distinct"), 211L))
   }
 
+  test("equiDepthBins: exact ntile bins with counts and ranges") {
+    val df = (1 to 10).map(i => (i.toDouble * 10, i.toLong)).toDF("v", "id")
+    val out = DataProfile.equiDepthBins(df, "v", "id", 3)
+      .orderBy($"bin").as[(Int, Long, Double, Double)].collect().toSeq
+    // ntile puts the remainder in the first bins: 4,3,3
+    assert(out == Seq((1, 4L, 10.0, 40.0), (2, 3L, 50.0, 70.0),
+      (3, 3L, 80.0, 100.0)))
+  }
+
+  test("equiDepthEdgesApprox: monotone edges that balance a uniform column") {
+    val df = spark.range(0, 10000).selectExpr("CAST(id AS DOUBLE) AS v")
+    val edges = DataProfile.equiDepthEdgesApprox(df, "v", 4)
+    assert(edges.length == 3 && edges.sameElements(edges.sorted))
+    edges.zip(Seq(2500.0, 5000.0, 7500.0)).foreach { case (e, want) =>
+      assert(math.abs(e - want) < 250, s"edge $e vs $want")
+    }
+  }
+
   test("approx profile: same shape, n_distinct within rsd, NO Expand in plan") {
     val df = spark.range(0, 5000).selectExpr("id", "id % 37 AS m")
     val out = DataProfile.profileApprox(df, Seq("id", "m"), rsd = 0.05)

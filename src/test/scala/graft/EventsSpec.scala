@@ -122,6 +122,18 @@ class EventsSpec extends AnyFunSuite {
       ("_START_", "A", 2L), ("A", "B", 2L), ("B", "B", 1L)))
   }
 
+  test("twap weights each value by its holding duration, excludes the last obs") {
+    val df = Seq( // micros; weights floor to 10 and 20 MILLIS
+      (1L, 0L, 1L, 10.0), (1L, 10000L, 2L, 20.0), (1L, 30000L, 3L, 99.0),
+      (2L, 5L, 4L, 7.0)) // single observation: no duration, no row
+      .toDF("k", "tsu", "eid", "value")
+    val out = Events.twap(df, "k", "tsu", "eid", "value")
+      .as[(Long, Double, Long)].collect()
+      .map { case (k, v, w) => k -> ((v, w)) }.toMap
+    // (10*10 + 20*20) / 30 — the 99.0 tail never enters
+    assert(out == Map(1L -> ((500.0 / 30.0, 30L))))
+  }
+
   test("resampleFfill spine never starts with a gap (lo is observed)") {
     val df = Seq((9L, 100L, 3.5)).toDF("k", "tsu", "value")
     val out = Events.resampleFfill(df, "k", "tsu", "value", 7L)
