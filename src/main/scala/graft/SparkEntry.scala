@@ -2785,6 +2785,32 @@ object SparkEntry {
         .orderBy($"col_name")
     }),
 
+    // Audience overlap via theta sketches: distinct users who did BOTH
+    // purchase AND error (intersection — what HLL cannot answer) and
+    // purchase-but-never-error (A-not-B), from two per-type sketches
+    // built in one pass; estimates within 5% of the exact counts
+    // (exact below nominal entries at this SF — the bound is the
+    // contract, q136's pattern).
+    "q159_theta_overlap" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.ThetaSketch
+      val ev = events(s, dir).select($"user_id", $"event_type")
+        .filter($"event_type".isin("purchase", "error"))
+      val sk = ThetaSketch.sketch(ev, "event_type", "user_id")
+        .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+      val both = ThetaSketch.intersectionEstimate(sk("purchase"), sk("error"))
+      val only = ThetaSketch.aNotBEstimate(sk("purchase"), sk("error"))
+      val flags = ev.groupBy($"user_id")
+        .agg(max(when($"event_type" === "purchase", 1).otherwise(0)).as("p"),
+          max(when($"event_type" === "error", 1).otherwise(0)).as("e"))
+      val exactBoth = flags.filter($"p" === 1 && $"e" === 1).count()
+      val exactOnly = flags.filter($"p" === 1 && $"e" === 0).count()
+      def ok(est: Double, exact: Long) =
+        math.abs(est - exact) <= math.max(1.0, exact * 0.05)
+      Seq((exactBoth, exactOnly, ok(both, exactBoth), ok(only, exactOnly)))
+        .toDF("exact_both", "exact_only_purchase", "both_ok", "only_ok")
+    }),
+
     // Time-weighted average per user: DECIMAL(18,2) x micros products
     // summed exactly (a double sum is order-dependent across engines);
     // only the final ratio divides doubles. Last observation per key
@@ -4208,6 +4234,18 @@ object SparkEntry {
         |  (SELECT c FROM lc) AS files_box
         |UNION ALL SELECT 'zorder', 64, (SELECT c FROM zc)
         |ORDER BY layout""".stripMargin,
+
+    "q159_theta_overlap" ->
+      """WITH f AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p,
+        |    max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS e
+        |  FROM events WHERE event_type IN ('purchase', 'error')
+        |  GROUP BY user_id)
+        |SELECT
+        |  (SELECT count(*) FROM f WHERE p = 1 AND e = 1) AS exact_both,
+        |  (SELECT count(*) FROM f WHERE p = 1 AND e = 0)
+        |    AS exact_only_purchase,
+        |  TRUE AS both_ok, TRUE AS only_ok""".stripMargin,
 
     "q157_twap" ->
       """WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS tsu
