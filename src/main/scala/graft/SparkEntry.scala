@@ -2785,6 +2785,28 @@ object SparkEntry {
         .orderBy($"col_name")
     }),
 
+    // The SCD2 read path: purchases enriched with the `k` attribute
+    // from the user's latest SIGNUP at-or-before purchase time —
+    // Scd.intervals builds the dimension, AsOfJoin.backward serves it
+    // (the composition the two operators exist for); DuckDB replays
+    // with a native ASOF LEFT JOIN over the same change-point table.
+    "q160_scd2_asof_enrich" -> ((s, dir) => {
+      import s.implicits._
+      val ev = events(s, dir)
+      val signups = ev.filter($"event_type" === "signup")
+        .select($"user_id", unix_micros($"ts").as("tsu"), $"event_id",
+          get_json_object($"props", "$.k").cast("int").as("k"))
+      val dim = graft.operators.Scd.intervals(signups, Seq("user_id"),
+          "tsu", "event_id", Seq("k"))
+        .select($"user_id", $"valid_from", $"k")
+      val facts = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", unix_micros($"ts").as("tsu"))
+      graft.operators.AsOfJoin.backward(facts, dim, Seq("user_id"),
+          "tsu", "valid_from", Seq("k"))
+        .select($"event_id", $"user_id", $"tsu", $"k_asof")
+        .orderBy($"event_id")
+    }),
+
     // Audience overlap via theta sketches: distinct users who did BOTH
     // purchase AND error (intersection — what HLL cannot answer) and
     // purchase-but-never-error (A-not-B), from two per-type sketches
@@ -4234,6 +4256,21 @@ object SparkEntry {
         |  (SELECT c FROM lc) AS files_box
         |UNION ALL SELECT 'zorder', 64, (SELECT c FROM zc)
         |ORDER BY layout""".stripMargin,
+
+    "q160_scd2_asof_enrich" ->
+      """WITH s AS (SELECT user_id, event_id, epoch_us(ts) AS tsu,
+        |    CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |  FROM events WHERE event_type = 'signup'),
+        |c AS (SELECT *, lag(k) OVER
+        |        (PARTITION BY user_id ORDER BY tsu, event_id) AS prev FROM s),
+        |v AS (SELECT user_id, k, tsu AS valid_from FROM c
+        |      WHERE prev IS NULL OR k IS DISTINCT FROM prev),
+        |p AS (SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.tsu, v.k AS k_asof
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND p.tsu >= v.valid_from
+        |ORDER BY p.event_id""".stripMargin,
 
     "q159_theta_overlap" ->
       """WITH f AS (SELECT user_id,

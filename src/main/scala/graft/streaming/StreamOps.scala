@@ -91,6 +91,65 @@ object StreamOps {
     open
   }
 
+  final case class FunnelEvt(user_id: Long, etype: String, ts_us: Long)
+  final case class FunnelSt(times: Array[Long])
+  final case class FunnelProgress(user_id: Long, steps_done: Int,
+      converted: Boolean)
+
+  /** INCREMENTAL ordered funnel over an unbounded stream — the
+    * streaming twin of [[graft.operators.Events.funnelUsers]], same
+    * first-touch-anchored semantics (step k needs ts strictly after
+    * step k-1's earliest qualifying time, within `spanMicros` of the
+    * first step-1 event).
+    *
+    * State per user is the O(steps) array of earliest step times —
+    * bounded regardless of event volume, hash-partitioned by user.
+    * The chain mins are incrementally computable because events are
+    * folded in timestamp order: under the per-key in-order-across-
+    * batches contract (the [[graft.operators.Scd.applyBatch]]
+    * contract), the first qualifying event IS the min, and a filled
+    * step can never be displaced. A `FunnelProgress` row is emitted
+    * whenever a user's reached-step count advances in a batch, so
+    * downstream sees conversion transitions, not per-event noise;
+    * spec asserts the final per-user progress equals the batch
+    * funnel on the full log. */
+  def streamingFunnel(events: DataFrame, steps: Seq[String],
+      spanMicros: Long): Dataset[FunnelProgress] = {
+    require(steps.nonEmpty && spanMicros > 0, "steps and span required")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long").as("user_id"),
+        col("etype").cast("string").as("etype"),
+        col("ts_us").cast("long").as("ts_us"))
+      .as[FunnelEvt]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelSt, FunnelProgress](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[FunnelEvt], state: GroupState[FunnelSt]) =>
+          val times = state.getOption.map(_.times.clone())
+            .getOrElse(Array.fill(steps.size)(-1L))
+          val before = times.count(_ >= 0)
+          // ts order inside the batch; etype tiebreak only stabilizes
+          // iteration, equal-ts events can't fill a strict-> step anyway
+          val evs = it.toArray.sortBy(e => (e.ts_us, e.etype))
+          evs.foreach { e =>
+            val k = steps.indexOf(e.etype)
+            if (k >= 0 && times(k) < 0) {
+              val prevOk = k == 0 ||
+                (times(k - 1) >= 0 && e.ts_us > times(k - 1))
+              val spanOk = k == 0 || e.ts_us <= times(0) + spanMicros
+              if (prevOk && spanOk) times(k) = e.ts_us
+            }
+          }
+          state.update(FunnelSt(times))
+          val done = times.count(_ >= 0)
+          if (done != before)
+            Iterator(FunnelProgress(uid, done, done == steps.size))
+          else Iterator.empty
+      }
+  }
+
   /** REPLAY-mode stateful sessionization (`flatMapGroupsWithState`):
     * per-user open-session state; a session closes when the inactivity
     * gap exceeds `gapMin`.

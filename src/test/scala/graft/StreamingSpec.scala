@@ -95,6 +95,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(sortedRows(viaSessionWindow) == sortedRows(viaIslands))
   }
 
+  test("streaming funnel: multi-batch progress equals the batch funnel") {
+    import graft.operators.Events
+    val steps = Seq("view", "click", "purchase")
+    val span = 7L * 86400000000L
+    val ev = batchEvents.select($"user_id", $"event_type".as("etype"),
+      unix_micros($"ts").as("ts_us"))
+    // two in-order file drops split at the global ts median
+    val cut = ev.agg(expr("percentile_approx(ts_us, 0.5)")).head().getLong(0)
+    val src = Files.createTempDirectory("graft_funnel")
+    val schema = ev.schema
+    ev.filter($"ts_us" < cut).write.parquet(src.resolve("b1.parquet").toString)
+    val stream = spark.readStream.schema(schema)
+      .parquet(src.toString + "/*.parquet")
+    val q = StreamOps.streamingFunnel(stream, steps, span)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_out").start()
+    try {
+      q.processAllAvailable()
+      ev.filter($"ts_us" >= cut).write.parquet(src.resolve("b2.parquet").toString)
+      q.processAllAvailable()
+    } finally q.stop()
+    val progress = spark.table("funnel_out")
+    // per-user progress rows only ever advance
+    val perUser = progress.groupBy($"user_id")
+      .agg(count(lit(1)).as("rows"), max($"steps_done").as("max_done"),
+        countDistinct($"steps_done").as("distinct_done"))
+    assert(perUser.filter($"rows" =!= $"distinct_done").count() == 0,
+      "a user must never re-emit the same steps_done")
+    // final reached-step counts equal the batch funnel over the full log
+    val streamedCounts = (1 to steps.size).map(k =>
+      perUser.filter($"max_done" >= k).count())
+    val batchUsers = Events.funnelUsers(ev, "user_id", "etype", "ts_us",
+      steps, span)
+    val batchCounts = (1 to steps.size).map(k =>
+      batchUsers.filter(col(s"t$k").isNotNull).count())
+    assert(streamedCounts == batchCounts)
+    assert(streamedCounts.head > 0 && streamedCounts.last > 0,
+      "fixture must exercise full conversions")
+  }
+
   test("flatMapGroupsWithState sessionization: stream == batch == islands") {
     val streamed = runToBatch(
       StreamOps.statefulSessionsReplay(streamEvents).toDF(), "append", "fmgs_out")
