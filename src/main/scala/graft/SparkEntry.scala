@@ -2785,6 +2785,58 @@ object SparkEntry {
         .orderBy($"col_name")
     }),
 
+    // Exact phrase search through the positional inverted index: only
+    // the phrase tokens' postings are scanned (isin pushdown), K-1
+    // (doc, pos) equijoins check adjacency — work scales with the
+    // rarest token's posting list, not the corpus. DuckDB replays the
+    // identical tokenization with a list comprehension over positions.
+    "q161_phrase_search" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.InvertedIndex
+      val post = InvertedIndex.postings(t(s, dir, "documents"),
+        "doc_id", "text")
+      InvertedIndex.phraseSearch(post, Seq("hash", "value"))
+        .select($"doc".as("doc_id"), $"n_matches")
+        .orderBy($"doc_id")
+    }),
+
+    // Incremental quantiles via persisted KLL sidecars: two disjoint
+    // batches sketch independently, the stored sketches MERGE, and the
+    // merged quantile at p must carry a true rank within the sketch's
+    // own published bound (the rank-error contract; counts exact).
+    "q162_kll_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.KllQuantiles
+      val docs = t(s, dir, "documents").select($"lang", $"doc_id",
+        $"n_chars".cast("double").as("v"))
+      val tmp = freshScratch("q162")
+      KllQuantiles.sketch(docs.filter($"doc_id" % 2 === 0), "lang", "v")
+        .write.parquet(tmp + "/b0")
+      KllQuantiles.sketch(docs.filter($"doc_id" % 2 === 1), "lang", "v")
+        .write.parquet(tmp + "/b1")
+      val merged = KllQuantiles.merge(s.read.parquet(tmp + "/b0", tmp + "/b1"),
+          "lang")
+        .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+      // one broadcast-joined pass computes every true rank (a count
+      // job per (lang, percentile) was 10 jobs and 3x the time)
+      val qdf = merged.toSeq.map { case (lang, sk) =>
+        (lang, KllQuantiles.quantile(sk, 0.5), KllQuantiles.quantile(sk, 0.99),
+          KllQuantiles.rankError(sk), KllQuantiles.count(sk))
+      }.toDF("lang", "q50", "q99", "eps", "skn")
+      docs.join(broadcast(qdf), "lang")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n"),
+          count(when($"v" <= $"q50", 1)).as("r50"),
+          count(when($"v" <= $"q99", 1)).as("r99"),
+          first($"eps").as("eps"), first($"skn").as("skn"))
+        .select($"lang", $"n", ($"skn" === $"n").as("count_ok"),
+          (abs($"r50" / $"n".cast("double") - 0.5) <=
+            $"eps" + lit(1.0) / $"n").as("p50_ok"),
+          (abs($"r99" / $"n".cast("double") - 0.99) <=
+            $"eps" + lit(1.0) / $"n").as("p99_ok"))
+        .orderBy($"lang")
+    }),
+
     // The SCD2 read path: purchases enriched with the `k` attribute
     // from the user's latest SIGNUP at-or-before purchase time —
     // Scd.intervals builds the dimension, AsOfJoin.backward serves it
@@ -4256,6 +4308,24 @@ object SparkEntry {
         |  (SELECT c FROM lc) AS files_box
         |UNION ALL SELECT 'zorder', 64, (SELECT c FROM zc)
         |ORDER BY layout""".stripMargin,
+
+    "q161_phrase_search" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(len([i FOR i IN generate_series(1, len(toks) - 1)
+        |      IF toks[i] = 'hash' AND toks[i+1] = 'value']) AS BIGINT)
+        |      AS n_matches
+        |  FROM tk)
+        |SELECT doc_id, n_matches FROM m WHERE n_matches > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "q162_kll_quantiles" ->
+      """SELECT lang, count(*) AS n, TRUE AS count_ok,
+        |  TRUE AS p50_ok, TRUE AS p99_ok
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q160_scd2_asof_enrich" ->
       """WITH s AS (SELECT user_id, event_id, epoch_us(ts) AS tsu,

@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.{InvertedIndex, KllQuantiles}
+import org.scalatest.funsuite.AnyFunSuite
+
+class InvertedIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  private def search(df: org.apache.spark.sql.DataFrame, phrase: String*) =
+    InvertedIndex.phraseSearch(
+        InvertedIndex.postings(df, "doc_id", "text"), phrase)
+      .as[(Long, Long)].collect().toMap
+
+  test("phrase search finds consecutive tokens only, counts overlaps") {
+    val d = docs(
+      1L -> "the cat sat on the mat",
+      2L -> "cat the sat",                 // tokens present, order wrong
+      3L -> "the dog; the cat! sat down",  // punctuation splits tokens
+      4L -> "the cat the cat sat",         // phrase once, prefix twice
+      5L -> "nothing relevant")
+    assert(search(d, "the", "cat", "sat") ==
+      Map(1L -> 1L, 3L -> 1L, 4L -> 1L))
+    assert(search(d, "the", "cat") == Map(1L -> 1L, 3L -> 1L, 4L -> 2L))
+  }
+
+  test("single-token phrase is a posting-list count; case-insensitive") {
+    val d = docs(1L -> "Spark SPARK spark!", 2L -> "no match here")
+    assert(search(d, "Spark") == Map(1L -> 3L))
+  }
+
+  test("adjacent repeats: overlapping self-phrase counts each start") {
+    val d = docs(1L -> "go go go go")
+    assert(search(d, "go", "go") == Map(1L -> 3L))
+  }
+
+  test("kll sidecars: per-batch sketches merge to whole-corpus quantiles within rank error") {
+    val dir = java.nio.file.Files.createTempDirectory("kll").toString
+    val n = 20000
+    val df = spark.range(0, n).selectExpr("'g' AS k", "CAST(id AS DOUBLE) AS v")
+    KllQuantiles.sketch(df.filter($"v" < n / 3), "k", "v")
+      .write.parquet(dir + "/b0")
+    KllQuantiles.sketch(df.filter($"v" >= n / 3), "k", "v")
+      .write.parquet(dir + "/b1")
+    val merged = KllQuantiles.merge(spark.read.parquet(dir + "/b*"), "k")
+      .collect().head.getAs[Array[Byte]]("sketch")
+    assert(KllQuantiles.count(merged) == n)
+    val eps = KllQuantiles.rankError(merged)
+    assert(eps < 0.02) // k=200 published bound ~1.65%
+    for (p <- Seq(0.1, 0.5, 0.9, 0.99)) {
+      val q = KllQuantiles.quantile(merged, p)
+      // the returned value's TRUE rank must be within eps of p —
+      // the rank-error contract, not value closeness
+      val trueRank = (q + 1) / n // values are 0..n-1, rank of <= q
+      assert(math.abs(trueRank - p) <= eps + 1.0 / n,
+        s"p=$p got $q (rank $trueRank, eps $eps)")
+    }
+  }
+}
