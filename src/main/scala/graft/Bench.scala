@@ -116,6 +116,9 @@ object Bench {
     // q161/q162 first isolated noop measurements (0.703/1.150, q162
     // after the one-pass rank join cut it from 2.17)
     "q161" -> (0.492, 1.099), "q162" -> (0.805, 1.703),
+    // q163 first isolated noop measurement (2.362 — the full
+    // quality->dedup->BPE->pack->tar-export pipeline in one gate)
+    "q163" -> (1.653, 3.339),
     "q13" -> (0.231, 0.596), "q14" -> (0.168, 0.501), "q15" -> (0.217, 0.596),
     "q16" -> (0.175, 0.501), "q17" -> (0.287, 0.717), "q18" -> (0.161, 0.461),
     "q19" -> (0.21, 0.636), "q20" -> (0.322, 0.771), "q21" -> (0.217, 0.622),

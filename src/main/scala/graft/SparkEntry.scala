@@ -2785,6 +2785,61 @@ object SparkEntry {
         .orderBy($"col_name")
     }),
 
+    // The whole training-data export pipeline in ONE gate: quality
+    // filter -> exact dedup -> BPE tokenize -> sequence packing ->
+    // webdataset tar export -> re-ingest. The relational half
+    // (n_docs / n_quality / n_dedup) replays exactly in SQL (q94's
+    // verdict + count-distinct-text); the model-specific half is gated
+    // by conservation contracts — packing loses no token, no pack
+    // overfills, the exported bytes re-ingest byte-identically.
+    "q163_training_export" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators._
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+      val keep = docs
+        .filter(TextAnalytics.gopherVerdict($"text") === "keep")
+      val deduped = Dedup.exact(keep, "doc_id", "text").localCheckpoint(true)
+      val nDocs = docs.count()
+      val nQuality = keep.count()
+      val nDedup = deduped.count()
+      val model = Bpe.trainOnSample(deduped, "text", vocabSize = 320)
+      val bytesUdf = udf { (toks: Seq[Int]) =>
+        val bb = java.nio.ByteBuffer.allocate(toks.length * 4)
+        toks.foreach(bb.putInt)
+        bb.array()
+      }
+      val toks = deduped
+        .select($"doc_id", Bpe.encodeCol($"text", model).as("toks"))
+        .withColumn("n_tok", size($"toks"))
+        .localCheckpoint(true) // feeds totals, packing, and the export
+      val totalTok = toks.agg(sum($"n_tok")).head().getLong(0)
+      val packed = Packing.packGreedy(
+        toks.select(pmod(hash($"doc_id"), lit(8)).as("shard"),
+          $"doc_id".as("ord"), $"n_tok".as("tok")),
+        "shard", "ord", "tok", budget = 8192)
+      val packStats = packed.groupBy($"shard", $"pack")
+        .agg(sum($"tok").as("fill"))
+        .agg(sum($"fill").as("total"), max($"fill").as("maxfill")).head()
+      val conserved = packStats.getLong(0) == totalTok
+      val withinBudget = packStats.getLong(1) <= 8192L
+      val tmp = freshScratch("q163") + "/shards"
+      val bin = toks
+        .select(concat($"doc_id", lit(".bin")).as("member"),
+          bytesUdf($"toks").as("content"))
+        .repartitionByRange(4, $"member").sortWithinPartitions($"member")
+      Ingest.writeTarShards(bin, "member", "content", tmp,
+        maxShardBytes = 512 * 1024)
+      val back = Ingest.readTarMembers(s, tmp)
+        .select($"member", $"content".as("rt"))
+      val rtOk = bin.join(back, "member")
+        .filter($"content" =!= $"rt").count() == 0 &&
+        back.count() == nDedup
+      Seq((nDocs, nQuality, nDedup, totalTok > 0 && conserved,
+          withinBudget, rtOk))
+        .toDF("n_docs", "n_quality", "n_dedup", "tokens_conserved",
+          "packs_within_budget", "export_roundtrip_ok")
+    }),
+
     // Exact phrase search through the positional inverted index: only
     // the phrase tokens' postings are scanned (isin pushdown), K-1
     // (doc, pos) equijoins check adjacency — work scales with the
@@ -4308,6 +4363,29 @@ object SparkEntry {
         |  (SELECT c FROM lc) AS files_box
         |UNION ALL SELECT 'zorder', 64, (SELECT c FROM zc)
         |ORDER BY layout""".stripMargin,
+
+    "q163_training_export" ->
+      """WITH m AS (
+        |  SELECT doc_id, text,
+        |    len(regexp_extract_all(text, '[^ \t\n\f\r]+')) AS words,
+        |    length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+        |      AS alpha_chars,
+        |    length(text) - length(regexp_replace(text, '[#…]', '', 'g'))
+        |      AS symbols,
+        |    len(list_filter(string_split_regex(text, '[ \t\n\f\r]+'),
+        |        x -> regexp_matches(x, '^[A-Za-z]+$'))) AS alpha_words
+        |  FROM documents),
+        |k AS (SELECT doc_id, text FROM m
+        |      WHERE NOT (words < 50 OR words > 100000
+        |        OR CAST(alpha_chars AS DOUBLE) / CAST(words AS DOUBLE) < 3.0
+        |        OR CAST(alpha_chars AS DOUBLE) / CAST(words AS DOUBLE) > 10.0
+        |        OR CAST(symbols AS DOUBLE) / CAST(words AS DOUBLE) > 0.1
+        |        OR CAST(alpha_words AS DOUBLE) / CAST(words AS DOUBLE) < 0.6))
+        |SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |  (SELECT count(*) FROM k) AS n_quality,
+        |  (SELECT count(DISTINCT text) FROM k) AS n_dedup,
+        |  TRUE AS tokens_conserved, TRUE AS packs_within_budget,
+        |  TRUE AS export_roundtrip_ok""".stripMargin,
 
     "q161_phrase_search" ->
       """WITH tk AS (SELECT doc_id,
