@@ -119,6 +119,8 @@ object Bench {
     // q163 first isolated noop measurement (2.362 — the full
     // quality->dedup->BPE->pack->tar-export pipeline in one gate)
     "q163" -> (1.653, 3.339),
+    // q164 first isolated noop measurement (1.273)
+    "q164" -> (0.891, 1.869),
     "q13" -> (0.231, 0.596), "q14" -> (0.168, 0.501), "q15" -> (0.217, 0.596),
     "q16" -> (0.175, 0.501), "q17" -> (0.287, 0.717), "q18" -> (0.161, 0.461),
     "q19" -> (0.21, 0.636), "q20" -> (0.322, 0.771), "q21" -> (0.217, 0.622),

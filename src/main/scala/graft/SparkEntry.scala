@@ -2785,6 +2785,27 @@ object SparkEntry {
         .orderBy($"col_name")
     }),
 
+    // Declarative data-quality audit: five constraints over lineitem
+    // verified in ONE aggregation pass (spec-asserted single scan) +
+    // the cross-table FK check; the range check on quantity is
+    // DELIBERATELY too tight so the failing path reports its exact
+    // violation count, not just a boolean.
+    "q164_quality_checks" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Checks
+      import graft.operators.Checks._
+      val li = t(s, dir, "lineitem")
+      Checks.run(li, Seq(
+          NotNull("l_orderkey"),
+          Unique(Seq("l_orderkey", "l_linenumber")),
+          InRange("l_discount", 0.0, 0.1),
+          InRange("l_quantity", 1.0, 49.0),
+          Satisfies("price_positive", $"l_extendedprice" > 0.0)))
+        .unionByName(Checks.foreignKey(li, Seq("l_orderkey"),
+          t(s, dir, "orders"), Seq("o_orderkey")))
+        .orderBy($"check")
+    }),
+
     // The whole training-data export pipeline in ONE gate: quality
     // filter -> exact dedup -> BPE tokenize -> sequence packing ->
     // webdataset tar export -> re-ingest. The relational half
@@ -4363,6 +4384,32 @@ object SparkEntry {
         |  (SELECT c FROM lc) AS files_box
         |UNION ALL SELECT 'zorder', 64, (SELECT c FROM zc)
         |ORDER BY layout""".stripMargin,
+
+    "q164_quality_checks" ->
+      """WITH v AS (
+        |  SELECT
+        |    count(*) FILTER (WHERE l_orderkey IS NULL) AS nn,
+        |    count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS uq,
+        |    count(*) FILTER (WHERE l_discount IS NULL OR l_discount < 0.0
+        |      OR l_discount > 0.1) AS rd,
+        |    count(*) FILTER (WHERE l_quantity IS NULL OR l_quantity < 1.0
+        |      OR l_quantity > 49.0) AS rq,
+        |    count(*) FILTER (WHERE NOT coalesce(
+        |      l_extendedprice > 0.0, FALSE)) AS sr
+        |  FROM lineitem),
+        |fk AS (SELECT count(*) AS o FROM lineitem l
+        |       LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) p
+        |         ON l.l_orderkey = p.o_orderkey
+        |       WHERE p.o_orderkey IS NULL),
+        |r AS (
+        |  SELECT 'not_null(l_orderkey)' AS "check", nn AS violations FROM v
+        |  UNION ALL SELECT 'unique(l_orderkey,l_linenumber)', uq FROM v
+        |  UNION ALL SELECT 'in_range(l_discount,0.0,0.1)', rd FROM v
+        |  UNION ALL SELECT 'in_range(l_quantity,1.0,49.0)', rq FROM v
+        |  UNION ALL SELECT 'satisfies(price_positive)', sr FROM v
+        |  UNION ALL SELECT 'foreign_key(l_orderkey)', o FROM fk)
+        |SELECT "check", violations, violations = 0 AS passed
+        |FROM r ORDER BY "check"""".stripMargin,
 
     "q163_training_export" ->
       """WITH m AS (
