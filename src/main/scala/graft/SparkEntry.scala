@@ -2785,6 +2785,41 @@ object SparkEntry {
         .orderBy($"col_name")
     }),
 
+    // Crawl-frontier admission, end to end: two messy spellings of
+    // every resource collapse to ONE canonical URL (frontier dedupe),
+    // robots policy admits/refuses per path (ids starting '1' are
+    // wildcard-disallowed), and admitted URLs get per-host politeness
+    // slots. The oracle restates canonical forms, the policy's net
+    // effect, and the slot arithmetic — the whole frontier
+    // hash-matches.
+    "q165_crawl_admission" -> ((s, dir) => {
+      import s.implicits._
+      val norm = udf((u: String) => graft.sources.Url.normalize(u))
+      val hostU = udf((u: String) => graft.sources.Url.host(u))
+      val robots = "User-agent: graftbot\nDisallow: /a/\n" +
+        "Allow: /a/pages/doc/\nDisallow: /a/pages/doc/1*\n"
+      val ok = udf((path: String) =>
+        graft.sources.Robots.allowed(robots, "graftbot", path))
+      val m1 = concat(lit("HTTP://Site-"), $"lang",
+        lit(".Example.COM:80/a/./b/../pages/%64oc/"), $"doc_id",
+        lit("?id="), $"doc_id", lit("&x=%41#sec"))
+      val m2 = concat(lit("http://site-"), lower($"lang"),
+        lit(".example.com/a/pages/doc/"), $"doc_id",
+        lit("?id="), $"doc_id", lit("&x=A#other"))
+      val frontier = t(s, dir, "documents")
+        .select($"doc_id", explode(array(m1, m2)).as("raw"))
+        .select($"doc_id", norm($"raw").as("url"), hostU($"raw").as("host"))
+        .groupBy($"url", $"host").agg(min($"doc_id").as("doc_id"))
+      val w = Window.partitionBy($"host").orderBy($"url")
+      frontier
+        .withColumn("admitted",
+          ok(regexp_extract($"url", "^[a-z]+://[^/]+(/.*)$", 1)))
+        .withColumn("slot",
+          ((row_number().over(w) - 1) % 4).cast("int"))
+        .select($"doc_id", $"url", $"host", $"admitted", $"slot")
+        .orderBy($"doc_id")
+    }),
+
     // Declarative data-quality audit: five constraints over lineitem
     // verified in ONE aggregation pass (spec-asserted single scan) +
     // the cross-table FK check; the range check on quantity is
@@ -4384,6 +4419,20 @@ object SparkEntry {
         |  (SELECT c FROM lc) AS files_box
         |UNION ALL SELECT 'zorder', 64, (SELECT c FROM zc)
         |ORDER BY layout""".stripMargin,
+
+    "q165_crawl_admission" ->
+      """WITH c AS (SELECT doc_id,
+        |    'http://site-' || lower(lang) || '.example.com/a/pages/doc/'
+        |      || doc_id || '?id=' || doc_id || '&x=A' AS url,
+        |    'site-' || lower(lang) || '.example.com' AS host
+        |  FROM documents),
+        |f AS (SELECT url, host, min(doc_id) AS doc_id
+        |      FROM c GROUP BY 1, 2)
+        |SELECT doc_id, url, host,
+        |  NOT (CAST(doc_id AS VARCHAR) LIKE '1%') AS admitted,
+        |  CAST((row_number() OVER (PARTITION BY host ORDER BY url) - 1) % 4
+        |    AS INT) AS slot
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "q164_quality_checks" ->
       """WITH v AS (
