@@ -2785,6 +2785,67 @@ object SparkEntry {
         .orderBy($"col_name")
     }),
 
+    // Right-to-be-forgotten on the persisted MinHash index: build,
+    // erase every third doc (dir-targeted rewrite — no corpus access,
+    // no O(index) scan), and the census/leftover counts prove the
+    // erasure is total; a near-dup of a kept doc must STILL drop
+    // afterward (the index keeps working).
+    "q167_index_forget" -> ((s, dir) => {
+      import s.implicits._
+      val MI = graft.operators.MinhashIndex
+      val docs = t(s, dir, "documents").filter($"doc_id" < 200)
+        .select($"doc_id", $"text")
+      val idx = freshScratch("q167") + "/idx"
+      // 8 buckets: a 200-doc fixture index needs 16 dirs, not the
+      // 64-bucket default's 128 (the default is sized for streaming
+      // corpora; dir count dominates gate cost at this SF)
+      MI.append(graft.operators.Dedup.prepareMinhash(docs, "doc_id", "text"),
+        idx, buckets = 8)
+      val nBefore = MI.payloadCount(s, idx)
+      val erase = docs.filter($"doc_id" % 3 === 0)
+        .select($"doc_id".cast("long").as("_id"))
+      val nErased = MI.delete(s, idx, erase)
+      val nAfter = MI.payloadCount(s, idx)
+      val leftover = s.read.parquet(idx)
+        .join(erase, Seq("_id"), "left_semi").count()
+      // near-dup of a KEPT doc still drops through the rewritten index
+      val probeDoc = docs.filter($"doc_id" === 1)
+        .select(lit(9999L).as("doc_id"), concat($"text", lit(" tail")).as("text"))
+      val stillDrops = MI.drops(s, idx,
+        graft.operators.Dedup.prepareMinhash(probeDoc, "doc_id", "text"))
+        .count() == 1L
+      Seq((nBefore, nErased, nAfter, leftover == 0L, stillDrops))
+        .toDF("n_before", "n_erased", "n_after", "clean_ok", "still_dedups_ok")
+    }),
+
+    // Feature standardization (z-scores) with engine-deterministic
+    // moments: mean/stddev from EXACT decimal sums (q69's discipline),
+    // then one per-row double expression on identical operands — so
+    // the whole standardized column hash-matches, no rounding dodge.
+    // Top-5 absolute z per group keeps the output small and exercises
+    // the order the z-scores induce.
+    "q166_zscore" -> ((s, dir) => {
+      import s.implicits._
+      val x = $"l_extendedprice".cast("decimal(18,2)")
+      val stats = t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(x).as("sx"),
+          sum((x * x).cast("decimal(38,4)")).as("sxx"))
+        .select($"l_returnflag",
+          ($"sx".cast("double") / $"n".cast("double")).as("mean"),
+          sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double") /
+            ($"n" * ($"n" - 1)).cast("double")).as("sd"))
+      val z = t(s, dir, "lineitem")
+        .join(broadcast(stats), "l_returnflag")
+        .select($"l_returnflag", $"l_orderkey", $"l_linenumber",
+          (($"l_extendedprice" - $"mean") / $"sd").as("z"))
+      val w = Window.partitionBy($"l_returnflag")
+        .orderBy(abs($"z").desc, $"l_orderkey", $"l_linenumber")
+      z.withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+        .select($"l_returnflag", $"rk", $"l_orderkey", $"z")
+        .orderBy($"l_returnflag", $"rk")
+    }),
+
     // Crawl-frontier admission, end to end: two messy spellings of
     // every resource collapse to ONE canonical URL (frontier dedupe),
     // robots policy admits/refuses per path (ids starting '1' are
@@ -4419,6 +4480,37 @@ object SparkEntry {
         |  (SELECT c FROM lc) AS files_box
         |UNION ALL SELECT 'zorder', 64, (SELECT c FROM zc)
         |ORDER BY layout""".stripMargin,
+
+    "q167_index_forget" ->
+      """SELECT
+        |  (SELECT count(*) FROM documents WHERE doc_id < 200) AS n_before,
+        |  (SELECT count(*) FROM documents WHERE doc_id < 200
+        |     AND doc_id % 3 = 0) AS n_erased,
+        |  (SELECT count(*) FROM documents WHERE doc_id < 200
+        |     AND doc_id % 3 <> 0) AS n_after,
+        |  TRUE AS clean_ok, TRUE AS still_dedups_ok""".stripMargin,
+
+    "q166_zscore" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sx,
+        |    sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+        |      AS sxx
+        |  FROM lineitem GROUP BY 1),
+        |m AS (SELECT l_returnflag,
+        |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |      / CAST(n * (n - 1) AS DOUBLE)) AS sd
+        |  FROM s),
+        |z AS (SELECT l.l_returnflag, l.l_orderkey, l.l_linenumber,
+        |        (l.l_extendedprice - m.mean) / m.sd AS z
+        |      FROM lineitem l JOIN m USING (l_returnflag)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |        ORDER BY abs(z) DESC, l_orderkey, l_linenumber) AS rk
+        |      FROM z)
+        |SELECT l_returnflag, CAST(rk AS INT) AS rk, l_orderkey, z
+        |FROM r WHERE rk <= 5 ORDER BY l_returnflag, rk""".stripMargin,
 
     "q165_crawl_admission" ->
       """WITH c AS (SELECT doc_id,

@@ -181,6 +181,99 @@ object MinhashIndex {
   def compact(spark: SparkSession, path: String, minFiles: Int = 8): Int =
     Ann.compactHammingIndex(spark, path, minFiles)
 
+  /** DELETE docs from the index — the right-to-be-forgotten half of
+    * the maintenance story ([[compact]]/[[rebucket]] being the other
+    * two). Only the directories the target docs actually live in are
+    * rewritten: payload dirs come from the id hash (the [[probeIds]]
+    * probe), band dirs from RE-banding the stored shingle payloads —
+    * the index is self-describing, so no corpus access and no O(index)
+    * scan is needed. Survivor rows stage in ONE partitioned write,
+    * then per touched dir: old files are LISTED, staged survivor files
+    * move in, listed files delete — the same move-then-delete
+    * discipline as [[compact]]. A crash mid-commit leaves the targets
+    * still present (the delete has simply not finished) plus duplicate
+    * survivor rows every probe distincts away; RERUNNING the delete
+    * with the same ids completes it idempotently (and a finished
+    * delete reruns as a 0-doc no-op). Returns the number of indexed
+    * docs removed.
+    *
+    * `numHashes`/`bands`/`seed` must match the ingest-time
+    * [[Dedup.prepareMinhash]] parameters (the streaming ingest uses
+    * the defaults); a mismatch would re-band to the WRONG dirs and
+    * leave orphan band rows — harmless for correctness (probes verify
+    * by exact id + payload) but a leak, so pass what you ingested
+    * with. */
+  def delete(spark: SparkSession, path: String, ids: DataFrame,
+      buckets: Int = LayoutMeta.Unspecified, numHashes: Int = 192,
+      bands: Int = 64, seed: Long = 42L): Long = {
+    val bk = resolveBuckets(spark, path, buckets)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def hp(p: String) = new org.apache.hadoop.fs.Path(p)
+    val fs = hp(path).getFileSystem(hconf)
+    val target = ids.select(col("_id").cast("long").as("_id"))
+      .filter(col("_id").isNotNull).distinct().localCheckpoint(true)
+    // payload rows of the targets (partition-pruned by id hash)
+    val payloadKeys = target
+      .select(pmod(xxhash64(col("_id")), lit(bk.toLong)).cast("int").as("_bkt"))
+      .distinct().collect().map(_.getInt(0))
+    if (payloadKeys.isEmpty) return 0L
+    val payloadProbe = col("_band") === -1 &&
+      col("_bkt").isin(payloadKeys.map(Integer.valueOf): _*)
+    val victims = spark.read.parquet(path).filter(payloadProbe)
+      .select(col("_id"), col("_sh"))
+      .join(broadcast(target), "_id")
+      .dropDuplicates("_id")
+      .localCheckpoint(true)
+    val nDeleted = victims.count()
+    if (nDeleted == 0L) return 0L
+    // band dirs from re-banding the stored payloads (null _sh = null
+    // text = payload-only doc, no band rows to chase)
+    val bandKeys = victims.filter(col("_sh").isNotNull)
+      .select(explode(Dedup.bandedMinhashCol(col("_sh"), numHashes, bands,
+        seed)).as("_bk"))
+      .select(pmod(col("_bk"), lit(bk.toLong)).cast("int").as("_bkt"))
+      .distinct().collect().map(_.getInt(0))
+    val touched: Seq[(Int, Int)] =
+      payloadKeys.map(b => (-1, b)).toSeq ++ bandKeys.map(b => (0, b)).toSeq
+    val touchedProbe = touched.map { case (band, bkt) =>
+      col("_band") === band && col("_bkt") === bkt
+    }.reduce(_ || _)
+    val survivors = spark.read.parquet(path).filter(touchedProbe)
+      .join(broadcast(target), Seq("_id"), "left_anti")
+      .select(col("_id"), col("_bk"), col("_sh"), col("_band"), col("_bkt"))
+    val stage = path + "__delstage"
+    if (fs.exists(hp(stage))) fs.delete(hp(stage), true)
+    survivors.write.mode("overwrite").partitionBy("_band", "_bkt")
+      .parquet(stage)
+    try {
+      touched.foreach { case (band, bkt) =>
+        val live = hp(s"$path/_band=$band/_bkt=$bkt")
+        // only rewrite dirs that exist (a probe key may map to a dir
+        // the index never created)
+        if (fs.exists(live)) {
+          // list BEFORE moving survivors in: everything listed is
+          // pre-delete state (incl. earlier deletes' survivor files)
+          // and gets removed; the moves below land under fresh names
+          // so they are never in this listing
+          val old = fs.listStatus(live).map(_.getPath)
+          val part = hp(s"$stage/_band=$band/_bkt=$bkt")
+          if (fs.exists(part)) {
+            fs.listStatus(part).map(_.getPath)
+              .filter(_.getName.startsWith("part-"))
+              .zipWithIndex.foreach { case (f, i) =>
+                require(fs.rename(f,
+                  new org.apache.hadoop.fs.Path(live,
+                    s"del-${java.util.UUID.randomUUID().toString.take(8)}-$i-${f.getName}")),
+                  s"survivor move failed: $f")
+              }
+          }
+          old.foreach(fs.delete(_, false))
+        }
+      }
+    } finally fs.delete(hp(stage), true)
+    nDeleted
+  }
+
   /** GROW (or shrink) the index's bucket count — the explicit growth
     * path for an index whose per-directory row counts outgrew the
     * count fixed at first append. ONE O(index) partition-column

@@ -309,6 +309,63 @@ object StreamOps {
     }
   }
 
+  /** FORGET documents — the right-to-be-forgotten path for the
+    * streaming dedup corpus and everything derived from it. Removes
+    * the ids from the corpus, from the signature SIDECAR (the
+    * [[dedupedIngest]] carrier) when present, and from the persisted
+    * MinHash INDEX (the [[dedupedIngestIndexed]] carrier) when
+    * `indexPath` is given — after which re-ingesting the same text is
+    * ACCEPTED again, exactly as if it had never been seen (the legal
+    * semantics of erasure, and the spec's contract).
+    *
+    * Cost shape: the corpus/sidecar rewrites are one filtered scan +
+    * journaled sibling swap each (the [[healSwap]] machinery — batch
+    * forget requests to amortize, like compaction); the index delete
+    * is [[graft.operators.MinhashIndex.delete]], touching only the
+    * dirs the ids live in. Crash anywhere: the swaps recover via the
+    * shared heal recovery, the index delete is rerun-idempotent, and a
+    * crash BETWEEN the corpus swap and the index delete is caught by
+    * the ingest's own census reconciliation — or simply rerun forget
+    * (every step is a no-op once applied). Returns corpus rows
+    * removed. */
+  def forget(spark: org.apache.spark.sql.SparkSession, corpusPath: String,
+      ids: Seq[Long], idCol: String = "doc_id",
+      indexPath: Option[String] = None): Long = {
+    require(ids.nonEmpty, "no ids to forget")
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def hp(p: String) = new org.apache.hadoop.fs.Path(p)
+    def exists(p: String) = hp(p).getFileSystem(hconf).exists(hp(p))
+    recoverHealSwap(spark, corpusPath)
+    var removed = 0L
+    val idSet = ids.map(java.lang.Long.valueOf)
+    if (exists(corpusPath)) {
+      val corpus = spark.read.parquet(corpusPath)
+      removed = corpus.filter(col(idCol).isin(idSet: _*)).count()
+      if (removed > 0) {
+        // null-id rows survive: isin(null) is null, not a match
+        corpus.filter(!coalesce(col(idCol).isin(idSet: _*), lit(false)))
+          .write.mode("overwrite").parquet(corpusPath + "__heal")
+        graft.operators.AtomicSwap.swapIn(hconf, corpusPath,
+          corpusPath + "__heal")
+      }
+    }
+    val sigPath = corpusPath + "_sig"
+    if (exists(sigPath)) {
+      graft.operators.AtomicSwap.recover(hconf, sigPath)
+      val sig = spark.read.parquet(sigPath)
+      if (sig.filter(col("_id").isin(idSet: _*)).count() > 0) {
+        sig.filter(!coalesce(col("_id").isin(idSet: _*), lit(false)))
+          .write.mode("overwrite").parquet(sigPath + "__heal")
+        graft.operators.AtomicSwap.swapIn(hconf, sigPath, sigPath + "__heal")
+      }
+    }
+    indexPath.filter(exists).foreach { p =>
+      graft.operators.MinhashIndex.delete(spark, p, ids.toDF("_id"))
+    }
+    removed
+  }
+
   /** Heal a double-appended corpus: accepted ids are immutable, so
     * duplicate ids carry identical payloads — keep one. NULL-id rows
     * are exempt: every dedup anti-join deliberately accepts them (null
