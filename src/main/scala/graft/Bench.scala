@@ -126,6 +126,9 @@ object Bench {
     // q166/q167 first isolated noop measurements (1.723/3.979; q167
     // is a full index build+erase+probe lifecycle, q101's class)
     "q166" -> (1.206, 2.476), "q167" -> (2.785, 5.522),
+    // q168 first isolated noop measurement (2.961 — index lifecycle
+    // build + 3 snapshots + manifest-aware diff)
+    "q168" -> (2.073, 4.147),
     "q13" -> (0.231, 0.596), "q14" -> (0.168, 0.501), "q15" -> (0.217, 0.596),
     "q16" -> (0.175, 0.501), "q17" -> (0.287, 0.717), "q18" -> (0.161, 0.461),
     "q19" -> (0.21, 0.636), "q20" -> (0.322, 0.771), "q21" -> (0.217, 0.622),

@@ -2785,6 +2785,35 @@ object SparkEntry {
         .orderBy($"col_name")
     }),
 
+    // Snapshot DIFF audit: build -> upsert(change+add) -> delete, then
+    // diff(v0, v2) answers "what did the maintenance touch" from the
+    // manifests' symmetric difference only (shared buckets never read,
+    // spec-asserted); the oracle states the exact expected change set
+    // from the construction.
+    "q168_index_diff" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.VectorIndex
+      val tmp = freshScratch("q168")
+      s.conf.set("spark.graft.index.retainSnapshots", "10")
+      try {
+        val emb = t(s, dir, "embeddings")
+        def recs(df: org.apache.spark.sql.DataFrame, scale: Float) =
+          df.select($"vec_id".cast("string").as("id"),
+            transform($"embedding", x => x * scale).as("values"),
+            struct(($"vec_id" % 5).cast("int").as("chunk_index"),
+              lit("uploaded_pdf").as("source")).as("metadata"))
+        val idx = VectorIndex.ensure(s, s"$tmp/idx", 64)
+        idx.upsert(recs(emb.filter($"vec_id" < 400), 1f)) // v0
+        idx.upsert(recs(emb.filter($"vec_id" >= 10 && $"vec_id" < 15), 2f)
+          .unionByName(recs(emb.filter($"vec_id" >= 400 && $"vec_id" < 403),
+            1f)))                                          // v1: 5 changed, 3 added
+        idx.delete(Seq("7", "8"))                          // v2: 2 removed
+        idx.diff(0L, 2L)
+          .select($"id".cast("long").as("vec_id"), $"status")
+          .orderBy($"vec_id")
+      } finally s.conf.unset("spark.graft.index.retainSnapshots")
+    }),
+
     // Right-to-be-forgotten on the persisted MinHash index: build,
     // erase every third doc (dir-targeted rewrite — no corpus access,
     // no O(index) scan), and the census/leftover counts prove the
@@ -3133,7 +3162,7 @@ object SparkEntry {
     }),
 
     // PCA-reduced ANN on the planted-cluster fixture (q116's corpus):
-    // fit 384 -> 32 axes (distributed d x d covariance, driver eigen),
+    // fit 64 -> 32 axes (distributed d x d covariance, driver eigen),
     // index/search in the reduced space, and brute-force top-10 there
     // must keep recall@10 >= 0.9 against FULL-space brute force over 8
     // member queries — the compression step every 100 TB vector corpus
@@ -3179,7 +3208,7 @@ object SparkEntry {
           .select($"vec_id").as[Long].collect()
           .count(_ / 1000 == center)
       }
-      Seq((10, 384, 32, sameCluster >= 72L))
+      Seq((10, 64, 32, sameCluster >= 72L))
         .toDF("k", "dim_full", "dim_reduced", "recall_ok")
     }),
 
@@ -4458,7 +4487,7 @@ object SparkEntry {
         |ORDER BY col_name""".stripMargin,
 
     "q154_pca_ann" ->
-      """SELECT 10 AS k, 384 AS dim_full, 32 AS dim_reduced,
+      """SELECT 10 AS k, 64 AS dim_full, 32 AS dim_reduced,
         |  TRUE AS recall_ok""".stripMargin,
 
     "q155_zorder_skipping" ->
@@ -4480,6 +4509,18 @@ object SparkEntry {
         |  (SELECT c FROM lc) AS files_box
         |UNION ALL SELECT 'zorder', 64, (SELECT c FROM zc)
         |ORDER BY layout""".stripMargin,
+
+    "q168_index_diff" ->
+      """SELECT vec_id, status FROM (
+        |  SELECT vec_id, 'changed' AS status FROM embeddings
+        |  WHERE vec_id >= 10 AND vec_id < 15
+        |  UNION ALL
+        |  SELECT vec_id, 'added' FROM embeddings
+        |  WHERE vec_id >= 400 AND vec_id < 403
+        |  UNION ALL
+        |  SELECT vec_id, 'removed' FROM embeddings
+        |  WHERE vec_id IN (7, 8))
+        |ORDER BY vec_id""".stripMargin,
 
     "q167_index_forget" ->
       """SELECT

@@ -603,6 +603,43 @@ final class VectorIndex private (
       .select(col("id"), col("values"), col("metadata"), col("version"))
   }
 
+  /** Snapshot DIFF — what changed between two committed versions:
+    * one row per affected id with status `added` / `removed` /
+    * `changed` (vector OR metadata). The serving-rollback audit:
+    * "what did yesterday's upsert actually touch" answered without
+    * restoring anything.
+    *
+    * Manifest-aware, so cost is O(touched buckets), never O(index):
+    * snapshots share untouched buckets' files BY REFERENCE, and a
+    * bucket rewrite replaces every file of that bucket — rows in
+    * files common to both manifests are therefore bit-identical and
+    * never read; only the manifests' symmetric difference is scanned
+    * and full-outer-joined on id. Ids that round-tripped a rewrite
+    * unchanged (their bucket was rewritten for a NEIGHBOR) compare
+    * equal and drop out. */
+  def diff(v1: Long, v2: Long): DataFrame = {
+    def files(v: Long): Set[String] =
+      readManifest(spark, path, v).values.flatten.map(_.file).toSet
+    val f1 = files(v1)
+    val f2 = files(v2)
+    def readOnly(fs0: Set[String]): DataFrame =
+      if (fs0.isEmpty) emptyIndexDf(spark)
+      else spark.read.parquet(fs0.toSeq.sorted.map(f => s"$path/$f"): _*)
+        .select(col("id"), col("values"), col("metadata"))
+    val a = readOnly(f1 -- f2).select(col("id").as("_id1"),
+      col("values").as("_v1"), col("metadata").as("_m1"))
+    val b = readOnly(f2 -- f1).select(col("id").as("_id2"),
+      col("values").as("_v2"), col("metadata").as("_m2"))
+    a.join(b, col("_id1") === col("_id2"), "full_outer")
+      .select(coalesce(col("_id1"), col("_id2")).as("id"),
+        when(col("_id1").isNull, "added")
+          .when(col("_id2").isNull, "removed")
+          .when(!(col("_v1") <=> col("_v2")) || !(col("_m1") <=> col("_m2")),
+            "changed")
+          .otherwise("unchanged").as("status"))
+      .filter(col("status") =!= "unchanged")
+  }
+
   /** Test/diagnostic surface: the committed manifest of a snapshot. */
   private[graft] def manifestAt(version: Long): Map[Int, Seq[String]] =
     readManifest(spark, path, version).map { case (b, fs0) => b -> fs0.map(_.file) }

@@ -117,6 +117,35 @@ class IngestIndexSpec extends AnyFunSuite {
     assert(idx.scanAt(1L).count() == 200)
   }
 
+  test("diff: added/removed/changed between snapshots, shared files never read") {
+    val dir = Files.createTempDirectory("graft_idx_diff").toString
+    // diff needs both versions inside the retention window
+    spark.conf.set("spark.graft.index.retainSnapshots", "10")
+    try {
+    val idx = VectorIndex.ensure(spark, s"$dir/d", 4, numBuckets = 8)
+    def recs(ids: Seq[Int], scale: Float) = ids.toDF("n").select(
+      concat(lit("r-"), $"n").as("id"),
+      array(($"n" * scale).cast("float"), lit(1f), lit(2f), lit(3f)).as("values"),
+      struct(lit(0).as("chunk_index"), lit("t").as("source")).as("metadata"))
+    idx.upsert(recs(0 until 50, 1f))                 // v0
+    idx.upsert(recs(Seq(3, 4), 10f)                  // changed vectors
+      .unionByName(recs(Seq(100, 101), 1f)))         // added — v1
+    idx.delete(Seq("r-7", "r-8"))                    // removed — v2
+    val out = idx.diff(0L, 2L)
+      .as[(String, String)].collect().toMap
+    assert(out == Map("r-3" -> "changed", "r-4" -> "changed",
+      "r-100" -> "added", "r-101" -> "added",
+      "r-7" -> "removed", "r-8" -> "removed"))
+    // the fixture really exercises the manifest skip: most buckets are
+    // shared between v0 and v2 and their rows never enter the join
+    val f0 = idx.manifestAt(0L).values.flatten.toSet
+    val f2 = idx.manifestAt(2L).values.flatten.toSet
+    assert((f0 & f2).nonEmpty, "fixture must share untouched files")
+    // reflexive diff is empty (and reads nothing: no differing files)
+    assert(idx.diff(2L, 2L).count() == 0)
+    } finally spark.conf.unset("spark.graft.index.retainSnapshots")
+  }
+
   test("queryApprox: full shortlist == exact query; pruned shortlist holds recall; legacy files always rescore") {
     val dir = Files.createTempDirectory("graft_idx_approx").toString
     // cellMinRows=1: at 300 rows every cell is tiny, and the default
