@@ -129,6 +129,8 @@ object Bench {
     // q168 first isolated noop measurement (2.961 — index lifecycle
     // build + 3 snapshots + manifest-aware diff)
     "q168" -> (2.073, 4.147),
+    // q169 first isolated noop measurement (1.118)
+    "q169" -> (0.783, 1.659),
     "q13" -> (0.231, 0.596), "q14" -> (0.168, 0.501), "q15" -> (0.217, 0.596),
     "q16" -> (0.175, 0.501), "q17" -> (0.287, 0.717), "q18" -> (0.161, 0.461),
     "q19" -> (0.21, 0.636), "q20" -> (0.322, 0.771), "q21" -> (0.217, 0.622),

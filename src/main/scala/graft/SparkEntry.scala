@@ -2785,6 +2785,19 @@ object SparkEntry {
         .orderBy($"col_name")
     }),
 
+    // Token co-occurrence with lift (collocations): doc-level joint
+    // counts over the df-banded vocabulary (the band is the valve that
+    // keeps the pair join sub-quadratic at scale), lift as one fixed-
+    // shape double expression over exact integers — rankings and
+    // values replay across engines (a log-PMI would not).
+    "q169_cooccurrence" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.TextAnalytics.cooccurrenceTopK(
+          t(s, dir, "documents"), "doc_id", "text",
+          minDf = 50, maxDf = 390, k = 20)
+        .select($"a", $"b", $"n_ab", $"n_a", $"n_b", $"lift")
+    }),
+
     // Snapshot DIFF audit: build -> upsert(change+add) -> delete, then
     // diff(v0, v2) answers "what did the maintenance touch" from the
     // manifests' symmetric difference only (shared buckets never read,
@@ -4509,6 +4522,25 @@ object SparkEntry {
         |  (SELECT c FROM lc) AS files_box
         |UNION ALL SELECT 'zorder', 64, (SELECT c FROM zc)
         |ORDER BY layout""".stripMargin,
+
+    "q169_cooccurrence" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(list_distinct(list_filter(
+        |      string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> ''))) AS tok
+        |  FROM documents),
+        |n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+        |v AS (SELECT tok, count(*) AS df FROM t GROUP BY 1
+        |      HAVING count(*) BETWEEN 50 AND 390),
+        |b AS (SELECT t.doc_id, t.tok, v.df FROM t JOIN v USING (tok)),
+        |p AS (SELECT x.tok AS a, y.tok AS b, count(*) AS n_ab,
+        |        min(x.df) AS n_a, min(y.df) AS n_b
+        |      FROM b x JOIN b y ON x.doc_id = y.doc_id AND x.tok < y.tok
+        |      GROUP BY 1, 2)
+        |SELECT a, b, n_ab, n_a, n_b,
+        |  n_ab * CAST((SELECT nd FROM n) AS DOUBLE)
+        |    / CAST(n_a * n_b AS DOUBLE) AS lift
+        |FROM p ORDER BY n_ab DESC, a, b LIMIT 20""".stripMargin,
 
     "q168_index_diff" ->
       """SELECT vec_id, status FROM (

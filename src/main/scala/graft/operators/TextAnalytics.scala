@@ -170,6 +170,50 @@ object TextAnalytics {
     (regexp_count(text, lit(EmailPattern)) + regexp_count(text, lit(UrlPattern)))
       .cast("long")
 
+  /** Top-k token CO-OCCURRENCE with lift — the collocation primitive
+    * ("which terms appear together more than chance"): for unordered
+    * token pairs (a < b) sharing a document, report the doc-level
+    * joint count and lift = n_ab·N / (n_a·n_b), ranked by joint count.
+    *
+    * Exactness: all counts are integers; lift is ONE double expression
+    * over exact operands in a fixed shape, so rankings and values
+    * reproduce across engines (the tfidf discipline — a log-PMI would
+    * be libm-rounding-dependent, lift carries the same ordering).
+    *
+    * Scale shape: the df BAND [minDf, maxDf] is the valve — stopwords
+    * (huge df) would explode the pair join quadratically and hapax
+    * terms add noise, so both are dropped BEFORE pairing; the pair
+    * join is postings-vs-postings per doc over the banded vocabulary
+    * only, and per-doc cost is (banded tokens per doc)². df computes
+    * once (wordcount shape); top-k is TakeOrderedAndProject. */
+  def cooccurrenceTopK(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, minDf: Long, maxDf: Long, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(minDf >= 1 && maxDf >= minDf && k >= 1, "bad parameters")
+    val toks = df.select(col(idCol).as("_doc"),
+        explode(array_distinct(filter(
+          split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= ""))).as("_t"))
+      .localCheckpoint(eager = true) // feeds df counts AND both join legs
+    val n = df.select(countDistinct(col(idCol))).head().getLong(0)
+    val vocab = toks.groupBy(col("_t"))
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= minDf && col("_df") <= maxDf)
+      .localCheckpoint(eager = true)
+    val banded = toks.join(broadcast(vocab), "_t")
+    val pairs = banded.select(col("_doc"), col("_t").as("a"), col("_df").as("_dfa"))
+      .join(banded.select(col("_doc"), col("_t").as("b"), col("_df").as("_dfb")),
+        "_doc")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_ab"), first(col("_dfa")).as("n_a"),
+        first(col("_dfb")).as("n_b"))
+    pairs
+      .withColumn("lift", col("n_ab") * lit(n).cast("double") /
+        (col("n_a") * col("n_b")).cast("double"))
+      .orderBy(col("n_ab").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
   // ---------- lexical (keyword) retrieval ----------
 
   /** TF-IDF keyword scoring over a document table — the lexical half of

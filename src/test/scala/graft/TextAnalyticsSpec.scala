@@ -6,6 +6,27 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class TextAnalyticsSpec extends AnyFunSuite {
 
+  test("cooccurrenceTopK: joint counts, lift, df band drops stopwords and hapax") {
+    import graft.operators.TextAnalytics
+    val sp = TestSpark.spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "the alpha beta"), (2L, "the alpha beta"),
+      (3L, "the alpha gamma"), (4L, "the beta gamma rare"))
+      .toDF("doc_id", "text")
+    // df: the=4 (stopword, > maxDf), alpha=3, beta=3, gamma=2, rare=1 (< minDf)
+    val out = TextAnalytics.cooccurrenceTopK(docs, "doc_id", "text",
+        minDf = 2, maxDf = 3, k = 10)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      ("alpha", "beta", 2L, 3L, 3L, 2 * 4.0 / 9),
+      ("alpha", "gamma", 1L, 3L, 2L, 1 * 4.0 / 6),
+      ("beta", "gamma", 1L, 3L, 2L, 1 * 4.0 / 6)))
+    // no pair involves the banded-out tokens
+    assert(out.forall { case (a, b, _, _, _, _) =>
+      !Set(a, b).exists(Set("the", "rare")) })
+  }
+
   test("NgramLm: trained trigram model separates corpus-like text from gibberish") {
     import graft.operators.NgramLm
     val sp = TestSpark.spark
