@@ -2785,6 +2785,21 @@ object SparkEntry {
         .orderBy($"col_name")
     }),
 
+    // Label-propagation communities on the co-order part graph,
+    // 3 exact synchronous rounds (min tie-break — fully deterministic,
+    // so the DuckDB oracle unrolls the same rounds and the whole
+    // (node, label) relation hash-matches; async/randomized LPA never
+    // could be graded this way).
+    "q170_label_propagation" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
+      val edges = li.as("x").join(li.as("y"), "l_orderkey")
+        .filter($"x.l_partkey" < $"y.l_partkey")
+        .select($"x.l_partkey".as("src"), $"y.l_partkey".as("dst"))
+      graft.operators.Graph.labelPropagation(edges, "src", "dst", rounds = 3)
+        .orderBy($"node")
+    }),
+
     // Token co-occurrence with lift (collocations): doc-level joint
     // counts over the df-banded vocabulary (the band is the valve that
     // keeps the pair join sub-quadratic at scale), lift as one fixed-
@@ -4522,6 +4537,32 @@ object SparkEntry {
         |  (SELECT c FROM lc) AS files_box
         |UNION ALL SELECT 'zorder', 64, (SELECT c FROM zc)
         |ORDER BY layout""".stripMargin,
+
+    "q170_label_propagation" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+        |          FROM li a JOIN li b
+        |            ON a.l_orderkey = b.l_orderkey
+        |            AND a.l_partkey < b.l_partkey
+        |          GROUP BY 1, 2),
+        |e AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+        |l0 AS (SELECT DISTINCT u AS node, u AS label FROM e),
+        |c1 AS (SELECT e.v AS node, l.label, count(*) AS c
+        |       FROM e JOIN l0 l ON e.u = l.node GROUP BY 1, 2),
+        |l1 AS (SELECT node, label FROM (SELECT node, label,
+        |         row_number() OVER (PARTITION BY node
+        |           ORDER BY c DESC, label) AS rk FROM c1) WHERE rk = 1),
+        |c2 AS (SELECT e.v AS node, l.label, count(*) AS c
+        |       FROM e JOIN l1 l ON e.u = l.node GROUP BY 1, 2),
+        |l2 AS (SELECT node, label FROM (SELECT node, label,
+        |         row_number() OVER (PARTITION BY node
+        |           ORDER BY c DESC, label) AS rk FROM c2) WHERE rk = 1),
+        |c3 AS (SELECT e.v AS node, l.label, count(*) AS c
+        |       FROM e JOIN l2 l ON e.u = l.node GROUP BY 1, 2),
+        |l3 AS (SELECT node, label FROM (SELECT node, label,
+        |         row_number() OVER (PARTITION BY node
+        |           ORDER BY c DESC, label) AS rk FROM c3) WHERE rk = 1)
+        |SELECT node, label FROM l3 ORDER BY node""".stripMargin,
 
     "q169_cooccurrence" ->
       """WITH t AS (SELECT doc_id,

@@ -292,6 +292,67 @@ object Graph {
     *
     * @return ((node LONG, core_deg LONG) DataFrame — degrees
     *         recomputed within the final subgraph — , converged). */
+  /** Synchronous LABEL PROPAGATION communities (LPA, Raghavan et al.
+    * 2007) with EXACT bounded-round semantics — the fourth member of
+    * the bounded-round family ([[pageRank]]'s fixed iterations,
+    * [[kCore]]'s bounded peel): labels start as node ids; each round
+    * every node adopts the most frequent label among its neighbors,
+    * ties broken by SMALLEST label — fully deterministic, so the
+    * R-round state is engine-replayable and the DuckDB oracle unrolls
+    * the same rounds (an async/randomized LPA never could).
+    *
+    * Near-duplicate clusters from [[connectedComponents]] treat any
+    * bridge as membership; LPA is the density-sensitive alternative —
+    * a thin bridge between two dense near-dup communities does NOT
+    * merge them, because the bridge node's neighbors vote it into one
+    * side.
+    *
+    * Per round: ONE join (labels onto the symmetrized edge list, the
+    * labels side broadcast while it fits — node-sized, like kCore's
+    * alive set) + one (node, label) count + one per-node window min —
+    * the Pregel-equivalent floor; lineage checkpoints every 2nd
+    * round. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("_u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("_v"))
+      .filter(col("_u").isNotNull && col("_v").isNotNull && col("_u") =!= col("_v"))
+      .distinct()
+    val sym = canon
+      .unionByName(canon.select(col("_v").as("_u"), col("_u").as("_v")))
+      .localCheckpoint(true)
+    val nNodes = sym.select(col("_u")).distinct().count()
+    val broadcastLimit = 1000000L
+    def labelSide(df: DataFrame) =
+      if (nNodes <= broadcastLimit) broadcast(df) else df
+    var labels = sym.select(col("_u").as("_node"))
+      .distinct().withColumn("_label", col("_node"))
+      .localCheckpoint(true)
+    (1 to rounds).foreach { r =>
+      val votes = sym
+        .join(labelSide(labels.select(col("_node").as("_u"), col("_label"))),
+          "_u")
+        .groupBy(col("_v").as("_node"), col("_label"))
+        .agg(count(lit(1)).as("_c"))
+      // (c desc, label asc) as a max_by over (c, -label): the ordering
+      // key is UNIQUE per (node, label) so max_by is deterministic, and
+      // unlike a row_number window it partial-aggregates map-side with
+      // no per-round sort (measured 5.0 -> faster at sf0.1); labels are
+      // non-negative ids (the engine contract), so -label cannot
+      // overflow
+      val next = votes
+        .groupBy(col("_node"))
+        .agg(max_by(col("_label"), struct(col("_c"), -col("_label")))
+          .as("_label"))
+      labels =
+        if (r % 2 == 0 || r == rounds) next.localCheckpoint(true)
+        else next
+    }
+    labels.select(col("_node").as("node"), col("_label").as("label"))
+  }
+
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
       maxRounds: Int = 50): (DataFrame, Boolean) = {
     require(k >= 1 && maxRounds >= 1)

@@ -436,6 +436,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == pageRankRef(edges, 2))
   }
 
+  test("Graph.labelPropagation: dense communities resist a bridge; deterministic") {
+    // two triangles joined by one bridge edge: CC would merge them,
+    // LPA keeps them separate (the bridge node is outvoted)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val out = graft.operators.Graph.labelPropagation(edges, "src", "dst",
+        rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L))
+    // bounded-round determinism: same input, same rounds, same labels
+    val again = graft.operators.Graph.labelPropagation(edges, "src", "dst",
+        rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(again == out)
+  }
+
+  test("Graph.labelPropagation: one round is the exact neighbor-mode with min tie-break") {
+    // star 10-(1,2,3): round 1 — center adopts min leaf (1), leaves
+    // adopt the center's label (10); exact synchronous semantics
+    val star = Seq((10L, 1L), (10L, 2L), (10L, 3L)).toDF("src", "dst")
+    val r1 = graft.operators.Graph.labelPropagation(star, "src", "dst", 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(10L -> 1L, 1L -> 10L, 2L -> 10L, 3L -> 10L))
+  }
+
   test("Graph.kCore: closed forms, cascade peeling, bounded-round semantics") {
     def run(edges: Seq[(Long, Long)], k: Int, maxRounds: Int = 50) = {
       val (df, conv) = graft.operators.Graph.kCore(
