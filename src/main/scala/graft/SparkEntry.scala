@@ -2785,6 +2785,45 @@ object SparkEntry {
         .orderBy($"col_name")
     }),
 
+    // Structured span EXTRACTION (the long-format twin of q95's
+    // redaction): every email/URL span surfaces as its own row with
+    // kind + ordinal — the row shape entity pipelines join on. Same
+    // RE2-safe patterns, exact replay.
+    "q171_span_extract" -> ((s, dir) => {
+      import s.implicits._
+      val ta = graft.operators.TextAnalytics
+      val docs = t(s, dir, "documents")
+        .withColumn("t2", concat($"text", lit(" contact "), $"lang",
+          lit("@example.com visit https://example.com/"), $"source",
+          lit(" or "), lower($"lang"), lit("2@example.org")))
+      // Column-API regexp (not expr-string): Spark SQL string literals
+      // eat backslash escapes, which would corrupt the \. in the
+      // patterns
+      val emails = docs.select($"doc_id", lit("email").as("kind"),
+        posexplode(regexp_extract_all($"t2", lit(ta.EmailPattern), lit(0))))
+      val urls = docs.select($"doc_id", lit("url").as("kind"),
+        posexplode(regexp_extract_all($"t2", lit(ta.UrlPattern), lit(0))))
+      emails.unionByName(urls)
+        .select($"doc_id", $"kind", ($"pos" + 1).as("ordinal"),
+          $"col".as("span"))
+        .orderBy($"doc_id", $"kind", $"ordinal")
+    }),
+
+    // Conversion LATENCY distribution: for every user completing
+    // q146's funnel, the first-touch-to-purchase time bucketed into
+    // 6-hour bins — pure integer arithmetic end to end.
+    "q172_conversion_latency" -> ((s, dir) => {
+      import s.implicits._
+      val ev = events(s, dir).select($"user_id", $"event_type",
+        unix_micros($"ts").as("tsu"))
+      graft.operators.Events.funnelUsers(ev, "user_id", "event_type", "tsu",
+          Seq("view", "click", "purchase"), spanMicros = 7L * 86400000000L)
+        .filter($"t3".isNotNull)
+        .select(expr("(t3 - t1) div 21600000000").as("bucket_6h"))
+        .groupBy($"bucket_6h").agg(count(lit(1)).as("n_users"))
+        .orderBy($"bucket_6h")
+    }),
+
     // Label-propagation communities on the co-order part graph,
     // 3 exact synchronous rounds (min tie-break — fully deterministic,
     // so the DuckDB oracle unrolls the same rounds and the whole
@@ -4537,6 +4576,41 @@ object SparkEntry {
         |  (SELECT c FROM lc) AS files_box
         |UNION ALL SELECT 'zorder', 64, (SELECT c FROM zc)
         |ORDER BY layout""".stripMargin,
+
+    "q171_span_extract" ->
+      s"""WITH d AS (SELECT doc_id,
+        |    text || ' contact ' || lang || '@example.com visit ' ||
+        |    'https://example.com/' || source || ' or ' || lower(lang) ||
+        |    '2@example.org' AS t2
+        |  FROM documents),
+        |a AS (SELECT doc_id, 'email' AS kind,
+        |        regexp_extract_all(t2, '${graft.operators.TextAnalytics.EmailPattern}') AS ms
+        |      FROM d
+        |      UNION ALL
+        |      SELECT doc_id, 'url',
+        |        regexp_extract_all(t2, '${graft.operators.TextAnalytics.UrlPattern}') AS ms
+        |      FROM d),
+        |x AS (SELECT doc_id, kind, CAST(i AS INT) AS ordinal, ms[i] AS span
+        |      FROM a, unnest(generate_series(1, len(ms))) AS g(i))
+        |SELECT doc_id, kind, ordinal, span FROM x
+        |ORDER BY doc_id, kind, ordinal""".stripMargin,
+
+    "q172_conversion_latency" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+        |w1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN tsu END)
+        |         OVER (PARTITION BY user_id) AS t1 FROM e),
+        |w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND tsu > t1
+        |           AND tsu <= t1 + 604800000000 THEN tsu END)
+        |         OVER (PARTITION BY user_id) AS t2 FROM w1),
+        |w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND tsu > t2
+        |           AND tsu <= t1 + 604800000000 THEN tsu END)
+        |         OVER (PARTITION BY user_id) AS t3 FROM w2),
+        |u AS (SELECT user_id, min(t1) AS t1, min(t3) AS t3
+        |      FROM w3 GROUP BY 1),
+        |b AS (SELECT (t3 - t1) // 21600000000 AS bucket_6h FROM u
+        |      WHERE t3 IS NOT NULL)
+        |SELECT bucket_6h, count(*) AS n_users FROM b
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q170_label_propagation" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

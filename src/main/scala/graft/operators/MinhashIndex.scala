@@ -241,6 +241,11 @@ object MinhashIndex {
     val survivors = spark.read.parquet(path).filter(touchedProbe)
       .join(broadcast(target), Seq("_id"), "left_anti")
       .select(col("_id"), col("_bk"), col("_sh"), col("_band"), col("_bkt"))
+      // crash-duplicated rows (an interrupted earlier delete/append)
+      // are bit-identical by construction; deduping here makes every
+      // delete pass self-cleaning for the dirs it touches, so the
+      // payload CENSUS stays honest, not just the distinct-ing probes
+      .dropDuplicates()
     val stage = path + "__delstage"
     if (fs.exists(hp(stage))) fs.delete(hp(stage), true)
     survivors.write.mode("overwrite").partitionBy("_band", "_bkt")

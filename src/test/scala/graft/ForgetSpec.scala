@@ -63,6 +63,80 @@ class ForgetSpec extends AnyFunSuite {
       .collect().sorted.toSeq == Seq(1L, 3L, 9L))
   }
 
+  test("index delete: the documented crash window (old files not yet removed) heals on rerun") {
+    import graft.operators.{Dedup, MinhashIndex}
+    val root = Files.createTempDirectory("graft_delcrash").toString
+    val idx = root + "/idx"
+    val docs = (1L to 10L).map(i => (i, text(i.toInt))).toDF("doc_id", "text")
+    MinhashIndex.append(Dedup.prepareMinhash(docs, "doc_id", "text"), idx,
+      buckets = 4)
+    // find victim 3's payload dir and back up its current files —
+    // restoring them after the delete reproduces EXACTLY the crash
+    // state "survivors moved in, old files not yet deleted"
+    val bkt = spark.sql(
+      "SELECT CAST(pmod(xxhash64(CAST(3 AS BIGINT)), 4) AS INT)").head().getInt(0)
+    val dir = java.nio.file.Paths.get(s"$idx/_band=-1/_bkt=$bkt")
+    val backup = Files.createTempDirectory("graft_delbak")
+    Files.list(dir).filter(_.getFileName.toString.endsWith(".parquet"))
+      .forEach(f => Files.copy(f, backup.resolve(f.getFileName)))
+
+    assert(MinhashIndex.delete(spark, idx,
+      Seq(3L).toDF("_id")) == 1L)
+    Files.list(backup).forEach(f =>
+      Files.copy(f, dir.resolve("old-" + f.getFileName),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING))
+    // crash state: victim 3 visible again, survivors duplicated —
+    // probes must still answer correctly for OTHER ids (distinct)
+    val others = MinhashIndex.probeIds(spark, idx,
+      (1L to 10L).filter(_ != 3L).toDF("_id")).count()
+    assert(others == 9L, "duplicate survivor rows must distinct away")
+    assert(MinhashIndex.probeIds(spark, idx, Seq(3L).toDF("_id")).count() == 1L,
+      "the crash window legitimately re-exposes the victim")
+    // rerun completes the delete; everything is consistent again
+    assert(MinhashIndex.delete(spark, idx, Seq(3L).toDF("_id")) == 1L)
+    assert(MinhashIndex.probeIds(spark, idx, Seq(3L).toDF("_id")).count() == 0L)
+    assert(MinhashIndex.payloadCount(spark, idx) == 9L)
+  }
+
+  test("scd applyBatch: a bucket reverted to its pre-batch state (partial crash) retries clean") {
+    import graft.operators.Scd
+    val store = Files.createTempDirectory("graft_scdcrash").toString + "/v"
+    def log(rows: (Long, Long, Long, String)*) =
+      rows.toDF("k", "ts", "eid", "tier")
+    // keys 1 and 2 land in different buckets (nBuckets=8)
+    Scd.applyBatch(log((1L, 10L, 1L, "a"), (2L, 10L, 2L, "x")), store,
+      Seq("k"), "ts", "eid", Seq("tier"))
+    // back up every bucket dir before batch 2
+    val root = java.nio.file.Paths.get(store)
+    val backup = Files.createTempDirectory("graft_scdbak")
+    Files.list(root).filter(_.getFileName.toString.startsWith("bucket_"))
+      .forEach { d =>
+        val tgt = backup.resolve(d.getFileName)
+        Files.createDirectories(tgt)
+        Files.list(d).forEach(f => Files.copy(f, tgt.resolve(f.getFileName)))
+      }
+    val b2 = log((1L, 20L, 3L, "b"), (2L, 20L, 4L, "y"))
+    Scd.applyBatch(b2, store, Seq("k"), "ts", "eid", Seq("tier"))
+    // simulate a crash that only committed SOME buckets: revert ONE
+    // bucket dir to its pre-batch files
+    val reverted = Files.list(root)
+      .filter(_.getFileName.toString.startsWith("bucket_"))
+      .findFirst.get
+    Files.list(reverted).forEach(Files.delete)
+    Files.list(backup.resolve(reverted.getFileName))
+      .forEach(f => Files.copy(f, reverted.resolve(f.getFileName)))
+    // retry the whole batch: already-committed buckets drop it as
+    // at-or-before-open, the reverted bucket applies it fresh
+    Scd.applyBatch(b2, store, Seq("k"), "ts", "eid", Seq("tier"))
+    val out = Scd.readVersions(spark, store)
+      .select($"k", $"tier", $"valid_from", $"is_current")
+      .orderBy($"k", $"valid_from")
+      .as[(Long, String, Long, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, "a", 10L, false), (1L, "b", 20L, true),
+      (2L, "x", 10L, false), (2L, "y", 20L, true)))
+  }
+
   test("forget erases from the persisted MinHash index; census stays reconciled") {
     val src = Files.createTempDirectory("graft_forgeti_src")
     val root = Files.createTempDirectory("graft_forgeti_c").toString
