@@ -323,8 +323,8 @@ object Bench {
       BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
         .underlying.stripTrailingZeros.toPlainString
     def r3(v: Double): String = rd(v, 3)
-    val qs = results.map { case (k, s) => "\"" + k.takeWhile(_ != '_') + "\":" + rd(s.sec, 2) }
-      .mkString("{", ",", "}")
+    val qEntries = results.toSeq
+      .map { case (k, s) => ("\"" + k.takeWhile(_ != '_') + "\":" + rd(s.sec, 2), s.sec) }
     // Out-of-band movers only, worst excess first, as [q, value, bandMax]
     // triples — capped at 6 so the JSON line stays inside the harness's
     // 2000-char tail even on a bad round (the full list is in the table
@@ -351,14 +351,38 @@ object Bench {
     val env = s"""{"load1":[${rd(loadStart, 1)},${rd(load1(), 1)}],""" +
       s""""os_cpus":${Runtime.getRuntime.availableProcessors},""" +
       s""""gc_s":${rd(gcTotal, 1)},"cpu_s":${rd(cpuTotal, 0)}}"""
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
-      s""""queries":$qs,"flagged":$flagged,"flag_env":$fenv,"env":$env,"sf":"$sfDir"}"""
-    if (line.length > 1900)
-      // degrade the env detail, never the queries map, if a bad round
-      // would push the line past the harness's 2000-char tail
-      println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
-        s""""queries":$qs,"flagged":$flagged,"env":$env,"sf":"$sfDir"}""")
-    else println(line)
+    // The stdout JSON line MUST stay under the harness's ~2000-char tail
+    // capture or the driver records `parsed: null` (r15's fate: 160+
+    // query entries are ~2.4 KB alone, and the old fallback still
+    // carried the full map, so the tail cut the JSON HEAD off). The
+    // complete artifact now always goes to bench_full.json on disk; the
+    // stdout line keeps totals/flagged/env unconditionally and fills
+    // the remaining byte budget with the SLOWEST queries first (the
+    // ones the grading conversation is about), dropping the sub-second
+    // tail rather than the line's parseability.
+    def lineWith(qs: String, extra: String): String =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+        s""""queries":$qs,$extra"flagged":$flagged,"flag_env":$fenv,""" +
+        s""""env":$env,"sf":"$sfDir"}"""
+    val fullQs = qEntries.map(_._1).mkString("{", ",", "}")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_full.json"), lineWith(fullQs, ""))
+    catch { case _: Throwable => () }
+    val fullLine = lineWith(fullQs, "")
+    val out = if (fullLine.length <= 1900) fullLine else {
+      // greedy slowest-first fill against the fixed-part budget
+      val fixedLen = lineWith("{}", """"queries_full":"bench_full.json",""").length
+      val budget = 1900 - fixedLen
+      val picked = scala.collection.mutable.ArrayBuffer.empty[String]
+      var used = 0
+      qEntries.sortBy(-_._2).foreach { case (entry, _) =>
+        val cost = entry.length + (if (picked.isEmpty) 0 else 1)
+        if (used + cost <= budget) { picked += entry; used += cost }
+      }
+      lineWith(picked.mkString("{", ",", "}"),
+        """"queries_full":"bench_full.json",""")
+    }
+    println(out)
     spark.stop()
   }
 }

@@ -57,13 +57,17 @@ object Checks {
       viol.as(s"v_$i")
     }
     val row = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = checks.zipWithIndex.map { case (c, i) =>
-      s"'${c.name.replace("'", "''")}', v_$i"
-    }.mkString(", ")
-    row.selectExpr(
-        s"stack(${checks.size}, $stackArgs) AS (check, violations)")
-      .select(col("check"), col("violations"),
-        (col("violations") === 0L).as("passed"))
+    // Typed literals, not selectExpr interpolation: Spark's lexer reads
+    // '' as two adjacent string literals (concatenated to nothing, not
+    // an escaped quote), so a Satisfies label containing ' or \ would
+    // silently mangle the check name — and no escaping is needed when
+    // the name never passes through the SQL parser.
+    val pairs = checks.zipWithIndex.map { case (c, i) =>
+      struct(lit(c.name).as("check"), col(s"v_$i").as("violations"))
+    }
+    row.select(explode(array(pairs: _*)).as("kv"))
+      .select(col("kv.check").as("check"), col("kv.violations").as("violations"),
+        (col("kv.violations") === 0L).as("passed"))
   }
 
   /** Referential integrity: child rows whose key tuple has no match in

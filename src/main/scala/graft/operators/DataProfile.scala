@@ -81,14 +81,19 @@ object DataProfile {
           .as(s"mxs_$i"))
     }
     val row = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
-    val stackArgs = cols.zipWithIndex.map { case (c, i) =>
-      s"'$c', nn_$i, sk_$i, mnn_$i, mxn_$i, mns_$i, mxs_$i"
-    }.mkString(", ")
-    row.selectExpr("n_rows",
-        s"stack(${cols.size}, $stackArgs) AS " +
-          "(col_name, n_nonnull, sketch, min_num, max_num, min_str, max_str)")
-      .select(col("col_name"), col("n_rows"), col("n_nonnull"), col("sketch"),
-        col("min_num"), col("max_num"), col("min_str"), col("max_str"))
+    // Column-API unpivot (typed literals), not selectExpr interpolation:
+    // a column NAME containing ' or \ would mangle the generated SQL.
+    val pairs = cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("col_name"), col(s"nn_$i").as("n_nonnull"),
+        col(s"sk_$i").as("sketch"), col(s"mnn_$i").as("min_num"),
+        col(s"mxn_$i").as("max_num"), col(s"mns_$i").as("min_str"),
+        col(s"mxs_$i").as("max_str"))
+    }
+    row.select(col("n_rows"), explode(array(pairs: _*)).as("kv"))
+      .select(col("kv.col_name").as("col_name"), col("n_rows"),
+        col("kv.n_nonnull").as("n_nonnull"), col("kv.sketch").as("sketch"),
+        col("kv.min_num").as("min_num"), col("kv.max_num").as("max_num"),
+        col("kv.min_str").as("min_str"), col("kv.max_str").as("max_str"))
   }
 
   /** Equi-depth (quantile) binning — EXACT: `ntile(nBins)` over the
@@ -143,13 +148,17 @@ object DataProfile {
         max(col(c)).cast("string").as(s"mx_$i"))
     }
     val row = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
-    val stackArgs = cols.zipWithIndex.map { case (c, i) =>
-      s"'$c', n_rows - nn_$i, nd_$i, mn_$i, mx_$i"
-    }.mkString(", ")
-    row.selectExpr("n_rows",
-        s"stack(${cols.size}, $stackArgs) AS " +
-          "(col_name, n_nulls, n_distinct, min_val, max_val)")
-      .select(col("col_name"), col("n_rows"), col("n_nulls"),
-        col("n_distinct"), col("min_val"), col("max_val"))
+    // Column-API unpivot for the same injection-safety reason as
+    // [[profileSketch]].
+    val pairs = cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("col_name"),
+        (col("n_rows") - col(s"nn_$i")).as("n_nulls"),
+        col(s"nd_$i").as("n_distinct"), col(s"mn_$i").as("min_val"),
+        col(s"mx_$i").as("max_val"))
+    }
+    row.select(col("n_rows"), explode(array(pairs: _*)).as("kv"))
+      .select(col("kv.col_name").as("col_name"), col("n_rows"),
+        col("kv.n_nulls").as("n_nulls"), col("kv.n_distinct").as("n_distinct"),
+        col("kv.min_val").as("min_val"), col("kv.max_val").as("max_val"))
   }
 }

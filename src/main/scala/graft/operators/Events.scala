@@ -83,12 +83,16 @@ object Events {
     val counts = users.agg(
       steps.indices.map(i => count(col(s"t${i + 1}")).as(s"c${i + 1}")).head,
       steps.indices.map(i => count(col(s"t${i + 1}")).as(s"c${i + 1}")).tail: _*)
-    // K step rows from a 1-row aggregate: a stack() unpivot, no joins.
-    val stackArgs = steps.zipWithIndex
-      .map { case (s, i) => s"${i + 1}, '$s', c${i + 1}" }
-      .mkString(", ")
-    counts.selectExpr(
-      s"stack(${steps.size}, $stackArgs) AS (step_idx, step, users)")
+    // K step rows from a 1-row aggregate: a Column-API unpivot, no
+    // joins — and no selectExpr interpolation, so a step NAME with a
+    // quote or backslash can't mangle the generated SQL.
+    val pairs = steps.zipWithIndex.map { case (s, i) =>
+      struct(lit(i + 1).as("step_idx"), lit(s).as("step"),
+        col(s"c${i + 1}").as("users"))
+    }
+    counts.select(explode(array(pairs: _*)).as("kv"))
+      .select(col("kv.step_idx").as("step_idx"), col("kv.step").as("step"),
+        col("kv.users").as("users"))
   }
 
   /** Cohort retention: users are assigned to the week (Monday-start,
@@ -145,9 +149,20 @@ object Events {
       .withColumn("_wtu", lead(col(tsMicrosCol), 1).over(w) - col(tsMicrosCol))
       .withColumn("_wt", expr("_wtu div 1000"))
       .filter(col("_wt").isNotNull)
+      // DECIMAL(9,2) is deliberately narrow (the product-sum must stay
+      // under every engine's 38-digit cap — widening here would trip
+      // DuckDB's silent double fallback), so in non-ANSI mode a value
+      // >= 10^7 would cast to NULL and silently drop from the numerator
+      // while its duration still counted in _tw, biasing the average.
+      // Fail loudly instead: out-of-range input is a caller error.
+      .withColumn("_v", {
+        val v = col(valueCol).cast("decimal(9,2)")
+        when(col(valueCol).isNotNull && v.isNull,
+          raise_error(concat(lit(s"twap: $valueCol out of DECIMAL(9,2) range: "),
+            col(valueCol).cast("string")))).otherwise(v)
+      })
       .groupBy(col(keyCol))
-      .agg(sum(col(valueCol).cast("decimal(9,2)") *
-          col("_wt").cast("decimal(18,0)")).as("_wv"),
+      .agg(sum(col("_v") * col("_wt").cast("decimal(18,0)")).as("_wv"),
         sum(col("_wt")).as("_tw"))
       .select(col(keyCol),
         (col("_wv").cast("double") / col("_tw").cast("double")).as("twap"),

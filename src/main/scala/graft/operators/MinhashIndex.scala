@@ -233,8 +233,18 @@ object MinhashIndex {
         seed)).as("_bk"))
       .select(pmod(col("_bk"), lit(bk.toLong)).cast("int").as("_bkt"))
       .distinct().collect().map(_.getInt(0))
+    // Band dirs commit FIRST, payload dirs LAST: the rerun probe finds
+    // victims through their PAYLOAD rows, so payload removal must be
+    // the final commit point. The old order (payload first) had a
+    // cross-dir crash window — payload dir committed, band dirs not —
+    // where a rerun saw zero victims, returned 0 early, and the band
+    // rows were stranded forever (the _sh payloads needed to re-derive
+    // their dirs were already gone). With band-first ordering, a crash
+    // anywhere before the last payload dir still leaves the victims
+    // probeable and the band dirs re-derivable; rewriting an
+    // already-clean band dir on the rerun is an idempotent no-op.
     val touched: Seq[(Int, Int)] =
-      payloadKeys.map(b => (-1, b)).toSeq ++ bandKeys.map(b => (0, b)).toSeq
+      bandKeys.map(b => (0, b)).toSeq ++ payloadKeys.map(b => (-1, b)).toSeq
     val touchedProbe = touched.map { case (band, bkt) =>
       col("_band") === band && col("_bkt") === bkt
     }.reduce(_ || _)

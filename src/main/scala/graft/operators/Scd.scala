@@ -72,27 +72,47 @@ object Scd {
   // version's (valid_from, open_tie) must already have been applied —
   // so such rows are DROPPED, which makes both full-batch replays and
   // mid-apply crash retries idempotent (a bucket already swapped simply
-  // drops the batch again). Genuinely late data is indistinguishable
-  // from a replay and needs the full-history rebuild ([[intervals]]
-  // over the complete log); exactly-once delivery belongs to the
-  // caller's batch-id ledger (the StreamOps pattern).
+  // drops the batch again). Genuinely LATE data — a row older than its
+  // key's already-closed versions — goes through [[applyLate]], which
+  // rebuilds ONLY the key-hash buckets containing the late keys from
+  // the complete change log; every other bucket is untouched, so the
+  // repair is O(affected buckets), never O(store). Exactly-once
+  // delivery belongs to the caller's batch-id ledger (the StreamOps
+  // pattern).
+  //
+  // The bucket count is part of the on-disk layout, so it is persisted
+  // in a `_META` sidecar ([[LayoutMeta]], the MinhashIndex pattern) at
+  // first write and validated on every entry point: a store built with
+  // 16 buckets read with a guessed 8 used to silently return partial
+  // history — now the dirs actually read are ENUMERATED and an
+  // explicit mismatched parameter throws.
 
   private def bucketOf(keyCols: Seq[String], n: Int) =
     pmod(hash(keyCols.map(col): _*), lit(n))
 
   private def bucketDir(store: String, b: Int) = s"$store/bucket_$b"
 
+  private def resolveBuckets(spark: org.apache.spark.sql.SparkSession,
+      store: String, passed: Int): Int =
+    LayoutMeta.resolve(spark, store, Map("nBuckets" -> passed),
+      Map("nBuckets" -> 8))("nBuckets")
+
   /** All versions currently in the store (empty-schema-safe only after
-    * the first [[applyBatch]]). */
+    * the first [[applyBatch]]). `nBuckets` is only VALIDATED against
+    * the persisted layout — the dirs read are enumerated from disk, so
+    * a wrong guess throws (explicit mismatch) or is ignored, never
+    * silently truncates history. */
   def readVersions(spark: org.apache.spark.sql.SparkSession,
-      store: String, nBuckets: Int = 8): DataFrame = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val existing = (0 until nBuckets).map(bucketDir(store, _)).filter { p =>
-      val path = new org.apache.hadoop.fs.Path(p)
-      path.getFileSystem(conf).exists(path)
-    }
+      store: String, nBuckets: Int = LayoutMeta.Unspecified): DataFrame = {
+    resolveBuckets(spark, store, nBuckets) // throws on explicit mismatch
+    val root = new org.apache.hadoop.fs.Path(store)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing =
+      if (!fs.exists(root)) Array.empty[String]
+      else fs.globStatus(new org.apache.hadoop.fs.Path(root, "bucket_*"))
+        .filter(_.isDirectory).map(_.getPath.toString)
     require(existing.nonEmpty, s"no SCD store at $store")
-    spark.read.parquet(existing: _*)
+    spark.read.parquet(existing.toIndexedSeq: _*)
   }
 
   /** Fold one in-order batch of observations into the versioned store.
@@ -101,8 +121,16 @@ object Scd {
     * so a crash between buckets retries idempotently. */
   def applyBatch(batch: DataFrame, store: String, keyCols: Seq[String],
       tsCol: String, tieCol: String, attrCols: Seq[String],
-      nBuckets: Int = 8): Unit = {
-    require(nBuckets >= 1, "nBuckets must be >= 1")
+      nBuckets: Int = LayoutMeta.Unspecified): Unit = {
+    val spark = batch.sparkSession
+    val resolved = resolveBuckets(spark, store, nBuckets)
+    require(resolved >= 1, "nBuckets must be >= 1")
+    applyBatchResolved(batch, store, keyCols, tsCol, tieCol, attrCols, resolved)
+  }
+
+  private def applyBatchResolved(batch: DataFrame, store: String,
+      keyCols: Seq[String], tsCol: String, tieCol: String,
+      attrCols: Seq[String], nBuckets: Int): Unit = {
     val spark = batch.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     // heal any swap a previous crash left half-done
@@ -153,10 +181,62 @@ object Scd {
       .withColumn("_bucket", bucketOf(keyCols, nBuckets)))
     val out = closed.map(_.unionByName(recomputed)).getOrElse(recomputed)
 
-    // ONE partitioned staging job for every affected bucket (a write
-    // per bucket was Jx the job-launch overhead), then per-bucket
-    // rename + journal swap; we are the commit authority, so the
-    // per-dir _SUCCESS marker is written after the job succeeded
+    commitBuckets(out, store, affected, conf)
+    // record the layout once data exists (resolve already proved any
+    // existing _META agrees)
+    LayoutMeta.commit(spark, store, Map("nBuckets" -> nBuckets))
+  }
+
+  /** Fold GENUINELY LATE observations — rows older than an already-
+    * closed version, which [[applyBatch]]'s ordering contract drops as
+    * replays — by a BOUNDED rebuild: only the key-hash buckets
+    * containing the late keys are recomputed, from scratch, out of the
+    * complete change log `log` (which must already contain the late
+    * rows — append them to the log first, then call this). Every
+    * other bucket is untouched, so the repair costs O(affected
+    * buckets' history), never O(store) and never O(log): the log scan
+    * itself is one pass filtered to the affected buckets, and at 100 TB
+    * the log is partitioned by the same key hash, so that filter is
+    * partition-pruned too.
+    *
+    * Idempotent: rebuilding a bucket from the same log is
+    * deterministic, and each bucket swap is journal-committed — a
+    * crash mid-repair reruns cleanly. After the repair,
+    * incremental == rebuild holds again and in-order [[applyBatch]]
+    * maintenance resumes as if the late rows had arrived on time. */
+  def applyLate(late: DataFrame, log: DataFrame, store: String,
+      keyCols: Seq[String], tsCol: String, tieCol: String,
+      attrCols: Seq[String], nBuckets: Int = LayoutMeta.Unspecified): Unit = {
+    val spark = late.sparkSession
+    val resolved = resolveBuckets(spark, store, nBuckets)
+    val conf = spark.sparkContext.hadoopConfiguration
+    (0 until resolved).foreach { i =>
+      AtomicSwap.recover(conf, bucketDir(store, i))
+    }
+    val affected = late
+      .select(bucketOf(keyCols, resolved).as("_bucket"))
+      .distinct().collect().map(_.getInt(0)).sorted // bounded by nBuckets
+    if (affected.isEmpty) return
+    val obs = log
+      .select(keyCols.map(col) ++
+        Seq(col(tsCol).as("_ts"), col(tieCol).as("_tie")) ++
+        attrCols.map(col): _*)
+      .withColumn("_bucket", bucketOf(keyCols, resolved))
+      .filter(col("_bucket").isin(affected.map(Integer.valueOf): _*))
+    val rebuilt = intervals(obs, keyCols, "_ts", "_tie", attrCols,
+        keepTie = true)
+      .withColumn("_bucket", bucketOf(keyCols, resolved))
+    commitBuckets(rebuilt, store, affected, conf)
+    LayoutMeta.commit(spark, store, Map("nBuckets" -> resolved))
+  }
+
+  /** ONE partitioned staging job for every affected bucket (a write
+    * per bucket was Jx the job-launch overhead), then per-bucket
+    * rename + journal swap; we are the commit authority, so the
+    * per-dir _SUCCESS marker is written after the job succeeded. */
+  private def commitBuckets(out: DataFrame, store: String,
+      affected: Array[Int],
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
     import org.apache.hadoop.fs.Path
     val stagedRoot = new Path(
       s"$store/__stage_${java.util.UUID.randomUUID().toString.take(8)}")

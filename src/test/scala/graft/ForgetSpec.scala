@@ -98,6 +98,45 @@ class ForgetSpec extends AnyFunSuite {
     assert(MinhashIndex.payloadCount(spark, idx) == 9L)
   }
 
+  test("index delete: CROSS-dir crash (bands committed, payload not) completes on rerun") {
+    import graft.operators.{Dedup, MinhashIndex}
+    // delete commits band dirs FIRST and payload dirs LAST, so the only
+    // reachable cross-dir crash state is "band rows gone, payload rows
+    // still present". A rerun must still find the victim (the probe
+    // reads payload rows), re-derive its band dirs (idempotent rewrite
+    // of already-clean dirs), and finish the payload removal. The
+    // REVERSE state — payload gone, band rows stranded with no _sh to
+    // re-derive their dirs from — was the pre-fix ordering's
+    // permanent-leak window and is unreachable now.
+    val root = Files.createTempDirectory("graft_delcrash2").toString
+    val idx = root + "/idx"
+    val docs = (1L to 10L).map(i => (i, text(i.toInt))).toDF("doc_id", "text")
+    MinhashIndex.append(Dedup.prepareMinhash(docs, "doc_id", "text"), idx,
+      buckets = 4)
+    val bkt = spark.sql(
+      "SELECT CAST(pmod(xxhash64(CAST(3 AS BIGINT)), 4) AS INT)").head().getInt(0)
+    val dir = java.nio.file.Paths.get(s"$idx/_band=-1/_bkt=$bkt")
+    val backup = Files.createTempDirectory("graft_delbak2")
+    Files.list(dir).filter(_.getFileName.toString.endsWith(".parquet"))
+      .forEach(f => Files.copy(f, backup.resolve(f.getFileName)))
+    assert(MinhashIndex.delete(spark, idx, Seq(3L).toDF("_id")) == 1L)
+    // crash state: band dirs are committed (delete finished), but the
+    // payload dir reverts WHOLLY to its pre-delete content — victim's
+    // payload row back, survivors' new files removed
+    Files.list(dir).forEach(Files.delete _)
+    Files.list(backup).forEach(f => Files.copy(f, dir.resolve(f.getFileName)))
+    assert(MinhashIndex.probeIds(spark, idx, Seq(3L).toDF("_id")).count() == 1L,
+      "payload row must re-expose the victim to the rerun probe")
+    // rerun finds the victim via its payload row and completes
+    assert(MinhashIndex.delete(spark, idx, Seq(3L).toDF("_id")) == 1L)
+    assert(MinhashIndex.probeIds(spark, idx, Seq(3L).toDF("_id")).count() == 0L)
+    assert(MinhashIndex.payloadCount(spark, idx) == 9L)
+    // and no band rows remain for the victim anywhere
+    val bandRows = spark.read.parquet(idx)
+      .filter(col("_band") >= 0 && col("_id") === 3L).count()
+    assert(bandRows == 0L, "victim band rows must be fully re-derived and removed")
+  }
+
   test("scd applyBatch: a bucket reverted to its pre-batch state (partial crash) retries clean") {
     import graft.operators.Scd
     val store = Files.createTempDirectory("graft_scdcrash").toString + "/v"

@@ -115,6 +115,76 @@ class ScdSpec extends AnyFunSuite {
     assert(changed.size == 1, s"expected 1 rewritten bucket, got $changed")
   }
 
+  test("applyLate folds a row older than a closed version; incremental == rebuild") {
+    val store = java.nio.file.Files.createTempDirectory("scd_late").toString + "/v"
+    val b1 = log((1L, 10L, 1L, "free"), (2L, 10L, 2L, "free"))
+    val b2 = log((1L, 30L, 4L, "pro"), (2L, 40L, 5L, "gold"))
+    Scd.applyBatch(b1, store, Seq("k"), "ts", "eid", Seq("tier"))
+    Scd.applyBatch(b2, store, Seq("k"), "ts", "eid", Seq("tier"))
+    // a genuinely late row INSIDE key 1's now-closed [10, 30) version:
+    // applyBatch's ordering contract would drop it as a replay
+    val late = log((1L, 20L, 3L, "trial"))
+    Scd.applyBatch(late, store, Seq("k"), "ts", "eid", Seq("tier"))
+    val dropped = Scd.readVersions(spark, store)
+      .filter($"tier" === "trial").count()
+    assert(dropped == 0L, "late row should have been dropped by applyBatch")
+    // the repair path: complete log (with the late row) + bounded rebuild
+    val fullLog = b1.unionByName(b2).unionByName(late)
+    Scd.applyLate(late, fullLog, store, Seq("k"), "ts", "eid", Seq("tier"))
+    val incr = Scd.readVersions(spark, store)
+      .select($"k", $"tier", $"valid_from", $"valid_to", $"is_current")
+      .orderBy($"k", $"valid_from").collect().toSeq
+    val full = Scd.intervals(fullLog, Seq("k"), "ts", "eid", Seq("tier"))
+      .orderBy($"k", $"valid_from").collect().toSeq
+    assert(incr == full)
+    // and in-order maintenance resumes cleanly after the repair
+    Scd.applyBatch(log((1L, 50L, 6L, "free")), store,
+      Seq("k"), "ts", "eid", Seq("tier"))
+    val resumed = Scd.readVersions(spark, store)
+      .filter($"k" === 1L && $"is_current").select($"tier").collect()
+    assert(resumed.map(_.getString(0)).toSeq == Seq("free"))
+  }
+
+  test("applyLate rewrites only the buckets holding the late keys") {
+    val store = java.nio.file.Files.createTempDirectory("scd_late_b").toString + "/v"
+    val seed = log((1L to 32L).map(k => (k, 10L, k, "a")): _*)
+    val closer = log((1L to 32L).map(k => (k, 30L, 100L + k, "b")): _*)
+    Scd.applyBatch(seed, store, Seq("k"), "ts", "eid", Seq("tier"), nBuckets = 8)
+    Scd.applyBatch(closer, store, Seq("k"), "ts", "eid", Seq("tier"))
+    def mtimes(): Map[String, Long] = {
+      val root = new java.io.File(store)
+      root.listFiles().filter(_.getName.startsWith("bucket_"))
+        .map(d => d.getName ->
+          d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(_.lastModified()).max).toMap
+    }
+    val before = mtimes()
+    Thread.sleep(1100)
+    val late = log((1L, 20L, 999L, "mid"))
+    val fullLog = seed.unionByName(closer).unionByName(late)
+    Scd.applyLate(late, fullLog, store, Seq("k"), "ts", "eid", Seq("tier"))
+    val after = mtimes()
+    val changed = after.keySet.filter(k => after(k) != before.getOrElse(k, -1L))
+    assert(changed.size == 1, s"expected 1 rewritten bucket, got $changed")
+  }
+
+  test("readVersions enumerates bucket dirs; a mismatched explicit nBuckets throws") {
+    val store = java.nio.file.Files.createTempDirectory("scd_meta").toString + "/v"
+    val seed = log((1L to 32L).map(k => (k, 10L, k, "a")): _*)
+    Scd.applyBatch(seed, store, Seq("k"), "ts", "eid", Seq("tier"), nBuckets = 16)
+    // default read sees ALL 32 keys even though the old default was 8
+    assert(Scd.readVersions(spark, store).count() == 32L)
+    // an explicitly wrong layout guess fails loudly instead of
+    // silently returning partial history
+    intercept[IllegalArgumentException] {
+      Scd.readVersions(spark, store, nBuckets = 8)
+    }
+    intercept[IllegalArgumentException] {
+      Scd.applyBatch(log((1L, 20L, 99L, "b")), store,
+        Seq("k"), "ts", "eid", Seq("tier"), nBuckets = 8)
+    }
+  }
+
   test("streamed change log maintains the SCD2 store via foreachBatch") {
     import java.nio.file.Files
     val src = Files.createTempDirectory("scd_stream_src")
