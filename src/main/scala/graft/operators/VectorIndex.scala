@@ -92,8 +92,21 @@ final class VectorIndex private (
 
   /** D4 upsert: id-keyed, last-write-wins. Records need (id, values,
     * metadata); rejects wrong-width vectors before any write (E2).
-    * Rewrites only the id-buckets present in the batch. */
-  def upsert(records: DataFrame): Unit = {
+    * Rewrites only the id-buckets present in the batch.
+    *
+    * CONCURRENT WRITERS: the manifest rename is a compare-and-swap —
+    * exactly one writer commits each snapshot version (see
+    * [[VectorIndex.writeManifest]]). A loser's whole attempt is
+    * recomputed against the winner's committed state and retried (its
+    * base files, layout, and target version all may have changed), up
+    * to [[MaxCommitRetries]] times before [[SnapshotConflict]]
+    * surfaces. The loser's orphaned attempt files are unreferenced by
+    * construction (per-attempt data dirs) and swept by the file-level
+    * GC on a later retention drop. */
+  def upsert(records: DataFrame): Unit =
+    retryOnConflict("upsert")(upsertOnce(records))
+
+  private def upsertOnce(records: DataFrame): Unit = {
     val dim = meta.dimension
     val cur = currentSnapshot(spark, path)
     val version = cur.map(_ + 1L).getOrElse(0L)
@@ -405,8 +418,34 @@ final class VectorIndex private (
   def fetch(ids: Seq[String], asOf: Option[Long] = None): DataFrame =
     asOf.map(scanAt).getOrElse(scan()).filter(col("id").isin(ids: _*))
 
-  /** Q4 delete by id — rewrites only the buckets the ids hash into. */
-  def delete(ids: Seq[String]): Unit = {
+  /** Q4 delete by id — rewrites only the buckets the ids hash into.
+    * Same optimistic-concurrency discipline as [[upsert]]. */
+  def delete(ids: Seq[String]): Unit =
+    retryOnConflict("delete")(deleteOnce(ids))
+
+  /** Recompute-and-retry loop around one optimistic commit attempt: a
+    * [[SnapshotConflict]] (another writer committed our target version
+    * first) restarts the WHOLE body — current version, manifest, merge
+    * inputs and bucket layout are all re-read, so the retry folds into
+    * the winner's state instead of overwriting it. Anything else
+    * propagates. */
+  private def retryOnConflict[T](what: String)(body: => T): T = {
+    var attempt = 1
+    while (true) {
+      try return body
+      catch {
+        case e: SnapshotConflict =>
+          if (attempt >= MaxCommitRetries)
+            throw new SnapshotConflict(
+              s"$what lost the snapshot commit race $attempt times at $path; " +
+                s"giving up (${e.getMessage})")
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def deleteOnce(ids: Seq[String]): Unit = {
     val cur = currentSnapshot(spark, path)
     val version = cur.map(_ + 1L).getOrElse(0L)
     import spark.implicits._
@@ -544,6 +583,14 @@ final class VectorIndex private (
     // the cleanup after a publish.
     val keep = spark.conf.get("spark.graft.index.retainSnapshots", "2").toInt
     require(keep >= 2, s"spark.graft.index.retainSnapshots must be >= 2, got $keep")
+    // test-only fault-injection seam (same spirit as ForgetSpec's
+    // simulated crash windows): hold THIS session's commit open so a
+    // spec can deterministically land a competing commit in the race
+    // window between version computation and manifest rename. Unset in
+    // production; per-session (newSession isolates it), so the
+    // competing writer is not delayed.
+    spark.conf.getOption("spark.graft.index.testCommitDelayMs")
+      .map(_.toLong).filter(_ > 0).foreach(Thread.sleep)
     writeManifest(spark, path, version, manifest, meta.copy(numBuckets = numBuckets))
     pruneOldSnapshots(spark, path, keep)
   }
@@ -654,6 +701,18 @@ object VectorIndex {
   /** Seed of the stored `_bsig` hyperplane signatures — fixed so every
     * snapshot (and the query side) hashes the same planes. */
   private[operators] val SigSeed = 42L
+
+  /** Thrown when a writer loses the snapshot commit CAS (the manifest
+    * rename): its target version was committed by a concurrent writer
+    * first. [[VectorIndex.upsert]]/[[VectorIndex.delete]] retry this
+    * automatically up to [[MaxCommitRetries]] times, recomputing the
+    * merge against the winner's state; it surfaces only when the race
+    * is lost that many times in a row (a pileup the caller should
+    * serialize or back off from). */
+  final class SnapshotConflict(msg: String) extends IllegalStateException(msg)
+
+  /** Recompute-and-retry budget for a lost snapshot commit race. */
+  val MaxCommitRetries = 3
 
   /** [[VectorIndex.approxPhases]]'s result: shortlist ranking + legacy
     * census, both over ONE persisted (id,_bsig) scan (`sigs` — the
@@ -890,7 +949,7 @@ object VectorIndex {
     val committed = version > newest && !fs.exists(finalPath) && fs.rename(tmp, finalPath)
     if (!committed) {
       fs.delete(tmp, false)
-      throw new IllegalStateException(
+      throw new SnapshotConflict(
         s"could not commit manifest for snapshot $version " +
           s"(concurrent writer won; newest committed is $newest)")
     }

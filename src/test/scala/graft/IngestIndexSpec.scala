@@ -516,6 +516,59 @@ class IngestIndexSpec extends AnyFunSuite {
     assert(idx.fetch(Seq("g-3")).select("values").as[Seq[Float]].head().head == 9f)
   }
 
+  test("racing upserts: manifest CAS — one wins, the loser retries cleanly, no orphans") {
+    val dir = Files.createTempDirectory("graft_idx_race").toString
+    val root = s"$dir/r"
+    val idx = VectorIndex.ensure(spark, root, 4, numBuckets = 4)
+    def recs(s: org.apache.spark.sql.SparkSession, from: Int, until: Int) =
+      s.range(from, until).select(
+        concat(lit("c-"), col("id")).as("id"),
+        array(col("id").cast("float"), lit(1f), lit(2f), lit(3f)).as("values"),
+        struct(lit(0).as("chunk_index"), lit("t").as("source")).as("metadata"))
+    idx.upsert(recs(spark, 0, 20)) // snapshot 0
+    // the slow writer runs on its OWN session: the commit-delay seam
+    // holds ITS commit open in the race window (after it computed
+    // target version 1, before its manifest rename) while the fast
+    // writer — whose session has no delay — commits version 1 first
+    val slowSess = spark.newSession()
+    slowSess.conf.set("spark.graft.index.testCommitDelayMs", "6000")
+    val slowIdx = VectorIndex.open(slowSess, root)
+    @volatile var slowErr: Throwable = null
+    val t = new Thread(() =>
+      try slowIdx.upsert(recs(slowSess, 100, 110))
+      catch { case e: Throwable => slowErr = e })
+    t.start()
+    Thread.sleep(1500) // slow writer has read cur=0 and is pre-commit
+    idx.upsert(recs(spark, 200, 210)) // wins version 1
+    t.join(120000)
+    assert(!t.isAlive, "slow writer did not finish")
+    assert(slowErr == null, s"loser must retry cleanly, got $slowErr")
+    // loser recomputed against the winner's state: ALL rows present
+    assert(idx.scan().count() == 40)
+    assert(idx.fetch(Seq("c-205")).count() == 1)
+    assert(idx.fetch(Seq("c-105")).count() == 1)
+    // exactly one commit per version; the retry landed as snapshot 2
+    // (snapshot 0 aged out under the keep=2 retention)
+    assert(idx.snapshots() == Seq(1L, 2L))
+    // version 1 is the FAST writer's commit (it has the 200s, not the
+    // 100s) — the loser never overwrote the winner
+    import spark.implicits._
+    val v1Ids = idx.scanAt(1L).select("id").as[String].collect().toSet
+    assert(v1Ids.contains("c-205") && !v1Ids.contains("c-105"))
+    // no commit litter: the loser's tmp manifest was deleted
+    val snapFiles = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("snapshot=")).flatMap(_.listFiles()).map(_.getName)
+    assert(!snapFiles.exists(_.startsWith(".manifest.tmp")), snapFiles.mkString(","))
+    // no orphan data: the loser's first-attempt dir (data/v=1-<attempt>,
+    // unreferenced by any committed manifest) was swept by the GC when
+    // snapshot 0 aged out during the retry's own commit
+    val referenced = Seq(1L, 2L).flatMap(v => idx.manifestAt(v).values.flatten)
+      .map(_.split("/")(1)).toSet // the "v=N-attempt" path component
+    val onDisk = new java.io.File(s"$root/data").listFiles().map(_.getName).toSet
+    assert(onDisk.subsetOf(referenced),
+      s"orphan attempt dirs leaked: ${onDisk -- referenced}")
+  }
+
   test("a hung footer read cannot hang the snapshot commit (rows=None fallback)") {
     // filesystem that wedges ONLY the dedicated footer-read pool's
     // open() calls (thread-name targeted), uninterruptibly — the
