@@ -144,6 +144,9 @@ object Bench {
     "q170" -> (3.205, 6.332),
     // q171/q172 first isolated noop measurements (0.680/0.705)
     "q171" -> (0.476, 1.068), "q172" -> (0.493, 1.102),
+    // q173 first isolated noop measurement (2.030 — index build + tag
+    // upsert + stats-pruned filtered probe + exact cross-check)
+    "q173" -> (1.421, 2.891),
     "q13" -> (0.231, 0.596), "q14" -> (0.168, 0.501), "q15" -> (0.217, 0.596),
     "q16" -> (0.175, 0.501), "q17" -> (0.287, 0.717), "q18" -> (0.161, 0.461),
     "q19" -> (0.21, 0.636), "q20" -> (0.322, 0.771), "q21" -> (0.217, 0.622),

@@ -2229,11 +2229,16 @@ object SparkEntry {
       val idx = VectorIndex.ensure(s, s"$tmp/idx", 64)
       idx.upsert(records)
       val q = emb.filter($"vec_id" === 0).select($"embedding").as[Array[Float]].head()
-      val f = Some($"metadata.chunk_index" === 3)
+      // the values-referencing conjunct makes the filter NON-pushable
+      // (r16: metadata/id-only filters are applied in the signature
+      // phase and fill k without escalating — q173 gates that path;
+      // THIS gate holds the escalation safety net for filters the
+      // signature phase cannot see)
+      val f = Some($"metadata.chunk_index" === 3 && size($"values") === 64)
       val under = idx.queryApprox(q, 10, shortlist = 12, filter = f,
         maxEscalations = 0).count()
       val rows = idx.queryApprox(q, 10, shortlist = 12, filter = f).collect()
-      val escalated = idx.lastEscalations >= 1 &&
+      val escalated = idx.lastEscalations >= 1 && !idx.lastFilterPushed &&
         idx.lastApproxMode.startsWith("approx")
       val filterOk = rows.forall(
         _.getAs[org.apache.spark.sql.Row]("metadata").getInt(0) == 3)
@@ -2812,6 +2817,45 @@ object SparkEntry {
     // Conversion LATENCY distribution: for every user completing
     // q146's funnel, the first-touch-to-purchase time bucketed into
     // 6-hour bins — pure integer arithmetic end to end.
+    // Filtered-ANN METADATA-AWARE file pruning (the q125 follow-up the
+    // r15 verdict asked for): the base corpus carries a NULL `priority`
+    // tag, a later small batch stamps priority=1 on 8 vectors — so the
+    // manifest's per-file (lo,hi,nulls) stats refute every untouched
+    // bucket's files for `priority = 1`, and the metadata-only filter
+    // is applied IN the signature phase. A selective filter then fills
+    // k with ZERO escalations while probing a strict subset of the
+    // manifest's files, and the approximate result matches the exact
+    // filtered top-k (rescore-verified, so the pruning is provably
+    // sound, not just fast).
+    "q173_filtered_ann_stats" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.VectorIndex
+      val tmp = freshScratch("q173")
+      val emb = t(s, dir, "embeddings")
+      def recs(pred: Column, tag: Option[Int]) = emb.filter(pred).select(
+        $"vec_id".cast("string").as("id"),
+        $"embedding".as("values"),
+        struct(($"vec_id" % 5).cast("int").as("chunk_index"),
+          lit("uploaded_pdf").as("source"),
+          tag.map(v => lit(v)).getOrElse(lit(null)).cast("int").as("priority"))
+          .as("metadata"))
+      val idx = VectorIndex.ensure(s, s"$tmp/idx", 64)
+      idx.upsert(recs(lit(true), None))              // base: priority NULL
+      idx.upsert(recs($"vec_id" < 8, Some(1)))       // tag 8 vectors
+      val q = emb.filter($"vec_id" === 0).select($"embedding").as[Array[Float]].head()
+      val f = Some($"metadata.priority" === 1)
+      val rows = idx.queryApprox(q, 5, shortlist = 16, filter = f).collect()
+      val exact = idx.query(q, 5, f).collect()
+      s.range(1).select(lit(5L).as("k"),
+        lit(rows.length == 5).as("filled_ok"),
+        lit(idx.lastEscalations == 0).as("zero_escalations"),
+        lit(idx.lastFilterPushed).as("filter_pushed"),
+        lit(idx.lastStatsPrunedFiles > 0).as("stats_pruned"),
+        lit(idx.lastProbeFiles < idx.lastManifestFiles).as("strict_subset"),
+        lit(rows.map(_.getString(0)).toSeq ==
+          exact.map(_.getString(0)).toSeq).as("matches_exact"))
+    }),
+
     "q172_conversion_latency" -> ((s, dir) => {
       import s.implicits._
       val ev = events(s, dir).select($"user_id", $"event_type",
@@ -4464,6 +4508,11 @@ object SparkEntry {
     "q125_filtered_escalation" ->
       ("SELECT CAST(10 AS BIGINT) AS k, TRUE AS underfill_frozen, " +
         "TRUE AS filled_ok, TRUE AS escalated_ok, TRUE AS filter_ok"),
+
+    "q173_filtered_ann_stats" ->
+      ("SELECT CAST(5 AS BIGINT) AS k, TRUE AS filled_ok, " +
+        "TRUE AS zero_escalations, TRUE AS filter_pushed, " +
+        "TRUE AS stats_pruned, TRUE AS strict_subset, TRUE AS matches_exact"),
 
     "q121_index_query_approx" ->
       """SELECT e.vec_id FROM embeddings e

@@ -218,13 +218,21 @@ final class VectorIndex private (
     * Approximation contract, like every shortlist ANN ([[Ann
     * .queryBinary]] is this plan over a plain table): recall < 1 is
     * possible; `shortlist` >= index size recovers [[query]] exactly.
-    * `filter` applies at RESCORE (the signature pass cannot see
-    * metadata), so a highly selective filter can underfill k; instead
-    * of silently returning fewer rows, an underfilled filtered attempt
-    * ESCALATES — the shortlist doubles and the probe re-runs, up to
-    * `maxEscalations` times ([[lastEscalations]] reports how many
-    * fired). Each check is one k-bounded count of an attempt's top-k;
-    * a filter too selective to ever fill k stops after the bounded
+    *
+    * FILTERED search is metadata-aware three ways (r16):
+    * (a) manifest per-file stats (integer `metadata.*` lo/hi/nulls,
+    * recorded in the footer pass) REFUTE files a supported conjunct
+    * can never match — they leave both the probe and the rescore set,
+    * and a predicate every file refutes returns the provably-empty
+    * exact answer without any I/O; (b) a filter referencing only
+    * {id, metadata} is applied IN the signature phase, so the
+    * shortlist ranks matching rows only and a selective filter fills
+    * k without escalating; (c) filters the signature phase cannot see
+    * (other column references) keep the rescore-filter contract, and
+    * an underfilled attempt ESCALATES — the shortlist doubles and the
+    * probe re-runs, up to `maxEscalations` times ([[lastEscalations]]
+    * reports how many fired). Each check is one k-bounded count; a
+    * filter too selective to ever fill k stops after the bounded
     * retries with the true underfilled answer. `asOf` serves from an
     * older retained snapshot, same contract as [[query]]'s. */
   def queryApprox(q: Array[Float], k: Int, shortlist: Int = 400,
@@ -232,6 +240,8 @@ final class VectorIndex private (
       maxEscalations: Int = 3): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
     lastEscalations = 0
+    lastStatsPrunedFiles = 0
+    lastFilterPushed = false
     var sl = shortlist
     var res = approxOnce(q, k, sl, filter, asOf)
     if (filter.isDefined) {
@@ -265,6 +275,23 @@ final class VectorIndex private (
       case Some(n) =>
         val manifest = readManifest(spark, path, n)
         val all = manifest.values.flatten.toSeq
+        // metadata-stats pruning FIRST: files whose recorded per-field
+        // [lo,hi]/null stats refute a supported filter conjunct can
+        // never contribute a match — dropping them both shrinks the
+        // probe I/O and stops the shortlist budget being spent on
+        // never-matching rows. Unknown stats never prune.
+        val preds = filter.map(extractStatPreds).getOrElse(Nil)
+        val usable = if (preds.isEmpty) all else all.filter(fileCanMatch(_, preds))
+        lastStatsPrunedFiles = all.size - usable.size
+        // every file refuted = the predicate is PROVABLY unsatisfiable
+        // in this snapshot (refutation is conservative): the empty
+        // answer is exact — return it without probing, rescoring, or
+        // falling back to a full scan
+        if (all.nonEmpty && usable.isEmpty) {
+          lastApproxMode = "exact-stats-refuted"
+          return emptyIndexDf(spark)
+            .select(col("id"), lit(0.0).as("score"), col("metadata"))
+        }
         // cell-pruned probe: read only the files of the query cell's
         // expanding Hamming neighborhoods (plus every no-cell file),
         // sized by the manifest's per-file row counts — NOT the whole
@@ -273,10 +300,19 @@ final class VectorIndex private (
         val bits = manifestMeta(spark, path, n).map(_.sigCellBits)
           .getOrElse(meta.sigCellBits)
         val qsig = Ann.bitSignature64(q.map(_.toDouble), SigSeed)
-        val files = selectProbeFiles(all, bits, qsig, shortlist.toLong * ProbeOversample)
+        val files = selectProbeFiles(usable, bits, qsig, shortlist.toLong * ProbeOversample)
         lastProbeFiles = files.size
         lastManifestFiles = all.size
-        approxPhases(files, q, shortlist) match {
+        // a filter over only {id, metadata} is applied IN the signature
+        // phase (those columns are in every data file): the shortlist
+        // then ranks matching rows only, so a selective filter fills k
+        // without escalations instead of discovering the mismatches at
+        // rescore. Filters over other columns keep the rescore-filter +
+        // escalation contract.
+        val pushable = filter.filter(f =>
+          filterRoots(f).exists(_.subsetOf(Set("id", "metadata"))))
+        lastFilterPushed = pushable.isDefined
+        approxPhases(files, q, shortlist, pushable) match {
           case None =>
             lastApproxMode = "exact-nosig"
             query(q, k, filter, asOf) // no signatures anywhere: exact
@@ -304,7 +340,8 @@ final class VectorIndex private (
                 .select(pmod(xxhash64(col("id")), lit(nb)).cast("int").as("_b"))
                 .distinct().collect().map(_.getInt(0)).toSet
               val bFiles = manifest.collect { case (b, fs) if buckets(b) => fs }
-                .flatten.map(_.file).toSeq.sorted
+                .flatten.filter(mf => preds.isEmpty || fileCanMatch(mf, preds))
+                .map(_.file).toSeq.sorted
               val rows =
                 if (bFiles.isEmpty) emptyIndexDf(spark)
                 else spark.read.parquet(bFiles.map(f => s"$path/$f"): _*)
@@ -328,6 +365,10 @@ final class VectorIndex private (
   private[graft] var lastApproxMode: String = ""
   private[graft] var lastProbeFiles: Int = 0
   private[graft] var lastManifestFiles: Int = 0
+  /** Files the last probe's metadata-stats pass refuted outright. */
+  private[graft] var lastStatsPrunedFiles: Int = 0
+  /** Whether the last probe applied its filter in the signature phase. */
+  private[graft] var lastFilterPushed: Boolean = false
   /** How many shortlist doublings the last filtered [[queryApprox]]
     * needed to fill k (0 = first attempt sufficed). */
   private[graft] var lastEscalations: Int = 0
@@ -343,12 +384,18 @@ final class VectorIndex private (
     * invisible from queryApprox's result, whose checkpoint has already
     * executed it. */
   private[graft] def approxPhases(files: Seq[String], q: Array[Float],
-      shortlist: Int): Option[SigPhase] = {
+      shortlist: Int, preFilter: Option[Column] = None): Option[SigPhase] = {
     if (files.isEmpty) return None
     // mergeSchema: the sampled file may predate the _bsig column
-    val raw = spark.read.option("mergeSchema", "true")
+    val raw0 = spark.read.option("mergeSchema", "true")
       .parquet(files.map(f => s"$path/$f"): _*)
-    if (!raw.columns.contains("_bsig")) return None
+    if (!raw0.columns.contains("_bsig")) return None
+    // metadata/id-only filter evaluated BEFORE the (id,_bsig) project:
+    // the shortlist then contains matching rows only (parquet row-group
+    // stats additionally skip within surviving files). The full filter
+    // still re-applies at rescore — pushing is a pruning step, never
+    // the correctness gate.
+    val raw = preFilter.foldLeft(raw0)((df, f) => df.filter(f))
     val sigs = raw.select(col("id"), col("_bsig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qsig = Ann.bitSignature64(q.map(_.toDouble), SigSeed)
@@ -619,29 +666,79 @@ final class VectorIndex private (
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
     try {
       val futures = bucketPaths.map { case (b, p) =>
-        (b, p, Future(parquetRowCount(p)))
+        (b, p, Future(parquetFooterInfo(p)))
       }
       val deadline = System.nanoTime() + timeoutMs * 1000000L
       futures.map { case (b, p, f) =>
         val leftMs = math.max(0L, (deadline - System.nanoTime()) / 1000000L)
-        val rows =
+        val (rows, stats) =
           try Await.result(f,
             scala.concurrent.duration.Duration(leftMs, "ms"))
-          catch { case _: java.util.concurrent.TimeoutException => None }
-        (b, ManifestFile(p.toString.stripPrefix(qualified), rows))
+          catch { case _: java.util.concurrent.TimeoutException =>
+            (None, Map.empty[String, FileColStats]) }
+        (b, ManifestFile(p.toString.stripPrefix(qualified), rows, stats))
       }
     } finally pool.shutdownNow()
   }
 
-  /** Row count from a parquet footer; None if unreadable (the file stays
-    * valid — its cell is just never pruned). */
-  private def parquetRowCount(p: Path): Option[Long] =
+  /** Row count + integer `metadata.*` field stats from ONE parquet
+    * footer open; (None, empty) if unreadable (the file stays valid —
+    * its cell is just never pruned and no filter ever stats-prunes
+    * it). A field's stats are recorded only when EVERY row group
+    * carries usable statistics for it — a partial view could refute a
+    * file that matches. */
+  private def parquetFooterInfo(p: Path): (Option[Long], Map[String, FileColStats]) =
     try {
+      import scala.jdk.CollectionConverters._
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
         .fromPath(p, spark.sparkContext.hadoopConfiguration)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try Some(r.getRecordCount) finally r.close()
-    } catch { case scala.util.control.NonFatal(_) => None }
+      try {
+        val blocks = r.getFooter.getBlocks.asScala.toSeq
+        val perField = scala.collection.mutable.Map.empty[String, Option[FileColStats]]
+        for (block <- blocks; cc <- block.getColumns.asScala) {
+          val path = cc.getPath.toArray
+          if (path.length == 2 && path(0) == "metadata" &&
+              path(1).forall(c => c.isLetterOrDigit || c == '_')) {
+            import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+            val tn = cc.getPrimitiveType.getPrimitiveTypeName
+            if (tn == INT32 || tn == INT64) {
+              val f = path(1)
+              val st = cc.getStatistics
+              val upd: Option[FileColStats] =
+                if (st == null || st.isNumNullsSet == false) None
+                else {
+                  val range =
+                    if (!st.hasNonNullValue) (None, None)
+                    else st.genericGetMin match {
+                      case i: java.lang.Integer =>
+                        (Some(i.longValue), Some(st.genericGetMax
+                          .asInstanceOf[java.lang.Integer].longValue))
+                      case l: java.lang.Long =>
+                        (Some(l.longValue), Some(st.genericGetMax
+                          .asInstanceOf[java.lang.Long].longValue))
+                      case _ => (None, None)
+                    }
+                  Some(FileColStats(range._1, range._2, st.getNumNulls))
+                }
+              val merged = (perField.get(f), upd) match {
+                case (Some(None), _) | (_, None) => None // one bad group poisons the field
+                case (None, u) => u
+                case (Some(Some(a)), Some(b)) => Some(FileColStats(
+                  (a.lo ++ b.lo).reduceOption(_ min _),
+                  (a.hi ++ b.hi).reduceOption(_ max _),
+                  a.nulls + b.nulls))
+              }
+              perField(f) = merged
+            }
+          }
+        }
+        (Some(r.getRecordCount),
+          perField.collect { case (f, Some(s)) => f -> s }.toMap)
+      } finally r.close()
+    } catch { case scala.util.control.NonFatal(_) =>
+      (None, Map.empty)
+    }
 
   private def readManifestData(version: Long): DataFrame = {
     val files = readManifest(spark, path, version).values.flatten.toSeq.map(_.file).sorted
@@ -713,6 +810,112 @@ object VectorIndex {
 
   /** Recompute-and-retry budget for a lost snapshot commit race. */
   val MaxCommitRetries = 3
+
+  // ---------- metadata stats pushdown (filtered-ANN file pruning) ----
+
+  /** A filter conjunct a manifest's per-file stats can refute:
+    * comparison of an integer `metadata.<field>` against a literal, or
+    * a not-null check. Extracted best-effort — anything unsupported is
+    * simply not used for pruning (never for correctness: the full
+    * filter always re-applies on the rows read). */
+  private[graft] sealed trait StatPred { def field: String }
+  private[graft] final case class StatCmp(field: String, op: String,
+      value: Long) extends StatPred
+  private[graft] final case class StatNotNull(field: String) extends StatPred
+
+  /** Supported conjuncts of `filter` as [[StatPred]]s, read off the
+    * Column's unresolved node tree ([[ColumnShim.simplify]] — Spark 4
+    * Columns carry ColumnNodes, not catalyst Expressions, until plan
+    * resolution). Best-effort: unmodeled shapes contribute nothing. */
+  private[graft] def extractStatPreds(filter: Column): Seq[StatPred] = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    import ColumnShim.{SAttr, SFunc, SLit, SimpleNode}
+    def fieldOf(n: SimpleNode): Option[String] = n match {
+      case SAttr(Seq("metadata", f)) => Some(f)
+      case SFunc("getField" | "get_field", Seq(SAttr(Seq("metadata")), SLit(f: String))) =>
+        Some(f)
+      case _ => None
+    }
+    def longOf(v: Any): Option[Long] = v match {
+      case i: Int => Some(i.toLong)
+      case l: Long => Some(l)
+      case s: Short => Some(s.toLong)
+      case b: Byte => Some(b.toLong)
+      case _ => None
+    }
+    def conjuncts(n: SimpleNode): Seq[SimpleNode] = n match {
+      case SFunc("and", args) => args.flatMap(conjuncts)
+      case other => Seq(other)
+    }
+    def cmp(a: SimpleNode, v: SimpleNode, op: String): Seq[StatPred] =
+      (for {
+        f <- fieldOf(a)
+        lv <- v match { case SLit(x) => longOf(x); case _ => None }
+      } yield StatCmp(f, op, lv)).toSeq
+    def flip(op: String): String = op match {
+      case "<" => ">"; case "<=" => ">="; case ">" => "<"; case ">=" => "<="
+      case other => other
+    }
+    conjuncts(ColumnShim.simplify(filter)).flatMap {
+      case SFunc(op @ ("=" | "<" | "<=" | ">" | ">="), Seq(a, b)) =>
+        cmp(a, b, op) ++ cmp(b, a, flip(op))
+      case SFunc("isNotNull" | "isnotnull", Seq(a)) =>
+        fieldOf(a).map(StatNotNull).toSeq
+      case _ => Nil
+    }
+  }
+
+  /** Can any row of `mf` satisfy every predicate? `true` when unknown
+    * (missing stats never refute). The one layout-independent refuter
+    * is the all-null case: a comparison is null-rejecting, so a file
+    * whose field is null in every row (nulls == rows, no min/max) can
+    * never match — the sparse-tag pruning pattern. */
+  private[graft] def fileCanMatch(mf: ManifestFile, preds: Seq[StatPred]): Boolean =
+    preds.forall { p =>
+      mf.stats.get(p.field) match {
+        case None => true
+        case Some(s) =>
+          val allNull = s.lo.isEmpty && mf.rows.exists(r => r > 0 && s.nulls >= r)
+          p match {
+            case StatNotNull(_) => !allNull
+            case StatCmp(_, op, v) =>
+              if (allNull) false
+              else (s.lo, s.hi) match {
+                case (Some(lo), Some(hi)) => op match {
+                  case "=" => v >= lo && v <= hi
+                  case "<" => lo < v
+                  case "<=" => lo <= v
+                  case ">" => hi > v
+                  case ">=" => hi >= v
+                  case _ => true
+                }
+                case _ => true
+              }
+          }
+      }
+    }
+
+  /** Root column names the filter references, or None when the node
+    * tree contains an unmodeled shape that could HIDE a reference
+    * (lambdas, subqueries — [[ColumnShim.SOpaque]] children are not
+    * walked, so "unknown" must mean "assume anything"). A filter whose
+    * roots are provably within {id, metadata} can be applied in the
+    * signature phase (those columns are in every data file), filling k
+    * from matching rows instead of discovering mismatches at rescore. */
+  private[graft] def filterRoots(f: Column): Option[Set[String]] = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    import ColumnShim.{SAttr, SFunc, SLit, SimpleNode}
+    def walk(n: SimpleNode): Option[Set[String]] = n match {
+      case SAttr(parts) => Some(Set(parts.head))
+      case SLit(_) => Some(Set.empty)
+      case SFunc(_, args) =>
+        args.foldLeft(Option(Set.empty[String])) { (acc, a) =>
+          for { s <- acc; t <- walk(a) } yield s ++ t
+        }
+      case ColumnShim.SOpaque => None
+    }
+    walk(ColumnShim.simplify(f))
+  }
 
   /** [[VectorIndex.approxPhases]]'s result: shortlist ranking + legacy
     * census, both over ONE persisted (id,_bsig) scan (`sigs` — the
@@ -894,12 +1097,26 @@ object VectorIndex {
 
   // ---------- manifest I/O ----------
 
+  /** Per-file column statistics for ONE integer `metadata.*` field,
+    * aggregated over the file's parquet row groups in the same bounded
+    * footer pass that reads row counts: [lo, hi] over non-null values
+    * (None when every value is null) and the null count. A filtered
+    * probe uses them to REFUTE files a metadata predicate can never
+    * match — the sparse-tag pattern (a field null except where a later
+    * batch stamped it) prunes every untouched bucket's files even
+    * though the id-hash layout never clusters by metadata. */
+  private[graft] final case class FileColStats(
+      lo: Option[Long], hi: Option[Long], nulls: Long)
+
   /** One committed data file: relative path + its row count (None for
     * files first committed before counts were recorded — their cells
-    * are never pruned, see [[selectProbeFiles]]). The signature-prefix
-    * cell is not stored separately: it is the `_cell=` component of the
-    * file's path (a LAYOUT key, like `_bucket=`). */
-  private[graft] final case class ManifestFile(file: String, rows: Option[Long]) {
+    * are never pruned, see [[selectProbeFiles]]) + per-field metadata
+    * stats (empty for pre-stats files — never stats-pruned). The
+    * signature-prefix cell is not stored separately: it is the
+    * `_cell=` component of the file's path (a LAYOUT key, like
+    * `_bucket=`). */
+  private[graft] final case class ManifestFile(file: String, rows: Option[Long],
+      stats: Map[String, FileColStats] = Map.empty) {
     /** The file's signature-prefix cell, parsed from its partition path;
       * None for pre-cell files and the null-signature default partition
       * (both are always probed). */
@@ -933,10 +1150,18 @@ object VectorIndex {
     // optionally carries the file's row count as a third field —
     // carried-forward files keep theirs, so a probe can size cell
     // neighborhoods without touching any footer.
+    // Each file line: bucket \t file [\t rows] [\t s:field=lo,hi,nulls ...]
+    // Stats fields are self-describing and only written for
+    // identifier-named fields, so the tab-separated format stays
+    // unambiguous; carried-forward files keep their recorded stats.
     val body = (Seq(s"#numBuckets=${idxMeta.numBuckets}", s"#meta=${metaJson(idxMeta)}") ++
       manifest.toSeq.sortBy(_._1)
-        .flatMap { case (b, files) => files.sortBy(_.file).map(mf =>
-          s"$b\t${mf.file}" + mf.rows.map(r => s"\t$r").getOrElse("")) })
+        .flatMap { case (b, files) => files.sortBy(_.file).map { mf =>
+          val statCols = mf.stats.toSeq.sortBy(_._1).map { case (f, s) =>
+            s"\ts:$f=${s.lo.getOrElse("")},${s.hi.getOrElse("")},${s.nulls}"
+          }.mkString
+          s"$b\t${mf.file}" + mf.rows.map(r => s"\t$r").getOrElse("") + statCols
+        }})
       .mkString("\n")
     out.write(body.getBytes("UTF-8"))
     out.close()
@@ -964,8 +1189,17 @@ object VectorIndex {
     txt.split("\n").toSeq.filter(l => l.nonEmpty && !l.startsWith("#"))
       .map { line =>
         val parts = line.split("\t")
-        (parts(0).toInt, ManifestFile(parts(1),
-          if (parts.length > 2) Some(parts(2).toLong) else None))
+        val rest = parts.drop(2)
+        val rows = rest.headOption.filter(!_.startsWith("s:")).map(_.toLong)
+        val stats = rest.filter(_.startsWith("s:")).map { p =>
+          val Array(f, v) = p.stripPrefix("s:").split("=", 2)
+          val Array(lo, hi, nulls) = v.split(",", 3)
+          f -> FileColStats(
+            if (lo.isEmpty) None else Some(lo.toLong),
+            if (hi.isEmpty) None else Some(hi.toLong),
+            nulls.toLong)
+        }.toMap
+        (parts(0).toInt, ManifestFile(parts(1), rows, stats))
       }
       .groupBy(_._1).map { case (b, fs0) => b -> fs0.map(_._2) }
   }

@@ -278,11 +278,22 @@ class IngestIndexSpec extends AnyFunSuite {
         struct($"m._1".as("chunk_index"), $"m._2".as("source")).as("metadata"))
     idx.upsert(recs)
     val q = vecs(42)._2
-    val f = Some($"metadata.chunk_index" === 3) // ~43 of 300 rows qualify
+    // a METADATA-ONLY filter no longer underfills at all (r16): it is
+    // applied in the signature phase, so the shortlist ranks matching
+    // rows only and k fills at the tightest shortlist with 0 escalations
+    val fPush = Some($"metadata.chunk_index" === 3) // ~43 of 300 rows qualify
+    assert(idx.queryApprox(q, 10, shortlist = 10, filter = fPush,
+      maxEscalations = 0).count() == 10)
+    assert(idx.lastFilterPushed && idx.lastEscalations == 0)
+    // the escalation net guards filters the signature phase CANNOT see
+    // (references beyond {id, metadata}); the values conjunct below is
+    // semantically always-true but blocks the push
+    val f = Some($"metadata.chunk_index" === 3 && size($"values") === 16)
     // the silent-underfill shape, frozen: a 10-row shortlist keeps ~1-2
     // qualifying rows, and with escalation disabled that is what comes back
     val under = idx.queryApprox(q, 10, shortlist = 10, filter = f,
       maxEscalations = 0).count()
+    assert(!idx.lastFilterPushed)
     assert(under < 10, s"fixture must actually underfill at shortlist=10: got $under")
     // escalation: same starting shortlist, bounded doublings -> k rows
     val filled = idx.queryApprox(q, 10, shortlist = 10, filter = f)
@@ -291,10 +302,17 @@ class IngestIndexSpec extends AnyFunSuite {
     assert(idx.lastEscalations >= 1,
       s"the probe count must show the escalation fired: ${idx.lastEscalations}")
     assert(rows.forall(_.getAs[org.apache.spark.sql.Row]("metadata").getInt(0) == 3))
-    // a filter nothing satisfies stops after the bounded retries with
-    // the (true) empty answer instead of looping
+    // an impossible metadata predicate is REFUTED by the manifest stats
+    // before any I/O: provably-empty exact answer, no probe, no
+    // escalations, no full-scan fallback
     assert(idx.queryApprox(q, 5, shortlist = 10,
       filter = Some($"metadata.chunk_index" === 99)).count() == 0)
+    assert(idx.lastApproxMode == "exact-stats-refuted" &&
+      idx.lastEscalations == 0, idx.lastApproxMode)
+    // a non-pushable, non-refutable filter nothing satisfies stops
+    // after the bounded retries with the (true) empty answer
+    assert(idx.queryApprox(q, 5, shortlist = 10,
+      filter = Some(size($"values") === 17)).count() == 0)
     assert(idx.lastEscalations == 3, "bounded retries must exhaust, then stop")
     // an unfiltered query never escalates
     idx.queryApprox(q, 10, shortlist = 10)
@@ -514,6 +532,80 @@ class IngestIndexSpec extends AnyFunSuite {
     // and the merged view is intact across the GC
     assert(idx.scan().count() == 40)
     assert(idx.fetch(Seq("g-3")).select("values").as[Seq[Float]].head().head == 9f)
+  }
+
+  test("stat predicate extraction and per-file refutation semantics") {
+    import graft.operators.VectorIndex._
+    val preds = extractStatPreds(
+      $"metadata.p" === 3 && lit(5) < $"metadata.q" &&
+        $"metadata.r".isNotNull && $"values".isNotNull)
+    assert(preds == Seq(StatCmp("p", "=", 3L), StatCmp("q", ">", 5L),
+      StatNotNull("r")))
+    def mf(stats: (String, FileColStats)*) =
+      ManifestFile("f", Some(10L), stats.toMap)
+    // out-of-range equality refutes; in-range matches
+    assert(!fileCanMatch(mf("p" -> FileColStats(Some(0), Some(2), 0)),
+      Seq(StatCmp("p", "=", 3))))
+    assert(fileCanMatch(mf("p" -> FileColStats(Some(0), Some(5), 0)),
+      Seq(StatCmp("p", "=", 3))))
+    // all-null refutes every comparison and IsNotNull
+    val allNull = mf("p" -> FileColStats(None, None, 10))
+    assert(!fileCanMatch(allNull, Seq(StatCmp("p", "=", 3))))
+    assert(!fileCanMatch(allNull, Seq(StatCmp("p", "<", 3))))
+    assert(!fileCanMatch(allNull, Seq(StatNotNull("p"))))
+    // missing stats / unknown row count never refute
+    assert(fileCanMatch(mf(), Seq(StatCmp("p", "=", 3))))
+    assert(fileCanMatch(ManifestFile("f", None,
+      Map("p" -> FileColStats(None, None, 10))), Seq(StatCmp("p", "=", 3))))
+    // range boundaries for the ordered ops
+    val r5to9 = mf("p" -> FileColStats(Some(5), Some(9), 2))
+    assert(!fileCanMatch(r5to9, Seq(StatCmp("p", "<", 5))))
+    assert(fileCanMatch(r5to9, Seq(StatCmp("p", "<", 6))))
+    assert(!fileCanMatch(r5to9, Seq(StatCmp("p", ">", 9))))
+    assert(fileCanMatch(r5to9, Seq(StatCmp("p", ">=", 9))))
+    assert(!fileCanMatch(r5to9, Seq(StatCmp("p", ">=", 10))))
+    assert(!fileCanMatch(r5to9, Seq(StatCmp("p", "<=", 4))))
+  }
+
+  test("filtered ANN: stats prune never-matching files, pushed filter fills k with 0 escalations") {
+    val dir = Files.createTempDirectory("graft_idx_stats").toString
+    val root = s"$dir/s"
+    val idx = VectorIndex.ensure(spark, root, 8, numBuckets = 16)
+    def recs(from: Int, until: Int, priority: Option[Int]) =
+      spark.range(from, until).select(
+        concat(lit("p-"), col("id")).as("id"),
+        array((0 until 8).map(j =>
+          sin(col("id") * (j + 1)).cast("float")): _*).as("values"),
+        struct(lit(0).as("chunk_index"), lit("t").as("source"),
+          priority.map(v => lit(v)).getOrElse(lit(null)).cast("int")
+            .as("priority")).as("metadata"))
+    // base corpus: priority NULL everywhere (the sparse-tag pattern)
+    idx.upsert(recs(0, 400, None))
+    // small tagged batch rewrites only its ids' buckets — every
+    // untouched bucket's files stay all-null in priority
+    idx.upsert(recs(400, 408, Some(1)))
+    val q = (0 until 8).map(j => math.sin(403.0 * (j + 1)).toFloat).toArray
+    val f = Some($"metadata.priority" === 1)
+    val res = idx.queryApprox(q, 5, shortlist = 16, filter = f).collect()
+    assert(res.length == 5, s"selective filter must fill k, got ${res.length}")
+    assert(idx.lastEscalations == 0,
+      s"stats + pushed filter must fill k with 0 escalations, got ${idx.lastEscalations}")
+    assert(idx.lastFilterPushed, "metadata-only filter must push into the signature phase")
+    assert(idx.lastStatsPrunedFiles > 0,
+      "all-null files of untouched buckets must be stats-refuted")
+    assert(idx.lastProbeFiles < idx.lastManifestFiles,
+      s"probe must read a strict subset (${idx.lastProbeFiles}/${idx.lastManifestFiles})")
+    // pruning is sound: results equal the exact filtered top-k
+    res.foreach(r => assert(
+      r.getAs[org.apache.spark.sql.Row]("metadata").getAs[Int]("priority") == 1))
+    val exact = idx.query(q, 5, f).collect()
+    assert(res.map(_.getString(0)).toSeq == exact.map(_.getString(0)).toSeq)
+    // an unsupported filter shape still works (no pruning, full filter
+    // at rescore): same rows, nothing stats-pruned
+    val f2 = Some(abs($"metadata.priority") === 1) // abs() not extractable
+    val res2 = idx.queryApprox(q, 5, shortlist = 16, filter = f2).collect()
+    assert(res2.map(_.getString(0)).toSeq == exact.map(_.getString(0)).toSeq)
+    assert(idx.lastStatsPrunedFiles == 0)
   }
 
   test("racing upserts: manifest CAS — one wins, the loser retries cleanly, no orphans") {
