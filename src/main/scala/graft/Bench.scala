@@ -147,6 +147,9 @@ object Bench {
     // q173 first isolated noop measurement (2.030 — index build + tag
     // upsert + stats-pruned filtered probe + exact cross-check)
     "q173" -> (1.421, 2.891),
+    // q174 first isolated noop measurement (1.406 — postings build in
+    // two appends + pruned phrase probe)
+    "q174" -> (0.984, 2.048),
     "q13" -> (0.231, 0.596), "q14" -> (0.168, 0.501), "q15" -> (0.217, 0.596),
     "q16" -> (0.175, 0.501), "q17" -> (0.287, 0.717), "q18" -> (0.161, 0.461),
     "q19" -> (0.21, 0.636), "q20" -> (0.322, 0.771), "q21" -> (0.217, 0.622),

@@ -3102,6 +3102,28 @@ object SparkEntry {
     // (doc, pos) equijoins check adjacency — work scales with the
     // rarest token's posting list, not the corpus. DuckDB replays the
     // identical tokenization with a list comprehension over positions.
+    // PERSISTED inverted index (r16, the at-scale layout q161's
+    // scaladoc promised): postings partition by token-hash bucket
+    // (_tbkt, LayoutMeta-recorded), built incrementally in two appends;
+    // the phrase probe reads ONLY its tokens' bucket dirs (partition
+    // pruning asserted in InvertedIndexSpec) and must serve the exact
+    // same answer as q161's per-query build — the oracle replays the
+    // tokenization directly against the corpus, so a bucketing or
+    // append bug (lost/duplicated postings) hash-mismatches here.
+    "q174_phrase_index" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.InvertedIndex
+      val tmp = freshScratch("q174") + "/pidx"
+      val docs = t(s, dir, "documents")
+      InvertedIndex.writeIndex(docs.filter($"doc_id" % 2 === 0),
+        "doc_id", "text", tmp, buckets = 32)
+      InvertedIndex.appendIndex(docs.filter($"doc_id" % 2 === 1),
+        "doc_id", "text", tmp)
+      InvertedIndex.phraseSearchIndexed(s, tmp, Seq("hash", "value"))
+        .select($"doc".as("doc_id"), $"n_matches")
+        .orderBy($"doc_id")
+    }),
+
     "q161_phrase_search" -> ((s, dir) => {
       import s.implicits._
       import graft.operators.InvertedIndex
@@ -4813,6 +4835,19 @@ object SparkEntry {
         |  TRUE AS export_roundtrip_ok""".stripMargin,
 
     "q161_phrase_search" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(len([i FOR i IN generate_series(1, len(toks) - 1)
+        |      IF toks[i] = 'hash' AND toks[i+1] = 'value']) AS BIGINT)
+        |      AS n_matches
+        |  FROM tk)
+        |SELECT doc_id, n_matches FROM m WHERE n_matches > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "q174_phrase_index" ->
       """WITH tk AS (SELECT doc_id,
         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
         |      x -> x <> '') AS toks

@@ -36,6 +36,43 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(search(d, "go", "go") == Map(1L -> 3L))
   }
 
+  test("persisted index: pruned probe matches in-memory search; PartitionFilters engage; census reconciles") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_postidx").toString + "/p"
+    val d = docs(
+      1L -> "the cat sat on the mat",
+      2L -> "cat the sat",
+      3L -> "the dog; the cat! sat down",
+      4L -> "the cat the cat sat",
+      5L -> "nothing relevant at all today")
+    // incremental build: two appends must serve identically to one write
+    InvertedIndex.writeIndex(d.filter($"doc_id" <= 2), "doc_id", "text",
+      dir, buckets = 16)
+    InvertedIndex.appendIndex(d.filter($"doc_id" > 2), "doc_id", "text", dir)
+    val got = InvertedIndex.phraseSearchIndexed(spark, dir, Seq("the", "cat"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 3L -> 1L, 4L -> 2L))
+    assert(got == search(d, "the", "cat"))
+    // the probe's scan is PARTITION-pruned to the phrase tokens'
+    // bucket dirs (never a full-directory listing-and-filter)
+    val probe = InvertedIndex.readPostings(spark, dir, Seq("the", "cat"))
+    probe.collect()
+    val plan = probe.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*_tbkt".r.findFirstIn(plan).isDefined,
+      s"expected _tbkt partition filter in:\n$plan")
+    // and the pruned read returns exactly those tokens' postings
+    assert(probe.select("token").distinct().as[String].collect().toSet ==
+      Set("the", "cat"))
+    // census reconciliation: bucket counts sum to the corpus' postings
+    val censusTotal = InvertedIndex.censusByBucket(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum($"n_postings")).head().getLong(0)
+    val direct = InvertedIndex.postings(d, "doc_id", "text").count()
+    assert(censusTotal == direct, s"census $censusTotal != corpus $direct")
+    // a conflicting explicit layout guess throws instead of mispruning
+    intercept[IllegalArgumentException] {
+      InvertedIndex.readPostings(spark, dir, Seq("the"), buckets = 8)
+    }
+  }
+
   test("kll sidecars: per-batch sketches merge to whole-corpus quantiles within rank error") {
     val dir = java.nio.file.Files.createTempDirectory("kll").toString
     val n = 20000
