@@ -10,6 +10,15 @@ package graft.core
   * preserves every *pipeline* property the engine relies on — fixed
   * dimension, float32 values, batch API, determinism, and the cosine
   * geometry (similar token multisets => similar vectors).
+  *
+  * The seam itself is PROVEN, not just declared: EmbedderSpec's
+  * `LinearBlobEmbedder` is an ONNX-runner-shaped double (opaque
+  * serialized weights blob, `@transient lazy` session rebuilt per
+  * executor — the non-serializable-OrtSession pattern — dense mat-vec
+  * inference) run end-to-end through ingest -> index -> query. A real
+  * runner drops in by replacing its decode/infer with ONNX Runtime
+  * calls; every transport/batching/dim-check contract is already
+  * exercised.
   */
 trait Embedder extends Serializable {
   def dimension: Int
