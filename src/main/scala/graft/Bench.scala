@@ -94,8 +94,12 @@ object Bench {
     // q143 first isolated noop measurement after the broadcast-alive
     // optimization (4.362; pre-optimization 7.759)
     "q143" -> (3.053, 6.039),
-    // q144 first isolated noop measurement (0.401)
-    "q144" -> (0.281, 0.691),
+    // q144/q155/q163 split into write/read phases in r16 (the combined
+    // number hid write regressions); bands from first isolated split
+    // measurements (0.230/0.128, 0.847/0.277, 1.042/0.131)
+    "q144w" -> (0.161, 0.461), "q144r" -> (0.090, 0.323),
+    "q155w" -> (0.593, 1.293), "q155r" -> (0.194, 0.524),
+    "q163w" -> (0.729, 1.557), "q163r" -> (0.092, 0.327),
     // q145 first isolated noop measurement (0.702)
     "q145" -> (0.491, 1.098),
     // q146-q148 first isolated noop measurements (0.345/0.442/0.450)
@@ -109,9 +113,6 @@ object Bench {
     "q152" -> (0.557, 1.225), "q153" -> (0.348, 0.821),
     // q154 first isolated noop measurement (0.803)
     "q154" -> (0.562, 1.234),
-    // q155 first isolated noop measurement (2.675; the deterministic
-    // single-task ntile over 600k rows is the documented gate cost)
-    "q155" -> (1.873, 3.761),
     // q156 first isolated noop measurement (2.723, after the
     // one-staging-job write cut it from 7.3)
     "q156" -> (1.906, 3.826),
@@ -124,9 +125,6 @@ object Bench {
     // q161/q162 first isolated noop measurements (0.703/1.150, q162
     // after the one-pass rank join cut it from 2.17)
     "q161" -> (0.492, 1.099), "q162" -> (0.805, 1.703),
-    // q163 first isolated noop measurement (2.362 — the full
-    // quality->dedup->BPE->pack->tar-export pipeline in one gate)
-    "q163" -> (1.653, 3.339),
     // q164 first isolated noop measurement (1.273)
     "q164" -> (0.891, 1.869),
     // q165 first isolated noop measurement (0.504)

@@ -192,6 +192,89 @@ object SparkEntry {
         countDistinct($"user_id").as("n_users"))
       .orderBy($"event_type")
   }
+  // ---- r16 write/read phase splits for the r15 write-side operators
+  // (q144 tar export, q155 z-order, q163 training export): the combined
+  // gate number hid write-path regressions behind read noise; these
+  // time the build and the consumption separately, like the q73/q74/
+  // q78/q91 format round-trips. The composite entries in `queries`
+  // remain the CORRECTNESS gates — benchPhases only changes timing.
+  private def cleanDir(p: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    if (fs.exists(path)) fs.delete(path, true)
+  }
+  private def rtTarWrite(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    val out = s"${scratchDir("q144rw")}/shards"
+    cleanDir(out) // tar shard files are create(overwrite=false)
+    val docs = t(s, dir, "documents")
+      .select(concat($"doc_id", lit(".txt")).as("member"),
+        encode($"text", "UTF-8").as("content"))
+      .repartitionByRange(4, $"member").sortWithinPartitions($"member")
+    graft.operators.Ingest.writeTarShards(docs, "member", "content", out,
+      maxShardBytes = 256 * 1024)
+    ()
+  }
+  private def rtTarRead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Ingest.readTarMembers(s, s"${scratchDir("q144rw")}/shards")
+      .select(
+        regexp_extract($"member", "(\\d+)\\.txt", 1).cast("long").as("doc_id"),
+        decode($"content", "UTF-8").as("text"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .orderBy($"doc_id")
+  }
+  private def rtZorderWrite(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    // the REAL at-scale write path (one range exchange on the z-value),
+    // not q155's deterministic single-task ntile gate tool
+    graft.operators.Layout.zorderWrite(
+      t(s, dir, "lineitem").select(
+        ($"l_partkey" % 256).cast("long").as("x"),
+        ($"l_suppkey" % 256).cast("long").as("y"),
+        ($"l_orderkey" * 10 + $"l_linenumber").cast("long").as("tie"),
+        $"l_quantity"),
+      "x", "y", "tie", s"${scratchDir("q155rw")}/z", nFiles = 64, bits = 8)
+  }
+  private def rtZorderRead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // the box query the layout exists for — reader-side parquet
+    // row-group pushdown does the skipping
+    s.read.parquet(s"${scratchDir("q155rw")}/z")
+      .filter($"x".between(0L, 31L) && $"y".between(0L, 31L))
+      .agg(count(lit(1)).as("n"),
+        sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("sum_qty"))
+  }
+  private def rtExportWrite(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    import graft.operators._
+    val out = s"${scratchDir("q163rw")}/shards"
+    cleanDir(out)
+    val docs = t(s, dir, "documents").select($"doc_id", $"text")
+    val deduped = Dedup.exact(
+      docs.filter(TextAnalytics.gopherVerdict($"text") === "keep"),
+      "doc_id", "text").localCheckpoint(true)
+    val model = Bpe.trainOnSample(deduped, "text", vocabSize = 320)
+    val bytesUdf = udf { (toks: Seq[Int]) =>
+      val bb = java.nio.ByteBuffer.allocate(toks.length * 4)
+      toks.foreach(bb.putInt)
+      bb.array()
+    }
+    val bin = deduped
+      .select(concat($"doc_id", lit(".bin")).as("member"),
+        bytesUdf(Bpe.encodeCol($"text", model)).as("content"))
+      .repartitionByRange(4, $"member").sortWithinPartitions($"member")
+    Ingest.writeTarShards(bin, "member", "content", out,
+      maxShardBytes = 512 * 1024)
+    ()
+  }
+  private def rtExportRead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Ingest.readTarMembers(s, s"${scratchDir("q163rw")}/shards")
+      .select($"member", (length($"content") / 4).cast("long").as("n_tok"))
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("total_tok"))
+  }
+
   private def rtXmlWrite(s: SparkSession, dir: String): Unit = {
     import s.implicits._
     events(s, dir)
@@ -234,7 +317,10 @@ object SparkEntry {
       "q73_json_roundtrip" -> ((rtJsonWrite _, rtJsonRead _)),
       "q74_csv_roundtrip" -> ((rtCsvWrite _, rtCsvRead _)),
       "q78_orc_roundtrip" -> ((rtOrcWrite _, rtOrcRead _)),
-      "q91_xml_roundtrip" -> ((rtXmlWrite _, rtXmlRead _)))
+      "q91_xml_roundtrip" -> ((rtXmlWrite _, rtXmlRead _)),
+      "q144_tar_export" -> ((rtTarWrite _, rtTarRead _)),
+      "q155_zorder_skipping" -> ((rtZorderWrite _, rtZorderRead _)),
+      "q163_training_export" -> ((rtExportWrite _, rtExportRead _)))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
