@@ -77,7 +77,11 @@ object InvertedIndex {
   }
 
   /** The stored postings of exactly `tokens` — reads only the tokens'
-    * bucket directories (partition-pruned). */
+    * bucket directories (partition-pruned). Deduped on the natural
+    * (doc, pos, token) key, so crash-duplicated files (an interrupted
+    * [[compactIndex]]/[[deleteDocs]]) and replayed appends can never
+    * inflate a phrase's match count — a posting is unique by
+    * construction, duplicates are always debris. */
   def readPostings(spark: org.apache.spark.sql.SparkSession, path: String,
       tokens: Seq[String],
       buckets: Int = LayoutMeta.Unspecified): DataFrame = {
@@ -95,6 +99,122 @@ object InvertedIndex {
       .filter(col("_tbkt").isin(tbkts.map(Integer.valueOf): _*))
       .filter(col("token").isin(toks: _*))
       .select(col("doc"), col("pos"), col("token"))
+      .dropDuplicates("doc", "pos", "token")
+  }
+
+  /** Merge the files of bucket dirs that accumulated more than
+    * `minFiles` of them (one file arrives per touched bucket per
+    * [[appendIndex]] batch — a crawl ingest compacts on a cadence,
+    * exactly like the Hamming index). One staging job rewrites every
+    * flagged dir's postings DEDUPED to a single file, then per dir:
+    * move the replacement in, delete the listed originals. A crash
+    * between move and delete leaves bit-identical duplicate rows that
+    * probes drop ([[readPostings]]'s key dedupe) and the rerun
+    * removes; replacements that failed to land leave the originals in
+    * place — rows can be transiently doubled, never lost. Returns the
+    * number of compacted dirs. */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      minFiles: Int = 8): Int = {
+    import org.apache.hadoop.fs.Path
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(path)
+    val fs = root.getFileSystem(hconf)
+    if (!fs.exists(root)) return 0
+    def dataFiles(dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(dir).toSeq.filter { f =>
+        val n = f.getPath.getName
+        f.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+    val flagged = fs.globStatus(new Path(root, "_tbkt=*")).toSeq
+      .map(_.getPath).filter(d => d.getName.matches("_tbkt=\\d+") &&
+        dataFiles(d).size > minFiles)
+    if (flagged.isEmpty) return 0
+    val tmp = new Path(root, "_compact_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true) // stale from a prior crash
+    spark.read.option("basePath", path)
+      .parquet(flagged.map(_.toString): _*)
+      .dropDuplicates("doc", "pos", "token") // self-cleaning, like every rewrite
+      .repartition(flagged.size, col("_tbkt"))
+      .write.partitionBy("_tbkt").parquet(tmp.toString)
+    var compacted = 0
+    flagged.foreach { dir =>
+      val olds = dataFiles(dir)
+      val newDir = new Path(tmp, dir.getName)
+      val moves =
+        if (fs.exists(newDir)) dataFiles(newDir).map { f =>
+          fs.rename(f.getPath, new Path(dir, "compact-" + f.getPath.getName))
+        }
+        else Seq.empty[Boolean]
+      // originals go ONLY when every replacement landed (rename returns
+      // false on races) — a partial move leaves duplicates, never a gap
+      if (moves.nonEmpty && moves.forall(identity)) {
+        olds.foreach(f => fs.delete(f.getPath, false))
+        compacted += 1
+      }
+    }
+    fs.delete(tmp, true)
+    compacted
+  }
+
+  /** Erase documents' postings — the right-to-be-forgotten reach into
+    * the text index (the [[MinhashIndex.delete]] sibling). The caller
+    * supplies the SAME (id, text) rows that were ingested: the docs'
+    * own tokens determine every bucket their postings can live in, so
+    * only those dirs are read and rewritten — O(touched buckets),
+    * never an index scan. Survivor rows stage in ONE partitioned
+    * write (deduped — self-cleaning), then per touched dir: move
+    * survivors in, delete the listed originals. A crash mid-commit
+    * leaves the victims partially present and survivors duplicated
+    * (probes dedupe); RERUNNING with the same rows completes it —
+    * the victims are identified from the caller's rows, not from the
+    * index, so no commit ordering can strand them. Returns the number
+    * of postings removed. */
+  def deleteDocs(docs: DataFrame, idCol: String, textCol: String,
+      path: String, buckets: Int = LayoutMeta.Unspecified): Long = {
+    import org.apache.hadoop.fs.Path
+    val spark = docs.sparkSession
+    val bk = LayoutMeta.resolve(spark, path,
+      Map("buckets" -> buckets), Map("buckets" -> 64))("buckets")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(path).getFileSystem(hconf)
+    val victims = postings(docs, idCol, textCol).localCheckpoint(true)
+    val tbkts = victims
+      .select(pmod(xxhash64(col("token")), lit(bk.toLong)).cast("int").as("_tbkt"))
+      .distinct().collect().map(_.getInt(0)) // bounded by `buckets`
+    val touched = tbkts.map(b => new Path(path, s"_tbkt=$b")).filter(fs.exists(_))
+    if (touched.isEmpty) return 0L
+    val ids = docs.select(col(idCol).as("doc")).distinct()
+    val stored = spark.read.option("basePath", path)
+      .parquet(touched.map(_.toString): _*)
+    val removed = stored.join(broadcast(ids), "doc").count()
+    val survivors = stored.join(broadcast(ids), Seq("doc"), "left_anti")
+      .dropDuplicates("doc", "pos", "token")
+    val stage = new Path(path, "_delstage_tmp")
+    if (fs.exists(stage)) fs.delete(stage, true)
+    survivors.repartition(touched.size, col("_tbkt"))
+      .write.partitionBy("_tbkt").parquet(stage.toString)
+    try {
+      touched.foreach { dir =>
+        val olds = fs.listStatus(dir).toSeq.filter { f =>
+          val n = f.getPath.getName
+          f.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
+        val part = new Path(stage, dir.getName)
+        // a touched dir with no staged output lost ALL its rows to the
+        // erasure: deleting the originals IS the commit
+        if (fs.exists(part)) {
+          fs.listStatus(part).map(_.getPath)
+            .filter(_.getName.startsWith("part-"))
+            .zipWithIndex.foreach { case (f, i) =>
+              require(fs.rename(f, new Path(dir,
+                s"del-${java.util.UUID.randomUUID().toString.take(8)}-$i-${f.getName}")),
+                s"survivor move failed: $f")
+            }
+        }
+        olds.foreach(f => fs.delete(f.getPath, false))
+      }
+    } finally fs.delete(stage, true)
+    removed
   }
 
   /** [[phraseSearch]] served from the PERSISTED index: the pruned

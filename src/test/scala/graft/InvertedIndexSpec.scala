@@ -73,6 +73,58 @@ class InvertedIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("index lifecycle: compaction merges files without changing answers; erasure removes a doc's postings") {
+    import org.apache.spark.sql.functions.sum
+    val dir = java.nio.file.Files.createTempDirectory("graft_postlc").toString + "/p"
+    val d = docs(
+      1L -> "the cat sat on the mat",
+      2L -> "cat the sat the cat here",
+      3L -> "the dog; the cat! sat down",
+      4L -> "the cat the cat sat",
+      5L -> "unrelated filler text")
+    // many small appends -> many files per hot bucket
+    InvertedIndex.writeIndex(d.filter($"doc_id" === 1), "doc_id", "text",
+      dir, buckets = 4)
+    (2L to 5L).foreach(i =>
+      InvertedIndex.appendIndex(d.filter($"doc_id" === i), "doc_id", "text", dir))
+    val before = InvertedIndex.phraseSearchIndexed(spark, dir, Seq("the", "cat"))
+      .as[(Long, Long)].collect().toMap
+    def files(): Int = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("_tbkt=")).flatMap(_.listFiles())
+      .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    val nBefore = files()
+    assert(InvertedIndex.compactIndex(spark, dir, minFiles = 1) > 0)
+    assert(files() < nBefore, s"compaction must shrink file count from $nBefore")
+    val after = InvertedIndex.phraseSearchIndexed(spark, dir, Seq("the", "cat"))
+      .as[(Long, Long)].collect().toMap
+    assert(after == before)
+    // a replayed append (crash-retry shape) cannot inflate match counts:
+    // probes dedupe on the natural key
+    InvertedIndex.appendIndex(d.filter($"doc_id" === 4), "doc_id", "text", dir)
+    assert(InvertedIndex.phraseSearchIndexed(spark, dir, Seq("the", "cat"))
+      .as[(Long, Long)].collect().toMap == before)
+    // ...and the NEXT compaction removes the duplicate debris for good:
+    // the census (raw row counts — its job is to see what probes hide)
+    // reconciles back to exactly the corpus' postings
+    InvertedIndex.compactIndex(spark, dir, minFiles = 0)
+    def censusTotal(): Long = InvertedIndex.censusByBucket(spark, dir)
+      .agg(sum($"n_postings")).head().getLong(0)
+    assert(censusTotal() == InvertedIndex.postings(d, "doc_id", "text").count())
+    // erasure: doc 4's postings vanish; the other docs are untouched
+    val removed = InvertedIndex.deleteDocs(d.filter($"doc_id" === 4),
+      "doc_id", "text", dir)
+    assert(removed == InvertedIndex.postings(d.filter($"doc_id" === 4),
+      "doc_id", "text").count())
+    val erased = InvertedIndex.phraseSearchIndexed(spark, dir, Seq("the", "cat"))
+      .as[(Long, Long)].collect().toMap
+    assert(erased == before - 4L)
+    assert(censusTotal() == InvertedIndex.postings(
+      d.filter($"doc_id" =!= 4), "doc_id", "text").count())
+    // rerun is a no-op: victims are already gone
+    assert(InvertedIndex.deleteDocs(d.filter($"doc_id" === 4),
+      "doc_id", "text", dir) == 0L)
+  }
+
   test("kll sidecars: per-batch sketches merge to whole-corpus quantiles within rank error") {
     val dir = java.nio.file.Files.createTempDirectory("kll").toString
     val n = 20000
