@@ -363,7 +363,8 @@ object Bench {
     val env = s"""{"load1":[${rd(loadStart, 1)},${rd(load1(), 1)}],""" +
       s""""os_cpus":${Runtime.getRuntime.availableProcessors},""" +
       s""""gc_s":${rd(gcTotal, 1)},"cpu_s":${rd(cpuTotal, 0)}}"""
-    // The stdout JSON line MUST stay under the harness's ~2000-char tail
+    // The stdout JSON line MUST stay comfortably under the harness's
+    // ~2000-char tail (sbt's [info] prefix and [success] epilogue share it)
     // capture or the driver records `parsed: null` (r15's fate: 160+
     // query entries are ~2.4 KB alone, and the old fallback still
     // carried the full map, so the tail cut the JSON HEAD off). The
@@ -381,10 +382,10 @@ object Bench {
       java.nio.file.Paths.get("bench_full.json"), lineWith(fullQs, ""))
     catch { case _: Throwable => () }
     val fullLine = lineWith(fullQs, "")
-    val out = if (fullLine.length <= 1900) fullLine else {
+    val out = if (fullLine.length <= 1800) fullLine else {
       // greedy slowest-first fill against the fixed-part budget
       val fixedLen = lineWith("{}", """"queries_full":"bench_full.json",""").length
-      val budget = 1900 - fixedLen
+      val budget = 1800 - fixedLen
       val picked = scala.collection.mutable.ArrayBuffer.empty[String]
       var used = 0
       qEntries.sortBy(-_._2).foreach { case (entry, _) =>

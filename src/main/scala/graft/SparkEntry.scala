@@ -2932,14 +2932,29 @@ object SparkEntry {
       val f = Some($"metadata.priority" === 1)
       val rows = idx.queryApprox(q, 5, shortlist = 16, filter = f).collect()
       val exact = idx.query(q, 5, f).collect()
+      val intOk = rows.length == 5 && idx.lastEscalations == 0 &&
+        idx.lastFilterPushed && idx.lastStatsPrunedFiles > 0 &&
+        idx.lastProbeFiles < idx.lastManifestFiles
+      // STRING stats (r16b): every file records source bounds
+      // lo=hi="uploaded_pdf", so a wrong-source equality is refuted
+      // everywhere — provably-empty exact answer, zero I/O — while the
+      // right source (ANDed with the tag) prunes nothing wrongly
+      val wrongSrc = idx.queryApprox(q, 5, shortlist = 16,
+        filter = Some($"metadata.source" === "some_other_source")).count()
+      val wrongRefuted = wrongSrc == 0L &&
+        idx.lastApproxMode == "exact-stats-refuted"
+      val both = idx.queryApprox(q, 5, shortlist = 16,
+        filter = Some($"metadata.source" === "uploaded_pdf" &&
+          $"metadata.priority" === 1)).collect()
+      val rightKept = both.map(_.getString(0)).toSeq ==
+        exact.map(_.getString(0)).toSeq
       s.range(1).select(lit(5L).as("k"),
         lit(rows.length == 5).as("filled_ok"),
-        lit(idx.lastEscalations == 0).as("zero_escalations"),
-        lit(idx.lastFilterPushed).as("filter_pushed"),
-        lit(idx.lastStatsPrunedFiles > 0).as("stats_pruned"),
-        lit(idx.lastProbeFiles < idx.lastManifestFiles).as("strict_subset"),
+        lit(intOk).as("int_stats_ok"),
         lit(rows.map(_.getString(0)).toSeq ==
-          exact.map(_.getString(0)).toSeq).as("matches_exact"))
+          exact.map(_.getString(0)).toSeq).as("matches_exact"),
+        lit(wrongRefuted).as("wrong_source_refuted"),
+        lit(rightKept).as("right_source_kept"))
     }),
 
     "q172_conversion_latency" -> ((s, dir) => {
@@ -4619,8 +4634,8 @@ object SparkEntry {
 
     "q173_filtered_ann_stats" ->
       ("SELECT CAST(5 AS BIGINT) AS k, TRUE AS filled_ok, " +
-        "TRUE AS zero_escalations, TRUE AS filter_pushed, " +
-        "TRUE AS stats_pruned, TRUE AS strict_subset, TRUE AS matches_exact"),
+        "TRUE AS int_stats_ok, TRUE AS matches_exact, " +
+        "TRUE AS wrong_source_refuted, TRUE AS right_source_kept"),
 
     "q121_index_query_approx" ->
       """SELECT e.vec_id FROM embeddings e

@@ -110,7 +110,11 @@ object Scd {
     val existing =
       if (!fs.exists(root)) Array.empty[String]
       else fs.globStatus(new org.apache.hadoop.fs.Path(root, "bucket_*"))
-        .filter(_.isDirectory).map(_.getPath.toString)
+        // exact bucket dirs only: a crash can leave a bucket_N__staged
+        // sibling (healed by the next applyBatch), and reading it here
+        // would double that bucket's rows
+        .filter(s => s.isDirectory && s.getPath.getName.matches("bucket_\\d+"))
+        .map(_.getPath.toString)
     require(existing.nonEmpty, s"no SCD store at $store")
     spark.read.parquet(existing.toIndexedSeq: _*)
   }

@@ -671,12 +671,13 @@ final class VectorIndex private (
       val deadline = System.nanoTime() + timeoutMs * 1000000L
       futures.map { case (b, p, f) =>
         val leftMs = math.max(0L, (deadline - System.nanoTime()) / 1000000L)
-        val (rows, stats) =
+        val (rows, stats, strStats) =
           try Await.result(f,
             scala.concurrent.duration.Duration(leftMs, "ms"))
           catch { case _: java.util.concurrent.TimeoutException =>
-            (None, Map.empty[String, FileColStats]) }
-        (b, ManifestFile(p.toString.stripPrefix(qualified), rows, stats))
+            (None, Map.empty[String, FileColStats],
+              Map.empty[String, FileStrStats]) }
+        (b, ManifestFile(p.toString.stripPrefix(qualified), rows, stats, strStats))
       }
     } finally pool.shutdownNow()
   }
@@ -687,7 +688,8 @@ final class VectorIndex private (
     * it). A field's stats are recorded only when EVERY row group
     * carries usable statistics for it — a partial view could refute a
     * file that matches. */
-  private def parquetFooterInfo(p: Path): (Option[Long], Map[String, FileColStats]) =
+  private def parquetFooterInfo(p: Path)
+      : (Option[Long], Map[String, FileColStats], Map[String, FileStrStats]) =
     try {
       import scala.jdk.CollectionConverters._
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
@@ -696,17 +698,19 @@ final class VectorIndex private (
       try {
         val blocks = r.getFooter.getBlocks.asScala.toSeq
         val perField = scala.collection.mutable.Map.empty[String, Option[FileColStats]]
+        val perStrField = scala.collection.mutable.Map.empty[String, Option[FileStrStats]]
         for (block <- blocks; cc <- block.getColumns.asScala) {
           val path = cc.getPath.toArray
           if (path.length == 2 && path(0) == "metadata" &&
               path(1).forall(c => c.isLetterOrDigit || c == '_')) {
             import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+            val f = path(1)
             val tn = cc.getPrimitiveType.getPrimitiveTypeName
+            val st = cc.getStatistics
+            val statsUsable = st != null && st.isNumNullsSet
             if (tn == INT32 || tn == INT64) {
-              val f = path(1)
-              val st = cc.getStatistics
               val upd: Option[FileColStats] =
-                if (st == null || st.isNumNullsSet == false) None
+                if (!statsUsable) None
                 else {
                   val range =
                     if (!st.hasNonNullValue) (None, None)
@@ -730,14 +734,51 @@ final class VectorIndex private (
                   a.nulls + b.nulls))
               }
               perField(f) = merged
+            } else if (tn == BINARY &&
+                cc.getPrimitiveType.getLogicalTypeAnnotation ==
+                  org.apache.parquet.schema.LogicalTypeAnnotation.stringType()) {
+              // UTF8 string field: byte-wise bounds (parquet's UNSIGNED
+              // stats order == Spark's UTF8String order), truncated to
+              // StrStatPrefix with sound adjustment (see FileStrStats)
+              val upd: Option[FileStrStats] =
+                if (!statsUsable) None
+                else if (!st.hasNonNullValue)
+                  Some(FileStrStats(None, None, st.getNumNulls))
+                else {
+                  val lo = st.genericGetMin
+                    .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+                  val hi = st.genericGetMax
+                    .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+                  Some(FileStrStats(Some(truncLo(lo)), truncHi(hi), st.getNumNulls))
+                }
+              val merged = (perStrField.get(f), upd) match {
+                case (Some(None), _) | (_, None) => None
+                case (None, u) => u
+                case (Some(Some(a)), Some(b)) =>
+                  // a group with values but hi=None has NO sound upper
+                  // bound (truncation overflow) — that unboundedness
+                  // must survive the merge; all-null groups (lo empty)
+                  // contribute nothing to either bound
+                  val unbounded = (a.lo.nonEmpty && a.hi.isEmpty) ||
+                    (b.lo.nonEmpty && b.hi.isEmpty)
+                  Some(FileStrStats(
+                    (a.lo ++ b.lo).reduceOption((x, y) =>
+                      if (compareBytes(x, y) <= 0) x else y),
+                    if (unbounded) None
+                    else (a.hi ++ b.hi).reduceOption((x, y) =>
+                      if (compareBytes(x, y) >= 0) x else y),
+                    a.nulls + b.nulls))
+              }
+              perStrField(f) = merged
             }
           }
         }
         (Some(r.getRecordCount),
-          perField.collect { case (f, Some(s)) => f -> s }.toMap)
+          perField.collect { case (f, Some(s)) => f -> s }.toMap,
+          perStrField.collect { case (f, Some(s)) => f -> s }.toMap)
       } finally r.close()
     } catch { case scala.util.control.NonFatal(_) =>
-      (None, Map.empty)
+      (None, Map.empty, Map.empty)
     }
 
   private def readManifestData(version: Long): DataFrame = {
@@ -821,7 +862,51 @@ object VectorIndex {
   private[graft] sealed trait StatPred { def field: String }
   private[graft] final case class StatCmp(field: String, op: String,
       value: Long) extends StatPred
+  private[graft] final case class StatStrCmp(field: String, op: String,
+      value: String) extends StatPred
   private[graft] final case class StatNotNull(field: String) extends StatPred
+
+  /** Stored byte-prefix budget for string stats (per field per file in
+    * every manifest line — keep it small; 24 bytes of prefix resolves
+    * real-world source/tag values completely). */
+  private[graft] val StrStatPrefix = 24
+
+  /** Unsigned byte-wise lexicographic compare — parquet UTF8 stats
+    * order AND Spark UTF8String order, so one comparison serves both
+    * sides of the refutation. */
+  private[graft] def compareBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** Lower bound, truncated: a prefix sorts <= every extension, so a
+    * plain cut stays a SOUND lower bound. */
+  private[graft] def truncLo(b: Array[Byte]): Array[Byte] =
+    if (b.length <= StrStatPrefix) b else b.take(StrStatPrefix)
+
+  /** Upper bound, truncated SOUNDLY: cutting alone would under-bound
+    * (the prefix sorts below the true value), so the last kept
+    * non-0xFF byte is incremented and the tail dropped — the parquet
+    * truncator's trick; all-0xFF prefixes have no finite sound bound
+    * (None = unbounded above). */
+  private[graft] def truncHi(b: Array[Byte]): Option[Array[Byte]] = {
+    if (b.length <= StrStatPrefix) return Some(b)
+    val p = b.take(StrStatPrefix)
+    var i = p.length - 1
+    while (i >= 0 && p(i) == 0xff.toByte) i -= 1
+    if (i < 0) None
+    else {
+      val out = p.take(i + 1)
+      out(i) = (out(i) + 1).toByte
+      Some(out)
+    }
+  }
 
   /** Supported conjuncts of `filter` as [[StatPred]]s, read off the
     * Column's unresolved node tree ([[ColumnShim.simplify]] — Spark 4
@@ -850,8 +935,15 @@ object VectorIndex {
     def cmp(a: SimpleNode, v: SimpleNode, op: String): Seq[StatPred] =
       (for {
         f <- fieldOf(a)
-        lv <- v match { case SLit(x) => longOf(x); case _ => None }
-      } yield StatCmp(f, op, lv)).toSeq
+        p <- v match {
+          case SLit(x) => longOf(x).map(StatCmp(f, op, _))
+            .orElse(x match {
+              case s: String => Some(StatStrCmp(f, op, s))
+              case _ => None
+            })
+          case _ => None
+        }
+      } yield p).toSeq
     def flip(op: String): String = op match {
       case "<" => ">"; case "<=" => ">="; case ">" => "<"; case ">=" => "<="
       case other => other
@@ -869,31 +961,61 @@ object VectorIndex {
     * (missing stats never refute). The one layout-independent refuter
     * is the all-null case: a comparison is null-rejecting, so a file
     * whose field is null in every row (nulls == rows, no min/max) can
-    * never match — the sparse-tag pruning pattern. */
-  private[graft] def fileCanMatch(mf: ManifestFile, preds: Seq[StatPred]): Boolean =
-    preds.forall { p =>
-      mf.stats.get(p.field) match {
-        case None => true
-        case Some(s) =>
-          val allNull = s.lo.isEmpty && mf.rows.exists(r => r > 0 && s.nulls >= r)
-          p match {
-            case StatNotNull(_) => !allNull
-            case StatCmp(_, op, v) =>
-              if (allNull) false
-              else (s.lo, s.hi) match {
-                case (Some(lo), Some(hi)) => op match {
-                  case "=" => v >= lo && v <= hi
-                  case "<" => lo < v
-                  case "<=" => lo <= v
-                  case ">" => hi > v
-                  case ">=" => hi >= v
-                  case _ => true
-                }
+    * never match — the sparse-tag pruning pattern. String bounds may
+    * be LOOSE (prefix lo, incremented hi, hi=None = unbounded above —
+    * see [[FileStrStats]]): loose bounds only ever prune less, never
+    * wrongly. */
+  private[graft] def fileCanMatch(mf: ManifestFile, preds: Seq[StatPred]): Boolean = {
+    def numAllNull(f: String): Option[Boolean] = mf.stats.get(f).map(s =>
+      s.lo.isEmpty && mf.rows.exists(r => r > 0 && s.nulls >= r))
+    def strAllNull(f: String): Option[Boolean] = mf.strStats.get(f).map(s =>
+      s.lo.isEmpty && s.hi.isEmpty && mf.rows.exists(r => r > 0 && s.nulls >= r))
+    preds.forall {
+      case StatNotNull(f) =>
+        !(numAllNull(f).getOrElse(false) || strAllNull(f).getOrElse(false))
+      case StatCmp(f, op, v) =>
+        mf.stats.get(f) match {
+          case None => true
+          case Some(s) =>
+            if (numAllNull(f).contains(true)) false
+            else (s.lo, s.hi) match {
+              case (Some(lo), Some(hi)) => op match {
+                case "=" => v >= lo && v <= hi
+                case "<" => lo < v
+                case "<=" => lo <= v
+                case ">" => hi > v
+                case ">=" => hi >= v
                 case _ => true
               }
-          }
-      }
+              case _ => true
+            }
+        }
+      case StatStrCmp(f, op, v) =>
+        mf.strStats.get(f) match {
+          case None => true
+          case Some(s) =>
+            if (strAllNull(f).contains(true)) false
+            else {
+              val vb = v.getBytes("UTF-8")
+              // hi=None means "no sound upper bound" — upper-side
+              // checks pass; lo is always defined when values exist
+              val loOk: String => Boolean = {
+                case "=" => s.lo.forall(lo => compareBytes(vb, lo) >= 0)
+                case "<" => s.lo.forall(lo => compareBytes(lo, vb) < 0)
+                case "<=" => s.lo.forall(lo => compareBytes(lo, vb) <= 0)
+                case _ => true
+              }
+              val hiOk: String => Boolean = {
+                case "=" => s.hi.forall(hi => compareBytes(vb, hi) <= 0)
+                case ">" => s.hi.forall(hi => compareBytes(hi, vb) > 0)
+                case ">=" => s.hi.forall(hi => compareBytes(hi, vb) >= 0)
+                case _ => true
+              }
+              loOk(op) && hiOk(op)
+            }
+        }
     }
+  }
 
   /** Root column names the filter references, or None when the node
     * tree contains an unmodeled shape that could HIDE a reference
@@ -1108,6 +1230,19 @@ object VectorIndex {
   private[graft] final case class FileColStats(
       lo: Option[Long], hi: Option[Long], nulls: Long)
 
+  /** String-field sibling of [[FileColStats]]: byte-wise bounds over a
+    * UTF8 `metadata.*` field. `lo` may be a stored PREFIX of the true
+    * minimum (a prefix sorts <= every extension, so it stays a sound
+    * lower bound); `hi` is adjusted UPWARD at record time when
+    * truncated (last kept byte incremented, parquet's own truncator
+    * trick) or dropped entirely when no sound bound fits — so both
+    * bounds are always safe to refute against, never tight-but-wrong.
+    * Byte-wise compare matches both parquet's UNSIGNED UTF8 stats
+    * order and Spark's UTF8String comparison, so the same literal
+    * refutes identically in all three places. */
+  private[graft] final case class FileStrStats(
+      lo: Option[Array[Byte]], hi: Option[Array[Byte]], nulls: Long)
+
   /** One committed data file: relative path + its row count (None for
     * files first committed before counts were recorded — their cells
     * are never pruned, see [[selectProbeFiles]]) + per-field metadata
@@ -1116,7 +1251,8 @@ object VectorIndex {
     * `_cell=` component of the file's path (a LAYOUT key, like
     * `_bucket=`). */
   private[graft] final case class ManifestFile(file: String, rows: Option[Long],
-      stats: Map[String, FileColStats] = Map.empty) {
+      stats: Map[String, FileColStats] = Map.empty,
+      strStats: Map[String, FileStrStats] = Map.empty) {
     /** The file's signature-prefix cell, parsed from its partition path;
       * None for pre-cell files and the null-signature default partition
       * (both are always probed). */
@@ -1150,17 +1286,25 @@ object VectorIndex {
     // optionally carries the file's row count as a third field —
     // carried-forward files keep theirs, so a probe can size cell
     // neighborhoods without touching any footer.
-    // Each file line: bucket \t file [\t rows] [\t s:field=lo,hi,nulls ...]
-    // Stats fields are self-describing and only written for
-    // identifier-named fields, so the tab-separated format stays
-    // unambiguous; carried-forward files keep their recorded stats.
+    // Each file line: bucket \t file [\t rows] [\t s:field=lo,hi,nulls
+    // ...] [\t t:field=b64lo,b64hi,nulls ...] — integer stats under
+    // "s:", string-field byte bounds base64'd under "t:". Stats fields
+    // are self-describing and only written for identifier-named
+    // fields, so the tab-separated format stays unambiguous;
+    // carried-forward files keep their recorded stats.
+    val b64 = java.util.Base64.getEncoder
     val body = (Seq(s"#numBuckets=${idxMeta.numBuckets}", s"#meta=${metaJson(idxMeta)}") ++
       manifest.toSeq.sortBy(_._1)
         .flatMap { case (b, files) => files.sortBy(_.file).map { mf =>
           val statCols = mf.stats.toSeq.sortBy(_._1).map { case (f, s) =>
             s"\ts:$f=${s.lo.getOrElse("")},${s.hi.getOrElse("")},${s.nulls}"
           }.mkString
-          s"$b\t${mf.file}" + mf.rows.map(r => s"\t$r").getOrElse("") + statCols
+          val strCols = mf.strStats.toSeq.sortBy(_._1).map { case (f, s) =>
+            s"\tt:$f=${s.lo.map(b64.encodeToString).getOrElse("")}," +
+              s"${s.hi.map(b64.encodeToString).getOrElse("")},${s.nulls}"
+          }.mkString
+          s"$b\t${mf.file}" + mf.rows.map(r => s"\t$r").getOrElse("") +
+            statCols + strCols
         }})
       .mkString("\n")
     out.write(body.getBytes("UTF-8"))
@@ -1190,7 +1334,9 @@ object VectorIndex {
       .map { line =>
         val parts = line.split("\t")
         val rest = parts.drop(2)
-        val rows = rest.headOption.filter(!_.startsWith("s:")).map(_.toLong)
+        val rows = rest.headOption
+          .filter(p => !p.startsWith("s:") && !p.startsWith("t:"))
+          .map(_.toLong)
         val stats = rest.filter(_.startsWith("s:")).map { p =>
           val Array(f, v) = p.stripPrefix("s:").split("=", 2)
           val Array(lo, hi, nulls) = v.split(",", 3)
@@ -1199,7 +1345,16 @@ object VectorIndex {
             if (hi.isEmpty) None else Some(hi.toLong),
             nulls.toLong)
         }.toMap
-        (parts(0).toInt, ManifestFile(parts(1), rows, stats))
+        val b64d = java.util.Base64.getDecoder
+        val strStats = rest.filter(_.startsWith("t:")).map { p =>
+          val Array(f, v) = p.stripPrefix("t:").split("=", 2)
+          val Array(lo, hi, nulls) = v.split(",", 3)
+          f -> FileStrStats(
+            if (lo.isEmpty) None else Some(b64d.decode(lo)),
+            if (hi.isEmpty) None else Some(b64d.decode(hi)),
+            nulls.toLong)
+        }.toMap
+        (parts(0).toInt, ManifestFile(parts(1), rows, stats, strStats))
       }
       .groupBy(_._1).map { case (b, fs0) => b -> fs0.map(_._2) }
   }

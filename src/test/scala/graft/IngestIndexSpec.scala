@@ -567,6 +567,47 @@ class IngestIndexSpec extends AnyFunSuite {
     assert(!fileCanMatch(r5to9, Seq(StatCmp("p", "<=", 4))))
   }
 
+  test("string stat bounds: truncation stays sound; refutation follows byte order") {
+    import graft.operators.VectorIndex._
+    def b(s: String) = s.getBytes("UTF-8")
+    // lo prefix-truncation: a prefix sorts <= every extension
+    assert(compareBytes(truncLo(b("a" * 40)), b("a" * 40)) < 0)
+    // hi truncation increments the last kept byte -> still >= original
+    val hi = truncHi(b("abc" + "z" * 40)).get
+    assert(compareBytes(hi, b("abc" + "z" * 40)) > 0)
+    assert(hi.length <= StrStatPrefix)
+    // all-0xFF prefix has no finite sound upper bound
+    assert(truncHi(Array.fill(40)(0xff.toByte)).isEmpty)
+    // short values keep exact bounds
+    assert(truncLo(b("x")).toSeq == b("x").toSeq)
+    assert(truncHi(b("x")).get.toSeq == b("x").toSeq)
+    // extraction: string literals become StatStrCmp
+    val preds = extractStatPreds($"metadata.source" === "web" &&
+      $"metadata.lang" < "fr")
+    assert(preds == Seq(StatStrCmp("source", "=", "web"),
+      StatStrCmp("lang", "<", "fr")))
+    // refutation semantics on a file bounded ["crawl_a", "crawl_z"]
+    def mf(lo: String, hi: String) = ManifestFile("f", Some(10L),
+      strStats = Map("source" -> FileStrStats(Some(b(lo)), Some(b(hi)), 0)))
+    val file = mf("crawl_a", "crawl_z")
+    assert(!fileCanMatch(file, Seq(StatStrCmp("source", "=", "web"))))
+    assert(fileCanMatch(file, Seq(StatStrCmp("source", "=", "crawl_m"))))
+    assert(!fileCanMatch(file, Seq(StatStrCmp("source", "<", "crawl_a"))))
+    assert(fileCanMatch(file, Seq(StatStrCmp("source", "<=", "crawl_a"))))
+    assert(!fileCanMatch(file, Seq(StatStrCmp("source", ">", "crawl_z"))))
+    assert(fileCanMatch(file, Seq(StatStrCmp("source", ">=", "crawl_z"))))
+    // hi=None (unbounded above) never refutes the upper side
+    val unbounded = ManifestFile("f", Some(10L), strStats = Map(
+      "source" -> FileStrStats(Some(b("crawl_a")), None, 0)))
+    assert(fileCanMatch(unbounded, Seq(StatStrCmp("source", "=", "zzzz"))))
+    assert(!fileCanMatch(unbounded, Seq(StatStrCmp("source", "=", "aaaa"))))
+    // all-null string field refutes comparisons and IsNotNull
+    val allNull = ManifestFile("f", Some(10L), strStats = Map(
+      "source" -> FileStrStats(None, None, 10)))
+    assert(!fileCanMatch(allNull, Seq(StatStrCmp("source", "=", "web"))))
+    assert(!fileCanMatch(allNull, Seq(StatNotNull("source"))))
+  }
+
   test("filtered ANN: stats prune never-matching files, pushed filter fills k with 0 escalations") {
     val dir = Files.createTempDirectory("graft_idx_stats").toString
     val root = s"$dir/s"
@@ -606,6 +647,16 @@ class IngestIndexSpec extends AnyFunSuite {
     val res2 = idx.queryApprox(q, 5, shortlist = 16, filter = f2).collect()
     assert(res2.map(_.getString(0)).toSeq == exact.map(_.getString(0)).toSeq)
     assert(idx.lastStatsPrunedFiles == 0)
+    // STRING stats: every file's source bounds are lo=hi="t" — a
+    // wrong-source equality refutes every file outright, while the
+    // right source ANDed with the tag prunes nothing wrongly
+    assert(idx.queryApprox(q, 5, shortlist = 16,
+      filter = Some($"metadata.source" === "u")).count() == 0)
+    assert(idx.lastApproxMode == "exact-stats-refuted")
+    val both = idx.queryApprox(q, 5, shortlist = 16,
+      filter = Some($"metadata.source" === "t" &&
+        $"metadata.priority" === 1)).collect()
+    assert(both.map(_.getString(0)).toSeq == exact.map(_.getString(0)).toSeq)
   }
 
   test("racing upserts: manifest CAS — one wins, the loser retries cleanly, no orphans") {
