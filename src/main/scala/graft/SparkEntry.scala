@@ -275,6 +275,22 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("total_tok"))
   }
 
+  private def rtBm25IdxWrite(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    val out = s"${scratchDir("q175rw")}/pidx"
+    cleanDir(out)
+    graft.operators.InvertedIndex.writeIndex(
+      t(s, dir, "documents"), "doc_id", "text", out, buckets = 32)
+  }
+  private def rtBm25IdxRead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.InvertedIndex.bm25Search(s,
+        s"${scratchDir("q175rw")}/pidx", Seq("vector", "join", "hash"), k = 20)
+      .select($"doc".as("doc_id"),
+        floor($"score" * lit(1000000.0)).cast("long").as("score_u"))
+      .orderBy($"score_u".desc, $"doc_id")
+  }
+
   private def rtXmlWrite(s: SparkSession, dir: String): Unit = {
     import s.implicits._
     events(s, dir)
@@ -320,7 +336,8 @@ object SparkEntry {
       "q91_xml_roundtrip" -> ((rtXmlWrite _, rtXmlRead _)),
       "q144_tar_export" -> ((rtTarWrite _, rtTarRead _)),
       "q155_zorder_skipping" -> ((rtZorderWrite _, rtZorderRead _)),
-      "q163_training_export" -> ((rtExportWrite _, rtExportRead _)))
+      "q163_training_export" -> ((rtExportWrite _, rtExportRead _)),
+      "q175_bm25_indexed" -> ((rtBm25IdxWrite _, rtBm25IdxRead _)))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3225,6 +3242,27 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // BM25 SERVED FROM THE PERSISTED INDEX (r16): q117's scorer and
+    // oracle, but the query reads only the three terms' posting
+    // buckets + the doc-count-sized length sidecar — never the corpus.
+    // Scores are BIT-identical to the in-memory scorer (same
+    // expression shapes, same fold order), so the same micro-unit
+    // floor hash-matches the same DuckDB replay.
+    "q175_bm25_indexed" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.InvertedIndex
+      val tmp = freshScratch("q175") + "/pidx"
+      val docs = t(s, dir, "documents")
+      InvertedIndex.writeIndex(docs.filter($"doc_id" % 2 === 0),
+        "doc_id", "text", tmp, buckets = 32)
+      InvertedIndex.appendIndex(docs.filter($"doc_id" % 2 === 1),
+        "doc_id", "text", tmp)
+      InvertedIndex.bm25Search(s, tmp, Seq("vector", "join", "hash"), k = 20)
+        .select($"doc".as("doc_id"),
+          floor($"score" * lit(1000000.0)).cast("long").as("score_u"))
+        .orderBy($"score_u".desc, $"doc_id")
+    }),
+
     "q161_phrase_search" -> ((s, dir) => {
       import s.implicits._
       import graft.operators.InvertedIndex
@@ -4088,6 +4126,42 @@ object SparkEntry {
     // in an identical order (expression shapes mirrored in
     // TextAnalytics.bm25TopK).
     "q117_bm25_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS dl,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM toks
+        |       WHERE term IN ('vector','join','hash') GROUP BY 1, 2, 3),
+        |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n,
+        |        CAST(SUM(len(list_filter(string_split_regex(lower(text),
+        |          '[^a-z0-9]+'), x -> x <> ''))) AS DOUBLE)
+        |          / CAST(COUNT(*) AS DOUBLE) AS avgdl
+        |      FROM documents),
+        |per AS (
+        |  SELECT doc_id, term,
+        |    ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |        / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf AS DOUBLE) * (1.2 + 1.0)
+        |         / (CAST(tf AS DOUBLE)
+        |            + 1.2 * ((1.0 - 0.75)
+        |                     + 0.75 * CAST(dl AS DOUBLE) / avgdl))) AS s
+        |  FROM tf JOIN dfx USING (term) CROSS JOIN n),
+        |sc AS (
+        |  SELECT doc_id,
+        |    COALESCE(MAX(CASE WHEN term = 'vector' THEN s END), 0) AS s0,
+        |    COALESCE(MAX(CASE WHEN term = 'join' THEN s END), 0) AS s1,
+        |    COALESCE(MAX(CASE WHEN term = 'hash' THEN s END), 0) AS s2
+        |  FROM per GROUP BY 1),
+        |top AS (SELECT doc_id, s0 + s1 + s2 AS score FROM sc
+        |        ORDER BY score DESC, doc_id LIMIT 20)
+        |SELECT doc_id, CAST(FLOOR(score * 1000000.0) AS BIGINT) AS score_u
+        |FROM top ORDER BY score_u DESC, doc_id""".stripMargin,
+
+    "q175_bm25_indexed" ->
       """WITH toks AS (
         |  SELECT doc_id,
         |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),

@@ -49,6 +49,23 @@ object InvertedIndex {
   private def bucketCol(buckets: Int) =
     pmod(xxhash64(col("token")), lit(buckets.toLong)).cast("int").as("_tbkt")
 
+  /** Doc-length sidecar dir: one (doc, dl) row per INPUT doc per batch
+    * — dl from the same tokenization, INCLUDING tokenless docs (dl=0),
+    * so [[bm25Search]]'s corpus stats (N, avgdl) match
+    * [[TextAnalytics.bm25TopK]]'s exactly. Bucketed by doc hash so
+    * erasure rewrites only the victims' buckets; the leading
+    * underscore keeps the subtree invisible to the root postings
+    * scan. Doc-count-sized, never postings-sized. */
+  private def doclensDir(path: String) = s"$path/_doclens"
+
+  private def doclens(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int): DataFrame =
+    df.select(col(idCol).as("doc"),
+        size(filter(split(lower(col(textCol)), "[^a-z0-9]+"),
+          t => t =!= "")).as("dl"))
+      .withColumn("_dbkt",
+        pmod(xxhash64(col("doc")), lit(buckets.toLong)).cast("int"))
+
   /** Build (full rewrite) the persisted postings index at `path`. */
   def writeIndex(df: DataFrame, idCol: String, textCol: String,
       path: String, buckets: Int = 64): Unit = {
@@ -60,11 +77,16 @@ object InvertedIndex {
       // tasks x buckets files
       .repartition(col("_tbkt"))
       .write.mode("overwrite").partitionBy("_tbkt").parquet(path)
+    doclens(df, idCol, textCol, buckets).repartition(col("_dbkt"))
+      .write.mode("overwrite").partitionBy("_dbkt").parquet(doclensDir(path))
     LayoutMeta.overwrite(df.sparkSession, path, Map("buckets" -> buckets))
   }
 
   /** Append a batch's postings to an existing index — the incremental
-    * crawl-ingest form; one new file per touched bucket. */
+    * crawl-ingest form; one new file per touched bucket. Re-ingesting
+    * a CHANGED document requires [[deleteDocs]] first (the update
+    * contract of every append-only index here); bit-identical replays
+    * are harmless — probes and [[bm25Search]] dedupe them. */
   def appendIndex(df: DataFrame, idCol: String, textCol: String,
       path: String, buckets: Int = LayoutMeta.Unspecified): Unit = {
     val bk = LayoutMeta.resolve(df.sparkSession, path,
@@ -73,7 +95,50 @@ object InvertedIndex {
       .withColumn("_tbkt", bucketCol(bk))
       .repartition(col("_tbkt"))
       .write.mode("append").partitionBy("_tbkt").parquet(path)
+    doclens(df, idCol, textCol, bk).repartition(col("_dbkt"))
+      .write.mode("append").partitionBy("_dbkt").parquet(doclensDir(path))
     LayoutMeta.commit(df.sparkSession, path, Map("buckets" -> bk))
+  }
+
+  /** BM25 top-k SERVED FROM THE PERSISTED INDEX — same scorer, same
+    * expression shapes, same fold order as [[TextAnalytics.bm25TopK]]
+    * (scores are bit-identical), but the per-query cost is the query
+    * terms' posting lists plus one scan of the doc-count-sized length
+    * sidecar — never a corpus scan and never a corpus re-tokenization.
+    * The serving shape of lexical retrieval at 100 TB: the corpus pays
+    * tokenization once at ingest. */
+  def bm25Search(spark: org.apache.spark.sql.SparkSession, path: String,
+      terms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75,
+      buckets: Int = LayoutMeta.Unspecified): DataFrame = {
+    TextAnalytics.validateTerms(terms)
+    val pruned = readPostings(spark, path, terms, buckets)
+    val dls = spark.read.parquet(doclensDir(path))
+      .dropDuplicates("doc", "dl") // replayed appends are bit-identical
+      .select(col("doc"), col("dl"))
+    val stats = dls.agg(sum(col("dl").cast("long")).as("_sumdl"),
+      count(lit(1)).as("_n"))
+    val tf = pruned.select(col("doc"), col("token").as("_term"))
+      .groupBy(col("doc"), col("_term")).agg(count(lit(1)).as("_tf"))
+      .join(dls.withColumnRenamed("dl", "_dl"), "doc")
+    val dfreq = tf.groupBy(col("_term")).agg(count(lit(1)).as("_df"))
+    val per = tf.join(broadcast(dfreq), "_term").crossJoin(broadcast(stats))
+      .withColumn("_avgdl",
+        col("_sumdl").cast("double") / col("_n").cast("double"))
+      // expression SHAPES mirror bm25TopK token for token — identical
+      // rounding sequences, so indexed and in-memory scores hash-match
+      .withColumn("_idf",
+        log((col("_n").cast("double") - col("_df").cast("double") + lit(0.5)) /
+          (col("_df").cast("double") + lit(0.5)) + lit(1.0)))
+      .withColumn("_sat",
+        col("_tf").cast("double") * lit(k1 + 1.0) /
+          (col("_tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) +
+              lit(b) * col("_dl").cast("double") / col("_avgdl"))))
+      .withColumn("_s", col("_idf") * col("_sat"))
+    TextAnalytics.foldTermScores(per, "doc", terms)
+      .orderBy(col("score").desc, col("doc"))
+      .limit(k)
+      .select(col("doc"), col("score"))
   }
 
   /** The stored postings of exactly `tokens` — reads only the tokens'
@@ -189,10 +254,41 @@ object InvertedIndex {
     val removed = stored.join(broadcast(ids), "doc").count()
     val survivors = stored.join(broadcast(ids), Seq("doc"), "left_anti")
       .dropDuplicates("doc", "pos", "token")
-    val stage = new Path(path, "_delstage_tmp")
+    replaceDirContents(spark, new Path(path), touched, survivors, "_tbkt")
+    // the doc-length sidecar: rewrite only the victims' doc-hash buckets
+    val dlBase = new Path(doclensDir(path))
+    if (fs.exists(dlBase)) {
+      val dbkts = ids
+        .select(pmod(xxhash64(col("doc")), lit(bk.toLong)).cast("int").as("_dbkt"))
+        .distinct().collect().map(_.getInt(0))
+      val dlTouched = dbkts.map(v => new Path(dlBase, s"_dbkt=$v")).filter(fs.exists(_))
+      if (dlTouched.nonEmpty) {
+        val storedDl = spark.read.option("basePath", dlBase.toString)
+          .parquet(dlTouched.map(_.toString): _*)
+        val dlSurvivors = storedDl.join(broadcast(ids), Seq("doc"), "left_anti")
+          .dropDuplicates("doc", "dl")
+        replaceDirContents(spark, dlBase, dlTouched, dlSurvivors, "_dbkt")
+      }
+    }
+    removed
+  }
+
+  /** Replace `touched` partition dirs' data files with `survivors`'
+    * rows: ONE staging write partitioned by `partCol`, then per dir —
+    * move staged files in under fresh names, delete the listed
+    * originals. A dir with no staged output lost all its rows:
+    * deleting the originals IS the commit. Crash window duplicates,
+    * never loses (probes dedupe on natural keys). */
+  private def replaceDirContents(spark: org.apache.spark.sql.SparkSession,
+      base: org.apache.hadoop.fs.Path,
+      touched: Seq[org.apache.hadoop.fs.Path], survivors: DataFrame,
+      partCol: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = new Path(base, "_delstage_tmp")
     if (fs.exists(stage)) fs.delete(stage, true)
-    survivors.repartition(touched.size, col("_tbkt"))
-      .write.partitionBy("_tbkt").parquet(stage.toString)
+    survivors.repartition(touched.size, col(partCol))
+      .write.partitionBy(partCol).parquet(stage.toString)
     try {
       touched.foreach { dir =>
         val olds = fs.listStatus(dir).toSeq.filter { f =>
@@ -200,8 +296,6 @@ object InvertedIndex {
           f.isFile && !n.startsWith("_") && !n.startsWith(".")
         }
         val part = new Path(stage, dir.getName)
-        // a touched dir with no staged output lost ALL its rows to the
-        // erasure: deleting the originals IS the commit
         if (fs.exists(part)) {
           fs.listStatus(part).map(_.getPath)
             .filter(_.getName.startsWith("part-"))
@@ -214,7 +308,6 @@ object InvertedIndex {
         olds.foreach(f => fs.delete(f.getPath, false))
       }
     } finally fs.delete(stage, true)
-    removed
   }
 
   /** [[phraseSearch]] served from the PERSISTED index: the pruned

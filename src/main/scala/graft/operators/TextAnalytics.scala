@@ -256,7 +256,7 @@ object TextAnalytics {
     * no duplicates (a duplicated term would double-count its score),
     * lowercase (tokens are lowercased before the isin filter, so an
     * uppercase term would silently contribute 0). */
-  private def validateTerms(terms: Seq[String]): Unit = {
+  private[operators] def validateTerms(terms: Seq[String]): Unit = {
     require(terms.nonEmpty, "at least one query term")
     require(terms.distinct.size == terms.size,
       s"duplicate query terms: ${terms.diff(terms.distinct).distinct.mkString(", ")}")
@@ -281,7 +281,7 @@ object TextAnalytics {
     * lambda runs interpreted but touches only its accumulator and
     * element — O(|matched terms|) per doc, no re-evaluated outer
     * expressions (the materialized-token lesson). */
-  private def foldTermScores(per: org.apache.spark.sql.DataFrame, idCol: String,
+  private[operators] def foldTermScores(per: org.apache.spark.sql.DataFrame, idCol: String,
       terms: Seq[String]): org.apache.spark.sql.DataFrame =
     per.withColumn("_ti", array_position(typedLit(terms), col("_term")))
       .groupBy(col(idCol))

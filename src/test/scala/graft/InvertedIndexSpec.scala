@@ -125,6 +125,36 @@ class InvertedIndexSpec extends AnyFunSuite {
       "doc_id", "text", dir) == 0L)
   }
 
+  test("bm25 from the persisted index is bit-identical to the in-memory scorer") {
+    import graft.operators.TextAnalytics
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25idx").toString + "/p"
+    val d = docs(
+      1L -> "vector join hash vector",
+      2L -> "hash hash hash join",
+      3L -> "join the vector space",
+      4L -> "nothing relevant here",
+      5L -> "!!!", // tokenless: dl=0 must still count in N/avgdl
+      6L -> "vector vector vector vector vector join")
+    InvertedIndex.writeIndex(d.filter($"doc_id" <= 3), "doc_id", "text",
+      dir, buckets = 8)
+    InvertedIndex.appendIndex(d.filter($"doc_id" > 3), "doc_id", "text", dir)
+    def direct(df: org.apache.spark.sql.DataFrame) =
+      TextAnalytics.bm25TopK(df, "doc_id", "text",
+        Seq("vector", "join", "hash"), k = 10)
+        .as[(Long, Double)].collect().toSeq
+    def indexed() =
+      InvertedIndex.bm25Search(spark, dir, Seq("vector", "join", "hash"), k = 10)
+        .as[(Long, Double)].collect().toSeq
+    assert(indexed() == direct(d)) // same docs, same ranks, same DOUBLES
+    // a replayed append cannot skew tf, df, N or avgdl
+    InvertedIndex.appendIndex(d.filter($"doc_id" === 6), "doc_id", "text", dir)
+    assert(indexed() == direct(d))
+    // erasure updates the sidecar too: post-delete scores match the
+    // in-memory scorer over the surviving corpus (N, avgdl shrink)
+    InvertedIndex.deleteDocs(d.filter($"doc_id" === 6), "doc_id", "text", dir)
+    assert(indexed() == direct(d.filter($"doc_id" =!= 6)))
+  }
+
   test("kll sidecars: per-batch sketches merge to whole-corpus quantiles within rank error") {
     val dir = java.nio.file.Files.createTempDirectory("kll").toString
     val n = 20000
