@@ -314,9 +314,12 @@ object StreamOps {
     * the ids from the corpus, from the signature SIDECAR (the
     * [[dedupedIngest]] carrier) when present, and from the persisted
     * MinHash INDEX (the [[dedupedIngestIndexed]] carrier) when
-    * `indexPath` is given — after which re-ingesting the same text is
-    * ACCEPTED again, exactly as if it had never been seen (the legal
-    * semantics of erasure, and the spec's contract).
+    * `indexPath` is given, and from a persisted POSTINGS index
+    * ([[graft.operators.InvertedIndex]], searchable text being as much
+    * personal data as the text itself) when `postingsPath` is given —
+    * after which re-ingesting the same text is ACCEPTED again, exactly
+    * as if it had never been seen (the legal semantics of erasure, and
+    * the spec's contract).
     *
     * Cost shape: the corpus/sidecar rewrites are one filtered scan +
     * journaled sibling swap each (the [[healSwap]] machinery — batch
@@ -330,7 +333,8 @@ object StreamOps {
     * removed. */
   def forget(spark: org.apache.spark.sql.SparkSession, corpusPath: String,
       ids: Seq[Long], idCol: String = "doc_id",
-      indexPath: Option[String] = None): Long = {
+      indexPath: Option[String] = None,
+      postingsPath: Option[String] = None, textCol: String = "text"): Long = {
     require(ids.nonEmpty, "no ids to forget")
     import spark.implicits._
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -339,6 +343,23 @@ object StreamOps {
     recoverHealSwap(spark, corpusPath)
     var removed = 0L
     val idSet = ids.map(java.lang.Long.valueOf)
+    // postings index FIRST, while the victims' text is still in the
+    // corpus: InvertedIndex.deleteDocs derives the touched token
+    // buckets from the victims' OWN rows, so running it before the
+    // corpus swap keeps forget rerun-complete — a crash after this
+    // step reruns it as a no-op (victims' postings already gone) and
+    // the corpus swap then proceeds; the reverse order would strand
+    // postings whose source text a completed corpus swap already
+    // erased.
+    postingsPath.filter(exists).foreach { p =>
+      if (exists(corpusPath)) {
+        val victims = spark.read.parquet(corpusPath)
+          .filter(col(idCol).isin(idSet: _*))
+          .select(col(idCol), col(textCol)).localCheckpoint(true)
+        if (!victims.isEmpty)
+          graft.operators.InvertedIndex.deleteDocs(victims, idCol, textCol, p)
+      }
+    }
     if (exists(corpusPath)) {
       val corpus = spark.read.parquet(corpusPath)
       removed = corpus.filter(col(idCol).isin(idSet: _*)).count()

@@ -98,6 +98,47 @@ class ForgetSpec extends AnyFunSuite {
     assert(MinhashIndex.payloadCount(spark, idx) == 9L)
   }
 
+  test("forget reaches the postings index: erased doc unsearchable, census reconciles") {
+    import graft.operators.InvertedIndex
+    val src = Files.createTempDirectory("graft_forgetp_src")
+    val corpus = Files.createTempDirectory("graft_forgetp_c").toString + "/corpus"
+    val pidx = Files.createTempDirectory("graft_forgetp_i").toString + "/pidx"
+    val writeBatch = driver(src)
+    val cp = Files.createTempDirectory("graft_forgetp_cp").toString
+    writeBatch("b1", Seq((1L, text(1)), (2L, text(2)), (3L, text(3))))
+    val q = StreamOps.dedupedIngest(stream(src), corpus)
+      .option("checkpointLocation", cp).start()
+    try { q.processAllAvailable() } finally q.stop()
+    // index the accepted corpus (the serving artifact forget must reach)
+    InvertedIndex.writeIndex(spark.read.parquet(corpus), "doc_id", "text",
+      pidx, buckets = 8)
+    // doc 2's first two tokens as a phrase — present pre-forget (taken
+    // through the ENGINE's tokenizer: the fixture's "w-23" words split
+    // at the minus sign)
+    val phrase = InvertedIndex.postings(
+        spark.read.parquet(corpus).filter($"doc_id" === 2L), "doc_id", "text")
+      .orderBy($"pos").limit(2).select("token").as[String].collect().toSeq
+    def hits(): Set[Long] =
+      InvertedIndex.phraseSearchIndexed(spark, pidx, phrase)
+        .select("doc").as[Long].collect().toSet
+    assert(hits().contains(2L))
+    assert(StreamOps.forget(spark, corpus, Seq(2L),
+      postingsPath = Some(pidx)) == 1L)
+    // erased everywhere: corpus, and the searchable surface
+    assert(!hits().contains(2L))
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 3L))
+    // the postings census reconciles to the surviving corpus exactly
+    val censusTotal = InvertedIndex.censusByBucket(spark, pidx)
+      .agg(sum($"n_postings")).head().getLong(0)
+    assert(censusTotal == InvertedIndex.postings(
+      spark.read.parquet(corpus), "doc_id", "text").count())
+    // rerun of the same forget is a no-op end to end
+    assert(StreamOps.forget(spark, corpus, Seq(2L),
+      postingsPath = Some(pidx)) == 0L)
+    assert(!hits().contains(2L))
+  }
+
   test("index delete: CROSS-dir crash (bands committed, payload not) completes on rerun") {
     import graft.operators.{Dedup, MinhashIndex}
     // delete commits band dirs FIRST and payload dirs LAST, so the only
