@@ -150,6 +150,9 @@ object Bench {
     "q174" -> (0.984, 2.048),
     // q175 write/read phases (1.513 build / 1.231 pruned bm25 query)
     "q175w" -> (1.059, 2.193), "q175r" -> (0.862, 1.812),
+    // q176 first isolated noop measurement (2.397 — two in-order
+    // applyBatches + the bounded late-bucket rebuild + full read)
+    "q176" -> (1.678, 3.386),
     "q13" -> (0.231, 0.596), "q14" -> (0.168, 0.501), "q15" -> (0.217, 0.596),
     "q16" -> (0.175, 0.501), "q17" -> (0.287, 0.717), "q18" -> (0.161, 0.461),
     "q19" -> (0.21, 0.636), "q20" -> (0.322, 0.771), "q21" -> (0.217, 0.622),

@@ -3385,6 +3385,32 @@ object SparkEntry {
     // only touched key-buckets rewrite (spec-asserted), replays drop
     // idempotently — and the maintained store must equal the one-shot
     // rebuild: the oracle is the SAME SQL as q152.
+    // SCD2 LATE-DATA REPAIR (r16): the middle ten days arrive AFTER
+    // the tail — applyBatch rightly drops them as replays (rows older
+    // than closed versions), and applyLate folds them in by rebuilding
+    // ONLY the key-hash buckets holding late keys from the complete
+    // log. The oracle is the full-history build (q156's SQL verbatim):
+    // after the bounded repair, incremental == rebuild must hold.
+    "q176_scd2_late_repair" -> ((s, dir) => {
+      import s.implicits._
+      val ev = events(s, dir).select($"user_id", $"event_id",
+        $"event_type", unix_micros($"ts").as("tsu"))
+        .localCheckpoint(true)
+      val store = freshScratch("q176") + "/versions"
+      val c1 = 1704931200000000L
+      val c2 = 1705795200000000L
+      val late = ev.filter($"tsu" >= c1 && $"tsu" < c2)
+      Seq(ev.filter($"tsu" < c1), ev.filter($"tsu" >= c2))
+        .foreach(b => graft.operators.Scd.applyBatch(b, store,
+          Seq("user_id"), "tsu", "event_id", Seq("event_type")))
+      graft.operators.Scd.applyLate(late, ev, store,
+        Seq("user_id"), "tsu", "event_id", Seq("event_type"))
+      graft.operators.Scd.readVersions(s, store)
+        .select($"user_id", $"event_type", $"valid_from", $"valid_to",
+          $"is_current")
+        .orderBy($"user_id", $"valid_from", $"event_type")
+    }),
+
     "q156_scd2_incremental" -> ((s, dir) => {
       import s.implicits._
       val ev = events(s, dir).select($"user_id", $"event_id",
@@ -5093,6 +5119,21 @@ object SparkEntry {
 
     // identical history whether rebuilt in one shot (q152) or folded
     // in incrementally (q156) — one SQL, two engines' worth of paths
+    "q176_scd2_late_repair" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu
+        |           FROM events),
+        |c AS (SELECT *, lag(event_type) OVER
+        |        (PARTITION BY user_id ORDER BY tsu, event_id) AS prev FROM e),
+        |ch AS (SELECT user_id, event_id, event_type, tsu FROM c
+        |       WHERE prev IS NULL OR event_type IS DISTINCT FROM prev),
+        |v AS (SELECT user_id, event_type, tsu AS valid_from,
+        |        lead(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id)
+        |          AS valid_to
+        |      FROM ch)
+        |SELECT user_id, event_type, valid_from, valid_to,
+        |  valid_to IS NULL AS is_current
+        |FROM v ORDER BY user_id, valid_from, event_type""".stripMargin,
+
     "q156_scd2_incremental" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu
         |           FROM events),
