@@ -153,6 +153,8 @@ object Bench {
     // q176 first isolated noop measurement (2.397 — two in-order
     // applyBatches + the bounded late-bucket rebuild + full read)
     "q176" -> (1.678, 3.386),
+    // q177/q178 first isolated noop measurements (0.387 / 1.113)
+    "q177" -> (0.271, 0.672), "q178" -> (0.779, 1.653),
     "q13" -> (0.231, 0.596), "q14" -> (0.168, 0.501), "q15" -> (0.217, 0.596),
     "q16" -> (0.175, 0.501), "q17" -> (0.287, 0.717), "q18" -> (0.161, 0.461),
     "q19" -> (0.21, 0.636), "q20" -> (0.322, 0.771), "q21" -> (0.217, 0.622),

@@ -3391,6 +3391,53 @@ object SparkEntry {
     // ONLY the key-hash buckets holding late keys from the complete
     // log. The oracle is the full-history build (q156's SQL verbatim):
     // after the bounded repair, incremental == rebuild must hold.
+    // TOKEN-BUDGET MIXTURE SAMPLING (r16): the unit data recipes are
+    // written in — per language, take documents in the deterministic
+    // Knuth-hash order until the token budget fills (crossing doc
+    // kept). The whole selection — hash order, integer cumsum, budget
+    // line — replays in DuckDB, so membership hash-matches exactly;
+    // langs absent from the recipe drop.
+    "q177_token_budget_mixture" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select($"doc_id", $"lang",
+          size(filter(split(lower($"text"), "[^a-z0-9]+"), x => x =!= ""))
+            .cast("long").as("n_tok"))
+      graft.operators.Sampling.tokenBudgetSample(docs, "lang", "doc_id",
+          "n_tok", Map("en" -> 4000L, "fr" -> 1500L, "zh" -> 2500L))
+        .select($"lang", $"doc_id", $"n_tok")
+        .orderBy($"lang", $"doc_id")
+    }),
+
+    // FREQUENT-ITEMS SKETCH SIDECARS (r16, the fourth mergeable sketch
+    // family — heavy hitters for skew diagnosis): per-lang token
+    // sketches built over two disjoint batches, persisted, merged;
+    // the per-lang vocabulary fits the sketch's exact regime, so
+    // maxError must be 0 and the full (lang, token, n) relation
+    // hash-matches the exact DuckDB counts — a merge or serde bug
+    // shifts a count and fails the gate.
+    "q178_frequent_items" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.FrequentItems
+      val toks = t(s, dir, "documents")
+        .select($"doc_id", $"lang", explode(filter(
+          split(lower($"text"), "[^a-z0-9]+"), x => x =!= "")).as("token"))
+      val tmp = freshScratch("q178")
+      FrequentItems.sketch(toks.filter($"doc_id" % 2 === 0), "lang", "token")
+        .write.parquet(s"$tmp/b0")
+      FrequentItems.sketch(toks.filter($"doc_id" % 2 === 1), "lang", "token")
+        .write.parquet(s"$tmp/b1")
+      val merged = FrequentItems.merge(s.read.parquet(s"$tmp/b*"), "lang")
+        .as[(String, Array[Byte])].collect()
+      val rows = merged.flatMap { case (lang, bytes) =>
+        require(FrequentItems.maxError(bytes) == 0L,
+          s"vocab outgrew the exact regime for $lang")
+        FrequentItems.items(bytes, noFalseNegatives = true)
+          .map { case (tok, est, _, _) => (lang, tok, est) }
+      }
+      rows.toSeq.toDF("lang", "token", "n").orderBy($"lang", $"token")
+    }),
+
     "q176_scd2_late_repair" -> ((s, dir) => {
       import s.implicits._
       val ev = events(s, dir).select($"user_id", $"event_id",
@@ -5119,6 +5166,30 @@ object SparkEntry {
 
     // identical history whether rebuilt in one shot (q152) or folded
     // in incrementally (q156) — one SQL, two engines' worth of paths
+    "q177_token_budget_mixture" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents WHERE lang IN ('en', 'fr', 'zh')),
+        |o AS (SELECT *,
+        |    SUM(n_tok) OVER (PARTITION BY lang
+        |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    CASE lang WHEN 'en' THEN 4000 WHEN 'fr' THEN 1500
+        |      ELSE 2500 END AS budget
+        |  FROM d)
+        |SELECT lang, doc_id, n_tok FROM o
+        |WHERE cum - n_tok < budget
+        |ORDER BY lang, doc_id""".stripMargin,
+
+    "q178_frequent_items" ->
+      """WITH toks AS (SELECT lang,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS token
+        |  FROM documents)
+        |SELECT lang, token, COUNT(*) AS n FROM toks
+        |GROUP BY 1, 2 ORDER BY lang, token""".stripMargin,
+
     "q176_scd2_late_repair" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu
         |           FROM events),

@@ -79,4 +79,44 @@ object Sampling {
       .orderBy(mixHash(col(idCol)), col(idCol))
     df.withColumn("pos", row_number().over(w)).filter(col("pos") <= n)
   }
+
+  /** TOKEN-BUDGET mixture sampling — the unit training mixtures are
+    * actually specified in. [[mixtureSample]] fixes a rate and
+    * [[stratifiedTopN]] a document count, but a data recipe says
+    * "30 B tokens of web, 5 B of code": per group, take documents in
+    * the deterministic hash order until the group's TOKEN budget is
+    * reached — the first document that crosses the line is kept (the
+    * greedy-fill convention: every budget is met, overshoot is at most
+    * one document), everything after it drops. Deterministic and
+    * engine-replayable end to end (Knuth hash order + one integer
+    * cumulative sum), so reruns, incremental refreshes and the DuckDB
+    * oracle pick the SAME documents; a raised budget KEEPS the
+    * previous sample as a prefix (the monotonicity that makes mixture
+    * re-weighting cache-friendly).
+    *
+    * `budgets`: group value (as string) -> token budget; groups absent
+    * from the map are dropped entirely (an explicit recipe, not a
+    * passthrough). Plan: one window cumsum per group over the hash
+    * order — parallel across groups; within a heavy group the ordered
+    * window funnels, which is fine for recipe-sized group counts (a
+    * per-group range-partitioned prefix sum is the documented scale
+    * path if a single group's candidate set outgrows a task). */
+  def tokenBudgetSample(df: DataFrame, groupCol: String, idCol: String,
+      tokCol: String, budgets: Map[String, Long]): DataFrame = {
+    require(budgets.nonEmpty, "empty mixture recipe")
+    require(budgets.values.forall(_ > 0), "budgets must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(mixHash(col(idCol)), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val budgetCol = element_at(typedLit(budgets), col(groupCol).cast("string"))
+    df.filter(col(groupCol).cast("string").isin(budgets.keys.toSeq: _*))
+      .withColumn("_cum", sum(col(tokCol).cast("long")).over(w))
+      // keep while the PRIOR total is under budget: the crossing doc
+      // is included, so the budget is always met when the group has
+      // enough tokens
+      .filter(col("_cum") - col(tokCol).cast("long") < budgetCol)
+      .drop("_cum")
+  }
 }

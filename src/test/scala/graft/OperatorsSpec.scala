@@ -630,4 +630,75 @@ class OperatorsSpec extends AnyFunSuite {
     val phys = got.queryExecution.executedPlan.toString
     assert(phys.contains("WindowGroupLimit"), phys.take(2000))
   }
+
+  test("Sampling.tokenBudgetSample: greedy fill in hash order, budget prefix-monotone") {
+    val rows = ((0L until 200L).map(i => (i, "web", 100L)) ++
+      (1000L until 1040L).map(i => (i, "code", 250L)) ++
+      (2000L until 2010L).map(i => (i, "books", 50L))).toDF("id", "src", "tok")
+    def run(b: Map[String, Long]): Map[String, Seq[Long]] =
+      graft.operators.Sampling.tokenBudgetSample(rows, "src", "id", "tok", b)
+        .select($"src", $"id").as[(String, Long)].collect()
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted.toSeq }
+    val b1 = Map("web" -> 1000L, "code" -> 1999L)
+    val got = run(b1)
+    // budgets met with at most one crossing doc of overshoot
+    assert(got("web").size == 10)   // 10 x 100 == budget exactly
+    assert(got("code").size == 8)   // 7 x 250 = 1750 < 1999 -> 8th crosses
+    assert(!got.contains("books"), "groups absent from the recipe drop")
+    // membership is the hash-order prefix any engine replays
+    def hashOrder(ids: Seq[Long]): Seq[Long] =
+      ids.sortBy(i => (((i * 2654435761L) % 4294967296L + 4294967296L) % 4294967296L, i))
+    assert(got("web").sorted == hashOrder(0L until 200L).take(10).sorted)
+    // a raised budget keeps the previous sample as a PREFIX
+    val got2 = run(Map("web" -> 2500L, "code" -> 1999L))
+    assert(got("web").toSet.subsetOf(got2("web").toSet))
+    assert(got2("web").size == 25)
+    // a group with fewer tokens than its budget keeps everything
+    assert(run(Map("books" -> 100000L))("books").size == 10)
+    // deterministic across partitionings
+    assert(run(b1) == {
+      val re = graft.operators.Sampling.tokenBudgetSample(
+        rows.repartition(7), "src", "id", "tok", b1)
+      re.select($"src", $"id").as[(String, Long)].collect()
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted.toSeq }
+    })
+  }
+
+  test("FrequentItems: exact under capacity, bounds hold, sidecars merge, NFN covers truth") {
+    import graft.operators.FrequentItems
+    // skewed stream: item frequencies 1..60 over two groups
+    val rows = (1 to 60).flatMap(f => (0 until f).map(c => (s"item$f", "g" + (f % 2))))
+      .toDF("v", "g")
+    val exact = rows.groupBy($"g", $"v").count()
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(t => t._2 -> t._3).toMap }
+    // two disjoint batch sidecars persist, then merge == whole
+    val dir = java.nio.file.Files.createTempDirectory("graft_freq").toString
+    FrequentItems.sketch(rows.filter($"v" <= "item3"), "g", "v")
+      .write.parquet(dir + "/b0")
+    FrequentItems.sketch(rows.filter($"v" > "item3"), "g", "v")
+      .write.parquet(dir + "/b1")
+    val merged = FrequentItems.merge(spark.read.parquet(dir + "/b*"), "g")
+      .as[(String, Array[Byte])].collect().toMap
+    merged.foreach { case (g, bytes) =>
+      // 60 distinct items << 0.75 * 1024 -> the sketch is EXACT
+      assert(FrequentItems.maxError(bytes) == 0L, s"group $g not exact")
+      val items = FrequentItems.items(bytes, noFalseNegatives = true)
+      assert(items.map(t => t._1 -> t._2).toMap == exact(g))
+      // published bound shape: estimate within [lb, ub]
+      items.foreach { case (_, est, lb, ub) => assert(lb <= est && est <= ub) }
+      assert(FrequentItems.streamLength(bytes) == exact(g).values.sum)
+    }
+    // approximation regime: tiny map, heavy hitter must survive with
+    // its bounds containing the true count
+    val skew = ((0 until 5000).map(_ => "hot") ++
+      (0 until 2000).map(i => s"cold$i")).toDF("v").withColumn("g", lit("x"))
+    val sk = FrequentItems.sketch(skew, "g", "v", maxMapSize = 64)
+      .as[(String, Array[Byte])].collect().head._2
+    val hot = FrequentItems.items(sk, noFalseNegatives = false)
+      .find(_._1 == "hot")
+    assert(hot.isDefined, "the dominant item must be provably frequent")
+    assert(hot.get._3 <= 5000L && 5000L <= hot.get._4,
+      s"true count outside [lb, ub]: $hot")
+  }
 }
