@@ -190,35 +190,44 @@ object InvertedIndex {
         val n = f.getPath.getName
         f.isFile && !n.startsWith("_") && !n.startsWith(".")
       }
-    val flagged = fs.globStatus(new Path(root, "_tbkt=*")).toSeq
-      .map(_.getPath).filter(d => d.getName.matches("_tbkt=\\d+") &&
-        dataFiles(d).size > minFiles)
-    if (flagged.isEmpty) return 0
-    val tmp = new Path(root, "_compact_tmp")
-    if (fs.exists(tmp)) fs.delete(tmp, true) // stale from a prior crash
-    spark.read.option("basePath", path)
-      .parquet(flagged.map(_.toString): _*)
-      .dropDuplicates("doc", "pos", "token") // self-cleaning, like every rewrite
-      .repartition(flagged.size, col("_tbkt"))
-      .write.partitionBy("_tbkt").parquet(tmp.toString)
-    var compacted = 0
-    flagged.foreach { dir =>
-      val olds = dataFiles(dir)
-      val newDir = new Path(tmp, dir.getName)
-      val moves =
-        if (fs.exists(newDir)) dataFiles(newDir).map { f =>
-          fs.rename(f.getPath, new Path(dir, "compact-" + f.getPath.getName))
+    def compactPass(base: Path, dirPattern: String, dirRe: String,
+        partCol: String, dedupKeys: Seq[String]): Int = {
+      if (!fs.exists(base)) return 0
+      val flagged = fs.globStatus(new Path(base, dirPattern)).toSeq
+        .map(_.getPath).filter(d => d.getName.matches(dirRe) &&
+          dataFiles(d).size > minFiles)
+      if (flagged.isEmpty) return 0
+      val tmp = new Path(base, "_compact_tmp")
+      if (fs.exists(tmp)) fs.delete(tmp, true) // stale from a prior crash
+      spark.read.option("basePath", base.toString)
+        .parquet(flagged.map(_.toString): _*)
+        .dropDuplicates(dedupKeys.head, dedupKeys.tail: _*) // self-cleaning
+        .repartition(flagged.size, col(partCol))
+        .write.partitionBy(partCol).parquet(tmp.toString)
+      var compacted = 0
+      flagged.foreach { dir =>
+        val olds = dataFiles(dir)
+        val newDir = new Path(tmp, dir.getName)
+        val moves =
+          if (fs.exists(newDir)) dataFiles(newDir).map { f =>
+            fs.rename(f.getPath, new Path(dir, "compact-" + f.getPath.getName))
+          }
+          else Seq.empty[Boolean]
+        // originals go ONLY when every replacement landed (rename
+        // returns false on races) — a partial move leaves duplicates,
+        // never a gap
+        if (moves.nonEmpty && moves.forall(identity)) {
+          olds.foreach(f => fs.delete(f.getPath, false))
+          compacted += 1
         }
-        else Seq.empty[Boolean]
-      // originals go ONLY when every replacement landed (rename returns
-      // false on races) — a partial move leaves duplicates, never a gap
-      if (moves.nonEmpty && moves.forall(identity)) {
-        olds.foreach(f => fs.delete(f.getPath, false))
-        compacted += 1
       }
+      fs.delete(tmp, true)
+      compacted
     }
-    fs.delete(tmp, true)
-    compacted
+    compactPass(root, "_tbkt=*", "_tbkt=\\d+", "_tbkt",
+      Seq("doc", "pos", "token")) +
+      compactPass(new Path(doclensDir(path)), "_dbkt=*", "_dbkt=\\d+",
+        "_dbkt", Seq("doc", "dl"))
   }
 
   /** Erase documents' postings — the right-to-be-forgotten reach into

@@ -429,9 +429,19 @@ object StreamOps {
     else batch.withColumn(idCol,
       coalesce(col(idCol).cast("long"), xxhash64(col(contentCol))))
 
+  /** `postingsPath`: maintain a persisted positional postings index
+    * ([[graft.operators.InvertedIndex]]) over the ACCEPTED docs — the
+    * searchable-text surface next to the dedup sidecar. Appended
+    * BEFORE the corpus append: a crash between the two replays the
+    * batch (ids not yet in the corpus gate), re-appending postings as
+    * bit-identical duplicates that probes dedupe and compaction
+    * removes — the reverse order would strand accepted docs
+    * permanently unindexed (the replay drops them as id reuse and
+    * never re-derives their postings). */
   def dedupedIngest(docs: DataFrame, corpusPath: String,
       idCol: String = "doc_id", textCol: String = "text",
-      ensureIds: Boolean = false)
+      ensureIds: Boolean = false,
+      postingsPath: Option[String] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val sigPath = corpusPath + "_sig"
     // Integrity (double-append heal + sidecar freshness) is verified ONCE
@@ -521,6 +531,10 @@ object StreamOps {
             (fresh.join(drops, fresh(idCol).cast("long") === drops("_drop"), "left_anti"),
               prep.join(drops, prep("_id") === drops("_drop"), "left_anti"))
           }
+        postingsPath.foreach { p =>
+          graft.operators.InvertedIndex.appendIndex(
+            accepted.select(col(idCol), col(textCol)), idCol, textCol, p)
+        }
         accepted.select(col(idCol), col(textCol))
           .write.mode("append").parquet(corpusPath)
         acceptedSig.write.mode("append").parquet(sigPath)

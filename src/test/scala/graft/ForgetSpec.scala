@@ -98,6 +98,46 @@ class ForgetSpec extends AnyFunSuite {
     assert(MinhashIndex.payloadCount(spark, idx) == 9L)
   }
 
+  test("streaming ingest maintains the postings index; dropped near-dups are never indexed") {
+    import graft.operators.InvertedIndex
+    val src = Files.createTempDirectory("graft_pidx_src")
+    val corpus = Files.createTempDirectory("graft_pidx_c").toString + "/corpus"
+    val pidx = Files.createTempDirectory("graft_pidx_i").toString + "/pidx"
+    val writeBatch = driver(src)
+    val cp = Files.createTempDirectory("graft_pidx_cp").toString
+    writeBatch("b1", Seq((1L, text(1)), (2L, text(2))))
+    val q = StreamOps.dedupedIngest(stream(src), corpus,
+      postingsPath = Some(pidx)).option("checkpointLocation", cp).start()
+    try {
+      q.processAllAvailable()
+      // batch 2: one genuinely new doc + one near-dup of doc 1 (drops)
+      writeBatch("b2", Seq((7L, text(7)), (9L, text(1))))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L, 7L))
+    // accepted docs are searchable; the dropped near-dup never indexed
+    def firstPhrase(id: Long): Seq[String] =
+      InvertedIndex.postings(spark.read.parquet(corpus)
+          .filter($"doc_id" === id), "doc_id", "text")
+        .orderBy($"pos").limit(2).select("token").as[String].collect().toSeq
+    assert(InvertedIndex.phraseSearchIndexed(spark, pidx, firstPhrase(7L))
+      .select("doc").as[Long].collect().toSet.contains(7L))
+    assert(spark.read.parquet(pidx).select("doc").distinct().as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L, 7L))
+    // census reconciles to exactly the accepted corpus' postings
+    val censusTotal = InvertedIndex.censusByBucket(spark, pidx)
+      .agg(sum($"n_postings")).head().getLong(0)
+    assert(censusTotal == InvertedIndex.postings(
+      spark.read.parquet(corpus), "doc_id", "text").count())
+    // bm25 over the streamed index matches the in-memory scorer
+    val terms = firstPhrase(2L)
+    assert(InvertedIndex.bm25Search(spark, pidx, terms.distinct, 5)
+        .as[(Long, Double)].collect().toSeq ==
+      graft.operators.TextAnalytics.bm25TopK(spark.read.parquet(corpus),
+        "doc_id", "text", terms.distinct, 5).as[(Long, Double)].collect().toSeq)
+  }
+
   test("forget reaches the postings index: erased doc unsearchable, census reconciles") {
     import graft.operators.InvertedIndex
     val src = Files.createTempDirectory("graft_forgetp_src")
