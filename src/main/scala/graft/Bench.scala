@@ -145,9 +145,11 @@ object Bench {
     // q173 first isolated noop measurement (2.030 — index build + tag
     // upsert + stats-pruned filtered probe + exact cross-check)
     "q173" -> (1.421, 2.891),
-    // q174 first isolated noop measurement (1.406 — postings build in
-    // two appends + pruned phrase probe)
-    "q174" -> (0.984, 2.048),
+    // q174 re-based after the doc-length sidecar landed (each of the
+    // two appends now also writes doclens — two extra small write jobs,
+    // which dominate at bench scale and vanish at corpus scale where
+    // the postings write dwarfs them): suite 2.200 / isolated 2.496
+    "q174" -> (1.540, 3.520),
     // q175 write/read phases (1.513 build / 1.231 pruned bm25 query)
     "q175w" -> (1.059, 2.193), "q175r" -> (0.862, 1.812),
     // q176 first isolated noop measurement (2.397 — two in-order
@@ -155,6 +157,8 @@ object Bench {
     "q176" -> (1.678, 3.386),
     // q177/q178 first isolated noop measurements (0.387 / 1.113)
     "q177" -> (0.271, 0.672), "q178" -> (0.779, 1.653),
+    // q179 first isolated noop measurement (0.673)
+    "q179" -> (0.471, 1.059),
     "q13" -> (0.231, 0.596), "q14" -> (0.168, 0.501), "q15" -> (0.217, 0.596),
     "q16" -> (0.175, 0.501), "q17" -> (0.287, 0.717), "q18" -> (0.161, 0.461),
     "q19" -> (0.21, 0.636), "q20" -> (0.322, 0.771), "q21" -> (0.217, 0.622),

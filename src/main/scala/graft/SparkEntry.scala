@@ -3397,6 +3397,27 @@ object SparkEntry {
     // kept). The whole selection — hash order, integer cumsum, budget
     // line — replays in DuckDB, so membership hash-matches exactly;
     // langs absent from the recipe drop.
+    // DISTRIBUTION DRIFT via PSI (r16): early-ship vs late-ship price
+    // distributions over 10 exact equi-depth reference bins — the full
+    // per-bin relation (counts + micro-unit-floored term) hash-matches
+    // a DuckDB replay of the ntile edges, the v>edge assignment rule,
+    // the add-one smoothing and the ln term (the q117 ln precedent).
+    // The KLL-sidecar scale path is spec-held against this exact form.
+    "q179_psi_drift" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem").select(
+        $"l_extendedprice".cast("double").as("v"),
+        ($"l_orderkey" * 10 + $"l_linenumber").cast("long").as("tie"),
+        $"l_shipdate")
+      val cut = lit("1996-01-01").cast("timestamp")
+      graft.operators.DataProfile.psiBins(
+          li.filter($"l_shipdate" < cut), li.filter($"l_shipdate" >= cut),
+          "v", "tie", 10)
+        .select($"bin".cast("long").as("bin"), $"n_ref", $"n_cur",
+          floor($"psi_term" * lit(1000000.0)).cast("long").as("psi_u"))
+        .orderBy($"bin")
+    }),
+
     "q177_token_budget_mixture" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
@@ -5166,6 +5187,30 @@ object SparkEntry {
 
     // identical history whether rebuilt in one shot (q152) or folded
     // in incrementally (q156) — one SQL, two engines' worth of paths
+    "q179_psi_drift" ->
+      """WITH r AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+        |    l_orderkey * 10 + l_linenumber AS tie FROM lineitem
+        |  WHERE l_shipdate < TIMESTAMP '1996-01-01'),
+        |c AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'),
+        |b AS (SELECT v, ntile(10) OVER (ORDER BY v, tie) AS bin FROM r),
+        |e AS (SELECT max(v) AS edge FROM b WHERE bin < 10 GROUP BY bin),
+        |ra AS (SELECT bin, COUNT(*) AS n_ref FROM b GROUP BY bin),
+        |asg AS (SELECT 1 + (SELECT COUNT(*) FROM e WHERE c.v > e.edge)
+        |          AS bin FROM c),
+        |cb AS (SELECT bin, COUNT(*) AS n_cur FROM asg GROUP BY bin),
+        |tot AS (SELECT (SELECT COUNT(*) FROM r) AS nr,
+        |               (SELECT COUNT(*) FROM c) AS nc),
+        |j AS (SELECT ra.bin, ra.n_ref, COALESCE(cb.n_cur, 0) AS n_cur
+        |      FROM ra LEFT JOIN cb USING (bin)),
+        |t AS (SELECT bin, n_ref, n_cur,
+        |        (CAST(n_ref AS DOUBLE) + 1.0) / (CAST(nr AS DOUBLE) + 10.0) AS pa,
+        |        (CAST(n_cur AS DOUBLE) + 1.0) / (CAST(nc AS DOUBLE) + 10.0) AS pb
+        |      FROM j CROSS JOIN tot)
+        |SELECT bin, n_ref, n_cur,
+        |  CAST(FLOOR((pa - pb) * ln(pa / pb) * 1000000.0) AS BIGINT) AS psi_u
+        |FROM t ORDER BY bin""".stripMargin,
+
     "q177_token_budget_mixture" ->
       """WITH d AS (SELECT doc_id, lang,
         |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),

@@ -126,6 +126,78 @@ object DataProfile {
       .head().getSeq[Double](0).toArray
   }
 
+  /** POPULATION STABILITY INDEX between a REFERENCE batch and a
+    * CURRENT batch — the standard drift metric over equi-depth
+    * reference bins ("did this week's crawl shift against last
+    * week's"). Bin edges come from the reference's EXACT [[
+    * equiDepthBins]] (the deterministic gate tool; [[psiFromKll]] is
+    * the sketch-sidecar scale path), current rows are assigned by the
+    * shared `v > edge` counting rule, and each bin contributes
+    * (pa - pb) * ln(pa / pb) with add-one smoothing — so empty bins
+    * are finite and the whole per-bin relation replays in SQL (the
+    * q117 precedent: ln agreed across engines there; the micro-unit
+    * floor in the gate absorbs any residual ulp).
+    *
+    * Output: one row per bin (bin, n_ref, n_cur, psi_term double);
+    * PSI = sum(psi_term). Rule of thumb: < 0.1 stable, > 0.25 shifted. */
+  def psiBins(ref: DataFrame, cur: DataFrame, valueCol: String,
+      tieCol: String, nBins: Int): DataFrame = {
+    require(nBins >= 2, "nBins must be >= 2")
+    val binned = equiDepthBins(ref, valueCol, tieCol, nBins)
+      .select(col("bin"), col("n").as("n_ref"), col("hi"))
+      .localCheckpoint(true)
+    val rows = binned.orderBy(col("bin")).collect()
+    require(rows.length == nBins,
+      s"reference too small for $nBins bins (got ${rows.length})")
+    val edges = rows.dropRight(1)
+      .map(r => r.get(r.fieldIndex("hi")).toString.toDouble)
+    // bin(v) = 1 + |{edges < v}| — identical counting in the SQL replay
+    val assign = edges.foldLeft(lit(1)) { (acc, e) =>
+      acc + when(col(valueCol).cast("double") > lit(e), 1).otherwise(0)
+    }
+    val curCounts = cur.filter(col(valueCol).isNotNull)
+      .withColumn("bin", assign)
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_cur"))
+    val nRef = rows.map(_.getLong(1)).sum
+    val nCurTotal = cur.filter(col(valueCol).isNotNull).count()
+    binned.select(col("bin"), col("n_ref"))
+      .join(curCounts, Seq("bin"), "left")
+      .na.fill(0L, Seq("n_cur"))
+      .withColumn("_pa", (col("n_ref").cast("double") + lit(1.0)) /
+        lit(nRef.toDouble + nBins))
+      .withColumn("_pb", (col("n_cur").cast("double") + lit(1.0)) /
+        lit(nCurTotal.toDouble + nBins))
+      .withColumn("psi_term", (col("_pa") - col("_pb")) * log(col("_pa") / col("_pb")))
+      .select(col("bin"), col("n_ref"), col("n_cur"), col("psi_term"))
+  }
+
+  /** PSI from two persisted KLL sketch sidecars — the at-scale drift
+    * check: "this batch vs the whole corpus so far" costs two KB blobs
+    * and no scan of either side. Edges are the reference sketch's
+    * quantiles; each side's bin mass comes from its own rank function;
+    * the same add-one-style smoothing keeps empty bins finite. Within
+    * the sketches' published rank error of the exact [[psiBins]]. */
+  def psiFromKll(refSketch: Array[Byte], curSketch: Array[Byte],
+      nBins: Int): Double = {
+    require(nBins >= 2, "nBins must be >= 2")
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
+    import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
+    val r = KllDoublesSketch.wrap(Memory.wrap(refSketch))
+    val c = KllDoublesSketch.wrap(Memory.wrap(curSketch))
+    val edges = (1 until nBins).map(i =>
+      r.getQuantile(i.toDouble / nBins, QuantileSearchCriteria.INCLUSIVE))
+    def masses(s: KllDoublesSketch): Seq[Double] = {
+      val n = s.getN.toDouble
+      val cum = edges.map(e =>
+        s.getRank(e, QuantileSearchCriteria.INCLUSIVE) * n) :+ n
+      val raw = cum.zip(0.0 +: cum.dropRight(1)).map { case (hi2, lo2) => hi2 - lo2 }
+      raw.map(m => (m + 1.0) / (n + nBins))
+    }
+    masses(r).zip(masses(c))
+      .map { case (pa, pb) => (pa - pb) * math.log(pa / pb) }.sum
+  }
+
   /** Union per-batch [[profileSketch]] rows into the whole-corpus
     * profile: counts sum, typed min/max fold, HLL sketches union —
     * no old batch is ever rescanned. Output shape matches

@@ -96,4 +96,48 @@ class DataProfileSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(exactPlan.contains("Expand"))
   }
+
+  test("psiBins: ~0 on identical distributions, large on a shift, finite on empty bins") {
+    import org.apache.spark.sql.functions._
+    val ref = spark.range(0, 4000)
+      .select(($"id" % 1000).cast("double").as("v"), $"id".as("tie"))
+    def psi(cur: org.apache.spark.sql.DataFrame): Double =
+      DataProfile.psiBins(ref, cur, "v", "tie", 10)
+        .agg(sum($"psi_term")).head().getDouble(0)
+    // same generator, different ids -> same distribution
+    val same = spark.range(4000, 8000)
+      .select(($"id" % 1000).cast("double").as("v"), $"id".as("tie"))
+    assert(math.abs(psi(same)) < 0.01, s"identical dist drifted: ${psi(same)}")
+    // hard shift: all mass in the top fifth of the reference range
+    val shifted = spark.range(0, 4000)
+      .select((lit(800.0) + ($"id" % 200).cast("double")).as("v"), $"id".as("tie"))
+    assert(psi(shifted) > 0.25, s"shift not detected: ${psi(shifted)}")
+    // empty current bins stay finite (add-one smoothing), one row/bin
+    val terms = DataProfile.psiBins(ref, shifted, "v", "tie", 10)
+      .select($"bin", $"psi_term").collect()
+    assert(terms.length == 10 && terms.forall(r => !r.getDouble(1).isNaN &&
+      !r.getDouble(1).isInfinite))
+  }
+
+  test("psiFromKll tracks the exact PSI within sketch rank error") {
+    import org.apache.spark.sql.functions._
+    val ref = spark.range(0, 20000)
+      .select(($"id" % 1000).cast("double").as("v"), $"id".as("tie"),
+        lit("g").as("k"))
+    val shifted = spark.range(0, 20000)
+      .select((($"id" % 1000) * lit(2)).cast("double").as("v"), $"id".as("tie"),
+        lit("g").as("k"))
+    def sk(df: org.apache.spark.sql.DataFrame): Array[Byte] =
+      graft.operators.KllQuantiles.sketch(df, "k", "v")
+        .collect().head.getAs[Array[Byte]]("sketch")
+    val refSk = sk(ref)
+    // identical sketches -> PSI ~ 0
+    assert(math.abs(DataProfile.psiFromKll(refSk, sk(ref), 10)) < 0.01)
+    val approx = DataProfile.psiFromKll(refSk, sk(shifted), 10)
+    val exact = DataProfile.psiBins(ref, shifted, "v", "tie", 10)
+      .agg(sum($"psi_term")).head().getDouble(0)
+    assert(math.abs(approx - exact) < 0.08,
+      s"sketch PSI $approx too far from exact $exact")
+    assert(approx > 0.25, "sketch path must still flag the shift")
+  }
 }
