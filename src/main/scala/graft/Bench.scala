@@ -150,8 +150,11 @@ object Bench {
     // which dominate at bench scale and vanish at corpus scale where
     // the postings write dwarfs them): suite 2.200 / isolated 2.496
     "q174" -> (1.540, 3.520),
-    // q175 write/read phases (1.513 build / 1.231 pruned bm25 query)
-    "q175w" -> (1.059, 2.193), "q175r" -> (0.862, 1.812),
+    // q175 write/read phases; read re-based after dl was denormalized
+    // into the postings rows (1.231 -> 0.655: the per-query join
+    // against the whole doc population is gone — a regression back to
+    // it must flag)
+    "q175w" -> (0.709, 2.193), "q175r" -> (0.458, 1.034),
     // q176 first isolated noop measurement (2.397 — two in-order
     // applyBatches + the bounded late-bucket rebuild + full read)
     "q176" -> (1.678, 3.386),

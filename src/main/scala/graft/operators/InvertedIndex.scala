@@ -66,11 +66,29 @@ object InvertedIndex {
       .withColumn("_dbkt",
         pmod(xxhash64(col("doc")), lit(buckets.toLong)).cast("int"))
 
+  /** Stored postings carry the owning doc's token count (`dl`)
+    * DENORMALIZED on every row (+4 bytes/posting): [[bm25Search]] then
+    * needs no join against the doc-count-sized length table — at
+    * corpus scale that join shuffles every (doc, dl) pair per query,
+    * while the denormalized column rides the already-pruned postings
+    * read for free. The sidecar still exists for what postings cannot
+    * answer: corpus totals (N, sum dl — including dl=0 docs that have
+    * no postings at all) and per-doc erasure. */
+  private def postingsWithDl(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol).as("doc"),
+        filter(split(lower(col(textCol)), "[^a-z0-9]+"),
+          t => t =!= "").as("_toks"))
+      .select(col("doc"), size(col("_toks")).as("dl"),
+        posexplode(col("_toks")))
+      .select(col("doc"), (col("pos") + 1).as("pos"), col("col").as("token"),
+        col("dl"))
+
   /** Build (full rewrite) the persisted postings index at `path`. */
   def writeIndex(df: DataFrame, idCol: String, textCol: String,
       path: String, buckets: Int = 64): Unit = {
     require(buckets >= 1, "buckets must be >= 1")
-    postings(df, idCol, textCol)
+    postingsWithDl(df, idCol, textCol)
       .withColumn("_tbkt", bucketCol(buckets))
       // one narrow shuffle on the partition column buys ONE file per
       // bucket directory; a direct partitionBy write emits up to
@@ -91,7 +109,7 @@ object InvertedIndex {
       path: String, buckets: Int = LayoutMeta.Unspecified): Unit = {
     val bk = LayoutMeta.resolve(df.sparkSession, path,
       Map("buckets" -> buckets), Map("buckets" -> 64))("buckets")
-    postings(df, idCol, textCol)
+    postingsWithDl(df, idCol, textCol)
       .withColumn("_tbkt", bucketCol(bk))
       .repartition(col("_tbkt"))
       .write.mode("append").partitionBy("_tbkt").parquet(path)
@@ -111,15 +129,18 @@ object InvertedIndex {
       terms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75,
       buckets: Int = LayoutMeta.Unspecified): DataFrame = {
     TextAnalytics.validateTerms(terms)
-    val pruned = readPostings(spark, path, terms, buckets)
-    val dls = spark.read.parquet(doclensDir(path))
+    val pruned = readPostingsDl(spark, path, terms, buckets)
+    // corpus totals (N, sum dl incl. dl=0 docs) come from the
+    // doc-count-sized sidecar; per-doc dl rides the pruned postings
+    // themselves — no join against the whole doc population
+    val stats = spark.read.parquet(doclensDir(path))
       .dropDuplicates("doc", "dl") // replayed appends are bit-identical
-      .select(col("doc"), col("dl"))
-    val stats = dls.agg(sum(col("dl").cast("long")).as("_sumdl"),
-      count(lit(1)).as("_n"))
-    val tf = pruned.select(col("doc"), col("token").as("_term"))
-      .groupBy(col("doc"), col("_term")).agg(count(lit(1)).as("_tf"))
-      .join(dls.withColumnRenamed("dl", "_dl"), "doc")
+      .agg(sum(col("dl").cast("long")).as("_sumdl"),
+        count(lit(1)).as("_n"))
+    val tf = pruned.select(col("doc"), col("dl").as("_dl"),
+        col("token").as("_term"))
+      .groupBy(col("doc"), col("_dl"), col("_term"))
+      .agg(count(lit(1)).as("_tf"))
     val dfreq = tf.groupBy(col("_term")).agg(count(lit(1)).as("_df"))
     val per = tf.join(broadcast(dfreq), "_term").crossJoin(broadcast(stats))
       .withColumn("_avgdl",
@@ -164,6 +185,26 @@ object InvertedIndex {
       .filter(col("_tbkt").isin(tbkts.map(Integer.valueOf): _*))
       .filter(col("token").isin(toks: _*))
       .select(col("doc"), col("pos"), col("token"))
+      .dropDuplicates("doc", "pos", "token")
+  }
+
+  /** [[readPostings]] plus the denormalized `dl` column — the BM25
+    * feed. Same pruning, same key dedupe (dl is functionally dependent
+    * on doc, so it never widens the key). */
+  private def readPostingsDl(spark: org.apache.spark.sql.SparkSession,
+      path: String, tokens: Seq[String], buckets: Int): DataFrame = {
+    val bk = LayoutMeta.resolve(spark, path,
+      Map("buckets" -> buckets), Map("buckets" -> 64))("buckets")
+    val toks = tokens.map(_.toLowerCase).distinct
+    val tbkts = toks.map { t =>
+      spark.range(1)
+        .select(pmod(xxhash64(lit(t)), lit(bk.toLong)).cast("int"))
+        .head().getInt(0)
+    }.distinct
+    spark.read.parquet(path)
+      .filter(col("_tbkt").isin(tbkts.map(Integer.valueOf): _*))
+      .filter(col("token").isin(toks: _*))
+      .select(col("doc"), col("pos"), col("token"), col("dl"))
       .dropDuplicates("doc", "pos", "token")
   }
 
