@@ -162,6 +162,9 @@ object Bench {
     "q177" -> (0.271, 0.672), "q178" -> (0.779, 1.653),
     // q179 first isolated noop measurement (0.673)
     "q179" -> (0.471, 1.059),
+    // q180 first isolated noop measurement (2.589 — build-in-two-
+    // appends + pruned tf-idf query, q174's class)
+    "q180" -> (1.812, 3.645),
     "q13" -> (0.231, 0.596), "q14" -> (0.168, 0.501), "q15" -> (0.217, 0.596),
     "q16" -> (0.175, 0.501), "q17" -> (0.287, 0.717), "q18" -> (0.161, 0.461),
     "q19" -> (0.21, 0.636), "q20" -> (0.322, 0.771), "q21" -> (0.217, 0.622),

@@ -3248,6 +3248,22 @@ object SparkEntry {
     // Scores are BIT-identical to the in-memory scorer (same
     // expression shapes, same fold order), so the same micro-unit
     // floor hash-matches the same DuckDB replay.
+    // TF-IDF from the persisted index (r16): q85's scorer and oracle
+    // served by the pruned postings + sidecar doc count — the same
+    // bit-identity contract as q175's BM25, on the simpler scorer.
+    "q180_tfidf_indexed" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.InvertedIndex
+      val tmp = freshScratch("q180") + "/pidx"
+      val docs = t(s, dir, "documents")
+      InvertedIndex.writeIndex(docs.filter($"doc_id" % 3 === 0),
+        "doc_id", "text", tmp, buckets = 32)
+      InvertedIndex.appendIndex(docs.filter($"doc_id" % 3 =!= 0),
+        "doc_id", "text", tmp)
+      InvertedIndex.tfidfSearch(s, tmp, Seq("vector", "join", "hash"), k = 20)
+        .select($"doc".as("doc_id"), $"score")
+    }),
+
     "q175_bm25_indexed" -> ((s, dir) => {
       import s.implicits._
       import graft.operators.InvertedIndex
@@ -4149,6 +4165,29 @@ object SparkEntry {
       "SELECT CAST(10 AS BIGINT) AS k, TRUE AS recall_ok",
     "q84_ann_ivfpq" ->
       "SELECT CAST(10 AS BIGINT) AS k, TRUE AS recall_ok",
+
+    "q180_tfidf_indexed" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        |       WHERE term IN ('vector','join','hash') GROUP BY 1, 2),
+        |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |per AS (
+        |  SELECT doc_id, term,
+        |    CAST(tf AS DOUBLE) * CAST(n AS DOUBLE) / CAST(df AS DOUBLE) AS s
+        |  FROM tf JOIN dfx USING (term) CROSS JOIN n),
+        |sc AS (
+        |  SELECT doc_id,
+        |    COALESCE(MAX(CASE WHEN term = 'vector' THEN s END), 0) AS s0,
+        |    COALESCE(MAX(CASE WHEN term = 'join' THEN s END), 0) AS s1,
+        |    COALESCE(MAX(CASE WHEN term = 'hash' THEN s END), 0) AS s2
+        |  FROM per GROUP BY 1)
+        |SELECT doc_id, s0 + s1 + s2 AS score FROM sc
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     "q85_tfidf_topk" ->
       """WITH toks AS (

@@ -367,6 +367,30 @@ object InvertedIndex {
       buckets: Int = LayoutMeta.Unspecified): DataFrame =
     phraseSearch(readPostings(spark, path, phrase, buckets), phrase)
 
+  /** TF-IDF top-k FROM THE PERSISTED INDEX — [[bm25Search]]'s sibling
+    * with [[TextAnalytics.tfidfTopK]]'s scorer, expression shapes and
+    * fold order mirrored token for token (scores bit-identical). Costs
+    * the query terms' posting buckets + the sidecar's doc count. */
+  def tfidfSearch(spark: org.apache.spark.sql.SparkSession, path: String,
+      terms: Seq[String], k: Int,
+      buckets: Int = LayoutMeta.Unspecified): DataFrame = {
+    TextAnalytics.validateTerms(terms)
+    val pruned = readPostings(spark, path, terms, buckets)
+    val n = spark.read.parquet(doclensDir(path))
+      .dropDuplicates("doc", "dl")
+      .agg(count(lit(1)).as("_n"))
+    val tf = pruned.select(col("doc"), col("token").as("_term"))
+      .groupBy(col("doc"), col("_term")).agg(count(lit(1)).as("_tf"))
+    val dfreq = tf.groupBy(col("_term")).agg(count(lit(1)).as("_df"))
+    val per = tf.join(broadcast(dfreq), "_term").crossJoin(broadcast(n))
+      .withColumn("_s",
+        col("_tf").cast("double") * col("_n").cast("double") / col("_df").cast("double"))
+    TextAnalytics.foldTermScores(per, "doc", terms)
+      .orderBy(col("score").desc, col("doc"))
+      .limit(k)
+      .select(col("doc"), col("score"))
+  }
+
   /** Per-bucket posting counts — the reconciliation census: after any
     * build/append sequence, `sum(n_postings)` must equal the postings
     * count of the corpus the index claims to cover. */

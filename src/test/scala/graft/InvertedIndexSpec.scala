@@ -153,6 +153,11 @@ class InvertedIndexSpec extends AnyFunSuite {
     // in-memory scorer over the surviving corpus (N, avgdl shrink)
     InvertedIndex.deleteDocs(d.filter($"doc_id" === 6), "doc_id", "text", dir)
     assert(indexed() == direct(d.filter($"doc_id" =!= 6)))
+    // TF-IDF parity from the same index state
+    assert(InvertedIndex.tfidfSearch(spark, dir,
+        Seq("vector", "join", "hash"), 10).as[(Long, Double)].collect().toSeq ==
+      TextAnalytics.tfidfTopK(d.filter($"doc_id" =!= 6), "doc_id", "text",
+        Seq("vector", "join", "hash"), 10).as[(Long, Double)].collect().toSeq)
   }
 
   test("kll sidecars: per-batch sketches merge to whole-corpus quantiles within rank error") {
