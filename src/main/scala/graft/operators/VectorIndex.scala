@@ -65,6 +65,30 @@ final class VectorIndex private (
     case None => emptyIndexDf(spark)
   }
 
+  /** [[scan]]/[[scanAt]] restricted to the files the manifest's
+    * per-field stats cannot refute for `preds` — the DSv2 catalog's
+    * FILE-pruning hook (a SQL `WHERE metadata.priority = 1` over a
+    * sparse-tag index then opens only the stamped buckets' files).
+    * Pruning is refutation-only: the caller's own filter remains the
+    * correctness authority, exactly like the probe paths.
+    * [[lastStatsPrunedFiles]] records what the call dropped. */
+  private[graft] def scanStatsPruned(preds: Seq[StatPred],
+      asOf: Option[Long] = None): DataFrame = {
+    asOf.foreach(v => require(snapshots().contains(v),
+      s"snapshot $v not present (have ${snapshots().mkString(",")})"))
+    asOf.orElse(currentSnapshot(spark, path)) match {
+      case None => emptyIndexDf(spark)
+      case Some(n) =>
+        val all = readManifest(spark, path, n).values.flatten.toSeq
+        val usable = if (preds.isEmpty) all else all.filter(fileCanMatch(_, preds))
+        lastStatsPrunedFiles = all.size - usable.size
+        val files = usable.map(_.file).sorted
+        if (files.isEmpty) emptyIndexDf(spark)
+        else spark.read.parquet(files.map(f => s"$path/$f"): _*)
+          .select(col("id"), col("values"), col("metadata"), col("version"))
+    }
+  }
+
   /** Committed snapshot versions, ascending (bounded by the retention
     * in pruneOldSnapshots). */
   def snapshots(): Seq[Long] = listSnapshots(spark, path)
