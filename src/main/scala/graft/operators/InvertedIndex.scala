@@ -162,6 +162,23 @@ object InvertedIndex {
       .select(col("doc"), col("score"))
   }
 
+  /** Bucket ids for `toks`, computed DRIVER-SIDE by evaluating the
+    * same catalyst `xxhash64` (seed 42) the write path used — zero
+    * Spark jobs, where launching one 1-row job per query token made a
+    * multi-term BM25/phrase probe pay N scheduler round-trips before
+    * any real work. Parity with the written layout is spec-asserted
+    * against the Column-API computation. */
+  private[graft] def tokenBuckets(toks: Seq[String], bk: Int): Seq[Int] =
+    toks.map { t =>
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64(
+        Seq(org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t),
+          org.apache.spark.sql.types.StringType)), 42L)
+        .eval(null).asInstanceOf[Long]
+      val m = h % bk // pmod: fold a negative remainder back into [0, bk)
+      (if (m < 0) m + bk else m).toInt
+    }.distinct
+
   /** The stored postings of exactly `tokens` — reads only the tokens'
     * bucket directories (partition-pruned). Deduped on the natural
     * (doc, pos, token) key, so crash-duplicated files (an interrupted
@@ -174,13 +191,7 @@ object InvertedIndex {
     val bk = LayoutMeta.resolve(spark, path,
       Map("buckets" -> buckets), Map("buckets" -> 64))("buckets")
     val toks = tokens.map(_.toLowerCase).distinct
-    // bucket values computed driver-side with the same hash the write
-    // used (xxhash64 over a 1-row literal frame — no corpus touched)
-    val tbkts = toks.map { t =>
-      spark.range(1)
-        .select(pmod(xxhash64(lit(t)), lit(bk.toLong)).cast("int"))
-        .head().getInt(0)
-    }.distinct
+    val tbkts = tokenBuckets(toks, bk)
     spark.read.parquet(path)
       .filter(col("_tbkt").isin(tbkts.map(Integer.valueOf): _*))
       .filter(col("token").isin(toks: _*))
@@ -196,11 +207,7 @@ object InvertedIndex {
     val bk = LayoutMeta.resolve(spark, path,
       Map("buckets" -> buckets), Map("buckets" -> 64))("buckets")
     val toks = tokens.map(_.toLowerCase).distinct
-    val tbkts = toks.map { t =>
-      spark.range(1)
-        .select(pmod(xxhash64(lit(t)), lit(bk.toLong)).cast("int"))
-        .head().getInt(0)
-    }.distinct
+    val tbkts = tokenBuckets(toks, bk)
     spark.read.parquet(path)
       .filter(col("_tbkt").isin(tbkts.map(Integer.valueOf): _*))
       .filter(col("token").isin(toks: _*))
@@ -211,16 +218,23 @@ object InvertedIndex {
   /** Merge the files of bucket dirs that accumulated more than
     * `minFiles` of them (one file arrives per touched bucket per
     * [[appendIndex]] batch — a crawl ingest compacts on a cadence,
-    * exactly like the Hamming index). One staging job rewrites every
-    * flagged dir's postings DEDUPED to a single file, then per dir:
-    * move the replacement in, delete the listed originals. A crash
-    * between move and delete leaves bit-identical duplicate rows that
-    * probes drop ([[readPostings]]'s key dedupe) and the rerun
-    * removes; replacements that failed to land leave the originals in
-    * place — rows can be transiently doubled, never lost. Returns the
-    * number of compacted dirs. */
+    * exactly like the Hamming index). Each flagged dir's file list is
+    * SNAPSHOTTED up front; one staging job rewrites exactly those
+    * files' postings DEDUPED to a single file per dir, then per dir:
+    * move the replacement in, delete the snapshotted originals — and
+    * ONLY those. A concurrent [[appendIndex]] (the streaming ingest
+    * maintains this index) landing a file at ANY point is therefore
+    * safe: a file outside the snapshot is never read and never
+    * deleted, so its rows simply ride alongside the compacted file
+    * until the next cadence. A crash between move and delete leaves
+    * bit-identical duplicate rows that probes drop ([[readPostings]]'s
+    * key dedupe) and the rerun removes; replacements that failed to
+    * land leave the originals in place — rows can be transiently
+    * doubled, never lost. Returns the number of compacted dirs.
+    * `onAfterStage` is a test seam (default no-op) fired between the
+    * staging write and the delete loop — the widest race window. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-      minFiles: Int = 8): Int = {
+      minFiles: Int = 8, onAfterStage: () => Unit = () => ()): Int = {
     import org.apache.hadoop.fs.Path
     val hconf = spark.sparkContext.hadoopConfiguration
     val root = new Path(path)
@@ -234,20 +248,25 @@ object InvertedIndex {
     def compactPass(base: Path, dirPattern: String, dirRe: String,
         partCol: String, dedupKeys: Seq[String]): Int = {
       if (!fs.exists(base)) return 0
-      val flagged = fs.globStatus(new Path(base, dirPattern)).toSeq
-        .map(_.getPath).filter(d => d.getName.matches(dirRe) &&
-          dataFiles(d).size > minFiles)
+      // snapshot (dir, exact files) BEFORE anything reads the dirs:
+      // the staging read and the delete both operate on this list, so
+      // files landed by a concurrent writer are invisible to both
+      val flagged: Seq[(Path, Seq[Path])] =
+        fs.globStatus(new Path(base, dirPattern)).toSeq
+          .map(_.getPath).filter(_.getName.matches(dirRe))
+          .map(d => d -> dataFiles(d).map(_.getPath))
+          .filter(_._2.size > minFiles)
       if (flagged.isEmpty) return 0
       val tmp = new Path(base, "_compact_tmp")
       if (fs.exists(tmp)) fs.delete(tmp, true) // stale from a prior crash
       spark.read.option("basePath", base.toString)
-        .parquet(flagged.map(_.toString): _*)
+        .parquet(flagged.flatMap(_._2).map(_.toString): _*)
         .dropDuplicates(dedupKeys.head, dedupKeys.tail: _*) // self-cleaning
         .repartition(flagged.size, col(partCol))
         .write.partitionBy(partCol).parquet(tmp.toString)
+      onAfterStage()
       var compacted = 0
-      flagged.foreach { dir =>
-        val olds = dataFiles(dir)
+      flagged.foreach { case (dir, olds) =>
         val newDir = new Path(tmp, dir.getName)
         val moves =
           if (fs.exists(newDir)) dataFiles(newDir).map { f =>
@@ -258,7 +277,7 @@ object InvertedIndex {
         // returns false on races) — a partial move leaves duplicates,
         // never a gap
         if (moves.nonEmpty && moves.forall(identity)) {
-          olds.foreach(f => fs.delete(f.getPath, false))
+          olds.foreach(f => fs.delete(f, false))
           compacted += 1
         }
       }
@@ -292,20 +311,17 @@ object InvertedIndex {
       Map("buckets" -> buckets), Map("buckets" -> 64))("buckets")
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(path).getFileSystem(hconf)
-    val victims = postings(docs, idCol, textCol).localCheckpoint(true)
-    val tbkts = victims
-      .select(pmod(xxhash64(col("token")), lit(bk.toLong)).cast("int").as("_tbkt"))
-      .distinct().collect().map(_.getInt(0)) // bounded by `buckets`
-    val touched = tbkts.map(b => new Path(path, s"_tbkt=$b")).filter(fs.exists(_))
-    if (touched.isEmpty) return 0L
+    def snapshotFiles(dir: Path): Seq[Path] =
+      fs.listStatus(dir).toSeq.filter { f =>
+        val n = f.getPath.getName
+        f.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }.map(_.getPath)
     val ids = docs.select(col(idCol).as("doc")).distinct()
-    val stored = spark.read.option("basePath", path)
-      .parquet(touched.map(_.toString): _*)
-    val removed = stored.join(broadcast(ids), "doc").count()
-    val survivors = stored.join(broadcast(ids), Seq("doc"), "left_anti")
-      .dropDuplicates("doc", "pos", "token")
-    replaceDirContents(spark, new Path(path), touched, survivors, "_tbkt")
-    // the doc-length sidecar: rewrite only the victims' doc-hash buckets
+    // the doc-length SIDECAR rewrites UNCONDITIONALLY — a tokenless
+    // (dl=0) victim touches no postings bucket yet still owns a
+    // sidecar row, and leaving it would both leak the id past a
+    // right-to-be-forgotten call and keep [[bm25Search]]'s N/avgdl
+    // counting an erased doc forever
     val dlBase = new Path(doclensDir(path))
     if (fs.exists(dlBase)) {
       val dbkts = ids
@@ -313,38 +329,58 @@ object InvertedIndex {
         .distinct().collect().map(_.getInt(0))
       val dlTouched = dbkts.map(v => new Path(dlBase, s"_dbkt=$v")).filter(fs.exists(_))
       if (dlTouched.nonEmpty) {
+        // snapshot files BEFORE the read: a concurrent append's file
+        // is then neither read nor deleted — its rows survive intact
+        val dlSnap = dlTouched.map(d => d -> snapshotFiles(d))
         val storedDl = spark.read.option("basePath", dlBase.toString)
-          .parquet(dlTouched.map(_.toString): _*)
+          .parquet(dlSnap.flatMap(_._2).map(_.toString): _*)
         val dlSurvivors = storedDl.join(broadcast(ids), Seq("doc"), "left_anti")
           .dropDuplicates("doc", "dl")
-        replaceDirContents(spark, dlBase, dlTouched, dlSurvivors, "_dbkt")
+        replaceDirContents(spark, dlBase, dlSnap, dlSurvivors, "_dbkt")
       }
     }
+    val victims = postings(docs, idCol, textCol).localCheckpoint(true)
+    val tbkts = victims
+      .select(pmod(xxhash64(col("token")), lit(bk.toLong)).cast("int").as("_tbkt"))
+      .distinct().collect().map(_.getInt(0)) // bounded by `buckets`
+    val touched = tbkts.map(b => new Path(path, s"_tbkt=$b")).filter(fs.exists(_))
+    if (touched.isEmpty) return 0L // tokenless victims: no postings exist
+    val snap = touched.map(d => d -> snapshotFiles(d))
+    val stored = spark.read.option("basePath", path)
+      .parquet(snap.flatMap(_._2).map(_.toString): _*)
+    // count LOGICAL postings erased: crash-debris duplicate files
+    // (interrupted compact/delete, replayed appends) must not inflate
+    // the report, so dedupe on the natural key first — matching what
+    // probes serve
+    val removed = stored.dropDuplicates("doc", "pos", "token")
+      .join(broadcast(ids), "doc").count()
+    val survivors = stored.join(broadcast(ids), Seq("doc"), "left_anti")
+      .dropDuplicates("doc", "pos", "token")
+    replaceDirContents(spark, new Path(path), snap, survivors, "_tbkt")
     removed
   }
 
-  /** Replace `touched` partition dirs' data files with `survivors`'
-    * rows: ONE staging write partitioned by `partCol`, then per dir —
-    * move staged files in under fresh names, delete the listed
-    * originals. A dir with no staged output lost all its rows:
-    * deleting the originals IS the commit. Crash window duplicates,
-    * never loses (probes dedupe on natural keys). */
+  /** Replace the SNAPSHOTTED data files of partition dirs with
+    * `survivors`' rows: ONE staging write partitioned by `partCol`,
+    * then per dir — move staged files in under fresh names, delete
+    * exactly the files the caller listed BEFORE it read them. Files a
+    * concurrent writer lands after the snapshot are neither staged nor
+    * deleted, so they ride through untouched. A dir with no staged
+    * output lost all its rows: deleting the originals IS the commit.
+    * Crash window duplicates, never loses (probes dedupe on natural
+    * keys). */
   private def replaceDirContents(spark: org.apache.spark.sql.SparkSession,
       base: org.apache.hadoop.fs.Path,
-      touched: Seq[org.apache.hadoop.fs.Path], survivors: DataFrame,
-      partCol: String): Unit = {
+      snap: Seq[(org.apache.hadoop.fs.Path, Seq[org.apache.hadoop.fs.Path])],
+      survivors: DataFrame, partCol: String): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stage = new Path(base, "_delstage_tmp")
     if (fs.exists(stage)) fs.delete(stage, true)
-    survivors.repartition(touched.size, col(partCol))
+    survivors.repartition(snap.size, col(partCol))
       .write.partitionBy(partCol).parquet(stage.toString)
     try {
-      touched.foreach { dir =>
-        val olds = fs.listStatus(dir).toSeq.filter { f =>
-          val n = f.getPath.getName
-          f.isFile && !n.startsWith("_") && !n.startsWith(".")
-        }
+      snap.foreach { case (dir, olds) =>
         val part = new Path(stage, dir.getName)
         if (fs.exists(part)) {
           fs.listStatus(part).map(_.getPath)
@@ -355,7 +391,7 @@ object InvertedIndex {
                 s"survivor move failed: $f")
             }
         }
-        olds.foreach(f => fs.delete(f.getPath, false))
+        olds.foreach(f => fs.delete(f, false))
       }
     } finally fs.delete(stage, true)
   }

@@ -160,6 +160,77 @@ class InvertedIndexSpec extends AnyFunSuite {
         Seq("vector", "join", "hash"), 10).as[(Long, Double)].collect().toSeq)
   }
 
+  test("driver-side token buckets match the written layout's hash exactly") {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val toks = Seq("the", "cat", "Vector", "naïve", "0", "a" * 300, "日本語")
+      .map(_.toLowerCase)
+    for (bk <- Seq(1, 4, 64, 1013)) {
+      val viaSpark = toks.map { t =>
+        spark.range(1)
+          .select(pmod(xxhash64(lit(t)), lit(bk.toLong)).cast("int"))
+          .head().getInt(0)
+      }.distinct
+      assert(InvertedIndex.tokenBuckets(toks, bk) == viaSpark,
+        s"bucket mismatch at buckets=$bk")
+    }
+  }
+
+  test("erasing a tokenless (dl=0) doc shrinks the sidecar: N/avgdl forget it") {
+    import graft.operators.TextAnalytics
+    val dir = java.nio.file.Files.createTempDirectory("graft_dl0").toString + "/p"
+    val d = docs(
+      1L -> "vector join hash",
+      2L -> "join join vector",
+      3L -> "!!!") // tokenless: no postings bucket is ever touched
+    InvertedIndex.writeIndex(d, "doc_id", "text", dir, buckets = 8)
+    // removing doc 3 erases ZERO postings (it has none) yet MUST still
+    // rewrite the doc-length sidecar — otherwise the id leaks past a
+    // right-to-be-forgotten call and indexed BM25's N keeps counting it
+    assert(InvertedIndex.deleteDocs(d.filter($"doc_id" === 3),
+      "doc_id", "text", dir) == 0L)
+    val sidecarDocs = spark.read.parquet(dir + "/_doclens")
+      .select("doc").as[Long].collect().toSet
+    assert(sidecarDocs == Set(1L, 2L), s"sidecar still holds: $sidecarDocs")
+    // and the indexed scorer now agrees with the in-memory scorer over
+    // the SURVIVING corpus (N shrank from 3 to 2)
+    assert(InvertedIndex.bm25Search(spark, dir, Seq("vector", "join"), 10)
+        .as[(Long, Double)].collect().toSeq ==
+      TextAnalytics.bm25TopK(d.filter($"doc_id" =!= 3), "doc_id", "text",
+        Seq("vector", "join"), 10).as[(Long, Double)].collect().toSeq)
+  }
+
+  test("a concurrent append landing mid-compaction is never lost") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_race").toString + "/p"
+    val d = docs(
+      1L -> "the cat sat",
+      2L -> "the cat ran",
+      3L -> "the cat hid")
+    InvertedIndex.writeIndex(d.filter($"doc_id" === 1), "doc_id", "text",
+      dir, buckets = 2)
+    (2L to 3L).foreach(i =>
+      InvertedIndex.appendIndex(d.filter($"doc_id" === i), "doc_id", "text", dir))
+    val late = docs(9L -> "the cat pounced")
+    // the seam fires between the staging read and the delete loop —
+    // the widest window of the old lost-file race; with snapshot-based
+    // deletes the late file is neither staged nor deleted. (The seam
+    // fires once per compaction pass — postings, then doclens — so
+    // guard to a single append; a double fire would only add
+    // bit-identical replay debris, which probes dedupe anyway.)
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val n = InvertedIndex.compactIndex(spark, dir, minFiles = 1,
+      onAfterStage = () => if (fired.compareAndSet(false, true))
+        InvertedIndex.appendIndex(late, "doc_id", "text", dir))
+    assert(n > 0)
+    val all = d.union(late)
+    assert(InvertedIndex.phraseSearchIndexed(spark, dir, Seq("the", "cat"))
+        .as[(Long, Long)].collect().toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L))
+    // census (raw rows) reconciles: nothing lost, nothing doubled
+    val censusTotal = InvertedIndex.censusByBucket(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum($"n_postings")).head().getLong(0)
+    assert(censusTotal == InvertedIndex.postings(all, "doc_id", "text").count())
+  }
+
   test("kll sidecars: per-batch sketches merge to whole-corpus quantiles within rank error") {
     val dir = java.nio.file.Files.createTempDirectory("kll").toString
     val n = 20000
