@@ -165,6 +165,24 @@ object Bench {
     // q180 first isolated noop measurement (2.589 — build-in-two-
     // appends + pruned tf-idf query, q174's class)
     "q180" -> (1.812, 3.645),
+    // q181/q182 from two isolated runs each (2.58/3.02, 2.40/3.27 —
+    // both dominated by the q174-class index build-in-two-appends)
+    "q181" -> (1.806, 4.227), "q182" -> (1.680, 4.565),
+    // q183 two isolated runs (0.387/0.405)
+    "q183" -> (0.271, 0.697),
+    // q184 two isolated runs (1.09/1.60)
+    "q184" -> (0.763, 2.310),
+    // q185 isolated run (2.71) AFTER the tokenize-once fix (the first
+    // shape re-tokenized per gram slot inside the transform lambda:
+    // 12-17s — a regression back to it must flag)
+    "q185" -> (1.898, 3.810),
+    // q186 two isolated runs (0.319/0.501)
+    "q186" -> (0.223, 0.826),
+    // q187/q188 first isolated measurements (0.893/0.752)
+    "q187" -> (0.625, 1.356), "q188" -> (0.526, 1.165),
+    // q189 first isolated measurement (2.934 — three bucket-commit
+    // batches, each a staged write + per-bucket journal swap)
+    "q189" -> (2.054, 4.111),
     "q13" -> (0.231, 0.596), "q14" -> (0.168, 0.501), "q15" -> (0.217, 0.596),
     "q16" -> (0.175, 0.501), "q17" -> (0.287, 0.717), "q18" -> (0.161, 0.461),
     "q19" -> (0.21, 0.636), "q20" -> (0.322, 0.771), "q21" -> (0.217, 0.622),

@@ -3279,6 +3279,178 @@ object SparkEntry {
         .orderBy($"score_u".desc, $"doc_id")
     }),
 
+    // Ordered PROXIMITY search from the persisted index (r17):
+    // "vector .. join .. hash" in order with at most 2 interlopers
+    // (span <= 4). Each adjacency leg is a doc-equijoin carrying a
+    // position band; only the three terms' bucket dirs are read. The
+    // oracle replays position tuples from the raw corpus, so a lost or
+    // duplicated posting, a mispruned bucket, or a band off-by-one all
+    // hash-mismatch.
+    "q181_proximity_index" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.InvertedIndex
+      val tmp = freshScratch("q181") + "/pidx"
+      val docs = t(s, dir, "documents")
+      InvertedIndex.writeIndex(docs.filter($"doc_id" % 2 === 0),
+        "doc_id", "text", tmp, buckets = 32)
+      InvertedIndex.appendIndex(docs.filter($"doc_id" % 2 === 1),
+        "doc_id", "text", tmp)
+      InvertedIndex.proximitySearchIndexed(s, tmp,
+          Seq("vector", "join", "hash"), slop = 2)
+        .select($"doc".as("doc_id"), $"n_matches")
+        .orderBy($"doc_id")
+    }),
+
+    // BOOLEAN retrieval from the persisted index (r17): AND over a
+    // per-doc distinct-term count, NOT as an index-served anti-join —
+    // the exclusion list reads its own posting buckets, so a
+    // NOT-query never scans the corpus either.
+    "q182_boolean_index" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.InvertedIndex
+      val tmp = freshScratch("q182") + "/pidx"
+      val docs = t(s, dir, "documents")
+      InvertedIndex.writeIndex(docs.filter($"doc_id" % 2 === 0),
+        "doc_id", "text", tmp, buckets = 32)
+      InvertedIndex.appendIndex(docs.filter($"doc_id" % 2 === 1),
+        "doc_id", "text", tmp)
+      InvertedIndex.booleanSearchIndexed(s, tmp,
+          must = Seq("vector", "join"), mustNot = Seq("hash"))
+        .select($"doc".as("doc_id"))
+        .orderBy($"doc_id")
+    }),
+
+    // SQ8 scalar-quantized top-k (r17): per-dim min/max codebook, 8-bit
+    // codes, cosine scored IN CODE SPACE — integer dot/norms via the
+    // aggregate HOF (exact, order-free), one final float division, so
+    // the micro-unit floor hash-matches DuckDB's arithmetic replay
+    // EXACTLY. The 4x-smaller serving scan of the similarity family.
+    "q183_sq8_topk" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Sq
+      val emb = t(s, dir, "embeddings")
+      val (lo, hi) = Sq.collectBounds(Sq.train(emb, "embedding"))
+      val codes = emb.select($"vec_id",
+        Sq.quantizeCol($"embedding", lo, hi).as("code")).localCheckpoint(true)
+      val qcode = codes.filter($"vec_id" === 0).select($"code")
+        .head().getSeq[Int](0).toArray
+      Sq.topKCodes(codes, "vec_id", "code", qcode, 10)
+        .select($"vec_id",
+          floor($"score" * lit(1000000.0)).cast("long").as("score_u"))
+        .orderBy($"score_u".desc, $"vec_id")
+    }),
+
+    // Sorted-neighborhood dedup (r17): global sort rank from
+    // Ids.contiguous (range shuffle + broadcast offsets — never a
+    // one-task window), window-4 rank equijoin, integer-exact Jaccard
+    // verify (3*inter >= |A|+|B|) on deduped token sets.
+    "q184_snm_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val key = substring(regexp_replace(lower($"text"),
+        lit("[^a-z0-9]"), lit("")), 1, 12)
+      graft.operators.Dedup.sortedNeighborhood(t(s, dir, "documents"),
+          "doc_id", "text", key, window = 4, thrNum = 1, thrDen = 2)
+        .orderBy($"id1", $"id2")
+    }),
+
+    // Directional n-gram CONTAINMENT (r17): partial-copy detection —
+    // rare-shingle blocking (df <= 10, the skew valve the oracle
+    // replays verbatim), exact integer verify 5*inter >= 4*|A| on the
+    // smaller side's distinct 4-grams. n=4 on THIS corpus: the
+    // synthetic ~30-word vocab makes trigrams collide corpus-wide
+    // (mean df ~9 at sf0.1 — blocking prunes nothing and candidates
+    // go quadratic); 4-grams are near-unique, so candidates are the
+    // true near-pairs. Real corpora pick n against the frequent-items
+    // sidecar (q178) the same way.
+    "q185_containment" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Dedup.containmentPairs(t(s, dir, "documents"),
+          "doc_id", "text", n = 4, dfCap = 10, thrNum = 4, thrDen = 5)
+        .orderBy($"contained_id", $"container_id")
+    }),
+
+    // Per-group QUALITY-QUANTILE pruning (r17): keep each language's
+    // top quarter by type-token ratio — percent_rank over (score, id)
+    // per lang; the 0.75 boundary is exactly representable so the
+    // inclusive cut replays bit-identically.
+    "q186_quality_quantile" -> ((s, dir) => {
+      import s.implicits._
+      val toks = filter(split(lower($"text"), "[^a-z0-9]+"), t => t =!= "")
+      val scored = t(s, dir, "documents")
+        .withColumn("_toks", toks)
+        .filter(size($"_toks") > 0)
+        .withColumn("score", size(array_distinct($"_toks")).cast("double") /
+          size($"_toks").cast("double"))
+      graft.operators.Sampling.topQuantilePerGroup(scored, "lang",
+          $"score", "doc_id", q = 0.25)
+        .select($"doc_id", $"lang",
+          floor($"score" * lit(1000000.0)).cast("long").as("score_u"))
+        .orderBy($"doc_id")
+    }),
+
+    // Grid-bucketed INTERVAL OVERLAP JOIN (r17): each order is open
+    // [orderdate, orderdate + 1 + key%30) days; pairs of overlapping
+    // open orders per customer. The theta predicate becomes an
+    // equijoin on (custkey, grid cell) with the overlap as residual;
+    // a pair is emitted ONLY in the cell of max(starts) — exactly
+    // once, no distinct shuffle. Oracle is the raw theta join.
+    "q187_interval_join" -> ((s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders")
+        .select($"o_custkey".as("custkey"), $"o_orderkey",
+          unix_date($"o_orderdate".cast("date")).cast("long").as("os"))
+        .withColumn("oe", $"os" + lit(1L) + pmod($"o_orderkey", lit(30L)))
+      val l = o.select($"custkey", $"o_orderkey".as("o1"),
+        $"os".as("s1"), $"oe".as("e1"))
+      val r = o.select($"custkey", $"o_orderkey".as("o2"),
+        $"os".as("s2"), $"oe".as("e2"))
+      graft.operators.IntervalJoin.overlapJoin(l, $"s1", $"e1",
+          r, $"s2", $"e2", keys = Seq("custkey"), cellWidth = 16)
+        .filter($"o1" < $"o2")
+        .select($"custkey", $"o1", $"o2")
+        .orderBy($"custkey", $"o1", $"o2")
+    }),
+
+    // N-gram NOVELTY scoring (r17): fraction of each odd doc's
+    // distinct trigrams absent from the even-doc reference corpus —
+    // the graded keep-score between decontaminate's hard drop and
+    // keeping everything. String carrier here so the oracle replays
+    // the grams verbatim; the hash carrier is spec-equal.
+    "q188_novelty" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      graft.operators.TextAnalytics.noveltyScore(
+          docs.filter($"doc_id" % 2 === 1), "doc_id", "text",
+          docs.filter($"doc_id" % 2 === 0), "text",
+          n = 3, hashGrams = false)
+        .select($"doc_id", $"n_grams", $"n_novel",
+          floor($"novelty" * lit(1000000.0)).cast("long").as("novelty_u"))
+        .orderBy($"doc_id")
+    }),
+
+    // INCREMENTAL VIEW MAINTENANCE (r17): per-supplier count +
+    // decimal-exact quantity sum built in three key-overlapping
+    // batches, each rewriting only its touched key-hash buckets
+    // (journal-committed); the oracle is the ONE-SHOT aggregation of
+    // the whole table — incremental == recompute is the graded
+    // contract, hash-exact because sums merge in decimal.
+    "q189_ivm" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Ivm
+      val store = freshScratch("q189") + "/view"
+      val li = t(s, dir, "lineitem").select($"l_suppkey",
+        $"l_quantity".cast("decimal(18,2)").as("qty"), $"l_orderkey")
+      (0 until 3).foreach { m =>
+        Ivm.applyBatch(
+          li.filter(pmod($"l_orderkey", lit(3)) === m).drop("l_orderkey"),
+          store, Seq("l_suppkey"), Seq("qty"), nBuckets = 16)
+      }
+      Ivm.read(s, store)
+        .select($"l_suppkey", $"cnt",
+          $"sum_qty".cast("double").as("sum_qty"))
+        .orderBy($"l_suppkey")
+    }),
+
     "q161_phrase_search" -> ((s, dir) => {
       import s.implicits._
       import graft.operators.InvertedIndex
@@ -5167,6 +5339,154 @@ object SparkEntry {
         |  FROM tk)
         |SELECT doc_id, n_matches FROM m WHERE n_matches > 0
         |ORDER BY doc_id""".stripMargin,
+
+    "q181_proximity_index" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |a AS (SELECT doc_id, unnest([i FOR i IN generate_series(1, len(toks))
+        |      IF toks[i] = 'vector']) AS p1 FROM tk),
+        |b AS (SELECT doc_id, unnest([i FOR i IN generate_series(1, len(toks))
+        |      IF toks[i] = 'join']) AS p2 FROM tk),
+        |c AS (SELECT doc_id, unnest([i FOR i IN generate_series(1, len(toks))
+        |      IF toks[i] = 'hash']) AS p3 FROM tk)
+        |SELECT a.doc_id AS doc_id, count(*) AS n_matches
+        |FROM a JOIN b ON b.doc_id = a.doc_id
+        |  AND b.p2 > a.p1 AND b.p2 - a.p1 <= 4
+        |JOIN c ON c.doc_id = a.doc_id
+        |  AND c.p3 > b.p2 AND c.p3 - a.p1 <= 4
+        |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
+
+    "q182_boolean_index" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '') AS toks
+        |  FROM documents)
+        |SELECT doc_id FROM tk
+        |WHERE list_contains(toks, 'vector') AND list_contains(toks, 'join')
+        |  AND NOT list_contains(toks, 'hash')
+        |ORDER BY doc_id""".stripMargin,
+
+    "q183_sq8_topk" ->
+      """WITH d AS (SELECT vec_id,
+        |    generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS i,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS v FROM embeddings),
+        |mm AS (SELECT i, min(v) AS lo, max(v) AS hi FROM d GROUP BY i),
+        |qz AS (SELECT vec_id, d.i,
+        |    CASE WHEN hi > lo THEN CAST(LEAST(GREATEST(
+        |        FLOOR((v - lo) / (hi - lo) * 255.0 + 0.5), 0), 255) AS BIGINT)
+        |      ELSE 0 END AS q
+        |  FROM d JOIN mm ON d.i = mm.i),
+        |qv AS (SELECT i, q AS qq FROM qz WHERE vec_id = 0),
+        |sc AS (SELECT z.vec_id, SUM(z.q * qv.qq) AS dot, SUM(z.q * z.q) AS n1
+        |  FROM qz z JOIN qv ON z.i = qv.i GROUP BY z.vec_id),
+        |n2 AS (SELECT SUM(qq * qq) AS n2 FROM qv),
+        |top AS (SELECT vec_id,
+        |    CAST(dot AS DOUBLE) / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+        |      AS score
+        |  FROM sc CROSS JOIN n2 WHERE n1 > 0
+        |  ORDER BY score DESC, vec_id LIMIT 10)
+        |SELECT vec_id, CAST(FLOOR(score * 1000000.0) AS BIGINT) AS score_u
+        |FROM top ORDER BY score_u DESC, vec_id""".stripMargin,
+
+    "q184_snm_dedup" ->
+      """WITH b AS (SELECT doc_id,
+        |    list_distinct(list_filter(
+        |      string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS s,
+        |    substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+        |      1, 12) AS key
+        |  FROM documents),
+        |r AS (SELECT doc_id, s,
+        |    row_number() OVER (ORDER BY key, doc_id) AS rn FROM b)
+        |SELECT a.doc_id AS id1, c.doc_id AS id2,
+        |  CAST(len(list_intersect(a.s, c.s)) AS BIGINT) AS n_common
+        |FROM r a JOIN r c ON c.rn - a.rn BETWEEN 1 AND 3
+        |WHERE 3 * len(list_intersect(a.s, c.s)) >= len(a.s) + len(c.s)
+        |ORDER BY id1, id2""".stripMargin,
+
+    "q185_containment" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(
+        |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+        |      FOR i IN generate_series(1, len(toks) - 3)])) AS gm
+        |  FROM tk),
+        |sz AS (SELECT doc_id, count(*) AS nsh FROM g GROUP BY doc_id),
+        |rare AS (SELECT gm FROM g GROUP BY gm HAVING count(*) <= 10),
+        |bl AS (SELECT g.doc_id, g.gm FROM g JOIN rare USING (gm)),
+        |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+        |  FROM bl a JOIN bl b ON a.gm = b.gm AND a.doc_id < b.doc_id),
+        |inter AS (SELECT c.ida, c.idb, count(*) AS ni
+        |  FROM cand c JOIN g ga ON ga.doc_id = c.ida
+        |  JOIN g gb ON gb.doc_id = c.idb AND gb.gm = ga.gm
+        |  GROUP BY c.ida, c.idb),
+        |dirn AS (SELECT ida, idb, ni, sa.nsh AS na, sb.nsh AS nb,
+        |    (sa.nsh < sb.nsh OR (sa.nsh = sb.nsh AND ida < idb)) AS afirst
+        |  FROM inter i JOIN sz sa ON sa.doc_id = i.ida
+        |  JOIN sz sb ON sb.doc_id = i.idb)
+        |SELECT CASE WHEN afirst THEN ida ELSE idb END AS contained_id,
+        |  CASE WHEN afirst THEN idb ELSE ida END AS container_id,
+        |  ni AS n_common,
+        |  CASE WHEN afirst THEN na ELSE nb END AS n_contained
+        |FROM dirn
+        |WHERE 5 * ni >= 4 * (CASE WHEN afirst THEN na ELSE nb END)
+        |ORDER BY contained_id, container_id""".stripMargin,
+
+    "q186_quality_quantile" ->
+      """WITH tk AS (SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |    CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+        |      AS score
+        |  FROM tk WHERE len(toks) > 0),
+        |r AS (SELECT doc_id, lang, score, percent_rank() OVER
+        |    (PARTITION BY lang ORDER BY score ASC, doc_id ASC) AS pr FROM s)
+        |SELECT doc_id, lang, CAST(FLOOR(score * 1000000.0) AS BIGINT) AS score_u
+        |FROM r WHERE pr >= 0.75 ORDER BY doc_id""".stripMargin,
+
+    "q187_interval_join" ->
+      """WITH o AS (SELECT o_custkey AS custkey, o_orderkey,
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS s
+        |  FROM orders),
+        |i AS (SELECT custkey, o_orderkey, s,
+        |    s + 1 + o_orderkey % 30 AS e FROM o)
+        |SELECT a.custkey AS custkey, a.o_orderkey AS o1, b.o_orderkey AS o2
+        |FROM i a JOIN i b ON a.custkey = b.custkey
+        |  AND a.o_orderkey < b.o_orderkey
+        |  AND a.s < b.e AND b.s < a.e
+        |ORDER BY custkey, o1, o2""".stripMargin,
+
+    "q188_novelty" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(
+        |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |      FOR i IN generate_series(1, len(toks) - 2)])) AS gm
+        |  FROM tk),
+        |ref AS (SELECT DISTINCT gm FROM g WHERE doc_id % 2 = 0),
+        |nw AS (SELECT doc_id, gm FROM g WHERE doc_id % 2 = 1)
+        |SELECT nw.doc_id AS doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN r.gm IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  CAST(FLOOR(CAST(sum(CASE WHEN r.gm IS NULL THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1000000.0) AS BIGINT)
+        |    AS novelty_u
+        |FROM nw LEFT JOIN ref r ON nw.gm = r.gm
+        |GROUP BY nw.doc_id ORDER BY nw.doc_id""".stripMargin,
+
+    "q189_ivm" ->
+      """SELECT l_suppkey, count(*) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
 
     "q162_kll_quantiles" ->
       """SELECT lang, count(*) AS n, TRUE AS count_ok,

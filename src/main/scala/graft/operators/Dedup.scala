@@ -1111,4 +1111,134 @@ object Dedup {
     val denom = math.sqrt(na) * math.sqrt(nb)
     denom > 0 && dot / denom >= t
   }
+
+  // ---------- sorted-neighborhood (SNM) candidate generation ----------
+
+  /** The engine's standard token STREAM (ordered, duplicates kept) —
+    * the n-gram feed. */
+  private def tokenSetColOrdered(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  /** The engine's standard token set as a column: lowercase,
+    * `[^a-z0-9]+` splits, empties dropped, DEDUPED — the set form the
+    * integer-exact Jaccard below consumes. */
+  private def tokenSetCol(text: Column): Column =
+    array_distinct(tokenSetColOrdered(text))
+
+  /** Sorted-neighborhood dedup (Hernández–Stolfo SNM): sort the corpus
+    * by a cheap blocking key, slide a window of `window` rows, and
+    * verify only pairs inside the window — the classic
+    * entity-resolution sibling of MinHash banding, and the one that
+    * catches near-dups whose SORT KEYS agree even when no rare shingle
+    * does. Returns verified pairs (id1 < id2 in SORT order) whose
+    * token-set Jaccard clears `thrNum/thrDen`, tested as the exact
+    * integer inequality (den+num)·|∩| ≥ num·(|A|+|B|) — zero float
+    * drift across engines.
+    *
+    * Scale shape: the global sort rank comes from [[Ids.contiguous]]
+    * (range-repartition + broadcast offsets — never a one-task global
+    * window), and the "window" is an equijoin of rank against
+    * rank+d for d ∈ 1..window−1 (the small `d` explode is on the
+    * build side). Cost: one range shuffle + one rank equijoin —
+    * window pairs never materialize beyond (window−1)·n rows, vs the
+    * quadratic block-cartesian of naive blocking. */
+  def sortedNeighborhood(df: DataFrame, idCol: String, textCol: String,
+      sortKey: Column, window: Int, thrNum: Int = 1, thrDen: Int = 2):
+      DataFrame = {
+    require(window >= 2, "window must cover at least one neighbor")
+    require(thrNum >= 0 && thrDen > 0, "threshold must be a ratio >= 0")
+    val base = df.select(col(idCol).as("_id"), sortKey.as("_key"),
+      tokenSetCol(col(textCol)).as("_set"))
+    val ranked = Ids.contiguous(base, Seq(col("_key"), col("_id")), "_r")
+      .select(col("_id"), col("_r"), col("_set"))
+      .localCheckpoint(true) // consumed by both legs of the rank join
+    val left = ranked.select(col("_id").as("id1"), col("_set").as("_s1"),
+        explode(sequence(lit(1L), lit((window - 1).toLong))).as("_d"),
+        col("_r"))
+      .withColumn("_rj", col("_r") + col("_d"))
+    val right = ranked.select(col("_id").as("id2"), col("_set").as("_s2"),
+      col("_r").as("_rj"))
+    left.join(right, "_rj")
+      .withColumn("_inter", size(array_intersect(col("_s1"), col("_s2"))))
+      // integer-exact Jaccard >= num/den on deduped token sets
+      .filter(lit(thrDen + thrNum) * col("_inter") >=
+        lit(thrNum) * (size(col("_s1")) + size(col("_s2"))))
+      .select(col("id1"), col("id2"),
+        col("_inter").cast("long").as("n_common"))
+  }
+
+  // ---------- n-gram containment (partial-copy detection) ----------
+
+  /** Distinct word n-gram STRINGS (space-joined) — unlike the hashed
+    * [[shingleCol]], these replay verbatim in any engine, which is
+    * what lets the containment gate hash-match an independent SQL
+    * replay. Docs with fewer than `n` tokens have no n-grams.
+    * `toks` MUST be a bound column (project the tokenization first):
+    * the n `element_at` references inside the lambda each re-evaluate
+    * their argument, and handing them the raw split-filter expression
+    * re-tokenizes the document once per gram per slot — measured 4×
+    * on the whole containment pipeline at sf0.1. */
+  private def ngramSetCol(toks: Column, n: Int): Column =
+    // sequence(1, size-n+1) would run DESCENDING for short docs
+    // (Spark's sequence walks stop < start backwards) — guard to empty
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ",
+          (0 until n).map(o => element_at(toks, i + o)): _*))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Directional near-dup: doc A is CONTAINED in doc B when at least
+    * `thrNum/thrDen` of A's distinct n-grams also occur in B — the
+    * asymmetric overlap that catches quotes, partial scrapes and
+    * boilerplate-wrapped copies that symmetric Jaccard dilutes below
+    * any threshold. Candidates come from RARE-shingle blocking: only
+    * n-grams shared by ≤ `dfCap` docs generate pairs (fan-out per
+    * shingle ≤ dfCap², the skew valve — a boilerplate shingle present
+    * in a million docs generates nothing), then each candidate pair is
+    * verified EXACTLY by re-joining the full n-gram sets. The verify
+    * inequality is integer (thrDen·|A∩B| ≥ thrNum·|A|): no float
+    * anywhere. Blocking recall: a pair is missed only if EVERY shared
+    * n-gram occurs in > dfCap docs; the engine's frequent-items
+    * sidecar ([[FrequentItems]]) is the tool that audits that regime
+    * without a rescan.
+    *
+    * Returns (contained_id, container_id, n_common, n_contained) with
+    * the contained side = fewer distinct n-grams (tie: smaller id). */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, dfCap: Int = 10, thrNum: Int = 4, thrDen: Int = 5):
+      DataFrame = {
+    require(n >= 1 && dfCap >= 1, "n and dfCap must be >= 1")
+    val sh = df.select(col(idCol).as("_id"),
+        tokenSetColOrdered(col(textCol)).as("_toks"))
+      .select(col("_id"), explode(ngramSetCol(col("_toks"), n)).as("_g"))
+      .localCheckpoint(true) // feeds blocking, sizes AND the verify join
+    val sizes = sh.groupBy(col("_id")).agg(count(lit(1)).as("_nsh"))
+    val rare = sh.groupBy(col("_g")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= dfCap).select(col("_g"))
+    // materialized: the self-join below would otherwise recompute the
+    // whole blocking subtree (explode + df-count shuffle) once per leg
+    val blocked = sh.join(rare, "_g").localCheckpoint(true)
+    val cand = blocked.select(col("_g"), col("_id").as("_a"))
+      .join(blocked.select(col("_g"), col("_id").as("_b")), "_g")
+      .filter(col("_a") < col("_b"))
+      .select(col("_a"), col("_b")).distinct()
+      .localCheckpoint(true) // feeds both verify-join legs
+    val inter = cand
+      .join(sh.select(col("_id").as("_a"), col("_g")), "_a")
+      .join(sh.select(col("_id").as("_b"), col("_g")), Seq("_b", "_g"))
+      .groupBy(col("_a"), col("_b")).agg(count(lit(1)).as("_inter"))
+    inter
+      .join(sizes.select(col("_id").as("_a"), col("_nsh").as("_na")), "_a")
+      .join(sizes.select(col("_id").as("_b"), col("_nsh").as("_nb")), "_b")
+      .withColumn("_cid", when(col("_na") < col("_nb") ||
+        (col("_na") === col("_nb") && col("_a") < col("_b")), col("_a"))
+        .otherwise(col("_b")))
+      .withColumn("_oid", when(col("_cid") === col("_a"), col("_b"))
+        .otherwise(col("_a")))
+      .withColumn("_nc", when(col("_cid") === col("_a"), col("_na"))
+        .otherwise(col("_nb")))
+      .filter(lit(thrDen) * col("_inter") >= lit(thrNum) * col("_nc"))
+      .select(col("_cid").as("contained_id"), col("_oid").as("container_id"),
+        col("_inter").as("n_common"), col("_nc").as("n_contained"))
+  }
 }

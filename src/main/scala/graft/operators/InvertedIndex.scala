@@ -435,6 +435,81 @@ object InvertedIndex {
     spark.read.parquet(path).groupBy(col("_tbkt"))
       .agg(count(lit(1)).as("n_postings"))
 
+  /** Ordered PROXIMITY search ("terms near each other, in order"):
+    * docs where `terms` occur at strictly increasing positions
+    * p1 < p2 < … < pk with at most `slop` extra tokens interleaved —
+    * span pk − p1 ≤ (k−1) + slop; `slop = 0` degenerates to the exact
+    * phrase. Returns each matching doc with the count of matching
+    * position tuples. Like [[phraseSearch]], only the query terms'
+    * postings are read (a partition-pruned probe when fed from
+    * [[readPostings]]), and each adjacency leg is a doc-equijoin with
+    * a position band predicate — the band rides the equijoin, so no
+    * cartesian plan exists at any scale. Tuple counts are bounded by
+    * the product of the terms' in-window frequencies; the tight span
+    * bound is the valve that keeps pathological repeat-heavy docs from
+    * exploding the join. */
+  def proximitySearch(postings: DataFrame, terms: Seq[String],
+      slop: Int): DataFrame = {
+    require(terms.nonEmpty, "empty terms")
+    require(slop >= 0, "slop must be >= 0")
+    val toks = terms.map(_.toLowerCase)
+    val span = toks.size - 1 + slop
+    val pruned = postings.filter(col("token").isin(toks: _*))
+    val first = pruned.filter(col("token") === toks.head)
+      .select(col("doc"), col("pos").as("_p1"), col("pos").as("_plast"))
+    val matches = toks.zipWithIndex.drop(1).foldLeft(first) {
+      case (acc, (t, _)) =>
+        val leg = pruned.filter(col("token") === t)
+          .select(col("doc").as("_d"), col("pos").as("_p"))
+        acc.join(leg, acc("doc") === col("_d") &&
+            col("_p") > acc("_plast") &&
+            col("_p") - acc("_p1") <= lit(span))
+          .select(acc("doc"), acc("_p1"), col("_p").as("_plast"))
+    }
+    matches.groupBy(col("doc")).agg(count(lit(1)).as("n_matches"))
+  }
+
+  /** [[proximitySearch]] from the persisted index: reads only the
+    * terms' bucket dirs. */
+  def proximitySearchIndexed(spark: org.apache.spark.sql.SparkSession,
+      path: String, terms: Seq[String], slop: Int,
+      buckets: Int = LayoutMeta.Unspecified): DataFrame =
+    proximitySearch(readPostings(spark, path, terms, buckets), terms, slop)
+
+  /** Boolean retrieval: docs containing EVERY `must` term and NONE of
+    * the `mustNot` terms. The conjunction is a per-doc distinct-term
+    * count over the must terms' postings (no self-join chain — one
+    * aggregation regardless of term count); the negation is an
+    * anti-join against the mustNot terms' doc lists. Reading from the
+    * persisted index this touches only `must ∪ mustNot` bucket dirs —
+    * NOT-queries never scan the corpus, because the exclusion list is
+    * itself served by the index. */
+  def booleanSearch(postings: DataFrame, must: Seq[String],
+      mustNot: Seq[String] = Seq.empty): DataFrame = {
+    require(must.nonEmpty, "boolean search needs at least one must term")
+    val mtoks = must.map(_.toLowerCase).distinct
+    val ntoks = mustNot.map(_.toLowerCase).distinct
+    val hits = postings.filter(col("token").isin(mtoks: _*))
+      .groupBy(col("doc"))
+      .agg(countDistinct(col("token")).as("_nt"))
+      .filter(col("_nt") === lit(mtoks.size.toLong))
+      .select(col("doc"))
+    if (ntoks.isEmpty) hits
+    else {
+      val excl = postings.filter(col("token").isin(ntoks: _*))
+        .select(col("doc")).distinct()
+      hits.join(excl, Seq("doc"), "left_anti")
+    }
+  }
+
+  /** [[booleanSearch]] from the persisted index: one pruned read
+    * covers both the conjunction and the exclusion legs. */
+  def booleanSearchIndexed(spark: org.apache.spark.sql.SparkSession,
+      path: String, must: Seq[String], mustNot: Seq[String] = Seq.empty,
+      buckets: Int = LayoutMeta.Unspecified): DataFrame =
+    booleanSearch(readPostings(spark, path, must ++ mustNot, buckets),
+      must, mustNot)
+
   /** Docs containing `phrase` as CONSECUTIVE tokens, with the match
     * count per doc. Only the phrase tokens' postings are read. */
   def phraseSearch(postings: DataFrame, phrase: Seq[String]): DataFrame = {

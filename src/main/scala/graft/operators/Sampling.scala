@@ -119,4 +119,25 @@ object Sampling {
       .filter(col("_cum") - col(tokCol).cast("long") < budgetCol)
       .drop("_cum")
   }
+  /** QUALITY-QUANTILE pruning — "keep each domain's top q fraction by
+    * score", the FineWeb-style per-source quality gate. A GLOBAL score
+    * cutoff would let one high-scoring domain crowd out every other;
+    * ranking WITHIN the group keeps the mixture's domain balance while
+    * dropping each domain's worst tail. Rows survive where
+    * percent_rank() (ascending by (score, id) — the id tiebreak pins
+    * replay order in any engine) >= 1 - q, i.e. the top-q tail
+    * inclusive of the boundary rank. One hash shuffle on the group
+    * column; the window never crosses groups, so skew is bounded by
+    * the largest single domain — salt upstream if one domain dominates
+    * the corpus. */
+  def topQuantilePerGroup(df: DataFrame, groupCol: String, scoreCol: Column,
+      idCol: String, q: Double): DataFrame = {
+    require(q > 0 && q <= 1, "q must be in (0, 1]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(scoreCol.asc, col(idCol).asc)
+    df.withColumn("_pr", percent_rank().over(w))
+      .filter(col("_pr") >= lit(1.0 - q))
+      .drop("_pr")
+  }
 }

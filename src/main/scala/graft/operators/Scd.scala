@@ -87,10 +87,10 @@ object Scd {
   // history — now the dirs actually read are ENUMERATED and an
   // explicit mismatched parameter throws.
 
-  private def bucketOf(keyCols: Seq[String], n: Int) =
+  private[operators] def bucketOf(keyCols: Seq[String], n: Int) =
     pmod(hash(keyCols.map(col): _*), lit(n))
 
-  private def bucketDir(store: String, b: Int) = s"$store/bucket_$b"
+  private[operators] def bucketDir(store: String, b: Int) = s"$store/bucket_$b"
 
   private def resolveBuckets(spark: org.apache.spark.sql.SparkSession,
       store: String, passed: Int): Int =
@@ -238,7 +238,7 @@ object Scd {
     * per bucket was Jx the job-launch overhead), then per-bucket
     * rename + journal swap; we are the commit authority, so the
     * per-dir _SUCCESS marker is written after the job succeeded. */
-  private def commitBuckets(out: DataFrame, store: String,
+  private[operators] def commitBuckets(out: DataFrame, store: String,
       affected: Array[Int],
       conf: org.apache.hadoop.conf.Configuration): Unit = {
     import org.apache.hadoop.fs.Path

@@ -384,6 +384,25 @@ object TextAnalytics {
     * find contaminated ids, and the payload anti-joins that id set —
     * training text shuffles NOTHING, and the only wide op is the
     * id-distinct. No UDFs; everything codegen'd. */
+  /** Distinct verbatim n-grams of the materialized `_toks` column.
+    * Tokenization MUST be a bound column, not an inline expression:
+    * higher-order functions run interpreted (no whole-stage codegen,
+    * no subexpression elimination), so an inline `toks` referenced by
+    * the n element_at's + size would re-tokenize the full text once
+    * per reference per position — measured 20s-vs-sub-second at
+    * sf0.1. Guard: sequence(1, k) is DESCENDING for k < 1, so
+    * short/empty docs short-circuit to an empty array. */
+  private def distinctGramsCol(n: Int): org.apache.spark.sql.Column = {
+    val toks = col("_toks")
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  private def tokenizeCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    filter(split(lower(c), "[^a-z0-9]+"), x => x =!= "")
+
   def decontaminate(train: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, eval: org.apache.spark.sql.DataFrame,
       evalTextCol: String, n: Int = 13,
@@ -391,22 +410,9 @@ object TextAnalytics {
     require(n >= 1, "n must be >= 1")
     def carrier(g: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       if (hashGrams) xxhash64(g) else g
-    // tokenization is MATERIALIZED as a column before the gram lambda:
-    // higher-order functions run interpreted (no whole-stage codegen,
-    // no subexpression elimination), so an inline `toks` referenced by
-    // the n element_at's + size would re-tokenize the full text once
-    // per reference per position — measured 20s-vs-sub-second at sf0.1
-    val grams: org.apache.spark.sql.Column = {
-      val toks = col("_toks")
-      // guard: sequence(1, k) is DESCENDING for k < 1, so short/empty
-      // docs must short-circuit to an empty array, not a bogus series
-      when(size(toks) >= n,
-        array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))))
-        .otherwise(array().cast("array<string>"))
-    }
+    val grams = distinctGramsCol(n)
     def tokenize(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      filter(split(lower(c), "[^a-z0-9]+"), x => x =!= "")
+      tokenizeCol(c)
     val evalGrams = eval
       .select(tokenize(col(evalTextCol)).as("_toks"))
       .select(explode(grams).as("_g0"))
@@ -418,6 +424,46 @@ object TextAnalytics {
       .join(broadcast(evalGrams), Seq("_g"), "left_semi")
       .select(col(idCol)).distinct()
     train.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /** Per-document NOVELTY against a reference corpus: the fraction of
+    * the doc's distinct n-grams ABSENT from the reference's gram set —
+    * the graded curation signal between [[decontaminate]]'s hard drop
+    * and keeping everything. A mixture builder ranks candidate batches
+    * by novelty to spend its token budget on new information instead
+    * of re-crawled near-copy mass (the n-gram form of SemDeDup's
+    * motivation, cheap enough to run per ingest batch).
+    *
+    * Shape: both sides explode to per-doc DISTINCT grams; the
+    * reference set is gram-distinct then equijoined (left join + null
+    * marker — counts matched and total in ONE aggregation). Unlike
+    * decontaminate's broadcast, the reference here may itself be
+    * corpus-sized, so the join is a plain shuffled hash join on the
+    * gram carrier; with `hashGrams` the carrier is 8 bytes and a
+    * collision can only mark a novel gram as seen (novelty
+    * UNDERcounts — the safe direction for a keep-score). Returns
+    * (id, n_grams, n_novel, novelty) for docs with >= 1 gram. */
+  def noveltyScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, reference: org.apache.spark.sql.DataFrame,
+      refTextCol: String, n: Int = 3,
+      hashGrams: Boolean = true): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    def carrier(g: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      if (hashGrams) xxhash64(g) else g
+    val grams = distinctGramsCol(n)
+    val refG = reference.select(tokenizeCol(col(refTextCol)).as("_toks"))
+      .select(explode(grams).as("_g0"))
+      .select(carrier(col("_g0")).as("_g")).distinct()
+      .withColumn("_hit", lit(1))
+    df.select(col(idCol), tokenizeCol(col(textCol)).as("_toks"))
+      .select(col(idCol), explode(grams).as("_g0"))
+      .select(col(idCol), carrier(col("_g0")).as("_g"))
+      .join(refG, Seq("_g"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("_hit").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_grams").cast("double"))
   }
 
   /** FUZZY benchmark decontamination: drop training documents that

@@ -420,4 +420,54 @@ class DedupSpec extends AnyFunSuite {
       k = 3, numHashes = 32, bands = 16, threshold = 0.5, maxBucketSize = 50)
     assert(kept.count() == 200)
   }
+
+  test("sorted-neighborhood: window pairs verified by integer-exact jaccard; out-of-window dups missed by design") {
+    val d = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "alpha beta gamma delta epsilon"), // near dup of 0, adjacent in sort
+      (2L, "alpha omega psi chi"),            // same prefix, low overlap
+      (3L, "zeta eta theta iota"),
+      (4L, "zeta eta theta iota kappa"),      // near dup of 3
+      (5L, "mmm nnn ooo ppp")
+    ).toDF("doc_id", "text")
+    val key = substring(regexp_replace(lower($"text"),
+      lit("[^a-z0-9]"), lit("")), 1, 8)
+    val pairs = Dedup.sortedNeighborhood(d, "doc_id", "text", key,
+        window = 3, thrNum = 1, thrDen = 2)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L), (3L, 4L)))
+    // brute-force equality over ALL in-window pairs: the operator is
+    // exactly "window pairs, then exact jaccard", nothing more
+    val w = 4
+    val all = Dedup.sortedNeighborhood(d, "doc_id", "text", key,
+      window = w, thrNum = 0, thrDen = 1).count()
+    assert(all == (d.count() - 1) * (w - 1) - ((w - 1) * (w - 2)) / 2)
+  }
+
+  test("containment: partial copy found even when symmetric jaccard is dilute; rare-shingle blocking; exact verify") {
+    val big = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    val d = Seq(
+      (0L, big),
+      (1L, "three four five six seven eight"), // contained span of 0
+      (2L, "totally different words entirely here now"),
+      (3L, big + " plus a tail of extra words here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(d, "doc_id", "text",
+        n = 3, dfCap = 10, thrNum = 4, thrDen = 5)
+      .select($"contained_id", $"container_id").as[(Long, Long)]
+      .collect().toSet
+    // doc1 ⊂ doc0 and doc1 ⊂ doc3; doc0 ⊂ doc3 (prefix); doc2 nowhere.
+    assert(got == Set((1L, 0L), (1L, 3L), (0L, 3L)))
+    // symmetric jaccard on the (1,0) pair is dilute — below 1/2 — which
+    // is exactly why the directional operator exists
+    val j = Dedup.sortedNeighborhood(d.filter($"doc_id".isin(0L, 1L)),
+      "doc_id", "text", lit("x"), window = 2, thrNum = 1, thrDen = 2).count()
+    assert(j == 0L)
+    // blocking valve: with every shingle above the df cap nothing pairs
+    val boiler = Seq.tabulate(12)(i => (i.toLong, "same exact boiler text"))
+      .toDF("doc_id", "text")
+    assert(Dedup.containmentPairs(boiler, "doc_id", "text",
+      n = 3, dfCap = 10).count() == 0L)
+  }
 }

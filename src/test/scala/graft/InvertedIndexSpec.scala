@@ -231,6 +231,47 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(censusTotal == InvertedIndex.postings(all, "doc_id", "text").count())
   }
 
+  test("proximity search: ordered within slop; slop 0 degenerates to the phrase") {
+    val d = docs(
+      1L -> "the big cat",          // gap 1 between the..cat
+      2L -> "the cat",              // adjacent
+      3L -> "cat the",              // wrong order
+      4L -> "the very big old cat", // gap 3
+      5L -> "the cat the cat")      // multiple tuples
+    def prox(slop: Int) = InvertedIndex.proximitySearch(
+        InvertedIndex.postings(d, "doc_id", "text"), Seq("the", "cat"), slop)
+      .as[(Long, Long)].collect().toMap
+    assert(prox(0) == search(d, "the", "cat")) // phrase equivalence
+    assert(prox(1) == Map(1L -> 1L, 2L -> 1L, 5L -> 2L))
+    // slop 3 admits doc 4 (gap 3) and doc 5's long-range (1,4) tuple
+    assert(prox(3) == Map(1L -> 1L, 2L -> 1L, 4L -> 1L, 5L -> 3L))
+    assert(prox(10) == Map(1L -> 1L, 2L -> 1L, 4L -> 1L, 5L -> 3L))
+  }
+
+  test("boolean search: AND conjunction + NOT exclusion, index-served and pruned") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bool").toString + "/p"
+    val d = docs(
+      1L -> "vector join hash",
+      2L -> "vector join tree",
+      3L -> "vector scan",
+      4L -> "join vector merge",
+      5L -> "irrelevant words")
+    InvertedIndex.writeIndex(d, "doc_id", "text", dir, buckets = 8)
+    def ids(must: Seq[String], not: Seq[String]) =
+      InvertedIndex.booleanSearchIndexed(spark, dir, must, not)
+        .as[Long].collect().toSet
+    assert(ids(Seq("vector", "join"), Nil) == Set(1L, 2L, 4L))
+    assert(ids(Seq("vector", "join"), Seq("hash")) == Set(2L, 4L))
+    assert(ids(Seq("vector"), Seq("join", "scan")) == Set.empty[Long])
+    // the NOT leg reads from the index too — the probe plan stays
+    // partition-pruned, no corpus scan
+    val probe = InvertedIndex.booleanSearchIndexed(spark, dir,
+      Seq("vector"), Seq("hash"))
+    probe.collect()
+    val plan = probe.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*_tbkt".r.findFirstIn(plan).isDefined)
+  }
+
   test("kll sidecars: per-batch sketches merge to whole-corpus quantiles within rank error") {
     val dir = java.nio.file.Files.createTempDirectory("kll").toString
     val n = 20000

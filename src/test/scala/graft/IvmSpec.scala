@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.Ivm
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class IvmSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("graft_ivm").toString + "/view"
+
+  private def batch(rows: (String, Long, java.math.BigDecimal)*) =
+    rows.toDF("k", "v", "amt")
+      .select($"k", $"v", $"amt".cast("decimal(18,2)").as("amt"))
+
+  private def bd(s: String) = new java.math.BigDecimal(s)
+
+  test("incremental == one-shot recompute across batches, including key overlap") {
+    val store = tmp()
+    val b1 = batch(("a", 1L, bd("1.10")), ("a", 2L, bd("2.20")),
+      ("b", 10L, bd("0.50")))
+    val b2 = batch(("a", 3L, bd("0.70")), ("c", 5L, bd("9.99")))
+    val b3 = batch(("b", 1L, bd("0.01")), ("c", 1L, bd("0.01")),
+      ("c", 2L, bd("0.01")))
+    Ivm.applyBatch(b1, store, Seq("k"), Seq("v", "amt"), nBuckets = 4)
+    Ivm.applyBatch(b2, store, Seq("k"), Seq("v", "amt"))
+    Ivm.applyBatch(b3, store, Seq("k"), Seq("v", "amt"))
+    val got = Ivm.read(spark, store)
+      .select($"k", $"cnt", $"sum_v", $"sum_amt".cast("string"))
+      .as[(String, Long, Long, String)].collect().toSet
+    val full = b1.unionByName(b2).unionByName(b3)
+      .groupBy($"k").agg(count(lit(1)).as("cnt"), sum($"v").as("sum_v"),
+        sum($"amt").as("sum_amt"))
+      .select($"k", $"cnt", $"sum_v", $"sum_amt".cast("string"))
+      .as[(String, Long, Long, String)].collect().toSet
+    assert(got == full)
+    assert(got.map(_._1) == Set("a", "b", "c"))
+  }
+
+  test("only the touched buckets rewrite") {
+    val store = tmp()
+    Ivm.applyBatch(batch(("a", 1L, bd("1.00")), ("b", 1L, bd("1.00")),
+      ("c", 1L, bd("1.00")), ("d", 1L, bd("1.00"))), store,
+      Seq("k"), Seq("v", "amt"), nBuckets = 8)
+    val root = new java.io.File(store)
+    def mtimes() = root.listFiles().filter(_.getName.startsWith("bucket_"))
+      .map(d => d.getName -> d.listFiles().map(_.lastModified).max).toMap
+    val before = mtimes()
+    Thread.sleep(1100)
+    // one key -> one bucket touched
+    Ivm.applyBatch(batch(("a", 9L, bd("9.00"))), store, Seq("k"), Seq("v", "amt"))
+    val after = mtimes()
+    val changed = after.filter { case (d, t) => before.get(d).exists(_ != t) }.keySet
+    assert(changed.size == 1, s"expected exactly one bucket rewrite, got $changed")
+  }
+
+  test("double sum columns are refused loudly; wrong bucket guess throws") {
+    val store = tmp()
+    val dbl = Seq(("a", 1.5)).toDF("k", "x")
+    val ex = intercept[IllegalArgumentException] {
+      Ivm.applyBatch(dbl, store, Seq("k"), Seq("x"), nBuckets = 4)
+    }
+    assert(ex.getMessage.contains("DECIMAL"))
+    Ivm.applyBatch(batch(("a", 1L, bd("1.00"))), store, Seq("k"),
+      Seq("v", "amt"), nBuckets = 4)
+    intercept[IllegalArgumentException] {
+      Ivm.read(spark, store, nBuckets = 16)
+    }
+  }
+
+  test("count-only views (no sum columns) maintain") {
+    val store = tmp()
+    Ivm.applyBatch(batch(("a", 1L, bd("0")), ("a", 2L, bd("0"))), store,
+      Seq("k"), Seq.empty, nBuckets = 2)
+    Ivm.applyBatch(batch(("a", 3L, bd("0"))), store, Seq("k"), Seq.empty)
+    assert(Ivm.read(spark, store).select($"k", $"cnt")
+      .as[(String, Long)].collect().toSeq == Seq(("a", 3L)))
+  }
+}

@@ -701,4 +701,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hot.get._3 <= 5000L && 5000L <= hot.get._4,
       s"true count outside [lb, ub]: $hot")
   }
+  test("per-group quality quantile keeps each group's top-q tail, boundary inclusive") {
+    import graft.operators.Sampling
+    // group a: scores 1..8 (q=0.25 -> pr >= 0.75 -> top 3 of 8: ranks 6,7,8
+    // since percent_rank at rank 6 of 8 = 5/7 < 0.75; rank 7 = 6/7 >= .75)
+    val df = ((1 to 8).map(i => ("a", i.toLong, i.toDouble)) ++
+      (1 to 4).map(i => ("b", 10L + i, 100.0 * i))).toDF("g", "id", "score")
+    val kept = Sampling.topQuantilePerGroup(df, "g", col("score"), "id", 0.25)
+      .select($"id").as[Long].collect().toSet
+    // a: pr = (rank-1)/7 >= 0.75 -> rank >= 6.25 -> ranks 7,8 -> ids 7,8
+    // b: pr = (rank-1)/3 >= 0.75 -> rank >= 3.25 -> rank 4 -> id 14
+    assert(kept == Set(7L, 8L, 14L))
+    // ties resolved by the id tiebreak deterministically
+    val tied = Seq(("a", 1L, 5.0), ("a", 2L, 5.0), ("a", 3L, 5.0),
+      ("a", 4L, 9.0)).toDF("g", "id", "score")
+    val k2 = Sampling.topQuantilePerGroup(tied, "g", col("score"), "id", 0.5)
+      .select($"id").as[Long].collect().toSet
+    // ascending (score, id): ranks 1,2,3,4 -> pr 0,1/3,2/3,1 -> keep pr>=0.5
+    assert(k2 == Set(3L, 4L))
+    // q = 1 keeps everything including single-row groups
+    assert(Sampling.topQuantilePerGroup(df, "g", col("score"), "id", 1.0)
+      .count() == 12L)
+  }
 }

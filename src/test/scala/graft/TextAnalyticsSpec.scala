@@ -364,4 +364,27 @@ class TextAnalyticsSpec extends AnyFunSuite {
       .as[(Long, Double)].collect().toMap
     assert(again == got)
   }
+  test("novelty score: identical doc scores 0, disjoint scores 1, mix exact; short docs excluded; hash carrier agrees") {
+    import graft.operators.TextAnalytics
+    val ref = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),      // all trigrams seen -> 0
+      (2L, "zeta eta theta iota kappa"),           // none seen -> 1
+      // trigrams: [alpha beta gamma, beta gamma zeta, gamma zeta eta]:
+      // first seen, other two novel -> 2/3
+      (3L, "alpha beta gamma zeta eta"),
+      (4L, "two words")                            // < n tokens -> no row
+    ).toDF("doc_id", "text")
+    def run(hash: Boolean) =
+      TextAnalytics.noveltyScore(docs, "doc_id", "text", ref, "text",
+          n = 3, hashGrams = hash)
+        .select($"doc_id", $"n_grams", $"n_novel")
+        .as[(Long, Long, Long)].collect().toSet
+    val expect = Set((1L, 3L, 0L), (2L, 3L, 3L), (3L, 3L, 2L))
+    assert(run(hash = false) == expect)
+    assert(run(hash = true) == expect) // 8-byte carrier, same verdicts
+    val nv = TextAnalytics.noveltyScore(docs, "doc_id", "text", ref, "text", 3)
+      .select($"doc_id", $"novelty").as[(Long, Double)].collect().toMap
+    assert(nv(1L) == 0.0 && nv(2L) == 1.0 && nv(3L) == 2.0 / 3.0)
+  }
 }
