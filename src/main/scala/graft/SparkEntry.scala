@@ -3451,6 +3451,33 @@ object SparkEntry {
         .orderBy($"l_suppkey")
     }),
 
+    // MP4/ISO-BMFF metadata probe (r17): writer-half fixtures with
+    // closed-form params from doc_id, box-walked back (ftyp brand,
+    // mvhd duration, per-trak hdlr/tkhd/stsz) — the q102 codec-
+    // roundtrip pattern on the video container; the oracle recomputes
+    // every field arithmetically, so a box mis-walk, a fixed-point
+    // misread or a cross-track clobber all hash-mismatch.
+    "q190_mp4_probe" -> ((s, dir) => {
+      import s.implicits._
+      val mk = udf { (id: Long) =>
+        graft.sources.Mp4.syntheticMp4(
+          durationMs = 1000 + id % 9000, timescale = 1000,
+          width = (16 * (2 + id % 8)).toInt,
+          height = (16 * (1 + id % 6)).toInt,
+          videoSamples = 10 + id % 50, audio = id % 2 == 0)
+      }
+      val bin = t(s, dir, "documents").select($"doc_id")
+        .withColumn("blob", mk($"doc_id"))
+      bin.withColumn("m", graft.sources.Mp4.mp4MetaCol($"blob"))
+        .select($"doc_id", $"m.brand".as("brand"),
+          $"m.durationMs".as("duration_ms"),
+          $"m.nTracks".as("n_tracks"),
+          $"m.hasVideo".as("has_video"), $"m.hasAudio".as("has_audio"),
+          $"m.width".as("width"), $"m.height".as("height"),
+          $"m.nSamples".as("n_samples"))
+        .orderBy($"doc_id")
+    }),
+
     "q161_phrase_search" -> ((s, dir) => {
       import s.implicits._
       import graft.operators.InvertedIndex
@@ -5487,6 +5514,17 @@ object SparkEntry {
       """SELECT l_suppkey, count(*) AS cnt,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+
+    "q190_mp4_probe" ->
+      """SELECT doc_id, 'isom' AS brand,
+        |  CAST(1000 + doc_id % 9000 AS BIGINT) AS duration_ms,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS INT) AS n_tracks,
+        |  TRUE AS has_video, (doc_id % 2 = 0) AS has_audio,
+        |  CAST(16 * (2 + doc_id % 8) AS INT) AS width,
+        |  CAST(16 * (1 + doc_id % 6) AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 3 * (10 + doc_id % 50)
+        |       ELSE 10 + doc_id % 50 END AS BIGINT) AS n_samples
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q162_kll_quantiles" ->
       """SELECT lang, count(*) AS n, TRUE AS count_ok,

@@ -37,15 +37,39 @@ object Ivm {
 
   private def sumColName(c: String) = s"sum_$c"
 
+  /** Parse a bucket's `_applied` tag file: (writerId, batchId). */
+  private def bucketApplied(fs: org.apache.hadoop.fs.FileSystem,
+      store: String, b: Int): Option[(String, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(Scd.bucketDir(store, b), "_applied")
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val txt =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    txt.split("\t") match {
+      case Array(w, bid) => bid.toLongOption.map(w -> _)
+      case _ => None
+    }
+  }
+
   /** Fold one batch into the view at `store`. Sum columns must be
-    * integral or decimal (exact-merge types). Idempotence is the
-    * CALLER's ledger's job (replaying a batch double-counts — pair
-    * with the ingest ledger, as every sink here does); crash-safety is
-    * this method's: a crash mid-commit leaves each bucket either old
-    * or new, and the journal heals half-done swaps on the next call. */
+    * integral or decimal (exact-merge types). Crash-safety: a crash
+    * mid-commit leaves each bucket either old or new, and the journal
+    * heals half-done swaps on the next call.
+    *
+    * Idempotence: pass `batchTag = Some((writerId, batchId))` (e.g.
+    * the streaming query id + micro-batch id) and replays become
+    * detected no-ops PER BUCKET — each bucket dir carries an
+    * `_applied` tag that commits ATOMICALLY with its data in the same
+    * swap, so even a crash BETWEEN bucket swaps replays safely: the
+    * buckets that swapped skip, the ones that didn't apply. (A global
+    * side-ledger can't give that — data and ledger would commit at
+    * different instants, and the window between them double-counts.)
+    * Without a tag, replay discipline is the caller's ledger's job. */
   def applyBatch(batch: DataFrame, store: String, keyCols: Seq[String],
       sumCols: Seq[String],
-      nBuckets: Int = LayoutMeta.Unspecified): Unit = {
+      nBuckets: Int = LayoutMeta.Unspecified,
+      batchTag: Option[(String, Long)] = None): Unit = {
     require(keyCols.nonEmpty, "need at least one key column")
     val spark = batch.sparkSession
     sumCols.foreach { c =>
@@ -72,20 +96,39 @@ object Ivm {
       .withColumn("_bucket", Scd.bucketOf(keyCols, n))
     val affected = partial.select(col("_bucket")).distinct()
       .collect().map(_.getInt(0)).sorted // bounded by nBuckets
-    if (affected.isEmpty) return
-    val existingDirs = affected.map(Scd.bucketDir(store, _)).filter { p =>
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(conf)
+    // replay detection: skip buckets whose _applied tag already covers
+    // this (writer, batch) — a crash between bucket swaps leaves a mix,
+    // and the replay applies exactly the unswapped remainder
+    val pending = batchTag match {
+      case None => affected
+      case Some((w, bid)) => affected.filter { b =>
+        bucketApplied(fs, store, b) match {
+          case Some((w2, b2)) => !(w2 == w && b2 >= bid)
+          case None => true
+        }
+      }
+    }
+    if (pending.isEmpty) return
+    val partialPending =
+      if (pending.length == affected.length) partial
+      else partial.filter(col("_bucket")
+        .isin(pending.map(Integer.valueOf).toIndexedSeq: _*))
+    val existingDirs = pending.map(Scd.bucketDir(store, _)).filter { p =>
       val path = new org.apache.hadoop.fs.Path(p)
       path.getFileSystem(conf).exists(path)
     }
     val merged =
-      if (existingDirs.isEmpty) partial
-      else partial.unionByName(
+      if (existingDirs.isEmpty) partialPending
+      else partialPending.unionByName(
         spark.read.parquet(existingDirs.toIndexedSeq: _*)
           .withColumn("_bucket", Scd.bucketOf(keyCols, n)))
     val out = merged.groupBy(keyCols.map(col) :+ col("_bucket"): _*)
       .agg(sum(col("cnt")).as("cnt"),
         sumCols.map(c => sum(col(sumColName(c))).as(sumColName(c))): _*)
-    Scd.commitBuckets(out, store, affected, conf)
+    Scd.commitBuckets(out, store, pending, conf,
+      marker = batchTag.map { case (w, bid) => ("_applied", s"$w\t$bid") })
     LayoutMeta.commit(spark, store, Map("nBuckets" -> n))
   }
 

@@ -240,7 +240,8 @@ object Scd {
     * per-dir _SUCCESS marker is written after the job succeeded. */
   private[operators] def commitBuckets(out: DataFrame, store: String,
       affected: Array[Int],
-      conf: org.apache.hadoop.conf.Configuration): Unit = {
+      conf: org.apache.hadoop.conf.Configuration,
+      marker: Option[(String, String)] = None): Unit = {
     import org.apache.hadoop.fs.Path
     val stagedRoot = new Path(
       s"$store/__stage_${java.util.UUID.randomUUID().toString.take(8)}")
@@ -254,6 +255,13 @@ object Scd {
           val staged = new Path(bucketDir(store, i) + "__staged")
           if (fs.exists(staged)) fs.delete(staged, true)
           require(fs.rename(part, staged), s"staging rename failed: $part")
+          // caller-supplied marker (e.g. Ivm's per-bucket applied tag)
+          // rides the staged dir, so it commits ATOMICALLY with the
+          // bucket's data in the swap below
+          marker.foreach { case (name, content) =>
+            val o = fs.create(new Path(staged, name), true)
+            o.write(content.getBytes("UTF-8")); o.close()
+          }
           fs.create(new Path(staged, "_SUCCESS")).close()
           val live = new Path(bucketDir(store, i))
           if (fs.exists(live))

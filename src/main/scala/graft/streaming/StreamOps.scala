@@ -953,4 +953,29 @@ object StreamOps {
           }
       }
   }
+
+  /** STREAMING-maintained incremental view: each micro-batch folds
+    * into the [[graft.operators.Ivm]] keyed aggregate at `storePath`.
+    * Exactly-once under crash-replay WITHOUT a side ledger: the
+    * (queryId, batchId) tag commits atomically WITH each bucket's
+    * data ([[graft.operators.Ivm.applyBatch]]'s per-bucket `_applied`
+    * marker), so a restart that re-delivers a micro-batch applies
+    * exactly the buckets the crash left unswapped and skips the rest —
+    * the failure mode a whole-store ledger cannot cover (its commit
+    * instant is necessarily after the last bucket's). The query id is
+    * checkpoint-scoped, so a FRESH checkpoint over an existing view
+    * restarts batch ids at 0 without ever matching the old tags. */
+  def ivmIngest(rows: DataFrame, storePath: String, keyCols: Seq[String],
+      sumCols: Seq[String],
+      nBuckets: Int = graft.operators.LayoutMeta.Unspecified)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val qid = Option(spark.sparkContext.getLocalProperty(QueryIdProp))
+          .getOrElse("")
+        val tag = if (qid.isEmpty) None else Some((qid, batchId))
+        graft.operators.Ivm.applyBatch(batch, storePath, keyCols, sumCols,
+          nBuckets, tag)
+    }
 }

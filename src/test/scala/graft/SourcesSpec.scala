@@ -1722,4 +1722,40 @@ class SourcesSpec extends AnyFunSuite {
     assert(permissive.filter($"v".isNull).count() == 2)
     assert(permissive.filter($"id".isNotNull).count() == 4)
   }
+  test("mp4 probe: writer-half fixtures round-trip; truncation and garbage are safe; unknown boxes skip") {
+    import graft.sources.Mp4
+    val b = Mp4.syntheticMp4(durationMs = 5500, timescale = 1000,
+      width = 320, height = 240, videoSamples = 42, audio = true)
+    val m = Mp4.probe(b)
+    assert(m.ok && m.brand == "isom")
+    assert(m.durationMs == 5500 && m.nTracks == 2)
+    assert(m.hasVideo && m.hasAudio)
+    assert(m.width == 320 && m.height == 240)
+    assert(m.nSamples == 42 + 84) // stsz sums across tracks
+    // non-divisible timescale floors the millisecond duration
+    val t9 = Mp4.probe(Mp4.syntheticMp4(1001, 90000, 64, 48, 1, audio = false))
+    assert(t9.ok && t9.durationMs == 90090L * 1000L / 90000L)
+    assert(t9.nTracks == 1 && t9.hasVideo && !t9.hasAudio)
+    // truncation at every prefix length: never throws, never ok
+    (0 until b.length by 7).foreach { n =>
+      val t = Mp4.probe(java.util.Arrays.copyOf(b, n))
+      assert(!t.ok || n == b.length, s"truncated prefix $n reported ok")
+    }
+    // garbage is rejected, not thrown
+    assert(!Mp4.probe(Array.fill[Byte](64)(0x41)).ok)
+    assert(!Mp4.probe(null).ok)
+    // unknown top-level boxes skip by size (forward compatibility)
+    val free = Array[Byte](0, 0, 0, 12, 'f', 'r', 'e', 'e', 1, 2, 3, 4)
+    val m2 = Mp4.probe(free ++ b)
+    assert(m2.ok && m2.durationMs == 5500 && m2.nTracks == 2)
+    // size==0 (extends to EOF) on the LAST box parses
+    val zeroTail = b.clone()
+    // moov is the second top-level box; find its offset = ftyp size
+    val ftypSize = ((b(0) & 0xFF) << 24) | ((b(1) & 0xFF) << 16) |
+      ((b(2) & 0xFF) << 8) | (b(3) & 0xFF)
+    zeroTail(ftypSize) = 0; zeroTail(ftypSize + 1) = 0
+    zeroTail(ftypSize + 2) = 0; zeroTail(ftypSize + 3) = 0
+    val m3 = Mp4.probe(zeroTail)
+    assert(m3.ok && m3.nTracks == 2, s"size-0 tail box failed: ${m3.err}")
+  }
 }

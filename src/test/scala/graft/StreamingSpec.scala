@@ -399,6 +399,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming IVM: the maintained view equals the batch aggregation after every micro-batch") {
+    val src = Files.createTempDirectory("graft_sivm_src")
+    val store = Files.createTempDirectory("graft_sivm").toString + "/view"
+    def writeBatch(name: String, rows: Seq[(String, Long)]): Unit = {
+      val tmp = Files.createTempDirectory(s"graft_sivm_$name")
+      rows.toDF("k", "v").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get
+      Files.copy(part, Paths.get(s"$src/$name.parquet"))
+    }
+    writeBatch("b1", Seq(("a", 1L), ("a", 2L), ("b", 10L)))
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("k", StringType), StructField("v", LongType))))
+      .parquet(src.toString)
+    val q = StreamOps.ivmIngest(stream, store, Seq("k"), Seq("v"), nBuckets = 4)
+      .start()
+    try {
+      q.processAllAvailable()
+      def view() = graft.operators.Ivm.read(spark, store)
+        .select(col("k"), col("cnt"), col("sum_v"))
+        .as[(String, Long, Long)].collect().toSet
+      assert(view() == Set(("a", 2L, 3L), ("b", 1L, 10L)))
+      writeBatch("b2", Seq(("a", 4L), ("c", 7L)))
+      q.processAllAvailable()
+      assert(view() == Set(("a", 3L, 7L), ("b", 1L, 10L), ("c", 1L, 7L)))
+    } finally q.stop()
+  }
+
   test("streaming WARC ingest: shards stream through warcRecords -> Html -> dedupedIngest") {
     import graft.sources.{Html, Warc}
     val src = Files.createTempDirectory("graft_swarc_src")
