@@ -3478,6 +3478,52 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Deterministic WEIGHTED sampling (r17, Efraimidis–Spirakis A-ES):
+    // quality-weighted document selection — inclusion probability
+    // proportional to n_chars, replayable by any engine from
+    // (id, weight) alone (seeded hash-uniform, ln-space key, (key,id)
+    // tiebreak). ln is libm-faithful (the q117 precedent); boundary
+    // headroom at the cut rank is spot-checked at build time.
+    "q191_weighted_sample" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Sampling.weightedTopN(
+          t(s, dir, "documents"), "doc_id", $"n_chars", n = 50)
+        .select($"doc_id")
+        .orderBy($"doc_id")
+    }),
+
+    // CMS JOIN-SIZE estimation (r17): the AMS inner-product estimator
+    // from two KB-sized count-min sidecars — self-join cardinality of
+    // lineitem on l_partkey predicted WITHOUT executing the join; the
+    // one-sided contract (never under, over by <= (e/width)·N²) is the
+    // graded check, exact size hash-matched.
+    "q192_cms_joinsize" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.JoinEstimate
+      val li = t(s, dir, "lineitem").select($"l_partkey")
+      val exact = li.groupBy($"l_partkey").count()
+        .agg(coalesce(sum($"count" * $"count"), lit(0L))).head().getLong(0)
+      val (w, d) = (2048, 5)
+      val c = JoinEstimate.cmsTable(li, "l_partkey", w, d).localCheckpoint(true)
+      val est = JoinEstimate.estimateJoinSize(c, c)
+      val bound = JoinEstimate.errorBound(c, c, w, d)
+      Seq((exact, est >= exact && est.toDouble <= exact.toDouble + bound))
+        .toDF("exact_join_size", "cms_bounds_ok")
+    }),
+
+    // MAD robust outliers (r17): |v − median| > 5·MAD per event type,
+    // with EXACT lower-median rank semantics (value at rank
+    // ⌊(n+1)/2⌋ under (value, id) — rank selection, not
+    // interpolation, so the oracle replays it bit-for-bit).
+    "q193_mad_outliers" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.DataProfile.madOutliers(
+          events(s, dir).select($"event_type", $"event_id", $"value"),
+          "event_type", "value", "event_id", k = 5.0)
+        .select($"event_type", $"event_id", $"v", $"med", $"deviation")
+        .orderBy($"event_id")
+    }),
+
     "q161_phrase_search" -> ((s, dir) => {
       import s.implicits._
       import graft.operators.InvertedIndex
@@ -5514,6 +5560,41 @@ object SparkEntry {
       """SELECT l_suppkey, count(*) AS cnt,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+
+    "q191_weighted_sample" ->
+      """WITH u AS (SELECT doc_id,
+        |    (CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) + 0.5)
+        |      / 4294967296.0 AS u, n_chars
+        |  FROM documents WHERE n_chars > 0),
+        |k AS (SELECT doc_id, ln(u) / CAST(n_chars AS DOUBLE) AS wkey FROM u),
+        |top AS (SELECT doc_id FROM k ORDER BY wkey DESC, doc_id LIMIT 50)
+        |SELECT doc_id FROM top ORDER BY doc_id""".stripMargin,
+
+    "q192_cms_joinsize" ->
+      """SELECT CAST(SUM(n * n) AS BIGINT) AS exact_join_size,
+        |  TRUE AS cms_bounds_ok
+        |FROM (SELECT COUNT(*) AS n FROM lineitem GROUP BY l_partkey)""".stripMargin,
+
+    "q193_mad_outliers" ->
+      """WITH r AS (SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value ASC, event_id ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |med AS (SELECT event_type, value AS med FROM r
+        |        WHERE rn = CAST(FLOOR((n + 1) / 2.0) AS BIGINT)),
+        |dev AS (SELECT e.event_type, e.event_id, e.value AS v, m.med,
+        |    abs(e.value - m.med) AS deviation
+        |  FROM events e JOIN med m ON e.event_type = m.event_type),
+        |dr AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |      ORDER BY deviation ASC, event_id ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n FROM dev),
+        |mad AS (SELECT event_type, deviation AS mad FROM dr
+        |        WHERE rn = CAST(FLOOR((n + 1) / 2.0) AS BIGINT))
+        |SELECT d.event_type, d.event_id, d.v, d.med, d.deviation
+        |FROM dev d JOIN mad m ON d.event_type = m.event_type
+        |WHERE d.deviation > 5.0 * m.mad
+        |ORDER BY d.event_id""".stripMargin,
 
     "q190_mp4_probe" ->
       """SELECT doc_id, 'isom' AS brand,

@@ -233,4 +233,40 @@ object DataProfile {
         col("kv.n_nulls").as("n_nulls"), col("kv.n_distinct").as("n_distinct"),
         col("kv.min_val").as("min_val"), col("kv.max_val").as("max_val"))
   }
+  /** Robust per-group outliers: rows where |v − median| > k·MAD (the
+    * median-absolute-deviation rule — the observability detector that
+    * survives the outliers it hunts, unlike mean/stddev z-scores
+    * which the outliers themselves inflate). Medians are EXACT and
+    * rank-deterministic: the LOWER median — the value at rank
+    * ⌊(n+1)/2⌋ under ascending (value, id) — not an interpolating
+    * percentile, so any engine replays it bit-for-bit from the same
+    * rank rule (interpolation semantics differ across engines; rank
+    * selection doesn't). Two window passes over one group-hash
+    * partitioning, no collect. MAD = 0 (over half the group tied at
+    * the median) flags every strictly-deviating row — the documented
+    * degenerate case; callers wanting laxer behavior pre-filter. */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, k: Double = 5.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byG = Window.partitionBy(col(groupCol))
+    val medRank = floor((col("_n") + lit(1)) / lit(2.0)).cast("long")
+    val ranked = df
+      .withColumn("_rn", row_number().over(
+        byG.orderBy(col(valueCol).asc, col(idCol).asc)))
+      .withColumn("_n", count(lit(1)).over(byG))
+    val med = ranked.filter(col("_rn") === medRank)
+      .select(col(groupCol), col(valueCol).cast("double").as("_med"))
+    val dev = df.join(med, groupCol)
+      .withColumn("_dev", abs(col(valueCol).cast("double") - col("_med")))
+    val devRanked = dev
+      .withColumn("_rn", row_number().over(
+        byG.orderBy(col("_dev").asc, col(idCol).asc)))
+      .withColumn("_n", count(lit(1)).over(byG))
+    val mad = devRanked.filter(col("_rn") === medRank)
+      .select(col(groupCol), col("_dev").as("_mad"))
+    dev.join(mad, groupCol)
+      .filter(col("_dev") > lit(k) * col("_mad"))
+      .select(col(groupCol), col(idCol), col(valueCol).cast("double").as("v"),
+        col("_med").as("med"), col("_dev").as("deviation"))
+  }
 }

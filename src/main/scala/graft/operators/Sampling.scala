@@ -140,4 +140,28 @@ object Sampling {
       .filter(col("_pr") >= lit(1.0 - q))
       .drop("_pr")
   }
+  /** Deterministic weighted sample WITHOUT replacement (Efraimidis–
+    * Spirakis A-ES): each row draws u_i = (mixHash(id)+0.5)/2^32 — a
+    * seeded hash-uniform in (0,1) — and the n rows with the largest
+    * u_i^(1/w_i) win, which selects with inclusion probability
+    * proportional to weight. Computed in log space (ln(u)/w, a
+    * monotone transform — pow is less portable than ln) so the sort
+    * key is one ln + one division per row; the global top-n is a
+    * TakeOrderedAndProject, never a full sort. Replayable by any
+    * engine from (id, weight) alone: same hash, same key, same
+    * (key, id) tiebreak. Zero/negative weights never win (key −∞
+    * effectively; they are filtered). The mixture-building use: spend
+    * a document budget ∝ quality weight without coordinating state —
+    * re-running on the same corpus reselects the identical sample. */
+  def weightedTopN(df: DataFrame, idCol: String, weightCol: Column,
+      n: Int): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    df.filter(weightCol > lit(0.0))
+      .withColumn("_u",
+        (mixHash(col(idCol)).cast("double") + lit(0.5)) / lit(Modulus.toDouble))
+      .withColumn("_wkey", log(col("_u")) / weightCol.cast("double"))
+      .orderBy(col("_wkey").desc, col(idCol))
+      .limit(n)
+      .drop("_u", "_wkey")
+  }
 }

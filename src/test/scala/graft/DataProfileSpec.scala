@@ -140,4 +140,29 @@ class DataProfileSpec extends AnyFunSuite {
       s"sketch PSI $approx too far from exact $exact")
     assert(approx > 0.25, "sketch path must still flag the shift")
   }
+  test("MAD outliers: exact lower-median ranks, tie determinism, zero-MAD degenerate") {
+    import graft.operators.DataProfile
+    val df = Seq(
+      // group a: values 1..9 plus a wild 1000 -> n=10, lower median at
+      // rank 5 = 5.0; deviations 0..4,995 -> MAD at rank 5 = 2 -> only
+      // 1000 exceeds 5*2
+      ("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0), ("a", 4L, 4.0),
+      ("a", 5L, 5.0), ("a", 6L, 6.0), ("a", 7L, 7.0), ("a", 8L, 8.0),
+      ("a", 9L, 9.0), ("a", 10L, 1000.0),
+      // group b: over half tied at 7 -> MAD 0 -> every deviator flags
+      ("b", 21L, 7.0), ("b", 22L, 7.0), ("b", 23L, 7.0), ("b", 24L, 7.1),
+      ("b", 25L, 6.9)
+    ).toDF("g", "id", "v")
+    val got = DataProfile.madOutliers(df, "g", "v", "id", k = 5.0)
+      .select($"g", $"id").as[(String, Long)].collect().toSet
+    assert(got == Set(("a", 10L), ("b", 24L), ("b", 25L)))
+    // median rank rule is the LOWER median: even group of 4 -> rank 2
+    val even = Seq(("c", 1L, 10.0), ("c", 2L, 20.0), ("c", 3L, 30.0),
+      ("c", 4L, 1000.0)).toDF("g", "id", "v")
+    val gotEven = DataProfile.madOutliers(even, "g", "v", "id", k = 5.0)
+      .select($"id").as[Long].collect().toSet
+    // med = 20 (rank 2), deviations (10,0,10,980) sorted -> MAD at
+    // rank 2 = 10 -> threshold 50 -> only 1000 flags
+    assert(gotEven == Set(4L))
+  }
 }

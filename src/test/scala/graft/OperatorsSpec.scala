@@ -723,4 +723,56 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Sampling.topQuantilePerGroup(df, "g", col("score"), "id", 1.0)
       .count() == 12L)
   }
+  test("weighted sampling (A-ES): deterministic, weight-proportional, zero weights excluded") {
+    import graft.operators.Sampling
+    val df = ((1L to 50L).map(i => (i, 100.0)) ++
+      (51L to 100L).map(i => (i, 1.0)) ++
+      Seq((101L, 0.0), (102L, -3.0))).toDF("id", "w")
+    val pick = Sampling.weightedTopN(df, "id", col("w"), 20)
+      .select($"id").as[Long].collect().toSet
+    assert(pick.size == 20)
+    assert(!pick.contains(101L) && !pick.contains(102L))
+    // weight 100 vs 1: the heavy class dominates the seeded draw
+    val heavy = pick.count(_ <= 50L)
+    assert(heavy >= 16, s"heavy-weight rows under-selected: $heavy/20")
+    // bit-identical across partitionings (pure function of id, w)
+    val again = Sampling.weightedTopN(df.repartition(17), "id", col("w"), 20)
+      .select($"id").as[Long].collect().toSet
+    assert(again == pick)
+    // n beyond the eligible population returns all positive-weight rows
+    assert(Sampling.weightedTopN(df, "id", col("w"), 500).count() == 100L)
+  }
+
+  test("cms join-size estimate: one-sided bound holds, sketches merge cell-exactly") {
+    import graft.operators.JoinEstimate
+    val rnd = new scala.util.Random(3)
+    // zipfish key multiplicities on both sides
+    val a = (1 to 3000).map(_ => (rnd.nextInt(rnd.nextInt(49) + 1) + 1).toLong)
+      .toDF("k")
+    val b = (1 to 2000).map(_ => (rnd.nextInt(rnd.nextInt(29) + 1) + 1).toLong)
+      .toDF("k")
+    val exact = a.groupBy($"k").count().withColumnRenamed("count", "na")
+      .join(b.groupBy($"k").count().withColumnRenamed("count", "nb"), "k")
+      .agg(sum($"na" * $"nb")).head().getLong(0)
+    val (w, d) = (1024, 5)
+    val ca = JoinEstimate.cmsTable(a, "k", w, d).localCheckpoint(true)
+    val cb = JoinEstimate.cmsTable(b, "k", w, d).localCheckpoint(true)
+    val est = JoinEstimate.estimateJoinSize(ca, cb)
+    val bound = JoinEstimate.errorBound(ca, cb, w, d)
+    assert(est >= exact, s"CMS must never under-estimate: $est < $exact")
+    assert(est <= exact + bound, s"$est > $exact + $bound")
+    // two half-sketches merge to EXACTLY the whole sketch (cells add)
+    val a1 = JoinEstimate.cmsTable(a.limit(1500), "k", w, d)
+    val a2 = JoinEstimate.cmsTable(a.exceptAll(a.limit(1500)), "k", w, d)
+    val merged = JoinEstimate.mergeTables(a1, a2)
+      .select($"d", $"b", $"cnt").as[(Int, Int, Long)].collect().toSet
+    val whole = ca.select($"d", $"b", $"cnt").as[(Int, Int, Long)]
+      .collect().toSet
+    assert(merged == whole)
+    // disjoint key spaces: estimate stays inside the collision bound
+    val c = (1 to 2000).map(i => (1000000L + i)).toDF("k")
+    val estDisjoint = JoinEstimate.estimateJoinSize(ca,
+      JoinEstimate.cmsTable(c, "k", w, d))
+    assert(estDisjoint >= 0L && estDisjoint <= bound)
+  }
 }
