@@ -188,6 +188,9 @@ object Bench {
     // q191-q193 first isolated measurements (0.175/0.997/1.201)
     "q191" -> (0.122, 0.386), "q192" -> (0.698, 1.496),
     "q193" -> (0.841, 1.771),
+    // q194 first isolated measurement (2.050 — distributed CC over the
+    // 3-chain phase-1 graph + batch-bounded contraction merge)
+    "q194" -> (1.435, 2.918),
     "q13" -> (0.231, 0.596), "q14" -> (0.168, 0.501), "q15" -> (0.217, 0.596),
     "q16" -> (0.175, 0.501), "q17" -> (0.287, 0.717), "q18" -> (0.161, 0.461),
     "q19" -> (0.21, 0.636), "q20" -> (0.322, 0.771), "q21" -> (0.217, 0.622),

@@ -3524,6 +3524,24 @@ object SparkEntry {
         .orderBy($"event_id")
     }),
 
+    // INCREMENTAL connected components (r17): q72's chain graph built
+    // in two phases — CC over chains k=0 and k=2, then the k=1 batch
+    // arrives and MERGES the two per-doc components through component
+    // contraction (batch-bounded CC + broadcast remap; the historical
+    // edge set is never re-read). The oracle is the same closed form
+    // as q72: every chain collapses to component doc_id.
+    "q194_incremental_cc" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Graph
+      val ids = t(s, dir, "documents").select($"doc_id")
+      def chain(k: Int) = ids.select(($"doc_id" + k * 100000L).as("src"),
+        ($"doc_id" + (k + 1) * 100000L).as("dst"))
+      val labels = Graph.connectedComponents(
+        chain(0).unionByName(chain(2)), "src", "dst", smallGraphLimit = 0)
+      Graph.mergeComponents(labels, chain(1), "src", "dst")
+        .orderBy($"node")
+    }),
+
     "q161_phrase_search" -> ((s, dir) => {
       import s.implicits._
       import graft.operators.InvertedIndex
@@ -5574,6 +5592,11 @@ object SparkEntry {
       """SELECT CAST(SUM(n * n) AS BIGINT) AS exact_join_size,
         |  TRUE AS cms_bounds_ok
         |FROM (SELECT COUNT(*) AS n FROM lineitem GROUP BY l_partkey)""".stripMargin,
+
+    "q194_incremental_cc" ->
+      """SELECT doc_id + k * 100000 AS node, doc_id AS component
+        |FROM documents, generate_series(0, 3) AS t(k)
+        |ORDER BY node""".stripMargin,
 
     "q193_mad_outliers" ->
       """WITH r AS (SELECT event_type, event_id, value,

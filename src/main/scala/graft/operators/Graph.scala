@@ -425,4 +425,66 @@ object Graph {
     val out = parent.keys.toArray.sorted.map(n => (n, find(n)))
     spark.createDataset(out.toIndexedSeq).toDF("node", "component")
   }
+
+  /** INCREMENTAL connected components — fold a batch of NEW edges into
+    * an existing (node, component) labeling without re-running CC over
+    * the historical edge set. The near-dup graph of a growing corpus
+    * is the motivating case: each ingest batch adds thousands of
+    * verified-duplicate edges to a graph whose full edge history is
+    * corpus-sized and should never be re-read.
+    *
+    * Mechanics (component CONTRACTION): each new edge's endpoints map
+    * to their current component labels (an unseen endpoint labels
+    * itself — unseen ids can never collide with a label, because
+    * labels are existing node ids); [[connectedComponents]] runs on
+    * that CONTRACTED graph, whose size is bounded by the BATCH, not
+    * the corpus; the resulting label→label remap (batch-bounded, so it
+    * broadcasts) joins onto the stored labeling. Labels stay the
+    * global min node id, because contracting preserves min-label
+    * reachability: the contracted nodes ARE the old minima.
+    *
+    * Contract (spec + q194-gated): given `labels == CC(E_old)`,
+    * `mergeComponents(labels, E_new) == CC(E_old ∪ E_new)` row for
+    * row. Cost: O(batch CC) + one broadcast-joined pass over the
+    * labeling — at 100 TB the labeling pass rewrites only the
+    * key-hash buckets holding remapped components if the labeling is
+    * stored bucketed ([[Scd]] layout). */
+  def mergeComponents(labels: DataFrame, newEdges: DataFrame,
+      srcCol: String, dstCol: String): DataFrame = {
+    val spark = labels.sparkSession
+    val lab = labels.select(col("node").cast("long").as("node"),
+      col("component").cast("long").as("component")).localCheckpoint(true)
+    val e = newEdges.select(col(srcCol).cast("long").as("_s"),
+      col(dstCol).cast("long").as("_d")).localCheckpoint(true)
+    // the labeling is corpus-sized — semi-join it down to the batch's
+    // endpoints FIRST (endpoints broadcast; the labeling scan is one
+    // column-pruned pass, no shuffle), and only that batch-bounded
+    // slice broadcasts into the per-edge label join
+    val endpoints = e.select(col("_s").as("node"))
+      .unionByName(e.select(col("_d").as("node"))).distinct()
+    val labSub = lab.join(broadcast(endpoints), Seq("node"), "left_semi")
+      .localCheckpoint(true)
+    def toLabel(side: String) = {
+      val m = labSub.select(col("node").as(side), col("component").as(s"_c$side"))
+      (df: DataFrame) => df.join(broadcast(m), Seq(side), "left")
+        .withColumn(s"_l$side", coalesce(col(s"_c$side"), col(side)))
+        .drop(s"_c$side")
+    }
+    val contracted = toLabel("_d")(toLabel("_s")(e))
+      .select(col("_l_s").as("_cs"), col("_l_d").as("_cd"))
+    val cc = connectedComponents(contracted, "_cs", "_cd")
+      .select(col("node").as("_from"), col("component").as("_to"))
+      .localCheckpoint(true) // batch-bounded remap, consumed twice
+    // remap stored labels whose component merged (broadcast: the map
+    // is bounded by the batch's endpoints)
+    val remapped = lab
+      .join(broadcast(cc.withColumnRenamed("_from", "component")),
+        Seq("component"), "left")
+      .select(col("node"), coalesce(col("_to"), col("component")).as("component"))
+    // genuinely-new nodes: contracted nodes that are not existing ids
+    val newNodes = cc
+      .join(lab.select(col("node").as("_from")), Seq("_from"), "left_anti")
+      .select(col("_from").as("node"), col("_to").as("component"))
+    remapped.unionByName(newNodes)
+  }
 }

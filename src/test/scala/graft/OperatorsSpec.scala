@@ -775,4 +775,35 @@ class OperatorsSpec extends AnyFunSuite {
       JoinEstimate.cmsTable(c, "k", w, d))
     assert(estDisjoint >= 0L && estDisjoint <= bound)
   }
+  test("Graph.mergeComponents: incremental == full CC under random splits, merges, and new nodes") {
+    import graft.operators.Graph
+    val rnd = new scala.util.Random(11)
+    // random graph over 300 nodes, split into old/new edge batches
+    val all = (1 to 500).map(_ => (rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+      .filter { case (a, b) => a != b }
+    for (splitAt <- Seq(50, 250, 450)) {
+      val (oldE, newE) = all.splitAt(splitAt)
+      val labels = Graph.connectedComponents(oldE.toDF("src", "dst"), "src", "dst")
+      val inc = Graph.mergeComponents(labels, newE.toDF("src", "dst"), "src", "dst")
+        .as[(Long, Long)].collect().toSet
+      val full = Graph.connectedComponents(all.toDF("src", "dst"), "src", "dst")
+        .as[(Long, Long)].collect().toSet
+      assert(inc == full, s"incremental != full at split $splitAt")
+    }
+    // a batch whose edges run THROUGH brand-new nodes must still merge
+    // the old components they bridge (old comps {1,2} and {3,4};
+    // new node 999 bridges them transitively)
+    val lab2 = Graph.connectedComponents(
+      Seq((1L, 2L), (3L, 4L)).toDF("src", "dst"), "src", "dst")
+    val bridged = Graph.mergeComponents(lab2,
+        Seq((2L, 999L), (999L, 4L)).toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(bridged == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 999L -> 1L))
+    // same-component batch edge is a no-op; disjoint new pair appends
+    val same = Graph.mergeComponents(lab2,
+        Seq((1L, 2L), (700L, 701L)).toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(same == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L,
+      700L -> 700L, 701L -> 700L))
+  }
 }
