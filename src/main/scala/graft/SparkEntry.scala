@@ -3542,6 +3542,34 @@ object SparkEntry {
         .orderBy($"node")
     }),
 
+    // Keyed PSEUDONYMIZATION (r17): join-stable one-way tokens — the
+    // portable keyed digest (nested string-domain sha256 with domain-
+    // separated subkeys, no UDF, pure codegen) replays bit-for-bit in
+    // any engine with a string sha256; the RFC-HMAC form is spec-
+    // proven against RFC 4231 vectors.
+    "q195_tokenize" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer")
+        .select($"c_custkey",
+          graft.operators.Privacy.tokenizePortable($"c_name",
+            "graft-key-r17").as("token"))
+        .orderBy($"c_custkey")
+    }),
+
+    // K-ANONYMITY audit (r17): quasi-identifier combos (lang x
+    // 50-char-wide n_chars range) shared by fewer than 5 docs — the
+    // groups a release would still single out; generalization width
+    // is the knob that trades utility for the empty-report
+    // certificate.
+    "q196_kanonymity" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Privacy
+      Privacy.kAnonymityAudit(t(s, dir, "documents"),
+          Seq($"lang", Privacy.generalize($"n_chars", 50L)),
+          Seq("lang", "chars_r"), k = 5L)
+        .orderBy($"lang", $"chars_r")
+    }),
+
     "q161_phrase_search" -> ((s, dir) => {
       import s.implicits._
       import graft.operators.InvertedIndex
@@ -5597,6 +5625,21 @@ object SparkEntry {
       """SELECT doc_id + k * 100000 AS node, doc_id AS component
         |FROM documents, generate_series(0, 3) AS t(k)
         |ORDER BY node""".stripMargin,
+
+    "q195_tokenize" ->
+      """SELECT c_custkey,
+        |  sha256('caff57c3078b96e39c1ebe6ebd1518b764d8622ce00dddf7360a74f71b4cb281'
+        |    || sha256('a5f3d321fb7d1423c517d1d3d91714c0f73b30b96ca11c3a384e12ff47edb238'
+        |      || c_name)) AS token
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q196_kanonymity" ->
+      """WITH g AS (SELECT lang,
+        |    CAST(n_chars - n_chars % 50 AS VARCHAR) || '-' ||
+        |    CAST(n_chars - n_chars % 50 + 50 AS VARCHAR) AS chars_r
+        |  FROM documents)
+        |SELECT lang, chars_r, count(*) AS n FROM g GROUP BY 1, 2
+        |HAVING count(*) < 5 ORDER BY lang, chars_r""".stripMargin,
 
     "q193_mad_outliers" ->
       """WITH r AS (SELECT event_type, event_id, value,

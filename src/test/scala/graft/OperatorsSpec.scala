@@ -806,4 +806,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(same == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L,
       700L -> 700L, 701L -> 700L))
   }
+  test("privacy: RFC 4231 HMAC vectors; tokens stable and key-separated; k-anonymity audit + generalization") {
+    import graft.operators.Privacy
+    // RFC 4231 test case 2: key "Jefe", data "what do ya want for nothing?"
+    assert(Privacy.hmacSha256("Jefe".getBytes, "what do ya want for nothing?".getBytes)
+      .map("%02x".format(_)).mkString ==
+      "5bdcc146bf60754e6a042426089575c75a003f089d2739839dec58b964ec3843")
+    // RFC 4231 test case 1: 20 x 0x0b key, data "Hi There"
+    assert(Privacy.hmacSha256(Array.fill[Byte](20)(0x0b), "Hi There".getBytes)
+      .map("%02x".format(_)).mkString ==
+      "b0344c61d8db38535ca8afceaf0bf12b881dc200c9833da726e9376c2e32cff7")
+    val df = Seq((1L, "alice"), (2L, "bob"), (3L, "alice")).toDF("id", "name")
+    def col3(c: org.apache.spark.sql.Column) =
+      df.select($"id", c.as("t")).as[(Long, String)].collect().toMap
+    for (tok <- Seq(Privacy.tokenizePortable($"name", "k1"),
+        Privacy.tokenizeHmac($"name", "k1"))) {
+      val m = col3(tok)
+      assert(m(1L) == m(3L), "same value must map to the same token")
+      assert(m(1L) != m(2L))
+      assert(m(1L).length == 64 && m(1L).matches("[0-9a-f]{64}"))
+    }
+    // key rotation unlinks the token spaces
+    assert(col3(Privacy.tokenizePortable($"name", "k1"))(1L) !=
+      col3(Privacy.tokenizePortable($"name", "k2"))(1L))
+    assert(col3(Privacy.tokenizeHmac($"name", "k1"))(1L) !=
+      col3(Privacy.tokenizeHmac($"name", "k2"))(1L))
+    // k-anonymity: (dept, age-bucket) groups under k flag; widening
+    // the generalization makes the audit pass
+    val people = Seq(("eng", 23L), ("eng", 27L), ("eng", 41L),
+      ("ops", 33L), ("ops", 34L), ("ops", 35L)).toDF("dept", "age")
+    val narrow = Privacy.kAnonymityAudit(people,
+      Seq($"dept", Privacy.generalize($"age", 10L)), Seq("dept", "age_r"), 3L)
+    // eng: 20-30 has 2 (<3), 40-50 has 1; ops: 30-40 has 3 (passes)
+    assert(narrow.select($"dept", $"age_r", $"n")
+      .as[(String, String, Long)].collect().toSet ==
+      Set(("eng", "20-30", 2L), ("eng", "40-50", 1L)))
+    val wide = Privacy.kAnonymityAudit(people,
+      Seq($"dept", Privacy.generalize($"age", 100L)), Seq("dept", "age_r"), 3L)
+    assert(wide.count() == 0L, "coarser generalization certifies")
+  }
 }
