@@ -193,6 +193,8 @@ object Bench {
     "q194" -> (1.435, 2.918),
     // q195/q196 first isolated measurements (0.293/0.296)
     "q195" -> (0.205, 0.546), "q196" -> (0.207, 0.550),
+    // q197/q198 first isolated measurements (0.723/0.756)
+    "q197" -> (0.506, 1.126), "q198" -> (0.529, 1.171),
     "q13" -> (0.231, 0.596), "q14" -> (0.168, 0.501), "q15" -> (0.217, 0.596),
     "q16" -> (0.175, 0.501), "q17" -> (0.287, 0.717), "q18" -> (0.161, 0.461),
     "q19" -> (0.21, 0.636), "q20" -> (0.322, 0.771), "q21" -> (0.217, 0.622),

@@ -3570,6 +3570,48 @@ object SparkEntry {
         .orderBy($"lang", $"chars_r")
     }),
 
+    // Shared-DICTIONARY zstd (r17): corpus-trained dictionary makes
+    // sub-KB blobs compress with corpus-wide history — the small-doc
+    // storage regime page-level codecs can't see across. Contract
+    // gate: lossless round-trip + dictionary strictly beating
+    // dictless zstd, with exact doc/char counts hash-matched.
+    "q197_zstd_dict" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.DictCompress
+      val docs = t(s, dir, "documents").select($"doc_id", $"text", $"n_chars")
+        .localCheckpoint(true)
+      val dict = DictCompress.trainDict(docs, "text", dictKb = 16,
+        sampleRows = 500)
+      docs
+        .withColumn("z", DictCompress.compressCol($"text", dict))
+        .withColumn("raw", DictCompress.compressRawCol($"text"))
+        .withColumn("back", DictCompress.decompressCol($"z", dict))
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("sum_chars"),
+          (sum(when($"back" === $"text", 0L).otherwise(1L)) === 0L)
+            .as("roundtrip_ok"),
+          (sum(length($"z").cast("long")) < sum(length($"raw").cast("long")))
+            .as("dict_beats_raw"))
+    }),
+
+    // Retrieve-then-RERANK (r17): BM25 recalls 50 candidates, the
+    // cross-encoder SEAM re-scores them through batched mapPartitions
+    // (the ONNX call shape) with the deterministic token-F1 double —
+    // so the WHOLE two-stage pipeline replays in SQL and hash-matches.
+    "q198_rerank" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val cands = graft.operators.TextAnalytics.bm25TopK(docs, "doc_id",
+          "text", Seq("vector", "join", "hash"), k = 50)
+        .select($"doc_id")
+        .join(docs.select($"doc_id", $"text"), "doc_id")
+      graft.core.Rerank.rerank(cands, "doc_id", "text",
+          "vector join hash", new graft.core.TokenOverlapReranker, k = 10)
+        .select($"doc_id",
+          floor($"score" * lit(1000000.0)).cast("long").as("score_u"))
+        .orderBy($"score_u".desc, $"doc_id")
+    }),
+
     "q161_phrase_search" -> ((s, dir) => {
       import s.implicits._
       import graft.operators.InvertedIndex
@@ -5640,6 +5682,57 @@ object SparkEntry {
         |  FROM documents)
         |SELECT lang, chars_r, count(*) AS n FROM g GROUP BY 1, 2
         |HAVING count(*) < 5 ORDER BY lang, chars_r""".stripMargin,
+
+    "q197_zstd_dict" ->
+      """SELECT count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  TRUE AS roundtrip_ok, TRUE AS dict_beats_raw
+        |FROM documents""".stripMargin,
+
+    "q198_rerank" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS dl,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM toks
+        |       WHERE term IN ('vector','join','hash') GROUP BY 1, 2, 3),
+        |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n,
+        |        CAST(SUM(len(list_filter(string_split_regex(lower(text),
+        |          '[^a-z0-9]+'), x -> x <> ''))) AS DOUBLE)
+        |          / CAST(COUNT(*) AS DOUBLE) AS avgdl
+        |      FROM documents),
+        |per AS (
+        |  SELECT doc_id, term,
+        |    ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |        / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf AS DOUBLE) * (1.2 + 1.0)
+        |         / (CAST(tf AS DOUBLE)
+        |            + 1.2 * ((1.0 - 0.75)
+        |                     + 0.75 * CAST(dl AS DOUBLE) / avgdl))) AS s
+        |  FROM tf JOIN dfx USING (term) CROSS JOIN n),
+        |sc AS (
+        |  SELECT doc_id,
+        |    COALESCE(MAX(CASE WHEN term = 'vector' THEN s END), 0) AS s0,
+        |    COALESCE(MAX(CASE WHEN term = 'join' THEN s END), 0) AS s1,
+        |    COALESCE(MAX(CASE WHEN term = 'hash' THEN s END), 0) AS s2
+        |  FROM per GROUP BY 1),
+        |cand AS (SELECT doc_id, s0 + s1 + s2 AS score FROM sc
+        |        ORDER BY score DESC, doc_id LIMIT 50),
+        |f AS (SELECT c.doc_id,
+        |    list_distinct(list_filter(string_split_regex(lower(d.text),
+        |      '[^a-z0-9]+'), x -> x <> '')) AS dt
+        |  FROM cand c JOIN documents d ON d.doc_id = c.doc_id),
+        |rs AS (SELECT doc_id,
+        |    2.0 * len(list_intersect(dt, ['vector','join','hash']))
+        |      / CAST(3 + len(dt) AS DOUBLE) AS score
+        |  FROM f),
+        |top AS (SELECT doc_id, score FROM rs
+        |        ORDER BY score DESC, doc_id LIMIT 10)
+        |SELECT doc_id, CAST(FLOOR(score * 1000000.0) AS BIGINT) AS score_u
+        |FROM top ORDER BY score_u DESC, doc_id""".stripMargin,
 
     "q193_mad_outliers" ->
       """WITH r AS (SELECT event_type, event_id, value,

@@ -845,4 +845,59 @@ class OperatorsSpec extends AnyFunSuite {
       Seq($"dept", Privacy.generalize($"age", 100L)), Seq("dept", "age_r"), 3L)
     assert(wide.count() == 0L, "coarser generalization certifies")
   }
+  test("zstd dict compression: lossless round-trip, dict beats raw on small docs, deterministic") {
+    import graft.operators.DictCompress
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .select($"doc_id", $"text").localCheckpoint(true)
+    val dict = DictCompress.trainDict(docs, "text", dictKb = 16, sampleRows = 200)
+    assert(dict.length > 1024, s"dict too small: ${dict.length}")
+    val rt = docs
+      .withColumn("z", DictCompress.compressCol($"text", dict))
+      .withColumn("raw", DictCompress.compressRawCol($"text"))
+      .withColumn("back", DictCompress.decompressCol($"z", dict))
+    val agg = rt.agg(
+      sum(when($"back" === $"text", 0L).otherwise(1L)).as("bad"),
+      sum(length($"z").cast("long")).as("zb"),
+      sum(length($"raw").cast("long")).as("rb"),
+      sum(length($"text").cast("long")).as("tb")).head()
+    assert(agg.getLong(0) == 0L, "round-trip must be lossless")
+    val (zb, rb, tb) = (agg.getLong(1), agg.getLong(2), agg.getLong(3))
+    assert(zb < rb, s"dict ($zb) must beat dictless ($rb) on small docs")
+    assert(zb < tb, s"compressed ($zb) must beat plain ($tb)")
+    // unicode + empty survive
+    val edge = Seq((1L, "naïve – ünïcode ★"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val eb = edge.withColumn("z", DictCompress.compressCol($"text", dict))
+      .withColumn("back", DictCompress.decompressCol($"z", dict))
+      .select($"doc_id", $"back").as[(Long, String)].collect().toMap
+    assert(eb(1L) == "naïve – ünïcode ★" && eb(2L) == "" && eb(3L) == null)
+    // deterministic bytes across partitionings
+    def sig(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("z", DictCompress.compressCol($"text", dict))
+      .select(sum(crc32($"z"))).head().getLong(0)
+    assert(sig(docs) == sig(docs.repartition(13)))
+  }
+
+  test("rerank seam: batched mapPartitions scoring == direct scorer; top-k deterministic") {
+    import graft.core.{Rerank, TokenOverlapReranker}
+    val cands = Seq(
+      (1L, "vector join hash"),        // exact overlap 3/ (3+3) -> F1 = 1
+      (2L, "vector join hash extra"),  // 3 of 4
+      (3L, "vector only here"),
+      (4L, "nothing relevant"),
+      (5L, "")                          // empty -> 0
+    ).toDF("doc_id", "text")
+    val r = new TokenOverlapReranker
+    val got = Rerank.rerank(cands, "doc_id", "text", "vector join hash", r,
+        k = 5, batchSize = 2)
+      .as[(Long, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(got.head._2 == 1.0)
+    assert(got(1)._2 == 2.0 * 3 / 7)
+    assert(got(3)._2 == 0.0 && got(4)._2 == 0.0)
+    // equal across batch sizes and partitionings (pure function)
+    val again = Rerank.rerank(cands.repartition(7), "doc_id", "text",
+      "vector join hash", r, k = 5, batchSize = 3).as[(Long, Double)].collect().toSeq
+    assert(again == got)
+  }
 }
