@@ -195,6 +195,8 @@ object Bench {
     "q195" -> (0.205, 0.546), "q196" -> (0.207, 0.550),
     // q197/q198 first isolated measurements (0.723/0.756)
     "q197" -> (0.506, 1.126), "q198" -> (0.529, 1.171),
+    // q199 first isolated measurement (0.916)
+    "q199" -> (0.641, 1.387),
     "q13" -> (0.231, 0.596), "q14" -> (0.168, 0.501), "q15" -> (0.217, 0.596),
     "q16" -> (0.175, 0.501), "q17" -> (0.287, 0.717), "q18" -> (0.161, 0.461),
     "q19" -> (0.21, 0.636), "q20" -> (0.322, 0.771), "q21" -> (0.217, 0.622),

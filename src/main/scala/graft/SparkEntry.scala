@@ -3612,6 +3612,33 @@ object SparkEntry {
         .orderBy($"score_u".desc, $"doc_id")
     }),
 
+    // RECORD LINKAGE (r17): sorted-neighborhood blocking over part
+    // names + the NATIVE codegen'd Jaro-Winkler expression as the
+    // verifier — the Census-matcher pairing; the scalable rank comes
+    // from Ids.contiguous (no one-task window), and the oracle
+    // replays both the window and DuckDB's own
+    // jaro_winkler_similarity, so the expression's arithmetic is
+    // graded bit-for-bit at the micro-unit floor.
+    "q199_record_linkage" -> ((s, dir) => {
+      import s.implicits._
+      val keyed = t(s, dir, "part")
+        .select($"p_partkey".as("_id"), $"p_name".as("_nm"))
+      val ranked = graft.operators.Ids.contiguous(keyed,
+          Seq($"_nm", $"_id"), "_r")
+        .select($"_id", $"_nm", $"_r").localCheckpoint(true)
+      val left = ranked.select($"_id".as("id1"), $"_nm".as("n1"),
+          explode(sequence(lit(1L), lit(4L))).as("_d"), $"_r")
+        .withColumn("_rj", $"_r" + $"_d")
+      val right = ranked.select($"_id".as("id2"), $"_nm".as("n2"),
+        $"_r".as("_rj"))
+      left.join(right, "_rj")
+        .withColumn("jw", graft.functions.strings.jaroWinkler($"n1", $"n2"))
+        .filter($"jw" >= 0.9)
+        .select($"id1", $"id2",
+          floor($"jw" * lit(1000000.0)).cast("long").as("jw_u"))
+        .orderBy($"id1", $"id2")
+    }),
+
     "q161_phrase_search" -> ((s, dir) => {
       import s.implicits._
       import graft.operators.InvertedIndex
@@ -5687,6 +5714,16 @@ object SparkEntry {
       """SELECT count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         |  TRUE AS roundtrip_ok, TRUE AS dict_beats_raw
         |FROM documents""".stripMargin,
+
+    "q199_record_linkage" ->
+      """WITH r AS (SELECT p_partkey AS id, p_name AS nm,
+        |    row_number() OVER (ORDER BY p_name, p_partkey) AS rn FROM part)
+        |SELECT a.id AS id1, b.id AS id2,
+        |  CAST(FLOOR(jaro_winkler_similarity(a.nm, b.nm) * 1000000.0)
+        |    AS BIGINT) AS jw_u
+        |FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 4
+        |WHERE jaro_winkler_similarity(a.nm, b.nm) >= 0.9
+        |ORDER BY id1, id2""".stripMargin,
 
     "q198_rerank" ->
       """WITH toks AS (

@@ -451,9 +451,13 @@ object Graph {
     * stored bucketed ([[Scd]] layout). */
   def mergeComponents(labels: DataFrame, newEdges: DataFrame,
       srcCol: String, dstCol: String): DataFrame = {
-    val spark = labels.sparkSession
+    // the labeling is consumed three times (endpoint slice, remap,
+    // new-node anti join) but NOT pinned — it is corpus-sized, and
+    // re-scanning a column-pruned parquet labeling is cheaper than
+    // holding it in the block manager; only batch-bounded frames
+    // checkpoint here
     val lab = labels.select(col("node").cast("long").as("node"),
-      col("component").cast("long").as("component")).localCheckpoint(true)
+      col("component").cast("long").as("component"))
     val e = newEdges.select(col(srcCol).cast("long").as("_s"),
       col(dstCol).cast("long").as("_d")).localCheckpoint(true)
     // the labeling is corpus-sized — semi-join it down to the batch's

@@ -120,4 +120,25 @@ class VectorFunctionsSpec extends AnyFunSuite {
     // invalid form rejected
     intercept[IllegalArgumentException] { textnorm.normalize($"s", "NFX") }
   }
+  test("jaro_winkler: known values, duckdb conventions, codegen == interpreted") {
+    import graft.functions.{strings, StringSimilarityUtil => U}
+    // Winkler's canonical examples + the convention probes that were
+    // verified against DuckDB's jaro_winkler_similarity
+    assert(math.abs(U.jaroWinkler("martha", "marhta") - 0.9611111111111111) < 1e-15)
+    assert(math.abs(U.jaroWinkler("dixon", "dicksonx") - 0.8133333333333332) < 1e-12)
+    assert(U.jaroWinkler("abc", "abc") == 1.0)
+    assert(U.jaroWinkler("", "") == 0.0)      // rapidfuzz/duckdb convention
+    assert(U.jaroWinkler("a", "") == 0.0)
+    assert(U.jaroWinkler("ab", "ba") == 0.0)  // window 0: no matches
+    // boost only above the 0.7 threshold (prefix-sharing low-sim pair)
+    assert(U.jaroWinkler("aaxxxxxx", "aayyyyyy") == U.jaro("aaxxxxxx", "aayyyyyy"))
+    // expression path: codegen result == static eval, null-safe
+    val df = Seq(("martha", "marhta"), ("dixon", "dicksonx"),
+      (null, "x"), ("y", null)).toDF("a", "b")
+    val got = df.select(strings.jaroWinkler($"a", $"b")).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got(0).contains(U.jaroWinkler("martha", "marhta")))
+    assert(got(1).contains(U.jaroWinkler("dixon", "dicksonx")))
+    assert(got(2).isEmpty && got(3).isEmpty)
+  }
 }
