@@ -197,6 +197,8 @@ object Bench {
     "q197" -> (0.506, 1.126), "q198" -> (0.529, 1.171),
     // q199 first isolated measurement (0.916)
     "q199" -> (0.641, 1.387),
+    // q200 first isolated measurement (0.600)
+    "q200" -> (0.420, 0.960),
     "q13" -> (0.231, 0.596), "q14" -> (0.168, 0.501), "q15" -> (0.217, 0.596),
     "q16" -> (0.175, 0.501), "q17" -> (0.287, 0.717), "q18" -> (0.161, 0.461),
     "q19" -> (0.21, 0.636), "q20" -> (0.322, 0.771), "q21" -> (0.217, 0.622),

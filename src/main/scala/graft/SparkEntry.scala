@@ -3639,6 +3639,31 @@ object SparkEntry {
         .orderBy($"id1", $"id2")
     }),
 
+    // CAPSTONE PIPELINE COMPOSITION (r17): the FineWeb-style curation
+    // chain as ONE dataflow — language filter → per-source quality-
+    // quantile pruning (top half by type-token ratio) → exact dedup
+    // (keep-smallest-id) → deterministic stratified sample (5 per
+    // source, hash order) — every stage an operator graded on its own
+    // elsewhere, composed here and replayed STAGE FOR STAGE by the
+    // oracle: the proof the operators compose without hidden coupling.
+    "q200_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val toks = filter(split(lower($"text"), "[^a-z0-9]+"), t => t =!= "")
+      val en = t(s, dir, "documents").filter($"lang" === "en")
+        .withColumn("_toks", toks)
+        .filter(size($"_toks") > 0)
+        .withColumn("score", size(array_distinct($"_toks")).cast("double") /
+          size($"_toks").cast("double"))
+      val pruned = graft.operators.Sampling.topQuantilePerGroup(
+        en, "source", $"score", "doc_id", q = 0.5)
+      val deduped = graft.operators.Dedup.exact(
+        pruned.select($"doc_id", $"source", $"text"), "doc_id", "text")
+      graft.operators.Sampling.stratifiedTopN(deduped, Seq("source"),
+          "doc_id", n = 5)
+        .select($"source", $"pos".cast("long").as("pos"), $"doc_id")
+        .orderBy($"source", $"pos")
+    }),
+
     "q161_phrase_search" -> ((s, dir) => {
       import s.implicits._
       import graft.operators.InvertedIndex
@@ -5724,6 +5749,28 @@ object SparkEntry {
         |FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 4
         |WHERE jaro_winkler_similarity(a.nm, b.nm) >= 0.9
         |ORDER BY id1, id2""".stripMargin,
+
+    "q200_pipeline" ->
+      """WITH en AS (SELECT doc_id, source, text,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '') AS toks
+        |  FROM documents WHERE lang = 'en'),
+        |sc AS (SELECT doc_id, source, text,
+        |    CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+        |      AS score
+        |  FROM en WHERE len(toks) > 0),
+        |pr AS (SELECT doc_id, source, text FROM (
+        |    SELECT *, percent_rank() OVER (PARTITION BY source
+        |      ORDER BY score ASC, doc_id ASC) AS prk FROM sc)
+        |  WHERE prk >= 0.5),
+        |dd AS (SELECT source, doc_id FROM pr
+        |  WHERE doc_id IN (SELECT min(doc_id) FROM pr GROUP BY text)),
+        |rk AS (SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS pos
+        |  FROM dd)
+        |SELECT source, pos, doc_id FROM rk WHERE pos <= 5
+        |ORDER BY source, pos""".stripMargin,
 
     "q198_rerank" ->
       """WITH toks AS (
