@@ -149,7 +149,10 @@ object Bench {
     // two appends now also writes doclens — two extra small write jobs,
     // which dominate at bench scale and vanish at corpus scale where
     // the postings write dwarfs them): suite 2.200 / isolated 2.496
-    "q174" -> (1.540, 3.520),
+    // q174/q180 split into write/read phases in r17 (verdict ask); the
+    // write phase carries the stats-rollup freshness probe
+    "q174w" -> (1.769, 3.561), "q174r" -> (0.218, 0.718),
+    "q180w" -> (1.807, 3.636), "q180r" -> (0.298, 0.834),
     // q175 write/read phases; read re-based after dl was denormalized
     // into the postings rows (1.231 -> 0.655: the per-query join
     // against the whole doc population is gone — a regression back to
@@ -162,9 +165,6 @@ object Bench {
     "q177" -> (0.271, 0.672), "q178" -> (0.779, 1.653),
     // q179 first isolated noop measurement (0.673)
     "q179" -> (0.471, 1.059),
-    // q180 first isolated noop measurement (2.589 — build-in-two-
-    // appends + pruned tf-idf query, q174's class)
-    "q180" -> (1.812, 3.645),
     // q181/q182 from two isolated runs each (2.58/3.02, 2.40/3.27 —
     // both dominated by the q174-class index build-in-two-appends)
     "q181" -> (1.806, 4.227), "q182" -> (1.680, 4.565),

@@ -291,6 +291,40 @@ object SparkEntry {
       .orderBy($"score_u".desc, $"doc_id")
   }
 
+  private def rtPhraseIdxWrite(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    val out = s"${scratchDir("q174rw")}/pidx"
+    cleanDir(out)
+    val docs = t(s, dir, "documents")
+    graft.operators.InvertedIndex.writeIndex(docs.filter($"doc_id" % 2 === 0),
+      "doc_id", "text", out, buckets = 32)
+    graft.operators.InvertedIndex.appendIndex(docs.filter($"doc_id" % 2 === 1),
+      "doc_id", "text", out)
+  }
+  private def rtPhraseIdxRead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.InvertedIndex.phraseSearchIndexed(s,
+        s"${scratchDir("q174rw")}/pidx", Seq("hash", "value"))
+      .select($"doc".as("doc_id"), $"n_matches")
+      .orderBy($"doc_id")
+  }
+  private def rtTfidfIdxWrite(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    val out = s"${scratchDir("q180rw")}/pidx"
+    cleanDir(out)
+    val docs = t(s, dir, "documents")
+    graft.operators.InvertedIndex.writeIndex(docs.filter($"doc_id" % 3 === 0),
+      "doc_id", "text", out, buckets = 32)
+    graft.operators.InvertedIndex.appendIndex(docs.filter($"doc_id" % 3 =!= 0),
+      "doc_id", "text", out)
+  }
+  private def rtTfidfIdxRead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.InvertedIndex.tfidfSearch(s,
+        s"${scratchDir("q180rw")}/pidx", Seq("vector", "join", "hash"), k = 20)
+      .select($"doc".as("doc_id"), $"score")
+  }
+
   private def rtXmlWrite(s: SparkSession, dir: String): Unit = {
     import s.implicits._
     events(s, dir)
@@ -337,7 +371,11 @@ object SparkEntry {
       "q144_tar_export" -> ((rtTarWrite _, rtTarRead _)),
       "q155_zorder_skipping" -> ((rtZorderWrite _, rtZorderRead _)),
       "q163_training_export" -> ((rtExportWrite _, rtExportRead _)),
-      "q175_bm25_indexed" -> ((rtBm25IdxWrite _, rtBm25IdxRead _)))
+      "q175_bm25_indexed" -> ((rtBm25IdxWrite _, rtBm25IdxRead _)),
+      // r17: the r16 verdict asked for q174/q180's build-vs-probe split
+      // — the combined numbers hid which phase a regression lives in
+      "q174_phrase_index" -> ((rtPhraseIdxWrite _, rtPhraseIdxRead _)),
+      "q180_tfidf_indexed" -> ((rtTfidfIdxWrite _, rtTfidfIdxRead _)))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -66,6 +66,129 @@ object InvertedIndex {
       .withColumn("_dbkt",
         pmod(xxhash64(col("doc")), lit(buckets.toLong)).cast("int"))
 
+  // ---------- corpus-stats rollup (the N/avgdl sidecar's sidecar) ----
+  //
+  // [[bm25Search]]/[[tfidfSearch]] need only TWO numbers from the
+  // corpus — N (doc count, incl. dl=0 docs) and sum(dl) — yet
+  // aggregating the doc-count-sized `_doclens` sidecar per query is
+  // still an O(docs) job at 10^10 docs. The rollup is the KLL/HLL
+  // sidecar discipline applied to those two numbers: each
+  // write/append lands ONE (fp, n_docs, sum_dl) stat row, merged (a
+  // two-long sum over a handful of rows) at query time — per-query
+  // corpus-stats cost becomes O(batches since last compaction),
+  // independent of doc count. `fp` is a content fingerprint
+  // (bit_xor of xxhash64(doc, dl) over the batch's deduped rows):
+  // a caller-replayed append lands a bit-identical stat row that the
+  // read-side full-row dedupe collapses, mirroring exactly how the
+  // full aggregate's global (doc, dl) dedupe absorbs the replayed
+  // sidecar rows themselves. [[deleteDocs]] nets the rows minus its
+  // victims into one consolidated row (commit order: stage → delete
+  // olds → move in, so the only crash-visible intermediate state is
+  // an EMPTY stats dir — and an empty/missing rollup falls back to
+  // the exact full aggregate). [[compactIndex]] rebuilds the rollup
+  // from the sidecar itself on the compaction cadence, healing the
+  // one drift window that survives a crash (sidecar rewritten, stats
+  // not yet committed). Scores stay bit-identical to the full
+  // aggregate: same two longs in, same double arithmetic out. One
+  // assumed input shape: a batch carries ONE row per doc (every
+  // caller here does — the streaming ingest dedupes before
+  // appending); duplicate rows WITHIN one batch would overcount until
+  // the next compaction heal, while cross-batch duplicates — the
+  // replay case that actually occurs — are exactly what the
+  // freshness probe absorbs.
+
+  private def statsDir(path: String) = s"$path/_stats"
+
+  /** A one-row (fp, n_docs, sum_dl) stats frame from driver-side
+    * values (observed during the sidecar write). */
+  private def statsRowDf(spark: org.apache.spark.sql.SparkSession,
+      fp: Long, n: Long, sumDl: Long): DataFrame = {
+    import spark.implicits._
+    Seq((fp, n, sumDl)).toDF("fp", "n_docs", "sum_dl").repartition(1)
+  }
+
+  private def visibleStatFiles(fs: org.apache.hadoop.fs.FileSystem,
+      sd: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+    if (!fs.exists(sd)) Seq.empty
+    else fs.listStatus(sd).toSeq.filter { f =>
+      val n = f.getPath.getName
+      f.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }.map(_.getPath)
+
+  /** The sidecar's data files (depth-1 under `_dbkt=*`), listed
+    * explicitly so tmp staging dirs never leak into a read. */
+  private def sidecarFiles(fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+    if (!fs.exists(base)) Seq.empty
+    else fs.globStatus(new org.apache.hadoop.fs.Path(base, "_dbkt=*")).toSeq
+      .map(_.getPath).filter(_.getName.matches("_dbkt=\\d+"))
+      .flatMap(d => fs.listStatus(d).toSeq.filter { f =>
+        val n = f.getPath.getName
+        f.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }.map(_.getPath))
+
+  /** Replace the rollup with one consolidated (n, sumDl) row. Commit
+    * order stages the row OUTSIDE visibility, deletes the old rows,
+    * then moves the staged row in — a crash at any point leaves
+    * either the old rows (sidecar unchanged yet → still exact) or an
+    * empty dir (reader falls back to the exact full aggregate), never
+    * a double count. */
+  private def commitStats(spark: org.apache.spark.sql.SparkSession,
+      path: String, n: Long, sumDl: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val sd = new Path(statsDir(path))
+    val fs = sd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val olds = visibleStatFiles(fs, sd)
+    val stage = new Path(sd, "_stage_tmp")
+    if (fs.exists(stage)) fs.delete(stage, true)
+    val fp = org.apache.spark.sql.catalyst.expressions.XxHash64(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          s"graft-stats-consolidated:$n:$sumDl"),
+        org.apache.spark.sql.types.StringType)), 42L)
+      .eval(null).asInstanceOf[Long]
+    import spark.implicits._
+    Seq((fp, n, sumDl)).toDF("fp", "n_docs", "sum_dl").repartition(1)
+      .write.parquet(stage.toString)
+    olds.foreach(f => fs.delete(f, false))
+    fs.listStatus(stage).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("part-")).zipWithIndex.foreach {
+        case (f, i) =>
+          require(fs.rename(f, new Path(sd,
+            s"stats-${java.util.UUID.randomUUID().toString.take(8)}-$i.parquet")),
+            s"stats move failed: $f")
+      }
+    fs.delete(stage, true)
+  }
+
+  /** One (\_n, \_sumdl) row of corpus totals: merged from the rollup
+    * when stat rows exist (O(batches), doc-count-independent), else
+    * the exact full-sidecar aggregate (legacy indexes, or the empty
+    * crash window of [[commitStats]]). Values are identical longs
+    * either way, so every downstream score is bit-identical. */
+  private[graft] def corpusStats(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val sd = new Path(statsDir(path))
+    val fs = sd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statFiles = visibleStatFiles(fs, sd)
+    if (statFiles.nonEmpty)
+      spark.read.parquet(statFiles.map(_.toString): _*)
+        .dropDuplicates("fp", "n_docs", "sum_dl") // replayed appends
+        .agg(coalesce(sum(col("n_docs")), lit(0L)).as("_n"),
+          coalesce(sum(col("sum_dl")), lit(0L)).as("_sumdl"))
+    else {
+      val dlFiles = sidecarFiles(fs, new Path(doclensDir(path)))
+      if (dlFiles.isEmpty)
+        spark.range(1).select(lit(0L).as("_n"), lit(0L).as("_sumdl"))
+      else
+        spark.read.parquet(dlFiles.map(_.toString): _*)
+          .dropDuplicates("doc", "dl")
+          .agg(count(lit(1)).as("_n"),
+            coalesce(sum(col("dl").cast("long")), lit(0L)).as("_sumdl"))
+    }
+  }
+
   /** Stored postings carry the owning doc's token count (`dl`)
     * DENORMALIZED on every row (+4 bytes/posting): [[bm25Search]] then
     * needs no join against the doc-count-sized length table — at
@@ -95,8 +218,19 @@ object InvertedIndex {
       // tasks x buckets files
       .repartition(col("_tbkt"))
       .write.mode("overwrite").partitionBy("_tbkt").parquet(path)
-    doclens(df, idCol, textCol, buckets).repartition(col("_dbkt"))
+    // the stats row rides the sidecar write itself (observe /
+    // CollectMetrics) — no extra pass over the batch
+    val obs = org.apache.spark.sql.Observation()
+    doclens(df, idCol, textCol, buckets)
+      .observe(obs, count(lit(1)).as("n"),
+        coalesce(sum(col("dl").cast("long")), lit(0L)).as("s"),
+        coalesce(expr("bit_xor(xxhash64(doc, dl))"), lit(0L)).as("fp"))
+      .repartition(col("_dbkt"))
       .write.mode("overwrite").partitionBy("_dbkt").parquet(doclensDir(path))
+    val m = obs.get
+    statsRowDf(df.sparkSession, m("fp").asInstanceOf[Long],
+        m("n").asInstanceOf[Long], m("s").asInstanceOf[Long])
+      .write.mode("overwrite").parquet(statsDir(path))
     LayoutMeta.overwrite(df.sparkSession, path, Map("buckets" -> buckets))
   }
 
@@ -107,22 +241,74 @@ object InvertedIndex {
     * are harmless — probes and [[bm25Search]] dedupe them. */
   def appendIndex(df: DataFrame, idCol: String, textCol: String,
       path: String, buckets: Int = LayoutMeta.Unspecified): Unit = {
-    val bk = LayoutMeta.resolve(df.sparkSession, path,
+    import org.apache.hadoop.fs.Path
+    val spark = df.sparkSession
+    val bk = LayoutMeta.resolve(spark, path,
       Map("buckets" -> buckets), Map("buckets" -> 64))("buckets")
+    // stats delta = the batch docs NOT already in the sidecar: a
+    // replay — whole-batch or any subset of earlier batches (the
+    // documented harmless-replay contract) — contributes zero,
+    // mirroring how the full aggregate's global dedupe absorbs the
+    // duplicate rows. The freshness left-join reads only the batch's
+    // own doc-hash bucket dirs (files listed BEFORE the write, so the
+    // batch never shadows itself) — the same O(touched dirs) class as
+    // [[deleteDocs]] — and the delta aggregation rides the sidecar
+    // write itself (observe / CollectMetrics): the doc-count-sized
+    // corpus aggregate moves off the query path without adding a
+    // write-path pass.
+    val dl = doclens(df, idCol, textCol, bk).localCheckpoint(true)
+    val dlBase = new Path(doclensDir(path))
+    val fs = dlBase.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dbkts = dl.select(col("_dbkt")).distinct()
+      .collect().map(_.getInt(0)) // bounded by `buckets`
+    val existingFiles = dbkts.map(v => new Path(dlBase, s"_dbkt=$v"))
+      .filter(fs.exists(_))
+      .flatMap(d => fs.listStatus(d).toSeq.filter { f =>
+        val n = f.getPath.getName
+        f.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }.map(_.getPath)) // an erasure-emptied dir holds no files
+    val marked =
+      if (existingFiles.isEmpty) dl.withColumn("_fresh", lit(true))
+      else dl.join(
+          spark.read.parquet(existingFiles.map(_.toString): _*)
+            .select(col("doc")).distinct().withColumn("_seen", lit(true)),
+          Seq("doc"), "left_outer")
+        .withColumn("_fresh", col("_seen").isNull)
+    val obs = org.apache.spark.sql.Observation()
+    marked
+      .observe(obs,
+        coalesce(sum(when(col("_fresh"), lit(1L)).otherwise(lit(0L))),
+          lit(0L)).as("n"),
+        coalesce(sum(when(col("_fresh"), col("dl").cast("long"))
+          .otherwise(lit(0L))), lit(0L)).as("s"),
+        coalesce(expr(
+          "bit_xor(CASE WHEN _fresh THEN xxhash64(doc, dl) " +
+            "ELSE CAST(0 AS BIGINT) END)"),
+          lit(0L)).as("fp"))
+      .select(col("doc"), col("dl"), col("_dbkt"))
+      .repartition(col("_dbkt"))
+      .write.mode("append").partitionBy("_dbkt").parquet(doclensDir(path))
+    // stats row lands right after the write that measured it: a crash
+    // in the postings append below leaves stats already exact, and the
+    // completing rerun contributes a zero delta (docs now all seen)
+    val m = obs.get
+    if (m("n").asInstanceOf[Long] != 0L)
+      statsRowDf(spark, m("fp").asInstanceOf[Long],
+          m("n").asInstanceOf[Long], m("s").asInstanceOf[Long])
+        .write.mode("append").parquet(statsDir(path))
     postingsWithDl(df, idCol, textCol)
       .withColumn("_tbkt", bucketCol(bk))
       .repartition(col("_tbkt"))
       .write.mode("append").partitionBy("_tbkt").parquet(path)
-    doclens(df, idCol, textCol, bk).repartition(col("_dbkt"))
-      .write.mode("append").partitionBy("_dbkt").parquet(doclensDir(path))
-    LayoutMeta.commit(df.sparkSession, path, Map("buckets" -> bk))
+    LayoutMeta.commit(spark, path, Map("buckets" -> bk))
   }
 
   /** BM25 top-k SERVED FROM THE PERSISTED INDEX — same scorer, same
     * expression shapes, same fold order as [[TextAnalytics.bm25TopK]]
     * (scores are bit-identical), but the per-query cost is the query
-    * terms' posting lists plus one scan of the doc-count-sized length
-    * sidecar — never a corpus scan and never a corpus re-tokenization.
+    * terms' posting lists plus a merge of the O(batches) stats rollup
+    * — never a corpus scan, a corpus re-tokenization, or even a
+    * doc-count-sized aggregate.
     * The serving shape of lexical retrieval at 100 TB: the corpus pays
     * tokenization once at ingest. */
   def bm25Search(spark: org.apache.spark.sql.SparkSession, path: String,
@@ -130,13 +316,11 @@ object InvertedIndex {
       buckets: Int = LayoutMeta.Unspecified): DataFrame = {
     TextAnalytics.validateTerms(terms)
     val pruned = readPostingsDl(spark, path, terms, buckets)
-    // corpus totals (N, sum dl incl. dl=0 docs) come from the
-    // doc-count-sized sidecar; per-doc dl rides the pruned postings
-    // themselves — no join against the whole doc population
-    val stats = spark.read.parquet(doclensDir(path))
-      .dropDuplicates("doc", "dl") // replayed appends are bit-identical
-      .agg(sum(col("dl").cast("long")).as("_sumdl"),
-        count(lit(1)).as("_n"))
+    // corpus totals (N, sum dl incl. dl=0 docs) come from the stats
+    // ROLLUP — O(batches) rows, doc-count-independent; per-doc dl
+    // rides the pruned postings themselves — no join against the
+    // whole doc population and no per-query sidecar aggregate
+    val stats = corpusStats(spark, path)
     val tf = pruned.select(col("doc"), col("dl").as("_dl"),
         col("token").as("_term"))
       .groupBy(col("doc"), col("_dl"), col("_term"))
@@ -284,10 +468,29 @@ object InvertedIndex {
       fs.delete(tmp, true)
       compacted
     }
-    compactPass(root, "_tbkt=*", "_tbkt=\\d+", "_tbkt",
+    val ndirs = compactPass(root, "_tbkt=*", "_tbkt=\\d+", "_tbkt",
       Seq("doc", "pos", "token")) +
       compactPass(new Path(doclensDir(path)), "_dbkt=*", "_dbkt=\\d+",
         "_dbkt", Seq("doc", "dl"))
+    // stats heal: rebuild the corpus-stats rollup EXACTLY from the
+    // sidecar on the compaction cadence — this closes every drift a
+    // crash window can leave (stats not yet committed after a
+    // sidecar rewrite; a concurrent append double-counted across a
+    // consolidation). A concurrent stat row landing after this
+    // snapshot is neither read nor deleted — it rides until the next
+    // cadence, transiently double-counted at worst, never lost.
+    val dlBase = new Path(doclensDir(path))
+    val dlFiles = sidecarFiles(fs, dlBase)
+    if (fs.exists(dlBase)) {
+      if (dlFiles.nonEmpty) {
+        val full = spark.read.parquet(dlFiles.map(_.toString): _*)
+          .dropDuplicates("doc", "dl")
+          .agg(count(lit(1)),
+            coalesce(sum(col("dl").cast("long")), lit(0L))).head()
+        commitStats(spark, path, full.getLong(0), full.getLong(1))
+      } else commitStats(spark, path, 0L, 0L)
+    }
+    ndirs
   }
 
   /** Erase documents' postings — the right-to-be-forgotten reach into
@@ -334,9 +537,38 @@ object InvertedIndex {
         val dlSnap = dlTouched.map(d => d -> snapshotFiles(d))
         val storedDl = spark.read.option("basePath", dlBase.toString)
           .parquet(dlSnap.flatMap(_._2).map(_.toString): _*)
+        // victim totals for the stats rollup, materialized BEFORE the
+        // rewrite deletes the files this plan reads
+        val vRow = storedDl.dropDuplicates("doc", "dl")
+          .join(broadcast(ids), Seq("doc"), "left_semi")
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum(col("dl").cast("long")), lit(0L)).as("s")).head()
+        val (vN, vS) = (vRow.getLong(0), vRow.getLong(1))
         val dlSurvivors = storedDl.join(broadcast(ids), Seq("doc"), "left_anti")
           .dropDuplicates("doc", "dl")
         replaceDirContents(spark, dlBase, dlSnap, dlSurvivors, "_dbkt")
+        // net the rollup minus the victims into one consolidated row.
+        // When the rollup is empty/missing (legacy index or a prior
+        // crash's fallback window) the sidecar itself — now already
+        // post-delete — is the exact base, so nothing is subtracted.
+        val sd = new Path(statsDir(path))
+        val statRows = visibleStatFiles(fs, sd)
+        if (statRows.nonEmpty) {
+          val net = spark.read.parquet(statRows.map(_.toString): _*)
+            .dropDuplicates("fp", "n_docs", "sum_dl")
+            .agg(coalesce(sum(col("n_docs")), lit(0L)),
+              coalesce(sum(col("sum_dl")), lit(0L))).head()
+          commitStats(spark, path, net.getLong(0) - vN, net.getLong(1) - vS)
+        } else {
+          val dlFiles = sidecarFiles(fs, dlBase)
+          if (dlFiles.nonEmpty) {
+            val full = spark.read.parquet(dlFiles.map(_.toString): _*)
+              .dropDuplicates("doc", "dl")
+              .agg(count(lit(1)),
+                coalesce(sum(col("dl").cast("long")), lit(0L))).head()
+            commitStats(spark, path, full.getLong(0), full.getLong(1))
+          } else commitStats(spark, path, 0L, 0L)
+        }
       }
     }
     val victims = postings(docs, idCol, textCol).localCheckpoint(true)
@@ -412,9 +644,7 @@ object InvertedIndex {
       buckets: Int = LayoutMeta.Unspecified): DataFrame = {
     TextAnalytics.validateTerms(terms)
     val pruned = readPostings(spark, path, terms, buckets)
-    val n = spark.read.parquet(doclensDir(path))
-      .dropDuplicates("doc", "dl")
-      .agg(count(lit(1)).as("_n"))
+    val n = corpusStats(spark, path).select(col("_n"))
     val tf = pruned.select(col("doc"), col("token").as("_term"))
       .groupBy(col("doc"), col("_term")).agg(count(lit(1)).as("_tf"))
     val dfreq = tf.groupBy(col("_term")).agg(count(lit(1)).as("_df"))

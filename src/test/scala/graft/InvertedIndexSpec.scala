@@ -199,6 +199,57 @@ class InvertedIndexSpec extends AnyFunSuite {
         Seq("vector", "join"), 10).as[(Long, Double)].collect().toSeq)
   }
 
+  test("corpus-stats rollup equals the full sidecar aggregate through the whole lifecycle; compaction heals drift; fallback is exact") {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum}
+    val dir = java.nio.file.Files.createTempDirectory("graft_stats").toString + "/p"
+    val a = docs(1L -> "alpha beta gamma", 2L -> "beta beta", 3L -> "!!!")
+    val b = docs(4L -> "gamma delta epsilon zeta", 5L -> "eta")
+    def stats(): (Long, Long) = {
+      val r = InvertedIndex.corpusStats(spark, dir).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    def fullAgg(): (Long, Long) = {
+      val r = spark.read.parquet(dir + "/_doclens").dropDuplicates("doc", "dl")
+        .agg(count(lit(1)),
+          coalesce(sum(col("dl").cast("long")), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    def statRows(): Long = spark.read.parquet(dir + "/_stats").count()
+    InvertedIndex.writeIndex(a, "doc_id", "text", dir, buckets = 8)
+    assert(stats() == ((3L, 5L)) && stats() == fullAgg())
+    InvertedIndex.appendIndex(b, "doc_id", "text", dir)
+    assert(stats() == ((5L, 10L)) && stats() == fullAgg())
+    // a caller-replayed append lands a bit-identical stat row that the
+    // read-side dedupe collapses — exactly as the full aggregate's
+    // global (doc, dl) dedupe absorbs the replayed sidecar rows
+    InvertedIndex.appendIndex(b, "doc_id", "text", dir)
+    assert(stats() == ((5L, 10L)) && stats() == fullAgg())
+    // erasure (incl. a dl=0 victim that touches no postings bucket)
+    // nets the rollup to one consolidated row
+    InvertedIndex.deleteDocs(a.filter($"doc_id".isin(2L, 3L)),
+      "doc_id", "text", dir)
+    assert(stats() == ((3L, 8L)) && stats() == fullAgg())
+    // delete-then-re-append of IDENTICAL content: consolidation keeps
+    // the fresh batch row from deduping against pre-delete history
+    InvertedIndex.deleteDocs(b, "doc_id", "text", dir)
+    assert(stats() == ((1L, 3L)) && stats() == fullAgg())
+    InvertedIndex.appendIndex(b, "doc_id", "text", dir)
+    assert(stats() == ((3L, 8L)) && stats() == fullAgg())
+    // the per-query merge is O(stat rows), not O(docs)
+    assert(statRows() <= 2L, s"rollup should be consolidated, ${statRows()} rows")
+    // drift heal: a planted bogus row (a simulated crash-window leak)
+    // is swept by the compaction-cadence rebuild from the sidecar
+    Seq((123L, 100L, 1000L)).toDF("fp", "n_docs", "sum_dl")
+      .write.mode("append").parquet(dir + "/_stats")
+    assert(stats() != ((3L, 8L)))
+    InvertedIndex.compactIndex(spark, dir, minFiles = 0)
+    assert(stats() == ((3L, 8L)) && stats() == fullAgg())
+    // fallback: no rollup at all → the exact full aggregate serves
+    val sd = new org.apache.hadoop.fs.Path(dir + "/_stats")
+    sd.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sd, true)
+    assert(stats() == ((3L, 8L)))
+  }
+
   test("a concurrent append landing mid-compaction is never lost") {
     val dir = java.nio.file.Files.createTempDirectory("graft_race").toString + "/p"
     val d = docs(
