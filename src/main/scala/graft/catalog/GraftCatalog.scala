@@ -155,7 +155,7 @@ private[catalog] final class GraftIndexTable(
     Map("location" -> idx.path, "provider" -> "graft-vector-index").asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftIndexScanBuilder(df)
+    new GraftIndexScanBuilder(idx, asOf, df)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (asOf.nonEmpty) throw new UnsupportedOperationException(
@@ -178,8 +178,19 @@ private[catalog] final class GraftIndexTable(
 
 /** Column pruning pushed into the inner manifest-parquet scan; filters
   * applied inside it for row-group skipping but reported unpushed, so
-  * the engine's own post-filter is always the correctness authority. */
-private[catalog] final class GraftIndexScanBuilder(df: DataFrame)
+  * the engine's own post-filter is always the correctness authority.
+  *
+  * FILE pruning (r17): the pushed filters are additionally read as
+  * [[VectorIndex.extractStatPreds]] stat predicates and handed to
+  * [[VectorIndex.scanStatsPruned]], so a SQL
+  * `WHERE metadata.priority = 1` over a sparse-tag index opens only
+  * the files whose manifest stats cannot refute the predicate — the
+  * same refutation-only pruning `queryApprox` does, now on the SQL
+  * read path. Manifest stats never decide a row's fate: they only
+  * drop files PROVABLY empty of matches, and the full filter is still
+  * re-applied above the scan. */
+private[catalog] final class GraftIndexScanBuilder(
+    idx: VectorIndex, asOf: Option[Long], df: DataFrame)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
@@ -187,8 +198,17 @@ private[catalog] final class GraftIndexScanBuilder(df: DataFrame)
   private var required: StructType = df.schema
   private var filters: Array[Filter] = Array.empty
 
+  /** TOP-LEVEL pruning only: Spark may hand a NESTED-pruned schema
+    * (e.g. metadata carrying only the one filtered subfield), but the
+    * inner scan produces full structs — declaring the pruned struct
+    * while returning the full one makes every post-scan ordinal-based
+    * nested access read the WRONG subfield (the re-applied filter then
+    * silently drops every row). Widening each requested top-level
+    * field back to the source's full type keeps readSchema() honest
+    * about the rows actually produced; Spark projects above it. */
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+    required = StructType(requiredSchema.fieldNames.toIndexedSeq
+      .map(n => df.schema(df.schema.fieldIndex(n))))
 
   override def pushFilters(fs: Array[Filter]): Array[Filter] = {
     filters = fs
@@ -199,7 +219,12 @@ private[catalog] final class GraftIndexScanBuilder(df: DataFrame)
   override def build(): Scan = {
     val requiredCols = required
     val pushed = filters
-    val source = df
+    val statPreds = pushed.toIndexedSeq
+      .flatMap(GraftIndexScanBuilder.translate)
+      .flatMap(VectorIndex.extractStatPreds)
+    val source =
+      if (statPreds.isEmpty) df
+      else idx.scanStatsPruned(statPreds, asOf, emptySchema = Some(df.schema))
     new V1Scan {
       override def readSchema(): StructType = requiredCols
       override def toV1TableScan[T <: BaseRelation with TableScan](

@@ -73,17 +73,32 @@ final class VectorIndex private (
     * correctness authority, exactly like the probe paths.
     * [[lastStatsPrunedFiles]] records what the call dropped. */
   private[graft] def scanStatsPruned(preds: Seq[StatPred],
-      asOf: Option[Long] = None): DataFrame = {
+      asOf: Option[Long] = None,
+      emptySchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    // `emptySchema`: schema for the every-file-refuted answer — an
+    // index with EXTENDED metadata fields (the sparse-tag pattern)
+    // must hand back an empty frame whose metadata struct still
+    // carries those fields, or the caller's re-applied filter fails
+    // to resolve; the canonical emptyIndexDf only knows the base
+    // fields.
+    def emptyDf: DataFrame = emptySchema
+      .map(s => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s))
+      .getOrElse(emptyIndexDf(spark))
     asOf.foreach(v => require(snapshots().contains(v),
       s"snapshot $v not present (have ${snapshots().mkString(",")})"))
     asOf.orElse(currentSnapshot(spark, path)) match {
-      case None => emptyIndexDf(spark)
+      case None => emptyDf
       case Some(n) =>
         val all = readManifest(spark, path, n).values.flatten.toSeq
         val usable = if (preds.isEmpty) all else all.filter(fileCanMatch(_, preds))
         lastStatsPrunedFiles = all.size - usable.size
+        // companion mirror: the SQL catalog opens its own instance per
+        // table load, so specs observe pruning through the companion
+        VectorIndex.lastScanStatsPruned = all.size - usable.size
         val files = usable.map(_.file).sorted
-        if (files.isEmpty) emptyIndexDf(spark)
+        if (files.isEmpty) emptyDf
         else spark.read.parquet(files.map(f => s"$path/$f"): _*)
           .select(col("id"), col("values"), col("metadata"), col("version"))
     }
@@ -859,6 +874,11 @@ final class VectorIndex private (
 }
 
 object VectorIndex {
+
+  /** Files refuted by the most recent [[VectorIndex.scanStatsPruned]]
+    * call in this JVM — observability for the SQL-catalog pruning
+    * path, whose index instance is internal to the catalog. */
+  @volatile private[graft] var lastScanStatsPruned: Int = 0
 
   /** Seed of the stored `_bsig` hyperplane signatures — fixed so every
     * snapshot (and the query side) hashes the same planes. */

@@ -79,6 +79,41 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM gtest.idx1").as[Long].head() == 3L)
   }
 
+  test("SQL WHERE over metadata stats-prunes manifest files; rows identical; wrong value reads zero files") {
+    val dir = Files.createTempDirectory("graft_catstats").toString
+    val idx = VectorIndex.ensure(spark, s"$dir/sidx", 4, numBuckets = 16)
+    def recs(from: Int, until: Int, priority: Option[Int]) =
+      spark.range(from, until).select(
+        concat(lit("p-"), col("id")).as("id"),
+        array((0 until 4).map(j =>
+          sin(col("id") * (j + 1)).cast("float")): _*).as("values"),
+        struct(lit(0).as("chunk_index"), lit("t").as("source"),
+          priority.map(v => lit(v)).getOrElse(lit(null)).cast("int")
+            .as("priority")).as("metadata"))
+    // sparse-tag corpus: NULL priority everywhere, then a small tagged
+    // batch that rewrites only its own ids' buckets — every untouched
+    // bucket's files stay all-null in priority and are stats-refutable
+    idx.upsert(recs(0, 200, None))
+    idx.upsert(recs(200, 208, Some(1)))
+    spark.conf.set("spark.sql.catalog.gstat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gstat.root", dir)
+    val expect = idx.scan().filter($"metadata.priority" === 1)
+      .select($"id").as[String].collect().toSeq.sorted
+    assert(expect.nonEmpty)
+    VectorIndex.lastScanStatsPruned = 0
+    val got = spark.sql(
+      "SELECT id FROM gstat.sidx WHERE metadata.priority = 1 ORDER BY id")
+      .as[String].collect().toSeq
+    assert(got == expect, "pruned SQL scan must return identical rows")
+    assert(VectorIndex.lastScanStatsPruned > 0,
+      "the SQL scan must stats-refute the untouched buckets' all-null files")
+    // a wrong-value predicate refutes EVERY file: zero rows, zero I/O
+    VectorIndex.lastScanStatsPruned = 0
+    assert(spark.sql(
+      "SELECT id FROM gstat.sidx WHERE metadata.priority = 7").count() == 0L)
+    assert(VectorIndex.lastScanStatsPruned > 0)
+  }
+
   test("INSERT INTO is the id-keyed upsert; OVERWRITE and DDL refuse") {
     root
     // new id appends, existing id overwrites (last-write-wins), and the
