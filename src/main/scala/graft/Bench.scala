@@ -199,6 +199,11 @@ object Bench {
     "q199" -> (0.641, 1.387),
     // q200 first isolated measurement (0.600)
     "q200" -> (0.420, 0.960),
+    // q201 first isolated measurement (13.776) — the heaviest gate by
+    // design: a full 3-micro-batch streaming dedup ingest maintaining
+    // the postings index, then the pruned phrase probe; per-batch job
+    // overhead dominates (cpu 28s over 13.8s wall on 32 cores)
+    "q201" -> (9.643, 18.748),
     "q13" -> (0.231, 0.596), "q14" -> (0.168, 0.501), "q15" -> (0.217, 0.596),
     "q16" -> (0.175, 0.501), "q17" -> (0.287, 0.717), "q18" -> (0.161, 0.461),
     "q19" -> (0.21, 0.636), "q20" -> (0.322, 0.771), "q21" -> (0.217, 0.622),

@@ -3280,6 +3280,54 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // STREAMING-MAINTAINED POSTINGS INDEX (r17, the r16 verdict's ask):
+    // q174's phrase probe, but the probed index is the one the
+    // STREAMING dedup ingest maintained across THREE ascending
+    // micro-batches (file-source, one file per batch) — postings
+    // appended before each corpus append, exactly the production path.
+    // The oracle replays BOTH the dedup decision (3-shingle Jaccard
+    // >= 0.5, keep-smallest-id — the q31-established equivalence for
+    // Dedup.minhash on this corpus) and the phrase positions, so a
+    // batch boundary that loses/duplicates postings, a replay leak, or
+    // an accept/drop divergence from the batch semantics all
+    // hash-mismatch here.
+    "q201_stream_postings" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val scratch = freshScratch("q201")
+      val src = s"$scratch/src"
+      val corpus = s"$scratch/corpus"
+      val pidx = s"$scratch/pidx"
+      new java.io.File(src).mkdirs()
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+      val maxId = docs.agg(max($"doc_id")).head().getLong(0)
+      val (cut1, cut2) = (maxId / 3, 2 * maxId / 3)
+      def writeBatch(name: String, f: org.apache.spark.sql.DataFrame): Unit = {
+        val tmp = s"$scratch/stage_$name"
+        f.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.copy(part.toPath,
+          java.nio.file.Paths.get(s"$src/$name.parquet"))
+      }
+      val stream = s.readStream.schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType))))
+        .parquet(src)
+      writeBatch("b1", docs.filter($"doc_id" <= cut1))
+      val q = graft.streaming.StreamOps.dedupedIngest(stream, corpus,
+        postingsPath = Some(pidx)).start()
+      q.processAllAvailable()
+      writeBatch("b2", docs.filter($"doc_id" > cut1 && $"doc_id" <= cut2))
+      q.processAllAvailable()
+      writeBatch("b3", docs.filter($"doc_id" > cut2))
+      q.processAllAvailable()
+      q.stop()
+      graft.operators.InvertedIndex.phraseSearchIndexed(s, pidx,
+          Seq("hash", "value"))
+        .select($"doc".as("doc_id"), $"n_matches")
+        .orderBy($"doc_id")
+    }),
+
     // BM25 SERVED FROM THE PERSISTED INDEX (r16): q117's scorer and
     // oracle, but the query reads only the three terms' posting
     // buckets + the doc-count-sized length sidecar — never the corpus.
@@ -5588,6 +5636,36 @@ object SparkEntry {
         |      IF toks[i] = 'hash' AND toks[i+1] = 'value']) AS BIGINT)
         |      AS n_matches
         |  FROM tk)
+        |SELECT doc_id, n_matches FROM m WHERE n_matches > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "q201_stream_postings" ->
+      """WITH toks0 AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+        |                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+        |    END AS sh
+        |  FROM toks0),
+        |inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
+        |    COUNT(*) AS shared
+        |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4),
+        |drops AS (
+        |  SELECT DISTINCT id_b AS doc_id FROM pairs
+        |  WHERE CAST(shared AS DOUBLE) / CAST(n_a + n_b - shared AS DOUBLE) >= 0.5),
+        |m AS (SELECT t.doc_id,
+        |    CAST(len([i FOR i IN generate_series(1, len(tk) - 1)
+        |      IF tk[i] = 'hash' AND tk[i+1] = 'value']) AS BIGINT)
+        |      AS n_matches
+        |  FROM toks0 t
+        |  WHERE t.doc_id NOT IN (SELECT doc_id FROM drops))
         |SELECT doc_id, n_matches FROM m WHERE n_matches > 0
         |ORDER BY doc_id""".stripMargin,
 
