@@ -561,17 +561,24 @@ final class VectorIndex private (
   def rebucket(newNumBuckets: Int): VectorIndex = {
     require(newNumBuckets > 0, "newNumBuckets must be positive")
     if (newNumBuckets == meta.numBuckets) return this
-    val cur = currentSnapshot(spark, path)
-    val version = cur.map(_ + 1L).getOrElse(0L)
-    val rebucketed = scan().withColumn("_bucket",
-      pmod(xxhash64(col("id")), lit(newNumBuckets)).cast("int"))
-    // every bucket is touched: pass an empty carry-forward manifest so
-    // the committed manifest references exactly the rewritten files.
-    // The manifest header records newNumBuckets, so the layout switch
-    // IS the commit — the meta rewrite below is a convenience record,
-    // and a crash before it (or a stale handle) still resolves the
-    // right hash space from the manifest.
-    writeSnapshot(version, rebucketed, Map.empty, Set.empty, newNumBuckets)
+    // same optimistic-concurrency discipline as upsert/delete (r17):
+    // a rebucket racing other writers re-reads the current snapshot
+    // and re-scans — the O(index) rewrite restarts from the winner's
+    // committed state rather than resurrecting rows a concurrent
+    // delete removed or dropping a concurrent upsert's batch
+    retryOnConflict("rebucket") {
+      val cur = currentSnapshot(spark, path)
+      val version = cur.map(_ + 1L).getOrElse(0L)
+      val rebucketed = scan().withColumn("_bucket",
+        pmod(xxhash64(col("id")), lit(newNumBuckets)).cast("int"))
+      // every bucket is touched: pass an empty carry-forward manifest so
+      // the committed manifest references exactly the rewritten files.
+      // The manifest header records newNumBuckets, so the layout switch
+      // IS the commit — the meta rewrite below is a convenience record,
+      // and a crash before it (or a stale handle) still resolves the
+      // right hash space from the manifest.
+      writeSnapshot(version, rebucketed, Map.empty, Set.empty, newNumBuckets)
+    }
     val newMeta = meta.copy(numBuckets = newNumBuckets)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     writeMetaFile(fs, path, newMeta)

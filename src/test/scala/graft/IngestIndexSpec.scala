@@ -712,6 +712,88 @@ class IngestIndexSpec extends AnyFunSuite {
       s"orphan attempt dirs leaked: ${onDisk -- referenced}")
   }
 
+  test("four mixed racers (2 upserts, delete, rebucket): versions linearize, every effect lands or surfaces typed, no orphans") {
+    val dir = Files.createTempDirectory("graft_idx_race4").toString
+    val root = s"$dir/r4"
+    val idx = VectorIndex.ensure(spark, root, 4, numBuckets = 4)
+    def recs(s: org.apache.spark.sql.SparkSession, prefix: String,
+        from: Int, until: Int, bump: Int = 0) =
+      s.range(from, until).select(
+        concat(lit(s"$prefix-"), col("id")).as("id"),
+        array((col("id") + bump).cast("float"), lit(1f), lit(2f), lit(3f))
+          .as("values"),
+        struct(lit(0).as("chunk_index"), lit("t").as("source")).as("metadata"))
+    idx.upsert(recs(spark, "b", 0, 40)) // snapshot 0
+    // three delayed writers on their own sessions (the commit-delay
+    // seam holds each rename open per ATTEMPT), plus the undelayed
+    // main-session upsert that commits first — every combination of
+    // upsert-vs-upsert, upsert-vs-delete and writer-vs-rebucket CAS
+    // collisions occurs across the staggered retry windows
+    def delayedIdx(ms: Long): VectorIndex = {
+      val sess = spark.newSession()
+      sess.conf.set("spark.graft.index.testCommitDelayMs", ms.toString)
+      VectorIndex.open(sess, root)
+    }
+    val overwriter = delayedIdx(1500) // rewrites b-0..b-4 with bumped values
+    val deleter = delayedIdx(3000)    // removes b-30..b-34
+    val rebucketer = delayedIdx(4500) // 4 -> 8 buckets, O(index) rewrite
+    val outcomes = new java.util.concurrent.ConcurrentHashMap[String, Throwable]()
+    def racer(name: String)(body: => Unit): Thread = {
+      val t = new Thread(() =>
+        try body catch { case e: Throwable => outcomes.put(name, e) })
+      t.start(); t
+    }
+    val ts = Seq(
+      racer("overwrite") {
+        overwriter.upsert(recs(overwriter.spark, "b", 0, 5, bump = 1000))
+      },
+      racer("delete") { deleter.delete((30 until 35).map(i => s"b-$i")) },
+      racer("rebucket") { rebucketer.rebucket(8) })
+    Thread.sleep(700) // racers have read cur=0 and hold pre-rename
+    idx.upsert(recs(spark, "m", 0, 10)) // undelayed: wins the first race
+    ts.foreach(_.join(180000))
+    assert(ts.forall(!_.isAlive), "racers did not finish")
+    // every failure must be the TYPED conflict — nothing else leaks
+    import scala.jdk.CollectionConverters._
+    outcomes.asScala.foreach { case (n, e) =>
+      assert(e.isInstanceOf[VectorIndex.SnapshotConflict],
+        s"racer $n died untyped: $e")
+    }
+    def ok(n: String) = !outcomes.containsKey(n)
+    // versions linearize: one commit per success, contiguous, CAS'd
+    val successes = 1 + Seq("overwrite", "delete", "rebucket").count(ok)
+    assert(idx.snapshots().last == successes.toLong,
+      s"head must be v$successes, got ${idx.snapshots()}")
+    assert(idx.snapshots() == idx.snapshots().sorted.distinct)
+    // effect atomicity: present iff the racer succeeded — a loser's
+    // retry folded into the winner's state, never over it
+    import spark.implicits._
+    val fin = idx.scan().select($"id", $"values").as[(String, Seq[Float])]
+      .collect().toMap
+    assert(fin.contains("m-5"), "main upsert lost")
+    val expectCount = 40 + 10 - (if (ok("delete")) 5 else 0)
+    assert(fin.size == expectCount, s"expected $expectCount ids, got ${fin.size}")
+    if (ok("delete")) assert(!fin.contains("b-32"), "deleted id resurfaced")
+    if (ok("overwrite"))
+      assert(fin("b-2").head == 1002f, s"overwrite lost: ${fin("b-2")}")
+    else assert(fin("b-2").head == 2f, "failed overwrite must leave base rows")
+    if (ok("rebucket")) {
+      val reopened = VectorIndex.open(spark, root)
+      assert(reopened.meta.numBuckets == 8, "rebucket committed but meta stale")
+      // the new layout serves: point fetch + knn across the hash space
+      assert(reopened.fetch(Seq("m-7", "b-20")).count() == 2)
+      assert(reopened.query(Array(20f, 1f, 2f, 3f), 3).count() == 3)
+    }
+    // retention GC leaves no orphan attempt dirs: everything on disk is
+    // referenced by a retained manifest
+    val referenced = idx.snapshots()
+      .flatMap(v => idx.manifestAt(v).values.flatten)
+      .map(_.split("/")(1)).toSet
+    val onDisk = new java.io.File(s"$root/data").listFiles().map(_.getName).toSet
+    assert(onDisk.subsetOf(referenced),
+      s"orphan attempt dirs leaked: ${onDisk -- referenced}")
+  }
+
   test("a hung footer read cannot hang the snapshot commit (rows=None fallback)") {
     // filesystem that wedges ONLY the dedicated footer-read pool's
     // open() calls (thread-name targeted), uninterruptibly — the
