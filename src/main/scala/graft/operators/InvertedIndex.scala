@@ -657,6 +657,45 @@ object InvertedIndex {
       .select(col("doc"), col("score"))
   }
 
+  /** Lexical "more like this" FROM THE PERSISTED INDEX: rank the
+    * corpus by TF-IDF-weighted overlap with a query DOCUMENT —
+    * score(d) = Σ_t tf_d(t)·tf_q(t)·N/df(t), the [[tfidfSearch]]
+    * scorer with the query's own term frequencies as weights (Lucene's
+    * MoreLikeThis family). The query text tokenizes DRIVER-side (one
+    * document — never a job), its distinct terms prune the postings
+    * read to their bucket dirs, and N comes from the stats rollup; the
+    * per-term products keep integer arithmetic exact (tf·qtf as a
+    * long) before one double multiply/divide in [[tfidfSearch]]'s
+    * shape, and the per-doc sum folds in sorted-term order — so
+    * scores replay bit-identically in any engine. Query length is the
+    * caller's valve: an MLT query is typically the doc's lead
+    * paragraph, not a whole book (every distinct term adds a posting
+    * probe, exactly like one more term in a search query). */
+  def moreLikeThis(spark: org.apache.spark.sql.SparkSession, path: String,
+      queryText: String, k: Int, excludeDoc: Option[Long] = None,
+      buckets: Int = LayoutMeta.Unspecified): DataFrame = {
+    val toks = queryText.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    require(toks.nonEmpty, "moreLikeThis query text has no tokens")
+    val qtf = toks.groupBy(identity).map { case (t, g) => t -> g.length.toLong }
+    val terms = qtf.keys.toSeq.sorted
+    val pruned = readPostings(spark, path, terms, buckets)
+    val n = corpusStats(spark, path).select(col("_n"))
+    val tf = pruned.select(col("doc"), col("token").as("_term"))
+      .groupBy(col("doc"), col("_term")).agg(count(lit(1)).as("_tf"))
+    val dfreq = tf.groupBy(col("_term")).agg(count(lit(1)).as("_df"))
+    import spark.implicits._
+    val qw = terms.map(t => (t, qtf(t))).toDF("_term", "_qtf")
+    val per = tf.join(broadcast(dfreq), "_term").join(broadcast(qw), "_term")
+      .crossJoin(broadcast(n))
+      .withColumn("_s", (col("_tf") * col("_qtf")).cast("double") *
+        col("_n").cast("double") / col("_df").cast("double"))
+    val scored = TextAnalytics.foldTermScores(per, "doc", terms)
+    excludeDoc.map(id => scored.filter(col("doc") =!= id)).getOrElse(scored)
+      .orderBy(col("score").desc, col("doc"))
+      .limit(k)
+      .select(col("doc"), col("score"))
+  }
+
   /** Per-bucket posting counts — the reconciliation census: after any
     * build/append sequence, `sum(n_postings)` must equal the postings
     * count of the corpus the index claims to cover. */

@@ -199,6 +199,44 @@ class InvertedIndexSpec extends AnyFunSuite {
         Seq("vector", "join"), 10).as[(Long, Double)].collect().toSeq)
   }
 
+  test("more-like-this: tf-idf-weighted overlap ranking, query doc excluded, brute-force equal") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mlt").toString + "/p"
+    val d = docs(
+      1L -> "vector join hash vector index",
+      2L -> "hash hash join tables",
+      3L -> "join the vector space search",
+      4L -> "nothing in common here at all",
+      5L -> "vector vector hash join index search")
+    InvertedIndex.writeIndex(d, "doc_id", "text", dir, buckets = 8)
+    val q = "vector join hash vector" // qtf: vector 2, join 1, hash 1
+    val got = InvertedIndex.moreLikeThis(spark, dir, q, k = 10,
+      excludeDoc = Some(1L)).as[(Long, Double)].collect().toSeq
+    assert(!got.exists(_._1 == 1L), "query doc must be excluded")
+    // brute force: score(d) = sum_t tf_d * qtf * N/df over the query's
+    // terms, summed in sorted-term order (hash, join, vector)
+    val n = 5.0
+    val corpus = Map(
+      2L -> Map("hash" -> 2L, "join" -> 1L),
+      3L -> Map("join" -> 1L, "vector" -> 1L),
+      4L -> Map.empty[String, Long],
+      5L -> Map("vector" -> 2L, "hash" -> 1L, "join" -> 1L))
+    val dfm = Map("hash" -> 3.0, "join" -> 4.0, "vector" -> 3.0)
+    val qtf = Map("hash" -> 1L, "join" -> 1L, "vector" -> 2L)
+    val expect = corpus.map { case (id, tfs) =>
+      id -> Seq("hash", "join", "vector").foldLeft(0.0) { (acc, t) =>
+        tfs.get(t).map(tf => acc + (tf * qtf(t)).toDouble * n / dfm(t))
+          .getOrElse(acc)
+      }
+    }.filter(_._2 > 0).toSeq.sortBy { case (id, s) => (-s, id) }
+    assert(got == expect, s"got $got expected $expect")
+    // determinism: a rerun returns the identical ranking and doubles
+    assert(got == InvertedIndex.moreLikeThis(spark, dir, q, k = 10,
+      excludeDoc = Some(1L)).as[(Long, Double)].collect().toSeq)
+    intercept[IllegalArgumentException] {
+      InvertedIndex.moreLikeThis(spark, dir, "!!!", 5)
+    }
+  }
+
   test("corpus-stats rollup equals the full sidecar aggregate through the whole lifecycle; compaction heals drift; fallback is exact") {
     import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum}
     val dir = java.nio.file.Files.createTempDirectory("graft_stats").toString + "/p"

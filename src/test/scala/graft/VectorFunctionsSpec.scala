@@ -120,6 +120,37 @@ class VectorFunctionsSpec extends AnyFunSuite {
     // invalid form rejected
     intercept[IllegalArgumentException] { textnorm.normalize($"s", "NFX") }
   }
+  test("fix_mojibake: repairs utf8-as-cp1252, strictness guards clean text, double layer unwinds, codegen'd") {
+    import graft.functions.{textnorm, MojibakeRepair}
+    // the corruption a sloppy mis-decoder applies: UTF-8 bytes read
+    // as cp1252 (undefined bytes passed through as C1 controls)
+    def corrupt(s: String): String = MojibakeRepair.corruptDecode(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val clean = "café déjà vu — naïve façade über señal"
+    val bad = corrupt(clean)
+    assert(bad != clean)
+    assert(MojibakeRepair.fix(bad) == clean)
+    // the strict-decode guard: clean accented text round-trips to
+    // invalid UTF-8 bytes (a lone 0xE9) and passes through untouched
+    assert(MojibakeRepair.fix(clean) == clean)
+    assert(MojibakeRepair.fix("plain ascii only") == "plain ascii only")
+    // doubly-corrupted unwinds both layers
+    assert(MojibakeRepair.fix(corrupt(corrupt(clean))) == clean)
+    // cp1252-unencodable content (emoji, CJK) is never touched
+    assert(MojibakeRepair.fix("ok 😀 fine") == "ok 😀 fine")
+    assert(MojibakeRepair.fix("日本語テスト") == "日本語テスト")
+    // column path: null-safe, codegen'd, interpreted == generated
+    val out = Seq(Some(bad), Some(clean), None).toDF("s")
+      .select(textnorm.fixMojibake($"s")).as[Option[String]].collect().toSeq
+    assert(out == Seq(Some(clean), Some(clean), None))
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val q = docs.select(textnorm.fixMojibake($"text").as("n"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [fix_mojibake"), s"no codegen in:\n$plan")
+    // ASCII corpus is a fixpoint
+    assert(docs.filter(textnorm.fixMojibake($"text") =!= $"text").count() == 0)
+  }
+
   test("jaro_winkler: known values, duckdb conventions, codegen == interpreted") {
     import graft.functions.{strings, StringSimilarityUtil => U}
     // Winkler's canonical examples + the convention probes that were
