@@ -3750,6 +3750,52 @@ object SparkEntry {
         .orderBy($"source", $"pos")
     }),
 
+    // CRAWL LINK-GRAPH RANK (r17): the frontier-prioritization
+    // composition — HTML outlink extraction (Html.links: all three
+    // attribute quoting forms, entity-decoded hrefs, javascript:/
+    // mailto:/#-decoy skipping, RFC 3986 relative resolution) → host
+    // edges → exact-integer PageRank → top hosts. Pages are built
+    // arithmetically from doc_id (anchor count, targets and quoting
+    // style all closed-form), so the oracle derives the edge set
+    // WITHOUT parsing and replays the integer PR rounds: a missed
+    // quoting form, an undecoded &amp;, a decoy leak, or a botched
+    // relative resolution all change edges and hash-mismatch.
+    "q205_link_graph_rank" -> ((s, dir) => {
+      import s.implicits._
+      val linksUdf = udf((h: String, base: String) =>
+        graft.sources.Html.links(h, base))
+      val hostUdf = udf((u: String) => graft.sources.Url.host(u))
+      val src = ($"doc_id" % 40).cast("long")
+      val anchors = aggregate(
+        sequence(lit(0), ($"doc_id" % 3 + 1).cast("int")), lit(""),
+        (acc, i) => {
+          val idx = (($"doc_id" * 7 + i * 13) % 40).cast("string")
+          val url = concat(lit("https://h"), idx, lit(".example.com/p/"),
+            i.cast("string"), lit("?a=1&amp;b=2"))
+          concat(acc,
+            when(i % 3 === 0, concat(lit("<a href=\""), url, lit("\">x</a>")))
+              .when(i % 3 === 1, concat(lit("<a href='"), url, lit("'>x</a>")))
+              .otherwise(concat(lit("<a href="), url, lit(">x</a>"))))
+        })
+      val base = concat(lit("https://h"), src.cast("string"),
+        lit(".example.com/base/"))
+      val html = concat(
+        lit("<html><body><a href=\"#top\">t</a>" +
+          "<a href='javascript:void(0)'>j</a><a href=mailto:x@y.z>m</a>"),
+        anchors, lit("<a href=\"/p/rel?x=1\">r</a></body></html>"))
+      val edges = t(s, dir, "documents")
+        .select(src.as("s"), explode(linksUdf(html, base)).as("u"))
+        .select($"s",
+          regexp_extract(hostUdf($"u"), "^h(\\d+)\\.example\\.com$", 1)
+            .cast("long").as("t"))
+        .distinct()
+      graft.operators.Graph.pageRank(edges, "s", "t", iterations = 3)
+        .select(concat(lit("h"), $"node".cast("string"),
+          lit(".example.com")).as("host"), $"rank")
+        .orderBy(desc("rank"), $"host")
+        .limit(30)
+    }),
+
     // LEXICAL MORE-LIKE-THIS (r17): rank the corpus by TF-IDF-weighted
     // overlap with a query DOCUMENT (doc 7's text), served from the
     // persisted postings index — Lucene's MoreLikeThis on the engine's
@@ -5713,6 +5759,38 @@ object SparkEntry {
         |  FROM tk)
         |SELECT doc_id, n_matches FROM m WHERE n_matches > 0
         |ORDER BY doc_id""".stripMargin,
+
+    "q205_link_graph_rank" ->
+      """WITH d AS (SELECT doc_id, doc_id % 40 AS src FROM documents),
+        |lnk AS (
+        |  SELECT src, (doc_id * 7 + i * 13) % 40 AS dst
+        |  FROM d, LATERAL unnest(generate_series(0,
+        |    CAST(doc_id % 3 + 1 AS INT))) AS u(i)
+        |  UNION ALL SELECT src, src FROM d),
+        |e AS (SELECT DISTINCT src AS s, dst AS t FROM lnk),
+        |n AS (SELECT DISTINCT node FROM
+        |  (SELECT s AS node FROM e UNION ALL SELECT t FROM e)),
+        |c AS (SELECT count(*) AS cnt FROM n),
+        |od AS (SELECT s, count(*) AS d FROM e GROUP BY s),
+        |r0 AS (SELECT node, 1000000000000 // (SELECT cnt FROM c) AS r FROM n),
+        |b AS (SELECT (15 * 1000000000000) // (100 * (SELECT cnt FROM c)) AS v),
+        |r1 AS (SELECT n.node, CAST((SELECT v FROM b) +
+        |         coalesce(sum((85 * p0.r) // (100 * od.d)), 0) AS BIGINT) AS r
+        |       FROM n LEFT JOIN e ON e.t = n.node
+        |       LEFT JOIN r0 p0 ON p0.node = e.s LEFT JOIN od ON od.s = e.s
+        |       GROUP BY n.node),
+        |r2 AS (SELECT n.node, CAST((SELECT v FROM b) +
+        |         coalesce(sum((85 * p1.r) // (100 * od.d)), 0) AS BIGINT) AS r
+        |       FROM n LEFT JOIN e ON e.t = n.node
+        |       LEFT JOIN r1 p1 ON p1.node = e.s LEFT JOIN od ON od.s = e.s
+        |       GROUP BY n.node),
+        |r3 AS (SELECT n.node, CAST((SELECT v FROM b) +
+        |         coalesce(sum((85 * p2.r) // (100 * od.d)), 0) AS BIGINT) AS r
+        |       FROM n LEFT JOIN e ON e.t = n.node
+        |       LEFT JOIN r2 p2 ON p2.node = e.s LEFT JOIN od ON od.s = e.s
+        |       GROUP BY n.node)
+        |SELECT 'h' || node || '.example.com' AS host, r AS rank FROM r3
+        |ORDER BY rank DESC, host LIMIT 30""".stripMargin,
 
     "q204_more_like_this" ->
       """WITH q AS (SELECT list_filter(string_split_regex(lower(text),

@@ -87,6 +87,103 @@ object Html {
     -1
   }
 
+  /** Decode the HTML entities of an attribute value (href carries
+    * `&amp;` for every literal `&`). Non-entities pass through. */
+  private def decodeEntities(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val out = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '&') {
+        val e = entity(s, i)
+        if (e == null) { out.append('&'); i += 1 }
+        else { out.append(e._1); i = e._2 }
+      } else { out.append(s.charAt(i)); i += 1 }
+    }
+    out.toString
+  }
+
+  /** The `href` targets of `<a>` anchors, in document order — the
+    * outlink extraction of a crawl pipeline (feeds [[Url.normalize]]
+    * and the frontier/host-graph stages). Handles the three HTML
+    * attribute quoting forms (double, single, unquoted), decodes
+    * entities (`&amp;` in query strings), skips `javascript:` /
+    * `mailto:` / bare-fragment pseudo-links, and resolves relative
+    * targets against `baseUrl` via RFC 3986 (`java.net.URI`) —
+    * unresolvable garbage is dropped, never thrown. Single pass over
+    * the bytes, zero dependencies: safe to run as a projection over
+    * 10^10 crawled pages. */
+  def links(html: String, baseUrl: String = ""): Seq[String] = {
+    if (html == null) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    val n = html.length
+    while (i < n) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0 || lt + 1 >= n) i = n
+      else if (!Character.isLetter(html.charAt(lt + 1))) i = lt + 1
+      else {
+        val name = tagName(html, lt + 1)
+        val end = tagEnd(html, lt)
+        if (end < 0) i = n // truncated tag: drop the tail
+        else {
+          if (name == "a") {
+            // scan attributes inside [lt+2, end) for href=...
+            var p = lt + 1 + name.length
+            var href: String = null
+            while (href == null && p < end) {
+              // attribute name start: a letter preceded by ws or quote end
+              if (html.regionMatches(true, p, "href", 0, 4) &&
+                  (p == 0 || !Character.isLetterOrDigit(html.charAt(p - 1)))) {
+                var q = p + 4
+                while (q < end && Character.isWhitespace(html.charAt(q))) q += 1
+                if (q < end && html.charAt(q) == '=') {
+                  q += 1
+                  while (q < end && Character.isWhitespace(html.charAt(q))) q += 1
+                  if (q < end) {
+                    val c = html.charAt(q)
+                    if (c == '"' || c == '\'') {
+                      val close = html.indexOf(c, q + 1)
+                      if (close >= 0 && close <= end)
+                        href = html.substring(q + 1, close)
+                    } else {
+                      var e = q
+                      while (e < end && !Character.isWhitespace(html.charAt(e)))
+                        e += 1
+                      href = html.substring(q, e)
+                    }
+                  }
+                }
+              }
+              p += 1
+            }
+            if (href != null) {
+              val raw = decodeEntities(href.trim)
+              val low = raw.toLowerCase
+              if (raw.nonEmpty && !raw.startsWith("#") &&
+                  !low.startsWith("javascript:") && !low.startsWith("mailto:") &&
+                  !low.startsWith("data:")) {
+                val resolved =
+                  if (low.startsWith("http://") || low.startsWith("https://"))
+                    raw
+                  else if (baseUrl.isEmpty) null
+                  else
+                    try new java.net.URI(baseUrl).resolve(raw).toString
+                    catch { case _: Exception => null }
+                if (resolved != null && {
+                  val rl = resolved.toLowerCase
+                  rl.startsWith("http://") || rl.startsWith("https://")
+                }) out += resolved
+              }
+            }
+          }
+          i = end + 1
+        }
+      }
+    }
+    out.toSeq
+  }
+
   def toText(html: String): String = {
     if (html == null) return ""
     val out = new java.lang.StringBuilder(html.length / 2)

@@ -1479,6 +1479,41 @@ class SourcesSpec extends AnyFunSuite {
 
   // ---- HTML -> text (sources/Html.scala) ----
 
+  test("Html.links: three quoting forms, entity decode, decoys skipped, relative resolution, garbage-safe") {
+    import graft.sources.Html
+    val h = """<html><body>
+      |<a href="https://a.com/p?x=1&amp;y=2">d</a>
+      |<a href='https://b.com/q'>s</a>
+      |<a href=https://c.com/r>u</a>
+      |<A HREF="https://d.com/UP">case</A>
+      |<a href="#frag">f</a><a href="javascript:void(0)">j</a>
+      |<a href="mailto:x@y.z">m</a><a href="data:text/plain,hi">dd</a>
+      |<a name="anchor-only">n</a>
+      |<a href="/abs/path?k=v">rel1</a>
+      |<a href="sub/page.html">rel2</a>
+      |<a href="//e.com/proto">rel3</a>
+      |</body></html>""".stripMargin
+    val got = Html.links(h, "https://base.org/dir/index.html")
+    assert(got == Seq(
+      "https://a.com/p?x=1&y=2",        // &amp; decoded
+      "https://b.com/q",
+      "https://c.com/r",
+      "https://d.com/UP",
+      "https://base.org/abs/path?k=v",  // root-relative
+      "https://base.org/dir/sub/page.html", // path-relative
+      "https://e.com/proto"))           // scheme-relative
+    // no base: relative links drop, absolute survive
+    assert(Html.links("<a href=\"/x\">r</a><a href=\"https://ok.io/\">o</a>")
+      == Seq("https://ok.io/"))
+    // truncated tag, malformed URI, null: never throw
+    assert(Html.links("<a href=\"https://t.co/x\"") == Seq.empty)
+    assert(Html.links("<a href=\"ht tp://bad\">x</a>", "https://b.se/") == Seq.empty)
+    assert(Html.links(null) == Seq.empty)
+    // href in a non-anchor tag is ignored; xhref never matches
+    assert(Html.links("<link href=\"https://css.io/a\"/><a xhref=https://no.pe>z</a>")
+      == Seq.empty)
+  }
+
   test("Html.toText: tags strip, block tags break lines, inline tags do not") {
     import graft.sources.Html
     assert(Html.toText("<p>one</p><p>two</p>") == "one\ntwo")
