@@ -208,8 +208,8 @@ object Bench {
     // is the q174-class full index build + pruned MLT probe)
     "q202" -> (0.393, 0.907), "q203" -> (0.246, 0.624),
     "q204" -> (1.779, 3.582),
-    // q205 first isolated measurement (1.149)
-    "q205" -> (0.804, 1.701),
+    // q205/q206 first isolated measurements (1.149/0.393)
+    "q205" -> (0.804, 1.701), "q206" -> (0.275, 0.681),
     "q13" -> (0.231, 0.596), "q14" -> (0.168, 0.501), "q15" -> (0.217, 0.596),
     "q16" -> (0.175, 0.501), "q17" -> (0.287, 0.717), "q18" -> (0.161, 0.461),
     "q19" -> (0.21, 0.636), "q20" -> (0.322, 0.771), "q21" -> (0.217, 0.622),

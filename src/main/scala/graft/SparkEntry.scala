@@ -3750,6 +3750,23 @@ object SparkEntry {
         .orderBy($"source", $"pos")
     }),
 
+    // DP COUNT RELEASE (r17, the privacy triad's publisher): per-group
+    // counts + derandomized Laplace(1/eps) noise (inverse CDF over a
+    // sha256-derived 48-bit uniform — engine-portable, idempotent
+    // reruns, independent draws per group) with minCount suppression
+    // before release. eps=0.5 so 1/eps is the exact double 2.0; the
+    // only cross-engine wiggle is ln()'s last ulp, absorbed by the
+    // micro-unit floor (q117's discipline).
+    "q206_dp_release" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Privacy.dpCounts(
+          t(s, dir, "documents"), Seq("lang", "source"),
+          epsilon = 0.5, seed = "graft-dp-r17", minCount = 5L)
+        .select($"lang", $"source",
+          floor($"released" * lit(1000000.0)).cast("long").as("released_u"))
+        .orderBy($"lang", $"source")
+    }),
+
     // CRAWL LINK-GRAPH RANK (r17): the frontier-prioritization
     // composition — HTML outlink extraction (Html.links: all three
     // attribute quoting forms, entity-decoded hrefs, javascript:/
@@ -5759,6 +5776,22 @@ object SparkEntry {
         |  FROM tk)
         |SELECT doc_id, n_matches FROM m WHERE n_matches > 0
         |ORDER BY doc_id""".stripMargin,
+
+    "q206_dp_release" ->
+      """WITH g AS (SELECT lang, source, COUNT(*) AS n FROM documents
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        |t AS (SELECT lang, source, n,
+        |    (CAST(CAST(('0x' || substr(sha256('graft-dp-r17|' || lang || '|'
+        |      || source), 1, 12)) AS BIGINT) AS DOUBLE) + 0.5)
+        |      / 281474976710656.0 - 0.5 AS c
+        |  FROM g),
+        |r AS (SELECT lang, source,
+        |    CAST(n AS DOUBLE) +
+        |      (-1.0 / 0.5) * sign(c) * ln(1.0 - 2.0 * abs(c)) AS released
+        |  FROM t)
+        |SELECT lang, source,
+        |  CAST(floor(released * 1000000.0) AS BIGINT) AS released_u
+        |FROM r ORDER BY lang, source""".stripMargin,
 
     "q205_link_graph_rank" ->
       """WITH d AS (SELECT doc_id, doc_id % 40 AS src FROM documents),

@@ -88,4 +88,39 @@ object Privacy {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") < lit(k))
   }
+
+  /** Differentially-private count release — the third leg of the
+    * privacy family (tokenize keeps JOINS working, k-anonymity audits
+    * a release, dpCounts PUBLISHES aggregate counts): per-group count
+    * + Laplace(1/ε) noise via the inverse CDF, with optional
+    * `minCount` suppression of small groups before release (publish
+    * thresholds compose with DP in every real release pipeline).
+    *
+    * The noise is DERANDOMIZED for reproducible pipelines (and the
+    * oracle): the uniform draw is the first 48 bits of
+    * sha256(seed|groupkey) — every engine computes the identical
+    * draw, re-running a release is idempotent, and distinct groups
+    * get independent draws. (True DP against an adversary who knows
+    * `seed` requires a secret seed — the caller's key-management
+    * problem, same as [[tokenizeHmac]]'s.) `u = (u48+0.5)/2^48`
+    * dodges the u=0 (infinite noise) and u=0.5 (sign boundary)
+    * edges exactly. One aggregation, one projection — no extra pass
+    * at any corpus size. */
+  def dpCounts(df: DataFrame, groupCols: Seq[String], epsilon: Double,
+      seed: String, minCount: Long = 0L): DataFrame = {
+    require(groupCols.nonEmpty, "dpCounts needs group columns")
+    require(epsilon > 0.0, s"epsilon must be positive, got $epsilon")
+    val grouped = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= lit(minCount))
+    val key = concat_ws("|", groupCols.map(c => col(c).cast("string")): _*)
+    val tok = sha2(concat(lit(seed + "|"), key), 256)
+    val uCol = (conv(substring(tok, 1, 12), 16, 10).cast("long").cast("double") +
+      lit(0.5)) / lit(281474976710656.0) // 2^48
+    val c = uCol - lit(0.5)
+    val noise = lit(-1.0 / epsilon) * signum(c) *
+      log(lit(1.0) - lit(2.0) * abs(c))
+    grouped.withColumn("released", col("n").cast("double") + noise)
+      .select(groupCols.map(col) :+ col("released"): _*)
+  }
 }

@@ -845,6 +845,40 @@ class OperatorsSpec extends AnyFunSuite {
       Seq($"dept", Privacy.generalize($"age", 100L)), Seq("dept", "age_r"), 3L)
     assert(wide.count() == 0L, "coarser generalization certifies")
   }
+  test("dp counts: derandomized Laplace noise, suppression, per-group independence, exact epsilon scaling") {
+    import graft.operators.Privacy
+    val rows = (Seq.fill(40)("a") ++ Seq.fill(25)("b") ++ Seq.fill(12)("c") ++
+      Seq.fill(3)("tiny")).zipWithIndex.map { case (g, i) => (i.toLong, g) }
+      .toDF("id", "g")
+    def rel(eps: Double) = Privacy.dpCounts(rows, Seq("g"), eps,
+        seed = "s1", minCount = 5L)
+      .as[(String, Double)].collect().toMap
+    val r = rel(0.5)
+    // suppression: the size-3 group never appears in the release
+    assert(r.keySet == Set("a", "b", "c"))
+    // determinism: identical rerun, bit-for-bit
+    assert(rel(0.5) == r)
+    // noise is bounded-plausible Laplace(b=2): nonzero, not absurd
+    val noises = Map("a" -> (r("a") - 40.0), "b" -> (r("b") - 25.0),
+      "c" -> (r("c") - 12.0))
+    noises.values.foreach(n =>
+      assert(n != 0.0 && math.abs(n) < 40.0, s"implausible noise $n"))
+    // independent draws per group
+    assert(noises.values.toSet.size == 3)
+    // a different seed redraws the noise
+    assert(Privacy.dpCounts(rows, Seq("g"), 0.5, seed = "s2", minCount = 5L)
+      .as[(String, Double)].collect().toMap != r)
+    // epsilon scales the SAME draw proportionally: noise(eps=1) * 2 ==
+    // noise(eps=0.5) (to rounding — the noise is recovered by
+    // subtracting n from the released sum, which costs a few ulps)
+    val r1 = rel(1.0)
+    assert(math.abs((r1("a") - 40.0) * 2.0 - noises("a")) < 1e-9,
+      s"${(r1("a") - 40.0) * 2.0} vs ${noises("a")}")
+    intercept[IllegalArgumentException] {
+      Privacy.dpCounts(rows, Seq("g"), 0.0, "s")
+    }
+  }
+
   test("zstd dict compression: lossless round-trip, dict beats raw on small docs, deterministic") {
     import graft.operators.DictCompress
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
