@@ -3750,6 +3750,21 @@ object SparkEntry {
         .orderBy($"source", $"pos")
     }),
 
+    // RANDOM PROJECTION (r17): seeded ±1 JL projection 64→16 — the
+    // fit-free dimensionality reduction (PCA's at-scale sibling: no
+    // covariance pass, no model, no staleness). The sign matrix is
+    // pure integer arithmetic and the fold uses exact negation in
+    // ascending order, so all 1600 output doubles hash-match DuckDB's
+    // replay bit for bit.
+    "q207_random_projection" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "embeddings").filter($"vec_id" < 100)
+        .select($"vec_id", posexplode(
+          graft.operators.RandomProjection.project($"embedding", 64, 16, 7L)))
+        .select($"vec_id", $"pos".cast("long").as("j"), $"col".as("val"))
+        .orderBy($"vec_id", $"j")
+    }),
+
     // DP COUNT RELEASE (r17, the privacy triad's publisher): per-group
     // counts + derandomized Laplace(1/eps) noise (inverse CDF over a
     // sha256-derived 48-bit uniform — engine-portable, idempotent
@@ -5776,6 +5791,21 @@ object SparkEntry {
         |  FROM tk)
         |SELECT doc_id, n_matches FROM m WHERE n_matches > 0
         |ORDER BY doc_id""".stripMargin,
+
+    "q207_random_projection" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 100),
+        |pj AS (SELECT vec_id, j,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(generate_series(1, 64), i ->
+        |        CASE WHEN ((((i - 1) * 1000003 + j * 999983 + 7)
+        |            % 2147483648) * 2654435761) % 4294967296
+        |            < 2147483648
+        |          THEN v[i] ELSE -v[i] END)),
+        |      (a, b) -> a + b) / sqrt(16.0) AS val
+        |  FROM e, LATERAL unnest(generate_series(0, 15)) AS u(j))
+        |SELECT vec_id, CAST(j AS BIGINT) AS j, val FROM pj
+        |ORDER BY vec_id, j""".stripMargin,
 
     "q206_dp_release" ->
       """WITH g AS (SELECT lang, source, COUNT(*) AS n FROM documents

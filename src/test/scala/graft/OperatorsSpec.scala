@@ -845,6 +845,56 @@ class OperatorsSpec extends AnyFunSuite {
       Seq($"dept", Privacy.generalize($"age", 100L)), Seq("dept", "age_r"), 3L)
     assert(wide.count() == 0L, "coarser generalization certifies")
   }
+  test("random projection: one-hot exactness, JL distance preservation, seed sensitivity, balanced signs") {
+    import graft.operators.RandomProjection
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+      .select($"vec_id", $"embedding").localCheckpoint(true)
+    def proj(seed: Long) = emb
+      .select($"vec_id",
+        RandomProjection.project($"embedding", 64, 16, seed).as("p"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val p7 = proj(7L)
+    assert(p7.values.forall(_.size == 16))
+    assert(proj(7L) == p7, "must be bit-deterministic")
+    assert(proj(8L) != p7, "seed must matter")
+    // one-hot input: output j is exactly ±1/4 (sign of matrix cell)
+    val oneHot = Seq((0L, Array.fill(64)(0f).updated(3, 1f).toSeq))
+      .toDF("vec_id", "embedding")
+    val oh = oneHot.select(
+      RandomProjection.project($"embedding", 64, 16, 7L)).as[Seq[Double]].head()
+    assert(oh.forall(v => v == 0.25 || v == -0.25), s"one-hot gave $oh")
+    // signs are roughly balanced across the 64x16 matrix
+    val pos = oh.count(_ > 0) // 16 cells of row 3; widen with more rows
+    val ohAll = (0 until 64).map { r =>
+      Seq((0L, Array.fill(64)(0f).updated(r, 1f).toSeq))
+        .toDF("vec_id", "embedding")
+        .select(RandomProjection.project($"embedding", 64, 16, 7L))
+        .as[Seq[Double]].head().count(_ > 0)
+    }.sum
+    assert(ohAll > 1024 * 0.38 && ohAll < 1024 * 0.62,
+      s"sign imbalance: $ohAll/1024 positive")
+    // JL: squared-distance ratios concentrate around 1 for real pairs
+    val ids = p7.keys.toSeq.sorted.take(21)
+    val orig = emb.as[(Long, Seq[Float])].collect().toMap
+    val ratios = ids.sliding(2).collect { case Seq(a, b) =>
+      val d0 = orig(a).zip(orig(b)).map { case (x, y) =>
+        (x - y).toDouble * (x - y) }.sum
+      val d1 = p7(a).zip(p7(b)).map { case (x, y) => (x - y) * (x - y) }.sum
+      d1 / d0
+    }.toSeq
+    // per-pair ratios are heavy-tailed at k=16 on these structured
+    // synthetic vectors (sparse difference vectors blow up the cross
+    // terms); the testable JL claims are positivity, boundedness, and
+    // mean concentration near 1
+    assert(ratios.forall(r => r > 0.02 && r < 8.0),
+      s"distance distortion out of range: $ratios")
+    assert(ratios.sum / ratios.size > 0.5 && ratios.sum / ratios.size < 2.0,
+      s"mean ratio off: ${ratios.sum / ratios.size}")
+    intercept[IllegalArgumentException] {
+      RandomProjection.project($"embedding", 64, 0, 1L)
+    }
+  }
+
   test("dp counts: derandomized Laplace noise, suppression, per-group independence, exact epsilon scaling") {
     import graft.operators.Privacy
     val rows = (Seq.fill(40)("a") ++ Seq.fill(25)("b") ++ Seq.fill(12)("c") ++
