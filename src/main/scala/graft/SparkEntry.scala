@@ -3750,6 +3750,21 @@ object SparkEntry {
         .orderBy($"source", $"pos")
     }),
 
+    // GROUP-WISE OLS TREND (r17): closed-form per-group regression of
+    // order value on order year — the drift DIRECTION next to the
+    // profile/PSI snapshots. Five exact sufficient statistics (long
+    // sums for integer x, decimal sums for y — the q01 discipline),
+    // one fixed double-arithmetic derivation: slope/intercept doubles
+    // hash-match raw against DuckDB's identical replay.
+    "q208_group_trend" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.DataProfile.groupOls(
+          t(s, dir, "orders"), Seq("o_orderstatus"),
+          year($"o_orderdate") - lit(1992),
+          $"o_totalprice".cast("decimal(18,2)"))
+        .orderBy($"o_orderstatus")
+    }),
+
     // RANDOM PROJECTION (r17): seeded ±1 JL projection 64→16 — the
     // fit-free dimensionality reduction (PCA's at-scale sibling: no
     // covariance pass, no model, no staleness). The sign matrix is
@@ -5791,6 +5806,27 @@ object SparkEntry {
         |  FROM tk)
         |SELECT doc_id, n_matches FROM m WHERE n_matches > 0
         |ORDER BY doc_id""".stripMargin,
+
+    "q208_group_trend" ->
+      """WITH b AS (SELECT o_orderstatus AS g,
+        |    CAST(year(o_orderdate) - 1992 AS BIGINT) AS x,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS y FROM orders),
+        |a AS (SELECT g, COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx,
+        |    CAST(SUM(y) AS DOUBLE) AS sy, CAST(SUM(x * y) AS DOUBLE) AS sxy
+        |  FROM b GROUP BY g),
+        |sl AS (SELECT g, n, sx, sy,
+        |    CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0
+        |      THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    END AS slope
+        |  FROM a)
+        |SELECT g AS o_orderstatus, n, slope,
+        |  CASE WHEN slope IS NOT NULL
+        |    THEN (sy - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+        |  END AS intercept
+        |FROM sl ORDER BY o_orderstatus""".stripMargin,
 
     "q207_random_projection" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Column profiling: per-column completeness, cardinality, and range
@@ -268,5 +268,43 @@ object DataProfile {
       .filter(col("_dev") > lit(k) * col("_mad"))
       .select(col(groupCol), col(idCol), col(valueCol).cast("double").as("v"),
         col("_med").as("med"), col("_dev").as("deviation"))
+  }
+
+  /** Per-group closed-form OLS trend (y = intercept + slope·x) — the
+    * drift DIRECTION for a metric the profile/PSI stages only snapshot
+    * (is quality score drifting down per source? is doc length
+    * creeping up per crawl?). One aggregation computes the five
+    * sufficient statistics (n, Σx, Σx², Σy, Σxy); slope and intercept
+    * derive from them in a FIXED double-arithmetic shape, so results
+    * are engine-replayable when the inputs keep the cross-engine
+    * discipline: `x` integer-valued (its sums stay exact longs) and
+    * `y` DECIMAL (its sums stay exact, cast to double once) — the
+    * same q01 rule that keeps every aggregate gate hash-stable. A
+    * degenerate group (all x equal) yields NULL slope/intercept
+    * rather than a division blow-up. One shuffle, mergeable partials,
+    * no second pass at any scale. */
+  def groupOls(df: DataFrame, groupCols: Seq[String], x: Column,
+      y: Column): DataFrame = {
+    require(groupCols.nonEmpty, "groupOls needs group columns")
+    val base = df.select(
+      groupCols.map(col) ++ Seq(x.cast("long").as("_x"), y.as("_y")): _*)
+    val agg = base.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("_x")).as("_sx"),
+        sum(col("_x") * col("_x")).as("_sxx"),
+        sum(col("_y")).cast("double").as("_sy"),
+        sum(col("_x") * col("_y")).cast("double").as("_sxy"))
+    val nd = col("n").cast("double")
+    val sxd = col("_sx").cast("double")
+    val denom = nd * col("_sxx").cast("double") - sxd * sxd
+    agg
+      .withColumn("slope",
+        when(denom =!= lit(0.0),
+          (nd * col("_sxy") - sxd * col("_sy")) / denom))
+      .withColumn("intercept",
+        when(col("slope").isNotNull,
+          (col("_sy") - col("slope") * sxd) / nd))
+      .select(groupCols.map(col) ++
+        Seq(col("n"), col("slope"), col("intercept")): _*)
   }
 }

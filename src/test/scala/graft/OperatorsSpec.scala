@@ -845,6 +845,26 @@ class OperatorsSpec extends AnyFunSuite {
       Seq($"dept", Privacy.generalize($"age", 100L)), Seq("dept", "age_r"), 3L)
     assert(wide.count() == 0L, "coarser generalization certifies")
   }
+  test("groupOls: exact line recovered, noisy slope correct, degenerate x yields nulls") {
+    import graft.operators.DataProfile
+    val pts = Seq(
+      ("lin", 0L, "1.00"), ("lin", 1L, "3.00"), ("lin", 2L, "5.00"),
+      ("lin", 3L, "7.00"),                       // y = 1 + 2x exactly
+      ("noisy", 0L, "0.00"), ("noisy", 1L, "2.00"), ("noisy", 2L, "2.00"),
+      ("flat", 5L, "9.00"), ("flat", 5L, "11.00")) // all x equal
+      .toDF("g", "x", "ys")
+      .select($"g", $"x", $"ys".cast("decimal(18,2)").as("y"))
+    val r = DataProfile.groupOls(pts, Seq("g"), $"x", $"y")
+      .as[(String, Long, Option[Double], Option[Double])].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(r("lin") == ((4L, Some(2.0), Some(1.0))))
+    // noisy: n=3, sx=3, sxx=5, sy=4, sxy=6 -> slope=(18-12)/(15-9)=1,
+    // intercept=(4-3)/3
+    assert(r("noisy")._2 == Some(1.0) &&
+      r("noisy")._3 == Some((4.0 - 3.0) / 3.0))
+    assert(r("flat") == ((2L, None, None)), "degenerate x must yield nulls")
+  }
+
   test("random projection: one-hot exactness, JL distance preservation, seed sensitivity, balanced signs") {
     import graft.operators.RandomProjection
     val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
