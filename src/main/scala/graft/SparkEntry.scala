@@ -3750,6 +3750,25 @@ object SparkEntry {
         .orderBy($"source", $"pos")
     }),
 
+    // CONTRASTIVE TRAINING EXPORT (r17): independent-cropping pseudo-
+    // pairs (Contriever's construction — two token-halves of a doc are
+    // a positive pair, no labels) + K deterministic rank-space
+    // negatives per anchor (the RandomProjection integer mix, +1 self-
+    // collision fallback) — the (anchor, positive, negatives) shape a
+    // bi-encoder trainer consumes. The oracle replays tokenization,
+    // cropping arithmetic, ranks and every draw.
+    "q209_contrastive_export" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Contrastive
+      val pairs = Contrastive.croppedPairs(
+        t(s, dir, "documents"), "doc_id", "text").localCheckpoint(true)
+      Contrastive.negativeSample(pairs, k = 4, seed = 11L)
+        .join(pairs.select($"id", $"n_anchor_toks", $"n_pos_toks"), "id")
+        .select($"id".as("doc_id"), $"j", $"neg_id",
+          $"n_anchor_toks", $"n_pos_toks")
+        .orderBy($"doc_id", $"j")
+    }),
+
     // GROUP-WISE OLS TREND (r17): closed-form per-group regression of
     // order value on order year — the drift DIRECTION next to the
     // profile/PSI snapshots. Five exact sufficient statistics (long
@@ -5806,6 +5825,29 @@ object SparkEntry {
         |  FROM tk)
         |SELECT doc_id, n_matches FROM m WHERE n_matches > 0
         |ORDER BY doc_id""".stripMargin,
+
+    "q209_contrastive_export" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |p AS (SELECT doc_id, len(toks) AS n FROM tk WHERE len(toks) >= 2),
+        |rk AS (SELECT doc_id, n,
+        |    row_number() OVER (ORDER BY doc_id) - 1 AS rank FROM p),
+        |c AS (SELECT count(*) AS cnt FROM rk),
+        |d AS (SELECT doc_id, rank, n, j,
+        |    ((((rank * 1000003 + j * 999983 + 11) % 2147483648)
+        |      * 2654435761) % 4294967296) % (SELECT cnt FROM c) AS c0
+        |  FROM rk, LATERAL unnest(generate_series(0, 3)) AS u(j)),
+        |e AS (SELECT doc_id, j, n,
+        |    CASE WHEN c0 = rank THEN (c0 + 1) % (SELECT cnt FROM c)
+        |      ELSE c0 END AS cand
+        |  FROM d)
+        |SELECT e.doc_id, CAST(e.j AS BIGINT) AS j, r2.doc_id AS neg_id,
+        |  CAST((e.n + 1) // 2 AS BIGINT) AS n_anchor_toks,
+        |  CAST(e.n - (e.n + 1) // 2 AS BIGINT) AS n_pos_toks
+        |FROM e JOIN rk r2 ON r2.rank = e.cand
+        |ORDER BY e.doc_id, e.j""".stripMargin,
 
     "q208_group_trend" ->
       """WITH b AS (SELECT o_orderstatus AS g,

@@ -845,6 +845,37 @@ class OperatorsSpec extends AnyFunSuite {
       Seq($"dept", Privacy.generalize($"age", 100L)), Seq("dept", "age_r"), 3L)
     assert(wide.count() == 0L, "coarser generalization certifies")
   }
+  test("contrastive: cropping halves exactly, negatives never self, deterministic, in-corpus") {
+    import graft.operators.Contrastive
+    val docs = Seq(
+      (10L, "alpha beta gamma delta epsilon"), // 5 toks -> 3 | 2
+      (20L, "one two three four"),             // 4 -> 2 | 2
+      (30L, "single"),                         // dropped
+      (40L, "a b"), (50L, "x y z"), (60L, "p q r s"))
+      .toDF("doc_id", "text")
+    val pairs = Contrastive.croppedPairs(docs, "doc_id", "text")
+    val m = pairs.as[(Long, String, String, Long, Long)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(!m.contains(30L), "sub-2-token docs cannot form two views")
+    assert(m(10L) == ((10L, "alpha beta gamma", "delta epsilon", 3L, 2L)))
+    assert(m(20L) == ((20L, "one two", "three four", 2L, 2L)))
+    assert(m(40L) == ((40L, "a", "b", 1L, 1L)))
+    val negs = Contrastive.negativeSample(pairs, k = 3, seed = 5L)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(negs.size == 5 * 3, s"3 negatives per surviving doc: $negs")
+    assert(negs.forall { case (id, _, neg) => neg != id },
+      "a negative must never be the anchor itself")
+    val corpusIds = m.keySet
+    assert(negs.forall { case (_, _, neg) => corpusIds.contains(neg) })
+    assert(negs == Contrastive.negativeSample(pairs, 3, 5L)
+      .as[(Long, Long, Long)].collect().toSeq.sorted, "must be deterministic")
+    assert(negs != Contrastive.negativeSample(pairs, 3, 6L)
+      .as[(Long, Long, Long)].collect().toSeq.sorted, "seed must matter")
+    intercept[IllegalArgumentException] {
+      Contrastive.negativeSample(pairs.limit(1), 2, 1L)
+    }
+  }
+
   test("groupOls: exact line recovered, noisy slope correct, degenerate x yields nulls") {
     import graft.operators.DataProfile
     val pts = Seq(
