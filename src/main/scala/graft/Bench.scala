@@ -212,8 +212,8 @@ object Bench {
     "q205" -> (0.804, 1.701), "q206" -> (0.275, 0.681),
     // q207/q208 first isolated measurements (0.322/0.373)
     "q207" -> (0.225, 0.585), "q208" -> (0.261, 0.654),
-    // q209 first isolated measurement (0.934)
-    "q209" -> (0.654, 1.411),
+    // q209/q210 first isolated measurements (0.934/0.430)
+    "q209" -> (0.654, 1.411), "q210" -> (0.301, 0.731),
     "q13" -> (0.231, 0.596), "q14" -> (0.168, 0.501), "q15" -> (0.217, 0.596),
     "q16" -> (0.175, 0.501), "q17" -> (0.287, 0.717), "q18" -> (0.161, 0.461),
     "q19" -> (0.21, 0.636), "q20" -> (0.322, 0.771), "q21" -> (0.217, 0.622),

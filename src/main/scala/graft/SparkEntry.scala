@@ -3750,6 +3750,20 @@ object SparkEntry {
         .orderBy($"source", $"pos")
     }),
 
+    // TEMPERATURE-SCALED MIXING (r17, the T5/mT5 multi-source balance
+    // recipe): per-source share ∝ n^0.5 (sqrt — correctly-rounded
+    // IEEE, so rates are bit-identical cross-engine), membership via
+    // the Knuth-hash predicate compared in DOUBLE (no truncating
+    // cast), raising the budget keeps earlier samples as subsets.
+    "q210_temperature_mix" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Sampling.temperatureMix(
+          t(s, dir, "documents").select($"doc_id", $"source"),
+          "source", "doc_id", targetTotal = 200L)
+        .select($"doc_id", $"source")
+        .orderBy($"doc_id")
+    }),
+
     // CONTRASTIVE TRAINING EXPORT (r17): independent-cropping pseudo-
     // pairs (Contriever's construction — two token-halves of a doc are
     // a positive pair, no labels) + K deterministic rank-space
@@ -5825,6 +5839,20 @@ object SparkEntry {
         |  FROM tk)
         |SELECT doc_id, n_matches FROM m WHERE n_matches > 0
         |ORDER BY doc_id""".stripMargin,
+
+    "q210_temperature_mix" ->
+      """WITH g AS (SELECT source, COUNT(*) AS n,
+        |    sqrt(CAST(COUNT(*) AS DOUBLE)) AS w
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list(w ORDER BY source)), (a, b) -> a + b) AS t FROM g),
+        |r AS (SELECT source, least(CAST(1 AS DOUBLE),
+        |    CAST(200 AS DOUBLE) * w / (SELECT t FROM tot)
+        |      / CAST(n AS DOUBLE)) AS rate FROM g)
+        |SELECT d.doc_id, d.source FROM documents d JOIN r ON d.source = r.source
+        |WHERE CAST((d.doc_id * 2654435761) % 4294967296 AS DOUBLE)
+        |  < rate * 4294967296.0
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q209_contrastive_export" ->
       """WITH tk AS (SELECT doc_id,

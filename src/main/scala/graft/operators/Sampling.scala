@@ -52,6 +52,49 @@ object Sampling {
       den: Long): DataFrame =
     df.filter(keepFraction(col(idCol), col(numCol), den))
 
+  /** Temperature-scaled corpus mixing — the T5/mT5/CC-100 recipe for
+    * balancing a multi-source corpus: group g's share of the
+    * `targetTotal`-doc mixture is n_g^alpha / Σ n^alpha, so alpha=1
+    * reproduces the natural (size-proportional) mix and alpha→0
+    * approaches uniform-per-group — small sources get UP-weighted
+    * exactly as the low-resource-language literature prescribes.
+    * Membership is [[keep]]'s hash predicate, so raising
+    * `targetTotal` keeps earlier samples as subsets and the draw
+    * replays in any engine.
+    *
+    * Cross-engine determinism: group sizes collect DRIVER-side
+    * (bounded by the number of sources — the usual bounded-keys
+    * collect), weights fold in sorted-group order, and every rate is
+    * one fixed double shape; with the default alpha=0.5 the weight is
+    * sqrt (correctly-rounded IEEE — bit-identical everywhere), which
+    * is why 0.5 is the default; other alphas go through pow, whose
+    * last-ulp is libm-dependent (document at the call site). */
+  def temperatureMix(df: DataFrame, groupCol: String, idCol: String,
+      targetTotal: Long, alpha: Double = 0.5): DataFrame = {
+    require(targetTotal > 0, "targetTotal must be positive")
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha in (0,1], got $alpha")
+    val stats = df.groupBy(col(groupCol).cast("string").as("_g"))
+      .agg(count(lit(1)).as("_n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1)
+    def weight(n: Long): Double =
+      if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha)
+    val totW = stats.foldLeft(0.0) { case (acc, (_, n)) => acc + weight(n) }
+    val rates = stats.map { case (g, n) =>
+      (g, math.min(1.0, targetTotal.toDouble * weight(n) / totW / n.toDouble))
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rateDf = rates.toSeq.toDF("_g", "_rate")
+    df.join(broadcast(rateDf), col(groupCol).cast("string") === col("_g"))
+      // double comparison, NO cast-to-long: a truncating cast rounds
+      // differently between engines at the boundary (keepFraction's
+      // rationale); int-vs-double compares identically everywhere
+      .filter(mixHash(col(idCol)).cast("double") <
+        col("_rate") * lit(Modulus.toDouble))
+      .drop("_g", "_rate")
+  }
+
   /** Stratified EXACT-COUNT sample: the `n` rows with the smallest
     * (mixHash(id), id) per stratum — a deterministic per-group
     * reservoir. Where [[mixtureSample]] fixes a RATE (count varies with

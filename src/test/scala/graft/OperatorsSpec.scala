@@ -845,6 +845,39 @@ class OperatorsSpec extends AnyFunSuite {
       Seq($"dept", Privacy.generalize($"age", 100L)), Seq("dept", "age_r"), 3L)
     assert(wide.count() == 0L, "coarser generalization certifies")
   }
+  test("temperatureMix: small sources upweighted, alpha=1 is natural mix, budget raise keeps subset, deterministic") {
+    import graft.operators.Sampling
+    val rows = ((0 until 800).map(i => (i.toLong, "big")) ++
+      (800 until 850).map(i => (i.toLong, "small")))
+      .toDF("id", "g")
+    def ids(target: Long, alpha: Double = 0.5) =
+      Sampling.temperatureMix(rows, "g", "id", target, alpha)
+        .as[(Long, String)].collect().toSeq.sorted
+    val s200 = ids(200)
+    val byG = s200.groupBy(_._2).view.mapValues(_.size).toMap
+    // alpha=0.5: small's share of the mix far exceeds its 1/17 natural
+    // share (sqrt(50)/(sqrt(800)+sqrt(50)) ~ 0.20)
+    assert(byG("small").toDouble / s200.size > 0.10,
+      s"small source not upweighted: $byG")
+    // rates bound at 1.0: tiny groups can never oversample
+    assert(byG("small") <= 50)
+    // determinism + subset-on-raise (hash predicate monotone in rate)
+    assert(ids(200) == s200)
+    val s400 = ids(400)
+    assert(s200.toSet.subsetOf(s400.toSet),
+      "raising the budget must keep earlier samples")
+    // alpha=1 reproduces the natural proportional mix: per-group rates
+    // equalize (target/total for every group)
+    val nat = ids(170, alpha = 1.0)
+    val natG = nat.groupBy(_._2).view.mapValues(_.size).toMap
+    val bigRate = natG("big").toDouble / 800
+    val smallRate = natG.getOrElse("small", 0).toDouble / 50
+    assert(math.abs(bigRate - smallRate) < 0.12,
+      s"alpha=1 must sample every group at the same rate: $natG")
+    intercept[IllegalArgumentException] { ids(0) }
+    intercept[IllegalArgumentException] { ids(10, alpha = 1.5) }
+  }
+
   test("contrastive: cropping halves exactly, negatives never self, deterministic, in-corpus") {
     import graft.operators.Contrastive
     val docs = Seq(
