@@ -3750,6 +3750,28 @@ object SparkEntry {
         .orderBy($"source", $"pos")
     }),
 
+    // LATE-INTERACTION RERANK (r17, the ColBERT architecture on the
+    // engine's retrieval ladder): BM25 recall stage cut on the FLOORED
+    // score (boundary-stable under ln's last ulp) → MaxSim over the 50
+    // candidates only — per-token deterministic vectors from vocab
+    // rank (the portable integer mix), per-(doc, query-term) max of
+    // exact-double dots, ordered term fold. A real checkpoint swaps
+    // the vector function; every join/max/fold stays as graded.
+    "q211_late_interaction" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.{LateInteraction, TextAnalytics}
+      val docs = t(s, dir, "documents")
+      val terms = Seq("vector", "join", "hash", "stream")
+      val cands = TextAnalytics.bm25TopK(docs, "doc_id", "text", terms,
+          k = 1000000)
+        .select($"doc_id".as("doc"),
+          floor($"score" * lit(1000000.0)).cast("long").as("_su"))
+        .orderBy($"_su".desc, $"doc").limit(50).select($"doc")
+      LateInteraction.maxSimRerank(docs, "doc_id", "text", cands, terms,
+          dim = 8, seed = 31L, k = 10)
+        .select($"doc".as("doc_id"), $"score")
+    }),
+
     // TEMPERATURE-SCALED MIXING (r17, the T5/mT5 multi-source balance
     // recipe): per-source share ∝ n^0.5 (sqrt — correctly-rounded
     // IEEE, so rates are bit-identical cross-engine), membership via
@@ -5839,6 +5861,76 @@ object SparkEntry {
         |  FROM tk)
         |SELECT doc_id, n_matches FROM m WHERE n_matches > 0
         |ORDER BY doc_id""".stripMargin,
+
+    "q211_late_interaction" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS dl,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM toks
+        |       WHERE term IN ('vector','join','hash','stream') GROUP BY 1, 2, 3),
+        |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |nn AS (SELECT COUNT(*) AS n,
+        |        CAST(SUM(len(list_filter(string_split_regex(lower(text),
+        |          '[^a-z0-9]+'), x -> x <> ''))) AS DOUBLE)
+        |          / CAST(COUNT(*) AS DOUBLE) AS avgdl
+        |      FROM documents),
+        |per AS (
+        |  SELECT doc_id, term,
+        |    ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |        / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf AS DOUBLE) * (1.2 + 1.0)
+        |         / (CAST(tf AS DOUBLE)
+        |            + 1.2 * ((1.0 - 0.75)
+        |                     + 0.75 * CAST(dl AS DOUBLE) / avgdl))) AS s
+        |  FROM tf JOIN dfx USING (term) CROSS JOIN nn),
+        |sc AS (
+        |  SELECT doc_id,
+        |    COALESCE(MAX(CASE WHEN term = 'vector' THEN s END), 0) AS s0,
+        |    COALESCE(MAX(CASE WHEN term = 'join' THEN s END), 0) AS s1,
+        |    COALESCE(MAX(CASE WHEN term = 'hash' THEN s END), 0) AS s2,
+        |    COALESCE(MAX(CASE WHEN term = 'stream' THEN s END), 0) AS s3
+        |  FROM per GROUP BY 1),
+        |cand AS (SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |      CAST(floor((s0 + s1 + s2 + s3) * 1000000.0) AS BIGINT) AS su
+        |    FROM sc)
+        |  ORDER BY su DESC, doc_id LIMIT 50),
+        |vocab AS (SELECT token, row_number() OVER (ORDER BY token) - 1 AS r
+        |  FROM (SELECT DISTINCT unnest(list_filter(string_split_regex(
+        |    lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+        |    FROM documents)),
+        |dtok AS (SELECT c.doc_id, v.r AS rd
+        |  FROM cand c
+        |  JOIN (SELECT doc_id, unnest(list_distinct(list_filter(
+        |      string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')))
+        |      AS token FROM documents) t ON t.doc_id = c.doc_id
+        |  JOIN vocab v ON v.token = t.token),
+        |qv AS (SELECT token AS qterm, r AS rq FROM vocab
+        |  WHERE token IN ('vector','join','hash','stream')),
+        |pair AS (SELECT doc_id, qterm,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(generate_series(0, 7), kk ->
+        |        (CAST(((((rq * 1000003 + kk * 999983 + 31) % 2147483648)
+        |          * 2654435761) % 4294967296) % 2001 - 1000 AS DOUBLE)
+        |          / CAST(1000 AS DOUBLE))
+        |        * (CAST(((((rd * 1000003 + kk * 999983 + 31) % 2147483648)
+        |          * 2654435761) % 4294967296) % 2001 - 1000 AS DOUBLE)
+        |          / CAST(1000 AS DOUBLE)))),
+        |      (a, b) -> a + b) AS dot
+        |  FROM dtok CROSS JOIN qv),
+        |mx AS (SELECT doc_id, qterm, MAX(dot) AS s FROM pair GROUP BY 1, 2),
+        |fin AS (SELECT doc_id,
+        |    MAX(CASE WHEN qterm = 'vector' THEN s END)
+        |    + MAX(CASE WHEN qterm = 'join' THEN s END)
+        |    + MAX(CASE WHEN qterm = 'hash' THEN s END)
+        |    + MAX(CASE WHEN qterm = 'stream' THEN s END) AS score
+        |  FROM mx GROUP BY 1)
+        |SELECT doc_id, score FROM fin
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
     "q210_temperature_mix" ->
       """WITH g AS (SELECT source, COUNT(*) AS n,

@@ -845,6 +845,44 @@ class OperatorsSpec extends AnyFunSuite {
       Seq($"dept", Privacy.generalize($"age", 100L)), Seq("dept", "age_r"), 3L)
     assert(wide.count() == 0L, "coarser generalization certifies")
   }
+  test("late interaction: maxsim equals a scala brute force, candidate-restricted, oov query terms drop") {
+    import graft.operators.LateInteraction
+    val docs = Seq(
+      (1L, "vector join hash vector index"),
+      (2L, "hash hash join tables"),
+      (3L, "join the vector space search"),
+      (4L, "nothing relevant at all"),
+      (5L, "stream vector hash join"))
+      .toDF("doc_id", "text")
+    val cands = Seq(1L, 2L, 3L, 5L).toDF("doc")
+    val terms = Seq("vector", "hash", "zzz_not_in_vocab")
+    val got = LateInteraction.maxSimRerank(docs, "doc_id", "text", cands,
+        terms, dim = 8, seed = 31L, k = 10)
+      .as[(Long, Double)].collect().toSeq
+    // brute force with the identical arithmetic
+    def comp(r: Long, k: Long): Double =
+      (((((r * 1000003L + k * 999983L + 31L) % 2147483648L) * 2654435761L)
+        % 4294967296L) % 2001L - 1000L).toDouble / 1000.0
+    val corpus = Map(
+      1L -> "vector join hash vector index", 2L -> "hash hash join tables",
+      3L -> "join the vector space search", 4L -> "nothing relevant at all",
+      5L -> "stream vector hash join")
+    val vocab = corpus.values.flatMap(_.split(" ")).toSeq.distinct.sorted
+      .zipWithIndex.map { case (t, i) => t -> i.toLong }.toMap
+    def dot(rq: Long, rd: Long): Double =
+      (0L until 8L).foldLeft(0.0)((a, k) => a + comp(rq, k) * comp(rd, k))
+    val expect = Seq(1L, 2L, 3L, 5L).map { id =>
+      val dranks = corpus(id).split(" ").distinct.map(vocab)
+      // oov term has no vocab rank -> contributes nothing, like the join
+      id -> Seq("vector", "hash").foldLeft(0.0) { (acc, q) =>
+        acc + dranks.map(rd => dot(vocab(q), rd)).max
+      }
+    }.sortBy { case (id, s) => (-s, id) }
+    assert(got == expect, s"got $got expected $expect")
+    // doc 4 excluded by the candidate set even though it has tokens
+    assert(!got.exists(_._1 == 4L))
+  }
+
   test("temperatureMix: small sources upweighted, alpha=1 is natural mix, budget raise keeps subset, deterministic") {
     import graft.operators.Sampling
     val rows = ((0 until 800).map(i => (i.toLong, "big")) ++
