@@ -3750,6 +3750,28 @@ object SparkEntry {
         .orderBy($"source", $"pos")
     }),
 
+    // CLUSTER REPRESENTATIVE SELECTION (r17): near-dup dedup that
+    // keeps the BEST member of each cluster (here: most tokens — the
+    // FineWeb keep-the-longest policy) instead of the smallest id.
+    // Padded variants of every 4th doc guarantee clusters whose
+    // members genuinely differ in quality, so the gate separates this
+    // from keep-first; the oracle rebuilds the clusters as a
+    // recursive-CTE transitive closure over verified Jaccard pairs
+    // and replays the (score desc, id) selection.
+    "q212_cluster_best" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+      val withDups = docs.unionByName(docs.filter($"doc_id" % 4 === 0)
+        .withColumn("doc_id", $"doc_id" + 100000)
+        .withColumn("text",
+          concat($"text", lit(" extra tokens appended here padding"))))
+      val ntoks = size(filter(split(lower($"text"), "[^a-z0-9]+"),
+        t => t =!= "")).cast("long")
+      graft.operators.Dedup.minhashClustersBest(withDups, "doc_id", "text",
+          ntoks)
+        .select($"doc_id").orderBy($"doc_id")
+    }),
+
     // LATE-INTERACTION RERANK (r17, the ColBERT architecture on the
     // engine's retrieval ladder): BM25 recall stage cut on the FLOORED
     // score (boundary-stable under ln's last ulp) → MaxSim over the 50
@@ -5861,6 +5883,44 @@ object SparkEntry {
         |  FROM tk)
         |SELECT doc_id, n_matches FROM m WHERE n_matches > 0
         |ORDER BY doc_id""".stripMargin,
+
+    "q212_cluster_best" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text || ' extra tokens appended here padding'
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '') AS tk
+        |  FROM base),
+        |sh AS (SELECT doc_id, len(tk) AS ntok,
+        |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+        |                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+        |    END AS sh
+        |  FROM toks),
+        |inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
+        |    COUNT(*) AS shared
+        |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4),
+        |e0 AS (SELECT id_a AS s, id_b AS t FROM pairs
+        |  WHERE CAST(shared AS DOUBLE) / CAST(n_a + n_b - shared AS DOUBLE) >= 0.5),
+        |e AS (SELECT s, t FROM e0 UNION ALL SELECT t, s FROM e0),
+        |reach(a, b) AS (
+        |  SELECT s, s FROM e
+        |  UNION
+        |  SELECT r.a, e.t FROM reach r JOIN e ON e.s = r.b),
+        |comp AS (SELECT a AS node, MIN(b) AS comp FROM reach GROUP BY a),
+        |mem AS (SELECT sh.doc_id, sh.ntok,
+        |    COALESCE(comp.comp, sh.doc_id) AS comp
+        |  FROM sh LEFT JOIN comp ON comp.node = sh.doc_id)
+        |SELECT doc_id FROM (
+        |  SELECT doc_id, row_number() OVER (
+        |    PARTITION BY comp ORDER BY ntok DESC, doc_id) AS rn FROM mem)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "q211_late_interaction" ->
       """WITH toks AS (

@@ -279,31 +279,75 @@ object Dedup {
       threshold: Double = 0.5,
       seed: Long = 42L,
       maxBucketSize: Int = 10000): DataFrame = {
+    val edges = minhashEdges(df, idCol, textCol, k, numHashes, bands,
+      threshold, seed, maxBucketSize)
+    val drops = Graph.connectedComponents(edges, "_a", "_b")
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as("_drop"))
+    df.join(drops, df(idCol).cast("long") === col("_drop"), "left_anti")
+  }
+
+  /** Verified near-duplicate EDGES (_a, _b) — the shared front half of
+    * the cluster family. Verify IN-BUCKET (like the keep-first
+    * variants, minus the early exit — the full edge set is needed).
+    * Measured alternative for the record: distinct-ing candidate PAIRS
+    * first then verifying each once looks cheaper (a true pair shares
+    * ~bands*J^r buckets), but on template-heavy corpora banding emits
+    * far more distinct low-J candidate pairs than bucket-membership
+    * rows (3.8M pairs vs 284k packed rows at sf0.1), so joining
+    * payloads per-pair shuffles ~13x MORE bytes than packing them per
+    * bucket row. Bucket-local verify re-checks a duplicate pair once
+    * per shared band, but those are the rare rows — the false
+    * candidates dominate, and they are checked once or twice either
+    * way. */
+  private def minhashEdges(df: DataFrame, idCol: String, textCol: String,
+      k: Int, numHashes: Int, bands: Int, threshold: Double, seed: Long,
+      maxBucketSize: Int): DataFrame = {
     val sh = df.select(col(idCol).cast("long").as("_id"),
       shingleCol(col(textCol), k).as("_sh")).localCheckpoint(true)
     val banded = sh.select(col("_id"),
       explode(bandedMinhashCol(col("_sh"), numHashes, bands, seed)).as("_bk"))
-    // Verify IN-BUCKET (like the keep-first variants, minus the early
-    // exit — the full edge set is needed). Measured alternative for the
-    // record: distinct-ing candidate PAIRS first then verifying each
-    // once looks cheaper (a true pair shares ~bands*J^r buckets), but on
-    // template-heavy corpora banding emits far more distinct low-J
-    // candidate pairs than bucket-membership rows (3.8M pairs vs 284k
-    // packed rows at sf0.1), so joining payloads per-pair shuffles ~13x
-    // MORE bytes than packing them per bucket row. Bucket-local verify
-    // re-checks a duplicate pair once per shared band, but those are the
-    // rare rows — the false candidates dominate, and they are checked
-    // once or twice either way.
     val spark = df.sparkSession
     import spark.implicits._
     val packed = packBuckets(banded, sh, maxBucketSize)
       .select(col("_bk"), col("_id"), col("_sh")).as[(Long, Long, Array[Long])]
     val t = threshold
-    val edges = bucketVerifiedPairs[Array[Long]](packed, (a, b) => jaccardGE(a, b, t))
-    val drops = Graph.connectedComponents(edges, "_a", "_b")
-      .filter(col("node") =!= col("component"))
-      .select(col("node").as("_drop"))
-    df.join(drops, df(idCol).cast("long") === col("_drop"), "left_anti")
+    bucketVerifiedPairs[Array[Long]](packed, (a, b) => jaccardGE(a, b, t))
+  }
+
+  /** [[minhashClusters]] with REPRESENTATIVE SELECTION: keep the
+    * best-`score` member of every near-duplicate cluster instead of
+    * the smallest id — what curation actually wants (FineWeb-class
+    * pipelines keep the longest/highest-quality copy of a template
+    * family, not the one that happened to crawl first). Ties break on
+    * the smaller id, so selection is total and engine-replayable.
+    * Same banded/bucketed edge construction, one connected-components
+    * pass, then a per-cluster top-1 window (partitioned by component —
+    * never a one-task window); singletons are their own cluster and
+    * always survive. */
+  def minhashClustersBest(df: DataFrame, idCol: String, textCol: String,
+      score: Column,
+      k: Int = 3,
+      numHashes: Int = 192,
+      bands: Int = 64,
+      threshold: Double = 0.5,
+      seed: Long = 42L,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val edges = minhashEdges(df, idCol, textCol, k, numHashes, bands,
+      threshold, seed, maxBucketSize)
+    val cc = Graph.connectedComponents(edges, "_a", "_b")
+    val members = df
+      .select(col(idCol).cast("long").as("_node"), score.as("_score"))
+      .join(cc.select(col("node").as("_node"), col("component")),
+        Seq("_node"), "left")
+      .withColumn("_comp", coalesce(col("component"), col("_node")))
+    val keepers = members
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("_comp"))
+          .orderBy(col("_score").desc, col("_node"))))
+      .filter(col("_rn") === 1)
+      .select(col("_node").as("_keep"))
+    df.join(keepers, df(idCol).cast("long") === col("_keep"), "left_semi")
   }
 
   /** Per-doc MinHash signatures, computed ONCE and storable: (_id,

@@ -65,6 +65,31 @@ class DedupSpec extends AnyFunSuite {
     assert(clustered == Seq(1L))    // transitive closure reaches c through b
   }
 
+  test("minhashClustersBest keeps the highest-score member per cluster, ties to smaller id, singletons survive") {
+    import org.apache.spark.sql.functions.{col, length}
+    val w = (1 to 40).map(i => s"w$i")
+    val x = (1 to 10).map(i => s"x$i")
+    val a = w.mkString(" ")                       // 40 toks
+    val b = (x ++ w.drop(10)).mkString(" ")       // 40 toks, ~0.75 J with a
+    val bPlus = b + " bonus tail words here"      // 44 toks: best of cluster
+    val lone = (1 to 30).map(i => s"z$i").mkString(" ")
+    val df = Seq((1L, a), (2L, b), (3L, bPlus), (9L, lone))
+      .toDF("doc_id", "text")
+    val best = Dedup.minhashClustersBest(df, "doc_id", "text",
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split(col("text"), " ")).cast("long"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // {1,2,3} cluster -> 3 (most tokens) wins despite largest id;
+    // singleton 9 survives untouched
+    assert(best == Seq(3L, 9L), s"got $best")
+    // tie on score -> smaller id: drop the bonus tail
+    val tie = Seq((5L, a), (4L, a), (9L, lone)).toDF("doc_id", "text")
+    val kept = Dedup.minhashClustersBest(tie, "doc_id", "text",
+        length(col("text")).cast("long"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(4L, 9L), s"tie must keep the smaller id: $kept")
+  }
+
   test("simhash: identical text => identical hash; near text => small hamming") {
     val a = Dedup.simhash64("the quick brown fox jumps over the lazy dog repeatedly every single day")
     val b = Dedup.simhash64("the quick brown fox jumps over the lazy dog repeatedly every single day")
