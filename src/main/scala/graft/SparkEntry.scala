@@ -3750,6 +3750,30 @@ object SparkEntry {
         .orderBy($"source", $"pos")
     }),
 
+    // RELEASE MANIFEST + PORTABLE FINGERPRINTS (r17): publishing a
+    // curated corpus with integrity any engine can re-verify — per-
+    // table content fingerprint = bit_xor over rows of the first 48
+    // bits of sha256 of the '|'-joined canonical columns (ORDER-
+    // independent: layout/shuffle never moves it; mergeable: shard
+    // XORs into table) + exact row count (covers XOR's even-dup blind
+    // spot). The oracle recomputes both numbers from the SOURCE
+    // tables with its own sha256 — transport, publish and validate
+    // all graded in one pass.
+    "q213_release_manifest" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Release
+      val out = freshScratch("q213") + "/rel"
+      Release.publish(s, out, Seq(
+        ("region", t(s, dir, "region"),
+          Seq("r_regionkey", "r_name")),
+        ("nation", t(s, dir, "nation"),
+          Seq("n_nationkey", "n_name", "n_regionkey"))))
+      Release.validate(s, out)
+        .select($"table", $"rows_actual".as("n_rows"),
+          $"fp_actual".as("fp"), $"ok")
+        .orderBy($"table")
+    }),
+
     // CLUSTER REPRESENTATIVE SELECTION (r17): near-dup dedup that
     // keeps the BEST member of each cluster (here: most tokens — the
     // FineWeb keep-the-longest policy) instead of the smallest id.
@@ -5883,6 +5907,24 @@ object SparkEntry {
         |  FROM tk)
         |SELECT doc_id, n_matches FROM m WHERE n_matches > 0
         |ORDER BY doc_id""".stripMargin,
+
+    "q213_release_manifest" ->
+      """WITH r AS (SELECT COUNT(*) AS n,
+        |    bit_xor(CAST(('0x' || substr(sha256(
+        |      COALESCE(CAST(r_regionkey AS VARCHAR), chr(1) || 'null') || '|' ||
+        |      COALESCE(r_name, chr(1) || 'null')), 1, 12)) AS BIGINT)) AS fp
+        |  FROM region),
+        |na AS (SELECT COUNT(*) AS n,
+        |    bit_xor(CAST(('0x' || substr(sha256(
+        |      COALESCE(CAST(n_nationkey AS VARCHAR), chr(1) || 'null') || '|' ||
+        |      COALESCE(n_name, chr(1) || 'null') || '|' ||
+        |      COALESCE(CAST(n_regionkey AS VARCHAR), chr(1) || 'null')), 1, 12)) AS BIGINT)) AS fp
+        |  FROM nation)
+        |SELECT * FROM (
+        |  SELECT 'nation' AS "table", n AS n_rows, fp, true AS ok FROM na
+        |  UNION ALL
+        |  SELECT 'region', n, fp, true FROM r)
+        |ORDER BY "table"""".stripMargin,
 
     "q212_cluster_best" ->
       """WITH RECURSIVE base AS (

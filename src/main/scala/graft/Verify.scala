@@ -52,6 +52,9 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // builder-local diagnosis: full stack on demand (the driver
+        // never sets this; getMessage alone hides serialization roots)
+        if (sys.env.contains("SPARK_GRAFT_VERIFY_TRACE")) e.printStackTrace()
       }
     }
     spark.stop()

@@ -218,18 +218,20 @@ object InvertedIndex {
       // tasks x buckets files
       .repartition(col("_tbkt"))
       .write.mode("overwrite").partitionBy("_tbkt").parquet(path)
-    // the stats row rides the sidecar write itself (observe /
-    // CollectMetrics) — no extra pass over the batch
-    val obs = org.apache.spark.sql.Observation()
-    doclens(df, idCol, textCol, buckets)
-      .observe(obs, count(lit(1)).as("n"),
-        coalesce(sum(col("dl").cast("long")), lit(0L)).as("s"),
-        coalesce(expr("bit_xor(xxhash64(doc, dl))"), lit(0L)).as("fp"))
-      .repartition(col("_dbkt"))
+    // NOT observe/CollectMetrics: Spark 4's Observation lazily
+    // initializes the session's ObservationManager, which is not
+    // serializable — after one observe, ANY later closure that
+    // captures the session (an ML model summary, a user lambda)
+    // dies with "Task not serializable". Library code must not
+    // poison the session; the checkpointed doc-length frame makes
+    // the explicit stats aggregation a cheap cached-read job.
+    val dl = doclens(df, idCol, textCol, buckets).localCheckpoint(true)
+    dl.repartition(col("_dbkt"))
       .write.mode("overwrite").partitionBy("_dbkt").parquet(doclensDir(path))
-    val m = obs.get
-    statsRowDf(df.sparkSession, m("fp").asInstanceOf[Long],
-        m("n").asInstanceOf[Long], m("s").asInstanceOf[Long])
+    val m = dl.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("dl").cast("long")), lit(0L)).as("s"),
+      coalesce(expr("bit_xor(xxhash64(doc, dl))"), lit(0L)).as("fp")).head()
+    statsRowDf(df.sparkSession, m.getLong(2), m.getLong(0), m.getLong(1))
       .write.mode("overwrite").parquet(statsDir(path))
     LayoutMeta.overwrite(df.sparkSession, path, Map("buckets" -> buckets))
   }
@@ -249,13 +251,14 @@ object InvertedIndex {
     // replay — whole-batch or any subset of earlier batches (the
     // documented harmless-replay contract) — contributes zero,
     // mirroring how the full aggregate's global dedupe absorbs the
-    // duplicate rows. The freshness left-join reads only the batch's
+    // duplicate rows. The freshness anti-join reads only the batch's
     // own doc-hash bucket dirs (files listed BEFORE the write, so the
     // batch never shadows itself) — the same O(touched dirs) class as
-    // [[deleteDocs]] — and the delta aggregation rides the sidecar
-    // write itself (observe / CollectMetrics): the doc-count-sized
-    // corpus aggregate moves off the query path without adding a
-    // write-path pass.
+    // [[deleteDocs]]. One explicit aggregation job over the
+    // CHECKPOINTED frame (not observe/CollectMetrics, which would
+    // lazily initialize the session's non-serializable
+    // ObservationManager and break any later session-capturing
+    // closure — see writeIndex).
     val dl = doclens(df, idCol, textCol, bk).localCheckpoint(true)
     val dlBase = new Path(doclensDir(path))
     val fs = dlBase.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -267,34 +270,22 @@ object InvertedIndex {
         val n = f.getPath.getName
         f.isFile && !n.startsWith("_") && !n.startsWith(".")
       }.map(_.getPath)) // an erasure-emptied dir holds no files
-    val marked =
-      if (existingFiles.isEmpty) dl.withColumn("_fresh", lit(true))
+    val fresh =
+      if (existingFiles.isEmpty) dl
       else dl.join(
-          spark.read.parquet(existingFiles.map(_.toString): _*)
-            .select(col("doc")).distinct().withColumn("_seen", lit(true)),
-          Seq("doc"), "left_outer")
-        .withColumn("_fresh", col("_seen").isNull)
-    val obs = org.apache.spark.sql.Observation()
-    marked
-      .observe(obs,
-        coalesce(sum(when(col("_fresh"), lit(1L)).otherwise(lit(0L))),
-          lit(0L)).as("n"),
-        coalesce(sum(when(col("_fresh"), col("dl").cast("long"))
-          .otherwise(lit(0L))), lit(0L)).as("s"),
-        coalesce(expr(
-          "bit_xor(CASE WHEN _fresh THEN xxhash64(doc, dl) " +
-            "ELSE CAST(0 AS BIGINT) END)"),
-          lit(0L)).as("fp"))
-      .select(col("doc"), col("dl"), col("_dbkt"))
-      .repartition(col("_dbkt"))
+        spark.read.parquet(existingFiles.map(_.toString): _*)
+          .select(col("doc")).distinct(),
+        Seq("doc"), "left_anti")
+    val m = fresh.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("dl").cast("long")), lit(0L)).as("s"),
+      coalesce(expr("bit_xor(xxhash64(doc, dl))"), lit(0L)).as("fp")).head()
+    dl.repartition(col("_dbkt"))
       .write.mode("append").partitionBy("_dbkt").parquet(doclensDir(path))
-    // stats row lands right after the write that measured it: a crash
-    // in the postings append below leaves stats already exact, and the
+    // stats row lands right after the sidecar write: a crash in the
+    // postings append below leaves stats already exact, and the
     // completing rerun contributes a zero delta (docs now all seen)
-    val m = obs.get
-    if (m("n").asInstanceOf[Long] != 0L)
-      statsRowDf(spark, m("fp").asInstanceOf[Long],
-          m("n").asInstanceOf[Long], m("s").asInstanceOf[Long])
+    if (m.getLong(0) != 0L)
+      statsRowDf(spark, m.getLong(2), m.getLong(0), m.getLong(1))
         .write.mode("append").parquet(statsDir(path))
     postingsWithDl(df, idCol, textCol)
       .withColumn("_tbkt", bucketCol(bk))

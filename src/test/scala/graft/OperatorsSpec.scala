@@ -845,6 +845,31 @@ class OperatorsSpec extends AnyFunSuite {
       Seq($"dept", Privacy.generalize($"age", 100L)), Seq("dept", "age_r"), 3L)
     assert(wide.count() == 0L, "coarser generalization certifies")
   }
+  test("release manifest: round-trip validates, order-independent fingerprint, nulls canonical, tamper detected") {
+    import graft.operators.Release
+    val dir = java.nio.file.Files.createTempDirectory("graft_rel").toString
+    val tbl = Seq((1L, "a"), (2L, null: String), (3L, "c"))
+      .toDF("id", "s")
+    Release.publish(spark, dir, Seq(("t1", tbl, Seq("id", "s"))))
+    val v = Release.validate(spark, dir)
+      .as[(String, Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(v.map(_._1) == Seq("t1") && v.head._6, s"clean validate: $v")
+    // fingerprint is row-order/partitioning independent and mergeable
+    val fp1 = Release.fingerprint(tbl, Seq("id", "s")).head().getLong(1)
+    val fp2 = Release.fingerprint(tbl.repartition(7).sortWithinPartitions($"s"),
+      Seq("id", "s")).head().getLong(1)
+    assert(fp1 == fp2, "layout must not move the fingerprint")
+    // null vs the literal string behind the sentinel do differ
+    val tblLit = Seq((1L, "a"), (2L, "null"), (3L, "c")).toDF("id", "s")
+    assert(Release.fingerprint(tblLit, Seq("id", "s")).head().getLong(1) != fp1)
+    // tamper: overwrite the table with one row changed -> ok = false
+    Seq((1L, "a"), (2L, null: String), (3L, "X")).toDF("id", "s")
+      .write.mode("overwrite").parquet(s"$dir/t1")
+    val v2 = Release.validate(spark, dir)
+      .as[(String, Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(!v2.head._6, s"tamper must fail validation: $v2")
+  }
+
   test("late interaction: maxsim equals a scala brute force, candidate-restricted, oov query terms drop") {
     import graft.operators.LateInteraction
     val docs = Seq(
