@@ -217,8 +217,8 @@ object Bench {
     // q211/q212 first isolated measurements (1.707/2.443 — q212 is the
     // q31-class banded dedup plus a CC pass and a per-cluster window)
     "q211" -> (1.195, 2.454), "q212" -> (1.710, 3.448),
-    // q213 first isolated measurement (1.702)
-    "q213" -> (1.191, 2.448),
+    // q213/q214 first isolated measurements (1.702/0.500)
+    "q213" -> (1.191, 2.448), "q214" -> (0.350, 0.825),
     "q13" -> (0.231, 0.596), "q14" -> (0.168, 0.501), "q15" -> (0.217, 0.596),
     "q16" -> (0.175, 0.501), "q17" -> (0.287, 0.717), "q18" -> (0.161, 0.461),
     "q19" -> (0.21, 0.636), "q20" -> (0.322, 0.771), "q21" -> (0.217, 0.622),

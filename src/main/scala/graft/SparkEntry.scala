@@ -3750,6 +3750,20 @@ object SparkEntry {
         .orderBy($"source", $"pos")
     }),
 
+    // KEY-SKEW REPORT (r17): the diagnostic that PICKS salting and
+    // bucketing parameters before a 100-TB shuffle — per-key counts
+    // rolled into scalar stats, a heavy-key census at 2x/10x the mean
+    // (integer cross-multiplied: cnt·n_keys > m·n_rows, no doubles),
+    // the top heavy keys, and the suggested salt factor. Every number
+    // is exact integer arithmetic the oracle replays directly.
+    "q214_skew_report" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.DataProfile.keySkew(
+          t(s, dir, "lineitem"), "l_suppkey", topK = 5,
+          targetRowsPerKey = 100L)
+        .orderBy($"kind", $"key")
+    }),
+
     // RELEASE MANIFEST + PORTABLE FINGERPRINTS (r17): publishing a
     // curated corpus with integrity any engine can re-verify — per-
     // table content fingerprint = bit_xor over rows of the first 48
@@ -5907,6 +5921,25 @@ object SparkEntry {
         |  FROM tk)
         |SELECT doc_id, n_matches FROM m WHERE n_matches > 0
         |ORDER BY doc_id""".stripMargin,
+
+    "q214_skew_report" ->
+      """WITH c AS (SELECT CAST(l_suppkey AS VARCHAR) AS k, COUNT(*) AS c
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT SUM(c) AS nr, COUNT(*) AS nk, MAX(c) AS mx FROM c),
+        |stats AS (
+        |  SELECT 'stat' AS kind, 'n_rows' AS key, CAST(nr AS BIGINT) AS n FROM t
+        |  UNION ALL SELECT 'stat', 'n_keys', nk FROM t
+        |  UNION ALL SELECT 'stat', 'max_count', mx FROM t
+        |  UNION ALL SELECT 'stat', 'keys_over_2x',
+        |    (SELECT COUNT(*) FROM c, t WHERE c.c * t.nk > 2 * t.nr) FROM t
+        |  UNION ALL SELECT 'stat', 'keys_over_10x',
+        |    (SELECT COUNT(*) FROM c, t WHERE c.c * t.nk > 10 * t.nr) FROM t
+        |  UNION ALL SELECT 'stat', 'salt_factor', (mx + 99) // 100 FROM t),
+        |top AS (SELECT 'top' AS kind, k AS key, c AS n FROM c
+        |  ORDER BY c DESC, k LIMIT 5)
+        |SELECT kind, key, n FROM
+        |  (SELECT * FROM stats UNION ALL SELECT * FROM top)
+        |ORDER BY kind, key""".stripMargin,
 
     "q213_release_manifest" ->
       """WITH r AS (SELECT COUNT(*) AS n,

@@ -270,6 +270,44 @@ object DataProfile {
         col("_med").as("med"), col("_dev").as("deviation"))
   }
 
+  /** Key-skew report — the numbers that PICK the salting/bucketing
+    * parameters before a 100-TB join or aggregation, without
+    * rescanning anything afterwards: per-key counts roll into
+    * (n_rows, n_keys, max_count), the heavy-key census at 2× and 10×
+    * the mean (compared in INTEGER cross-multiplied form,
+    * cnt·n_keys > m·n_rows — no doubles, no rounding), the topK
+    * heaviest keys themselves, and the suggested salt factor
+    * ⌈max_count / targetRowsPerKey⌉. Output is one (kind, key, n)
+    * frame: kind='stat' rows carry the scalars, kind='top' rows the
+    * heavy keys. The per-key counts checkpoint once and feed all
+    * three passes — each is keys-sized, never rows-sized. */
+  def keySkew(df: DataFrame, keyCol: String, topK: Int,
+      targetRowsPerKey: Long): DataFrame = {
+    require(topK >= 1 && targetRowsPerKey >= 1, "bad keySkew parameters")
+    val counts = df.groupBy(col(keyCol).cast("string").as("_k"))
+      .agg(count(lit(1)).as("_c")).localCheckpoint(true)
+    val t = counts.agg(sum(col("_c")).as("nr"), count(lit(1)).as("nk"),
+      max(col("_c")).as("mx")).head()
+    val (nr, nk, mx) = (t.getLong(0), t.getLong(1), t.getLong(2))
+    val over = counts.agg(
+      count(when(col("_c") * lit(nk) > lit(2L) * lit(nr), 1)).as("o2"),
+      count(when(col("_c") * lit(nk) > lit(10L) * lit(nr), 1)).as("o10"))
+      .head()
+    val spark = df.sparkSession
+    import spark.implicits._
+    val stats = Seq(
+      ("stat", "n_rows", nr), ("stat", "n_keys", nk),
+      ("stat", "max_count", mx),
+      ("stat", "keys_over_2x", over.getLong(0)),
+      ("stat", "keys_over_10x", over.getLong(1)),
+      ("stat", "salt_factor", (mx + targetRowsPerKey - 1) / targetRowsPerKey))
+      .toDF("kind", "key", "n")
+    val top = counts.orderBy(col("_c").desc, col("_k"))
+      .limit(topK)
+      .select(lit("top").as("kind"), col("_k").as("key"), col("_c").as("n"))
+    stats.unionByName(top)
+  }
+
   /** Per-group closed-form OLS trend (y = intercept + slope·x) — the
     * drift DIRECTION for a metric the profile/PSI stages only snapshot
     * (is quality score drifting down per source? is doc length

@@ -845,6 +845,25 @@ class OperatorsSpec extends AnyFunSuite {
       Seq($"dept", Privacy.generalize($"age", 100L)), Seq("dept", "age_r"), 3L)
     assert(wide.count() == 0L, "coarser generalization certifies")
   }
+  test("keySkew: exact stats, integer-arithmetic thresholds, heavy keys, salt factor") {
+    import graft.operators.DataProfile
+    val rows = (Seq.fill(90)("hot") ++ Seq.fill(8)("warm") ++
+      Seq("a", "b")).zipWithIndex.map { case (k, i) => (i.toLong, k) }
+      .toDF("id", "k")
+    val r = DataProfile.keySkew(rows, "k", topK = 2, targetRowsPerKey = 30L)
+      .as[(String, String, Long)].collect().toSet
+    assert(r == Set(
+      ("stat", "n_rows", 100L), ("stat", "n_keys", 4L),
+      ("stat", "max_count", 90L),
+      ("stat", "keys_over_2x", 1L),   // hot: 90*4 > 2*100
+      ("stat", "keys_over_10x", 0L),  // hot: 90*4 < 10*100
+      ("stat", "salt_factor", 3L),    // ceil(90/30)
+      ("top", "hot", 90L), ("top", "warm", 8L)), s"got $r")
+    intercept[IllegalArgumentException] {
+      DataProfile.keySkew(rows, "k", 0, 10L)
+    }
+  }
+
   test("release manifest: round-trip validates, order-independent fingerprint, nulls canonical, tamper detected") {
     import graft.operators.Release
     val dir = java.nio.file.Files.createTempDirectory("graft_rel").toString
