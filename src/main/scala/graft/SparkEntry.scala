@@ -3750,6 +3750,20 @@ object SparkEntry {
         .orderBy($"source", $"pos")
     }),
 
+    // SPAN CORRUPTION (r17, the T5 denoising objective): arithmetic
+    // span selection (mix hit gated by the previous position — no
+    // adjacent starts, no sequential state), sentinel numbering by
+    // prefix count, (inputs, targets) as pure projections. The oracle
+    // rebuilds every string with list comprehensions over the same
+    // integer arithmetic — one swapped token, lost sentinel, or
+    // off-by-one span boundary mismatches the string hashes.
+    "q215_span_corruption" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Denoising.spanCorruption(
+          t(s, dir, "documents"), "doc_id", "text")
+        .orderBy($"doc_id")
+    }),
+
     // KEY-SKEW REPORT (r17): the diagnostic that PICKS salting and
     // bucketing parameters before a 100-TB shuffle — per-key counts
     // rolled into scalar stats, a heavy-key census at 2x/10x the mean
@@ -5921,6 +5935,59 @@ object SparkEntry {
         |  FROM tk)
         |SELECT doc_id, n_matches FROM m WHERE n_matches > 0
         |ORDER BY doc_id""".stripMargin,
+
+    "q215_span_corruption" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '') AS tk
+        |  FROM documents),
+        |b AS (SELECT doc_id, tk, len(tk) AS n FROM tk)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_toks,
+        |  CAST(CASE WHEN n = 0 THEN 0 ELSE len([p FOR p IN
+        |    generate_series(1, n) IF
+        |    ((((doc_id*1000003 + p*999983 + 13) % 2147483648) * 2654435761)
+        |      % 4294967296) % 20 = 0
+        |    AND NOT ((((doc_id*1000003 + (p-1)*999983 + 13) % 2147483648)
+        |      * 2654435761) % 4294967296) % 20 = 0]) END AS BIGINT) AS n_spans,
+        |  CASE WHEN n = 0 THEN '' ELSE COALESCE(array_to_string(list_filter(
+        |    list_transform(generate_series(1, n), p ->
+        |      CASE WHEN
+        |        ((((doc_id*1000003 + p*999983 + 13) % 2147483648) * 2654435761)
+        |          % 4294967296) % 20 = 0
+        |        AND NOT ((((doc_id*1000003 + (p-1)*999983 + 13) % 2147483648)
+        |          * 2654435761) % 4294967296) % 20 = 0
+        |      THEN '<extra_id_' || CAST(len([q FOR q IN
+        |        generate_series(1, p-1) IF
+        |        ((((doc_id*1000003 + q*999983 + 13) % 2147483648) * 2654435761)
+        |          % 4294967296) % 20 = 0
+        |        AND NOT ((((doc_id*1000003 + (q-1)*999983 + 13) % 2147483648)
+        |          * 2654435761) % 4294967296) % 20 = 0]) AS VARCHAR) || '>'
+        |      WHEN p >= 2 AND
+        |        ((((doc_id*1000003 + (p-1)*999983 + 13) % 2147483648)
+        |          * 2654435761) % 4294967296) % 20 = 0
+        |        AND NOT ((((doc_id*1000003 + (p-2)*999983 + 13) % 2147483648)
+        |          * 2654435761) % 4294967296) % 20 = 0
+        |      THEN NULL
+        |      ELSE tk[p] END),
+        |    x -> x IS NOT NULL), ' '), '') END AS inputs,
+        |  CASE WHEN n = 0 THEN '' ELSE COALESCE(array_to_string(list_filter(
+        |    list_transform(generate_series(1, n), p ->
+        |      CASE WHEN
+        |        ((((doc_id*1000003 + p*999983 + 13) % 2147483648) * 2654435761)
+        |          % 4294967296) % 20 = 0
+        |        AND NOT ((((doc_id*1000003 + (p-1)*999983 + 13) % 2147483648)
+        |          * 2654435761) % 4294967296) % 20 = 0
+        |      THEN '<extra_id_' || CAST(len([q FOR q IN
+        |        generate_series(1, p-1) IF
+        |        ((((doc_id*1000003 + q*999983 + 13) % 2147483648) * 2654435761)
+        |          % 4294967296) % 20 = 0
+        |        AND NOT ((((doc_id*1000003 + (q-1)*999983 + 13) % 2147483648)
+        |          * 2654435761) % 4294967296) % 20 = 0]) AS VARCHAR) || '>'
+        |        || ' ' || tk[p] ||
+        |        CASE WHEN p + 1 <= n THEN ' ' || tk[p+1] ELSE '' END
+        |      END),
+        |    x -> x IS NOT NULL), ' '), '') END AS targets
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     "q214_skew_report" ->
       """WITH c AS (SELECT CAST(l_suppkey AS VARCHAR) AS k, COUNT(*) AS c

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** T5-style SPAN CORRUPTION — the denoising training objective's
+  * (inputs, targets) construction: mask ~1/rate of token positions in
+  * short spans, replace each masked span with one `<extra_id_k>`
+  * sentinel in the inputs, and emit `<extra_id_k> tokens…` in the
+  * targets. The third training-export objective next to the LM pack
+  * (q163) and the contrastive pairs (q209).
+  *
+  * Span selection is ARITHMETIC, not random-state: position p starts
+  * a span iff mix(doc, p) hits the rate AND mix(doc, p−1) does not
+  * (the previous-position gate prevents adjacent starts, so 2-token
+  * spans never overlap and the whole construction stays a pure
+  * per-position predicate — no sequential scan, no state, replayable
+  * by any engine with integer `%`). Sentinel numbering is the
+  * prefix-count of starts. Everything is a single column-expression
+  * projection: no shuffle, WholeStageCodegen, 10^10 docs welcome. */
+object Denoising {
+
+  /** (id, n_toks, n_spans, inputs, targets) per doc. `rateDen`: a
+    * position starts a span with probability ~1/rateDen. Spans cover
+    * positions p and p+1 (the final position yields a 1-token span).
+    * Docs with no tokens produce empty inputs/targets. */
+  def spanCorruption(df: DataFrame, idCol: String, textCol: String,
+      rateDen: Int = 20, seed: Long = 13L): DataFrame = {
+    require(rateDen >= 2, "rateDen must be >= 2")
+    val id = col(idCol).cast("long")
+    def mixOk(p: Column): Column =
+      ((((id * lit(1000003L) + p.cast("long") * lit(999983L) + lit(seed)) %
+        lit(2147483648L)) * lit(2654435761L)) % lit(4294967296L)) %
+        lit(rateDen.toLong) === lit(0L)
+    def start(p: Column): Column = mixOk(p) && !mixOk(p - 1)
+    def kOf(p: Column): Column =
+      when(p === 1, lit(0L)).otherwise(
+        aggregate(sequence(lit(1), p - 1), lit(0L),
+          (acc, q) => acc + when(start(q), lit(1L)).otherwise(lit(0L))))
+    def sentinel(p: Column): Column =
+      concat(lit("<extra_id_"), kOf(p).cast("string"), lit(">"))
+    val toks = filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= "")
+    df.select(id.as("doc_id"), toks.as("_tk"))
+      .withColumn("_n", size(col("_tk")))
+      .withColumn("n_spans",
+        when(col("_n") === 0, lit(0L)).otherwise(
+          aggregate(sequence(lit(1), col("_n")), lit(0L),
+            (acc, p) => acc + when(start(p), lit(1L)).otherwise(lit(0L)))))
+      .withColumn("inputs",
+        when(col("_n") === 0, lit("")).otherwise(
+          concat_ws(" ", filter(
+            transform(sequence(lit(1), col("_n")), p =>
+              when(start(p), sentinel(p))
+                .when(p >= 2 && start(p - 1), lit(null).cast("string"))
+                .otherwise(element_at(col("_tk"), p))),
+            x => x.isNotNull))))
+      .withColumn("targets",
+        when(col("_n") === 0, lit("")).otherwise(
+          concat_ws(" ", filter(
+            transform(sequence(lit(1), col("_n")), p =>
+              when(start(p),
+                concat(sentinel(p), lit(" "), element_at(col("_tk"), p),
+                  when(p + 1 <= col("_n"),
+                    concat(lit(" "), element_at(col("_tk"), p + 1)))
+                    .otherwise(lit(""))))),
+            x => x.isNotNull))))
+      .select(col("doc_id"), col("_n").cast("long").as("n_toks"),
+        col("n_spans"), col("inputs"), col("targets"))
+  }
+}

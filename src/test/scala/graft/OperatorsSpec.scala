@@ -845,6 +845,47 @@ class OperatorsSpec extends AnyFunSuite {
       Seq($"dept", Privacy.generalize($"age", 100L)), Seq("dept", "age_r"), 3L)
     assert(wide.count() == 0L, "coarser generalization certifies")
   }
+  test("span corruption: inputs+targets reconstruct every original stream; sentinels ordered; rate plausible") {
+    import graft.operators.Denoising
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .select($"doc_id", $"text")
+    val out = Denoising.spanCorruption(docs, "doc_id", "text")
+      .as[(Long, Long, Long, String, String)].collect()
+    val orig = docs.as[(Long, String)].collect().toMap.map { case (id, t) =>
+      id -> t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    }
+    val sentRe = "<extra_id_(\\d+)>".r
+    var maskedTotal = 0L
+    var tokTotal = 0L
+    out.foreach { case (id, nTok, nSpan, inputs, targets) =>
+      val o = orig(id)
+      assert(nTok == o.length, s"doc $id token count")
+      // targets parse into k -> span tokens
+      val ms = sentRe.findAllMatchIn(targets).toSeq
+      assert(ms.size == nSpan, s"doc $id: ${ms.size} sentinels vs $nSpan spans")
+      assert(ms.map(_.group(1).toInt) == (0 until nSpan.toInt), s"doc $id order")
+      val spans: Map[Int, Seq[String]] = ms.zipWithIndex.map { case (m, i) =>
+        val end = if (i + 1 < ms.size) ms(i + 1).start else targets.length
+        m.group(1).toInt -> targets.substring(m.end, end).trim
+          .split(" ").filter(_.nonEmpty).toSeq
+      }.toMap
+      spans.values.foreach(s => assert(s.nonEmpty && s.size <= 2,
+        s"doc $id span length ${s.size}"))
+      // splice the targets back into the inputs: must equal the original
+      val rebuilt = (if (inputs.isEmpty) Seq.empty[String]
+        else inputs.split(" ").toSeq).flatMap {
+        case sentRe(k) => spans(k.toInt)
+        case tok => Seq(tok)
+      }
+      assert(rebuilt == o, s"doc $id does not reconstruct")
+      maskedTotal += spans.values.map(_.size).sum
+      tokTotal += nTok
+    }
+    // ~2 masked tokens per hit at rate 1/20 => ~10% masked, loosely
+    val frac = maskedTotal.toDouble / tokTotal
+    assert(frac > 0.02 && frac < 0.25, s"masked fraction off: $frac")
+  }
+
   test("keySkew: exact stats, integer-arithmetic thresholds, heavy keys, salt factor") {
     import graft.operators.DataProfile
     val rows = (Seq.fill(90)("hot") ++ Seq.fill(8)("warm") ++
