@@ -3750,6 +3750,19 @@ object SparkEntry {
         .orderBy($"source", $"pos")
     }),
 
+    // FILL-IN-THE-MIDDLE (r17, the code-model infilling transform,
+    // PSM order): two arithmetic cut points per doc (portable integer
+    // mix at virtual positions 1 and 2, sorted), prefix|middle|suffix
+    // emitted as <PRE> p <SUF> s <MID> m. The oracle replays cuts and
+    // slices — an off-by-one boundary or swapped segment mismatches
+    // the string hashes.
+    "q216_fim_export" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Denoising.fimPsm(t(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy($"doc_id")
+    }),
+
     // SPAN CORRUPTION (r17, the T5 denoising objective): arithmetic
     // span selection (mix hit gated by the previous position — no
     // adjacent starts, no sequential state), sentinel numbering by
@@ -5935,6 +5948,36 @@ object SparkEntry {
         |  FROM tk)
         |SELECT doc_id, n_matches FROM m WHERE n_matches > 0
         |ORDER BY doc_id""".stripMargin,
+
+    "q216_fim_export" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '') AS tk
+        |  FROM documents),
+        |b AS (SELECT doc_id, tk, len(tk) AS n,
+        |    ((((doc_id*1000003 + 1*999983 + 17) % 2147483648) * 2654435761)
+        |      % 4294967296) % GREATEST(len(tk) - 1, 1) + 1 AS d1,
+        |    ((((doc_id*1000003 + 2*999983 + 17) % 2147483648) * 2654435761)
+        |      % 4294967296) % GREATEST(len(tk) - 1, 1) + 1 AS d2
+        |  FROM tk),
+        |c AS (SELECT doc_id, tk, n,
+        |    LEAST(d1, d2) AS lo, GREATEST(d1, d2) AS hi FROM b)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_toks,
+        |  CAST(CASE WHEN n < 2 THEN 0 ELSE lo END AS BIGINT) AS cut_lo,
+        |  CAST(CASE WHEN n < 2 THEN 0 ELSE hi END AS BIGINT) AS cut_hi,
+        |  CASE WHEN n < 2 THEN
+        |    '<PRE> ' || COALESCE(array_to_string(tk, ' '), '')
+        |      || ' <SUF>  <MID> '
+        |  ELSE
+        |    '<PRE> ' || COALESCE(array_to_string(tk[1:CAST(lo AS INT)], ' '), '')
+        |    || ' <SUF> '
+        |    || COALESCE(array_to_string(
+        |         tk[CAST(hi + 1 AS INT):CAST(n AS INT)], ' '), '')
+        |    || ' <MID> '
+        |    || COALESCE(array_to_string(
+        |         tk[CAST(lo + 1 AS INT):CAST(hi AS INT)], ' '), '')
+        |  END AS psm
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q215_span_corruption" ->
       """WITH tk AS (SELECT doc_id,

@@ -67,4 +67,45 @@ object Denoising {
       .select(col("doc_id"), col("_n").cast("long").as("n_toks"),
         col("n_spans"), col("inputs"), col("targets"))
   }
+
+  /** FILL-IN-THE-MIDDLE (the code-model training transform, PSM
+    * order): two arithmetic cut points split each document's token
+    * stream into prefix | middle | suffix, emitted as
+    * `<PRE> prefix <SUF> suffix <MID> middle` — the model learns to
+    * infill. Cuts are the same portable integer mix (draws at virtual
+    * positions 1 and 2), sorted so lo ≤ hi; an empty middle (lo = hi)
+    * is a legitimate degenerate sample. Docs with fewer than 2 tokens
+    * pass through as pure prefix. Pure projection, no shuffle. */
+  def fimPsm(df: DataFrame, idCol: String, textCol: String,
+      seed: Long = 17L): DataFrame = {
+    val id = col(idCol).cast("long")
+    def mix(p: Int): Column =
+      (((id * lit(1000003L) + lit(p.toLong * 999983L) + lit(seed)) %
+        lit(2147483648L)) * lit(2654435761L)) % lit(4294967296L)
+    val toks = filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= "")
+    val base = df.select(id.as("doc_id"), toks.as("_tk"))
+      .withColumn("_n", size(col("_tk")))
+      .withColumn("_d1", mix(1) % greatest(col("_n") - 1, lit(1)) + 1)
+      .withColumn("_d2", mix(2) % greatest(col("_n") - 1, lit(1)) + 1)
+      .withColumn("cut_lo", least(col("_d1"), col("_d2")).cast("long"))
+      .withColumn("cut_hi", greatest(col("_d1"), col("_d2")).cast("long"))
+    base.select(col("doc_id"), col("_n").cast("long").as("n_toks"),
+      when(col("_n") < 2, lit(0L)).otherwise(col("cut_lo")).as("cut_lo"),
+      when(col("_n") < 2, lit(0L)).otherwise(col("cut_hi")).as("cut_hi"),
+      when(col("_n") < 2,
+        concat(lit("<PRE> "), concat_ws(" ", col("_tk")),
+          lit(" <SUF>  <MID> ")))
+        .otherwise(concat(
+          lit("<PRE> "),
+          concat_ws(" ", slice(col("_tk"), lit(1), col("cut_lo").cast("int"))),
+          lit(" <SUF> "),
+          concat_ws(" ", slice(col("_tk"),
+            (col("cut_hi") + 1).cast("int"),
+            (col("_n") - col("cut_hi")).cast("int"))),
+          lit(" <MID> "),
+          concat_ws(" ", slice(col("_tk"),
+            (col("cut_lo") + 1).cast("int"),
+            (col("cut_hi") - col("cut_lo")).cast("int")))))
+        .as("psm"))
+  }
 }

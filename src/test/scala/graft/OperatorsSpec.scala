@@ -845,6 +845,36 @@ class OperatorsSpec extends AnyFunSuite {
       Seq($"dept", Privacy.generalize($"age", 100L)), Seq("dept", "age_r"), 3L)
     assert(wide.count() == 0L, "coarser generalization certifies")
   }
+  test("fim psm: segments partition the stream exactly, cuts in range, degenerate docs pass through") {
+    import graft.operators.Denoising
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .select($"doc_id", $"text")
+    val out = Denoising.fimPsm(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, String)].collect()
+    val orig = docs.as[(Long, String)].collect().toMap.map { case (id, t) =>
+      id -> t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    }
+    val psmRe = """<PRE> (.*) <SUF> (.*) <MID> (.*)""".r
+    out.foreach { case (id, n, lo, hi, psm) =>
+      val o = orig(id)
+      assert(n == o.length)
+      psm match {
+        case psmRe(p, sfx, m) =>
+          def toks(s: String) = s.split(" ").filter(_.nonEmpty).toSeq
+          // prefix ++ middle ++ suffix rebuilds the original stream
+          assert(toks(p) ++ toks(m) ++ toks(sfx) == o,
+            s"doc $id does not partition: $psm")
+          if (n >= 2) {
+            assert(lo >= 1 && lo <= hi && hi <= n - 1, s"doc $id cuts $lo/$hi")
+            assert(toks(p).size == lo && toks(m).size == hi - lo)
+          } else assert(lo == 0 && hi == 0 && toks(m).isEmpty && toks(sfx).isEmpty)
+        case _ => fail(s"doc $id psm shape: $psm")
+      }
+    }
+    // the middle is genuinely exercised: some docs have nonempty middles
+    assert(out.count(t => t._4 > t._3) > out.length / 4)
+  }
+
   test("span corruption: inputs+targets reconstruct every original stream; sentinels ordered; rate plausible") {
     import graft.operators.Denoising
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
