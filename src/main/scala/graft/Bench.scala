@@ -131,7 +131,12 @@ object Bench {
     "q165" -> (0.353, 0.830),
     // q166/q167 first isolated noop measurements (1.723/3.979; q167
     // is a full index build+erase+probe lifecycle, q101's class)
-    "q166" -> (1.206, 2.476), "q167" -> (2.785, 5.522),
+    "q166" -> (1.206, 2.476),
+    // q167 re-based in r17: the forget lifecycle now carries the
+    // corpus-stats rollup through every build/append/erase step
+    // (victim netting + consolidated commit — the exactness cost);
+    // isolated 4.227, in-suite 6.574 under load1 6.3
+    "q167" -> (2.959, 9.025),
     // q168 first isolated noop measurement (2.961 — index lifecycle
     // build + 3 snapshots + manifest-aware diff)
     "q168" -> (2.073, 4.147),
