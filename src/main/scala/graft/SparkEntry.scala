@@ -3750,6 +3750,24 @@ object SparkEntry {
         .orderBy($"source", $"pos")
     }),
 
+    // LEAKAGE-SAFE SPLIT (r17): train/val/test assignment per CONTENT
+    // GROUP (min id over identical text — exact-dup copies can never
+    // straddle a split and leak eval text into training), group id
+    // hashed into percent bands with the portable Knuth mix. The
+    // oracle replays the window, the hash and the band edges.
+    "q217_leak_safe_split" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Splits.leakSafeSplit(
+          t(s, dir, "documents").select($"doc_id", $"text"),
+          "doc_id", "text",
+          Seq(("train", 80), ("val", 90), ("test", 100)))
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct($"text").as("n_groups"),
+          min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
+        .orderBy($"split")
+    }),
+
     // FILL-IN-THE-MIDDLE (r17, the code-model infilling transform,
     // PSM order): two arithmetic cut points per doc (portable integer
     // mix at virtual positions 1 and 2, sorted), prefix|middle|suffix
@@ -5948,6 +5966,19 @@ object SparkEntry {
         |  FROM tk)
         |SELECT doc_id, n_matches FROM m WHERE n_matches > 0
         |ORDER BY doc_id""".stripMargin,
+
+    "q217_leak_safe_split" ->
+      """WITH g AS (SELECT doc_id, text,
+        |    MIN(doc_id) OVER (PARTITION BY text) AS gkey
+        |  FROM documents),
+        |a AS (SELECT doc_id, text,
+        |    CASE WHEN (gkey * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
+        |         WHEN (gkey * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM g)
+        |SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_groups,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM a GROUP BY split ORDER BY split""".stripMargin,
 
     "q216_fim_export" ->
       """WITH tk AS (SELECT doc_id,

@@ -845,6 +845,31 @@ class OperatorsSpec extends AnyFunSuite {
       Seq($"dept", Privacy.generalize($"age", 100L)), Seq("dept", "age_r"), 3L)
     assert(wide.count() == 0L, "coarser generalization certifies")
   }
+  test("leakSafeSplit: identical texts share a split, bands roughly proportional, bad bands refuse") {
+    import graft.operators.Splits
+    val rows = (0 until 300).map { i =>
+      (i.toLong, s"text-${i % 120}") // 120 groups, most duplicated
+    }.toDF("doc_id", "text")
+    val out = Splits.leakSafeSplit(rows, "doc_id", "text",
+        Seq(("train", 80), ("val", 90), ("test", 100)))
+      .as[(Long, String, String)].collect()
+    // every content group maps to exactly one split — the guard
+    val perGroup = out.groupBy(_._2).map { case (_, g) =>
+      g.map(_._3).distinct.size }
+    assert(perGroup.forall(_ == 1), "a duplicate group straddled splits")
+    // deterministic; proportions loosely match the bands
+    val byS = out.groupBy(_._3).map { case (s, g) => s -> g.size }
+    assert(byS("train") > 150 && byS.getOrElse("val", 0) > 0 &&
+      byS.getOrElse("test", 0) > 0, s"split mix off: $byS")
+    intercept[IllegalArgumentException] {
+      Splits.leakSafeSplit(rows, "doc_id", "text", Seq(("a", 50)))
+    }
+    intercept[IllegalArgumentException] {
+      Splits.leakSafeSplit(rows, "doc_id", "text",
+        Seq(("a", 90), ("b", 80), ("c", 100)))
+    }
+  }
+
   test("fim psm: segments partition the stream exactly, cuts in range, degenerate docs pass through") {
     import graft.operators.Denoising
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
