@@ -3750,6 +3750,23 @@ object SparkEntry {
         .orderBy($"source", $"pos")
     }),
 
+    // EPOCH SHUFFLE ORDER (r17): the trainer-side deterministic data
+    // ordering — epoch e's permutation is a pure function of (id, e)
+    // (portable mix, id tiebreak), ranked by a range-partitioned sort
+    // (never a one-task window). Two epochs' positions graded side by
+    // side: the oracle replays both windows, so a non-permutation, a
+    // collision mis-break, or epoch coupling all hash-mismatch.
+    "q218_epoch_order" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Denoising
+      val docs = t(s, dir, "documents").select($"doc_id")
+      val e1 = Denoising.epochOrder(docs, "doc_id", 1)
+        .select($"doc_id", $"pos".as("e1_pos"))
+      val e2 = Denoising.epochOrder(docs, "doc_id", 2)
+        .select($"doc_id", $"pos".as("e2_pos"))
+      e1.join(e2, "doc_id").orderBy($"doc_id")
+    }),
+
     // LEAKAGE-SAFE SPLIT (r17): train/val/test assignment per CONTENT
     // GROUP (min id over identical text — exact-dup copies can never
     // straddle a split and leak eval text into training), group id
@@ -5966,6 +5983,18 @@ object SparkEntry {
         |  FROM tk)
         |SELECT doc_id, n_matches FROM m WHERE n_matches > 0
         |ORDER BY doc_id""".stripMargin,
+
+    "q218_epoch_order" ->
+      """WITH h AS (SELECT doc_id,
+        |    (((doc_id * 1000003 + 1 * 999983) % 2147483648) * 2654435761)
+        |      % 4294967296 AS h1,
+        |    (((doc_id * 1000003 + 2 * 999983) % 2147483648) * 2654435761)
+        |      % 4294967296 AS h2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  row_number() OVER (ORDER BY h1, doc_id) - 1 AS e1_pos,
+        |  row_number() OVER (ORDER BY h2, doc_id) - 1 AS e2_pos
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     "q217_leak_safe_split" ->
       """WITH g AS (SELECT doc_id, text,

@@ -108,4 +108,21 @@ object Denoising {
             (col("cut_hi") - col("cut_lo")).cast("int")))))
         .as("psm"))
   }
+
+  /** Deterministic PER-EPOCH shuffle order — the trainer-side data
+    * ordering: epoch e reads the corpus in a pseudo-random permutation
+    * that is a pure function of (id, e), so every worker, every
+    * restart and every engine derives the same order, and no epoch
+    * repeats its predecessor's. Position = 0-based contiguous rank by
+    * (mix(id, e), id) via [[Ids.contiguous]] — a range-partitioned
+    * sort, never a one-task window; the id tiebreak makes the
+    * permutation total even under hash collisions. */
+  def epochOrder(df: DataFrame, idCol: String, epoch: Int): DataFrame = {
+    require(epoch >= 0, "epoch must be nonnegative")
+    val h = (((col(idCol).cast("long") * lit(1000003L) +
+      lit(epoch.toLong * 999983L)) % lit(2147483648L)) * lit(2654435761L)) %
+      lit(4294967296L)
+    Ids.contiguous(df.withColumn("_eh", h),
+      Seq(col("_eh"), col(idCol)), "pos").drop("_eh")
+  }
 }

@@ -845,6 +845,26 @@ class OperatorsSpec extends AnyFunSuite {
       Seq($"dept", Privacy.generalize($"age", 100L)), Seq("dept", "age_r"), 3L)
     assert(wide.count() == 0L, "coarser generalization certifies")
   }
+  test("epochOrder: a true permutation per epoch, epochs differ, deterministic") {
+    import graft.operators.Denoising
+    val docs = (0L until 200L).toDF("id")
+    def pos(e: Int) = Denoising.epochOrder(docs, "id", e)
+      .as[(Long, Long)].collect().toMap
+    val p1 = pos(1)
+    assert(p1.values.toSeq.sorted == (0L until 200L), "not a permutation")
+    assert(pos(1) == p1, "must be deterministic")
+    val p2 = pos(2)
+    assert(p2.values.toSeq.sorted == (0L until 200L))
+    assert(p1 != p2, "epochs must reshuffle")
+    // the permutation genuinely scrambles (not a shift): many fixed
+    // points or a constant offset would both fail this
+    val moved = (0L until 200L).count(i => p1(i) != i)
+    assert(moved > 150, s"epoch 1 barely shuffles: $moved moved")
+    intercept[IllegalArgumentException] {
+      Denoising.epochOrder(docs, "id", -1)
+    }
+  }
+
   test("leakSafeSplit: identical texts share a split, bands roughly proportional, bad bands refuse") {
     import graft.operators.Splits
     val rows = (0 until 300).map { i =>
