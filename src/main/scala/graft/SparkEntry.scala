@@ -3750,6 +3750,17 @@ object SparkEntry {
         .orderBy($"source", $"pos")
     }),
 
+    // DATA CARD (r17, datasheets-for-datasets): the per-source release
+    // documentation table — doc/distinct-content/token censuses,
+    // language spread, and the EXACT rank-based median doc length.
+    // All integers; the whole card hash-replays in DuckDB.
+    "q219_data_card" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.DataProfile.dataCard(
+          t(s, dir, "documents"), "source", "doc_id", "text", "lang")
+        .orderBy($"source")
+    }),
+
     // EPOCH SHUFFLE ORDER (r17): the trainer-side deterministic data
     // ordering — epoch e's permutation is a pure function of (id, e)
     // (portable mix, id tiebreak), ranked by a range-partitioned sort
@@ -5983,6 +5994,30 @@ object SparkEntry {
         |  FROM tk)
         |SELECT doc_id, n_matches FROM m WHERE n_matches > 0
         |ORDER BY doc_id""".stripMargin,
+
+    "q219_data_card" ->
+      """WITH b AS (SELECT source, doc_id, text, lang,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS ntok
+        |  FROM documents),
+        |a AS (SELECT source, COUNT(*) AS n_docs,
+        |    COUNT(DISTINCT text) AS n_distinct_texts,
+        |    CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+        |    COUNT(DISTINCT lang) AS n_langs,
+        |    CAST(MIN(ntok) AS BIGINT) AS min_tokens,
+        |    CAST(MAX(ntok) AS BIGINT) AS max_tokens
+        |  FROM b GROUP BY 1),
+        |m AS (SELECT source, CAST(ntok AS BIGINT) AS median_tokens FROM (
+        |    SELECT source, ntok,
+        |      row_number() OVER (PARTITION BY source ORDER BY ntok, doc_id)
+        |        AS rn,
+        |      COUNT(*) OVER (PARTITION BY source) AS n
+        |    FROM b)
+        |  WHERE rn = (n + 1) // 2)
+        |SELECT a.source, n_docs, n_distinct_texts, total_tokens, n_langs,
+        |  min_tokens, max_tokens, median_tokens
+        |FROM a JOIN m ON a.source = m.source
+        |ORDER BY a.source""".stripMargin,
 
     "q218_epoch_order" ->
       """WITH h AS (SELECT doc_id,

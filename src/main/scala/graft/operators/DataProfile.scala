@@ -270,6 +270,39 @@ object DataProfile {
         col("_med").as("med"), col("_dev").as("deviation"))
   }
 
+  /** Per-source DATA CARD — the release-documentation table every
+    * published corpus ships (datasheets-for-datasets): one row per
+    * source with the exact censuses a consumer checks first — doc
+    * count, distinct-content count (1 − distinct/docs IS the exact-dup
+    * rate), token totals and range, language spread, and the EXACT
+    * median document length (rank-based — (n+1)/2-th smallest with id
+    * tiebreak, a per-source window, so the number is reproducible
+    * anywhere, unlike an approximate percentile). All integers: the
+    * whole card hash-replays in any engine. */
+  def dataCard(df: DataFrame, groupCol: String, idCol: String,
+      textCol: String, langCol: String): DataFrame = {
+    val base = df.select(col(groupCol).as("_g"), col(idCol).as("_id"),
+      col(textCol).as("_t"), col(langCol).as("_l"),
+      size(filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= ""))
+        .cast("long").as("_ntok"))
+      .localCheckpoint(true)
+    val agg = base.groupBy(col("_g"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("_t")).as("n_distinct_texts"),
+        sum(col("_ntok")).as("total_tokens"),
+        countDistinct(col("_l")).as("n_langs"),
+        min(col("_ntok")).as("min_tokens"),
+        max(col("_ntok")).as("max_tokens"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_g"))
+    val med = base
+      .withColumn("_rn", row_number().over(
+        w.orderBy(col("_ntok"), col("_id"))))
+      .withColumn("_n", count(lit(1)).over(w))
+      .filter(col("_rn") === ((col("_n") + 1) / 2).cast("long"))
+      .select(col("_g"), col("_ntok").as("median_tokens"))
+    agg.join(med, "_g").withColumnRenamed("_g", groupCol)
+  }
+
   /** Key-skew report — the numbers that PICK the salting/bucketing
     * parameters before a 100-TB join or aggregation, without
     * rescanning anything afterwards: per-key counts roll into

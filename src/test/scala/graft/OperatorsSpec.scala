@@ -845,6 +845,23 @@ class OperatorsSpec extends AnyFunSuite {
       Seq($"dept", Privacy.generalize($"age", 100L)), Seq("dept", "age_r"), 3L)
     assert(wide.count() == 0L, "coarser generalization certifies")
   }
+  test("dataCard: exact censuses, dup rate via distinct texts, rank median incl. even groups") {
+    import graft.operators.DataProfile
+    val rows = Seq(
+      (1L, "s1", "a b c", "en"), (2L, "s1", "a b c", "en"), // exact dup
+      (3L, "s1", "x y", "de"), (4L, "s1", "p q r s t", "en"),
+      (5L, "s2", "one", "en"), (6L, "s2", "two three", "en"))
+      .toDF("doc_id", "source", "text", "lang")
+    val card = DataProfile.dataCard(rows, "source", "doc_id", "text", "lang")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(t => t._1 -> t).toMap
+    // s1: docs 4, distinct 3, tokens 3+3+2+5=13, langs 2, min 2, max 5,
+    // median = 2nd smallest of (3,3,2,5 sorted: 2,3,3,5) = 3
+    assert(card("s1") == (("s1", 4L, 3L, 13L, 2L, 2L, 5L, 3L)), card("s1"))
+    // s2 (even n=2): median = 1st smallest = 1
+    assert(card("s2") == (("s2", 2L, 2L, 3L, 1L, 1L, 2L, 1L)), card("s2"))
+  }
+
   test("epochOrder: a true permutation per epoch, epochs differ, deterministic") {
     import graft.operators.Denoising
     val docs = (0L until 200L).toDF("id")
