@@ -3750,6 +3750,30 @@ object SparkEntry {
         .orderBy($"source", $"pos")
     }),
 
+    // SPLIT-CONTAMINATION AUDIT (r17): the C4/GPT-3 hygiene check run
+    // ON the engine's own split assignment — after the leakage-safe
+    // split, which TRAIN docs still share an 8-gram with the TEST
+    // split (exact dups can't straddle by construction, but verbatim
+    // n-gram overlap between near-identical docs can)? Composes
+    // Splits.leakSafeSplit with TextAnalytics.decontaminate; the
+    // oracle replays the split arithmetic AND the n-gram join.
+    "q220_split_contamination" -> ((s, dir) => {
+      import s.implicits._
+      val split = graft.operators.Splits.leakSafeSplit(
+        t(s, dir, "documents").select($"doc_id", $"text"),
+        "doc_id", "text",
+        Seq(("train", 80), ("val", 90), ("test", 100)))
+        .localCheckpoint(true)
+      val train = split.filter($"split" === "train").select($"doc_id", $"text")
+      val test = split.filter($"split" === "test").select($"text")
+      val clean = graft.operators.TextAnalytics.decontaminate(
+        train, "doc_id", "text", test, "text", n = 8)
+      val nTrain = train.count()
+      val nClean = clean.count()
+      Seq((nTrain, nClean, nTrain - nClean))
+        .toDF("n_train", "n_clean", "n_contaminated")
+    }),
+
     // DATA CARD (r17, datasheets-for-datasets): the per-source release
     // documentation table — doc/distinct-content/token censuses,
     // language spread, and the EXACT rank-based median doc length.
@@ -5994,6 +6018,33 @@ object SparkEntry {
         |  FROM tk)
         |SELECT doc_id, n_matches FROM m WHERE n_matches > 0
         |ORDER BY doc_id""".stripMargin,
+
+    "q220_split_contamination" ->
+      """WITH g AS (SELECT doc_id, text,
+        |    MIN(doc_id) OVER (PARTITION BY text) AS gkey
+        |  FROM documents),
+        |a AS (SELECT doc_id, text,
+        |    CASE WHEN (gkey * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
+        |         WHEN (gkey * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM g),
+        |tt AS (SELECT doc_id, split,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '') AS tk
+        |  FROM a WHERE split IN ('train', 'test')),
+        |tg AS (SELECT doc_id, split,
+        |    unnest(list_distinct(list_transform(
+        |      generate_series(1, len(tk) - 7),
+        |      i -> array_to_string(tk[i:i+7], ' ')))) AS gr
+        |  FROM tt),
+        |eg AS (SELECT DISTINCT gr FROM tg WHERE split = 'test'),
+        |bad AS (SELECT DISTINCT tg.doc_id FROM tg
+        |  JOIN eg ON eg.gr = tg.gr WHERE tg.split = 'train')
+        |SELECT
+        |  (SELECT COUNT(*) FROM a WHERE split = 'train') AS n_train,
+        |  (SELECT COUNT(*) FROM a WHERE split = 'train') -
+        |    (SELECT COUNT(*) FROM bad) AS n_clean,
+        |  (SELECT COUNT(*) FROM bad) AS n_contaminated""".stripMargin,
 
     "q219_data_card" ->
       """WITH b AS (SELECT source, doc_id, text, lang,
