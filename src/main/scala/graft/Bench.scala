@@ -230,6 +230,9 @@ object Bench {
     "q217" -> (0.303, 0.735), "q218" -> (0.574, 1.257),
     // q219/q220 first isolated measurements (0.469/0.962)
     "q219" -> (0.328, 0.783), "q220" -> (0.673, 1.449),
+    // q221 first isolated measurement (1.754 — two index builds + the
+    // scatter-gather probe)
+    "q221" -> (1.228, 2.518),
     "q13" -> (0.231, 0.596), "q14" -> (0.168, 0.501), "q15" -> (0.217, 0.596),
     "q16" -> (0.175, 0.501), "q17" -> (0.287, 0.717), "q18" -> (0.161, 0.461),
     "q19" -> (0.21, 0.636), "q20" -> (0.322, 0.771), "q21" -> (0.217, 0.622),

@@ -3750,6 +3750,33 @@ object SparkEntry {
         .orderBy($"source", $"pos")
     }),
 
+    // SCATTER-GATHER SHARDED QUERY (r17): top-k across TWO shard
+    // indexes (odd/even vectors) merged once — the serving shape past
+    // a single snapshot index (per-tenant/per-epoch shards). Each
+    // shard answers its own exact top-k, the union re-ranks, and the
+    // merged head equals the GLOBAL top-k (the distributed-IR merge
+    // argument) — which is exactly what the oracle computes, blind to
+    // the sharding.
+    "q221_sharded_query" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.VectorIndex
+      val tmp = freshScratch("q221")
+      val emb = t(s, dir, "embeddings")
+      def recs(parity: Int) = emb.filter($"vec_id" % 2 === parity)
+        .select($"vec_id".cast("string").as("id"),
+          $"embedding".as("values"),
+          struct(lit(0).as("chunk_index"), lit("t").as("source"))
+            .as("metadata"))
+      val shardA = VectorIndex.ensure(s, s"$tmp/a", 64)
+      shardA.upsert(recs(0))
+      val shardB = VectorIndex.ensure(s, s"$tmp/b", 64)
+      shardB.upsert(recs(1))
+      val q = emb.filter($"vec_id" === 1).select($"embedding")
+        .as[Array[Float]].head()
+      VectorIndex.queryMany(Seq(shardA, shardB), q, k = 12)
+        .select($"id")
+    }),
+
     // SPLIT-CONTAMINATION AUDIT (r17): the C4/GPT-3 hygiene check run
     // ON the engine's own split assignment — after the leakage-safe
     // split, which TRAIN docs still share an 8-gram with the TEST
@@ -6018,6 +6045,14 @@ object SparkEntry {
         |  FROM tk)
         |SELECT doc_id, n_matches FROM m WHERE n_matches > 0
         |ORDER BY doc_id""".stripMargin,
+
+    "q221_sharded_query" ->
+      """SELECT CAST(e.vec_id AS VARCHAR) AS id FROM embeddings e
+        |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+        |   WHERE vec_id = 1)) DESC,
+        |  CAST(e.vec_id AS VARCHAR)
+        |LIMIT 12""".stripMargin,
 
     "q220_split_contamination" ->
       """WITH g AS (SELECT doc_id, text,

@@ -887,6 +887,25 @@ object VectorIndex {
     * path, whose index instance is internal to the catalog. */
   @volatile private[graft] var lastScanStatsPruned: Int = 0
 
+  /** SCATTER-GATHER top-k across SHARDED indexes — the serving shape
+    * when one snapshot index stops being enough (per-tenant shards,
+    * per-time-range shards, or simply 10^12 vectors split across
+    * warehouses): query every shard for its own top-k, union the
+    * k·shards candidates, re-rank once. Exactness is inherited — each
+    * shard's exact top-k is a superset-contributor of the global
+    * top-k, so the merged head IS the global answer (the classic
+    * distributed-IR merge argument); ties break on id exactly like
+    * [[VectorIndex.query]] so the merge is total. Per-shard work is
+    * untouched (each shard's own pruning applies); the merge moves
+    * only k rows per shard. */
+  def queryMany(idxs: Seq[VectorIndex], q: Array[Float], k: Int,
+      filter: Option[Column] = None): DataFrame = {
+    require(idxs.nonEmpty, "queryMany needs at least one index")
+    idxs.map(_.query(q, k, filter)).reduce(_.unionByName(_))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+
   /** Seed of the stored `_bsig` hyperplane signatures — fixed so every
     * snapshot (and the query side) hashes the same planes. */
   private[operators] val SigSeed = 42L

@@ -712,6 +712,40 @@ class IngestIndexSpec extends AnyFunSuite {
       s"orphan attempt dirs leaked: ${onDisk -- referenced}")
   }
 
+  test("queryMany: sharded scatter-gather equals the single-index answer, sharding-invariant") {
+    val dir = Files.createTempDirectory("graft_idx_sg").toString
+    def recs(s: org.apache.spark.sql.SparkSession, pred: Long => Boolean) =
+      s.range(0, 60).filter(org.apache.spark.sql.functions.udf(pred).apply($"id"))
+        .select(concat(lit("v-"), $"id").as("id"),
+          array($"id".cast("float"), ($"id" % 7).cast("float"),
+            lit(1f), lit(2f)).as("values"),
+          struct(lit(0).as("chunk_index"), lit("t").as("source")).as("metadata"))
+    val all = VectorIndex.ensure(spark, s"$dir/all", 4)
+    all.upsert(recs(spark, _ => true))
+    val s2 = VectorIndex.ensure(spark, s"$dir/s2", 4)
+    s2.upsert(recs(spark, _ % 2 == 0))
+    val s3 = VectorIndex.ensure(spark, s"$dir/s3", 4)
+    s3.upsert(recs(spark, _ % 2 == 1))
+    val q = Array(31f, 3f, 1f, 2f)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").as[String].collect().toSeq
+    val single = ids(all.query(q, 7))
+    assert(ids(VectorIndex.queryMany(Seq(s2, s3), q, 7)) == single,
+      "2-shard merge must equal the single index")
+    // a different sharding (3 shards by modulo) yields the same answer
+    val t0 = VectorIndex.ensure(spark, s"$dir/t0", 4)
+    t0.upsert(recs(spark, _ % 3 == 0))
+    val t1 = VectorIndex.ensure(spark, s"$dir/t1", 4)
+    t1.upsert(recs(spark, _ % 3 == 1))
+    val t2 = VectorIndex.ensure(spark, s"$dir/t2", 4)
+    t2.upsert(recs(spark, _ % 3 == 2))
+    assert(ids(VectorIndex.queryMany(Seq(t0, t1, t2), q, 7)) == single,
+      "sharding layout must not change the merged answer")
+    intercept[IllegalArgumentException] {
+      VectorIndex.queryMany(Seq.empty, q, 5)
+    }
+  }
+
   test("four mixed racers (2 upserts, delete, rebucket): versions linearize, every effect lands or surfaces typed, no orphans") {
     val dir = Files.createTempDirectory("graft_idx_race4").toString
     val root = s"$dir/r4"
