@@ -3687,8 +3687,15 @@ object SparkEntry {
     "q198_rerank" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
-      val cands = graft.operators.TextAnalytics.bm25TopK(docs, "doc_id",
-          "text", Seq("vector", "join", "hash"), k = 50)
+      // recall cut on the FLOORED score + doc_id tiebreak (the q211
+      // discipline): a raw-double cut at rank 50 sits on ln()'s
+      // last-ulp cross-engine boundary, and one flipped candidate
+      // flips the graded reranked top-10
+      val cands = graft.operators.TextAnalytics.bm25Scores(docs, "doc_id",
+          "text", Seq("vector", "join", "hash"))
+        .orderBy(floor($"score" * lit(1000000.0)).cast("long").desc,
+          $"doc_id")
+        .limit(50)
         .select($"doc_id")
         .join(docs.select($"doc_id", $"text"), "doc_id")
       graft.core.Rerank.rerank(cands, "doc_id", "text",
@@ -6833,7 +6840,8 @@ object SparkEntry {
         |    COALESCE(MAX(CASE WHEN term = 'hash' THEN s END), 0) AS s2
         |  FROM per GROUP BY 1),
         |cand AS (SELECT doc_id, s0 + s1 + s2 AS score FROM sc
-        |        ORDER BY score DESC, doc_id LIMIT 50),
+        |        ORDER BY CAST(FLOOR((s0 + s1 + s2) * 1000000.0) AS BIGINT)
+        |          DESC, doc_id LIMIT 50),
         |f AS (SELECT c.doc_id,
         |    list_distinct(list_filter(string_split_regex(lower(d.text),
         |      '[^a-z0-9]+'), x -> x <> '')) AS dt

@@ -270,12 +270,19 @@ object InvertedIndex {
         val n = f.getPath.getName
         f.isFile && !n.startsWith("_") && !n.startsWith(".")
       }.map(_.getPath)) // an erasure-emptied dir holds no files
+    // freshness key is (doc, dl) — the SAME key the exact fallback
+    // aggregate ([[corpusStats]] legacy path, [[compactIndex]] heal)
+    // dedupes on. Anti-joining on doc alone would zero the delta for
+    // a doc re-appended with CHANGED text while the fallback counts
+    // both (doc, dl) variants, silently diverging rollup vs heal; on
+    // the shared key both paths count the contract-violating re-append
+    // twice and stay bit-identical until deleteDocs+compact repairs it.
     val fresh =
       if (existingFiles.isEmpty) dl
       else dl.join(
         spark.read.parquet(existingFiles.map(_.toString): _*)
-          .select(col("doc")).distinct(),
-        Seq("doc"), "left_anti")
+          .select(col("doc"), col("dl")).distinct(),
+        Seq("doc", "dl"), "left_anti")
     val m = fresh.agg(count(lit(1)).as("n"),
       coalesce(sum(col("dl").cast("long")), lit(0L)).as("s"),
       coalesce(expr("bit_xor(xxhash64(doc, dl))"), lit(0L)).as("fp")).head()

@@ -52,14 +52,28 @@ object JoinEstimate {
     * work is a (depth·width)-row join of two KB tables, the base data
     * is never touched. */
   def estimateJoinSize(cms1: DataFrame, cms2: DataFrame): Long = {
+    // the inner product accumulates in DECIMAL(38,0), not long: at the
+    // 10^12-row planning scale this module exists for, per-cell counts
+    // reach ~1e9 and a single product is ~1e18 — a 1024-term LONG sum
+    // wraps silently and the min-over-depth then picks the wrapped row.
+    // 38 digits carry width·(N1/width)·(N2/width) for any N this side
+    // of 1e18 rows; the final value is clamped to Long.MaxValue rather
+    // than overflowed.
     val per = cms1.select(col("d"), col("b"), col("cnt").as("_c1"))
       .join(cms2.select(col("d"), col("b"), col("cnt").as("_c2")),
         Seq("d", "b"))
       .groupBy(col("d"))
-      .agg(sum(col("_c1") * col("_c2")).as("_ip"))
+      .agg(sum(col("_c1").cast("decimal(38,0)") *
+        col("_c2").cast("decimal(38,0)")).as("_ip"))
       .agg(min(col("_ip")))
       .head()
-    if (per.isNullAt(0)) 0L else per.getLong(0)
+    if (per.isNullAt(0)) 0L
+    else {
+      val ip = per.getDecimal(0).toBigInteger
+      if (ip.compareTo(java.math.BigInteger.valueOf(Long.MaxValue)) > 0)
+        Long.MaxValue
+      else ip.longValueExact()
+    }
   }
 
   /** The published error ceiling for this sketch geometry:
@@ -67,8 +81,11 @@ object JoinEstimate {
     * from the sketches themselves: Σ cnt / depth). */
   def errorBound(cms1: DataFrame, cms2: DataFrame, width: Int,
       depth: Int): Double = {
+    // coalesce: an EMPTY sketch (zero rows sketched → no cells) sums
+    // to NULL, and getLong(0) on it would throw instead of bounding 0
     def n(c: DataFrame): Double =
-      c.agg(sum(col("cnt"))).head().getLong(0).toDouble / depth
+      c.agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0)
+        .toDouble / depth
     math.E / width * n(cms1) * n(cms2)
   }
 }

@@ -317,6 +317,21 @@ object TextAnalytics {
     *         score-descending, ties broken by id. */
   def bm25TopK(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame =
+    bm25Scores(df, idCol, textCol, terms, k1, b)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("score"))
+
+  /** The UNCUT (idCol, score) BM25 frame over every doc containing at
+    * least one query term — same scorer/shapes/fold order as
+    * [[bm25TopK]], but the caller owns the cut. A recall stage feeding
+    * a reranker cuts on floor(score·1e6) with an id tiebreak (the q211
+    * discipline): a raw-double cut sits exactly on ln()'s last-ulp
+    * cross-engine boundary, and one flipped candidate at rank k flips
+    * the whole reranked head. */
+  def bm25Scores(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, terms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
     validateTerms(terms)
     val base = df.select(col(idCol),
@@ -347,9 +362,6 @@ object TextAnalytics {
               lit(b) * col("_dl").cast("double") / col("_avgdl"))))
       .withColumn("_s", col("_idf") * col("_sat"))
     foldTermScores(per, idCol, terms)
-      .orderBy(col("score").desc, col(idCol))
-      .limit(k)
-      .select(col(idCol), col("score"))
   }
 
   /** Reciprocal-rank fusion of two ranked id lists (hybrid retrieval:

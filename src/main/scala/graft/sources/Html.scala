@@ -133,8 +133,14 @@ object Html {
             var href: String = null
             while (href == null && p < end) {
               // attribute name start: a letter preceded by ws or quote end
-              if (html.regionMatches(true, p, "href", 0, 4) &&
-                  (p == 0 || !Character.isLetterOrDigit(html.charAt(p - 1)))) {
+              // the char BEFORE 'href' must be an attribute-name
+              // boundary — whitespace or a closing quote — not merely
+              // non-alphanumeric: 'data-href="..."' has '-' before
+              // href and is a DIFFERENT attribute, not the anchor
+              if (html.regionMatches(true, p, "href", 0, 4) && p > 0 && {
+                    val b = html.charAt(p - 1)
+                    Character.isWhitespace(b) || b == '"' || b == '\''
+                  }) {
                 var q = p + 4
                 while (q < end && Character.isWhitespace(html.charAt(q))) q += 1
                 if (q < end && html.charAt(q) == '=') {
