@@ -170,9 +170,13 @@ object Bench {
     "q177" -> (0.271, 0.672), "q178" -> (0.779, 1.653),
     // q179 first isolated noop measurement (0.673)
     "q179" -> (0.471, 1.059),
-    // q181/q182 from two isolated runs each (2.58/3.02, 2.40/3.27 —
-    // both dominated by the q174-class index build-in-two-appends)
-    "q181" -> (1.806, 4.227), "q182" -> (1.680, 4.565),
+    // q181/q182 RE-BASED in r18: they now probe the memoized shared
+    // two-append fixture (the q76 pattern) instead of each rebuilding
+    // the identical index q174w already times — the old 2.4-3.3s
+    // numbers were ~90% redundant build. Probe-only from two isolated
+    // runs each (0.304/0.390, 0.367/0.317): a probe regression that
+    // the build previously swallowed must flag now.
+    "q181" -> (0.213, 0.677), "q182" -> (0.222, 0.645),
     // q183 two isolated runs (0.387/0.405)
     "q183" -> (0.271, 0.697),
     // q184 two isolated runs (1.09/1.60)
@@ -204,11 +208,13 @@ object Bench {
     "q199" -> (0.641, 1.387),
     // q200 first isolated measurement (0.600)
     "q200" -> (0.420, 0.960),
-    // q201 first isolated measurement (13.776) — the heaviest gate by
-    // design: a full 3-micro-batch streaming dedup ingest maintaining
-    // the postings index, then the pruned phrase probe; per-batch job
-    // overhead dominates (cpu 28s over 13.8s wall on 32 cores)
-    "q201" -> (9.643, 18.748),
+    // q201 SPLIT in r18 (verdict ask): the 12.5s composite hid probe
+    // regressions behind streaming ingest latency. Write = the full
+    // 3-micro-batch streaming dedup ingest maintaining corpus +
+    // postings (per-batch job overhead dominates: cpu ~30s over ~13s
+    // wall on 32 cores); read = the pruned phrase probe. Bands from
+    // two isolated split runs (13.506/12.653, 0.273/0.253).
+    "q201w" -> (8.857, 18.383), "q201r" -> (0.177, 0.519),
     // q202-q204 first isolated measurements (0.561/0.351/2.542 — q204
     // is the q174-class full index build + pruned MLT probe)
     "q202" -> (0.393, 0.907), "q203" -> (0.246, 0.624),

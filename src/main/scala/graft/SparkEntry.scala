@@ -325,6 +325,76 @@ object SparkEntry {
       .select($"doc".as("doc_id"), $"score")
   }
 
+  /** Memoized two-append postings index per dataset dir (r18, verdict
+    * item #1): q181 (proximity) and q182 (boolean) each probed an index
+    * bit-identical to the one q174's write phase already times
+    * (writeIndex on the even half + appendIndex on the odd half, 32
+    * buckets) — so their bench numbers were ~90% redundant build and a
+    * probe regression hid inside it. Built ONCE per (app, dir) into
+    * scratch (the q76 file-backed-fixture pattern: parquet files, not
+    * pinned checkpoint blocks — Bench unpersists all RDD blocks between
+    * timed runs); q181/q182 then bench as pure index-served probes, the
+    * cost a user's query actually pays against a standing index. The
+    * correctness gates are unchanged: same index content, same oracles. */
+  private val postingsIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def postingsIdxFor(s: SparkSession, dir: String): String =
+    postingsIdxCache.computeIfAbsent(s"${s.sparkContext.applicationId}:$dir", _ => {
+      import s.implicits._
+      val out = freshScratch("pidx_fixture") + "/pidx"
+      val docs = t(s, dir, "documents")
+      graft.operators.InvertedIndex.writeIndex(docs.filter($"doc_id" % 2 === 0),
+        "doc_id", "text", out, buckets = 32)
+      graft.operators.InvertedIndex.appendIndex(docs.filter($"doc_id" % 2 === 1),
+        "doc_id", "text", out)
+      out
+    })
+
+  // ---- r18 q201 build/probe split (verdict item #1): the 12.5s
+  // composite — a full 3-micro-batch streaming dedup ingest THEN a
+  // phrase probe — hid probe regressions behind streaming latency.
+  // The write phase rebuilds the whole ingest from scratch each timed
+  // run (source staging, fresh temp checkpoint, corpus + postings);
+  // the read phase is the pruned phrase probe over the result.
+  private def rtStreamPidxWrite(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val scratch = scratchDir("q201rw")
+    Seq("src", "corpus", "corpus_sig", "pidx").foreach(d => cleanDir(s"$scratch/$d"))
+    val src = s"$scratch/src"
+    new java.io.File(src).mkdirs()
+    val docs = t(s, dir, "documents").select($"doc_id", $"text")
+    val maxId = docs.agg(max($"doc_id")).head().getLong(0)
+    val (cut1, cut2) = (maxId / 3, 2 * maxId / 3)
+    def writeBatch(name: String, f: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = s"$scratch/stage_$name"
+      f.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$src/$name.parquet"))
+    }
+    val stream = s.readStream.schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))))
+      .parquet(src)
+    writeBatch("b1", docs.filter($"doc_id" <= cut1))
+    val q = graft.streaming.StreamOps.dedupedIngest(stream, s"$scratch/corpus",
+      postingsPath = Some(s"$scratch/pidx")).start()
+    q.processAllAvailable()
+    writeBatch("b2", docs.filter($"doc_id" > cut1 && $"doc_id" <= cut2))
+    q.processAllAvailable()
+    writeBatch("b3", docs.filter($"doc_id" > cut2))
+    q.processAllAvailable()
+    q.stop()
+  }
+  private def rtStreamPidxRead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.InvertedIndex.phraseSearchIndexed(s,
+        s"${scratchDir("q201rw")}/pidx", Seq("hash", "value"))
+      .select($"doc".as("doc_id"), $"n_matches")
+      .orderBy($"doc_id")
+  }
+
   private def rtXmlWrite(s: SparkSession, dir: String): Unit = {
     import s.implicits._
     events(s, dir)
@@ -375,7 +445,11 @@ object SparkEntry {
       // r17: the r16 verdict asked for q174/q180's build-vs-probe split
       // — the combined numbers hid which phase a regression lives in
       "q174_phrase_index" -> ((rtPhraseIdxWrite _, rtPhraseIdxRead _)),
-      "q180_tfidf_indexed" -> ((rtTfidfIdxWrite _, rtTfidfIdxRead _)))
+      "q180_tfidf_indexed" -> ((rtTfidfIdxWrite _, rtTfidfIdxRead _)),
+      // r18: q201's 12.5s composite hid probe regressions behind the
+      // streaming ingest; build (3-micro-batch dedup ingest maintaining
+      // corpus + postings) and probe now time separately
+      "q201_stream_postings" -> ((rtStreamPidxWrite _, rtStreamPidxRead _)))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3375,13 +3449,10 @@ object SparkEntry {
     "q181_proximity_index" -> ((s, dir) => {
       import s.implicits._
       import graft.operators.InvertedIndex
-      val tmp = freshScratch("q181") + "/pidx"
-      val docs = t(s, dir, "documents")
-      InvertedIndex.writeIndex(docs.filter($"doc_id" % 2 === 0),
-        "doc_id", "text", tmp, buckets = 32)
-      InvertedIndex.appendIndex(docs.filter($"doc_id" % 2 === 1),
-        "doc_id", "text", tmp)
-      InvertedIndex.proximitySearchIndexed(s, tmp,
+      // r18: probe the MEMOIZED two-append fixture (bit-identical index
+      // content to the per-call build this gate used through r17 — the
+      // oracle is unchanged); the redundant build now costs once per JVM
+      InvertedIndex.proximitySearchIndexed(s, postingsIdxFor(s, dir),
           Seq("vector", "join", "hash"), slop = 2)
         .select($"doc".as("doc_id"), $"n_matches")
         .orderBy($"doc_id")
@@ -3394,13 +3465,8 @@ object SparkEntry {
     "q182_boolean_index" -> ((s, dir) => {
       import s.implicits._
       import graft.operators.InvertedIndex
-      val tmp = freshScratch("q182") + "/pidx"
-      val docs = t(s, dir, "documents")
-      InvertedIndex.writeIndex(docs.filter($"doc_id" % 2 === 0),
-        "doc_id", "text", tmp, buckets = 32)
-      InvertedIndex.appendIndex(docs.filter($"doc_id" % 2 === 1),
-        "doc_id", "text", tmp)
-      InvertedIndex.booleanSearchIndexed(s, tmp,
+      // r18: probe the memoized fixture (see q181)
+      InvertedIndex.booleanSearchIndexed(s, postingsIdxFor(s, dir),
           must = Seq("vector", "join"), mustNot = Seq("hash"))
         .select($"doc".as("doc_id"))
         .orderBy($"doc_id")
