@@ -239,6 +239,10 @@ object Bench {
     // q221 first isolated measurement (1.754 — two index builds + the
     // scatter-gather probe)
     "q221" -> (1.228, 2.518),
+    // q222 two isolated runs (6.841/6.158) — two planted-cluster shard
+    // builds + 4 scatter-gather query pairs; each approx probe is
+    // manifest/footer-driven driver work per shard, which dominates
+    "q222" -> (4.311, 9.385),
     "q13" -> (0.231, 0.596), "q14" -> (0.168, 0.501), "q15" -> (0.217, 0.596),
     "q16" -> (0.175, 0.501), "q17" -> (0.287, 0.717), "q18" -> (0.161, 0.461),
     "q19" -> (0.21, 0.636), "q20" -> (0.322, 0.771), "q21" -> (0.217, 0.622),

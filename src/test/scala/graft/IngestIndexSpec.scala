@@ -744,6 +744,19 @@ class IngestIndexSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       VectorIndex.queryMany(Seq.empty, q, 5)
     }
+    // APPROX scatter-gather (r18): with shortlist >= every shard's size
+    // each per-shard queryApprox is exact, so the merged head must
+    // recover the exact scatter-gather (= single-index) answer
+    // bit-for-bit — the full-shortlist contract of queryManyApprox
+    assert(ids(VectorIndex.queryManyApprox(Seq(s2, s3), q, 7,
+        shortlist = 60)) == single,
+      "full-shortlist approx scatter-gather must equal the exact answer")
+    assert(ids(VectorIndex.queryManyApprox(Seq(t0, t1, t2), q, 7,
+        shortlist = 60)) == single,
+      "full-shortlist approx merge must be sharding-invariant")
+    intercept[IllegalArgumentException] {
+      VectorIndex.queryManyApprox(Seq.empty, q, 5)
+    }
   }
 
   test("four mixed racers (2 upserts, delete, rebucket): versions linearize, every effect lands or surfaces typed, no orphans") {
