@@ -86,6 +86,10 @@ object SparkEntry {
   private val scratchCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def scratchDir(tag: String): String =
     scratchCache.computeIfAbsent(tag, _ => freshScratch(tag))
+  // q223 needs a FRESH catalog name per invocation: Spark's
+  // CatalogManager caches catalog instances by name, so a reused name
+  // would keep serving the first invocation's (deleted-from) root
+  private val catalogNameCounter = new java.util.concurrent.atomic.AtomicLong()
 
   /** Memoized IVF index per dataset dir (q76): real IVF usage is
     * build-once/query-many, so the probe query should not pay the KMeans
@@ -3865,6 +3869,36 @@ object SparkEntry {
     // phase, cell layout, or merge shows up as recall collapse.
     // (IngestIndexSpec additionally proves full-shortlist mode
     // recovers the exact q221 answer bit-for-bit.)
+    // SQL DELETE FROM through the catalog (r18, verdict #3): erasure —
+    // the other mutation with an honest mapping onto the snapshot
+    // commit protocol — now has a SQL surface: a literal id set maps
+    // onto VectorIndex.delete, the identical CAS-committed touched-
+    // buckets-only rewrite an API caller gets. The gate builds a fresh
+    // index, deletes five ids through SQL, and grades BOTH the head
+    // (ids gone) and VERSION AS OF 0 (all rows still served — the
+    // delete committed a NEW linearized version, it did not rewrite
+    // history). Predicate/unconditional DELETE refusal is CatalogSpec's.
+    "q223_sql_delete" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.VectorIndex
+      val root = freshScratch("q223cat")
+      val cat = s"gdel${catalogNameCounter.incrementAndGet()}"
+      val emb = t(s, dir, "embeddings")
+      val idx = VectorIndex.ensure(s, s"$root/vidx", 64)
+      idx.upsert(emb.filter($"vec_id" < 300).select(
+        $"vec_id".cast("string").as("id"),
+        $"embedding".cast("array<float>").as("values"),
+        struct(($"vec_id" % 5).cast("int").as("chunk_index"),
+          lit("uploaded_pdf").as("source")).as("metadata")))
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"DELETE FROM $cat.vidx WHERE id IN ('10','20','30','40','50')")
+      s.sql(s"SELECT 'v0' AS snap, id FROM $cat.vidx VERSION AS OF 0")
+        .unionAll(s.sql(s"SELECT 'hd' AS snap, id FROM $cat.vidx"))
+        .orderBy($"snap", $"id")
+    }),
+
     "q222_sharded_approx" -> ((s, dir) => {
       import s.implicits._
       import graft.operators.VectorIndex
@@ -6189,6 +6223,16 @@ object SparkEntry {
 
     "q222_sharded_approx" ->
       "SELECT CAST(10 AS BIGINT) AS k, TRUE AS sharded_recall_ok",
+
+    "q223_sql_delete" ->
+      """WITH ids AS (SELECT CAST(vec_id AS VARCHAR) AS id
+        |             FROM embeddings WHERE vec_id < 300)
+        |SELECT * FROM (
+        |  SELECT 'v0' AS snap, id FROM ids
+        |  UNION ALL
+        |  SELECT 'hd' AS snap, id FROM ids
+        |  WHERE id NOT IN ('10','20','30','40','50'))
+        |ORDER BY snap, id""".stripMargin,
 
     "q221_sharded_query" ->
       """SELECT CAST(e.vec_id AS VARCHAR) AS id FROM embeddings e

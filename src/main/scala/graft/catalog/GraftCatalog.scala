@@ -35,9 +35,13 @@ import graft.operators.VectorIndex
   * id-keyed last-write-wins through [[VectorIndex.upsert]], so a SQL
   * writer gets the same manifest commit protocol (zombie-writer guard,
   * dim validation, touched-buckets-only rewrite) as an API writer.
-  * Everything else stays refused: CREATE/ALTER/DROP/RENAME and INSERT
-  * OVERWRITE have no semantics the commit protocol can honor (indexes
-  * are created via [[VectorIndex.ensure]], deleted ids via the API).
+  * `DELETE FROM ... WHERE id IN (...)` (r18) is the erasure surface:
+  * the literal id set maps onto [[VectorIndex.delete]] — the same
+  * CAS-committed touched-buckets-only rewrite, versions linearized.
+  * Everything else stays refused: CREATE/ALTER/DROP/RENAME, INSERT
+  * OVERWRITE, predicate/unconditional DELETE have no semantics the
+  * commit protocol can honor (indexes are created via
+  * [[VectorIndex.ensure]]).
   * `VERSION AS OF n` maps to [[VectorIndex.scanAt]] — every
   * retained manifest is a complete immutable file list, so historical
   * reads cost nothing extra; a pruned-out version fails loudly.
@@ -118,7 +122,8 @@ final class GraftCatalog extends TableCatalog {
   private def readOnly(op: String): Nothing =
     throw new UnsupportedOperationException(
       s"graft catalog supports no DDL ($op): create indexes via " +
-        "VectorIndex.ensure; INSERT INTO upserts, deletes go via the API")
+        "VectorIndex.ensure; INSERT INTO upserts, DELETE FROM ... WHERE " +
+        "id IN (...) erases")
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table =
@@ -141,7 +146,8 @@ final class GraftCatalog extends TableCatalog {
 private[catalog] final class GraftIndexTable(
     idx: VectorIndex,
     tableName: String,
-    asOf: Option[Long]) extends Table with SupportsRead with SupportsWrite {
+    asOf: Option[Long]) extends Table with SupportsRead with SupportsWrite
+    with SupportsDelete {
 
   // scanAt validates retention and fails loudly on a pruned version
   private def df: DataFrame = asOf.map(idx.scanAt).getOrElse(idx.scan())
@@ -156,6 +162,55 @@ private[catalog] final class GraftIndexTable(
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftIndexScanBuilder(idx, asOf, df)
+
+  /** `DELETE FROM <idx> WHERE id IN (...)` / `id = '...'` (r18) —
+    * erasure, the other mutation with an honest mapping onto the
+    * snapshot commit protocol. The id set is extracted STATICALLY from
+    * the pushed conjuncts (zero scan I/O) and handed to
+    * [[VectorIndex.delete]], so a SQL deleter gets the identical
+    * CAS-committed, touched-buckets-only manifest rewrite as an API
+    * caller — versions linearize against concurrent writers the same
+    * way. Anything that is not a pure id-set predicate refuses loudly
+    * (`canDeleteWhere` = false): a general predicate delete would need
+    * a scan-then-delete whose row set can drift between the scan and
+    * the commit, a promise the protocol doesn't make. Unconditional
+    * DELETE (truncate) refuses for the same reason OVERWRITE does. */
+  private def idSetOf(fs: Array[Filter]): Option[Seq[String]] = {
+    def one(f: Filter): Option[Set[String]] = f match {
+      case sources.EqualTo("id", v: String) => Some(Set(v))
+      case sources.In("id", vs)
+          if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+        Some(vs.iterator.map(_.asInstanceOf[String]).toSet)
+      case _ => None
+    }
+    // Spark plans `IsNotNull(id)` alongside the equality — it never
+    // narrows a literal id set, so it drops; remaining conjuncts must
+    // ALL be id-set shapes, and the conjunction is their intersection
+    val conjuncts = fs.filterNot(_ == sources.IsNotNull("id"))
+    if (conjuncts.isEmpty) None
+    else {
+      val sets = conjuncts.map(one)
+      if (sets.exists(_.isEmpty)) None
+      else Some(sets.flatten.reduce(_ intersect _).toSeq.sorted)
+    }
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    asOf.isEmpty && idSetOf(filters).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    if (asOf.nonEmpty) throw new UnsupportedOperationException(
+      s"cannot DELETE from time-travel view ${name()}: deletes go to the head")
+    val ids = idSetOf(filters).getOrElse(throw new UnsupportedOperationException(
+      "graft DELETE supports only a literal id set (id = '...' or id IN " +
+        s"(...)): got ${filters.mkString(", ")}; run predicate deletes by " +
+        "resolving ids first (SELECT id ... ), then DELETE ... WHERE id IN"))
+    idx.delete(ids)
+  }
+
+  override def truncateTable(): Boolean = throw new UnsupportedOperationException(
+    "unconditional DELETE (truncate) is not supported: the index is " +
+      "id-keyed; enumerate ids (DELETE ... WHERE id IN (...))")
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (asOf.nonEmpty) throw new UnsupportedOperationException(

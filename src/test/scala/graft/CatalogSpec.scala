@@ -157,6 +157,40 @@ class CatalogSpec extends AnyFunSuite {
     assert(chain(bad).toLowerCase.contains("dimension"))
   }
 
+  test("DELETE FROM ... WHERE id IN is the CAS-committed erasure; predicate and unconditional DELETE refuse") {
+    root
+    val idx = VectorIndex.ensure(spark, s"$root/idx2", 2)
+    idx.upsert(records(("a", Seq(1f, 0f), 0), ("b", Seq(0f, 1f), 1),
+      ("c", Seq(1f, 1f), 2), ("d", Seq(0.5f, 0.5f), 3)))
+    val vBefore = idx.snapshots().max
+    spark.sql("DELETE FROM gtest.idx2 WHERE id IN ('b', 'd')")
+    assert(spark.sql("SELECT id FROM gtest.idx2 ORDER BY id")
+      .as[String].collect().toSeq == Seq("a", "c"))
+    // the SQL delete went through the same snapshot commit protocol as
+    // VectorIndex.delete: exactly one new version, linearized after the
+    // upsert's, and the pre-delete snapshot still serves via time travel
+    val reopened = VectorIndex.open(spark, s"$root/idx2")
+    assert(reopened.snapshots().max == vBefore + 1,
+      s"delete must commit exactly one version after $vBefore")
+    assert(spark.sql(
+        s"SELECT id FROM gtest.idx2 VERSION AS OF $vBefore ORDER BY id")
+      .as[String].collect().toSeq == Seq("a", "b", "c", "d"))
+    // single-id equality form (Spark plans EqualTo + IsNotNull)
+    spark.sql("DELETE FROM gtest.idx2 WHERE id = 'c'")
+    assert(spark.sql("SELECT id FROM gtest.idx2").as[String].collect()
+      .toSeq == Seq("a"))
+    // a predicate delete (no literal id set) refuses loudly — resolving
+    // which rows die via a scan could drift between scan and commit
+    intercept[Exception] {
+      spark.sql("DELETE FROM gtest.idx2 WHERE metadata.chunk_index = 0")
+    }
+    // unconditional DELETE (truncate) refuses
+    intercept[Exception] { spark.sql("DELETE FROM gtest.idx2") }
+    // both refusals left the data alone
+    assert(spark.sql("SELECT id FROM gtest.idx2").as[String].collect()
+      .toSeq == Seq("a"))
+  }
+
   test("missing table raises a catalog-level not-found error") {
     root
     val e = intercept[Exception] {
