@@ -246,6 +246,10 @@ object Bench {
     // q223 two isolated runs (2.277/1.787) — fresh index build + SQL
     // DELETE commit + head and time-travel reads
     "q223" -> (1.251, 3.224),
+    // q224 two isolated runs (4.757/4.732) — three bucket-commit
+    // batches on the extended (min/max/HLL) schema + the derived read
+    // joined against the exact one-shot
+    "q224" -> (3.312, 6.572),
     "q13" -> (0.231, 0.596), "q14" -> (0.168, 0.501), "q15" -> (0.217, 0.596),
     "q16" -> (0.175, 0.501), "q17" -> (0.287, 0.717), "q18" -> (0.161, 0.461),
     "q19" -> (0.21, 0.636), "q20" -> (0.322, 0.771), "q21" -> (0.217, 0.622),

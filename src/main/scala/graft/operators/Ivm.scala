@@ -36,6 +36,9 @@ object Ivm {
       Map("nBuckets" -> 8))("nBuckets")
 
   private def sumColName(c: String) = s"sum_$c"
+  private def minColName(c: String) = s"min_$c"
+  private def maxColName(c: String) = s"max_$c"
+  private def hllColName(c: String) = s"hll_$c"
 
   /** Parse a bucket's `_applied` tag file: (writerId, batchId). */
   private def bucketApplied(fs: org.apache.hadoop.fs.FileSystem,
@@ -69,9 +72,21 @@ object Ivm {
   def applyBatch(batch: DataFrame, store: String, keyCols: Seq[String],
       sumCols: Seq[String],
       nBuckets: Int = LayoutMeta.Unspecified,
-      batchTag: Option[(String, Long)] = None): Unit = {
+      batchTag: Option[(String, Long)] = None,
+      minCols: Seq[String] = Nil,
+      maxCols: Seq[String] = Nil,
+      hllCols: Seq[String] = Nil): Unit = {
     require(keyCols.nonEmpty, "need at least one key column")
     val spark = batch.sparkSession
+    // min/max/HLL (r18) carry an APPEND-ONLY contract, stricter than
+    // count/sum's: a count or sum could in principle fold a retraction
+    // (negative delta); min/max and an HLL register array cannot un-see
+    // a value. This store is append-only BY CONSTRUCTION — the only
+    // mutation is folding a batch in, and [[graft.streaming.StreamOps
+    // .ivmIngest]] pins outputMode("append") — so the merge is sound;
+    // any future retraction surface must refuse these columns, which is
+    // why the contract is stated here rather than assumed. Averages and
+    // other ratios still derive at READ time ([[readDerived]]).
     sumCols.foreach { c =>
       val dt = batch.schema(c).dataType
       val exact = dt match {
@@ -89,10 +104,18 @@ object Ivm {
       AtomicSwap.recover(conf, Scd.bucketDir(store, i))
     }
     // one shuffle, map-side combined: the batch enters the store as at
-    // most one row per distinct key
+    // most one row per distinct key. min/max partial-aggregate the same
+    // way; the HLL column is a mergeable REGISTER SKETCH (Spark's
+    // hll_sketch_agg — KB-sized binary, the profileSketch discipline),
+    // so distinct-count maintenance never stores or reshuffles the
+    // observed values themselves.
+    val aggExprs =
+      sumCols.map(c => sum(col(c)).as(sumColName(c))) ++
+        minCols.map(c => min(col(c)).as(minColName(c))) ++
+        maxCols.map(c => max(col(c)).as(maxColName(c))) ++
+        hllCols.map(c => hll_sketch_agg(col(c)).as(hllColName(c)))
     val partial = batch.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("cnt"),
-        sumCols.map(c => sum(col(c)).as(sumColName(c))): _*)
+      .agg(count(lit(1)).as("cnt"), aggExprs: _*)
       .withColumn("_bucket", Scd.bucketOf(keyCols, n))
     val affected = partial.select(col("_bucket")).distinct()
       .collect().map(_.getInt(0)).sorted // bounded by nBuckets
@@ -124,9 +147,13 @@ object Ivm {
       else partialPending.unionByName(
         spark.read.parquet(existingDirs.toIndexedSeq: _*)
           .withColumn("_bucket", Scd.bucketOf(keyCols, n)))
+    val mergeExprs =
+      sumCols.map(c => sum(col(sumColName(c))).as(sumColName(c))) ++
+        minCols.map(c => min(col(minColName(c))).as(minColName(c))) ++
+        maxCols.map(c => max(col(maxColName(c))).as(maxColName(c))) ++
+        hllCols.map(c => hll_union_agg(col(hllColName(c))).as(hllColName(c)))
     val out = merged.groupBy(keyCols.map(col) :+ col("_bucket"): _*)
-      .agg(sum(col("cnt")).as("cnt"),
-        sumCols.map(c => sum(col(sumColName(c))).as(sumColName(c))): _*)
+      .agg(sum(col("cnt")).as("cnt"), mergeExprs: _*)
     Scd.commitBuckets(out, store, pending, conf,
       marker = batchTag.map { case (w, bid) => ("_applied", s"$w\t$bid") })
     LayoutMeta.commit(spark, store, Map("nBuckets" -> n))
@@ -148,5 +175,22 @@ object Ivm {
         .map(_.getPath.toString)
     require(existing.nonEmpty, s"no IVM store at $store")
     spark.read.parquet(existing.toIndexedSeq: _*)
+  }
+
+  /** [[read]] plus the READ-TIME derivations the store refuses to
+    * persist: `avg_<c>` = sum/cnt for each requested sum column
+    * (ratios don't merge — storing one would break incremental ==
+    * recompute), and `distinct_<c>` = the HLL register estimate for
+    * each requested sketch column (the estimate is derived; the
+    * MERGEABLE sketch is what's stored). Raw columns stay alongside. */
+  def readDerived(spark: org.apache.spark.sql.SparkSession, store: String,
+      avgOf: Seq[String] = Nil, distinctOf: Seq[String] = Nil,
+      nBuckets: Int = LayoutMeta.Unspecified): DataFrame = {
+    val base = read(spark, store, nBuckets)
+    val withAvg = avgOf.foldLeft(base)((df, c) =>
+      df.withColumn(s"avg_$c",
+        col(sumColName(c)).cast("double") / col("cnt").cast("double")))
+    distinctOf.foldLeft(withAvg)((df, c) =>
+      df.withColumn(s"distinct_$c", hll_sketch_estimate(col(hllColName(c)))))
   }
 }

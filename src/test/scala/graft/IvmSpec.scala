@@ -113,6 +113,54 @@ class IvmSpec extends AnyFunSuite {
     assert(view().contains(("c", 2L, 103L)))
   }
 
+  test("min/max/HLL columns: three-batch build equals one-shot; crash-replay converges on the extended schema") {
+    import org.apache.commons.io.FileUtils
+    val store = tmp()
+    val b1 = batch(("a", 5L, bd("1.00")), ("a", 3L, bd("2.00")),
+      ("b", 7L, bd("3.00")))
+    val b2 = batch(("a", 9L, bd("0.10")), ("b", 1L, bd("0.20")),
+      ("c", 4L, bd("0.30")))
+    val b3 = batch(("a", 5L, bd("0.01")), ("c", 2L, bd("0.02")))
+    def apply1(b: org.apache.spark.sql.DataFrame, tag: (String, Long)) =
+      Ivm.applyBatch(b, store, Seq("k"), Seq("v"), nBuckets = 4,
+        batchTag = Some(tag), minCols = Seq("v"), maxCols = Seq("v"),
+        hllCols = Seq("v"))
+    apply1(b1, ("w", 0L))
+    val snap = java.nio.file.Files.createTempDirectory("ivm_snap2").toFile
+    FileUtils.copyDirectory(new java.io.File(store), snap)
+    apply1(b2, ("w", 1L))
+    apply1(b3, ("w", 2L))
+    def view() = Ivm.readDerived(spark, store, avgOf = Seq("v"),
+        distinctOf = Seq("v"))
+      .select($"k", $"cnt", $"sum_v", $"min_v", $"max_v", $"avg_v",
+        $"distinct_v")
+      .as[(String, Long, Long, Long, Long, Double, Long)].collect().toSet
+    val got = view()
+    val full = b1.unionByName(b2).unionByName(b3)
+      .groupBy($"k").agg(count(lit(1)).as("cnt"), sum($"v").as("sum_v"),
+        min($"v").as("min_v"), max($"v").as("max_v"),
+        (sum($"v").cast("double") / count(lit(1)).cast("double")).as("avg_v"),
+        countDistinct($"v").as("exact_d"))
+      .select($"k", $"cnt", $"sum_v", $"min_v", $"max_v", $"avg_v", $"exact_d")
+      .as[(String, Long, Long, Long, Long, Double, Long)].collect().toSet
+    // count/sum/min/max/avg exact; the HLL estimate is exact too at
+    // these cardinalities (<= 4 distinct values per key — registers
+    // don't collide), so the whole tuple compares equal
+    assert(got == full, s"got $got\nfull $full")
+    // crash-replay on the extended schema: regress one key's bucket to
+    // its pre-batch-2 state, replay batches 2 and 3 — min/max and the
+    // HLL registers must converge, not double-merge
+    val aDir = new java.io.File(store).listFiles()
+      .filter(_.getName.startsWith("bucket_")).find { d =>
+        spark.read.parquet(d.toString).filter($"k" === "a").count() > 0
+      }.get
+    FileUtils.deleteDirectory(aDir)
+    FileUtils.copyDirectory(new java.io.File(snap, aDir.getName), aDir)
+    apply1(b2, ("w", 1L))
+    apply1(b3, ("w", 2L))
+    assert(view() == full, "replay after partial crash must converge")
+  }
+
   test("count-only views (no sum columns) maintain") {
     val store = tmp()
     Ivm.applyBatch(batch(("a", 1L, bd("0")), ("a", 2L, bd("0"))), store,
