@@ -209,7 +209,8 @@ object InvertedIndex {
 
   /** Build (full rewrite) the persisted postings index at `path`. */
   def writeIndex(df: DataFrame, idCol: String, textCol: String,
-      path: String, buckets: Int = 64): Unit = {
+      path: String, buckets: Int = 64): Unit =
+      WriterLock.withLock(df.sparkSession, path, "writeIndex") {
     require(buckets >= 1, "buckets must be >= 1")
     postingsWithDl(df, idCol, textCol)
       .withColumn("_tbkt", bucketCol(buckets))
@@ -242,7 +243,8 @@ object InvertedIndex {
     * contract of every append-only index here); bit-identical replays
     * are harmless — probes and [[bm25Search]] dedupe them. */
   def appendIndex(df: DataFrame, idCol: String, textCol: String,
-      path: String, buckets: Int = LayoutMeta.Unspecified): Unit = {
+      path: String, buckets: Int = LayoutMeta.Unspecified): Unit =
+      WriterLock.withLock(df.sparkSession, path, "appendIndex") {
     import org.apache.hadoop.fs.Path
     val spark = df.sparkSession
     val bk = LayoutMeta.resolve(spark, path,
@@ -416,7 +418,8 @@ object InvertedIndex {
     * `onAfterStage` is a test seam (default no-op) fired between the
     * staging write and the delete loop — the widest race window. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-      minFiles: Int = 8, onAfterStage: () => Unit = () => ()): Int = {
+      minFiles: Int = 8, onAfterStage: () => Unit = () => ()): Int =
+      WriterLock.withLock(spark, path, "compactIndex") {
     import org.apache.hadoop.fs.Path
     val hconf = spark.sparkContext.hadoopConfiguration
     val root = new Path(path)
@@ -505,7 +508,8 @@ object InvertedIndex {
     * index, so no commit ordering can strand them. Returns the number
     * of postings removed. */
   def deleteDocs(docs: DataFrame, idCol: String, textCol: String,
-      path: String, buckets: Int = LayoutMeta.Unspecified): Long = {
+      path: String, buckets: Int = LayoutMeta.Unspecified): Long =
+      WriterLock.withLock(docs.sparkSession, path, "deleteDocs") {
     import org.apache.hadoop.fs.Path
     val spark = docs.sparkSession
     val bk = LayoutMeta.resolve(spark, path,

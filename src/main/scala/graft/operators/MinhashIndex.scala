@@ -53,7 +53,8 @@ object MinhashIndex {
     * `_META` record wins (64 on first creation); an explicitly passed
     * value that conflicts with the record throws. */
   def append(prep: DataFrame, path: String,
-      buckets: Int = LayoutMeta.Unspecified): Unit = {
+      buckets: Int = LayoutMeta.Unspecified): Unit =
+      WriterLock.withLock(prep.sparkSession, path, "minhash append") {
     val bk = resolveBuckets(prep.sparkSession, path, buckets)
     val bandRows = prep.select(col("_id"), explode(col("_bks")).as("_bk"))
       .withColumn("_sh", lit(null).cast("array<long>"))
@@ -179,7 +180,9 @@ object MinhashIndex {
     * duplicate rows, which every probe distincts away). Run between
     * batches. */
   def compact(spark: SparkSession, path: String, minFiles: Int = 8): Int =
-    Ann.compactHammingIndex(spark, path, minFiles)
+    WriterLock.withLock(spark, path, "minhash compact") {
+      Ann.compactHammingIndex(spark, path, minFiles)
+    }
 
   /** DELETE docs from the index — the right-to-be-forgotten half of
     * the maintenance story ([[compact]]/[[rebucket]] being the other
@@ -205,7 +208,8 @@ object MinhashIndex {
     * with. */
   def delete(spark: SparkSession, path: String, ids: DataFrame,
       buckets: Int = LayoutMeta.Unspecified, numHashes: Int = 192,
-      bands: Int = 64, seed: Long = 42L): Long = {
+      bands: Int = 64, seed: Long = 42L): Long =
+      WriterLock.withLock(spark, path, "minhash delete") {
     val bk = resolveBuckets(spark, path, buckets)
     val hconf = spark.sparkContext.hadoopConfiguration
     def hp(p: String) = new org.apache.hadoop.fs.Path(p)
@@ -305,7 +309,8 @@ object MinhashIndex {
     * and append runs first ([[resolveBuckets]]) — the staged dir stays
     * authoritative until the promote lands, so no interleaving loses
     * rows. */
-  def rebucket(spark: SparkSession, path: String, newBuckets: Int): Unit = {
+  def rebucket(spark: SparkSession, path: String, newBuckets: Int): Unit =
+      WriterLock.withLock(spark, path, "minhash rebucket") {
     require(newBuckets > 0, s"newBuckets $newBuckets must be positive")
     val hconf = spark.sparkContext.hadoopConfiguration
     AtomicSwap.recover(hconf, path)

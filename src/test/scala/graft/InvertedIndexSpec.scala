@@ -288,7 +288,7 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(stats() == ((3L, 8L)))
   }
 
-  test("a concurrent append landing mid-compaction is never lost") {
+  test("an append attempted mid-compaction is refused by the writer lease, then lands cleanly after") {
     val dir = java.nio.file.Files.createTempDirectory("graft_race").toString + "/p"
     val d = docs(
       1L -> "the cat sat",
@@ -300,16 +300,22 @@ class InvertedIndexSpec extends AnyFunSuite {
       InvertedIndex.appendIndex(d.filter($"doc_id" === i), "doc_id", "text", dir))
     val late = docs(9L -> "the cat pounced")
     // the seam fires between the staging read and the delete loop —
-    // the widest window of the old lost-file race; with snapshot-based
-    // deletes the late file is neither staged nor deleted. (The seam
-    // fires once per compaction pass — postings, then doclens — so
-    // guard to a single append; a double fire would only add
-    // bit-identical replay debris, which probes dedupe anyway.)
-    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // the widest window of the pre-r18 lost-file race. Through r17 the
+    // snapshot-based file lists made the interleaving SURVIVABLE; the
+    // r18 writer lease makes it IMPOSSIBLE: the mid-compaction append
+    // is refused loudly (WriterConflict), which is the coordination
+    // contract — the caller retries once the compaction releases.
+    val refused = new java.util.concurrent.atomic.AtomicInteger(0)
     val n = InvertedIndex.compactIndex(spark, dir, minFiles = 1,
-      onAfterStage = () => if (fired.compareAndSet(false, true))
-        InvertedIndex.appendIndex(late, "doc_id", "text", dir))
+      onAfterStage = () =>
+        try InvertedIndex.appendIndex(late, "doc_id", "text", dir)
+        catch { case _: graft.operators.WriterLock.WriterConflict =>
+          refused.incrementAndGet(): Unit
+        })
     assert(n > 0)
+    assert(refused.get() > 0, "mid-compaction append must hit the lease")
+    // the retry after the compaction returned (lease released) lands
+    InvertedIndex.appendIndex(late, "doc_id", "text", dir)
     val all = d.union(late)
     assert(InvertedIndex.phraseSearchIndexed(spark, dir, Seq("the", "cat"))
         .as[(Long, Long)].collect().toMap ==
