@@ -84,4 +84,54 @@ object LateInteraction {
       .limit(k)
       .select(col("doc"), col("score"))
   }
+
+  /** [[maxSimRerank]] with token vectors produced by a REAL model
+    * behind the [[graft.core.Embedder]] seam (r18) — per-token embed:
+    * a token is a one-term text, so the checkpoint-shaped batch API
+    * serves token vectors directly, and the class doc's "a real
+    * ColBERT checkpoint replaces the vector function" claim is now an
+    * exercised code path, not prose. Doc-side vectors are computed
+    * ONCE per distinct candidate token in mapPartitions BATCHES (the
+    * [[graft.core.Embedder]] @transient-lazy-session pattern: a
+    * non-serializable ONNX session rebuilds per executor, never
+    * ships); query-term vectors are |q| driver-side embeds broadcast
+    * like the rank frame. Every join, max, and ordered fold is the
+    * same plan shape [[maxSimRerank]] grades — the q211 gate keeps
+    * running the deterministic default, untouched. One semantic
+    * difference is inherent: a model embeds ANY token, so there is no
+    * out-of-vocabulary drop — a query term absent from the corpus
+    * still scores against candidate tokens, which is the model-backed
+    * behavior a checkpoint gives. */
+  def maxSimRerankModel(docs: DataFrame, idCol: String, textCol: String,
+      candidates: DataFrame, queryTerms: Seq[String],
+      model: graft.core.Embedder, k: Int, batchSize: Int = 128): DataFrame = {
+    require(queryTerms.nonEmpty, "empty query")
+    require(batchSize >= 1, "batchSize must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dtokens = docs
+      .join(candidates.select(col("doc")), col(idCol) === col("doc"))
+      .select(col("doc"),
+        explode(array_distinct(filter(split(lower(col(textCol)),
+          "[^a-z0-9]+"), t => t =!= ""))).as("token"))
+    val vecs = dtokens.select(col("token")).distinct().as[String]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(b => b.iterator.zip(model.embed(b).iterator))
+      }.toDF("token", "_vd")
+    val dvecs = dtokens.join(vecs, "token").select(col("doc"), col("_vd"))
+    val qterms = queryTerms.map(_.toLowerCase).distinct
+    val qv = qterms.zip(model.embed(qterms)).toDF("_term", "_vq")
+    val dot = aggregate(
+      zip_with(col("_vq"), col("_vd"),
+        (a, b) => a.cast("double") * b.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val per = dvecs.crossJoin(broadcast(qv))
+      .withColumn("_dot", dot)
+      .groupBy(col("doc"), col("_term"))
+      .agg(max(col("_dot")).as("_s"))
+    TextAnalytics.foldTermScores(per, "doc", queryTerms.map(_.toLowerCase))
+      .orderBy(col("score").desc, col("doc"))
+      .limit(k)
+      .select(col("doc"), col("score"))
+  }
 }

@@ -1058,6 +1058,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == expect, s"got $got expected $expect")
     // doc 4 excluded by the candidate set even though it has tokens
     assert(!got.exists(_._1 == 4L))
+    // MODEL-BACKED seam (r18): the same MaxSim plan with token vectors
+    // from an Embedder-shaped checkpoint double (opaque weights blob,
+    // @transient lazy session) — batched mapPartitions scoring must
+    // equal a direct driver-side brute force with the same model
+    val model = new LinearBlobEmbedder(LinearBlobEmbedder.blob(8, seed = 7L), 8)
+    def mdot(a: Array[Float], b: Array[Float]): Double =
+      a.iterator.zip(b.iterator).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    def bruteM(qterms: Seq[String]) = Seq(1L, 2L, 3L, 5L).map { id =>
+      val dvs = corpus(id).split(" ").distinct.toSeq.map(t => model.embed(Seq(t)).head)
+      id -> qterms.foldLeft(0.0) { (acc, q) =>
+        val qv = model.embed(Seq(q)).head
+        acc + dvs.map(dv => mdot(qv, dv)).max
+      }
+    }.sortBy { case (id, s) => (-s, id) }
+    val gotM = LateInteraction.maxSimRerankModel(docs, "doc_id", "text",
+        cands, Seq("vector", "hash"), model, k = 10, batchSize = 2)
+      .as[(Long, Double)].collect().toSeq
+    assert(gotM == bruteM(Seq("vector", "hash")),
+      s"model seam: batched must equal direct scoring, got $gotM")
+    // a model embeds ANY token: an OOV query term still contributes its
+    // max dot (the checkpoint semantics), unlike the vocab-rank default
+    val gotOov = LateInteraction.maxSimRerankModel(docs, "doc_id", "text",
+        cands, Seq("vector", "hash", "zzz_not_in_vocab"), model, k = 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(gotOov == bruteM(Seq("vector", "hash", "zzz_not_in_vocab")),
+      s"oov term must score through the model, got $gotOov")
   }
 
   test("temperatureMix: small sources upweighted, alpha=1 is natural mix, budget raise keeps subset, deterministic") {
