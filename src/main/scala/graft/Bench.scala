@@ -250,6 +250,14 @@ object Bench {
     // batches on the extended (min/max/HLL) schema + the derived read
     // joined against the exact one-shot
     "q224" -> (3.312, 6.572),
+    // q225 two isolated runs (4.890/5.455) — two half-corpus index
+    // builds dominate; the merge itself is driver file transport
+    "q225" -> (3.423, 7.514),
+    // q226-q228 two isolated runs each (0.484/0.586, 0.357/0.381,
+    // 1.410/1.388 — q226/q227 probe-only/vocab-only; q228 is two BM25
+    // passes + the feedback census)
+    "q226" -> (0.339, 0.941), "q227" -> (0.250, 0.664),
+    "q228" -> (0.972, 2.054),
     "q13" -> (0.231, 0.596), "q14" -> (0.168, 0.501), "q15" -> (0.217, 0.596),
     "q16" -> (0.175, 0.501), "q17" -> (0.287, 0.717), "q18" -> (0.161, 0.461),
     "q19" -> (0.21, 0.636), "q20" -> (0.322, 0.771), "q21" -> (0.217, 0.622),

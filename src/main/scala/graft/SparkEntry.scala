@@ -3869,6 +3869,78 @@ object SparkEntry {
     // phase, cell layout, or merge shows up as recall collapse.
     // (IngestIndexSpec additionally proves full-shortlist mode
     // recovers the exact q221 answer bit-for-bit.)
+    // INDEX MERGE (r18): two disjoint per-shard postings indexes fold
+    // into one serving index by PURE FILE TRANSPORT — no shuffle, no
+    // decode, no re-tokenization (postings/doclens files are immutable
+    // one-write parquet; the stats rollup is mergeable by
+    // construction). Graded end-to-end: BM25 served from the MERGED
+    // index must hash-match the oracle's one-shot scorer over the
+    // union corpus — a dropped file, a misfiled bucket, or a stats
+    // double-count all move a score.
+    "q225_index_merge" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.InvertedIndex
+      val tmp = freshScratch("q225")
+      val docs = t(s, dir, "documents")
+      InvertedIndex.writeIndex(docs.filter($"doc_id" % 2 === 0),
+        "doc_id", "text", s"$tmp/a", buckets = 32)
+      InvertedIndex.writeIndex(docs.filter($"doc_id" % 2 === 1),
+        "doc_id", "text", s"$tmp/b", buckets = 32)
+      InvertedIndex.mergeIndexes(s, s"$tmp/a", s"$tmp/b", s"$tmp/m")
+      InvertedIndex.bm25Search(s, s"$tmp/m",
+          Seq("vector", "join", "hash"), k = 20)
+        .select($"doc".as("doc_id"),
+          floor($"score" * lit(1000000.0)).cast("long").as("score_u"))
+        .orderBy($"score_u".desc, $"doc_id")
+    }),
+
+    // SNIPPET WINDOW SELECTION (r18, the KWIC/highlighting primitive):
+    // per matching doc, the 5-token span covering the most distinct
+    // query terms, ties to the earliest start — candidate starts are
+    // exactly the matched positions (an optimal window slides left
+    // until its edge IS a match), served from the memoized postings
+    // fixture reading only the three terms' bucket dirs. The oracle
+    // replays positions from raw text, the self-join band, and the
+    // (coverage desc, start asc) argmax.
+    "q226_snippets" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.InvertedIndex.snippetsIndexed(s,
+          postingsIdxFor(s, dir), Seq("vector", "join", "hash"), window = 5)
+        .select($"doc".as("doc_id"), $"start".cast("long").as("start"),
+          $"n_terms")
+        .orderBy($"doc_id")
+    }),
+
+    // SPELL CORRECTION (r18, did-you-mean): vocabulary candidates for
+    // the misspelling 'han' (3 in-band matches, two tied at distance 2
+    // — exercises the full (dist, df desc, term) ranking), length-
+    // banded BEFORE the native codegen'd levenshtein evaluates;
+    // every ranking key an integer, replayed by DuckDB's own
+    // levenshtein.
+    "q227_spell_correct" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.TextAnalytics.spellCorrect(t(s, dir, "documents"),
+          "doc_id", "text", "han", maxDist = 2, k = 5)
+        .orderBy($"dist", $"df".desc, $"term")
+    }),
+
+    // PRF QUERY EXPANSION (r18, RM3/Rocchio): BM25 top-10 feedback
+    // docs for the seeds (floored-score cut — the q198 discipline),
+    // top-3 expansion terms by integer feedback-doc presence, final
+    // BM25 over seeds ∪ expansion folded in SORTED term order. The
+    // oracle replays both retrieval passes AND the expansion
+    // selection; the final fold is an ordered list_reduce, so the raw
+    // doubles hash-match at the micro-unit floor.
+    "q228_prf_expansion" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.TextAnalytics.prfExpandTopK(t(s, dir, "documents"),
+          "doc_id", "text", Seq("vector", "join"), fbDocs = 10,
+          expand = 3, k = 15)
+        .select($"doc_id",
+          floor($"score" * lit(1000000.0)).cast("long").as("score_u"))
+        .orderBy($"score_u".desc, $"doc_id")
+    }),
+
     // IVM BEYOND COUNT/SUM (r18, verdict #4): min/max under the
     // append-only contract (this store's ONLY mutation is folding a
     // batch in, so the merge is sound) and distinct-count as a
@@ -6260,6 +6332,122 @@ object SparkEntry {
 
     "q222_sharded_approx" ->
       "SELECT CAST(10 AS BIGINT) AS k, TRUE AS sharded_recall_ok",
+
+    "q225_index_merge" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS dl,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM toks
+        |       WHERE term IN ('vector','join','hash') GROUP BY 1, 2, 3),
+        |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n,
+        |        CAST(SUM(len(list_filter(string_split_regex(lower(text),
+        |          '[^a-z0-9]+'), x -> x <> ''))) AS DOUBLE)
+        |          / CAST(COUNT(*) AS DOUBLE) AS avgdl
+        |      FROM documents),
+        |per AS (
+        |  SELECT doc_id, term,
+        |    ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |        / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf AS DOUBLE) * (1.2 + 1.0)
+        |         / (CAST(tf AS DOUBLE)
+        |            + 1.2 * ((1.0 - 0.75)
+        |                     + 0.75 * CAST(dl AS DOUBLE) / avgdl))) AS s
+        |  FROM tf JOIN dfx USING (term) CROSS JOIN n),
+        |sc AS (
+        |  SELECT doc_id,
+        |    COALESCE(MAX(CASE WHEN term = 'vector' THEN s END), 0) AS s0,
+        |    COALESCE(MAX(CASE WHEN term = 'join' THEN s END), 0) AS s1,
+        |    COALESCE(MAX(CASE WHEN term = 'hash' THEN s END), 0) AS s2
+        |  FROM per GROUP BY 1),
+        |top AS (SELECT doc_id, s0 + s1 + s2 AS score FROM sc
+        |        ORDER BY score DESC, doc_id LIMIT 20)
+        |SELECT doc_id, CAST(FLOOR(score * 1000000.0) AS BIGINT) AS score_u
+        |FROM top ORDER BY score_u DESC, doc_id""".stripMargin,
+
+    "q226_snippets" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |p AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos,
+        |    toks FROM tk),
+        |m AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, toks[pos] AS term
+        |  FROM p WHERE toks[pos] IN ('vector','join','hash')),
+        |cov AS (SELECT a.doc_id, a.pos AS start,
+        |    COUNT(DISTINCT b.term) AS n_terms
+        |  FROM m a JOIN m b ON a.doc_id = b.doc_id
+        |    AND b.pos >= a.pos AND b.pos < a.pos + 5
+        |  GROUP BY 1, 2),
+        |best AS (SELECT doc_id, start, n_terms,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY n_terms DESC, start ASC) AS rn
+        |  FROM cov)
+        |SELECT doc_id, start, n_terms FROM best WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "q227_spell_correct" ->
+      """WITH v AS (SELECT term, COUNT(*) AS df FROM (
+        |    SELECT doc_id, unnest(list_distinct(list_filter(
+        |      string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> ''))) AS term
+        |    FROM documents) GROUP BY term),
+        |c AS (SELECT term, df,
+        |    CAST(levenshtein(term, 'han') AS INT) AS dist
+        |  FROM v WHERE abs(len(term) - 3) <= 2)
+        |SELECT term, df, dist FROM c WHERE dist <= 2
+        |ORDER BY dist, df DESC, term LIMIT 5""".stripMargin,
+
+    "q228_prf_expansion" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tk),
+        |n AS (SELECT COUNT(*) AS n,
+        |        CAST(SUM(len(toks)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |          AS avgdl FROM tk),
+        |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM tok
+        |       GROUP BY 1, 2, 3),
+        |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |score AS (
+        |  SELECT doc_id, term,
+        |    ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |        / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf AS DOUBLE) * (1.2 + 1.0)
+        |         / (CAST(tf AS DOUBLE)
+        |            + 1.2 * ((1.0 - 0.75)
+        |                     + 0.75 * CAST(dl AS DOUBLE) / avgdl))) AS s
+        |  FROM tf JOIN dfx USING (term) CROSS JOIN n),
+        |seedsc AS (SELECT doc_id,
+        |    COALESCE(MAX(CASE WHEN term = 'join' THEN s END), 0)
+        |      + COALESCE(MAX(CASE WHEN term = 'vector' THEN s END), 0)
+        |      AS score
+        |  FROM score WHERE term IN ('join','vector') GROUP BY 1),
+        |fb AS (SELECT doc_id FROM seedsc
+        |       ORDER BY CAST(FLOOR(score * 1000000.0) AS BIGINT) DESC,
+        |         doc_id LIMIT 10),
+        |exp AS (SELECT term FROM (
+        |    SELECT term, COUNT(*) AS fdf FROM (
+        |      SELECT f.doc_id, unnest(list_distinct(t.toks)) AS term
+        |      FROM fb f JOIN tk t USING (doc_id))
+        |    WHERE term NOT IN ('join','vector')
+        |    GROUP BY term ORDER BY fdf DESC, term LIMIT 3)),
+        |allt AS (SELECT term FROM exp
+        |         UNION SELECT unnest(['join','vector']) AS term),
+        |fin AS (SELECT s.doc_id,
+        |    list_reduce(list(s.s ORDER BY s.term ASC), (a, b) -> a + b)
+        |      AS score
+        |  FROM score s JOIN allt USING (term) GROUP BY 1),
+        |top AS (SELECT doc_id, score FROM fin
+        |        ORDER BY CAST(FLOOR(score * 1000000.0) AS BIGINT) DESC,
+        |          doc_id LIMIT 15)
+        |SELECT doc_id, CAST(FLOOR(score * 1000000.0) AS BIGINT) AS score_u
+        |FROM top ORDER BY score_u DESC, doc_id""".stripMargin,
 
     "q224_ivm_extended" ->
       """SELECT l_suppkey, COUNT(*) AS cnt,

@@ -303,6 +303,60 @@ object InvertedIndex {
     LayoutMeta.commit(spark, path, Map("buckets" -> bk))
   }
 
+  /** MERGE two persisted indexes into `out` (r18) — the shard-combine
+    * operational tool: per-epoch or per-tenant builds folding into one
+    * serving index. All three constituents are mergeable BY
+    * CONSTRUCTION — postings and doclens files are immutable one-write
+    * parquet whose rows probes dedupe/aggregate, and the stats rollup
+    * is a sum of per-batch rows — so the merge is pure FILE TRANSPORT:
+    * every data file copies into the same bucket dir under `out`
+    * (names prefixed per source so equal part names never collide),
+    * no shuffle, no decode, no re-tokenization; I/O = bytes copied,
+    * Spark jobs = zero. At warehouse scale this is a distcp-shaped
+    * job: per-file copies parallelize freely because no file depends
+    * on any other. Layouts must agree on `buckets` (a probe prunes by
+    * token-hash bucket — merging mismatched layouts would misfile
+    * postings; loud error, [[compactIndex]]+rebuild or re-append
+    * first), and doc sets must be DISJOINT (the [[appendIndex]]
+    * re-ingest contract: a doc in both sources double-counts until
+    * deleteDocs + compact repairs it). */
+  def mergeIndexes(spark: org.apache.spark.sql.SparkSession, src1: String,
+      src2: String, out: String): Unit =
+      WriterLock.withLock(spark, out, "mergeIndexes") {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(out).getFileSystem(hconf)
+    val srcs = Seq("m1" -> src1, "m2" -> src2)
+    val bks = srcs.map { case (_, p) =>
+      LayoutMeta.read(spark, p).flatMap(_.get("buckets")).getOrElse(
+        throw new IllegalArgumentException(s"no index _META at $p"))
+    }
+    require(bks.head == bks.last,
+      s"bucket layouts differ (${bks.head} vs ${bks.last}): a merged " +
+        "probe would prune the wrong directories and silently miss " +
+        "postings; rebuild one side on the other's layout first")
+    val outP = new Path(out)
+    require(!fs.exists(outP) || fs.listStatus(outP).isEmpty,
+      s"merge target $out must be empty (merge is a create, not an append)")
+    def copyTree(from: Path, to: Path, tag: String): Unit = {
+      if (!fs.exists(from)) return
+      fs.mkdirs(to)
+      fs.listStatus(from).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory) {
+          // recurse into the data subtrees (_tbkt=*, _doclens/_dbkt=*,
+          // _stats) but never into crash debris or hidden dirs
+          if (!n.startsWith(".") && n != "_compact_tmp")
+            copyTree(st.getPath, new Path(to, n), tag)
+        } else if (!n.startsWith("_") && !n.startsWith("."))
+          FileUtil.copy(fs, st.getPath, fs, new Path(to, s"$tag-$n"),
+            false, hconf): Unit
+      }
+    }
+    srcs.foreach { case (tag, p) => copyTree(new Path(p), outP, tag) }
+    LayoutMeta.overwrite(spark, out, Map("buckets" -> bks.head))
+  }
+
   /** BM25 top-k SERVED FROM THE PERSISTED INDEX — same scorer, same
     * expression shapes, same fold order as [[TextAnalytics.bm25TopK]]
     * (scores are bit-identical), but the per-query cost is the query
@@ -746,6 +800,48 @@ object InvertedIndex {
       path: String, terms: Seq[String], slop: Int,
       buckets: Int = LayoutMeta.Unspecified): DataFrame =
     proximitySearch(readPostings(spark, path, terms, buckets), terms, slop)
+
+  /** SNIPPET WINDOW SELECTION (r18) — the KWIC/highlighting primitive:
+    * for every doc matching any query term, the best `window`-token
+    * span, i.e. the start position whose [start, start+window) covers
+    * the MOST DISTINCT query terms, ties to the earliest start; the
+    * caller slices display text from (start, window) client-side.
+    * Candidate starts are exactly the matched positions — an optimal
+    * window can always slide left until its left edge IS a match — so
+    * the search is a positions self-join WITHIN each doc: cost is
+    * O(per-doc query-term matches²), bounded by the terms' tf, never
+    * by doc length, and the indexed form reads only the query terms'
+    * bucket dirs. Deterministic throughout: integer positions, integer
+    * coverage, (coverage desc, start asc) argmax. */
+  def snippets(postings: DataFrame, terms: Seq[String],
+      window: Int): DataFrame = {
+    require(terms.nonEmpty, "snippets needs at least one term")
+    require(window >= 1, "window must be >= 1")
+    val toks = terms.map(_.toLowerCase).distinct
+    val m = postings.filter(col("token").isin(toks: _*))
+      .select(col("doc"), col("pos"), col("token"))
+    // one token per (doc, pos) after the probe's key dedupe, so the
+    // anchor set needs no extra distinct
+    val anchors = m.select(col("doc"), col("pos").as("_start"))
+    val cover = anchors.join(m, "doc")
+      .filter(col("pos") >= col("_start") &&
+        col("pos") < col("_start") + lit(window))
+      .groupBy(col("doc"), col("_start"))
+      .agg(countDistinct(col("token")).as("n_terms"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc"))
+      .orderBy(col("n_terms").desc, col("_start"))
+    cover.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("doc"), col("_start").as("start"), col("n_terms"))
+  }
+
+  /** [[snippets]] from the persisted index: the pruned positions read
+    * is [[readPostings]]'s. */
+  def snippetsIndexed(spark: org.apache.spark.sql.SparkSession,
+      path: String, terms: Seq[String], window: Int,
+      buckets: Int = LayoutMeta.Unspecified): DataFrame =
+    snippets(readPostings(spark, path, terms, buckets), terms, window)
 
   /** Boolean retrieval: docs containing EVERY `must` term and NONE of
     * the `mustNot` terms. The conjunction is a per-doc distinct-term

@@ -362,6 +362,75 @@ object TextAnalytics {
               lit(b) * col("_dl").cast("double") / col("_avgdl"))))
       .withColumn("_s", col("_idf") * col("_sat"))
     foldTermScores(per, idCol, terms)
+      .select(col(idCol), col("score"))
+  }
+
+  /** QUERY SPELL CORRECTION (r18) — the did-you-mean primitive: rank
+    * corpus-vocabulary candidates for a (possibly misspelled) query
+    * term by (edit distance asc, document frequency desc, term asc).
+    * The vocabulary is the corpus' own distinct tokens with their doc
+    * frequency; candidates are LENGTH-BANDED before the distance
+    * evaluates (|len − qlen| ≤ maxDist is a necessary condition for
+    * levenshtein ≤ maxDist), so at corpus scale the edit distance runs
+    * over a narrow vocabulary slice, never the full token set — and
+    * the vocabulary itself is a distinct-tokens aggregate, orders of
+    * magnitude below corpus size. Distance is Spark's native codegen'd
+    * levenshtein; every ranking key is an integer, so the top-k is
+    * engine-replayable exactly. */
+  def spellCorrect(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, query: String, maxDist: Int = 2,
+      k: Int = 5): org.apache.spark.sql.DataFrame = {
+    require(query != null && query.nonEmpty, "empty query term")
+    require(maxDist >= 0, "maxDist must be >= 0")
+    require(k >= 1, "k must be >= 1")
+    val q = query.toLowerCase
+    df.select(col(idCol),
+        explode(array_distinct(filter(split(lower(col(textCol)),
+          "[^a-z0-9]+"), t => t =!= ""))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(abs(length(col("term")) - lit(q.length)) <= lit(maxDist))
+      .withColumn("dist", levenshtein(col("term"), lit(q)))
+      .filter(col("dist") <= lit(maxDist))
+      .orderBy(col("dist"), col("df").desc, col("term"))
+      .limit(k)
+  }
+
+  /** PSEUDO-RELEVANCE-FEEDBACK query expansion (r18, the RM3/Rocchio
+    * family): (1) retrieve the top `fbDocs` documents for the seed
+    * terms — BM25 cut on the FLOORED score with an id tiebreak, the
+    * q198/q211 boundary-stable recall discipline; (2) pick the
+    * `expand` strongest expansion terms by presence across the
+    * feedback docs ((feedback doc count desc, term asc) — an integer
+    * sort, no score arithmetic to drift); (3) re-run BM25 with
+    * seeds ∪ expansion folded in SORTED term order, so the final
+    * ranking replays bit-for-bit on any engine. Feedback term counting
+    * touches `fbDocs` documents' tokens only (a broadcast-sized
+    * semi-join), and both retrieval passes keep [[bm25Scores]]'s
+    * pruned shape — non-query terms drop before any aggregation. */
+  def prfExpandTopK(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, seeds: Seq[String], fbDocs: Int = 10,
+      expand: Int = 3, k: Int = 10): org.apache.spark.sql.DataFrame = {
+    require(fbDocs >= 1 && expand >= 0 && k >= 1,
+      "fbDocs >= 1, expand >= 0, k >= 1 required")
+    val seedToks = seeds.map(_.toLowerCase).distinct.sorted
+    val fb = bm25Scores(df, idCol, textCol, seedToks)
+      .orderBy(floor(col("score") * lit(1000000.0)).cast("long").desc,
+        col(idCol))
+      .limit(fbDocs)
+      .select(col(idCol))
+    val expTerms = df.join(fb, idCol)
+      .select(explode(array_distinct(filter(split(lower(col(textCol)),
+        "[^a-z0-9]+"), t => t =!= ""))).as("term"))
+      .filter(!col("term").isin(seedToks: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("_fdf"))
+      .orderBy(col("_fdf").desc, col("term"))
+      .limit(expand)
+      .select(col("term")).collect().map(_.getString(0)).toSeq
+    val allTerms = (seedToks ++ expTerms).distinct.sorted
+    bm25Scores(df, idCol, textCol, allTerms)
+      .orderBy(floor(col("score") * lit(1000000.0)).cast("long").desc,
+        col(idCol))
+      .limit(k)
   }
 
   /** Reciprocal-rank fusion of two ranked id lists (hybrid retrieval:

@@ -326,6 +326,73 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(censusTotal == InvertedIndex.postings(all, "doc_id", "text").count())
   }
 
+  test("mergeIndexes: file-transport merge probes bit-identically to a full rebuild; layout/target refusals") {
+    val base = java.nio.file.Files.createTempDirectory("graft_merge").toString
+    val d = docs(
+      1L -> "the cat sat on the mat",
+      2L -> "a dog ran past the cat",
+      3L -> "the mat was red",
+      4L -> "cat and dog and mat")
+    InvertedIndex.writeIndex(d.filter($"doc_id" <= 2), "doc_id", "text",
+      s"$base/a", buckets = 4)
+    InvertedIndex.writeIndex(d.filter($"doc_id" > 2), "doc_id", "text",
+      s"$base/b", buckets = 4)
+    InvertedIndex.mergeIndexes(spark, s"$base/a", s"$base/b", s"$base/m")
+    InvertedIndex.writeIndex(d, "doc_id", "text", s"$base/full", buckets = 4)
+    // merged == full rebuild: BM25 scores (stats rollup summed right),
+    // phrase counts (positions intact), corpus stats
+    def bm(p: String) = InvertedIndex.bm25Search(spark, p,
+        Seq("cat", "mat"), k = 10)
+      .as[(Long, Double)].collect().toSet
+    assert(bm(s"$base/m") == bm(s"$base/full"),
+      "merged index must score bit-identically to the full rebuild")
+    assert(InvertedIndex.phraseSearchIndexed(spark, s"$base/m",
+        Seq("the", "cat")).as[(Long, Long)].collect().toMap ==
+      Map(1L -> 1L, 2L -> 1L))
+    val st = InvertedIndex.corpusStats(spark, s"$base/m")
+      .as[(Long, Long)].head()
+    val stFull = InvertedIndex.corpusStats(spark, s"$base/full")
+      .as[(Long, Long)].head()
+    assert(st == stFull, s"merged stats $st != full $stFull")
+    // mismatched bucket layouts refuse loudly
+    InvertedIndex.writeIndex(d.filter($"doc_id" > 2), "doc_id", "text",
+      s"$base/b8", buckets = 8)
+    val mism = intercept[IllegalArgumentException] {
+      InvertedIndex.mergeIndexes(spark, s"$base/a", s"$base/b8", s"$base/m2")
+    }
+    assert(mism.getMessage.contains("layout"), mism.getMessage)
+    // non-empty target refuses (merge is a create, not an append)
+    intercept[IllegalArgumentException] {
+      InvertedIndex.mergeIndexes(spark, s"$base/a", s"$base/b", s"$base/m")
+    }
+  }
+
+  test("snippets: best window by distinct-term coverage, earliest-start tiebreak, indexed == in-memory") {
+    val d = docs(
+      1L -> "cat x x x mat x cat mat",  // window 3: starts 5 and 7 both
+                                        // cover 2 terms -> earliest (5)
+      2L -> "x cat x x x x mat x",      // no window covers both: tie on
+                                        // coverage 1 -> earliest (pos 2)
+      3L -> "mat cat x",                // start 1 covers both
+      4L -> "x x x")                    // no match: absent from output
+    def snip(w: Int) = InvertedIndex.snippets(
+        InvertedIndex.postings(d, "doc_id", "text"), Seq("cat", "mat"), w)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(snip(3) == Map(1L -> ((5L, 2L)), 2L -> ((2L, 1L)), 3L -> ((1L, 2L))))
+    // window 1: every doc degenerates to its earliest match, coverage 1
+    assert(snip(1) == Map(1L -> ((1L, 1L)), 2L -> ((2L, 1L)), 3L -> ((1L, 1L))))
+    // indexed form equals the in-memory plan
+    val dir = java.nio.file.Files.createTempDirectory("graft_snip").toString + "/p"
+    InvertedIndex.writeIndex(d, "doc_id", "text", dir, buckets = 2)
+    assert(InvertedIndex.snippetsIndexed(spark, dir, Seq("cat", "mat"), 3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap == snip(3))
+    intercept[IllegalArgumentException] {
+      InvertedIndex.snippets(InvertedIndex.postings(d, "doc_id", "text"),
+        Seq.empty, 3)
+    }
+  }
+
   test("proximity search: ordered within slop; slop 0 degenerates to the phrase") {
     val d = docs(
       1L -> "the big cat",          // gap 1 between the..cat

@@ -387,4 +387,53 @@ class TextAnalyticsSpec extends AnyFunSuite {
       .select($"doc_id", $"novelty").as[(Long, Double)].collect().toMap
     assert(nv(1L) == 0.0 && nv(2L) == 1.0 && nv(3L) == 2.0 / 3.0)
   }
+
+  test("spellCorrect: (dist, df desc, term) ranking, length band, exact match wins, refusals") {
+    val sp = TestSpark.spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "cat hat bat cart"), (2L, "cat hat chart"), (3L, "cat carts"))
+      .toDF("doc_id", "text")
+    def corr(q: String, d: Int = 2, k: Int = 5) =
+      TextAnalytics.spellCorrect(docs, "doc_id", "text", q, d, k)
+        .as[(String, Long, Int)].collect().toSeq
+    // 'cst': cat at dist 1; hat/bat/cart at dist 2 rank by df desc
+    // (hat df2 first), then term asc breaks the df-1 tie (bat < cart)
+    assert(corr("cst") == Seq(("cat", 3L, 1), ("hat", 2L, 2),
+      ("bat", 1L, 2), ("cart", 1L, 2)))
+    // an exact vocabulary hit ranks first at distance 0
+    assert(corr("cart").head == (("cart", 1L, 0)))
+    // length band: maxDist 1 rejects terms 2+ away in LENGTH before
+    // levenshtein runs ('carts' is len 5, query len 3 -> out of band)
+    assert(corr("cat", d = 1).map(_._1).toSet == Set("cat", "hat", "bat", "cart"))
+    // k cuts after the full sort
+    assert(corr("cst", k = 2) == Seq(("cat", 3L, 1), ("hat", 2L, 2)))
+    intercept[IllegalArgumentException] {
+      TextAnalytics.spellCorrect(docs, "doc_id", "text", "")
+    }
+  }
+
+  test("prfExpandTopK: expansion picks feedback co-occurring terms; final equals bm25 over the expanded set") {
+    val sp = TestSpark.spark
+    import sp.implicits._
+    // seed 'alpha' retrieves docs 1-3 (feedback); 'omega' co-occurs in
+    // all three -> the expansion term; doc 4 has omega but no alpha and
+    // must now surface in the final ranking
+    val docs = Seq(
+      (1L, "alpha omega x"), (2L, "alpha omega y"), (3L, "alpha omega z"),
+      (4L, "omega omega w"), (5L, "unrelated text"))
+      .toDF("doc_id", "text")
+    val got = TextAnalytics.prfExpandTopK(docs, "doc_id", "text",
+        Seq("alpha"), fbDocs = 3, expand = 1, k = 5)
+      .as[(Long, Double)].collect().toSeq
+    // the expansion must reach doc 4 (no seed term at all)
+    assert(got.exists(_._1 == 4L), s"expansion must surface doc 4: $got")
+    // final == bm25 over the (known) expanded term set, folded sorted —
+    // proves the expansion selected exactly {omega} and the fold order
+    val expect = TextAnalytics.bm25Scores(docs, "doc_id", "text",
+        Seq("alpha", "omega"))
+      .orderBy(floor($"score" * 1000000.0).cast("long").desc, $"doc_id")
+      .limit(5).as[(Long, Double)].collect().toSeq
+    assert(got == expect, s"got $got expected $expect")
+  }
 }
