@@ -975,7 +975,67 @@ object SimplePdfTextExtractor extends TextExtractor {
     // vertical-form/gaiji leaf cases, which degrade per-char to
     // replacement, never fail the document). See
     // [[predefinedCmapCharset]].
-    FontDec(one, two, diffs, predefinedCmapCharset(body))
+    // Identity-H/V CID font with NO /ToUnicode (r18, closing the A2
+    // partial): the text mapping lives in the embedded font program —
+    // the CID in the show string is the glyph id (directly under
+    // /CIDToGIDMap /Identity, through the packed u16 stream map
+    // otherwise), and the font's own `cmap` table inverted gives
+    // glyph -> Unicode. This is PyMuPDF's fallback for exactly this
+    // shape (the reference's extractor, streamlit_app.py:62-63). An
+    // explicit /ToUnicode always wins — this only fills the gap.
+    val twoEff =
+      if (two.nonEmpty ||
+          "/Subtype\\s*/Type0\\b".r.findFirstIn(body).isEmpty ||
+          "/Encoding\\s*/Identity-[HV]\\b".r.findFirstIn(body).isEmpty) two
+      else identityCidToUnicode(body, doc)
+    FontDec(one, twoEff, diffs, predefinedCmapCharset(body))
+  }
+
+  /** CID -> Unicode for an Identity-H/V Type0 font without /ToUnicode:
+    * descendant CIDFontType2's /FontFile2 TrueType program, `cmap`
+    * inverted ([[TrueTypeCmap]]), composed through /CIDToGIDMap.
+    * Anything missing or malformed yields empty (the show text then
+    * degrades per-char exactly like any unmapped code). */
+  private def identityCidToUnicode(body: String, doc: Doc): Map[Int, String] = {
+    val descBody =
+      "/DescendantFonts\\s*\\[\\s*(\\d+)\\s+(\\d+)\\s+R".r
+        .findFirstMatchIn(body)
+        .flatMap(m => doc.objBody(m.group(1), m.group(2)))
+        .orElse {
+          // the array itself held as an indirect object
+          "/DescendantFonts\\s+(\\d+)\\s+(\\d+)\\s+R".r.findFirstMatchIn(body)
+            .flatMap(m => doc.objBody(m.group(1), m.group(2)))
+            .flatMap(arr => "(\\d+)\\s+(\\d+)\\s+R".r.findFirstMatchIn(arr))
+            .flatMap(m => doc.objBody(m.group(1), m.group(2)))
+        }
+    val g2u: Map[Int, Int] = (for {
+      db <- descBody
+      fd <- "/FontDescriptor\\s+(\\d+)\\s+(\\d+)\\s+R".r.findFirstMatchIn(db)
+      fdBody <- doc.objBody(fd.group(1), fd.group(2))
+      ff <- "/FontFile2\\s+(\\d+)\\s+(\\d+)\\s+R".r.findFirstMatchIn(fdBody)
+      at <- doc.lastObjStart(ff.group(1), ff.group(2))
+      dataPair <- streamObjectAt(doc, at)
+    } yield TrueTypeCmap.gidToUnicode(
+      dataPair._2.getBytes(StandardCharsets.ISO_8859_1)))
+      .getOrElse(Map.empty)
+    if (g2u.isEmpty) return Map.empty
+    def str(cp: Int) = new String(Character.toChars(cp))
+    val gidStream = descBody.flatMap { db =>
+      "/CIDToGIDMap\\s+(\\d+)\\s+(\\d+)\\s+R".r.findFirstMatchIn(db)
+        .flatMap(m => doc.lastObjStart(m.group(1), m.group(2)))
+        .flatMap(streamObjectAt(doc, _))
+        .map(_._2.getBytes(StandardCharsets.ISO_8859_1))
+    }
+    gidStream match {
+      case Some(arr) =>
+        // packed big-endian u16 glyph ids indexed by CID (§9.7.4.2)
+        (0 until arr.length / 2).flatMap { cid =>
+          val gid = ((arr(2 * cid) & 0xff) << 8) | (arr(2 * cid + 1) & 0xff)
+          g2u.get(gid).map(cp => cid -> str(cp))
+        }.toMap
+      case None => // /Identity or absent: CID == GID
+        g2u.map { case (gid, cp) => gid -> str(cp) }
+    }
   }
 
   /** `/Encoding /<predefined-CMap-name>` -> the JDK charset whose

@@ -1146,6 +1146,83 @@ class SourcesSpec extends AnyFunSuite {
     assert(SimplePdfTextExtractor.extract(pdf) == "yes\n")
   }
 
+  /** Minimal structurally-real TrueType font: sfnt header + one 'cmap'
+    * table with a single (3,1) format-4 subtable, one single-char
+    * segment per mapping (idRangeOffset 0, idDelta = gid - char). */
+  private def miniTtf(charToGid: Seq[(Int, Int)]): Array[Byte] = {
+    def u16(v: Int) = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def u32(v: Long) = Array((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    val segs = charToGid.sortBy(_._1)
+    val n = segs.length + 1 // + the required 0xFFFF terminator segment
+    val sub = new java.io.ByteArrayOutputStream()
+    Seq(4, 14 + 2 + 8 * n, 0, 2 * n, 0, 0, 0).foreach(v => sub.write(u16(v)))
+    (segs.map(_._1) :+ 0xffff).foreach(v => sub.write(u16(v))) // endCode
+    sub.write(u16(0)) // reservedPad
+    (segs.map(_._1) :+ 0xffff).foreach(v => sub.write(u16(v))) // startCode
+    (segs.map { case (c, g) => (g - c) & 0xffff } :+ 1)
+      .foreach(v => sub.write(u16(v))) // idDelta
+    (0 until n).foreach(_ => sub.write(u16(0))) // idRangeOffset
+    val cmap = new java.io.ByteArrayOutputStream()
+    cmap.write(u16(0)); cmap.write(u16(1)) // version, one subtable
+    cmap.write(u16(3)); cmap.write(u16(1)); cmap.write(u32(12L))
+    cmap.write(sub.toByteArray)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(u32(0x00010000L)); out.write(u16(1)) // sfnt, 1 table
+    out.write(u16(0)); out.write(u16(0)); out.write(u16(0))
+    out.write("cmap".getBytes("ISO-8859-1")); out.write(u32(0L))
+    out.write(u32(28L)); out.write(u32(cmap.size().toLong))
+    out.write(cmap.toByteArray)
+    out.toByteArray
+  }
+
+  test("Identity-H CID font WITHOUT /ToUnicode decodes via the embedded TrueType cmap (A2)") {
+    import graft.sources.{SimplePdfTextExtractor, TrueTypeCmap}
+    val ttf = miniTtf(Seq(0x48 -> 5, 0x69 -> 6, 0x21 -> 7)) // H i !
+    // unit probe: inversion exact; truncation/garbage never throw
+    assert(TrueTypeCmap.gidToUnicode(ttf) == Map(5 -> 0x48, 6 -> 0x69, 7 -> 0x21))
+    (0 until ttf.length).foreach(k => TrueTypeCmap.gidToUnicode(ttf.take(k)))
+    assert(TrueTypeCmap.gidToUnicode(null) == Map.empty)
+    assert(TrueTypeCmap.gidToUnicode(Array.fill(64)(0x7f.toByte)) == Map.empty)
+    def pdf(cidExtras: String, showHex: String, extra: String = ""): Array[Byte] = {
+      val content = s"BT /F1 12 Tf <$showHex> Tj ET"
+      pdfBytes(
+        """%PDF-1.6
+          |1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj
+          |2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj
+          |3 0 obj << /Type /Page /Parent 2 0 R
+          |  /Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >> endobj
+          |4 0 obj << /Type /Font /Subtype /Type0 /BaseFont /Embedded
+          |  /Encoding /Identity-H /DescendantFonts [6 0 R] >> endobj
+          |""".stripMargin,
+        s"5 0 obj << /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n",
+        s"6 0 obj << /Type /Font /Subtype /CIDFontType2 $cidExtras" +
+          " /FontDescriptor 7 0 R >> endobj\n",
+        "7 0 obj << /Type /FontDescriptor /FontName /Embedded" +
+          " /FontFile2 8 0 R >> endobj\n",
+        s"8 0 obj << /Length ${ttf.length} >>\nstream\n", ttf,
+        "\nendstream\nendobj\n", extra,
+        "trailer << /Size 10 /Root 1 0 R >>\n%%EOF")
+    }
+    // implicit identity CIDToGIDMap: CID == GID
+    assert(SimplePdfTextExtractor.extract(pdf("", "000500060007")) == "Hi!\n")
+    // explicit /CIDToGIDMap /Identity
+    assert(SimplePdfTextExtractor.extract(
+      pdf("/CIDToGIDMap /Identity", "000500060007")) == "Hi!\n")
+    // packed u16 STREAM CIDToGIDMap: CIDs 1,2,3 -> GIDs 5,6,7
+    val gidMap = Array[Byte](0, 0, 0, 5, 0, 6, 0, 7)
+    val streamed = pdf("/CIDToGIDMap 9 0 R", "000100020003",
+      extra = new String(pdfBytes(
+        s"9 0 obj << /Length ${gidMap.length} >>\nstream\n", gidMap,
+        "\nendstream\nendobj\n"), "ISO-8859-1"))
+    assert(SimplePdfTextExtractor.extract(streamed) == "Hi!\n")
+    // a string with an unmapped CID falls back wholesale (the decoder's
+    // all-or-nothing per-string CMap contract) — it never throws, and a
+    // fully-mapped string still decodes
+    SimplePdfTextExtractor.extract(pdf("", "00050999")): Unit
+    assert(SimplePdfTextExtractor.extract(pdf("", "0005")) == "H\n")
+  }
+
   test("predefined Unicode CMap encodings (/UniJIS-UCS2-H family) decode show text as UTF-16BE (A2)") {
     import graft.sources.SimplePdfTextExtractor
     // こんにちは as UTF-16BE hex + a surrogate pair (U+1F600, UTF16
