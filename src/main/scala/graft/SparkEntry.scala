@@ -3941,6 +3941,44 @@ object SparkEntry {
         .orderBy($"score_u".desc, $"doc_id")
     }),
 
+    // BM25F (r18): the multi-field ranking function — title (first 8
+    // tokens, weight 2) and body pooled through per-field length
+    // normalization BEFORE one shared saturation (the Zaragoza form;
+    // weights inside the saturation is what separates BM25F from a
+    // naive per-field score sum). The oracle replays both fields'
+    // stats, the pooled tf, the df-over-any-field, and the ordered
+    // fold — raw doubles hash-match at the micro-unit floor.
+    "q229_bm25f" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").withColumn("title",
+        array_join(slice(filter(split(lower($"text"), "[^a-z0-9]+"),
+          x => x =!= ""), 1, 8), " "))
+      graft.operators.TextAnalytics.bm25fTopK(docs, "doc_id",
+          Seq(("title", 2.0, 0.75), ("text", 1.0, 0.75)),
+          Seq("vector", "join", "hash"), k = 20)
+        .select($"doc_id",
+          floor($"score" * lit(1000000.0)).cast("long").as("score_u"))
+        .orderBy($"score_u".desc, $"doc_id")
+    }),
+
+    // DIVERSIFIED TOP-K (r18): the per-source result cap every search
+    // engine applies — at most 2 hits per source in the top 10, ranked
+    // on the INTEGER micro-unit BM25 score so the per-group window and
+    // the global cut replay exactly.
+    "q230_diversified_topk" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val scored = graft.operators.TextAnalytics.bm25Scores(docs, "doc_id",
+          "text", Seq("vector", "join", "hash"))
+        .select($"doc_id",
+          floor($"score" * lit(1000000.0)).cast("long").as("score_u"))
+        .join(docs.select($"doc_id", $"source"), "doc_id")
+      graft.operators.TextAnalytics.diversifiedTopK(scored, "doc_id",
+          "source", "score_u", perGroup = 2, k = 10)
+        .select($"doc_id", $"source", $"score_u")
+        .orderBy($"score_u".desc, $"doc_id")
+    }),
+
     // IVM BEYOND COUNT/SUM (r18, verdict #4): min/max under the
     // append-only contract (this store's ONLY mutation is folding a
     // batch in, so the merge is sound) and distinct-count as a
@@ -6332,6 +6370,96 @@ object SparkEntry {
 
     "q222_sharded_approx" ->
       "SELECT CAST(10 AS BIGINT) AS k, TRUE AS sharded_recall_ok",
+
+    "q229_bm25f" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |n AS (SELECT COUNT(*) AS n,
+        |        CAST(SUM(len(list_slice(toks, 1, 8))) AS DOUBLE)
+        |          / CAST(COUNT(*) AS DOUBLE) AS avgt,
+        |        CAST(SUM(len(toks)) AS DOUBLE)
+        |          / CAST(COUNT(*) AS DOUBLE) AS avgb
+        |      FROM tk),
+        |tt AS (SELECT doc_id, len(list_slice(toks, 1, 8)) AS dl,
+        |        unnest(list_slice(toks, 1, 8)) AS term FROM tk),
+        |bt AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tk),
+        |tft AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM tt
+        |        WHERE term IN ('vector','join','hash') GROUP BY 1, 2, 3),
+        |tfb AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM bt
+        |        WHERE term IN ('vector','join','hash') GROUP BY 1, 2, 3),
+        |wt AS (SELECT doc_id, term,
+        |        2.0 * CAST(tf AS DOUBLE)
+        |          / ((1.0 - 0.75) + 0.75 * CAST(dl AS DOUBLE) / avgt) AS wtf
+        |       FROM tft CROSS JOIN n),
+        |wb AS (SELECT doc_id, term,
+        |        1.0 * CAST(tf AS DOUBLE)
+        |          / ((1.0 - 0.75) + 0.75 * CAST(dl AS DOUBLE) / avgb) AS wtf
+        |       FROM tfb CROSS JOIN n),
+        |pool AS (SELECT COALESCE(wt.doc_id, wb.doc_id) AS doc_id,
+        |        COALESCE(wt.term, wb.term) AS term,
+        |        COALESCE(wt.wtf, 0) + COALESCE(wb.wtf, 0) AS tfw
+        |       FROM wt FULL OUTER JOIN wb
+        |         ON wt.doc_id = wb.doc_id AND wt.term = wb.term),
+        |dfx AS (SELECT term, COUNT(*) AS df FROM pool GROUP BY 1),
+        |per AS (SELECT doc_id, term,
+        |        ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |            / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+        |          * tfw / (1.2 + tfw) AS s
+        |       FROM pool JOIN dfx USING (term) CROSS JOIN n),
+        |sc AS (SELECT doc_id,
+        |    COALESCE(MAX(CASE WHEN term = 'vector' THEN s END), 0) AS s0,
+        |    COALESCE(MAX(CASE WHEN term = 'join' THEN s END), 0) AS s1,
+        |    COALESCE(MAX(CASE WHEN term = 'hash' THEN s END), 0) AS s2
+        |  FROM per GROUP BY 1),
+        |top AS (SELECT doc_id, s0 + s1 + s2 AS score FROM sc
+        |        ORDER BY score DESC, doc_id LIMIT 20)
+        |SELECT doc_id, CAST(FLOOR(score * 1000000.0) AS BIGINT) AS score_u
+        |FROM top ORDER BY score_u DESC, doc_id""".stripMargin,
+
+    "q230_diversified_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS dl,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM toks
+        |       WHERE term IN ('vector','join','hash') GROUP BY 1, 2, 3),
+        |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n,
+        |        CAST(SUM(len(list_filter(string_split_regex(lower(text),
+        |          '[^a-z0-9]+'), x -> x <> ''))) AS DOUBLE)
+        |          / CAST(COUNT(*) AS DOUBLE) AS avgdl
+        |      FROM documents),
+        |per AS (
+        |  SELECT doc_id, term,
+        |    ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |        / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf AS DOUBLE) * (1.2 + 1.0)
+        |         / (CAST(tf AS DOUBLE)
+        |            + 1.2 * ((1.0 - 0.75)
+        |                     + 0.75 * CAST(dl AS DOUBLE) / avgdl))) AS s
+        |  FROM tf JOIN dfx USING (term) CROSS JOIN n),
+        |sc AS (
+        |  SELECT doc_id,
+        |    COALESCE(MAX(CASE WHEN term = 'vector' THEN s END), 0)
+        |      + COALESCE(MAX(CASE WHEN term = 'join' THEN s END), 0)
+        |      + COALESCE(MAX(CASE WHEN term = 'hash' THEN s END), 0) AS score
+        |  FROM per GROUP BY 1),
+        |su AS (SELECT s.doc_id, d.source,
+        |    CAST(FLOOR(s.score * 1000000.0) AS BIGINT) AS score_u
+        |  FROM sc s JOIN documents d USING (doc_id)),
+        |rk AS (SELECT doc_id, source, score_u,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY score_u DESC, doc_id) AS gr
+        |  FROM su),
+        |top AS (SELECT doc_id, source, score_u FROM rk WHERE gr <= 2
+        |        ORDER BY score_u DESC, doc_id LIMIT 10)
+        |SELECT doc_id, source, score_u FROM top
+        |ORDER BY score_u DESC, doc_id""".stripMargin,
 
     "q225_index_merge" ->
       """WITH toks AS (

@@ -365,6 +365,76 @@ object TextAnalytics {
       .select(col(idCol), col("score"))
   }
 
+  /** BM25F — the MULTI-FIELD ranking function real search stacks run
+    * when documents have structure (title/body/anchor; Zaragoza et al.,
+    * CIKM'04 — the "simple BM25 extension" form Lucene/Elastic
+    * per-field boosts approximate):
+    *
+    *   tf̃(t,d) = Σ_f w_f · tf(t,f,d) / ((1 − b_f) + b_f · len_f(d)/avglen_f)
+    *   score(d) = Σ_t ln((N − df + 0.5)/(df + 0.5) + 1) · tf̃ / (k1 + tf̃)
+    *
+    * — field-weighted, per-field length-normalized term counts pooled
+    * BEFORE one shared saturation (weights inside the saturation is
+    * what distinguishes BM25F from a naive per-field score sum: a term
+    * in both title and body saturates jointly instead of double-
+    * dipping). df counts docs containing the term in ANY field; avglen
+    * is per-field exact-integer Σlen/N. Plan shape is [[bm25TopK]]'s
+    * per field — non-query terms drop before aggregation, the field
+    * stats broadcast (|fields| rows), the per-(doc,term) pool is one
+    * aggregation, the fold is [[foldTermScores]]'s ordered fold — so
+    * scores replay bit-for-bit cross-engine.
+    *
+    * @param fields (textColumn, weight, b) per field */
+  def bm25fTopK(df: org.apache.spark.sql.DataFrame, idCol: String,
+      fields: Seq[(String, Double, Double)], terms: Seq[String], k: Int,
+      k1: Double = 1.2): org.apache.spark.sql.DataFrame = {
+    validateTerms(terms)
+    require(fields.nonEmpty, "at least one field")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = df.select(col(idCol)).count()
+    require(n > 0, "empty corpus")
+    // per-field (doc, dl, term, tf) with the field tag riding along;
+    // field avglen as exact integer sums divided once
+    val perField = fields.zipWithIndex.map { case ((c, w, b), fi) =>
+      val base = df.select(col(idCol),
+        filter(split(lower(col(c)), "[^a-z0-9]+"), x => x =!= "").as("_toks"))
+      val sumLen = base.agg(coalesce(sum(size(col("_toks")).cast("long")),
+        lit(0L))).head().getLong(0)
+      val avg = sumLen.toDouble / n.toDouble
+      base.select(col(idCol), size(col("_toks")).as("_dl"),
+          explode(col("_toks")).as("_term"))
+        .filter(col("_term").isin(terms: _*))
+        .groupBy(col(idCol), col("_dl"), col("_term"))
+        .agg(count(lit(1)).as("_tf"))
+        .select(col(idCol), col("_term"),
+          (lit(w) * col("_tf").cast("double") /
+            (lit(1.0 - b) + lit(b) * col("_dl").cast("double") / lit(avg)))
+            .as("_wtf"),
+          lit(fi).as("_fi"))
+    }
+    // pool the weighted normalized tfs across fields IN FIELD ORDER
+    // (the struct sort makes the double additions order-fixed), then
+    // df over the pooled rows = docs containing the term in any field
+    val pooled = perField.reduce(_ unionByName _)
+      .groupBy(col(idCol), col("_term"))
+      .agg(array_sort(collect_list(struct(col("_fi"), col("_wtf"))))
+        .as("_fs"))
+      .withColumn("_tfw",
+        aggregate(col("_fs"), lit(0.0), (acc, x) => acc + x.getField("_wtf")))
+    val dfreq = pooled.groupBy(col("_term")).agg(count(lit(1)).as("_df"))
+    val per = pooled.join(broadcast(dfreq), "_term")
+      .withColumn("_idf",
+        log((lit(n.toDouble) - col("_df").cast("double") + lit(0.5)) /
+          (col("_df").cast("double") + lit(0.5)) + lit(1.0)))
+      .withColumn("_s",
+        col("_idf") * col("_tfw") / (lit(k1) + col("_tfw")))
+    foldTermScores(per, idCol, terms)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("score"))
+  }
+
   /** QUERY SPELL CORRECTION (r18) — the did-you-mean primitive: rank
     * corpus-vocabulary candidates for a (possibly misspelled) query
     * term by (edit distance asc, document frequency desc, term asc).
@@ -430,6 +500,29 @@ object TextAnalytics {
     bm25Scores(df, idCol, textCol, allTerms)
       .orderBy(floor(col("score") * lit(1000000.0)).cast("long").desc,
         col(idCol))
+      .limit(k)
+  }
+
+  /** DIVERSIFIED top-k (r18) — the per-source result cap every search
+    * engine applies (at most `perGroup` hits per site/cluster/source in
+    * the head): rank within each group by (score desc, id), keep the
+    * first `perGroup`, then the global (score desc, id) top-k. Two
+    * windows' worth of work: the per-group rank partitions by the
+    * group column (groups are many — never a one-task window), the
+    * global cut is TakeOrderedAndProject. Pass an INTEGER score (e.g.
+    * the floored micro-unit BM25) and the whole selection is
+    * engine-replayable exactly. */
+  def diversifiedTopK(scored: org.apache.spark.sql.DataFrame, idCol: String,
+      groupCol: String, scoreCol: String, perGroup: Int,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    require(perGroup >= 1 && k >= 1, "perGroup >= 1, k >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    scored.withColumn("_gr", row_number().over(w))
+      .filter(col("_gr") <= perGroup)
+      .drop("_gr")
+      .orderBy(col(scoreCol).desc, col(idCol))
       .limit(k)
   }
 

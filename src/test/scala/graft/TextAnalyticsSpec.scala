@@ -388,6 +388,75 @@ class TextAnalyticsSpec extends AnyFunSuite {
     assert(nv(1L) == 0.0 && nv(2L) == 1.0 && nv(3L) == 2.0 / 3.0)
   }
 
+  test("bm25f: single body field degenerates to bm25; title weight promotes; pooled saturation beats naive sum") {
+    val sp = TestSpark.spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "cat dog", "filler words here today"),
+      (2L, "other title", "cat cat dog filler pad"),
+      (3L, "cat here", "dog cat pad pad pad pad"),
+      (4L, "nothing", "relevant never matches"))
+      .toDF("doc_id", "title", "body")
+    // one field at weight 1, b matching -> bm25 on that field up to the
+    // constant (k1+1) numerator bm25f's saturation omits (idf·tf̃/(k1+tf̃)
+    // vs idf·tf(k1+1)/(tf+k1·B) — same math scaled by 2.2), so the
+    // RANKING is identical and values agree to the last bits of the
+    // rescale
+    val f1 = TextAnalytics.bm25fTopK(docs, "doc_id",
+        Seq(("body", 1.0, 0.75)), Seq("cat", "dog"), k = 10)
+      .as[(Long, Double)].collect().toMap
+    val plain = TextAnalytics.bm25TopK(docs, "doc_id", "body",
+        Seq("cat", "dog"), k = 10)
+      .as[(Long, Double)].collect().toMap
+    assert(f1.keySet == plain.keySet)
+    f1.foreach { case (id, s) =>
+      assert(math.abs(s * 2.2 - plain(id)) <= 1e-12 * plain(id),
+        s"doc $id: bm25f $s * 2.2 != bm25 ${plain(id)}")
+    }
+    // title hits outrank body-only hits under the title weight
+    val got = TextAnalytics.bm25fTopK(docs, "doc_id",
+        Seq(("title", 3.0, 0.75), ("body", 1.0, 0.75)),
+        Seq("cat", "dog"), k = 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(got.head._1 == 1L, s"title match must lead: $got")
+    assert(!got.exists(_._1 == 4L))
+    // weights pool INSIDE the saturation: the two-field score is less
+    // than the sum of the independent per-field bm25f scores (joint
+    // saturation — the defining BM25F property vs naive score sums)
+    val tOnly = TextAnalytics.bm25fTopK(docs, "doc_id",
+        Seq(("title", 3.0, 0.75)), Seq("cat"), k = 10)
+      .as[(Long, Double)].collect().toMap
+    val bOnly = TextAnalytics.bm25fTopK(docs, "doc_id",
+        Seq(("body", 1.0, 0.75)), Seq("cat"), k = 10)
+      .as[(Long, Double)].collect().toMap
+    val both = TextAnalytics.bm25fTopK(docs, "doc_id",
+        Seq(("title", 3.0, 0.75), ("body", 1.0, 0.75)), Seq("cat"), k = 10)
+      .as[(Long, Double)].collect().toMap
+    assert(both(3L) < tOnly(3L) + bOnly(3L),
+      s"pooled saturation must undercut the naive per-field sum: ${both(3L)}")
+    // (note: both > max(single) need NOT hold — df counts docs matching
+    // in ANY included field, so adding a field can shrink idf)
+    // a doc matching in only one field still scores under the pool
+    assert(both.contains(2L) && both.contains(1L) && both.contains(3L))
+  }
+
+  test("diversifiedTopK: per-group cap holds, global order otherwise, integer tiebreaks") {
+    val sp = TestSpark.spark
+    import sp.implicits._
+    val scored = Seq(
+      (1L, "a", 100L), (2L, "a", 90L), (3L, "a", 80L),
+      (4L, "b", 85L), (5L, "b", 70L), (6L, "c", 60L), (7L, "c", 60L))
+      .toDF("doc_id", "source", "score_u")
+    val got = TextAnalytics.diversifiedTopK(scored, "doc_id", "source",
+        "score_u", perGroup = 2, k = 5)
+      .select($"doc_id").as[Long].collect().toSeq
+    // doc 3 (third of source a) is capped out; tie 60/60 breaks to id 6
+    assert(got == Seq(1L, 2L, 4L, 5L, 6L), s"got $got")
+    intercept[IllegalArgumentException] {
+      TextAnalytics.diversifiedTopK(scored, "doc_id", "source", "score_u", 0, 5)
+    }
+  }
+
   test("spellCorrect: (dist, df desc, term) ranking, length band, exact match wins, refusals") {
     val sp = TestSpark.spark
     import sp.implicits._
