@@ -3979,6 +3979,28 @@ object SparkEntry {
         .orderBy($"score_u".desc, $"doc_id")
     }),
 
+    // MMR RERANK (r18, Carbonell-Goldstein): maximal marginal
+    // relevance over the BM25 recall pool — each pick maximizes
+    // λ·rel − (1−λ)·max-Jaccard-to-selected, so the head is relevant
+    // AND non-redundant. rel is the integer micro-unit score, sim a
+    // distinct-token Jaccard: one division each, one fixed subtract —
+    // the oracle replays all five greedy steps UNROLLED and every
+    // pick must match (a drifted double, a wrong tiebreak, or a stale
+    // max-sim all flip a pick).
+    "q231_mmr_rerank" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val pool = graft.operators.TextAnalytics.bm25Scores(docs, "doc_id",
+          "text", Seq("vector", "join", "hash"))
+        .select($"doc_id",
+          floor($"score" * lit(1000000.0)).cast("long").as("rel_u"))
+        .orderBy($"rel_u".desc, $"doc_id")
+        .limit(12)
+      graft.operators.TextAnalytics.mmrRerank(pool, docs, "doc_id",
+          "text", "rel_u", k = 5, lambda = 0.5)
+        .orderBy($"pick")
+    }),
+
     // IVM BEYOND COUNT/SUM (r18, verdict #4): min/max under the
     // append-only contract (this store's ONLY mutation is folding a
     // batch in, so the merge is sound) and distinct-count as a
@@ -6370,6 +6392,101 @@ object SparkEntry {
 
     "q222_sharded_approx" ->
       "SELECT CAST(10 AS BIGINT) AS k, TRUE AS sharded_recall_ok",
+
+    "q231_mmr_rerank" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS dl,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM toks
+        |       WHERE term IN ('vector','join','hash') GROUP BY 1, 2, 3),
+        |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n,
+        |        CAST(SUM(len(list_filter(string_split_regex(lower(text),
+        |          '[^a-z0-9]+'), x -> x <> ''))) AS DOUBLE)
+        |          / CAST(COUNT(*) AS DOUBLE) AS avgdl
+        |      FROM documents),
+        |per AS (
+        |  SELECT doc_id, term,
+        |    ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |        / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf AS DOUBLE) * (1.2 + 1.0)
+        |         / (CAST(tf AS DOUBLE)
+        |            + 1.2 * ((1.0 - 0.75)
+        |                     + 0.75 * CAST(dl AS DOUBLE) / avgdl))) AS s
+        |  FROM tf JOIN dfx USING (term) CROSS JOIN n),
+        |sc AS (
+        |  SELECT doc_id,
+        |    COALESCE(MAX(CASE WHEN term = 'vector' THEN s END), 0)
+        |      + COALESCE(MAX(CASE WHEN term = 'join' THEN s END), 0)
+        |      + COALESCE(MAX(CASE WHEN term = 'hash' THEN s END), 0) AS score
+        |  FROM per GROUP BY 1),
+        |cand AS (SELECT doc_id,
+        |    CAST(FLOOR(score * 1000000.0) AS BIGINT) AS rel_u
+        |  FROM sc ORDER BY CAST(FLOOR(score * 1000000.0) AS BIGINT) DESC,
+        |    doc_id LIMIT 12),
+        |ct AS (SELECT c.doc_id, c.rel_u,
+        |    list_distinct(list_filter(string_split_regex(lower(d.text),
+        |      '[^a-z0-9]+'), x -> x <> '')) AS tk
+        |  FROM cand c JOIN documents d USING (doc_id)),
+        |pair AS (SELECT a.doc_id AS i, b.doc_id AS j,
+        |    CASE WHEN len(list_distinct(list_concat(a.tk, b.tk))) = 0
+        |         THEN 0.0
+        |         ELSE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+        |           / CAST(len(list_distinct(list_concat(a.tk, b.tk)))
+        |               AS DOUBLE) END AS sim
+        |  FROM ct a JOIN ct b ON a.doc_id <> b.doc_id),
+        |s1 AS (SELECT doc_id FROM ct
+        |  ORDER BY 0.5 * (CAST(rel_u AS DOUBLE) / 1000000.0) DESC, doc_id
+        |  LIMIT 1),
+        |s2 AS (SELECT c.doc_id FROM ct c
+        |  WHERE c.doc_id NOT IN (SELECT doc_id FROM s1)
+        |  ORDER BY 0.5 * (CAST(c.rel_u AS DOUBLE) / 1000000.0)
+        |    - 0.5 * (SELECT MAX(p.sim) FROM pair p WHERE p.i = c.doc_id
+        |             AND p.j IN (SELECT doc_id FROM s1)) DESC, c.doc_id
+        |  LIMIT 1),
+        |s3 AS (SELECT c.doc_id FROM ct c
+        |  WHERE c.doc_id NOT IN (SELECT doc_id FROM s1
+        |                         UNION ALL SELECT doc_id FROM s2)
+        |  ORDER BY 0.5 * (CAST(c.rel_u AS DOUBLE) / 1000000.0)
+        |    - 0.5 * (SELECT MAX(p.sim) FROM pair p WHERE p.i = c.doc_id
+        |             AND p.j IN (SELECT doc_id FROM s1
+        |                         UNION ALL SELECT doc_id FROM s2))
+        |    DESC, c.doc_id
+        |  LIMIT 1),
+        |s4 AS (SELECT c.doc_id FROM ct c
+        |  WHERE c.doc_id NOT IN (SELECT doc_id FROM s1
+        |                         UNION ALL SELECT doc_id FROM s2
+        |                         UNION ALL SELECT doc_id FROM s3)
+        |  ORDER BY 0.5 * (CAST(c.rel_u AS DOUBLE) / 1000000.0)
+        |    - 0.5 * (SELECT MAX(p.sim) FROM pair p WHERE p.i = c.doc_id
+        |             AND p.j IN (SELECT doc_id FROM s1
+        |                         UNION ALL SELECT doc_id FROM s2
+        |                         UNION ALL SELECT doc_id FROM s3))
+        |    DESC, c.doc_id
+        |  LIMIT 1),
+        |s5 AS (SELECT c.doc_id FROM ct c
+        |  WHERE c.doc_id NOT IN (SELECT doc_id FROM s1
+        |                         UNION ALL SELECT doc_id FROM s2
+        |                         UNION ALL SELECT doc_id FROM s3
+        |                         UNION ALL SELECT doc_id FROM s4)
+        |  ORDER BY 0.5 * (CAST(c.rel_u AS DOUBLE) / 1000000.0)
+        |    - 0.5 * (SELECT MAX(p.sim) FROM pair p WHERE p.i = c.doc_id
+        |             AND p.j IN (SELECT doc_id FROM s1
+        |                         UNION ALL SELECT doc_id FROM s2
+        |                         UNION ALL SELECT doc_id FROM s3
+        |                         UNION ALL SELECT doc_id FROM s4))
+        |    DESC, c.doc_id
+        |  LIMIT 1)
+        |SELECT doc_id, CAST(1 AS INT) AS pick FROM s1
+        |UNION ALL SELECT doc_id, CAST(2 AS INT) FROM s2
+        |UNION ALL SELECT doc_id, CAST(3 AS INT) FROM s3
+        |UNION ALL SELECT doc_id, CAST(4 AS INT) FROM s4
+        |UNION ALL SELECT doc_id, CAST(5 AS INT) FROM s5
+        |ORDER BY pick""".stripMargin,
 
     "q229_bm25f" ->
       """WITH tk AS (SELECT doc_id,

@@ -503,6 +503,70 @@ object TextAnalytics {
       .limit(k)
   }
 
+  /** MMR — MAXIMAL MARGINAL RELEVANCE rerank (r18; Carbonell &
+    * Goldstein, SIGIR'98), the content-based sibling of the per-group
+    * cap in [[diversifiedTopK]]: greedily pick
+    *
+    *   argmax_i  λ · rel(i) − (1 − λ) · max_{j ∈ selected} sim(i, j)
+    *
+    * so each next result is relevant AND unlike what's already shown.
+    * rel is the caller's INTEGER micro-unit retrieval score scaled
+    * once by 1e-6; sim is distinct-token Jaccard — both are single
+    * integer-ratio divisions and the subtraction is one fixed IEEE
+    * sequence, so every score (and therefore every pick) replays
+    * bit-for-bit cross-engine; ties break on id. The greedy runs
+    * DRIVER-SIDE over the collected candidate pool — deliberately: MMR
+    * is a head reranker, the pool is k-bounded by the recall stage
+    * (the q198/q211 architecture), and the O(pool²·k) interaction is
+    * trivially small next to shipping it through k dependent Spark
+    * jobs. The corpus is touched only by the recall stage.
+    *
+    * @param scored (id, relU integer micro-units) candidate pool
+    * @return (id, pick 1-based selection order) — integers only */
+  def mmrRerank(scored: org.apache.spark.sql.DataFrame, docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, relCol: String, k: Int,
+      lambda: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(lambda >= 0.0 && lambda <= 1.0, "lambda in [0, 1]")
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val pool: Array[(Long, Long, Set[String])] = scored
+      .join(docs.select(col(idCol), col(textCol)), idCol)
+      .select(col(idCol).cast("long"), col(relCol).cast("long"),
+        array_distinct(filter(split(lower(col(textCol)), "[^a-z0-9]+"),
+          t => t =!= "")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[String](2).toSet))
+      .sortBy(_._1)
+    def sim(a: Set[String], b: Set[String]): Double = {
+      val u = (a union b).size
+      if (u == 0) 0.0 else (a intersect b).size.toDouble / u.toDouble
+    }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    val chosen = scala.collection.mutable.HashSet.empty[Long]
+    var pick = 1
+    while (pick <= math.min(k, pool.length)) {
+      var bestId = -1L
+      var bestScore = Double.NegativeInfinity
+      pool.foreach { case (id, relU, toks) =>
+        if (!chosen.contains(id)) {
+          val maxSim =
+            if (chosen.isEmpty) 0.0
+            else pool.iterator.filter(p => chosen.contains(p._1))
+              .map(p => sim(toks, p._3)).max
+          val s = lambda * (relU.toDouble / 1000000.0) - (1.0 - lambda) * maxSim
+          // strict >: the id-ascending pool order makes ties break to
+          // the smaller id, the same total order the oracle replays
+          if (s > bestScore) { bestScore = s; bestId = id }
+        }
+      }
+      selected += ((bestId, pick))
+      chosen += bestId
+      pick += 1
+    }
+    selected.toSeq.toDF(idCol, "pick")
+  }
+
   /** DIVERSIFIED top-k (r18) — the per-source result cap every search
     * engine applies (at most `perGroup` hits per site/cluster/source in
     * the head): rank within each group by (score desc, id), keep the

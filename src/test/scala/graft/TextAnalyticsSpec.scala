@@ -440,6 +440,35 @@ class TextAnalyticsSpec extends AnyFunSuite {
     assert(both.contains(2L) && both.contains(1L) && both.contains(3L))
   }
 
+  test("mmrRerank: greedy picks trade relevance against max-sim-to-selected; ties to smaller id; λ=1 is pure relevance") {
+    val sp = TestSpark.spark
+    import sp.implicits._
+    // docs 1 and 2 near-identical (high mutual Jaccard), doc 3 distinct
+    // but lower relevance: pure relevance picks (1, 2, 3); MMR at 0.5
+    // must demote 2 behind 3 after picking 1
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma epsilon"),
+      (3L, "zeta eta theta iota"),
+      (4L, "alpha beta gamma delta zz"))
+      .toDF("doc_id", "text")
+    val pool = Seq((1L, 1000000L), (2L, 990000L), (3L, 500000L),
+      (4L, 980000L)).toDF("doc_id", "rel_u")
+    def picks(lam: Double) = TextAnalytics.mmrRerank(pool, docs, "doc_id",
+        "text", "rel_u", k = 3, lambda = lam)
+      .orderBy($"pick").select($"doc_id").as[Long].collect().toSeq
+    assert(picks(1.0) == Seq(1L, 2L, 4L), "λ=1 must be pure relevance order")
+    // λ=0.5: pick 1 (top rel); then 2 and 4 are heavily penalized
+    // (Jaccard 3/5 and 4/5 vs doc 1) while 3 is disjoint (sim 0):
+    // 0.5*0.99-0.5*0.6=0.195 / 0.5*0.98-0.5*0.8=0.09 / 0.5*0.5-0=0.25
+    assert(picks(0.5) == Seq(1L, 3L, 2L), s"got ${picks(0.5)}")
+    // hand-check the third pick: after {1,3}, 2 scores 0.195 (max sim
+    // is still vs 1) and 4 scores 0.09 -> 2 wins
+    intercept[IllegalArgumentException] {
+      TextAnalytics.mmrRerank(pool, docs, "doc_id", "text", "rel_u", 0)
+    }
+  }
+
   test("diversifiedTopK: per-group cap holds, global order otherwise, integer tiebreaks") {
     val sp = TestSpark.spark
     import sp.implicits._
