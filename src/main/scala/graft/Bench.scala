@@ -274,6 +274,10 @@ object Bench {
     "q229" -> (0.756, 1.717), "q230" -> (0.520, 1.242),
     // q231 two isolated runs (1.048/0.999)
     "q231" -> (0.699, 1.565),
+    // q232 two isolated runs (5.862/5.355) — a 3-micro-batch streaming
+    // lifecycle gate (q201w's class): three CAS-committed upserts +
+    // the head query
+    "q232" -> (3.749, 8.064),
     "q13" -> (0.231, 0.596), "q14" -> (0.168, 0.501), "q15" -> (0.217, 0.596),
     "q16" -> (0.175, 0.501), "q17" -> (0.287, 0.717), "q18" -> (0.161, 0.461),
     "q19" -> (0.21, 0.636), "q20" -> (0.322, 0.771), "q21" -> (0.217, 0.622),

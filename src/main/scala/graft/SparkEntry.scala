@@ -3979,6 +3979,50 @@ object SparkEntry {
         .orderBy($"score_u".desc, $"doc_id")
     }),
 
+    // STREAMING-MAINTAINED VECTOR INDEX (r18): continuous embedding
+    // ingest into the ANN serving index — three file-source
+    // micro-batches upsert through the manifest CAS
+    // (StreamOps.vectorIndexIngest), then the head snapshot answers a
+    // top-12 cosine query graded against the oracle's one-shot scan of
+    // ALL embeddings: a dropped batch, a clobbered bucket, or a
+    // version mis-commit all change the head. Replay safety is
+    // idempotence (id-keyed last-write-wins), spec-covered.
+    "q232_stream_vector_index" -> ((s, dir) => {
+      import s.implicits._
+      val scratch = freshScratch("q232")
+      val src = s"$scratch/src"
+      val ipath = s"$scratch/vidx"
+      new java.io.File(src).mkdirs()
+      val emb = t(s, dir, "embeddings")
+      def recs(pred: Column) = emb.filter(pred).select(
+        $"vec_id".cast("string").as("id"), $"embedding".as("values"),
+        struct(($"vec_id" % 5).cast("int").as("chunk_index"),
+          lit("uploaded_pdf").as("source")).as("metadata"))
+      val maxId = emb.agg(max($"vec_id")).head().getLong(0)
+      val (c1, c2) = (maxId / 3, 2 * maxId / 3)
+      def writeBatch(name: String, f: DataFrame): Unit = {
+        val tmp = s"$scratch/stage_$name"
+        f.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.copy(part.toPath,
+          java.nio.file.Paths.get(s"$src/$name.parquet"))
+      }
+      writeBatch("b1", recs($"vec_id" <= c1))
+      val stream = s.readStream.schema(recs(lit(true)).schema).parquet(src)
+      val q = graft.streaming.StreamOps.vectorIndexIngest(stream, ipath,
+        dim = 64).start()
+      q.processAllAvailable()
+      writeBatch("b2", recs($"vec_id" > c1 && $"vec_id" <= c2))
+      q.processAllAvailable()
+      writeBatch("b3", recs($"vec_id" > c2))
+      q.processAllAvailable()
+      q.stop()
+      val qv = emb.filter($"vec_id" === 1).select($"embedding")
+        .as[Array[Float]].head()
+      graft.operators.VectorIndex.open(s, ipath).query(qv, 12).select($"id")
+    }),
+
     // MMR RERANK (r18, Carbonell-Goldstein): maximal marginal
     // relevance over the BM25 recall pool — each pick maximizes
     // λ·rel − (1−λ)·max-Jaccard-to-selected, so the head is relevant
@@ -6392,6 +6436,14 @@ object SparkEntry {
 
     "q222_sharded_approx" ->
       "SELECT CAST(10 AS BIGINT) AS k, TRUE AS sharded_recall_ok",
+
+    "q232_stream_vector_index" ->
+      """SELECT CAST(e.vec_id AS VARCHAR) AS id FROM embeddings e
+        |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+        |   WHERE vec_id = 1)) DESC,
+        |  CAST(e.vec_id AS VARCHAR)
+        |LIMIT 12""".stripMargin,
 
     "q231_mmr_rerank" ->
       """WITH toks AS (

@@ -965,6 +965,34 @@ object StreamOps {
     * instant is necessarily after the last bucket's). The query id is
     * checkpoint-scoped, so a FRESH checkpoint over an existing view
     * restarts batch ids at 0 without ever matching the old tags. */
+  /** STREAMING-maintained VECTOR index (r18): each micro-batch UPSERTS
+    * into the snapshot index at `indexPath` — continuous embedding
+    * ingest into the ANN serving index, the missing streaming sibling
+    * of [[dedupedIngestIndexed]] (MinHash) and [[ivmIngest]] (keyed
+    * aggregates). Exactly-once BY IDEMPOTENCE, not by ledger: upsert
+    * is id-keyed last-write-wins through the manifest CAS, so a
+    * replayed micro-batch (restart re-delivery) re-commits the same
+    * rows to the same content — versions advance, the served answer
+    * does not drift; a concurrent API writer linearizes through the
+    * same CAS with the usual retry. Rows must carry the index schema:
+    * (id string, values array<float>, metadata struct). */
+  def vectorIndexIngest(rows: DataFrame, indexPath: String, dim: Int,
+      numBuckets: Int = graft.operators.LayoutMeta.Unspecified)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val idx =
+            if (numBuckets == graft.operators.LayoutMeta.Unspecified)
+              graft.operators.VectorIndex.ensure(batch.sparkSession,
+                indexPath, dim)
+            else
+              graft.operators.VectorIndex.ensure(batch.sparkSession,
+                indexPath, dim, numBuckets = numBuckets)
+          idx.upsert(batch.select(col("id"), col("values"), col("metadata")))
+        }
+    }
+
   def ivmIngest(rows: DataFrame, storePath: String, keyCols: Seq[String],
       sumCols: Seq[String],
       nBuckets: Int = graft.operators.LayoutMeta.Unspecified)

@@ -1495,6 +1495,46 @@ class StreamingSpec extends AnyFunSuite {
       == (1L to 6L), "every distinct doc accepted through the compactions")
   }
 
+  test("streaming vector-index ingest: micro-batch upserts serve the head; a replayed batch is content-idempotent") {
+    import graft.operators.VectorIndex
+    val base = Files.createTempDirectory("graft_stream_vidx")
+    val src = base.resolve("src"); Files.createDirectories(src)
+    val ipath = s"$base/vidx"
+    def recs(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select(concat(lit("v-"), $"id").as("id"),
+        array($"id".cast("float"), ($"id" % 7).cast("float"),
+          lit(1f), lit(2f)).as("values"),
+        struct(lit(0).as("chunk_index"), lit("t").as("source")).as("metadata"))
+    def land(name: String, df: DataFrame): Unit = {
+      val tmp = base.resolve(s"stage_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, src.resolve(s"$name.parquet"))
+    }
+    land("b1", recs(0, 20))
+    val stream = spark.readStream.schema(recs(0, 1).schema).parquet(src.toString)
+    val q = StreamOps.vectorIndexIngest(stream, ipath, dim = 4).start()
+    q.processAllAvailable()
+    land("b2", recs(20, 40))
+    q.processAllAvailable()
+    q.stop()
+    val idx = VectorIndex.open(spark, ipath)
+    assert(idx.scan().count() == 40L)
+    val qv = Array(31f, 3f, 1f, 2f)
+    val head = idx.query(qv, 7).select("id").as[String].collect().toSeq
+    assert(head.head == "v-31", s"nearest must be the exact match: $head")
+    // REPLAY: a restart re-delivers batch 2 — the upsert path a replay
+    // takes is by construction the same id-keyed last-write-wins
+    // commit, so content is idempotent (a new version, no drift)
+    val vBefore = idx.snapshots().max
+    idx.upsert(recs(20, 40))
+    val after = VectorIndex.open(spark, ipath)
+    assert(after.scan().count() == 40L, "replay must not duplicate rows")
+    assert(after.query(qv, 7).select("id").as[String].collect().toSeq == head,
+      "replay must not change the served answer")
+    assert(after.snapshots().max == vBefore + 1)
+  }
+
   test("streaming dedup within watermark drops duplicate event ids") {
     // duplicate the stream source file => every event appears twice
     val dir = Files.createTempDirectory("graft_stream_dup")
