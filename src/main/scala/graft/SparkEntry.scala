@@ -3979,6 +3979,22 @@ object SparkEntry {
         .orderBy($"score_u".desc, $"doc_id")
     }),
 
+    // MATRYOSHKA TWO-STAGE SEARCH (r18, the MRL serving trick):
+    // shortlist on the first 16 of 64 dims (a quarter of the scoring
+    // arithmetic), exact full-dim rescore on the 50-candidate
+    // shortlist only. The oracle replays BOTH stages — prefix cosine
+    // cut included — so a wrong slice, a stale shortlist, or a
+    // mis-ranked rescore all change the id list.
+    "q233_matryoshka" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter($"vec_id" === 2).select($"embedding")
+        .as[Array[Float]].head()
+      graft.operators.Ann.matryoshkaTopK(emb, "embedding", "vec_id", qv,
+          prefixDim = 16, shortlist = 50, k = 10)
+        .select($"vec_id")
+    }),
+
     // STREAMING-MAINTAINED VECTOR INDEX (r18): continuous embedding
     // ingest into the ANN serving index — three file-source
     // micro-batches upsert through the manifest CAS
@@ -6436,6 +6452,21 @@ object SparkEntry {
 
     "q222_sharded_approx" ->
       "SELECT CAST(10 AS BIGINT) AS k, TRUE AS sharded_recall_ok",
+
+    "q233_matryoshka" ->
+      """WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q
+        |            FROM embeddings WHERE vec_id = 2),
+        |sl AS (SELECT e.vec_id, e.embedding,
+        |    list_cosine_similarity(CAST(e.embedding[1:16] AS DOUBLE[]),
+        |      (SELECT q[1:16] FROM qv)) AS ps
+        |  FROM embeddings e),
+        |cand AS (SELECT vec_id, embedding FROM sl
+        |         ORDER BY ps DESC, vec_id LIMIT 50),
+        |re AS (SELECT vec_id,
+        |    list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |      (SELECT q FROM qv)) AS s
+        |  FROM cand)
+        |SELECT vec_id FROM re ORDER BY s DESC, vec_id LIMIT 10""".stripMargin,
 
     "q232_stream_vector_index" ->
       """SELECT CAST(e.vec_id AS VARCHAR) AS id FROM embeddings e

@@ -86,6 +86,35 @@ object Ann {
       .limit(k)
   }
 
+  /** MATRYOSHKA two-stage search (r18 — the MRL serving trick,
+    * Kusupati et al. NeurIPS'22; OpenAI text-embedding-3's
+    * `dimensions` knob): MRL-trained embeddings nest, so the first
+    * `prefixDim` components are themselves a usable embedding — the
+    * shortlist pass scores cosine on the PREFIX only (prefixDim/dim of
+    * the arithmetic, and of the bytes once vectors are stored
+    * prefix-first), and the exact full-dimension rescore runs on the
+    * shortlist alone. `shortlist` >= corpus recovers exact brute
+    * force; both cuts are (score desc, id) TakeOrderedAndProject. On
+    * non-MRL embeddings this is still a valid (coarser) two-stage
+    * filter — recall just degrades with the prefix's information
+    * share. */
+  def matryoshkaTopK(df: DataFrame, vecCol: String, idCol: String,
+      q: Array[Float], prefixDim: Int, shortlist: Int, k: Int): DataFrame = {
+    require(prefixDim >= 1 && prefixDim <= q.length,
+      s"prefixDim $prefixDim out of [1, ${q.length}]")
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val qPre = lit(q.take(prefixDim).map(_.toDouble))
+    val qFull = lit(q.map(_.toDouble))
+    df.select(col(idCol), col(vecCol))
+      .withColumn("_ps", vectors.cosine(slice(col(vecCol), 1, prefixDim), qPre))
+      .orderBy(col("_ps").desc, col(idCol))
+      .limit(shortlist)
+      .withColumn("score", vectors.cosine(col(vecCol), qFull))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("score"))
+  }
+
   /** Banded (OR-amplified) index: `bands` independent signatures of
     * `planesPerBand` bits each, band id packed into the bucket's high
     * bits. A row is a candidate for a query iff ANY band bucket matches

@@ -406,6 +406,34 @@ class AnnSpec extends AnyFunSuite {
     encoded.unpersist()
   }
 
+  test("matryoshka: full shortlist recovers brute force; prefix stage actually cuts; refusals") {
+    val q = queryVec(3L)
+    val n = emb.count().toInt
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id").as[Long].collect().toSeq
+    // shortlist >= corpus: the two-stage result IS the exact brute force
+    val exact = ids(Ann.bruteForceTopK(emb, "embedding", "vec_id", q, 10))
+    assert(ids(Ann.matryoshkaTopK(emb, "embedding", "vec_id", q,
+      prefixDim = 16, shortlist = n, k = 10)) == exact)
+    // prefixDim = full dim: the shortlist stage ranks exactly like the
+    // rescore, so ANY shortlist >= k recovers the exact answer
+    assert(ids(Ann.matryoshkaTopK(emb, "embedding", "vec_id", q,
+      prefixDim = q.length, shortlist = 10, k = 10)) == exact)
+    // a genuine prefix at a modest shortlist keeps high recall on these
+    // smooth synthetic embeddings, and the self-match always survives
+    val pre = ids(Ann.matryoshkaTopK(emb, "embedding", "vec_id", q,
+      prefixDim = 16, shortlist = 40, k = 10))
+    assert(pre.contains(3L), "self-match must survive the prefix stage")
+    assert(exact.toSet.intersect(pre.toSet).size >= 5,
+      s"prefix recall collapsed: $pre vs $exact")
+    intercept[IllegalArgumentException] {
+      Ann.matryoshkaTopK(emb, "embedding", "vec_id", q, 0, 10, 5)
+    }
+    intercept[IllegalArgumentException] {
+      Ann.matryoshkaTopK(emb, "embedding", "vec_id", q, 16, 5, 10)
+    }
+  }
+
   test("PQ encoding is deterministic and scale-invariant (normalized)") {
     val model = Ann.trainPq(emb, "embedding")
     val v = queryVec(3L).map(_.toDouble)
