@@ -322,19 +322,27 @@ object InvertedIndex {
     * deleteDocs + compact repairs it). */
   def mergeIndexes(spark: org.apache.spark.sql.SparkSession, src1: String,
       src2: String, out: String): Unit =
+    mergeIndexes(spark, Seq(src1, src2), out)
+
+  /** N-way [[mergeIndexes]] — the general shard-combine (per-epoch
+    * builds folding into one serving index merge in ONE pass, not a
+    * chain of pairwise merges and intermediate copies). */
+  def mergeIndexes(spark: org.apache.spark.sql.SparkSession,
+      srcPaths: Seq[String], out: String): Unit =
       WriterLock.withLock(spark, out, "mergeIndexes") {
     import org.apache.hadoop.fs.{FileUtil, Path}
+    require(srcPaths.size >= 2, "merge needs at least two source indexes")
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(out).getFileSystem(hconf)
-    val srcs = Seq("m1" -> src1, "m2" -> src2)
+    val srcs = srcPaths.zipWithIndex.map { case (p, i) => s"m$i" -> p }
     val bks = srcs.map { case (_, p) =>
       LayoutMeta.read(spark, p).flatMap(_.get("buckets")).getOrElse(
         throw new IllegalArgumentException(s"no index _META at $p"))
     }
-    require(bks.head == bks.last,
-      s"bucket layouts differ (${bks.head} vs ${bks.last}): a merged " +
+    require(bks.distinct.size == 1,
+      s"bucket layouts differ (${bks.mkString(",")}): a merged " +
         "probe would prune the wrong directories and silently miss " +
-        "postings; rebuild one side on the other's layout first")
+        "postings; rebuild the outliers on the common layout first")
     val outP = new Path(out)
     require(!fs.exists(outP) || fs.listStatus(outP).isEmpty,
       s"merge target $out must be empty (merge is a create, not an append)")

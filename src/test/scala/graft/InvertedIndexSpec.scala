@@ -365,6 +365,22 @@ class InvertedIndexSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       InvertedIndex.mergeIndexes(spark, s"$base/a", s"$base/b", s"$base/m")
     }
+    // N-WAY merge in one pass: three single-doc shards == full rebuild
+    (1 to 3).foreach { i =>
+      InvertedIndex.writeIndex(d.filter($"doc_id" === i), "doc_id", "text",
+        s"$base/s$i", buckets = 4)
+    }
+    InvertedIndex.mergeIndexes(spark,
+      Seq(s"$base/s1", s"$base/s2", s"$base/s3"), s"$base/m3")
+    val full3 = java.nio.file.Files.createTempDirectory("graft_m3ref")
+      .toString + "/f"
+    InvertedIndex.writeIndex(d.filter($"doc_id" <= 3), "doc_id", "text",
+      full3, buckets = 4)
+    assert(bm(s"$base/m3") == bm(full3),
+      "3-way merge must score bit-identically to the full rebuild")
+    intercept[IllegalArgumentException] {
+      InvertedIndex.mergeIndexes(spark, Seq(s"$base/s1"), s"$base/m4")
+    }
   }
 
   test("snippets: best window by distinct-term coverage, earliest-start tiebreak, indexed == in-memory") {
