@@ -280,6 +280,8 @@ object Bench {
     "q232" -> (3.749, 8.064),
     // q233 two isolated runs (0.258/0.267)
     "q233" -> (0.181, 0.510),
+    // q234 two isolated runs (1.040/1.064)
+    "q234" -> (0.728, 1.586),
     "q13" -> (0.231, 0.596), "q14" -> (0.168, 0.501), "q15" -> (0.217, 0.596),
     "q16" -> (0.175, 0.501), "q17" -> (0.287, 0.717), "q18" -> (0.161, 0.461),
     "q19" -> (0.21, 0.636), "q20" -> (0.322, 0.771), "q21" -> (0.217, 0.622),

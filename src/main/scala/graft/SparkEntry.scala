@@ -3979,6 +3979,25 @@ object SparkEntry {
         .orderBy($"score_u".desc, $"doc_id")
     }),
 
+    // WINSORIZATION (r18): clamp each event type's values into its own
+    // EXACT rank-based 5th-95th percentile band — keeps rows, bounds
+    // tail influence; ranks are basis-point integer DIV arithmetic
+    // (never a double percentile estimate), clamped values are the
+    // ORIGINAL doubles (comparison-replace), so the graded decimal
+    // sums are exact. The oracle replays the rank window, both bound
+    // picks, and the clamp.
+    "q234_winsorize" -> ((s, dir) => {
+      import s.implicits._
+      val ev = events(s, dir).select($"event_type", $"event_id", $"value")
+      graft.operators.DataProfile.winsorize(ev, "event_type", "value",
+          "event_id")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"_wins".cast("decimal(18,6)")).cast("double").as("sum_w"),
+          min($"_wins").as("min_w"), max($"_wins").as("max_w"))
+        .orderBy($"event_type")
+    }),
+
     // MATRYOSHKA TWO-STAGE SEARCH (r18, the MRL serving trick):
     // shortlist on the first 16 of 64 dims (a quarter of the scoring
     // arithmetic), exact full-dim rescore on the 50-candidate
@@ -6452,6 +6471,26 @@ object SparkEntry {
 
     "q222_sharded_approx" ->
       "SELECT CAST(10 AS BIGINT) AS k, TRUE AS sharded_recall_ok",
+
+    "q234_winsorize" ->
+      """WITH r AS (SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |b AS (SELECT lo.event_type, lo.value AS lov, hi.value AS hiv
+        |  FROM (SELECT event_type, value FROM r
+        |        WHERE rn = n * 500 // 10000 + 1) lo
+        |  JOIN (SELECT event_type, value FROM r
+        |        WHERE rn = (n * 9500 + 9999) // 10000) hi
+        |    USING (event_type)),
+        |c AS (SELECT e.event_type,
+        |    least(greatest(e.value, b.lov), b.hiv) AS w
+        |  FROM events e JOIN b USING (event_type))
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE) AS sum_w,
+        |  MIN(w) AS min_w, MAX(w) AS max_w
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q233_matryoshka" ->
       """WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q

@@ -378,4 +378,40 @@ object DataProfile {
       .select(groupCols.map(col) ++
         Seq(col("n"), col("slope"), col("intercept")): _*)
   }
+
+  /** WINSORIZE (r18) — clamp each group's values into its own exact
+    * rank-based [lo, hi] percentile band (default 5th/95th): the
+    * outlier treatment that keeps rows (unlike a filter) and bounds
+    * influence (unlike trusting the tail) — what a feature pipeline
+    * runs before aggregating heavy-tailed signals. Ranks are EXACT
+    * integers (basis-point arithmetic with integer DIV — no double
+    * percentile estimate, no engine wiggle): loRank = n·loBp DIV 10⁴
+    * + 1, hiRank = (n·hiBp + 10⁴−1) DIV 10⁴, over the (value, id)
+    * total order. One window shuffle on the group key; the bound table
+    * is groups-sized and broadcast back, so the clamp is a narrow map.
+    * Clamped values are ORIGINAL values (comparison-replace, zero new
+    * arithmetic), so downstream exact-decimal sums stay exact.
+    *
+    * @return input plus `_wins` (the clamped value) */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, loBp: Int = 500, hiBp: Int = 9500): DataFrame = {
+    require(loBp >= 0 && hiBp <= 10000 && loBp < hiBp,
+      s"basis points out of order: [$loBp, $hiBp]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(valueCol), col(idCol))
+    val ranked = df
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))))
+      .withColumn("_lor", expr(s"_n * $loBp DIV 10000") + lit(1L))
+      .withColumn("_hir", expr(s"(_n * $hiBp + 9999) DIV 10000"))
+    val bounds = ranked.filter(col("_rn") === col("_lor"))
+      .select(col(groupCol), col(valueCol).as("_lo"))
+      .join(ranked.filter(col("_rn") === col("_hir"))
+        .select(col(groupCol), col(valueCol).as("_hi")), groupCol)
+    df.join(broadcast(bounds), groupCol)
+      .withColumn("_wins",
+        least(greatest(col(valueCol), col("_lo")), col("_hi")))
+      .drop("_lo", "_hi")
+  }
 }

@@ -165,4 +165,25 @@ class DataProfileSpec extends AnyFunSuite {
     // rank 2 = 10 -> threshold 50 -> only 1000 flags
     assert(gotEven == Set(4L))
   }
+
+  test("winsorize: exact rank bounds clamp tails, original values untouched in-band, degenerate group, refusal") {
+    val sp = TestSpark.spark
+    import sp.implicits._
+    // group g: values 1..20 -> loRank = 20*500 div 10000 + 1 = 2,
+    // hiRank = (20*9500+9999) div 10000 = 19 -> clamp into [2, 19]
+    val df = (1L to 20L).map(i => ("g", i, i.toDouble)).toDF("k", "id", "v")
+      .unionByName(Seq(("h", 1L, 42.0)).toDF("k", "id", "v"))
+    val got = graft.operators.DataProfile.winsorize(df, "k", "v", "id")
+      .select($"k", $"id", $"_wins").as[(String, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got(("g", 1L)) == 2.0 && got(("g", 20L)) == 19.0,
+      "tails must clamp to the exact rank bounds")
+    assert((2L to 19L).forall(i => got(("g", i)) == i.toDouble),
+      "in-band values must pass through untouched")
+    // single-row group: loRank = 1, hiRank = 1 -> value clamps to itself
+    assert(got(("h", 1L)) == 42.0)
+    intercept[IllegalArgumentException] {
+      graft.operators.DataProfile.winsorize(df, "k", "v", "id", 9500, 500)
+    }
+  }
 }
