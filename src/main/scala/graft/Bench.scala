@@ -512,8 +512,14 @@ object Bench {
         s""""queries":$qs,$extra"flagged":$flagged,"flag_env":$fenv,""" +
         s""""env":$env,"sf":"$sfDir"}"""
     val fullQs = qEntries.map(_._1).mkString("{", ",", "}")
+    // a FILTERED run (SPARK_GRAFT_ONLY set — builder-local profiling)
+    // must never clobber the committed full-suite artifact: that exact
+    // slip shipped a one-query bench_full.json twice (ADVICE r17 +
+    // once in r18). Partial runs write a sibling the repo ignores.
+    val artifact =
+      if (only.isEmpty) "bench_full.json" else "bench_partial.json"
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_full.json"), lineWith(fullQs, ""))
+      java.nio.file.Paths.get(artifact), lineWith(fullQs, ""))
     catch { case _: Throwable => () }
     val fullLine = lineWith(fullQs, "")
     val out = if (fullLine.length <= 1800) fullLine else {
