@@ -392,6 +392,13 @@ object DataProfile {
     * Clamped values are ORIGINAL values (comparison-replace, zero new
     * arithmetic), so downstream exact-decimal sums stay exact.
     *
+    * NULL handling ("keeps rows" means ALL rows, r19): bounds are
+    * computed over non-NULL values only; a NULL-group partition gets
+    * its own bounds (null-safe join, not silently dropped); a NULL
+    * value, or a row in a group with no non-NULL values, passes
+    * through with `_wins` = the original (NULL) value — never clamped
+    * to a bound, never dropped.
+    *
     * @return input plus `_wins` (the clamped value) */
   def winsorize(df: DataFrame, groupCol: String, valueCol: String,
       idCol: String, loBp: Int = 500, hiBp: Int = 9500): DataFrame = {
@@ -399,19 +406,23 @@ object DataProfile {
       s"basis points out of order: [$loBp, $hiBp]")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(col(valueCol), col(idCol))
-    val ranked = df
+    val ranked = df.filter(col(valueCol).isNotNull)
       .withColumn("_rn", row_number().over(w))
       .withColumn("_n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))))
       .withColumn("_lor", expr(s"_n * $loBp DIV 10000") + lit(1L))
       .withColumn("_hir", expr(s"(_n * $hiBp + 9999) DIV 10000"))
-    val bounds = ranked.filter(col("_rn") === col("_lor"))
-      .select(col(groupCol), col(valueCol).as("_lo"))
-      .join(ranked.filter(col("_rn") === col("_hir"))
-        .select(col(groupCol), col(valueCol).as("_hi")), groupCol)
-    df.join(broadcast(bounds), groupCol)
+    // one pass over the two bound-rank rows per group (lo==hi rank in
+    // tiny groups serves both), groupBy keeps a NULL group key
+    val bounds = ranked
+      .filter(col("_rn") === col("_lor") || col("_rn") === col("_hir"))
+      .groupBy(col(groupCol).as("_gk"))
+      .agg(min(when(col("_rn") === col("_lor"), col(valueCol))).as("_lo"),
+        max(when(col("_rn") === col("_hir"), col(valueCol))).as("_hi"))
+    df.join(broadcast(bounds), col(groupCol) <=> col("_gk"), "left")
       .withColumn("_wins",
-        least(greatest(col(valueCol), col("_lo")), col("_hi")))
-      .drop("_lo", "_hi")
+        when(col(valueCol).isNull || col("_lo").isNull, col(valueCol))
+          .otherwise(least(greatest(col(valueCol), col("_lo")), col("_hi"))))
+      .drop("_gk", "_lo", "_hi")
   }
 }

@@ -57,19 +57,29 @@ object JoinEstimate {
     // reach ~1e9 and a single product is ~1e18 — a 1024-term LONG sum
     // wraps silently and the min-over-depth then picks the wrapped row.
     // 38 digits carry width·(N1/width)·(N2/width) for any N this side
-    // of 1e18 rows; the final value is clamped to Long.MaxValue rather
-    // than overflowed.
+    // of 1e18 rows. Beyond that, a per-depth sum can exceed 38 digits;
+    // try_sum makes that NULL under BOTH ANSI settings (plain sum
+    // throws under ANSI, silently NULLs otherwise) — and an all-NULL
+    // result must not read as "empty join = 0". NULL-from-empty and
+    // NULL-from-overflow are told apart by counting: zero depth rows
+    // = disjoint sketches = 0; a NULL depth among non-NULLs is
+    // correctly dominated by min (its true value exceeds every
+    // representable one); ALL depths NULL = every estimate overflowed
+    // = clamp to Long.MaxValue, never 0. The per-cell PRODUCT needs no
+    // guard: long·long < 8.6e37 fits decimal(38,0) by construction.
     val per = cms1.select(col("d"), col("b"), col("cnt").as("_c1"))
       .join(cms2.select(col("d"), col("b"), col("cnt").as("_c2")),
         Seq("d", "b"))
       .groupBy(col("d"))
-      .agg(sum(col("_c1").cast("decimal(38,0)") *
+      .agg(try_sum(col("_c1").cast("decimal(38,0)") *
         col("_c2").cast("decimal(38,0)")).as("_ip"))
-      .agg(min(col("_ip")))
+      .agg(count(lit(1)).as("_depths"), count(col("_ip")).as("_finite"),
+        min(col("_ip")).as("_min"))
       .head()
-    if (per.isNullAt(0)) 0L
+    if (per.getLong(0) == 0L) 0L // no overlapping cells at any depth
+    else if (per.getLong(1) == 0L) Long.MaxValue // every depth overflowed
     else {
-      val ip = per.getDecimal(0).toBigInteger
+      val ip = per.getDecimal(2).toBigInteger
       if (ip.compareTo(java.math.BigInteger.valueOf(Long.MaxValue)) > 0)
         Long.MaxValue
       else ip.longValueExact()

@@ -86,8 +86,12 @@ object TrueTypeCmap {
     val startAt = endAt + segX2 + 2 // +2: reservedPad
     val deltaAt = startAt + segX2
     val rangeAt = deltaAt + segX2
+    // Total-iteration budget: a crafted 32k-seg table whose glyph ids
+    // are all 0 adds nothing (so MaxEntries never trips) yet would spin
+    // segs * 64Ki ~ 2e9 iterations; a legit full-BMP font needs ~65k.
+    var budget = 1 << 22
     var i = 0
-    while (i < segs) {
+    while (i < segs && budget > 0) {
       val end = u16(endAt + 2 * i)
       val start = u16(startAt + 2 * i)
       val delta = u16(deltaAt + 2 * i)
@@ -95,7 +99,8 @@ object TrueTypeCmap {
       if (end < 0 || start < 0 || delta < 0 || rangeOff < 0) return
       if (start <= end && !(start == 0xffff && end == 0xffff)) {
         var c = start
-        while (c <= end && acc.size < MaxEntries) {
+        while (c <= end && acc.size < MaxEntries && budget > 0) {
+          budget -= 1
           val gid =
             if (rangeOff == 0) (c + delta) & 0xffff
             else {
@@ -122,10 +127,18 @@ object TrueTypeCmap {
       val end = u32(rec + 4)
       val gid0 = u32(rec + 8)
       if (start < 0 || end < start || gid0 < 0) return
-      var c = start
-      while (c <= end && acc.size < MaxEntries) {
-        if (c <= 0x10ffff) acc(c.toInt) = ((gid0 + (c - start)) & 0xffff).toInt
-        c += 1
+      // Iterate only the Unicode-valid slice: a group whose start is
+      // beyond U+10FFFF contributes nothing, and a group whose end is
+      // near 0xFFFFFFFF must not spin ~4.3e9 no-op iterations (no
+      // entry ever lands, so the MaxEntries cap alone can't stop it —
+      // a crafted/corrupt coverage table could hang extraction).
+      if (start <= 0x10ffffL) {
+        val hi = math.min(end, 0x10ffffL)
+        var c = start
+        while (c <= hi && acc.size < MaxEntries) {
+          acc(c.toInt) = ((gid0 + (c - start)) & 0xffff).toInt
+          c += 1
+        }
       }
       g += 1
     }

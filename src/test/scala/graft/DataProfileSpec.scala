@@ -186,4 +186,25 @@ class DataProfileSpec extends AnyFunSuite {
       graft.operators.DataProfile.winsorize(df, "k", "v", "id", 9500, 500)
     }
   }
+
+  test("winsorize: NULL group gets its own bounds, NULL values pass through, no row ever dropped") {
+    val sp = TestSpark.spark
+    import sp.implicits._
+    // NULL-group partition 1..20 (same shape as the named group), plus
+    // a NULL value inside a real group, plus a group of only NULLs
+    val rows = (1L to 20L).map(i => (Option.empty[String], i, Option(i.toDouble))) ++
+      (1L to 20L).map(i => (Option("g"), 100 + i, Option(i.toDouble))) :+
+      ((Option("g"), 199L, Option.empty[Double])) :+
+      ((Option("z"), 300L, Option.empty[Double]))
+    val df = rows.toDF("k", "id", "v")
+    val out = graft.operators.DataProfile.winsorize(df, "k", "v", "id")
+    assert(out.count() == df.count(), "winsorize must keep every row")
+    val got = out.select($"id", $"_wins").as[(Long, Option[Double])]
+      .collect().toMap
+    // the NULL group is winsorized like any other group, not dropped
+    assert(got(1L).contains(2.0) && got(20L).contains(19.0))
+    assert(got(101L).contains(2.0) && got(120L).contains(19.0))
+    // NULL values pass through untouched (never clamped to a bound)
+    assert(got(199L).isEmpty && got(300L).isEmpty)
+  }
 }

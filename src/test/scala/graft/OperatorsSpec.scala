@@ -774,6 +774,15 @@ class OperatorsSpec extends AnyFunSuite {
     val estDisjoint = JoinEstimate.estimateJoinSize(ca,
       JoinEstimate.cmsTable(c, "k", w, d))
     assert(estDisjoint >= 0L && estDisjoint <= bound)
+    // NULL-from-empty vs NULL-from-overflow (crafted cells): zero
+    // overlapping cells is 0; a decimal(38,0) per-depth sum that
+    // overflows must clamp to Long.MaxValue, never read as 0
+    val big = Long.MaxValue / 2 // product ~2.1e37 per cell, 5 cells > 1e38
+    val left = (0 until 5).map(i => (0, i, big)).toDF("d", "b", "cnt")
+    val right = (0 until 5).map(i => (0, i, big)).toDF("d", "b", "cnt")
+    assert(JoinEstimate.estimateJoinSize(left, right) == Long.MaxValue)
+    val shifted = (0 until 5).map(i => (0, i + 100, big)).toDF("d", "b", "cnt")
+    assert(JoinEstimate.estimateJoinSize(left, shifted) == 0L)
   }
   test("Graph.mergeComponents: incremental == full CC under random splits, merges, and new nodes") {
     import graft.operators.Graph

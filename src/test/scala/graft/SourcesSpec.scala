@@ -1223,6 +1223,40 @@ class SourcesSpec extends AnyFunSuite {
     assert(SimplePdfTextExtractor.extract(pdf("", "0005")) == "H\n")
   }
 
+  test("crafted format-12/format-4 cmap coverage tables terminate immediately, not in hours (A2 robustness)") {
+    import graft.sources.TrueTypeCmap
+    def u16(v: Int) = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def u32(v: Long) = Array((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    // format-12 subtable: one group entirely above U+10FFFF with end near
+    // 0xFFFFFFFF (passes start>=0 / end>=start / gid0>=0 yet adds no
+    // entries — pre-fix this spun ~4.3e9 no-op iterations), one group
+    // straddling the Unicode ceiling, and one valid group.
+    val sub12 = new java.io.ByteArrayOutputStream()
+    sub12.write(u16(12)); sub12.write(u16(0))
+    sub12.write(u32(16L + 12L * 3)); sub12.write(u32(0L)); sub12.write(u32(3L))
+    Seq((0x110000L, 0xfffffff0L, 1L), (0x10fffeL, 0xfffffff0L, 9L),
+      (0x41L, 0x43L, 5L)).foreach { case (s, e, g) =>
+      sub12.write(u32(s)); sub12.write(u32(e)); sub12.write(u32(g))
+    }
+    val cmap = new java.io.ByteArrayOutputStream()
+    cmap.write(u16(0)); cmap.write(u16(1))
+    cmap.write(u16(3)); cmap.write(u16(10)); cmap.write(u32(12L))
+    cmap.write(sub12.toByteArray)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(u32(0x00010000L)); out.write(u16(1))
+    out.write(u16(0)); out.write(u16(0)); out.write(u16(0))
+    out.write("cmap".getBytes("ISO-8859-1")); out.write(u32(0L))
+    out.write(u32(28L)); out.write(u32(cmap.size().toLong))
+    out.write(cmap.toByteArray)
+    val t0 = System.nanoTime()
+    val m = TrueTypeCmap.gidToUnicode(out.toByteArray)
+    assert((System.nanoTime() - t0) < 5e9, "malformed coverage must not spin")
+    // valid group decoded; straddling group clamped to <= U+10FFFF
+    assert(m(5) == 0x41 && m(6) == 0x42 && m(7) == 0x43)
+    assert(m(9) == 0x10fffe && m(10) == 0x10ffff && !m.contains(11))
+  }
+
   test("predefined Unicode CMap encodings (/UniJIS-UCS2-H family) decode show text as UTF-16BE (A2)") {
     import graft.sources.SimplePdfTextExtractor
     // こんにちは as UTF-16BE hex + a surrogate pair (U+1F600, UTF16
