@@ -25,24 +25,45 @@ import org.apache.spark.sql.SparkSession
   * races. Readers never touch the lock: probes stay lock-free (they
   * already tolerate an in-flight append by the commit-order argument).
   *
-  * Mechanics: the lease is a `.<index-dir-name>._writer_lock` file
+  * Mechanics (r19: the manifest-CAS discipline, replacing exclusive
+  * create): the lease is a `.<index-dir-name>._writer_lock` file
   * BESIDE the index root (inside it would die to full-rewrite
-  * `mode=overwrite` writes), created atomically-exclusive. Same-JVM
-  * races are decided exactly by a process-wide `putIfAbsent` gate;
-  * cross-JVM visibility comes from the exclusive file create — atomic
-  * on HDFS; on a raw local FS the exists+create window is narrowed by
-  * the JVM gate (the documented [[VectorIndex]] manifest-CAS
-  * discipline: exact where a local FS implies one JVM). A writer that
-  * crashes leaves the lease behind — deliberately: silently expiring
-  * leases by wall-clock invites split-brain; the operator confirms the
-  * writer is gone and calls [[breakLock]].
+  * `mode=overwrite` writes), committed as a PER-ATTEMPT temp file
+  * renamed onto the lock path — so a lease either exists complete or
+  * not at all, and two racing acquirers never write the same object.
+  * Same-JVM races are decided exactly by a process-wide `putIfAbsent`
+  * gate; cross-JVM races by exists-check + the rename CAS:
+  * rename-onto-existing fails on HDFS and on the Hadoop object-store
+  * connectors (S3A/GCS reject a rename whose destination exists), so
+  * the discipline holds on exactly the filesystems the 100-TB
+  * deployment implies — the former create-no-overwrite acquisition
+  * was only atomic on HDFS. On a raw local FS POSIX rename silently
+  * replaces, so the exists-check narrows but cannot fully close the
+  * window; single JVM there, where the in-process gate is exact (the
+  * [[VectorIndex]] writeManifest caveat, verbatim).
+  *
+  * Crash recovery: a writer that crashes leaves the lease behind —
+  * deliberately; silently expiring leases by wall-clock invites
+  * split-brain. Two recovery paths: (1) the operator confirms the
+  * writer is gone and calls [[breakLock]]; (2) AUTOMATIC for
+  * streaming writers (r19) — a mutation running inside a Structured
+  * Streaming micro-batch stamps its checkpoint-scoped query id (the
+  * `sql.streaming.queryId` local property, stable across restarts of
+  * the same checkpoint) into the lease as a stable holder identity,
+  * and an acquirer whose stable identity EQUALS the abandoned lease's
+  * reclaims it: Spark enforces one active query per checkpoint, so a
+  * live lease carrying my own query id can only belong to a dead
+  * incarnation of this same query. Without this, a crash mid-append
+  * turned the ingest's documented self-healing replay into a stream
+  * stuck on [[WriterConflict]] until a manual breakLock. Non-streaming
+  * writers carry no stable identity and never auto-reclaim.
   */
 private[graft] object WriterLock {
 
   /** A second writer attempted a mutation while one held the lease. */
   final class WriterConflict(msg: String) extends IllegalStateException(msg)
 
-  /** Same-JVM exactness gate: qualified index root -> holder token. */
+  /** Same-JVM exactness gate: qualified lock path -> holder token. */
   private val jvmHeld = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def lockPath(fs: org.apache.hadoop.fs.FileSystem, path: String): Path = {
@@ -51,21 +72,37 @@ private[graft] object WriterLock {
     new Path(parent, s".${root.getName}._writer_lock")
   }
 
-  private def holderInfo(fs: org.apache.hadoop.fs.FileSystem, p: Path): String =
+  private def leaseText(fs: org.apache.hadoop.fs.FileSystem, p: Path): String =
     try {
       val in = fs.open(p)
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
       finally in.close()
     } catch { case _: Exception => "<unreadable>" }
 
+  /** The stable holder field of a lease (4th tab field, "" if absent). */
+  private def leaseHolder(text: String): String =
+    text.split("\t") match {
+      case a if a.length >= 4 => a(3)
+      case _ => ""
+    }
+
+  /** The caller's stable writer identity: the checkpoint-scoped
+    * streaming query id when running inside a micro-batch, else "". */
+  private def stableId(spark: SparkSession): String =
+    Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
+      .getOrElse("")
+
   /** Run `body` holding `path`'s exclusive writer lease; always
     * released on exit (including exceptions). Throws [[WriterConflict]]
-    * if another writer holds it — never waits, never steals. */
+    * if another writer holds it — never waits, never steals; the one
+    * exception is a streaming writer reclaiming a lease abandoned by a
+    * dead incarnation of ITSELF (same checkpoint query id). */
   def withLock[T](spark: SparkSession, path: String, what: String)(body: => T): T = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val lock = lockPath(fs, path)
     val key = lock.toString
     val token = java.util.UUID.randomUUID().toString
+    val holder = stableId(spark)
     def conflict(detail: String): Nothing = throw new WriterConflict(
       s"another writer holds the lease on $path ($detail) while this " +
         s"session attempted '$what'; postings/MinHash mutations are " +
@@ -76,12 +113,26 @@ private[graft] object WriterLock {
     if (prev != null) conflict(s"in-process holder: ${prev.split("\t", 2).last}")
     var locked = false
     try {
-      if (fs.exists(lock)) conflict(holderInfo(fs, lock))
-      val out =
-        try fs.create(lock, false)
-        catch { case _: java.io.IOException => conflict(holderInfo(fs, lock)) }
-      out.write(s"$token\t$what\t${System.currentTimeMillis()}".getBytes("UTF-8"))
+      if (fs.exists(lock)) {
+        val text = leaseText(fs, lock)
+        // auto-reclaim: the abandoned lease was stamped with MY OWN
+        // checkpoint-scoped query id => its writer is a dead prior
+        // incarnation of this stream (one live query per checkpoint);
+        // anything else stays a loud conflict.
+        if (holder.nonEmpty && leaseHolder(text) == holder)
+          fs.delete(lock, false)
+        else conflict(text)
+      }
+      val tmp = new Path(lock.getParent,
+        s"${lock.getName}.tmp-${token.take(8)}")
+      val out = fs.create(tmp, true)
+      out.write(s"$token\t$what\t${System.currentTimeMillis()}\t$holder"
+        .getBytes("UTF-8"))
       out.close()
+      if (!fs.rename(tmp, lock)) {
+        fs.delete(tmp, false)
+        conflict(leaseText(fs, lock))
+      }
       locked = true
       body
     } finally {

@@ -109,6 +109,48 @@ class WriterLockSpec extends AnyFunSuite {
       "raced index must score bit-identically to a fresh rebuild")
   }
 
+  test("streaming writer auto-reclaims only ITS OWN stale lease; foreign and batch writers stay loud") {
+    val dir = Files.createTempDirectory("graft_wl_rc").toString + "/idx"
+    InvertedIndex.writeIndex(docsDf(Seq((1L, "alpha"))),
+      "doc_id", "text", dir, buckets = 2)
+    val lockFile = new java.io.File(
+      new java.io.File(dir).getParent, ".idx._writer_lock")
+    def plantStale(holder: String): Unit = java.nio.file.Files.writeString(
+      lockFile.toPath, s"deadtok\tappendIndex\t0\t$holder")
+    def append(id: Long): Unit = InvertedIndex.appendIndex(
+      docsDf(Seq((id, "beta"))), "doc_id", "text", dir)
+    val qidProp = "sql.streaming.queryId"
+    try {
+      // stale lease stamped by a crashed streaming incarnation "qA"
+      plantStale("qA")
+      // batch writer (no query id): loud conflict, no reclaim
+      intercept[WriterLock.WriterConflict] { append(2L) }
+      // a DIFFERENT streaming query: still a loud conflict
+      spark.sparkContext.setLocalProperty(qidProp, "qB")
+      intercept[WriterLock.WriterConflict] { append(2L) }
+      // the same query id = a dead incarnation of myself: reclaim,
+      // mutate, and release cleanly
+      spark.sparkContext.setLocalProperty(qidProp, "qA")
+      append(2L)
+      assert(!lockFile.exists(), "reclaimed lease must release on exit")
+      // a live holder is NEVER reclaimed, even by its own query id
+      val entered = new java.util.concurrent.CountDownLatch(1)
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val holder = new Thread(() => {
+        spark.sparkContext.setLocalProperty(qidProp, "qA")
+        WriterLock.withLock(spark, dir, "live-qA-writer") {
+          entered.countDown(); gate.await()
+        }
+      })
+      holder.start(); entered.await()
+      intercept[WriterLock.WriterConflict] { append(3L) }
+      gate.countDown(); holder.join()
+    } finally spark.sparkContext.setLocalProperty(qidProp, null)
+    assert(InvertedIndex.booleanSearchIndexed(spark, dir,
+        must = Seq("beta"), mustNot = Nil)
+      .select($"doc").as[Long].collect().toSeq == Seq(2L))
+  }
+
   test("MinhashIndex mutations take the same lease") {
     val dir = Files.createTempDirectory("graft_wl_mh").toString + "/midx"
     val prep = graft.operators.Dedup.prepareMinhash(
