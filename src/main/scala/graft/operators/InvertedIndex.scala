@@ -303,6 +303,13 @@ object InvertedIndex {
     LayoutMeta.commit(spark, path, Map("buckets" -> bk))
   }
 
+  /** Two source indexes of a merge share at least one doc id — the
+    * [[appendIndex]] disjointness contract is violated and the merged
+    * stats rollup would silently double-count N/avgdl, drifting every
+    * BM25 score on the merged index. Thrown BEFORE any byte moves. */
+  final class OverlappingSources(msg: String)
+    extends IllegalArgumentException(msg)
+
   /** MERGE two persisted indexes into `out` (r18) — the shard-combine
     * operational tool: per-epoch or per-tenant builds folding into one
     * serving index. All three constituents are mergeable BY
@@ -311,15 +318,27 @@ object InvertedIndex {
     * is a sum of per-batch rows — so the merge is pure FILE TRANSPORT:
     * every data file copies into the same bucket dir under `out`
     * (names prefixed per source so equal part names never collide),
-    * no shuffle, no decode, no re-tokenization; I/O = bytes copied,
-    * Spark jobs = zero. At warehouse scale this is a distcp-shaped
-    * job: per-file copies parallelize freely because no file depends
-    * on any other. Layouts must agree on `buckets` (a probe prunes by
-    * token-hash bucket — merging mismatched layouts would misfile
-    * postings; loud error, [[compactIndex]]+rebuild or re-append
-    * first), and doc sets must be DISJOINT (the [[appendIndex]]
-    * re-ingest contract: a doc in both sources double-counts until
-    * deleteDocs + compact repairs it). */
+    * no shuffle, no decode, no re-tokenization; I/O = bytes copied.
+    * The transport is a [[DistCopy]] Spark job over the file list
+    * (r19): the driver walks NAMES only, every byte moves
+    * executor-side — merging N shard indexes of TBs parallelizes
+    * across the cluster instead of funneling through one JVM.
+    *
+    * Contracts, all enforced loudly (r19): layouts must agree on
+    * `buckets` (a probe prunes by token-hash bucket — merging
+    * mismatched layouts would misfile postings; [[compactIndex]]
+    * +rebuild or re-append first); doc sets must be DISJOINT —
+    * verified by a column-pruned distinct-doc census across the
+    * source doclens sidecars before any byte moves, throwing
+    * [[OverlappingSources]] naming colliding ids (a shared doc would
+    * double-count the stats rollup's N/avgdl and drift every merged
+    * BM25 score); and the merge holds the [[WriterLock]] lease on the
+    * OUTPUT and on EVERY SOURCE for the duration — sources must be
+    * quiescent, or a concurrent append/compact mid-transport could
+    * yield a torn copy (a postings file without its doclens/stats
+    * siblings). After transport the merged doclens census must equal
+    * the sum of the source censuses, else the copy itself was torn
+    * and the merge throws instead of serving a partial index. */
   def mergeIndexes(spark: org.apache.spark.sql.SparkSession, src1: String,
       src2: String, out: String): Unit =
     mergeIndexes(spark, Seq(src1, src2), out)
@@ -328,10 +347,17 @@ object InvertedIndex {
     * builds folding into one serving index merge in ONE pass, not a
     * chain of pairwise merges and intermediate copies). */
   def mergeIndexes(spark: org.apache.spark.sql.SparkSession,
-      srcPaths: Seq[String], out: String): Unit =
-      WriterLock.withLock(spark, out, "mergeIndexes") {
-    import org.apache.hadoop.fs.{FileUtil, Path}
+      srcPaths: Seq[String], out: String): Unit = {
+    import org.apache.hadoop.fs.Path
     require(srcPaths.size >= 2, "merge needs at least two source indexes")
+    // output lease + every source lease: withLock never waits, so a
+    // busy source fails fast (no deadlock ordering concern)
+    def locked[T](ps: List[String])(body: => T): T = ps match {
+      case Nil => body
+      case h :: t =>
+        WriterLock.withLock(spark, h, "mergeIndexes")(locked(t)(body))
+    }
+    locked((out +: srcPaths).toList) {
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(out).getFileSystem(hconf)
     val srcs = srcPaths.zipWithIndex.map { case (p, i) => s"m$i" -> p }
@@ -346,23 +372,68 @@ object InvertedIndex {
     val outP = new Path(out)
     require(!fs.exists(outP) || fs.listStatus(outP).isEmpty,
       s"merge target $out must be empty (merge is a create, not an append)")
-    def copyTree(from: Path, to: Path, tag: String): Unit = {
-      if (!fs.exists(from)) return
-      fs.mkdirs(to)
-      fs.listStatus(from).foreach { st =>
+    // doc-disjointness census: doc column only (pruned scan of the
+    // doclens sidecars — never the postings), distinct per source so
+    // legitimate within-source replay duplicates don't trip it
+    def srcDocs(p: String): DataFrame = {
+      val dd = new Path(doclensDir(p))
+      if (dd.getFileSystem(hconf).exists(dd))
+        spark.read.parquet(doclensDir(p)).select(col("doc")).distinct()
+      else spark.range(0).select(col("id").as("doc"))
+    }
+    val censuses = srcs.map { case (tag, p) =>
+      tag -> srcDocs(p).localCheckpoint(true)
+    }
+    val colliding = censuses
+      .map { case (tag, d) => d.withColumn("_src", lit(tag)) }
+      .reduce(_ unionByName _)
+      .groupBy(col("doc")).agg(countDistinct(col("_src")).as("_ns"))
+      .filter(col("_ns") > 1).select(col("doc"))
+      .limit(10).collect().map(_.get(0))
+    if (colliding.nonEmpty)
+      throw new OverlappingSources(
+        s"source indexes share doc ids (first ${colliding.length}: " +
+          s"${colliding.mkString(", ")}): merging would double-count " +
+          "the stats rollup's N/avgdl and drift every BM25 score on " +
+          "the merged index; deleteDocs the duplicates from all but " +
+          "one source (then compactIndex) first")
+    val censusSum = censuses.map(_._2.count()).sum
+    // file list: driver walks NAMES only (manifest-scale); bytes move
+    // in the DistCopy job below
+    val pairs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    def walk(from: Path, toRel: String, tag: String): Unit = {
+      val sfs = from.getFileSystem(hconf)
+      if (!sfs.exists(from)) return
+      sfs.listStatus(from).foreach { st =>
         val n = st.getPath.getName
         if (st.isDirectory) {
           // recurse into the data subtrees (_tbkt=*, _doclens/_dbkt=*,
           // _stats) but never into crash debris or hidden dirs
           if (!n.startsWith(".") && n != "_compact_tmp")
-            copyTree(st.getPath, new Path(to, n), tag)
+            walk(st.getPath, s"$toRel/$n", tag)
         } else if (!n.startsWith("_") && !n.startsWith("."))
-          FileUtil.copy(fs, st.getPath, fs, new Path(to, s"$tag-$n"),
-            false, hconf): Unit
+          pairs += ((st.getPath.toString, s"$toRel/$tag-$n"))
       }
     }
-    srcs.foreach { case (tag, p) => copyTree(new Path(p), outP, tag) }
+    srcs.foreach { case (tag, p) => walk(new Path(p), out, tag) }
+    DistCopy.copyFiles(spark, pairs.toSeq, "graft mergeIndexes transport")
+    // transport reconcile: the merged doclens census must equal the
+    // sum of the (verified-disjoint) source censuses — a lost or
+    // partial file shows up here instead of in served scores
+    val mergedCensus = {
+      val dd = new Path(doclensDir(out))
+      if (dd.getFileSystem(hconf).exists(dd))
+        spark.read.parquet(doclensDir(out)).select(col("doc"))
+          .distinct().count()
+      else 0L
+    }
+    if (mergedCensus != censusSum)
+      throw new IllegalStateException(
+        s"merge transport reconcile failed at $out: merged doclens " +
+          s"census $mergedCensus != sum of source censuses $censusSum " +
+          "— the copy was torn; delete the target and re-run")
     LayoutMeta.overwrite(spark, out, Map("buckets" -> bks.head))
+    }
   }
 
   /** BM25 top-k SERVED FROM THE PERSISTED INDEX — same scorer, same

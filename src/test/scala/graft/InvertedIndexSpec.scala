@@ -381,6 +381,73 @@ class InvertedIndexSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       InvertedIndex.mergeIndexes(spark, Seq(s"$base/s1"), s"$base/m4")
     }
+    // OVERLAPPING doc sets refuse loudly BEFORE any byte moves, naming
+    // the colliding ids (a shared doc would double-count N/avgdl in
+    // the summed stats rollup and drift every merged BM25 score)
+    InvertedIndex.writeIndex(d.filter($"doc_id" <= 3), "doc_id", "text",
+      s"$base/ov1", buckets = 4)
+    InvertedIndex.writeIndex(d.filter($"doc_id" >= 3), "doc_id", "text",
+      s"$base/ov2", buckets = 4)
+    val ov = intercept[InvertedIndex.OverlappingSources] {
+      InvertedIndex.mergeIndexes(spark, s"$base/ov1", s"$base/ov2",
+        s"$base/mov")
+    }
+    assert(ov.getMessage.contains("3"), s"must name colliding id: ${ov.getMessage}")
+    assert(!new java.io.File(s"$base/mov").exists() ||
+      new java.io.File(s"$base/mov").listFiles().isEmpty,
+      "refusal must land before any byte moves")
+  }
+
+  test("mergeIndexes transport runs as a distributed Spark job (no driver byte funnel) and holds source leases") {
+    val base = java.nio.file.Files.createTempDirectory("graft_mdist").toString
+    val d = docs((1L to 40L).map(i =>
+      i -> s"doc$i common alpha beta token$i"): _*)
+    InvertedIndex.writeIndex(d.filter($"doc_id" <= 20), "doc_id", "text",
+      s"$base/a", buckets = 4)
+    InvertedIndex.writeIndex(d.filter($"doc_id" > 20), "doc_id", "text",
+      s"$base/b", buckets = 4)
+    // observe the transport job via its job description
+    val copyTasks = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      private val tracked =
+        java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (Option(j.properties.getProperty("spark.job.description"))
+            .exists(_.contains("mergeIndexes transport")))
+          j.stageIds.foreach(s => tracked.add(s): Unit)
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        if (tracked.contains(s.stageInfo.stageId))
+          copyTasks.addAndGet(s.stageInfo.numTasks): Unit
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      InvertedIndex.mergeIndexes(spark, s"$base/a", s"$base/b", s"$base/m")
+      // listener events are async — poll until the stage lands
+      val deadline = System.nanoTime() + 30e9.toLong
+      while (copyTasks.get() <= 1 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(copyTasks.get() > 1,
+      s"transport must fan out over executors, saw ${copyTasks.get()} tasks")
+    // transported index serves identically to a full rebuild
+    InvertedIndex.writeIndex(d, "doc_id", "text", s"$base/full", buckets = 4)
+    def bm(p: String) = InvertedIndex.bm25Search(spark, p,
+      Seq("common", "alpha"), k = 50).as[(Long, Double)].collect().toSet
+    assert(bm(s"$base/m") == bm(s"$base/full"))
+    // a busy SOURCE fails the merge fast (sources must be quiescent —
+    // a concurrent append mid-transport could tear the copy)
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() =>
+      graft.operators.WriterLock.withLock(spark, s"$base/a", "src-writer") {
+        entered.countDown(); gate.await()
+      })
+    holder.start(); entered.await()
+    try intercept[graft.operators.WriterLock.WriterConflict] {
+      InvertedIndex.mergeIndexes(spark, s"$base/a", s"$base/b", s"$base/m5")
+    } finally { gate.countDown(); holder.join() }
   }
 
   test("snippets: best window by distinct-term coverage, earliest-start tiebreak, indexed == in-memory") {
