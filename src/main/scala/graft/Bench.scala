@@ -282,6 +282,10 @@ object Bench {
     "q233" -> (0.181, 0.510),
     // q234 two isolated runs (1.040/1.064)
     "q234" -> (0.728, 1.586),
+    // q235 two isolated runs (4.53/4.82) — two half-corpus index
+    // builds dominate (the q225 shape); the scatter-gather probe
+    // itself is sub-second
+    "q235" -> (3.171, 6.657),
     "q13" -> (0.231, 0.596), "q14" -> (0.168, 0.501), "q15" -> (0.217, 0.596),
     "q16" -> (0.175, 0.501), "q17" -> (0.287, 0.717), "q18" -> (0.161, 0.461),
     "q19" -> (0.21, 0.636), "q20" -> (0.322, 0.771), "q21" -> (0.217, 0.622),

@@ -3998,6 +3998,29 @@ object SparkEntry {
         .orderBy($"event_type")
     }),
 
+    // SCATTER-GATHER BM25 ACROSS SHARDS (r19): the q225 corpus split
+    // into two shard indexes that are NEVER merged — global N/avgdl
+    // gathered from the shard stats rollups, per-term df summed from
+    // the term-pruned shard probes, scoring and top-k local per shard,
+    // one k-row merge. The oracle is q225's verbatim (whole-corpus
+    // BM25 replay): a scatter-gather that drifts from the physical
+    // merge by one bit changes the hash.
+    "q235_bm25_scatter" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.InvertedIndex
+      val tmp = freshScratch("q235")
+      val docs = t(s, dir, "documents")
+      InvertedIndex.writeIndex(docs.filter($"doc_id" % 2 === 0),
+        "doc_id", "text", s"$tmp/a", buckets = 32)
+      InvertedIndex.writeIndex(docs.filter($"doc_id" % 2 === 1),
+        "doc_id", "text", s"$tmp/b", buckets = 32)
+      InvertedIndex.bm25SearchSharded(s, Seq(s"$tmp/a", s"$tmp/b"),
+          Seq("vector", "join", "hash"), k = 20)
+        .select($"doc".as("doc_id"),
+          floor($"score" * lit(1000000.0)).cast("long").as("score_u"))
+        .orderBy($"score_u".desc, $"doc_id")
+    }),
+
     // MATRYOSHKA TWO-STAGE SEARCH (r18, the MRL serving trick):
     // shortlist on the first 16 of 64 dims (a quarter of the scoring
     // arithmetic), exact full-dim rescore on the 50-candidate
@@ -6491,6 +6514,44 @@ object SparkEntry {
         |  CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE) AS sum_w,
         |  MIN(w) AS min_w, MAX(w) AS max_w
         |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // q225's oracle verbatim: the scatter-gather answer must be the
+    // whole-corpus BM25 answer bit-for-bit
+    "q235_bm25_scatter" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS dl,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM toks
+        |       WHERE term IN ('vector','join','hash') GROUP BY 1, 2, 3),
+        |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n,
+        |        CAST(SUM(len(list_filter(string_split_regex(lower(text),
+        |          '[^a-z0-9]+'), x -> x <> ''))) AS DOUBLE)
+        |          / CAST(COUNT(*) AS DOUBLE) AS avgdl
+        |      FROM documents),
+        |per AS (
+        |  SELECT doc_id, term,
+        |    ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |        / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf AS DOUBLE) * (1.2 + 1.0)
+        |         / (CAST(tf AS DOUBLE)
+        |            + 1.2 * ((1.0 - 0.75)
+        |                     + 0.75 * CAST(dl AS DOUBLE) / avgdl))) AS s
+        |  FROM tf JOIN dfx USING (term) CROSS JOIN n),
+        |sc AS (
+        |  SELECT doc_id,
+        |    COALESCE(MAX(CASE WHEN term = 'vector' THEN s END), 0) AS s0,
+        |    COALESCE(MAX(CASE WHEN term = 'join' THEN s END), 0) AS s1,
+        |    COALESCE(MAX(CASE WHEN term = 'hash' THEN s END), 0) AS s2
+        |  FROM per GROUP BY 1),
+        |top AS (SELECT doc_id, s0 + s1 + s2 AS score FROM sc
+        |        ORDER BY score DESC, doc_id LIMIT 20)
+        |SELECT doc_id, CAST(FLOOR(score * 1000000.0) AS BIGINT) AS score_u
+        |FROM top ORDER BY score_u DESC, doc_id""".stripMargin,
 
     "q233_matryoshka" ->
       """WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q

@@ -479,6 +479,71 @@ object InvertedIndex {
       .select(col("doc"), col("score"))
   }
 
+  /** BM25 top-k ACROSS N SHARD INDEXES with no physical merge (r19) —
+    * the [[VectorIndex]] scatter-gather discipline applied to lexical
+    * retrieval: per-epoch/per-tenant postings indexes keep serving in
+    * place, and a query sees them as one corpus. Scores are
+    * BIT-IDENTICAL to [[bm25Search]] over the [[mergeIndexes]]-merged
+    * index (spec + gate hash-match):
+    *
+    * Two phases. GATHER THE CONSTANTS, tiny: each shard contributes
+    * its O(batches) stats rollup row and a per-term doc-frequency row
+    * from its term-pruned probe; both sum globally (longs — exactly
+    * the values the merged index's rollup/probe would produce, since
+    * shard doc sets are disjoint by the [[appendIndex]] contract).
+    * SCATTER THE SCORING: each shard scores ITS OWN pruned postings
+    * against the broadcast global (N, Σdl, df) — identical expression
+    * shapes to [[bm25Search]], and the per-doc term fold never crosses
+    * shards (a doc lives in one shard) — then keeps its local top-k.
+    * The final merge orders k·shards rows and takes k: per-query
+    * cross-shard traffic is k rows + the constant rows, never a
+    * posting. Per-shard I/O stays the term-pruned bucket dirs. */
+  def bm25SearchSharded(spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String], terms: Seq[String], k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    TextAnalytics.validateTerms(terms)
+    require(paths.nonEmpty, "at least one shard index required")
+    val stats = paths.map(p => corpusStats(spark, p))
+      .reduce(_ unionByName _)
+      .agg(coalesce(sum(col("_n")), lit(0L)).as("_n"),
+        coalesce(sum(col("_sumdl")), lit(0L)).as("_sumdl"))
+    // pin each shard's term-pruned tf: it feeds BOTH the df gather and
+    // the scoring scatter (one probe per shard, not two)
+    val tfs = paths.map { p =>
+      readPostingsDl(spark, p, terms, LayoutMeta.Unspecified)
+        .select(col("doc"), col("dl").as("_dl"), col("token").as("_term"))
+        .groupBy(col("doc"), col("_dl"), col("_term"))
+        .agg(count(lit(1)).as("_tf"))
+        .localCheckpoint(true)
+    }
+    val dfreq = tfs
+      .map(_.groupBy(col("_term")).agg(count(lit(1)).as("_c")))
+      .reduce(_ unionByName _)
+      .groupBy(col("_term")).agg(sum(col("_c")).as("_df"))
+    val perShardTopK = tfs.map { tf =>
+      val per = tf.join(broadcast(dfreq), "_term")
+        .crossJoin(broadcast(stats))
+        .withColumn("_avgdl",
+          col("_sumdl").cast("double") / col("_n").cast("double"))
+        .withColumn("_idf",
+          log((col("_n").cast("double") - col("_df").cast("double") + lit(0.5)) /
+            (col("_df").cast("double") + lit(0.5)) + lit(1.0)))
+        .withColumn("_sat",
+          col("_tf").cast("double") * lit(k1 + 1.0) /
+            (col("_tf").cast("double") +
+              lit(k1) * (lit(1.0 - b) +
+                lit(b) * col("_dl").cast("double") / col("_avgdl"))))
+        .withColumn("_s", col("_idf") * col("_sat"))
+      TextAnalytics.foldTermScores(per, "doc", terms)
+        .orderBy(col("score").desc, col("doc"))
+        .limit(k)
+    }
+    perShardTopK.reduce(_ unionByName _)
+      .orderBy(col("score").desc, col("doc"))
+      .limit(k)
+      .select(col("doc"), col("score"))
+  }
+
   /** Bucket ids for `toks`, computed DRIVER-SIDE by evaluating the
     * same catalyst `xxhash64` (seed 42) the write path used — zero
     * Spark jobs, where launching one 1-row job per query token made a

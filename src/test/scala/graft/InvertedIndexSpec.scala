@@ -436,6 +436,26 @@ class InvertedIndexSpec extends AnyFunSuite {
     def bm(p: String) = InvertedIndex.bm25Search(spark, p,
       Seq("common", "alpha"), k = 50).as[(Long, Double)].collect().toSet
     assert(bm(s"$base/m") == bm(s"$base/full"))
+    // SCATTER-GATHER BM25 over the unmerged shards: bit-identical
+    // doubles to the merged index — global N/avgdl/df gathered from
+    // the shard rollups and term-pruned probes, scoring stays local
+    val sg = InvertedIndex.bm25SearchSharded(spark,
+        Seq(s"$base/a", s"$base/b"), Seq("common", "alpha"), k = 50)
+      .as[(Long, Double)].collect().toSet
+    assert(sg == bm(s"$base/m"),
+      "sharded scatter-gather must score bit-identically to the merge")
+    // degenerate single shard == plain bm25Search on it
+    assert(InvertedIndex.bm25SearchSharded(spark, Seq(s"$base/a"),
+        Seq("common", "alpha"), k = 50).as[(Long, Double)].collect().toSet
+      == bm(s"$base/a"))
+    // k smaller than any shard's hit count: per-shard top-k + k-row
+    // merge still equals the merged index's global top-k
+    val sgK = InvertedIndex.bm25SearchSharded(spark,
+        Seq(s"$base/a", s"$base/b"), Seq("common", "alpha"), k = 7)
+      .as[(Long, Double)].collect().toSeq
+    val mK = InvertedIndex.bm25Search(spark, s"$base/m",
+        Seq("common", "alpha"), k = 7).as[(Long, Double)].collect().toSeq
+    assert(sgK == mK, s"top-7 order must match: $sgK vs $mK")
     // a busy SOURCE fails the merge fast (sources must be quiescent —
     // a concurrent append mid-transport could tear the copy)
     val entered = new java.util.concurrent.CountDownLatch(1)
