@@ -286,6 +286,9 @@ object Bench {
     // builds dominate (the q225 shape); the scatter-gather probe
     // itself is sub-second
     "q235" -> (3.171, 6.657),
+    // q236/q237 two isolated runs (1.53/1.91, 2.10/2.33) — index
+    // build + prefix-layout snapshot write dominates
+    "q236" -> (1.071, 2.729), "q237" -> (1.47, 3.296),
     "q13" -> (0.231, 0.596), "q14" -> (0.168, 0.501), "q15" -> (0.217, 0.596),
     "q16" -> (0.175, 0.501), "q17" -> (0.287, 0.717), "q18" -> (0.161, 0.461),
     "q19" -> (0.21, 0.636), "q20" -> (0.322, 0.771), "q21" -> (0.217, 0.622),

@@ -4021,6 +4021,60 @@ object SparkEntry {
         .orderBy($"score_u".desc, $"doc_id")
     }),
 
+    // MATRYOSHKA THROUGH THE SNAPSHOT INDEX (r19): q233's two-stage
+    // MRL search served from the persisted layout — the index stores
+    // the 16-of-64 prefix as its own `_vpre` column at every snapshot
+    // write, the shortlist pass column-prunes to it, the rescore reads
+    // full vectors from the shortlisted ids' buckets only. At a full
+    // shortlist the path provably recovers the exact query — the
+    // oracle replays the exact whole-corpus cosine top-k (q121's
+    // discipline applied to the prefix layout).
+    "q236_matryoshka_index" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.VectorIndex
+      val tmp = freshScratch("q236")
+      val emb = t(s, dir, "embeddings")
+      val records = emb.select(
+        $"vec_id".cast("string").as("id"),
+        $"embedding".as("values"),
+        struct(($"vec_id" % 5).cast("int").as("chunk_index"),
+          lit("uploaded_pdf").as("source")).as("metadata"))
+      val idx = VectorIndex.ensure(s, s"$tmp/idx", 64, prefixDim = 16)
+      idx.upsert(records)
+      val q = emb.filter($"vec_id" === 2).select($"embedding")
+        .as[Array[Float]].head()
+      idx.queryMatryoshka(q, k = 10, shortlist = 1 << 20)
+        .select($"id".cast("long").as("vec_id"))
+    }),
+
+    // ...and its APPROXIMATION graded (the q122 discipline): a pruned
+    // prefix shortlist against the index's own exact query — recall@10
+    // must hold on the stored-prefix path, and the self-match must
+    // survive any shortlist.
+    "q237_matryoshka_recall" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.VectorIndex
+      val tmp = freshScratch("q237")
+      val emb = t(s, dir, "embeddings")
+      val records = emb.select(
+        $"vec_id".cast("string").as("id"),
+        $"embedding".as("values"),
+        struct(($"vec_id" % 5).cast("int").as("chunk_index"),
+          lit("uploaded_pdf").as("source")).as("metadata"))
+      val idx = VectorIndex.ensure(s, s"$tmp/idx", 64, prefixDim = 16)
+      idx.upsert(records)
+      val q = emb.filter($"vec_id" === 2).select($"embedding")
+        .as[Array[Float]].head()
+      val exact = idx.query(q, 10).select($"id")
+      val approx = idx.queryMatryoshka(q, 10, shortlist = 250).select($"id")
+      val self = idx.queryMatryoshka(q, 1, shortlist = 1)
+        .select($"id").as[String].head()
+      exact.join(approx, "id")
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(10L).as("k"), ($"n_overlap" >= 7).as("recall_ok"),
+          lit(self == "2").as("self_ok"))
+    }),
+
     // MATRYOSHKA TWO-STAGE SEARCH (r18, the MRL serving trick):
     // shortlist on the first 16 of 64 dims (a quarter of the scoring
     // arithmetic), exact full-dim rescore on the 50-candidate
@@ -6552,6 +6606,17 @@ object SparkEntry {
         |        ORDER BY score DESC, doc_id LIMIT 20)
         |SELECT doc_id, CAST(FLOOR(score * 1000000.0) AS BIGINT) AS score_u
         |FROM top ORDER BY score_u DESC, doc_id""".stripMargin,
+
+    "q236_matryoshka_index" ->
+      """SELECT e.vec_id FROM embeddings e
+        |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 2)) DESC,
+        |  CAST(e.vec_id AS VARCHAR)
+        |LIMIT 10""".stripMargin,
+
+    "q237_matryoshka_recall" ->
+      ("SELECT CAST(10 AS BIGINT) AS k, TRUE AS recall_ok, " +
+        "TRUE AS self_ok"),
 
     "q233_matryoshka" ->
       """WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q

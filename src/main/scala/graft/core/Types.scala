@@ -52,13 +52,21 @@ object Metric {
   *   exploding a SMALL index into per-cell micro-files (measured 18x
   *   on the sf0.1 lifecycle gates) while converging to full per-cell
   *   pruning exactly where pruning pays — the large-index regime whose
-  *   cells are file-sized anyway. */
+  *   cells are file-sized anyway.
+  * @param prefixDim when > 0, every snapshot write additionally stores
+  *   the first `prefixDim` components of each vector as a narrow
+  *   `_vpre` column — the Matryoshka serving layout
+  *   (VectorIndex.queryMatryoshka shortlists on prefix cosine reading
+  *   prefixDim/dimension of the vector bytes, then exact-rescores the
+  *   shortlist full-dim). 0 = off; fixed at creation like dimension
+  *   (prefix scores must mean the same slice in every file). */
 final case class IndexMeta(name: String, dimension: Int, metric: Metric,
-    numBuckets: Int = 16, sigCellBits: Int = 0, cellMinRows: Int = 1024) {
+    numBuckets: Int = 16, sigCellBits: Int = 0, cellMinRows: Int = 1024,
+    prefixDim: Int = 0) {
   def props: Map[String, String] =
     Map("dimension" -> dimension.toString, "metric" -> metric.name,
       "numBuckets" -> numBuckets.toString, "sigCellBits" -> sigCellBits.toString,
-      "cellMinRows" -> cellMinRows.toString)
+      "cellMinRows" -> cellMinRows.toString, "prefixDim" -> prefixDim.toString)
 }
 
 /** Ingestion errors — the reference raises ValueError on empty inputs

@@ -412,6 +412,114 @@ final class VectorIndex private (
     * needed to fill k (0 = first attempt sufficed). */
   private[graft] var lastEscalations: Int = 0
 
+  /** Q2 MATRYOSHKA SERVING (r19) — [[Ann.matryoshkaTopK]]'s two-stage
+    * MRL trade driven through the snapshot index's STORED layout:
+    * shortlist by cosine on the persisted prefix column (`_vpre`, the
+    * first `meta.prefixDim` components, written at every snapshot
+    * rewrite of an index created with `prefixDim > 0`), then exact
+    * full-dim rescore of the shortlist only. The shortlist scan
+    * column-prunes to (id, _vpre) — prefixDim/dimension of the vector
+    * bytes (a quarter at 16-of-64), the byte-side saving the
+    * in-memory operator can only simulate by slicing a full-width
+    * read — and the rescore reads full vectors only from the manifest
+    * files of the buckets the shortlisted ids hash into (the
+    * [[queryApprox]] rescore discipline).
+    *
+    * Approximation contract, same shape as [[queryApprox]]:
+    * `shortlist >= index size` provably recovers [[query]] (every row
+    * joins the exact rescore); smaller shortlists trade recall for
+    * the narrow prefix read + bounded rescore. Defensive legacy
+    * tolerance mirrors `_bsig`: rows whose file predates `_vpre`
+    * surface null and ALWAYS join the rescore; an index with no
+    * prefix column at all degrades to the exact [[query]]. `filter`
+    * applies at rescore (the correctness authority); `asOf` serves an
+    * older retained snapshot. An index not created with a prefix
+    * layout refuses loudly — the slice stored is the MRL coarse
+    * embedding, and pretending a prefix of an untrained layout ranks
+    * meaningfully would be silent recall loss. */
+  def queryMatryoshka(q: Array[Float], k: Int, shortlist: Int = 400,
+      filter: Option[Column] = None, asOf: Option[Long] = None): DataFrame = {
+    require(meta.prefixDim > 0,
+      s"index '${meta.name}' has no Matryoshka layout (prefixDim = 0); " +
+        "create it with ensure(..., prefixDim = p) to store the prefix " +
+        "column this serving path shortlists on")
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val snap = asOf match {
+      case Some(v) =>
+        require(snapshots().contains(v),
+          s"snapshot $v not present (have ${snapshots().mkString(",")})")
+        Some(v)
+      case None => currentSnapshot(spark, path)
+    }
+    snap match {
+      case None =>
+        lastMatryoshkaMode = "exact-empty"
+        query(q, k, filter, asOf)
+      case Some(n) =>
+        val manifest = readManifest(spark, path, n)
+        val files = manifest.values.flatten.toSeq.map(_.file).sorted
+        matryoshkaPhases(files, q, shortlist) match {
+          case None =>
+            lastMatryoshkaMode =
+              if (files.isEmpty) "exact-empty" else "exact-nopre"
+            query(q, k, filter, asOf)
+          case Some(phase) =>
+            lastMatryoshkaMode = "matryoshka"
+            try {
+              val candIds = phase.ranked.unionByName(phase.legacy)
+                .distinct()
+                .localCheckpoint(true) // bucket-key collect + rescore join
+              val nb = currentNumBuckets(Some(n))
+              val buckets = candIds
+                .select(pmod(xxhash64(col("id")), lit(nb)).cast("int").as("_b"))
+                .distinct().collect().map(_.getInt(0)).toSet
+              val bFiles = manifest.collect { case (b, fs) if buckets(b) => fs }
+                .flatten.map(_.file).toSeq.sorted
+              val rows =
+                if (bFiles.isEmpty) emptyIndexDf(spark)
+                else spark.read.parquet(bFiles.map(f => s"$path/$f"): _*)
+                  .select(col("id"), col("values"), col("metadata"))
+              val rescored = rows.join(broadcast(candIds), "id")
+              filter.foldLeft(rescored)((df, f) => df.filter(f))
+                .withColumn("score", scoreCol(q))
+                .orderBy(col("score").desc, col("id"))
+                .limit(k)
+                .select(col("id"), col("score"), col("metadata"))
+            } finally phase.sigs.unpersist(blocking = false)
+        }
+    }
+  }
+
+  /** [[queryMatryoshka]]'s shortlist phase over a file list: prefix-
+    * cosine-ranked shortlist ids, null-prefix legacy ids, and the
+    * persisted narrow (id,_vpre) projection both read from (caller
+    * unpersists) — the [[approxPhases]] shape with the prefix column
+    * in the signature role. None when the files are empty or store no
+    * `_vpre` at all. `private[graft]` so specs can assert the phase's
+    * physical plan (TakeOrderedAndProject + a scan pruned to
+    * (id,_vpre) — the full vectors never read in phase 1). */
+  private[graft] def matryoshkaPhases(files: Seq[String], q: Array[Float],
+      shortlist: Int): Option[SigPhase] = {
+    if (files.isEmpty) return None
+    // mergeSchema: a file may predate the _vpre column
+    val raw = spark.read.option("mergeSchema", "true")
+      .parquet(files.map(f => s"$path/$f"): _*)
+    if (!raw.columns.contains("_vpre")) return None
+    val qPre = lit(q.take(meta.prefixDim).map(_.toDouble))
+    val pre = raw.select(col("id"), col("_vpre"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranked = pre.filter(col("_vpre").isNotNull)
+      .withColumn("_ps", vectors.cosine(col("_vpre"), qPre))
+      .orderBy(col("_ps").desc, col("id"))
+      .limit(shortlist)
+      .select(col("id"))
+    Some(SigPhase(ranked, pre.filter(col("_vpre").isNull).select(col("id")), pre))
+  }
+
+  /** Which path the last [[queryMatryoshka]] took ("exact-empty",
+    * "exact-nopre", "matryoshka") — spec/operator diagnostics. */
+  private[graft] var lastMatryoshkaMode: String = ""
+
   /** [[queryApprox]]'s signature phase over a probe file list: the
     * ranked shortlist ids, the legacy null-signature ids, and the
     * PERSISTED narrow (id,_bsig) projection both are computed from —
@@ -604,7 +712,18 @@ final class VectorIndex private (
     // (8 bytes/row) — what [[queryApprox]]'s shortlist pass reads
     // instead of the vectors; legacy files without the column stay
     // valid (their rows surface null and are always exact-rescored)
-    val withSig = Ann.encodeBinary(merged, "values", SigSeed)
+    val withSig0 = Ann.encodeBinary(merged, "values", SigSeed)
+    // Matryoshka layout (meta.prefixDim > 0): the vector's first
+    // prefixDim components stored as their own narrow column, so
+    // [[queryMatryoshka]]'s shortlist pass column-prunes to
+    // prefixDim/dimension of the vector bytes. A slice, not a copy of
+    // a projection model: MRL-trained embeddings carry their coarse
+    // representation in the prefix (Kusupati et al.), so the stored
+    // slice IS the low-dim embedding.
+    val withSig =
+      if (meta.prefixDim <= 0) withSig0
+      else withSig0.withColumn("_vpre",
+        slice(col("values"), 1, meta.prefixDim))
     // signature-prefix cell as a SECOND layout key inside each bucket:
     // queryApprox's shortlist pass then reads only the files of the
     // query cell's Hamming neighborhood instead of every (id,_bsig)
@@ -1191,6 +1310,7 @@ object VectorIndex {
     * directory (IndexMeta.cellMinRows). */
   val DefaultCellMinRows = 1024
   private val UnspecifiedCellMinRows = -1
+  private val UnspecifiedPrefixDim = -1
 
   /** G2 create — idempotent like the reference's existence check
     * (streamlit_app.py:46-49). Fails if it exists with different meta
@@ -1201,12 +1321,16 @@ object VectorIndex {
       metric: Metric = Metric.Cosine, name: String = "textembedding",
       numBuckets: Int = UnspecifiedBuckets,
       sigCellBits: Int = UnspecifiedCellBits,
-      cellMinRows: Int = UnspecifiedCellMinRows): VectorIndex = {
+      cellMinRows: Int = UnspecifiedCellMinRows,
+      prefixDim: Int = UnspecifiedPrefixDim): VectorIndex = {
     require(sigCellBits == UnspecifiedCellBits ||
       (sigCellBits >= 0 && sigCellBits <= 16),
       s"sigCellBits $sigCellBits out of range [0,16]")
     require(cellMinRows == UnspecifiedCellMinRows || cellMinRows >= 1,
       s"cellMinRows $cellMinRows must be >= 1")
+    require(prefixDim == UnspecifiedPrefixDim ||
+      (prefixDim >= 0 && prefixDim <= dimension),
+      s"prefixDim $prefixDim out of range [0, $dimension]")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val metaPath = new Path(path, "_graft_meta.json")
     // A crash inside writeMetaFile's delete-then-rename window leaves
@@ -1220,14 +1344,16 @@ object VectorIndex {
       require(existing.dimension == dimension && existing.metric == metric &&
         (numBuckets == UnspecifiedBuckets || existing.numBuckets == numBuckets) &&
         (sigCellBits == UnspecifiedCellBits || existing.sigCellBits == sigCellBits) &&
-        (cellMinRows == UnspecifiedCellMinRows || existing.cellMinRows == cellMinRows),
+        (cellMinRows == UnspecifiedCellMinRows || existing.cellMinRows == cellMinRows) &&
+        (prefixDim == UnspecifiedPrefixDim || existing.prefixDim == prefixDim),
         s"index exists with different meta: $existing")
       new VectorIndex(spark, path, existing)
     } else {
       val meta = IndexMeta(name, dimension, metric,
         if (numBuckets == UnspecifiedBuckets) DefaultNumBuckets else numBuckets,
         if (sigCellBits == UnspecifiedCellBits) DefaultSigCellBits else sigCellBits,
-        if (cellMinRows == UnspecifiedCellMinRows) DefaultCellMinRows else cellMinRows)
+        if (cellMinRows == UnspecifiedCellMinRows) DefaultCellMinRows else cellMinRows,
+        if (prefixDim == UnspecifiedPrefixDim) 0 else prefixDim)
       fs.mkdirs(new Path(path))
       writeMetaFile(fs, path, meta)
       new VectorIndex(spark, path, meta)
@@ -1250,7 +1376,8 @@ object VectorIndex {
   private def metaJson(meta: IndexMeta): String =
     s"""{"name":"${meta.name}","dimension":${meta.dimension},""" +
       s""""metric":"${meta.metric.name}","numBuckets":${meta.numBuckets},""" +
-      s""""sigCellBits":${meta.sigCellBits},"cellMinRows":${meta.cellMinRows}}"""
+      s""""sigCellBits":${meta.sigCellBits},"cellMinRows":${meta.cellMinRows},""" +
+      s""""prefixDim":${meta.prefixDim}}"""
 
   /** Write `_graft_meta.json` as tmp + rename — the same discipline as
     * writeManifest — so a crash mid-write can never leave a truncated
@@ -1284,8 +1411,9 @@ object VectorIndex {
     val buckets = if (txt.contains(""""numBuckets":""")) field("numBuckets").toInt else 16
     val cellBits = if (txt.contains(""""sigCellBits":""")) field("sigCellBits").toInt else 0
     val minRows = if (txt.contains(""""cellMinRows":""")) field("cellMinRows").toInt else 1024
+    val preDim = if (txt.contains(""""prefixDim":""")) field("prefixDim").toInt else 0
     IndexMeta(field("name"), field("dimension").toInt, Metric.parse(field("metric")),
-      buckets, cellBits, minRows)
+      buckets, cellBits, minRows, preDim)
   }
 
   private def readMeta(spark: SparkSession, path: String): IndexMeta = {

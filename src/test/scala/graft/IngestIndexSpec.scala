@@ -266,6 +266,71 @@ class IngestIndexSpec extends AnyFunSuite {
     assert(idx.scan().count() == 300, "backfill must not change contents")
   }
 
+  test("queryMatryoshka: full shortlist == exact; prefix recall holds; phase column-pruned to (id,_vpre); refusal") {
+    val dir = Files.createTempDirectory("graft_idx_mrl").toString
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val recs = emb.select($"vec_id".cast("string").as("id"),
+      $"embedding".as("values"),
+      struct(($"vec_id" % 5).cast("int").as("chunk_index"),
+        lit("t").as("source")).as("metadata"))
+    val idx = VectorIndex.ensure(spark, s"$dir/a", 64, numBuckets = 8,
+      prefixDim = 16)
+    idx.upsert(recs)
+    val n = emb.count().toInt
+    val q = emb.filter($"vec_id" === 3).select($"embedding")
+      .as[Array[Float]].head()
+    val exact = idx.query(q, 10).select("id").as[String].collect().toSeq
+    // shortlist >= index size: every row joins the exact rescore
+    val full = idx.queryMatryoshka(q, 10, shortlist = n)
+      .select("id").as[String].collect().toSeq
+    assert(full == exact, s"full-shortlist matryoshka must equal exact: $full vs $exact")
+    assert(idx.lastMatryoshkaMode == "matryoshka")
+    // pruned prefix shortlist: recall@10 holds on the smooth synthetic
+    // embeddings (the AnnSpec bar), self-match survives
+    val pre = idx.queryMatryoshka(q, 10, shortlist = 40)
+      .select("id").as[String].collect().toSeq
+    assert(pre.contains("3"), "self-match must survive the prefix stage")
+    assert(exact.toSet.intersect(pre.toSet).size >= 5,
+      s"prefix recall collapsed: $pre vs $exact")
+    // metadata filter applies at rescore
+    val filtered = idx.queryMatryoshka(q, 5, shortlist = n,
+      filter = Some($"metadata.chunk_index" === 0))
+    assert(filtered.select("metadata.chunk_index").as[Int].collect()
+      .forall(_ == 0))
+    // the I/O claim, mechanically: the shortlist phase plan is a top-k
+    // heap over a scan pruned to (id,_vpre) — the 64-dim vectors never
+    // appear in its ReadSchema (the 4x byte cut at 16-of-64)
+    val files = idx.manifestAt(idx.snapshots().last).values.flatten.toSeq.sorted
+    val Some(phase) = idx.matryoshkaPhases(files, q, shortlist = 40)
+    try {
+      val rankedPlan = phase.ranked.queryExecution.executedPlan.toString
+      assert(rankedPlan.contains("TakeOrderedAndProject"),
+        s"no top-k heap plan:\n$rankedPlan")
+      val scanPlan = phase.sigs.queryExecution.executedPlan.toString
+      val preScans = "ReadSchema: struct<[^>]*".r.findAllIn(scanPlan).toSeq
+        .filter(_.contains("_vpre"))
+      assert(preScans.nonEmpty && preScans.exists(!_.contains("values")),
+        s"shortlist scan must be pruned to (id,_vpre):\n$scanPlan")
+    } finally phase.sigs.unpersist(blocking = false)
+    // an index without the stored prefix layout refuses loudly
+    val plain = VectorIndex.ensure(spark, s"$dir/p", 64, numBuckets = 8)
+    plain.upsert(recs.limit(10))
+    val e = intercept[IllegalArgumentException] {
+      plain.queryMatryoshka(q, 10, shortlist = 100)
+    }
+    assert(e.getMessage.contains("prefixDim"), e.getMessage)
+    // and ensure() on the existing prefix index with a DIFFERENT
+    // prefixDim refuses (layout is fixed at creation, like dimension)
+    intercept[IllegalArgumentException] {
+      VectorIndex.ensure(spark, s"$dir/a", 64, numBuckets = 8, prefixDim = 8)
+    }
+    // upsert after creation keeps the layout: new snapshot still serves
+    idx.upsert(recs.limit(5))
+    assert(idx.queryMatryoshka(q, 10, shortlist = n)
+      .select("id").as[String].collect().toSeq == exact)
+    assert(idx.lastMatryoshkaMode == "matryoshka")
+  }
+
   test("filtered queryApprox escalates an underfilled shortlist instead of silently returning < k") {
     val dir = Files.createTempDirectory("graft_idx_escal").toString
     val idx = VectorIndex.ensure(spark, s"$dir/e", 16, numBuckets = 8,
