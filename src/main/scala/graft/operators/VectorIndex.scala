@@ -520,6 +520,85 @@ final class VectorIndex private (
     * "exact-nopre", "matryoshka") — spec/operator diagnostics. */
   private[graft] var lastMatryoshkaMode: String = ""
 
+  /** One shard's SIGNATURE phase for the tightened scatter-gather
+    * ([[VectorIndex.queryManyApprox]]): stats-pruned, cell-ring-probed
+    * (radius-bounded by `hdBound` when given — see the `maxRing`
+    * soundness note on [[VectorIndex.selectProbeFiles]]),
+    * Hamming-ranked candidates WITH their distances (the global pool
+    * needs them), legacy ids, or the shard's exact/empty fallback. */
+  private[graft] def shardSigPhase(q: Array[Float], k: Int, shortlist: Int,
+      filter: Option[Column], hdBound: Option[Int]): ShardPhase =
+    currentSnapshot(spark, path) match {
+      case None => ShardEmpty
+      case Some(n) =>
+        val manifest = readManifest(spark, path, n)
+        val all = manifest.values.flatten.toSeq
+        val preds = filter.map(extractStatPreds).getOrElse(Nil)
+        val usable = if (preds.isEmpty) all else all.filter(fileCanMatch(_, preds))
+        // all files stats-refuted: provably no matching row in the shard
+        if (all.isEmpty || usable.isEmpty) return ShardEmpty
+        val bits = manifestMeta(spark, path, n).map(_.sigCellBits)
+          .getOrElse(meta.sigCellBits)
+        val qsig = Ann.bitSignature64(q.map(_.toDouble), SigSeed)
+        val files = selectProbeFiles(usable, bits, qsig,
+          shortlist.toLong * ProbeOversample, hdBound)
+        if (files.isEmpty) return ShardEmpty
+        val raw0 = spark.read.option("mergeSchema", "true")
+          .parquet(files.map(f => s"$path/$f"): _*)
+        if (!raw0.columns.contains("_bsig"))
+          return ShardExact(query(q, k, filter).localCheckpoint(true))
+        val pushable = filter.filter(f =>
+          filterRoots(f).exists(_.subsetOf(Set("id", "metadata"))))
+        val raw = pushable.foldLeft(raw0)((df, f) => df.filter(f))
+        val sigs = raw.select(col("id"), col("_bsig"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // legacy-dominated shard: the approximation saves nothing
+          // over its exact scan (the ADVICE r12 argument, per shard)
+          if (sigs.filter(col("_bsig").isNull).limit(shortlist).count()
+              >= shortlist)
+            return ShardExact(query(q, k, filter).localCheckpoint(true))
+          val rankedAll = sigs.filter(col("_bsig").isNotNull)
+            .withColumn("_hd",
+              bit_count(col("_bsig").bitwiseXOR(lit(qsig))).cast("int"))
+          // the global bound also cuts candidate VOLUME inside the
+          // probed files (sound: a cut row can never re-enter the pool)
+          val bounded = hdBound.foldLeft(rankedAll)(
+            (df, b) => df.filter(col("_hd") <= b))
+          val ranked = bounded.orderBy(col("_hd"), col("id"))
+            .limit(shortlist).select(col("id"), col("_hd"))
+            .localCheckpoint(true)
+          val legacy = sigs.filter(col("_bsig").isNull).select(col("id"))
+            .localCheckpoint(true)
+          ShardCands(n, ranked, legacy, files.size, all.size)
+        } finally sigs.unpersist(blocking = false)
+    }
+
+  /** One shard's exact RESCORE of an id set for the scatter-gather:
+    * reads full rows only from the manifest files of the buckets the
+    * ids hash into (stats-refuted files skipped), applies the caller's
+    * filter, returns scored rows (no top-k — the gather merges). */
+  private[graft] def shardRescore(snap: Long, candIds: DataFrame,
+      q: Array[Float], filter: Option[Column]): DataFrame = {
+    val manifest = readManifest(spark, path, snap)
+    val preds = filter.map(extractStatPreds).getOrElse(Nil)
+    val nb = currentNumBuckets(Some(snap))
+    val buckets = candIds
+      .select(pmod(xxhash64(col("id")), lit(nb)).cast("int").as("_b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val bFiles = manifest.collect { case (b, fs) if buckets(b) => fs }
+      .flatten.filter(mf => preds.isEmpty || fileCanMatch(mf, preds))
+      .map(_.file).toSeq.sorted
+    val rows =
+      if (bFiles.isEmpty) emptyIndexDf(spark)
+      else spark.read.parquet(bFiles.map(f => s"$path/$f"): _*)
+        .select(col("id"), col("values"), col("metadata"))
+    val rescored = rows.join(broadcast(candIds), "id")
+    filter.foldLeft(rescored)((df, f) => df.filter(f))
+      .withColumn("score", scoreCol(q))
+      .select(col("id"), col("score"), col("metadata"))
+  }
+
   /** [[queryApprox]]'s signature phase over a probe file list: the
     * ranked shortlist ids, the legacy null-signature ids, and the
     * PERSISTED narrow (id,_bsig) projection both are computed from —
@@ -1025,29 +1104,113 @@ object VectorIndex {
       .limit(k)
   }
 
-  /** Scatter-gather over the APPROX serving path (r18, verdict item
-    * #2): at the 10^12-vector regime sharding exists for, composing
-    * the exact [[VectorIndex.query]] per shard re-introduces exactly
-    * the per-shard O(shard) vector scan the signature shortlist was
-    * built to remove. Each shard runs its OWN [[VectorIndex
-    * .queryApprox]] — cell-pruned signature shortlist, metadata-stats
-    * refutation, per-shard escalation when a filter underfills —
-    * and the merge moves k rows per shard, identical to [[queryMany]].
-    * The approximation contract composes: recall < 1 is possible per
-    * shard (graded ≥ 0.9 @ k=10 in the q116 planted-cluster regime by
-    * the q222 gate); `shortlist` >= every shard's size makes each
-    * shard exact, and then the merged head IS the global top-k (the
-    * q221 answer) by the same distributed-IR merge argument. */
+  /** A shard's contribution to the scatter-gather signature phase. */
+  private[graft] sealed trait ShardPhase
+  /** No snapshot, or every file stats-refuted: contributes nothing. */
+  private[graft] case object ShardEmpty extends ShardPhase
+  /** No signatures / legacy-dominated: the shard's own exact top-k
+    * (sufficient for the global top-k — distributed-IR merge). */
+  private[graft] final case class ShardExact(rows: DataFrame) extends ShardPhase
+  /** Hamming-ranked candidates (id,_hd) + legacy ids + probe census. */
+  private[graft] final case class ShardCands(snap: Long, ranked: DataFrame,
+      legacy: DataFrame, probedFiles: Int, totalFiles: Int) extends ShardPhase
+
+  /** Scatter-gather over the APPROX serving path (r18; TIGHTENED r19,
+    * verdict item #6): at the 10^12-vector regime sharding exists
+    * for, composing the exact [[VectorIndex.query]] per shard
+    * re-introduces exactly the per-shard O(shard) vector scan the
+    * signature shortlist was built to remove.
+    *
+    * CONTRACT (r19): the candidate set is the union's globally
+    * top-`shortlist` signature candidates by (Hamming, id) — what ONE
+    * merged index's [[queryApprox]] shortlist would rank — plus every
+    * legacy row; one exact rescore per owning shard; k-row merge.
+    * `shortlist` >= the union's size makes the pool exhaustive and
+    * the answer provably the exact global top-k (the q221 recovery).
+    *
+    * THE TIGHTENING: shards probe SEQUENTIALLY, and once the pool
+    * holds `shortlist` candidates, its S-th-best Hamming distance
+    * becomes a bound later shards probe UNDER — their cell rings stop
+    * at that radius, so total probed files SHRINK vs N independent
+    * probes. Soundness is exact, not heuristic: a file's cell-prefix
+    * distance lower-bounds every contained row's full signature
+    * distance, so a pruned file provably holds no row that could
+    * enter the pool. (A SCORE bound cannot do this: cosine has no
+    * deterministic Hamming translation — score-based file pruning
+    * would be silent recall loss, the failure mode this module exists
+    * to refuse.) Per-shard fallbacks keep their r18 semantics: a
+    * no-signature or legacy-dominated shard contributes its exact
+    * top-k; a stats-refuted shard contributes nothing. A filtered
+    * gather that underfills k ESCALATES globally (shortlist doubles,
+    * bound recomputed), up to `maxEscalations`. */
   def queryManyApprox(idxs: Seq[VectorIndex], q: Array[Float], k: Int,
       shortlist: Int = 400, filter: Option[Column] = None,
       maxEscalations: Int = 3): DataFrame = {
     require(idxs.nonEmpty, "queryManyApprox needs at least one index")
-    idxs.map(_.queryApprox(q, k, shortlist, filter,
-        maxEscalations = maxEscalations))
-      .reduce(_.unionByName(_))
-      .orderBy(col("score").desc, col("id"))
-      .limit(k)
+    def once(sl: Int): (DataFrame, Boolean) = {
+      lastManyProbeFiles = 0
+      lastManyBoundedProbes = 0
+      var pool: Option[DataFrame] = None // union of (id,_hd) so far
+      var bound: Option[Int] = None
+      val exactParts = Seq.newBuilder[DataFrame]
+      val candShards = Seq.newBuilder[(VectorIndex, ShardCands)]
+      var anyApprox = false
+      idxs.foreach { idx =>
+        idx.shardSigPhase(q, k, sl, filter, bound) match {
+          case ShardEmpty => ()
+          case ShardExact(rows) => exactParts += rows
+          case c: ShardCands =>
+            anyApprox = true
+            lastManyProbeFiles += c.probedFiles
+            if (bound.isDefined) lastManyBoundedProbes += 1
+            candShards += ((idx, c))
+            pool = Some(pool.map(_.unionByName(c.ranked)).getOrElse(c.ranked))
+            val p = pool.get
+            if (p.limit(sl).count() >= sl)
+              bound = Some(p.orderBy(col("_hd"), col("id")).limit(sl)
+                .agg(max(col("_hd"))).head().getInt(0))
+        }
+      }
+      // the global pool: top-`sl` candidates across every shard
+      val globalIds = pool.map(_.orderBy(col("_hd"), col("id")).limit(sl)
+        .select(col("id")).localCheckpoint(true))
+      val rescoreParts = candShards.result().map { case (idx, c) =>
+        // this shard rescores its pool members + its legacy rows
+        val mine = globalIds.map(g =>
+            c.ranked.select(col("id")).join(g, Seq("id"), "left_semi"))
+          .getOrElse(c.ranked.select(col("id")))
+        idx.shardRescore(c.snap,
+          mine.unionByName(c.legacy).distinct().localCheckpoint(true),
+          q, filter)
+      }
+      val parts = exactParts.result() ++ rescoreParts
+      val res = parts.reduceOption(_.unionByName(_))
+        .map(_.orderBy(col("score").desc, col("id")).limit(k)
+          .select(col("id"), col("score"), col("metadata")))
+        .getOrElse(emptyIndexDf(idxs.head.spark)
+          .select(col("id"), lit(0.0).as("score"), col("metadata")))
+      (res, anyApprox)
+    }
+    var sl = shortlist
+    var (res, anyApprox) = once(sl)
+    if (filter.isDefined && anyApprox) {
+      var tries = 0
+      while (tries < maxEscalations && res.count() < k) {
+        sl *= 2
+        tries += 1
+        val r = once(sl)
+        res = r._1
+      }
+    }
+    res
   }
+
+  /** Diagnostics for the last [[queryManyApprox]]: total signature-
+    * phase files probed across shards, and how many shard probes ran
+    * UNDER an engaged global Hamming bound (0 = the pool never filled
+    * before the last shard — e.g. exact-recovery shortlists). */
+  private[graft] var lastManyProbeFiles: Int = 0
+  private[graft] var lastManyBoundedProbes: Int = 0
 
   /** Seed of the stored `_bsig` hyperplane signatures — fixed so every
     * snapshot (and the query side) hashes the same planes. */
@@ -1273,14 +1436,22 @@ object VectorIndex {
     * included — which is how `shortlist >= index` degrades to the
     * full scan and keeps the exactness contract). Pure, so specs can
     * drive it with synthetic manifests. */
+  /** `maxRing` (r19, the scatter-gather tightening): cells at prefix
+    * Hamming distance > maxRing from the query cell are dropped even
+    * inside the row budget — SOUND for gathering every row of full
+    * signature distance <= maxRing, because a row's cell-prefix
+    * distance lower-bounds its full 64-bit distance (the prefix is a
+    * sub-vector of the signature). Files without a cell (`always`)
+    * are never dropped: they may hold any row. */
   private[graft] def selectProbeFiles(all: Seq[ManifestFile], bits: Int,
-      qsig: Long, target: Long): Seq[String] = {
+      qsig: Long, target: Long, maxRing: Option[Int] = None): Seq[String] = {
     if (bits <= 0) return all.map(_.file).sorted
     val (celled, always) = all.partition(f => f.cell.isDefined && f.rows.isDefined)
     if (celled.isEmpty) return all.map(_.file).sorted
     val qcell = (qsig >>> (64 - bits)).toInt
     val byRing = celled.groupBy(f => Integer.bitCount(f.cell.get ^ qcell))
     val rings = byRing.keys.toSeq.sorted
+      .filter(r => maxRing.forall(r <= _))
     val picked = Seq.newBuilder[ManifestFile]
     var cum = 0L
     var i = 0

@@ -824,6 +824,72 @@ class IngestIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("queryManyApprox tightening: the global Hamming bound prunes later shards' probe files, answers unchanged") {
+    val dir = Files.createTempDirectory("graft_idx_sgt").toString
+    val rnd = new scala.util.Random(5)
+    val base = Array.fill(16)(rnd.nextFloat() * 2f - 1f)
+    // shard 1: a GRADED cluster around `base` (the query) — noise
+    // grows with i, so cosine rank, Hamming distance and pool order
+    // all follow i: the pool of 32 provably contains the exact top-10
+    // AND its 32nd-best Hamming distance is small (~3-4)
+    val cluster = (0 until 50).map { i =>
+      val scale = 0.002f * (i + 1) * (i + 1) / 10f + 0.002f
+      (s"c-$i",
+        base.map(v => v + (rnd.nextFloat() - 0.5f) * scale * 2).toSeq)
+    }
+    // shards 2/3: ANTIPODAL points only (signatures ~complement of the
+    // query's, cell rings 4-6) — without the bound their probes read
+    // every cell ring; under a bound of ~4, most rings are pruned
+    def far(tag: String) = (0 until 200).map { i =>
+      (s"$tag-$i",
+        base.map(v => -v + (rnd.nextFloat() - 0.5f) * 0.4f).toSeq)
+    }
+    def mkIdx(name: String, rows: Seq[(String, Seq[Float])]) = {
+      val idx = VectorIndex.ensure(spark, s"$dir/$name", 16,
+        numBuckets = 4, cellMinRows = 1)
+      idx.upsert(rows.toDF("id", "values")
+        .select($"id", $"values".cast("array<float>").as("values"),
+          struct(lit(0).as("chunk_index"), lit("t").as("source"))
+            .as("metadata")))
+      idx
+    }
+    val s1 = mkIdx("s1", cluster)
+    val s2 = mkIdx("s2", far("x"))
+    val s3 = mkIdx("s3", far("y"))
+    val shards = Seq(s1, s2, s3)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").as[String].collect().toSeq
+    val exact = ids(VectorIndex.queryMany(shards, base, 10))
+    // tightened gather: answer matches the exact global top-10 (the
+    // planted cluster dominates), the bound engaged for shards 2/3,
+    // and TOTAL probed files are strictly fewer than the N
+    // independent per-shard probes
+    val tightened = ids(VectorIndex.queryManyApprox(shards, base, 10,
+      shortlist = 32))
+    assert(tightened == exact, s"answers must match: $tightened vs $exact")
+    assert(VectorIndex.lastManyBoundedProbes >= 2,
+      s"bound must engage after the pool fills: ${VectorIndex.lastManyBoundedProbes}")
+    val tightFiles = VectorIndex.lastManyProbeFiles
+    val independentFiles = shards.map { idx =>
+      idx.queryApprox(base, 10, shortlist = 32)
+      idx.lastProbeFiles
+    }.sum
+    assert(tightFiles < independentFiles,
+      s"tightened gather must probe strictly fewer files: " +
+        s"$tightFiles vs $independentFiles independent")
+    // full-shortlist regime: the pool is exhaustive, no bound ever
+    // engages, and the answer provably recovers the exact top-k
+    val full = ids(VectorIndex.queryManyApprox(shards, base, 10,
+      shortlist = 1000))
+    assert(full == exact)
+    assert(VectorIndex.lastManyBoundedProbes == 0,
+      "a shortlist >= the union must never bound a probe")
+    // filtered gather still fills k and respects the filter
+    val filtered = VectorIndex.queryManyApprox(shards, base, 5,
+      shortlist = 32, filter = Some($"metadata.chunk_index" === 0))
+    assert(filtered.count() == 5)
+  }
+
   test("four mixed racers (2 upserts, delete, rebucket): versions linearize, every effect lands or surfaces typed, no orphans") {
     val dir = Files.createTempDirectory("graft_idx_race4").toString
     val root = s"$dir/r4"
