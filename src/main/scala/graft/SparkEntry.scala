@@ -4075,6 +4075,35 @@ object SparkEntry {
           lit(self == "2").as("self_ok"))
     }),
 
+    // VECTOR INDEX MERGE (r19, the q225 discipline on the VECTOR
+    // side): two disjoint parity-shard snapshot indexes fold into one
+    // serving index by pure FILE TRANSPORT (DistCopy executor-side,
+    // manifest entries — row counts and metadata stats — carried
+    // verbatim, zero footer re-reads), behind a loud id-disjointness
+    // census and a post-transport census reconcile. Graded
+    // end-to-end: exact top-12 served from the MERGED index must
+    // match the oracle's whole-corpus brute-force answer — a dropped
+    // file, a misfiled bucket, or a double-copied id all move the id
+    // list.
+    "q238_vector_index_merge" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.VectorIndex
+      val tmp = freshScratch("q238")
+      val emb = t(s, dir, "embeddings")
+      def recs(parity: Int) = emb.filter($"vec_id" % 2 === parity)
+        .select($"vec_id".cast("string").as("id"),
+          $"embedding".as("values"),
+          struct(lit(0).as("chunk_index"), lit("t").as("source"))
+            .as("metadata"))
+      VectorIndex.ensure(s, s"$tmp/a", 64).upsert(recs(0))
+      VectorIndex.ensure(s, s"$tmp/b", 64).upsert(recs(1))
+      val merged = VectorIndex.mergeIndexes(s,
+        Seq(s"$tmp/a", s"$tmp/b"), s"$tmp/m")
+      val q = emb.filter($"vec_id" === 2).select($"embedding")
+        .as[Array[Float]].head()
+      merged.query(q, k = 12).select($"id")
+    }),
+
     // MATRYOSHKA TWO-STAGE SEARCH (r18, the MRL serving trick):
     // shortlist on the first 16 of 64 dims (a quarter of the scoring
     // arithmetic), exact full-dim rescore on the 50-candidate
@@ -6606,6 +6635,14 @@ object SparkEntry {
         |        ORDER BY score DESC, doc_id LIMIT 20)
         |SELECT doc_id, CAST(FLOOR(score * 1000000.0) AS BIGINT) AS score_u
         |FROM top ORDER BY score_u DESC, doc_id""".stripMargin,
+
+    "q238_vector_index_merge" ->
+      """SELECT CAST(e.vec_id AS VARCHAR) AS id FROM embeddings e
+        |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+        |   WHERE vec_id = 2)) DESC,
+        |  CAST(e.vec_id AS VARCHAR)
+        |LIMIT 12""".stripMargin,
 
     "q236_matryoshka_index" ->
       """SELECT e.vec_id FROM embeddings e

@@ -1483,6 +1483,137 @@ object VectorIndex {
   private val UnspecifiedCellMinRows = -1
   private val UnspecifiedPrefixDim = -1
 
+  /** Two source indexes of a merge share at least one id — the
+    * [[InvertedIndex.OverlappingSources]] analogue for vector shards.
+    * Last-write-wins has no meaning ACROSS shards, so a shared id
+    * would surface twice in every merged scan and top-k. Thrown
+    * BEFORE any byte moves. */
+  final class OverlappingSources(msg: String)
+    extends IllegalArgumentException(msg)
+
+  /** MERGE N disjoint shard indexes into ONE new index at `out` (r19)
+    * — the consolidation companion of [[queryMany]]/[[queryManyApprox]]:
+    * those serve shards in place, this folds per-epoch or per-tenant
+    * shard BUILDS into one serving index once the shard count, not
+    * the vector count, dominates per-query cost (every scatter-gather
+    * probe pays a manifest + footer round PER SHARD).
+    *
+    * Pure FILE TRANSPORT, no rewrite: snapshot data files are
+    * immutable parquet keyed by the same pmod(xxhash64(id)) bucket
+    * space whenever the layouts agree, so a file of source bucket B
+    * is verbatim a file of merged bucket B. Bytes move executor-side
+    * via [[DistCopy]] (the driver walks manifest NAMES only); each
+    * file's recorded row count and metadata stats carry over verbatim
+    * into the merged manifest, so cell pruning and stats pruning
+    * serve unchanged with zero footer re-reads. Row `version` stamps
+    * carry over too — they record SOURCE history (provenance); the
+    * merged index starts its own snapshot line at 1.
+    *
+    * Contracts, enforced loudly BEFORE any byte moves:
+    *  - `out` must be empty (a merge is a create, not an append);
+    *  - sources must share the FULL layout meta — dimension, metric,
+    *    numBuckets, sigCellBits, cellMinRows, prefixDim — each taken
+    *    from its newest manifest header, so a rebucketed source is
+    *    judged by its CURRENT layout (mismatched bucket spaces would
+    *    misfile probes; mismatched cell bits would mis-prune them);
+    *  - id sets must be DISJOINT, verified by a column-pruned id
+    *    census across the sources ([[OverlappingSources]] names the
+    *    first colliders).
+    * After transport the merged id census (read off the copied files)
+    * must equal the sum of the source censuses, else the copy was
+    * torn and the merge throws instead of committing. Sources should
+    * be quiescent for the duration: a concurrent source upsert's rows
+    * simply miss the merge, and a concurrent source GC fails the
+    * transport loudly (copy of a deleted file) rather than tearing
+    * it. */
+  def mergeIndexes(spark: SparkSession, srcPaths: Seq[String],
+      out: String): VectorIndex = {
+    require(srcPaths.size >= 2, "merge needs at least two source indexes")
+    require(srcPaths.distinct.size == srcPaths.size,
+      s"duplicate source paths: ${srcPaths.mkString(", ")}")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val outP = new Path(out)
+    val fs = outP.getFileSystem(hconf)
+    require(!fs.exists(outP) || fs.listStatus(outP).isEmpty,
+      s"merge target $out must be empty (merge is a create, not an append)")
+    // effective meta per source: the newest manifest header (the
+    // layout its committed snapshot was WRITTEN under); the meta file
+    // for a snapshot-less source
+    val snaps = srcPaths.map(p => p -> currentSnapshot(spark, p))
+    val metas = snaps.map { case (p, v) =>
+      p -> v.flatMap(manifestMeta(spark, p, _)).getOrElse(readMeta(spark, p))
+    }
+    require(metas.map(_._2.copy(name = "")).distinct.size == 1,
+      "source layouts differ: " +
+        metas.map { case (p, m) => s"$p -> $m" }.mkString("; ") +
+        " — rebucket/rebuild the outliers onto one layout first (a " +
+        "merged probe would otherwise prune the wrong buckets or cells)")
+    val meta = metas.head._2
+    val srcEntries: Seq[(String, Map[Int, Seq[ManifestFile]])] =
+      snaps.map { case (p, v) =>
+        p -> v.map(readManifest(spark, p, _)).getOrElse(Map.empty)
+      }
+    // id-disjointness census: id column only (a column-pruned scan —
+    // never the vectors); ids are unique WITHIN an index by upsert
+    // semantics, so no per-source distinct is needed
+    def idsOf(p: String, m: Map[Int, Seq[ManifestFile]]): DataFrame = {
+      val files = m.values.flatten.map(mf => s"$p/${mf.file}").toSeq.sorted
+      if (files.isEmpty) spark.range(0).select(col("id").cast("string").as("id"))
+      else spark.read.parquet(files: _*).select(col("id"))
+    }
+    val censuses = srcEntries.zipWithIndex.map { case ((p, m), i) =>
+      (s"m$i", idsOf(p, m).localCheckpoint(eager = true))
+    }
+    val colliding = censuses
+      .map { case (tag, d) => d.withColumn("_src", lit(tag)) }
+      .reduce(_ unionByName _)
+      .groupBy(col("id")).agg(countDistinct(col("_src")).as("_ns"))
+      .filter(col("_ns") > 1).select(col("id"))
+      .limit(10).collect().map(_.get(0))
+    if (colliding.nonEmpty)
+      throw new OverlappingSources(
+        s"source indexes share ids (first ${colliding.length}: " +
+          s"${colliding.mkString(", ")}): a shared id would surface " +
+          "twice in every merged scan and top-k; delete it from all " +
+          "but one source first")
+    val censusSum = censuses.map(_._2.count()).sum
+    // rewrite each source-relative file path under the merged index's
+    // v=1 attempt namespace (one namespace per source, so equal part
+    // names can never collide); the suffix keeps its _bucket=/_cell=
+    // components — the manifest carries bucket membership and
+    // ManifestFile.cell parses the cell from the path
+    val pairs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val merged = scala.collection.mutable.Map.empty[Int, Vector[ManifestFile]]
+    srcEntries.zipWithIndex.foreach { case ((p, m), i) =>
+      m.foreach { case (b, files) =>
+        files.foreach { mf =>
+          val destRel = s"data/v=1-m$i/${mf.file.stripPrefix("data/")}"
+          pairs += ((s"$p/${mf.file}", s"$out/$destRel"))
+          merged(b) = merged.getOrElse(b, Vector.empty) :+ mf.copy(file = destRel)
+        }
+      }
+    }
+    fs.mkdirs(outP)
+    writeMetaFile(fs, out, meta)
+    DistCopy.copyFiles(spark, pairs.toSeq, "graft vector mergeIndexes transport")
+    // transport reconcile BEFORE the commit: count ids straight off
+    // the copied files — a lost or truncated file fails here, not in
+    // served top-ks
+    val copied = pairs.map(_._2).toSeq.sorted
+    val mergedCensus =
+      if (copied.isEmpty) 0L
+      else spark.read.parquet(copied: _*).select(col("id")).count()
+    if (mergedCensus != censusSum)
+      throw new IllegalStateException(
+        s"merge transport reconcile failed at $out: merged id census " +
+          s"$mergedCensus != sum of source censuses $censusSum — the " +
+          "copy was torn; delete the target and re-run")
+    if (merged.nonEmpty)
+      writeManifest(spark, out, 1L,
+        merged.toMap.map { case (b, v) => b -> (v: Seq[ManifestFile]) }, meta)
+    new VectorIndex(spark, out, meta)
+  }
+
   /** G2 create — idempotent like the reference's existence check
     * (streamlit_app.py:46-49). Fails if it exists with different meta
     * (numBuckets/sigCellBits participate only when explicitly passed —

@@ -824,6 +824,64 @@ class IngestIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("mergeIndexes: shard consolidation equals the single index; refusals loud; merged index stays fully writable") {
+    val dir = Files.createTempDirectory("graft_idx_merge").toString
+    def recs(pred: Long => Boolean) =
+      spark.range(0, 60).filter(org.apache.spark.sql.functions.udf(pred).apply($"id"))
+        .select(concat(lit("v-"), $"id").as("id"),
+          array($"id".cast("float"), ($"id" % 7).cast("float"),
+            lit(1f), lit(2f)).as("values"),
+          struct($"id".cast("int").as("chunk_index"), lit("t").as("source"))
+            .as("metadata"))
+    val all = VectorIndex.ensure(spark, s"$dir/all", 4)
+    all.upsert(recs(_ => true))
+    val s2 = VectorIndex.ensure(spark, s"$dir/s2", 4)
+    s2.upsert(recs(_ % 2 == 0))
+    val s3 = VectorIndex.ensure(spark, s"$dir/s3", 4)
+    s3.upsert(recs(_ % 2 == 1))
+    val merged = VectorIndex.mergeIndexes(spark, Seq(s"$dir/s2", s"$dir/s3"),
+      s"$dir/m")
+    val q = Array(31f, 3f, 1f, 2f)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").as[String].collect().toSeq
+    // merged top-k == the single whole-corpus index, exact AND approx
+    // (full shortlist), and the scan sees every row exactly once
+    assert(ids(merged.query(q, 7)) == ids(all.query(q, 7)))
+    assert(ids(merged.queryApprox(q, 7, shortlist = 60)) == ids(all.query(q, 7)))
+    assert(merged.scan().count() == 60)
+    // the transport carried every file's recorded row count and stats
+    // verbatim — no footer re-read, so every merged manifest entry
+    // still knows its rows (cell/stats pruning serves unchanged)
+    val entries = merged.manifestEntriesAt(1L).values.flatten.toSeq
+    assert(entries.nonEmpty && entries.forall(_.rows.nonEmpty),
+      "merged manifest must carry the sources' recorded row counts")
+    assert(entries.forall(_.stats.contains("chunk_index")),
+      "merged manifest must carry the sources' metadata stats")
+    // a metadata-filtered query stats-prunes on the carried stats
+    assert(ids(merged.query(q, 3,
+      Some($"metadata.chunk_index" === 31))) == Seq("v-31"))
+    // the merged index is a real index, not a read-only view: upsert,
+    // fetch, delete keep working and start its own snapshot line
+    merged.upsert(recs(_ == 0).withColumn("id", lit("fresh-1")))
+    assert(merged.fetch(Seq("fresh-1")).count() == 1)
+    assert(merged.snapshots().headOption.contains(1L))
+    // refusal: overlapping id sets (all shares every id with s2)
+    val e = intercept[VectorIndex.OverlappingSources] {
+      VectorIndex.mergeIndexes(spark, Seq(s"$dir/all", s"$dir/s2"), s"$dir/m2")
+    }
+    assert(e.getMessage.contains("v-"), s"must name colliders: ${e.getMessage}")
+    // refusal: layout mismatch (different bucket count)
+    val other = VectorIndex.ensure(spark, s"$dir/ob", 4, numBuckets = 8)
+    other.upsert(recs(_ == 1).withColumn("id", lit("ob-1")))
+    intercept[IllegalArgumentException] {
+      VectorIndex.mergeIndexes(spark, Seq(s"$dir/s2", s"$dir/ob"), s"$dir/m3")
+    }
+    // refusal: non-empty target (a merge is a create, not an append)
+    intercept[IllegalArgumentException] {
+      VectorIndex.mergeIndexes(spark, Seq(s"$dir/s2", s"$dir/s3"), s"$dir/all")
+    }
+  }
+
   test("queryManyApprox tightening: the global Hamming bound prunes later shards' probe files, answers unchanged") {
     val dir = Files.createTempDirectory("graft_idx_sgt").toString
     val rnd = new scala.util.Random(5)
