@@ -280,6 +280,10 @@ object Bench {
     "q232" -> (3.749, 8.064),
     // q233 two isolated runs (0.258/0.267)
     "q233" -> (0.181, 0.510),
+    // q238 three isolated runs (1.999/3.042/2.577) — two half-corpus
+    // index builds dominate; the merge itself is the id census +
+    // DistCopy transport + census reconcile
+    "q238" -> (1.399, 4.257),
     // q234 two isolated runs (1.040/1.064)
     "q234" -> (0.728, 1.586),
     // q235 two isolated runs (4.53/4.82) — two half-corpus index
