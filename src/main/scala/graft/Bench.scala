@@ -284,6 +284,9 @@ object Bench {
     // index builds dominate; the merge itself is the id census +
     // DistCopy transport + census reconcile
     "q238" -> (1.399, 4.257),
+    // q239 two isolated runs (2.133/1.921) — one full-corpus index
+    // build + the 5-query batch join (shared sig pass + one rescore)
+    "q239" -> (1.345, 3.030),
     // q234 two isolated runs (1.040/1.064)
     "q234" -> (0.728, 1.586),
     // q235 two isolated runs (4.53/4.82) — two half-corpus index

@@ -4104,6 +4104,31 @@ object SparkEntry {
       merged.query(q, k = 12).select($"id")
     }),
 
+    // BATCH kNN JOIN SERVED FROM THE INDEX (r19): a 5-query batch
+    // against the snapshot index in ONE shared (id,_bsig) pass +
+    // bucket-pruned exact rescore — the bulk-retrieval shape (B
+    // per-query probes would pay B manifest walks and B driver
+    // round-trips). Full shortlist engages the approx path end-to-end
+    // while provably recovering every query's exact top-k; the oracle
+    // replays the per-query brute-force ranking (the q134 discipline,
+    // served from the index instead of a plain table).
+    "q239_index_knn_join" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.VectorIndex
+      val tmp = freshScratch("q239")
+      val emb = t(s, dir, "embeddings")
+      val idx = VectorIndex.ensure(s, s"$tmp/idx", 64)
+      idx.upsert(emb.select($"vec_id".cast("string").as("id"),
+        $"embedding".as("values"),
+        struct(lit(0).as("chunk_index"), lit("t").as("source"))
+          .as("metadata")))
+      val queries = emb.filter($"vec_id".isin(3, 5, 7, 9, 11))
+        .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      idx.knnJoin(queries, "qid", "qv", k = 8, shortlist = 1 << 20)
+        .select($"query_id", $"rank", $"id")
+        .orderBy($"query_id", $"rank")
+    }),
+
     // MATRYOSHKA TWO-STAGE SEARCH (r18, the MRL serving trick):
     // shortlist on the first 16 of 64 dims (a quarter of the scoring
     // arithmetic), exact full-dim rescore on the 50-candidate
@@ -6635,6 +6660,20 @@ object SparkEntry {
         |        ORDER BY score DESC, doc_id LIMIT 20)
         |SELECT doc_id, CAST(FLOOR(score * 1000000.0) AS BIGINT) AS score_u
         |FROM top ORDER BY score_u DESC, doc_id""".stripMargin,
+
+    "q239_index_knn_join" ->
+      """WITH q AS (SELECT CAST(vec_id AS VARCHAR) AS query_id,
+        |             CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id IN (3, 5, 7, 9, 11)),
+        |s AS (SELECT q.query_id, CAST(e.vec_id AS VARCHAR) AS id,
+        |        list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS score
+        |      FROM embeddings e, q),
+        |r AS (SELECT query_id, id,
+        |        row_number() OVER (PARTITION BY query_id
+        |                           ORDER BY score DESC, id) AS rank
+        |      FROM s)
+        |SELECT query_id, CAST(rank AS INT) AS rank, id
+        |FROM r WHERE rank <= 8 ORDER BY query_id, rank""".stripMargin,
 
     "q238_vector_index_merge" ->
       """SELECT CAST(e.vec_id AS VARCHAR) AS id FROM embeddings e

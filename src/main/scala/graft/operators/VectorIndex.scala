@@ -220,18 +220,23 @@ final class VectorIndex private (
   }
 
   /** The metric's score expression for query vector `q`. */
-  private def scoreCol(q: Array[Float]): Column = {
-    val qCol = lit(q.map(_.toDouble))
+  private def scoreCol(q: Array[Float]): Column =
+    scoreCols(col("values"), lit(q.map(_.toDouble)))
+
+  /** The index metric as a two-COLUMN expression (the literal-query
+    * [[scoreCol]] and the batch [[knnJoin]] share it, so single-query
+    * and batch scores are computed by the identical codegen'd
+    * arithmetic). */
+  private def scoreCols(v: Column, qCol: Column): Column =
     meta.metric match {
-      case Metric.Cosine => vectors.cosine(col("values"), qCol)
-      case Metric.Dot => vectors.dot(col("values"), qCol)
+      case Metric.Cosine => vectors.cosine(v, qCol)
+      case Metric.Dot => vectors.dot(v, qCol)
       // clamp: fp cancellation for v≈q can push the operand slightly
       // negative → sqrt NaN, which Spark sorts ABOVE all doubles.
       case Metric.Euclidean => -sqrt(greatest(
-        vectors.dot(col("values"), col("values")) - lit(2.0) * vectors.dot(col("values"), qCol)
+        vectors.dot(v, v) - lit(2.0) * vectors.dot(v, qCol)
           + vectors.dot(qCol, qCol), lit(0.0)))
     }
-  }
 
   /** Q1 at SERVING scale: binary-signature shortlist + exact rescore —
     * [[query]]'s answer shape without its O(index) vector scan. Every
@@ -411,6 +416,127 @@ final class VectorIndex private (
   /** How many shortlist doublings the last filtered [[queryApprox]]
     * needed to fill k (0 = first attempt sufficed). */
   private[graft] var lastEscalations: Int = 0
+
+  /** BATCH kNN JOIN SERVED FROM THE INDEX (r19) — [[Ann.knnJoinBinary]]
+    * driven by the snapshot's stored signatures: for EVERY row of
+    * `queries`, its top-k indexed neighbors by the index metric. The
+    * bulk-retrieval shape (nightly query logs, RAG-eval batches,
+    * embedding dedup-on-ingest: "for each of B new vectors, who is
+    * already close?") — B calls of [[queryApprox]] would pay B manifest
+    * walks, B driver round-trips and B separate scans; this serves the
+    * whole batch in ONE column-pruned pass of the stored (id, _bsig)
+    * pairs (8 signature bytes + id per row) plus an exact rescore that
+    * reads full vectors ONLY from the manifest files of the buckets
+    * the shortlisted candidates hash into.
+    *
+    * Plan shape: the query batch broadcasts (the batch-vs-corpus
+    * orientation — the index side never reshuffles); per (query, row)
+    * popcount; per-query top-`shortlist` as a `row_number <=` filter,
+    * which Spark 4 plans as WindowGroupLimit — each input partition
+    * ships only its local top-shortlist per query, so the exchange
+    * carries partitions x B x shortlist NARROW rows, never the scored
+    * cross product. The batch path deliberately trades [[queryApprox]]'s
+    * per-file CELL pruning for the one shared scan: a batch's union of
+    * per-query Hamming neighborhoods approaches the full cell space
+    * anyway, and B probes amortize the column-pruned pass they share.
+    *
+    * Contracts, matching the single-query probes: query dimensions are
+    * validated up front (the E2 discipline); legacy rows (null `_bsig`)
+    * join EVERY query's rescore, so results never depend on backfill
+    * progress; an index with no signature column at all — or whose
+    * legacy rows alone would fill the shortlist — falls back to the
+    * exact one-scan batch join ([[Ann.knnJoin]]'s shape over the
+    * snapshot); and `shortlist >= index size` provably recovers the
+    * per-query exact answer. Output: (query_id, rank 1..k, id, score),
+    * rank by (score desc, id) — deterministic under ties. */
+  def knnJoin(queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, shortlist: Int = 400): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val qs = queries.select(col(qIdCol).cast("string").as("_qid"),
+        col(qVecCol).cast("array<double>").as("_qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (qs.filter(size(col("_qv")) =!= meta.dimension).limit(1).count() > 0)
+        throw new IngestError(
+          s"knnJoin: query dimension != index dimension ${meta.dimension}")
+      val snap = currentSnapshot(spark, path)
+      val manifest = snap.map(readManifest(spark, path, _))
+        .getOrElse(Map.empty[Int, Seq[ManifestFile]])
+      val files = manifest.values.flatten.map(_.file).toSeq.sorted
+      def emptyResult: DataFrame = qs
+        .select(col("_qid").as("query_id"), lit(1).as("rank"),
+          col("_qid").as("id"), lit(0.0).as("score"))
+        .limit(0)
+      if (files.isEmpty) { lastKnnMode = "exact-empty"; return emptyResult }
+      // mergeSchema: files may predate the _bsig column
+      val rawAll = spark.read.option("mergeSchema", "true")
+        .parquet(files.map(f => s"$path/$f"): _*)
+      val wK = Window.partitionBy(col("_qid"))
+        .orderBy(col("score").desc, col("id"))
+      def topK(scored: DataFrame): DataFrame = scored
+        .withColumn("_rn", row_number().over(wK)).filter(col("_rn") <= k)
+        .select(col("_qid").as("query_id"), col("_rn").cast("int").as("rank"),
+          col("id"), col("score"))
+      def exactBatch(): DataFrame = topK(rawAll
+        .select(col("id"), col("values"))
+        .crossJoin(broadcast(qs))
+        .select(col("_qid"), col("id"),
+          scoreCols(col("values"), col("_qv")).as("score")))
+      if (!rawAll.columns.contains("_bsig")) {
+        lastKnnMode = "exact-nosig"
+        return exactBatch()
+      }
+      val sigs = rawAll.select(col("id"), col("_bsig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val legacyIds = sigs.filter(col("_bsig").isNull).select(col("id"))
+        // the queryApprox legacy-dominated fallback, batch edition: when
+        // legacy alone fills the shortlist the approximation saves
+        // nothing over one exact scan (and would broadcast an unbounded
+        // candidate set)
+        if (legacyIds.limit(shortlist).count() >= shortlist) {
+          lastKnnMode = "exact-legacy-dominated"
+          return exactBatch()
+        }
+        lastKnnMode = "approx"
+        val sigUdf = udf((v: Seq[Double]) =>
+          Ann.bitSignature64(v.toArray, SigSeed))
+        val qsigs = qs.withColumn("_qsig", sigUdf(col("_qv")))
+          .select(col("_qid"), col("_qsig"))
+        val wS = Window.partitionBy(col("_qid"))
+          .orderBy(col("_hd"), col("id"))
+        val shortPairs = sigs.filter(col("_bsig").isNotNull)
+          .crossJoin(broadcast(qsigs))
+          .select(col("_qid"), col("id"),
+            bit_count(col("_bsig").bitwiseXOR(col("_qsig"))).cast("int").as("_hd"))
+          .withColumn("_rn", row_number().over(wS))
+          .filter(col("_rn") <= shortlist)
+          .select(col("_qid"), col("id"))
+        // candidate pairs: bounded by B x shortlist + B x legacy (legacy
+        // < shortlist by the fallback above) — broadcastable by
+        // construction; pinned for the bucket-key collect + the join
+        val pairs = shortPairs
+          .unionByName(legacyIds.crossJoin(broadcast(qs.select(col("_qid")))))
+          .localCheckpoint(true)
+        val nb = currentNumBuckets(snap)
+        val buckets = pairs
+          .select(pmod(xxhash64(col("id")), lit(nb)).cast("int").as("_b"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        val bFiles = manifest.collect { case (b, fs0) if buckets(b) => fs0 }
+          .flatten.map(_.file).toSeq.sorted
+        val rows = spark.read.parquet(bFiles.map(f => s"$path/$f"): _*)
+          .select(col("id"), col("values"))
+        topK(rows.join(broadcast(pairs), Seq("id"))
+          .join(broadcast(qs.select(col("_qid"), col("_qv"))), Seq("_qid"))
+          .select(col("_qid"), col("id"),
+            scoreCols(col("values"), col("_qv")).as("score")))
+      } finally sigs.unpersist(blocking = false)
+    } finally qs.unpersist(blocking = false)
+  }
+
+  /** Which path the last [[knnJoin]] took ("exact-empty",
+    * "exact-nosig", "exact-legacy-dominated", "approx"). */
+  private[graft] var lastKnnMode: String = ""
 
   /** Q2 MATRYOSHKA SERVING (r19) — [[Ann.matryoshkaTopK]]'s two-stage
     * MRL trade driven through the snapshot index's STORED layout:

@@ -882,6 +882,59 @@ class IngestIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("knnJoin: batch top-k served from the index — full shortlist exact per query, fallbacks engage, dim refusal") {
+    val dir = Files.createTempDirectory("graft_idx_knn").toString
+    val recs = spark.range(0, 60)
+      .select(concat(lit("v-"), $"id").as("id"),
+        array($"id".cast("float"), ($"id" % 7).cast("float"),
+          lit(1f), lit(2f)).as("values"),
+        struct(lit(0).as("chunk_index"), lit("t").as("source")).as("metadata"))
+    val idx = VectorIndex.ensure(spark, s"$dir/idx", 4)
+    idx.upsert(recs)
+    val queries = Seq(
+      ("q-a", Seq(31f, 3f, 1f, 2f)),
+      ("q-b", Seq(2f, 6f, 1f, 2f)),
+      ("q-c", Seq(55f, 0f, 1f, 2f))).toDF("qid", "qv")
+      .select($"qid", $"qv".cast("array<float>").as("qv"))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").as[String].collect().toSeq
+    // full shortlist: each query's row set == the single-query exact
+    // answer, in rank order (score AND tiebreak identical)
+    val joined = idx.knnJoin(queries, "qid", "qv", k = 5, shortlist = 60)
+      .orderBy($"query_id", $"rank").collect()
+      .groupBy(_.getString(0)).map { case (q, rows) =>
+        q -> rows.sortBy(_.getInt(1)).map(_.getString(2)).toSeq
+      }
+    assert(idx.lastKnnMode == "approx")
+    for ((qid, qv) <- Seq(("q-a", Array(31f, 3f, 1f, 2f)),
+        ("q-b", Array(2f, 6f, 1f, 2f)), ("q-c", Array(55f, 0f, 1f, 2f))))
+      assert(joined(qid) == ids(idx.query(qv, 5)),
+        s"$qid: batch must equal the single-query exact answer")
+    // pruned shortlist still finds each query's planted self-match
+    val idTo = spark.range(0, 60)
+      .select(concat(lit("v-"), $"id").as("qid"),
+        array($"id".cast("float"), ($"id" % 7).cast("float"),
+          lit(1f), lit(2f)).as("qv"))
+    val self = idx.knnJoin(idTo, "qid", "qv", k = 1, shortlist = 8)
+    assert(self.count() == 60, "every query must fill k")
+    // NOT all 60: these toy 4-dim vectors collapse to few distinct
+    // 64-bit signatures, so the id tiebreak inside an all-zero-Hamming
+    // cohort can cut a self row from an 8-deep shortlist — the honest
+    // approximation contract. The bar is recall, not perfection
+    // (measured 50/60 on this fixture).
+    assert(self.filter($"query_id" === $"id").count() >= 45,
+      "pruned batch probes must keep self-match recall high")
+    // dim refusal (the E2 discipline): one bad row fails the batch
+    intercept[graft.core.IngestError] {
+      idx.knnJoin(Seq(("bad", Seq(1f, 2f))).toDF("qid", "qv"),
+        "qid", "qv", k = 1).collect()
+    }
+    // empty index: empty result, exact-empty mode
+    val none = VectorIndex.ensure(spark, s"$dir/none", 4)
+    assert(none.knnJoin(queries, "qid", "qv", k = 3).count() == 0)
+    assert(none.lastKnnMode == "exact-empty")
+  }
+
   test("queryManyApprox tightening: the global Hamming bound prunes later shards' probe files, answers unchanged") {
     val dir = Files.createTempDirectory("graft_idx_sgt").toString
     val rnd = new scala.util.Random(5)
