@@ -287,6 +287,10 @@ object Bench {
     // q239 two isolated runs (2.133/1.921) — one full-corpus index
     // build + the 5-query batch join (shared sig pass + one rescore)
     "q239" -> (1.345, 3.030),
+    // q240 two isolated runs (4.261/4.715) — half-corpus index build +
+    // a half-corpus batch at FULL shortlist (exact verdicts: the
+    // candidate set is B x N by construction in this gate)
+    "q240" -> (2.983, 6.515),
     // q234 two isolated runs (1.040/1.064)
     "q234" -> (0.728, 1.586),
     // q235 two isolated runs (4.53/4.82) — two half-corpus index

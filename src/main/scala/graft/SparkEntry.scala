@@ -4129,6 +4129,34 @@ object SparkEntry {
         .orderBy($"query_id", $"rank")
     }),
 
+    // EMBEDDING DEDUP-ON-INGEST AGAINST THE INDEX (r19, the q87
+    // orientation for vectors): the odd-id batch asks the even-id
+    // corpus index "who's already close?" in ONE knnJoin pass (k=1,
+    // full shortlist = exact verdicts). The oracle replays every
+    // batch row's argmax corpus neighbor (ties by id) and the
+    // threshold verdict — a missed candidate, a wrong tiebreak, or a
+    // drifted score all move the hash.
+    "q240_index_near_dup" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.VectorIndex
+      val tmp = freshScratch("q240")
+      val emb = t(s, dir, "embeddings")
+      val idx = VectorIndex.ensure(s, s"$tmp/idx", 64)
+      idx.upsert(emb.filter($"vec_id" % 2 === 0)
+        .select($"vec_id".cast("string").as("id"),
+          $"embedding".as("values"),
+          struct(lit(0).as("chunk_index"), lit("t").as("source"))
+            .as("metadata")))
+      val batch = emb.filter($"vec_id" % 2 === 1)
+        .select($"vec_id".as("bid"), $"embedding".as("bv"))
+      idx.nearDupAgainst(batch, "bid", "bv", threshold = 0.2,
+          shortlist = 1 << 20)
+        .select($"id", $"dup_of",
+          floor($"score" * lit(1000000.0)).cast("long").as("score_u"),
+          $"is_dup")
+        .orderBy($"id")
+    }),
+
     // MATRYOSHKA TWO-STAGE SEARCH (r18, the MRL serving trick):
     // shortlist on the first 16 of 64 dims (a quarter of the scoring
     // arithmetic), exact full-dim rescore on the 50-candidate
@@ -6660,6 +6688,24 @@ object SparkEntry {
         |        ORDER BY score DESC, doc_id LIMIT 20)
         |SELECT doc_id, CAST(FLOOR(score * 1000000.0) AS BIGINT) AS score_u
         |FROM top ORDER BY score_u DESC, doc_id""".stripMargin,
+
+    "q240_index_near_dup" ->
+      """WITH b AS (SELECT CAST(vec_id AS VARCHAR) AS id,
+        |             CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id % 2 = 1),
+        |c AS (SELECT CAST(vec_id AS VARCHAR) AS cid,
+        |        CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings WHERE vec_id % 2 = 0),
+        |s AS (SELECT b.id, c.cid,
+        |        list_cosine_similarity(c.cv, b.v) AS sc FROM b, c),
+        |r AS (SELECT id, cid, sc,
+        |        row_number() OVER (PARTITION BY id
+        |                           ORDER BY sc DESC, cid) AS rn
+        |      FROM s)
+        |SELECT id, cid AS dup_of,
+        |  CAST(FLOOR(sc * 1000000.0) AS BIGINT) AS score_u,
+        |  sc >= 0.2 AS is_dup
+        |FROM r WHERE rn = 1 ORDER BY id""".stripMargin,
 
     "q239_index_knn_join" ->
       """WITH q AS (SELECT CAST(vec_id AS VARCHAR) AS query_id,

@@ -538,6 +538,34 @@ final class VectorIndex private (
     * "exact-nosig", "exact-legacy-dominated", "approx"). */
   private[graft] var lastKnnMode: String = ""
 
+  /** EMBEDDING DEDUP-ON-INGEST against the index (r19) — the
+    * [[Dedup.minhashAgainst]] orientation for vectors, served from the
+    * snapshot: flag every batch row whose nearest INDEXED neighbor
+    * reaches `threshold` by the index metric, in one [[knnJoin]] pass
+    * (k = 1). The semantic-dedup gate a rolling ingest runs before
+    * [[upsert]]: "which of these B new embeddings does the 100-TB
+    * corpus already hold (or near-hold)?" — batch-vs-corpus, so the
+    * corpus is never rescanned per row and never reshuffled.
+    *
+    * Returns one row PER BATCH ROW: (id, dup_of, score, is_dup) —
+    * `dup_of` the nearest indexed id (ties by id, [[knnJoin]]'s
+    * contract), null against an empty index; `is_dup` = score >=
+    * threshold. A re-ingested id flags as its own duplicate (score 1)
+    * — the right answer for dedup-on-ingest, where "already present"
+    * is exactly the question. Approximation contract inherits
+    * [[knnJoin]]'s: a pruned shortlist can miss a true near-dup
+    * (under-flagging, the safe direction for dedup); `shortlist >=
+    * index size` makes the verdicts exact. */
+  def nearDupAgainst(batch: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, shortlist: Int = 400): DataFrame = {
+    val nn = knnJoin(batch, idCol, vecCol, k = 1, shortlist)
+      .select(col("query_id").as("id"), col("id").as("dup_of"), col("score"))
+    batch.select(col(idCol).cast("string").as("id"))
+      .join(nn, Seq("id"), "left")
+      .select(col("id"), col("dup_of"), col("score"),
+        (col("score").isNotNull && col("score") >= threshold).as("is_dup"))
+  }
+
   /** Q2 MATRYOSHKA SERVING (r19) — [[Ann.matryoshkaTopK]]'s two-stage
     * MRL trade driven through the snapshot index's STORED layout:
     * shortlist by cosine on the persisted prefix column (`_vpre`, the

@@ -935,6 +935,40 @@ class IngestIndexSpec extends AnyFunSuite {
     assert(none.lastKnnMode == "exact-empty")
   }
 
+  test("nearDupAgainst: batch-vs-index semantic dedup — exact copy flags, far row passes, re-ingest self-flags, empty index all-pass") {
+    val dir = Files.createTempDirectory("graft_idx_ndup").toString
+    val recs = spark.range(0, 40)
+      .select(concat(lit("v-"), $"id").as("id"),
+        array(($"id" + 1).cast("float"), lit(1f), lit(0f), lit(0f)).as("values"),
+        struct(lit(0).as("chunk_index"), lit("t").as("source")).as("metadata"))
+    val idx = VectorIndex.ensure(spark, s"$dir/idx", 4)
+    idx.upsert(recs)
+    val batch = Seq(
+      ("b-copy", Seq(8f, 1f, 0f, 0f)),   // exact copy of v-7's vector
+      ("b-far", Seq(0f, 0f, 1f, 0f)),    // orthogonal to every indexed row
+      ("v-3", Seq(4f, 1f, 0f, 0f))       // re-ingest of an indexed id
+    ).toDF("bid", "bv").select($"bid", $"bv".cast("array<float>").as("bv"))
+    val v = idx.nearDupAgainst(batch, "bid", "bv", threshold = 0.9,
+        shortlist = 40)
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(1)), r.getBoolean(3))).toMap
+    assert(v("b-copy") == (Some("v-7"), true),
+      s"exact copy must flag against its source: ${v("b-copy")}")
+    assert(!v("b-far")._2, "an orthogonal vector must pass")
+    assert(v("v-3") == (Some("v-3"), true),
+      "a re-ingested id must flag as its own duplicate")
+    // threshold is the caller's knob: at a bar the far row's best
+    // cosine clears, it flags too
+    val loose = idx.nearDupAgainst(batch, "bid", "bv", threshold = -1.0,
+      shortlist = 40)
+    assert(loose.filter($"is_dup").count() == 3)
+    // empty index: every row passes with a null neighbor
+    val none = VectorIndex.ensure(spark, s"$dir/none", 4)
+    val e = none.nearDupAgainst(batch, "bid", "bv", threshold = 0.9)
+    assert(e.count() == 3 && e.filter($"is_dup").count() == 0 &&
+      e.filter($"dup_of".isNull).count() == 3)
+  }
+
   test("queryManyApprox tightening: the global Hamming bound prunes later shards' probe files, answers unchanged") {
     val dir = Files.createTempDirectory("graft_idx_sgt").toString
     val rnd = new scala.util.Random(5)
