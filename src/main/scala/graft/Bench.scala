@@ -291,6 +291,9 @@ object Bench {
     // a half-corpus batch at FULL shortlist (exact verdicts: the
     // candidate set is B x N by construction in this gate)
     "q240" -> (2.983, 6.515),
+    // q241 two isolated runs (6.771/6.156) — a 2-micro-batch streaming
+    // dedup-ingest lifecycle (q232's shape + the within/against gates)
+    "q241" -> (4.309, 9.291),
     // q234 two isolated runs (1.040/1.064)
     "q234" -> (0.728, 1.586),
     // q235 two isolated runs (4.53/4.82) — two half-corpus index

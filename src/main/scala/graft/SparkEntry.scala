@@ -4129,6 +4129,52 @@ object SparkEntry {
         .orderBy($"query_id", $"rank")
     }),
 
+    // STREAMING VECTOR DEDUP-INGEST (r19, the q201/q232 composition):
+    // two micro-batches flow through vectorDedupIngest — within-batch
+    // keep-first near-dedup (w-2 drops against w-1, twin copies of an
+    // odd vector never otherwise ingested), against-index
+    // first-seen-wins (batch 2's dup-0 copy of accepted vec 0 drops;
+    // its re-send of vec 2 self-flags), survivors upsert through the
+    // manifest CAS. The oracle REPLAYS both rules per batch as
+    // correlated NOT EXISTS over the same cosines — a wrong keep-first
+    // tiebreak, a missed against-index flag, or a lost survivor all
+    // change the id list.
+    "q241_stream_vector_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val scratch = freshScratch("q241")
+      val src = s"$scratch/src"
+      val ipath = s"$scratch/vidx"
+      new java.io.File(src).mkdirs()
+      val emb = t(s, dir, "embeddings")
+      def recs(pred: Column) = emb.filter(pred).select(
+        $"vec_id".cast("string").as("id"), $"embedding".as("values"),
+        struct(lit(0).as("chunk_index"), lit("uploaded_pdf").as("source"))
+          .as("metadata"))
+      def copyOf(newId: String, vid: Long) =
+        recs($"vec_id" === vid).withColumn("id", lit(newId))
+      val c = emb.agg(max($"vec_id")).head().getLong(0) / 2
+      def writeBatch(name: String, f: DataFrame): Unit = {
+        val tmp = s"$scratch/stage_$name"
+        f.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.copy(part.toPath,
+          java.nio.file.Paths.get(s"$src/$name.parquet"))
+      }
+      writeBatch("b1", recs($"vec_id" % 2 === 0 && $"vec_id" <= c)
+        .unionByName(copyOf("w-1", 1)).unionByName(copyOf("w-2", 1)))
+      val stream = s.readStream.schema(recs(lit(true)).schema).parquet(src)
+      val q = graft.streaming.StreamOps.vectorDedupIngest(stream, ipath,
+        dim = 64, threshold = 0.9, shortlist = 1 << 20).start()
+      q.processAllAvailable()
+      writeBatch("b2", recs($"vec_id" % 2 === 0 && $"vec_id" > c)
+        .unionByName(copyOf("dup-0", 0)).unionByName(recs($"vec_id" === 2)))
+      q.processAllAvailable()
+      q.stop()
+      graft.operators.VectorIndex.open(s, ipath).scan()
+        .select($"id").orderBy($"id")
+    }),
+
     // EMBEDDING DEDUP-ON-INGEST AGAINST THE INDEX (r19, the q87
     // orientation for vectors): the odd-id batch asks the even-id
     // corpus index "who's already close?" in ONE knnJoin pass (k=1,
@@ -6688,6 +6734,31 @@ object SparkEntry {
         |        ORDER BY score DESC, doc_id LIMIT 20)
         |SELECT doc_id, CAST(FLOOR(score * 1000000.0) AS BIGINT) AS score_u
         |FROM top ORDER BY score_u DESC, doc_id""".stripMargin,
+
+    "q241_stream_vector_dedup" ->
+      """WITH m AS (SELECT MAX(vec_id) // 2 AS c FROM embeddings),
+        |e AS (SELECT CAST(vec_id AS VARCHAR) AS id,
+        |        CAST(embedding AS DOUBLE[]) AS v, vec_id
+        |      FROM embeddings),
+        |b1 AS (SELECT id, v FROM e
+        |         WHERE vec_id % 2 = 0 AND vec_id <= (SELECT c FROM m)
+        |       UNION ALL SELECT 'w-1', v FROM e WHERE vec_id = 1
+        |       UNION ALL SELECT 'w-2', v FROM e WHERE vec_id = 1),
+        |w1 AS (SELECT a.id, a.v FROM b1 a WHERE NOT EXISTS (
+        |         SELECT 1 FROM b1 b WHERE b.id < a.id
+        |           AND list_cosine_similarity(a.v, b.v) >= 0.9)),
+        |b2 AS (SELECT id, v FROM e
+        |         WHERE vec_id % 2 = 0 AND vec_id > (SELECT c FROM m)
+        |       UNION ALL SELECT 'dup-0', v FROM e WHERE vec_id = 0
+        |       UNION ALL SELECT id, v FROM e WHERE vec_id = 2),
+        |w2 AS (SELECT a.id, a.v FROM b2 a WHERE NOT EXISTS (
+        |         SELECT 1 FROM b2 b WHERE b.id < a.id
+        |           AND list_cosine_similarity(a.v, b.v) >= 0.9)),
+        |s2 AS (SELECT a.id FROM w2 a WHERE NOT EXISTS (
+        |         SELECT 1 FROM w1 x
+        |         WHERE list_cosine_similarity(a.v, x.v) >= 0.9))
+        |SELECT id FROM (SELECT id FROM w1 UNION ALL SELECT id FROM s2)
+        |ORDER BY id""".stripMargin,
 
     "q240_index_near_dup" ->
       """WITH b AS (SELECT CAST(vec_id AS VARCHAR) AS id,

@@ -993,6 +993,75 @@ object StreamOps {
         }
     }
 
+  /** DEDUP-ON-INGEST for the VECTOR index (r19) — [[vectorIndexIngest]]
+    * with the semantic gate in front, the vector edition of
+    * [[dedupedIngest]]: per micro-batch,
+    *  1. WITHIN-BATCH one-pass keep-first near-dedup — a row drops iff
+    *     a SMALLER-id row of the same batch reaches `threshold` cosine
+    *     (exact pairwise over the micro-batch, which is trigger-bounded
+    *     by construction; the batch side broadcasts so the pass is one
+    *     BNLJ, no shuffle);
+    *  2. AGAINST-INDEX [[graft.operators.VectorIndex.nearDupAgainst]] —
+    *     one batched knnJoin probe, batch-vs-corpus orientation: the
+    *     index is never rescanned per row and never reshuffled;
+    *  3. survivors upsert through the manifest CAS.
+    * First-seen-wins across batches: a later exact re-send of an
+    * already-accepted vector flags against the index and drops, EVEN
+    * when the accepted copy entered under a different id.
+    *
+    * Replay-idempotent WITHOUT a ledger (the [[vectorIndexIngest]]
+    * argument, strengthened): a crash between upsert and checkpoint
+    * commit replays the batch, whose already-upserted rows now
+    * SELF-FLAG against the index (score 1) and drop — the committed
+    * state is untouched either way, so at-least-once delivery closes
+    * by construction. Unlike [[dedupedIngest]]'s corpus+sidecar, the
+    * index IS the signature store: the stored `_bsig` column serves
+    * the probe, so there is no sidecar to heal or verify.
+    *
+    * Approximation contract inherits [[VectorIndex.knnJoin]]'s: a
+    * pruned `shortlist` can only UNDER-flag (ingest a near-dup — the
+    * safe direction); `shortlist >= index size` makes the against-index
+    * verdicts exact. The within-batch pass is always exact. */
+  def vectorDedupIngest(rows: DataFrame, indexPath: String, dim: Int,
+      threshold: Double, shortlist: Int = 400,
+      numBuckets: Int = graft.operators.LayoutMeta.Unspecified)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream.outputMode("append").foreachBatch {
+      (batch0: DataFrame, _: Long) =>
+        if (!batch0.isEmpty) {
+          val spark = batch0.sparkSession
+          val batch = batch0.select(col("id").cast("string").as("id"),
+              col("values"), col("metadata"))
+            .localCheckpoint(eager = true)
+          val a = batch.select(col("id").as("_aid"),
+            col("values").cast("array<double>").as("_av"))
+          val withinDropped = batch
+            .select(col("id").as("_bid"),
+              col("values").cast("array<double>").as("_bv"))
+            .crossJoin(broadcast(a))
+            .filter(col("_aid") < col("_bid") &&
+              graft.functions.vectors.cosine(col("_av"), col("_bv"))
+                >= threshold)
+            .select(col("_bid").as("id")).distinct()
+          val within = batch.join(withinDropped, Seq("id"), "left_anti")
+            .localCheckpoint(eager = true)
+          val idx =
+            if (numBuckets == graft.operators.LayoutMeta.Unspecified)
+              graft.operators.VectorIndex.ensure(spark, indexPath, dim)
+            else
+              graft.operators.VectorIndex.ensure(spark, indexPath, dim,
+                numBuckets = numBuckets)
+          val verdicts = idx.nearDupAgainst(within, "id", "values",
+            threshold, shortlist)
+          val survivors = within.join(
+            verdicts.filter(col("is_dup")).select(col("id")),
+            Seq("id"), "left_anti")
+          if (!survivors.isEmpty)
+            idx.upsert(survivors.select(col("id"), col("values"),
+              col("metadata")))
+        }
+    }
+
   def ivmIngest(rows: DataFrame, storePath: String, keyCols: Seq[String],
       sumCols: Seq[String],
       nBuckets: Int = graft.operators.LayoutMeta.Unspecified)

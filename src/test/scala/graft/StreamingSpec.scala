@@ -1535,6 +1535,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(after.snapshots().max == vBefore + 1)
   }
 
+  test("streaming vector dedup-ingest: within-batch keep-first, against-index first-seen-wins, replay drops itself") {
+    import graft.operators.VectorIndex
+    val base = Files.createTempDirectory("graft_stream_vdedup")
+    val src = base.resolve("src"); Files.createDirectories(src)
+    val ipath = s"$base/vidx"
+    // toy 4-dim vectors are pairwise <= ~0.9995 cosine; exact copies
+    // are ~1.0 — threshold 0.9999 flags ONLY planted copies
+    def recs(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select(concat(lit("v-"), $"id").as("id"),
+        array($"id".cast("float"), ($"id" % 7).cast("float"),
+          lit(1f), lit(2f)).as("values"),
+        struct(lit(0).as("chunk_index"), lit("t").as("source")).as("metadata"))
+    def copyOf(newId: String, srcId: Long) = recs(srcId, srcId + 1)
+      .withColumn("id", lit(newId))
+    def land(name: String, df: DataFrame): Unit = {
+      val tmp = base.resolve(s"stage_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, src.resolve(s"$name.parquet"))
+    }
+    // b1: 20 fresh + a within-batch twin pair (both copy v-100's
+    // vector, absent elsewhere) — keep-first keeps w-1, drops w-2
+    land("b1", recs(0, 20)
+      .unionByName(copyOf("w-1", 100)).unionByName(copyOf("w-2", 100)))
+    val stream = spark.readStream.schema(recs(0, 1).schema).parquet(src.toString)
+    val q = StreamOps.vectorDedupIngest(stream, ipath, dim = 4,
+      threshold = 0.9999, shortlist = 1 << 20).start()
+    q.processAllAvailable()
+    // b2: 10 fresh + an exact copy of accepted v-5 under a NEW id
+    // (first-seen-wins: drops) + a re-send of v-5 itself (self-flags)
+    land("b2", recs(20, 30)
+      .unionByName(copyOf("dup-5", 5)).unionByName(recs(5, 6)))
+    q.processAllAvailable()
+    // b3: a full replay of b2's content — every row now self-flags
+    land("b3", recs(20, 30)
+      .unionByName(copyOf("dup-5", 5)).unionByName(recs(5, 6)))
+    q.processAllAvailable()
+    q.stop()
+    val idx = VectorIndex.open(spark, ipath)
+    val ids = idx.scan().select("id").as[String].collect().toSet
+    assert(ids.size == 31, s"expected 31 accepted, got ${ids.size}")
+    assert(ids == ((0 until 30).map(i => s"v-$i").toSet + "w-1"),
+      s"survivor set wrong: ${ids -- (0 until 30).map(i => s"v-$i").toSet}")
+    assert(!ids.contains("w-2") && !ids.contains("dup-5"))
+  }
+
   test("streaming dedup within watermark drops duplicate event ids") {
     // duplicate the stream source file => every event appears twice
     val dir = Files.createTempDirectory("graft_stream_dup")
