@@ -294,6 +294,8 @@ object Bench {
     // q241 two isolated runs (6.771/6.156) — a 2-micro-batch streaming
     // dedup-ingest lifecycle (q232's shape + the within/against gates)
     "q241" -> (4.309, 9.291),
+    // q242/q243 two isolated runs each (0.481/0.522, 0.242/0.261)
+    "q242" -> (0.337, 0.855), "q243" -> (0.169, 0.502),
     // q234 two isolated runs (1.040/1.064)
     "q234" -> (0.728, 1.586),
     // q235 two isolated runs (4.53/4.82) — two half-corpus index

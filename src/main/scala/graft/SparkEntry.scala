@@ -4129,6 +4129,49 @@ object SparkEntry {
         .orderBy($"query_id", $"rank")
     }),
 
+    // SQL PIPE SYNTAX (r19, Spark 4's |> operator chain — the
+    // FROM-first composable form of the q01/q03 relational battery):
+    // filter |> join |> aggregate |> order, with the q01 decimal-sum
+    // discipline inside the AGGREGATE stage. The oracle is the
+    // equivalent ANSI query — pipe syntax is surface, the PLAN and the
+    // numbers must be identical.
+    "q242_pipe_syntax" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_r242")
+      t(s, dir, "orders").createOrReplaceTempView("orders_r242")
+      s.sql("""
+        FROM lineitem_r242
+        |> WHERE l_shipdate < DATE '1996-01-01'
+        |> JOIN orders_r242 ON l_orderkey = o_orderkey
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             COUNT(*) AS n_rows
+           GROUP BY l_returnflag, o_orderpriority
+        |> ORDER BY l_returnflag, o_orderpriority""")
+    }),
+
+    // SQL SESSION VARIABLES + EXECUTE IMMEDIATE (r19, Spark 4): a
+    // DECLAREd/SET variable parameterizes one leg, EXECUTE IMMEDIATE
+    // runs a ?-parameterized statement for the other — the dynamic-SQL
+    // surface an operational notebook drives the engine through. Both
+    // legs fold into one deterministic row; the oracle inlines the
+    // parameter values.
+    "q243_sql_variables" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_r243")
+      s.sql("DECLARE OR REPLACE VARIABLE qty_min243 INT DEFAULT 10")
+      s.sql("SET VARIABLE qty_min243 = 40")
+      val viaVar = s.sql(
+        """SELECT COUNT(*) AS n_var FROM lineitem_r243
+          |WHERE l_quantity > qty_min243""".stripMargin)
+      val viaExec = s.sql(
+        """EXECUTE IMMEDIATE
+          |'SELECT COUNT(*) AS n_exec FROM lineitem_r243 WHERE l_quantity <= ?'
+          |USING 40""".stripMargin)
+      viaVar.crossJoin(viaExec)
+        .select($"n_var", $"n_exec", ($"n_var" + $"n_exec").as("n_total"))
+    }),
+
     // STREAMING VECTOR DEDUP-INGEST (r19, the q201/q232 composition):
     // two micro-batches flow through vectorDedupIngest — within-batch
     // keep-first near-dedup (w-2 drops against w-1, twin copies of an
@@ -6734,6 +6777,22 @@ object SparkEntry {
         |        ORDER BY score DESC, doc_id LIMIT 20)
         |SELECT doc_id, CAST(FLOOR(score * 1000000.0) AS BIGINT) AS score_u
         |FROM top ORDER BY score_u DESC, doc_id""".stripMargin,
+
+    "q242_pipe_syntax" ->
+      """SELECT l_returnflag, o_orderpriority,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate < DATE '1996-01-01' AND o_orderstatus = 'F'
+        |GROUP BY l_returnflag, o_orderpriority
+        |ORDER BY l_returnflag, o_orderpriority""".stripMargin,
+
+    "q243_sql_variables" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM lineitem WHERE l_quantity > 40) AS n_var,
+        |  (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 40) AS n_exec,
+        |  (SELECT COUNT(*) FROM lineitem WHERE l_quantity > 40) +
+        |  (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 40) AS n_total""".stripMargin,
 
     "q241_stream_vector_dedup" ->
       """WITH m AS (SELECT MAX(vec_id) // 2 AS c FROM embeddings),
