@@ -296,6 +296,9 @@ object Bench {
     "q241" -> (4.309, 9.291),
     // q242/q243 two isolated runs each (0.481/0.522, 0.242/0.261)
     "q242" -> (0.337, 0.855), "q243" -> (0.169, 0.502),
+    // q244 two isolated runs (2.031/1.698) — hybrid probe over the two
+    // memoized standing indexes (first run pays the vector fixture)
+    "q244" -> (1.189, 2.892),
     // q234 two isolated runs (1.040/1.064)
     "q234" -> (0.728, 1.586),
     // q235 two isolated runs (4.53/4.82) — two half-corpus index

@@ -340,6 +340,25 @@ object SparkEntry {
     * timed runs); q181/q182 then bench as pure index-served probes, the
     * cost a user's query actually pays against a standing index. The
     * correctness gates are unchanged: same index content, same oracles. */
+  /** Memoized snapshot VECTOR index per dataset dir (r19, the
+    * postingsIdxFor pattern): q244 probes a standing embeddings index
+    * — the build is the fixture (q232/q238-class gates already time
+    * index builds), the gate times the hybrid PROBE a serving user
+    * pays. */
+  private val vectorIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def vectorIdxFor(s: SparkSession, dir: String): String =
+    vectorIdxCache.computeIfAbsent(s"${s.sparkContext.applicationId}:$dir", _ => {
+      import s.implicits._
+      val out = freshScratch("vidx_fixture") + "/vidx"
+      graft.operators.VectorIndex.ensure(s, out, 64)
+        .upsert(t(s, dir, "embeddings").select(
+          $"vec_id".cast("string").as("id"), $"embedding".as("values"),
+          struct(lit(0).as("chunk_index"), lit("uploaded_pdf").as("source"))
+            .as("metadata")))
+      out
+    })
+
   private val postingsIdxCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def postingsIdxFor(s: SparkSession, dir: String): String =
@@ -4129,6 +4148,39 @@ object SparkEntry {
         .orderBy($"query_id", $"rank")
     }),
 
+    // INDEX-SERVED HYBRID RETRIEVAL (r19, the q86 RRF brought to the
+    // serving indexes — the full RAG query path against STANDING
+    // state): the lexical leg is bm25Search over the memoized postings
+    // index (term-pruned probe, rank by the µ-floored score — q117's
+    // measured boundary headroom makes the integer rank cross-engine
+    // stable), the vector leg is queryApprox over the memoized
+    // snapshot vector index at full shortlist (provably exact), fused
+    // by reciprocal-rank. The oracle replays BOTH rankings from raw
+    // tables plus the RRF fold — a drifted score, a wrong rank
+    // tiebreak, or a broken index probe all move the fused head.
+    "q244_hybrid_indexed" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val lex = graft.operators.InvertedIndex.bm25Search(s,
+          postingsIdxFor(s, dir), Seq("vector", "join", "hash"), k = 10000)
+        .select($"doc".as("doc_id"),
+          floor($"score" * lit(1000000.0)).cast("long").as("score_u"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy($"score_u".desc, $"doc_id")))
+        .filter($"rank" <= 50)
+        .select($"doc_id", $"rank")
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter($"vec_id" === 1).select($"embedding")
+        .as[Array[Float]].head()
+      val idx = graft.operators.VectorIndex.open(s, vectorIdxFor(s, dir))
+      val vec = idx.queryApprox(qv, k = 50, shortlist = 1 << 20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy($"score".desc, $"id".cast("long"))))
+        .select($"id".cast("long").as("doc_id"), $"rank")
+      graft.operators.TextAnalytics.rrfFuse(lex, vec, "doc_id", "rank",
+        c = 60, k = 10)
+    }),
+
     // SQL PIPE SYNTAX (r19, Spark 4's |> operator chain — the
     // FROM-first composable form of the q01/q03 relational battery):
     // filter |> join |> aggregate |> order, with the q01 decimal-sum
@@ -6777,6 +6829,56 @@ object SparkEntry {
         |        ORDER BY score DESC, doc_id LIMIT 20)
         |SELECT doc_id, CAST(FLOOR(score * 1000000.0) AS BIGINT) AS score_u
         |FROM top ORDER BY score_u DESC, doc_id""".stripMargin,
+
+    "q244_hybrid_indexed" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS dl,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM toks
+        |       WHERE term IN ('vector','join','hash') GROUP BY 1, 2, 3),
+        |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n,
+        |        CAST(SUM(len(list_filter(string_split_regex(lower(text),
+        |          '[^a-z0-9]+'), x -> x <> ''))) AS DOUBLE)
+        |          / CAST(COUNT(*) AS DOUBLE) AS avgdl
+        |      FROM documents),
+        |per AS (
+        |  SELECT doc_id, term,
+        |    ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |        / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf AS DOUBLE) * (1.2 + 1.0)
+        |         / (CAST(tf AS DOUBLE)
+        |            + 1.2 * ((1.0 - 0.75)
+        |                     + 0.75 * CAST(dl AS DOUBLE) / avgdl))) AS s
+        |  FROM tf JOIN dfx USING (term) CROSS JOIN n),
+        |sc AS (
+        |  SELECT doc_id,
+        |    COALESCE(MAX(CASE WHEN term = 'vector' THEN s END), 0) AS s0,
+        |    COALESCE(MAX(CASE WHEN term = 'join' THEN s END), 0) AS s1,
+        |    COALESCE(MAX(CASE WHEN term = 'hash' THEN s END), 0) AS s2
+        |  FROM per GROUP BY 1),
+        |lex AS (
+        |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY su DESC, doc_id) AS r
+        |  FROM (SELECT doc_id,
+        |          CAST(FLOOR((s0 + s1 + s2) * 1000000.0) AS BIGINT) AS su
+        |        FROM sc ORDER BY su DESC, doc_id LIMIT 50)),
+        |vec AS (
+        |  SELECT vec_id AS doc_id,
+        |    ROW_NUMBER() OVER (ORDER BY score DESC, vec_id) AS r
+        |  FROM (SELECT e.vec_id,
+        |          list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |            (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+        |             WHERE vec_id = 1)) AS score
+        |        FROM embeddings e ORDER BY score DESC, vec_id LIMIT 50))
+        |SELECT doc_id,
+        |  COALESCE(CAST(1 AS DOUBLE) / (60 + l.r), 0) +
+        |  COALESCE(CAST(1 AS DOUBLE) / (60 + v.r), 0) AS rrf
+        |FROM lex l FULL OUTER JOIN vec v USING (doc_id)
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
 
     "q242_pipe_syntax" ->
       """SELECT l_returnflag, o_orderpriority,
