@@ -448,9 +448,22 @@ final class VectorIndex private (
     * exact one-scan batch join ([[Ann.knnJoin]]'s shape over the
     * snapshot); and `shortlist >= index size` provably recovers the
     * per-query exact answer. Output: (query_id, rank 1..k, id, score),
-    * rank by (score desc, id) — deterministic under ties. */
+    * rank by (score desc, id) — deterministic under ties.
+    *
+    * FILTERED batch search keeps [[queryApprox]]'s three metadata
+    * disciplines: (a) manifest per-file stats REFUTE files a supported
+    * conjunct can never match (they leave the signature pass AND the
+    * rescore set; a predicate every file refutes returns the provably
+    * empty exact answer with no I/O); (b) a filter over only
+    * {id, metadata} applies IN the signature pass, so shortlists rank
+    * matching rows only; (c) the full filter re-applies at rescore —
+    * the correctness authority — and an approx attempt that underfills
+    * ANY query's k escalates (shortlist doubles, bounded by
+    * `maxEscalations`, one count per attempt). The filter sees the
+    * INDEX row (`id`, `values`, `metadata`), same as [[query]]'s. */
   def knnJoin(queries: DataFrame, qIdCol: String, qVecCol: String,
-      k: Int, shortlist: Int = 400): DataFrame = {
+      k: Int, shortlist: Int = 400, filter: Option[Column] = None,
+      maxEscalations: Int = 3): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
     val qs = queries.select(col(qIdCol).cast("string").as("_qid"),
         col(qVecCol).cast("array<double>").as("_qv"))
@@ -462,12 +475,19 @@ final class VectorIndex private (
       val snap = currentSnapshot(spark, path)
       val manifest = snap.map(readManifest(spark, path, _))
         .getOrElse(Map.empty[Int, Seq[ManifestFile]])
-      val files = manifest.values.flatten.map(_.file).toSeq.sorted
       def emptyResult: DataFrame = qs
         .select(col("_qid").as("query_id"), lit(1).as("rank"),
           col("_qid").as("id"), lit(0.0).as("score"))
         .limit(0)
-      if (files.isEmpty) { lastKnnMode = "exact-empty"; return emptyResult }
+      val all = manifest.values.flatten.toSeq
+      if (all.isEmpty) { lastKnnMode = "exact-empty"; return emptyResult }
+      // metadata-stats refutation FIRST — the queryApprox discipline
+      val preds = filter.map(extractStatPreds).getOrElse(Nil)
+      val usableMf = manifest.map { case (b, fs0) =>
+        b -> (if (preds.isEmpty) fs0 else fs0.filter(fileCanMatch(_, preds)))
+      }
+      val files = usableMf.values.flatten.map(_.file).toSeq.sorted
+      if (files.isEmpty) { lastKnnMode = "exact-stats-refuted"; return emptyResult }
       // mergeSchema: files may predate the _bsig column
       val rawAll = spark.read.option("mergeSchema", "true")
         .parquet(files.map(f => s"$path/$f"): _*)
@@ -477,16 +497,26 @@ final class VectorIndex private (
         .withColumn("_rn", row_number().over(wK)).filter(col("_rn") <= k)
         .select(col("_qid").as("query_id"), col("_rn").cast("int").as("rank"),
           col("id"), col("score"))
-      def exactBatch(): DataFrame = topK(rawAll
-        .select(col("id"), col("values"))
-        .crossJoin(broadcast(qs))
-        .select(col("_qid"), col("id"),
-          scoreCols(col("values"), col("_qv")).as("score")))
+      def exactBatch(): DataFrame = {
+        val base = filter.foldLeft(
+          rawAll.select(col("id"), col("values"), col("metadata")))(
+          (df, f) => df.filter(f))
+        topK(base.select(col("id"), col("values"))
+          .crossJoin(broadcast(qs))
+          .select(col("_qid"), col("id"),
+            scoreCols(col("values"), col("_qv")).as("score")))
+      }
       if (!rawAll.columns.contains("_bsig")) {
         lastKnnMode = "exact-nosig"
         return exactBatch()
       }
-      val sigs = rawAll.select(col("id"), col("_bsig"))
+      // a filter over only {id, metadata} prunes INSIDE the signature
+      // pass (those columns are in every data file); other filters keep
+      // the rescore-filter + escalation contract
+      val pushable = filter.filter(f =>
+        filterRoots(f).exists(_.subsetOf(Set("id", "metadata"))))
+      val sigs = pushable.foldLeft(rawAll)((df, f) => df.filter(f))
+        .select(col("id"), col("_bsig"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val legacyIds = sigs.filter(col("_bsig").isNull).select(col("id"))
@@ -503,33 +533,55 @@ final class VectorIndex private (
           Ann.bitSignature64(v.toArray, SigSeed))
         val qsigs = qs.withColumn("_qsig", sigUdf(col("_qv")))
           .select(col("_qid"), col("_qsig"))
-        val wS = Window.partitionBy(col("_qid"))
-          .orderBy(col("_hd"), col("id"))
-        val shortPairs = sigs.filter(col("_bsig").isNotNull)
-          .crossJoin(broadcast(qsigs))
-          .select(col("_qid"), col("id"),
-            bit_count(col("_bsig").bitwiseXOR(col("_qsig"))).cast("int").as("_hd"))
-          .withColumn("_rn", row_number().over(wS))
-          .filter(col("_rn") <= shortlist)
-          .select(col("_qid"), col("id"))
-        // candidate pairs: bounded by B x shortlist + B x legacy (legacy
-        // < shortlist by the fallback above) — broadcastable by
-        // construction; pinned for the bucket-key collect + the join
-        val pairs = shortPairs
-          .unionByName(legacyIds.crossJoin(broadcast(qs.select(col("_qid")))))
-          .localCheckpoint(true)
         val nb = currentNumBuckets(snap)
-        val buckets = pairs
-          .select(pmod(xxhash64(col("id")), lit(nb)).cast("int").as("_b"))
-          .distinct().collect().map(_.getInt(0)).toSet
-        val bFiles = manifest.collect { case (b, fs0) if buckets(b) => fs0 }
-          .flatten.map(_.file).toSeq.sorted
-        val rows = spark.read.parquet(bFiles.map(f => s"$path/$f"): _*)
-          .select(col("id"), col("values"))
-        topK(rows.join(broadcast(pairs), Seq("id"))
-          .join(broadcast(qs.select(col("_qid"), col("_qv"))), Seq("_qid"))
-          .select(col("_qid"), col("id"),
-            scoreCols(col("values"), col("_qv")).as("score")))
+        def attempt(sl: Int): DataFrame = {
+          val wS = Window.partitionBy(col("_qid"))
+            .orderBy(col("_hd"), col("id"))
+          val shortPairs = sigs.filter(col("_bsig").isNotNull)
+            .crossJoin(broadcast(qsigs))
+            .select(col("_qid"), col("id"),
+              bit_count(col("_bsig").bitwiseXOR(col("_qsig"))).cast("int").as("_hd"))
+            .withColumn("_rn", row_number().over(wS))
+            .filter(col("_rn") <= sl)
+            .select(col("_qid"), col("id"))
+          // candidate pairs: bounded by B x sl + B x legacy (legacy <
+          // shortlist by the fallback above) — broadcastable by
+          // construction; pinned for the bucket-key collect + the join
+          val pairs = shortPairs
+            .unionByName(legacyIds.crossJoin(broadcast(qs.select(col("_qid")))))
+            .localCheckpoint(true)
+          val buckets = pairs
+            .select(pmod(xxhash64(col("id")), lit(nb)).cast("int").as("_b"))
+            .distinct().collect().map(_.getInt(0)).toSet
+          val bFiles = usableMf.collect { case (b, fs0) if buckets(b) => fs0 }
+            .flatten.map(_.file).toSeq.sorted
+          val rows = spark.read.parquet(bFiles.map(f => s"$path/$f"): _*)
+            .select(col("id"), col("values"), col("metadata"))
+          val rescored = rows.join(broadcast(pairs), Seq("id"))
+          topK(filter.foldLeft(rescored)((df, f) => df.filter(f))
+            .join(broadcast(qs.select(col("_qid"), col("_qv"))), Seq("_qid"))
+            .select(col("_qid"), col("id"),
+              scoreCols(col("values"), col("_qv")).as("score")))
+        }
+        var sl = shortlist
+        var res = attempt(sl)
+        if (filter.isDefined) {
+          // escalate while any query underfills k: one k-bounded count
+          // per attempt (a filter too selective to ever fill k stops
+          // after the bounded retries with the true underfilled answer)
+          var tries = 0
+          def underfilled(r: DataFrame): Boolean = {
+            val filled = r.groupBy(col("query_id")).count()
+              .filter(col("count") >= k).count()
+            filled < qs.select(col("_qid")).distinct().count()
+          }
+          while (tries < maxEscalations && underfilled(res)) {
+            sl *= 2
+            tries += 1
+            res = attempt(sl)
+          }
+        }
+        res
       } finally sigs.unpersist(blocking = false)
     } finally qs.unpersist(blocking = false)
   }

@@ -929,6 +929,20 @@ class IngestIndexSpec extends AnyFunSuite {
       idx.knnJoin(Seq(("bad", Seq(1f, 2f))).toDF("qid", "qv"),
         "qid", "qv", k = 1).collect()
     }
+    // FILTERED batch search: the filter is the correctness authority —
+    // each query's rows all satisfy it, and escalation fills k even
+    // though the first shortlist is mostly filtered away
+    val filtered = idx.knnJoin(queries, "qid", "qv", k = 3, shortlist = 4,
+      filter = Some($"metadata.chunk_index" === 0 && $"id".endsWith("0")))
+    val byQ = filtered.collect().groupBy(_.getString(0))
+    assert(byQ.keySet == Set("q-a", "q-b", "q-c"))
+    assert(byQ.values.forall(rows => rows.length == 3 &&
+      rows.forall(_.getString(2).endsWith("0"))),
+      "every filtered result must satisfy the filter and fill k")
+    // a predicate every file's stats refute: provably-empty, no probe
+    assert(idx.knnJoin(queries, "qid", "qv", k = 2,
+      filter = Some($"metadata.chunk_index" === 99)).count() == 0)
+    assert(idx.lastKnnMode == "exact-stats-refuted")
     // empty index: empty result, exact-empty mode
     val none = VectorIndex.ensure(spark, s"$dir/none", 4)
     assert(none.knnJoin(queries, "qid", "qv", k = 3).count() == 0)
