@@ -299,6 +299,9 @@ object Bench {
     // q244 two isolated runs (2.031/1.698) — hybrid probe over the two
     // memoized standing indexes (first run pays the vector fixture)
     "q244" -> (1.189, 2.892),
+    // q245 two isolated runs (2.355/2.417) — a 2-micro-batch
+    // transformWithState lifecycle on the RocksDB provider
+    "q245" -> (1.649, 3.413),
     // q234 two isolated runs (1.040/1.064)
     "q234" -> (0.728, 1.586),
     // q235 two isolated runs (4.53/4.82) — two half-corpus index

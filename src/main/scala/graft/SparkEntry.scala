@@ -4148,6 +4148,65 @@ object SparkEntry {
         .orderBy($"query_id", $"rank")
     }),
 
+    // STREAMING TOKEN-BUDGET ADMISSION (r19, Spark 4 transformWithState
+    // + RocksDB): q177's mixture-budget rule as CONTINUOUS admission —
+    // two micro-batches split by doc_id, per-lang running totals in
+    // typed ValueState, a doc admitted iff its group's total BEFORE it
+    // is under budget. Because batches respect id order, the
+    // admissions equal ONE ordered pass — which is exactly what the
+    // oracle's running-sum window replays (cum included, so a drifted
+    // state total is visible, not just a flipped verdict).
+    "q245_stream_token_budget" -> ((s, dir) => {
+      import s.implicits._
+      val scratch = freshScratch("q245")
+      val src = s"$scratch/src"
+      new java.io.File(src).mkdirs()
+      val d = t(s, dir, "documents")
+        .filter($"lang".isin("en", "fr", "zh"))
+        .select($"lang", $"doc_id",
+          size(filter(split(lower($"text"), "[^a-z0-9]+"), x => x =!= ""))
+            .cast("long").as("n_tok"))
+      val cut = d.agg(max($"doc_id")).head().getLong(0) / 2
+      def writeBatch(name: String, f: DataFrame): Unit = {
+        val tmp = s"$scratch/stage_$name"
+        f.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.copy(part.toPath,
+          java.nio.file.Paths.get(s"$src/$name.parquet"))
+      }
+      writeBatch("b1", d.filter($"doc_id" <= cut))
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val savedProv = s.conf.getOption(provKey)
+      s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try {
+        val stream = s.readStream
+          .schema("lang STRING, doc_id LONG, n_tok LONG").parquet(src)
+        val sink = "q245_out_" + java.util.UUID.randomUUID().toString.take(8)
+        val q = graft.streaming.StreamOps.tokenBudgetIngest(stream, "lang",
+            "doc_id", "n_tok",
+            Map("en" -> 4000L, "fr" -> 1500L, "zh" -> 2500L))
+          .toDF("lang", "doc_id", "n_tok", "cum")
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .option("checkpointLocation", s"$scratch/ckpt")
+          .start()
+        q.processAllAvailable()
+        writeBatch("b2", d.filter($"doc_id" > cut))
+        q.processAllAvailable()
+        q.stop()
+        s.table(sink).select($"lang", $"doc_id", $"n_tok", $"cum")
+          .orderBy($"lang", $"doc_id")
+          .localCheckpoint(true)
+      } finally {
+        savedProv match {
+          case Some(v) => s.conf.set(provKey, v)
+          case None => s.conf.unset(provKey)
+        }
+      }
+    }),
+
     // INDEX-SERVED HYBRID RETRIEVAL (r19, the q86 RRF brought to the
     // serving indexes — the full RAG query path against STANDING
     // state): the lexical leg is bm25Search over the memoized postings
@@ -6829,6 +6888,21 @@ object SparkEntry {
         |        ORDER BY score DESC, doc_id LIMIT 20)
         |SELECT doc_id, CAST(FLOOR(score * 1000000.0) AS BIGINT) AS score_u
         |FROM top ORDER BY score_u DESC, doc_id""".stripMargin,
+
+    "q245_stream_token_budget" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents WHERE lang IN ('en', 'fr', 'zh')),
+        |o AS (SELECT *,
+        |    CAST(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CASE lang WHEN 'en' THEN 4000 WHEN 'fr' THEN 1500
+        |      ELSE 2500 END AS budget
+        |  FROM d)
+        |SELECT lang, doc_id, n_tok, cum FROM o
+        |WHERE cum - n_tok < budget
+        |ORDER BY lang, doc_id""".stripMargin,
 
     "q244_hybrid_indexed" ->
       """WITH toks AS (

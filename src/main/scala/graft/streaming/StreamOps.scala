@@ -1062,6 +1062,39 @@ object StreamOps {
         }
     }
 
+  /** STREAMING TOKEN-BUDGET ADMISSION (r19) — the continuous form of
+    * [[graft.operators.Sampling.tokenBudgetSample]] (q177), built on
+    * Spark 4's `transformWithState` API (the arbitrary-state surface
+    * that succeeds flatMapGroupsWithState: typed ValueState under the
+    * RocksDB provider, TTL-capable, timer-capable): per group, ADMIT
+    * docs in id order until the group's token budget is exhausted,
+    * with the running total persisted across micro-batches — the
+    * mixture-recipe enforcement a rolling ingest needs ("stop taking
+    * lang=fr once its 2B-token quota fills") without ever re-counting
+    * admitted history.
+    *
+    * Admission is deterministic: within a micro-batch each group's
+    * rows process in ascending id order; across batches the state
+    * linearizes them. A doc is admitted iff the group's running total
+    * BEFORE it is still under budget (the q177 rule: the crossing doc
+    * is admitted, everything after drops), and emits its post-admit
+    * cumulative total for auditability. State is one Long per group —
+    * O(groups), never O(docs). Requires the RocksDB state store
+    * provider (transformWithState's backend). */
+  def tokenBudgetIngest(docs: DataFrame, groupCol: String, idCol: String,
+      tokCol: String, budgets: Map[String, Long])
+      : org.apache.spark.sql.Dataset[(String, Long, Long, Long)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(groupCol).cast("string"), col(idCol).cast("long"),
+        col(tokCol).cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new TokenBudgetProcessor(budgets),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   def ivmIngest(rows: DataFrame, storePath: String, keyCols: Seq[String],
       sumCols: Seq[String],
       nBuckets: Int = graft.operators.LayoutMeta.Unspecified)
@@ -1075,4 +1108,35 @@ object StreamOps {
         graft.operators.Ivm.applyBatch(batch, storePath, keyCols, sumCols,
           nBuckets, tag)
     }
+}
+
+/** The [[StreamOps.tokenBudgetIngest]] processor: one ValueState[Long]
+  * per group key (tokens admitted so far). In each micro-batch the
+  * group's rows buffer and sort by id before admission, so the
+  * admitted set is a deterministic function of (state, batch content)
+  * — never of shuffle arrival order. The q177 crossing rule: a doc is
+  * admitted iff the running total BEFORE it is under budget. */
+private[streaming] class TokenBudgetProcessor(budgets: Map[String, Long])
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, (String, Long, Long), (String, Long, Long, Long)] {
+  @transient private var used: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+  override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    used = getHandle.getValueState[Long]("used",
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(key: String,
+      rows: Iterator[(String, Long, Long)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(String, Long, Long, Long)] = {
+    val budget = budgets.getOrElse(key, 0L)
+    var u = if (used.exists()) used.get() else 0L
+    val out = rows.toSeq.sortBy(_._2).flatMap { case (g, id, tok) =>
+      if (u < budget) { u += tok; Some((g, id, tok, u)) } else None
+    }
+    used.update(u)
+    out.iterator
+  }
 }

@@ -1581,6 +1581,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(!ids.contains("w-2") && !ids.contains("dup-5"))
   }
 
+  test("tokenBudgetIngest: transformWithState enforces per-group token budgets across micro-batches") {
+    val base = Files.createTempDirectory("graft_stream_tbi")
+    val src = base.resolve("src"); Files.createDirectories(src)
+    def land(name: String, rows: Seq[(String, Long, Long)]): Unit = {
+      val tmp = base.resolve(s"stage_$name")
+      rows.toDF("lang", "doc_id", "n_tok")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, src.resolve(s"$name.parquet"))
+    }
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      land("b1", Seq(("en", 1L, 4L), ("en", 2L, 4L), ("fr", 1L, 6L)))
+      val stream = spark.readStream
+        .schema("lang STRING, doc_id LONG, n_tok LONG").parquet(src.toString)
+      val admitted = StreamOps.tokenBudgetIngest(stream, "lang", "doc_id",
+        "n_tok", Map("en" -> 10L, "fr" -> 5L))
+      val q = admitted.toDF("lang", "doc_id", "n_tok", "cum")
+        .writeStream.format("memory").queryName("tbi_out")
+        .outputMode("append")
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .start()
+      q.processAllAvailable()
+      // b1: en under budget twice (4, 8); fr's first doc CROSSES the
+      // budget of 5 and is admitted (the q177 crossing rule)
+      val afterB1 = spark.table("tbi_out")
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(afterB1 == Set(("en", 1L, 4L, 4L), ("en", 2L, 4L, 8L),
+        ("fr", 1L, 6L, 6L)), s"b1 admissions wrong: $afterB1")
+      // b2: en doc 3 crosses (8 < 10 -> admit at cum 12); en doc 4 and
+      // fr doc 2 arrive over-budget and drop — the state REMEMBERED
+      // b1's totals across the batch boundary
+      land("b2", Seq(("en", 3L, 4L), ("en", 4L, 1L), ("fr", 2L, 1L)))
+      q.processAllAvailable()
+      q.stop()
+      val afterB2 = spark.table("tbi_out")
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(afterB2 == afterB1 + (("en", 3L, 4L, 12L)),
+        s"b2 admissions wrong: ${afterB2 -- afterB1}")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming dedup within watermark drops duplicate event ids") {
     // duplicate the stream source file => every event appears twice
     val dir = Files.createTempDirectory("graft_stream_dup")
