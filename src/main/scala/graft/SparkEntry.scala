@@ -340,6 +340,22 @@ object SparkEntry {
     * timed runs); q181/q182 then bench as pure index-served probes, the
     * cost a user's query actually pays against a standing index. The
     * correctness gates are unchanged: same index content, same oracles. */
+  /** Stage one batch as a SINGLE parquet file into a streaming source
+    * dir (file sources pick up whole files atomically, so each staged
+    * file is one micro-batch): write `f` as one part under
+    * `stageDir/stage_<name>`, then copy the part to
+    * `srcDir/<name>.parquet`. One definition for every streaming gate
+    * (r19 review: five verbatim copies had accumulated). */
+  private def stageStreamBatch(stageDir: String, srcDir: String,
+      name: String, f: org.apache.spark.sql.DataFrame): Unit = {
+    val tmp = s"$stageDir/stage_$name"
+    f.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$srcDir/$name.parquet"))
+  }
+
   /** Memoized snapshot VECTOR index per dataset dir (r19, the
     * postingsIdxFor pattern): q244 probes a standing embeddings index
     * — the build is the fixture (q232/q238-class gates already time
@@ -389,14 +405,8 @@ object SparkEntry {
     val docs = t(s, dir, "documents").select($"doc_id", $"text")
     val maxId = docs.agg(max($"doc_id")).head().getLong(0)
     val (cut1, cut2) = (maxId / 3, 2 * maxId / 3)
-    def writeBatch(name: String, f: org.apache.spark.sql.DataFrame): Unit = {
-      val tmp = s"$scratch/stage_$name"
-      f.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      java.nio.file.Files.copy(part.toPath,
-        java.nio.file.Paths.get(s"$src/$name.parquet"))
-    }
+    def writeBatch(name: String, f: org.apache.spark.sql.DataFrame): Unit =
+      stageStreamBatch(scratch, src, name, f)
     val stream = s.readStream.schema(StructType(Seq(
         StructField("doc_id", LongType), StructField("text", StringType))))
       .parquet(src)
@@ -3399,14 +3409,8 @@ object SparkEntry {
       val docs = t(s, dir, "documents").select($"doc_id", $"text")
       val maxId = docs.agg(max($"doc_id")).head().getLong(0)
       val (cut1, cut2) = (maxId / 3, 2 * maxId / 3)
-      def writeBatch(name: String, f: org.apache.spark.sql.DataFrame): Unit = {
-        val tmp = s"$scratch/stage_$name"
-        f.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head
-        java.nio.file.Files.copy(part.toPath,
-          java.nio.file.Paths.get(s"$src/$name.parquet"))
-      }
+      def writeBatch(name: String, f: org.apache.spark.sql.DataFrame): Unit =
+        stageStreamBatch(scratch, src, name, f)
       val stream = s.readStream.schema(StructType(Seq(
           StructField("doc_id", LongType), StructField("text", StringType))))
         .parquet(src)
@@ -4167,14 +4171,8 @@ object SparkEntry {
           size(filter(split(lower($"text"), "[^a-z0-9]+"), x => x =!= ""))
             .cast("long").as("n_tok"))
       val cut = d.agg(max($"doc_id")).head().getLong(0) / 2
-      def writeBatch(name: String, f: DataFrame): Unit = {
-        val tmp = s"$scratch/stage_$name"
-        f.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head
-        java.nio.file.Files.copy(part.toPath,
-          java.nio.file.Paths.get(s"$src/$name.parquet"))
-      }
+      def writeBatch(name: String, f: DataFrame): Unit =
+        stageStreamBatch(scratch, src, name, f)
       writeBatch("b1", d.filter($"doc_id" <= cut))
       val provKey = "spark.sql.streaming.stateStore.providerClass"
       val savedProv = s.conf.getOption(provKey)
@@ -4307,14 +4305,8 @@ object SparkEntry {
       def copyOf(newId: String, vid: Long) =
         recs($"vec_id" === vid).withColumn("id", lit(newId))
       val c = emb.agg(max($"vec_id")).head().getLong(0) / 2
-      def writeBatch(name: String, f: DataFrame): Unit = {
-        val tmp = s"$scratch/stage_$name"
-        f.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head
-        java.nio.file.Files.copy(part.toPath,
-          java.nio.file.Paths.get(s"$src/$name.parquet"))
-      }
+      def writeBatch(name: String, f: DataFrame): Unit =
+        stageStreamBatch(scratch, src, name, f)
       writeBatch("b1", recs($"vec_id" % 2 === 0 && $"vec_id" <= c)
         .unionByName(copyOf("w-1", 1)).unionByName(copyOf("w-2", 1)))
       val stream = s.readStream.schema(recs(lit(true)).schema).parquet(src)
@@ -4394,14 +4386,8 @@ object SparkEntry {
           lit("uploaded_pdf").as("source")).as("metadata"))
       val maxId = emb.agg(max($"vec_id")).head().getLong(0)
       val (c1, c2) = (maxId / 3, 2 * maxId / 3)
-      def writeBatch(name: String, f: DataFrame): Unit = {
-        val tmp = s"$scratch/stage_$name"
-        f.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head
-        java.nio.file.Files.copy(part.toPath,
-          java.nio.file.Paths.get(s"$src/$name.parquet"))
-      }
+      def writeBatch(name: String, f: DataFrame): Unit =
+        stageStreamBatch(scratch, src, name, f)
       writeBatch("b1", recs($"vec_id" <= c1))
       val stream = s.readStream.schema(recs(lit(true)).schema).parquet(src)
       val q = graft.streaming.StreamOps.vectorIndexIngest(stream, ipath,

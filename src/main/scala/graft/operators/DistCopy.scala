@@ -2,6 +2,32 @@ package graft.operators
 
 import org.apache.spark.sql.SparkSession
 
+/** Shared disjointness-census machinery for the index merges
+  * ([[InvertedIndex.mergeIndexes]] / [[VectorIndex.mergeIndexes]]):
+  * verify no key appears in more than one source, name the first
+  * colliders through the caller's typed error, and return the total
+  * key count the post-transport reconcile compares against. One
+  * implementation so the two merges cannot drift (r19 review). */
+private[graft] object MergeCensus {
+
+  /** `censuses`: per-source (tag, single-key-column DataFrame, keys
+    * distinct within each source). Calls `onOverlap` with the first
+    * (≤10) colliding keys — the callback must throw. Returns the sum
+    * of the sources' key counts. */
+  def requireDisjoint(censuses: Seq[(String, org.apache.spark.sql.DataFrame)],
+      keyCol: String, onOverlap: Seq[Any] => Nothing): Long = {
+    import org.apache.spark.sql.functions.{col, countDistinct, lit}
+    val colliding = censuses
+      .map { case (tag, d) => d.withColumn("_src", lit(tag)) }
+      .reduce(_ unionByName _)
+      .groupBy(col(keyCol)).agg(countDistinct(col("_src")).as("_ns"))
+      .filter(col("_ns") > 1).select(col(keyCol))
+      .limit(10).collect().map(_.get(0)).toSeq
+    if (colliding.nonEmpty) onOverlap(colliding)
+    censuses.map(_._2.count()).sum
+  }
+}
+
 /** Distributed file transport — copy an explicit (srcFile, dstFile)
   * list as a flat Spark job, one independent copy per element: the
   * distcp shape. The driver handles NAMES only (manifest-scale);

@@ -384,20 +384,13 @@ object InvertedIndex {
     val censuses = srcs.map { case (tag, p) =>
       tag -> srcDocs(p).localCheckpoint(true)
     }
-    val colliding = censuses
-      .map { case (tag, d) => d.withColumn("_src", lit(tag)) }
-      .reduce(_ unionByName _)
-      .groupBy(col("doc")).agg(countDistinct(col("_src")).as("_ns"))
-      .filter(col("_ns") > 1).select(col("doc"))
-      .limit(10).collect().map(_.get(0))
-    if (colliding.nonEmpty)
+    val censusSum = MergeCensus.requireDisjoint(censuses, "doc", colliding =>
       throw new OverlappingSources(
         s"source indexes share doc ids (first ${colliding.length}: " +
           s"${colliding.mkString(", ")}): merging would double-count " +
           "the stats rollup's N/avgdl and drift every BM25 score on " +
           "the merged index; deleteDocs the duplicates from all but " +
-          "one source (then compactIndex) first")
-    val censusSum = censuses.map(_._2.count()).sum
+          "one source (then compactIndex) first"))
     // file list: driver walks NAMES only (manifest-scale); bytes move
     // in the DistCopy job below
     val pairs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]

@@ -469,9 +469,21 @@ final class VectorIndex private (
         col(qVecCol).cast("array<double>").as("_qv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (qs.filter(size(col("_qv")) =!= meta.dimension).limit(1).count() > 0)
+      // null vectors must fail the E2 check too: size(null) is null,
+      // so a bare =!= comparison would silently drop the row here and
+      // NPE later inside the signature UDF
+      if (qs.filter(col("_qv").isNull ||
+          size(col("_qv")) =!= meta.dimension).limit(1).count() > 0)
         throw new IngestError(
           s"knnJoin: query dimension != index dimension ${meta.dimension}")
+      // duplicate query ids would silently interleave two vectors'
+      // rankings under one key (every window partitions by _qid) —
+      // refuse loudly instead
+      val nQueries = qs.count()
+      require(qs.select(col("_qid")).distinct().count() == nQueries,
+        "knnJoin: duplicate query ids in the batch — every window keys " +
+          "on the id, so two vectors under one id would interleave into " +
+          "one corrupted ranking; dedupe the batch first")
       val snap = currentSnapshot(spark, path)
       val manifest = snap.map(readManifest(spark, path, _))
         .getOrElse(Map.empty[Int, Seq[ManifestFile]])
@@ -555,6 +567,10 @@ final class VectorIndex private (
             .distinct().collect().map(_.getInt(0)).toSet
           val bFiles = usableMf.collect { case (b, fs0) if buckets(b) => fs0 }
             .flatten.map(_.file).toSeq.sorted
+          // a pushed filter can empty the shortlist AND the legacy set
+          // (e.g. an id predicate no row satisfies): zero candidate
+          // files is the provably-empty answer, not a zero-path scan
+          if (bFiles.isEmpty) return emptyResult
           val rows = spark.read.parquet(bFiles.map(f => s"$path/$f"): _*)
             .select(col("id"), col("values"), col("metadata"))
           val rescored = rows.join(broadcast(pairs), Seq("id"))
@@ -573,7 +589,7 @@ final class VectorIndex private (
           def underfilled(r: DataFrame): Boolean = {
             val filled = r.groupBy(col("query_id")).count()
               .filter(col("count") >= k).count()
-            filled < qs.select(col("_qid")).distinct().count()
+            filled < nQueries // qids verified distinct above
           }
           while (tries < maxEscalations && underfilled(res)) {
             sl *= 2
@@ -644,12 +660,35 @@ final class VectorIndex private (
     * embedding, and pretending a prefix of an untrained layout ranks
     * meaningfully would be silent recall loss. */
   def queryMatryoshka(q: Array[Float], k: Int, shortlist: Int = 400,
-      filter: Option[Column] = None, asOf: Option[Long] = None): DataFrame = {
+      filter: Option[Column] = None, asOf: Option[Long] = None,
+      maxEscalations: Int = 3): DataFrame = {
     require(meta.prefixDim > 0,
       s"index '${meta.name}' has no Matryoshka layout (prefixDim = 0); " +
         "create it with ensure(..., prefixDim = p) to store the prefix " +
         "column this serving path shortlists on")
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    // filtered underfill ESCALATES, the queryApprox/knnJoin contract
+    // (r19 review): the prefix shortlist ranks all rows blind to the
+    // filter, so a selective filter could otherwise silently return
+    // < k rows while the exact answer has k
+    lastMatryoshkaEscalations = 0
+    var sl = shortlist
+    var res = matryoshkaOnce(q, k, sl, filter, asOf)
+    if (filter.isDefined) {
+      var tries = 0
+      while (tries < maxEscalations && lastMatryoshkaMode == "matryoshka" &&
+          res.count() < k) {
+        sl *= 2
+        tries += 1
+        lastMatryoshkaEscalations = tries
+        res = matryoshkaOnce(q, k, sl, filter, asOf)
+      }
+    }
+    res
+  }
+
+  private def matryoshkaOnce(q: Array[Float], k: Int, shortlist: Int,
+      filter: Option[Column], asOf: Option[Long]): DataFrame = {
     val snap = asOf match {
       case Some(v) =>
         require(snapshots().contains(v),
@@ -721,6 +760,10 @@ final class VectorIndex private (
       .select(col("id"))
     Some(SigPhase(ranked, pre.filter(col("_vpre").isNull).select(col("id")), pre))
   }
+
+  /** How many shortlist doublings the last filtered [[queryMatryoshka]]
+    * needed to fill k (0 = first attempt sufficed). */
+  private[graft] var lastMatryoshkaEscalations: Int = 0
 
   /** Which path the last [[queryMatryoshka]] took ("exact-empty",
     * "exact-nopre", "matryoshka") — spec/operator diagnostics. */
@@ -1770,19 +1813,12 @@ object VectorIndex {
     val censuses = srcEntries.zipWithIndex.map { case ((p, m), i) =>
       (s"m$i", idsOf(p, m).localCheckpoint(eager = true))
     }
-    val colliding = censuses
-      .map { case (tag, d) => d.withColumn("_src", lit(tag)) }
-      .reduce(_ unionByName _)
-      .groupBy(col("id")).agg(countDistinct(col("_src")).as("_ns"))
-      .filter(col("_ns") > 1).select(col("id"))
-      .limit(10).collect().map(_.get(0))
-    if (colliding.nonEmpty)
+    val censusSum = MergeCensus.requireDisjoint(censuses, "id", colliding =>
       throw new OverlappingSources(
         s"source indexes share ids (first ${colliding.length}: " +
           s"${colliding.mkString(", ")}): a shared id would surface " +
           "twice in every merged scan and top-k; delete it from all " +
-          "but one source first")
-    val censusSum = censuses.map(_._2.count()).sum
+          "but one source first"))
     // rewrite each source-relative file path under the merged index's
     // v=1 attempt namespace (one namespace per source, so equal part
     // names can never collide); the suffix keeps its _bucket=/_cell=

@@ -142,13 +142,18 @@ private[graft] object WriterLock {
   }
 
   /** Operator escape hatch for a lease whose writer died: removes the
-    * lock file (and any same-JVM claim). Returns true if a lease
-    * existed. NOT for contention — breaking a LIVE writer's lease
-    * re-opens the interleavings the lock exists to prevent. */
+    * lock file (and any same-JVM claim), plus any
+    * `.<lock>.tmp-*` debris a writer left by crashing between its
+    * per-attempt tmp create and the rename (the tmp is otherwise
+    * permanent — acquisition never re-reads it). Returns true if a
+    * lease existed. NOT for contention — breaking a LIVE writer's
+    * lease re-opens the interleavings the lock exists to prevent. */
   def breakLock(spark: SparkSession, path: String): Boolean = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val lock = lockPath(fs, path)
     jvmHeld.remove(lock.toString)
+    fs.globStatus(new Path(lock.getParent, s"${lock.getName}.tmp-*"))
+      .foreach(st => fs.delete(st.getPath, false))
     fs.delete(lock, false)
   }
 }

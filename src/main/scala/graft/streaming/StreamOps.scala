@@ -1030,8 +1030,17 @@ object StreamOps {
       (batch0: DataFrame, _: Long) =>
         if (!batch0.isEmpty) {
           val spark = batch0.sparkSession
+          // collapse duplicate ids WITHIN the batch first (a stream can
+          // re-deliver an id in one micro-batch): the upsert tie-break
+          // (values-hash desc — version is constant inside a batch), so
+          // the survivor is deterministic and knnJoin's distinct-qid
+          // contract holds
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("id")).orderBy(xxhash64(col("values")).desc)
           val batch = batch0.select(col("id").cast("string").as("id"),
               col("values"), col("metadata"))
+            .withColumn("_rn", row_number().over(w))
+            .filter(col("_rn") === 1).drop("_rn")
             .localCheckpoint(eager = true)
           val a = batch.select(col("id").as("_aid"),
             col("values").cast("array<double>").as("_av"))

@@ -297,6 +297,15 @@ class IngestIndexSpec extends AnyFunSuite {
       filter = Some($"metadata.chunk_index" === 0))
     assert(filtered.select("metadata.chunk_index").as[Int].collect()
       .forall(_ == 0))
+    // filtered UNDERFILL escalates (r19 review): a ~20%-selective
+    // filter under a tiny shortlist must still fill k by doubling,
+    // not silently return fewer rows
+    val esc = idx.queryMatryoshka(q, 5, shortlist = 5,
+      filter = Some($"metadata.chunk_index" === 0))
+    assert(esc.count() == 5,
+      "filtered matryoshka must escalate the shortlist to fill k")
+    assert(idx.lastMatryoshkaEscalations > 0,
+      "the escalation gauge must record the doublings")
     // the I/O claim, mechanically: the shortlist phase plan is a top-k
     // heap over a scan pruned to (id,_vpre) — the 64-dim vectors never
     // appear in its ReadSchema (the 4x byte cut at 16-of-64)
@@ -943,6 +952,22 @@ class IngestIndexSpec extends AnyFunSuite {
     assert(idx.knnJoin(queries, "qid", "qv", k = 2,
       filter = Some($"metadata.chunk_index" === 99)).count() == 0)
     assert(idx.lastKnnMode == "exact-stats-refuted")
+    // an id predicate stats CANNOT refute but the pushed sig-phase
+    // filter empties: the provably-empty answer, not a zero-path scan
+    assert(idx.knnJoin(queries, "qid", "qv", k = 2,
+      filter = Some($"id" === "no-such-id")).count() == 0)
+    // duplicate query ids refuse loudly (two vectors under one key
+    // would interleave into one corrupted ranking)
+    intercept[IllegalArgumentException] {
+      idx.knnJoin(queries.unionByName(queries.limit(1)), "qid", "qv", k = 2)
+    }
+    // a NULL query vector fails the dim check up front, not as a task NPE
+    intercept[graft.core.IngestError] {
+      idx.knnJoin(
+        Seq(("qn", null: Seq[Float])).toDF("qid", "qv")
+          .select($"qid", $"qv".cast("array<float>").as("qv")),
+        "qid", "qv", k = 1).collect()
+    }
     // empty index: empty result, exact-empty mode
     val none = VectorIndex.ensure(spark, s"$dir/none", 4)
     assert(none.knnJoin(queries, "qid", "qv", k = 3).count() == 0)

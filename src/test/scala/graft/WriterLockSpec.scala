@@ -52,6 +52,13 @@ class WriterLockSpec extends AnyFunSuite {
     assert(InvertedIndex.booleanSearchIndexed(spark, dir,
         must = Seq("delta"), mustNot = Nil)
       .select($"doc").as[Long].collect().toSeq == Seq(3L))
+    // tmp-lease debris (a writer crashed between its per-attempt tmp
+    // create and the rename) is swept by breakLock, not permanent
+    val tmpDebris = new java.io.File(
+      new java.io.File(dir).getParent, ".idx._writer_lock.tmp-deadbeef")
+    java.nio.file.Files.writeString(tmpDebris.toPath, "orphan")
+    WriterLock.breakLock(spark, dir)
+    assert(!tmpDebris.exists(), "breakLock must sweep tmp-lease debris")
   }
 
   test("racing append/delete/compact serialize under the lease: no lost, no resurrected postings") {
