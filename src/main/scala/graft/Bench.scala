@@ -302,6 +302,9 @@ object Bench {
     // q245 two isolated runs (2.355/2.417) — a 2-micro-batch
     // transformWithState lifecycle on the RocksDB provider
     "q245" -> (1.649, 3.413),
+    // q246 two isolated runs (2.729/2.671) — two prefix-layout shard
+    // builds + the scatter-gather two-stage probe
+    "q246" -> (1.870, 3.834),
     // q234 two isolated runs (1.040/1.064)
     "q234" -> (0.728, 1.586),
     // q235 two isolated runs (4.53/4.82) — two half-corpus index

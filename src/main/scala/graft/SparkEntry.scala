@@ -4152,6 +4152,34 @@ object SparkEntry {
         .orderBy($"query_id", $"rank")
     }),
 
+    // SCATTER-GATHER MATRYOSHKA (r19, the q221 composition for the MRL
+    // serving path): two parity shards with stored prefix columns,
+    // each answering its own two-stage prefix-shortlist + full-dim
+    // rescore, one k-row merge. Full shortlist makes every per-shard
+    // search provably exact, so the merged head must equal the
+    // whole-corpus brute-force oracle, blind to both the sharding and
+    // the two-stage trade.
+    "q246_sharded_matryoshka" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.VectorIndex
+      val tmp = freshScratch("q246")
+      val emb = t(s, dir, "embeddings")
+      def recs(parity: Int) = emb.filter($"vec_id" % 2 === parity)
+        .select($"vec_id".cast("string").as("id"),
+          $"embedding".as("values"),
+          struct(lit(0).as("chunk_index"), lit("t").as("source"))
+            .as("metadata"))
+      val a = VectorIndex.ensure(s, s"$tmp/a", 64, prefixDim = 16)
+      a.upsert(recs(0))
+      val b = VectorIndex.ensure(s, s"$tmp/b", 64, prefixDim = 16)
+      b.upsert(recs(1))
+      val q = emb.filter($"vec_id" === 3).select($"embedding")
+        .as[Array[Float]].head()
+      VectorIndex.queryManyMatryoshka(Seq(a, b), q, k = 10,
+          shortlist = 1 << 20)
+        .select($"id".cast("long").as("vec_id"))
+    }),
+
     // STREAMING TOKEN-BUDGET ADMISSION (r19, Spark 4 transformWithState
     // + RocksDB): q177's mixture-budget rule as CONTINUOUS admission —
     // two micro-batches split by doc_id, per-lang running totals in
@@ -6874,6 +6902,13 @@ object SparkEntry {
         |        ORDER BY score DESC, doc_id LIMIT 20)
         |SELECT doc_id, CAST(FLOOR(score * 1000000.0) AS BIGINT) AS score_u
         |FROM top ORDER BY score_u DESC, doc_id""".stripMargin,
+
+    "q246_sharded_matryoshka" ->
+      """SELECT e.vec_id FROM embeddings e
+        |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 3)) DESC,
+        |  CAST(e.vec_id AS VARCHAR)
+        |LIMIT 10""".stripMargin,
 
     "q245_stream_token_budget" ->
       """WITH d AS (SELECT doc_id, lang,

@@ -1353,6 +1353,29 @@ object VectorIndex {
       .limit(k)
   }
 
+  /** SCATTER-GATHER MATRYOSHKA (r19) — [[VectorIndex.queryMatryoshka]]
+    * per shard, one k-row merge: the MRL two-stage trade composed
+    * across sharded indexes the [[queryMany]] way. Per-shard work is
+    * untouched (each shard's own prefix-column pruning, rescore, and
+    * filtered escalation apply); only k rows per shard move to the
+    * merge. Exactness composes: with `shortlist >=` every shard's size
+    * each per-shard search provably equals its exact [[VectorIndex
+    * .query]], so the merged head IS the global top-k (the q221
+    * distributed-IR argument); pruned shortlists trade per-shard
+    * recall exactly as the single-index contract states. No cross-
+    * shard shortlist bound is threaded — a prefix-COSINE bound cannot
+    * soundly prune another shard's candidates (unlike the Hamming
+    * cell-prefix bound [[queryManyApprox]] uses, cosine on a prefix
+    * neither lower- nor upper-bounds the full-dim score order). */
+  def queryManyMatryoshka(idxs: Seq[VectorIndex], q: Array[Float], k: Int,
+      shortlist: Int = 400, filter: Option[Column] = None): DataFrame = {
+    require(idxs.nonEmpty, "queryManyMatryoshka needs at least one index")
+    idxs.map(_.queryMatryoshka(q, k, shortlist, filter))
+      .reduce(_.unionByName(_))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+
   /** A shard's contribution to the scatter-gather signature phase. */
   private[graft] sealed trait ShardPhase
   /** No snapshot, or every file stats-refuted: contributes nothing. */

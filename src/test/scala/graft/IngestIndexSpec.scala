@@ -974,6 +974,33 @@ class IngestIndexSpec extends AnyFunSuite {
     assert(none.lastKnnMode == "exact-empty")
   }
 
+  test("queryManyMatryoshka: full-shortlist scatter-gather equals the single index; empty refusal") {
+    val dir = Files.createTempDirectory("graft_idx_sgm").toString
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    def recs(pred: org.apache.spark.sql.Column) = emb.filter(pred)
+      .select($"vec_id".cast("string").as("id"), $"embedding".as("values"),
+        struct(lit(0).as("chunk_index"), lit("t").as("source")).as("metadata"))
+    val all = VectorIndex.ensure(spark, s"$dir/all", 64, prefixDim = 16)
+    all.upsert(recs(lit(true)))
+    val s0 = VectorIndex.ensure(spark, s"$dir/s0", 64, prefixDim = 16)
+    s0.upsert(recs($"vec_id" % 2 === 0))
+    val s1 = VectorIndex.ensure(spark, s"$dir/s1", 64, prefixDim = 16)
+    s1.upsert(recs($"vec_id" % 2 === 1))
+    val q = emb.filter($"vec_id" === 3).select($"embedding")
+      .as[Array[Float]].head()
+    val n = emb.count().toInt
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").as[String].collect().toSeq
+    val single = ids(all.queryMatryoshka(q, 10, shortlist = n))
+    assert(single == ids(all.query(q, 10)), "full shortlist must be exact")
+    assert(ids(VectorIndex.queryManyMatryoshka(Seq(s0, s1), q, 10,
+        shortlist = n)) == single,
+      "full-shortlist scatter-gather matryoshka must equal the single index")
+    intercept[IllegalArgumentException] {
+      VectorIndex.queryManyMatryoshka(Seq.empty, q, 5)
+    }
+  }
+
   test("nearDupAgainst: batch-vs-index semantic dedup — exact copy flags, far row passes, re-ingest self-flags, empty index all-pass") {
     val dir = Files.createTempDirectory("graft_idx_ndup").toString
     val recs = spark.range(0, 40)
