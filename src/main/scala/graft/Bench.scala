@@ -305,6 +305,9 @@ object Bench {
     // q246 two isolated runs (2.729/2.671) — two prefix-layout shard
     // builds + the scatter-gather two-stage probe
     "q246" -> (1.870, 3.834),
+    // q247 two isolated runs (2.704/2.350) — two shard builds + the
+    // file-transport merge + one stats-pruned catalog SQL read
+    "q247" -> (1.645, 3.800),
     // q234 two isolated runs (1.040/1.064)
     "q234" -> (0.728, 1.586),
     // q235 two isolated runs (4.53/4.82) — two half-corpus index

@@ -4152,6 +4152,35 @@ object SparkEntry {
         .orderBy($"query_id", $"rank")
     }),
 
+    // CATALOG SQL OVER A MERGED INDEX (r19, the q128/q173 surface on
+    // the q238 artifact): two parity shards merge by file transport,
+    // then plain Spark SQL reads the merged index through the
+    // TableCatalog with a metadata predicate — served by the CARRIED
+    // manifest stats (the merge copies each file's recorded stats
+    // verbatim, so catalog stats-refutation works with zero footer
+    // re-reads). The oracle is blind to sharding, merge, and catalog.
+    "q247_catalog_merged" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.VectorIndex
+      val tmp = freshScratch("q247")
+      val emb = t(s, dir, "embeddings")
+      def recs(parity: Int) = emb.filter($"vec_id" % 2 === parity)
+        .select($"vec_id".cast("string").as("id"),
+          $"embedding".as("values"),
+          struct(($"vec_id" % 5).cast("int").as("chunk_index"),
+            lit("uploaded_pdf").as("source")).as("metadata"))
+      VectorIndex.ensure(s, s"$tmp/a", 64).upsert(recs(0))
+      VectorIndex.ensure(s, s"$tmp/b", 64).upsert(recs(1))
+      VectorIndex.mergeIndexes(s, Seq(s"$tmp/a", s"$tmp/b"), s"$tmp/merged")
+      val cat = s"graftq247_${catalogNameCounter.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", tmp)
+      s.sql(s"SELECT id, metadata.chunk_index AS ci FROM $cat.merged " +
+          "WHERE metadata.chunk_index >= 3")
+        .orderBy($"id")
+    }),
+
     // SCATTER-GATHER MATRYOSHKA (r19, the q221 composition for the MRL
     // serving path): two parity shards with stored prefix columns,
     // each answering its own two-stage prefix-shortlist + full-dim
@@ -6902,6 +6931,12 @@ object SparkEntry {
         |        ORDER BY score DESC, doc_id LIMIT 20)
         |SELECT doc_id, CAST(FLOOR(score * 1000000.0) AS BIGINT) AS score_u
         |FROM top ORDER BY score_u DESC, doc_id""".stripMargin,
+
+    "q247_catalog_merged" ->
+      """SELECT CAST(vec_id AS VARCHAR) AS id,
+        |  CAST(vec_id % 5 AS INT) AS ci
+        |FROM embeddings WHERE vec_id % 5 >= 3
+        |ORDER BY id""".stripMargin,
 
     "q246_sharded_matryoshka" ->
       """SELECT e.vec_id FROM embeddings e
