@@ -389,6 +389,28 @@ object SparkEntry {
       out
     })
 
+  /** Memoized PAIR of parity-shard postings indexes (r20): the q248-
+    * q250 sharded probes serve from a standing shard set — the builds
+    * are the fixture (q174/q235-class gates already time index
+    * builds), the gates time the scatter-gather PROBE a serving user
+    * pays. The pair is validated once at build ([[graft.operators
+    * .InvertedIndex.validateShards]] — the certify-once contract the
+    * probes trust). */
+  private val shardedPidxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+  private def shardedPidxFor(s: SparkSession, dir: String): Seq[String] =
+    shardedPidxCache.computeIfAbsent(s"${s.sparkContext.applicationId}:$dir", _ => {
+      import s.implicits._
+      val base = freshScratch("spidx_fixture")
+      val docs = t(s, dir, "documents")
+      graft.operators.InvertedIndex.writeIndex(docs.filter($"doc_id" % 2 === 0),
+        "doc_id", "text", s"$base/a", buckets = 32)
+      graft.operators.InvertedIndex.writeIndex(docs.filter($"doc_id" % 2 === 1),
+        "doc_id", "text", s"$base/b", buckets = 32)
+      graft.operators.InvertedIndex.validateShards(s, Seq(s"$base/a", s"$base/b"))
+      Seq(s"$base/a", s"$base/b")
+    })
+
   // ---- r18 q201 build/probe split (verdict item #1): the 12.5s
   // composite — a full 3-micro-batch streaming dedup ingest THEN a
   // phrase probe — hid probe regressions behind streaming latency.
@@ -4159,6 +4181,130 @@ object SparkEntry {
     // manifest stats (the merge copies each file's recorded stats
     // verbatim, so catalog stats-refutation works with zero footer
     // re-reads). The oracle is blind to sharding, merge, and catalog.
+    // SERVING-LATENCY PROBE GATES (r20, the r19 verdict's ask): the
+    // bench's index gates time LIFECYCLES (build + probe); these three
+    // time the pure PER-QUERY serving cost against a standing MEMOIZED
+    // index — the number a 100x scale-up argument actually needs,
+    // because at scale the build amortizes over millions of queries
+    // and the probe IS the product. q252: single-query ANN serving
+    // (cell-pruned signature shortlist + bucket rescore); q253:
+    // BM25 lexical serving (term-pruned bucket reads + broadcast
+    // stats); q254: batched kNN serving (one job for 5 queries).
+    // Full shortlists make each exactly oracle-able.
+    "q252_probe_ann" -> ((s, dir) => {
+      import s.implicits._
+      val idx = graft.operators.VectorIndex.open(s, vectorIdxFor(s, dir))
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter($"vec_id" === 2).select($"embedding")
+        .as[Array[Float]].head()
+      idx.queryApprox(qv, k = 10, shortlist = 1 << 20)
+        .select($"id".cast("long").as("vec_id"))
+    }),
+
+    "q253_probe_bm25" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.InvertedIndex.bm25Search(s, postingsIdxFor(s, dir),
+          Seq("vector", "join", "hash"), k = 20)
+        .select($"doc".as("doc_id"),
+          floor($"score" * lit(1000000.0)).cast("long").as("score_u"))
+        .orderBy($"score_u".desc, $"doc_id")
+    }),
+
+    "q254_probe_knn" -> ((s, dir) => {
+      import s.implicits._
+      val idx = graft.operators.VectorIndex.open(s, vectorIdxFor(s, dir))
+      val queries = t(s, dir, "embeddings")
+        .filter($"vec_id".isin(3L, 5L, 7L, 9L, 11L))
+        .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      idx.knnJoin(queries, "qid", "qv", k = 8, shortlist = 1 << 20)
+        .select($"query_id", $"rank", $"id")
+        .orderBy($"query_id", $"rank")
+    }),
+
+    // SQL-NATIVE LEXICAL RETRIEVAL (r20, the r19 verdict's ask): the
+    // q175/q253 BM25 probe as a TABLE-VALUED FUNCTION in a plain SQL
+    // FROM clause — graft_bm25(index, terms, k) resolves to the real
+    // bm25Search plan (term-pruned bucket reads, broadcast stats,
+    // top-k), so the full RAG path is SQL-composable. Shares q175's
+    // oracle: the SQL surface must score bit-identically to the API.
+    "q255_sql_bm25" -> ((s, dir) => {
+      graft.functions.TableFunctions.register(s)
+      val idxPath = postingsIdxFor(s, dir)
+      s.sql(
+        s"""SELECT doc AS doc_id,
+           |  CAST(FLOOR(score * 1000000.0) AS BIGINT) AS score_u
+           |FROM graft_bm25('$idxPath', 'vector join hash', 20)
+           |ORDER BY score_u DESC, doc_id""".stripMargin)
+    }),
+
+    // MINHASH INDEX MERGE (r20, the third index family's merge — the
+    // r19 verdict's ask): two epoch-shard MinHash dedup indexes (docs
+    // <= c1; c1 < docs <= c2) fold into ONE serving index by pure file
+    // transport behind the disjointness census, then the q87-style
+    // batch-vs-corpus question runs against the MERGED index: which of
+    // the tail docs (> c2) near-duplicate the first two epochs? The
+    // oracle replays exact 3-shingle Jaccard >= 0.5 batch-vs-corpus
+    // (the q31/q201-established banding equivalence on this corpus) —
+    // a band row lost in transport, a misfiled bucket, or a payload
+    // census drift all change the drop list.
+    "q251_minhash_merge" -> ((s, dir) => {
+      import s.implicits._
+      val MI = graft.operators.MinhashIndex
+      val tmp = freshScratch("q251")
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+      val maxId = docs.agg(max($"doc_id")).head().getLong(0)
+      val (c1, c2) = (maxId / 3, 2 * maxId / 3)
+      def prep(pred: Column) = graft.operators.Dedup.prepareMinhash(
+        docs.filter(pred), "doc_id", "text")
+      MI.append(prep($"doc_id" <= c1), s"$tmp/a", buckets = 8)
+      MI.append(prep($"doc_id" > c1 && $"doc_id" <= c2), s"$tmp/b",
+        buckets = 8)
+      MI.mergeIndexes(s, Seq(s"$tmp/a", s"$tmp/b"), s"$tmp/m")
+      MI.drops(s, s"$tmp/m", prep($"doc_id" > c2))
+        .select($"_drop".as("doc_id"))
+        .orderBy($"doc_id")
+    }),
+
+    // SCATTER-GATHER PHRASE SEARCH ACROSS SHARDS (r20, closing the
+    // q235 family per the r19 verdict): the q174 phrase probe served
+    // by TWO parity-shard postings indexes that are never merged —
+    // positions never relate across docs and docs never cross shards,
+    // so the unioned term-pruned probes ARE the merged index's
+    // postings. Probes the MEMOIZED certified shard pair (the q181
+    // memoization discipline: builds are the fixture, the gate times
+    // the scatter-gather probe). Oracle: q174's verbatim — a shard
+    // boundary that loses/duplicates a posting or a doc hash-matches
+    // nothing.
+    "q248_phrase_scatter" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.InvertedIndex.phraseSearchSharded(s,
+          shardedPidxFor(s, dir), Seq("hash", "value"))
+        .select($"doc".as("doc_id"), $"n_matches")
+        .orderBy($"doc_id")
+    }),
+
+    // ...and PROXIMITY across the same standing shard set (q181's
+    // probe + oracle verbatim).
+    "q249_proximity_scatter" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.InvertedIndex.proximitySearchSharded(s,
+          shardedPidxFor(s, dir), Seq("vector", "join", "hash"), slop = 2)
+        .select($"doc".as("doc_id"), $"n_matches")
+        .orderBy($"doc_id")
+    }),
+
+    // ...and BOOLEAN retrieval — the NOT leg's exclusion list is also
+    // served shard-locally and unioned (q182's probe + oracle
+    // verbatim).
+    "q250_boolean_scatter" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.InvertedIndex.booleanSearchSharded(s,
+          shardedPidxFor(s, dir), must = Seq("vector", "join"),
+          mustNot = Seq("hash"))
+        .select($"doc".as("doc_id"))
+        .orderBy($"doc_id")
+    }),
+
     "q247_catalog_merged" -> ((s, dir) => {
       import s.implicits._
       import graft.operators.VectorIndex
@@ -6931,6 +7077,178 @@ object SparkEntry {
         |        ORDER BY score DESC, doc_id LIMIT 20)
         |SELECT doc_id, CAST(FLOOR(score * 1000000.0) AS BIGINT) AS score_u
         |FROM top ORDER BY score_u DESC, doc_id""".stripMargin,
+
+    // whole-corpus exact cosine top-10 (q236's replay for the
+    // standing-index ANN probe; full shortlist = exact recovery)
+    "q252_probe_ann" ->
+      """SELECT e.vec_id FROM embeddings e
+        |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 2)) DESC,
+        |  CAST(e.vec_id AS VARCHAR)
+        |LIMIT 10""".stripMargin,
+
+    // q175's oracle verbatim (the probe-only BM25 serving gate)
+    "q253_probe_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS dl,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM toks
+        |       WHERE term IN ('vector','join','hash') GROUP BY 1, 2, 3),
+        |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n,
+        |        CAST(SUM(len(list_filter(string_split_regex(lower(text),
+        |          '[^a-z0-9]+'), x -> x <> ''))) AS DOUBLE)
+        |          / CAST(COUNT(*) AS DOUBLE) AS avgdl
+        |      FROM documents),
+        |per AS (
+        |  SELECT doc_id, term,
+        |    ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |        / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf AS DOUBLE) * (1.2 + 1.0)
+        |         / (CAST(tf AS DOUBLE)
+        |            + 1.2 * ((1.0 - 0.75)
+        |                     + 0.75 * CAST(dl AS DOUBLE) / avgdl))) AS s
+        |  FROM tf JOIN dfx USING (term) CROSS JOIN n),
+        |sc AS (
+        |  SELECT doc_id,
+        |    COALESCE(MAX(CASE WHEN term = 'vector' THEN s END), 0) AS s0,
+        |    COALESCE(MAX(CASE WHEN term = 'join' THEN s END), 0) AS s1,
+        |    COALESCE(MAX(CASE WHEN term = 'hash' THEN s END), 0) AS s2
+        |  FROM per GROUP BY 1),
+        |top AS (SELECT doc_id, s0 + s1 + s2 AS score FROM sc
+        |        ORDER BY score DESC, doc_id LIMIT 20)
+        |SELECT doc_id, CAST(FLOOR(score * 1000000.0) AS BIGINT) AS score_u
+        |FROM top ORDER BY score_u DESC, doc_id""".stripMargin,
+
+    // q239's oracle verbatim (the probe-only batched-kNN serving gate)
+    "q254_probe_knn" ->
+      """WITH q AS (SELECT CAST(vec_id AS VARCHAR) AS query_id,
+        |             CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id IN (3, 5, 7, 9, 11)),
+        |s AS (SELECT q.query_id, CAST(e.vec_id AS VARCHAR) AS id,
+        |        list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS score
+        |      FROM embeddings e, q),
+        |r AS (SELECT query_id, id,
+        |        row_number() OVER (PARTITION BY query_id
+        |                           ORDER BY score DESC, id) AS rank
+        |      FROM s)
+        |SELECT query_id, CAST(rank AS INT) AS rank, id
+        |FROM r WHERE rank <= 8 ORDER BY query_id, rank""".stripMargin,
+
+    // q175's oracle verbatim: the SQL TVF must score bit-identically
+    // to the API path
+    "q255_sql_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS dl,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM toks
+        |       WHERE term IN ('vector','join','hash') GROUP BY 1, 2, 3),
+        |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n,
+        |        CAST(SUM(len(list_filter(string_split_regex(lower(text),
+        |          '[^a-z0-9]+'), x -> x <> ''))) AS DOUBLE)
+        |          / CAST(COUNT(*) AS DOUBLE) AS avgdl
+        |      FROM documents),
+        |per AS (
+        |  SELECT doc_id, term,
+        |    ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |        / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf AS DOUBLE) * (1.2 + 1.0)
+        |         / (CAST(tf AS DOUBLE)
+        |            + 1.2 * ((1.0 - 0.75)
+        |                     + 0.75 * CAST(dl AS DOUBLE) / avgdl))) AS s
+        |  FROM tf JOIN dfx USING (term) CROSS JOIN n),
+        |sc AS (
+        |  SELECT doc_id,
+        |    COALESCE(MAX(CASE WHEN term = 'vector' THEN s END), 0) AS s0,
+        |    COALESCE(MAX(CASE WHEN term = 'join' THEN s END), 0) AS s1,
+        |    COALESCE(MAX(CASE WHEN term = 'hash' THEN s END), 0) AS s2
+        |  FROM per GROUP BY 1),
+        |top AS (SELECT doc_id, s0 + s1 + s2 AS score FROM sc
+        |        ORDER BY score DESC, doc_id LIMIT 20)
+        |SELECT doc_id, CAST(FLOOR(score * 1000000.0) AS BIGINT) AS score_u
+        |FROM top ORDER BY score_u DESC, doc_id""".stripMargin,
+
+    // exact 3-shingle Jaccard >= 0.5, batch (> c2) vs corpus (<= c2) —
+    // the q201 replay pattern restricted to the batch-vs-corpus
+    // orientation
+    "q251_minhash_merge" ->
+      """WITH toks0 AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '') AS tk
+        |  FROM documents),
+        |cut AS (SELECT (2 * MAX(doc_id)) // 3 AS c2 FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+        |                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+        |    END AS sh
+        |  FROM toks0),
+        |inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM sh),
+        |pairs AS (
+        |  SELECT b.doc_id AS id_b, a.doc_id AS id_a, a.n AS n_a, b.n AS n_b,
+        |    COUNT(*) AS shared
+        |  FROM inv a JOIN inv b ON a.g = b.g
+        |  WHERE a.doc_id <= (SELECT c2 FROM cut)
+        |    AND b.doc_id > (SELECT c2 FROM cut)
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT DISTINCT id_b AS doc_id FROM pairs
+        |WHERE CAST(shared AS DOUBLE) / CAST(n_a + n_b - shared AS DOUBLE) >= 0.5
+        |ORDER BY doc_id""".stripMargin,
+
+    // q174's oracle verbatim: the sharded phrase answer must be the
+    // whole-corpus answer bit-for-bit
+    "q248_phrase_scatter" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(len([i FOR i IN generate_series(1, len(toks) - 1)
+        |      IF toks[i] = 'hash' AND toks[i+1] = 'value']) AS BIGINT)
+        |      AS n_matches
+        |  FROM tk)
+        |SELECT doc_id, n_matches FROM m WHERE n_matches > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    // q181's oracle verbatim
+    "q249_proximity_scatter" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |a AS (SELECT doc_id, unnest([i FOR i IN generate_series(1, len(toks))
+        |      IF toks[i] = 'vector']) AS p1 FROM tk),
+        |b AS (SELECT doc_id, unnest([i FOR i IN generate_series(1, len(toks))
+        |      IF toks[i] = 'join']) AS p2 FROM tk),
+        |c AS (SELECT doc_id, unnest([i FOR i IN generate_series(1, len(toks))
+        |      IF toks[i] = 'hash']) AS p3 FROM tk)
+        |SELECT a.doc_id AS doc_id, count(*) AS n_matches
+        |FROM a JOIN b ON b.doc_id = a.doc_id
+        |  AND b.p2 > a.p1 AND b.p2 - a.p1 <= 4
+        |JOIN c ON c.doc_id = a.doc_id
+        |  AND c.p3 > b.p2 AND c.p3 - a.p1 <= 4
+        |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
+
+    // q182's oracle verbatim
+    "q250_boolean_scatter" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '') AS toks
+        |  FROM documents)
+        |SELECT doc_id FROM tk
+        |WHERE list_contains(toks, 'vector') AND list_contains(toks, 'join')
+        |  AND NOT list_contains(toks, 'hash')
+        |ORDER BY doc_id""".stripMargin,
 
     "q247_catalog_merged" ->
       """SELECT CAST(vec_id AS VARCHAR) AS id,

@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** SQL TABLE-VALUED surface for index-served lexical retrieval (r20,
+  * the r19 verdict's ask): `graft_bm25(index_path, query_terms, k)` in
+  * a FROM clause resolves to the [[graft.operators.InvertedIndex
+  * .bm25Search]] plan over the persisted postings index — the whole
+  * RAG retrieval path becomes SQL-native, composable with every other
+  * relation in the query:
+  *
+  * {{{
+  *   SELECT d.title, r.score
+  *   FROM graft_bm25('/idx/postings', 'vector join hash', 20) r
+  *   JOIN docs d ON d.doc_id = r.doc
+  * }}}
+  *
+  * Registration goes through the session's TABLE function registry
+  * (the `range(10)`-style resolution path), so the planner sees the
+  * real bm25Search plan — term-pruned bucket reads, broadcast stats,
+  * top-k — not an opaque UDF: Catalyst keeps optimizing through it.
+  * Arguments must be foldable literals (they parameterize ANALYSIS —
+  * which bucket directories the scan even lists); `query_terms` is a
+  * whitespace-separated term string, matching the tokenizer's
+  * lowercase alphanumeric vocabulary. Columns: (doc BIGINT, score
+  * DOUBLE), [[graft.operators.InvertedIndex.bm25Search]]'s exact
+  * output — scores bit-identical to the API path (gate q255 shares
+  * q175's oracle).
+  *
+  * Registered per session (a temp function, the chunk_text
+  * discipline): call [[register]] once after building the session.
+  * The reference stack has no SQL surface at all (streamlit_app.py
+  * drives retrieval imperatively); this is the lake-native form its
+  * query layer implies. */
+object TableFunctions {
+
+  /** Register `graft_bm25` on `spark`'s table-function registry.
+    * Idempotent (createOrReplace). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "graft_bm25", (es: Seq[Expression]) => bm25Plan(es), "scala_udf")
+
+  private def evalLit(es: Seq[Expression], i: Int, what: String): Any = {
+    val e = es(i)
+    require(e.foldable,
+      s"graft_bm25 argument $i ($what) must be a literal — it " +
+        "parameterizes analysis (which bucket dirs the probe lists), " +
+        s"so a per-row value cannot work; got: $e")
+    val v = e.eval(null)
+    require(v != null, s"graft_bm25 argument $i ($what) must not be null")
+    v
+  }
+
+  private def bm25Plan(es: Seq[Expression]): LogicalPlan = {
+    require(es.length == 3,
+      s"graft_bm25(index_path, query_terms, k) takes 3 arguments, got ${es.length}")
+    val path = evalLit(es, 0, "index_path").toString
+    val terms = evalLit(es, 1, "query_terms").toString
+      .toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+    require(terms.nonEmpty, "graft_bm25 query_terms has no tokens")
+    val k = evalLit(es, 2, "k") match {
+      case i: java.lang.Integer => i.intValue()
+      case l: java.lang.Long => l.intValue()
+      case s: java.lang.Short => s.intValue()
+      case b: java.lang.Byte => b.intValue()
+      case other => throw new IllegalArgumentException(
+        s"graft_bm25 k must be an integer literal, got: $other")
+    }
+    graft.operators.InvertedIndex
+      .bm25Search(SparkSession.active, path, terms, k)
+      .queryExecution.logical
+  }
+}

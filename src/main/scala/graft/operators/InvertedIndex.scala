@@ -490,7 +490,16 @@ object InvertedIndex {
     * shards (a doc lives in one shard) — then keeps its local top-k.
     * The final merge orders k·shards rows and takes k: per-query
     * cross-shard traffic is k rows + the constant rows, never a
-    * posting. Per-shard I/O stays the term-pruned bucket dirs. */
+    * posting. Per-shard I/O stays the term-pruned bucket dirs.
+    *
+    * DISJOINTNESS IS TRUSTED PER QUERY (r20 note): verifying it would
+    * cost a full cross-shard doc census on every search, so this
+    * function (like every sharded probe) relies on the appendIndex
+    * routing contract instead. A shard SET is certified once with
+    * [[validateShards]] — run it when the set is assembled (new epoch
+    * shard, tenant onboarding), not per query; a shared doc would
+    * double-count df and dl rows here and surface a doc twice in the
+    * union probes. */
   def bm25SearchSharded(spark: org.apache.spark.sql.SparkSession,
       paths: Seq[String], terms: Seq[String], k: Int, k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
@@ -536,6 +545,89 @@ object InvertedIndex {
       .limit(k)
       .select(col("doc"), col("score"))
   }
+
+  /** CERTIFY a shard set's doc-disjointness (r20, the verdict's ask):
+    * one [[MergeCensus.requireDisjoint]] pass over the shards' doclens
+    * sidecars — the same census [[mergeIndexes]] runs before moving
+    * bytes, WITHOUT the merge. Returns the certified total distinct
+    * doc count across the set. Run once when a shard set is ASSEMBLED
+    * (a new epoch's index joins the serving set, a tenant onboards) —
+    * after that, every sharded probe ([[bm25SearchSharded]],
+    * [[phraseSearchSharded]], [[proximitySearchSharded]],
+    * [[booleanSearchSharded]]) trusts the certificate instead of
+    * paying a cross-shard census per query. Cost: a column-pruned
+    * distinct scan of each shard's doclens sidecar (doc ids only,
+    * never a posting), one count per shard plus one overlap check —
+    * O(total docs) once, not per query. Throws [[OverlappingSources]]
+    * naming the first colliders. */
+  def validateShards(spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String]): Long = {
+    import org.apache.hadoop.fs.Path
+    require(paths.size >= 2, "a shard set needs at least two shards")
+    require(paths.distinct.size == paths.size,
+      s"duplicate shard paths: ${paths.mkString(", ")}")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def shardDocs(p: String): DataFrame = {
+      val dd = new Path(doclensDir(p))
+      if (dd.getFileSystem(hconf).exists(dd))
+        spark.read.parquet(doclensDir(p)).select(col("doc")).distinct()
+      else spark.range(0).select(col("id").as("doc"))
+    }
+    val censuses = paths.zipWithIndex.map { case (p, i) =>
+      s"m$i" -> shardDocs(p).localCheckpoint(true)
+    }
+    MergeCensus.requireDisjoint(censuses, "doc", colliding =>
+      throw new OverlappingSources(
+        s"shard set shares doc ids (first ${colliding.length}: " +
+          s"${colliding.mkString(", ")}): a shared doc would " +
+          "double-count BM25's df/dl and surface twice in every " +
+          "sharded probe; deleteDocs the duplicates from all but one " +
+          "shard (then compactIndex) before serving the set"))
+  }
+
+  /** The stored postings of exactly `tokens` ACROSS a disjoint shard
+    * set — the union of each shard's term-pruned [[readPostings]].
+    * Because shard doc sets are disjoint ([[validateShards]]), this
+    * union IS what [[readPostings]] over the [[mergeIndexes]]-merged
+    * index would return (same rows, same (doc,pos,token) key space —
+    * the per-shard key dedupe already covers every possible duplicate,
+    * since cross-shard dupes would need a shared doc). Per-shard I/O
+    * stays the tokens' bucket dirs. */
+  def readPostingsSharded(spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String], tokens: Seq[String]): DataFrame = {
+    require(paths.nonEmpty, "at least one shard index required")
+    paths.map(p => readPostings(spark, p, tokens)).reduce(_ unionByName _)
+  }
+
+  /** [[phraseSearch]] ACROSS N SHARD INDEXES with no physical merge
+    * (r20, closing the q235 family): positions never relate across
+    * docs and docs never cross shards, so the sharded answer is the
+    * phrase core over the unioned term-pruned probes — BIT-identical
+    * to [[phraseSearchIndexed]] on the merged index (gate q248
+    * hash-matches q174's oracle). Unlike BM25 there are no corpus
+    * constants to gather: the union is the whole protocol, and the
+    * per-doc join legs/folds stay shard-local rows under the hood.
+    * Disjointness is trusted per query; certify the set once with
+    * [[validateShards]]. */
+  def phraseSearchSharded(spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String], phrase: Seq[String]): DataFrame =
+    phraseSearch(readPostingsSharded(spark, paths, phrase), phrase)
+
+  /** [[proximitySearch]] across a disjoint shard set — see
+    * [[phraseSearchSharded]] for the union argument. */
+  def proximitySearchSharded(spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String], terms: Seq[String], slop: Int): DataFrame =
+    proximitySearch(readPostingsSharded(spark, paths, terms), terms, slop)
+
+  /** [[booleanSearch]] across a disjoint shard set — see
+    * [[phraseSearchSharded]] for the union argument; the conjunction
+    * count and the NOT anti-join both key on doc, which never crosses
+    * shards. */
+  def booleanSearchSharded(spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String], must: Seq[String],
+      mustNot: Seq[String] = Seq.empty): DataFrame =
+    booleanSearch(readPostingsSharded(spark, paths, must ++ mustNot),
+      must, mustNot)
 
   /** Bucket ids for `toks`, computed DRIVER-SIDE by evaluating the
     * same catalyst `xxhash64` (seed 42) the write path used — zero

@@ -293,6 +293,120 @@ object MinhashIndex {
     nDeleted
   }
 
+  /** Two MinHash shard indexes of a merge share a doc id — the
+    * [[InvertedIndex.OverlappingSources]] analogue for the dedup-index
+    * family. A shared id would double its band rows in every probed
+    * bucket and make the payload census ambiguous. Thrown BEFORE any
+    * byte moves. */
+  final class OverlappingSources(msg: String)
+    extends IllegalArgumentException(msg)
+
+  /** MERGE N disjoint MinHash shard indexes into ONE new index at
+    * `out` (r20, the third index family's merge — the r19 verdict's
+    * ask): per-epoch dedup indexes fold into one serving index without
+    * re-ingest, exactly the [[InvertedIndex.mergeIndexes]] /
+    * [[VectorIndex.mergeIndexes]] discipline.
+    *
+    * Pure FILE TRANSPORT, no rewrite: index rows are keyed by
+    * (`_band`, `_bkt`) partition dirs whose values depend only on the
+    * shared bucket layout (band keys hash band contents; payload
+    * buckets hash ids), so a file of source dir (b, k) is verbatim a
+    * file of merged dir (b, k). Bytes move executor-side via
+    * [[DistCopy]] (the driver walks file NAMES only); per-file tag
+    * prefixes keep equal part names from colliding.
+    *
+    * Contracts, enforced loudly BEFORE any byte moves: sources must
+    * share the bucket layout (their `_META`, after finishing any
+    * interrupted rebucket swap — a mismatched layout would misfile
+    * every probe); `out` must be empty (a merge is a create, not an
+    * append); doc id sets must be DISJOINT, verified by a
+    * column-pruned, partition-pruned distinct-id census over the
+    * payload (`_band=-1`) dirs — [[OverlappingSources]] names the
+    * first colliders. After transport the merged payload census must
+    * equal the sum of the source censuses or the merge throws instead
+    * of serving a torn index. The merge holds the [[WriterLock]]
+    * lease on the output and on every source for the duration
+    * (sources must be quiescent; a concurrent append would simply
+    * miss the merge but could tear a mid-copy file set — the lease
+    * makes that loud). Probes against the merged index are equal to
+    * probes against the union by construction: band rows, payloads
+    * and the bucket hash space all carry over verbatim (spec-asserted
+    * drop-set equality; gate q251). */
+  def mergeIndexes(spark: SparkSession, srcPaths: Seq[String],
+      out: String): Unit = {
+    require(srcPaths.size >= 2, "merge needs at least two source indexes")
+    require(srcPaths.distinct.size == srcPaths.size,
+      s"duplicate source paths: ${srcPaths.mkString(", ")}")
+    def locked[T](ps: List[String])(body: => T): T = ps match {
+      case Nil => body
+      case h :: t =>
+        WriterLock.withLock(spark, h, "minhash mergeIndexes")(locked(t)(body))
+    }
+    locked((out +: srcPaths).toList) {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      def hp(p: String) = new org.apache.hadoop.fs.Path(p)
+      val fs = hp(out).getFileSystem(hconf)
+      // resolveBuckets finishes any interrupted rebucket swap first,
+      // so each source is judged by its CURRENT committed layout
+      val bks = srcPaths.map(p =>
+        resolveBuckets(spark, p, LayoutMeta.Unspecified))
+      require(bks.distinct.size == 1,
+        s"bucket layouts differ (${bks.mkString(",")}): a merged probe " +
+          "would prune the wrong directories and silently miss " +
+          "near-dups; rebucket the outliers onto one layout first")
+      require(!fs.exists(hp(out)) || fs.listStatus(hp(out)).isEmpty,
+        s"merge target $out must be empty (merge is a create, not an append)")
+      // id-disjointness census: payload dirs only (partition-pruned),
+      // _id column only, distinct per source (crash-duplicated payload
+      // rows within a source are legitimate and identical)
+      def srcIds(p: String): DataFrame =
+        spark.read.parquet(p).filter(col("_band") === -1)
+          .select(col("_id")).distinct()
+      val censuses = srcPaths.zipWithIndex.map { case (p, i) =>
+        s"m$i" -> srcIds(p).localCheckpoint(true)
+      }
+      val censusSum = MergeCensus.requireDisjoint(censuses, "_id", colliding =>
+        throw new OverlappingSources(
+          s"source indexes share doc ids (first ${colliding.length}: " +
+            s"${colliding.mkString(", ")}): a shared doc would double " +
+            "its band rows in every probed bucket and break the payload " +
+            "census; delete it from all but one source first"))
+      // file transport: driver walks names, DistCopy moves bytes
+      val pairs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      def walk(from: org.apache.hadoop.fs.Path, toRel: String,
+          tag: String): Unit = {
+        val sfs = from.getFileSystem(hconf)
+        if (!sfs.exists(from)) return
+        sfs.listStatus(from).foreach { st =>
+          val n = st.getPath.getName
+          if (st.isDirectory) {
+            if (!n.startsWith(".") && !n.endsWith("__delstage") &&
+                !n.endsWith("__rebucket") && !n.endsWith("__trash"))
+              walk(st.getPath, s"$toRel/$n", tag)
+          } else if (!n.startsWith("_") && !n.startsWith("."))
+            pairs += ((st.getPath.toString, s"$toRel/$tag-$n"))
+        }
+      }
+      srcPaths.zipWithIndex.foreach { case (p, i) =>
+        walk(hp(p), out, s"m$i")
+      }
+      DistCopy.copyFiles(spark, pairs.toSeq,
+        "graft minhash mergeIndexes transport")
+      // transport reconcile BEFORE the layout commit: a lost or
+      // truncated payload file fails here, not in served drop sets
+      val mergedCensus =
+        if (pairs.isEmpty) 0L
+        else spark.read.parquet(out).filter(col("_band") === -1)
+          .select(col("_id")).distinct().count()
+      if (mergedCensus != censusSum)
+        throw new IllegalStateException(
+          s"merge transport reconcile failed at $out: merged payload " +
+            s"census $mergedCensus != sum of source censuses $censusSum " +
+            "— the copy was torn; delete the target and re-run")
+      LayoutMeta.overwrite(spark, out, Map("buckets" -> bks.head))
+    }
+  }
+
   /** GROW (or shrink) the index's bucket count — the explicit growth
     * path for an index whose per-directory row counts outgrew the
     * count fixed at first append. ONE O(index) partition-column

@@ -291,9 +291,19 @@ final class VectorIndex private (
     if (filter.isDefined) {
       var tries = 0
       // only an APPROX attempt can underfill recoverably: the exact-*
-      // fallbacks already scanned everything the filter allows
+      // fallbacks already scanned everything the filter allows.
+      // EXHAUSTION EXIT (r20): once the shortlist covers every row the
+      // snapshot holds, the attempt already ranked and rescored the
+      // whole index — the remaining underfill is the filter's true
+      // answer (< k matching rows exist), and further doublings can
+      // only repeat the same full-scan attempt. A row-count STALL is
+      // NOT a valid exit: probed files grow with the shortlist target,
+      // so a plateau at sl can precede growth at 2*sl (q125's very
+      // scenario). Unknown row counts (legacy manifests without the
+      // rows field) disable the exit rather than risk a false stop.
+      val totalRows = snapshotRowCount(asOf)
       while (tries < maxEscalations && lastApproxMode.startsWith("approx") &&
-          res.count() < k) {
+          totalRows.forall(sl < _) && res.count() < k) {
         sl *= 2
         tries += 1
         lastEscalations = tries
@@ -465,6 +475,7 @@ final class VectorIndex private (
       k: Int, shortlist: Int = 400, filter: Option[Column] = None,
       maxEscalations: Int = 3): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    lastKnnEscalations = 0
     val qs = queries.select(col(qIdCol).cast("string").as("_qid"),
         col(qVecCol).cast("array<double>").as("_qv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -584,16 +595,26 @@ final class VectorIndex private (
         if (filter.isDefined) {
           // escalate while any query underfills k: one k-bounded count
           // per attempt (a filter too selective to ever fill k stops
-          // after the bounded retries with the true underfilled answer)
+          // after the bounded retries with the true underfilled answer).
+          // EXHAUSTION EXIT (r20): once `sl` covers every signature row
+          // the snapshot holds, the attempt's per-query window already
+          // ranked EVERY row (legacy ids ride along unconditionally) —
+          // the remaining underfill is the filter's true answer, and
+          // each further escalation would burn a full B x N signature
+          // window plus rescore to recompute it. Unknown row counts
+          // disable the exit rather than risk a false stop.
           var tries = 0
           def underfilled(r: DataFrame): Boolean = {
             val filled = r.groupBy(col("query_id")).count()
               .filter(col("count") >= k).count()
             filled < nQueries // qids verified distinct above
           }
-          while (tries < maxEscalations && underfilled(res)) {
+          val totalRows = snapshotRowCount(None)
+          while (tries < maxEscalations && totalRows.forall(sl < _) &&
+              underfilled(res)) {
             sl *= 2
             tries += 1
+            lastKnnEscalations = tries
             res = attempt(sl)
           }
         }
@@ -605,6 +626,11 @@ final class VectorIndex private (
   /** Which path the last [[knnJoin]] took ("exact-empty",
     * "exact-nosig", "exact-legacy-dominated", "approx"). */
   private[graft] var lastKnnMode: String = ""
+
+  /** How many shortlist doublings the last filtered [[knnJoin]] ran
+    * (0 = first attempt sufficed, or the exhaustion exit proved no
+    * escalation could grow the result). */
+  private[graft] var lastKnnEscalations: Int = 0
 
   /** EMBEDDING DEDUP-ON-INGEST against the index (r19) — the
     * [[Dedup.minhashAgainst]] orientation for vectors, served from the
@@ -676,8 +702,13 @@ final class VectorIndex private (
     var res = matryoshkaOnce(q, k, sl, filter, asOf)
     if (filter.isDefined) {
       var tries = 0
+      // exhaustion exit (r20, the queryApprox discipline): once the
+      // shortlist covers every row the snapshot holds, the prefix pass
+      // already ranked the whole index — stop; a row-count stall would
+      // NOT be sound (a plateau at sl can precede growth at 2*sl).
+      val totalRows = snapshotRowCount(asOf)
       while (tries < maxEscalations && lastMatryoshkaMode == "matryoshka" &&
-          res.count() < k) {
+          totalRows.forall(sl < _) && res.count() < k) {
         sl *= 2
         tries += 1
         lastMatryoshkaEscalations = tries
@@ -769,14 +800,37 @@ final class VectorIndex private (
     * "exact-nopre", "matryoshka") — spec/operator diagnostics. */
   private[graft] var lastMatryoshkaMode: String = ""
 
+  /** Total recorded rows of the snapshot `asOf` serves (the current
+    * one when None): the sum of the manifest's per-file row counts —
+    * a driver-side manifest read, no data I/O. Some(0) for a
+    * snapshot-less index (provably empty); None when any manifest
+    * file predates the rows field — callers use this as the
+    * escalation EXHAUSTION bound (`shortlist >= rowCount` proves an
+    * attempt ranked every row), and an unknown count must DISABLE the
+    * bound, never fake one. */
+  private[graft] def snapshotRowCount(asOf: Option[Long]): Option[Long] =
+    asOf.orElse(currentSnapshot(spark, path)) match {
+      case None => Some(0L)
+      case Some(n) =>
+        val files = readManifest(spark, path, n).values.flatten.toSeq
+        if (files.exists(_.rows.isEmpty)) None
+        else Some(files.flatMap(_.rows).sum)
+    }
+
   /** One shard's SIGNATURE phase for the tightened scatter-gather
     * ([[VectorIndex.queryManyApprox]]): stats-pruned, cell-ring-probed
     * (radius-bounded by `hdBound` when given — see the `maxRing`
     * soundness note on [[VectorIndex.selectProbeFiles]]),
     * Hamming-ranked candidates WITH their distances (the global pool
-    * needs them), legacy ids, or the shard's exact/empty fallback. */
+    * needs them), legacy ids, or the shard's exact/empty fallback.
+    * `fileTarget` overrides the probed-row coverage target (default
+    * `shortlist * ProbeOversample`) — the two-phase parallel gather's
+    * PRELIMINARY pass covers only its per-shard share of the global
+    * shortlist; ranking and fallback thresholds stay on `shortlist`
+    * either way. */
   private[graft] def shardSigPhase(q: Array[Float], k: Int, shortlist: Int,
-      filter: Option[Column], hdBound: Option[Int]): ShardPhase =
+      filter: Option[Column], hdBound: Option[Int],
+      fileTarget: Option[Long] = None): ShardPhase =
     currentSnapshot(spark, path) match {
       case None => ShardEmpty
       case Some(n) =>
@@ -790,7 +844,7 @@ final class VectorIndex private (
           .getOrElse(meta.sigCellBits)
         val qsig = Ann.bitSignature64(q.map(_.toDouble), SigSeed)
         val files = selectProbeFiles(usable, bits, qsig,
-          shortlist.toLong * ProbeOversample, hdBound)
+          fileTarget.getOrElse(shortlist.toLong * ProbeOversample), hdBound)
         if (files.isEmpty) return ShardEmpty
         val raw0 = spark.read.option("mergeSchema", "true")
           .parquet(files.map(f => s"$path/$f"): _*)
@@ -819,7 +873,7 @@ final class VectorIndex private (
             .localCheckpoint(true)
           val legacy = sigs.filter(col("_bsig").isNull).select(col("id"))
             .localCheckpoint(true)
-          ShardCands(n, ranked, legacy, files.size, all.size)
+          ShardCands(n, ranked, legacy, files.size, all.size, files)
         } finally sigs.unpersist(blocking = false)
     }
 
@@ -1383,9 +1437,12 @@ object VectorIndex {
   /** No signatures / legacy-dominated: the shard's own exact top-k
     * (sufficient for the global top-k — distributed-IR merge). */
   private[graft] final case class ShardExact(rows: DataFrame) extends ShardPhase
-  /** Hamming-ranked candidates (id,_hd) + legacy ids + probe census. */
+  /** Hamming-ranked candidates (id,_hd) + legacy ids + probe census
+    * (`files` = the probed manifest paths, so the two-phase gather can
+    * account DISTINCT files across its phases). */
   private[graft] final case class ShardCands(snap: Long, ranked: DataFrame,
-      legacy: DataFrame, probedFiles: Int, totalFiles: Int) extends ShardPhase
+      legacy: DataFrame, probedFiles: Int, totalFiles: Int,
+      files: Seq[String]) extends ShardPhase
 
   /** Scatter-gather over the APPROX serving path (r18; TIGHTENED r19,
     * verdict item #6): at the 10^12-vector regime sharding exists
@@ -1400,32 +1457,87 @@ object VectorIndex {
     * `shortlist` >= the union's size makes the pool exhaustive and
     * the answer provably the exact global top-k (the q221 recovery).
     *
-    * THE TIGHTENING: shards probe SEQUENTIALLY, and once the pool
-    * holds `shortlist` candidates, its S-th-best Hamming distance
-    * becomes a bound later shards probe UNDER — their cell rings stop
-    * at that radius, so total probed files SHRINK vs N independent
-    * probes. Soundness is exact, not heuristic: a file's cell-prefix
-    * distance lower-bounds every contained row's full signature
-    * distance, so a pruned file provably holds no row that could
-    * enter the pool. (A SCORE bound cannot do this: cosine has no
-    * deterministic Hamming translation — score-based file pruning
-    * would be silent recall loss, the failure mode this module exists
-    * to refuse.) Per-shard fallbacks keep their r18 semantics: a
-    * no-signature or legacy-dominated shard contributes its exact
-    * top-k; a stats-refuted shard contributes nothing. A filtered
-    * gather that underfills k ESCALATES globally (shortlist doubles,
-    * bound recomputed), up to `maxEscalations`. */
+    * THE TIGHTENING (r19: sequential; r20: TWO-PHASE PARALLEL, the
+    * verdict's ask): once the candidate pool holds `shortlist` rows,
+    * its S-th-best Hamming distance becomes a bound probes run UNDER
+    * — their cell rings stop at that radius, so total probed files
+    * SHRINK vs N independent probes. Soundness is exact, not
+    * heuristic: a file's cell-prefix distance lower-bounds every
+    * contained row's full signature distance, so a pruned file
+    * provably holds no row that could enter the pool. (A SCORE bound
+    * cannot do this: cosine has no deterministic Hamming translation
+    * — score-based file pruning would be silent recall loss, the
+    * failure mode this module exists to refuse.)
+    *
+    * The r19 form probed shards one after another (bound evolving
+    * left to right), so serving latency was Σ(shards). The r20 form
+    * is two BARRIERED phases, each parallel across shards, so latency
+    * is max(shard) per phase:
+    *  1. PRELIMINARY (parallel, small): every shard probes only its
+    *     per-shard SHARE of the global coverage target
+    *     (`shortlist * ProbeOversample / N` rows of nearest cells) and
+    *     ranks what it read — enough that the POOLED candidates fill
+    *     `shortlist` whenever the union can fill it at all.
+    *  2. GLOBAL BOUND: the pooled S-th-best Hamming distance — from
+    *     genuine rows, so it upper-bounds the final S-th best.
+    *  3. BOUNDED (parallel, full): every candidate shard re-probes at
+    *     the full coverage target UNDER the bound; its candidate set
+    *     is the union of both phases' rows (phase 1's rows stay — a
+    *     coverage cut in phase 2 must not lose a row already in
+    *     hand). Every phase-3 probe runs bounded, so
+    *     [[lastManyBoundedProbes]] == candidate shards whenever the
+    *     pool filled. [[lastManyProbeFiles]] counts DISTINCT files
+    *     per shard across both phases.
+    * The final pool is the union's top-`shortlist` by (Hamming, id)
+    * exactly as before: any row at Hamming <= bound lives in a file
+    * whose cell ring <= bound (probed), and rows beyond the bound
+    * cannot displace a pool that already holds `shortlist` rows
+    * within it. `sequential = true` keeps the r19 single-threaded
+    * form — the reference implementation the parallel path is
+    * spec-compared against, and a debugging fallback.
+    *
+    * Per-shard fallbacks keep their r18 semantics: a no-signature or
+    * legacy-dominated shard contributes its exact top-k; a
+    * stats-refuted shard contributes nothing. A filtered gather that
+    * underfills k ESCALATES globally (shortlist doubles, bound
+    * recomputed), up to `maxEscalations`. */
   def queryManyApprox(idxs: Seq[VectorIndex], q: Array[Float], k: Int,
       shortlist: Int = 400, filter: Option[Column] = None,
-      maxEscalations: Int = 3): DataFrame = {
+      maxEscalations: Int = 3, sequential: Boolean = false): DataFrame = {
     require(idxs.nonEmpty, "queryManyApprox needs at least one index")
-    def once(sl: Int): (DataFrame, Boolean) = {
+    // shared gather tail: global pool -> per-shard rescore -> k-merge
+    def gather(exactParts: Seq[DataFrame],
+        candShards: Seq[(VectorIndex, Long, DataFrame, DataFrame)],
+        sl: Int): DataFrame = {
+      val pool = candShards.map(_._3).reduceOption(_.unionByName(_))
+      val globalIds = pool.map(_.orderBy(col("_hd"), col("id")).limit(sl)
+        .select(col("id")).localCheckpoint(true))
+      val rescoreParts = candShards.map { case (idx, snap, ranked, legacy) =>
+        // this shard rescores its pool members + its legacy rows
+        val mine = globalIds.map(g =>
+            ranked.select(col("id")).join(g, Seq("id"), "left_semi"))
+          .getOrElse(ranked.select(col("id")))
+        idx.shardRescore(snap,
+          mine.unionByName(legacy).distinct().localCheckpoint(true),
+          q, filter)
+      }
+      val parts = exactParts ++ rescoreParts
+      parts.reduceOption(_.unionByName(_))
+        .map(_.orderBy(col("score").desc, col("id")).limit(k)
+          .select(col("id"), col("score"), col("metadata")))
+        .getOrElse(emptyIndexDf(idxs.head.spark)
+          .select(col("id"), lit(0.0).as("score"), col("metadata")))
+    }
+    // r19 reference form: shards probe one after another, the bound
+    // evolving left to right
+    def onceSeq(sl: Int): (DataFrame, Boolean) = {
       lastManyProbeFiles = 0
       lastManyBoundedProbes = 0
       var pool: Option[DataFrame] = None // union of (id,_hd) so far
       var bound: Option[Int] = None
       val exactParts = Seq.newBuilder[DataFrame]
-      val candShards = Seq.newBuilder[(VectorIndex, ShardCands)]
+      val candShards =
+        Seq.newBuilder[(VectorIndex, Long, DataFrame, DataFrame)]
       var anyApprox = false
       idxs.foreach { idx =>
         idx.shardSigPhase(q, k, sl, filter, bound) match {
@@ -1435,7 +1547,7 @@ object VectorIndex {
             anyApprox = true
             lastManyProbeFiles += c.probedFiles
             if (bound.isDefined) lastManyBoundedProbes += 1
-            candShards += ((idx, c))
+            candShards += ((idx, c.snap, c.ranked, c.legacy))
             pool = Some(pool.map(_.unionByName(c.ranked)).getOrElse(c.ranked))
             val p = pool.get
             if (p.limit(sl).count() >= sl)
@@ -1443,31 +1555,90 @@ object VectorIndex {
                 .agg(max(col("_hd"))).head().getInt(0))
         }
       }
-      // the global pool: top-`sl` candidates across every shard
-      val globalIds = pool.map(_.orderBy(col("_hd"), col("id")).limit(sl)
-        .select(col("id")).localCheckpoint(true))
-      val rescoreParts = candShards.result().map { case (idx, c) =>
-        // this shard rescores its pool members + its legacy rows
-        val mine = globalIds.map(g =>
-            c.ranked.select(col("id")).join(g, Seq("id"), "left_semi"))
-          .getOrElse(c.ranked.select(col("id")))
-        idx.shardRescore(c.snap,
-          mine.unionByName(c.legacy).distinct().localCheckpoint(true),
-          q, filter)
-      }
-      val parts = exactParts.result() ++ rescoreParts
-      val res = parts.reduceOption(_.unionByName(_))
-        .map(_.orderBy(col("score").desc, col("id")).limit(k)
-          .select(col("id"), col("score"), col("metadata")))
-        .getOrElse(emptyIndexDf(idxs.head.spark)
-          .select(col("id"), lit(0.0).as("score"), col("metadata")))
-      (res, anyApprox)
+      (gather(exactParts.result(), candShards.result(), sl), anyApprox)
     }
+    // r20 two-phase parallel form
+    def oncePar(sl: Int): (DataFrame, Boolean) = {
+      lastManyProbeFiles = 0
+      lastManyBoundedProbes = 0
+      val n = idxs.size
+      // phase 1 exists to fill the pool with sl GOOD rows so a TIGHT
+      // bound exists: each shard covers `sl` rows of nearest cells
+      // (whole-ring selection overshoots anyway) — 1/ProbeOversample
+      // of the full coverage target, which stays phase 2's job, under
+      // the bound. A smaller share (sl/N) was tried and produces a
+      // WEAK bound: the pool's tail comes from far shards' nearest
+      // rows, the S-th best Hamming lands above every cell ring, and
+      // phase 2 prunes nothing. If the union is too small to fill the
+      // pool the bound stays None and phase 2 degenerates to the r18
+      // independent probes — correct, just unpruned.
+      val share = math.max(1L, sl.toLong)
+      val phase1 = inParallel(idxs)(idx =>
+        idx.shardSigPhase(q, k, sl, filter, None, Some(share)))
+      val pool1 = phase1.collect { case c: ShardCands => c.ranked }
+        .reduceOption(_.unionByName(_))
+      val bound: Option[Int] = pool1.flatMap { p =>
+        if (p.limit(sl).count() >= sl)
+          Some(p.orderBy(col("_hd"), col("id")).limit(sl)
+            .agg(max(col("_hd"))).head().getInt(0))
+        else None
+      }
+      // phase 2: candidate shards re-probe at full coverage UNDER the
+      // bound; exact/empty shards keep their phase-1 verdicts
+      val phase2 = inParallel(idxs.zip(phase1)) {
+        case (idx, c1: ShardCands) =>
+          (idx, Some(c1), idx.shardSigPhase(q, k, sl, filter, bound))
+        case (idx, other) => (idx, None, other)
+      }
+      val exactParts = Seq.newBuilder[DataFrame]
+      val candShards =
+        Seq.newBuilder[(VectorIndex, Long, DataFrame, DataFrame)]
+      var anyApprox = false
+      phase2.foreach {
+        case (_, None, ShardEmpty) => ()
+        case (_, None, ShardExact(rows)) => exactParts += rows
+        case (idx, Some(c1), c2: ShardCands) =>
+          anyApprox = true
+          lastManyProbeFiles += (c1.files ++ c2.files).distinct.size
+          if (bound.isDefined) lastManyBoundedProbes += 1
+          // union of both phases' rows: a coverage cut in phase 2 must
+          // not lose a row phase 1 already ranked
+          val ranked = c2.ranked.unionByName(c1.ranked)
+            .dropDuplicates("id").localCheckpoint(true)
+          val legacy = c2.legacy.unionByName(c1.legacy).distinct()
+            .localCheckpoint(true)
+          candShards += ((idx, c2.snap, ranked, legacy))
+        case (idx, Some(c1), ShardExact(rows)) =>
+          // phase 2 hit the legacy-dominated fallback: exact wins
+          anyApprox = true
+          lastManyProbeFiles += c1.files.size
+          exactParts += rows
+        case (_, Some(c1), ShardEmpty) =>
+          // every phase-2 ring exceeded the bound: phase 1's rows all
+          // sit beyond it too (row Hamming >= its file's ring), so the
+          // shard provably holds nothing the pool could keep
+          anyApprox = true
+          lastManyProbeFiles += c1.files.size
+          if (bound.isDefined) lastManyBoundedProbes += 1
+      }
+      (gather(exactParts.result(), candShards.result(), sl), anyApprox)
+    }
+    def once(sl: Int): (DataFrame, Boolean) =
+      if (sequential || idxs.size == 1) onceSeq(sl) else oncePar(sl)
     var sl = shortlist
     var (res, anyApprox) = once(sl)
     if (filter.isDefined && anyApprox) {
       var tries = 0
-      while (tries < maxEscalations && res.count() < k) {
+      // exhaustion exit (r20, the queryApprox discipline): once the
+      // shortlist covers the UNION's row count, every shard's pass
+      // ranked all of its rows — stop; unknown counts disable the exit.
+      val unionRows = idxs.map(_.snapshotRowCount(None))
+        .foldLeft(Option(0L)) {
+          case (Some(a), Some(b)) => Some(a + b)
+          case _ => None
+        }
+      while (tries < maxEscalations && unionRows.forall(sl < _) &&
+          res.count() < k) {
         sl *= 2
         tries += 1
         val r = once(sl)
@@ -1478,11 +1649,37 @@ object VectorIndex {
   }
 
   /** Diagnostics for the last [[queryManyApprox]]: total signature-
-    * phase files probed across shards, and how many shard probes ran
-    * UNDER an engaged global Hamming bound (0 = the pool never filled
-    * before the last shard — e.g. exact-recovery shortlists). */
+    * phase files probed across shards (DISTINCT per shard across the
+    * two-phase form's passes), and how many shard probes ran UNDER an
+    * engaged global Hamming bound (0 = the pool never filled — e.g.
+    * exact-recovery shortlists; == candidate shards in the parallel
+    * form whenever it did). */
   private[graft] var lastManyProbeFiles: Int = 0
   private[graft] var lastManyBoundedProbes: Int = 0
+
+  /** Run `f` over `items` on a bounded driver-side thread pool — the
+    * scatter phase's parallelism. Each shard's work is driver
+    * manifest/footer reads plus Spark ACTIONS (checkpoint, count);
+    * Spark's scheduler accepts jobs from any thread, so N shards'
+    * probes overlap and the phase's wall latency is max(shard), not
+    * Σ(shards). Pool size caps at 8: a probe is already a multi-task
+    * job, so more concurrent submitters than that just contend on the
+    * scheduler. Exceptions propagate to the caller (Await rethrows);
+    * single-item lists skip the pool entirely. */
+  private def inParallel[A, B](items: Seq[A])(f: A => B): Seq[B] =
+    if (items.size <= 1) items.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(items.size, 8))
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.traverse(items)(a =>
+            scala.concurrent.Future(f(a))),
+          scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
+    }
 
   /** Seed of the stored `_bsig` hyperplane signatures — fixed so every
     * snapshot (and the query side) hashes the same planes. */
@@ -1793,16 +1990,36 @@ object VectorIndex {
     *    first colliders).
     * After transport the merged id census (read off the copied files)
     * must equal the sum of the source censuses, else the copy was
-    * torn and the merge throws instead of committing. Sources should
-    * be quiescent for the duration: a concurrent source upsert's rows
-    * simply miss the merge, and a concurrent source GC fails the
-    * transport loudly (copy of a deleted file) rather than tearing
-    * it. */
+    * torn and the merge throws instead of committing.
+    *
+    * The merge holds the [[WriterLock]] lease on the OUTPUT and on
+    * EVERY SOURCE for the duration (r20): a second merge into the
+    * same target fails fast with WriterConflict instead of
+    * interleaving copies into a torn index. Sources should still be
+    * quiescent: a concurrent source upsert commits through the
+    * manifest CAS without touching this lease, so its rows simply
+    * miss the merge, and a concurrent source GC fails the transport
+    * loudly (copy of a deleted file) rather than tearing it. */
   def mergeIndexes(spark: SparkSession, srcPaths: Seq[String],
       out: String): VectorIndex = {
     require(srcPaths.size >= 2, "merge needs at least two source indexes")
     require(srcPaths.distinct.size == srcPaths.size,
       s"duplicate source paths: ${srcPaths.mkString(", ")}")
+    // output lease + every source lease for the transport's duration
+    // (the InvertedIndex.mergeIndexes discipline, r20): two concurrent
+    // merges into one target would both pass the must-be-empty check
+    // and interleave overwrite=true copies into a torn index — and the
+    // census reconcile cannot catch the tear when the racers copy the
+    // same sources. Regular upsert/delete keep their lock-free
+    // manifest CAS; only the merge, whose multi-file transport has no
+    // single commit point, needs the lease. withLock never waits, so
+    // a busy source fails fast (no deadlock ordering concern).
+    def locked[T](ps: List[String])(body: => T): T = ps match {
+      case Nil => body
+      case h :: t =>
+        WriterLock.withLock(spark, h, "vector mergeIndexes")(locked(t)(body))
+    }
+    locked((out +: srcPaths).toList) {
     val hconf = spark.sparkContext.hadoopConfiguration
     val outP = new Path(out)
     val fs = outP.getFileSystem(hconf)
@@ -1877,6 +2094,7 @@ object VectorIndex {
       writeManifest(spark, out, 1L,
         merged.toMap.map { case (b, v) => b -> (v: Seq[ManifestFile]) }, meta)
     new VectorIndex(spark, out, meta)
+    }
   }
 
   /** G2 create — idempotent like the reference's existence check

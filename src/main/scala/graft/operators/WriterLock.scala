@@ -32,15 +32,22 @@ import org.apache.spark.sql.SparkSession
   * renamed onto the lock path — so a lease either exists complete or
   * not at all, and two racing acquirers never write the same object.
   * Same-JVM races are decided exactly by a process-wide `putIfAbsent`
-  * gate; cross-JVM races by exists-check + the rename CAS:
-  * rename-onto-existing fails on HDFS and on the Hadoop object-store
-  * connectors (S3A/GCS reject a rename whose destination exists), so
-  * the discipline holds on exactly the filesystems the 100-TB
-  * deployment implies — the former create-no-overwrite acquisition
-  * was only atomic on HDFS. On a raw local FS POSIX rename silently
-  * replaces, so the exists-check narrows but cannot fully close the
-  * window; single JVM there, where the in-process gate is exact (the
-  * [[VectorIndex]] writeManifest caveat, verbatim).
+  * gate; cross-JVM races by exists-check + rename. The rename is a
+  * true CAS only on HDFS, where the NameNode atomically rejects a
+  * rename whose destination exists. The Hadoop object-store
+  * connectors (S3A/GCS) implement rename as a CLIENT-SIDE
+  * exists-check followed by copy+delete — not one atomic operation —
+  * so two JVMs racing through that window can both believe they hold
+  * the lease: on object stores the cross-JVM gate is BEST-EFFORT
+  * (it narrows the race to the copy window; the in-process
+  * `putIfAbsent` gate stays exact). Deployments that need an exact
+  * cross-JVM lease on S3/GCS should route acquisition through a
+  * conditional-write create (`If-None-Match: *`, which both stores
+  * support natively) or an external coordinator; the lease FORMAT
+  * here is compatible with either. A raw local FS has the same
+  * caveat (POSIX rename silently replaces); single JVM there, where
+  * the in-process gate is exact (the [[VectorIndex]] writeManifest
+  * caveat, verbatim).
   *
   * Crash recovery: a writer that crashes leaves the lease behind —
   * deliberately; silently expiring leases by wall-clock invites

@@ -993,14 +993,37 @@ object StreamOps {
         }
     }
 
-  /** DEDUP-ON-INGEST for the VECTOR index (r19) — [[vectorIndexIngest]]
-    * with the semantic gate in front, the vector edition of
-    * [[dedupedIngest]]: per micro-batch,
-    *  1. WITHIN-BATCH one-pass keep-first near-dedup — a row drops iff
-    *     a SMALLER-id row of the same batch reaches `threshold` cosine
-    *     (exact pairwise over the micro-batch, which is trigger-bounded
-    *     by construction; the batch side broadcasts so the pass is one
-    *     BNLJ, no shuffle);
+  /** DEDUP-ON-INGEST for the VECTOR index (r19; within-batch pass
+    * de-quadratified r20) — [[vectorIndexIngest]] with the semantic
+    * gate in front, the vector edition of [[dedupedIngest]]: per
+    * micro-batch,
+    *  1. WITHIN-BATCH keep-first near-dedup — a row drops iff a
+    *     SMALLER-id row of the same batch reaches `threshold` cosine.
+    *     The smaller-id row counts WHETHER OR NOT it was itself
+    *     dropped (a transitive chain A~B, B~C with ids A<B<C drops
+    *     BOTH B and C even when A!~C): the rule is "drops compare
+    *     against all smaller-id rows, kept or not" — one parallel
+    *     pass, no sequential kept-set dependence, and the committed
+    *     q241 oracle encodes exactly this.
+    *     COST (r20): candidate pairs come from a 4 x 16-bit band join
+    *     over the 64-bit hyperplane signature (the
+    *     [[graft.operators.Dedup]] simhash banding over
+    *     [[graft.operators.Ann.bitSignature64]]) with exact cosine
+    *     verifying only in-bucket pairs — O(batch + collisions), never
+    *     the batch^2 all-pairs BNLJ this pass ran through r19.
+    *     APPROXIMATION: pigeonhole guarantees a band match for any
+    *     pair within signature Hamming distance 3, so exact re-sends
+    *     and near-identical vectors always flag; a pair at cosine >=
+    *     `threshold` whose signatures differ in >= 4 bits in every
+    *     band can UNDER-flag (ingest a near-dup — the safe direction,
+    *     and the same contract the against-index pass already
+    *     carries). Verification is always exact cosine: the pre-pass
+    *     never OVER-flags.
+    *     VALVE: a micro-batch larger than `maxBatchRows` throws loudly
+    *     (the [[graft.operators.IntervalJoin]] maxCellsPerRow
+    *     discipline) instead of letting one unbounded trigger turn the
+    *     band join's in-bucket work quadratic — size the trigger, or
+    *     raise the valve deliberately.
     *  2. AGAINST-INDEX [[graft.operators.VectorIndex.nearDupAgainst]] —
     *     one batched knnJoin probe, batch-vs-corpus orientation: the
     *     index is never rescanned per row and never reshuffled;
@@ -1024,7 +1047,8 @@ object StreamOps {
     * verdicts exact. The within-batch pass is always exact. */
   def vectorDedupIngest(rows: DataFrame, indexPath: String, dim: Int,
       threshold: Double, shortlist: Int = 400,
-      numBuckets: Int = graft.operators.LayoutMeta.Unspecified)
+      numBuckets: Int = graft.operators.LayoutMeta.Unspecified,
+      maxBatchRows: Long = 1L << 21)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     rows.writeStream.outputMode("append").foreachBatch {
       (batch0: DataFrame, _: Long) =>
@@ -1042,15 +1066,44 @@ object StreamOps {
             .withColumn("_rn", row_number().over(w))
             .filter(col("_rn") === 1).drop("_rn")
             .localCheckpoint(eager = true)
-          val a = batch.select(col("id").as("_aid"),
-            col("values").cast("array<double>").as("_av"))
-          val withinDropped = batch
-            .select(col("id").as("_bid"),
-              col("values").cast("array<double>").as("_bv"))
-            .crossJoin(broadcast(a))
-            .filter(col("_aid") < col("_bid") &&
-              graft.functions.vectors.cosine(col("_av"), col("_bv"))
-                >= threshold)
+          val nRows = batch.count()
+          lastWithinBatchRows = nRows
+          if (nRows > maxBatchRows)
+            throw new IllegalStateException(
+              s"vectorDedupIngest: micro-batch of $nRows rows exceeds " +
+                s"maxBatchRows $maxBatchRows — one unbounded trigger " +
+                "would make the within-batch band join's in-bucket " +
+                "verify quadratic in the batch; bound the source " +
+                "trigger (maxFilesPerTrigger / maxOffsetsPerTrigger) " +
+                "or raise maxBatchRows deliberately")
+          // banded candidate generation (r20): 64-bit hyperplane
+          // signature (the index's own _bsig seed), 4 x 16-bit bands —
+          // only in-bucket pairs pay an exact cosine. The band join
+          // shuffles on the band key (no broadcast: the valve bounds
+          // the batch, AQE broadcasts small batches on its own).
+          val sigf = udf((v: Seq[Double]) =>
+            graft.operators.Ann.bitSignature64(v.toArray, 42L))
+          val sigs = batch
+            .select(col("id"), col("values").cast("array<double>").as("_v"))
+            .withColumn("_sig", sigf(col("_v")))
+          val banded = sigs.select(col("id"), col("_v"),
+            posexplode(array((0 until 4).map(b =>
+              shiftrightunsigned(col("_sig"), b * 16)
+                .bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("_band", "_bh")))
+          val cand = banded
+            .select(col("_band"), col("_bh"), col("id").as("_bid"),
+              col("_v").as("_bv"))
+            .join(banded.select(col("_band"), col("_bh"),
+              col("id").as("_aid"), col("_v").as("_av")),
+              Seq("_band", "_bh"))
+            .filter(col("_aid") < col("_bid"))
+            .select(col("_aid"), col("_av"), col("_bid"), col("_bv"))
+            .dropDuplicates("_aid", "_bid")
+            .localCheckpoint(eager = true)
+          lastWithinCandidatePairs = cand.count()
+          val withinDropped = cand
+            .filter(graft.functions.vectors.cosine(col("_av"), col("_bv"))
+              >= threshold)
             .select(col("_bid").as("id")).distinct()
           val within = batch.join(withinDropped, Seq("id"), "left_anti")
             .localCheckpoint(eager = true)
@@ -1071,6 +1124,13 @@ object StreamOps {
         }
     }
 
+  /** Diagnostics for the last [[vectorDedupIngest]] micro-batch: rows
+    * after the id collapse, and banded candidate pairs the exact
+    * cosine verify actually paid for (the number the r20 pre-pass
+    * exists to keep << rows^2). */
+  private[graft] var lastWithinBatchRows: Long = 0L
+  private[graft] var lastWithinCandidatePairs: Long = 0L
+
   /** STREAMING TOKEN-BUDGET ADMISSION (r19) — the continuous form of
     * [[graft.operators.Sampling.tokenBudgetSample]] (q177), built on
     * Spark 4's `transformWithState` API (the arbitrary-state surface
@@ -1089,9 +1149,24 @@ object StreamOps {
     * is admitted, everything after drops), and emits its post-admit
     * cumulative total for auditability. State is one Long per group —
     * O(groups), never O(docs). Requires the RocksDB state store
-    * provider (transformWithState's backend). */
+    * provider (transformWithState's backend).
+    *
+    * A group key ABSENT from `budgets` gets `defaultBudget`, which
+    * defaults to 0 — absent means "no quota", and a recipe that
+    * enumerates its mixture should not silently pass-through a group
+    * it never budgeted (an unanticipated `lang` value flooding the
+    * ingest is the failure this operator exists to stop). The
+    * trade-off is that a TYPO'D key also admits zero docs — silently
+    * from the stream's perspective, loudly in the emitted audit rows
+    * (the group simply never appears). Callers that prefer
+    * pass-through for unlisted groups set `defaultBudget =
+    * Long.MaxValue`; callers that want a hard error should validate
+    * the incoming group domain upstream (state sees keys one at a
+    * time, so the processor itself cannot distinguish a typo from a
+    * legitimately unbudgeted group). */
   def tokenBudgetIngest(docs: DataFrame, groupCol: String, idCol: String,
-      tokCol: String, budgets: Map[String, Long])
+      tokCol: String, budgets: Map[String, Long],
+      defaultBudget: Long = 0L)
       : org.apache.spark.sql.Dataset[(String, Long, Long, Long)] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -1099,7 +1174,7 @@ object StreamOps {
         col(tokCol).cast("long"))
       .as[(String, Long, Long)]
       .groupByKey(_._1)
-      .transformWithState(new TokenBudgetProcessor(budgets),
+      .transformWithState(new TokenBudgetProcessor(budgets, defaultBudget),
         org.apache.spark.sql.streaming.TimeMode.None(),
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
@@ -1124,8 +1199,11 @@ object StreamOps {
   * group's rows buffer and sort by id before admission, so the
   * admitted set is a deterministic function of (state, batch content)
   * — never of shuffle arrival order. The q177 crossing rule: a doc is
-  * admitted iff the running total BEFORE it is under budget. */
-private[streaming] class TokenBudgetProcessor(budgets: Map[String, Long])
+  * admitted iff the running total BEFORE it is under budget. A key
+  * absent from `budgets` gets `defaultBudget` (see
+  * [[StreamOps.tokenBudgetIngest]] for the zero-default rationale). */
+private[streaming] class TokenBudgetProcessor(budgets: Map[String, Long],
+    defaultBudget: Long = 0L)
     extends org.apache.spark.sql.streaming.StatefulProcessor[
       String, (String, Long, Long), (String, Long, Long, Long)] {
   @transient private var used: org.apache.spark.sql.streaming.ValueState[Long] = _
@@ -1140,7 +1218,7 @@ private[streaming] class TokenBudgetProcessor(budgets: Map[String, Long])
       rows: Iterator[(String, Long, Long)],
       timerValues: org.apache.spark.sql.streaming.TimerValues)
       : Iterator[(String, Long, Long, Long)] = {
-    val budget = budgets.getOrElse(key, 0L)
+    val budget = budgets.getOrElse(key, defaultBudget)
     var u = if (used.exists()) used.get() else 0L
     val out = rows.toSeq.sortBy(_._2).flatMap { case (g, id, tok) =>
       if (u < budget) { u += tok; Some((g, id, tok, u)) } else None

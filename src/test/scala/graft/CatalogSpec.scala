@@ -198,4 +198,40 @@ class CatalogSpec extends AnyFunSuite {
     }
     assert(e.getMessage.toLowerCase.contains("nope"))
   }
+
+  test("graft_bm25 table function: SQL FROM clause scores bit-identically to the API; literal refusals (r20)") {
+    import graft.operators.InvertedIndex
+    val base = java.nio.file.Files.createTempDirectory("graft_tvf").toString
+    val docs = Seq(
+      (1L, "vector join hash common words"),
+      (2L, "vector vector join other text"),
+      (3L, "hash only here"),
+      (4L, "nothing relevant at all"),
+      (5L, "join hash vector join")).toDF("doc_id", "text")
+    InvertedIndex.writeIndex(docs, "doc_id", "text", s"$base/pidx",
+      buckets = 4)
+    graft.functions.TableFunctions.register(spark)
+    val viaSql = spark.sql(
+      s"SELECT doc, score FROM graft_bm25('$base/pidx', 'vector join', 10)")
+      .as[(Long, Double)].collect().toSeq
+    val viaApi = InvertedIndex.bm25Search(spark, s"$base/pidx",
+      Seq("vector", "join"), k = 10).as[(Long, Double)].collect().toSeq
+    assert(viaSql == viaApi,
+      "the SQL TVF must be the API plan — same rows, same doubles, same order")
+    // composes with other relations (the RAG join shape)
+    docs.createOrReplaceTempView("tvf_docs")
+    val joined = spark.sql(
+      s"""SELECT d.text, r.score FROM graft_bm25('$base/pidx', 'vector join', 3) r
+         |JOIN tvf_docs d ON d.doc_id = r.doc ORDER BY r.score DESC""".stripMargin)
+    assert(joined.count() == 3)
+    // non-literal arguments refuse loudly (they parameterize analysis)
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_bm25('$base/pidx', lower(rand()), 3)")
+        .collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(c => Option(c.getMessage)
+      .exists(_.contains("must be a literal"))), e.getMessage)
+  }
 }

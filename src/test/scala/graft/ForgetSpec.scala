@@ -291,4 +291,54 @@ class ForgetSpec extends AnyFunSuite {
     assert(spark.read.parquet(corpus).select("doc_id").as[Long]
       .collect().sorted.toSeq == Seq(1L, 3L, 4L, 6L, 11L))
   }
+
+  test("minhash mergeIndexes: merged drop set equals the union-built index's; refusals loud (r20)") {
+    import graft.operators.{Dedup, MinhashIndex}
+    val root = Files.createTempDirectory("graft_mh_merge").toString
+    // epoch shards: docs 1-6 and 7-12; batch 20-23 contains a
+    // near-dup of doc 2 (shard a), a near-dup of doc 9 (shard b) and
+    // two fresh docs — the merged index must catch BOTH epochs' dups
+    def prep(rows: Seq[(Long, String)]) = Dedup.prepareMinhash(
+      rows.toDF("doc_id", "text"), "doc_id", "text")
+    val epochA = (1L to 6L).map(i => (i, text(i.toInt)))
+    val epochB = (7L to 12L).map(i => (i, text(i.toInt)))
+    MinhashIndex.append(prep(epochA), s"$root/a", buckets = 4)
+    MinhashIndex.append(prep(epochB), s"$root/b", buckets = 4)
+    MinhashIndex.mergeIndexes(spark, Seq(s"$root/a", s"$root/b"), s"$root/m")
+    // union-built reference index (one append of both epochs)
+    MinhashIndex.append(prep(epochA ++ epochB), s"$root/u", buckets = 4)
+    assert(MinhashIndex.payloadCount(spark, s"$root/m") == 12L)
+    val batch = Seq((20L, text(2) + " tail"), (21L, text(9) + " tail"),
+      (22L, text(40)), (23L, text(41)))
+    def drops(idx: String) = MinhashIndex.drops(spark, idx, prep(batch))
+      .as[Long].collect().toSet
+    val m = drops(s"$root/m")
+    assert(m == drops(s"$root/u"),
+      "merged index must flag exactly what the union-built index flags")
+    assert(m == Set(20L, 21L),
+      s"both epochs' near-dups must drop, fresh docs survive: $m")
+    // merged index stays fully writable: append lands, delete works
+    MinhashIndex.append(prep(Seq((30L, text(50)))), s"$root/m")
+    assert(MinhashIndex.payloadCount(spark, s"$root/m") == 13L)
+    assert(MinhashIndex.delete(spark, s"$root/m", Seq(30L).toDF("_id")) == 1L)
+    // overlap refusal: shard a shares every id with the union index
+    val ex = intercept[MinhashIndex.OverlappingSources] {
+      MinhashIndex.mergeIndexes(spark, Seq(s"$root/a", s"$root/u"),
+        s"$root/m2")
+    }
+    assert(ex.getMessage.contains("share doc ids"))
+    // non-empty target refusal
+    intercept[IllegalArgumentException] {
+      MinhashIndex.mergeIndexes(spark, Seq(s"$root/a", s"$root/b"),
+        s"$root/m")
+    }
+    // layout refusal: a rebucketed source cannot merge with an
+    // un-rebucketed one
+    MinhashIndex.rebucket(spark, s"$root/a", 8)
+    val ex2 = intercept[IllegalArgumentException] {
+      MinhashIndex.mergeIndexes(spark, Seq(s"$root/a", s"$root/b"),
+        s"$root/m3")
+    }
+    assert(ex2.getMessage.contains("bucket layouts differ"))
+  }
 }

@@ -948,6 +948,17 @@ class IngestIndexSpec extends AnyFunSuite {
     assert(byQ.values.forall(rows => rows.length == 3 &&
       rows.forall(_.getString(2).endsWith("0"))),
       "every filtered result must satisfy the filter and fill k")
+    // EXHAUSTION EXIT (r20): a filter whose true answer has < k rows,
+    // probed with a shortlist already covering the whole index (60
+    // rows) — the first attempt ranked every row, so escalation can
+    // never grow the result and must not fire at all
+    val scarce = idx.knnJoin(queries, "qid", "qv", k = 3, shortlist = 60,
+      filter = Some($"id" === "v-7"))
+    assert(scarce.count() == 3 &&
+      scarce.select("id").as[String].collect().forall(_ == "v-7"),
+      "each query's true filtered answer is the single matching row")
+    assert(idx.lastKnnEscalations == 0,
+      "an exhaustive first attempt must suppress every escalation")
     // a predicate every file's stats refute: provably-empty, no probe
     assert(idx.knnJoin(queries, "qid", "qv", k = 2,
       filter = Some($"metadata.chunk_index" === 99)).count() == 0)
@@ -1099,6 +1110,28 @@ class IngestIndexSpec extends AnyFunSuite {
     val filtered = VectorIndex.queryManyApprox(shards, base, 5,
       shortlist = 32, filter = Some($"metadata.chunk_index" === 0))
     assert(filtered.count() == 5)
+
+    // ---- r20 TWO-PHASE PARALLEL vs the r19 sequential reference ----
+    // answers bit-unchanged on this fixture, every candidate shard's
+    // full probe runs UNDER the global bound (== shards), and distinct
+    // probed files do not exceed the sequential form's
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val par = rows(VectorIndex.queryManyApprox(shards, base, 10,
+      shortlist = 32))
+    val parBounded = VectorIndex.lastManyBoundedProbes
+    val parFiles = VectorIndex.lastManyProbeFiles
+    val seq = rows(VectorIndex.queryManyApprox(shards, base, 10,
+      shortlist = 32, sequential = true))
+    val seqFiles = VectorIndex.lastManyProbeFiles
+    assert(par == seq,
+      s"parallel gather must serve the sequential answer bit-unchanged")
+    assert(parBounded == shards.size,
+      s"every candidate shard's full probe must run under the global " +
+        s"bound: $parBounded of ${shards.size}")
+    assert(parFiles <= seqFiles,
+      s"two-phase probing must not read more files than the " +
+        s"sequential form: $parFiles vs $seqFiles")
   }
 
   test("four mixed racers (2 upserts, delete, rebucket): versions linearize, every effect lands or surfaces typed, no orphans") {

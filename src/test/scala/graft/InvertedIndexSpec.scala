@@ -470,6 +470,54 @@ class InvertedIndexSpec extends AnyFunSuite {
     } finally { gate.countDown(); holder.join() }
   }
 
+  test("sharded phrase/proximity/boolean probes equal the merged index; validateShards certifies and refuses overlap") {
+    val base = java.nio.file.Files.createTempDirectory("graft_shlex").toString
+    val d = docs((1L to 30L).map { i =>
+      val tail = if (i % 3 == 0) "hash value alpha hash value"
+        else if (i % 3 == 1) "vector x join y hash end"
+        else "vector join other hash words"
+      i -> s"doc$i common $tail token$i"
+    }: _*)
+    InvertedIndex.writeIndex(d.filter($"doc_id" % 2 === 0), "doc_id", "text",
+      s"$base/a", buckets = 4)
+    InvertedIndex.writeIndex(d.filter($"doc_id" % 2 === 1), "doc_id", "text",
+      s"$base/b", buckets = 4)
+    InvertedIndex.mergeIndexes(spark, s"$base/a", s"$base/b", s"$base/m")
+    val shards = Seq(s"$base/a", s"$base/b")
+    // certification: disjoint set passes and returns the total census
+    assert(InvertedIndex.validateShards(spark, shards) == 30L)
+    // phrase: sharded == merged, bit for bit
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc").collect().toSeq
+    assert(rows(InvertedIndex.phraseSearchSharded(spark, shards,
+        Seq("hash", "value")))
+      == rows(InvertedIndex.phraseSearchIndexed(spark, s"$base/m",
+        Seq("hash", "value"))))
+    // proximity: ordered within slop, across the shard boundary
+    assert(rows(InvertedIndex.proximitySearchSharded(spark, shards,
+        Seq("vector", "join", "hash"), slop = 2))
+      == rows(InvertedIndex.proximitySearchIndexed(spark, s"$base/m",
+        Seq("vector", "join", "hash"), slop = 2)))
+    // boolean: AND + NOT, the exclusion leg also shard-served
+    assert(rows(InvertedIndex.booleanSearchSharded(spark, shards,
+        must = Seq("vector", "join"), mustNot = Seq("hash")))
+      == rows(InvertedIndex.booleanSearchIndexed(spark, s"$base/m",
+        must = Seq("vector", "join"), mustNot = Seq("hash"))))
+    // boolean sanity on the fixture: i%3==1 docs have vector+join+hash
+    // (excluded); i%3==2 docs have vector+join+hash too — so only docs
+    // where 'hash' is absent survive; none here. Use a NOT-free probe
+    // to prove non-emptiness of the conjunction leg itself.
+    assert(InvertedIndex.booleanSearchSharded(spark, shards,
+      must = Seq("vector", "join")).count() == 20L)
+    // overlap refusal: a shard set sharing a doc is not servable
+    InvertedIndex.writeIndex(d.filter($"doc_id" <= 10), "doc_id", "text",
+      s"$base/c", buckets = 4)
+    val ex = intercept[InvertedIndex.OverlappingSources] {
+      InvertedIndex.validateShards(spark, Seq(s"$base/a", s"$base/c"))
+    }
+    assert(ex.getMessage.contains("shard set shares doc ids"))
+  }
+
   test("snippets: best window by distinct-term coverage, earliest-start tiebreak, indexed == in-memory") {
     val d = docs(
       1L -> "cat x x x mat x cat mat",  // window 3: starts 5 and 7 both

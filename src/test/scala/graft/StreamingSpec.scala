@@ -1581,6 +1581,110 @@ class StreamingSpec extends AnyFunSuite {
     assert(!ids.contains("w-2") && !ids.contains("dup-5"))
   }
 
+  test("vectorDedupIngest r20 pre-pass: banded candidate pairs << batch^2, twins still drop") {
+    import graft.operators.VectorIndex
+    val base = Files.createTempDirectory("graft_vdedup_band")
+    val src = base.resolve("src"); Files.createDirectories(src)
+    val ipath = s"$base/vidx"
+    // 200 spread 16-dim vectors (integer-mixed coordinates, so the
+    // 64-bit signatures spread too) + one planted twin pair
+    def recs(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select(concat(lit("v-"), $"id").as("id"),
+        array((0 until 16).map(j =>
+          ((($"id" + 1) * lit(j * 2654435761L + 97)) % 1000)
+            .cast("float")): _*).as("values"),
+        struct(lit(0).as("chunk_index"), lit("t").as("source")).as("metadata"))
+    def copyOf(newId: String, srcId: Long) = recs(srcId, srcId + 1)
+      .withColumn("id", lit(newId))
+    def land(name: String, df: DataFrame): Unit = {
+      val tmp = base.resolve(s"stage_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, src.resolve(s"$name.parquet"))
+    }
+    land("b1", recs(0, 200)
+      .unionByName(copyOf("w-1", 300)).unionByName(copyOf("w-2", 300)))
+    val stream = spark.readStream.schema(recs(0, 1).schema).parquet(src.toString)
+    val q = StreamOps.vectorDedupIngest(stream, ipath, dim = 16,
+      threshold = 0.9999, shortlist = 1 << 20).start()
+    q.processAllAvailable()
+    q.stop()
+    val n = StreamOps.lastWithinBatchRows
+    val allPairs = n * (n - 1) / 2
+    assert(n == 202L, s"batch rows $n")
+    assert(StreamOps.lastWithinCandidatePairs < allPairs / 10,
+      s"banding must cut the exact-cosine pass: " +
+        s"${StreamOps.lastWithinCandidatePairs} candidates vs " +
+        s"$allPairs all-pairs")
+    val ids = VectorIndex.open(spark, ipath).scan()
+      .select("id").as[String].collect().toSet
+    assert(ids.contains("w-1") && !ids.contains("w-2"),
+      "keep-first must still drop the planted twin through the pre-pass")
+    // the integer-mixed fixture lands one coincidental near-dup pair
+    // (v-66 against a smaller id at >= 0.9999 cosine) — the exact
+    // verify may legitimately drop a handful of such rows; the planted
+    // twin assertions above carry the semantics
+    assert(ids.size >= 195 && ids.size <= 201,
+      s"expected ~201 survivors, got ${ids.size}")
+  }
+
+  test("vectorDedupIngest r20 semantics: drops compare against ALL smaller-id rows, kept or not") {
+    import graft.operators.VectorIndex
+    val base = Files.createTempDirectory("graft_vdedup_chain")
+    val src = base.resolve("src"); Files.createDirectories(src)
+    val ipath = s"$base/vidx"
+    // chain fixture: a-0 at angle 0, b-1 at 1.5deg, c-2 at 3deg —
+    // cos(a,b) = cos(b,c) = cos(1.5deg) ~ 0.99966 >= 0.999;
+    // cos(a,c) = cos(3deg) ~ 0.99863 < 0.999. The documented rule
+    // drops BOTH b-1 (near kept a-0) and c-2 (near DROPPED b-1, which
+    // still counts), even though c-2 is not near any KEPT row.
+    def vecAt(deg: Double) = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r).toFloat, math.sin(r).toFloat, 0f, 0f)
+    }
+    val rows = Seq(("a-0", vecAt(0)), ("b-1", vecAt(1.5)), ("c-2", vecAt(3)))
+      .toDF("id", "values")
+      .select($"id", $"values",
+        struct(lit(0).as("chunk_index"), lit("t").as("source")).as("metadata"))
+    val tmp = base.resolve("stage_b1")
+    rows.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = tmp.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+    Files.copy(part.toPath, src.resolve("b1.parquet"))
+    val stream = spark.readStream.schema(rows.schema).parquet(src.toString)
+    val q = StreamOps.vectorDedupIngest(stream, ipath, dim = 4,
+      threshold = 0.999, shortlist = 1 << 20).start()
+    q.processAllAvailable()
+    q.stop()
+    val ids = VectorIndex.open(spark, ipath).scan()
+      .select("id").as[String].collect().toSet
+    assert(ids == Set("a-0"),
+      s"transitive chain must drop b-1 AND c-2 (drops compare against " +
+        s"all smaller-id rows, kept or not): $ids")
+  }
+
+  test("vectorDedupIngest valve: a micro-batch over maxBatchRows fails loudly") {
+    val base = Files.createTempDirectory("graft_vdedup_valve")
+    val src = base.resolve("src"); Files.createDirectories(src)
+    def recs(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select(concat(lit("v-"), $"id").as("id"),
+        array($"id".cast("float"), lit(1f), lit(2f), lit(3f)).as("values"),
+        struct(lit(0).as("chunk_index"), lit("t").as("source")).as("metadata"))
+    val tmp = base.resolve("stage_b1")
+    recs(0, 50).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = tmp.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+    Files.copy(part.toPath, src.resolve("b1.parquet"))
+    val stream = spark.readStream.schema(recs(0, 1).schema).parquet(src.toString)
+    val q = StreamOps.vectorDedupIngest(stream, s"$base/vidx", dim = 4,
+      threshold = 0.9999, maxBatchRows = 10L).start()
+    val ex = intercept[Exception] { q.processAllAvailable() }
+    q.stop()
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(ex).exists(c =>
+      Option(c.getMessage).exists(_.contains("maxBatchRows"))),
+      s"valve must name maxBatchRows: ${ex.getMessage}")
+  }
+
   test("tokenBudgetIngest: transformWithState enforces per-group token budgets across micro-batches") {
     val base = Files.createTempDirectory("graft_stream_tbi")
     val src = base.resolve("src"); Files.createDirectories(src)
@@ -1615,8 +1719,11 @@ class StreamingSpec extends AnyFunSuite {
         ("fr", 1L, 6L, 6L)), s"b1 admissions wrong: $afterB1")
       // b2: en doc 3 crosses (8 < 10 -> admit at cum 12); en doc 4 and
       // fr doc 2 arrive over-budget and drop — the state REMEMBERED
-      // b1's totals across the batch boundary
-      land("b2", Seq(("en", 3L, 4L), ("en", 4L, 1L), ("fr", 2L, 1L)))
+      // b1's totals across the batch boundary. "de" has NO budget
+      // entry: the documented zero-default admits nothing (an
+      // unanticipated group must not flood the recipe)
+      land("b2", Seq(("en", 3L, 4L), ("en", 4L, 1L), ("fr", 2L, 1L),
+        ("de", 1L, 5L)))
       q.processAllAvailable()
       q.stop()
       val afterB2 = spark.table("tbi_out")

@@ -184,4 +184,39 @@ class WriterLockSpec extends AnyFunSuite {
     gate.countDown(); holder.join()
     assert(MinhashIndex.compact(spark, dir, minFiles = 1) >= 0)
   }
+
+  test("VectorIndex.mergeIndexes takes the lease on output and sources (r20)") {
+    import graft.operators.VectorIndex
+    val base = Files.createTempDirectory("graft_wl_vmerge").toString
+    def build(p: String, lo: Long, hi: Long): Unit =
+      VectorIndex.ensure(spark, p, 4).upsert(
+        spark.range(lo, hi).select(concat(lit("v-"), $"id").as("id"),
+          array($"id".cast("float"), lit(1f), lit(2f), lit(3f)).as("values"),
+          struct(lit(0).as("chunk_index"), lit("t").as("source"))
+            .as("metadata")))
+    build(s"$base/s0", 0, 10)
+    build(s"$base/s1", 10, 20)
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    def holding(path: String)(body: => Unit): Unit = {
+      val t = new Thread(() =>
+        WriterLock.withLock(spark, path, "vmerge-holder") {
+          entered.countDown(); gate.await()
+        })
+      t.start(); entered.await()
+      try body finally { gate.countDown(); t.join() }
+    }
+    // a busy SOURCE fails the merge fast (quiescence made loud)
+    holding(s"$base/s1") {
+      intercept[WriterLock.WriterConflict] {
+        VectorIndex.mergeIndexes(spark, Seq(s"$base/s0", s"$base/s1"),
+          s"$base/m0")
+      }
+    }
+    // ...and the failed attempt released every lease it DID take (out
+    // + s0 were acquired before s1 conflicted): the merge now succeeds
+    val merged = VectorIndex.mergeIndexes(spark,
+      Seq(s"$base/s0", s"$base/s1"), s"$base/m0")
+    assert(merged.scan().count() == 20L)
+  }
 }
