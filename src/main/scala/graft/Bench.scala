@@ -308,6 +308,23 @@ object Bench {
     // q247 two isolated runs (2.704/2.350) — two shard builds + the
     // file-transport merge + one stats-pruned catalog SQL read
     "q247" -> (1.645, 3.800),
+    // r20 gates, two isolated quiet-host runs each (load1 2-3, gc 0).
+    // q248/q249/q250 (0.44/0.50, 0.54/0.53, 0.46/0.56): sharded
+    // lexical PROBES against the memoized certified shard pair — the
+    // builds land in warmup, the gates time scatter-gather serving
+    "q248" -> (0.308, 0.825), "q249" -> (0.371, 0.879),
+    "q250" -> (0.322, 0.906),
+    // q251 (4.98/6.20): lifecycle gate — two epoch MinHash index
+    // builds + file-transport merge + the batch-vs-corpus drops probe
+    "q251" -> (3.486, 8.520),
+    // q252/q253/q254 (0.67/0.83, 0.63/0.78, 1.13/1.38): the pure
+    // serving-latency probes against standing memoized indexes — ANN
+    // single query, BM25, batched kNN (5 queries, one job)
+    "q252" -> (0.469, 1.270), "q253" -> (0.441, 1.203),
+    "q254" -> (0.791, 2.013),
+    // q255 (0.52/0.62): the graft_bm25 SQL TVF probe (q253's plan
+    // reached through the table-function registry)
+    "q255" -> (0.364, 0.987),
     // q234 two isolated runs (1.040/1.064)
     "q234" -> (0.728, 1.586),
     // q235 two isolated runs (4.53/4.82) — two half-corpus index

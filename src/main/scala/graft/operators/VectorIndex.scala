@@ -1584,8 +1584,15 @@ object VectorIndex {
         else None
       }
       // phase 2: candidate shards re-probe at full coverage UNDER the
-      // bound; exact/empty shards keep their phase-1 verdicts
+      // bound; exact/empty shards keep their phase-1 verdicts. A shard
+      // whose PRELIMINARY probe already scanned every file it has
+      // skips the re-probe outright — phase 1 was exhaustive, so its
+      // ranked top-sl already IS the shard's contribution (small
+      // shards hit this constantly; re-probing them would make the
+      // two-phase form strictly slower than sequential there).
       val phase2 = inParallel(idxs.zip(phase1)) {
+        case (idx, c1: ShardCands) if c1.probedFiles == c1.totalFiles =>
+          (idx, None, c1: ShardPhase)
         case (idx, c1: ShardCands) =>
           (idx, Some(c1), idx.shardSigPhase(q, k, sl, filter, bound))
         case (idx, other) => (idx, None, other)
@@ -1597,16 +1604,31 @@ object VectorIndex {
       phase2.foreach {
         case (_, None, ShardEmpty) => ()
         case (_, None, ShardExact(rows)) => exactParts += rows
+        case (idx, None, c1: ShardCands) =>
+          // exhaustive phase 1 (every file scanned): already the
+          // shard's full contribution, no bounded re-probe needed
+          anyApprox = true
+          lastManyProbeFiles += c1.probedFiles
+          if (bound.isDefined) lastManyBoundedProbes += 1
+          candShards += ((idx, c1.snap, c1.ranked, c1.legacy))
         case (idx, Some(c1), c2: ShardCands) =>
           anyApprox = true
           lastManyProbeFiles += (c1.files ++ c2.files).distinct.size
           if (bound.isDefined) lastManyBoundedProbes += 1
-          // union of both phases' rows: a coverage cut in phase 2 must
-          // not lose a row phase 1 already ranked
-          val ranked = c2.ranked.unionByName(c1.ranked)
-            .dropDuplicates("id").localCheckpoint(true)
-          val legacy = c2.legacy.unionByName(c1.legacy).distinct()
-            .localCheckpoint(true)
+          // phase 2's files normally cover phase 1's (8x the row
+          // target, same ring order) — then its ranked list alone IS
+          // the shard's top-sl and the union below would be two wasted
+          // jobs per shard; union only on a genuine coverage cut (the
+          // bound or target stopped phase 2's ring loop short of a
+          // phase-1 ring), where a row already in hand must not drop
+          val ranked =
+            if (c1.files.toSet.subsetOf(c2.files.toSet)) c2.ranked
+            else c2.ranked.unionByName(c1.ranked)
+              .dropDuplicates("id").localCheckpoint(true)
+          val legacy =
+            if (c1.files.toSet.subsetOf(c2.files.toSet)) c2.legacy
+            else c2.legacy.unionByName(c1.legacy).distinct()
+              .localCheckpoint(true)
           candShards += ((idx, c2.snap, ranked, legacy))
         case (idx, Some(c1), ShardExact(rows)) =>
           // phase 2 hit the legacy-dominated fallback: exact wins
@@ -1650,10 +1672,12 @@ object VectorIndex {
 
   /** Diagnostics for the last [[queryManyApprox]]: total signature-
     * phase files probed across shards (DISTINCT per shard across the
-    * two-phase form's passes), and how many shard probes ran UNDER an
-    * engaged global Hamming bound (0 = the pool never filled — e.g.
-    * exact-recovery shortlists; == candidate shards in the parallel
-    * form whenever it did). */
+    * two-phase form's passes), and how many candidate shards' full
+    * probes ran UNDER an engaged global Hamming bound — or provably
+    * needed no bounded re-probe because the preliminary pass already
+    * scanned every file the shard has (0 = the pool never filled —
+    * e.g. exact-recovery shortlists; == candidate shards in the
+    * parallel form whenever it did). */
   private[graft] var lastManyProbeFiles: Int = 0
   private[graft] var lastManyBoundedProbes: Int = 0
 
