@@ -325,6 +325,15 @@ object Bench {
     // q255 (0.52/0.62): the graft_bm25 SQL TVF probe (q253's plan
     // reached through the table-function registry)
     "q255" -> (0.364, 0.987),
+    // q256/q257/q258 (0.76/0.86, 1.55/1.82, 0.82/0.81): the remaining
+    // lexical scatter probes (tf-idf, more-like-this, snippets)
+    // against the memoized certified shard pair
+    "q256" -> (0.532, 1.311), "q257" -> (1.085, 2.607),
+    "q258" -> (0.567, 1.257),
+    // q259 (4.29/4.65): the sharded-hybrid capstone — both RAG legs
+    // scatter-gather standing shard sets (the vector leg's exact-
+    // recovery shortlist over two parity shards dominates)
+    "q259" -> (3.003, 6.428),
     // q234 two isolated runs (1.040/1.064)
     "q234" -> (0.728, 1.586),
     // q235 two isolated runs (4.53/4.82) — two half-corpus index

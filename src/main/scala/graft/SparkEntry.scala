@@ -375,6 +375,26 @@ object SparkEntry {
       out
     })
 
+  /** Memoized PAIR of parity-shard vector indexes (r20): the q259
+    * sharded-hybrid gate serves the vector leg from a standing shard
+    * set via queryManyApprox — builds are the fixture, the gate times
+    * the scatter-gather probes. */
+  private val shardedVidxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+  private def shardedVidxFor(s: SparkSession, dir: String): Seq[String] =
+    shardedVidxCache.computeIfAbsent(s"${s.sparkContext.applicationId}:$dir", _ => {
+      import s.implicits._
+      val base = freshScratch("svidx_fixture")
+      def recs(parity: Int) = t(s, dir, "embeddings")
+        .filter($"vec_id" % 2 === parity)
+        .select($"vec_id".cast("string").as("id"), $"embedding".as("values"),
+          struct(lit(0).as("chunk_index"), lit("uploaded_pdf").as("source"))
+            .as("metadata"))
+      graft.operators.VectorIndex.ensure(s, s"$base/a", 64).upsert(recs(0))
+      graft.operators.VectorIndex.ensure(s, s"$base/b", 64).upsert(recs(1))
+      Seq(s"$base/a", s"$base/b")
+    })
+
   private val postingsIdxCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def postingsIdxFor(s: SparkSession, dir: String): String =
@@ -4181,6 +4201,74 @@ object SparkEntry {
     // manifest stats (the merge copies each file's recorded stats
     // verbatim, so catalog stats-refutation works with zero footer
     // re-reads). The oracle is blind to sharding, merge, and catalog.
+    // SHARDED HYBRID RETRIEVAL (r20, the capstone composition): q244's
+    // full RAG query path — BM25 + vector ANN fused by reciprocal rank
+    // — where BOTH legs serve from SHARDED standing state with no
+    // physical merge anywhere: the lexical leg scatter-gathers the
+    // certified postings pair (global N/Σdl/df, local scoring), the
+    // vector leg runs the two-phase parallel queryManyApprox over the
+    // parity vector shards at exact-recovery shortlist. Oracle is
+    // q244's verbatim, blind to ALL of it — one bit of drift in either
+    // leg's scatter or the fuse changes the hash.
+    "q259_hybrid_scatter" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val lex = graft.operators.InvertedIndex.bm25SearchSharded(s,
+          shardedPidxFor(s, dir), Seq("vector", "join", "hash"), k = 10000)
+        .select($"doc".as("doc_id"),
+          floor($"score" * lit(1000000.0)).cast("long").as("score_u"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy($"score_u".desc, $"doc_id")))
+        .filter($"rank" <= 50)
+        .select($"doc_id", $"rank")
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter($"vec_id" === 1).select($"embedding")
+        .as[Array[Float]].head()
+      val shards = shardedVidxFor(s, dir)
+        .map(graft.operators.VectorIndex.open(s, _))
+      val vec = graft.operators.VectorIndex.queryManyApprox(shards, qv,
+          k = 50, shortlist = 1 << 20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy($"score".desc, $"id".cast("long"))))
+        .select($"id".cast("long").as("doc_id"), $"rank")
+      graft.operators.TextAnalytics.rrfFuse(lex, vec, "doc_id", "rank",
+        c = 60, k = 10)
+    }),
+
+    // SHARDED TF-IDF / MORE-LIKE-THIS / SNIPPETS (r20, completing the
+    // lexical scatter family): every remaining index-served retrieval
+    // scorer now scatter-gathers across the memoized certified shard
+    // pair — TF-IDF and MLT gather their corpus constants (N from the
+    // shard rollups, per-term df from the term-pruned probes) and
+    // scatter the scoring; snippets is purely per-doc so the union IS
+    // the protocol. Oracles are q180/q204/q226's verbatim: one bit of
+    // drift from the whole-corpus scorer changes the hash.
+    "q256_tfidf_scatter" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.InvertedIndex.tfidfSearchSharded(s,
+          shardedPidxFor(s, dir), Seq("vector", "join", "hash"), k = 20)
+        .select($"doc".as("doc_id"), $"score")
+    }),
+
+    "q257_mlt_scatter" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val qText = docs.filter($"doc_id" === 7).select($"text")
+        .head().getString(0)
+      graft.operators.InvertedIndex.moreLikeThisSharded(s,
+          shardedPidxFor(s, dir), qText, k = 15, excludeDoc = Some(7L))
+        .select($"doc".as("doc_id"), $"score")
+    }),
+
+    "q258_snippets_scatter" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.InvertedIndex.snippetsSharded(s,
+          shardedPidxFor(s, dir), Seq("vector", "join", "hash"), window = 5)
+        .select($"doc".as("doc_id"), $"start".cast("long").as("start"),
+          $"n_terms")
+        .orderBy($"doc_id")
+    }),
+
     // SERVING-LATENCY PROBE GATES (r20, the r19 verdict's ask): the
     // bench's index gates time LIFECYCLES (build + probe); these three
     // time the pure PER-QUERY serving cost against a standing MEMOIZED
@@ -7077,6 +7165,131 @@ object SparkEntry {
         |        ORDER BY score DESC, doc_id LIMIT 20)
         |SELECT doc_id, CAST(FLOOR(score * 1000000.0) AS BIGINT) AS score_u
         |FROM top ORDER BY score_u DESC, doc_id""".stripMargin,
+
+    // q244's oracle verbatim: both legs sharded, the fused head must
+    // still be the whole-corpus answer bit-for-bit
+    "q259_hybrid_scatter" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS dl,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM toks
+        |       WHERE term IN ('vector','join','hash') GROUP BY 1, 2, 3),
+        |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n,
+        |        CAST(SUM(len(list_filter(string_split_regex(lower(text),
+        |          '[^a-z0-9]+'), x -> x <> ''))) AS DOUBLE)
+        |          / CAST(COUNT(*) AS DOUBLE) AS avgdl
+        |      FROM documents),
+        |per AS (
+        |  SELECT doc_id, term,
+        |    ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |        / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf AS DOUBLE) * (1.2 + 1.0)
+        |         / (CAST(tf AS DOUBLE)
+        |            + 1.2 * ((1.0 - 0.75)
+        |                     + 0.75 * CAST(dl AS DOUBLE) / avgdl))) AS s
+        |  FROM tf JOIN dfx USING (term) CROSS JOIN n),
+        |sc AS (
+        |  SELECT doc_id,
+        |    COALESCE(MAX(CASE WHEN term = 'vector' THEN s END), 0) AS s0,
+        |    COALESCE(MAX(CASE WHEN term = 'join' THEN s END), 0) AS s1,
+        |    COALESCE(MAX(CASE WHEN term = 'hash' THEN s END), 0) AS s2
+        |  FROM per GROUP BY 1),
+        |lex AS (
+        |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY su DESC, doc_id) AS r
+        |  FROM (SELECT doc_id,
+        |          CAST(FLOOR((s0 + s1 + s2) * 1000000.0) AS BIGINT) AS su
+        |        FROM sc ORDER BY su DESC, doc_id LIMIT 50)),
+        |vec AS (
+        |  SELECT vec_id AS doc_id,
+        |    ROW_NUMBER() OVER (ORDER BY score DESC, vec_id) AS r
+        |  FROM (SELECT e.vec_id,
+        |          list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |            (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+        |             WHERE vec_id = 1)) AS score
+        |        FROM embeddings e ORDER BY score DESC, vec_id LIMIT 50))
+        |SELECT doc_id,
+        |  COALESCE(CAST(1 AS DOUBLE) / (60 + l.r), 0) +
+        |  COALESCE(CAST(1 AS DOUBLE) / (60 + v.r), 0) AS rrf
+        |FROM lex l FULL OUTER JOIN vec v USING (doc_id)
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+
+    // q180's oracle verbatim: the sharded TF-IDF answer must be the
+    // whole-corpus answer bit-for-bit
+    "q256_tfidf_scatter" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        |       WHERE term IN ('vector','join','hash') GROUP BY 1, 2),
+        |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |per AS (
+        |  SELECT doc_id, term,
+        |    CAST(tf AS DOUBLE) * CAST(n AS DOUBLE) / CAST(df AS DOUBLE) AS s
+        |  FROM tf JOIN dfx USING (term) CROSS JOIN n),
+        |sc AS (
+        |  SELECT doc_id,
+        |    COALESCE(MAX(CASE WHEN term = 'vector' THEN s END), 0) AS s0,
+        |    COALESCE(MAX(CASE WHEN term = 'join' THEN s END), 0) AS s1,
+        |    COALESCE(MAX(CASE WHEN term = 'hash' THEN s END), 0) AS s2
+        |  FROM per GROUP BY 1)
+        |SELECT doc_id, s0 + s1 + s2 AS score FROM sc
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // q204's oracle verbatim
+    "q257_mlt_scatter" ->
+      """WITH q AS (SELECT list_filter(string_split_regex(lower(text),
+        |      '[^a-z0-9]+'), x -> x <> '') AS tk
+        |  FROM documents WHERE doc_id = 7),
+        |qtf AS (SELECT t AS term, COUNT(*) AS qtf
+        |  FROM (SELECT unnest(tk) AS t FROM q) GROUP BY 1),
+        |toks AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        |  WHERE term IN (SELECT term FROM qtf) GROUP BY 1, 2),
+        |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |per AS (SELECT doc_id, term,
+        |    CAST(tf * qtf AS DOUBLE) * CAST(n AS DOUBLE) / CAST(df AS DOUBLE)
+        |      AS s
+        |  FROM tf JOIN qtf USING (term) JOIN dfx USING (term) CROSS JOIN n),
+        |sc AS (SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(s ORDER BY term)), (a, b) -> a + b) AS score
+        |  FROM per GROUP BY 1)
+        |SELECT doc_id, score FROM sc WHERE doc_id <> 7
+        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+
+    // q226's oracle verbatim
+    "q258_snippets_scatter" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |p AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos,
+        |    toks FROM tk),
+        |m AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, toks[pos] AS term
+        |  FROM p WHERE toks[pos] IN ('vector','join','hash')),
+        |cov AS (SELECT a.doc_id, a.pos AS start,
+        |    COUNT(DISTINCT b.term) AS n_terms
+        |  FROM m a JOIN m b ON a.doc_id = b.doc_id
+        |    AND b.pos >= a.pos AND b.pos < a.pos + 5
+        |  GROUP BY 1, 2),
+        |best AS (SELECT doc_id, start, n_terms,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY n_terms DESC, start ASC) AS rn
+        |  FROM cov)
+        |SELECT doc_id, start, n_terms FROM best WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
 
     // whole-corpus exact cosine top-10 (q236's replay for the
     // standing-index ANN probe; full shortlist = exact recovery)

@@ -510,8 +510,10 @@ object InvertedIndex {
       .agg(coalesce(sum(col("_n")), lit(0L)).as("_n"),
         coalesce(sum(col("_sumdl")), lit(0L)).as("_sumdl"))
     // pin each shard's term-pruned tf: it feeds BOTH the df gather and
-    // the scoring scatter (one probe per shard, not two)
-    val tfs = paths.map { p =>
+    // the scoring scatter (one probe per shard, not two). The pins are
+    // EAGER, so they run on the parallel scatter pool (r20): serialized
+    // they cost Σ(shards) wall time, overlapped max(shard)
+    val tfs = Par.inParallel(paths) { p =>
       readPostingsDl(spark, p, terms, LayoutMeta.Unspecified)
         .select(col("doc"), col("dl").as("_dl"), col("token").as("_term"))
         .groupBy(col("doc"), col("_dl"), col("_term"))
@@ -545,6 +547,104 @@ object InvertedIndex {
       .limit(k)
       .select(col("doc"), col("score"))
   }
+
+  /** TF-IDF top-k ACROSS N SHARD INDEXES with no physical merge (r20)
+    * — [[bm25SearchSharded]]'s discipline on the simpler scorer:
+    * gather the constants (corpus N summed from the shard stats
+    * rollups, per-term df summed from the term-pruned probes), scatter
+    * the scoring (each shard scores its own pinned tf against the
+    * broadcast globals — identical expression shapes to
+    * [[tfidfSearch]], the per-doc fold never crosses shards), merge
+    * k·shards rows. BIT-identical to [[tfidfSearch]] over the
+    * [[mergeIndexes]]-merged index. Disjointness is trusted per query
+    * ([[validateShards]] certifies the set once). */
+  def tfidfSearchSharded(spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String], terms: Seq[String], k: Int): DataFrame = {
+    TextAnalytics.validateTerms(terms)
+    require(paths.nonEmpty, "at least one shard index required")
+    val n = paths.map(p => corpusStats(spark, p))
+      .reduce(_ unionByName _)
+      .agg(coalesce(sum(col("_n")), lit(0L)).as("_n"))
+    val tfs = Par.inParallel(paths) { p =>
+      readPostings(spark, p, terms)
+        .select(col("doc"), col("token").as("_term"))
+        .groupBy(col("doc"), col("_term")).agg(count(lit(1)).as("_tf"))
+        .localCheckpoint(true)
+    }
+    val dfreq = tfs
+      .map(_.groupBy(col("_term")).agg(count(lit(1)).as("_c")))
+      .reduce(_ unionByName _)
+      .groupBy(col("_term")).agg(sum(col("_c")).as("_df"))
+    val perShardTopK = tfs.map { tf =>
+      val per = tf.join(broadcast(dfreq), "_term").crossJoin(broadcast(n))
+        .withColumn("_s", col("_tf").cast("double") *
+          col("_n").cast("double") / col("_df").cast("double"))
+      TextAnalytics.foldTermScores(per, "doc", terms)
+        .orderBy(col("score").desc, col("doc"))
+        .limit(k)
+    }
+    perShardTopK.reduce(_ unionByName _)
+      .orderBy(col("score").desc, col("doc"))
+      .limit(k)
+      .select(col("doc"), col("score"))
+  }
+
+  /** Lexical MORE-LIKE-THIS across a disjoint shard set (r20): the
+    * [[moreLikeThis]] scorer with [[bm25SearchSharded]]'s gather/
+    * scatter protocol — the query document tokenizes DRIVER-side once,
+    * its distinct terms prune every shard's probe, corpus N sums from
+    * the shard rollups and per-term df from the probes, each shard
+    * scores its own postings (integer-exact tf·qtf products, sorted-
+    * term fold — the scorer's cross-engine contract is untouched) and
+    * keeps a local top-k. BIT-identical to [[moreLikeThis]] on the
+    * merged index. */
+  def moreLikeThisSharded(spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String], queryText: String, k: Int,
+      excludeDoc: Option[Long] = None): DataFrame = {
+    require(paths.nonEmpty, "at least one shard index required")
+    val toks = queryText.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    require(toks.nonEmpty, "moreLikeThisSharded query text has no tokens")
+    val qtf = toks.groupBy(identity).map { case (t, g) => t -> g.length.toLong }
+    val terms = qtf.keys.toSeq.sorted
+    val n = paths.map(p => corpusStats(spark, p))
+      .reduce(_ unionByName _)
+      .agg(coalesce(sum(col("_n")), lit(0L)).as("_n"))
+    val tfs = Par.inParallel(paths) { p =>
+      readPostings(spark, p, terms)
+        .select(col("doc"), col("token").as("_term"))
+        .groupBy(col("doc"), col("_term")).agg(count(lit(1)).as("_tf"))
+        .localCheckpoint(true)
+    }
+    val dfreq = tfs
+      .map(_.groupBy(col("_term")).agg(count(lit(1)).as("_c")))
+      .reduce(_ unionByName _)
+      .groupBy(col("_term")).agg(sum(col("_c")).as("_df"))
+    import spark.implicits._
+    val qw = terms.map(t => (t, qtf(t))).toDF("_term", "_qtf")
+    val perShardTopK = tfs.map { tf =>
+      val per = tf.join(broadcast(dfreq), "_term")
+        .join(broadcast(qw), "_term")
+        .crossJoin(broadcast(n))
+        .withColumn("_s", (col("_tf") * col("_qtf")).cast("double") *
+          col("_n").cast("double") / col("_df").cast("double"))
+      val scored = TextAnalytics.foldTermScores(per, "doc", terms)
+      excludeDoc.map(id => scored.filter(col("doc") =!= id)).getOrElse(scored)
+        .orderBy(col("score").desc, col("doc"))
+        .limit(k)
+    }
+    perShardTopK.reduce(_ unionByName _)
+      .orderBy(col("score").desc, col("doc"))
+      .limit(k)
+      .select(col("doc"), col("score"))
+  }
+
+  /** [[snippets]] across a disjoint shard set (r20): window selection
+    * is purely per-doc (positions self-join within each doc), so the
+    * sharded answer is the core over the unioned term-pruned probes —
+    * see [[phraseSearchSharded]] for the union argument. */
+  def snippetsSharded(spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String], terms: Seq[String], window: Int): DataFrame =
+    snippets(readPostingsSharded(spark, paths, terms), terms, window)
 
   /** CERTIFY a shard set's doc-disjointness (r20, the verdict's ask):
     * one [[MergeCensus.requireDisjoint]] pass over the shards' doclens

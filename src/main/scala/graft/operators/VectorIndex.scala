@@ -1402,7 +1402,9 @@ object VectorIndex {
   def queryMany(idxs: Seq[VectorIndex], q: Array[Float], k: Int,
       filter: Option[Column] = None): DataFrame = {
     require(idxs.nonEmpty, "queryMany needs at least one index")
-    idxs.map(_.query(q, k, filter)).reduce(_.unionByName(_))
+    // parallel scatter (r20): query() is lazy but pays a per-shard
+    // driver manifest read up front — overlap them
+    inParallel(idxs)(_.query(q, k, filter)).reduce(_.unionByName(_))
       .orderBy(col("score").desc, col("id"))
       .limit(k)
   }
@@ -1424,7 +1426,10 @@ object VectorIndex {
   def queryManyMatryoshka(idxs: Seq[VectorIndex], q: Array[Float], k: Int,
       shortlist: Int = 400, filter: Option[Column] = None): DataFrame = {
     require(idxs.nonEmpty, "queryManyMatryoshka needs at least one index")
-    idxs.map(_.queryMatryoshka(q, k, shortlist, filter))
+    // parallel scatter (r20): each shard's two-stage search runs EAGER
+    // phases (shortlist checkpoint, escalation counts) — serialized
+    // they cost Σ(shards) wall time, overlapped max(shard)
+    inParallel(idxs)(_.queryMatryoshka(q, k, shortlist, filter))
       .reduce(_.unionByName(_))
       .orderBy(col("score").desc, col("id"))
       .limit(k)
@@ -1681,29 +1686,10 @@ object VectorIndex {
   private[graft] var lastManyProbeFiles: Int = 0
   private[graft] var lastManyBoundedProbes: Int = 0
 
-  /** Run `f` over `items` on a bounded driver-side thread pool — the
-    * scatter phase's parallelism. Each shard's work is driver
-    * manifest/footer reads plus Spark ACTIONS (checkpoint, count);
-    * Spark's scheduler accepts jobs from any thread, so N shards'
-    * probes overlap and the phase's wall latency is max(shard), not
-    * Σ(shards). Pool size caps at 8: a probe is already a multi-task
-    * job, so more concurrent submitters than that just contend on the
-    * scheduler. Exceptions propagate to the caller (Await rethrows);
-    * single-item lists skip the pool entirely. */
+  /** The scatter phases' bounded driver-side parallelism — see
+    * [[Par.inParallel]] (shared with the lexical scatter family). */
   private def inParallel[A, B](items: Seq[A])(f: A => B): Seq[B] =
-    if (items.size <= 1) items.map(f)
-    else {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(items.size, 8))
-      try {
-        implicit val ec: scala.concurrent.ExecutionContext =
-          scala.concurrent.ExecutionContext.fromExecutor(pool)
-        scala.concurrent.Await.result(
-          scala.concurrent.Future.traverse(items)(a =>
-            scala.concurrent.Future(f(a))),
-          scala.concurrent.duration.Duration.Inf)
-      } finally pool.shutdown()
-    }
+    Par.inParallel(items)(f)
 
   /** Seed of the stored `_bsig` hyperplane signatures — fixed so every
     * snapshot (and the query side) hashes the same planes. */

@@ -509,6 +509,22 @@ class InvertedIndexSpec extends AnyFunSuite {
     // to prove non-emptiness of the conjunction leg itself.
     assert(InvertedIndex.booleanSearchSharded(spark, shards,
       must = Seq("vector", "join")).count() == 20L)
+    // tf-idf: gathered N/df + scattered scoring == merged, bit for bit
+    assert(rows(InvertedIndex.tfidfSearchSharded(spark, shards,
+        Seq("vector", "hash"), k = 30))
+      == rows(InvertedIndex.tfidfSearch(spark, s"$base/m",
+        Seq("vector", "hash"), k = 30)))
+    // more-like-this: driver-tokenized query doc, gathered constants
+    val qText = "vector join hash common doc3"
+    assert(rows(InvertedIndex.moreLikeThisSharded(spark, shards, qText,
+        k = 10, excludeDoc = Some(3L)))
+      == rows(InvertedIndex.moreLikeThis(spark, s"$base/m", qText,
+        k = 10, excludeDoc = Some(3L))))
+    // snippets: per-doc window selection over the unioned probes
+    assert(rows(InvertedIndex.snippetsSharded(spark, shards,
+        Seq("vector", "join", "hash"), window = 4))
+      == rows(InvertedIndex.snippetsIndexed(spark, s"$base/m",
+        Seq("vector", "join", "hash"), window = 4)))
     // overlap refusal: a shard set sharing a doc is not servable
     InvertedIndex.writeIndex(d.filter($"doc_id" <= 10), "doc_id", "text",
       s"$base/c", buckets = 4)
