@@ -334,6 +334,9 @@ object Bench {
     // scatter-gather standing shard sets (the vector leg's exact-
     // recovery shortlist over two parity shards dominates)
     "q259" -> (3.003, 6.428),
+    // q260 (0.38/0.39): the graft_knn SQL TVF probe (exact top-k
+    // against the memoized standing vector index)
+    "q260" -> (0.266, 0.677),
     // q234 two isolated runs (1.040/1.064)
     "q234" -> (0.728, 1.586),
     // q235 two isolated runs (4.53/4.82) — two half-corpus index

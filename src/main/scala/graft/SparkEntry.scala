@@ -4201,6 +4201,23 @@ object SparkEntry {
     // manifest stats (the merge copies each file's recorded stats
     // verbatim, so catalog stats-refutation works with zero footer
     // re-reads). The oracle is blind to sharding, merge, and catalog.
+    // SQL-NATIVE VECTOR SEARCH (r20, graft_bm25's vector sibling):
+    // exact top-k cosine from the standing snapshot index in a plain
+    // SQL FROM clause — graft_knn(index, 'f1,f2,...', k) resolves to
+    // the real VectorIndex.query plan (manifest-driven scan,
+    // TakeOrderedAndProject), so ANN serving composes with any
+    // relation. Shares q252's exact-recovery oracle: the SQL surface
+    // must rank bit-identically to the API.
+    "q260_sql_knn" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.TableFunctions.register(s)
+      val idxPath = vectorIdxFor(s, dir)
+      val qv = t(s, dir, "embeddings").filter($"vec_id" === 2)
+        .select($"embedding").as[Array[Float]].head()
+      s.sql(s"SELECT CAST(id AS BIGINT) AS vec_id " +
+        s"FROM graft_knn('$idxPath', '${qv.mkString(",")}', 10)")
+    }),
+
     // SHARDED HYBRID RETRIEVAL (r20, the capstone composition): q244's
     // full RAG query path — BM25 + vector ANN fused by reciprocal rank
     // — where BOTH legs serve from SHARDED standing state with no
@@ -7165,6 +7182,15 @@ object SparkEntry {
         |        ORDER BY score DESC, doc_id LIMIT 20)
         |SELECT doc_id, CAST(FLOOR(score * 1000000.0) AS BIGINT) AS score_u
         |FROM top ORDER BY score_u DESC, doc_id""".stripMargin,
+
+    // q252's oracle verbatim: the SQL TVF must rank bit-identically
+    // to the API's exact serving path
+    "q260_sql_knn" ->
+      """SELECT e.vec_id FROM embeddings e
+        |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 2)) DESC,
+        |  CAST(e.vec_id AS VARCHAR)
+        |LIMIT 10""".stripMargin,
 
     // q244's oracle verbatim: both legs sharded, the fused head must
     // still be the whole-corpus answer bit-for-bit

@@ -36,22 +36,36 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * query layer implies. */
 object TableFunctions {
 
-  /** Register `graft_bm25` on `spark`'s table-function registry.
-    * Idempotent (createOrReplace). */
-  def register(spark: SparkSession): Unit =
+  /** Register `graft_bm25` and `graft_knn` on `spark`'s table-function
+    * registry. Idempotent (createOrReplace). */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       "graft_bm25", (es: Seq[Expression]) => bm25Plan(es), "scala_udf")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "graft_knn", (es: Seq[Expression]) => knnPlan(es), "scala_udf")
+  }
 
   private def evalLit(es: Seq[Expression], i: Int, what: String): Any = {
     val e = es(i)
     require(e.foldable,
-      s"graft_bm25 argument $i ($what) must be a literal — it " +
-        "parameterizes analysis (which bucket dirs the probe lists), " +
-        s"so a per-row value cannot work; got: $e")
+      s"table function argument $i ($what) must be a literal — it " +
+        "parameterizes analysis (which index files the probe even " +
+        s"lists), so a per-row value cannot work; got: $e")
     val v = e.eval(null)
-    require(v != null, s"graft_bm25 argument $i ($what) must not be null")
+    require(v != null, s"table function argument $i ($what) must not be null")
     v
   }
+
+  private def evalInt(es: Seq[Expression], i: Int, what: String): Int =
+    evalLit(es, i, what) match {
+      case n: java.lang.Integer => n.intValue()
+      case l: java.lang.Long => l.intValue()
+      case s: java.lang.Short => s.intValue()
+      case b: java.lang.Byte => b.intValue()
+      case other => throw new IllegalArgumentException(
+        s"table function argument $i ($what) must be an integer literal, " +
+          s"got: $other")
+    }
 
   private def bm25Plan(es: Seq[Expression]): LogicalPlan = {
     require(es.length == 3,
@@ -60,16 +74,36 @@ object TableFunctions {
     val terms = evalLit(es, 1, "query_terms").toString
       .toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
     require(terms.nonEmpty, "graft_bm25 query_terms has no tokens")
-    val k = evalLit(es, 2, "k") match {
-      case i: java.lang.Integer => i.intValue()
-      case l: java.lang.Long => l.intValue()
-      case s: java.lang.Short => s.intValue()
-      case b: java.lang.Byte => b.intValue()
-      case other => throw new IllegalArgumentException(
-        s"graft_bm25 k must be an integer literal, got: $other")
-    }
+    val k = evalInt(es, 2, "k")
     graft.operators.InvertedIndex
       .bm25Search(SparkSession.active, path, terms, k)
       .queryExecution.logical
+  }
+
+  /** `graft_knn(index_path, query_vec, k)` — exact top-k cosine from
+    * the snapshot VECTOR index ([[graft.operators.VectorIndex.query]]:
+    * manifest-driven scan, TakeOrderedAndProject top-k, time-travel
+    * and metadata filtering stay API-side) as a SQL relation. The
+    * query vector arrives as a comma-separated float literal (SQL has
+    * no array literal a TVF argument position accepts across
+    * dialects); dimension is validated against the index meta before
+    * the plan builds, so a wrong-width vector refuses at analysis
+    * time, not as k empty rows. Columns: (id STRING, score DOUBLE,
+    * metadata STRUCT) — the index serving schema, scores bit-identical
+    * to the API path (gate q260 shares q252's exact-recovery
+    * oracle). */
+  private def knnPlan(es: Seq[Expression]): LogicalPlan = {
+    require(es.length == 3,
+      s"graft_knn(index_path, query_vec, k) takes 3 arguments, got ${es.length}")
+    val path = evalLit(es, 0, "index_path").toString
+    val qv = evalLit(es, 1, "query_vec").toString
+      .split(",").map(_.trim).filter(_.nonEmpty).map(_.toFloat)
+    require(qv.nonEmpty, "graft_knn query_vec has no components")
+    val k = evalInt(es, 2, "k")
+    val idx = graft.operators.VectorIndex.open(SparkSession.active, path)
+    require(qv.length == idx.meta.dimension,
+      s"graft_knn query_vec has ${qv.length} components, index at " +
+        s"$path stores ${idx.meta.dimension}-dim vectors")
+    idx.query(qv, k).queryExecution.logical
   }
 }

@@ -234,4 +234,50 @@ class CatalogSpec extends AnyFunSuite {
     assert(chain(e).exists(c => Option(c.getMessage)
       .exists(_.contains("must be a literal"))), e.getMessage)
   }
+
+  test("graft_knn table function: SQL FROM clause ranks bit-identically to the API; dim refusal at analysis (r20)") {
+    import graft.operators.VectorIndex
+    val base = java.nio.file.Files.createTempDirectory("graft_tvf_knn").toString
+    val idx = VectorIndex.ensure(spark, s"$base/vidx", 4)
+    idx.upsert(spark.range(0, 40)
+      .select(concat(lit("v-"), $"id").as("id"),
+        array($"id".cast("float"), ($"id" % 5).cast("float"),
+          lit(1f), lit(2f)).as("values"),
+        struct(lit(0).as("chunk_index"), lit("t").as("source"))
+          .as("metadata")))
+    graft.functions.TableFunctions.register(spark)
+    val qv = Array(17f, 2f, 1f, 2f)
+    val viaSql = spark.sql(
+      s"SELECT id, score FROM graft_knn('$base/vidx', '${qv.mkString(",")}', 6)")
+      .as[(String, Double)].collect().toSeq
+    val viaApi = idx.query(qv, 6).select($"id", $"score")
+      .as[(String, Double)].collect().toSeq
+    assert(viaSql == viaApi,
+      "the SQL TVF must be the API plan — same rows, same doubles, same order")
+    // composes: join the hits back to a relation
+    assert(spark.sql(
+      s"""SELECT r.id FROM graft_knn('$base/vidx', '${qv.mkString(",")}', 3) r
+         |JOIN (SELECT 'v-17' AS id) x ON x.id = r.id""".stripMargin)
+      .count() == 1)
+    // wrong-width query vector refuses at ANALYSIS, not as empty rows
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_knn('$base/vidx', '1.0,2.0', 3)")
+        .collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(c => Option(c.getMessage)
+      .exists(_.contains("components"))), e.getMessage)
+  }
+
+  test("Par.inParallel keeps order, propagates failures, handles singletons (r20)") {
+    import graft.operators.Par
+    assert(Par.inParallel(Seq(3))(_ * 2) == Seq(6))
+    assert(Par.inParallel(1 to 20)(i => i * i) == (1 to 20).map(i => i * i))
+    val e = intercept[IllegalStateException] {
+      Par.inParallel(Seq(1, 2, 3))(i =>
+        if (i == 2) throw new IllegalStateException("boom") else i)
+    }
+    assert(e.getMessage == "boom")
+  }
 }
