@@ -75,11 +75,16 @@ object Verify {
     * q184 SNM window), and the n-gram join family whose candidate
     * fan-out scales with corpus size (q118/q120/q220). Run at sf0.1
     * (`runMain graft.Verify /root/testdata/sf0.1 <out> --valves`) the
-    * valves demonstrably engage and the oracles still hash-match. */
+    * valves demonstrably engage and the oracles still hash-match.
+    * r20 adds q241: the streaming vector dedup's within-batch pass
+    * gained a banded candidate pre-pass + maxBatchRows valve — at
+    * sf0.1 its micro-batches carry 4x the rows and the oracle's exact
+    * pairwise replay must still match the banded verdicts. */
   val ValveGates: Set[String] = Set(
     "q31_minhash_dedup", "q33_ngram_dedup", "q75_minhash_clusters",
     "q87_dedup_against", "q118_decontaminate", "q119_semantic_dedup",
     "q120_decontaminate_fuzzy", "q126_exact_substr_dedup",
     "q130_exact_substr_against", "q184_snm_dedup", "q185_containment",
-    "q187_interval_join", "q212_cluster_best", "q220_split_contamination")
+    "q187_interval_join", "q212_cluster_best", "q220_split_contamination",
+    "q241_stream_vector_dedup")
 }
