@@ -59,7 +59,13 @@ object TableFunctions {
   private def evalInt(es: Seq[Expression], i: Int, what: String): Int =
     evalLit(es, i, what) match {
       case n: java.lang.Integer => n.intValue()
-      case l: java.lang.Long => l.intValue()
+      case l: java.lang.Long =>
+        // SQL integer literals can parse as BIGINT: refuse out-of-range
+        // values instead of silently truncating (2^32+1 must not serve
+        // as k=1 — the loud-analysis contract, r20 review)
+        require(l.longValue() >= Int.MinValue && l.longValue() <= Int.MaxValue,
+          s"table function argument $i ($what) is out of Int range: $l")
+        l.intValue()
       case s: java.lang.Short => s.intValue()
       case b: java.lang.Byte => b.intValue()
       case other => throw new IllegalArgumentException(

@@ -504,29 +504,11 @@ object InvertedIndex {
       paths: Seq[String], terms: Seq[String], k: Int, k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     TextAnalytics.validateTerms(terms)
-    require(paths.nonEmpty, "at least one shard index required")
-    val stats = paths.map(p => corpusStats(spark, p))
-      .reduce(_ unionByName _)
-      .agg(coalesce(sum(col("_n")), lit(0L)).as("_n"),
-        coalesce(sum(col("_sumdl")), lit(0L)).as("_sumdl"))
-    // pin each shard's term-pruned tf: it feeds BOTH the df gather and
-    // the scoring scatter (one probe per shard, not two). The pins are
-    // EAGER, so they run on the parallel scatter pool (r20): serialized
-    // they cost Σ(shards) wall time, overlapped max(shard)
-    val tfs = Par.inParallel(paths) { p =>
-      readPostingsDl(spark, p, terms, LayoutMeta.Unspecified)
-        .select(col("doc"), col("dl").as("_dl"), col("token").as("_term"))
-        .groupBy(col("doc"), col("_dl"), col("_term"))
-        .agg(count(lit(1)).as("_tf"))
-        .localCheckpoint(true)
-    }
-    val dfreq = tfs
-      .map(_.groupBy(col("_term")).agg(count(lit(1)).as("_c")))
-      .reduce(_ unionByName _)
-      .groupBy(col("_term")).agg(sum(col("_c")).as("_df"))
+    val (tfs, dfreq, totals) = shardedTfGather(spark, paths, terms,
+      withDl = true)
     val perShardTopK = tfs.map { tf =>
       val per = tf.join(broadcast(dfreq), "_term")
-        .crossJoin(broadcast(stats))
+        .crossJoin(broadcast(totals))
         .withColumn("_avgdl",
           col("_sumdl").cast("double") / col("_n").cast("double"))
         .withColumn("_idf",
@@ -542,11 +524,60 @@ object InvertedIndex {
         .orderBy(col("score").desc, col("doc"))
         .limit(k)
     }
-    perShardTopK.reduce(_ unionByName _)
+    mergeShardTopK(perShardTopK, k)
+  }
+
+  /** Shared scatter-gather scaffolding of the SCORED sharded probes
+    * ([[bm25SearchSharded]]/[[tfidfSearchSharded]]/
+    * [[moreLikeThisSharded]]) — factored (r20 review): three
+    * hand-copies of the gather were exactly the drift risk the scored
+    * families cannot afford, since every copy must stay
+    * expression-shape-identical for the oracles to hash-match.
+    *  - pin each shard's term-pruned tf on the [[Par]] pool (the pins
+    *    are EAGER checkpoints — serialized they cost Σ(shards) wall
+    *    time, overlapped max(shard)); one probe per shard feeds BOTH
+    *    the df gather and the scoring scatter;
+    *  - sum the global per-term df from the pinned tfs;
+    *  - sum the corpus totals (N, Σdl) from the O(batches) shard stats
+    *    rollups — `withDl = false` callers simply ignore `_sumdl`
+    *    (same `_n`, value-identical scores).
+    * `withDl` also carries the denormalized per-doc dl column BM25's
+    * saturation needs (and widens the tf key by it — dl is
+    * functionally dependent on doc, so the counts are unchanged). */
+  private def shardedTfGather(spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String], terms: Seq[String], withDl: Boolean)
+      : (Seq[DataFrame], DataFrame, DataFrame) = {
+    require(paths.nonEmpty, "at least one shard index required")
+    val tfs = Par.inParallel(paths) { p =>
+      val pruned =
+        if (withDl)
+          readPostingsDl(spark, p, terms, LayoutMeta.Unspecified)
+            .select(col("doc"), col("dl").as("_dl"), col("token").as("_term"))
+            .groupBy(col("doc"), col("_dl"), col("_term"))
+        else
+          readPostings(spark, p, terms)
+            .select(col("doc"), col("token").as("_term"))
+            .groupBy(col("doc"), col("_term"))
+      pruned.agg(count(lit(1)).as("_tf")).localCheckpoint(true)
+    }
+    val dfreq = tfs
+      .map(_.groupBy(col("_term")).agg(count(lit(1)).as("_c")))
+      .reduce(_ unionByName _)
+      .groupBy(col("_term")).agg(sum(col("_c")).as("_df"))
+    val totals = paths.map(p => corpusStats(spark, p))
+      .reduce(_ unionByName _)
+      .agg(coalesce(sum(col("_n")), lit(0L)).as("_n"),
+        coalesce(sum(col("_sumdl")), lit(0L)).as("_sumdl"))
+    (tfs, dfreq, totals)
+  }
+
+  /** The scored scatter probes' k-merge tail: k·shards rows in, the
+    * global (score desc, doc) top-k out. */
+  private def mergeShardTopK(perShard: Seq[DataFrame], k: Int): DataFrame =
+    perShard.reduce(_ unionByName _)
       .orderBy(col("score").desc, col("doc"))
       .limit(k)
       .select(col("doc"), col("score"))
-  }
 
   /** TF-IDF top-k ACROSS N SHARD INDEXES with no physical merge (r20)
     * — [[bm25SearchSharded]]'s discipline on the simpler scorer:
@@ -561,32 +592,18 @@ object InvertedIndex {
   def tfidfSearchSharded(spark: org.apache.spark.sql.SparkSession,
       paths: Seq[String], terms: Seq[String], k: Int): DataFrame = {
     TextAnalytics.validateTerms(terms)
-    require(paths.nonEmpty, "at least one shard index required")
-    val n = paths.map(p => corpusStats(spark, p))
-      .reduce(_ unionByName _)
-      .agg(coalesce(sum(col("_n")), lit(0L)).as("_n"))
-    val tfs = Par.inParallel(paths) { p =>
-      readPostings(spark, p, terms)
-        .select(col("doc"), col("token").as("_term"))
-        .groupBy(col("doc"), col("_term")).agg(count(lit(1)).as("_tf"))
-        .localCheckpoint(true)
-    }
-    val dfreq = tfs
-      .map(_.groupBy(col("_term")).agg(count(lit(1)).as("_c")))
-      .reduce(_ unionByName _)
-      .groupBy(col("_term")).agg(sum(col("_c")).as("_df"))
+    val (tfs, dfreq, totals) = shardedTfGather(spark, paths, terms,
+      withDl = false)
     val perShardTopK = tfs.map { tf =>
-      val per = tf.join(broadcast(dfreq), "_term").crossJoin(broadcast(n))
+      val per = tf.join(broadcast(dfreq), "_term")
+        .crossJoin(broadcast(totals))
         .withColumn("_s", col("_tf").cast("double") *
           col("_n").cast("double") / col("_df").cast("double"))
       TextAnalytics.foldTermScores(per, "doc", terms)
         .orderBy(col("score").desc, col("doc"))
         .limit(k)
     }
-    perShardTopK.reduce(_ unionByName _)
-      .orderBy(col("score").desc, col("doc"))
-      .limit(k)
-      .select(col("doc"), col("score"))
+    mergeShardTopK(perShardTopK, k)
   }
 
   /** Lexical MORE-LIKE-THIS across a disjoint shard set (r20): the
@@ -601,30 +618,18 @@ object InvertedIndex {
   def moreLikeThisSharded(spark: org.apache.spark.sql.SparkSession,
       paths: Seq[String], queryText: String, k: Int,
       excludeDoc: Option[Long] = None): DataFrame = {
-    require(paths.nonEmpty, "at least one shard index required")
     val toks = queryText.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
     require(toks.nonEmpty, "moreLikeThisSharded query text has no tokens")
     val qtf = toks.groupBy(identity).map { case (t, g) => t -> g.length.toLong }
     val terms = qtf.keys.toSeq.sorted
-    val n = paths.map(p => corpusStats(spark, p))
-      .reduce(_ unionByName _)
-      .agg(coalesce(sum(col("_n")), lit(0L)).as("_n"))
-    val tfs = Par.inParallel(paths) { p =>
-      readPostings(spark, p, terms)
-        .select(col("doc"), col("token").as("_term"))
-        .groupBy(col("doc"), col("_term")).agg(count(lit(1)).as("_tf"))
-        .localCheckpoint(true)
-    }
-    val dfreq = tfs
-      .map(_.groupBy(col("_term")).agg(count(lit(1)).as("_c")))
-      .reduce(_ unionByName _)
-      .groupBy(col("_term")).agg(sum(col("_c")).as("_df"))
+    val (tfs, dfreq, totals) = shardedTfGather(spark, paths, terms,
+      withDl = false)
     import spark.implicits._
     val qw = terms.map(t => (t, qtf(t))).toDF("_term", "_qtf")
     val perShardTopK = tfs.map { tf =>
       val per = tf.join(broadcast(dfreq), "_term")
         .join(broadcast(qw), "_term")
-        .crossJoin(broadcast(n))
+        .crossJoin(broadcast(totals))
         .withColumn("_s", (col("_tf") * col("_qtf")).cast("double") *
           col("_n").cast("double") / col("_df").cast("double"))
       val scored = TextAnalytics.foldTermScores(per, "doc", terms)
@@ -632,10 +637,7 @@ object InvertedIndex {
         .orderBy(col("score").desc, col("doc"))
         .limit(k)
     }
-    perShardTopK.reduce(_ unionByName _)
-      .orderBy(col("score").desc, col("doc"))
-      .limit(k)
-      .select(col("doc"), col("score"))
+    mergeShardTopK(perShardTopK, k)
   }
 
   /** [[snippets]] across a disjoint shard set (r20): window selection

@@ -602,14 +602,21 @@ final class VectorIndex private (
           // the remaining underfill is the filter's true answer, and
           // each further escalation would burn a full B x N signature
           // window plus rescore to recompute it. Unknown row counts
-          // disable the exit rather than risk a false stop.
+          // disable the exit rather than risk a false stop. The bound
+          // sums the PINNED manifest already in hand (the snapshot
+          // every attempt serves) — re-resolving the current snapshot
+          // here could see a concurrent shrink and fire a false exit
+          // against a larger pinned snapshot that escalation would
+          // still fill (r20 review).
           var tries = 0
           def underfilled(r: DataFrame): Boolean = {
             val filled = r.groupBy(col("query_id")).count()
               .filter(col("count") >= k).count()
             filled < nQueries // qids verified distinct above
           }
-          val totalRows = snapshotRowCount(None)
+          val totalRows =
+            if (all.exists(_.rows.isEmpty)) None
+            else Some(all.flatMap(_.rows).sum)
           while (tries < maxEscalations && totalRows.forall(sl < _) &&
               underfilled(res)) {
             sl *= 2
@@ -827,11 +834,15 @@ final class VectorIndex private (
     * `shortlist * ProbeOversample`) — the two-phase parallel gather's
     * PRELIMINARY pass covers only its per-shard share of the global
     * shortlist; ranking and fallback thresholds stay on `shortlist`
-    * either way. */
+    * either way. `pinSnap` serves a SPECIFIC retained snapshot instead
+    * of the current one — the parallel gather pins phase 2 to phase
+    * 1's snapshot, so one query never mixes two versions of the same
+    * shard when a writer commits between the phases (r20 review). */
   private[graft] def shardSigPhase(q: Array[Float], k: Int, shortlist: Int,
       filter: Option[Column], hdBound: Option[Int],
-      fileTarget: Option[Long] = None): ShardPhase =
-    currentSnapshot(spark, path) match {
+      fileTarget: Option[Long] = None,
+      pinSnap: Option[Long] = None): ShardPhase =
+    pinSnap.orElse(currentSnapshot(spark, path)) match {
       case None => ShardEmpty
       case Some(n) =>
         val manifest = readManifest(spark, path, n)
@@ -849,7 +860,8 @@ final class VectorIndex private (
         val raw0 = spark.read.option("mergeSchema", "true")
           .parquet(files.map(f => s"$path/$f"): _*)
         if (!raw0.columns.contains("_bsig"))
-          return ShardExact(query(q, k, filter).localCheckpoint(true))
+          return ShardExact(query(q, k, filter, asOf = pinSnap)
+            .localCheckpoint(true))
         val pushable = filter.filter(f =>
           filterRoots(f).exists(_.subsetOf(Set("id", "metadata"))))
         val raw = pushable.foldLeft(raw0)((df, f) => df.filter(f))
@@ -860,7 +872,8 @@ final class VectorIndex private (
           // over its exact scan (the ADVICE r12 argument, per shard)
           if (sigs.filter(col("_bsig").isNull).limit(shortlist).count()
               >= shortlist)
-            return ShardExact(query(q, k, filter).localCheckpoint(true))
+            return ShardExact(query(q, k, filter, asOf = pinSnap)
+            .localCheckpoint(true))
           val rankedAll = sigs.filter(col("_bsig").isNotNull)
             .withColumn("_hd",
               bit_count(col("_bsig").bitwiseXOR(lit(qsig))).cast("int"))
@@ -1478,11 +1491,12 @@ object VectorIndex {
     * left to right), so serving latency was Σ(shards). The r20 form
     * is two BARRIERED phases, each parallel across shards, so latency
     * is max(shard) per phase:
-    *  1. PRELIMINARY (parallel, small): every shard probes only its
-    *     per-shard SHARE of the global coverage target
-    *     (`shortlist * ProbeOversample / N` rows of nearest cells) and
-    *     ranks what it read — enough that the POOLED candidates fill
-    *     `shortlist` whenever the union can fill it at all.
+    *  1. PRELIMINARY (parallel, small): every shard probes only
+    *     `shortlist` ROWS of nearest cells — 1/ProbeOversample of the
+    *     full coverage target — and ranks what it read: enough that
+    *     the POOLED candidates fill `shortlist` with each shard's own
+    *     nearest rows whenever the union can fill it at all (a
+    *     smaller per-shard share gives a bound too weak to prune).
     *  2. GLOBAL BOUND: the pooled S-th-best Hamming distance — from
     *     genuine rows, so it upper-bounds the final S-th best.
     *  3. BOUNDED (parallel, full): every candidate shard re-probes at
@@ -1566,7 +1580,6 @@ object VectorIndex {
     def oncePar(sl: Int): (DataFrame, Boolean) = {
       lastManyProbeFiles = 0
       lastManyBoundedProbes = 0
-      val n = idxs.size
       // phase 1 exists to fill the pool with sl GOOD rows so a TIGHT
       // bound exists: each shard covers `sl` rows of nearest cells
       // (whole-ring selection overshoots anyway) — 1/ProbeOversample
@@ -1599,7 +1612,11 @@ object VectorIndex {
         case (idx, c1: ShardCands) if c1.probedFiles == c1.totalFiles =>
           (idx, None, c1: ShardPhase)
         case (idx, c1: ShardCands) =>
-          (idx, Some(c1), idx.shardSigPhase(q, k, sl, filter, bound))
+          // pin phase 2 to phase 1's snapshot: a writer committing
+          // between the phases must not make one query mix two
+          // versions of the same shard (r20 review)
+          (idx, Some(c1), idx.shardSigPhase(q, k, sl, filter, bound,
+            pinSnap = Some(c1.snap)))
         case (idx, other) => (idx, None, other)
       }
       val exactParts = Seq.newBuilder[DataFrame]

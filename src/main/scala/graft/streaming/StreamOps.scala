@@ -1044,7 +1044,10 @@ object StreamOps {
     * Approximation contract inherits [[VectorIndex.knnJoin]]'s: a
     * pruned `shortlist` can only UNDER-flag (ingest a near-dup — the
     * safe direction); `shortlist >= index size` makes the against-index
-    * verdicts exact. The within-batch pass is always exact. */
+    * verdicts exact. The within-batch pass carries the banded contract
+    * stated above: candidate generation can under-flag a pair whose
+    * signatures differ in >= 4 bits in every band, and the cosine
+    * VERIFY of every generated candidate is exact. */
   def vectorDedupIngest(rows: DataFrame, indexPath: String, dim: Int,
       threshold: Double, shortlist: Int = 400,
       numBuckets: Int = graft.operators.LayoutMeta.Unspecified,
@@ -1076,6 +1079,16 @@ object StreamOps {
                 "verify quadratic in the batch; bound the source " +
                 "trigger (maxFilesPerTrigger / maxOffsetsPerTrigger) " +
                 "or raise maxBatchRows deliberately")
+          // E2 up front (r20 review): a null or wrong-width vector
+          // must fail TYPED here, not as an opaque NPE inside the
+          // banding signature UDF (the knnJoin null-guard discipline;
+          // upsert would refuse the row anyway — refusing before the
+          // dedup passes costs one bounded count and names the problem)
+          if (batch.filter(col("values").isNull ||
+              size(col("values")) =!= dim).limit(1).count() > 0)
+            throw new graft.core.IngestError(
+              s"vectorDedupIngest: micro-batch contains a null or " +
+                s"wrong-dimension vector (index dimension $dim)")
           // banded candidate generation (r20): 64-bit hyperplane
           // signature (the index's own _bsig seed), 4 x 16-bit bands —
           // only in-bucket pairs pay an exact cosine. The band join
