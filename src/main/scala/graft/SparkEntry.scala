@@ -431,6 +431,52 @@ object SparkEntry {
       Seq(s"$base/a", s"$base/b")
     })
 
+  /** Memoized PAIR of EPOCH-shard MinHash dedup indexes (r20): the
+    * q261 sharded-drops gate serves dedup-on-ingest from a standing
+    * UNMERGED shard set — builds are the fixture (q251 already times
+    * the build+merge lifecycle), the gate times the scatter probe. The
+    * pair is certified once at build ([[graft.operators.MinhashIndex
+    * .validateShards]] — the certify-once contract the probe trusts). */
+  private val shardedMidxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+  private def shardedMidxFor(s: SparkSession, dir: String): Seq[String] =
+    shardedMidxCache.computeIfAbsent(s"${s.sparkContext.applicationId}:$dir", _ => {
+      import s.implicits._
+      val MI = graft.operators.MinhashIndex
+      val base = freshScratch("smidx_fixture")
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+      val maxId = docs.agg(max($"doc_id")).head().getLong(0)
+      val (c1, c2) = (maxId / 3, 2 * maxId / 3)
+      def prep(pred: Column) = graft.operators.Dedup.prepareMinhash(
+        docs.filter(pred), "doc_id", "text")
+      MI.append(prep($"doc_id" <= c1), s"$base/a", buckets = 8)
+      MI.append(prep($"doc_id" > c1 && $"doc_id" <= c2), s"$base/b",
+        buckets = 8)
+      MI.validateShards(s, Seq(s"$base/a", s"$base/b"))
+      Seq(s"$base/a", s"$base/b")
+    })
+
+  /** Memoized PAIR of vector shards holding the EVEN-id corpus split
+    * by `vec_id % 4` (r20): the q263 sharded dedup-on-ingest gate
+    * flags the ODD-id batch against this standing set — the q240
+    * batch-vs-corpus orientation with the corpus sharded. Builds are
+    * the fixture; the gate times the scatter probe. */
+  private val shardedEvenVidxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+  private def shardedEvenVidxFor(s: SparkSession, dir: String): Seq[String] =
+    shardedEvenVidxCache.computeIfAbsent(s"${s.sparkContext.applicationId}:$dir", _ => {
+      import s.implicits._
+      val base = freshScratch("sevidx_fixture")
+      def recs(rem: Int) = t(s, dir, "embeddings")
+        .filter($"vec_id" % 4 === rem)
+        .select($"vec_id".cast("string").as("id"), $"embedding".as("values"),
+          struct(lit(0).as("chunk_index"), lit("t").as("source"))
+            .as("metadata"))
+      graft.operators.VectorIndex.ensure(s, s"$base/a", 64).upsert(recs(0))
+      graft.operators.VectorIndex.ensure(s, s"$base/b", 64).upsert(recs(2))
+      Seq(s"$base/a", s"$base/b")
+    })
+
   // ---- r18 q201 build/probe split (verdict item #1): the 12.5s
   // composite — a full 3-micro-batch streaming dedup ingest THEN a
   // phrase probe — hid probe regressions behind streaming latency.
@@ -4218,6 +4264,182 @@ object SparkEntry {
         s"FROM graft_knn('$idxPath', '${qv.mkString(",")}', 10)")
     }),
 
+    // SHARDED MINHASH DEDUP-ON-INGEST (r20, the dedup family's
+    // scatter probe): the q251 question — which tail docs
+    // near-duplicate the first two epochs? — served from the two
+    // standing UNMERGED epoch shards: per-shard band-bucket probes,
+    // pairwise exact-Jaccard verify, drop sets unioned. The oracle is
+    // q251's verbatim (exact 3-shingle Jaccard batch-vs-union replay),
+    // blind to sharding — a drop found only via the physical merge
+    // would change the hash.
+    "q261_minhash_scatter" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+      val maxId = docs.agg(max($"doc_id")).head().getLong(0)
+      val c2 = 2 * maxId / 3
+      graft.operators.MinhashIndex.dropsSharded(s, shardedMidxFor(s, dir),
+          graft.operators.Dedup.prepareMinhash(docs.filter($"doc_id" > c2),
+            "doc_id", "text"))
+        .select($"_drop".as("doc_id"))
+        .orderBy($"doc_id")
+    }),
+
+    // SHARDED BATCH kNN JOIN (r20, the vector scatter family's last
+    // member): q239's whole-batch top-k question served from the two
+    // standing parity vector shards — per-shard batched signature
+    // pass + bucket-pruned rescore, one B·k·shards re-rank. Full
+    // shortlist makes every per-shard join exact, so the merged head
+    // is the exact batch answer: q239's whole-corpus oracle verbatim.
+    "q262_knn_join_scatter" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.VectorIndex
+      val emb = t(s, dir, "embeddings")
+      val shards = shardedVidxFor(s, dir).map(VectorIndex.open(s, _))
+      val queries = emb.filter($"vec_id".isin(3, 5, 7, 9, 11))
+        .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      VectorIndex.knnJoinSharded(shards, queries, "qid", "qv", k = 8,
+          shortlist = 1 << 20)
+        .select($"query_id", $"rank", $"id")
+        .orderBy($"query_id", $"rank")
+    }),
+
+    // SHARDED EMBEDDING DEDUP-ON-INGEST (r20): q240's semantic-dedup
+    // gate with the standing corpus SHARDED — flag every odd-id batch
+    // row whose nearest neighbor ACROSS the two even-id shards clears
+    // the threshold, one sharded k=1 join. q240's oracle verbatim
+    // (nearest-of-nearests over disjoint shards IS the global nearest).
+    "q263_ingest_neardup_scatter" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.VectorIndex
+      val emb = t(s, dir, "embeddings")
+      val shards = shardedEvenVidxFor(s, dir).map(VectorIndex.open(s, _))
+      val batch = emb.filter($"vec_id" % 2 === 1)
+        .select($"vec_id".as("bid"), $"embedding".as("bv"))
+      VectorIndex.nearDupAgainstSharded(shards, batch, "bid", "bv",
+          threshold = 0.2, shortlist = 1 << 20)
+        .select($"id", $"dup_of",
+          floor($"score" * lit(1000000.0)).cast("long").as("score_u"),
+          $"is_dup")
+        .orderBy($"id")
+    }),
+
+    // SHARDED PSEUDO-RELEVANCE FEEDBACK (r20): q228's Rocchio loop
+    // with BOTH retrieval rounds served by the certified shard pair —
+    // seed BM25 scatter, feedback-doc term mining (an id-pruned corpus
+    // point read; the postings index stores term→doc, not doc→term),
+    // expanded BM25 scatter. q228's whole-corpus oracle verbatim: one
+    // bit of drift in either round's scores, the micro-unit feedback
+    // cut, or the (fdf desc, term) expansion pick changes the hash.
+    "q264_prf_scatter" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.InvertedIndex.prfSearchSharded(s,
+          shardedPidxFor(s, dir), t(s, dir, "documents"), "doc_id", "text",
+          Seq("vector", "join"), fbDocs = 10, expand = 3, k = 15)
+        .select($"doc".as("doc_id"),
+          floor($"score" * lit(1000000.0)).cast("long").as("score_u"))
+        .orderBy($"score_u".desc, $"doc_id")
+    }),
+
+    // SHARDED MMR RERANK (r20): q231's maximal-marginal-relevance head
+    // rerank with the candidate pool recalled by the BM25 scatter
+    // instead of a corpus scan — the recall stage is the only corpus
+    // toucher in the q198/q211 architecture, so once IT serves sharded
+    // the whole diversify pipeline does. Pool selection replays q231's
+    // micro-unit cut over the scatter's bit-identical scores; q231's
+    // oracle verbatim.
+    "q265_mmr_scatter" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val pool = graft.operators.InvertedIndex.bm25SearchSharded(s,
+          shardedPidxFor(s, dir), Seq("vector", "join", "hash"), k = 10000)
+        .select($"doc".as("doc_id"),
+          floor($"score" * lit(1000000.0)).cast("long").as("rel_u"))
+        .orderBy($"rel_u".desc, $"doc_id")
+        .limit(12)
+      graft.operators.TextAnalytics.mmrRerank(pool, docs, "doc_id",
+          "text", "rel_u", k = 5, lambda = 0.5)
+        .orderBy($"pick")
+    }),
+
+    // SHARDED DIVERSIFIED TOP-K (r20): q230's per-source result cap
+    // over the scatter-recalled pool — group ranks and the global cut
+    // run on the INTEGER micro-unit scores, so serving the recall from
+    // shards changes nothing the oracle can see. q230's oracle
+    // verbatim.
+    "q266_diversified_scatter" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val scored = graft.operators.InvertedIndex.bm25SearchSharded(s,
+          shardedPidxFor(s, dir), Seq("vector", "join", "hash"), k = 10000)
+        .select($"doc".as("doc_id"),
+          floor($"score" * lit(1000000.0)).cast("long").as("score_u"))
+        .join(docs.select($"doc_id", $"source"), "doc_id")
+      graft.operators.TextAnalytics.diversifiedTopK(scored, "doc_id",
+          "source", "score_u", perGroup = 2, k = 10)
+        .select($"doc_id", $"source", $"score_u")
+        .orderBy($"score_u".desc, $"doc_id")
+    }),
+
+    // SQL-NATIVE SHARDED RETRIEVAL (r20, graft_bm25's scatter sibling):
+    // the q235 scatter-gather BM25 as a table-valued function — a
+    // `;`-separated shard-path list in a plain FROM clause resolves to
+    // the real bm25SearchSharded plan (per-shard term-pruned probes on
+    // the parallel pool, summed global constants, k-row merge), so a
+    // serving tier's standing shard set queries from SQL with no
+    // physical merge. q235's whole-corpus oracle verbatim: the SQL
+    // surface must score bit-identically to the API scatter.
+    "q267_sql_bm25_sharded" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.TableFunctions.register(s)
+      val paths = shardedPidxFor(s, dir).mkString(";")
+      s.sql(
+        s"""SELECT doc AS doc_id,
+           |  CAST(FLOOR(score * 1000000.0) AS BIGINT) AS score_u
+           |FROM graft_bm25_sharded('$paths', 'vector join hash', 20)
+           |ORDER BY score_u DESC, doc_id""".stripMargin)
+    }),
+
+    // EPOCH-ROLLOVER STREAMING VECTOR DEDUP-INGEST (r20, the q241
+    // pipeline against the sharded standing corpus): the even-id
+    // corpus lives in two FROZEN epoch shards; two micro-batches of
+    // odd-id vectors flow through vectorDedupIngestEpoch — within-batch
+    // keep-first (w-1/w-2 twins of vec 1 drop against it), dedup
+    // against frozen ∪ active in one sharded k=1 join (batch 2's
+    // dup-2 copy of FROZEN vec 2 drops; its re-send of vec 1
+    // self-flags against the ACTIVE epoch), survivors upsert into the
+    // active epoch ONLY — the frozen shards are probed, never written.
+    // The oracle replays all three rules per batch, blind to epochs,
+    // sharding, and streaming.
+    "q268_stream_epoch_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val scratch = freshScratch("q268")
+      val src = s"$scratch/src"
+      new java.io.File(src).mkdirs()
+      val emb = t(s, dir, "embeddings")
+      def recs(pred: Column) = emb.filter(pred).select(
+        $"vec_id".cast("string").as("id"), $"embedding".as("values"),
+        struct(lit(0).as("chunk_index"), lit("uploaded_pdf").as("source"))
+          .as("metadata"))
+      def copyOf(newId: String, vid: Long) =
+        recs($"vec_id" === vid).withColumn("id", lit(newId))
+      val c = emb.agg(max($"vec_id")).head().getLong(0) / 2
+      def writeBatch(name: String, f: DataFrame): Unit =
+        stageStreamBatch(scratch, src, name, f)
+      writeBatch("b1", recs($"vec_id" % 2 === 1 && $"vec_id" <= c)
+        .unionByName(copyOf("w-1", 1)).unionByName(copyOf("w-2", 1)))
+      val stream = s.readStream.schema(recs(lit(true)).schema).parquet(src)
+      val q = graft.streaming.StreamOps.vectorDedupIngestEpoch(stream,
+        shardedEvenVidxFor(s, dir), s"$scratch/active", dim = 64,
+        threshold = 0.9, shortlist = 1 << 20).start()
+      q.processAllAvailable()
+      writeBatch("b2", recs($"vec_id" % 2 === 1 && $"vec_id" > c)
+        .unionByName(copyOf("dup-2", 2)).unionByName(recs($"vec_id" === 1)))
+      q.processAllAvailable()
+      q.stop()
+      graft.operators.VectorIndex.open(s, s"$scratch/active").scan()
+        .select($"id").orderBy($"id")
+    }),
+
     // SHARDED HYBRID RETRIEVAL (r20, the capstone composition): q244's
     // full RAG query path — BM25 + vector ANN fused by reciprocal rank
     // — where BOTH legs serve from SHARDED standing state with no
@@ -7192,6 +7414,260 @@ object SparkEntry {
         |  CAST(e.vec_id AS VARCHAR)
         |LIMIT 10""".stripMargin,
 
+    // q251's oracle verbatim: the sharded drop set must be the
+    // against-the-union answer bit-for-bit, blind to sharding
+    "q261_minhash_scatter" ->
+      """WITH toks0 AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '') AS tk
+        |  FROM documents),
+        |cut AS (SELECT (2 * MAX(doc_id)) // 3 AS c2 FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+        |                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+        |    END AS sh
+        |  FROM toks0),
+        |inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM sh),
+        |pairs AS (
+        |  SELECT b.doc_id AS id_b, a.doc_id AS id_a, a.n AS n_a, b.n AS n_b,
+        |    COUNT(*) AS shared
+        |  FROM inv a JOIN inv b ON a.g = b.g
+        |  WHERE a.doc_id <= (SELECT c2 FROM cut)
+        |    AND b.doc_id > (SELECT c2 FROM cut)
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT DISTINCT id_b AS doc_id FROM pairs
+        |WHERE CAST(shared AS DOUBLE) / CAST(n_a + n_b - shared AS DOUBLE) >= 0.5
+        |ORDER BY doc_id""".stripMargin,
+
+    // q239's oracle verbatim: the sharded batch join must rank against
+    // the whole corpus bit-for-bit
+    "q262_knn_join_scatter" ->
+      """WITH q AS (SELECT CAST(vec_id AS VARCHAR) AS query_id,
+        |             CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id IN (3, 5, 7, 9, 11)),
+        |s AS (SELECT q.query_id, CAST(e.vec_id AS VARCHAR) AS id,
+        |        list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS score
+        |      FROM embeddings e, q),
+        |r AS (SELECT query_id, id,
+        |        row_number() OVER (PARTITION BY query_id
+        |                           ORDER BY score DESC, id) AS rank
+        |      FROM s)
+        |SELECT query_id, CAST(rank AS INT) AS rank, id
+        |FROM r WHERE rank <= 8 ORDER BY query_id, rank""".stripMargin,
+
+    // q240's oracle verbatim: nearest-of-nearests over the two even
+    // shards must be the global nearest against all evens
+    "q263_ingest_neardup_scatter" ->
+      """WITH b AS (SELECT CAST(vec_id AS VARCHAR) AS id,
+        |             CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id % 2 = 1),
+        |c AS (SELECT CAST(vec_id AS VARCHAR) AS cid,
+        |        CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings WHERE vec_id % 2 = 0),
+        |s AS (SELECT b.id, c.cid,
+        |        list_cosine_similarity(c.cv, b.v) AS sc FROM b, c),
+        |r AS (SELECT id, cid, sc,
+        |        row_number() OVER (PARTITION BY id
+        |                           ORDER BY sc DESC, cid) AS rn
+        |      FROM s)
+        |SELECT id, cid AS dup_of,
+        |  CAST(FLOOR(sc * 1000000.0) AS BIGINT) AS score_u,
+        |  sc >= 0.2 AS is_dup
+        |FROM r WHERE rn = 1 ORDER BY id""".stripMargin,
+
+    // q228's oracle verbatim: both PRF rounds sharded, the expanded
+    // head must still be the whole-corpus answer bit-for-bit
+    "q264_prf_scatter" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tk),
+        |n AS (SELECT COUNT(*) AS n,
+        |        CAST(SUM(len(toks)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |          AS avgdl FROM tk),
+        |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM tok
+        |       GROUP BY 1, 2, 3),
+        |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |score AS (
+        |  SELECT doc_id, term,
+        |    ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |        / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf AS DOUBLE) * (1.2 + 1.0)
+        |         / (CAST(tf AS DOUBLE)
+        |            + 1.2 * ((1.0 - 0.75)
+        |                     + 0.75 * CAST(dl AS DOUBLE) / avgdl))) AS s
+        |  FROM tf JOIN dfx USING (term) CROSS JOIN n),
+        |seedsc AS (SELECT doc_id,
+        |    COALESCE(MAX(CASE WHEN term = 'join' THEN s END), 0)
+        |      + COALESCE(MAX(CASE WHEN term = 'vector' THEN s END), 0)
+        |      AS score
+        |  FROM score WHERE term IN ('join','vector') GROUP BY 1),
+        |fb AS (SELECT doc_id FROM seedsc
+        |       ORDER BY CAST(FLOOR(score * 1000000.0) AS BIGINT) DESC,
+        |         doc_id LIMIT 10),
+        |exp AS (SELECT term FROM (
+        |    SELECT term, COUNT(*) AS fdf FROM (
+        |      SELECT f.doc_id, unnest(list_distinct(t.toks)) AS term
+        |      FROM fb f JOIN tk t USING (doc_id))
+        |    WHERE term NOT IN ('join','vector')
+        |    GROUP BY term ORDER BY fdf DESC, term LIMIT 3)),
+        |allt AS (SELECT term FROM exp
+        |         UNION SELECT unnest(['join','vector']) AS term),
+        |fin AS (SELECT s.doc_id,
+        |    list_reduce(list(s.s ORDER BY s.term ASC), (a, b) -> a + b)
+        |      AS score
+        |  FROM score s JOIN allt USING (term) GROUP BY 1),
+        |top AS (SELECT doc_id, score FROM fin
+        |        ORDER BY CAST(FLOOR(score * 1000000.0) AS BIGINT) DESC,
+        |          doc_id LIMIT 15)
+        |SELECT doc_id, CAST(FLOOR(score * 1000000.0) AS BIGINT) AS score_u
+        |FROM top ORDER BY score_u DESC, doc_id""".stripMargin,
+
+    // q231's oracle verbatim: the MMR picks over the scatter-recalled
+    // pool must equal the whole-corpus picks
+    "q265_mmr_scatter" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS dl,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM toks
+        |       WHERE term IN ('vector','join','hash') GROUP BY 1, 2, 3),
+        |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n,
+        |        CAST(SUM(len(list_filter(string_split_regex(lower(text),
+        |          '[^a-z0-9]+'), x -> x <> ''))) AS DOUBLE)
+        |          / CAST(COUNT(*) AS DOUBLE) AS avgdl
+        |      FROM documents),
+        |per AS (
+        |  SELECT doc_id, term,
+        |    ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |        / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf AS DOUBLE) * (1.2 + 1.0)
+        |         / (CAST(tf AS DOUBLE)
+        |            + 1.2 * ((1.0 - 0.75)
+        |                     + 0.75 * CAST(dl AS DOUBLE) / avgdl))) AS s
+        |  FROM tf JOIN dfx USING (term) CROSS JOIN n),
+        |sc AS (
+        |  SELECT doc_id,
+        |    COALESCE(MAX(CASE WHEN term = 'vector' THEN s END), 0)
+        |      + COALESCE(MAX(CASE WHEN term = 'join' THEN s END), 0)
+        |      + COALESCE(MAX(CASE WHEN term = 'hash' THEN s END), 0) AS score
+        |  FROM per GROUP BY 1),
+        |cand AS (SELECT doc_id,
+        |    CAST(FLOOR(score * 1000000.0) AS BIGINT) AS rel_u
+        |  FROM sc ORDER BY CAST(FLOOR(score * 1000000.0) AS BIGINT) DESC,
+        |    doc_id LIMIT 12),
+        |ct AS (SELECT c.doc_id, c.rel_u,
+        |    list_distinct(list_filter(string_split_regex(lower(d.text),
+        |      '[^a-z0-9]+'), x -> x <> '')) AS tk
+        |  FROM cand c JOIN documents d USING (doc_id)),
+        |pair AS (SELECT a.doc_id AS i, b.doc_id AS j,
+        |    CASE WHEN len(list_distinct(list_concat(a.tk, b.tk))) = 0
+        |         THEN 0.0
+        |         ELSE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+        |           / CAST(len(list_distinct(list_concat(a.tk, b.tk)))
+        |               AS DOUBLE) END AS sim
+        |  FROM ct a JOIN ct b ON a.doc_id <> b.doc_id),
+        |s1 AS (SELECT doc_id FROM ct
+        |  ORDER BY 0.5 * (CAST(rel_u AS DOUBLE) / 1000000.0) DESC, doc_id
+        |  LIMIT 1),
+        |s2 AS (SELECT c.doc_id FROM ct c
+        |  WHERE c.doc_id NOT IN (SELECT doc_id FROM s1)
+        |  ORDER BY 0.5 * (CAST(c.rel_u AS DOUBLE) / 1000000.0)
+        |    - 0.5 * (SELECT MAX(p.sim) FROM pair p WHERE p.i = c.doc_id
+        |             AND p.j IN (SELECT doc_id FROM s1)) DESC, c.doc_id
+        |  LIMIT 1),
+        |s3 AS (SELECT c.doc_id FROM ct c
+        |  WHERE c.doc_id NOT IN (SELECT doc_id FROM s1
+        |                         UNION ALL SELECT doc_id FROM s2)
+        |  ORDER BY 0.5 * (CAST(c.rel_u AS DOUBLE) / 1000000.0)
+        |    - 0.5 * (SELECT MAX(p.sim) FROM pair p WHERE p.i = c.doc_id
+        |             AND p.j IN (SELECT doc_id FROM s1
+        |                         UNION ALL SELECT doc_id FROM s2))
+        |    DESC, c.doc_id
+        |  LIMIT 1),
+        |s4 AS (SELECT c.doc_id FROM ct c
+        |  WHERE c.doc_id NOT IN (SELECT doc_id FROM s1
+        |                         UNION ALL SELECT doc_id FROM s2
+        |                         UNION ALL SELECT doc_id FROM s3)
+        |  ORDER BY 0.5 * (CAST(c.rel_u AS DOUBLE) / 1000000.0)
+        |    - 0.5 * (SELECT MAX(p.sim) FROM pair p WHERE p.i = c.doc_id
+        |             AND p.j IN (SELECT doc_id FROM s1
+        |                         UNION ALL SELECT doc_id FROM s2
+        |                         UNION ALL SELECT doc_id FROM s3))
+        |    DESC, c.doc_id
+        |  LIMIT 1),
+        |s5 AS (SELECT c.doc_id FROM ct c
+        |  WHERE c.doc_id NOT IN (SELECT doc_id FROM s1
+        |                         UNION ALL SELECT doc_id FROM s2
+        |                         UNION ALL SELECT doc_id FROM s3
+        |                         UNION ALL SELECT doc_id FROM s4)
+        |  ORDER BY 0.5 * (CAST(c.rel_u AS DOUBLE) / 1000000.0)
+        |    - 0.5 * (SELECT MAX(p.sim) FROM pair p WHERE p.i = c.doc_id
+        |             AND p.j IN (SELECT doc_id FROM s1
+        |                         UNION ALL SELECT doc_id FROM s2
+        |                         UNION ALL SELECT doc_id FROM s3
+        |                         UNION ALL SELECT doc_id FROM s4))
+        |    DESC, c.doc_id
+        |  LIMIT 1)
+        |SELECT doc_id, CAST(1 AS INT) AS pick FROM s1
+        |UNION ALL SELECT doc_id, CAST(2 AS INT) FROM s2
+        |UNION ALL SELECT doc_id, CAST(3 AS INT) FROM s3
+        |UNION ALL SELECT doc_id, CAST(4 AS INT) FROM s4
+        |UNION ALL SELECT doc_id, CAST(5 AS INT) FROM s5
+        |ORDER BY pick""".stripMargin,
+
+    // q230's oracle verbatim: the per-source cap over the
+    // scatter-recalled pool must equal the whole-corpus head
+    "q266_diversified_scatter" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS dl,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM toks
+        |       WHERE term IN ('vector','join','hash') GROUP BY 1, 2, 3),
+        |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n,
+        |        CAST(SUM(len(list_filter(string_split_regex(lower(text),
+        |          '[^a-z0-9]+'), x -> x <> ''))) AS DOUBLE)
+        |          / CAST(COUNT(*) AS DOUBLE) AS avgdl
+        |      FROM documents),
+        |per AS (
+        |  SELECT doc_id, term,
+        |    ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |        / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf AS DOUBLE) * (1.2 + 1.0)
+        |         / (CAST(tf AS DOUBLE)
+        |            + 1.2 * ((1.0 - 0.75)
+        |                     + 0.75 * CAST(dl AS DOUBLE) / avgdl))) AS s
+        |  FROM tf JOIN dfx USING (term) CROSS JOIN n),
+        |sc AS (
+        |  SELECT doc_id,
+        |    COALESCE(MAX(CASE WHEN term = 'vector' THEN s END), 0)
+        |      + COALESCE(MAX(CASE WHEN term = 'join' THEN s END), 0)
+        |      + COALESCE(MAX(CASE WHEN term = 'hash' THEN s END), 0) AS score
+        |  FROM per GROUP BY 1),
+        |su AS (SELECT s.doc_id, d.source,
+        |    CAST(FLOOR(s.score * 1000000.0) AS BIGINT) AS score_u
+        |  FROM sc s JOIN documents d USING (doc_id)),
+        |rk AS (SELECT doc_id, source, score_u,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY score_u DESC, doc_id) AS gr
+        |  FROM su),
+        |top AS (SELECT doc_id, source, score_u FROM rk WHERE gr <= 2
+        |        ORDER BY score_u DESC, doc_id LIMIT 10)
+        |SELECT doc_id, source, score_u FROM top
+        |ORDER BY score_u DESC, doc_id""".stripMargin,
+
     // q244's oracle verbatim: both legs sharded, the fused head must
     // still be the whole-corpus answer bit-for-bit
     "q259_hybrid_scatter" ->
@@ -7866,6 +8342,81 @@ object SparkEntry {
         |        ORDER BY score_u DESC, doc_id LIMIT 10)
         |SELECT doc_id, source, score_u FROM top
         |ORDER BY score_u DESC, doc_id""".stripMargin,
+
+    // q235's oracle verbatim: the SQL sharded scatter must score the
+    // whole corpus bit-for-bit
+    "q267_sql_bm25_sharded" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS dl,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM toks
+        |       WHERE term IN ('vector','join','hash') GROUP BY 1, 2, 3),
+        |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n,
+        |        CAST(SUM(len(list_filter(string_split_regex(lower(text),
+        |          '[^a-z0-9]+'), x -> x <> ''))) AS DOUBLE)
+        |          / CAST(COUNT(*) AS DOUBLE) AS avgdl
+        |      FROM documents),
+        |per AS (
+        |  SELECT doc_id, term,
+        |    ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |        / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf AS DOUBLE) * (1.2 + 1.0)
+        |         / (CAST(tf AS DOUBLE)
+        |            + 1.2 * ((1.0 - 0.75)
+        |                     + 0.75 * CAST(dl AS DOUBLE) / avgdl))) AS s
+        |  FROM tf JOIN dfx USING (term) CROSS JOIN n),
+        |sc AS (
+        |  SELECT doc_id,
+        |    COALESCE(MAX(CASE WHEN term = 'vector' THEN s END), 0) AS s0,
+        |    COALESCE(MAX(CASE WHEN term = 'join' THEN s END), 0) AS s1,
+        |    COALESCE(MAX(CASE WHEN term = 'hash' THEN s END), 0) AS s2
+        |  FROM per GROUP BY 1),
+        |top AS (SELECT doc_id, s0 + s1 + s2 AS score FROM sc
+        |        ORDER BY score DESC, doc_id LIMIT 20)
+        |SELECT doc_id, CAST(FLOOR(score * 1000000.0) AS BIGINT) AS score_u
+        |FROM top ORDER BY score_u DESC, doc_id""".stripMargin,
+
+    // q241's replay shape with the standing corpus = ALL evens (the
+    // frozen epoch shards' union) — blind to epochs, sharding, and
+    // streaming: within-batch keep-first, then NOT EXISTS a frozen
+    // even OR an earlier-epoch survivor within 0.9 cosine
+    "q268_stream_epoch_dedup" ->
+      """WITH m AS (SELECT MAX(vec_id) // 2 AS c FROM embeddings),
+        |e AS (SELECT CAST(vec_id AS VARCHAR) AS id,
+        |        CAST(embedding AS DOUBLE[]) AS v, vec_id
+        |      FROM embeddings),
+        |fz AS (SELECT id, v FROM e WHERE vec_id % 2 = 0),
+        |b1 AS (SELECT id, v FROM e
+        |         WHERE vec_id % 2 = 1 AND vec_id <= (SELECT c FROM m)
+        |       UNION ALL SELECT 'w-1', v FROM e WHERE vec_id = 1
+        |       UNION ALL SELECT 'w-2', v FROM e WHERE vec_id = 1),
+        |w1 AS (SELECT a.id, a.v FROM b1 a WHERE NOT EXISTS (
+        |         SELECT 1 FROM b1 b WHERE b.id < a.id
+        |           AND list_cosine_similarity(a.v, b.v) >= 0.9)),
+        |s1 AS (SELECT a.id, a.v FROM w1 a WHERE NOT EXISTS (
+        |         SELECT 1 FROM fz f
+        |         WHERE list_cosine_similarity(a.v, f.v) >= 0.9)),
+        |b2 AS (SELECT id, v FROM e
+        |         WHERE vec_id % 2 = 1 AND vec_id > (SELECT c FROM m)
+        |       UNION ALL SELECT 'dup-2', v FROM e WHERE vec_id = 2
+        |       UNION ALL SELECT id, v FROM e WHERE vec_id = 1),
+        |w2 AS (SELECT a.id, a.v FROM b2 a WHERE NOT EXISTS (
+        |         SELECT 1 FROM b2 b WHERE b.id < a.id
+        |           AND list_cosine_similarity(a.v, b.v) >= 0.9)),
+        |s2 AS (SELECT a.id FROM w2 a
+        |       WHERE NOT EXISTS (
+        |         SELECT 1 FROM fz f
+        |         WHERE list_cosine_similarity(a.v, f.v) >= 0.9)
+        |         AND NOT EXISTS (
+        |         SELECT 1 FROM s1 x
+        |         WHERE list_cosine_similarity(a.v, x.v) >= 0.9))
+        |SELECT id FROM (SELECT id FROM s1 UNION ALL SELECT id FROM s2)
+        |ORDER BY id""".stripMargin,
 
     "q225_index_merge" ->
       """WITH toks AS (

@@ -36,11 +36,14 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * query layer implies. */
 object TableFunctions {
 
-  /** Register `graft_bm25` and `graft_knn` on `spark`'s table-function
-    * registry. Idempotent (createOrReplace). */
+  /** Register `graft_bm25`, `graft_bm25_sharded` and `graft_knn` on
+    * `spark`'s table-function registry. Idempotent (createOrReplace). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       "graft_bm25", (es: Seq[Expression]) => bm25Plan(es), "scala_udf")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "graft_bm25_sharded", (es: Seq[Expression]) => bm25ShardedPlan(es),
+      "scala_udf")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       "graft_knn", (es: Seq[Expression]) => knnPlan(es), "scala_udf")
   }
@@ -83,6 +86,37 @@ object TableFunctions {
     val k = evalInt(es, 2, "k")
     graft.operators.InvertedIndex
       .bm25Search(SparkSession.active, path, terms, k)
+      .queryExecution.logical
+  }
+
+  /** `graft_bm25_sharded(index_paths, query_terms, k)` — the
+    * scatter-gather [[graft.operators.InvertedIndex.bm25SearchSharded]]
+    * plan as a SQL relation (r20): `index_paths` is a `;`-separated
+    * shard-path list (SQL TVF argument positions take scalars, not
+    * arrays, across dialects), so a serving tier's standing shard set
+    * queries from plain SQL with no physical merge — scores
+    * bit-identical to the merged index's (gate q267 shares q235's
+    * whole-corpus oracle). Disjointness is the certify-once
+    * `validateShards` contract, exactly as the API path trusts it. */
+  private def bm25ShardedPlan(es: Seq[Expression]): LogicalPlan = {
+    require(es.length == 3,
+      s"graft_bm25_sharded(index_paths, query_terms, k) takes 3 " +
+        s"arguments, got ${es.length}")
+    val paths = evalLit(es, 0, "index_paths").toString
+      .split(";").map(_.trim).toSeq.filter(_.nonEmpty)
+    require(paths.nonEmpty, "graft_bm25_sharded index_paths has no paths")
+    val terms = evalLit(es, 1, "query_terms").toString
+      .toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+    require(terms.nonEmpty, "graft_bm25_sharded query_terms has no tokens")
+    val k = evalInt(es, 2, "k")
+    // pinned = false: this builder runs INSIDE Catalyst analysis under
+    // the SessionCatalog monitor — the API path's eager Par-pool
+    // checkpoint pins would re-enter analysis cross-thread and deadlock
+    // on that monitor. The lazy plan is value-identical; the per-shard
+    // probe is evaluated once per consumer instead of checkpoint-shared.
+    graft.operators.InvertedIndex
+      .bm25SearchSharded(SparkSession.active, paths, terms, k,
+        pinned = false)
       .queryExecution.logical
   }
 

@@ -502,10 +502,10 @@ object InvertedIndex {
     * union probes. */
   def bm25SearchSharded(spark: org.apache.spark.sql.SparkSession,
       paths: Seq[String], terms: Seq[String], k: Int, k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
+      b: Double = 0.75, pinned: Boolean = true): DataFrame = {
     TextAnalytics.validateTerms(terms)
     val (tfs, dfreq, totals) = shardedTfGather(spark, paths, terms,
-      withDl = true)
+      withDl = true, pinned = pinned)
     val perShardTopK = tfs.map { tf =>
       val per = tf.join(broadcast(dfreq), "_term")
         .crossJoin(broadcast(totals))
@@ -545,10 +545,11 @@ object InvertedIndex {
     * saturation needs (and widens the tf key by it — dl is
     * functionally dependent on doc, so the counts are unchanged). */
   private def shardedTfGather(spark: org.apache.spark.sql.SparkSession,
-      paths: Seq[String], terms: Seq[String], withDl: Boolean)
+      paths: Seq[String], terms: Seq[String], withDl: Boolean,
+      pinned: Boolean = true)
       : (Seq[DataFrame], DataFrame, DataFrame) = {
     require(paths.nonEmpty, "at least one shard index required")
-    val tfs = Par.inParallel(paths) { p =>
+    def tfOf(p: String): DataFrame = {
       val pruned =
         if (withDl)
           readPostingsDl(spark, p, terms, LayoutMeta.Unspecified)
@@ -558,8 +559,20 @@ object InvertedIndex {
           readPostings(spark, p, terms)
             .select(col("doc"), col("token").as("_term"))
             .groupBy(col("doc"), col("_term"))
-      pruned.agg(count(lit(1)).as("_tf")).localCheckpoint(true)
+      pruned.agg(count(lit(1)).as("_tf"))
     }
+    // pinned=false builds a FULLY LAZY plan: no Par pool, no eager
+    // localCheckpoint. Required when the plan is constructed INSIDE
+    // Catalyst analysis (the graft_bm25_sharded TVF builder runs under
+    // the SessionCatalog monitor — eager checkpoint jobs on pool
+    // threads would re-enter analysis on those threads and deadlock on
+    // that monitor; observed hang, r20). Cost: each consumer of a
+    // shard's tf (the df gather + the scoring leg) re-evaluates the
+    // term-pruned probe instead of sharing a checkpoint — identical
+    // values, one extra pruned-bucket read per shard.
+    val tfs =
+      if (pinned) Par.inParallel(paths)(p => tfOf(p).localCheckpoint(true))
+      else paths.map(tfOf)
     val dfreq = tfs
       .map(_.groupBy(col("_term")).agg(count(lit(1)).as("_c")))
       .reduce(_ unionByName _)
@@ -638,6 +651,60 @@ object InvertedIndex {
         .limit(k)
     }
     mergeShardTopK(perShardTopK, k)
+  }
+
+  /** PSEUDO-RELEVANCE-FEEDBACK search across a disjoint shard set
+    * (r20) — [[TextAnalytics.prfExpandTopK]]'s two-round protocol with
+    * BOTH retrieval rounds served by [[bm25SearchSharded]], so the
+    * full Rocchio-style loop (seed query → top `fbDocs` feedback docs
+    * → mine `expand` expansion terms → re-query) runs against standing
+    * shard state with no corpus rescan for RANKING. The one corpus
+    * touch is the feedback-mining leg: expansion terms come from the
+    * feedback docs' TEXTS, which the postings index cannot serve
+    * without a full-bucket scan (term→doc is the stored direction), so
+    * it reads `corpus`'s (id, text) under a broadcast semi-join of the
+    * fbDocs ids — at scale an id-pruned point read of fbDocs rows,
+    * never a scan. Selection orders are the in-memory operator's
+    * exactly (floored micro-unit score desc, then id — the
+    * cross-engine contract), applied OVER the sharded probes' raw
+    * scores, which are bit-identical to the whole-corpus scorer's.
+    *
+    * `pool` bounds each retrieval round's candidate set (k·shards rows
+    * merge per round): the micro-unit cuts are provably equal to the
+    * whole-corpus operator's when `pool >=` the number of docs
+    * matching any query term (every candidate survives to the
+    * micro-unit re-sort); a smaller pool trades the tail of the
+    * raw-score ranking, the standard fbDocs≪pool regime. */
+  def prfSearchSharded(spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String], corpus: DataFrame, idCol: String,
+      textCol: String, seeds: Seq[String], fbDocs: Int = 10,
+      expand: Int = 3, k: Int = 10, pool: Int = 10000): DataFrame = {
+    require(fbDocs >= 1 && expand >= 0 && k >= 1,
+      "fbDocs >= 1, expand >= 0, k >= 1 required")
+    require(pool >= math.max(fbDocs, k),
+      s"pool $pool must cover fbDocs $fbDocs and k $k")
+    val seedToks = seeds.map(_.toLowerCase).distinct.sorted
+    val microCut = floor(col("score") * lit(1000000.0)).cast("long")
+    val fbIds = bm25SearchSharded(spark, paths, seedToks, k = pool)
+      .orderBy(microCut.desc, col("doc"))
+      .limit(fbDocs)
+      .select(col("doc").as(idCol))
+    // expansion mining: expression shapes mirror prfExpandTopK token
+    // for token — identical tokenization, seed exclusion, (fdf desc,
+    // term) cut — so the expanded term set is the operator's exactly
+    val expTerms = corpus.join(broadcast(fbIds), idCol)
+      .select(explode(array_distinct(filter(split(lower(col(textCol)),
+        "[^a-z0-9]+"), t => t =!= ""))).as("term"))
+      .filter(!col("term").isin(seedToks: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("_fdf"))
+      .orderBy(col("_fdf").desc, col("term"))
+      .limit(expand)
+      .select(col("term")).collect().map(_.getString(0)).toSeq
+    val allTerms = (seedToks ++ expTerms).distinct.sorted
+    bm25SearchSharded(spark, paths, allTerms, k = pool)
+      .orderBy(microCut.desc, col("doc"))
+      .limit(k)
+      .select(col("doc"), col("score"))
   }
 
   /** [[snippets]] across a disjoint shard set (r20): window selection

@@ -301,6 +301,72 @@ object MinhashIndex {
   final class OverlappingSources(msg: String)
     extends IllegalArgumentException(msg)
 
+  /** CERTIFY a MinHash shard set's doc-disjointness (r20) — the
+    * [[InvertedIndex.validateShards]] contract for the dedup-index
+    * family: one [[MergeCensus.requireDisjoint]] pass over the shards'
+    * payload (`_band=-1`) dirs — the same census [[mergeIndexes]] runs
+    * before moving bytes, WITHOUT the merge. Returns the certified
+    * total distinct doc count across the set. Run once when a shard
+    * set is ASSEMBLED (a new epoch's dedup index joins the serving
+    * set); after that [[dropsSharded]] trusts the certificate instead
+    * of paying a cross-shard census per batch. Cost: a column-pruned,
+    * partition-pruned distinct-id scan per shard — O(total docs) once,
+    * not per batch. Throws [[OverlappingSources]] naming the first
+    * colliders. */
+  def validateShards(spark: SparkSession, paths: Seq[String]): Long = {
+    require(paths.size >= 2, "a shard set needs at least two shards")
+    require(paths.distinct.size == paths.size,
+      s"duplicate shard paths: ${paths.mkString(", ")}")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def shardIds(p: String): DataFrame = {
+      AtomicSwap.recover(hconf, p)
+      spark.read.parquet(p).filter(col("_band") === -1)
+        .select(col("_id")).distinct()
+    }
+    val censuses = paths.zipWithIndex.map { case (p, i) =>
+      s"m$i" -> shardIds(p).localCheckpoint(true)
+    }
+    MergeCensus.requireDisjoint(censuses, "_id", colliding =>
+      throw new OverlappingSources(
+        s"shard set shares doc ids (first ${colliding.length}: " +
+          s"${colliding.mkString(", ")}): a shared doc would verify " +
+          "against itself in every shard it lives in and double its " +
+          "band rows in the probed buckets; delete it from all but " +
+          "one shard before serving the set"))
+  }
+
+  /** Batch-vs-SHARD-SET near-duplicate drops (r20, [[drops]] across N
+    * unmerged shard indexes — the [[InvertedIndex.bm25SearchSharded]]
+    * serving shape for the dedup family): per-epoch MinHash indexes
+    * keep serving in place, and an ingest batch deduplicates against
+    * their UNION without a physical merge. The verify is PAIRWISE
+    * (exact Jaccard between one batch doc and one corpus doc — no
+    * cross-doc statistics), so a batch doc near-duplicates the union
+    * iff it near-duplicates SOME shard: the sharded answer is the
+    * union of the per-shard drop sets, and with doc-disjoint shards
+    * ([[validateShards]], certified once) it equals [[drops]] against
+    * the [[mergeIndexes]]-merged index (spec-asserted; gate q261).
+    *
+    * Per-shard work is untouched — each shard's band-bucket partition
+    * pruning, bucket census, and payload probes apply shard-locally;
+    * cross-shard traffic is the drop-id sets only. The batch
+    * checkpoints ONCE and replays against every shard; shard probes
+    * overlap on the [[Par]] pool (max(shard), not Σ(shards), wall
+    * time). One deliberate asymmetry vs the merged index: the
+    * `maxBucketSize` valve censuses each shard's buckets SEPARATELY,
+    * so a hot bucket split across shards valves LATER than merged —
+    * the sharded form can only surface MORE verified candidate pairs,
+    * never fewer (the safe direction for dedup). */
+  def dropsSharded(spark: SparkSession, paths: Seq[String],
+      batchPrep: DataFrame, threshold: Double = 0.5,
+      maxBucketSize: Int = 10000): DataFrame = {
+    require(paths.nonEmpty, "at least one shard index required")
+    val bp = batchPrep.localCheckpoint(true)
+    Par.inParallel(paths) { p =>
+      drops(spark, p, bp, threshold, maxBucketSize).localCheckpoint(true)
+    }.reduce(_ unionByName _).distinct()
+  }
+
   /** MERGE N disjoint MinHash shard indexes into ONE new index at
     * `out` (r20, the third index family's merge — the r19 verdict's
     * ask): per-epoch dedup indexes fold into one serving index without

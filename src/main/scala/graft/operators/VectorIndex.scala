@@ -1448,6 +1448,73 @@ object VectorIndex {
       .limit(k)
   }
 
+  /** BATCH kNN JOIN across SHARDED indexes (r20, [[VectorIndex
+    * .knnJoin]]'s scatter form — the final member of the vector
+    * scatter family): serve a whole query batch's top-k from N
+    * standing shard indexes with no physical merge. Each shard runs
+    * its OWN batched join (shared column-pruned (id,_bsig) signature
+    * pass, bucket-pruned exact rescore, WindowGroupLimit shortlists,
+    * filtered escalation — the single-index contract untouched) and
+    * keeps B·k local rows; the gather re-ranks the B·k·shards union
+    * per query with [[VectorIndex.knnJoin]]'s exact tie order
+    * (score desc, id). Exactness composes by the distributed-IR merge
+    * argument: with `shortlist >=` every shard's size each per-shard
+    * join provably returns its exact local top-k, and the global top-k
+    * of a disjoint union is a subset of the per-shard top-k's — so the
+    * merged head IS the exact batch answer (gate q262 hash-matches
+    * q239's whole-corpus oracle). Pruned shortlists inherit the
+    * per-shard recall contract independently.
+    *
+    * Shard probes overlap on the [[Par]] pool and pin their k-row
+    * results eagerly (max(shard), not Σ(shards), wall time — the
+    * [[queryManyApprox]] discipline; each pinned result is B·k rows,
+    * so the pins are driver-cheap by construction). Cross-shard ID
+    * DISJOINTNESS is trusted per call — a vector upserted into two
+    * shards would surface twice in its queries' rankings; certify the
+    * set once when it is assembled (the [[InvertedIndex
+    * .validateShards]] discipline; for snapshot indexes, [[VectorIndex
+    * .mergeIndexes]]'s census is the certifier). */
+  def knnJoinSharded(idxs: Seq[VectorIndex], queries: DataFrame,
+      qIdCol: String, qVecCol: String, k: Int, shortlist: Int = 400,
+      filter: Option[Column] = None): DataFrame = {
+    require(idxs.nonEmpty, "knnJoinSharded needs at least one index")
+    val perShard = inParallel(idxs)(
+      _.knnJoin(queries, qIdCol, qVecCol, k, shortlist, filter)
+        .localCheckpoint(true))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("id"))
+    perShard.map(_.select(col("query_id"), col("id"), col("score")))
+      .reduce(_ unionByName _)
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
+      .select(col("query_id"), col("_rn").cast("int").as("rank"),
+        col("id"), col("score"))
+  }
+
+  /** EMBEDDING DEDUP-ON-INGEST against a SHARD SET (r20) —
+    * [[VectorIndex.nearDupAgainst]] where the standing corpus lives in
+    * N unmerged shard indexes: flag every batch row whose nearest
+    * neighbor ACROSS the whole set reaches `threshold`, in one
+    * [[knnJoinSharded]] pass (k = 1). The per-row verdict depends only
+    * on the global nearest neighbor, and the sharded k=1 join returns
+    * exactly that (nearest-of-nearests over disjoint shards), so with
+    * full shortlists the verdicts equal [[VectorIndex.nearDupAgainst]]
+    * on the merged index (spec-asserted; gate q263 hash-matches q240's
+    * oracle). Pruned shortlists can only UNDER-flag per shard — still
+    * the safe direction for dedup. Returns the [[VectorIndex
+    * .nearDupAgainst]] row contract: (id, dup_of, score, is_dup), one
+    * row per batch row, `dup_of` null when every shard is empty. */
+  def nearDupAgainstSharded(idxs: Seq[VectorIndex], batch: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      shortlist: Int = 400): DataFrame = {
+    require(idxs.nonEmpty, "nearDupAgainstSharded needs at least one index")
+    val nn = knnJoinSharded(idxs, batch, idCol, vecCol, k = 1, shortlist)
+      .select(col("query_id").as("id"), col("id").as("dup_of"), col("score"))
+    batch.select(col(idCol).cast("string").as("id"))
+      .join(nn, Seq("id"), "left")
+      .select(col("id"), col("dup_of"), col("score"),
+        (col("score").isNotNull && col("score") >= threshold).as("is_dup"))
+  }
+
   /** A shard's contribution to the scatter-gather signature phase. */
   private[graft] sealed trait ShardPhase
   /** No snapshot, or every file stats-refuted: contributes nothing. */

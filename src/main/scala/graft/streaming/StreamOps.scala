@@ -1057,69 +1057,8 @@ object StreamOps {
       (batch0: DataFrame, _: Long) =>
         if (!batch0.isEmpty) {
           val spark = batch0.sparkSession
-          // collapse duplicate ids WITHIN the batch first (a stream can
-          // re-deliver an id in one micro-batch): the upsert tie-break
-          // (values-hash desc — version is constant inside a batch), so
-          // the survivor is deterministic and knnJoin's distinct-qid
-          // contract holds
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(col("id")).orderBy(xxhash64(col("values")).desc)
-          val batch = batch0.select(col("id").cast("string").as("id"),
-              col("values"), col("metadata"))
-            .withColumn("_rn", row_number().over(w))
-            .filter(col("_rn") === 1).drop("_rn")
-            .localCheckpoint(eager = true)
-          val nRows = batch.count()
-          lastWithinBatchRows = nRows
-          if (nRows > maxBatchRows)
-            throw new IllegalStateException(
-              s"vectorDedupIngest: micro-batch of $nRows rows exceeds " +
-                s"maxBatchRows $maxBatchRows — one unbounded trigger " +
-                "would make the within-batch band join's in-bucket " +
-                "verify quadratic in the batch; bound the source " +
-                "trigger (maxFilesPerTrigger / maxOffsetsPerTrigger) " +
-                "or raise maxBatchRows deliberately")
-          // E2 up front (r20 review): a null or wrong-width vector
-          // must fail TYPED here, not as an opaque NPE inside the
-          // banding signature UDF (the knnJoin null-guard discipline;
-          // upsert would refuse the row anyway — refusing before the
-          // dedup passes costs one bounded count and names the problem)
-          if (batch.filter(col("values").isNull ||
-              size(col("values")) =!= dim).limit(1).count() > 0)
-            throw new graft.core.IngestError(
-              s"vectorDedupIngest: micro-batch contains a null or " +
-                s"wrong-dimension vector (index dimension $dim)")
-          // banded candidate generation (r20): 64-bit hyperplane
-          // signature (the index's own _bsig seed), 4 x 16-bit bands —
-          // only in-bucket pairs pay an exact cosine. The band join
-          // shuffles on the band key (no broadcast: the valve bounds
-          // the batch, AQE broadcasts small batches on its own).
-          val sigf = udf((v: Seq[Double]) =>
-            graft.operators.Ann.bitSignature64(v.toArray, 42L))
-          val sigs = batch
-            .select(col("id"), col("values").cast("array<double>").as("_v"))
-            .withColumn("_sig", sigf(col("_v")))
-          val banded = sigs.select(col("id"), col("_v"),
-            posexplode(array((0 until 4).map(b =>
-              shiftrightunsigned(col("_sig"), b * 16)
-                .bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("_band", "_bh")))
-          val cand = banded
-            .select(col("_band"), col("_bh"), col("id").as("_bid"),
-              col("_v").as("_bv"))
-            .join(banded.select(col("_band"), col("_bh"),
-              col("id").as("_aid"), col("_v").as("_av")),
-              Seq("_band", "_bh"))
-            .filter(col("_aid") < col("_bid"))
-            .select(col("_aid"), col("_av"), col("_bid"), col("_bv"))
-            .dropDuplicates("_aid", "_bid")
-            .localCheckpoint(eager = true)
-          lastWithinCandidatePairs = cand.count()
-          val withinDropped = cand
-            .filter(graft.functions.vectors.cosine(col("_av"), col("_bv"))
-              >= threshold)
-            .select(col("_bid").as("id")).distinct()
-          val within = batch.join(withinDropped, Seq("id"), "left_anti")
-            .localCheckpoint(eager = true)
+          val within = withinBatchVectorDedup(batch0, dim, threshold,
+            maxBatchRows)
           val idx =
             if (numBuckets == graft.operators.LayoutMeta.Unspecified)
               graft.operators.VectorIndex.ensure(spark, indexPath, dim)
@@ -1137,10 +1076,145 @@ object StreamOps {
         }
     }
 
-  /** Diagnostics for the last [[vectorDedupIngest]] micro-batch: rows
-    * after the id collapse, and banded candidate pairs the exact
-    * cosine verify actually paid for (the number the r20 pre-pass
-    * exists to keep << rows^2). */
+  /** The WITHIN-BATCH leg shared by [[vectorDedupIngest]] and
+    * [[vectorDedupIngestEpoch]] (factored r20 — the two entry points
+    * must never drift on the keep-first rule the q241/q268 oracles
+    * encode): id collapse (values-hash-desc survivor), `maxBatchRows`
+    * valve, typed E2 null/width refusal, 4x16-bit signature band
+    * candidate join, exact-cosine verify, smaller-id-wins drop. Returns
+    * the surviving rows (id, values, metadata), eagerly pinned. */
+  private def withinBatchVectorDedup(batch0: DataFrame, dim: Int,
+      threshold: Double, maxBatchRows: Long): DataFrame = {
+    // collapse duplicate ids WITHIN the batch first (a stream can
+    // re-deliver an id in one micro-batch): the upsert tie-break
+    // (values-hash desc — version is constant inside a batch), so
+    // the survivor is deterministic and knnJoin's distinct-qid
+    // contract holds
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(xxhash64(col("values")).desc)
+    val batch = batch0.select(col("id").cast("string").as("id"),
+        col("values"), col("metadata"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+      .localCheckpoint(eager = true)
+    val nRows = batch.count()
+    lastWithinBatchRows = nRows
+    if (nRows > maxBatchRows)
+      throw new IllegalStateException(
+        s"vectorDedupIngest: micro-batch of $nRows rows exceeds " +
+          s"maxBatchRows $maxBatchRows — one unbounded trigger " +
+          "would make the within-batch band join's in-bucket " +
+          "verify quadratic in the batch; bound the source " +
+          "trigger (maxFilesPerTrigger / maxOffsetsPerTrigger) " +
+          "or raise maxBatchRows deliberately")
+    // E2 up front (r20 review): a null or wrong-width vector
+    // must fail TYPED here, not as an opaque NPE inside the
+    // banding signature UDF (the knnJoin null-guard discipline;
+    // upsert would refuse the row anyway — refusing before the
+    // dedup passes costs one bounded count and names the problem)
+    if (batch.filter(col("values").isNull ||
+        size(col("values")) =!= dim).limit(1).count() > 0)
+      throw new graft.core.IngestError(
+        s"vectorDedupIngest: micro-batch contains a null or " +
+          s"wrong-dimension vector (index dimension $dim)")
+    // banded candidate generation (r20): 64-bit hyperplane
+    // signature (the index's own _bsig seed), 4 x 16-bit bands —
+    // only in-bucket pairs pay an exact cosine. The band join
+    // shuffles on the band key (no broadcast: the valve bounds
+    // the batch, AQE broadcasts small batches on its own).
+    val sigf = udf((v: Seq[Double]) =>
+      graft.operators.Ann.bitSignature64(v.toArray, 42L))
+    val sigs = batch
+      .select(col("id"), col("values").cast("array<double>").as("_v"))
+      .withColumn("_sig", sigf(col("_v")))
+    val banded = sigs.select(col("id"), col("_v"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("_sig"), b * 16)
+          .bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("_band", "_bh")))
+    val cand = banded
+      .select(col("_band"), col("_bh"), col("id").as("_bid"),
+        col("_v").as("_bv"))
+      .join(banded.select(col("_band"), col("_bh"),
+        col("id").as("_aid"), col("_v").as("_av")),
+        Seq("_band", "_bh"))
+      .filter(col("_aid") < col("_bid"))
+      .select(col("_aid"), col("_av"), col("_bid"), col("_bv"))
+      .dropDuplicates("_aid", "_bid")
+      .localCheckpoint(eager = true)
+    lastWithinCandidatePairs = cand.count()
+    val withinDropped = cand
+      .filter(graft.functions.vectors.cosine(col("_av"), col("_bv"))
+        >= threshold)
+      .select(col("_bid").as("id")).distinct()
+    batch.join(withinDropped, Seq("id"), "left_anti")
+      .localCheckpoint(eager = true)
+  }
+
+  /** EPOCH-ROLLOVER STREAMING VECTOR DEDUP-INGEST (r20) — the
+    * [[vectorDedupIngest]] pipeline for the deployment the sharded
+    * serving family exists for: the standing corpus lives in N
+    * IMMUTABLE frozen epoch shards (served by [[graft.operators
+    * .VectorIndex.queryManyApprox]]/[[graft.operators.VectorIndex
+    * .knnJoinSharded]]), and the stream fills the CURRENT epoch. Per
+    * micro-batch:
+    *
+    *  1. the shared within-batch keep-first pass
+    *     ([[withinBatchVectorDedup]] — the q241 contract verbatim);
+    *  2. dedup against the WHOLE standing set in one sharded k=1 join
+    *     ([[graft.operators.VectorIndex.nearDupAgainstSharded]] over
+    *     frozen ∪ active) — first-seen-wins ACROSS epochs: a vector
+    *     near one accepted in ANY earlier epoch never re-enters;
+    *  3. survivors upsert into the ACTIVE epoch only.
+    *
+    * The scale point: all ingest WRITE I/O (CAS manifest commits,
+    * touched-bucket rewrites) lands on the active epoch — the frozen
+    * 100-TB epochs are PROBED (column-pruned signature scans +
+    * shortlist-bucket reads per shard), never locked, rewritten, or
+    * reshuffled, so epoch rollover is rename-free: freeze = stop
+    * passing the index as `activePath` and start passing it in
+    * `frozenPaths`. Replay idempotence is inherited (the active epoch
+    * is in the probed set, so a replayed batch's own rows self-flag);
+    * frozen-epoch id disjointness is the certify-once contract every
+    * sharded probe trusts. Frozen epochs must exist and share `dim`
+    * (loud refusal at stream start — a missing meta throws in open). */
+  def vectorDedupIngestEpoch(rows: DataFrame, frozenPaths: Seq[String],
+      activePath: String, dim: Int, threshold: Double, shortlist: Int = 400,
+      numBuckets: Int = graft.operators.LayoutMeta.Unspecified,
+      maxBatchRows: Long = 1L << 21)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream.outputMode("append").foreachBatch {
+      (batch0: DataFrame, _: Long) =>
+        if (!batch0.isEmpty) {
+          val spark = batch0.sparkSession
+          val within = withinBatchVectorDedup(batch0, dim, threshold,
+            maxBatchRows)
+          val active =
+            if (numBuckets == graft.operators.LayoutMeta.Unspecified)
+              graft.operators.VectorIndex.ensure(spark, activePath, dim)
+            else
+              graft.operators.VectorIndex.ensure(spark, activePath, dim,
+                numBuckets = numBuckets)
+          val frozen = frozenPaths.map(
+            graft.operators.VectorIndex.open(spark, _))
+          frozen.foreach(f => require(f.meta.dimension == dim,
+            s"frozen epoch '${f.meta.name}' stores ${f.meta.dimension}-dim " +
+              s"vectors, ingest declared $dim"))
+          val verdicts = graft.operators.VectorIndex.nearDupAgainstSharded(
+            frozen :+ active, within, "id", "values", threshold, shortlist)
+          val survivors = within.join(
+            verdicts.filter(col("is_dup")).select(col("id")),
+            Seq("id"), "left_anti")
+          if (!survivors.isEmpty)
+            active.upsert(survivors.select(col("id"), col("values"),
+              col("metadata")))
+        }
+    }
+
+  /** Diagnostics for the last [[vectorDedupIngest]] /
+    * [[vectorDedupIngestEpoch]] micro-batch: rows after the id
+    * collapse, and banded candidate pairs the exact cosine verify
+    * actually paid for (the number the r20 pre-pass exists to keep
+    * << rows^2). */
   private[graft] var lastWithinBatchRows: Long = 0L
   private[graft] var lastWithinCandidatePairs: Long = 0L
 

@@ -235,6 +235,44 @@ class CatalogSpec extends AnyFunSuite {
       .exists(_.contains("must be a literal"))), e.getMessage)
   }
 
+  test("graft_bm25_sharded table function: SQL scatter equals the API scatter AND the merged single index (r20)") {
+    import graft.operators.InvertedIndex
+    val base = java.nio.file.Files.createTempDirectory("graft_tvf_sh").toString
+    val docs = Seq(
+      (1L, "vector join hash common words"),
+      (2L, "vector vector join other text"),
+      (3L, "hash only here"),
+      (4L, "nothing relevant at all"),
+      (5L, "join hash vector join"),
+      (6L, "vector words appear again")).toDF("doc_id", "text")
+    InvertedIndex.writeIndex(docs.filter($"doc_id" % 2 === 0), "doc_id",
+      "text", s"$base/a", buckets = 4)
+    InvertedIndex.writeIndex(docs.filter($"doc_id" % 2 === 1), "doc_id",
+      "text", s"$base/b", buckets = 4)
+    InvertedIndex.writeIndex(docs, "doc_id", "text", s"$base/m", buckets = 4)
+    graft.functions.TableFunctions.register(spark)
+    val viaSql = spark.sql(
+      s"SELECT doc, score FROM graft_bm25_sharded('$base/a;$base/b', " +
+        "'vector join', 10)")
+      .as[(Long, Double)].collect().toSeq
+    assert(viaSql == InvertedIndex.bm25SearchSharded(spark,
+        Seq(s"$base/a", s"$base/b"), Seq("vector", "join"), k = 10)
+      .as[(Long, Double)].collect().toSeq,
+      "the SQL TVF must be the API scatter plan — same doubles, same order")
+    assert(viaSql == InvertedIndex.bm25Search(spark, s"$base/m",
+        Seq("vector", "join"), k = 10).as[(Long, Double)].collect().toSeq,
+      "the SQL scatter must equal the merged single index bit-for-bit")
+    // an empty path list refuses loudly
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_bm25_sharded(' ; ', 'vector', 3)")
+        .collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(c => Option(c.getMessage)
+      .exists(_.contains("no paths"))), e.getMessage)
+  }
+
   test("graft_knn table function: SQL FROM clause ranks bit-identically to the API; dim refusal at analysis (r20)") {
     import graft.operators.VectorIndex
     val base = java.nio.file.Files.createTempDirectory("graft_tvf_knn").toString

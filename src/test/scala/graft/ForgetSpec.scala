@@ -341,4 +341,38 @@ class ForgetSpec extends AnyFunSuite {
     }
     assert(ex2.getMessage.contains("bucket layouts differ"))
   }
+
+  test("minhash dropsSharded: scatter drops equal the merged index's; validateShards certifies and refuses overlap (r20)") {
+    import graft.operators.{Dedup, MinhashIndex}
+    val root = Files.createTempDirectory("graft_mh_scatter").toString
+    def prep(rows: Seq[(Long, String)]) = Dedup.prepareMinhash(
+      rows.toDF("doc_id", "text"), "doc_id", "text")
+    val epochA = (1L to 6L).map(i => (i, text(i.toInt)))
+    val epochB = (7L to 12L).map(i => (i, text(i.toInt)))
+    MinhashIndex.append(prep(epochA), s"$root/a", buckets = 4)
+    MinhashIndex.append(prep(epochB), s"$root/b", buckets = 4)
+    // certify once: 12 distinct docs, no overlap across the set
+    assert(MinhashIndex.validateShards(spark,
+      Seq(s"$root/a", s"$root/b")) == 12L)
+    MinhashIndex.mergeIndexes(spark, Seq(s"$root/a", s"$root/b"), s"$root/m")
+    // batch: a near-dup of each epoch plus two fresh docs — the
+    // scatter must catch BOTH epochs' dups without the physical merge
+    val batch = Seq((20L, text(2) + " tail"), (21L, text(9) + " tail"),
+      (22L, text(40)), (23L, text(41)))
+    val scatter = MinhashIndex.dropsSharded(spark,
+        Seq(s"$root/a", s"$root/b"), prep(batch))
+      .as[Long].collect().toSet
+    assert(scatter == MinhashIndex.drops(spark, s"$root/m", prep(batch))
+      .as[Long].collect().toSet,
+      "sharded drops must equal the merged index's")
+    assert(scatter == Set(20L, 21L), s"both epochs' near-dups drop: $scatter")
+    // degenerate single shard: only that epoch's dup flags
+    assert(MinhashIndex.dropsSharded(spark, Seq(s"$root/a"), prep(batch))
+      .as[Long].collect().toSet == Set(20L))
+    // overlap refusal: shard a shares every id with the merged index
+    val ex = intercept[MinhashIndex.OverlappingSources] {
+      MinhashIndex.validateShards(spark, Seq(s"$root/a", s"$root/m"))
+    }
+    assert(ex.getMessage.contains("shares doc ids"))
+  }
 }

@@ -1012,6 +1012,65 @@ class IngestIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("knnJoinSharded / nearDupAgainstSharded: full-shortlist scatter equals the union index, verdicts included (r20)") {
+    val dir = Files.createTempDirectory("graft_idx_sgk").toString
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    def recs(pred: org.apache.spark.sql.Column) = emb.filter(pred)
+      .select($"vec_id".cast("string").as("id"), $"embedding".as("values"),
+        struct(lit(0).as("chunk_index"), lit("t").as("source")).as("metadata"))
+    val all = VectorIndex.ensure(spark, s"$dir/all", 64)
+    all.upsert(recs(lit(true)))
+    val s0 = VectorIndex.ensure(spark, s"$dir/s0", 64)
+    s0.upsert(recs($"vec_id" % 2 === 0))
+    val s1 = VectorIndex.ensure(spark, s"$dir/s1", 64)
+    s1.upsert(recs($"vec_id" % 2 === 1))
+    val n = emb.count().toInt
+    val queries = emb.filter($"vec_id".isin(3, 5, 9))
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy($"query_id", $"rank").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+      .toSeq
+    // full shortlist: sharded batch join == the union index's, ranks,
+    // ids AND raw score doubles (per-shard scoring is the same
+    // expression over the same vectors)
+    val single = rows(all.knnJoin(queries, "qid", "qv", k = 7, shortlist = n))
+    val scatter = rows(VectorIndex.knnJoinSharded(Seq(s0, s1), queries,
+      "qid", "qv", k = 7, shortlist = n))
+    assert(scatter == single,
+      "sharded batch join must equal the union index bit-for-bit")
+    // a metadata/id filter threads through to every shard's join
+    val filtered = VectorIndex.knnJoinSharded(Seq(s0, s1), queries,
+      "qid", "qv", k = 3, shortlist = n,
+      filter = Some($"id".cast("long") % 3 === 0))
+    assert(filtered.count() == 9 &&
+      filtered.select("id").as[String].collect()
+        .forall(_.toLong % 3 == 0),
+      "every sharded filtered result must satisfy the filter and fill k")
+    // dedup-on-ingest verdicts: nearest-of-nearests over the shard set
+    // equals the union index's global nearest (ids, dup_of, scores)
+    val batch = emb.filter($"vec_id".isin(2, 4, 6, 8))
+      .select($"vec_id".as("bid"), $"embedding".as("bv"))
+    def verdicts(df: org.apache.spark.sql.DataFrame) = df.orderBy($"id")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getBoolean(3))).toSeq
+    assert(verdicts(VectorIndex.nearDupAgainstSharded(Seq(s0, s1), batch,
+        "bid", "bv", threshold = 0.2, shortlist = n))
+      == verdicts(all.nearDupAgainst(batch, "bid", "bv", threshold = 0.2,
+        shortlist = n)),
+      "sharded dedup verdicts must equal the union index's")
+    // empty shard list refuses loudly
+    intercept[IllegalArgumentException] {
+      VectorIndex.knnJoinSharded(Seq.empty, queries, "qid", "qv", k = 3)
+    }
+    // an EMPTY shard in the set contributes nothing and breaks nothing
+    val e = VectorIndex.ensure(spark, s"$dir/e", 64)
+    assert(rows(VectorIndex.knnJoinSharded(Seq(s0, s1, e), queries,
+      "qid", "qv", k = 7, shortlist = n)) == single,
+      "an empty shard must not change the merged answer")
+  }
+
   test("nearDupAgainst: batch-vs-index semantic dedup — exact copy flags, far row passes, re-ingest self-flags, empty index all-pass") {
     val dir = Files.createTempDirectory("graft_idx_ndup").toString
     val recs = spark.range(0, 40)

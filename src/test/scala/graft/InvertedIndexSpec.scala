@@ -534,6 +534,46 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("shard set shares doc ids"))
   }
 
+  test("prfSearchSharded: both retrieval rounds sharded equal the in-memory PRF operator bit-for-bit (r20)") {
+    import graft.operators.TextAnalytics
+    val base = java.nio.file.Files.createTempDirectory("graft_shprf").toString
+    // expansion-friendly fixture: seed terms co-occur with 'alpha' and
+    // 'beta' in the high-scoring docs, so the mined expansion terms
+    // actually change the final ranking vs the seed-only one
+    val d = docs((1L to 24L).map { i =>
+      val body = if (i % 4 == 0) "vector join alpha beta rare"
+        else if (i % 4 == 1) "vector join alpha common word"
+        else if (i % 4 == 2) "vector beta other words here"
+        else "plain filler text nothing shared"
+      i -> s"doc$i $body token$i"
+    }: _*)
+    InvertedIndex.writeIndex(d.filter($"doc_id" % 2 === 0), "doc_id", "text",
+      s"$base/a", buckets = 4)
+    InvertedIndex.writeIndex(d.filter($"doc_id" % 2 === 1), "doc_id", "text",
+      s"$base/b", buckets = 4)
+    val shards = Seq(s"$base/a", s"$base/b")
+    val sharded = InvertedIndex.prfSearchSharded(spark, shards, d,
+        "doc_id", "text", Seq("vector", "join"), fbDocs = 5, expand = 2,
+        k = 8, pool = 100)
+      .as[(Long, Double)].collect().toSeq
+    val mem = TextAnalytics.prfExpandTopK(d, "doc_id", "text",
+        Seq("vector", "join"), fbDocs = 5, expand = 2, k = 8)
+      .as[(Long, Double)].collect().toSeq
+    // same selection, same order, bit-identical doubles: the sharded
+    // rounds' scores ARE the whole-corpus scorer's
+    assert(sharded == mem, s"sharded PRF must equal in-memory: $sharded vs $mem")
+    // the expansion did work on this fixture: the seed-only head differs
+    val seedOnly = InvertedIndex.bm25SearchSharded(spark, shards,
+        Seq("join", "vector"), k = 8).as[(Long, Double)].collect().toSeq
+    assert(seedOnly.map(_._1) != mem.map(_._1),
+      "fixture must make expansion change the ranking, or the test is vacuous")
+    // a pool that cannot cover fbDocs/k refuses loudly
+    intercept[IllegalArgumentException] {
+      InvertedIndex.prfSearchSharded(spark, shards, d, "doc_id", "text",
+        Seq("vector"), fbDocs = 5, expand = 1, k = 8, pool = 3)
+    }
+  }
+
   test("snippets: best window by distinct-term coverage, earliest-start tiebreak, indexed == in-memory") {
     val d = docs(
       1L -> "cat x x x mat x cat mat",  // window 3: starts 5 and 7 both

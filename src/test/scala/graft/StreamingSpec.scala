@@ -1581,6 +1581,84 @@ class StreamingSpec extends AnyFunSuite {
     assert(!ids.contains("w-2") && !ids.contains("dup-5"))
   }
 
+  test("vectorDedupIngestEpoch: dedup spans frozen epochs, frozen shards never written, survivors land in the active epoch only (r20)") {
+    import graft.operators.VectorIndex
+    val base = Files.createTempDirectory("graft_stream_vepoch")
+    val src = base.resolve("src"); Files.createDirectories(src)
+    def recs(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select(concat(lit("v-"), $"id").as("id"),
+        array($"id".cast("float"), ($"id" % 7).cast("float"),
+          lit(1f), lit(2f)).as("values"),
+        struct(lit(0).as("chunk_index"), lit("t").as("source")).as("metadata"))
+    def copyOf(newId: String, srcId: Long) = recs(srcId, srcId + 1)
+      .withColumn("id", lit(newId))
+    def land(name: String, df: DataFrame): Unit = {
+      val tmp = base.resolve(s"stage_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, src.resolve(s"$name.parquet"))
+    }
+    // two FROZEN epochs: v-100..119 and v-120..139
+    VectorIndex.ensure(spark, s"$base/f1", 4).upsert(recs(100, 120))
+    VectorIndex.ensure(spark, s"$base/f2", 4).upsert(recs(120, 140))
+    val frozenSnaps = Seq(s"$base/f1", s"$base/f2")
+      .map(p => VectorIndex.open(spark, p).snapshots().max)
+    // b1: 10 fresh + a copy of FROZEN epoch-1 v-110 (cross-epoch drop)
+    // + a within-batch twin pair on a direction orthogonal to the
+    // ray family (the v-i rays converge as i grows — a v-300 copy
+    // would legitimately drop against a frozen v-107-class vector at
+    // this threshold)
+    def twin(newId: String) = spark.range(0, 1)
+      .select(lit(newId).as("id"),
+        array(lit(0f), lit(9f), lit(0f), lit(0f)).as("values"),
+        struct(lit(0).as("chunk_index"), lit("t").as("source")).as("metadata"))
+    land("b1", recs(0, 10).unionByName(copyOf("dup-f1", 110))
+      .unionByName(twin("w-1")).unionByName(twin("w-2")))
+    val stream = spark.readStream.schema(recs(0, 1).schema).parquet(src.toString)
+    val q = StreamOps.vectorDedupIngestEpoch(stream,
+      Seq(s"$base/f1", s"$base/f2"), s"$base/active", dim = 4,
+      threshold = 0.9999, shortlist = 1 << 20).start()
+    q.processAllAvailable()
+    // b2: 5 fresh + a copy of FROZEN epoch-2 v-130 + a re-send of
+    // accepted v-5 (self-flags against the ACTIVE epoch)
+    land("b2", recs(10, 15).unionByName(copyOf("dup-f2", 130))
+      .unionByName(recs(5, 6)))
+    q.processAllAvailable()
+    q.stop()
+    val ids = VectorIndex.open(spark, s"$base/active").scan()
+      .select("id").as[String].collect().toSet
+    assert(ids == ((0 until 15).map(i => s"v-$i").toSet + "w-1"),
+      s"survivor set wrong: $ids")
+    assert(!ids.contains("dup-f1") && !ids.contains("dup-f2") &&
+      !ids.contains("w-2"))
+    // frozen epochs were PROBED, never written: snapshot heads unchanged
+    assert(Seq(s"$base/f1", s"$base/f2")
+      .map(p => VectorIndex.open(spark, p).snapshots().max) == frozenSnaps,
+      "the frozen epochs must not gain a snapshot")
+    // a frozen epoch with the wrong dimension refuses loudly
+    VectorIndex.ensure(spark, s"$base/f8", 8)
+      .upsert(spark.range(0, 2)
+        .select(concat(lit("x-"), $"id").as("id"),
+          array((0 until 8).map(j => ($"id" + j).cast("float")): _*)
+            .as("values"),
+          struct(lit(0).as("chunk_index"), lit("t").as("source"))
+            .as("metadata")))
+    land("b3", recs(15, 16))
+    val bad = StreamOps.vectorDedupIngestEpoch(
+      spark.readStream.schema(recs(0, 1).schema).parquet(src.toString),
+      Seq(s"$base/f8"), s"$base/active2", dim = 4,
+      threshold = 0.9999, shortlist = 1 << 20)
+      .option("checkpointLocation", s"$base/cp_bad").start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      bad.processAllAvailable()
+      throw new IllegalStateException("expected the dim refusal to fail the stream")
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(ex).exists(c => Option(c.getMessage)
+      .exists(_.contains("frozen epoch"))), ex.getMessage)
+  }
+
   test("vectorDedupIngest r20 pre-pass: banded candidate pairs << batch^2, twins still drop") {
     import graft.operators.VectorIndex
     val base = Files.createTempDirectory("graft_vdedup_band")
