@@ -334,6 +334,31 @@ object Bench {
     // scatter-gather standing shard sets (the vector leg's exact-
     // recovery shortlist over two parity shards dominates)
     "q259" -> (3.003, 6.428),
+    // r20 close-out gates: bands from two isolated split runs each
+    // (load1 3.7/6.2, gc 0.1-0.3s), the standard lo=0.7*min /
+    // hi=1.35*max+0.15. q261 (2.72/2.50): sharded minhash drops —
+    // the memoized epoch-shard builds are the fixture, the probe
+    // scatters two band-pruned drops passes. q262 (1.17/1.18):
+    // sharded batch kNN at exact-recovery shortlist. q263
+    // (2.99/2.28): sharded dedup-on-ingest incl. the even-split
+    // fixture's first-build amortization. q264 (1.55/1.53): sharded
+    // PRF — two scatter rounds + the fbDocs corpus point read. q265
+    // (0.83/0.96) / q266 (0.85/1.03): scatter-recalled MMR /
+    // diversified head reranks. q267 (0.90/0.94): the
+    // graft_bm25_sharded SQL TVF (lazy plan — one extra pruned probe
+    // vs q253's pinned API path is invisible at this term count).
+    // q268 (11.68/10.63): 2-micro-batch epoch-rollover streaming
+    // ingest — micro-batch fixed cost dominates, the q241 shape.
+    "q261" -> (1.75, 3.822), "q262" -> (0.819, 1.743),
+    "q263" -> (1.596, 4.187), "q264" -> (1.071, 2.243),
+    "q265" -> (0.581, 1.446), "q266" -> (0.595, 1.541),
+    "q267" -> (0.63, 1.419), "q268" -> (7.441, 15.918),
+    // q269 (0.42/0.41): graft_knn_sharded SQL probe (exact scatter
+    // over the memoized parity shards). q270 (1.79/1.89): the
+    // one-statement SQL RAG capstone — both sharded TVF legs + window
+    // ranks + RRF fuse; the lex leg's lazy plan pays its probe twice
+    // (df gather + scoring), still under 2s at sf0.1.
+    "q269" -> (0.287, 0.717), "q270" -> (1.253, 2.702),
     // q260 (0.38/0.39): the graft_knn SQL TVF probe (exact top-k
     // against the memoized standing vector index)
     "q260" -> (0.266, 0.677),

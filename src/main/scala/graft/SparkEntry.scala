@@ -4399,6 +4399,57 @@ object SparkEntry {
            |ORDER BY score_u DESC, doc_id""".stripMargin)
     }),
 
+    // SQL-NATIVE SHARDED VECTOR SEARCH (r20, graft_bm25_sharded's
+    // vector sibling): exact top-k cosine across the parity shard set
+    // from a plain FROM clause — graft_knn_sharded resolves to the
+    // real queryMany plan (per-shard manifest-driven scans, one
+    // k·shards merge), built sequentially because the TVF builder
+    // runs inside analysis. q221's whole-corpus oracle verbatim.
+    "q269_sql_knn_sharded" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.TableFunctions.register(s)
+      val vpaths = shardedVidxFor(s, dir).mkString(";")
+      val qv = t(s, dir, "embeddings").filter($"vec_id" === 1)
+        .select($"embedding").as[Array[Float]].head()
+      s.sql(s"SELECT id FROM graft_knn_sharded('$vpaths', " +
+        s"'${qv.mkString(",")}', 12)")
+    }),
+
+    // THE WHOLE RAG PATH IN ONE SQL STATEMENT AGAINST SHARDED STANDING
+    // STATE (r20, the SQL capstone): q259's hybrid retrieval — BM25
+    // scatter + exact vector scatter + reciprocal-rank fusion — as a
+    // single query over the two TVFs; both legs serve the standing
+    // shard sets with no physical merge and no API calls. q259/q244's
+    // oracle verbatim: the SQL composition must fuse bit-identically.
+    "q270_sql_hybrid" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.TableFunctions.register(s)
+      val ppaths = shardedPidxFor(s, dir).mkString(";")
+      val vpaths = shardedVidxFor(s, dir).mkString(";")
+      val qv = t(s, dir, "embeddings").filter($"vec_id" === 1)
+        .select($"embedding").as[Array[Float]].head()
+      s.sql(
+        s"""WITH lex AS (
+           |  SELECT doc AS doc_id,
+           |    ROW_NUMBER() OVER (ORDER BY score_u DESC, doc) AS r
+           |  FROM (SELECT doc,
+           |          CAST(FLOOR(score * 1000000.0) AS BIGINT) AS score_u
+           |        FROM graft_bm25_sharded('$ppaths', 'vector join hash',
+           |                                10000)
+           |        ORDER BY score_u DESC, doc LIMIT 50)),
+           |vec AS (
+           |  SELECT CAST(id AS BIGINT) AS doc_id,
+           |    ROW_NUMBER() OVER (ORDER BY score DESC,
+           |                       CAST(id AS BIGINT)) AS r
+           |  FROM graft_knn_sharded('$vpaths', '${qv.mkString(",")}', 50))
+           |SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+           |  COALESCE(CAST(1.0 AS DOUBLE) / CAST(60 + l.r AS DOUBLE), 0.0)
+           |    + COALESCE(CAST(1.0 AS DOUBLE) / CAST(60 + v.r AS DOUBLE),
+           |               0.0) AS rrf
+           |FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+           |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin)
+    }),
+
     // EPOCH-ROLLOVER STREAMING VECTOR DEDUP-INGEST (r20, the q241
     // pipeline against the sharded standing corpus): the even-id
     // corpus lives in two FROZEN epoch shards; two micro-batches of
@@ -8342,6 +8393,68 @@ object SparkEntry {
         |        ORDER BY score_u DESC, doc_id LIMIT 10)
         |SELECT doc_id, source, score_u FROM top
         |ORDER BY score_u DESC, doc_id""".stripMargin,
+
+    // q221's oracle verbatim: the SQL sharded vector search must rank
+    // the whole corpus bit-for-bit
+    "q269_sql_knn_sharded" ->
+      """SELECT CAST(e.vec_id AS VARCHAR) AS id FROM embeddings e
+        |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+        |   WHERE vec_id = 1)) DESC,
+        |  CAST(e.vec_id AS VARCHAR)
+        |LIMIT 12""".stripMargin,
+
+    // q259/q244's oracle verbatim: the one-statement SQL RAG path over
+    // the sharded TVFs must fuse the whole-corpus answer bit-for-bit
+    "q270_sql_hybrid" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS dl,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM toks
+        |       WHERE term IN ('vector','join','hash') GROUP BY 1, 2, 3),
+        |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n,
+        |        CAST(SUM(len(list_filter(string_split_regex(lower(text),
+        |          '[^a-z0-9]+'), x -> x <> ''))) AS DOUBLE)
+        |          / CAST(COUNT(*) AS DOUBLE) AS avgdl
+        |      FROM documents),
+        |per AS (
+        |  SELECT doc_id, term,
+        |    ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |        / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf AS DOUBLE) * (1.2 + 1.0)
+        |         / (CAST(tf AS DOUBLE)
+        |            + 1.2 * ((1.0 - 0.75)
+        |                     + 0.75 * CAST(dl AS DOUBLE) / avgdl))) AS s
+        |  FROM tf JOIN dfx USING (term) CROSS JOIN n),
+        |sc AS (
+        |  SELECT doc_id,
+        |    COALESCE(MAX(CASE WHEN term = 'vector' THEN s END), 0) AS s0,
+        |    COALESCE(MAX(CASE WHEN term = 'join' THEN s END), 0) AS s1,
+        |    COALESCE(MAX(CASE WHEN term = 'hash' THEN s END), 0) AS s2
+        |  FROM per GROUP BY 1),
+        |lex AS (
+        |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY su DESC, doc_id) AS r
+        |  FROM (SELECT doc_id,
+        |          CAST(FLOOR((s0 + s1 + s2) * 1000000.0) AS BIGINT) AS su
+        |        FROM sc ORDER BY su DESC, doc_id LIMIT 50)),
+        |vec AS (
+        |  SELECT vec_id AS doc_id,
+        |    ROW_NUMBER() OVER (ORDER BY score DESC, vec_id) AS r
+        |  FROM (SELECT e.vec_id,
+        |          list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |            (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+        |             WHERE vec_id = 1)) AS score
+        |        FROM embeddings e ORDER BY score DESC, vec_id LIMIT 50))
+        |SELECT doc_id,
+        |  COALESCE(CAST(1 AS DOUBLE) / (60 + l.r), 0) +
+        |  COALESCE(CAST(1 AS DOUBLE) / (60 + v.r), 0) AS rrf
+        |FROM lex l FULL OUTER JOIN vec v USING (doc_id)
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
 
     // q235's oracle verbatim: the SQL sharded scatter must score the
     // whole corpus bit-for-bit

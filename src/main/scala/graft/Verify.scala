@@ -86,5 +86,9 @@ object Verify {
     "q120_decontaminate_fuzzy", "q126_exact_substr_dedup",
     "q130_exact_substr_against", "q184_snm_dedup", "q185_containment",
     "q187_interval_join", "q212_cluster_best", "q220_split_contamination",
-    "q241_stream_vector_dedup")
+    "q241_stream_vector_dedup",
+    // r20 close-out: the sharded dedup probes carry the same valves
+    // (dropsSharded inherits drops' per-shard maxBucketSize census;
+    // the epoch ingest runs the banded within-batch pass + maxBatchRows)
+    "q261_minhash_scatter", "q268_stream_epoch_dedup")
 }

@@ -46,6 +46,9 @@ object TableFunctions {
       "scala_udf")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       "graft_knn", (es: Seq[Expression]) => knnPlan(es), "scala_udf")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "graft_knn_sharded", (es: Seq[Expression]) => knnShardedPlan(es),
+      "scala_udf")
   }
 
   private def evalLit(es: Seq[Expression], i: Int, what: String): Any = {
@@ -145,5 +148,37 @@ object TableFunctions {
       s"graft_knn query_vec has ${qv.length} components, index at " +
         s"$path stores ${idx.meta.dimension}-dim vectors")
     idx.query(qv, k).queryExecution.logical
+  }
+
+  /** `graft_knn_sharded(index_paths, query_vec, k)` — exact top-k
+    * cosine ACROSS a `;`-separated vector shard set ([[graft.operators
+    * .VectorIndex.queryMany]]: per-shard top-k, one k·shards merge) as
+    * a SQL relation (r20, graft_bm25_sharded's vector sibling — with
+    * both in the registry, the ENTIRE hybrid RAG path over sharded
+    * standing state is one SQL statement, gate q270). Built with
+    * `parallel = false`: the builder runs inside Catalyst analysis
+    * under the SessionCatalog monitor, where pool-thread plan
+    * construction deadlocks (the bm25 TVF lesson); the sequential
+    * build is lazy and value-identical, and the unioned plan still
+    * EXECUTES with full cluster parallelism. Every shard must store
+    * `query_vec`'s width (validated at analysis). */
+  private def knnShardedPlan(es: Seq[Expression]): LogicalPlan = {
+    require(es.length == 3,
+      s"graft_knn_sharded(index_paths, query_vec, k) takes 3 " +
+        s"arguments, got ${es.length}")
+    val paths = evalLit(es, 0, "index_paths").toString
+      .split(";").map(_.trim).toSeq.filter(_.nonEmpty)
+    require(paths.nonEmpty, "graft_knn_sharded index_paths has no paths")
+    val qv = evalLit(es, 1, "query_vec").toString
+      .split(",").map(_.trim).filter(_.nonEmpty).map(_.toFloat)
+    require(qv.nonEmpty, "graft_knn_sharded query_vec has no components")
+    val k = evalInt(es, 2, "k")
+    val idxs = paths.map(
+      graft.operators.VectorIndex.open(SparkSession.active, _))
+    idxs.foreach(idx => require(qv.length == idx.meta.dimension,
+      s"graft_knn_sharded query_vec has ${qv.length} components, shard " +
+        s"'${idx.meta.name}' stores ${idx.meta.dimension}-dim vectors"))
+    graft.operators.VectorIndex.queryMany(idxs, qv, k, parallel = false)
+      .queryExecution.logical
   }
 }

@@ -1413,11 +1413,19 @@ object VectorIndex {
     * untouched (each shard's own pruning applies); the merge moves
     * only k rows per shard. */
   def queryMany(idxs: Seq[VectorIndex], q: Array[Float], k: Int,
-      filter: Option[Column] = None): DataFrame = {
+      filter: Option[Column] = None, parallel: Boolean = true): DataFrame = {
     require(idxs.nonEmpty, "queryMany needs at least one index")
     // parallel scatter (r20): query() is lazy but pays a per-shard
-    // driver manifest read up front — overlap them
-    inParallel(idxs)(_.query(q, k, filter)).reduce(_.unionByName(_))
+    // driver manifest read up front — overlap them. `parallel = false`
+    // builds the per-shard plans on the calling thread instead —
+    // required when the plan is constructed INSIDE Catalyst analysis
+    // (the graft_knn_sharded TVF builder holds the SessionCatalog
+    // monitor; pool-thread DataFrame construction would re-enter
+    // analysis cross-thread and deadlock on it, the bm25 TVF lesson).
+    val perShard =
+      if (parallel) inParallel(idxs)(_.query(q, k, filter))
+      else idxs.map(_.query(q, k, filter))
+    perShard.reduce(_.unionByName(_))
       .orderBy(col("score").desc, col("id"))
       .limit(k)
   }

@@ -273,6 +273,42 @@ class CatalogSpec extends AnyFunSuite {
       .exists(_.contains("no paths"))), e.getMessage)
   }
 
+  test("graft_knn_sharded table function: SQL scatter equals the API queryMany and the union index (r20)") {
+    import graft.operators.VectorIndex
+    val base = java.nio.file.Files.createTempDirectory("graft_tvf_ks").toString
+    def recs(pred: org.apache.spark.sql.Column) = spark.range(0, 40)
+      .filter(pred)
+      .select(concat(lit("v-"), $"id").as("id"),
+        array($"id".cast("float"), ($"id" % 5).cast("float"),
+          lit(1f), lit(2f)).as("values"),
+        struct(lit(0).as("chunk_index"), lit("t").as("source"))
+          .as("metadata"))
+    val a = VectorIndex.ensure(spark, s"$base/a", 4); a.upsert(recs($"id" % 2 === 0))
+    val b = VectorIndex.ensure(spark, s"$base/b", 4); b.upsert(recs($"id" % 2 === 1))
+    val u = VectorIndex.ensure(spark, s"$base/u", 4); u.upsert(recs(lit(true)))
+    graft.functions.TableFunctions.register(spark)
+    val qv = Array(17f, 2f, 1f, 2f)
+    val viaSql = spark.sql(
+      s"SELECT id, score FROM graft_knn_sharded('$base/a;$base/b', " +
+        s"'${qv.mkString(",")}', 6)")
+      .as[(String, Double)].collect().toSeq
+    assert(viaSql == VectorIndex.queryMany(Seq(a, b), qv, 6)
+      .select($"id", $"score").as[(String, Double)].collect().toSeq,
+      "the SQL TVF must be the API scatter plan — same doubles, same order")
+    assert(viaSql == u.query(qv, 6).select($"id", $"score")
+      .as[(String, Double)].collect().toSeq,
+      "the SQL scatter must equal the union index bit-for-bit")
+    // a shard whose dimension doesn't match refuses at analysis
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_knn_sharded('$base/a;$base/b', " +
+        "'1.0,2.0', 3)").collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(c => Option(c.getMessage)
+      .exists(_.contains("components"))), e.getMessage)
+  }
+
   test("graft_knn table function: SQL FROM clause ranks bit-identically to the API; dim refusal at analysis (r20)") {
     import graft.operators.VectorIndex
     val base = java.nio.file.Files.createTempDirectory("graft_tvf_knn").toString
