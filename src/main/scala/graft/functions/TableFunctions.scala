@@ -36,8 +36,9 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * query layer implies. */
 object TableFunctions {
 
-  /** Register `graft_bm25`, `graft_bm25_sharded` and `graft_knn` on
-    * `spark`'s table-function registry. Idempotent (createOrReplace). */
+  /** Register `graft_bm25`, `graft_bm25_sharded`, `graft_knn` and
+    * `graft_knn_sharded` on `spark`'s table-function registry.
+    * Idempotent (createOrReplace). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       "graft_bm25", (es: Seq[Expression]) => bm25Plan(es), "scala_udf")

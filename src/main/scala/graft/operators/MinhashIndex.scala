@@ -320,8 +320,18 @@ object MinhashIndex {
     val hconf = spark.sparkContext.hadoopConfiguration
     def shardIds(p: String): DataFrame = {
       AtomicSwap.recover(hconf, p)
-      spark.read.parquet(p).filter(col("_band") === -1)
-        .select(col("_id")).distinct()
+      // a freshly rolled-over epoch shard may exist with no data yet
+      // (append never ran): census it as zero docs instead of failing
+      // parquet schema inference — the InvertedIndex.validateShards
+      // missing-store tolerance (r20 review)
+      val pp = new org.apache.hadoop.fs.Path(p)
+      val fs = pp.getFileSystem(hconf)
+      val hasData = fs.exists(pp) &&
+        fs.listStatus(pp).exists(_.getPath.getName.startsWith("_band="))
+      if (hasData)
+        spark.read.parquet(p).filter(col("_band") === -1)
+          .select(col("_id")).distinct()
+      else spark.range(0).select(col("id").as("_id"))
     }
     val censuses = paths.zipWithIndex.map { case (p, i) =>
       s"m$i" -> shardIds(p).localCheckpoint(true)
@@ -349,9 +359,11 @@ object MinhashIndex {
     *
     * Per-shard work is untouched — each shard's band-bucket partition
     * pruning, bucket census, and payload probes apply shard-locally;
-    * cross-shard traffic is the drop-id sets only. The batch
-    * checkpoints ONCE and replays against every shard; shard probes
-    * overlap on the [[Par]] pool (max(shard), not Σ(shards), wall
+    * cross-shard traffic is the drop-id sets only. The batch PIPELINE
+    * materializes once (the eager pin below); each per-shard [[drops]]
+    * call re-pins from those cached blocks — N cheap block re-reads,
+    * never N recomputations of the prep. Shard probes overlap on the
+    * [[Par]] pool (max(shard), not Σ(shards), wall
     * time). One deliberate asymmetry vs the merged index: the
     * `maxBucketSize` valve censuses each shard's buckets SEPARATELY,
     * so a hot bucket split across shards valves LATER than merged —

@@ -658,14 +658,9 @@ final class VectorIndex private (
     * (under-flagging, the safe direction for dedup); `shortlist >=
     * index size` makes the verdicts exact. */
   def nearDupAgainst(batch: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, shortlist: Int = 400): DataFrame = {
-    val nn = knnJoin(batch, idCol, vecCol, k = 1, shortlist)
-      .select(col("query_id").as("id"), col("id").as("dup_of"), col("score"))
-    batch.select(col(idCol).cast("string").as("id"))
-      .join(nn, Seq("id"), "left")
-      .select(col("id"), col("dup_of"), col("score"),
-        (col("score").isNotNull && col("score") >= threshold).as("is_dup"))
-  }
+      threshold: Double, shortlist: Int = 400): DataFrame =
+    VectorIndex.nearDupVerdicts(knnJoin(batch, idCol, vecCol, k = 1,
+      shortlist), batch, idCol, threshold)
 
   /** Q2 MATRYOSHKA SERVING (r19) — [[Ann.matryoshkaTopK]]'s two-stage
     * MRL trade driven through the snapshot index's STORED layout:
@@ -1486,8 +1481,15 @@ object VectorIndex {
       qIdCol: String, qVecCol: String, k: Int, shortlist: Int = 400,
       filter: Option[Column] = None): DataFrame = {
     require(idxs.nonEmpty, "knnJoinSharded needs at least one index")
+    // pin the batch ONCE before the fan-out: each shard's knnJoin
+    // re-validates and persists its own view of the queries, and the
+    // first shard to finish would otherwise unpersist the cache entry
+    // the still-running shards' canonically-equal plans share — the
+    // pinned blocks make every per-shard re-read trivially cheap and
+    // recompute-free (r20 review)
+    val qpin = queries.localCheckpoint(true)
     val perShard = inParallel(idxs)(
-      _.knnJoin(queries, qIdCol, qVecCol, k, shortlist, filter)
+      _.knnJoin(qpin, qIdCol, qVecCol, k, shortlist, filter)
         .localCheckpoint(true))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("id"))
@@ -1515,8 +1517,19 @@ object VectorIndex {
       idCol: String, vecCol: String, threshold: Double,
       shortlist: Int = 400): DataFrame = {
     require(idxs.nonEmpty, "nearDupAgainstSharded needs at least one index")
-    val nn = knnJoinSharded(idxs, batch, idCol, vecCol, k = 1, shortlist)
-      .select(col("query_id").as("id"), col("id").as("dup_of"), col("score"))
+    nearDupVerdicts(knnJoinSharded(idxs, batch, idCol, vecCol, k = 1,
+      shortlist), batch, idCol, threshold)
+  }
+
+  /** The dedup-on-ingest verdict tail shared by [[VectorIndex
+    * .nearDupAgainst]] and [[nearDupAgainstSharded]] (factored r20
+    * review — the twin-path-drift argument): join the k=1 nearest
+    * back onto every batch row, flag by threshold, null neighbor ⇒
+    * not a dup. */
+  private[operators] def nearDupVerdicts(nn0: DataFrame, batch: DataFrame,
+      idCol: String, threshold: Double): DataFrame = {
+    val nn = nn0.select(col("query_id").as("id"), col("id").as("dup_of"),
+      col("score"))
     batch.select(col(idCol).cast("string").as("id"))
       .join(nn, Seq("id"), "left")
       .select(col("id"), col("dup_of"), col("score"),

@@ -1101,7 +1101,7 @@ object StreamOps {
     lastWithinBatchRows = nRows
     if (nRows > maxBatchRows)
       throw new IllegalStateException(
-        s"vectorDedupIngest: micro-batch of $nRows rows exceeds " +
+        s"vector dedup-ingest: micro-batch of $nRows rows exceeds " +
           s"maxBatchRows $maxBatchRows — one unbounded trigger " +
           "would make the within-batch band join's in-bucket " +
           "verify quadratic in the batch; bound the source " +
@@ -1115,7 +1115,7 @@ object StreamOps {
     if (batch.filter(col("values").isNull ||
         size(col("values")) =!= dim).limit(1).count() > 0)
       throw new graft.core.IngestError(
-        s"vectorDedupIngest: micro-batch contains a null or " +
+        s"vector dedup-ingest: micro-batch contains a null or " +
           s"wrong-dimension vector (index dimension $dim)")
     // banded candidate generation (r20): 64-bit hyperplane
     // signature (the index's own _bsig seed), 4 x 16-bit bands —
@@ -1176,12 +1176,25 @@ object StreamOps {
     * is in the probed set, so a replayed batch's own rows self-flag);
     * frozen-epoch id disjointness is the certify-once contract every
     * sharded probe trusts. Frozen epochs must exist and share `dim`
-    * (loud refusal at stream start — a missing meta throws in open). */
+    * (loud refusal at WRITER CONSTRUCTION — before any micro-batch
+    * work, and visible even if the source never delivers a batch;
+    * a missing meta throws in open). */
   def vectorDedupIngestEpoch(rows: DataFrame, frozenPaths: Seq[String],
       activePath: String, dim: Int, threshold: Double, shortlist: Int = 400,
       numBuckets: Int = graft.operators.LayoutMeta.Unspecified,
       maxBatchRows: Long = 1L << 21)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // frozen epochs validate at WRITER CONSTRUCTION, not per batch: a
+    // missing or wrong-dimension epoch is a configuration error that
+    // must refuse before any micro-batch work (or no batch at all —
+    // an empty source must not hide it), and the opened handles are
+    // immutable-path readers safely reused across batches (each probe
+    // resolves the current snapshot itself)
+    val frozen = frozenPaths.map(
+      graft.operators.VectorIndex.open(rows.sparkSession, _))
+    frozen.foreach(f => require(f.meta.dimension == dim,
+      s"frozen epoch '${f.meta.name}' stores ${f.meta.dimension}-dim " +
+        s"vectors, ingest declared $dim"))
     rows.writeStream.outputMode("append").foreachBatch {
       (batch0: DataFrame, _: Long) =>
         if (!batch0.isEmpty) {
@@ -1194,11 +1207,6 @@ object StreamOps {
             else
               graft.operators.VectorIndex.ensure(spark, activePath, dim,
                 numBuckets = numBuckets)
-          val frozen = frozenPaths.map(
-            graft.operators.VectorIndex.open(spark, _))
-          frozen.foreach(f => require(f.meta.dimension == dim,
-            s"frozen epoch '${f.meta.name}' stores ${f.meta.dimension}-dim " +
-              s"vectors, ingest declared $dim"))
           val verdicts = graft.operators.VectorIndex.nearDupAgainstSharded(
             frozen :+ active, within, "id", "values", threshold, shortlist)
           val survivors = within.join(
@@ -1209,6 +1217,7 @@ object StreamOps {
               col("metadata")))
         }
     }
+  }
 
   /** Diagnostics for the last [[vectorDedupIngest]] /
     * [[vectorDedupIngestEpoch]] micro-batch: rows after the id

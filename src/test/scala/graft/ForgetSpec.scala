@@ -374,5 +374,10 @@ class ForgetSpec extends AnyFunSuite {
       MinhashIndex.validateShards(spark, Seq(s"$root/a", s"$root/m"))
     }
     assert(ex.getMessage.contains("shares doc ids"))
+    // a freshly rolled-over (empty) epoch shard censuses as zero docs
+    // instead of failing parquet schema inference
+    new java.io.File(s"$root/fresh").mkdirs()
+    assert(MinhashIndex.validateShards(spark,
+      Seq(s"$root/a", s"$root/fresh")) == 6L)
   }
 }

@@ -1635,7 +1635,9 @@ class StreamingSpec extends AnyFunSuite {
     assert(Seq(s"$base/f1", s"$base/f2")
       .map(p => VectorIndex.open(spark, p).snapshots().max) == frozenSnaps,
       "the frozen epochs must not gain a snapshot")
-    // a frozen epoch with the wrong dimension refuses loudly
+    // a frozen epoch with the wrong dimension refuses at WRITER
+    // CONSTRUCTION — before .start(), before any micro-batch work,
+    // and even if the source would never deliver a batch
     VectorIndex.ensure(spark, s"$base/f8", 8)
       .upsert(spark.range(0, 2)
         .select(concat(lit("x-"), $"id").as("id"),
@@ -1643,20 +1645,13 @@ class StreamingSpec extends AnyFunSuite {
             .as("values"),
           struct(lit(0).as("chunk_index"), lit("t").as("source"))
             .as("metadata")))
-    land("b3", recs(15, 16))
-    val bad = StreamOps.vectorDedupIngestEpoch(
-      spark.readStream.schema(recs(0, 1).schema).parquet(src.toString),
-      Seq(s"$base/f8"), s"$base/active2", dim = 4,
-      threshold = 0.9999, shortlist = 1 << 20)
-      .option("checkpointLocation", s"$base/cp_bad").start()
-    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      bad.processAllAvailable()
-      throw new IllegalStateException("expected the dim refusal to fail the stream")
+    val ex = intercept[IllegalArgumentException] {
+      StreamOps.vectorDedupIngestEpoch(
+        spark.readStream.schema(recs(0, 1).schema).parquet(src.toString),
+        Seq(s"$base/f8"), s"$base/active2", dim = 4,
+        threshold = 0.9999, shortlist = 1 << 20)
     }
-    def chain(t: Throwable): Seq[Throwable] =
-      if (t == null) Nil else t +: chain(t.getCause)
-    assert(chain(ex).exists(c => Option(c.getMessage)
-      .exists(_.contains("frozen epoch"))), ex.getMessage)
+    assert(ex.getMessage.contains("frozen epoch"), ex.getMessage)
   }
 
   test("vectorDedupIngest r20 pre-pass: banded candidate pairs << batch^2, twins still drop") {
