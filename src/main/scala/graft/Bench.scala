@@ -359,6 +359,9 @@ object Bench {
     // ranks + RRF fuse; the lex leg's lazy plan pays its probe twice
     // (df gather + scoring), still under 2s at sf0.1.
     "q269" -> (0.287, 0.717), "q270" -> (1.253, 2.702),
+    // q271 (0.73/0.67): vector shard-set certification — one
+    // column-pruned id census per parity shard + the disjointness check
+    "q271" -> (0.469, 1.136),
     // q260 (0.38/0.39): the graft_knn SQL TVF probe (exact top-k
     // against the memoized standing vector index)
     "q260" -> (0.266, 0.677),

@@ -392,6 +392,7 @@ object SparkEntry {
             .as("metadata"))
       graft.operators.VectorIndex.ensure(s, s"$base/a", 64).upsert(recs(0))
       graft.operators.VectorIndex.ensure(s, s"$base/b", 64).upsert(recs(1))
+      graft.operators.VectorIndex.validateShards(s, Seq(s"$base/a", s"$base/b"))
       Seq(s"$base/a", s"$base/b")
     })
 
@@ -474,6 +475,7 @@ object SparkEntry {
             .as("metadata"))
       graft.operators.VectorIndex.ensure(s, s"$base/a", 64).upsert(recs(0))
       graft.operators.VectorIndex.ensure(s, s"$base/b", 64).upsert(recs(2))
+      graft.operators.VectorIndex.validateShards(s, Seq(s"$base/a", s"$base/b"))
       Seq(s"$base/a", s"$base/b")
     })
 
@@ -4397,6 +4399,19 @@ object SparkEntry {
            |  CAST(FLOOR(score * 1000000.0) AS BIGINT) AS score_u
            |FROM graft_bm25_sharded('$paths', 'vector join hash', 20)
            |ORDER BY score_u DESC, doc_id""".stripMargin)
+    }),
+
+    // VECTOR SHARD-SET CERTIFICATION (r20, completing the certify-once
+    // story across all three index families): one column-pruned id
+    // census across the standing parity shards — validateShards
+    // returns the certified total id count, which must equal the
+    // whole corpus exactly (a lost id, a doubled id, or an id in both
+    // shards all move or throw). The probes q259/q262/q263/q269/q270
+    // trust exactly this certificate.
+    "q271_vector_shard_certify" -> ((s, dir) => {
+      import s.implicits._
+      Seq(graft.operators.VectorIndex.validateShards(s,
+        shardedVidxFor(s, dir))).toDF("n_ids")
     }),
 
     // SQL-NATIVE SHARDED VECTOR SEARCH (r20, graft_bm25_sharded's
@@ -8393,6 +8408,9 @@ object SparkEntry {
         |        ORDER BY score_u DESC, doc_id LIMIT 10)
         |SELECT doc_id, source, score_u FROM top
         |ORDER BY score_u DESC, doc_id""".stripMargin,
+
+    "q271_vector_shard_certify" ->
+      "SELECT COUNT(*) AS n_ids FROM embeddings",
 
     // q221's oracle verbatim: the SQL sharded vector search must rank
     // the whole corpus bit-for-bit

@@ -1474,9 +1474,47 @@ object VectorIndex {
     * so the pins are driver-cheap by construction). Cross-shard ID
     * DISJOINTNESS is trusted per call — a vector upserted into two
     * shards would surface twice in its queries' rankings; certify the
-    * set once when it is assembled (the [[InvertedIndex
-    * .validateShards]] discipline; for snapshot indexes, [[VectorIndex
-    * .mergeIndexes]]'s census is the certifier). */
+    * set once when it is assembled with [[validateShards]]. */
+  /** CERTIFY a vector shard set's id-disjointness (r20, completing the
+    * certify-once story across all three index families —
+    * [[InvertedIndex.validateShards]] / [[MinhashIndex.validateShards]]
+    * for the vector side): the [[mergeIndexes]] id census WITHOUT the
+    * merge. Returns the certified total id count across the set. Run
+    * once when a shard set is ASSEMBLED (an epoch freezes into the
+    * serving set, a tenant onboards); after that every sharded probe
+    * ([[queryMany]], [[queryManyApprox]], [[queryManyMatryoshka]],
+    * [[knnJoinSharded]], [[nearDupAgainstSharded]]) trusts the
+    * certificate instead of paying a cross-shard census per call — a
+    * shared id would surface twice in every merged ranking and double
+    * its dedup verdicts. Cost: one column-pruned `id` scan of each
+    * shard's current-snapshot manifest files (the vectors never move);
+    * ids are unique within an index by upsert semantics, so no
+    * per-shard distinct is needed. A snapshot-less (empty) shard
+    * censuses as zero ids. Throws [[OverlappingSources]] naming the
+    * first colliders. */
+  def validateShards(spark: SparkSession, paths: Seq[String]): Long = {
+    require(paths.size >= 2, "a shard set needs at least two shards")
+    require(paths.distinct.size == paths.size,
+      s"duplicate shard paths: ${paths.mkString(", ")}")
+    val censuses = paths.zipWithIndex.map { case (p, i) =>
+      val m = currentSnapshot(spark, p).map(readManifest(spark, p, _))
+        .getOrElse(Map.empty[Int, Seq[ManifestFile]])
+      val files = m.values.flatten.map(mf => s"$p/${mf.file}").toSeq.sorted
+      val ids =
+        if (files.isEmpty)
+          spark.range(0).select(col("id").cast("string").as("id"))
+        else spark.read.parquet(files: _*).select(col("id"))
+      (s"m$i", ids.localCheckpoint(eager = true))
+    }
+    MergeCensus.requireDisjoint(censuses, "id", colliding =>
+      throw new OverlappingSources(
+        s"shard set shares ids (first ${colliding.length}: " +
+          s"${colliding.mkString(", ")}): a shared id would surface " +
+          "twice in every sharded probe's merged ranking and double " +
+          "its dedup verdicts; delete it from all but one shard " +
+          "before serving the set"))
+  }
+
   def knnJoinSharded(idxs: Seq[VectorIndex], queries: DataFrame,
       qIdCol: String, qVecCol: String, k: Int, shortlist: Int = 400,
       filter: Option[Column] = None): DataFrame = {

@@ -1012,6 +1012,31 @@ class IngestIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("VectorIndex.validateShards: disjoint set certifies with the total id count; overlap and duplicates refuse; empty shard tolerated (r20)") {
+    val dir = Files.createTempDirectory("graft_idx_vsv").toString
+    def recs(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select(concat(lit("v-"), $"id").as("id"),
+        array($"id".cast("float"), lit(1f), lit(2f), lit(3f)).as("values"),
+        struct(lit(0).as("chunk_index"), lit("t").as("source")).as("metadata"))
+    val a = VectorIndex.ensure(spark, s"$dir/a", 4); a.upsert(recs(0, 30))
+    val b = VectorIndex.ensure(spark, s"$dir/b", 4); b.upsert(recs(30, 50))
+    assert(VectorIndex.validateShards(spark, Seq(s"$dir/a", s"$dir/b")) == 50L)
+    // a snapshot-less shard censuses as zero ids
+    VectorIndex.ensure(spark, s"$dir/e", 4)
+    assert(VectorIndex.validateShards(spark,
+      Seq(s"$dir/a", s"$dir/b", s"$dir/e")) == 50L)
+    // overlap refusal: one id upserted into both shards
+    b.upsert(recs(0, 1))
+    val ex = intercept[VectorIndex.OverlappingSources] {
+      VectorIndex.validateShards(spark, Seq(s"$dir/a", s"$dir/b"))
+    }
+    assert(ex.getMessage.contains("shares ids"))
+    // duplicate path refusal
+    intercept[IllegalArgumentException] {
+      VectorIndex.validateShards(spark, Seq(s"$dir/a", s"$dir/a"))
+    }
+  }
+
   test("knnJoinSharded / nearDupAgainstSharded: full-shortlist scatter equals the union index, verdicts included (r20)") {
     val dir = Files.createTempDirectory("graft_idx_sgk").toString
     val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
