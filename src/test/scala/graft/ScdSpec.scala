@@ -193,9 +193,21 @@ class ScdSpec extends AnyFunSuite {
       (1L, 10L, 1L, "free"), (2L, 10L, 2L, "free"),
       (1L, 20L, 3L, "pro"), (2L, 25L, 4L, "free"), // no-op for 2
       (1L, 30L, 5L, "free"), (3L, 30L, 6L, "trial"))
-    // two in-order file drops
+    // two in-order file drops — staged to a side dir and landed as ONE
+    // complete part file each (the StreamingSpec idiom): writing a
+    // multi-part parquet DIRECTORY straight into the streamed glob let
+    // a processAllAvailable under suite load snapshot the source while
+    // only some of the commit's part files were listed, applying a
+    // partial micro-batch (observed once in-suite; isolation-green)
     val schema = all.schema
-    all.filter($"eid" <= 2).write.parquet(src.resolve("b1.parquet").toString)
+    def land(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = Files.createTempDirectory("scd_stream_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, src.resolve(name))
+    }
+    land("b1.parquet", all.filter($"eid" <= 2))
     val stream = spark.readStream.schema(schema)
       .parquet(src.toString + "/*.parquet")
     val q = stream.writeStream.outputMode("append")
@@ -205,7 +217,7 @@ class ScdSpec extends AnyFunSuite {
       }.start()
     try {
       q.processAllAvailable()
-      all.filter($"eid" > 2).write.parquet(src.resolve("b2.parquet").toString)
+      land("b2.parquet", all.filter($"eid" > 2))
       q.processAllAvailable()
       val streamed = Scd.readVersions(spark, store)
         .select($"k", $"tier", $"valid_from", $"valid_to", $"is_current")
