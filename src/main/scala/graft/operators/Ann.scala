@@ -581,8 +581,13 @@ object Ann {
       // one narrow shuffle on the partition columns buys ONE file per
       // (band, bucket) directory; a direct partitionBy write emits up
       // to tasks x directories files — millions at cluster scale, and
-      // the dominant cost of the build even locally
-      .repartition(col("_band"), col("_bkt"))
+      // the dominant cost of the build even locally. Count pinned
+      // (r21, guide §2.4): unpinned, AQE coalesces a small build to
+      // ONE task that writes every directory serially; capped at
+      // 4x parallelism so a wide layout doesn't explode task count.
+      .repartition(math.min((maxDist + 1) * buckets,
+        4 * df.sparkSession.sparkContext.defaultParallelism).max(1),
+        col("_band"), col("_bkt"))
       .write.mode("overwrite").partitionBy("_band", "_bkt").parquet(path)
     // a full rewrite DEFINES the layout: record it for probes to
     // resolve/validate against, replacing any previous index's record
@@ -623,8 +628,11 @@ object Ann {
       .unionByName(idRows.select("_hid", "_hsig", "_bv", "_band", "_bkt"))
       // same discipline as [[writeHammingIndex]]: one file per touched
       // directory per append, not tasks x directories — this is what
-      // keeps [[compactHammingIndex]]'s backlog linear in batches
-      .repartition(col("_band"), col("_bkt"))
+      // keeps [[compactHammingIndex]]'s backlog linear in batches.
+      // Count pinned — see writeHammingIndex (r21).
+      .repartition(math.min((md + 2) * bk,
+        4 * df.sparkSession.sparkContext.defaultParallelism).max(1),
+        col("_band"), col("_bkt"))
       .write.mode("append").partitionBy("_band", "_bkt").parquet(path)
     // record the layout AFTER data lands (a crash here leaves a
     // pre-META index, which probes tolerate exactly as before)

@@ -104,7 +104,10 @@ object InvertedIndex {
   private def statsRowDf(spark: org.apache.spark.sql.SparkSession,
       fp: Long, n: Long, sumDl: Long): DataFrame = {
     import spark.implicits._
-    Seq((fp, n, sumDl)).toDF("fp", "n_docs", "sum_dl").repartition(1)
+    // no repartition(1): a one-row LocalRelation already writes as a
+    // single task — the explicit repartition only added a shuffle
+    // round-trip per stats write (r21)
+    Seq((fp, n, sumDl)).toDF("fp", "n_docs", "sum_dl").coalesce(1)
   }
 
   private def visibleStatFiles(fs: org.apache.hadoop.fs.FileSystem,
@@ -148,7 +151,7 @@ object InvertedIndex {
         org.apache.spark.sql.types.StringType)), 42L)
       .eval(null).asInstanceOf[Long]
     import spark.implicits._
-    Seq((fp, n, sumDl)).toDF("fp", "n_docs", "sum_dl").repartition(1)
+    Seq((fp, n, sumDl)).toDF("fp", "n_docs", "sum_dl").coalesce(1)
       .write.parquet(stage.toString)
     olds.foreach(f => fs.delete(f, false))
     fs.listStatus(stage).toSeq.map(_.getPath)
@@ -216,8 +219,13 @@ object InvertedIndex {
       .withColumn("_tbkt", bucketCol(buckets))
       // one narrow shuffle on the partition column buys ONE file per
       // bucket directory; a direct partitionBy write emits up to
-      // tasks x buckets files
-      .repartition(col("_tbkt"))
+      // tasks x buckets files. The partition COUNT is pinned to the
+      // bucket count (r21, guide §2.4/§6): an unpinned repartition(col)
+      // lets AQE coalesce this small exchange to ONE task, which then
+      // writes every bucket's file serially — the write wants exactly
+      // one task per bucket at every scale (the one-file-per-dir
+      // invariant already caps parallelism at `buckets`).
+      .repartition(buckets, col("_tbkt"))
       .write.mode("overwrite").partitionBy("_tbkt").parquet(path)
     // NOT observe/CollectMetrics: Spark 4's Observation lazily
     // initializes the session's ObservationManager, which is not
@@ -227,7 +235,7 @@ object InvertedIndex {
     // poison the session; the checkpointed doc-length frame makes
     // the explicit stats aggregation a cheap cached-read job.
     val dl = doclens(df, idCol, textCol, buckets).localCheckpoint(true)
-    dl.repartition(col("_dbkt"))
+    dl.repartition(buckets, col("_dbkt"))
       .write.mode("overwrite").partitionBy("_dbkt").parquet(doclensDir(path))
     val m = dl.agg(count(lit(1)).as("n"),
       coalesce(sum(col("dl").cast("long")), lit(0L)).as("s"),
@@ -288,7 +296,7 @@ object InvertedIndex {
     val m = fresh.agg(count(lit(1)).as("n"),
       coalesce(sum(col("dl").cast("long")), lit(0L)).as("s"),
       coalesce(expr("bit_xor(xxhash64(doc, dl))"), lit(0L)).as("fp")).head()
-    dl.repartition(col("_dbkt"))
+    dl.repartition(bk, col("_dbkt"))
       .write.mode("append").partitionBy("_dbkt").parquet(doclensDir(path))
     // stats row lands right after the sidecar write: a crash in the
     // postings append below leaves stats already exact, and the
@@ -298,7 +306,8 @@ object InvertedIndex {
         .write.mode("append").parquet(statsDir(path))
     postingsWithDl(df, idCol, textCol)
       .withColumn("_tbkt", bucketCol(bk))
-      .repartition(col("_tbkt"))
+      // pinned to the bucket count — see writeIndex (r21)
+      .repartition(bk, col("_tbkt"))
       .write.mode("append").partitionBy("_tbkt").parquet(path)
     LayoutMeta.commit(spark, path, Map("buckets" -> bk))
   }

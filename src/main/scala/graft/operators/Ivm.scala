@@ -114,9 +114,17 @@ object Ivm {
         minCols.map(c => min(col(c)).as(minColName(c))) ++
         maxCols.map(c => max(col(c)).as(maxColName(c))) ++
         hllCols.map(c => hll_sketch_agg(col(c)).as(hllColName(c)))
+    // persist the partial aggregate: it feeds BOTH the affected-bucket
+    // collect and the staged commit write below — unpersisted, the
+    // whole batch scan+aggregate ran twice per applyBatch (r21, guide
+    // §1.2 "don't compute things twice"; persist-not-localCheckpoint so
+    // the blocks release at the end of this call instead of pinning
+    // until driver GC — the upsertOnce discipline)
     val partial = batch.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("cnt"), aggExprs: _*)
       .withColumn("_bucket", Scd.bucketOf(keyCols, n))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val affected = partial.select(col("_bucket")).distinct()
       .collect().map(_.getInt(0)).sorted // bounded by nBuckets
     val fs = new org.apache.hadoop.fs.Path(store)
@@ -157,6 +165,7 @@ object Ivm {
     Scd.commitBuckets(out, store, pending, conf,
       marker = batchTag.map { case (w, bid) => ("_applied", s"$w\t$bid") })
     LayoutMeta.commit(spark, store, Map("nBuckets" -> n))
+    } finally partial.unpersist(blocking = false)
   }
 
   /** The current view: (keys..., cnt, sum_<c>...). Bucket dirs are

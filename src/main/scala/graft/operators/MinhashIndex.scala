@@ -66,7 +66,12 @@ object MinhashIndex {
       .withColumn("_bkt", pmod(xxhash64(col("_id")), lit(bk.toLong)).cast("int"))
     bandRows.select("_id", "_bk", "_sh", "_band", "_bkt")
       .unionByName(payloadRows.select("_id", "_bk", "_sh", "_band", "_bkt"))
-      .repartition(col("_band"), col("_bkt"))
+      // partition count pinned to the directory count (band=0 and
+      // band=-1 each span `bk` buckets): an unpinned repartition(col)
+      // lets AQE coalesce a small append to ONE task that writes every
+      // directory's file serially (r21, guide §2.4); one file per
+      // touched dir holds under any count
+      .repartition(2 * bk, col("_band"), col("_bkt"))
       .write.mode("append").partitionBy("_band", "_bkt").parquet(path)
     // record the layout AFTER data lands (a crash here leaves a
     // pre-META index, which probes tolerate exactly as before)
@@ -519,8 +524,9 @@ object MinhashIndex {
       .withColumn("_bkt",
         when(col("_band") === -1, pmod(xxhash64(col("_id")), lit(newBuckets.toLong)))
           .otherwise(pmod(col("_bk"), lit(newBuckets.toLong))).cast("int"))
-      // one file per directory, same discipline as append/compact
-      .repartition(col("_band"), col("_bkt"))
+      // one file per directory, same discipline as append/compact;
+      // count pinned — see append (r21)
+      .repartition(2 * newBuckets, col("_band"), col("_bkt"))
       .write.partitionBy("_band", "_bkt").parquet(tmpPath)
     LayoutMeta.overwrite(spark, tmpPath, Map("buckets" -> newBuckets))
     AtomicSwap.swapIn(hconf, path, tmpPath)

@@ -246,7 +246,12 @@ object Scd {
     val stagedRoot = new Path(
       s"$store/__stage_${java.util.UUID.randomUUID().toString.take(8)}")
     val fs = stagedRoot.getFileSystem(conf)
-    out.write.mode("overwrite").partitionBy("_bucket")
+    // one task per affected bucket (r21, guide §2.4): unpinned, AQE
+    // coalesces the small post-aggregate exchange to ONE task that
+    // writes every staged bucket's file serially; pinning to the
+    // affected count keeps one file per bucket dir at any scale
+    out.repartition(math.max(1, affected.length), col("_bucket"))
+      .write.mode("overwrite").partitionBy("_bucket")
       .parquet(stagedRoot.toString)
     try {
       affected.foreach { i =>

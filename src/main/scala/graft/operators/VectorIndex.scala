@@ -195,7 +195,13 @@ final class VectorIndex private (
           .unionByName(incoming)
       }
       val merged = base
-        .repartition(col("_bucket"))
+        // pinned to the bucket count (r21, guide §2.4): an unpinned
+        // repartition(col) lets AQE coalesce a small-batch upsert's
+        // exchange to ONE task, which then computes the merge window,
+        // every row's _bsig signature AND all touched buckets' files
+        // serially; the one-file-per-bucket write caps useful
+        // parallelism at numBuckets at every scale, so pin it there.
+        .repartition(nb, col("_bucket"))
         .withColumn("_rn", row_number().over(w))
         .filter(col("_rn") === 1).drop("_rn")
       writeSnapshot(version, merged, manifest, touched, nb, preClustered = true)
@@ -480,18 +486,25 @@ final class VectorIndex private (
         col(qVecCol).cast("array<double>").as("_qv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // null vectors must fail the E2 check too: size(null) is null,
-      // so a bare =!= comparison would silently drop the row here and
-      // NPE later inside the signature UDF
-      if (qs.filter(col("_qv").isNull ||
-          size(col("_qv")) =!= meta.dimension).limit(1).count() > 0)
+      // ONE aggregation job answers all three pre-checks over the
+      // pinned batch (r21 job fusion — these were three separate jobs,
+      // a fixed per-job cost paid on every batched probe/ingest):
+      // the E2 null/width census (null vectors must fail it too:
+      // size(null) is null, so a bare =!= comparison would silently
+      // drop the row here and NPE later inside the signature UDF),
+      // the batch row count, and the distinct-qid census (duplicate
+      // query ids would silently interleave two vectors' rankings
+      // under one key — every window partitions by _qid — so refuse
+      // loudly instead).
+      val pre = qs.agg(count(lit(1)),
+        count(when(col("_qv").isNull ||
+          size(col("_qv")) =!= meta.dimension, 1)),
+        countDistinct(col("_qid"))).head()
+      if (pre.getLong(1) > 0)
         throw new IngestError(
           s"knnJoin: query dimension != index dimension ${meta.dimension}")
-      // duplicate query ids would silently interleave two vectors'
-      // rankings under one key (every window partitions by _qid) —
-      // refuse loudly instead
-      val nQueries = qs.count()
-      require(qs.select(col("_qid")).distinct().count() == nQueries,
+      val nQueries = pre.getLong(0)
+      require(pre.getLong(2) == nQueries,
         "knnJoin: duplicate query ids in the batch — every window keys " +
           "on the id, so two vectors under one id would interleave into " +
           "one corrupted ranking; dedupe the batch first")
@@ -1128,7 +1141,8 @@ final class VectorIndex private (
     // skip the redundant exchange — Spark does not elide an explicit
     // repartition even when the child is already hash(_bucket)
     val clustered =
-      if (preClustered) withSig else withSig.repartition(col("_bucket"))
+      if (preClustered) withSig
+      else withSig.repartition(numBuckets, col("_bucket")) // pinned (r21)
     val laidOut =
       if (bits <= 0) clustered
       else {

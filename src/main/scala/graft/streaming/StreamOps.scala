@@ -483,9 +483,14 @@ object StreamOps {
               val cIds = corpus0.where(col(idCol).isNotNull)
                 .select(col(idCol).cast("long").as("_cid"))
                 .distinct().localCheckpoint(true)
-              val cNullN = corpus0.where(col(idCol).isNull).count()
+              // ONE aggregation job for both corpus censuses (total and
+              // null-id rows — r21: two separate count jobs before), one
+              // bounded count over the pinned distinct ids
+              val cm = corpus0.agg(count(lit(1)),
+                count(when(col(idCol).isNull, 1))).head()
+              val cNullN = cm.getLong(1)
               val corpus =
-                if (corpus0.count() - cNullN == cIds.count()) corpus0
+                if (cm.getLong(0) - cNullN == cIds.count()) corpus0
                 else healSwap(corpus0, corpusPath, idCol)
               val fresh0 =
                 if (!exists(sigPath)) None
@@ -499,13 +504,22 @@ object StreamOps {
                   // Null-id rows can't be set-compared (null never
                   // equals), so they are checked by COUNT — 1:1 with
                   // the corpus's null-id rows by construction.
+                  // r21 job fusion: the sidecar's two censuses collapse
+                  // into one aggregation, and the two directional
+                  // anti-joins into one full-outer mismatch count —
+                  // value-identical checks (set equality == no side
+                  // has a key the other lacks), half the fixed per-job
+                  // cost on the verify batch.
                   val sNonNull = s.where(col("_id").isNotNull)
                   val sDis = sNonNull.select(col("_id")).distinct()
                     .localCheckpoint(true)
-                  sNonNull.count() == sDis.count() &&
-                    s.where(col("_id").isNull).count() == cNullN &&
-                    sDis.join(cIds, col("_id") === col("_cid"), "left_anti").count() == 0L &&
-                    cIds.join(sDis, col("_cid") === col("_id"), "left_anti").count() == 0L
+                  val sm = s.agg(count(when(col("_id").isNotNull, 1)),
+                    count(when(col("_id").isNull, 1))).head()
+                  sm.getLong(0) == sDis.count() &&
+                    sm.getLong(1) == cNullN &&
+                    sDis.join(cIds, col("_id") === col("_cid"), "full_outer")
+                      .where(col("_id").isNull || col("_cid").isNull)
+                      .count() == 0L
                 }
               val sig = fresh0.getOrElse {
                 val rebuilt = D.prepareMinhash(corpus, idCol, textCol).localCheckpoint(true)
@@ -615,22 +629,25 @@ object StreamOps {
         val corpusExists = exists(corpusPath)
         if (corpusExists) {
           var corpus = spark.read.parquet(corpusPath)
-          var corpusN = corpus.count()
+          var corpusN = 0L
           if (!verified) {
             // uniqueness census over NON-NULL ids only: null-id docs are
             // deliberately accepted by every dedup anti-join, so several
             // can legitimately coexist — counting them here would misread
             // them as a double-append, and the heal would both drop
             // accepted documents and desync the payload census below
-            // (forcing a spurious index rebuild)
-            val nonNull = corpus.where(col(idCol).isNotNull)
-            val nonNullN = nonNull.count()
-            val distinctN = nonNull.select(col(idCol)).distinct().count()
-            if (nonNullN != distinctN) {
+            // (forcing a spurious index rebuild).
+            // r21 job fusion: total / non-null / distinct censuses in
+            // ONE aggregation (three separate jobs before — fixed
+            // per-job cost on the writer's first batch).
+            val m = corpus.agg(count(lit(1)), count(col(idCol)),
+              countDistinct(col(idCol))).head()
+            corpusN = m.getLong(0)
+            if (m.getLong(1) != m.getLong(2)) {
               corpus = healSwap(corpus, corpusPath, idCol)
               corpusN = corpus.count()
             }
-          }
+          } else corpusN = corpus.count()
           val rebuild = !exists(indexPath) ||
             MI.payloadCount(spark, indexPath) != corpusN
           if (rebuild) {
@@ -1097,7 +1114,13 @@ object StreamOps {
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
       .localCheckpoint(eager = true)
-    val nRows = batch.count()
+    // ONE aggregation job answers both pre-pass questions — the row
+    // count the maxBatchRows valve needs and the E2 null/width census
+    // (r21: these were two separate jobs, a fixed per-job cost paid
+    // every micro-batch; the fused agg scans the pinned batch once)
+    val pre = batch.agg(count(lit(1)),
+      count(when(col("values").isNull || size(col("values")) =!= dim, 1))).head()
+    val nRows = pre.getLong(0)
     lastWithinBatchRows = nRows
     if (nRows > maxBatchRows)
       throw new IllegalStateException(
@@ -1111,9 +1134,8 @@ object StreamOps {
     // must fail TYPED here, not as an opaque NPE inside the
     // banding signature UDF (the knnJoin null-guard discipline;
     // upsert would refuse the row anyway — refusing before the
-    // dedup passes costs one bounded count and names the problem)
-    if (batch.filter(col("values").isNull ||
-        size(col("values")) =!= dim).limit(1).count() > 0)
+    // dedup passes names the problem)
+    if (pre.getLong(1) > 0)
       throw new graft.core.IngestError(
         s"vector dedup-ingest: micro-batch contains a null or " +
           s"wrong-dimension vector (index dimension $dim)")
